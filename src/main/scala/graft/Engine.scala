@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDateTime
+
+/**
+ * Query executor — Spark replacement for the reference's execution path
+ * (`/root/reference/app/routes/query.py:42-57`): where the reference
+ * registers a pandas frame into an embedded DuckDB connection and fetches the
+ * whole result back, we register the DataFrame as a temp view named `df`
+ * (`query.py:43`) and let Catalyst + whole-stage codegen run the SQL
+ * distributed. The NL question path is generate → validate → execute →
+ * duplicate-collapse, exactly the reference pipeline (`query.py:33-57`).
+ */
+object Engine {
+
+  /** Mirrors `QueryResult` (`/root/reference/app/schemas/models.py:24-26`),
+    * keeping the result distributed instead of `rows: List[Dict]`. */
+  case class QueryResult(sql: String, result: DataFrame)
+
+  /**
+   * The generator emits double-quoted identifiers (`sql_generator.py:8-10`,
+   * DuckDB dialect); Spark SQL wants backticks unless
+   * `spark.sql.ansi.doubleQuotedIdentifiers` is on. Normalized textually at
+   * this boundary — safe for generator output, which never puts double quotes
+   * inside string literals.
+   */
+  def toSparkSql(sql: String): String = sql.replaceAll("\"([^\"]*)\"", "`$1`")
+
+  /** Register + execute one validated SELECT over the session table `df`
+    * (`query.py:42-45`), then apply the duplicate collapse (`query.py:49-57`). */
+  def execute(spark: SparkSession, df: DataFrame, validatedSql: String): DataFrame = {
+    df.createOrReplaceTempView("df")
+    collapseDuplicates(spark.sql(toSparkSql(validatedSql)))
+  }
+
+  /**
+   * Duplicate-row collapse, port of `query.py:49-57`: if the result contains
+   * any fully-duplicated row, group by ALL columns with a `count` and sort by
+   * count descending; otherwise pass through.
+   *
+   * Scale notes: the pandas original does `duplicated().any()` plus a
+   * groupby; here one hash aggregation computes the groups and a cheap
+   * `filter(count>1).limit(1)` probe on it decides the branch — two jobs over
+   * one shuffle, no driver materialization. Pandas `groupby` drops rows with
+   * null group keys (`dropna=True` default); we replicate by dropping
+   * fully-null-keyed rows in the collapse branch only.
+   */
+  def collapseDuplicates(res: DataFrame): DataFrame = {
+    val cols = res.columns
+    if (cols.isEmpty) return res
+    val nonNull = res.na.drop(cols.toIndexedSeq) // pandas groupby(dropna=True)
+    // Temp name so the probe never collides with a user column named `count`
+    // (pandas only errors on that collision when duplicates actually exist).
+    val tmpCnt = "__graft_count"
+    val grouped = nonNull.groupBy(cols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as(tmpCnt))
+    val hasDuplicates = grouped.filter(col(tmpCnt) > 1).limit(1).count() > 0
+    if (hasDuplicates) {
+      // pandas parity: reset_index(name='count') raises if `count` exists
+      require(!cols.contains("count"), "cannot insert count, already exists")
+      grouped.withColumnRenamed(tmpCnt, "count").orderBy(desc("count"))
+    } else res
+  }
+
+  /**
+   * Full NL pipeline (rule-based path of `query.py:33-45`): profile-provided
+   * columns → rule SQL → validator → execute. The AI path (`query.py:34`,
+   * network LLM) is out of engine scope; its contract — "execute an arbitrary
+   * validated SELECT" — is [[executeSql]].
+   */
+  def answer(spark: SparkSession, df: DataFrame, question: String,
+             columnsInfo: Seq[Profiler.ColumnInfo], now: LocalDateTime): QueryResult = {
+    val sql = RuleSqlGenerator.generate(question, columnsInfo, now)
+    val validated = SqlValidator.validate(sql, columnsInfo.map(_.name))
+    QueryResult(validated, execute(spark, df, validated))
+  }
+
+  /** The AI-path contract: any externally produced SELECT, validated then run. */
+  def executeSql(spark: SparkSession, df: DataFrame, sql: String): QueryResult = {
+    val validated = SqlValidator.validate(sql, df.columns.toIndexedSeq)
+    QueryResult(validated, execute(spark, df, validated))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+/**
+ * SQL safety gate + row-limit guard — port of `validate_sql`
+ * (`/root/reference/app/utils/sql_generator.py:105-127`) and
+ * `MAX_ROWS_LIMIT` (`/root/reference/app/config.py:9`).
+ *
+ * Reference quirks preserved deliberately (they are observable behavior):
+ *  - the blocklist is a SUBSTRING match on the uppercased SQL, so a query
+ *    mentioning `created_at`-like text containing "CREATE"/"UPDATE" etc. is
+ *    rejected (`sql_generator.py:111-113`);
+ *  - the LIMIT guard is also a substring check — any occurrence of "limit"
+ *    (case-insensitive), even in an alias, suppresses injection (`:124-125`);
+ *  - the per-column check is a documented no-op (`:119-122`).
+ */
+object SqlValidator {
+
+  /** Raised for the reference's HTTP-400 rejections (`sql_generator.py:113,116`). */
+  final class UnsafeSqlException(msg: String) extends IllegalArgumentException(msg)
+
+  /** Verbatim blocklist from `sql_generator.py:111`. */
+  val Forbidden: Seq[String] =
+    Seq("INSERT", "UPDATE", "DELETE", "DROP", "ALTER", "CREATE", "ATTACH", "COPY", "PRAGMA")
+
+  /** `MAX_ROWS_LIMIT` default (`config.py:9`). */
+  val MaxRowsLimit: Int = 200
+
+  def validate(sql: String, columns: Seq[String], maxRows: Int = MaxRowsLimit): String = {
+    var cleaned = sql.trim
+    if (cleaned.endsWith(";")) cleaned = cleaned.dropRight(1).trim
+
+    val sqlUpper = cleaned.toUpperCase
+    if (Forbidden.exists(sqlUpper.contains))
+      throw new UnsafeSqlException("Unsafe SQL query")
+    if (cleaned.count(_ == ';') > 0)
+      throw new UnsafeSqlException("Multiple statements not allowed")
+
+    // Column existence check: intentionally a no-op, like the reference's
+    // `continue`-only loop (`sql_generator.py:119-122`).
+    val _ = columns
+
+    if (!sqlUpper.contains("LIMIT")) cleaned += s" LIMIT $maxRows"
+    cleaned
+  }
+}
