@@ -1,0 +1,404 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import QueryUtil._
+
+/**
+ * Tier B — the reachable query surface (SURVEY.md §2.2): the reference's AI
+ * path executes arbitrary DuckDB SELECTs over the registered table, so the
+ * engine must cover general single/multi-table SQL. One oracle-checked query
+ * per category, written DataFrame-first so Catalyst plans pushdown, broadcast
+ * vs shuffle joins, partial aggregation and top-k without hand-holding.
+ *
+ * Determinism rules (SURVEY.md §7.5): decimal-cast sums ([[QueryUtil.dsum]]),
+ * full-key ORDER BY everywhere, no wall-clock, UTC session.
+ */
+object BTier {
+
+  type Q = (SparkSession, String) => DataFrame
+  private val dec = DecimalType(18, 2)
+
+  /** Aggregation: TPC-H Q1 shape — partial+final hash agg behind one shuffle. */
+  private val b01: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        // inputs cast to decimal BEFORE multiplying: casting the computed
+        // double product instead hits rounding-tie differences between
+        // Spark (HALF_UP) and DuckDB (half-even) on exact .xx5 values
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Join (broadcast): fact×two dims — dims are broadcast, no shuffle of the
+    * fact side beyond the final aggregation exchange. */
+  private val b02: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+    val n = Tables(spark, sfDir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Join (large-large): lineitem⨝orders shuffles on the join key; AQE picks
+    * sort-merge vs shuffled-hash at runtime. */
+  private val b03: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val o = Tables(spark, sfDir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Self-join (+HAVING): order pairs per customer — the only join shape the
+    * reference can reach (one table joined with itself). */
+  private val b04: Q = (spark, sfDir) => {
+    val a = Tables(spark, sfDir, "orders").as("a")
+    val b = Tables(spark, sfDir, "orders").as("b")
+    a.join(b, col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.o_orderkey") < col("b.o_orderkey"))
+      .groupBy(col("a.o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= 45)
+      .orderBy("custkey")
+  }
+
+  /** Semi join (EXISTS). */
+  private val b05: Q = (spark, sfDir) => {
+    val c = Tables(spark, sfDir, "customer")
+    val urgent = Tables(spark, sfDir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  /** Anti join (NOT EXISTS). */
+  private val b06: Q = (spark, sfDir) => {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  /** Window: per-partition top-n via row_number with a full tiebreak. */
+  private val b07: Q = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window: running sum + lag over an ordered frame (decimal-cast inputs so
+    * the running sum is exact in both engines). */
+  private val b08: Q = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables(spark, sfDir, "orders")
+      .withColumn("running",
+        sum(col("o_totalprice").cast(dec)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select("o_custkey", "o_orderkey", "running", "prev_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ROLLUP — subtotal grouping sets; null keys sentineled for the compare. */
+  private val b09: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** CUBE — all grouping combinations. */
+  private val b10: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Set ops: EXCEPT + INTERSECT (+UNION ALL of the two branches). */
+  private val b11: Q = (spark, sfDir) => {
+    val custKeys = Tables(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val orderKeys = Tables(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+    val noOrders = custKeys.except(orderKeys).withColumn("tag", lit("no_orders"))
+    val hasOrders = custKeys.intersect(orderKeys).withColumn("tag", lit("has_orders"))
+    noOrders.unionAll(hasOrders).select("tag", "k").orderBy("tag", "k")
+  }
+
+  /** DISTINCT. */
+  private val b12: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) — two distinct aggregates in one pass (Spark expands). */
+  private val b13: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** approx_count_distinct (HLL++) — the 100TB-scale path for distinct
+    * counting; no DuckDB oracle (different sketch), rows-only check. */
+  private val b14: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** Scalar string/math functions (codegen'd builtins, no UDFs). */
+  private val b15: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        round(col("p_retailprice") / 7.0, 2).as("price7"),
+        abs(col("p_size") - 25).as("size_dev"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Date/time functions. */
+  private val b16: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  /** CASE WHEN bucketing + aggregation. */
+  private val b17: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+
+  /** Scalar subquery — threshold computed exactly (decimal sum / count) so
+    * both engines filter on the identical double. */
+  private val b18: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** IN subquery (plans as a semi join). */
+  private val b19: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** CTE + multi-table join — same ANSI text runs on Spark and DuckDB. */
+  private val cteSql =
+    """WITH cust_orders AS (
+      |  SELECT o_custkey, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS seg_total
+      |FROM customer JOIN cust_orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val b20: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(cteSql)
+  }
+
+  /** JSON extraction from the events.props string column. */
+  private val b21: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** Tumbling time window (batch analog of the streaming agg) — window start
+    * emitted as a string so ns-vs-µs parquet encodings can't skew the compare. */
+  private val b22: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Pivot (conditional aggregation in the oracle). */
+  private val b23: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+      .na.fill(0, Seq("F", "O"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "b01_agg_tpch_q1" -> b01,
+    "b02_join_broadcast_dims" -> b02,
+    "b03_join_large_shuffle" -> b03,
+    "b04_self_join_having" -> b04,
+    "b05_semi_join" -> b05,
+    "b06_anti_join" -> b06,
+    "b07_window_topn" -> b07,
+    "b08_window_running_lag" -> b08,
+    "b09_rollup" -> b09,
+    "b10_cube" -> b10,
+    "b11_set_ops" -> b11,
+    "b12_distinct" -> b12,
+    "b13_count_distinct" -> b13,
+    "b14_approx_count_distinct" -> b14,
+    "b15_scalar_funcs" -> b15,
+    "b16_date_funcs" -> b16,
+    "b17_case_when" -> b17,
+    "b18_subquery_scalar" -> b18,
+    "b19_subquery_in" -> b19,
+    "b20_cte_multitable" -> b20,
+    "b21_json_extract" -> b21,
+    "b22_time_window" -> b22,
+    "b23_pivot" -> b23)
+
+  private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "b01_agg_tpch_q1" ->
+      (s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
+         | ${dsumSql("l_extendedprice")} AS sum_base_price,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         | ${dsumSql("l_quantity")}/COUNT(*) AS avg_qty,
+         | ${dsumSql("l_extendedprice")}/COUNT(*) AS avg_price,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+        .stripMargin.replace("\n", " ")),
+    "b02_join_broadcast_dims" ->
+      (s"""SELECT n_name, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")),
+    "b03_join_large_shuffle" ->
+      (s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
+    "b04_self_join_having" ->
+      ("""SELECT a.o_custkey AS custkey, COUNT(*) AS n_pairs
+         |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+         |GROUP BY a.o_custkey HAVING COUNT(*) >= 45 ORDER BY custkey""".stripMargin.replace("\n", " ")),
+    "b05_semi_join" ->
+      ("""SELECT c_custkey FROM customer WHERE EXISTS (
+         |SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+    "b06_anti_join" ->
+      ("""SELECT c_custkey FROM customer WHERE NOT EXISTS (
+         |SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"""
+        .stripMargin.replace("\n", " ")),
+    "b07_window_topn" ->
+      ("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         |SELECT o_custkey, o_orderkey, o_totalprice,
+         | ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin.replace("\n", " ")),
+    "b08_window_running_lag" ->
+      ("""SELECT o_custkey, o_orderkey,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+         | LAG(o_totalprice, 1) OVER (
+         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " ")),
+    "b09_rollup" ->
+      (s"""SELECT COALESCE(l_returnflag,'ALL') AS flag, COALESCE(l_linestatus,'ALL') AS status,
+         | COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin.replace("\n", " ")),
+    "b10_cube" ->
+      (s"""SELECT COALESCE(o_orderstatus,'ALL') AS status, COALESCE(o_orderpriority,'ALL') AS priority,
+         | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin.replace("\n", " ")),
+    "b11_set_ops" ->
+      ("""SELECT 'no_orders' AS tag, k FROM (
+         |  SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) t1
+         |UNION ALL
+         |SELECT 'has_orders' AS tag, k FROM (
+         |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders) t2
+         |ORDER BY tag, k""".stripMargin.replace("\n", " ")),
+    "b12_distinct" ->
+      ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "b13_count_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders, " +
+        "COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "b15_scalar_funcs" ->
+      ("""SELECT p_partkey, UPPER(p_brand) AS ub, LENGTH(p_name) AS name_len,
+         | SUBSTR(p_type, 1, 5) AS type5, ROUND(p_retailprice/7.0, 2) AS price7,
+         | ABS(p_size - 25) AS size_dev, p_brand || '#' || p_type AS brand_type
+         |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " ")),
+    "b16_date_funcs" ->
+      ("""SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,
+         | CAST(QUARTER(o_orderdate) AS INT) AS q,
+         | CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+         | CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98
+         |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+    "b17_case_when" ->
+      (s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+         | WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
+         | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")),
+    "b18_subquery_scalar" ->
+      (s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_totalprice > (
+         | SELECT ${dsumSql("o_totalprice")}/COUNT(*) FROM orders)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
+    "b19_subquery_in" ->
+      ("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")),
+    "b20_cte_multitable" -> cteSql.replace("\n", " "),
+    "b21_json_extract" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+         | SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT)) AS sum_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "b22_time_window" ->
+      (s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         | COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
+    "b23_pivot" ->
+      ("""SELECT l_returnflag,
+         | SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+         | SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", " ")))
+}
