@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators over the `documents` table — LLM-pipeline
+ * extensions (SURVEY.md §7.4): whitespace/BPE-ish token counting, n-gram
+ * language-ID heuristic, quality scoring, content fingerprinting. Everything
+ * is codegen'd column expressions; per-row arithmetic is identical in Spark
+ * and DuckDB so the oracles compare value-exact.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: lowercase, split on non-alphanumeric runs, drop
+    * empties (a cheap stand-in for a real BPE vocab — the regex boundary
+    * behavior is what a tokenizer-shaped pipeline stage needs to prove). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
+
+  /**
+   * Language-ID heuristic: marker-token sniff (the n-gram-class heuristic
+   * restricted to whole-word markers so it is SQL-expressible for the
+   * oracle). Deterministic; on the synthetic word-salad corpus most rows
+   * fall through to 'en', which the confusion-matrix query makes visible.
+   */
+  def langIdHeuristic(text: Column): Column = {
+    def hasWord(w: String): Column = instr(concat(lit(" "), text, lit(" ")), s" $w ") > 0
+    when(hasWord("der") || hasWord("die") || hasWord("das") || hasWord("und"), "de")
+      .when(hasWord("le") || hasWord("la") || hasWord("et") || hasWord("les"), "fr")
+      .when(hasWord("el") || hasWord("los") || hasWord("una") || hasWord("es"), "es")
+      .when(hasWord("de") || hasWord("shi") || hasWord("bu"), "zh")
+      .otherwise("en")
+  }
+
+  /**
+   * Quality score in [0,1]-ish from cheap surface statistics: token count
+   * band, mean word length band, alnum ratio, stopword presence. The exact
+   * formula matters less than its properties: deterministic, one scan,
+   * SQL-expressible for the oracle.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = (nChars - nTok + lit(1.0)) / nTok
+    val alnumRatio = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))) / nChars
+    val theCount = ((nChars - length(replace(text, lit("the"), lit("")))) / lit(3.0)) / nTok
+    lit(0.25) * when(nTok.between(10, 500), 1.0).otherwise(0.2) +
+      lit(0.25) * when(meanWordLen.between(3.0, 9.0), 1.0).otherwise(0.2) +
+      lit(0.25) * (lit(1.0) - alnumRatio) +
+      lit(0.25) * least(theCount * 10.0, lit(1.0))
+  }
+
+  /** Content fingerprint for exact-dup detection at scale: md5 of the text.
+    * (Rolling/shingle fingerprints live in [[Dedup.minhashLsh]]; md5 is the
+    * engine-portable exact-content key.) */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Per-language corpus statistics in one pass. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+}

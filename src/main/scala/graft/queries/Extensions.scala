@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/**
+ * Tier X — LLM-data-pipeline extension operators (BASELINE.json north star;
+ * SURVEY.md §7.4): dedup family, vector similarity search, text analysis,
+ * multimodal plumbing, streaming. Each SQL-expressible op carries a DuckDB
+ * oracle; hash-based ops (simhash) get rows-only entries plus unit tests.
+ */
+object Extensions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String) = Tables(spark, sfDir, "documents")
+  private def emb(spark: SparkSession, sfDir: String) = Tables(spark, sfDir, "embeddings")
+  private def queryVec(spark: SparkSession, sfDir: String) =
+    emb(spark, sfDir).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+
+  /** x01 — exact dedup: representative (min id) per distinct text. */
+  private val x01: Q = (spark, sfDir) =>
+    Dedup.exact(docs(spark, sfDir), "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+  /** x02 — MinHash+LSH near-dup pairs, exact-verified; equals the exact
+    * O(n²) oracle with P(miss) ≈ 2e-8 per true pair. */
+  private val x02: Q = (spark, sfDir) =>
+    Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
+      .orderBy("d1", "d2")
+
+  /** x03 — SimHash near-dup pairs (hash-dependent → rows-only check). */
+  private val x03: Q = (spark, sfDir) =>
+    Dedup.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxHamming = 3)
+      .orderBy("d1", "d2")
+
+  /** x04 — exact n-gram jaccard via distributed token join (threshold 0.5). */
+  private val x04: Q = (spark, sfDir) =>
+    Dedup.ngramJaccard(docs(spark, sfDir), "doc_id", "text", minJaccard = 0.5)
+      .orderBy("d1", "d2")
+
+  /** x05 — brute-force cosine top-k (exact baseline). */
+  private val x05: Q = (spark, sfDir) =>
+    Similarity.bruteForceTopK(emb(spark, sfDir), queryVec(spark, sfDir), 20)
+
+  /** x06 — bucketed ANN top-k (sign-code coarse quantizer, the scale path). */
+  private val x06: Q = (spark, sfDir) =>
+    Similarity.annTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10)
+
+  /** x07 — per-language corpus statistics. */
+  private val x07: Q = (spark, sfDir) =>
+    TextAnalysis.corpusStats(docs(spark, sfDir)).orderBy("lang")
+
+  /** x08 — language-ID heuristic confusion matrix vs the labeled lang. */
+  private val x08: Q = (spark, sfDir) =>
+    docs(spark, sfDir)
+      .withColumn("predicted", TextAnalysis.langIdHeuristic(col("text")))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** x09 — quality scoring + filter. */
+  private val x09: Q = (spark, sfDir) =>
+    docs(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .filter(col("score") >= 0.5)
+      .orderBy("doc_id")
+
+  /** x10 — BPE-ish token counting aggregated per source. */
+  private val x10: Q = (spark, sfDir) =>
+    docs(spark, sfDir)
+      .groupBy("source")
+      .agg(sum(TextAnalysis.bpeishTokenCount(col("text"))).as("total_tokens"))
+      .orderBy("source")
+
+  /** x11 — content fingerprinting (md5, engine-portable exact key). */
+  private val x11: Q = (spark, sfDir) =>
+    docs(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** x12 — multimodal binary pipeline: binary payload + metadata →
+    * mapPartitions batch feature extraction (decode STUBBED, deterministic). */
+  private val x12: Q = (spark, sfDir) => {
+    val media = Multimodal.asMediaTable(docs(spark, sfDir))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes").cast("long").as("n_bytes"),
+        col("checksum"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("gray_mean"))
+      .orderBy("doc_id")
+  }
+
+  /** x13 — Structured Streaming tumbling-window counts, drained to a memory
+    * sink in complete mode so the final state equals the batch oracle. */
+  private val x13: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.windowedCounts(spark, sfDir)
+
+  /** x14 — embedding near-duplicate pairs (cosine ≥ 0.95 in sign buckets). */
+  private val x14: Q = (spark, sfDir) =>
+    Similarity.cosineNearDupPairs(emb(spark, sfDir), 0.95).orderBy("v1", "v2")
+
+  val queries: Map[String, Q] = Map(
+    "x01_dedup_exact" -> x01,
+    "x02_dedup_minhash_lsh" -> x02,
+    "x03_dedup_simhash" -> x03,
+    "x04_ngram_jaccard_exact" -> x04,
+    "x05_cosine_topk_brute" -> x05,
+    "x06_ann_bucket_topk" -> x06,
+    "x07_corpus_stats" -> x07,
+    "x08_lang_id_confusion" -> x08,
+    "x09_quality_score" -> x09,
+    "x10_token_count_bpe" -> x10,
+    "x11_fingerprint_md5" -> x11,
+    "x12_multimodal_features" -> x12,
+    "x13_streaming_window_counts" -> x13,
+    "x14_embedding_neardup" -> x14)
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  /** Exact pairwise n-gram jaccard in DuckDB (shingle join — same algorithm
+    * as [[Dedup.ngramJaccard]]). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i FROM w WHERE len(ws) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) >= $threshold
+       |ORDER BY d1, d2""".stripMargin.replace("\n", " ")
+
+  /** Double-precision cosine in DuckDB, structurally identical to
+    * [[Similarity.cosine]] (same fold order ⇒ bit-identical doubles;
+    * the float32 builtins list_cosine_similarity/list_dot_product are NOT
+    * usable here). */
+  private val cosSql =
+    """list_aggregate(list_transform(list_zip(embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+      | / (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
+      .stripMargin.replace("\n", " ")
+
+  /** [[cosSql]] generalized to two named list columns. */
+  private def cos2Sql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+       | / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |  * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
+      .stripMargin.replace("\n", " ")
+
+  private def signBucketSql(v: String): String =
+    (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  private val byteSum = "list_aggregate(list_transform(str_split(text, ''), c -> ascii(c)), 'sum')"
+
+  val oracles: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "x02_dedup_minhash_lsh" -> jaccardOracle(0.7),
+    "x04_ngram_jaccard_exact" -> jaccardOracle(0.5),
+    "x05_cosine_topk_brute" ->
+      (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ROUND($cosSql, 6) AS sim FROM embeddings, q
+         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x06_ann_bucket_topk" ->
+      (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ROUND($cosSql, 6) AS sim FROM embeddings, q
+         |WHERE ${signBucketSql("embedding")} = ${signBucketSql("qe")}
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")),
+    "x07_corpus_stats" ->
+      ("""SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+         | CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+         | COUNT(DISTINCT source) AS n_sources
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
+    "x08_lang_id_confusion" ->
+      ("""SELECT lang,
+         | CASE
+         |  WHEN strpos(' '||text||' ',' der ')>0 OR strpos(' '||text||' ',' die ')>0 OR strpos(' '||text||' ',' das ')>0 OR strpos(' '||text||' ',' und ')>0 THEN 'de'
+         |  WHEN strpos(' '||text||' ',' le ')>0 OR strpos(' '||text||' ',' la ')>0 OR strpos(' '||text||' ',' et ')>0 OR strpos(' '||text||' ',' les ')>0 THEN 'fr'
+         |  WHEN strpos(' '||text||' ',' el ')>0 OR strpos(' '||text||' ',' los ')>0 OR strpos(' '||text||' ',' una ')>0 OR strpos(' '||text||' ',' es ')>0 THEN 'es'
+         |  WHEN strpos(' '||text||' ',' de ')>0 OR strpos(' '||text||' ',' shi ')>0 OR strpos(' '||text||' ',' bu ')>0 THEN 'zh'
+         |  ELSE 'en' END AS predicted,
+         | COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin.replace("\n", " ")),
+    "x09_quality_score" ->
+      ("""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS ntok,
+         |  CAST(length(text) AS DOUBLE) AS nchars,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS nalnum,
+         |  CAST(length(replace(text, 'the', '')) AS DOUBLE) AS nnothe
+         | FROM documents)
+         |SELECT doc_id, CAST(ntok AS INT) AS n_tok,
+         | 0.25 * (CASE WHEN ntok BETWEEN 10 AND 500 THEN 1.0 ELSE 0.2 END)
+         | + 0.25 * (CASE WHEN (nchars - ntok + 1.0)/ntok BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.2 END)
+         | + 0.25 * (1.0 - (nchars - nalnum)/nchars)
+         | + 0.25 * least(((nchars - nnothe)/3.0)/ntok * 10.0, 1.0) AS score
+         |FROM s
+         |WHERE 0.25 * (CASE WHEN ntok BETWEEN 10 AND 500 THEN 1.0 ELSE 0.2 END)
+         | + 0.25 * (CASE WHEN (nchars - ntok + 1.0)/ntok BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.2 END)
+         | + 0.25 * (1.0 - (nchars - nalnum)/nchars)
+         | + 0.25 * least(((nchars - nnothe)/3.0)/ntok * 10.0, 1.0) >= 0.5
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x10_token_count_bpe" ->
+      ("""SELECT source, CAST(SUM(len(list_filter(
+         |  regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT) AS total_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x11_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "x12_multimodal_features" ->
+      (s"""SELECT doc_id, 'img/' || source AS format,
+         | CAST(length(text) AS BIGINT) AS n_bytes,
+         | CAST($byteSum % 997 AS BIGINT) AS checksum,
+         | CAST(64 + length(text) % 576 AS BIGINT) AS width,
+         | CAST(64 + $byteSum % 416 AS BIGINT) AS height,
+         | CAST($byteSum AS DOUBLE)/length(text) AS gray_mean
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x13_streaming_window_counts" ->
+      ("""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         | event_type, COUNT(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
+    "x14_embedding_neardup" ->
+      (s"""SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND(${cos2Sql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         | ON ${signBucketSql("a.embedding")} = ${signBucketSql("b.embedding")}
+         |  AND a.vec_id < b.vec_id
+         |WHERE ROUND(${cos2Sql("a.embedding", "b.embedding")}, 6) >= 0.95
+         |ORDER BY v1, v2""".stripMargin.replace("\n", " ")))
+    // x03 (simhash) stays rows-only: its output is a function of xxhash64,
+    // which DuckDB cannot replicate in SQL; unit tests cover it instead.
+}
