@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class EngineSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("collapse: duplicates → group-by-all + count desc; invariants hold") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2), ("c", 3))
+      .toDF("s", "n")
+    val collapsed = Engine.collapseDuplicates(df)
+    val rows = collapsed.collect()
+    assert(rows.map(_.getLong(2)).sum == 6) // sum(count) == original rows
+    assert(collapsed.count() == collapsed.dropDuplicates().count()) // no dups left
+    assert(rows.head.getLong(2) == 3) // sorted by count desc
+    assert(collapsed.columns.toSeq == Seq("s", "n", "count"))
+  }
+
+  test("collapse: no duplicates → passthrough unchanged") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("s", "n")
+    val out = Engine.collapseDuplicates(df)
+    assert(out.columns.toSeq == Seq("s", "n")) // no count column added
+    assert(out.count() == 2)
+  }
+
+  test("collapse: pandas parity — rows with null keys are dropped when grouping") {
+    val df = Seq(Some("a"), Some("a"), None, None).toDF("s")
+    val out = Engine.collapseDuplicates(df).collect()
+    assert(out.length == 1) // only the 'a' group survives (pandas dropna=True)
+    assert(out.head.getString(0) == "a" && out.head.getLong(1) == 2)
+  }
+
+  test("collapse: existing count column + duplicates errors like pandas reset_index") {
+    val df = Seq(("a", 1L), ("a", 1L)).toDF("s", "count")
+    intercept[IllegalArgumentException](Engine.collapseDuplicates(df).collect())
+  }
+
+  test("answer: full pipeline over an in-memory incidents table") {
+    val df = Seq(
+      ("Checkout", "Mumbai", "2024-02-10"),
+      ("Checkout", "Mumbai", "2024-02-11"),
+      ("Search", "Delhi", "2024-02-12"),
+      ("Search", "Mumbai", "2023-11-01"))
+      .toDF("service", "city", "d")
+      .withColumn("occurred_date", col("d").cast("timestamp")).drop("d")
+    val cols = Profiler.profile(df)
+    val res = Engine.answer(spark, df, "Which service failed in mumbai last month?",
+      cols, java.time.LocalDateTime.of(2024, 3, 5, 9, 0))
+    assert(res.sql ==
+      """SELECT "service", COUNT(*) as count FROM df WHERE "city" = 'Mumbai' AND "occurred_date" >= '2024-02-01T00:00:00' AND "occurred_date" <= '2024-02-29T23:59:59' GROUP BY "service" LIMIT 200""")
+    val rows = res.result.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("Checkout" -> 2L)) // Delhi row and old Mumbai row excluded
+  }
+
+  test("executeSql rejects unsafe SQL end to end") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    intercept[SqlValidator.UnsafeSqlException](
+      Engine.executeSql(spark, df, "DROP TABLE df"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("today", "tomorrow")), // near dup of 0/1
+    (3L, "completely different words in this one with nothing shared at all"),
+    (4L, "short text"), // < 3 words after split? (2 words → no shingles)
+    (5L, "completely different words in this one with nothing shared at all"))
+    .toDF("doc_id", "text")
+
+  test("shingles: distinct n-grams; short texts yield empty array") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(4L).isEmpty)
+    assert(sh(0L).contains("the quick brown"))
+    assert(sh(0L).distinct.length == sh(0L).length)
+  }
+
+  test("exact dedup keeps min id per text") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((3L, 5L))) // identical
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(4L))) // no shingles
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard computes exact similarity values") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    // base has 11 distinct 3-shingles; changing the last word alters the last
+    // 3 shingles wait — compute expected from first principles instead:
+    val sh = (s: String) => s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = sh(base).intersect(sh(base.replace("today", "tomorrow"))).size.toDouble /
+      sh(base).union(sh(base.replace("today", "tomorrow"))).size
+    assert(math.abs(j((0L, 2L)) - expected) < 1e-12)
+  }
+
+  test("simhash: identical texts collide at hamming 0; near dups within 3") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((3L, 5L)) == 0)
+    assert(pairs.get((0L, 2L)).forall(_ <= 3)) // one-word change stays close
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine of hand-computed vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(c - 0.6) < 1e-7) // dot=0.6, norms 1 and 1
+    val self = df.select(Similarity.cosine(col("a"), col("a"))).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns k best, self first") {
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val top = Similarity.bruteForceTopK(emb, q, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 0L) // the query vector itself, sim 1.0
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("ann bucket results are a subset of brute-force ranking within the bucket") {
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val ann = Similarity.annTopK(emb, q, 10).collect()
+    assert(ann.nonEmpty && ann.head.getLong(0) == 0L)
+    // every returned vec shares the query's sign bucket
+    val qb = emb.filter(col("vec_id") === 0)
+      .select(Similarity.signBucket(col("embedding"))).head.getInt(0)
+    val ids = ann.map(_.getLong(0)).toSet
+    val buckets = emb.filter(col("vec_id").isin(ids.toSeq.map(Long.box): _*))
+      .select(Similarity.signBucket(col("embedding"))).collect().map(_.getInt(0)).toSet
+    assert(buckets == Set(qb))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! 42 foo_bar").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).head.getInt(0) == 4)
+    // lowercase split on [^a-z0-9]+ → hello, world, 42, foo, bar
+    assert(df.select(TextAnalysis.bpeishTokenCount(col("text"))).head.getInt(0) == 5)
+  }
+
+  test("quality score is deterministic and bounded") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog the end of it now ok",
+      "x").toDF("text")
+    val scores = df.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1)) // real sentence beats one char
+  }
+
+  test("lang id marker precedence") {
+    val df = Seq("das ist der hammer", "le chat et la table", "nothing special")
+      .toDF("text")
+    val out = df.select(TextAnalysis.langIdHeuristic(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("de", "fr", "en"))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("feature extraction matches hand-computed byte stats") {
+    val docs = Seq((7L, "abc", "en", "src1", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs)).collect().head
+    val byteSum = "abc".getBytes("UTF-8").map(_ & 0xff).sum // 97+98+99 = 294
+    assert(f.doc_id == 7L)
+    assert(f.format == "img/src1")
+    assert(f.n_bytes == 3)
+    assert(f.checksum == byteSum % 997)
+    assert(f.width == 64 + 3 % 576)
+    assert(f.height == 64 + byteSum % 416)
+    assert(math.abs(f.gray_mean - byteSum / 3.0) < 1e-12)
+  }
+}
