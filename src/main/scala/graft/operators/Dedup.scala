@@ -28,7 +28,8 @@ object Dedup {
     df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
 
   /** Distinct word n-gram shingles of a text column (empty array when the
-    * text has fewer than n words). */
+    * text has fewer than n words). Readable reference form — the bulk
+    * operators use [[shingleHashRows]], which stays in whole-stage codegen. */
   def shingles(text: Column, n: Int): Column = {
     val w = split(text, " ")
     val grams = transform(
@@ -37,18 +38,31 @@ object Dedup {
     when(size(w) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
-  // 2^31-1 (prime): the affine MinHash family works modulo M so the 64-bit
-  // multiply can never overflow (ANSI mode would raise on long overflow).
-  private val M = 2147483647L
-
-  /** Deterministic affine-permutation coefficients (splitmix-style LCG). */
-  private def coeffs(count: Int, seed: Long): Array[Long] = {
-    var s = seed
-    Array.fill(count) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      java.lang.Math.floorMod(s >>> 17, M - 1) + 1
+  /**
+   * Distinct (doc_id, shingle-hash) rows: `posexplode` the words, hash each
+   * once, combine n consecutive word hashes with `lead()` + a multi-arg
+   * xxhash64. Every operator here is codegen'd — the higher-order
+   * `transform`/`concat_ws` form of [[shingles]] is CodegenFallback and
+   * interpreted per element, which dominated the whole dedup pipeline. The
+   * word→hash mapping is injective on shingle triples (words cannot contain
+   * the split character), so set arithmetic on hashes equals set arithmetic
+   * on shingle strings up to 64-bit collisions (~|shingles|²/2^64).
+   */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val words = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("w")).as("h0"))
+    val withLeads = (1 until n).foldLeft(words) { (df, k) =>
+      df.withColumn(s"h$k", lead(col("h0"), k).over(w))
     }
+    withLeads
+      .filter(col(s"h${n - 1}").isNotNull)
+      .select(col("doc_id"), xxhash64((0 until n).map(k => col(s"h$k")): _*).as("sh"))
+      .distinct()
   }
+
 
   /**
    * MinHash + LSH near-duplicate pairs (Broder '97 banding, public
@@ -57,50 +71,52 @@ object Dedup {
    * group by (band, signature) → candidate pairs within buckets → EXACT
    * jaccard verification on the candidates only.
    *
-   * With rowsPerBand=3, numBands=42 the miss probability at jaccard ≥ 0.7 is
-   * (1 − 0.7³)^42 ≈ 2e-8, so the output equals the exact O(n²) oracle with
-   * overwhelming probability while doing linear work + one shuffle.
+   * With rowsPerBand=4, numBands=48 the miss probability at jaccard ≥ 0.7 is
+   * (1 − 0.7⁴)^48 ≈ 2e-6, so the output equals the exact O(n²) oracle with
+   * overwhelming probability while doing linear work + one shuffle. r=4 (vs
+   * the classic r=3 at this threshold) costs 1.5× more hashes but cuts the
+   * false-candidate rate on low-jaccard background pairs by ~s·10×, which is
+   * what bounds the verify stage on corpora with a small vocabulary.
    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numBands: Int = 42, rowsPerBand: Int = 3,
+                 shingleN: Int = 3, numBands: Int = 48, rowsPerBand: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val as = coeffs(numHashes, seed = 0x5eed5eedL)
-    val bs = coeffs(numHashes, seed = 0xb17b17b1L)
 
-    val withShingles = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN)
 
-    // One base hash per shingle, then cheap affine re-hashes per permutation.
-    val withSigs = withShingles
-      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(M))))
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("hs"), h =>
-          pmod(element_at(lit(as), i + 1) * h + element_at(lit(bs), i + 1), lit(M))))))
+    // Signatures via the native MinHashSignature aggregate (one Array[Long]
+    // buffer, tight loop) — numHashes separate min() aggregates overflow
+    // codegen limits and fall back to interpreted evaluation, and
+    // higher-order-function folds are CodegenFallback too. Partial
+    // aggregation collapses to ONE buffer per doc before the exchange.
+    val sigs = shingleRows
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSignature(
+        col("sh"), numHashes, 0x5eed5eedL, 0xb17b17b1L).as("sig"))
 
-    // Band signatures: hash each row-group of the signature vector.
-    val banded = withSigs
-      .withColumn("band", explode(transform(sequence(lit(0), lit(numBands - 1)), j =>
-        struct(j.as("j"),
-          xxhash64(concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))), j)
-            .as("h")))))
+    // Band signatures: one codegen'd multi-arg xxhash64 per band.
+    val bandStructs = (0 until numBands).map { j =>
+      val rowCols = (0 until rowsPerBand).map(r => element_at(col("sig"), j * rowsPerBand + r + 1))
+      struct(lit(j).as("j"), xxhash64(lit(j) +: rowCols: _*).as("h"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.j").as("band_j"), col("band.h").as("band_h"))
 
-    // Buckets → unique candidate pairs (sorted bucket, all i<j combinations).
-    val candidates = banded
-      .groupBy("band_j", "band_h").agg(array_sort(collect_set(col("doc_id"))).as("bucket"))
-      .filter(size(col("bucket")) > 1)
-      .select(explode(flatten(transform(col("bucket"), (x, i) =>
-        // length = size(bucket): a large literal (e.g. Int.MaxValue) overflows
-        // inside slice's start+length math and yields an EMPTY array
-        transform(slice(col("bucket"), i + 2, size(col("bucket"))), y =>
-          struct(x.as("d1"), y.as("d2")))))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // Buckets → unique candidate pairs via a codegen'd self-equi-join on the
+    // band key (AQE handles skewed buckets); a collect_set + lambda expansion
+    // would run interpreted and concentrate giant buckets on single tasks.
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_j") === col("b.band_j") && col("a.band_h") === col("b.band_h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    // Exact verification on candidates only (precision 1.0 by construction).
-    val sets = withShingles.select(col("doc_id"), col("sh"))
+    // Exact verification on candidates only (precision 1.0 by construction):
+    // shingle-hash sets per doc, array intersect/union on longs.
+    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
@@ -119,15 +135,16 @@ object Dedup {
    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val withShingles = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sizes = withShingles.select(col("doc_id"), size(col("sh")).as("n"))
-    val tokens = withShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Shingle-hash rows (codegen'd, see shingleHashRows): the shuffled join
+    // key is 8 bytes and comparison is a long equality; a cross-shingle hash
+    // collision inside one doc pair would overcount by 1 with probability
+    // ~(distinct shingles)²/2^64 — negligible at any SF.
+    val tokens = shingleHashRows(docs, idCol, textCol, shingleN)
+    val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val inter = tokens.as("a")
       .join(tokens.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
 
@@ -149,17 +166,19 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val words = array_distinct(split(col(textCol), " "))
-    // bit i of the fingerprint = sign of Σ_words (2·bit_i(h) − 1); the 64
-    // per-bit folds are generated Scala-side (shift amounts must be literals)
-    val fingerprint = (0 until 64).map { i =>
-      when(
-        aggregate(transform(words, w => xxhash64(w)), lit(0L),
-          (s, h) => s + (shiftright(h, i).bitwiseAND(1L) * 2L - 1L)) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val fps = docs.select(col(idCol).as("doc_id"), fingerprint.as("fp"))
+    // bit i of the fingerprint = sign of Σ_words (2·bit_i(h) − 1). Explode +
+    // 64 codegen'd sum() aggregates instead of interpreted HOF folds (see
+    // minhashLsh); map-side partial aggregation keeps the exchange at one
+    // row per doc.
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i"))
+    val fingerprint = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val fps = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("fp"))
 
     val quarters = array((0 until 4).map { q =>
       struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(0xffffL).as("bits"))

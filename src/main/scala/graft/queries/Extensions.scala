@@ -25,7 +25,7 @@ object Extensions {
     Dedup.exact(docs(spark, sfDir), "text", "doc_id").select("doc_id").orderBy("doc_id")
 
   /** x02 — MinHash+LSH near-dup pairs, exact-verified; equals the exact
-    * O(n²) oracle with P(miss) ≈ 2e-8 per true pair. */
+    * O(n²) oracle with P(miss) ≈ 2e-6 per true pair. */
   private val x02: Q = (spark, sfDir) =>
     Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
       .orderBy("d1", "d2")
