@@ -100,6 +100,10 @@ object Extensions {
   private val x14: Q = (spark, sfDir) =>
     Similarity.cosineNearDupPairs(emb(spark, sfDir), 0.95).orderBy("v1", "v2")
 
+  /** x15 — stateful streaming sessionization (mapGroupsWithState). */
+  private val x15: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.userSessions(spark, sfDir)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -114,7 +118,8 @@ object Extensions {
     "x11_fingerprint_md5" -> x11,
     "x12_multimodal_features" -> x12,
     "x13_streaming_window_counts" -> x13,
-    "x14_embedding_neardup" -> x14)
+    "x14_embedding_neardup" -> x14,
+    "x15_streaming_sessions" -> x15)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -226,7 +231,15 @@ object Extensions {
          | ON ${signBucketSql("a.embedding")} = ${signBucketSql("b.embedding")}
          |  AND a.vec_id < b.vec_id
          |WHERE ROUND(${cos2Sql("a.embedding", "b.embedding")}, 6) >= 0.95
-         |ORDER BY v1, v2""".stripMargin.replace("\n", " ")))
+         |ORDER BY v1, v2""".stripMargin.replace("\n", " ")),
+    "x15_streaming_sessions" ->
+      ("""WITH t AS (SELECT user_id, ts,
+         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+         |SELECT user_id,
+         | CAST(SUM(CASE WHEN prev IS NULL
+         |   OR DATE_DIFF('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END) AS INT) AS n_sessions,
+         | CAST(COUNT(*) AS INT) AS n_events
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")))
     // x03 (simhash) stays rows-only: its output is a function of xxhash64,
     // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }

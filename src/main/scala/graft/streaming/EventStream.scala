@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Structured Streaming over the `events` table — SURVEY.md §7.4's streaming
@@ -50,5 +51,55 @@ object EventStream {
         col("event_type"),
         col("count").as("n"))
       .orderBy("hour", "event_type")
+  }
+
+  /** Per-user session state carried across micro-batches. */
+  case class SessionState(lastTsMs: Long, nSessions: Int, nEvents: Int)
+
+  /**
+   * Custom stateful streaming: per-user sessionization with
+   * `mapGroupsWithState` — a new session starts when the gap since the
+   * user's previous event exceeds `gapMinutes`. State (last event time +
+   * running counts) is hash-partitioned by user across executors and carried
+   * between micro-batches; in this batch-replay harness all events arrive in
+   * one batch, so the final update equals the batch window/lag oracle. A
+   * production deployment adds `GroupStateTimeout.EventTimeTimeout` +
+   * watermark to expire idle users' state.
+   */
+  def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+
+    val gapMs = gapMinutes * 60L * 1000L
+    val sessions = stream
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, (Long, Int, Int)](GroupStateTimeout.NoTimeout) {
+        case (uid, events, state) =>
+          val prev = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
+          var lastTs = prev.lastTsMs
+          var nSessions = prev.nSessions
+          var nEvents = prev.nEvents
+          events.map(_._2.getTime).toArray.sorted.foreach { t =>
+            nEvents += 1
+            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+            lastTs = t
+          }
+          state.update(SessionState(lastTs, nSessions, nEvents))
+          (uid, nSessions, nEvents)
+      }
+
+    val qname = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = sessions.toDF("user_id", "n_sessions", "n_events")
+      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName(qname).start()
+    try query.processAllAvailable() finally query.stop()
+
+    spark.table(qname).orderBy("user_id")
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{ATier, BTier, Extensions}
+
+/**
+ * Physical-plan assertions: the properties that decide whether a query
+ * survives a 100× scale-up — filter/column pushdown into the parquet scan,
+ * broadcast vs shuffle join selection, real top-k instead of global sort.
+ */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = (ATier.queries ++ BTier.queries ++ Extensions.queries)(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("b01: filter pushed to parquet scan; scan prunes to referenced columns") {
+    val p = plan("b01_agg_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$p")
+    assert(!p.contains("l_orderkey"), "scan should prune unused columns")
+    assert(p.contains("HashAggregate"), "partial+final hash aggregation expected")
+  }
+
+  test("b02: dimension joins are broadcast, fact side not shuffled for the join") {
+    val p = plan("b02_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("b03: large-large join falls back to a shuffle join when broadcast is impossible") {
+    // at sf0.001 orders fits under the broadcast threshold (broadcasting it
+    // is the RIGHT plan there); disable auto-broadcast to pin the at-scale
+    // shape, where neither side fits in memory
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("b03_join_large_shuffle")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("a07/x05: ORDER BY + LIMIT plans as top-k (TakeOrderedAndProject), no global sort") {
+    assert(plan("a07_limit_injection_topk").contains("TakeOrderedAndProject"))
+    assert(plan("x05_cosine_topk_brute").contains("TakeOrderedAndProject"))
+  }
+
+  test("b05/b06: EXISTS/NOT EXISTS plan as semi/anti joins") {
+    assert(plan("b05_semi_join").contains("LeftSemi"))
+    assert(plan("b06_anti_join").contains("LeftAnti"))
+  }
+
+  test("a03: projection prunes the parquet scan to selected columns") {
+    val p = plan("a03_projection")
+    assert(p.contains("o_orderkey") && !p.contains("o_custkey"),
+      s"unused columns must not be read:\n$p")
+  }
+
+  test("x02: signature aggregation is partial (map-side combine before exchange)") {
+    val p = plan("x02_dedup_minhash_lsh")
+    // TypedImperativeAggregate appears as ObjectHashAggregate with partial_
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg in:\n$p")
+    assert(p.contains("partial_minhash_signature"), "map-side partial aggregation expected")
+  }
+}
