@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold order. */
+  /** Σ aᵢ·bᵢ in double, sequential fold order (composable reference form;
+    * the hot path uses the fused native expression below). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -27,7 +28,9 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass codegen'd cosine ([[graft.functions.CosineSimilarity]]);
+    * bit-identical to `dot(a,b)/(norm(a)*norm(b))` by construction. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
 
   /**
    * Exact brute-force top-k by cosine against one query vector (a one-row

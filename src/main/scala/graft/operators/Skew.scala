@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-handling join utility. AQE's skew-join splitting covers sort-merge
+ * joins at runtime; explicit salting remains the tool for extreme single-key
+ * skew (one key ≫ a partition) or when the plan shape defeats AQE. The
+ * result is identical to the plain join by construction — the salt only
+ * redistributes rows.
+ */
+object Skew {
+
+  /**
+   * Salted equi-join of a skewed `large` side with a `small` side: large rows
+   * get a deterministic salt in [0, salts); the small side is replicated
+   * `salts` ways, so each (key, salt) bucket joins independently and a hot
+   * key spreads over `salts` tasks instead of one.
+   */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    // salt from the row's own key-hash + a row-dependent component would be
+    // ideal; hashing all large-side columns keeps it deterministic per row
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(lit((0 until salts).toArray)))
+    salted.join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

@@ -265,6 +265,68 @@ object BTier {
       .na.fill(0, Seq("F", "O"))
       .orderBy("l_returnflag")
 
+  /** Descriptive statistics with deterministic arithmetic: variance/stddev
+    * from exact decimal sums ((Σx² − (Σx)²/n)/(n−1)) instead of the engines'
+    * streaming variance (whose merge order differs). */
+  private val b24: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("s"),
+        sum(col("o_totalprice").cast(dec) * col("o_totalprice").cast(dec)).cast("double").as("sq"))
+      .select(col("o_orderstatus"), col("n"),
+        ((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("variance"),
+        sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("stddev"))
+      .orderBy("o_orderstatus")
+
+  /** LIKE / pattern filters. */
+  private val b25: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "part")
+      .filter(col("p_name").like("%green%") || col("p_type").like("SMALL%"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** GROUPING SETS (via SQL — the general grouping-set surface). */
+  private val b26: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  /** UNION (distinct) — vs the UNION ALL in b11. */
+  private val b27: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      .union(o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
+      .distinct()
+      .orderBy("k")
+  }
+
+  /** String functions: trim/pad/replace/reverse/split_part-style access. */
+  private val b28: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        trim(col("p_name")).as("t"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("novowel"),
+        reverse(col("p_brand")).as("rev"),
+        element_at(split(col("p_type"), " "), 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  /** NULL handling: NULLIF / COALESCE / null-aware aggregation. */
+  private val b29: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st2"))
+      .groupBy("st2")
+      .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"))
+      .orderBy("st2")
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -288,7 +350,13 @@ object BTier {
     "b20_cte_multitable" -> b20,
     "b21_json_extract" -> b21,
     "b22_time_window" -> b22,
-    "b23_pivot" -> b23)
+    "b23_pivot" -> b23,
+    "b24_stats_variance" -> b24,
+    "b25_like_patterns" -> b25,
+    "b26_grouping_sets" -> b26,
+    "b27_union_distinct" -> b27,
+    "b28_string_funcs" -> b28,
+    "b29_null_funcs" -> b29)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -400,5 +468,37 @@ object BTier {
          | SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
          | SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin.replace("\n", " ")))
+        .stripMargin.replace("\n", " ")),
+    "b24_stats_variance" ->
+      ("""WITH s AS (SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+         | FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, n, (sq - s*s/n)/(n-1) AS variance,
+         | SQRT((sq - s*s/n)/(n-1)) AS stddev
+         |FROM s ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")),
+    "b25_like_patterns" ->
+      ("""SELECT p_brand, COUNT(*) AS n FROM part
+         |WHERE p_name LIKE '%green%' OR p_type LIKE 'SMALL%'
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " ")),
+    "b26_grouping_sets" ->
+      ("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+         | COUNT(*) AS n
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY flag, status""".stripMargin.replace("\n", " ")),
+    "b27_union_distinct" ->
+      ("""SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+         |UNION
+         |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+         |ORDER BY k""".stripMargin.replace("\n", " ")),
+    "b28_string_funcs" ->
+      ("""SELECT p_partkey, TRIM(p_name) AS t, LPAD(p_brand, 12, '*') AS lp,
+         | REGEXP_REPLACE(p_type, '[aeiou]', '_', 'g') AS novowel,
+         | REVERSE(p_brand) AS rev,
+         | STRING_SPLIT(p_type, ' ')[1] AS first_word
+         |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " ")),
+    "b29_null_funcs" ->
+      ("""SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st2,
+         | COUNT(*) AS n_rows, COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull
+         |FROM orders GROUP BY 1 ORDER BY st2""".stripMargin.replace("\n", " ")))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -104,6 +104,30 @@ object Extensions {
   private val x15: Q = (spark, sfDir) =>
     graft.streaming.EventStream.userSessions(spark, sfDir)
 
+  /** x16 — as-of join: each error event picks up the user's latest prior
+    * purchase (composed operator, DuckDB native ASOF JOIN as oracle). */
+  private val x16: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    AsOf.asofJoin(errors, purchases, "user_id", "ts", Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id").as("purchase_id"), col("asof_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** x17 — salted skew join (result ≡ plain join by construction). */
+  private val x17: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val sup = Tables(spark, sfDir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_lines"),
+        QueryUtil.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("s_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -119,7 +143,9 @@ object Extensions {
     "x12_multimodal_features" -> x12,
     "x13_streaming_window_counts" -> x13,
     "x14_embedding_neardup" -> x14,
-    "x15_streaming_sessions" -> x15)
+    "x15_streaming_sessions" -> x15,
+    "x16_asof_join" -> x16,
+    "x17_salted_skew_join" -> x17)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -239,7 +265,18 @@ object Extensions {
          | CAST(SUM(CASE WHEN prev IS NULL
          |   OR DATE_DIFF('millisecond', prev, ts) > 1800000 THEN 1 ELSE 0 END) AS INT) AS n_sessions,
          | CAST(COUNT(*) AS INT) AS n_events
-         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")))
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x16_asof_join" ->
+      ("""SELECT l.event_id, l.user_id, r.event_id AS purchase_id, r.value AS purchase_value
+         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+         |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+         | ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY l.event_id""".stripMargin.replace("\n", " ")),
+    "x17_salted_skew_join" ->
+      ("""SELECT s_name, COUNT(*) AS n_lines,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin.replace("\n", " ")))
     // x03 (simhash) stays rows-only: its output is a function of xxhash64,
     // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }
