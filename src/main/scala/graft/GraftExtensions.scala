@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, MinHashSignature}
+
+/**
+ * Session-extension wiring: registers the engine's custom Catalyst
+ * expressions as SQL functions, so `spark.sql` users get them too:
+ *
+ *   SparkSession.builder().withExtensions(new GraftExtensions)   // at build
+ *   GraftExtensions.register(spark)                              // at runtime
+ *
+ * `cosine_similarity(a, b)`      — fused codegen'd cosine over array<float>
+ * `minhash_signature(h, n, sa, sb)` — aggregate MinHash signature
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def longArg(e: Expression): Long =
+    e.eval(null) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(s"literal long expected, got $other")
+    }
+
+  private[graft] val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => new CosineSimilarity(exprs(0), exprs(1))),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => new MinHashSignature(
+        exprs(0),
+        longArg(exprs(1)).toInt,
+        longArg(exprs(2)),
+        longArg(exprs(3)))))
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
