@@ -158,6 +158,33 @@ object Dedup {
   }
 
   /**
+   * Duplicate clusters from a near-dup pair list: iterative min-label
+   * propagation (the two-phase connected-components pattern) bounded to
+   * `iterations` rounds — each round is one join + one aggregation, so the
+   * cost is O(rounds) shuffles regardless of corpus size. Near-dup clusters
+   * are dense (near-cliques), so their diameter is tiny and a small fixed
+   * round count reaches the fixpoint; bounding the rounds keeps the operator
+   * deterministic and lets an unrolled SQL oracle replicate it exactly.
+   * Output: (doc_id, cluster) with cluster = min doc_id reachable within
+   * `iterations` hops.
+   */
+  def dupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 0 until iterations) {
+      val nbr = edges
+        .join(labels.select(col("node").as("bnode"), col("label").as("blabel")),
+          col("b") === col("bnode"))
+        .groupBy(col("a")).agg(min(col("blabel")).as("nl"))
+      labels = labels.join(nbr, labels("node") === nbr("a"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /**
    * 64-bit SimHash near-duplicate pairs. Each word contributes ±1 per bit of
    * its xxhash64; the sign vector folds into a 64-bit fingerprint. Candidate
    * generation blocks on 16-bit quarters (any pair within hamming distance ≤3

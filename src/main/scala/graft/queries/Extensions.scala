@@ -117,6 +117,13 @@ object Extensions {
       .orderBy("event_id")
   }
 
+  /** x18 — duplicate clusters: minhash pairs → bounded min-label propagation
+    * (3 rounds; near-dup clusters are near-cliques, diameter ≤ 3 here). */
+  private val x18: Q = (spark, sfDir) => {
+    val pairs = Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
+    Dedup.dupClusters(pairs, iterations = 3).orderBy("doc_id")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -145,23 +152,43 @@ object Extensions {
     "x14_embedding_neardup" -> x14,
     "x15_streaming_sessions" -> x15,
     "x16_asof_join" -> x16,
-    "x17_salted_skew_join" -> x17)
+    "x17_salted_skew_join" -> x17,
+    "x18_dedup_clusters" -> x18)
 
   // ---- oracle SQL ----------------------------------------------------------
 
-  /** Exact pairwise n-gram jaccard in DuckDB (shingle join — same algorithm
-    * as [[Dedup.ngramJaccard]]). */
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+  /** Shared CTE chain: exact pairwise n-gram jaccard in DuckDB (shingle
+    * join — same algorithm as [[Dedup.ngramJaccard]]); `jpairs` holds
+    * (d1, d2, jaccard) filtered at `threshold`. */
+  private def jaccardCtes(threshold: Double): String =
+    s"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i FROM w WHERE len(ws) >= 3),
        |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT d1, d2, CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
-       |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) >= $threshold
-       |ORDER BY d1, d2""".stripMargin.replace("\n", " ")
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jpairs AS (
+       | SELECT d1, d2, CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+       | FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       | WHERE CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) >= $threshold)"""
+      .stripMargin.replace("\n", " ")
+
+  private def jaccardOracle(threshold: Double): String =
+    s"WITH ${jaccardCtes(threshold)} SELECT d1, d2, jaccard FROM jpairs ORDER BY d1, d2"
+
+  /** Unrolled 3-round min-label propagation over the jaccard-0.7 pair graph
+    * (mirrors [[Dedup.dupClusters]] exactly). */
+  private val clustersOracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT l.node AS node, LEAST(l.label, COALESCE(MIN(r.label), l.label)) AS label
+         | FROM $prev l LEFT JOIN edges e ON e.a = l.node LEFT JOIN $prev r ON r.node = e.b
+         | GROUP BY l.node, l.label)""".stripMargin.replace("\n", " ")
+    (s"WITH ${jaccardCtes(0.7)}, " +
+      "edges AS (SELECT d1 AS a, d2 AS b FROM jpairs UNION ALL SELECT d2 AS a, d1 AS b FROM jpairs), " +
+      "l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges), " +
+      round("l0", "l1") + ", " + round("l1", "l2") + ", " + round("l2", "l3") + " " +
+      "SELECT node AS doc_id, label AS cluster FROM l3 ORDER BY doc_id")
+  }
 
   /** Double-precision cosine in DuckDB, structurally identical to
     * [[Similarity.cosine]] (same fold order ⇒ bit-identical doubles;
@@ -276,7 +303,8 @@ object Extensions {
       ("""SELECT s_name, COUNT(*) AS n_lines,
          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY s_name ORDER BY s_name""".stripMargin.replace("\n", " ")))
+         |GROUP BY s_name ORDER BY s_name""".stripMargin.replace("\n", " ")),
+    "x18_dedup_clusters" -> clustersOracle)
     // x03 (simhash) stays rows-only: its output is a function of xxhash64,
     // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }

@@ -59,6 +59,28 @@ class PlanSpec extends AnyFunSuite {
       s"unused columns must not be read:\n$p")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // the co-located-join path for repeated large-large joins at scale:
+    // bucket both sides on the join key at write time → zero exchanges
+    import org.apache.spark.sql.functions.col
+    val li = sources.Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val o = sources.Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("x02: signature aggregation is partial (map-side combine before exchange)") {
     val p = plan("x02_dedup_minhash_lsh")
     // TypedImperativeAggregate appears as ObjectHashAggregate with partial_
