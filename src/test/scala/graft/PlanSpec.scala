@@ -65,10 +65,16 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val li = sources.Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = sources.Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    // external tables at a fresh temp path: the default warehouse dir outlives
+    // the in-memory catalog across JVM runs and saveAsTable would hit
+    // LOCATION_ALREADY_EXISTS on the second run
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.option("path", s"$tmp/b_lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    o.write.option("path", s"$tmp/b_orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
