@@ -59,6 +59,27 @@ object TextAnalysis {
     * engine-portable exact-content key.) */
   def fingerprint(text: Column): Column = md5(text)
 
+  /**
+   * Sliding-window document chunking — the training-data prep step that
+   * splits long documents into fixed-token windows with overlap
+   * (window − stride tokens shared between consecutive chunks). Pure
+   * row-local work: one explode of the start offsets, no shuffle at all;
+   * at 100 TB this runs entirely map-side.
+   */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 40, stride: Int = 30): DataFrame = {
+    require(stride > 0 && window >= stride, "window must cover the stride")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(stride))))
+      .select(col("doc_id"), (col("start") / stride).cast("int").as("chunk_id"),
+        slice(col("ws"), col("start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -327,6 +327,19 @@ object BTier {
       .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"))
       .orderBy("st2")
 
+  /** JSON source + sink roundtrip: events subset → JSON lines → schema
+    * inference → aggregate (values roundtrip exactly: shortest-repr doubles). */
+  private val b30: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events").select("event_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    ev.write.mode("overwrite").json(s"$tmp/events_json")
+    spark.read.json(s"$tmp/events_json")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -356,7 +369,8 @@ object BTier {
     "b26_grouping_sets" -> b26,
     "b27_union_distinct" -> b27,
     "b28_string_funcs" -> b28,
-    "b29_null_funcs" -> b29)
+    "b29_null_funcs" -> b29,
+    "b30_json_roundtrip_agg" -> b30)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -500,5 +514,9 @@ object BTier {
     "b29_null_funcs" ->
       ("""SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st2,
          | COUNT(*) AS n_rows, COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull
-         |FROM orders GROUP BY 1 ORDER BY st2""".stripMargin.replace("\n", " ")))
+         |FROM orders GROUP BY 1 ORDER BY st2""".stripMargin.replace("\n", " ")),
+    "b30_json_roundtrip_agg" ->
+      (s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+         | MAX(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")))
 }

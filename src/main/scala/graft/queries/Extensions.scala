@@ -124,6 +124,11 @@ object Extensions {
     Dedup.dupClusters(pairs, iterations = 3).orderBy("doc_id")
   }
 
+  /** x19 — sliding-window chunking (40-token windows, stride 30). */
+  private val x19: Q = (spark, sfDir) =>
+    TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
+      .orderBy("doc_id", "chunk_id")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -153,7 +158,8 @@ object Extensions {
     "x15_streaming_sessions" -> x15,
     "x16_asof_join" -> x16,
     "x17_salted_skew_join" -> x17,
-    "x18_dedup_clusters" -> x18)
+    "x18_dedup_clusters" -> x18,
+    "x19_doc_chunking" -> x19)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -304,7 +310,14 @@ object Extensions {
          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin.replace("\n", " ")),
-    "x18_dedup_clusters" -> clustersOracle)
+    "x18_dedup_clusters" -> clustersOracle,
+    "x19_doc_chunking" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS start FROM w)
+         |SELECT doc_id, CAST(start // 30 AS INT) AS chunk_id,
+         | CAST(len(ws[start+1:start+40]) AS INT) AS n_tokens,
+         | md5(array_to_string(ws[start+1:start+40], ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")))
     // x03 (simhash) stays rows-only: its output is a function of xxhash64,
     // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }
