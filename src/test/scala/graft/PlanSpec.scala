@@ -87,6 +87,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("partitioned write + read prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.{col, year}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    sources.Tables(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(s"$tmp/orders_by_year")
+    val pruned = spark.read.parquet(s"$tmp/orders_by_year").filter(col("o_year") === 1997)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), s"expected partition filters:\n$p")
+    assert(pruned.count() > 0)
+  }
+
+  test("driver t1 smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("x02: signature aggregation is partial (map-side combine before exchange)") {
     val p = plan("x02_dedup_minhash_lsh")
     // TypedImperativeAggregate appears as ObjectHashAggregate with partial_
