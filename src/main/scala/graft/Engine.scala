@@ -22,11 +22,43 @@ object Engine {
   /**
    * The generator emits double-quoted identifiers (`sql_generator.py:8-10`,
    * DuckDB dialect); Spark SQL wants backticks unless
-   * `spark.sql.ansi.doubleQuotedIdentifiers` is on. Normalized textually at
-   * this boundary — safe for generator output, which never puts double quotes
-   * inside string literals.
+   * `spark.sql.ansi.doubleQuotedIdentifiers` is on. The rewrite is
+   * quote-aware: double-quoted spans inside single-quoted string literals
+   * (reachable via the arbitrary-SQL path) are left untouched, including
+   * doubled-'' escapes.
    */
-  def toSparkSql(sql: String): String = sql.replaceAll("\"([^\"]*)\"", "`$1`")
+  def toSparkSql(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => // copy the single-quoted literal verbatim ('' = escape)
+          out.append('\'')
+          i += 1
+          var done = false
+          while (i < sql.length && !done) {
+            val c = sql.charAt(i)
+            out.append(c)
+            i += 1
+            if (c == '\'') {
+              if (i < sql.length && sql.charAt(i) == '\'') { out.append('\''); i += 1 }
+              else done = true
+            }
+          }
+        case '"' => // identifier span → backticks
+          val end = sql.indexOf('"', i + 1)
+          if (end < 0) { out.append(sql.substring(i)); i = sql.length }
+          else {
+            out.append('`').append(sql.substring(i + 1, end)).append('`')
+            i = end + 1
+          }
+        case c =>
+          out.append(c)
+          i += 1
+      }
+    }
+    out.toString
+  }
 
   /** Register + execute one validated SELECT over the session table `df`
     * (`query.py:42-45`), then apply the duplicate collapse (`query.py:49-57`). */
@@ -50,17 +82,23 @@ object Engine {
   def collapseDuplicates(res: DataFrame): DataFrame = {
     val cols = res.columns
     if (cols.isEmpty) return res
-    val nonNull = res.na.drop(cols.toIndexedSeq) // pandas groupby(dropna=True)
     // Temp name so the probe never collides with a user column named `count`
     // (pandas only errors on that collision when duplicates actually exist).
     val tmpCnt = "__graft_count"
-    val grouped = nonNull.groupBy(cols.map(col).toIndexedSeq: _*)
+    // The duplicate PROBE runs on the FULL frame: pandas `duplicated()`
+    // treats NaN == NaN, and Spark's groupBy is likewise null-safe — a pair
+    // of identical null-keyed rows must trigger the collapse branch.
+    val fullGrouped = res.groupBy(cols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as(tmpCnt))
-    val hasDuplicates = grouped.filter(col(tmpCnt) > 1).limit(1).count() > 0
+    val hasDuplicates = fullGrouped.filter(col(tmpCnt) > 1).limit(1).count() > 0
     if (hasDuplicates) {
       // pandas parity: reset_index(name='count') raises if `count` exists
       require(!cols.contains("count"), "cannot insert count, already exists")
-      grouped.withColumnRenamed(tmpCnt, "count").orderBy(desc("count"))
+      // ...but the GROUPING itself drops null-keyed rows (groupby dropna=True)
+      res.na.drop(cols.toIndexedSeq)
+        .groupBy(cols.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("count"))
+        .orderBy(desc("count"))
     } else res
   }
 

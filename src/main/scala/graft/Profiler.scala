@@ -41,20 +41,28 @@ object Profiler {
   val DateKeywords: Seq[String] =
     Seq("date", "time", "timestamp", "created", "updated", "occurred")
 
-  // Formats pandas' `guess_datetime_format` recognises for the common cases the
-  // reference exercises (ISO dates/timestamps, slashed dates).
-  private val DateOnlyFormats = Seq("yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "dd-MM-yyyy")
+  // Formats pandas' `guess_datetime_format` recognises for the common cases
+  // (ISO dates/timestamps, slashed/dotted dates, month names, compact %Y%m%d).
+  // Not exhaustive — pandas' guesser covers more exotic shapes — but the
+  // recognized set errs the same direction as the pinned reference: a column
+  // must actually look like dates to profile as `date`.
+  private val DateOnlyFormats = Seq(
+    "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "dd-MM-yyyy",
+    "dd.MM.yyyy", "yyyyMMdd", "MMMM d, yyyy", "MMM d, yyyy", "d MMMM yyyy")
   private val DateTimeFormats = Seq(
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss",
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm", "MM/dd/yyyy HH:mm", "MM/dd/yyyy HH:mm:ss")
+
+  private def fmt(p: String) = DateTimeFormatter.ofPattern(p, java.util.Locale.US)
 
   def parsesAsDate(s: String): Boolean = {
     val t = s.trim
     DateOnlyFormats.exists { f =>
-      try { LocalDate.parse(t, DateTimeFormatter.ofPattern(f)); true }
+      try { LocalDate.parse(t, fmt(f)); true }
       catch { case _: Exception => false }
     } || DateTimeFormats.exists { f =>
-      try { LocalDateTime.parse(t, DateTimeFormatter.ofPattern(f)); true }
+      try { LocalDateTime.parse(t, fmt(f)); true }
       catch { case _: Exception => false }
     }
   }

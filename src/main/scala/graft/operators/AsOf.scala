@@ -30,22 +30,26 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The carried payload is ONE struct per right row (non-null even when
+    // its fields are null): `last(..., ignoreNulls)` must distinguish "no
+    // right row yet" from "matched right row whose value is null" — carrying
+    // raw columns would skip genuine nulls and resurrect stale values.
+    val payload = struct(rightCols.map(col): _*)
     val taggedRight = right.select(
-      (Seq(col(key), col(ts), lit(0).as("__side")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) ++
+      (Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__r")) ++
         leftCols.filterNot(Set(key, ts)).map(c => lit(null).as(c))): _*)
-    val taggedLeft = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
-        rightCols.map(c => lit(null).as(s"__r_$c")): _*)
+    val taggedLeft = left
+      .select((leftCols.map(col) :+ lit(1).as("__side")): _*)
+      .withColumn("__r", lit(null).cast(taggedRight.schema("__r").dataType))
 
     val unioned = taggedLeft.unionByName(taggedRight)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c"))): _*)
+    unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -32,14 +32,14 @@ object Multimodal {
    * function of the payload so correctness of the surrounding distributed
    * pipeline is still fully testable.
    */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Double, Long) = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
     val width = 64 + (bytes.length % 576)
     val height = 64 + (sum % 416).toInt
     val grayMean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    (width, height, grayMean)
+    (width, height, grayMean, sum)
   }
 
   /** Wrap a text table as a media table: payload = UTF-8 bytes, format from
@@ -58,10 +58,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.payload
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-        val (w, h, gray) = decodeStub(bytes)
+        val (w, h, gray, sum) = decodeStub(bytes)
         MediaFeatures(r.doc_id, r.format, bytes.length, sum % 997, w, h, gray)
       }
     }

@@ -20,10 +20,12 @@ object Skew {
    */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
-    // salt from the row's own key-hash + a row-dependent component would be
-    // ideal; hashing all large-side columns keeps it deterministic per row
+    // The salt must vary across IDENTICAL rows — a hot key often consists of
+    // byte-equal rows, and any pure function of the row's columns would send
+    // them all to one bucket. monotonically_increasing_id is unique per row
+    // (partition-indexed), and the salt choice cannot affect the join result.
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(lit((0 until salts).toArray)))
     salted.join(replicated, Seq(key, "__salt"))

@@ -23,9 +23,8 @@ object ATier {
   private val a01: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    CsvSource.write(li, s"$tmp/lineitem_csv")
-    CsvSource.read(spark, s"$tmp/lineitem_csv")
+    CsvSource.write(li, s"$scratchDir/lineitem_csv")
+    CsvSource.read(spark, s"$scratchDir/lineitem_csv")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("sum_qty"),

@@ -331,9 +331,8 @@ object BTier {
     * inference → aggregate (values roundtrip exactly: shortest-repr doubles). */
   private val b30: Q = (spark, sfDir) => {
     val ev = Tables(spark, sfDir, "events").select("event_id", "event_type", "value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
-    ev.write.mode("overwrite").json(s"$tmp/events_json")
-    spark.read.json(s"$tmp/events_json")
+    ev.write.mode("overwrite").json(s"${QueryUtil.scratchDir}/events_json")
+    spark.read.json(s"${QueryUtil.scratchDir}/events_json")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
         max(col("event_id")).as("max_id"))

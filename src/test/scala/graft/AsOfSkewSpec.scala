@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Skew}
+
+class AsOfSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join: latest right row at or before left ts; nulls when none") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L1"), (1L, ts("2024-01-01 09:00:00"), "L0"),
+      (2L, ts("2024-01-01 10:00:00"), "L2"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), 7.0), (1L, ts("2024-01-01 11:00:00"), 9.0))
+      .toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(out("L1") == Some(7.0)) // 09:30 row is the latest <= 10:00
+    assert(out("L0") == None) // no right row at or before 09:00
+    assert(out("L2") == None) // no right rows for key 2
+  }
+
+  test("asof join: a matched right row with a NULL value yields null, not a stale value") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "L")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), Some(7.0)),
+      (1L, ts("2024-01-01 11:00:00"), None)) // later matched row has null value
+      .toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("rv")).collect().head
+    assert(out.isNullAt(3), "must carry the matched row's null, not resurrect 7.0")
+  }
+
+  test("asof join: right row at exactly the left ts is matched (>= semantics)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("rv")).collect().head
+    assert(out.getDouble(3) == 5.0)
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join equals plain join; identical hot-key rows spread over salts") {
+    val large = (0 until 1000).map(_ => (42L, "same-payload")) // one hot key, identical rows
+      .toDF("k", "payload")
+    val small = Seq((42L, "dim")).toDF("k", "name")
+    val salted = Skew.saltedJoin(large, small, "k", salts = 8)
+    assert(salted.count() == 1000)
+    assert(salted.columns.toSet == Set("k", "payload", "name"))
+    // the salt itself must distribute identical rows across buckets
+    val nSalts = large
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(nSalts > 1, "identical rows must not all share one salt")
+  }
+}

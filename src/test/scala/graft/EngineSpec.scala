@@ -32,6 +32,25 @@ class EngineSpec extends AnyFunSuite {
     assert(out.head.getString(0) == "a" && out.head.getLong(1) == 2)
   }
 
+  test("collapse: null-only duplicates still TRIGGER the collapse (pandas duplicated() is null-safe)") {
+    // unique non-null rows + duplicated null rows: reference sees
+    // duplicated().any()==True on the full frame, then drops nulls in the
+    // groupby — output is the non-null groups with count 1
+    val df = Seq(Some("a"), Some("b"), None, None).toDF("s")
+    val out = Engine.collapseDuplicates(df)
+    assert(out.columns.toSeq == Seq("s", "count")) // collapse branch taken
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 1L), ("b", 1L)))
+  }
+
+  test("toSparkSql: double quotes inside single-quoted literals are preserved") {
+    assert(Engine.toSparkSql("""SELECT "a b" FROM df WHERE note = 'say "hi"'""") ==
+      """SELECT `a b` FROM df WHERE note = 'say "hi"'""")
+    // doubled-quote escape inside a literal
+    assert(Engine.toSparkSql("""SELECT "c" FROM df WHERE x = 'it''s "q"'""") ==
+      """SELECT `c` FROM df WHERE x = 'it''s "q"'""")
+  }
+
   test("collapse: existing count column + duplicates errors like pandas reset_index") {
     val df = Seq(("a", 1L), ("a", 1L)).toDF("s", "count")
     intercept[IllegalArgumentException](Engine.collapseDuplicates(df).collect())
