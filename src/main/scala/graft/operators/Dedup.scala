@@ -169,8 +169,13 @@ object Dedup {
    * `iterations` hops.
    */
   def dupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    // Cache the edge list: every propagation round re-reads it, and without
+    // the cache the (expensive) upstream pair pipeline re-executes per round.
+    // Near-dup pair lists are tiny relative to the corpus, so this is safe
+    // at any scale.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 0 until iterations) {

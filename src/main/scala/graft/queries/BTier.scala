@@ -339,6 +339,31 @@ object BTier {
       .orderBy("event_type")
   }
 
+  /** LEFT OUTER join with null-safe aggregation. */
+  private val b31: Q = (spark, sfDir) => {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  /** FULL OUTER join over partially-overlapping key sets. */
+  private val b32: Q = (spark, sfDir) => {
+    val a = Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 2 === 0).select(col("c_custkey").as("k1"))
+    val b = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k2")).distinct()
+    a.join(b, col("k1") === col("k2"), "full")
+      .select(coalesce(col("k1"), col("k2")).as("k"),
+        when(col("k1").isNull, "right_only")
+          .when(col("k2").isNull, "left_only").otherwise("both").as("side"))
+      .orderBy("k", "side")
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -369,7 +394,9 @@ object BTier {
     "b27_union_distinct" -> b27,
     "b28_string_funcs" -> b28,
     "b29_null_funcs" -> b29,
-    "b30_json_roundtrip_agg" -> b30)
+    "b30_json_roundtrip_agg" -> b30,
+    "b31_left_outer_join" -> b31,
+    "b32_full_outer_join" -> b32)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -517,5 +544,18 @@ object BTier {
     "b30_json_roundtrip_agg" ->
       (s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
          | MAX(event_id) AS max_id
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")))
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "b31_left_outer_join" ->
+      (s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         | COALESCE(${dsumSql("o_totalprice")}, 0.0) AS total
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+    "b32_full_outer_join" ->
+      ("""SELECT COALESCE(k1, k2) AS k,
+         | CASE WHEN k1 IS NULL THEN 'right_only'
+         |  WHEN k2 IS NULL THEN 'left_only' ELSE 'both' END AS side
+         |FROM (SELECT c_custkey AS k1 FROM customer WHERE c_custkey % 2 = 0) a
+         |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k2 FROM orders
+         |  WHERE o_orderpriority = '1-URGENT') b ON k1 = k2
+         |ORDER BY k, side""".stripMargin.replace("\n", " ")))
 }
