@@ -364,6 +364,14 @@ object BTier {
       .orderBy("k", "side")
   }
 
+  /** Exact interpolated percentiles (both engines: sort + linear interp). */
+  private val b33: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -396,7 +404,8 @@ object BTier {
     "b29_null_funcs" -> b29,
     "b30_json_roundtrip_agg" -> b30,
     "b31_left_outer_join" -> b31,
-    "b32_full_outer_join" -> b32)
+    "b32_full_outer_join" -> b32,
+    "b33_percentiles" -> b33)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -557,5 +566,10 @@ object BTier {
          |FROM (SELECT c_custkey AS k1 FROM customer WHERE c_custkey % 2 = 0) a
          |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k2 FROM orders
          |  WHERE o_orderpriority = '1-URGENT') b ON k1 = k2
-         |ORDER BY k, side""".stripMargin.replace("\n", " ")))
+         |ORDER BY k, side""".stripMargin.replace("\n", " ")),
+    "b33_percentiles" ->
+      ("""SELECT o_orderstatus, QUANTILE_CONT(o_totalprice, 0.5) AS med,
+         | QUANTILE_CONT(o_totalprice, 0.9) AS p90
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replace("\n", " ")))
 }

@@ -129,6 +129,17 @@ object Extensions {
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
       .orderBy("doc_id", "chunk_id")
 
+  /** x20 — deterministic sampling + shard assignment: the reproducible
+    * subset/shard step of a training-data pipeline (key-modulo, not RNG, so
+    * reruns and engines agree). */
+  private val x20: Q = (spark, sfDir) =>
+    docs(spark, sfDir)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+      .withColumn("sampled", (pmod(col("doc_id"), lit(10)) === 0).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
+      .orderBy("shard")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -159,7 +170,8 @@ object Extensions {
     "x16_asof_join" -> x16,
     "x17_salted_skew_join" -> x17,
     "x18_dedup_clusters" -> x18,
-    "x19_doc_chunking" -> x19)
+    "x19_doc_chunking" -> x19,
+    "x20_sample_shard" -> x20)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -317,7 +329,11 @@ object Extensions {
          |SELECT doc_id, CAST(start // 30 AS INT) AS chunk_id,
          | CAST(len(ws[start+1:start+40]) AS INT) AS n_tokens,
          | md5(array_to_string(ws[start+1:start+40], ' ')) AS chunk_md5
-         |FROM st ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")))
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")),
+    "x20_sample_shard" ->
+      ("""SELECT CAST(doc_id % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " ")))
     // x03 (simhash) stays rows-only: its output is a function of xxhash64,
     // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }
