@@ -113,10 +113,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      // candidates are ≪ n by LSH design; cached because both the verify
+      // join and the candidate-doc semi-join below consume them
+      .cache()
 
     // Exact verification on candidates only (precision 1.0 by construction):
-    // shingle-hash sets per doc, array intersect/union on longs.
-    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+    // shingle-hash sets per doc, array intersect/union on longs. The semi
+    // join restricts set construction to docs that actually appear in a
+    // candidate pair — at scale candidates ≪ n, so the second pass over the
+    // shingle rows collects a tiny fraction of the corpus.
+    val candidateDocs = candidates
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sets = shingleRows
+      .join(candidateDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
@@ -198,19 +208,14 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // bit i of the fingerprint = sign of Σ_words (2·bit_i(h) − 1). Explode +
-    // 64 codegen'd sum() aggregates instead of interpreted HOF folds (see
-    // minhashLsh); map-side partial aggregation keeps the exchange at one
-    // row per doc.
+    // bit i of the fingerprint = sign of Σ_words (2·bit_i(h) − 1), computed
+    // by the native SimHashSignature aggregate (64 separate sum() aggregates
+    // would exceed codegen limits, like the MinHash case); map-side partial
+    // aggregation keeps the exchange at one 64-int buffer per doc.
     val words = docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i"))
-    val fingerprint = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val fps = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fingerprint.as("fp"))
+    val fps = words.groupBy("doc_id")
+      .agg(graft.functions.SimHashSignature(xxhash64(col("w"))).as("fp"))
 
     val quarters = array((0 until 4).map { q =>
       struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(0xffffL).as("bits"))
