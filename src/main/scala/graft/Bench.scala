@@ -16,6 +16,11 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // Drop DataFrames cached during warm-up (operators cache small reused
+    // intermediates): Spark keys cached plans by canonicalized form, so the
+    // timed pass would otherwise read warm-up's InMemoryRelations and skip
+    // the work being measured.
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

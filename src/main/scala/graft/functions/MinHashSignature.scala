@@ -49,6 +49,12 @@ case class MinHashSignature(
   @transient private lazy val as: Array[Long] = coeffs(seedA)
   @transient private lazy val bs: Array[Long] = coeffs(seedB)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT hash column, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {

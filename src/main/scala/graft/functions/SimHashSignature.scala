@@ -24,6 +24,12 @@ case class SimHashSignature(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT hash column, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {

@@ -83,7 +83,9 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     val numHashes = numBands * rowsPerBand
 
-    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN)
+    // Persisted because both the signature pass and the verify pass consume
+    // it — without the cache each consumer re-runs the scan + window.
+    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN).cache()
 
     // Signatures via the native MinHashSignature aggregate (one Array[Long]
     // buffer, tight loop) — numHashes separate min() aggregates overflow
@@ -149,7 +151,7 @@ object Dedup {
     // key is 8 bytes and comparison is a long equality; a cross-shingle hash
     // collision inside one doc pair would overcount by 1 with probability
     // ~(distinct shingles)²/2^64 — negligible at any SF.
-    val tokens = shingleHashRows(docs, idCol, textCol, shingleN)
+    val tokens = shingleHashRows(docs, idCol, textCol, shingleN).cache()
     val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val inter = tokens.as("a")
