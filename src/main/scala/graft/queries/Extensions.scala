@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -140,6 +140,21 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
       .orderBy("shard")
 
+  /** x21 — bucketized range join: orders matched to deterministic promo
+    * periods (equi-join on month buckets + residual filter — no
+    * BroadcastNestedLoopJoin; oracle is the plain theta-join). */
+  private val x21: Q = (spark, sfDir) => {
+    val periods = spark.range(6).select(
+      col("id").cast("int").as("p"),
+      expr("timestampadd(MONTH, CAST(id * 13 AS INT), TIMESTAMP'1995-01-01 00:00:00')").as("pstart"))
+      .withColumn("pend", expr("timestampadd(MONTH, 2, pstart)"))
+    RangeJoin.pointInInterval(
+      Tables(spark, sfDir, "orders"), "o_orderdate", periods, "pstart", "pend")
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_orders"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("p")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -171,7 +186,8 @@ object Extensions {
     "x17_salted_skew_join" -> x17,
     "x18_dedup_clusters" -> x18,
     "x19_doc_chunking" -> x19,
-    "x20_sample_shard" -> x20)
+    "x20_sample_shard" -> x20,
+    "x21_range_join_bucketized" -> x21)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -333,7 +349,16 @@ object Extensions {
     "x20_sample_shard" ->
       ("""SELECT CAST(doc_id % 8 AS INT) AS shard, COUNT(*) AS n_docs,
          | CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " ")))
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " ")),
+    "x21_range_join_bucketized" ->
+      ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
+         |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p) MONTH AS pstart,
+         |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p + 2) MONTH AS pend
+         | FROM range(6) t(p))
+         |SELECT p, COUNT(*) AS n_orders,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM periods JOIN orders ON o_orderdate >= pstart AND o_orderdate <= pend
+         |GROUP BY p ORDER BY p""".stripMargin.replace("\n", " ")))
     // x03 (simhash) stays rows-only: its output is a function of xxhash64,
     // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }

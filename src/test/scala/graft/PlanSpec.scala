@@ -99,6 +99,11 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("x21: bucketized range join avoids BroadcastNestedLoopJoin") {
+    val p = plan("x21_range_join_bucketized")
+    assert(!p.contains("BroadcastNestedLoop"), s"range join must be equi-bucketized:\n$p")
+  }
+
   test("driver t1 smoke: SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
