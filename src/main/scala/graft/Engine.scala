@@ -115,7 +115,13 @@ object Engine {
     QueryResult(validated, execute(spark, df, validated))
   }
 
-  /** The AI-path contract: any externally produced SELECT, validated then run. */
+  /** The AI-path contract: any externally produced SELECT, validated then
+    * run. The validator keeps the reference's substring semantics for parity;
+    * deployments wanting plan-level hardening (catching side-effecting
+    * statements the blocklist misses, e.g. `CACHE TABLE … AS SELECT`) should
+    * additionally call [[graft.plans.ReadOnlyGuard.assertReadOnly]] and set
+    * `spark.graft.maxRows` for the optimizer-rule row cap
+    * ([[graft.plans.EnforceMaxRows]]). */
   def executeSql(spark: SparkSession, df: DataFrame, sql: String): QueryResult = {
     val validated = SqlValidator.validate(sql, df.columns.toIndexedSeq)
     QueryResult(validated, execute(spark, df, validated))

@@ -16,10 +16,13 @@ import graft.functions.{CosineSimilarity, MinHashSignature}
  * `minhash_signature(h, n, sa, sb)` — aggregate MinHash signature
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Plan-level row cap (active only when spark.graft.maxRows is set).
+    e.injectOptimizerRule(session => graft.plans.EnforceMaxRows(session))
+  }
 }
 
 object GraftExtensions {
@@ -42,9 +45,15 @@ object GraftExtensions {
         longArg(exprs(2)),
         longArg(exprs(3)))))
 
-  /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration on an existing session (functions + the row-cap
+    * rule via `experimental.extraOptimizations`, which unlike
+    * `withExtensions` can be attached to a live session). */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.EnforceMaxRows]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EnforceMaxRows(spark)
+  }
 }
