@@ -45,19 +45,53 @@ object Engine {
               else done = true
             }
           }
-        case '"' => // identifier span → backticks
-          val end = sql.indexOf('"', i + 1)
-          if (end < 0) { out.append(sql.substring(i)); i = sql.length }
-          else {
-            out.append('`').append(sql.substring(i + 1, end)).append('`')
-            i = end + 1
+        case '"' => // identifier span → backticks ("" = escaped quote)
+          val start = i
+          i += 1
+          val ident = new StringBuilder
+          var closed = false
+          while (i < sql.length && !closed) {
+            val c = sql.charAt(i)
+            if (c == '"') {
+              // Doubled "" inside the span is an escaped literal " in the
+              // identifier (SQL standard); emit it as-is in the backtick span
+              // and double any backticks (Spark's own escape) so `a"b` and
+              // `a\`b` both round-trip.
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '"') { ident.append('"'); i += 2 }
+              else { closed = true; i += 1 }
+            } else { ident.append(c); i += 1 }
           }
+          if (!closed) out.append(sql.substring(start)) // unterminated: verbatim
+          else out.append('`').append(ident.toString.replace("`", "``")).append('`')
         case c =>
           out.append(c)
           i += 1
       }
     }
     out.toString
+  }
+
+  /** Raised for the reference's HTTP-400 upload rejections
+    * (`/root/reference/app/routes/upload.py:20-22`). */
+  final class UploadException(msg: String) extends IllegalArgumentException(msg)
+
+  /**
+   * Composed ingest entry point — port of `POST /upload`
+   * (`/root/reference/app/routes/upload.py:16-30`): extension gate (`.csv`
+   * else the reference's 400 "Only CSV files allowed") → CSV read with
+   * schema inference (`pd.read_csv`) → column profiling (`profile_csv`).
+   * Read errors surface as the reference's catch-all 400
+   * ("Error reading CSV: …", `upload.py:31-33`).
+   */
+  def load(spark: SparkSession, path: String): (DataFrame, Seq[Profiler.ColumnInfo]) = {
+    if (!path.endsWith(".csv"))
+      throw new UploadException("Only CSV files allowed")
+    try {
+      val df = graft.sources.CsvSource.read(spark, path)
+      (df, Profiler.profile(df))
+    } catch {
+      case e: Exception => throw new UploadException(s"Error reading CSV: ${e.getMessage}")
+    }
   }
 
   /** Register + execute one validated SELECT over the session table `df`

@@ -22,8 +22,16 @@ object SqlValidator {
   val Forbidden: Seq[String] =
     Seq("INSERT", "UPDATE", "DELETE", "DROP", "ALTER", "CREATE", "ATTACH", "COPY", "PRAGMA")
 
-  /** `MAX_ROWS_LIMIT` default (`config.py:9`). */
-  val MaxRowsLimit: Int = 200
+  /** `MAX_ROWS_LIMIT` resolution, injectable for tests: the reference reads
+    * it from the environment with a 200 fallback
+    * (`config.py:9`: `int(os.getenv("MAX_ROWS_LIMIT", 200))`). Like the
+    * reference's `int(...)` at import time, a non-numeric override fails
+    * loudly rather than being silently ignored. */
+  def maxRowsFromEnv(env: Map[String, String]): Int =
+    env.get("MAX_ROWS_LIMIT").map(_.trim.toInt).getOrElse(200)
+
+  /** `MAX_ROWS_LIMIT` (`config.py:9`), resolved from the real environment. */
+  val MaxRowsLimit: Int = maxRowsFromEnv(sys.env)
 
   def validate(sql: String, columns: Seq[String], maxRows: Int = MaxRowsLimit): String = {
     var cleaned = sql.trim

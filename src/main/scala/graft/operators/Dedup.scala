@@ -188,15 +188,27 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
+    // Each round references `labels` twice (neighbour lookup + outer join),
+    // so an uncached chain doubles per iteration — 2^rounds recomputation at
+    // action time. Materialize every round and drop the previous one: plan
+    // depth (and per-round cost) stays CONSTANT no matter how high
+    // `iterations` is raised. PlanSpec pins this (bounded plan size).
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+      .cache()
     for (_ <- 0 until iterations) {
+      val prev = labels
       val nbr = edges
         .join(labels.select(col("node").as("bnode"), col("label").as("blabel")),
           col("b") === col("bnode"))
         .groupBy(col("a")).agg(min(col("blabel")).as("nl"))
       labels = labels.join(nbr, labels("node") === nbr("a"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      // Force this round's result NOW so unpersisting the parent cannot
+      // trigger recompute-from-scratch of the whole chain later.
+      labels.count()
+      prev.unpersist(blocking = false)
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }

@@ -506,7 +506,7 @@ object BTier {
     "b20_cte_multitable" -> cteSql.replace("\n", " "),
     "b21_json_extract" ->
       ("""SELECT event_type, COUNT(*) AS n,
-         | SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT)) AS sum_k
+         | CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
     "b22_time_window" ->
       (s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
@@ -514,8 +514,8 @@ object BTier {
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
     "b23_pivot" ->
       ("""SELECT l_returnflag,
-         | SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-         | SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+         | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replace("\n", " ")),
     "b24_stats_variance" ->

@@ -51,6 +51,37 @@ class EngineSpec extends AnyFunSuite {
       """SELECT `c` FROM df WHERE x = 'it''s "q"'""")
   }
 
+  test("toSparkSql: doubled-quote escapes inside identifiers") {
+    // DuckDB "a""b" is identifier a"b → Spark `a"b` (not a broken `a``b`)
+    assert(Engine.toSparkSql("""SELECT "a""b" FROM df""") ==
+      "SELECT `a\"b` FROM df")
+    // backticks inside a quoted identifier must be doubled for Spark
+    assert(Engine.toSparkSql("SELECT \"a`b\" FROM df") ==
+      "SELECT `a``b` FROM df")
+    // unterminated span copied verbatim (no silent mangling)
+    assert(Engine.toSparkSql("""SELECT "oops""") == """SELECT "oops""")
+  }
+
+  test("load: composed ingest with extension gate (upload.py parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load").toFile
+    val f = new java.io.File(dir, "incidents.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("service,city,occurred_date")
+    w.println("Checkout,Mumbai,2024-02-10")
+    w.println("Search,Delhi,2024-02-12")
+    w.close()
+    val (df, cols) = Engine.load(spark, f.getAbsolutePath)
+    assert(df.count() == 2)
+    assert(cols.map(_.name) == Seq("service", "city", "occurred_date"))
+    assert(cols.find(_.name == "city").get.semanticType == "city")
+    // non-.csv extension → the reference's 400 "Only CSV files allowed"
+    val e = intercept[Engine.UploadException](Engine.load(spark, "/tmp/nope.parquet"))
+    assert(e.getMessage == "Only CSV files allowed")
+    // unreadable .csv → the reference's catch-all 400 "Error reading CSV: …"
+    intercept[Engine.UploadException](
+      Engine.load(spark, new java.io.File(dir, "missing.csv").getAbsolutePath))
+  }
+
   test("collapse: existing count column + duplicates errors like pandas reset_index") {
     val df = Seq(("a", 1L), ("a", 1L)).toDF("s", "count")
     intercept[IllegalArgumentException](Engine.collapseDuplicates(df).collect())

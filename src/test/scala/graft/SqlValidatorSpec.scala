@@ -36,6 +36,15 @@ class SqlValidatorSpec extends AnyFunSuite {
     assert(SqlValidator.validate("SELECT x FROM df", Nil, maxRows = 7).endsWith("LIMIT 7"))
   }
 
+  test("MAX_ROWS_LIMIT resolved from the environment (config.py:9 parity)") {
+    assert(SqlValidator.maxRowsFromEnv(Map.empty) == 200)
+    assert(SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "55")) == 55)
+    // int(os.getenv(...)) raises on garbage in the reference — so do we
+    intercept[NumberFormatException](SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "lots")))
+    assert(SqlValidator.validate("SELECT x FROM df", Nil,
+      maxRows = SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "9"))).endsWith("LIMIT 9"))
+  }
+
   test("idempotence: validate(validate(s)) == validate(s)") {
     val safeSql = for {
       col <- Gen.oneOf("a", "b", "some_col")
