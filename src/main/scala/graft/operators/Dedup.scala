@@ -189,26 +189,26 @@ object Dedup {
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
     // Each round references `labels` twice (neighbour lookup + outer join),
-    // so an uncached chain doubles per iteration — 2^rounds recomputation at
-    // action time. Materialize every round and drop the previous one: plan
-    // depth (and per-round cost) stays CONSTANT no matter how high
-    // `iterations` is raised. PlanSpec pins this (bounded plan size).
+    // so an untruncated chain doubles per iteration — 2^rounds plan size and
+    // recomputation at action time. `localCheckpoint()` (eager) materializes
+    // each round AND truncates lineage to a scanned RDD, so plan depth and
+    // per-round cost stay CONSTANT no matter how high `iterations` is raised
+    // (PlanSpec pins the bounded plan). `cache()` alone is not enough: the
+    // InMemoryRelation still embeds the doubled child plan, which the
+    // analyzer/planner re-walks every round. Superseded round RDDs are
+    // unpersisted by Spark's ContextCleaner once unreferenced; on clusters
+    // where executor loss matters, swap for reliable `checkpoint()`.
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .cache()
+      .localCheckpoint()
     for (_ <- 0 until iterations) {
-      val prev = labels
       val nbr = edges
         .join(labels.select(col("node").as("bnode"), col("label").as("blabel")),
           col("b") === col("bnode"))
         .groupBy(col("a")).agg(min(col("blabel")).as("nl"))
       labels = labels.join(nbr, labels("node") === nbr("a"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
-      // Force this round's result NOW so unpersisting the parent cannot
-      // trigger recompute-from-scratch of the whole chain later.
-      labels.count()
-      prev.unpersist(blocking = false)
+        .localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }

@@ -64,19 +64,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Default banding for the hyperplane LSH paths: 16 bands × 12 bits.
+    * At τ = 0.95 (p = 1 − arccos τ/π ≈ 0.899): recall = 1 − (1 − p¹²)¹⁶
+    * ≈ 0.9945, while a random pair (p ≈ 0.5) collides in a band with
+    * probability 2⁻¹² — candidate volume ≈ 16·n²/4096 ≈ 0.4% of pairs and
+    * tunable by r, unlike the old fixed 256-bucket quantizer. */
+  val DefaultBands = 16
+  val DefaultRowsPerBand = 12
+
+  /** Per-vector (band, key) rows from the banded hyperplane sketch
+    * ([[graft.functions.HyperplaneBandKeys]], one fused codegen'd loop). */
+  private def bandKeyRows(embeddings: DataFrame, masks: Seq[Long], rowsPerBand: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneBandKeys(col("embedding"), masks, rowsPerBand))
+        .as(Seq("band", "bkey")))
+
   /**
-   * Embedding near-duplicate pairs: bucket by sign code (all `bits`-dim
-   * agreement required), exact cosine within buckets, keep pairs ≥ τ.
-   * Linear bucketing + within-bucket pairing — candidates ≪ n² when the
-   * quantizer spreads vectors (64 dims → 256 buckets here).
+   * Embedding near-duplicate pairs via banded random-hyperplane LSH
+   * (OR-construction, same band/verify shape as [[Dedup.minhashLsh]]):
+   * sketch → explode to (band, key) → self-equi-join per band → distinct
+   * candidate pairs → EXACT cosine verification ≥ τ on candidates only.
+   *
+   * Scale: every stage is linear in n — the only pairwise work happens
+   * inside (band, key) buckets whose expected occupancy is n/2^r and is
+   * tuned by `rowsPerBand`; recall at the target cosine is tuned
+   * independently by `numBands`. The hyperplane masks are deterministic
+   * 64-bit literals ([[graft.functions.Hyperplanes]]), so an external SQL
+   * oracle reproduces the exact candidate set bit-for-bit.
    */
-  def cosineNearDupPairs(embeddings: DataFrame, minCos: Double, bits: Int = 8): DataFrame = {
-    val b = embeddings.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), bits).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+  def cosineNearDupPairs(embeddings: DataFrame, minCos: Double,
+                         numBands: Int = DefaultBands,
+                         rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+    val masks = graft.functions.Hyperplanes.masks(numBands * rowsPerBand)
+    val keys = bandKeyRows(embeddings, masks.toSeq, rowsPerBand)
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val e1 = embeddings.select(col("vec_id").as("v1"), col("embedding").as("emb1"))
+    val e2 = embeddings.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
+    cand.join(e1, "v1").join(e2, "v2")
+      .select(col("v1"), col("v2"),
+        round(cosine(col("emb1"), col("emb2")), 6).as("sim"))
       .filter(col("sim") >= minCos)
+  }
+
+  /**
+   * Banded-LSH ANN top-k: candidates = vectors sharing ≥ 1 (band, key) with
+   * the query, exact cosine top-k among them. Unlike [[annTopK]]'s single
+   * coarse bucket, the probed fraction shrinks as 2^−r while `numBands`
+   * probes keep recall high — the per-query scan cost no longer degrades to
+   * a fixed 1/256 of the corpus.
+   */
+  def annBandedTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+                    numBands: Int = DefaultBands,
+                    rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+    val masks = graft.functions.Hyperplanes.masks(numBands * rowsPerBand)
+    val keys = bandKeyRows(embeddings, masks.toSeq, rowsPerBand)
+    val qKeys = query
+      .select(col("qe"),
+        posexplode(graft.functions.HyperplaneBandKeys(col("qe"), masks.toSeq, rowsPerBand))
+          .as(Seq("band", "bkey")))
+    val candIds = keys.join(broadcast(qKeys.select("band", "bkey")), Seq("band", "bkey"))
+      .select("vec_id").distinct()
+    embeddings.join(candIds, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
   }
 }

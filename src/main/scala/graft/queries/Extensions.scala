@@ -96,9 +96,15 @@ object Extensions {
   private val x13: Q = (spark, sfDir) =>
     graft.streaming.EventStream.windowedCounts(spark, sfDir)
 
-  /** x14 — embedding near-duplicate pairs (cosine ≥ 0.95 in sign buckets). */
+  /** x14 — embedding near-duplicate pairs: banded random-hyperplane LSH
+    * candidates, exact cosine ≥ 0.95 verification. */
   private val x14: Q = (spark, sfDir) =>
     Similarity.cosineNearDupPairs(emb(spark, sfDir), 0.95).orderBy("v1", "v2")
+
+  /** x22 — banded-LSH ANN top-k (OR-construction multi-probe; the scale
+    * path past x06's single coarse bucket). */
+  private val x22: Q = (spark, sfDir) =>
+    Similarity.annBandedTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10)
 
   /** x15 — stateful streaming sessionization (mapGroupsWithState). */
   private val x15: Q = (spark, sfDir) =>
@@ -187,7 +193,8 @@ object Extensions {
     "x18_dedup_clusters" -> x18,
     "x19_doc_chunking" -> x19,
     "x20_sample_shard" -> x20,
-    "x21_range_join_bucketized" -> x21)
+    "x21_range_join_bucketized" -> x21,
+    "x22_ann_banded_topk" -> x22)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -240,6 +247,28 @@ object Extensions {
        | / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
        |  * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
       .stripMargin.replace("\n", " ")
+
+  /** CTE chain reproducing [[graft.functions.HyperplaneBandKeys]] exactly in
+    * DuckDB: the ±1 masks are embedded as the SAME 64-bit literals the Spark
+    * expression uses, the per-plane sum folds `embedding` in the same
+    * ascending index order in double, and bits pack into band keys the same
+    * way — so the LSH candidate set matches bit-for-bit across engines. */
+  private def hyperplaneCtes: String = {
+    val r = Similarity.DefaultRowsPerBand
+    val masks = graft.functions.Hyperplanes.masks(Similarity.DefaultBands * r)
+    val values = masks.zipWithIndex
+      .map { case (m, p) => s"($p, CAST($m AS BIGINT))" }.mkString(", ")
+    s"""planes AS (SELECT p, mask FROM (VALUES $values) t(p, mask)),
+       |hpbits AS (SELECT e.vec_id, pl.p,
+       |  CASE WHEN list_aggregate(list_transform(range(64), i ->
+       |    CASE WHEN (pl.mask >> i) & 1 = 1 THEN CAST(e.embedding[i+1] AS DOUBLE)
+       |         ELSE -CAST(e.embedding[i+1] AS DOUBLE) END), 'sum') > 0
+       |   THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN planes pl),
+       |hpkeys AS (SELECT vec_id, p // $r AS band,
+       |  CAST(SUM(CAST(bit AS BIGINT) << (p % $r)) AS BIGINT) AS bkey
+       |  FROM hpbits GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
+  }
 
   private def signBucketSql(v: String): String =
     (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
@@ -313,12 +342,23 @@ object Extensions {
          | event_type, COUNT(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
     "x14_embedding_neardup" ->
-      (s"""SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND(${cos2Sql("a.embedding", "b.embedding")}, 6) AS sim
-         |FROM embeddings a JOIN embeddings b
-         | ON ${signBucketSql("a.embedding")} = ${signBucketSql("b.embedding")}
-         |  AND a.vec_id < b.vec_id
-         |WHERE ROUND(${cos2Sql("a.embedding", "b.embedding")}, 6) >= 0.95
+      (s"""WITH $hyperplaneCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         | FROM hpkeys a JOIN hpkeys b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, ROUND(${cos2Sql("ea.embedding", "eb.embedding")}, 6) AS sim
+         |FROM cand JOIN embeddings ea ON ea.vec_id = v1 JOIN embeddings eb ON eb.vec_id = v2
+         |WHERE ROUND(${cos2Sql("ea.embedding", "eb.embedding")}, 6) >= 0.95
          |ORDER BY v1, v2""".stripMargin.replace("\n", " ")),
+    "x22_ann_banded_topk" ->
+      (s"""WITH $hyperplaneCtes,
+         |cand AS (SELECT DISTINCT a.vec_id
+         | FROM hpkeys a JOIN hpkeys q ON a.band = q.band AND a.bkey = q.bkey
+         | WHERE q.vec_id = 0),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${cos2Sql("e.embedding", "qe")}, 6) AS sim
+         |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", " ")),
     "x15_streaming_sessions" ->
       ("""WITH t AS (SELECT user_id, ts,
          |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)

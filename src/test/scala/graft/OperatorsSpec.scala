@@ -85,6 +85,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("hyperplane masks are deterministic; band keys agree between eval and codegen paths") {
+    val m1 = graft.functions.Hyperplanes.masks(192)
+    val m2 = graft.functions.Hyperplanes.masks(192)
+    assert(m1.sameElements(m2) && m1.distinct.length == 192)
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val keysCol = graft.functions.HyperplaneBandKeys(col("embedding"), m1.toSeq, 12)
+    // codegen'd projection vs forced interpreted eval must agree exactly
+    val compiled = emb.select(col("vec_id"), keysCol.as("k")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val expr = new graft.functions.HyperplaneBandKeys(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        m1.toSeq, 12)
+      val interp = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      assert(interp.toSeq == compiled(r.getLong(0)), s"vec ${r.getLong(0)} mismatch")
+    }
+  }
+
+  test("banded hyperplane LSH finds planted near-duplicates (recall on high-cosine pairs)") {
+    // 40 seeded random 64-dim vectors; vectors 100..104 are tiny perturbations
+    // of 0..4 (cosine > 0.99). LSH at τ=0.95 must recover all 5 planted pairs
+    // and verify-filter everything else.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val planted = (0 until 5).map { i =>
+      val src = base(i)._2
+      (100L + i, src.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.01f else 0f) })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 5).map(i => (i.toLong, 100L + i)).toSet, s"got $pairs")
+    // ANN: the planted near-dup of vector 0 must surface in its banded top-k
+    val q = df.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val ann = Similarity.annBandedTopK(df, q, 3).collect().map(_.getLong(0))
+    assert(ann.take(2).toSet == Set(0L, 100L), s"got ${ann.toSeq}")
+  }
+
   test("ann bucket results are a subset of brute-force ranking within the bucket") {
     val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))

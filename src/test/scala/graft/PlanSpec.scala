@@ -108,6 +108,30 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("x14: embedding near-dup is a banded equi-join — no nested-loop, no cartesian") {
+    val p = plan("x14_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join on (band, key):\n$p")
+    assert(p.contains("hyperplane_band_keys"), s"expected the LSH sketch expression in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/sort equi-join in:\n$p")
+  }
+
+  test("x18: per-round label caching keeps the iterative plan depth constant") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2").select(col("d1"), col("d2"))
+    def planLen(iters: Int): Int =
+      operators.Dedup.dupClusters(pairs, iters).queryExecution.executedPlan.toString.length
+    val p3 = planLen(3)
+    val p6 = planLen(6)
+    // pre-fix the unevaluated plan doubled per round (2^n growth); with the
+    // per-round materialization the final plan reads one cached relation and
+    // its size is independent of the round count
+    assert(p6 <= p3 * 3 / 2, s"plan grew with iterations: $p3 -> $p6")
+  }
+
   test("x02: signature aggregation is partial (map-side combine before exchange)") {
     val p = plan("x02_dedup_minhash_lsh")
     // TypedImperativeAggregate appears as ObjectHashAggregate with partial_
