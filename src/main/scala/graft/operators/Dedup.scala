@@ -213,15 +213,34 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Portable 60-bit word hash: first 15 hex chars of md5, parsed base-16.
+    * Unlike xxhash64, md5 is computable in any SQL engine, which makes the
+    * simhash pipeline built on it fully oracle-checkable; 15 hex chars keep
+    * the value inside a signed 64-bit int on both sides. */
+  val portableWordHash: Column => Column =
+    w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
   /**
-   * 64-bit SimHash near-duplicate pairs. Each word contributes ±1 per bit of
-   * its xxhash64; the sign vector folds into a 64-bit fingerprint. Candidate
-   * generation blocks on 16-bit quarters (any pair within hamming distance ≤3
-   * shares at least one identical quarter — pigeonhole), then the exact
-   * hamming distance filters. All bit math in codegen'd expressions.
+   * SimHash near-duplicate pairs. Each distinct word contributes ±1 per bit
+   * of its hash; the sign vector folds into a `numBits`-bit fingerprint.
+   * Candidate generation blocks on `numBands` equal bit-slices — any pair
+   * within hamming distance ≤ numBands−1 shares at least one identical
+   * slice (pigeonhole), so candidates are COMPLETE for `maxHamming` when
+   * `maxHamming < numBands`; the exact hamming distance then filters.
+   * All bit math in codegen'd expressions.
+   *
+   * `wordHash` defaults to xxhash64 (fastest, one codegen'd op); pass
+   * [[portableWordHash]] to make the whole output reproducible by an
+   * external SQL oracle (md5-derived 60-bit hashes, `numBits = 60`).
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   wordHash: Column => Column = xxhash64(_),
+                   numBits: Int = 64, numBands: Int = 4): DataFrame = {
+    require(numBands > maxHamming, "pigeonhole completeness needs numBands > maxHamming")
+    require(numBits % numBands == 0, "numBands must divide numBits")
+    val bandBits = numBits / numBands
+    val bandMask = (1L << bandBits) - 1
     // bit i of the fingerprint = sign of Σ_words (2·bit_i(h) − 1), computed
     // by the native SimHashSignature aggregate (64 separate sum() aggregates
     // would exceed codegen limits, like the MinHash case); map-side partial
@@ -229,12 +248,12 @@ object Dedup {
     val words = docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(split(col(textCol), " "))).as("w"))
     val fps = words.groupBy("doc_id")
-      .agg(graft.functions.SimHashSignature(xxhash64(col("w"))).as("fp"))
+      .agg(graft.functions.SimHashSignature(wordHash(col("w"))).as("fp"))
 
-    val quarters = array((0 until 4).map { q =>
-      struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(0xffffL).as("bits"))
+    val slices = array((0 until numBands).map { q =>
+      struct(lit(q).as("q"), shiftright(col("fp"), q * bandBits).bitwiseAND(bandMask).as("bits"))
     }: _*)
-    val banded = fps.select(col("doc_id"), col("fp"), explode(quarters).as("b"))
+    val banded = fps.select(col("doc_id"), col("fp"), explode(slices).as("b"))
       .select(col("doc_id"), col("fp"), col("b.q").as("q"), col("b.bits").as("bits"))
 
     banded.as("a")
@@ -242,7 +261,7 @@ object Dedup {
         col("a.q") === col("b.q") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

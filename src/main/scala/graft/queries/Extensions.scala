@@ -30,9 +30,13 @@ object Extensions {
     Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
       .orderBy("d1", "d2")
 
-  /** x03 — SimHash near-dup pairs (hash-dependent → rows-only check). */
+  /** x03 — SimHash near-dup pairs over md5-derived 60-bit word hashes: the
+    * portable hash makes fingerprints, banding, and hamming distances all
+    * reproducible in DuckDB, so the full operator output is oracle-checked
+    * (the xxhash64 default stays the fast path for library users). */
   private val x03: Q = (spark, sfDir) =>
-    Dedup.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxHamming = 3,
+      wordHash = Dedup.portableWordHash, numBits = 60, numBands = 4)
       .orderBy("d1", "d2")
 
   /** x04 — exact n-gram jaccard via distributed token join (threshold 0.5). */
@@ -279,6 +283,23 @@ object Extensions {
     "x01_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "x02_dedup_minhash_lsh" -> jaccardOracle(0.7),
+    "x03_dedup_simhash" ->
+      ("""WITH w AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t),
+         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM w),
+         |bits AS (SELECT doc_id, i.i AS i,
+         |  CASE WHEN SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |   THEN 1 ELSE 0 END AS bit
+         | FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) i GROUP BY doc_id, i.i),
+         |fp AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << i) AS BIGINT) AS fp
+         | FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, fp, q.q AS q, (fp >> (q.q * 15)) & 32767 AS slice
+         | FROM fp CROSS JOIN (SELECT unnest(range(4)) AS q) q),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.fp AS fp1, b.fp AS fp2
+         | FROM bands a JOIN bands b ON a.q = b.q AND a.slice = b.slice AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+         |ORDER BY d1, d2""".stripMargin.replace("\n", " ")),
     "x04_ngram_jaccard_exact" -> jaccardOracle(0.5),
     "x05_cosine_topk_brute" ->
       (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -399,6 +420,4 @@ object Extensions {
          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM periods JOIN orders ON o_orderdate >= pstart AND o_orderdate <= pend
          |GROUP BY p ORDER BY p""".stripMargin.replace("\n", " ")))
-    // x03 (simhash) stays rows-only: its output is a function of xxhash64,
-    // which DuckDB cannot replicate in SQL; unit tests cover it instead.
 }
