@@ -39,16 +39,19 @@ object Dedup {
   }
 
   /**
-   * Distinct (doc_id, shingle-hash) rows: `posexplode` the words, hash each
-   * once, combine n consecutive word hashes with `lead()` + a multi-arg
-   * xxhash64. Every operator here is codegen'd — the higher-order
-   * `transform`/`concat_ws` form of [[shingles]] is CodegenFallback and
-   * interpreted per element, which dominated the whole dedup pipeline. The
-   * word→hash mapping is injective on shingle triples (words cannot contain
-   * the split character), so set arithmetic on hashes equals set arithmetic
-   * on shingle strings up to 64-bit collisions (~|shingles|²/2^64).
+   * (doc_id, shingle-hash) rows — distinct per doc by default, every
+   * occurrence when `distinct = false` (repetition statistics need the
+   * multiplicity): `posexplode` the words, hash each once, combine n
+   * consecutive word hashes with `lead()` + a multi-arg xxhash64. Every
+   * operator here is codegen'd — the higher-order `transform`/`concat_ws`
+   * form of [[shingles]] is CodegenFallback and interpreted per element,
+   * which dominated the whole dedup pipeline. The word→hash mapping is
+   * injective on shingle triples (words cannot contain the split character),
+   * so set arithmetic on hashes equals set arithmetic on shingle strings up
+   * to 64-bit collisions (~|shingles|²/2^64).
    */
-  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                      distinct: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val words = docs
@@ -57,10 +60,10 @@ object Dedup {
     val withLeads = (1 until n).foldLeft(words) { (df, k) =>
       df.withColumn(s"h$k", lead(col("h0"), k).over(w))
     }
-    withLeads
+    val rows = withLeads
       .filter(col(s"h${n - 1}").isNotNull)
       .select(col("doc_id"), xxhash64((0 until n).map(k => col(s"h$k")): _*).as("sh"))
-      .distinct()
+    if (distinct) rows.distinct() else rows
   }
 
 
@@ -212,6 +215,38 @@ object Dedup {
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
+
+  /**
+   * Representative selection after clustering — the final step of a corpus
+   * dedup pipeline: keep exactly one doc per duplicate cluster, the one with
+   * the highest `score` (ties → smallest doc_id); docs in no cluster keep
+   * themselves. One broadcast-able join (cluster labels ≪ corpus) plus one
+   * hash aggregation with map-side partial `max_by` — no window over the
+   * full corpus, no shuffle of the document text.
+   */
+  def retainBest(docs: DataFrame, idCol: String, score: Column,
+                 clusters: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), score.as("score"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .groupBy("cluster")
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), (-col("doc_id")).as("tie"))).as("doc_id"))
+      .select("doc_id")
+
+  /**
+   * Per-document n-gram repetition statistics (the Gopher-style repetition
+   * quality signal, public technique): total vs distinct n-gram occurrences
+   * and the duplicate fraction. Pure map-side shingling + one hash
+   * aggregation; docs shorter than n words emit no row.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    shingleHashRows(docs, idCol, textCol, n, distinct = false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("sh")).as("n_unique"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_unique").cast("double") / col("n_grams").cast("double"))
 
   /** Portable 60-bit word hash: first 15 hex chars of md5, parsed base-16.
     * Unlike xxhash64, md5 is computable in any SQL engine, which makes the

@@ -80,6 +80,25 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
   }
 
+  /**
+   * Top-k terms by frequency per language — the vocabulary-inspection step
+   * of corpus curation. The full-corpus explode collapses FIRST into
+   * (lang, word) counts via one hash aggregation (map-side partial combine
+   * shrinks the shuffle to |vocab|·|langs| rows); the ranking window then
+   * runs over that tiny aggregate, never over the corpus. Ties break
+   * alphabetically for determinism.
+   */
+  def topTermsPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(desc("n"), col("word"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -110,6 +110,26 @@ object Extensions {
   private val x22: Q = (spark, sfDir) =>
     Similarity.annBandedTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10)
 
+  /** x23 — per-doc n-gram repetition statistics (Gopher-style repetition
+    * quality signal). */
+  private val x23: Q = (spark, sfDir) =>
+    Dedup.repetitionStats(docs(spark, sfDir), "doc_id", "text").orderBy("doc_id")
+
+  /** x24 — full corpus-dedup composite: minhash pairs → clusters → keep the
+    * highest-quality doc per cluster (ties → smallest id) + all singletons.
+    * The end product of the dedup pipeline: the retained doc set. */
+  private val x24: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
+    val clusters = Dedup.dupClusters(pairs, iterations = 3)
+    Dedup.retainBest(d, "doc_id", TextAnalysis.qualityScore(col("text")), clusters)
+      .orderBy("doc_id")
+  }
+
+  /** x25 — top-5 terms per language (vocabulary inspection; agg-then-rank). */
+  private val x25: Q = (spark, sfDir) =>
+    TextAnalysis.topTermsPerLang(docs(spark, sfDir), 5).orderBy("lang", "rank")
+
   /** x15 — stateful streaming sessionization (mapGroupsWithState). */
   private val x15: Q = (spark, sfDir) =>
     graft.streaming.EventStream.userSessions(spark, sfDir)
@@ -198,7 +218,10 @@ object Extensions {
     "x19_doc_chunking" -> x19,
     "x20_sample_shard" -> x20,
     "x21_range_join_bucketized" -> x21,
-    "x22_ann_banded_topk" -> x22)
+    "x22_ann_banded_topk" -> x22,
+    "x23_repetition_stats" -> x23,
+    "x24_dedup_retain_best" -> x24,
+    "x25_top_terms_per_lang" -> x25)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -222,18 +245,36 @@ object Extensions {
     s"WITH ${jaccardCtes(threshold)} SELECT d1, d2, jaccard FROM jpairs ORDER BY d1, d2"
 
   /** Unrolled 3-round min-label propagation over the jaccard-0.7 pair graph
-    * (mirrors [[Dedup.dupClusters]] exactly). */
-  private val clustersOracle: String = {
+    * (mirrors [[Dedup.dupClusters]] exactly); final labels in CTE `l3`. */
+  private val clusterCtes: String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS (SELECT l.node AS node, LEAST(l.label, COALESCE(MIN(r.label), l.label)) AS label
          | FROM $prev l LEFT JOIN edges e ON e.a = l.node LEFT JOIN $prev r ON r.node = e.b
          | GROUP BY l.node, l.label)""".stripMargin.replace("\n", " ")
-    (s"WITH ${jaccardCtes(0.7)}, " +
+    (s"${jaccardCtes(0.7)}, " +
       "edges AS (SELECT d1 AS a, d2 AS b FROM jpairs UNION ALL SELECT d2 AS a, d1 AS b FROM jpairs), " +
       "l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges), " +
-      round("l0", "l1") + ", " + round("l1", "l2") + ", " + round("l2", "l3") + " " +
-      "SELECT node AS doc_id, label AS cluster FROM l3 ORDER BY doc_id")
+      round("l0", "l1") + ", " + round("l1", "l2") + ", " + round("l2", "l3"))
   }
+
+  private val clustersOracle: String =
+    s"WITH $clusterCtes SELECT node AS doc_id, label AS cluster FROM l3 ORDER BY doc_id"
+
+  /** CTE chain computing [[TextAnalysis.qualityScore]] per doc (`qscore`
+    * holds (doc_id, n_tok, score)) — shared by the x09 and x24 oracles. */
+  private val qualityCtes: String =
+    """qbase AS (SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS DOUBLE) AS ntok,
+      |  CAST(length(text) AS DOUBLE) AS nchars,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS nalnum,
+      |  CAST(length(replace(text, 'the', '')) AS DOUBLE) AS nnothe
+      | FROM documents),
+      |qscore AS (SELECT doc_id, CAST(ntok AS INT) AS n_tok,
+      |  0.25 * (CASE WHEN ntok BETWEEN 10 AND 500 THEN 1.0 ELSE 0.2 END)
+      |  + 0.25 * (CASE WHEN (nchars - ntok + 1.0)/ntok BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.2 END)
+      |  + 0.25 * (1.0 - (nchars - nalnum)/nchars)
+      |  + 0.25 * least(((nchars - nnothe)/3.0)/ntok * 10.0, 1.0) AS score
+      | FROM qbase)""".stripMargin.replace("\n", " ")
 
   /** Double-precision cosine in DuckDB, structurally identical to
     * [[Similarity.cosine]] (same fold order ⇒ bit-identical doubles;
@@ -327,22 +368,8 @@ object Extensions {
          | COUNT(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin.replace("\n", " ")),
     "x09_quality_score" ->
-      ("""WITH s AS (SELECT doc_id,
-         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS ntok,
-         |  CAST(length(text) AS DOUBLE) AS nchars,
-         |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS nalnum,
-         |  CAST(length(replace(text, 'the', '')) AS DOUBLE) AS nnothe
-         | FROM documents)
-         |SELECT doc_id, CAST(ntok AS INT) AS n_tok,
-         | 0.25 * (CASE WHEN ntok BETWEEN 10 AND 500 THEN 1.0 ELSE 0.2 END)
-         | + 0.25 * (CASE WHEN (nchars - ntok + 1.0)/ntok BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.2 END)
-         | + 0.25 * (1.0 - (nchars - nalnum)/nchars)
-         | + 0.25 * least(((nchars - nnothe)/3.0)/ntok * 10.0, 1.0) AS score
-         |FROM s
-         |WHERE 0.25 * (CASE WHEN ntok BETWEEN 10 AND 500 THEN 1.0 ELSE 0.2 END)
-         | + 0.25 * (CASE WHEN (nchars - ntok + 1.0)/ntok BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.2 END)
-         | + 0.25 * (1.0 - (nchars - nalnum)/nchars)
-         | + 0.25 * least(((nchars - nnothe)/3.0)/ntok * 10.0, 1.0) >= 0.5
+      (s"""WITH $qualityCtes
+         |SELECT doc_id, n_tok, score FROM qscore WHERE score >= 0.5
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x10_token_count_bpe" ->
       ("""SELECT source, CAST(SUM(len(list_filter(
@@ -407,6 +434,28 @@ object Extensions {
          | CAST(len(ws[start+1:start+40]) AS INT) AS n_tokens,
          | md5(array_to_string(ws[start+1:start+40], ' ')) AS chunk_md5
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")),
+    "x23_repetition_stats" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i FROM w WHERE len(ws) >= 3),
+         |g AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         | CAST(COUNT(DISTINCT s) AS BIGINT) AS n_unique,
+         | 1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x24_dedup_retain_best" ->
+      (s"""WITH $clusterCtes, $qualityCtes,
+         |lab AS (SELECT q.doc_id, COALESCE(l.label, q.doc_id) AS cluster, q.score
+         | FROM qscore q LEFT JOIN l3 l ON l.node = q.doc_id),
+         |r AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM lab)
+         |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x25_top_terms_per_lang" ->
+      ("""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+         |c AS (SELECT lang, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+         |r AS (SELECT lang, word, n,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank FROM c)
+         |SELECT lang, word, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin.replace("\n", " ")),
     "x20_sample_shard" ->
       ("""SELECT CAST(doc_id % 8 AS INT) AS shard, COUNT(*) AS n_docs,
          | CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled

@@ -54,6 +54,27 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j((0L, 2L)) - expected) < 1e-12)
   }
 
+  test("repetitionStats: counts total vs distinct n-grams") {
+    val df = Seq((1L, "a b c a b c a b c"), (2L, "all unique words right here"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 9 words → 7 trigram occurrences, 3 distinct (a b c / b c a / c a b)
+    assert(out(1L) == ((7L, 3L, 1.0 - 3.0 / 7.0)))
+    assert(out(2L) == ((3L, 3L, 0.0)))
+    assert(!out.contains(3L)) // shorter than n words → no row
+  }
+
+  test("retainBest: keeps the top-scoring doc per cluster, singletons survive, ties → min id") {
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (10L, 0.2))
+      .toDF("doc_id", "s")
+    // cluster {1,2,3} (2 and 3 tie on score → keep 2); {4} labeled; 10 unlabeled
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "cluster")
+    val kept = Dedup.retainBest(docs, "doc_id", col("s"), clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 10L))
+  }
+
   test("simhash: identical texts collide at hamming 0; near dups within 3") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
@@ -152,6 +173,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.select(TextAnalysis.tokenCount(col("text"))).head.getInt(0) == 4)
     // lowercase split on [^a-z0-9]+ → hello, world, 42, foo, bar
     assert(df.select(TextAnalysis.bpeishTokenCount(col("text"))).head.getInt(0) == 5)
+  }
+
+  test("topTermsPerLang: frequency ranking with alphabetical tie-break") {
+    val df = Seq(
+      ("en", "b b b a a c"), ("en", "a"),
+      ("fr", "z z y")).toDF("lang", "text")
+    val out = TextAnalysis.topTermsPerLang(df, 2)
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // en: a=3, b=3 tie → a first; fr: z=2, y=1
+    assert(out.toSeq == Seq(("en", "a", 3L, 1), ("en", "b", 3L, 2), ("fr", "z", 2L, 1), ("fr", "y", 1L, 2)))
   }
 
   test("quality score is deterministic and bounded") {
