@@ -41,28 +41,21 @@ object Dedup {
   /**
    * (doc_id, shingle-hash) rows — distinct per doc by default, every
    * occurrence when `distinct = false` (repetition statistics need the
-   * multiplicity): `posexplode` the words, hash each once, combine n
-   * consecutive word hashes with `lead()` + a multi-arg xxhash64. Every
-   * operator here is codegen'd — the higher-order `transform`/`concat_ws`
-   * form of [[shingles]] is CodegenFallback and interpreted per element,
-   * which dominated the whole dedup pipeline. The word→hash mapping is
+   * multiplicity). Shingling is one fused codegen'd expression
+   * ([[graft.functions.ShingleHashes]]: split → per-word xxhash64 → n-fold
+   * combine, bit-identical to the builtin xxhash64 composition) followed by
+   * an explode — entirely MAP-SIDE, no exchange. The earlier explode+window
+   * form shuffled and sorted every word row per doc before hashing; the
+   * higher-order `transform`/`concat_ws` form of [[shingles]] is
+   * CodegenFallback and interpreted per element. The word→hash mapping is
    * injective on shingle triples (words cannot contain the split character),
    * so set arithmetic on hashes equals set arithmetic on shingle strings up
    * to 64-bit collisions (~|shingles|²/2^64).
    */
   def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
                       distinct: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val words = docs
-      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("w")).as("h0"))
-    val withLeads = (1 until n).foldLeft(words) { (df, k) =>
-      df.withColumn(s"h$k", lead(col("h0"), k).over(w))
-    }
-    val rows = withLeads
-      .filter(col(s"h${n - 1}").isNotNull)
-      .select(col("doc_id"), xxhash64((0 until n).map(k => col(s"h$k")): _*).as("sh"))
+    val rows = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh"))
     if (distinct) rows.distinct() else rows
   }
 
@@ -87,8 +80,10 @@ object Dedup {
     val numHashes = numBands * rowsPerBand
 
     // Persisted because both the signature pass and the verify pass consume
-    // it — without the cache each consumer re-runs the scan + window.
-    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN).cache()
+    // it. distinct = false: MinHashSignature (a min) and the verify stage's
+    // collect_set are both multiplicity-insensitive, so the per-doc dedup
+    // exchange would be pure overhead.
+    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN, distinct = false).cache()
 
     // Signatures via the native MinHashSignature aggregate (one Array[Long]
     // buffer, tight loop) — numHashes separate min() aggregates overflow

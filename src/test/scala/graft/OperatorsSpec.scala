@@ -54,6 +54,24 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j((0L, 2L)) - expected) < 1e-12)
   }
 
+  test("ShingleHashes is bit-identical to the builtin xxhash64 composition") {
+    val real = sources.Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val words = real
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("w")).as("h0"))
+    val reference = words
+      .withColumn("h1", lead(col("h0"), 1).over(w))
+      .withColumn("h2", lead(col("h0"), 2).over(w))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("h0"), col("h1"), col("h2")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fused = Dedup.shingleHashRows(real, "doc_id", "text", 3, distinct = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fused == reference)
+  }
+
   test("repetitionStats: counts total vs distinct n-grams") {
     val df = Seq((1L, "a b c a b c a b c"), (2L, "all unique words right here"), (3L, "x y"))
       .toDF("doc_id", "text")
