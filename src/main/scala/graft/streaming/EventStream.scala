@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.ensureNanosAsLong(spark)
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema // ts arrives as long (nanos)
 
@@ -68,7 +68,7 @@ object EventStream {
    */
   def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
     val stream = spark.readStream.schema(schema)
