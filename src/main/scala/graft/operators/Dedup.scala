@@ -232,14 +232,21 @@ object Dedup {
   /**
    * Per-document n-gram repetition statistics (the Gopher-style repetition
    * quality signal, public technique): total vs distinct n-gram occurrences
-   * and the duplicate fraction. Pure map-side shingling + one hash
-   * aggregation; docs shorter than n words emit no row.
+   * and the duplicate fraction. ZERO shuffles: a document's shingle hashes
+   * are one in-row array ([[graft.functions.ShingleHashes]]), so total and
+   * distinct counts are per-row expressions — no explode, no aggregation
+   * (the groupBy+count_distinct formulation costs two exchanges for what is
+   * row-local arithmetic). Docs shorter than n words emit no row.
    */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame =
-    shingleHashRows(docs, idCol, textCol, n, distinct = false)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), countDistinct(col("sh")).as("n_unique"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_grams"),
+        size(array_distinct(col("shs"))).cast("long").as("n_unique"))
       .withColumn("dup_frac",
         lit(1.0) - col("n_unique").cast("double") / col("n_grams").cast("double"))
 

@@ -132,6 +132,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p6 <= p3 * 3 / 2, s"plan grew with iterations: $p3 -> $p6")
   }
 
+  test("x23: repetition stats are computed with zero shuffles (pure map-side)") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.Dedup.repetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repetition stats must not shuffle:\n$p")
+  }
+
   test("x02: signature aggregation is partial (map-side combine before exchange)") {
     val p = plan("x02_dedup_minhash_lsh")
     // TypedImperativeAggregate appears as ObjectHashAggregate with partial_
