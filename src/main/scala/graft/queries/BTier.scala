@@ -274,9 +274,12 @@ object BTier {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("s"),
         sum(col("o_totalprice").cast(dec) * col("o_totalprice").cast(dec)).cast("double").as("sq"))
+      // round: the decimal→double CAST is correctly-rounded on the JVM but
+      // double-divided in DuckDB — a 1-ulp seed difference that the
+      // catastrophic cancellation in (sq − s²/n) amplifies at larger SFs
       .select(col("o_orderstatus"), col("n"),
-        ((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("variance"),
-        sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("stddev"))
+        round((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1), 2).as("variance"),
+        round(sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4).as("stddev"))
       .orderBy("o_orderstatus")
 
   /** LIKE / pattern filters. */
@@ -523,8 +526,8 @@ object BTier {
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
          | FROM orders GROUP BY o_orderstatus)
-         |SELECT o_orderstatus, n, (sq - s*s/n)/(n-1) AS variance,
-         | SQRT((sq - s*s/n)/(n-1)) AS stddev
+         |SELECT o_orderstatus, n, ROUND((sq - s*s/n)/(n-1), 2) AS variance,
+         | ROUND(SQRT((sq - s*s/n)/(n-1)), 4) AS stddev
          |FROM s ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")),
     "b25_like_patterns" ->
       ("""SELECT p_brand, COUNT(*) AS n FROM part

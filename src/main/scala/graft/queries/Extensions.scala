@@ -130,6 +130,11 @@ object Extensions {
   private val x25: Q = (spark, sfDir) =>
     TextAnalysis.topTermsPerLang(docs(spark, sfDir), 5).orderBy("lang", "rank")
 
+  /** x26 — production-shape streaming: watermark + APPEND mode over ordered
+    * multi-batch replay; emits each finalized hour window exactly once. */
+  private val x26: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.windowedCountsAppend(spark, sfDir)
+
   /** x15 — stateful streaming sessionization (mapGroupsWithState). */
   private val x15: Q = (spark, sfDir) =>
     graft.streaming.EventStream.userSessions(spark, sfDir)
@@ -221,7 +226,8 @@ object Extensions {
     "x22_ann_banded_topk" -> x22,
     "x23_repetition_stats" -> x23,
     "x24_dedup_retain_best" -> x24,
-    "x25_top_terms_per_lang" -> x25)
+    "x25_top_terms_per_lang" -> x25,
+    "x26_streaming_append_watermark" -> x26)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -407,6 +413,13 @@ object Extensions {
          |SELECT e.vec_id, ROUND(${cos2Sql("e.embedding", "qe")}, 6) AS sim
          |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", " ")),
+    "x26_streaming_append_watermark" ->
+      ("""WITH wm AS (SELECT MAX(ts) AS w FROM events),
+         |agg AS (SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n
+         | FROM events GROUP BY 1, 2)
+         |SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n
+         |FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w
+         |ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
     "x15_streaming_sessions" ->
       ("""WITH t AS (SELECT user_id, ts,
          |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)

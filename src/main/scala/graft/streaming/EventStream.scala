@@ -53,6 +53,75 @@ object EventStream {
       .orderBy("hour", "event_type")
   }
 
+  /**
+   * PRODUCTION-shape streaming: multi-batch replay + event-time watermark +
+   * APPEND output. [[windowedCounts]] drains in complete mode (final state ==
+   * batch aggregation — the harness-simple check); this variant runs the
+   * configuration a deployment actually uses: the watermark advances between
+   * micro-batches, finalized windows are emitted incrementally, and their
+   * state is evicted.
+   *
+   * Replay: the batch parquet is sliced at fixed weekly boundaries into one
+   * file per slice, staged into a watch directory with strictly increasing
+   * modification times; `maxFilesPerTrigger=1` then feeds them to the query
+   * as ordered micro-batches, so the watermark (max event time − 0s delay)
+   * ratchets forward exactly as on a live source.
+   *
+   * Emission is data-driven and deterministic: a window emits once the
+   * watermark passes its end (Spark runs a no-data flush batch after the
+   * last file, so every hour window whose end ≤ the global max event time
+   * emits; the in-progress last hour stays in state). That rule is plain
+   * SQL for the oracle.
+   */
+  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Tables.ensureNanosAsLong(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = long nanos
+    val schema = raw.schema
+
+    val base = java.nio.file.Files.createTempDirectory("graft_append_")
+    val watch = base.resolve("watch")
+    java.nio.file.Files.createDirectories(watch)
+    val boundsNanos = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+      .map(d => java.time.Instant.parse(s"${d}T00:00:00Z").toEpochMilli * 1000000L)
+    val ranges: Seq[org.apache.spark.sql.Column] = Seq(
+      col("ts") < boundsNanos(0),
+      col("ts") >= boundsNanos(0) && col("ts") < boundsNanos(1),
+      col("ts") >= boundsNanos(1) && col("ts") < boundsNanos(2),
+      col("ts") >= boundsNanos(2))
+    ranges.zipWithIndex.foreach { case (cond, i) =>
+      val staging = base.resolve(s"staging$i")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = watch.resolve(f"slice$i%02d.parquet").toFile
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // strictly increasing mtimes pin the replay order (file source batches
+      // by modification time); minute spacing dodges coarse FS timestamps
+      dst.setLastModified((i + 1) * 60000L)
+    }
+
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+
+    val qname = "graft_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    spark.table(qname)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        col("count").as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(lastTsMs: Long, nSessions: Int, nEvents: Int)
 

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("append+watermark emits exactly the finalized subset of the complete-mode windows") {
+    val complete = streaming.EventStream.windowedCounts(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val append = streaming.EventStream.windowedCountsAppend(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every emitted window matches the batch-equivalent count, emitted once
+    append.foreach { case (k, n) => assert(complete(k) == n, s"window $k") }
+    // held-back windows are exactly those still open at the final watermark
+    val maxTs = sources.Tables(spark, sf, "events").agg(max("ts")).head.getTimestamp(0)
+    val held = complete.keySet -- append.keySet
+    held.foreach { case (hour, _) =>
+      val end = java.sql.Timestamp.valueOf(hour).toInstant.plusSeconds(3600)
+      assert(end.isAfter(maxTs.toInstant), s"window $hour should have been emitted")
+    }
+    assert(held.nonEmpty) // the in-progress last hour exists and was held
+  }
+}
