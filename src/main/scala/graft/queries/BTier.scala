@@ -237,6 +237,32 @@ object BTier {
     spark.sql(cteSql)
   }
 
+  /** Correlated scalar subqueries (Catalyst decorrelates them into
+    * aggregate + left outer join — no per-row re-execution; COUNT over the
+    * empty correlation group correctly yields 0, the classic "COUNT bug"). */
+  private val b34: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        |   FROM orders WHERE o_custkey = c_custkey) AS spend
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery: top order per customer — plans as a
+    * window-style per-key top-1, not a per-row subquery loop. */
+  private val b35: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** JSON extraction from the events.props string column. */
   private val b21: Q = (spark, sfDir) =>
     Tables(spark, sfDir, "events")
@@ -408,7 +434,9 @@ object BTier {
     "b30_json_roundtrip_agg" -> b30,
     "b31_left_outer_join" -> b31,
     "b32_full_outer_join" -> b32,
-    "b33_percentiles" -> b33)
+    "b33_percentiles" -> b33,
+    "b34_correlated_scalar" -> b34,
+    "b35_lateral_topk" -> b35)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -574,5 +602,18 @@ object BTier {
       ("""SELECT o_orderstatus, QUANTILE_CONT(o_totalprice, 0.5) AS med,
          | QUANTILE_CONT(o_totalprice, 0.9) AS p90
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
-        .stripMargin.replace("\n", " ")))
+        .stripMargin.replace("\n", " ")),
+    "b34_correlated_scalar" ->
+      (s"""SELECT c_custkey,
+         | CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders,
+         | (SELECT COALESCE(${dsumSql("o_totalprice")}, 0.0)
+         |  FROM orders WHERE o_custkey = c_custkey) AS spend
+         |FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+    "b35_lateral_topk" ->
+      ("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+         |FROM customer, LATERAL (
+         | SELECT o_orderkey, o_totalprice FROM orders
+         | WHERE o_custkey = c_custkey
+         | ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+         |ORDER BY c_custkey""".stripMargin.replace("\n", " ")))
 }
