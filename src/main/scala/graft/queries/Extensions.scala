@@ -135,6 +135,12 @@ object Extensions {
   private val x26: Q = (spark, sfDir) =>
     graft.streaming.EventStream.windowedCountsAppend(spark, sfDir)
 
+  /** x27 — production-shape stateful streaming: flatMapGroupsWithState +
+    * EventTimeTimeout emits each closed session exactly once; idle-user
+    * state is dropped at timeout. */
+  private val x27: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.closedSessions(spark, sfDir)
+
   /** x15 — stateful streaming sessionization (mapGroupsWithState). */
   private val x15: Q = (spark, sfDir) =>
     graft.streaming.EventStream.userSessions(spark, sfDir)
@@ -227,7 +233,8 @@ object Extensions {
     "x23_repetition_stats" -> x23,
     "x24_dedup_retain_best" -> x24,
     "x25_top_terms_per_lang" -> x25,
-    "x26_streaming_append_watermark" -> x26)
+    "x26_streaming_append_watermark" -> x26,
+    "x27_streaming_closed_sessions" -> x27)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -420,6 +427,20 @@ object Extensions {
          |SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n
          |FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w
          |ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
+    "x27_streaming_closed_sessions" ->
+      ("""WITH m AS (SELECT MAX(ts) AS mx FROM events),
+         |t AS (SELECT user_id, ts,
+         |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    OR DATE_DIFF('millisecond', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800000
+         |   THEN 1 ELSE 0 END AS new_s FROM events),
+         |s AS (SELECT user_id, ts,
+         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t),
+         |agg AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en, COUNT(*) AS n
+         | FROM s GROUP BY 1, 2)
+         |SELECT user_id, STRFTIME(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+         | STRFTIME(en, '%Y-%m-%d %H:%M:%S') AS session_end, CAST(n AS INT) AS n_events
+         |FROM agg, m WHERE DATE_DIFF('millisecond', en, mx) > 1800000
+         |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")),
     "x15_streaming_sessions" ->
       ("""WITH t AS (SELECT user_id, ts,
          |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)

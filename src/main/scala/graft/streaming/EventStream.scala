@@ -73,11 +73,14 @@ object EventStream {
    * emits; the in-progress last hour stays in state). That rule is plain
    * SQL for the oracle.
    */
-  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Slice the batch events parquet at fixed weekly boundaries into one file
+    * per slice under a fresh watch directory, with strictly increasing
+    * modification times so the streaming file source (maxFilesPerTrigger=1)
+    * replays them as ordered micro-batches. Returns (watchDir, schema). */
+  private def sliceReplayDir(spark: SparkSession, sfDir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
     graft.sources.Tables.ensureNanosAsLong(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = long nanos
-    val schema = raw.schema
-
     val base = java.nio.file.Files.createTempDirectory("graft_append_")
     val watch = base.resolve("watch")
     java.nio.file.Files.createDirectories(watch)
@@ -98,9 +101,13 @@ object EventStream {
       // by modification time); minute spacing dodges coarse FS timestamps
       dst.setLastModified((i + 1) * 60000L)
     }
+    (watch.toString, raw.schema)
+  }
 
+  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
     val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -120,6 +127,78 @@ object EventStream {
         col("event_type"),
         col("count").as("n"))
       .orderBy("hour", "event_type")
+  }
+
+  /** Open-session state for [[closedSessions]]. */
+  case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
+
+  /**
+   * PRODUCTION-shape stateful streaming: per-user sessionization emitting
+   * each CLOSED session exactly once — `flatMapGroupsWithState` in Append
+   * mode with `EventTimeTimeout`, over the same ordered multi-batch replay
+   * as [[windowedCountsAppend]]. A session closes either when a later event
+   * of the same user arrives past the gap (emitted in that batch) or when
+   * the event-time watermark passes `lastTs + gap` (emitted by the timeout
+   * path, including the post-stream flush batch). State for idle users is
+   * dropped at timeout — bounded by the active-user set, the property that
+   * makes this run forever on a live source.
+   *
+   * Deterministic output: every session with `end + gap < max event time`
+   * over the whole stream (the final open session per user stays in state)
+   * — plain SQL for the oracle.
+   */
+  def closedSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val gapMs = gapMinutes * 60L * 1000L
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+
+    val closed = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, String, String, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, events, state) =>
+          def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Int)]
+          var cur = state.getOption
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session is closed
+            cur.foreach(s => out += ((uid, fmt(s.startMs), fmt(s.lastMs), s.nEvents)))
+            state.remove()
+          } else {
+            events.map(_._2.getTime).toArray.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  out += ((uid, fmt(s.startMs), fmt(s.lastMs), s.nEvents))
+                  cur = Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.startMs, t, s.nEvents + 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+          }
+          out.iterator
+      }
+
+    val qname = "graft_sessions_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = closed.toDF("user_id", "session_start", "session_end", "n_events")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(qname).start()
+    try query.processAllAvailable() finally query.stop()
+
+    spark.table(qname).orderBy("user_id", "session_start")
   }
 
   /** Per-user session state carried across micro-batches. */

@@ -23,4 +23,20 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(held.nonEmpty) // the in-progress last hour exists and was held
   }
+
+  test("closed-session emission reconciles with the update-mode session totals") {
+    val totals = streaming.EventStream.userSessions(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val closedRows = streaming.EventStream.closedSessions(spark, sf).collect()
+    val closed = closedRows.groupBy(_.getLong(0))
+      .view.mapValues(rs => (rs.length, rs.map(_.getInt(3)).sum)).toMap
+    totals.foreach { case (uid, (nSessions, nEvents)) =>
+      val (nClosed, closedEvents) = closed.getOrElse(uid, (0, 0))
+      // at most the final session per user stays open (held in state)
+      assert(nClosed == nSessions || nClosed == nSessions - 1, s"user $uid")
+      assert(closedEvents <= nEvents, s"user $uid")
+    }
+    // sessions for unknown users cannot appear
+    assert(closed.keySet.subsetOf(totals.keySet))
+  }
 }
