@@ -73,11 +73,22 @@ object EventStream {
    * emits; the in-progress last hour stays in state). That rule is plain
    * SQL for the oracle.
    */
+  /** Replay slices are immutable once written — memoized per source dir so
+    * the two append-mode queries (and repeated bench passes) share one set
+    * instead of rewriting ~4 parquet files each. Harness setup only; the
+    * streaming queries themselves always run in full. */
+  private val sliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def sliceReplayDir(spark: SparkSession, sfDir: String)
+      : (String, org.apache.spark.sql.types.StructType) =
+    sliceCache.computeIfAbsent(sfDir, _ => buildSliceReplayDir(spark, sfDir))
+
   /** Slice the batch events parquet at fixed weekly boundaries into one file
     * per slice under a fresh watch directory, with strictly increasing
     * modification times so the streaming file source (maxFilesPerTrigger=1)
     * replays them as ordered micro-batches. Returns (watchDir, schema). */
-  private def sliceReplayDir(spark: SparkSession, sfDir: String)
+  private def buildSliceReplayDir(spark: SparkSession, sfDir: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     graft.sources.Tables.ensureNanosAsLong(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = long nanos
