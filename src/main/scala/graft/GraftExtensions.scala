@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, HyperplaneBandKeys, Hyperplanes, MinHashSignature, ShingleHashes, SimHashSignature}
 
 /**
  * Session-extension wiring: registers the engine's custom Catalyst
@@ -14,6 +14,9 @@ import graft.functions.{CosineSimilarity, MinHashSignature}
  *
  * `cosine_similarity(a, b)`      — fused codegen'd cosine over array<float>
  * `minhash_signature(h, n, sa, sb)` — aggregate MinHash signature
+ * `simhash_signature(h)`         — aggregate 64-bit SimHash fingerprint
+ * `shingle_hashes(text, n)`      — map-side word n-gram hash array
+ * `hyperplane_band_keys(v, b, r)` — banded cosine-LSH keys (default planes)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -43,7 +46,20 @@ object GraftExtensions {
         exprs(0),
         longArg(exprs(1)).toInt,
         longArg(exprs(2)),
-        longArg(exprs(3)))))
+        longArg(exprs(3)))),
+    ("simhash_signature",
+      new ExpressionInfo(classOf[SimHashSignature].getName, "simhash_signature"),
+      (exprs: Seq[Expression]) => new SimHashSignature(exprs(0)).toAggregateExpression()),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => new ShingleHashes(exprs(0), longArg(exprs(1)).toInt)),
+    ("hyperplane_band_keys",
+      new ExpressionInfo(classOf[HyperplaneBandKeys].getName, "hyperplane_band_keys"),
+      (exprs: Seq[Expression]) => {
+        val bands = longArg(exprs(1)).toInt
+        val rows = longArg(exprs(2)).toInt
+        new HyperplaneBandKeys(exprs(0), Hyperplanes.masks(bands * rows).toSeq, rows)
+      }))
 
   /** Runtime registration on an existing session (functions + the row-cap
     * rule via `experimental.extraOptimizations`, which unlike

@@ -24,4 +24,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sig.forall(_.length == 8))
     assert(sig.forall(_.forall(v => v >= 0 && v < 2147483647L)))
   }
+
+  test("round-2 expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("docs")
+    // shingle_hashes: n words → n-2 trigram hashes
+    val sh = spark.sql(
+      """SELECT size(split(text, ' ')) AS nw, size(shingle_hashes(text, 3)) AS ns
+        |FROM docs ORDER BY doc_id LIMIT 5""".stripMargin)
+      .collect()
+    assert(sh.forall(r => r.getInt(1) == math.max(r.getInt(0) - 2, 0)))
+    // simhash_signature aggregates to one 64-bit fingerprint per doc
+    val fps = spark.sql(
+      """SELECT doc_id, simhash_signature(xxhash64(w)) AS fp
+        |FROM (SELECT doc_id, explode(array_distinct(split(text, ' '))) AS w FROM docs)
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 3""".stripMargin)
+      .collect().map(_.getLong(1))
+    assert(fps.distinct.length == 3)
+    // hyperplane_band_keys: b band keys, each within r bits
+    sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb")
+    val keys = spark.sql(
+      "SELECT hyperplane_band_keys(embedding, 16, 12) AS k FROM emb ORDER BY vec_id LIMIT 5")
+      .collect().map(_.getSeq[Long](0))
+    assert(keys.forall(k => k.length == 16 && k.forall(v => v >= 0 && v < (1L << 12))))
+  }
 }
