@@ -26,15 +26,20 @@ object Bench {
     // 2.1s-8.0s across back-to-back runs); min-of-2 after a warm-up is the
     // standard noise-resistant throughput estimate and stays honest — the
     // cache is cleared between passes, every pass does the full work.
+    // A failed pass must not contribute a (fast) time-to-failure to the min:
+    // it scores +Inf, and a query that failed BOTH passes reports -1.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
     val pass1 = timedPass()
     spark.catalog.clearCache()
     val pass2 = timedPass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val results = pass1.map { case (k, v) =>
+      val m = math.min(v, pass2(k))
+      k -> (if (m.isInfinite) -1.0 else m)
+    }
     // Compact JSON (ms precision) printed AFTER spark.stop() so no Spark
     // shutdown logging can follow it — the harness keeps the log TAIL, and a
     // long line followed by more output got front-truncated in round 1

@@ -71,6 +71,10 @@ case class HyperplaneBandKeys(child: Expression, masks: Seq[Long], rowsPerBand: 
 
   private def compute(v: ArrayData): Array[Long] = {
     val d = v.numElements()
+    // One 64-bit mask word per plane: beyond 64 dims the `i & 63` lookup
+    // would silently correlate dimension i with i−64 in every plane (and
+    // diverge from any oracle folding 64 dims) — fail fast instead.
+    require(d <= 64, s"$prettyName supports vectors of at most 64 dimensions, got $d")
     val keys = new Array[Long](maskArr.length / rowsPerBand)
     var p = 0
     while (p < maskArr.length) {
@@ -103,6 +107,8 @@ case class HyperplaneBandKeys(child: Expression, masks: Seq[Long], rowsPerBand: 
       val x = ctx.freshName("x")
       s"""
          |int $d = $a.numElements();
+         |if ($d > 64) throw new IllegalArgumentException(
+         |  "hyperplane_band_keys supports vectors of at most 64 dimensions, got " + $d);
          |long[] $keys = new long[$masksRef.length / $rowsPerBand];
          |for (int $p = 0; $p < $masksRef.length; $p++) {
          |  long $m = $masksRef[$p];

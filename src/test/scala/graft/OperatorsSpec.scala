@@ -146,6 +146,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane band keys reject >64-dim vectors instead of silently correlating planes") {
+    val df = Seq((1L, Array.fill(65)(0.1f))).toDF("vec_id", "embedding")
+    val masks = graft.functions.Hyperplanes.masks(24)
+    val e = intercept[Exception] {
+      df.select(graft.functions.HyperplaneBandKeys(col("embedding"), masks.toSeq, 12)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("64 dimensions")))
+  }
+
   test("banded hyperplane LSH finds planted near-duplicates (recall on high-cosine pairs)") {
     // 40 seeded random 64-dim vectors; vectors 100..104 are tiny perturbations
     // of 0..4 (cosine > 0.99). LSH at τ=0.95 must recover all 5 planted pairs
