@@ -263,6 +263,27 @@ object BTier {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4 surface): a generated 1995–1996 month spine
+    * LEFT-joined to orders — the calendar-spine analytics pattern, with
+    * empty months surviving as zero rows. Identical ANSI text runs in
+    * DuckDB; `make_date` keys both sides (Spark's DATE_TRUNC returns
+    * TIMESTAMP while DuckDB's returns DATE, so it can't be the join key). */
+  private val recursiveSql: String =
+    """WITH RECURSIVE n(i) AS (
+      |  SELECT 0 UNION ALL SELECT i + 1 FROM n WHERE i < 23),
+      |months AS (
+      |  SELECT make_date(1995 + CAST(FLOOR(i / 12) AS INT), 1 + i % 12, 1) AS month FROM n)
+      |SELECT month, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+      |FROM months LEFT JOIN orders
+      |  ON make_date(CAST(YEAR(o_orderdate) AS INT), CAST(MONTH(o_orderdate) AS INT), 1) = month
+      |GROUP BY month ORDER BY month""".stripMargin
+
+  private val b36: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(recursiveSql)
+  }
+
   /** JSON extraction from the events.props string column. */
   private val b21: Q = (spark, sfDir) =>
     Tables(spark, sfDir, "events")
@@ -436,7 +457,8 @@ object BTier {
     "b32_full_outer_join" -> b32,
     "b33_percentiles" -> b33,
     "b34_correlated_scalar" -> b34,
-    "b35_lateral_topk" -> b35)
+    "b35_lateral_topk" -> b35,
+    "b36_recursive_cte" -> b36)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -615,5 +637,6 @@ object BTier {
          | SELECT o_orderkey, o_totalprice FROM orders
          | WHERE o_custkey = c_custkey
          | ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
-         |ORDER BY c_custkey""".stripMargin.replace("\n", " ")))
+         |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+    "b36_recursive_cte" -> recursiveSql.replace("\n", " "))
 }
