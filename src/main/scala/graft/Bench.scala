@@ -40,20 +40,29 @@ object Bench {
       val m = math.min(v, pass2(k))
       k -> (if (m.isInfinite) -1.0 else m)
     }
-    // Compact JSON (ms precision) printed AFTER spark.stop() so no Spark
-    // shutdown logging can follow it — the harness keeps the log TAIL, and a
-    // long line followed by more output got front-truncated in round 1
-    // (BENCH_r01 "parsed": null). Also persisted to bench_out.json.
+    // The harness keeps only the last 2000 chars of the log (measured from
+    // BENCH_r01/r02: "tail" is exactly 2000 chars and sbt's trailing
+    // "[success] Total time..." line eats ~75 of them), so a full-name
+    // per-query map (~3.4 KB) can never survive intact -> "parsed": null in
+    // both prior rounds. stdout therefore gets the query-ID prefix as key
+    // ("a01_csv_roundtrip_agg" -> "a01"; IDs are unique), keeping the line
+    // under ~1 KB with headroom to grow, while bench_out.json mirrors the
+    // full-name map at full precision. Printed AFTER spark.stop() so no
+    // shutdown logging can follow it.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jsonLine(keyOf: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val fullLine = jsonLine(identity)
+    val shortLine = jsonLine(_.takeWhile(_ != '_'))
     spark.stop()
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(line)
+    println(shortLine)
   }
 }

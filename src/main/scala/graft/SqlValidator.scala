@@ -28,7 +28,20 @@ object SqlValidator {
     * reference's `int(...)` at import time, a non-numeric override fails
     * loudly rather than being silently ignored. */
   def maxRowsFromEnv(env: Map[String, String]): Int =
-    env.get("MAX_ROWS_LIMIT").map(_.trim.toInt).getOrElse(200)
+    env.get("MAX_ROWS_LIMIT") match {
+      case Some(raw) =>
+        try raw.trim.toInt
+        catch {
+          case e: NumberFormatException =>
+            // Still fail-loud like the reference's import-time int(), but
+            // name the env var and value: a bare NumberFormatException inside
+            // the object initializer would otherwise surface as an opaque
+            // ExceptionInInitializerError / NoClassDefFoundError.
+            throw new IllegalArgumentException(
+              s"MAX_ROWS_LIMIT must be an integer, got '$raw'", e)
+        }
+      case None => 200
+    }
 
   /** `MAX_ROWS_LIMIT` (`config.py:9`), resolved from the real environment. */
   val MaxRowsLimit: Int = maxRowsFromEnv(sys.env)

@@ -277,6 +277,9 @@ object Dedup {
     require(numBands > maxHamming, "pigeonhole completeness needs numBands > maxHamming")
     require(numBits % numBands == 0, "numBands must divide numBits")
     val bandBits = numBits / numBands
+    // bandBits = 64 would make `1L << 64` wrap to 1 (mask 0 -> one bucket ->
+    // O(n^2) candidates); the scale property must fail loudly, not silently.
+    require(bandBits <= 63, s"band width $bandBits bits exceeds 63 (mask would overflow); use numBands >= 2")
     val bandMask = (1L << bandBits) - 1
     // bit i of the fingerprint = sign of Σ_words (2·bit_i(h) − 1), computed
     // by the native SimHashSignature aggregate (64 separate sum() aggregates

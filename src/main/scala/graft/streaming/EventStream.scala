@@ -84,10 +84,17 @@ object EventStream {
       : (String, org.apache.spark.sql.types.StructType) =
     sliceCache.computeIfAbsent(sfDir, _ => buildSliceReplayDir(spark, sfDir))
 
-  /** Slice the batch events parquet at fixed weekly boundaries into one file
-    * per slice under a fresh watch directory, with strictly increasing
-    * modification times so the streaming file source (maxFilesPerTrigger=1)
-    * replays them as ordered micro-batches. Returns (watchDir, schema). */
+  /** Slice the batch events parquet into ~quartile slices of its event-time
+    * range, one file per slice under a fresh watch directory, with strictly
+    * increasing modification times so the streaming file source
+    * (maxFilesPerTrigger=1) replays them as ordered micro-batches.
+    *
+    * Boundaries are the exact 25/50/75 percentiles of `ts`, derived from the
+    * data rather than hard-coded dates, so any events dataset replays as
+    * genuinely multiple micro-batches (the watermark-ratcheting behavior
+    * being demonstrated). Degenerate distributions that collapse every
+    * percentile (< 2 non-empty slices) fail loudly instead of silently
+    * degrading to a single batch. Returns (watchDir, schema). */
   private def buildSliceReplayDir(spark: SparkSession, sfDir: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     graft.sources.Tables.ensureNanosAsLong(spark)
@@ -95,23 +102,36 @@ object EventStream {
     val base = java.nio.file.Files.createTempDirectory("graft_append_")
     val watch = base.resolve("watch")
     java.nio.file.Files.createDirectories(watch)
-    val boundsNanos = Seq("2024-01-08", "2024-01-15", "2024-01-22")
-      .map(d => java.time.Instant.parse(s"${d}T00:00:00Z").toEpochMilli * 1000000L)
-    val ranges: Seq[org.apache.spark.sql.Column] = Seq(
-      col("ts") < boundsNanos(0),
-      col("ts") >= boundsNanos(0) && col("ts") < boundsNanos(1),
-      col("ts") >= boundsNanos(1) && col("ts") < boundsNanos(2),
-      col("ts") >= boundsNanos(2))
-    ranges.zipWithIndex.foreach { case (cond, i) =>
+    // One tiny driver action at setup time (harness plumbing, not the
+    // measured query). Double round-off on ~1e18 nanos shifts a boundary by
+    // O(100 ns) — irrelevant to slice placement.
+    val bounds = raw
+      .select(expr("percentile(ts, array(0.25, 0.5, 0.75))"))
+      .head().getSeq[Double](0).map(_.toLong).distinct.sorted
+    val edges = (Long.MinValue +: bounds) :+ Long.MaxValue
+    val ranges = edges.sliding(2).toSeq.collect {
+      case Seq(lo, hi) => col("ts") >= lo && col("ts") < hi
+    }
+    val written = ranges.zipWithIndex.count { case (cond, i) =>
       val staging = base.resolve(s"staging$i")
       raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(staging.toString)
       val part = staging.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = watch.resolve(f"slice$i%02d.parquet").toFile
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // strictly increasing mtimes pin the replay order (file source batches
-      // by modification time); minute spacing dodges coarse FS timestamps
-      dst.setLastModified((i + 1) * 60000L)
+      // An empty slice writes a parquet file with zero rows; skip it so
+      // every replayed micro-batch carries data (keeps `written` honest).
+      val hasRows = spark.read.parquet(staging.toString).limit(1).count() > 0
+      if (hasRows) {
+        val dst = watch.resolve(f"slice$i%02d.parquet").toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // strictly increasing mtimes pin the replay order (file source
+        // batches by modification time); minute spacing dodges coarse FS
+        // timestamps
+        dst.setLastModified((i + 1) * 60000L)
+      }
+      hasRows
     }
+    require(written >= 2,
+      s"events ts distribution yielded $written non-empty slices; " +
+        "multi-batch replay needs >= 2 (is the ts column constant?)")
     (watch.toString, raw.schema)
   }
 

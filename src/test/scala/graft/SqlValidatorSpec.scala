@@ -39,8 +39,14 @@ class SqlValidatorSpec extends AnyFunSuite {
   test("MAX_ROWS_LIMIT resolved from the environment (config.py:9 parity)") {
     assert(SqlValidator.maxRowsFromEnv(Map.empty) == 200)
     assert(SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "55")) == 55)
-    // int(os.getenv(...)) raises on garbage in the reference — so do we
-    intercept[NumberFormatException](SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "lots")))
+    // int(os.getenv(...)) raises on garbage in the reference — so do we,
+    // but with the env var and offending value named in the message (a bare
+    // NumberFormatException in the object initializer surfaces as an opaque
+    // ExceptionInInitializerError)
+    val e = intercept[IllegalArgumentException](
+      SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "lots")))
+    assert(e.getMessage.contains("MAX_ROWS_LIMIT") && e.getMessage.contains("lots"))
+    assert(e.getCause.isInstanceOf[NumberFormatException])
     assert(SqlValidator.validate("SELECT x FROM df", Nil,
       maxRows = SqlValidator.maxRowsFromEnv(Map("MAX_ROWS_LIMIT" -> "9"))).endsWith("LIMIT 9"))
   }
