@@ -250,6 +250,31 @@ object Dedup {
       .withColumn("dup_frac",
         lit(1.0) - col("n_unique").cast("double") / col("n_grams").cast("double"))
 
+  /**
+   * Eval-set decontamination: find training docs sharing at least one
+   * word n-gram with a held-out benchmark/eval subset — the standard
+   * n-gram-overlap contamination test applied before LLM training. `isEval`
+   * partitions the corpus; the result is every NON-eval doc that shares ≥ 1
+   * n-gram with ANY eval doc, with the count of distinct shared n-grams.
+   *
+   * Scale: both sides shingle map-side ([[shingleHashRows]], codegen'd, no
+   * exchange); the eval side collapses to a DISTINCT 8-byte hash set that is
+   * orders of magnitude smaller than the corpus, so the contamination join
+   * is a hash semi-style equi-join on a long key (broadcastable when the
+   * eval set is small, AQE decides), followed by one partial-aggregating
+   * count per doc. No doc×doc pairwise work at any stage; set equality on
+   * hashes equals set equality on n-grams up to 64-bit collisions.
+   */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, n: Int = 8): DataFrame = {
+    val evalShingles = shingleHashRows(docs.filter(isEval), idCol, textCol, n)
+      .select("sh").distinct()
+    val trainShingles = shingleHashRows(docs.filter(!isEval), idCol, textCol, n)
+    trainShingles.join(evalShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Portable 60-bit word hash: first 15 hex chars of md5, parsed base-16.
     * Unlike xxhash64, md5 is computable in any SQL engine, which makes the
     * simhash pipeline built on it fully oracle-checkable; 15 hex chars keep

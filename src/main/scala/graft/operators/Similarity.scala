@@ -112,6 +112,47 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
+   * `nCells` cells; each vector joins its nearest centroid by cosine
+   * (argmax; ties → lowest centroid id). A query probes the `nProbe` cells
+   * whose centroids are most similar and runs exact cosine top-k on just
+   * those cells — the classic IVF-Flat recall/cost dial.
+   *
+   * Centroids are the embeddings of deterministic seed rows (vec_id 1..n),
+   * standing in for k-means training so the whole index is reproducible by
+   * an external SQL oracle; Lloyd iterations would refine placement without
+   * changing the query path. Scale: assignment is one map-side pass over a
+   * broadcast of nCells rows (the standard N×K IVF assignment), the argmax
+   * is a partial-aggregating `max(struct(...))` (no window shuffle), and at
+   * rest `cell` becomes the storage partition key so a query reads
+   * ~nProbe/nCells of the corpus instead of all of it.
+   */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = embeddings
+      .filter(col("vec_id") >= 1 && col("vec_id") <= nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // argmax cosine per vector: max over (sim, -cid) structs aggregates
+    // map-side; first(embedding) is deterministic (constant per vec_id)
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"),
+        struct(cosine(col("embedding"), col("cemb")).as("csim"), (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cell"))
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("cid").as("cell"), cosine(col("cemb"), col("qe")).as("qsim"))
+      .orderBy(desc("qsim"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    assigned.join(broadcast(probed), Seq("cell"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /**
    * Banded-LSH ANN top-k: candidates = vectors sharing ≥ 1 (band, key) with
    * the query, exact cosine top-k among them. Unlike [[annTopK]]'s single
    * coarse bucket, the probed fraction shrinks as 2^−r while `numBands`

@@ -15,6 +15,25 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** PII patterns, RE2-compatible so the same string drives Spark's Java
+    * regex engine and an external SQL oracle identically: no backrefs, no
+    * lookaround, explicit character classes only. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[- ]\\d{3,4}([- ]\\d{4})?\\b"
+
+  /** PII scrubbing: emails then phone-shaped digit runs replaced by typed
+    * placeholder tokens (order fixed: the email pass must not see digits the
+    * phone pass already consumed and vice versa). Pure codegen'd per-row
+    * string rewrite — the scrub of a 100 TB corpus is one map-side pass. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  /** Occurrences of `pattern` in `text` (redaction audit counts). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
   /** BPE-ish token count: lowercase, split on non-alphanumeric runs, drop
     * empties (a cheap stand-in for a real BPE vocab — the regex boundary
     * behavior is what a tokenizer-shaped pipeline stage needs to prove). */

@@ -284,6 +284,52 @@ object BTier {
     spark.sql(recursiveSql)
   }
 
+  /** ORC source/sink round-trip (columnar format beyond parquet/CSV/JSON):
+    * parquet → ORC write → ORC scan → aggregate. ORC round-trips the exact
+    * binary doubles, so the oracle aggregates the parquet directly. */
+  private val b37: Q = (spark, sfDir) => {
+    val path = s"$scratchDir/orders_orc"
+    Tables(spark, sfDir, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Window frame zoo: ntile, percent_rank, cume_dist, first/last_value with
+    * explicit ROWS frames, and a bounded ROWS running sum — one pass over a
+    * single (partition, order) pair so all functions share one sort. The
+    * in-partition order is unique (totalprice DESC, orderkey) so every
+    * rank-family output is deterministic. */
+  private val b38: Q = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("best_key"),
+        last_value(col("o_orderkey"))
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("worst_key"),
+        sum(col("o_totalprice").cast(dec))
+          .over(w.rowsBetween(-2, Window.currentRow)).cast("double").as("sum3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Collection aggregation: per-group sorted distinct list rendered to a
+    * string (engine-portable form of collect_set/string_agg) plus list
+    * cardinality. */
+  private val b39: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
+        size(collect_set(col("o_orderpriority"))).as("n_pri"),
+        array_join(sort_array(collect_set(year(col("o_orderdate")).cast("string"))), "|").as("years"))
+      .orderBy("o_orderstatus")
+
   /** JSON extraction from the events.props string column. */
   private val b21: Q = (spark, sfDir) =>
     Tables(spark, sfDir, "events")
@@ -458,7 +504,10 @@ object BTier {
     "b33_percentiles" -> b33,
     "b34_correlated_scalar" -> b34,
     "b35_lateral_topk" -> b35,
-    "b36_recursive_cte" -> b36)
+    "b36_recursive_cte" -> b36,
+    "b37_orc_roundtrip_agg" -> b37,
+    "b38_window_frames" -> b38,
+    "b39_collect_agg" -> b39)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -638,5 +687,28 @@ object BTier {
          | WHERE o_custkey = c_custkey
          | ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
          |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
-    "b36_recursive_cte" -> recursiveSql.replace("\n", " "))
+    "b36_recursive_cte" -> recursiveSql.replace("\n", " "),
+    "b37_orc_roundtrip_agg" ->
+      (s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         | ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin.replace("\n", " ")),
+    "b38_window_frames" ->
+      ("""SELECT o_custkey, o_orderkey,
+         | CAST(NTILE(4) OVER w AS INT) AS quartile,
+         | PERCENT_RANK() OVER w AS pr,
+         | CUME_DIST() OVER w AS cd,
+         | FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_key,
+         | LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS worst_key,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |   OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " ")),
+    "b39_collect_agg" ->
+      ("""SELECT o_orderstatus,
+         | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+         | CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_pri,
+         | array_to_string(list_sort(list(DISTINCT CAST(CAST(YEAR(o_orderdate) AS INT) AS VARCHAR))), '|') AS years
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")))
 }

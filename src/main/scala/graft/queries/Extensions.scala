@@ -196,6 +196,64 @@ object Extensions {
       .orderBy("p")
   }
 
+  /** x28 — streaming deduplication: dropDuplicates keyed state across
+    * ordered micro-batches; emitted set == batch DISTINCT. */
+  private val x28: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.streamingDistinctPairs(spark, sfDir)
+
+  /** x29 — stream-static enrichment join (stateless) + streaming agg:
+    * events joined to the customer dimension per micro-batch. */
+  private val x29: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.streamStaticSegmentCounts(spark, sfDir)
+
+  /** x30 — IVF-Flat ANN: nearest-centroid cells (deterministic seeds),
+    * probe the 4 best cells, exact cosine top-k within them. */
+  private val x30: Q = (spark, sfDir) =>
+    Similarity.ivfTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10)
+
+  /** x31 — PII scrubbing: deterministic synthetic PII (derived from doc_id,
+    * same construction in the oracle) injected into each doc, then redacted
+    * and audited — one codegen'd map-side pass, no shuffle before the final
+    * sort. */
+  private val x31: Q = (spark, sfDir) => {
+    val dirty = concat(col("text"), lit(" contact doc"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        md5(TextAnalysis.redactPii(col("dirty"))).as("redacted_md5"),
+        TextAnalysis.piiCount(col("dirty"), TextAnalysis.EmailPattern).as("n_emails"),
+        TextAnalysis.piiCount(col("dirty"), TextAnalysis.PhonePattern).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** x32 — partitioned lake layout: write orders partitioned by year, read
+    * back with a partition-key filter — the scan must touch only the 1997
+    * directory (PartitionFilters, plan-asserted in PlanSpec), the mechanism
+    * that turns a 100 TB scan into a 1-partition read. */
+  private val x32: Q = (spark, sfDir) => {
+    val path = s"${QueryUtil.scratchDir}/orders_by_year"
+    Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("o_year") === 1997)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** x33 — eval-set decontamination: training docs sharing any n-gram with
+    * the held-out subset (doc_id % 97 == 0), with shared-n-gram counts.
+    * n = 4 here: the synthetic word-salad corpus has almost no ≥8-gram
+    * collisions (real corpora use 8–13), and 4 keeps the output non-trivial
+    * at every SF; n is the operator's parameter either way. */
+  private val x33: Q = (spark, sfDir) =>
+    Dedup.decontaminate(docs(spark, sfDir), "doc_id", "text",
+      isEval = pmod(col("doc_id"), lit(97)) === 0, n = 4)
+      .orderBy("doc_id")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -234,7 +292,13 @@ object Extensions {
     "x24_dedup_retain_best" -> x24,
     "x25_top_terms_per_lang" -> x25,
     "x26_streaming_append_watermark" -> x26,
-    "x27_streaming_closed_sessions" -> x27)
+    "x27_streaming_closed_sessions" -> x27,
+    "x28_streaming_dedup" -> x28,
+    "x29_stream_static_join" -> x29,
+    "x30_ivf_ann_topk" -> x30,
+    "x31_pii_redaction" -> x31,
+    "x32_partition_pruned_read" -> x32,
+    "x33_decontaminate_ngram" -> x33)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -494,6 +558,54 @@ object Extensions {
       ("""SELECT CAST(doc_id % 8 AS INT) AS shard, COUNT(*) AS n_docs,
          | CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " ")),
+    "x28_streaming_dedup" ->
+      ("SELECT DISTINCT user_id, event_type FROM events " +
+        "ORDER BY user_id, event_type"),
+    "x29_stream_static_join" ->
+      ("""SELECT c_mktsegment, event_type, COUNT(*) AS n
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin.replace("\n", " ")),
+    "x30_ivf_ann_topk" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |probe AS (SELECT cid FROM cent, qv
+         |  ORDER BY ${cos2Sql("cemb", "qe")} DESC, cid LIMIT 4)
+         |SELECT a.vec_id, ROUND(${cos2Sql("a.embedding", "qe")}, 6) AS sim
+         |FROM asg a JOIN probe USING (cid), qv
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin.replace("\n", " ")),
+    "x31_pii_redaction" ->
+      (s"""WITH d AS (SELECT doc_id,
+         |  text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+         |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+         | FROM documents)
+         |SELECT doc_id,
+         | md5(regexp_replace(regexp_replace(dirty,
+         |   '${graft.operators.TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+         |   '${graft.operators.TextAnalysis.PhonePattern}', '[PHONE]', 'g')) AS redacted_md5,
+         | CAST(len(regexp_extract_all(dirty, '${graft.operators.TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(dirty, '${graft.operators.TextAnalysis.PhonePattern}')) AS INT) AS n_phones
+         |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x32_partition_pruned_read" ->
+      ("""SELECT o_orderpriority, COUNT(*) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders WHERE CAST(YEAR(o_orderdate) AS INT) = 1997
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
+    "x33_decontaminate_ngram" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-3)) AS i FROM w WHERE len(ws) >= 4),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM ix),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (s) GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
          |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p) MONTH AS pstart,

@@ -160,6 +160,73 @@ object EventStream {
       .orderBy("hour", "event_type")
   }
 
+  /**
+   * STREAMING DEDUPLICATION: `dropDuplicates` over the ordered multi-batch
+   * replay — the first (user_id, event_type) occurrence passes, every later
+   * duplicate (including across micro-batches, which is what the keyed state
+   * store exists for) is dropped. Append mode; the emitted SET is the
+   * distinct pairs regardless of arrival order, so the oracle is a plain
+   * batch DISTINCT.
+   *
+   * State note: the exact-dedup state here grows with the distinct-key count
+   * (the correct semantics for a bounded key domain like user×type). For an
+   * unbounded domain a deployment trades exactness for bounded state with
+   * `dropDuplicatesWithinWatermark`, which this operator deliberately does
+   * not use: re-emission after state eviction would break set-equality with
+   * the batch oracle.
+   */
+  def streamingDistinctPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val dedup = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+    val qname = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = dedup.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    spark.table(qname).orderBy("user_id", "event_type")
+  }
+
+  /**
+   * STREAM-STATIC JOIN: the event stream enriched against the static
+   * `customer` dimension (user_id ↔ c_custkey), then a windowless streaming
+   * aggregation by (market segment, event type). The static side is read
+   * per micro-batch and hash-broadcast — the join itself is STATELESS (no
+   * watermark, no join state), which is exactly why stream-static is the
+   * preferred enrichment shape at scale; the only stateful operator is the
+   * final aggregation (complete mode ⇒ final state equals the batch join).
+   */
+  def streamStaticSegmentCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .select(col("user_id"), col("event_type"))
+    val dim = graft.sources.Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val agg = stream.join(dim, Seq("user_id"))
+      .groupBy("c_mktsegment", "event_type")
+      .count()
+
+    val qname = "graft_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    spark.table(qname)
+      .select(col("c_mktsegment"), col("event_type"), col("count").as("n"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   /** Open-session state for [[closedSessions]]. */
   case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
 

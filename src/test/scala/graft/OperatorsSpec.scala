@@ -100,6 +100,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((3L, 5L)) == 0)
     assert(pairs.get((0L, 2L)).forall(_ <= 3)) // one-word change stays close
   }
+
+  test("simhash: 64-bit single band is rejected (mask would overflow to one bucket)") {
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0, numBands = 1))
+    assert(e.getMessage.contains("63"))
+  }
+
+  test("decontaminate: flags only train docs sharing an n-gram with the eval set") {
+    // doc 0 is eval; docs 1 and 2 share its 4-grams ("the quick brown fox",
+    // ...), doc 3 shares nothing, doc 5 duplicates 3 (still nothing shared)
+    val out = Dedup.decontaminate(docs, "doc_id", "text",
+        isEval = col("doc_id") === 0, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L) && out.contains(2L))
+    assert(!out.contains(3L) && !out.contains(5L) && !out.contains(0L))
+    // doc 1 is an exact dup of the eval doc: every one of its 4-grams is shared
+    val nGrams1 = base.split(" ").length - 3
+    assert(out(1L) == nGrams1)
+    assert(out(2L) < out(1L)) // the near dup shares strictly fewer
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -120,6 +140,27 @@ class SimilaritySpec extends AnyFunSuite {
     val top = Similarity.bruteForceTopK(emb, q, 5).collect()
     assert(top.length == 5)
     assert(top.head.getLong(0) == 0L) // the query vector itself, sim 1.0
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("ivf: probing every cell recovers the exact brute-force top-k") {
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val ivf = Similarity.ivfTopK(emb, q, 10, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("ivf: fewer probes return a subset of the probed cells, query found via its own cell") {
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val top = Similarity.ivfTopK(emb, q, 5, nCells = 16, nProbe = 4).collect()
+    assert(top.nonEmpty && top.length <= 5)
+    // the query vector's own cell is always its best-probed cell → vec 0 leads
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
     val sims = top.map(_.getDouble(1))
     assert(sims.sameElements(sims.sorted.reverse))
   }
@@ -230,6 +271,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toDF("text")
     val out = df.select(TextAnalysis.langIdHeuristic(col("text"))).collect().map(_.getString(0))
     assert(out.toSeq == Seq("de", "fr", "en"))
+  }
+
+  test("redactPii: emails and phone shapes replaced, clean text untouched") {
+    val df = Seq(
+      "reach me at jane.doe+spam@sub.example.co.uk or 555-0123 thanks",
+      "call 020-7946-0958 now",
+      "no pii here at all").toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(out(0) == "reach me at [EMAIL] or [PHONE] thanks")
+    assert(out(1) == "call [PHONE] now")
+    assert(out(2) == "no pii here at all")
+    val counts = df.select(
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(counts.toSeq == Seq((1, 1), (0, 1), (0, 0)))
   }
 }
 

@@ -99,6 +99,28 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("x32: the partition-pruned query reads only the filtered partition") {
+    val p = plan("x32_partition_pruned_read")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition filters at the scan:\n$p")
+    assert("""\(o_year#\d+ = 1997\)""".r.findFirstIn(p).isDefined,
+      s"expected the 1997 pruning predicate:\n$p")
+  }
+
+  test("x30: IVF probes via broadcast semi-join and plans top-k, no cartesian blowup") {
+    val p = plan("x30_ivf_ann_topk")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert(p.contains("LeftSemi"), s"cell probe should be a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("x33: decontamination joins on the 8-byte shingle hash, no pairwise doc work") {
+    val p = plan("x33_decontaminate_ngram")
+    assert(p.contains("shingle_hashes"), s"expected map-side shingling in:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"contamination check must be an equi-join:\n$p")
+  }
+
   test("x21: bucketized range join avoids BroadcastNestedLoopJoin") {
     val p = plan("x21_range_join_bucketized")
     assert(!p.contains("BroadcastNestedLoop"), s"range join must be equi-bucketized:\n$p")
