@@ -107,6 +107,34 @@ object TextAnalysis {
    * runs over that tiny aggregate, never over the corpus. Ties break
    * alphabetically for determinism.
    */
+  /**
+   * TF-IDF term weighting: tf(term, doc) · ln(N / df(term)), top-k terms per
+   * document. The corpus size N joins in as a broadcast 1-row aggregate (no
+   * driver action), document frequencies partial-aggregate before their
+   * shuffle, and the per-doc ranking window sees only the collapsed
+   * (doc, term) counts — the same agg-then-rank shape as
+   * [[topTermsPerLang]]. Ranking compares each engine's own unrounded
+   * scores (equal (tf, df) pairs are exactly equal, distinct ones differ by
+   * far more than an ulp of ln), ties break on the term, and the emitted
+   * score is rounded — so the output is engine-portable.
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("word"), round(col("score"), 6).as("tfidf"), col("rank"))
+  }
+
   def topTermsPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs

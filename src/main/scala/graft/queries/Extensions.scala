@@ -254,6 +254,17 @@ object Extensions {
       isEval = pmod(col("doc_id"), lit(97)) === 0, n = 4)
       .orderBy("doc_id")
 
+  /** x34 — stream-stream interval join: errors ⨝ same-user purchases within
+    * the preceding hour, two watermarked streams (bounded join state). */
+  private val x34: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.streamStreamErrorPurchases(spark, sfDir)
+
+  /** x35 — TF-IDF top-3 terms per document (classic relevance weighting;
+    * agg-then-rank, broadcast corpus size). */
+  private val x35: Q = (spark, sfDir) =>
+    TextAnalysis.tfidfTopTerms(docs(spark, sfDir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -298,7 +309,9 @@ object Extensions {
     "x30_ivf_ann_topk" -> x30,
     "x31_pii_redaction" -> x31,
     "x32_partition_pruned_read" -> x32,
-    "x33_decontaminate_ngram" -> x33)
+    "x33_decontaminate_ngram" -> x33,
+    "x34_stream_stream_join" -> x34,
+    "x35_tfidf_top_terms" -> x35)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -606,6 +619,24 @@ object Extensions {
          |SELECT doc_id, COUNT(*) AS n_shared
          |FROM tr JOIN ev USING (s) GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")),
+    "x34_stream_stream_join" ->
+      ("""SELECT e.event_id AS err_id, p.event_id AS pur_id, e.user_id, p.value
+         |FROM events e JOIN events p ON e.user_id = p.user_id
+         | AND e.event_type = 'error' AND p.event_type = 'purchase'
+         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+         |ORDER BY err_id, pur_id""".stripMargin.replace("\n", " ")),
+    "x35_tfidf_top_terms" ->
+      ("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, tf.word AS word,
+         |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.word) AS rank
+         | FROM tf JOIN df ON tf.word = df.word, n)
+         |SELECT doc_id, word, ROUND(score, 6) AS tfidf, CAST(rank AS INT) AS rank
+         |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
          |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p) MONTH AS pstart,

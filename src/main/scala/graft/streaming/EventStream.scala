@@ -227,6 +227,51 @@ object EventStream {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /**
+   * STREAM-STREAM JOIN: error events joined to the same user's purchase
+   * events within the preceding hour — two watermarked streams, an equi-key
+   * plus event-time range condition. This is the interval-join shape Spark
+   * requires for state cleanup: the watermark + range bound lets each side
+   * evict buffered rows once no future match is possible, so state is
+   * bounded by (users active within the hour), not the stream length.
+   *
+   * INNER join ⇒ every match is emitted exactly once regardless of
+   * micro-batch boundaries, so the full emitted set equals the batch
+   * interval join — plain SQL for the oracle. The replay slices are
+   * ts-range partitions, so later batches never carry earlier timestamps
+   * and nothing is late-dropped.
+   */
+  def streamStreamErrorPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "0 seconds")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
+        col("ts").as("pur_ts"), col("value"))
+      .withWatermark("pur_ts", "0 seconds")
+
+    val joined = errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("err_ts") >= col("pur_ts") &&
+        col("err_ts") <= col("pur_ts") + expr("INTERVAL 1 HOUR"))
+
+    val qname = "graft_ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    spark.table(qname)
+      .select(col("err_id"), col("pur_id"), col("user_id"), col("value"))
+      .orderBy("err_id", "pur_id")
+  }
+
   /** Open-session state for [[closedSessions]]. */
   case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
 
