@@ -16,6 +16,10 @@ run / fork := true
 // showSuccess=false suppresses it so the bench JSON line is genuinely last.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Forked run output normally goes through sbt's logger, which prefixes every
+// line with "[info] " — that would corrupt the bench JSON line the driver
+// parses. StdoutOutput passes the child's stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
