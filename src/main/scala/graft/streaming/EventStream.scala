@@ -243,7 +243,11 @@ object EventStream {
    */
   def streamStreamErrorPurchases(spark: SparkSession, sfDir: String): DataFrame = {
     val (watch, schema) = sliceReplayDir(spark, sfDir)
-    def src = spark.readStream.schema(schema)
+    // ONE source instance self-joined (Spark supports stream-stream
+    // self-joins): each file is read once per trigger and the two sides
+    // advance in lockstep, vs. two independent sources each re-scanning
+    // the watch directory with their own offset state.
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val errors = src.filter(col("event_type") === "error")
