@@ -59,7 +59,30 @@ object GraftExtensions {
         val bands = longArg(exprs(1)).toInt
         val rows = longArg(exprs(2)).toInt
         new HyperplaneBandKeys(exprs(0), Hyperplanes.masks(bands * rows).toSeq, rows)
-      }))
+      }),
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // runtime row-level filtering but leaves them out of the SQL registry
+    // (the optimizer injects them itself, above size thresholds a 0.1-SF
+    // table never meets). Exposing them lets a query state the build/probe
+    // sides of a bloom-pruned join explicitly — see operators/BloomJoin.
+    ("bloom_filter_build",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_build"),
+      (exprs: Seq[Expression]) => (exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_build(hash[, estNumItems, numBits]): got ${other.size} args")
+      }).toAggregateExpression()),
+    ("bloom_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
 
   /** Runtime registration on an existing session (functions + the row-cap
     * rule via `experimental.extraOptimizations`, which unlike

@@ -135,6 +135,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), round(col("score"), 6).as("tfidf"), col("rank"))
   }
 
+  /**
+   * Token-budget sequence packing: assign documents to fixed-size training
+   * shards by cumulative token count, in id order within each `groupCol`
+   * partition — the "concatenate the stream, cut every `budget` tokens"
+   * packing step of an LLM training pipeline (a doc whose tokens straddle a
+   * boundary belongs to the shard where it starts).
+   *
+   * Scale shape: one hash exchange on `groupCol`, then a single running-sum
+   * window per partition — no global sort. Greedy first-fit packing is
+   * inherently sequential; the cumulative-cut formulation is its
+   * parallelizable equivalent and what production packers use (each group —
+   * source, language, date bucket — packs independently on its own
+   * executor).
+   */
+  def packTokenShards(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Long = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(groupCol), tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col(idCol), col(groupCol), col("n_tok"),
+        // integer DIV, not double '/': cum overflows double's 2^53 exact
+        // range long before a 100 TB corpus runs out of tokens
+        expr(s"CAST((cum - n_tok) DIV $budgetTokens AS INT)").as("shard"))
+  }
+
   def topTermsPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs

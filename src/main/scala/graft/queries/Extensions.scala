@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -265,6 +265,41 @@ object Extensions {
     TextAnalysis.tfidfTopTerms(docs(spark, sfDir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** x36 — token-budget sequence packing: docs → fixed-2048-token training
+    * shards per source (cumulative-cut packing; one exchange + one window). */
+  private val x36: Q = (spark, sfDir) =>
+    TextAnalysis.packTokenShards(docs(spark, sfDir), "doc_id", "text", "source", 2048)
+      .orderBy("doc_id")
+
+  /** x37 — exact stratified sample: 1/10 of every language, deterministic
+    * md5-order selection (reproducible across runs and engines). */
+  private val x37: Q = (spark, sfDir) =>
+    Sampling.stratifiedSample(docs(spark, sfDir), "doc_id", "lang", num = 1, den = 10)
+      .orderBy("doc_id")
+
+  /** x38 — SCD2 history build: each user's event log → versioned validity
+    * intervals (row_number + lead on one shared per-key sort). */
+  private val x38: Q = (spark, sfDir) =>
+    Scd2.buildHistory(
+      Tables(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value"),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id", attrCols = Seq("value"))
+      .orderBy("user_id", "version")
+
+  /** x39 — bloom-pruned semi join: orders probed against a bloom filter of
+    * BUILDING customers before the exact semi join (runtime-filter shape,
+    * stated explicitly; FPs removed ⇒ result == plain semi join oracle). */
+  private val x39: Q = (spark, sfDir) => {
+    val dim = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    graft.operators.BloomJoin.bloomSemiJoin(
+      spark, Tables(spark, sfDir, "orders"), "o_custkey", dim, "c_custkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -311,7 +346,11 @@ object Extensions {
     "x32_partition_pruned_read" -> x32,
     "x33_decontaminate_ngram" -> x33,
     "x34_stream_stream_join" -> x34,
-    "x35_tfidf_top_terms" -> x35)
+    "x35_tfidf_top_terms" -> x35,
+    "x36_pack_token_shards" -> x36,
+    "x37_stratified_sample" -> x37,
+    "x38_scd2_history" -> x38,
+    "x39_bloom_semi_join" -> x39)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -637,6 +676,43 @@ object Extensions {
          | FROM tf JOIN df ON tf.word = df.word, n)
          |SELECT doc_id, word, ROUND(score, 6) AS tfidf, CAST(rank AS INT) AS rank
          |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")),
+    "x36_pack_token_shards" ->
+      ("""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM t)
+         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         | CAST((cum - n_tok) // 2048 AS INT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x37_stratified_sample" ->
+      ("""WITH r AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+         | FROM documents)
+         |SELECT doc_id, lang FROM r
+         |WHERE (rnk - 1) * 10 < n_stratum * 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x38_scd2_history" ->
+      ("""WITH p AS (SELECT user_id, ts, event_id, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts, event_id, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+         | FROM p)
+         |SELECT user_id, CAST(version AS INT) AS version,
+         | STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         | COALESCE(STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+         | CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current,
+         | value
+         |FROM v ORDER BY user_id, version""".stripMargin.replace("\n", " ")),
+    "x39_bloom_semi_join" ->
+      ("""SELECT o_orderpriority, COUNT(*) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
          |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p) MONTH AS pstart,

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomJoin, Sampling, Scd2, TextAnalysis}
+
+/** Round-3 pipeline operators: packing, stratified sampling, SCD2, bloom join. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("packTokenShards cuts at the budget, independently per group") {
+    // 4 docs of 3 tokens each per source; budget 5 → cuts at cum 0,3,6,9
+    val docs = (0L to 7L).map(i => (i, "a b c", if (i < 4) "s1" else "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packTokenShards(docs, "doc_id", "text", "source", budgetTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // per source: cum-before 0,3,6,9 → shards 0,0,1,1
+    assert(out == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1,
+      4L -> 0, 5L -> 0, 6L -> 1, 7L -> 1))
+  }
+
+  test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum, deterministically") {
+    val df = (1L to 100L).map(i => (i, if (i <= 30) "a" else "b")).toDF("id", "lang")
+    val s1 = Sampling.stratifiedSample(df, "id", "lang", 1, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Sampling.stratifiedSample(df, "id", "lang", 1, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2, "sample must be deterministic")
+    assert(s1.count(_._2 == "a") == 3) // ceil(30/10)
+    assert(s1.count(_._2 == "b") == 7) // ceil(70/10)
+  }
+
+  test("stratifiedSample ceiling uses integer arithmetic (no float boundary drift)") {
+    // n=25, 1/10 → ceil(2.5)=3; a float formulation computing 25*0.1=2.5000..01
+    // either way still ceils to 3, but n=500 with 0.1 can yield 51 — pin 50
+    val df = (1L to 500L).map(i => (i, "x")).toDF("id", "lang")
+    assert(Sampling.stratifiedSample(df, "id", "lang", 1, 10).count() == 50L)
+    val df25 = (1L to 25L).map(i => (i, "x")).toDF("id", "lang")
+    assert(Sampling.stratifiedSample(df25, "id", "lang", 1, 10).count() == 3L)
+  }
+
+  test("Scd2.buildHistory chains validity intervals and marks the current version") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 11L, 2.0),
+      (2L, ts("2024-03-01 12:00:00"), 12L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val rows = Scd2.buildHistory(changes, "user_id", "ts", "event_id", Seq("value"))
+      .orderBy("user_id", "version").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getInt(1) == 1 && r0.getString(2) == "2024-01-01 00:00:00" &&
+      r0.getString(3) == "2024-01-02 00:00:00" && r0.getInt(4) == 0)
+    val r1 = rows(1)
+    assert(r1.getInt(1) == 2 && r1.getString(3) == Scd2.OpenEnd && r1.getInt(4) == 1)
+    val r2 = rows(2)
+    assert(r2.getInt(1) == 1 && r2.getString(3) == Scd2.OpenEnd && r2.getInt(4) == 1)
+  }
+
+  test("Scd2.buildHistory breaks equal-timestamp ties by the tie column") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val changes = Seq((1L, ts, 20L, 1.0), (1L, ts, 19L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val rows = Scd2.buildHistory(changes, "user_id", "ts", "event_id", Seq("value"))
+      .orderBy("version").collect()
+    // event 19 sorts first on the tie column, so version 1 carries its value
+    assert(rows(0).getDouble(5) == 2.0 && rows(1).getDouble(5) == 1.0)
+  }
+
+  test("bloomSemiJoin equals the exact semi join (false positives removed)") {
+    val fact = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
+    val dim = Seq(3L, 500L, 999L, 12345L).toDF("dk")
+    val got = BloomJoin.bloomSemiJoin(spark, fact, "k", dim, "dk")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 500L, 999L))
+  }
+}

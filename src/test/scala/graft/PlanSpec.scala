@@ -167,4 +167,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"expected object hash agg in:\n$p")
     assert(p.contains("partial_minhash_signature"), "map-side partial aggregation expected")
   }
+
+  test("x36: token packing is one group exchange + one window, no join") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.TextAnalysis.packTokenShards(docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(source"), s"expected a source-key exchange in:\n$p")
+    assert(!p.contains("Join"), "packing must not join")
+    assert(!p.contains("rangepartitioning"), "packing must not globally sort")
+  }
+
+  test("x38: SCD2 version + lead share a single window pass over one exchange") {
+    val ev = sources.Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value")
+    val p = operators.Scd2.buildHistory(ev, "user_id", "ts", "event_id", Seq("value"))
+      .queryExecution.executedPlan.toString
+    // row_number and lead use the same partition+order ⇒ one Window operator
+    assert(p.sliding("Window [".length).count(_ == "Window [") == 1,
+      s"expected exactly one Window operator in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange in:\n$p")
+  }
+
+  test("x39: bloom probe reaches the fact side before the exact semi join") {
+    val p = plan("x39_bloom_semi_join")
+    assert(p.contains("might_contain"), s"expected a bloom probe in:\n$p")
+    assert(p.contains("LeftSemi"), s"expected an exact semi join in:\n$p")
+    // the bloom filter itself must be a reused subquery result, not rebuilt
+    // per row: it appears as a scalar subquery over the dim aggregate
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"expected the bloom build as a scalar subquery in:\n$p")
+  }
 }
