@@ -19,6 +19,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object EventStream {
 
+  /**
+   * Stateful streaming operators hash-partition their state by
+   * `spark.sql.shuffle.partitions`, and every micro-batch commits every
+   * partition's state store — at harness scale (tiny batches, 32-thread
+   * session conf) that is pure commit overhead: 32 store commits × N
+   * batches × sides for a few thousand rows. Drain streaming queries with
+   * the conf lowered to [[StreamStatePartitions]] and restore the caller's
+   * value after (the drain is synchronous, so nothing else observes it).
+   * The operator SHAPE is unchanged — state is still hash-distributed, a
+   * production deployment sizes the same knob to its executor count.
+   */
+  private val StreamStatePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamStatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.Tables.ensureNanosAsLong(spark)
     val path = s"$sfDir/events.parquet"
@@ -34,15 +54,13 @@ object EventStream {
       .count()
 
     val qname = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally {
-      query.stop()
+    withStatePartitions(spark) {
+      val query = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
     }
 
     spark.table(qname)
@@ -145,12 +163,14 @@ object EventStream {
       .count()
 
     val qname = "graft_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark) {
+      val query = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     spark.table(qname)
       .select(
@@ -183,12 +203,14 @@ object EventStream {
       .dropDuplicates("user_id", "event_type")
 
     val qname = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = dedup.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark) {
+      val query = dedup.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     spark.table(qname).orderBy("user_id", "event_type")
   }
@@ -215,12 +237,14 @@ object EventStream {
       .count()
 
     val qname = "graft_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark) {
+      val query = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     spark.table(qname)
       .select(col("c_mktsegment"), col("event_type"), col("count").as("n"))
@@ -264,12 +288,14 @@ object EventStream {
         col("err_ts") <= col("pur_ts") + expr("INTERVAL 1 HOUR"))
 
     val qname = "graft_ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     spark.table(qname)
       .select(col("err_id"), col("pur_id"), col("user_id"), col("value"))
@@ -341,9 +367,11 @@ object EventStream {
       }
 
     val qname = "graft_sessions_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = closed.toDF("user_id", "session_start", "session_end", "n_events")
-      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(qname).start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark) {
+      val query = closed.toDF("user_id", "session_start", "session_end", "n_events")
+        .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(qname).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     spark.table(qname).orderBy("user_id", "session_start")
   }
@@ -391,9 +419,11 @@ object EventStream {
       }
 
     val qname = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = sessions.toDF("user_id", "n_sessions", "n_events")
-      .writeStream.outputMode(OutputMode.Update()).format("memory").queryName(qname).start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark) {
+      val query = sessions.toDF("user_id", "n_sessions", "n_events")
+        .writeStream.outputMode(OutputMode.Update()).format("memory").queryName(qname).start()
+      try query.processAllAvailable() finally query.stop()
+    }
 
     spark.table(qname).orderBy("user_id")
   }
