@@ -435,14 +435,23 @@ object BTier {
       .orderBy("event_type")
   }
 
-  /** LEFT OUTER join with null-safe aggregation. */
+  /** LEFT OUTER join with null-safe aggregation. The aggregate is pushed
+    * BELOW the join (Catalyst doesn't do this rewrite itself): aggregating
+    * the fact side first means the shuffle carries one row per customer
+    * instead of one per order, and the left join runs dim-vs-dim — at 100 TB
+    * the difference between shuffling the fact table and shuffling its
+    * partial-agg output. Identical result: o_orderkey is never null, so
+    * per-key COUNT(*) before the join == COUNT(o_orderkey) after it, and
+    * match-less customers surface as nulls → COALESCE 0 either way. */
   private val b31: Q = (spark, sfDir) => {
     val c = Tables(spark, sfDir, "customer")
     val o = Tables(spark, sfDir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+    val oAgg = o.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("t"))
+    c.select("c_custkey").join(oAgg, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("t"), lit(0.0)).as("total"))
       .orderBy("c_custkey")
   }
 
