@@ -300,6 +300,33 @@ object Extensions {
       .orderBy("o_orderpriority")
   }
 
+  /** x40 — incremental aggregate maintenance: history rows pre-aggregated
+    * once into a materialized partial-state table (count + DECIMAL sum —
+    * both merge by addition), then merged with the fresh delta's partial
+    * aggregate by re-aggregating the union of STATES. Only the delta is
+    * scanned and shuffled at refresh; history participates as one row per
+    * group — the 100 TB materialized-view refresh pattern. Decimal partials
+    * make the merge exactly associative, so the merged result equals the
+    * full recompute (the oracle) bit-for-bit. */
+  private val x40: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    // data-driven cutoff (no wall clock): delta = the last 7 days of events
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    val tagged = ev.crossJoin(broadcast(mx))
+      .withColumn("is_delta", col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+    def partialAgg(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("s"))
+    val statePath = s"${QueryUtil.scratchDir}/mv_state"
+    partialAgg(tagged.filter(!col("is_delta"))).write.mode("overwrite").parquet(statePath)
+    partialAgg(tagged.filter(col("is_delta")))
+      .unionByName(spark.read.parquet(statePath))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("s_total"))
+      .select(col("event_type"), col("n_events"),
+        col("s_total").cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -350,7 +377,8 @@ object Extensions {
     "x36_pack_token_shards" -> x36,
     "x37_stratified_sample" -> x37,
     "x38_scd2_history" -> x38,
-    "x39_bloom_semi_join" -> x39)
+    "x39_bloom_semi_join" -> x39,
+    "x40_incremental_agg" -> x40)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -712,6 +740,11 @@ object Extensions {
          |FROM orders
          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
          |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
+    "x40_incremental_agg" ->
+      ("""SELECT event_type, COUNT(*) AS n_events,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
