@@ -330,6 +330,20 @@ object BTier {
         array_join(sort_array(collect_set(year(col("o_orderdate")).cast("string"))), "|").as("years"))
       .orderBy("o_orderstatus")
 
+  /** UNPIVOT: wide per-status counts folded back to (key, value) rows with
+    * `stack` — the inverse of b23's pivot, pure map-side (the stack itself
+    * adds no shuffle; only the preceding agg exchanges). */
+  private val b40: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+      .selectExpr("o_orderpriority",
+        "stack(3, 'O', n_open, 'F', n_filled, 'P', n_partial) AS (status, n)")
+      .orderBy("o_orderpriority", "status")
+
   /** JSON extraction from the events.props string column. */
   private val b21: Q = (spark, sfDir) =>
     Tables(spark, sfDir, "events")
@@ -516,7 +530,8 @@ object BTier {
     "b36_recursive_cte" -> b36,
     "b37_orc_roundtrip_agg" -> b37,
     "b38_window_frames" -> b38,
-    "b39_collect_agg" -> b39)
+    "b39_collect_agg" -> b39,
+    "b40_unpivot_stack" -> b40)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -719,5 +734,16 @@ object BTier {
          | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
          | CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_pri,
          | array_to_string(list_sort(list(DISTINCT CAST(CAST(YEAR(o_orderdate) AS INT) AS VARCHAR))), '|') AS years
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")))
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")),
+    "b40_unpivot_stack" ->
+      ("""WITH wide AS (SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+         | FROM orders GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, status, n FROM (
+         | SELECT o_orderpriority, 'O' AS status, n_open AS n FROM wide
+         | UNION ALL SELECT o_orderpriority, 'F', n_filled FROM wide
+         | UNION ALL SELECT o_orderpriority, 'P', n_partial FROM wide) u
+         |ORDER BY o_orderpriority, status""".stripMargin.replace("\n", " ")))
 }

@@ -327,6 +327,23 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x41 — time-granular dedup: keep each user's FIRST event per
+    * (event_type, calendar day) — the event-pipeline "one signal per user
+    * per day" collapse. One exchange on the composite key, one window pass;
+    * ties on ts break by event_id (CDC-style determinism). */
+  private val x41: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .orderBy("event_id")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -378,7 +395,8 @@ object Extensions {
     "x37_stratified_sample" -> x37,
     "x38_scd2_history" -> x38,
     "x39_bloom_semi_join" -> x39,
-    "x40_incremental_agg" -> x40)
+    "x40_incremental_agg" -> x40,
+    "x41_daily_first_event" -> x41)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -746,6 +764,14 @@ object Extensions {
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
+    "x41_daily_first_event" ->
+      ("""WITH r AS (SELECT event_id, user_id, event_type,
+         |  STRFTIME(ts, '%Y-%m-%d') AS day,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type, DATE_TRUNC('day', ts)
+         |    ORDER BY ts, event_id) AS rn
+         | FROM events)
+         |SELECT event_id, user_id, event_type, day FROM r
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
          |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p) MONTH AS pstart,

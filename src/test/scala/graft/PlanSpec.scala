@@ -189,6 +189,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one exchange in:\n$p")
   }
 
+  test("x37: stratified sampling is one stratum exchange, no join, no global sort") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.Sampling.stratifiedSample(docs, "doc_id", "lang", 1, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(lang"), s"expected a stratum-key exchange in:\n$p")
+    assert(!p.contains("Join"), "per-stratum count must come from a window, not a join")
+    assert(!p.contains("rangepartitioning"), "sampling must not globally sort")
+  }
+
   test("x39: bloom probe reaches the fact side before the exact semi join") {
     val p = plan("x39_bloom_semi_join")
     assert(p.contains("might_contain"), s"expected a bloom probe in:\n$p")
