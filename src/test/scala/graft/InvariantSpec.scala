@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, Scd2, TextAnalysis}
+
+/**
+ * Invariant tests over seeded-random inputs (fixed seeds — deterministic,
+ * no flake): properties that must hold for ANY input, checked on data the
+ * hand-written example tests don't reach.
+ */
+class InvariantSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def randomDocs(seed: Long, n: Int, vocab: Int, len: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      (i, Seq.fill(len)(s"w${rnd.nextInt(vocab)}").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("packTokenShards: shards start at 0, are contiguous, and cut exactly at the budget") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(9))("t").mkString(" "), s"g${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packTokenShards(docs, "doc_id", "text", "source", budgetTokens = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getInt(3)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var cum = 0L
+      var prevShard = 0
+      ordered.foreach { case (_, _, nTok, shard) =>
+        assert(shard == (cum / 10).toInt, "shard must be floor(cumBefore/budget)")
+        assert(shard >= prevShard, "shards must be nondecreasing in id order")
+        prevShard = shard
+        cum += nTok
+      }
+      assert(ordered.head._4 == 0, "first shard in each group is 0")
+    }
+  }
+
+  test("stratifiedSample: per-stratum count is exactly ceil(n*num/den) for random sizes") {
+    val rnd = new scala.util.Random(11)
+    val sizes = Seq.fill(6)(1 + rnd.nextInt(97))
+    val df = sizes.zipWithIndex.flatMap { case (n, s) =>
+      (0 until n).map(i => (s.toLong * 1000 + i, s"s$s"))
+    }.toDF("id", "lang")
+    val counts = Sampling.stratifiedSample(df, "id", "lang", 3, 7)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.zipWithIndex.foreach { case (n, s) =>
+      val expected = (n * 3 + 6) / 7 // ceil(n*3/7) in integers
+      assert(counts(s"s$s") == expected.toLong, s"stratum s$s size $n")
+    }
+  }
+
+  test("Scd2: intervals chain per key and exactly one current version") {
+    val rnd = new scala.util.Random(13)
+    val changes = (0 until 200).map { i =>
+      val key = rnd.nextInt(20).toLong
+      val ts = new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L)
+      (key, ts, i.toLong, rnd.nextDouble())
+    }.toDF("user_id", "ts", "event_id", "value")
+    val hist = Scd2.buildHistory(changes, "user_id", "ts", "event_id", Seq("value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getInt(4)))
+    hist.groupBy(_._1).foreach { case (_, rows) =>
+      val byVersion = rows.sortBy(_._2)
+      assert(byVersion.map(_._2).toSeq == (1 to rows.length), "versions are 1..n")
+      byVersion.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, "valid_to must chain to next valid_from")
+        case _ => ()
+      }
+      assert(rows.count(_._5 == 1) == 1, "exactly one current version per key")
+      assert(byVersion.last._4 == Scd2.OpenEnd, "current version is open-ended")
+    }
+  }
+
+  test("minhashLsh output equals the exact jaccard pair set on random corpora") {
+    // P(band miss at j >= 0.7) ~ 2e-6 per pair: deterministic given the seed
+    for (seed <- Seq(3L, 5L)) {
+      val docs = randomDocs(seed, n = 40, vocab = 12, len = 30)
+        .union(randomDocs(seed, n = 10, vocab = 12, len = 30)
+          .withColumn("doc_id", col("doc_id") + 100)) // planted exact dups of 0-9
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.7)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == exact, s"seed $seed: LSH pair set must equal the exact set")
+      assert(exact.nonEmpty, "planted duplicates must appear")
+    }
+  }
+
+  test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
+    val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
+      .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
+        .withColumn("doc_id", col("doc_id") + 100))
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      wordHash = Dedup.portableWordHash, numBits = 60, numBands = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs have identical fingerprints → hamming 0: must all be found
+    (0L until 8L).foreach { i =>
+      assert(found.contains((i, i + 100)), s"identical pair ($i, ${i + 100}) missed")
+    }
+  }
+}
