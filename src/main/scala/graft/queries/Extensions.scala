@@ -344,6 +344,42 @@ object Extensions {
       .orderBy("event_id")
   }
 
+  /** x42 — z-order clustered lake layout: orders written partitioned by a
+    * Morton cell interleaving (custkey bucket × year bucket), then a query
+    * filtering RANGES OF BOTH dimensions reads only the overlapping cells
+    * (partition pruning, plan-asserted) plus an exact residual filter — so
+    * the result equals the plain two-range filter (the oracle). One
+    * clustered key serving two range dims is what single-axis partitioning
+    * (x32) cannot do. Bounds derive from MAX(o_custkey) in pure integer
+    * arithmetic, so they are identical in both engines at every SF. */
+  private val x42: Q = (spark, sfDir) => {
+    import graft.operators.ZOrder
+    val bits = 3 // 8 buckets per dim, 64 cells
+    val o = Tables(spark, sfDir, "orders")
+    // layout-build step (like x32's partitioned write): bucket each dim into
+    // equal key ranges, cluster by the interleaved cell, one file per cell
+    val maxCk = o.agg(max(col("o_custkey"))).head().getLong(0)
+    val bucketW = maxCk / 8 + 1
+    val clustered = o
+      .withColumn("zcell", ZOrder.zcell(
+        (col("o_custkey") / bucketW).cast("int"),
+        (year(col("o_orderdate")) - 1992).cast("int"), bits))
+    val path = s"${QueryUtil.scratchDir}/orders_zorder"
+    clustered.repartition(col("zcell"))
+      .write.partitionBy("zcell").mode("overwrite").parquet(path)
+    // query: custkey in [max/4, 3*max/5] AND year in [1993, 1995]
+    val (ckLo, ckHi) = (maxCk / 4, 3 * maxCk / 5)
+    val cells = ZOrder.cellsForRanges(
+      (ckLo / bucketW).toInt, (ckHi / bucketW).toInt, 1993 - 1992, 1995 - 1992, bits)
+    spark.read.parquet(path)
+      .filter(col("zcell").isin(cells: _*)) // prunes cell directories
+      .filter(col("o_custkey").between(ckLo, ckHi) &&
+        year(col("o_orderdate")).between(1993, 1995)) // exact residual
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -396,7 +432,8 @@ object Extensions {
     "x38_scd2_history" -> x38,
     "x39_bloom_semi_join" -> x39,
     "x40_incremental_agg" -> x40,
-    "x41_daily_first_event" -> x41)
+    "x41_daily_first_event" -> x41,
+    "x42_zorder_pruned_read" -> x42)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -772,6 +809,15 @@ object Extensions {
          | FROM events)
          |SELECT event_id, user_id, event_type, day FROM r
          |WHERE rn = 1 ORDER BY event_id""".stripMargin.replace("\n", " ")),
+    "x42_zorder_pruned_read" ->
+      ("""WITH m AS (SELECT MAX(o_custkey) AS mc FROM orders)
+         |SELECT o_orderpriority, COUNT(*) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders, m
+         |WHERE o_custkey BETWEEN mc // 4 AND (3 * mc) // 5
+         | AND CAST(YEAR(o_orderdate) AS INT) BETWEEN 1993 AND 1995
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
          |  TIMESTAMP '1995-01-01' + INTERVAL (13 * p) MONTH AS pstart,

@@ -69,6 +69,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(5) == 2.0 && rows(1).getDouble(5) == 1.0)
   }
 
+  test("ZOrder: column and driver-side interleaves agree; cell list covers range queries") {
+    import graft.operators.ZOrder
+    val pairs = for (a <- 0 to 7; b <- 0 to 7) yield (a, b)
+    val fromCol = pairs.toDF("a", "b")
+      .select(ZOrder.zcell(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(fromCol == pairs.map { case (a, b) => ZOrder.zcellOf(a, b, 3) })
+    assert(fromCol.distinct.length == 64, "3-bit interleave must be a bijection on 8x8")
+    // cells for a sub-rectangle contain the cell of every point inside it
+    val cells = ZOrder.cellsForRanges(2, 5, 1, 3, 3).toSet
+    for (a <- 2 to 5; b <- 1 to 3)
+      assert(cells.contains(ZOrder.zcellOf(a, b, 3)))
+  }
+
   test("bloomSemiJoin equals the exact semi join (false positives removed)") {
     val fact = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
     val dim = Seq(3L, 500L, 999L, 12345L).toDF("dk")

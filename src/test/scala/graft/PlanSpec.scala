@@ -198,6 +198,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "sampling must not globally sort")
   }
 
+  test("x42: z-order read prunes to the filtered cells at the scan") {
+    val p = plan("x42_zorder_pruned_read")
+    assert(p.contains("PartitionFilters: [zcell"),
+      s"expected zcell partition pruning in:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(o_custkey"),
+      s"expected the residual custkey range pushed to parquet in:\n$p")
+  }
+
   test("x39: bloom probe reaches the fact side before the exact semi join") {
     val p = plan("x39_bloom_semi_join")
     assert(p.contains("might_contain"), s"expected a bloom probe in:\n$p")
