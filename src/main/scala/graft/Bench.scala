@@ -49,15 +49,24 @@ object Bench {
     // under ~1 KB with headroom to grow, while bench_out.json mirrors the
     // full-name map at full precision. Printed AFTER spark.stop() so no
     // shutdown logging can follow it.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonLine(keyOf: String => String): String = {
+    def fmtAt(scale: Int)(v: Double): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    def jsonLine(keyOf: String => String, scale: Int): String = {
+      val fmt = fmtAt(scale) _
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val fullLine = jsonLine(identity)
-    val shortLine = jsonLine(_.takeWhile(_ != '_'))
+    val fullLine = jsonLine(identity, 3)
+    // the line must survive the harness's 2000-char log tail WHOLE — a
+    // front-truncated JSON parses as null (r01/r02). As the query count
+    // grows, degrade per-query precision until it fits instead of silently
+    // outgrowing the tail (bench_out.json keeps full names + precision).
+    val shortLine = (3 to 1 by -1).iterator
+      .map(s => jsonLine(_.takeWhile(_ != '_'), s))
+      .find(_.length <= 1900)
+      .getOrElse(jsonLine(_.takeWhile(_ != '_'), 1))
     spark.stop()
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

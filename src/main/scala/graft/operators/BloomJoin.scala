@@ -34,14 +34,19 @@ object BloomJoin {
       dim: DataFrame, dimKey: String,
       estNumItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     graft.GraftExtensions.register(spark)
-    fact.createOrReplaceTempView("graft_bloom_fact")
-    dim.createOrReplaceTempView("graft_bloom_dim")
+    // per-call view names: fixed names would be silently replaced by a
+    // concurrent or composed second call before this plan resolves
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val factView = s"graft_bloom_fact_$tag"
+    val dimView = s"graft_bloom_dim_$tag"
+    fact.createOrReplaceTempView(factView)
+    dim.createOrReplaceTempView(dimView)
     spark.sql(
-      s"""SELECT f.* FROM graft_bloom_fact f
+      s"""SELECT f.* FROM $factView f
          |WHERE bloom_might_contain(
          |    (SELECT bloom_filter_build(xxhash64($dimKey), ${estNumItems}L, ${numBits}L)
-         |     FROM graft_bloom_dim),
+         |     FROM $dimView),
          |    xxhash64(f.$factKey))
-         |  AND f.$factKey IN (SELECT $dimKey FROM graft_bloom_dim)""".stripMargin)
+         |  AND f.$factKey IN (SELECT $dimKey FROM $dimView)""".stripMargin)
   }
 }

@@ -35,7 +35,9 @@ object Sampling {
     val whole = Window.partitionBy(stratumCol)
     df.withColumn("rnk", row_number().over(byHash))
       .withColumn("n_stratum", count(lit(1)).over(whole))
-      .filter((col("rnk") - 1) * den < col("n_stratum") * num)
+      // rnk is IntegerType: widen before multiplying or (rnk-1)*den wraps
+      // past ~Int.MaxValue/den rows per stratum and silently over-samples
+      .filter((col("rnk").cast("long") - 1) * den < col("n_stratum") * num)
       .select(col(idCol), col(stratumCol))
   }
 }

@@ -113,10 +113,12 @@ object TextAnalysis {
    * driver action), document frequencies partial-aggregate before their
    * shuffle, and the per-doc ranking window sees only the collapsed
    * (doc, term) counts — the same agg-then-rank shape as
-   * [[topTermsPerLang]]. Ranking compares each engine's own unrounded
-   * scores (equal (tf, df) pairs are exactly equal, distinct ones differ by
-   * far more than an ulp of ln), ties break on the term, and the emitted
-   * score is rounded — so the output is engine-portable.
+   * [[topTermsPerLang]]. Ranking orders by the ROUNDED score: distinct
+   * (tf, df) pairs can still produce exactly-tied exact scores (e.g.
+   * 2·ln4 = ln16) that the two engines' libm may separate by an ulp in
+   * opposite directions — rounding to the emitted precision before the
+   * row_number makes tie-vs-not agree across engines, with the term as the
+   * final tiebreak.
    */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -126,13 +128,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("word"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("word"))
     tf.join(dfreq, "word")
       .crossJoin(broadcast(nDocs))
-      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("doc_id"), col("word"), round(col("score"), 6).as("tfidf"), col("rank"))
+      .select(col("doc_id"), col("word"), col("tfidf"), col("rank"))
   }
 
   /**

@@ -753,11 +753,11 @@ object Extensions {
          |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
          |s AS (SELECT doc_id, tf.word AS word,
-         |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+         |  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
          |  ROW_NUMBER() OVER (PARTITION BY doc_id
-         |    ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.word) AS rank
+         |    ORDER BY ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tf.word) AS rank
          | FROM tf JOIN df ON tf.word = df.word, n)
-         |SELECT doc_id, word, ROUND(score, 6) AS tfidf, CAST(rank AS INT) AS rank
+         |SELECT doc_id, word, tfidf, CAST(rank AS INT) AS rank
          |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")),
     "x36_pack_token_shards" ->
       ("""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
