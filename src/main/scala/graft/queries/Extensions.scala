@@ -380,6 +380,42 @@ object Extensions {
       .orderBy("o_orderpriority")
   }
 
+  /** x43 — corpus mixture weights: per-source token totals → sqrt-damped
+    * sampling weights (the alpha=0.5 data-mixing rule: upweight small
+    * sources without letting giants dominate). One partial-agged exchange
+    * collapses the corpus to one row per source; the normalization window
+    * runs over that handful of rows. sqrt is IEEE-correctly-rounded in both
+    * engines; weights rounded for the cross-engine compare. */
+  private val x43: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, sfDir)
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+      .withColumn("weight", round(col("w") / sum(col("w")).over(Window.partitionBy()), 6))
+      .select(col("source"), col("tokens"), col("weight"))
+      .orderBy("source")
+  }
+
+  /** x44 — percentile band trim: within each language drop the shortest 10%
+    * and longest 10% of docs by token count (Gopher-style length outlier
+    * removal). Exact integer rank arithmetic (`rn*10 > n`, `rn*10 <= 9*n`)
+    * so the band edges are engine-identical; deterministic (n_tok, doc_id)
+    * order; one stratum exchange + one window pass. */
+  private val x44: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy("lang")
+      .orderBy(col("n_tok"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") * 10 > col("n") && col("rn") * 10 <= col("n") * 9)
+      .select("doc_id", "lang", "n_tok")
+      .orderBy("doc_id")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -433,7 +469,9 @@ object Extensions {
     "x39_bloom_semi_join" -> x39,
     "x40_incremental_agg" -> x40,
     "x41_daily_first_event" -> x41,
-    "x42_zorder_pruned_read" -> x42)
+    "x42_zorder_pruned_read" -> x42,
+    "x43_mixture_weights" -> x43,
+    "x44_length_band_trim" -> x44)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -817,6 +855,25 @@ object Extensions {
          |WHERE o_custkey BETWEEN mc // 4 AND (3 * mc) // 5
          | AND CAST(YEAR(o_orderdate) AS INT) BETWEEN 1993 AND 1995
          |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
+    "x43_mixture_weights" ->
+      ("""WITH t AS (SELECT source,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         | FROM documents GROUP BY source)
+         |SELECT source, tokens,
+         | ROUND(sqrt(CAST(tokens AS DOUBLE))
+         |   / SUM(sqrt(CAST(tokens AS DOUBLE))) OVER (), 6) AS weight
+         |FROM t ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x44_length_band_trim" ->
+      ("""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         | FROM documents),
+         |r AS (SELECT doc_id, lang, n_tok,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n
+         | FROM t)
+         |SELECT doc_id, lang, n_tok FROM r
+         |WHERE rn * 10 > n AND rn * 10 <= n * 9 ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,
