@@ -40,4 +40,27 @@ object Sampling {
       .filter((col("rnk").cast("long") - 1) * den < col("n_stratum") * num)
       .select(col(idCol), col(stratumCol))
   }
+
+  /**
+   * Percentile band trim: within every stratum keep only rows whose
+   * `valueCol` rank falls in the (lowPct, highPct] percentile band —
+   * outlier removal by exact rank (Gopher-style length filtering when the
+   * value is a token count). Pure integer band edges
+   * (`rn*100 > lowPct*n`, `rn*100 <= highPct*n`) are engine-identical;
+   * ties order by (`valueCol`, `idCol`) deterministically.
+   *
+   * Scale shape: one stratum exchange + one window pass, like
+   * [[stratifiedSample]].
+   */
+  def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
+      valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
+    require(0 <= lowPct && lowPct < highPct && highPct <= 100,
+      s"band [$lowPct, $highPct] must satisfy 0 <= low < high <= 100")
+    val byValue = Window.partitionBy(stratumCol).orderBy(col(valueCol), col(idCol))
+    df.withColumn("rn", row_number().over(byValue).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .filter(col("rn") * 100 > col("n") * lowPct &&
+        col("rn") * 100 <= col("n") * highPct)
+      .select(col(idCol), col(stratumCol), col(valueCol))
+  }
 }

@@ -399,22 +399,19 @@ object Extensions {
 
   /** x44 — percentile band trim: within each language drop the shortest 10%
     * and longest 10% of docs by token count (Gopher-style length outlier
-    * removal). Exact integer rank arithmetic (`rn*10 > n`, `rn*10 <= 9*n`)
-    * so the band edges are engine-identical; deterministic (n_tok, doc_id)
-    * order; one stratum exchange + one window pass. */
-  private val x44: Q = (spark, sfDir) => {
-    import org.apache.spark.sql.expressions.Window
-    val byLen = Window.partitionBy("lang")
-      .orderBy(col("n_tok"), col("doc_id"))
-    docs(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("rn", row_number().over(byLen).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-      .filter(col("rn") * 10 > col("n") && col("rn") * 10 <= col("n") * 9)
-      .select("doc_id", "lang", "n_tok")
+    * removal; exact integer band edges — see [[Sampling.percentileBandTrim]]). */
+  private val x44: Q = (spark, sfDir) =>
+    Sampling.percentileBandTrim(
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "lang", "n_tok", lowPct = 10, highPct = 90)
       .orderBy("doc_id")
-  }
+
+  /** x45 — foreachBatch lake sink: micro-batches appended to parquet with
+    * their batch id (the idempotent-retry key); landed content == source. */
+  private val x45: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.foreachBatchLakeSink(spark, sfDir)
 
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
@@ -471,7 +468,8 @@ object Extensions {
     "x41_daily_first_event" -> x41,
     "x42_zorder_pruned_read" -> x42,
     "x43_mixture_weights" -> x43,
-    "x44_length_band_trim" -> x44)
+    "x44_length_band_trim" -> x44,
+    "x45_foreachbatch_sink" -> x45)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -874,6 +872,11 @@ object Extensions {
          | FROM t)
          |SELECT doc_id, lang, n_tok FROM r
          |WHERE rn * 10 > n AND rn * 10 <= n * 9 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x45_foreachbatch_sink" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,

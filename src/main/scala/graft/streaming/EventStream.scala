@@ -302,6 +302,40 @@ object EventStream {
       .orderBy("err_id", "pur_id")
   }
 
+  /**
+   * STREAMING SINK pattern: `foreachBatch` appending each micro-batch to a
+   * parquet lake directory — the escape hatch for destinations without a
+   * native streaming sink (JDBC, MERGE upserts, multi-table fan-out), and
+   * the shape every "stream into the lakehouse" deployment uses. The batch
+   * id is recorded per row: on retry after a failure a deployment uses it
+   * to make the write idempotent (delete-then-write or MERGE by batch id).
+   * Every replayed file feeds exactly one micro-batch and each batch
+   * appends once, so the landed lake content equals the source table — the
+   * batch aggregation over the landed files is plain SQL for the oracle.
+   */
+  def foreachBatchLakeSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val lake = java.nio.file.Files.createTempDirectory("graft_fb_lake_").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    withStatePartitions(spark) {
+      val query = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(lake)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    spark.read.parquet(lake)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
   /** Open-session state for [[closedSessions]]. */
   case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
 

@@ -76,6 +76,21 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("percentileBandTrim keeps exactly floor(hi*n/100) - floor(lo*n/100) rows per stratum") {
+    val rnd = new scala.util.Random(23)
+    val sizes = Seq(1, 7, 50, 83, 100)
+    val df = sizes.zipWithIndex.flatMap { case (n, s) =>
+      (0 until n).map(i => (s.toLong * 1000 + i, s"s$s", rnd.nextInt(1000).toLong))
+    }.toDF("id", "lang", "v")
+    val counts = Sampling.percentileBandTrim(df, "id", "lang", "v", 10, 90)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.zipWithIndex.foreach { case (n, s) =>
+      // rn*100 > 10n  ⇔ rn > floor(n/10);  rn*100 <= 90n ⇔ rn <= floor(9n/10)
+      val expected = (9 * n / 10) - (n / 10)
+      assert(counts.getOrElse(s"s$s", 0L) == expected.toLong, s"stratum s$s size $n")
+    }
+  }
+
   test("minhashLsh output equals the exact jaccard pair set on random corpora") {
     // P(band miss at j >= 0.7) ~ 2e-6 per pair: deterministic given the seed
     for (seed <- Seq(3L, 5L)) {
