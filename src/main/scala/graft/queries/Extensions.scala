@@ -413,6 +413,53 @@ object Extensions {
   private val x45: Q = (spark, sfDir) =>
     graft.streaming.EventStream.foreachBatchLakeSink(spark, sfDir)
 
+  /** x46 — AQE runtime skew-join split: a 70%-hot join key, broadcast
+    * disabled so the shuffle join is skew-eligible, and AQE's skew
+    * thresholds lowered to harness scale — Spark detects the hot partition
+    * AT RUNTIME from shuffle statistics and splits it across tasks
+    * (`skew=true` in the final plan, asserted in PlanSpec). The automatic
+    * complement of x17's manual salting: same problem, zero query rewrite.
+    * Confs are set and restored around the action; the result is the plain
+    * join aggregate (the oracle) regardless of how AQE splits. */
+  private val x46: Q = (spark, sfDir) => {
+    val hotKey = (c: org.apache.spark.sql.Column) =>
+      when(pmod(c, lit(10)) < 7, lit(0L)).otherwise(c)
+    // repartition(8): the skew split divides a reduce partition by MAP
+    // ranges, so the fact side needs multiple map tasks (a single parquet
+    // file scans as one mapper at harness scale; real deployments have
+    // thousands)
+    val ev = Tables(spark, sfDir, "events")
+      .select(hotKey(col("user_id")).as("k"), col("value"))
+      .repartition(8)
+    // the deduped dim is materialized (localCheckpoint) so the join reads
+    // it straight through its exchange: OptimizeSkewedJoin only rewrites
+    // SMJ(Sort(Shuffle), Sort(Shuffle)) — an agg between the dim's shuffle
+    // and the join would mask the skew split
+    val cust = Tables(spark, sfDir, "customer")
+      .select(hotKey(col("c_custkey")).as("k"), col("c_mktsegment"))
+      .groupBy("k").agg(min(col("c_mktsegment")).as("c_mktsegment"))
+      .localCheckpoint()
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = ev.join(cust, "k")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("total"))
+        .orderBy("c_mktsegment")
+      out.count() // materialize under the skew confs (AQE decides at runtime)
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -469,7 +516,8 @@ object Extensions {
     "x42_zorder_pruned_read" -> x42,
     "x43_mixture_weights" -> x43,
     "x44_length_band_trim" -> x44,
-    "x45_foreachbatch_sink" -> x45)
+    "x45_foreachbatch_sink" -> x45,
+    "x46_aqe_skew_join" -> x46)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -877,6 +925,17 @@ object Extensions {
       ("""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x46_aqe_skew_join" ->
+      ("""WITH ev AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k, value
+         |  FROM events),
+         |cust AS (SELECT k, MIN(c_mktsegment) AS c_mktsegment FROM
+         |  (SELECT CASE WHEN c_custkey % 10 < 7 THEN 0 ELSE c_custkey END AS k, c_mktsegment
+         |   FROM customer) t GROUP BY k)
+         |SELECT c_mktsegment, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM ev JOIN cust USING (k)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin.replace("\n", " ")),
     "x21_range_join_bucketized" ->
       ("""WITH periods AS (SELECT CAST(p AS INT) AS p,

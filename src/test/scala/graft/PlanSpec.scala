@@ -206,6 +206,44 @@ class PlanSpec extends AnyFunSuite {
       s"expected the residual custkey range pushed to parquet in:\n$p")
   }
 
+  test("x46: AQE detects and splits the skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = (c: org.apache.spark.sql.Column) =>
+        when(pmod(c, lit(10)) < 7, lit(0L)).otherwise(c)
+      // carry a payload: a lone all-zeros hot-key column compresses to
+      // ~nothing in the shuffle and never crosses the size threshold.
+      // repartition(8): the skew split divides a reduce partition by MAP
+      // ranges — a single-file scan is one mapper, unsplittable (real
+      // deployments have thousands of mappers)
+      val ev = sources.Tables(spark, "/root/testdata/sf0.01", "events")
+        .select(hot(col("user_id")).as("k"), col("props"))
+        .repartition(8)
+      // materialize the deduped dim first: OptimizeSkewedJoin only matches
+      // SMJ(Sort(Shuffle), Sort(Shuffle)) — an aggregate between the dim's
+      // shuffle and the join would block the rewrite
+      val cust = sources.Tables(spark, sf, "customer")
+        .select(hot(col("c_custkey")).as("k")).distinct().localCheckpoint()
+      val joined = ev.join(cust, "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one and leave this plan isFinalPlan=false, hiding the AQE result)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected a runtime skew-split join in:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("x39: bloom probe reaches the fact side before the exact semi join") {
     val p = plan("x39_bloom_semi_join")
     assert(p.contains("might_contain"), s"expected a bloom probe in:\n$p")
