@@ -344,6 +344,19 @@ object BTier {
         "stack(3, 'O', n_open, 'F', n_filled, 'P', n_partial) AS (status, n)")
       .orderBy("o_orderpriority", "status")
 
+  /** Schema-projected JSON parsing: `from_json` with an explicit struct
+    * schema (vs b21's path-expression `get_json_object`) — the shape that
+    * lets Catalyst prune unused JSON fields and type the result once. */
+  private val b41: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .withColumn("j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select(col("event_type"), col("j.k").as("k"))
+      .filter(col("k") >= 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
   /** JSON extraction from the events.props string column. */
   private val b21: Q = (spark, sfDir) =>
     Tables(spark, sfDir, "events")
@@ -531,7 +544,8 @@ object BTier {
     "b37_orc_roundtrip_agg" -> b37,
     "b38_window_frames" -> b38,
     "b39_collect_agg" -> b39,
-    "b40_unpivot_stack" -> b40)
+    "b40_unpivot_stack" -> b40,
+    "b41_from_json_struct" -> b41)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -634,6 +648,12 @@ object BTier {
       ("""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "b41_from_json_struct" ->
+      ("""WITH t AS (SELECT event_type,
+         |  CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT) AS k FROM events)
+         |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+         |FROM t WHERE k >= 50
+         |GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
     "b22_time_window" ->
       (s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          | COUNT(*) AS n, ${dsumSql("value")} AS sum_value

@@ -460,6 +460,23 @@ object Extensions {
     }
   }
 
+  /** x47 — small-file compaction: events fragmented into 64 tiny files
+    * (a streaming sink's natural drift), compacted to 4 right-sized ones;
+    * the aggregate over the compacted table proves content preservation
+    * (file-count drop is unit-tested in PipelineOpsSpec). */
+  private val x47: Q = (spark, sfDir) => {
+    val small = s"${QueryUtil.scratchDir}/events_small_files"
+    val compacted = s"${QueryUtil.scratchDir}/events_compacted"
+    Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+      .repartition(64).write.mode("overwrite").parquet(small)
+    graft.operators.Compaction.compact(spark, small, compacted, targetFiles = 4)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("total"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -517,7 +534,8 @@ object Extensions {
     "x43_mixture_weights" -> x43,
     "x44_length_band_trim" -> x44,
     "x45_foreachbatch_sink" -> x45,
-    "x46_aqe_skew_join" -> x46)
+    "x46_aqe_skew_join" -> x46,
+    "x47_compact_small_files" -> x47)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -924,6 +942,12 @@ object Extensions {
     "x45_foreachbatch_sink" ->
       ("""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x47_compact_small_files" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         | MAX(event_id) AS max_id
          |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x46_aqe_skew_join" ->

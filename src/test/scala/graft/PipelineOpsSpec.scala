@@ -83,6 +83,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(cells.contains(ZOrder.zcellOf(a, b, 3)))
   }
 
+  test("Compaction.compact shrinks the file count and preserves content") {
+    import graft.operators.Compaction
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val rows = (1L to 500L).map(i => (i, i % 7)).toDF("id", "v")
+    rows.repartition(32).write.parquet(s"$base/small")
+    assert(Compaction.parquetFileCount(s"$base/small") == 32)
+    val compacted = Compaction.compact(spark, s"$base/small", s"$base/big", 2)
+    assert(Compaction.parquetFileCount(s"$base/big") == 2)
+    assert(compacted.count() == 500L)
+    assert(compacted.agg(sum(col("id"))).head().getLong(0) == 500L * 501 / 2)
+  }
+
   test("bloomSemiJoin equals the exact semi join (false positives removed)") {
     val fact = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
     val dim = Seq(3L, 500L, 999L, 12345L).toDF("dk")
