@@ -244,6 +244,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x40: incremental refresh scans events once (delta) — history comes from the state table") {
+    val p = plan("x40_incremental_agg")
+    // building the plan ran the setup write; the returned merge plan reads
+    // events.parquet exactly twice — the delta rows and the column-pruned
+    // max(ts) cutoff derivation — and takes HISTORY from the materialized
+    // state parquet (a full recompute would need a third, full scan and no
+    // mv_state read)
+    val eventsScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet"))
+    assert(eventsScans == 2, s"expected delta + cutoff scans only ($eventsScans):\n$p")
+    assert(p.contains("mv_state"), s"expected the materialized state scan in:\n$p")
+    // the cutoff scan reads only ts (pruned), not the full row
+    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+      s"expected a ts-only pruned scan for the cutoff in:\n$p")
+  }
+
   test("x39: bloom probe reaches the fact side before the exact semi join") {
     val p = plan("x39_bloom_semi_join")
     assert(p.contains("might_contain"), s"expected a bloom probe in:\n$p")
