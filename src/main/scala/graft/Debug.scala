@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch main for interactive debugging (not part of the library API). */
 object Debug {
@@ -11,14 +12,16 @@ object Debug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // drive the public registration surface the way a library user would
-    GraftExtensions.register(spark)
-    sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
-      .createOrReplaceTempView("emb")
-    spark.sql(
-      """SELECT a.vec_id, cosine_similarity(a.embedding, b.embedding) AS sim
-        |FROM emb a JOIN emb b ON b.vec_id = 0
-        |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin).show()
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      sources.Tables(spark, s"/root/testdata/sf$sf", "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact"),
+          approx_count_distinct(col("l_orderkey")).as("approx"))
+        .select(col("l_returnflag"), col("exact"), col("approx"),
+          (abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double")).as("rel_err"))
+        .collect().foreach(r => println(s"sf$sf $r"))
+    }
     spark.stop()
   }
 }

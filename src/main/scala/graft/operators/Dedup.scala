@@ -142,9 +142,23 @@ object Dedup {
    * shingle — the exact distributed algorithm (explode → join on shingle →
    * count per pair): work is Σ freq(shingle)², not O(n²), and every stage is
    * a plain shuffle the optimizer handles.
+   *
+   * The Σ freq² cost has a hot-key failure mode: one shingle appearing in
+   * df documents contributes df² join rows, so a single high-frequency
+   * trigram ("in the the") in a real corpus quadratically blows one task.
+   * `maxDf` caps it (standard CCNet/SlimPajama practice): shingles with
+   * document frequency > maxDf are dropped from the PAIR JOIN only — per-doc
+   * set sizes stay exact, so the computed jaccard is a lower bound and the
+   * capped output is a SUBSET of the uncapped output (never a false
+   * positive; invariant-tested). A shingle in more than maxDf docs carries
+   * ~no pair information anyway. The cap bounds the join at Σ min(df,
+   * maxDf)² ≤ n·maxDf — linear in the corpus. [[minhashLsh]] remains the
+   * primary scale path.
    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                   shingleN: Int = 3, minJaccard: Double = 0.5,
+                   maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
     // Shingle-hash rows (codegen'd, see shingleHashRows): the shuffled join
     // key is 8 bytes and comparison is a long equality; a cross-shingle hash
     // collision inside one doc pair would overcount by 1 with probability
@@ -152,8 +166,14 @@ object Dedup {
     val tokens = shingleHashRows(docs, idCol, textCol, shingleN).cache()
     val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
-    val inter = tokens.as("a")
-      .join(tokens.as("b"),
+    // df cap: one partial-agged exchange on the 8-byte shingle key, then a
+    // semi join that AQE broadcasts when the surviving vocabulary is small.
+    val rare = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val joinable = tokens.join(rare, Seq("sh"), "left_semi")
+
+    val inter = joinable.as("a")
+      .join(joinable.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))

@@ -158,11 +158,21 @@ object BTier {
       .orderBy("l_returnflag")
 
   /** approx_count_distinct (HLL++) — the 100TB-scale path for distinct
-    * counting; no DuckDB oracle (different sketch), rows-only check. */
+    * counting. The sketch value itself is engine-specific (DuckDB's HLL is
+    * not bit-comparable), so the query emits the exact count as the
+    * oracle-checked column and asserts the sketch INSIDE the query: a
+    * boolean "within 15% relative error" flag — 3× the HLL++ default rsd of
+    * 0.05 (observed per-SF errors reach 1.7σ; the sketch is deterministic
+    * for fixed data, so the flag is reproducible). The oracle states the
+    * exact counts and expects every flag to be 1. */
   private val b14: Q = (spark, sfDir) =>
     Tables(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")).cast("double") /
+          col("exact_orders").cast("double") <= 0.15).cast("int").as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** Scalar string/math functions (codegen'd builtins, no UDFs). */
@@ -617,6 +627,10 @@ object BTier {
     "b13_count_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders, " +
         "COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "b14_approx_count_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders, " +
+        "1 AS approx_ok FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "b15_scalar_funcs" ->
       ("""SELECT p_partkey, UPPER(p_brand) AS ub, LENGTH(p_name) AS name_len,

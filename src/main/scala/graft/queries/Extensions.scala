@@ -39,7 +39,8 @@ object Extensions {
       wordHash = Dedup.portableWordHash, numBits = 60, numBands = 4)
       .orderBy("d1", "d2")
 
-  /** x04 — exact n-gram jaccard via distributed token join (threshold 0.5). */
+  /** x04 — exact n-gram jaccard via distributed token join (threshold 0.5,
+    * df cap 1000 — see [[Dedup.ngramJaccard]]; mirrored in the oracle). */
   private val x04: Q = (spark, sfDir) =>
     Dedup.ngramJaccard(docs(spark, sfDir), "doc_id", "text", minJaccard = 0.5)
       .orderBy("d1", "d2")
@@ -100,10 +101,39 @@ object Extensions {
   private val x13: Q = (spark, sfDir) =>
     graft.streaming.EventStream.windowedCounts(spark, sfDir)
 
+  /** Offset that keeps planted vec_ids disjoint from the real id range. */
+  private val PlantOffset = 1000000L
+
+  /** `embeddings` unioned with deterministically perturbed copies of
+    * vec_ids 1..20 (vec_id + [[PlantOffset]]): element i is scaled by
+    * 1 + ((i·37 + vec_id) mod 7 − 3)/100 — ±3% multiplicative noise from
+    * pure integer arithmetic, evaluated in double and cast back to float,
+    * so DuckDB reproduces the planted vectors bit-for-bit (same IEEE ops).
+    * cosine(v, planted(v)) ≈ 0.999 ≥ 0.95: the corpus then contains known
+    * near-dup pairs, making x14's LSH + verify path non-vacuous. */
+  private def plantedEmb(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select("vec_id", "embedding")
+    // the noise term references the ORIGINAL vec_id: keep the id offset in a
+    // separate select — in one select Spark resolves the lambda's `vec_id`
+    // to the lateral alias (the offset id), DuckDB to the source column
+    val perturbed = e.filter(col("vec_id").between(1, 20))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (element_at(col("embedding"), i + 1).cast("double") *
+            (lit(1.0) + ((i * 37 + col("vec_id")) % 7 - 3).cast("double") / 100.0))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
+    e.unionByName(perturbed)
+  }
+
   /** x14 — embedding near-duplicate pairs: banded random-hyperplane LSH
-    * candidates, exact cosine ≥ 0.95 verification. */
+    * candidates, exact cosine ≥ 0.95 verification. Runs over
+    * [[plantedEmb]] (real corpus + 20 planted near-dups, reproduced
+    * verbatim in the oracle) so the oracle-checked output is non-empty at
+    * every SF — previously the generated data had no pair above 0.95 and
+    * the green row proved only 0 == 0. */
   private val x14: Q = (spark, sfDir) =>
-    Similarity.cosineNearDupPairs(emb(spark, sfDir), 0.95).orderBy("v1", "v2")
+    Similarity.cosineNearDupPairs(plantedEmb(spark, sfDir), 0.95).orderBy("v1", "v2")
 
   /** x22 — banded-LSH ANN top-k (OR-construction multi-probe; the scale
     * path past x06's single coarse bucket). */
@@ -541,22 +571,33 @@ object Extensions {
 
   /** Shared CTE chain: exact pairwise n-gram jaccard in DuckDB (shingle
     * join — same algorithm as [[Dedup.ngramJaccard]]); `jpairs` holds
-    * (d1, d2, jaccard) filtered at `threshold`. */
-  private def jaccardCtes(threshold: Double): String =
+    * (d1, d2, jaccard) filtered at `threshold`. `maxDf` mirrors the
+    * operator's document-frequency cap: capped shingles leave the pair join
+    * but per-doc sizes stay exact. */
+  private def jaccardCtes(threshold: Double, maxDf: Option[Int] = None): String = {
+    val joinSrc = maxDf match {
+      case Some(cap) =>
+        s"""df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+           |shj AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON df.s = sh.s AND df.df <= $cap),"""
+          .stripMargin.replace("\n", " ")
+      case None => "shj AS (SELECT doc_id, s FROM sh),"
+    }
     s"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i FROM w WHERE len(ws) >= 3),
        |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |$joinSrc
        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |  FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |jpairs AS (
        | SELECT d1, d2, CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
        | FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
        | WHERE CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) >= $threshold)"""
       .stripMargin.replace("\n", " ")
+  }
 
-  private def jaccardOracle(threshold: Double): String =
-    s"WITH ${jaccardCtes(threshold)} SELECT d1, d2, jaccard FROM jpairs ORDER BY d1, d2"
+  private def jaccardOracle(threshold: Double, maxDf: Option[Int] = None): String =
+    s"WITH ${jaccardCtes(threshold, maxDf)} SELECT d1, d2, jaccard FROM jpairs ORDER BY d1, d2"
 
   /** Unrolled 3-round min-label propagation over the jaccard-0.7 pair graph
     * (mirrors [[Dedup.dupClusters]] exactly); final labels in CTE `l3`. */
@@ -612,7 +653,7 @@ object Extensions {
     * expression uses, the per-plane sum folds `embedding` in the same
     * ascending index order in double, and bits pack into band keys the same
     * way — so the LSH candidate set matches bit-for-bit across engines. */
-  private def hyperplaneCtes: String = {
+  private def hyperplaneCtes(source: String = "embeddings"): String = {
     val r = Similarity.DefaultRowsPerBand
     val masks = graft.functions.Hyperplanes.masks(Similarity.DefaultBands * r)
     val values = masks.zipWithIndex
@@ -623,11 +664,23 @@ object Extensions {
        |    CASE WHEN (pl.mask >> i) & 1 = 1 THEN CAST(e.embedding[i+1] AS DOUBLE)
        |         ELSE -CAST(e.embedding[i+1] AS DOUBLE) END), 'sum') > 0
        |   THEN 1 ELSE 0 END AS bit
-       |  FROM embeddings e CROSS JOIN planes pl),
+       |  FROM $source e CROSS JOIN planes pl),
        |hpkeys AS (SELECT vec_id, p // $r AS band,
        |  CAST(SUM(CAST(bit AS BIGINT) << (p % $r)) AS BIGINT) AS bkey
        |  FROM hpbits GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
   }
+
+  /** DuckDB mirror of [[plantedEmb]]: embeddings plus perturbed copies of
+    * vec_ids 1..20 — identical integer/double/float arithmetic, so the
+    * planted vectors (and hence every downstream LSH key and cosine) match
+    * Spark's bit-for-bit. */
+  private val plantedEmbCte: String =
+    s"""aug AS (SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + $PlantOffset AS vec_id,
+       |  list_transform(range(64), i -> CAST(CAST(embedding[i+1] AS DOUBLE)
+       |    * (1.0 + CAST((i*37 + vec_id) % 7 - 3 AS DOUBLE)/100.0) AS FLOAT)) AS embedding
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 20)""".stripMargin.replace("\n", " ")
 
   private def signBucketSql(v: String): String =
     (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
@@ -655,7 +708,7 @@ object Extensions {
          |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
          |ORDER BY d1, d2""".stripMargin.replace("\n", " ")),
-    "x04_ngram_jaccard_exact" -> jaccardOracle(0.5),
+    "x04_ngram_jaccard_exact" -> jaccardOracle(0.5, maxDf = Some(1000)),
     "x05_cosine_topk_brute" ->
       (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ROUND($cosSql, 6) AS sim FROM embeddings, q
@@ -704,16 +757,16 @@ object Extensions {
          | event_type, COUNT(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace("\n", " ")),
     "x14_embedding_neardup" ->
-      (s"""WITH $hyperplaneCtes,
+      (s"""WITH $plantedEmbCte, ${hyperplaneCtes("aug")},
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
          | FROM hpkeys a JOIN hpkeys b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT v1, v2, ROUND(${cos2Sql("ea.embedding", "eb.embedding")}, 6) AS sim
-         |FROM cand JOIN embeddings ea ON ea.vec_id = v1 JOIN embeddings eb ON eb.vec_id = v2
+         |FROM cand JOIN aug ea ON ea.vec_id = v1 JOIN aug eb ON eb.vec_id = v2
          |WHERE ROUND(${cos2Sql("ea.embedding", "eb.embedding")}, 6) >= 0.95
          |ORDER BY v1, v2""".stripMargin.replace("\n", " ")),
     "x22_ann_banded_topk" ->
-      (s"""WITH $hyperplaneCtes,
+      (s"""WITH ${hyperplaneCtes()},
          |cand AS (SELECT DISTINCT a.vec_id
          | FROM hpkeys a JOIN hpkeys q ON a.band = q.band AND a.bkey = q.bkey
          | WHERE q.vec_id = 0),

@@ -106,6 +106,38 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccard: df-capped output is a subset of the uncapped output") {
+    // tiny vocab => hot shingles with df far above the cap, so the cap binds
+    for (seed <- Seq(29L, 31L)) {
+      val docs = randomDocs(seed, n = 40, vocab = 4, len = 20)
+      def pairs(cap: Int) =
+        Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.2, maxDf = cap)
+          .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairs(Int.MaxValue)
+      val capped = pairs(5)
+      assert(uncapped.nonEmpty, "low threshold + tiny vocab must produce pairs")
+      assert(capped.subsetOf(uncapped),
+        s"seed $seed: capping drops shared shingles, so jaccard can only fall")
+      assert(capped != uncapped, s"seed $seed: cap 5 must actually bind on a df>5 corpus")
+    }
+  }
+
+  test("dedup pipeline end-to-end: no two retained docs are near-dups") {
+    // the x24 composite (pairs -> clusters -> retain best): re-running
+    // minhash over the retained subset must find nothing — catches
+    // cluster-merge regressions no single-operator oracle sees
+    val docs = randomDocs(37L, n = 40, vocab = 12, len = 30)
+      .union(randomDocs(37L, n = 15, vocab = 12, len = 30)
+        .withColumn("doc_id", col("doc_id") + 100)) // planted dups of 0-14
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+    assert(pairs.count() >= 15, "planted dup pairs must be found")
+    val clusters = Dedup.dupClusters(pairs, iterations = 3)
+    val retained = Dedup.retainBest(docs, "doc_id", length(col("text")).cast("double"), clusters)
+    val docsRetained = docs.join(retained, "doc_id")
+    val residual = Dedup.minhashLsh(docsRetained, "doc_id", "text", threshold = 0.7)
+    assert(residual.count() == 0, "retained set must contain no near-dup pair")
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
