@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, CdcMerge, Dedup, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -507,6 +507,30 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x48 — CDC MERGE/upsert apply: the `customer` snapshot merged with a
+    * change batch derived deterministically from `orders` (every 13th
+    * orderkey a delete, every 7th an insert under a fresh negative key,
+    * the rest updates; the orderkey is the CDC sequence breaking same-day
+    * ties). One exchange + one window pass — see [[CdcMerge.applyChanges]];
+    * oracle is the same latest-row-per-key window SQL over the unioned log. */
+  private val x48: Q = (spark, sfDir) => {
+    val changes = Tables(spark, sfDir, "orders").select(
+      when(pmod(col("o_orderkey"), lit(7)) === 0, -col("o_custkey"))
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_orderdate").as("ts"),
+      col("o_orderkey").as("seq"),
+      when(pmod(col("o_orderkey"), lit(13)) === 0, lit(CdcMerge.DeleteOp))
+        .otherwise(lit("U")).as("op"),
+      col("o_totalprice").as("c_acctbal"),
+      concat(lit("SEG"), pmod(col("o_orderkey"), lit(5)).cast("string"))
+        .as("c_mktsegment"))
+    CdcMerge.applyChanges(
+      Tables(spark, sfDir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment"),
+      changes, keyCol = "c_custkey", tsCol = "ts", tieCol = "seq", opCol = "op",
+      attrCols = Seq("c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -565,7 +589,8 @@ object Extensions {
     "x44_length_band_trim" -> x44,
     "x45_foreachbatch_sink" -> x45,
     "x46_aqe_skew_join" -> x46,
-    "x47_compact_small_files" -> x47)
+    "x47_compact_small_files" -> x47,
+    "x48_cdc_merge_apply" -> x48)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1002,6 +1027,22 @@ object Extensions {
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
          | MAX(event_id) AS max_id
          |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x48_cdc_merge_apply" ->
+      ("""WITH chg AS (SELECT
+         |  CASE WHEN o_orderkey % 7 = 0 THEN -o_custkey ELSE o_custkey END AS c_custkey,
+         |  1 AS is_change, o_orderdate AS ts, o_orderkey AS seq,
+         |  CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         |  o_totalprice AS c_acctbal,
+         |  'SEG' || CAST(o_orderkey % 5 AS VARCHAR) AS c_mktsegment
+         | FROM orders),
+         |base AS (SELECT c_custkey, 0 AS is_change, CAST(NULL AS TIMESTAMP) AS ts,
+         |  CAST(NULL AS BIGINT) AS seq, 'U' AS op, c_acctbal, c_mktsegment FROM customer),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |  ORDER BY is_change DESC, ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
+         |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
+         |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
     "x46_aqe_skew_join" ->
       ("""WITH ev AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k, value

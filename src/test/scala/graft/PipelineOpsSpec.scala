@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{BloomJoin, Sampling, Scd2, TextAnalysis}
+import graft.operators.{BloomJoin, CdcMerge, Sampling, Scd2, TextAnalysis}
 
 /** Round-3 pipeline operators: packing, stratified sampling, SCD2, bloom join. */
 class PipelineOpsSpec extends AnyFunSuite {
@@ -67,6 +67,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("version").collect()
     // event 19 sorts first on the tie column, so version 1 carries its value
     assert(rows(0).getDouble(5) == 2.0 && rows(1).getDouble(5) == 1.0)
+  }
+
+  test("CdcMerge.applyChanges: latest change wins, deletes drop keys, inserts create them") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key 1: untouched; key 2: updated twice (later ts wins); key 3: deleted;
+    // key 4: same-ts updates (higher seq wins); key 5: absent from snapshot (insert);
+    // key 6: delete of an absent key (no-op)
+    val snapshot = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"), (4L, 40.0, "d"))
+      .toDF("k", "bal", "seg")
+    val changes = Seq(
+      (2L, ts("2024-01-01 00:00:00"), 1L, "U", 21.0, "b1"),
+      (2L, ts("2024-01-02 00:00:00"), 2L, "U", 22.0, "b2"),
+      (3L, ts("2024-01-01 00:00:00"), 3L, "D", 0.0, ""),
+      (4L, ts("2024-01-01 00:00:00"), 4L, "U", 41.0, "d1"),
+      (4L, ts("2024-01-01 00:00:00"), 5L, "U", 42.0, "d2"),
+      (5L, ts("2024-01-01 00:00:00"), 6L, "U", 50.0, "e"),
+      (6L, ts("2024-01-01 00:00:00"), 7L, "D", 0.0, ""))
+      .toDF("k", "ts", "seq", "op", "bal", "seg")
+    val out = CdcMerge.applyChanges(snapshot, changes, "k", "ts", "seq", "op",
+      Seq("bal", "seg")).collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out == Map(1L -> (10.0, "a"), 2L -> (22.0, "b2"),
+      4L -> (42.0, "d2"), 5L -> (50.0, "e")))
   }
 
   test("ZOrder: column and driver-side interleaves agree; cell list covers range queries") {

@@ -189,6 +189,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one exchange in:\n$p")
   }
 
+  test("x48: CDC merge is one key exchange + one window pass, no join back to the snapshot") {
+    val snap = sources.Tables(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val chg = sources.Tables(spark, sf, "orders").select(
+      org.apache.spark.sql.functions.col("o_custkey").as("c_custkey"),
+      org.apache.spark.sql.functions.col("o_orderdate").as("ts"),
+      org.apache.spark.sql.functions.col("o_orderkey").as("seq"),
+      org.apache.spark.sql.functions.lit("U").as("op"),
+      org.apache.spark.sql.functions.col("o_totalprice").as("c_acctbal"),
+      org.apache.spark.sql.functions.col("o_orderpriority").as("c_mktsegment"))
+    val p = operators.CdcMerge.applyChanges(snap, chg, "c_custkey", "ts", "seq", "op",
+      Seq("c_acctbal", "c_mktsegment")).queryExecution.executedPlan.toString
+    assert(p.sliding("Window [".length).count(_ == "Window [") == 1,
+      s"expected exactly one Window operator in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange (union shuffles once on the key) in:\n$p")
+    assert(!p.contains("Join"), "merge must not join back to the snapshot")
+  }
+
   test("x37: stratified sampling is one stratum exchange, no join, no global sort") {
     val docs = sources.Tables(spark, sf, "documents")
     val p = operators.Sampling.stratifiedSample(docs, "doc_id", "lang", 1, 10)
