@@ -1,26 +1,32 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch main for interactive debugging (not part of the library API). */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("0.001", "0.01", "0.1")) {
-      sources.Tables(spark, s"/root/testdata/sf$sf", "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact"),
-          approx_count_distinct(col("l_orderkey")).as("approx"))
-        .select(col("l_returnflag"), col("exact"), col("approx"),
-          (abs(col("approx") - col("exact")).cast("double") /
-            col("exact").cast("double")).as("rel_err"))
-        .collect().foreach(r => println(s"sf$sf $r"))
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val streaming = Seq("x13_streaming_window_counts", "x15_streaming_sessions",
+      "x26_streaming_append_watermark", "x27_streaming_closed_sessions",
+      "x28_streaming_dedup", "x29_stream_static_join",
+      "x34_stream_stream_join", "x45_foreachbatch_sink")
+    // two passes: pass 2 approximates the bench's warm timed passes
+    for (pass <- 1 to 2) {
+      var total = 0.0
+      for (name <- streaming) {
+        val t0 = System.nanoTime()
+        val n = queries.Extensions.queries(name)(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        total += sec
+        println(f"[debug] pass$pass $name%-34s $sec%6.2f s  ($n rows)")
+      }
+      println(f"[debug] pass$pass streaming subtotal: $total%6.2f s")
     }
     spark.stop()
   }
