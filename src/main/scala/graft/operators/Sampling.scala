@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,30 @@ object Sampling {
    * Scale shape: one stratum exchange + one window pass, like
    * [[stratifiedSample]].
    */
+  /**
+   * Per-group cap: keep the top `k` rows of every `groupCol` group ranked
+   * by (`score` desc, `idCol` asc) — the web-corpus "at most K documents
+   * per domain, best quality first" rule that stops a single crawled host
+   * from dominating the training mix. The score is any deterministic
+   * Column (typically a quality score), emitted as `score` alongside the
+   * id and group.
+   *
+   * Scale shape: one hash exchange on the group key + one window pass.
+   * row_number (not rank) caps a hot domain at exactly k regardless of
+   * score ties, so no group can exceed its budget — the property that
+   * bounds every downstream stage.
+   */
+  def topKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      score: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ranked = Window.partitionBy(groupCol)
+      .orderBy(col("score").desc, col(idCol))
+    df.withColumn("score", score)
+      .withColumn("rnk", row_number().over(ranked))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col(groupCol), col("score"))
+  }
+
   def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
       valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,

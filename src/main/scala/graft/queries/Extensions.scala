@@ -531,6 +531,16 @@ object Extensions {
       .orderBy("c_custkey")
   }
 
+  /** x49 — per-source document cap: at most 8 docs per source, best
+    * quality first (the "max K pages per domain" web-corpus rule; ties by
+    * doc_id). One group exchange + one window — [[Sampling.topKPerGroup]].
+    * The score formula is bit-identical across engines (proven by x09), so
+    * ranking and the emitted score hash-match without rounding. */
+  private val x49: Q = (spark, sfDir) =>
+    Sampling.topKPerGroup(docs(spark, sfDir), "doc_id", "source",
+      TextAnalysis.qualityScore(col("text")), k = 8)
+      .orderBy("doc_id")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -590,7 +600,8 @@ object Extensions {
     "x45_foreachbatch_sink" -> x45,
     "x46_aqe_skew_join" -> x46,
     "x47_compact_small_files" -> x47,
-    "x48_cdc_merge_apply" -> x48)
+    "x48_cdc_merge_apply" -> x48,
+    "x49_domain_quality_cap" -> x49)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -643,13 +654,13 @@ object Extensions {
   /** CTE chain computing [[TextAnalysis.qualityScore]] per doc (`qscore`
     * holds (doc_id, n_tok, score)) — shared by the x09 and x24 oracles. */
   private val qualityCtes: String =
-    """qbase AS (SELECT doc_id,
+    """qbase AS (SELECT doc_id, source,
       |  CAST(len(string_split(text,' ')) AS DOUBLE) AS ntok,
       |  CAST(length(text) AS DOUBLE) AS nchars,
       |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS nalnum,
       |  CAST(length(replace(text, 'the', '')) AS DOUBLE) AS nnothe
       | FROM documents),
-      |qscore AS (SELECT doc_id, CAST(ntok AS INT) AS n_tok,
+      |qscore AS (SELECT doc_id, source, CAST(ntok AS INT) AS n_tok,
       |  0.25 * (CASE WHEN ntok BETWEEN 10 AND 500 THEN 1.0 ELSE 0.2 END)
       |  + 0.25 * (CASE WHEN (nchars - ntok + 1.0)/ntok BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.2 END)
       |  + 0.25 * (1.0 - (nchars - nalnum)/nchars)
@@ -1044,6 +1055,13 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x49_domain_quality_cap" ->
+      (s"""WITH $qualityCtes,
+         |ranked AS (SELECT doc_id, source, score,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+         | FROM qscore)
+         |SELECT doc_id, source, score FROM ranked WHERE rn <= 8
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x46_aqe_skew_join" ->
       ("""WITH ev AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k, value
          |  FROM events),

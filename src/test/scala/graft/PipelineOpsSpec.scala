@@ -69,6 +69,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(5) == 2.0 && rows(1).getDouble(5) == 1.0)
   }
 
+  test("topKPerGroup caps every group at k, best score first, ties by id") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "a", 0.1),
+      (5L, "b", 0.3)).toDF("id", "grp", "q")
+    val out = Sampling.topKPerGroup(df, "id", "grp", col("q"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // group a: scores 0.9/0.9/0.5/0.1 — tie at 0.9 broken by id (1 before 3)
+    assert(out == Set((1L, "a"), (3L, "a"), (5L, "b")))
+  }
+
   test("CdcMerge.applyChanges: latest change wins, deletes drop keys, inserts create them") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
