@@ -74,10 +74,31 @@ object Dedup {
    * false-candidate rate on low-jaccard background pairs by ~s·10×, which is
    * what bounds the verify stage on corpora with a small vocabulary.
    */
+  /** (doc_id, band_j, band_h) LSH band keys from shingle-hash rows.
+    * Signatures via the native MinHashSignature aggregate (one Array[Long]
+    * buffer, tight loop) — numHashes separate min() aggregates overflow
+    * codegen limits and fall back to interpreted evaluation, and
+    * higher-order-function folds are CodegenFallback too. Partial
+    * aggregation collapses to ONE buffer per doc before the exchange; the
+    * band key is one codegen'd multi-arg xxhash64 per band. */
+  private def bandKeys(shingleRows: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sigs = shingleRows
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSignature(
+        col("sh"), numBands * rowsPerBand, 0x5eed5eedL, 0xb17b17b1L).as("sig"))
+    val bandStructs = (0 until numBands).map { j =>
+      val rowCols = (0 until rowsPerBand).map(r => element_at(col("sig"), j * rowsPerBand + r + 1))
+      struct(lit(j).as("j"), xxhash64(lit(j) +: rowCols: _*).as("h"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.j").as("band_j"), col("band.h").as("band_h"))
+  }
+
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numBands: Int = 48, rowsPerBand: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
-    val numHashes = numBands * rowsPerBand
 
     // Persisted because both the signature pass and the verify pass consume
     // it. distinct = false: MinHashSignature (a min) and the verify stage's
@@ -85,24 +106,7 @@ object Dedup {
     // exchange would be pure overhead.
     val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN, distinct = false).cache()
 
-    // Signatures via the native MinHashSignature aggregate (one Array[Long]
-    // buffer, tight loop) — numHashes separate min() aggregates overflow
-    // codegen limits and fall back to interpreted evaluation, and
-    // higher-order-function folds are CodegenFallback too. Partial
-    // aggregation collapses to ONE buffer per doc before the exchange.
-    val sigs = shingleRows
-      .groupBy("doc_id")
-      .agg(graft.functions.MinHashSignature(
-        col("sh"), numHashes, 0x5eed5eedL, 0xb17b17b1L).as("sig"))
-
-    // Band signatures: one codegen'd multi-arg xxhash64 per band.
-    val bandStructs = (0 until numBands).map { j =>
-      val rowCols = (0 until rowsPerBand).map(r => element_at(col("sig"), j * rowsPerBand + r + 1))
-      struct(lit(j).as("j"), xxhash64(lit(j) +: rowCols: _*).as("h"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.j").as("band_j"), col("band.h").as("band_h"))
+    val banded = bandKeys(shingleRows, numBands, rowsPerBand)
 
     // Buckets → unique candidate pairs via a codegen'd self-equi-join on the
     // band key (AQE handles skewed buckets); a collect_set + lambda expansion
@@ -135,6 +139,52 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /**
+   * Incremental (delta-vs-corpus) near-dup detection — the nightly-ingest
+   * shape: score each NEW document against the EXISTING corpus without ever
+   * self-joining the corpus. Both sides get the same MinHash band keys
+   * ([[bandKeys]]); candidates come from a delta→corpus band equi-join, so
+   * the corpus side is touched exactly once per band (in production its
+   * signatures are precomputed and stored with the corpus — only the delta
+   * is shingled per run) and the join cost scales with |delta|, not
+   * |corpus|². Candidates are verified with exact jaccard.
+   *
+   * Returns one row per delta document: (doc_id, n_corpus_dups) — the
+   * number of corpus documents with jaccard ≥ `threshold`. Rows with 0 are
+   * the survivors safe to append; the count (not just a flag) makes the
+   * ingest decision log auditable. Same banding parameters as
+   * [[minhashLsh]] ⇒ same ~2e-6 per-pair miss probability vs the exact
+   * oracle.
+   */
+  def incrementalDedup(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numBands: Int = 48,
+      rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val dRows = shingleHashRows(delta, idCol, textCol, shingleN, distinct = false).cache()
+    val cRows = shingleHashRows(corpus, idCol, textCol, shingleN, distinct = false).cache()
+    val candidates = bandKeys(dRows, numBands, rowsPerBand).as("a")
+      .join(bandKeys(cRows, numBands, rowsPerBand).as("b"),
+        col("a.band_j") === col("b.band_j") && col("a.band_h") === col("b.band_h"))
+      .select(col("a.doc_id").as("d"), col("b.doc_id").as("c"))
+      .distinct()
+      .cache()
+    // exact verify restricted to candidate docs (semi joins keep set
+    // construction linear in the candidate count, not the corpus size)
+    def sets(rows: DataFrame, ids: DataFrame) = rows
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+    val dSets = sets(dRows, candidates.select(col("d").as("doc_id")).distinct())
+    val cSets = sets(cRows, candidates.select(col("c").as("doc_id")).distinct())
+    val dupCounts = candidates
+      .join(dSets.withColumnRenamed("doc_id", "d").withColumnRenamed("sh", "sh1"), "d")
+      .join(cSets.withColumnRenamed("doc_id", "c").withColumnRenamed("sh", "sh2"), "c")
+      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))).cast("double") >= threshold)
+      .groupBy("d").agg(count(lit(1)).as("n_corpus_dups"))
+    delta.select(col(idCol).as("doc_id"))
+      .join(dupCounts.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_corpus_dups"))
   }
 
   /**

@@ -541,6 +541,21 @@ object Extensions {
       TextAnalysis.qualityScore(col("text")), k = 8)
       .orderBy("doc_id")
 
+  /** x50 — incremental (delta-vs-corpus) dedup: every 10th doc plays the
+    * nightly delta, the rest the existing corpus; each delta doc gets its
+    * count of corpus near-dups (jaccard ≥ 0.7 via delta→corpus band join +
+    * exact verify, [[Dedup.incrementalDedup]]). 0 ⇒ safe to append. The
+    * mod-10 split has real cross-split dup pairs at every SF (6–46 delta
+    * docs rejected), so the oracle row is non-vacuous. */
+  private val x50: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir)
+    Dedup.incrementalDedup(
+      corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      delta = d.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -601,7 +616,8 @@ object Extensions {
     "x46_aqe_skew_join" -> x46,
     "x47_compact_small_files" -> x47,
     "x48_cdc_merge_apply" -> x48,
-    "x49_domain_quality_cap" -> x49)
+    "x49_domain_quality_cap" -> x49,
+    "x50_incremental_dedup" -> x50)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -610,6 +626,15 @@ object Extensions {
     * (d1, d2, jaccard) filtered at `threshold`. `maxDf` mirrors the
     * operator's document-frequency cap: capped shingles leave the pair join
     * but per-doc sizes stay exact. */
+  /** Shared CTE prefix: distinct 3-gram shingles + per-doc set sizes over
+    * `documents` (`sh` holds (doc_id, s), `sizes` holds (doc_id, n)). */
+  private val shingleCtes: String =
+    """w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i FROM w WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+      .stripMargin.replace("\n", " ")
+
   private def jaccardCtes(threshold: Double, maxDf: Option[Int] = None): String = {
     val joinSrc = maxDf match {
       case Some(cap) =>
@@ -618,10 +643,7 @@ object Extensions {
           .stripMargin.replace("\n", " ")
       case None => "shj AS (SELECT doc_id, s FROM sh),"
     }
-    s"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-       |ix AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i FROM w WHERE len(ws) >= 3),
-       |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    s"""$shingleCtes,
        |$joinSrc
        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |  FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -1055,6 +1077,18 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x50_incremental_dedup" ->
+      (s"""WITH $shingleCtes,
+         |cand AS (SELECT a.doc_id AS d, b.doc_id AS c, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2),
+         |dups AS (SELECT d, COUNT(*) AS n FROM cand
+         |  JOIN sizes s1 ON s1.doc_id = d JOIN sizes s2 ON s2.doc_id = c
+         |  WHERE CAST(inter AS DOUBLE)/CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7
+         |  GROUP BY d)
+         |SELECT doc_id, COALESCE(n, 0) AS n_corpus_dups
+         |FROM documents LEFT JOIN dups ON dups.d = documents.doc_id
+         |WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x49_domain_quality_cap" ->
       (s"""WITH $qualityCtes,
          |ranked AS (SELECT doc_id, source, score,

@@ -138,6 +138,24 @@ class InvariantSpec extends AnyFunSuite {
     assert(residual.count() == 0, "retained set must contain no near-dup pair")
   }
 
+  test("incrementalDedup: planted corpus dups are counted, novel delta docs score 0") {
+    val corpus = randomDocs(43L, n = 30, vocab = 12, len = 30)
+    // delta: ids 100-104 duplicate corpus docs 0-4; ids 105-109 are novel
+    val dupDelta = randomDocs(43L, n = 5, vocab = 12, len = 30)
+      .withColumn("doc_id", col("doc_id") + 100)
+    val novelDelta = randomDocs(99L, n = 5, vocab = 12, len = 30)
+      .withColumn("doc_id", col("doc_id") + 105)
+    val out = Dedup.incrementalDedup(corpus, dupDelta.union(novelDelta), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10, "one row per delta doc")
+    (100L to 104L).foreach(id =>
+      assert(out(id) >= 1, s"planted dup $id must match its corpus twin"))
+    // novel docs drawn from a different seed may collide by chance in a tiny
+    // vocab; require at least that the planted dups dominate
+    assert((100L to 104L).map(out).sum > (105L to 109L).map(out).sum,
+      "planted dups must out-score novel docs")
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
