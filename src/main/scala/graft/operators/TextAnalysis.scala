@@ -152,6 +152,43 @@ object TextAnalysis {
    * source, language, date bucket — packs independently on its own
    * executor).
    */
+  /**
+   * Fixed-context window packing — the pretraining sequence layout:
+   * within each group, documents (ordered by id) are conceptually
+   * concatenated into one token stream which is cut into consecutive
+   * windows of exactly `contextLen` tokens; documents SPAN window
+   * boundaries (unlike [[packTokenShards]], which assigns whole docs to
+   * shards). Emits one row per (group, window): the number of documents
+   * contributing tokens and the window's token fill (= contextLen except
+   * the group's final partial window) — the layout manifest a packed-
+   * sequence writer needs.
+   *
+   * All arithmetic is integer (cumulative sums, integer DIV, least/
+   * greatest), so the layout is engine-exact. Scale shape: one group
+   * exchange + a window cumsum, then a MAP-SIDE explode of each doc's
+   * spanned-window range (a doc adds ceil(n_tok/contextLen)+1 ≈ 1 rows,
+   * so the explode does not amplify the corpus) and one hash aggregation.
+   */
+  def packContextWindows(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, contextLen: Long = 128): DataFrame = {
+    require(contextLen >= 1, "contextLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col(idCol), tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum_after", sum(col("n_tok")).over(w))
+      .withColumn("cum_before", col("cum_after") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("win", explode(sequence(
+        expr(s"cum_before DIV $contextLen"),
+        expr(s"(cum_after - 1) DIV $contextLen"))))
+      .groupBy(col(groupCol), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cum_after"), (col("win") + 1) * contextLen) -
+          greatest(col("cum_before"), col("win") * contextLen)).as("n_tokens"))
+  }
+
   def packTokenShards(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, budgetTokens: Long = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window

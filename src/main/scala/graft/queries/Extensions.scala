@@ -556,6 +556,15 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x51 — fixed-context window packing: per source, docs concatenated in
+    * doc_id order and cut into 128-token windows (docs span boundaries);
+    * emits each window's doc count and token fill. Pure integer layout
+    * arithmetic — [[TextAnalysis.packContextWindows]]. */
+  private val x51: Q = (spark, sfDir) =>
+    TextAnalysis.packContextWindows(docs(spark, sfDir), "doc_id", "text",
+      "source", contextLen = 128)
+      .orderBy("source", "win")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -617,7 +626,8 @@ object Extensions {
     "x47_compact_small_files" -> x47,
     "x48_cdc_merge_apply" -> x48,
     "x49_domain_quality_cap" -> x49,
-    "x50_incremental_dedup" -> x50)
+    "x50_incremental_dedup" -> x50,
+    "x51_pack_context_windows" -> x51)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1076,6 +1086,20 @@ object Extensions {
          |  ORDER BY is_change DESC, ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
+        .stripMargin.replace("\n", " ")),
+    "x51_pack_context_windows" ->
+      ("""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+         |    AS cum_after FROM t),
+         |e AS (SELECT source, n_tok, cum_after - n_tok AS cum_before, cum_after
+         |  FROM c WHERE n_tok > 0),
+         |x AS (SELECT source, cum_before, cum_after,
+         |  unnest(range(cum_before // 128, (cum_after - 1) // 128 + 1)) AS win FROM e)
+         |SELECT source, win, COUNT(*) AS n_docs,
+         | SUM(LEAST(cum_after, (win+1)*128) - GREATEST(cum_before, win*128)) AS n_tokens
+         |FROM x GROUP BY source, win ORDER BY source, win"""
         .stripMargin.replace("\n", " ")),
     "x50_incremental_dedup" ->
       (s"""WITH $shingleCtes,

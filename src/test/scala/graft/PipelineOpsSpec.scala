@@ -20,6 +20,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       4L -> 0, 5L -> 0, 6L -> 1, 7L -> 1))
   }
 
+  test("packContextWindows: every window holds exactly contextLen tokens except the last per group") {
+    // group g1: docs of 3,4,6 tokens => stream of 13 tokens, C=5 -> windows 5,5,3
+    val docs = Seq(
+      (1L, "a b c", "g1"), (2L, "a b c d", "g1"), (3L, "a b c d e f", "g1"),
+      (4L, "a b", "g2"))
+      .toDF("doc_id", "text", "src")
+    val out = TextAnalysis.packContextWindows(docs, "doc_id", "text", "src", contextLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // window 0: doc1(3) + doc2(first 2); window 1: doc2(2) + doc3(3); window 2: doc3(3)
+    assert(out == Map(
+      ("g1", 0L) -> (2L, 5L), ("g1", 1L) -> (2L, 5L), ("g1", 2L) -> (1L, 3L),
+      ("g2", 0L) -> (1L, 2L)))
+  }
+
+  test("packContextWindows conserves tokens: window fills sum to the group total") {
+    val docs = (0L until 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim, s"s${i % 3}"))
+      .toDF("doc_id", "text", "src")
+    val packed = TextAnalysis.packContextWindows(docs, "doc_id", "text", "src", contextLen = 8)
+    val bySrc = packed.groupBy("src").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.select(col("src"), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("src").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == expected)
+  }
+
   test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum, deterministically") {
     val df = (1L to 100L).map(i => (i, if (i <= 30) "a" else "b")).toDF("id", "lang")
     val s1 = Sampling.stratifiedSample(df, "id", "lang", 1, 10).collect()
