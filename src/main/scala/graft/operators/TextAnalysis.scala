@@ -214,6 +214,36 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Inverted-index build: term → document frequency + the first
+   * `maxPostings` doc_ids (ascending) — the retrieval-side structure a
+   * corpus search / decontamination service builds from the training set.
+   *
+   * Scale shape: distinct (term, doc) rows, ONE exchange on term, then a
+   * window pass ranks postings and CAPS them BEFORE the collect — the
+   * aggregation buffer for a stopword-grade term holds `maxPostings` ids,
+   * not its full (possibly corpus-sized) posting list; `df` still counts
+   * every doc. The groupBy reuses the window's hash partitioning, so the
+   * cap costs no extra shuffle. Full posting lists at scale would instead
+   * emit (term, doc_id) pairs sorted-bucketed by term — this operator is
+   * the bounded-manifest variant.
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPostings >= 1, "maxPostings must be positive")
+    val byTerm = Window.partitionBy("term")
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+      .withColumn("rn", row_number().over(byTerm.orderBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("term")
+      .agg(max(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -565,6 +565,13 @@ object Extensions {
       "source", contextLen = 128)
       .orderBy("source", "win")
 
+  /** x52 — inverted-index manifest: term → df + first-20 postings
+    * ([[TextAnalysis.invertedIndex]]; postings capped BEFORE the collect so
+    * hot terms can't blow the aggregation buffer). */
+  private val x52: Q = (spark, sfDir) =>
+    TextAnalysis.invertedIndex(docs(spark, sfDir), "doc_id", "text", maxPostings = 20)
+      .orderBy("term")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -627,7 +634,8 @@ object Extensions {
     "x48_cdc_merge_apply" -> x48,
     "x49_domain_quality_cap" -> x49,
     "x50_incremental_dedup" -> x50,
-    "x51_pack_context_windows" -> x51)
+    "x51_pack_context_windows" -> x51,
+    "x52_inverted_index" -> x52)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1086,6 +1094,15 @@ object Extensions {
          |  ORDER BY is_change DESC, ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
+        .stripMargin.replace("\n", " ")),
+    "x52_inverted_index" ->
+      ("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+         |  FROM documents),
+         |r AS (SELECT term, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY term) AS df FROM tok)
+         |SELECT term, MAX(df) AS df, list(doc_id ORDER BY doc_id) AS postings
+         |FROM r WHERE rn <= 20 GROUP BY term ORDER BY term"""
         .stripMargin.replace("\n", " ")),
     "x51_pack_context_windows" ->
       ("""WITH t AS (SELECT source, doc_id,

@@ -46,6 +46,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bySrc == expected)
   }
 
+  test("invertedIndex: df counts every doc while postings cap at maxPostings") {
+    val docs = Seq(
+      (1L, "hot cold"), (2L, "hot"), (3L, "hot cold"), (4L, "hot rare"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(out("hot") == (4L, Seq(1L, 2L)), "df=4 but postings capped at first 2")
+    assert(out("cold") == (2L, Seq(1L, 3L)))
+    assert(out("rare") == (1L, Seq(4L)))
+  }
+
   test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum, deterministically") {
     val df = (1L to 100L).map(i => (i, if (i <= 30) "a" else "b")).toDF("id", "lang")
     val s1 = Sampling.stratifiedSample(df, "id", "lang", 1, 10).collect()

@@ -208,6 +208,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "merge must not join back to the snapshot")
   }
 
+  test("x52: inverted index caps postings before the collect and reuses the term exchange") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // distinct shuffles (term, doc) once; the window's term exchange is the
+    // second; the groupBy must REUSE the term partitioning — 3 exchanges
+    // would mean the cap costs an extra shuffle
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2,
+      s"expected exactly two exchanges in:\n$p")
+    assert(!p.contains("Join"), "index build must not join")
+  }
+
   test("x37: stratified sampling is one stratum exchange, no join, no global sort") {
     val docs = sources.Tables(spark, sf, "documents")
     val p = operators.Sampling.stratifiedSample(docs, "doc_id", "lang", 1, 10)
