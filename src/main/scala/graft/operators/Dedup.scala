@@ -282,6 +282,52 @@ object Dedup {
   }
 
   /**
+   * Connected components with a CONVERGENCE GUARANTEE — the scale path past
+   * [[dupClusters]]'s fixed round count: the same min-label propagation
+   * (one join + one aggregation per round, lineage truncated per round so
+   * plan depth stays constant), iterated until a round changes ZERO labels.
+   * The per-round convergence probe is a single count() over the two
+   * checkpointed label frames — one scalar to the driver, the standard
+   * Pregel-style voting-to-halt check, NOT a collect of the data.
+   *
+   * The fixpoint is the true component labeling (cluster = min doc_id in
+   * the component) for ANY graph shape — long chains included — whereas a
+   * fixed round count silently under-merges past its hop bound.
+   * `maxIterations` is a fail-loud safety bound (label-min propagation
+   * converges in O(diameter) rounds; a dup graph with diameter > 50 means
+   * the threshold upstream is broken).
+   */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val nbr = edges
+        .join(labels.select(col("node").as("bnode"), col("label").as("blabel")),
+          col("b") === col("bnode"))
+        .groupBy(col("a")).agg(min(col("blabel")).as("nl"))
+      val next = labels.join(nbr, labels("node") === nbr("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"components did not converge within $maxIterations rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /**
    * Representative selection after clustering — the final step of a corpus
    * dedup pipeline: keep exactly one doc per duplicate cluster, the one with
    * the highest `score` (ties → smallest doc_id); docs in no cluster keep

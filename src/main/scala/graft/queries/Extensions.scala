@@ -195,6 +195,16 @@ object Extensions {
     Dedup.dupClusters(pairs, iterations = 3).orderBy("doc_id")
   }
 
+  /** x53 — convergence-checked connected components over the same minhash
+    * pair graph as x18: min-label propagation iterated until no label
+    * changes ([[Dedup.connectedComponents]]) — exact components for any
+    * graph shape, where x18's fixed 3 rounds under-merge past 3 hops. The
+    * oracle is a DuckDB RECURSIVE CTE computing true reachability. */
+  private val x53: Q = (spark, sfDir) => {
+    val pairs = Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
+    Dedup.connectedComponents(pairs).orderBy("doc_id")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -635,7 +645,8 @@ object Extensions {
     "x49_domain_quality_cap" -> x49,
     "x50_incremental_dedup" -> x50,
     "x51_pack_context_windows" -> x51,
-    "x52_inverted_index" -> x52)
+    "x52_inverted_index" -> x52,
+    "x53_connected_components" -> x53)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1095,6 +1106,16 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x53_connected_components" ->
+      (s"""WITH RECURSIVE ${jaccardCtes(0.7)},
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |  UNION ALL SELECT d2, d1 FROM jpairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+         |SELECT node AS doc_id, MIN(label) AS cluster FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x52_inverted_index" ->
       ("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
          |  FROM documents),

@@ -156,6 +156,24 @@ class InvariantSpec extends AnyFunSuite {
       "planted dups must out-score novel docs")
   }
 
+  test("connectedComponents merges long chains a fixed round count cannot") {
+    import spark.implicits._
+    // a 9-node path (diameter 8): dupClusters(3) under-merges it by design,
+    // the convergence loop must label every node with the component min
+    val pairs = (1L to 8L).map(i => (i, i + 1, 1.0)).toDF("d1", "d2", "jaccard")
+    val full = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == (1L to 9L).map(_ -> 1L).toMap, "one component labeled by its min id")
+    val bounded = Dedup.dupClusters(pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded.values.toSet.size > 1, "3 rounds must under-merge the 9-path (sanity)")
+    // two components stay separate
+    val two = Dedup.connectedComponents(
+      Seq((1L, 2L, 1.0), (5L, 6L, 1.0)).toDF("d1", "d2", "jaccard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
