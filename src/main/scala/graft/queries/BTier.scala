@@ -514,6 +514,65 @@ object BTier {
         expr("percentile(o_totalprice, 0.9)").as("p90"))
       .orderBy("o_orderstatus")
 
+  /** Bag-semantics set operations: INTERSECT ALL keeps min(multiplicity),
+    * EXCEPT ALL subtracts multiplicities — the two set ops b11/b27 don't
+    * cover. Emitted as per-key multiplicities with an op tag (deterministic
+    * regardless of row order inside the bags). */
+  private val b42: Q = (spark, sfDir) => {
+    val c = Tables(spark, sfDir, "customer").select(col("c_nationkey").as("nk"))
+    val s = Tables(spark, sfDir, "supplier").select(col("s_nationkey").as("nk"))
+    val ia = c.intersectAll(s).groupBy("nk").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = c.exceptAll(s).groupBy("nk").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select("op", "nk", "n").orderBy("op", "nk")
+  }
+
+  /** Ordered string aggregation (LISTAGG): per nation, the market segments
+    * of its customers as a sorted comma list — deterministic because the
+    * aggregation ORDERS its input (sort_array ↔ ORDER BY inside
+    * string_agg), never relying on arrival order. */
+  private val b43: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "customer")
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  /** regexp_extract_all + explode: every digit run in the JSON-ish props
+    * string, counted and summed per event type (the multi-match regex
+    * shape a single regexp_extract can't express). */
+  private val b44: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        explode(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_matches"), sum(col("m").cast("long")).as("sum_m"))
+      .orderBy("event_type")
+
+  /** Calendar-spine generation: `sequence` explodes a month series spanning
+    * the full order-date range, left-joined to per-month aggregates so
+    * empty months surface as zero rows — the gap-free reporting spine a
+    * BI layer needs (generate_series in DuckDB). The spine derives from a
+    * 1-row bounds aggregate, so the explode is driver-free and the join is
+    * a broadcast. */
+  private val b45: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+    val spine = o
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+      .select(explode(sequence(
+        date_trunc("MONTH", col("lo")), date_trunc("MONTH", col("hi")),
+        expr("INTERVAL 1 MONTH"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+    val per = o
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+    spine.join(per, Seq("month"), "left")
+      .select(col("month"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -555,7 +614,11 @@ object BTier {
     "b38_window_frames" -> b38,
     "b39_collect_agg" -> b39,
     "b40_unpivot_stack" -> b40,
-    "b41_from_json_struct" -> b41)
+    "b41_from_json_struct" -> b41,
+    "b42_intersect_except_all" -> b42,
+    "b43_listagg_ordered" -> b43,
+    "b44_regexp_extract_all" -> b44,
+    "b45_calendar_spine" -> b45)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -668,6 +731,37 @@ object BTier {
          |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
          |FROM t WHERE k >= 50
          |GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "b42_intersect_except_all" ->
+      ("""WITH ia AS (SELECT nk, COUNT(*) AS n FROM
+         |  (SELECT c_nationkey AS nk FROM customer
+         |   INTERSECT ALL SELECT s_nationkey AS nk FROM supplier) t GROUP BY nk),
+         |ea AS (SELECT nk, COUNT(*) AS n FROM
+         |  (SELECT c_nationkey AS nk FROM customer
+         |   EXCEPT ALL SELECT s_nationkey AS nk FROM supplier) t GROUP BY nk)
+         |SELECT 'intersect_all' AS op, nk, n FROM ia
+         |UNION ALL SELECT 'except_all' AS op, nk, n FROM ea
+         |ORDER BY op, nk""".stripMargin.replace("\n", " ")),
+    "b43_listagg_ordered" ->
+      ("""SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+         | COUNT(*) AS n
+         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+        .stripMargin.replace("\n", " ")),
+    "b44_regexp_extract_all" ->
+      ("""WITH m AS (SELECT event_type,
+         |  unnest(regexp_extract_all(props, '[0-9]+')) AS m FROM events)
+         |SELECT event_type, COUNT(*) AS n_matches, CAST(SUM(CAST(m AS BIGINT)) AS BIGINT) AS sum_m
+         |FROM m GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "b45_calendar_spine" ->
+      (s"""WITH b AS (SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+         |  DATE_TRUNC('month', MAX(o_orderdate)) AS hi FROM orders),
+         |spine AS (SELECT STRFTIME(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)), '%Y-%m')
+         |  AS month FROM b),
+         |per AS (SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total FROM orders GROUP BY 1)
+         |SELECT spine.month AS month, COALESCE(n, 0) AS n, COALESCE(total, 0.0) AS total
+         |FROM spine LEFT JOIN per ON per.month = spine.month
+         |ORDER BY spine.month""".stripMargin.replace("\n", " ")),
     "b22_time_window" ->
       (s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          | COUNT(*) AS n, ${dsumSql("value")} AS sum_value
