@@ -328,6 +328,36 @@ object Dedup {
   }
 
   /**
+   * Line-level (chunk-hash) dedup — the boilerplate-removal pass (CCNet /
+   * RefinedWeb line dedup re-expressed for an unlined corpus): documents
+   * are cut into aligned non-overlapping `lineTokens`-token chunks
+   * ([[TextAnalysis.chunkDocs]] with window = stride, map-side), a chunk
+   * whose content hash appears in MORE THAN ONE document is boilerplate
+   * and is dropped everywhere; per document the operator reports how much
+   * survives: (doc_id, n_chunks, n_kept, kept_tokens).
+   *
+   * Scale shape: one exchange on the 16-byte chunk hash computes document
+   * frequency (countDistinct partial-aggregates map-side); the join back
+   * to chunks reuses that hash partitioning; one final exchange
+   * re-aggregates per doc. No pairwise work at any point — cost is linear
+   * in the chunk count regardless of how widespread the boilerplate is
+   * (contrast: shingle pair joins are Σ df²).
+   */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 10): DataFrame = {
+    val chunks = TextAnalysis.chunkDocs(docs, idCol, textCol,
+      window = lineTokens, stride = lineTokens)
+    val docFreq = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+    chunks.join(docFreq, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("docfreq") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("docfreq") === 1, col("n_tokens").cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+  }
+
+  /**
    * Representative selection after clustering — the final step of a corpus
    * dedup pipeline: keep exactly one doc per duplicate cluster, the one with
    * the highest `score` (ties → smallest doc_id); docs in no cluster keep

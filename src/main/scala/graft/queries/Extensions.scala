@@ -205,6 +205,13 @@ object Extensions {
     Dedup.connectedComponents(pairs).orderBy("doc_id")
   }
 
+  /** x54 — line-level (chunk-hash) boilerplate dedup: aligned 10-token
+    * chunks shared by >1 doc are dropped everywhere; per-doc survival
+    * stats ([[Dedup.lineDedup]]). Linear in chunk count — no pair join. */
+  private val x54: Q = (spark, sfDir) =>
+    Dedup.lineDedup(docs(spark, sfDir), "doc_id", "text", lineTokens = 10)
+      .orderBy("doc_id")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -646,7 +653,8 @@ object Extensions {
     "x50_incremental_dedup" -> x50,
     "x51_pack_context_windows" -> x51,
     "x52_inverted_index" -> x52,
-    "x53_connected_components" -> x53)
+    "x53_connected_components" -> x53,
+    "x54_line_dedup" -> x54)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1106,6 +1114,17 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x54_line_dedup" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, unnest(range(0, len(ws), 10)) AS st, ws FROM w),
+         |ch AS (SELECT doc_id, array_to_string(ws[st+1:st+10], ' ') AS chunk,
+         |  len(ws[st+1:st+10]) AS n_tokens FROM s),
+         |df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS d FROM ch GROUP BY chunk)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(SUM(CASE WHEN d = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM ch JOIN df USING (chunk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x53_connected_components" ->
       (s"""WITH RECURSIVE ${jaccardCtes(0.7)},
          |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs

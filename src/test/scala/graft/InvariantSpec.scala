@@ -174,6 +174,19 @@ class InvariantSpec extends AnyFunSuite {
     assert(two == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("lineDedup drops shared chunks everywhere, keeps unique ones, conserves chunk counts") {
+    import spark.implicits._
+    // docs 1 and 2 share an aligned 3-token chunk ("a b c"); doc 3 is unique
+    val docs = Seq(
+      (1L, "a b c x y z"), (2L, "a b c p q r"), (3L, "u v w m n o"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", lineTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 1L, 3L), "doc 1: 2 chunks, shared 'a b c' dropped")
+    assert(out(2L) == (2L, 1L, 3L))
+    assert(out(3L) == (2L, 2L, 6L), "doc 3 keeps everything")
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
