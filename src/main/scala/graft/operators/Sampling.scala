@@ -76,6 +76,39 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("score"))
   }
 
+  /**
+   * Distributed global row numbering by (`valueCol`, `idCol`) — the
+   * scale-safe form of `ROW_NUMBER() OVER (ORDER BY value, id)`. The naive
+   * global window funnels the whole dataset through ONE task (Spark even
+   * warns); this operator never globally sorts the data: it aggregates
+   * per-VALUE counts (one exchange, map-side partials), prefix-sums them in
+   * a single-partition window over the DISTINCT VALUES ONLY (tiny by the
+   * operator's contract — lengths, scores, bucketed keys), broadcasts the
+   * offsets back, and ranks within each value group locally
+   * (rank = offset(value) + intra-value row_number).
+   *
+   * Contract: `valueCol` must be low-cardinality relative to the corpus
+   * (a 100 TB corpus has ~10⁵ distinct lengths — KBs of offsets). For
+   * high-cardinality keys use range partitioning + per-partition offsets
+   * instead; this operator `require`s nothing at plan time because
+   * cardinality is a data property, but the offset frame is broadcast, so
+   * a contract violation fails loudly in the broadcast size check rather
+   * than silently serializing the corpus through one task.
+   */
+  def globalRankByValue(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+    val offsets = counts
+      .withColumn("cum_before",
+        sum(col("cnt")).over(Window.orderBy(valueCol)) - col("cnt"))
+      .select(col(valueCol), col("cum_before"))
+    val intra = Window.partitionBy(valueCol).orderBy(idCol)
+    df.select(col(idCol), col(valueCol))
+      .withColumn("lr", row_number().over(intra).cast("long"))
+      .join(broadcast(offsets), Seq(valueCol))
+      .select(col(idCol), col(valueCol),
+        (col("cum_before") + col("lr")).as("global_rank"))
+  }
+
   def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
       valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,

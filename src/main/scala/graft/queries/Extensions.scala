@@ -212,6 +212,14 @@ object Extensions {
     Dedup.lineDedup(docs(spark, sfDir), "doc_id", "text", lineTokens = 10)
       .orderBy("doc_id")
 
+  /** x55 — distributed global ranking of docs by (n_chars, doc_id): no
+    * corpus-wide sort — per-value counts + prefix-summed offsets over the
+    * tiny distinct-value frame, broadcast back
+    * ([[Sampling.globalRankByValue]]). */
+  private val x55: Q = (spark, sfDir) =>
+    Sampling.globalRankByValue(docs(spark, sfDir), "doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -654,7 +662,8 @@ object Extensions {
     "x51_pack_context_windows" -> x51,
     "x52_inverted_index" -> x52,
     "x53_connected_components" -> x53,
-    "x54_line_dedup" -> x54)
+    "x54_line_dedup" -> x54,
+    "x55_global_rank" -> x55)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1114,6 +1123,10 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x55_global_rank" ->
+      ("""SELECT doc_id, n_chars,
+         | ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x54_line_dedup" ->
       ("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          |s AS (SELECT doc_id, unnest(range(0, len(ws), 10)) AS st, ws FROM w),

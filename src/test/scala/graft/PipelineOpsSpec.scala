@@ -57,6 +57,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("rare") == (1L, Seq(4L)))
   }
 
+  test("globalRankByValue equals the single-window global row_number") {
+    val df = Seq((10L, 5L), (11L, 3L), (12L, 5L), (13L, 1L), (14L, 3L))
+      .toDF("id", "v")
+    val out = Sampling.globalRankByValue(df, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // order by (v, id): 13(1), 11(3), 14(3), 10(5), 12(5)
+    assert(out == Map(13L -> 1L, 11L -> 2L, 14L -> 3L, 10L -> 4L, 12L -> 5L))
+  }
+
   test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum, deterministically") {
     val df = (1L to 100L).map(i => (i, if (i <= 30) "a" else "b")).toDF("id", "lang")
     val s1 = Sampling.stratifiedSample(df, "id", "lang", 1, 10).collect()

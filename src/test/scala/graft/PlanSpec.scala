@@ -220,6 +220,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "index build must not join")
   }
 
+  test("x55: global rank never sorts the corpus — only the distinct-value offsets go single-partition") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.Sampling.globalRankByValue(docs, "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"corpus must not be globally sorted:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"exactly the aggregated offsets frame may be single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back, not shuffle the corpus:\n$p")
+  }
+
   test("x37: stratified sampling is one stratum exchange, no join, no global sort") {
     val docs = sources.Tables(spark, sf, "documents")
     val p = operators.Sampling.stratifiedSample(docs, "doc_id", "lang", 1, 10)
