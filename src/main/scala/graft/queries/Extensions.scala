@@ -220,6 +220,23 @@ object Extensions {
     Sampling.globalRankByValue(docs(spark, sfDir), "doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** x56 — NATIVE session-window aggregation (`session_window`, Spark's
+    * built-in merging-session operator) over events with a 30-minute gap —
+    * the declarative complement of x15/x27's custom mapGroups state:
+    * Catalyst plans partial session merges map-side before the user_id
+    * exchange. Session end = last event + gap; a gap of exactly the
+    * window starts a NEW session ([start, end) windows just touching do
+    * not overlap) — the oracle's lag-islands rule uses >= accordingly. */
+  private val x56: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -663,7 +680,8 @@ object Extensions {
     "x52_inverted_index" -> x52,
     "x53_connected_components" -> x53,
     "x54_line_dedup" -> x54,
-    "x55_global_rank" -> x55)
+    "x55_global_rank" -> x55,
+    "x56_session_window_native" -> x56)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1123,6 +1141,19 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x56_session_window_native" ->
+      ("""WITH d AS (SELECT user_id, ts,
+         |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |  THEN 1 ELSE 0 END AS new_s FROM events),
+         |s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |  ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+         |SELECT user_id,
+         | STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         | STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+         | COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")),
     "x55_global_rank" ->
       ("""SELECT doc_id, n_chars,
          | ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
