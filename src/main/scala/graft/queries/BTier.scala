@@ -573,6 +573,34 @@ object BTier {
       .orderBy("month")
   }
 
+  /** Value-RANGE window frame (vs b38's ROWS frames): for every order, the
+    * count and exact-decimal sum of same-status orders priced within 100
+    * below it — frame membership depends on VALUES, so peers with equal
+    * prices share a frame and the result is order-independent. */
+  private val b46: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+      .rangeBetween(-100, 0)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double").as("near_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Aggregate FILTER clause (per-aggregate predicates without CASE
+    * scaffolding) — ANSI surface shared by Spark and DuckDB. */
+  private val b47: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -618,7 +646,9 @@ object BTier {
     "b42_intersect_except_all" -> b42,
     "b43_listagg_ordered" -> b43,
     "b44_regexp_extract_all" -> b44,
-    "b45_calendar_spine" -> b45)
+    "b45_calendar_spine" -> b45,
+    "b46_window_range_frame" -> b46,
+    "b47_agg_filter_clause" -> b47)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -731,6 +761,21 @@ object BTier {
          |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
          |FROM t WHERE k >= 50
          |GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "b46_window_range_frame" ->
+      ("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         | COUNT(*) OVER w AS n_near,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_total
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+    "b47_agg_filter_clause" ->
+      ("""SELECT o_orderpriority, COUNT(*) AS n,
+         | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |   FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
     "b42_intersect_except_all" ->
       ("""WITH ia AS (SELECT nk, COUNT(*) AS n FROM
          |  (SELECT c_nationkey AS nk FROM customer
