@@ -244,6 +244,36 @@ object TextAnalysis {
         sort_array(collect_list(col("doc_id"))).as("postings"))
   }
 
+  /**
+   * Unigram rarity score — the LM-free stand-in for perplexity filtering
+   * (CCNet-style: flag documents whose tokens are improbable under the
+   * corpus unigram distribution). Per occurrence the contribution is
+   * `total_tokens DIV corpus_count(word)` — the INTEGER inverse frequency —
+   * and the doc score is the integer mean of its occurrences'
+   * contributions. Rare-word-heavy docs score high, stopword soup scores
+   * low; ranking correlates with -log p without a single float: float
+   * `ln` is not bit-portable across engines, integer DIV is.
+   *
+   * Scale shape: one exchange builds the unigram table (map-side partial
+   * counts); the word join broadcasts when the vocabulary ≪ corpus (AQE
+   * decides — a 10M-type vocab is MBs) and falls back to a shuffle join
+   * otherwise; one final exchange per doc. The corpus total rides along as
+   * a 1-row broadcast cross join.
+   */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = words.agg(count(lit(1)).as("total"))
+    words.join(freq, "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("total DIV cnt")).as("rsum"))
+      .select(col("doc_id"), col("n_words"),
+        expr("rsum DIV n_words").as("rarity"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

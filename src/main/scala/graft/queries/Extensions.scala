@@ -237,6 +237,12 @@ object Extensions {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** x57 — unigram rarity scoring (perplexity-proxy quality filter) in
+    * pure integer arithmetic ([[TextAnalysis.rarityScore]]). */
+  private val x57: Q = (spark, sfDir) =>
+    TextAnalysis.rarityScore(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -681,7 +687,8 @@ object Extensions {
     "x53_connected_components" -> x53,
     "x54_line_dedup" -> x54,
     "x55_global_rank" -> x55,
-    "x56_session_window_native" -> x56)
+    "x56_session_window_native" -> x56,
+    "x57_rarity_score" -> x57)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1141,6 +1148,15 @@ object Extensions {
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x57_rarity_score" ->
+      ("""WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+         |  FROM documents),
+         |freq AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+         |tot AS (SELECT COUNT(*) AS total FROM words)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         | CAST(SUM(total // cnt) // COUNT(*) AS BIGINT) AS rarity
+         |FROM words JOIN freq USING (word) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x56_session_window_native" ->
       ("""WITH d AS (SELECT user_id, ts,
          |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

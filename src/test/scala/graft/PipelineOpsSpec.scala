@@ -57,6 +57,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("rare") == (1L, Seq(4L)))
   }
 
+  test("rarityScore: rare-word docs outscore stopword soup, integer-exact") {
+    val docs = Seq(
+      (1L, "the the the the"),        // 4 occurrences of an 8x word
+      (2L, "unique the the the"))     // one hapax
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // total=8, cnt(the)=7, cnt(unique)=1: doc1 = (4*(8 DIV 7)) DIV 4 = 1;
+    // doc2 = (8 + 3*1) DIV 4 = 2
+    assert(out == Map(1L -> (4L, 1L), 2L -> (4L, 2L)))
+  }
+
   test("globalRankByValue equals the single-window global row_number") {
     val df = Seq((10L, 5L), (11L, 3L), (12L, 5L), (13L, 1L), (14L, 3L))
       .toDF("id", "v")
