@@ -176,4 +176,47 @@ object Similarity {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
+
+  /**
+   * Label-centroid assignment confusion — the embedding-space cluster-
+   * quality report: each labeled vector is assigned to its nearest label
+   * centroid by cosine, and the (true label, predicted label) counts come
+   * back as a confusion matrix. The diagonal measures label cohesion in
+   * embedding space; off-diagonal mass flags label noise — the check a
+   * curated-dataset pipeline runs before training on the labels.
+   *
+   * Determinism across engines: centroids are per-dimension DECIMAL sums
+   * (exact, order-independent — float/double addition in an unordered
+   * aggregate is not reproducible) cast back to float; cosine then uses
+   * the same ascending-index double fold as everywhere else
+   * ([[cosine]] ↔ the oracle's list_transform chain), and the argmax
+   * tie-breaks by centroid label. Cosine is scale-invariant, so the SUM
+   * vector stands in for the mean — no division, one rounding.
+   *
+   * Scale shape: one (label, dim) exchange for the sums (map-side
+   * partials), a ≤ |labels| × dims frame collapsed to |labels| centroid
+   * rows, broadcast cross join (|labels| copies per vector), argmax via a
+   * per-vector window, one final confusion aggregation.
+   */
+  def labelCentroidConfusion(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum(col("v").cast(DecimalType(28, 9))).as("s"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        x => x.getField("s").cast("float")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(desc("score"), col("clabel"))
+    embeddings.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        cosine(col("embedding"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

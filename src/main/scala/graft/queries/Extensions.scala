@@ -135,6 +135,14 @@ object Extensions {
   private val x14: Q = (spark, sfDir) =>
     Similarity.cosineNearDupPairs(plantedEmb(spark, sfDir), 0.95).orderBy("v1", "v2")
 
+  /** x58 — label-centroid confusion matrix over the embeddings: nearest
+    * label centroid by cosine vs the true label
+    * ([[Similarity.labelCentroidConfusion]]; decimal-exact centroid sums,
+    * shared fold order ⇒ cross-engine-identical argmax). */
+  private val x58: Q = (spark, sfDir) =>
+    Similarity.labelCentroidConfusion(emb(spark, sfDir))
+      .orderBy("label", "pred_label")
+
   /** x22 — banded-LSH ANN top-k (OR-construction multi-probe; the scale
     * path past x06's single coarse bucket). */
   private val x22: Q = (spark, sfDir) =>
@@ -688,7 +696,8 @@ object Extensions {
     "x54_line_dedup" -> x54,
     "x55_global_rank" -> x55,
     "x56_session_window_native" -> x56,
-    "x57_rarity_score" -> x57)
+    "x57_rarity_score" -> x57,
+    "x58_label_centroid_confusion" -> x58)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1147,6 +1156,22 @@ object Extensions {
          |  ORDER BY is_change DESC, ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
          |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
+        .stripMargin.replace("\n", " ")),
+    "x58_label_centroid_confusion" ->
+      (s"""WITH dims AS (SELECT e.label, dd.d, e.embedding[dd.d+1] AS v
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         |cent0 AS (SELECT label, d, CAST(SUM(CAST(v AS DECIMAL(28,9))) AS FLOAT) AS s
+         |  FROM dims GROUP BY label, d),
+         |cent AS (SELECT label AS clabel, list(s ORDER BY d) AS cvec
+         |  FROM cent0 GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.label, c.clabel,
+         |  ${cos2Sql("e.embedding", "c.cvec")} AS score
+         |  FROM embeddings e CROSS JOIN cent c),
+         |r AS (SELECT vec_id, label, clabel,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn
+         |  FROM sc)
+         |SELECT label, clabel AS pred_label, COUNT(*) AS n FROM r WHERE rn = 1
+         |GROUP BY label, clabel ORDER BY label, pred_label"""
         .stripMargin.replace("\n", " ")),
     "x57_rarity_score" ->
       ("""WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
