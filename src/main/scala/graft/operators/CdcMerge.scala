@@ -30,6 +30,39 @@ object CdcMerge {
   val DeleteOp = "D"
 
   /**
+   * Snapshot diff — the generator of the change batches [[applyChanges]]
+   * consumes (table reconciliation / CDC bootstrap when no change log
+   * exists): compare two keyed snapshots and emit one row per differing
+   * key with `op` = I (key only in `newSnap`), U (attributes differ,
+   * null-safely), or D (key only in `oldSnap`), plus the NEW attribute
+   * values (null for deletes). Unchanged keys emit nothing.
+   * `applyChanges(old, snapshotDiff(old, new))` reconstructs `new`
+   * exactly (invariant-tested).
+   *
+   * Scale shape: one full outer join co-partitioned on the key — both
+   * sides shuffle once, no window, no driver work; with both snapshots
+   * bucketed by key on disk the exchanges disappear entirely.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(
+      col(keyCol) +: lit(1).as("_in_old") +:
+        attrCols.map(a => col(a).as(s"_old_$a")): _*)
+    val n = newSnap.select(
+      col(keyCol) +: lit(1).as("_in_new") +: attrCols.map(col): _*)
+    val changed = attrCols
+      .map(a => !(col(a) <=> col(s"_old_$a")))
+      .reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit(DeleteOp))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col(keyCol) +: col("op") +: attrCols.map(col): _*)
+  }
+
+  /**
    * Apply `changes` to `snapshot`; both must carry `keyCol` ++ `attrCols`,
    * and `changes` additionally `tsCol`, `tieCol`, `opCol`. Returns the new
    * snapshot: one row per surviving key with the winning attributes.

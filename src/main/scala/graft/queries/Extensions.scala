@@ -628,6 +628,17 @@ object Extensions {
     TextAnalysis.invertedIndex(docs(spark, sfDir), "doc_id", "text", maxPostings = 20)
       .orderBy("term")
 
+  /** x59 — snapshot diff: the effective changes between the customer
+    * snapshot and x48's merged result ([[CdcMerge.snapshotDiff]]; one
+    * co-partitioned full outer join). Round-trip invariant with x48:
+    * applying the diff to the old snapshot reconstructs the new one. */
+  private val x59: Q = (spark, sfDir) =>
+    CdcMerge.snapshotDiff(
+      Tables(spark, sfDir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment"),
+      x48(spark, sfDir),
+      "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -697,7 +708,8 @@ object Extensions {
     "x55_global_rank" -> x55,
     "x56_session_window_native" -> x56,
     "x57_rarity_score" -> x57,
-    "x58_label_centroid_confusion" -> x58)
+    "x58_label_centroid_confusion" -> x58,
+    "x59_snapshot_diff" -> x59)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -706,6 +718,24 @@ object Extensions {
     * (d1, d2, jaccard) filtered at `threshold`. `maxDf` mirrors the
     * operator's document-frequency cap: capped shingles leave the pair join
     * but per-doc sizes stay exact. */
+  /** CTE chain reproducing x48's CDC merge (`news` holds the merged
+    * snapshot) — shared by the x48 and x59 oracles. */
+  private val cdcMergeCtes: String =
+    """chg AS (SELECT
+      |  CASE WHEN o_orderkey % 7 = 0 THEN -o_custkey ELSE o_custkey END AS c_custkey,
+      |  1 AS is_change, o_orderdate AS ts, o_orderkey AS seq,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+      |  o_totalprice AS c_acctbal,
+      |  'SEG' || CAST(o_orderkey % 5 AS VARCHAR) AS c_mktsegment
+      | FROM orders),
+      |base AS (SELECT c_custkey, 0 AS is_change, CAST(NULL AS TIMESTAMP) AS ts,
+      |  CAST(NULL AS BIGINT) AS seq, 'U' AS op, c_acctbal, c_mktsegment FROM customer),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+      |  ORDER BY is_change DESC, ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u),
+      |news AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM r
+      |  WHERE rn = 1 AND op <> 'D')""".stripMargin.replace("\n", " ")
+
   /** Shared CTE prefix: distinct 3-gram shingles + per-doc set sizes over
     * `documents` (`sh` holds (doc_id, s), `sizes` holds (doc_id, n)). */
   private val shingleCtes: String =
@@ -1142,21 +1172,24 @@ object Extensions {
          |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x48_cdc_merge_apply" ->
-      ("""WITH chg AS (SELECT
-         |  CASE WHEN o_orderkey % 7 = 0 THEN -o_custkey ELSE o_custkey END AS c_custkey,
-         |  1 AS is_change, o_orderdate AS ts, o_orderkey AS seq,
-         |  CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
-         |  o_totalprice AS c_acctbal,
-         |  'SEG' || CAST(o_orderkey % 5 AS VARCHAR) AS c_mktsegment
-         | FROM orders),
-         |base AS (SELECT c_custkey, 0 AS is_change, CAST(NULL AS TIMESTAMP) AS ts,
-         |  CAST(NULL AS BIGINT) AS seq, 'U' AS op, c_acctbal, c_mktsegment FROM customer),
-         |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
-         |  ORDER BY is_change DESC, ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
-         |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
-         |WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey"""
+      (s"""WITH $cdcMergeCtes
+         |SELECT c_custkey, c_acctbal, c_mktsegment FROM news ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x59_snapshot_diff" ->
+      (s"""WITH $cdcMergeCtes,
+         |old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+         |j AS (SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         |  o.c_custkey IS NOT NULL AS in_old, n.c_custkey IS NOT NULL AS in_new,
+         |  o.c_acctbal AS oa, o.c_mktsegment AS om,
+         |  n.c_acctbal AS c_acctbal, n.c_mktsegment AS c_mktsegment
+         | FROM old o FULL OUTER JOIN news n ON o.c_custkey = n.c_custkey)
+         |SELECT c_custkey,
+         | CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D' ELSE 'U' END AS op,
+         | c_acctbal, c_mktsegment
+         |FROM j
+         |WHERE (NOT in_old) OR (NOT in_new)
+         |  OR (c_acctbal IS DISTINCT FROM oa) OR (c_mktsegment IS DISTINCT FROM om)
+         |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
     "x58_label_centroid_confusion" ->
       (s"""WITH dims AS (SELECT e.label, dd.d, e.embedding[dd.d+1] AS v
          |  FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),

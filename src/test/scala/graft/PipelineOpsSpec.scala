@@ -160,6 +160,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       4L -> (42.0, "d2"), 5L -> (50.0, "e")))
   }
 
+  test("snapshotDiff classifies I/U/D and round-trips through applyChanges") {
+    val old = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "bal", "seg")
+    val next = Seq((1L, 10.0, "a"), (2L, 21.0, "b"), (4L, 40.0, "d"))
+      .toDF("k", "bal", "seg")
+    val diff = CdcMerge.snapshotDiff(old, next, "k", Seq("bal", "seg"))
+    val byKey = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey == Map(2L -> "U", 3L -> "D", 4L -> "I"), "unchanged key 1 emits nothing")
+    // round-trip: applying the diff (any ts/seq - one change per key)
+    // reconstructs the new snapshot exactly
+    val changes = diff
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("seq", col("k"))
+    val rebuilt = CdcMerge.applyChanges(old, changes, "k", "ts", "seq", "op",
+      Seq("bal", "seg"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val expected = next.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rebuilt == expected, "diff-then-apply must reconstruct the new snapshot")
+  }
+
   test("ZOrder: column and driver-side interleaves agree; cell list covers range queries") {
     import graft.operators.ZOrder
     val pairs = for (a <- 0 to 7; b <- 0 to 7) yield (a, b)
