@@ -639,6 +639,13 @@ object Extensions {
       "c_custkey", Seq("c_acctbal", "c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** x60 — streaming CDC snapshot sink: each replayed micro-batch MERGEd
+    * into a ping-pong parquet snapshot via foreachBatch + [[CdcMerge]]
+    * (errors delete, other events upsert). Final snapshot == "latest
+    * event per user decides" ([[graft.streaming.EventStream.cdcSnapshotSink]]). */
+  private val x60: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.cdcSnapshotSink(spark, sfDir)
+
   /** x17 — salted skew join (result ≡ plain join by construction). */
   private val x17: Q = (spark, sfDir) => {
     val li = Tables(spark, sfDir, "lineitem")
@@ -709,7 +716,8 @@ object Extensions {
     "x56_session_window_native" -> x56,
     "x57_rarity_score" -> x57,
     "x58_label_centroid_confusion" -> x58,
-    "x59_snapshot_diff" -> x59)
+    "x59_snapshot_diff" -> x59,
+    "x60_streaming_cdc_snapshot" -> x60)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1175,6 +1183,12 @@ object Extensions {
       (s"""WITH $cdcMergeCtes
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM news ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x60_streaming_cdc_snapshot" ->
+      ("""WITH r AS (SELECT user_id, event_type, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         | FROM events)
+         |SELECT user_id, value FROM r WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY user_id""".stripMargin.replace("\n", " ")),
     "x59_snapshot_diff" ->
       (s"""WITH $cdcMergeCtes,
          |old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),

@@ -342,6 +342,59 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /**
+   * STREAMING CDC SNAPSHOT SINK — the incremental-lake capstone tying
+   * [[foreachBatchLakeSink]] to [[graft.operators.CdcMerge]]: the ordered
+   * event replay is interpreted as a change stream (an `error` event
+   * deletes the user's row, anything else upserts `value`), and each
+   * micro-batch is MERGED into a persistent snapshot table inside
+   * `foreachBatch` — the Delta/Iceberg `MERGE INTO` loop every
+   * stream-into-lakehouse deployment runs, expressed on plain parquet
+   * with ping-pong paths (write target alternates so a batch never reads
+   * the file it is overwriting; the batch id picks the side, which also
+   * makes a retried batch idempotent — it rewrites the same target from
+   * the same source side).
+   *
+   * Because replay slices are time-ordered and [[CdcMerge.applyChanges]]
+   * is latest-(ts, seq)-wins within a batch, the final snapshot equals
+   * the batch rule "each user's latest event decides" — plain SQL for
+   * the oracle.
+   */
+  def cdcSnapshotSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    val sides = Array(base.resolve("a").toString, base.resolve("b").toString)
+    @volatile var current = -1 // no snapshot yet
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    withStatePartitions(spark) {
+      val query = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val changes = batch.select(
+            col("user_id").as("k"), col("ts"), col("event_id").as("seq"),
+            when(col("event_type") === "error",
+              graft.operators.CdcMerge.DeleteOp).otherwise("U").as("op"),
+            col("value"))
+          val snap =
+            if (current < 0) changes.select(col("k"), col("value")).limit(0)
+            else spark.read.parquet(sides(current))
+          val side = (batchId % 2).toInt
+          graft.operators.CdcMerge
+            .applyChanges(snap, changes, "k", "ts", "seq", "op", Seq("value"))
+            .write.mode("overwrite").parquet(sides(side))
+          current = side
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    require(current >= 0, "no micro-batch arrived")
+    spark.read.parquet(sides(current))
+      .select(col("k").as("user_id"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Open-session state for [[closedSessions]]. */
   case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
 
