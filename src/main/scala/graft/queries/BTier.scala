@@ -601,6 +601,20 @@ object BTier {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** GROUPING() disambiguation over ROLLUP (vs b09, where a NULL group key
+    * is indistinguishable from a NULL data value): the grouping flags tag
+    * subtotal rows explicitly — the ANSI mechanism BI tools rely on. */
+  private val b48: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -648,7 +662,8 @@ object BTier {
     "b44_regexp_extract_all" -> b44,
     "b45_calendar_spine" -> b45,
     "b46_window_range_frame" -> b46,
-    "b47_agg_filter_clause" -> b47)
+    "b47_agg_filter_clause" -> b47,
+    "b48_grouping_function" -> b48)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -761,6 +776,14 @@ object BTier {
          |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
          |FROM t WHERE k >= 50
          |GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "b48_grouping_function" ->
+      ("""SELECT o_orderstatus, o_orderpriority,
+         | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+         | COUNT(*) AS n
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
     "b46_window_range_frame" ->
       ("""SELECT o_orderkey, o_orderstatus, o_totalprice,
          | COUNT(*) OVER w AS n_near,
