@@ -178,6 +178,28 @@ object Similarity {
   }
 
   /**
+   * Batch top-k retrieval: the k nearest neighbours for EVERY query in a
+   * batch (`queries`: (qid, qe) rows) — the serving/eval shape, where
+   * x05's single-query TakeOrdered would mean one pass per query. One
+   * corpus pass scores all queries (broadcast cross join), then a window
+   * partitioned BY QUERY ranks per query — per-query work distributes
+   * across the cluster when the batch is large, which is exactly when
+   * this operator replaces repeated single-query scans. Self-matches are
+   * excluded so the output is the retrieval result, not the identity.
+   */
+  def batchTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /**
    * Label-centroid assignment confusion — the embedding-space cluster-
    * quality report: each labeled vector is assigned to its nearest label
    * centroid by cosine, and the (true label, predicted label) counts come

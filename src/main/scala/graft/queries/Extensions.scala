@@ -143,6 +143,16 @@ object Extensions {
     Similarity.labelCentroidConfusion(emb(spark, sfDir))
       .orderBy("label", "pred_label")
 
+  /** x61 — batch ANN retrieval: top-3 neighbours for each of the first 8
+    * vectors as a query batch, one corpus pass + per-query window
+    * ([[Similarity.batchTopK]]). */
+  private val x61: Q = (spark, sfDir) => {
+    val e = emb(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.batchTopK(e, queries, k = 3).orderBy("qid", "rn")
+  }
+
   /** x22 — banded-LSH ANN top-k (OR-construction multi-probe; the scale
     * path past x06's single coarse bucket). */
   private val x22: Q = (spark, sfDir) =>
@@ -717,7 +727,8 @@ object Extensions {
     "x57_rarity_score" -> x57,
     "x58_label_centroid_confusion" -> x58,
     "x59_snapshot_diff" -> x59,
-    "x60_streaming_cdc_snapshot" -> x60)
+    "x60_streaming_cdc_snapshot" -> x60,
+    "x61_batch_ann_topk" -> x61)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1183,6 +1194,17 @@ object Extensions {
       (s"""WITH $cdcMergeCtes
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM news ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x61_batch_ann_topk" ->
+      (s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 8),
+         |sc AS (SELECT q.qid, e.vec_id,
+         |  ROUND(${cos2Sql("e.embedding", "q.qe")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sc)
+         |SELECT qid, vec_id, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin.replace("\n", " ")),
     "x60_streaming_cdc_snapshot" ->
       ("""WITH r AS (SELECT user_id, event_type, value,
          |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
