@@ -60,20 +60,6 @@ object Dedup {
   }
 
 
-  /**
-   * MinHash + LSH near-duplicate pairs (Broder '97 banding, public
-   * technique): shingle → one xxhash64 per shingle → `numBands*rowsPerBand`
-   * affine permutations g_i(h) = (a_i·h + b_i) mod M → per-band signature →
-   * group by (band, signature) → candidate pairs within buckets → EXACT
-   * jaccard verification on the candidates only.
-   *
-   * With rowsPerBand=4, numBands=48 the miss probability at jaccard ≥ 0.7 is
-   * (1 − 0.7⁴)^48 ≈ 2e-6, so the output equals the exact O(n²) oracle with
-   * overwhelming probability while doing linear work + one shuffle. r=4 (vs
-   * the classic r=3 at this threshold) costs 1.5× more hashes but cuts the
-   * false-candidate rate on low-jaccard background pairs by ~s·10×, which is
-   * what bounds the verify stage on corpora with a small vocabulary.
-   */
   /** (doc_id, band_j, band_h) LSH band keys from shingle-hash rows.
     * Signatures via the native MinHashSignature aggregate (one Array[Long]
     * buffer, tight loop) — numHashes separate min() aggregates overflow
@@ -96,6 +82,33 @@ object Dedup {
       .select(col("doc_id"), col("band.j").as("band_j"), col("band.h").as("band_h"))
   }
 
+  /** Per-doc shingle-hash sets restricted (semi join) to candidate `ids` —
+    * the verify-stage input shared by [[minhashLsh]] and
+    * [[incrementalDedup]]: set construction stays linear in the candidate
+    * count, not the corpus size. */
+  private def candidateShingleSets(shingleRows: DataFrame, ids: DataFrame): DataFrame =
+    shingleRows.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+
+  /** Exact jaccard between two shingle-hash set columns. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /**
+   * MinHash + LSH near-duplicate pairs (Broder '97 banding, public
+   * technique): shingle → one xxhash64 per shingle → `numBands*rowsPerBand`
+   * affine permutations g_i(h) = (a_i·h + b_i) mod M → per-band signature →
+   * group by (band, signature) → candidate pairs within buckets → EXACT
+   * jaccard verification on the candidates only.
+   *
+   * With rowsPerBand=4, numBands=48 the miss probability at jaccard ≥ 0.7 is
+   * (1 − 0.7⁴)^48 ≈ 2e-6, so the output equals the exact O(n²) oracle with
+   * overwhelming probability while doing linear work + one shuffle. r=4 (vs
+   * the classic r=3 at this threshold) costs 1.5× more hashes but cuts the
+   * false-candidate rate on low-jaccard background pairs by ~s·10×, which is
+   * what bounds the verify stage on corpora with a small vocabulary.
+   */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numBands: Int = 48, rowsPerBand: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
@@ -128,15 +141,11 @@ object Dedup {
     // shingle rows collects a tiny fraction of the corpus.
     val candidateDocs = candidates
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    val sets = shingleRows
-      .join(candidateDocs, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+    val sets = candidateShingleSets(shingleRows, candidateDocs)
     candidates
       .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }
@@ -169,18 +178,14 @@ object Dedup {
       .select(col("a.doc_id").as("d"), col("b.doc_id").as("c"))
       .distinct()
       .cache()
-    // exact verify restricted to candidate docs (semi joins keep set
-    // construction linear in the candidate count, not the corpus size)
-    def sets(rows: DataFrame, ids: DataFrame) = rows
-      .join(ids, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
-    val dSets = sets(dRows, candidates.select(col("d").as("doc_id")).distinct())
-    val cSets = sets(cRows, candidates.select(col("c").as("doc_id")).distinct())
+    val dSets = candidateShingleSets(dRows,
+      candidates.select(col("d").as("doc_id")).distinct())
+    val cSets = candidateShingleSets(cRows,
+      candidates.select(col("c").as("doc_id")).distinct())
     val dupCounts = candidates
       .join(dSets.withColumnRenamed("doc_id", "d").withColumnRenamed("sh", "sh1"), "d")
       .join(cSets.withColumnRenamed("doc_id", "c").withColumnRenamed("sh", "sh2"), "c")
-      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))).cast("double") >= threshold)
+      .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
       .groupBy("d").agg(count(lit(1)).as("n_corpus_dups"))
     delta.select(col(idCol).as("doc_id"))
       .join(dupCounts.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")

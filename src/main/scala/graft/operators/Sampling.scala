@@ -94,17 +94,21 @@ object Sampling {
    * cardinality is a data property, but the offset frame is broadcast, so
    * a contract violation fails loudly in the broadcast size check rather
    * than silently serializing the corpus through one task.
+   *
+   * NULL values rank first (Spark's default ascending null order), as one
+   * group: the offsets join is NULL-SAFE (`<=>`), so null-valued rows get
+   * ranks instead of silently dropping out of an inner equi-join.
    */
   def globalRankByValue(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
     val counts = df.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
     val offsets = counts
       .withColumn("cum_before",
         sum(col("cnt")).over(Window.orderBy(valueCol)) - col("cnt"))
-      .select(col(valueCol), col("cum_before"))
+      .select(col(valueCol).as("_rank_value"), col("cum_before"))
     val intra = Window.partitionBy(valueCol).orderBy(idCol)
     df.select(col(idCol), col(valueCol))
       .withColumn("lr", row_number().over(intra).cast("long"))
-      .join(broadcast(offsets), Seq(valueCol))
+      .join(broadcast(offsets), col(valueCol) <=> col("_rank_value"))
       .select(col(idCol), col(valueCol),
         (col("cum_before") + col("lr")).as("global_rank"))
   }

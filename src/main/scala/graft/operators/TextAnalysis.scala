@@ -261,8 +261,11 @@ object TextAnalysis {
    * a 1-row broadcast cross join.
    */
   def rarityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // cached: three subtrees consume the tokenization (freq, total, probe)
+    // and Spark does not share common subplans across DataFrame branches
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
+      .cache()
     val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = words.agg(count(lit(1)).as("total"))
     words.join(freq, "word")

@@ -360,10 +360,19 @@ object EventStream {
    * the batch rule "each user's latest event decides" — plain SQL for
    * the oracle.
    */
+  /** One snapshot base dir per source dir (like [[sliceCache]]): repeated
+    * invocations (bench passes, verify) OVERWRITE the same two ping-pong
+    * sides instead of leaking a fresh pair of full-snapshot copies into
+    * /tmp per call. Only the paths are memoized — every invocation still
+    * runs the full streaming merge. */
+  private val cdcBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def cdcSnapshotSink(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val (watch, schema) = sliceReplayDir(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    val base = cdcBaseCache.computeIfAbsent(sfDir,
+      _ => java.nio.file.Files.createTempDirectory("graft_cdc_"))
     val sides = Array(base.resolve("a").toString, base.resolve("b").toString)
     @volatile var current = -1 // no snapshot yet
     val stream = spark.readStream.schema(schema)

@@ -78,6 +78,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(13L -> 1L, 11L -> 2L, 14L -> 3L, 10L -> 4L, 12L -> 5L))
   }
 
+  test("globalRankByValue ranks null values first instead of dropping them") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)), (4L, None))
+      .toDF("id", "v")
+    val out = Sampling.globalRankByValue(df, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // nulls first (Spark asc default), ties by id: 2, 4, then 3(3), 1(5)
+    assert(out == Map(2L -> 1L, 4L -> 2L, 3L -> 3L, 1L -> 4L))
+  }
+
   test("stratifiedSample keeps exactly ceil(n*num/den) rows per stratum, deterministically") {
     val df = (1L to 100L).map(i => (i, if (i <= 30) "a" else "b")).toDF("id", "lang")
     val s1 = Sampling.stratifiedSample(df, "id", "lang", 1, 10).collect()
