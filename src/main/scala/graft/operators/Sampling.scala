@@ -113,6 +113,37 @@ object Sampling {
         (col("cum_before") + col("lr")).as("global_rank"))
   }
 
+  /**
+   * Distributed global row numbering for HIGH-cardinality keys — the
+   * complement of [[globalRankByValue]] (whose offsets frame assumes few
+   * distinct values): range-partition by (`valueCol`, `idCol`), rank
+   * locally inside each range, and add the exclusive prefix sum of
+   * per-partition counts. Range partitions are ordered and contiguous, so
+   * offset(pid) + local_rank IS the global ROW_NUMBER — and the result is
+   * independent of where the sampled range boundaries land, which is what
+   * makes the operator deterministic even though `repartitionByRange`
+   * picks boundaries by sampling.
+   *
+   * Scale shape: one range exchange of the corpus + one pid-local window;
+   * the per-partition count frame (one row per partition) takes the only
+   * single-partition hop. The corpus is never funneled through one task.
+   */
+  def globalRankRange(df: DataFrame, idCol: String, valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    val keys = Seq(col(valueCol), col(idCol))
+    val parted = (if (partitions > 0) df.repartitionByRange(partitions, keys: _*)
+      else df.repartitionByRange(keys: _*))
+      .select(col(idCol), col(valueCol))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lr",
+      row_number().over(Window.partitionBy("pid").orderBy(keys: _*)).cast("long"))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", sum(col("cnt")).over(Window.orderBy("pid")) - col("cnt"))
+      .select(col("pid").as("_off_pid"), col("offset"))
+    local.join(broadcast(offsets), col("pid") === col("_off_pid"))
+      .select(col(idCol), col(valueCol), (col("offset") + col("lr")).as("global_rank"))
+  }
+
   def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
       valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,

@@ -261,6 +261,17 @@ object Extensions {
     TextAnalysis.rarityScore(docs(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** x62 — deterministic corpus shuffle: each doc's position in a
+    * reproducible pseudorandom training order (rank by md5 fingerprint —
+    * high-cardinality, so the range-partitioned
+    * [[Sampling.globalRankRange]] is the right rank operator; x55's
+    * per-value offsets would build a corpus-sized offset table here). */
+  private val x62: Q = (spark, sfDir) =>
+    Sampling.globalRankRange(
+      docs(spark, sfDir).withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+      "doc_id", "fp")
+      .orderBy("doc_id")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -728,7 +739,8 @@ object Extensions {
     "x58_label_centroid_confusion" -> x58,
     "x59_snapshot_diff" -> x59,
     "x60_streaming_cdc_snapshot" -> x60,
-    "x61_batch_ann_topk" -> x61)
+    "x61_batch_ann_topk" -> x61,
+    "x62_corpus_shuffle_rank" -> x62)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1194,6 +1206,10 @@ object Extensions {
       (s"""WITH $cdcMergeCtes
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM news ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x62_corpus_shuffle_rank" ->
+      ("""SELECT doc_id, md5(text) AS fp,
+         | ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS global_rank
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x61_batch_ann_topk" ->
       (s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |  WHERE vec_id < 8),

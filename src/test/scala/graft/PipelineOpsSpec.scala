@@ -78,6 +78,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(13L -> 1L, 11L -> 2L, 14L -> 3L, 10L -> 4L, 12L -> 5L))
   }
 
+  test("globalRankRange equals the global row_number regardless of partition count") {
+    val df = (1L to 200L).map(i => (i, (i * 37) % 97)).toDF("id", "v")
+    for (parts <- Seq(0, 3, 17)) {
+      val out = Sampling.globalRankRange(df, "id", "v", partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(out == expected, s"partitions=$parts")
+    }
+  }
+
   test("globalRankByValue ranks null values first instead of dropping them") {
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)), (4L, None))
       .toDF("id", "v")
