@@ -272,6 +272,25 @@ object Extensions {
       "doc_id", "fp")
       .orderBy("doc_id")
 
+  /** x63 — equi-depth histogram of order prices (16 buckets): the
+    * statistics-collection shape a cost-based optimizer feeds on. Built on
+    * [[Sampling.globalRankRange]] (prices are high-cardinality) with the
+    * bucket from pure integer arithmetic `(rank-1)*B DIV n` — exact
+    * equal-depth split, no approximate percentile sketch, engine-identical
+    * boundaries. One range exchange + one hash agg. */
+  private val x63: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    // row count as a 1-row broadcast, NOT a whole-frame window (which would
+    // funnel the corpus through one task — the anti-pattern x55/x62 avoid)
+    Sampling.globalRankRange(o, "o_orderkey", "o_totalprice")
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("total"))))
+      .withColumn("bucket", expr("CAST(((global_rank - 1) * 16) DIV total AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -740,7 +759,8 @@ object Extensions {
     "x59_snapshot_diff" -> x59,
     "x60_streaming_cdc_snapshot" -> x60,
     "x61_batch_ann_topk" -> x61,
-    "x62_corpus_shuffle_rank" -> x62)
+    "x62_corpus_shuffle_rank" -> x62,
+    "x63_equidepth_histogram" -> x63)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1206,6 +1226,13 @@ object Extensions {
       (s"""WITH $cdcMergeCtes
          |SELECT c_custkey, c_acctbal, c_mktsegment FROM news ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
+    "x63_equidepth_histogram" ->
+      ("""WITH r AS (SELECT o_totalprice,
+         |  ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         |  COUNT(*) OVER () AS total FROM orders)
+         |SELECT CAST(((rk - 1) * 16) // total AS INT) AS bucket,
+         | COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")),
     "x62_corpus_shuffle_rank" ->
       ("""SELECT doc_id, md5(text) AS fp,
          | ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS global_rank
