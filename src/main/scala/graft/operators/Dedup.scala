@@ -320,10 +320,14 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      // round 1 always changes something (for any edge (a,b) the larger
+      // endpoint adopts the smaller label), so its probe job is skipped
+      val changed =
+        if (it == 0 && maxIterations > 1) 1L
+        else next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .count()
       labels = next
       converged = changed == 0
       it += 1
