@@ -232,6 +232,25 @@ class PlanSpec extends AnyFunSuite {
       s"offsets must broadcast back, not shuffle the corpus:\n$p")
   }
 
+  test("x51: context-window packing is one group exchange + agg, no join, no global sort") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.TextAnalysis.packContextWindows(docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"layout must not join:\n$p")
+    assert(!p.contains("rangepartitioning"), s"layout must not globally sort:\n$p")
+    assert(p.contains("Window"), "cumsum window expected")
+    assert(p.contains("HashAggregate"), "per-window agg expected")
+  }
+
+  test("x54: line dedup joins only on the chunk hash — no pairwise doc work") {
+    val docs = sources.Tables(spark, sf, "documents")
+    val p = operators.Dedup.lineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Join")) == 1,
+      s"exactly the docfreq join-back expected:\n$p")
+    assert(!p.contains("NestedLoop"), s"no nested-loop anywhere:\n$p")
+  }
+
   test("x37: stratified sampling is one stratum exchange, no join, no global sort") {
     val docs = sources.Tables(spark, sf, "documents")
     val p = operators.Sampling.stratifiedSample(docs, "doc_id", "lang", 1, 10)
