@@ -144,6 +144,28 @@ object Sampling {
       .select(col(idCol), col(valueCol), (col("offset") + col("lr")).as("global_rank"))
   }
 
+  /**
+   * Deterministic WEIGHTED Bernoulli sampling: row kept iff
+   * `hash(id) mod den < weight`, where `weightCol` is an integer per-row
+   * keep-weight in [0, den] — rows with weight w survive with probability
+   * w/den, independently, reproducibly, and identically on every engine
+   * (the "random" draw is the first 15 hex chars of md5(id) read as an
+   * integer — content-independent, no RNG, no partition sensitivity; the
+   * same construction [[stratifiedSample]] uses for its order).
+   *
+   * This is the quality-weighted corpus downsample (keep high-quality docs
+   * at a higher rate) that `DataFrame.sample` cannot express (single global
+   * fraction, nondeterministic under re-partitioning).
+   *
+   * Scale shape: pure map-side — a filter over codegen'd expressions; no
+   * exchange at all.
+   */
+  def weightedBernoulli(id: Column, weight: Column, den: Int = 10): Column = {
+    require(den > 0 && den <= 1000000, s"den $den not in [1,1e6]")
+    val draw = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    pmod(draw, lit(den.toLong)) < weight
+  }
+
   def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
       valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,

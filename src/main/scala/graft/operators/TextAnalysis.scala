@@ -277,6 +277,29 @@ object TextAnalysis {
         expr("rsum DIV n_words").as("rarity"))
   }
 
+  /**
+   * Top-k adjacent word-pair (bigram) counts across the corpus — the
+   * counting step of a BPE/WordPiece merge round (the highest-count pair
+   * is the next merge) and the vocabulary-induction primitive generally.
+   *
+   * Scale shape: bigrams are materialized map-side with a single
+   * `transform` over the token array (no self-join of a token table on
+   * position, which would shuffle the corpus twice), then one hash
+   * aggregate whose shuffle is bounded by the DISTINCT bigram vocabulary
+   * (map-side partial counts), finished by TakeOrderedAndProject — the
+   * top-k never sorts the full vocabulary.
+   */
+  def bigramCounts(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => concat(element_at(col("ws"), i + 1), lit(" "),
+          element_at(col("ws"), i + 2)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram")).limit(k)
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

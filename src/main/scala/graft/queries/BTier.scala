@@ -615,6 +615,32 @@ object BTier {
         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  /** b49 — correlated EXISTS / NOT EXISTS: both rewrite to one semi and
+    * one anti hash join on the customer key (no per-row subquery
+    * execution — the plan is two joins, each broadcast or shuffle as
+    * stats dictate). */
+  private val b49: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        |    AND o2.o_totalprice < 10000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** b50 — positional explode (LATERAL VIEW posexplode): token + 0-based
+    * position, the ordinality-preserving flatten (map-side, no shuffle). */
+  private val b50: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT doc_id, pos, word FROM documents
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+        |WHERE doc_id < 5 ORDER BY doc_id, pos""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -663,11 +689,27 @@ object BTier {
     "b45_calendar_spine" -> b45,
     "b46_window_range_frame" -> b46,
     "b47_agg_filter_clause" -> b47,
-    "b48_grouping_function" -> b48)
+    "b48_grouping_function" -> b48,
+    "b49_exists_not_exists" -> b49,
+    "b50_posexplode_ordinal" -> b50)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b49_exists_not_exists" ->
+      ("""SELECT c_custkey, c_mktsegment FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o2
+         |  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+         |    AND o2.o_totalprice < 10000)
+         |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+    "b50_posexplode_ordinal" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id < 5),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)
+         |SELECT doc_id, CAST(i AS INT) AS pos, ws[i+1] AS word FROM ix
+         |ORDER BY doc_id, pos""".stripMargin.replace("\n", " ")),
     "b01_agg_tpch_q1" ->
       (s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
          | ${dsumSql("l_extendedprice")} AS sum_base_price,

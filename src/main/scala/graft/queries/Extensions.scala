@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, CdcMerge, Dedup, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, AsOf, CdcMerge, Dedup, Graph, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -290,6 +290,98 @@ object Extensions {
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       .orderBy("bucket")
   }
+
+  /** x64 — ordered funnel conversion (signup → click → purchase): users
+    * counted at each stage only when the stage event is strictly after
+    * their first previous-stage event. Single events scan: one exchange,
+    * two chained running-min windows, user agg reusing the partitioning
+    * ([[Analytics.funnel]] — vs 3 shuffles + 3 scans for the naive
+    * aggregate-and-join-back-per-stage shape). */
+  private val x64: Q = (spark, sfDir) =>
+    Analytics.funnel(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_type", "signup", "click", "purchase")
+
+  /** x65 — weekly cohort retention matrix: distinct active users per
+    * (first-event cohort week, whole weeks since cohort). Activity is
+    * collapsed to DISTINCT (user, week) before the co-partitioned join
+    * ([[Analytics.cohortRetention]]), so join input is bounded by
+    * users x weeks, not raw events. */
+  private val x65: Q = (spark, sfDir) =>
+    Analytics.cohortRetention(Tables(spark, sfDir, "events"), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
+  /** x66 — integer-exact PageRank (3 iterations) over the customer→supplier
+    * purchase graph (edges: distinct (o_custkey, l_suppkey) via orders ⋈
+    * lineitem). All-BIGINT fixed-point arithmetic ([[Graph.pageRank]]) makes
+    * the iterative ranking bit-reproducible across engines — the oracle is
+    * the same three rounds unrolled as CTEs. Top-20 nodes by rank. */
+  private val x66: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    Graph.pageRank(edges, 3).orderBy(desc("r"), col("v")).limit(20)
+  }
+
+  /** x67 — edit-distance near-dup pairs (levenshtein ≤ 20 over 80-char
+    * prefixes, restricted to jaccard ≥ 0.7 LSH candidates):
+    * candidate-restricted character-level verification
+    * ([[Dedup.editDistancePairs]]); the oracle is the exact O(n²) jaccard
+    * pair set + the same levenshtein filter (equality argument = x02's:
+    * P(LSH miss) ≈ 2e-6 per true pair). */
+  private val x67: Q = (spark, sfDir) =>
+    Dedup.editDistancePairs(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("d1", "d2")
+
+  /** x69 — top-20 corpus bigram counts ([[TextAnalysis.bigramCounts]]):
+    * the counting step of a BPE merge round. Map-side bigram
+    * materialization, vocabulary-bounded shuffle, TakeOrdered top-k. */
+  private val x69: Q = (spark, sfDir) =>
+    TextAnalysis.bigramCounts(docs(spark, sfDir), "text", k = 20)
+
+  /** x70 — CERTIFIED approximate percentiles (the b14 pattern applied to
+    * quantile sketches): exact interpolated percentiles are the
+    * oracle-checked columns; the `approx_percentile` sketch estimate rides
+    * along as a within-tolerance boolean the oracle pins to TRUE — so the
+    * row is fully checked AND certifies the sketch, even though a KLL/GK
+    * sketch can never hash-match another engine's. At 100 TB the sketch is
+    * the only affordable path (exact percentile sorts each group); this
+    * query is the harness proving the sketch's error contract holds. */
+  private val x70: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        expr("percentile(l_quantity, 0.9)").as("exact_p90"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("a90"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+        (abs(col("a50") - col("exact_p50")) <= 1.0 &&
+          abs(col("a90") - col("exact_p90")) <= 1.0).as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  /** x71 — deterministic QUALITY-WEIGHTED Bernoulli downsample
+    * ([[Sampling.weightedBernoulli]]): longer (higher-quality-band) docs
+    * keep at 8/10, mid at 5/10, short at 2/10 — md5 draw, zero exchanges
+    * before the reporting aggregate; reproducible across engines. */
+  private val x71: Q = (spark, sfDir) => {
+    val w = when(col("n_chars") >= 400, 8).when(col("n_chars") >= 200, 5).otherwise(2)
+    docs(spark, sfDir)
+      .withColumn("kept", Sampling.weightedBernoulli(col("doc_id"), w).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** x68 — daily gap fill + forward fill per user: dense calendar spine
+    * sized by each user's own active range, last observed `value` carried
+    * across gap days ([[Analytics.gapFillForwardFill]] — spine join and
+    * fill window all hash-partitioned on the user key). */
+  private val x68: Q = (spark, sfDir) =>
+    Analytics.gapFillForwardFill(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "day")
 
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
@@ -760,7 +852,15 @@ object Extensions {
     "x60_streaming_cdc_snapshot" -> x60,
     "x61_batch_ann_topk" -> x61,
     "x62_corpus_shuffle_rank" -> x62,
-    "x63_equidepth_histogram" -> x63)
+    "x63_equidepth_histogram" -> x63,
+    "x64_funnel_conversion" -> x64,
+    "x65_cohort_retention" -> x65,
+    "x66_pagerank_integer" -> x66,
+    "x67_editdist_neardup" -> x67,
+    "x68_gap_fill_forward" -> x68,
+    "x69_bigram_vocab_topk" -> x69,
+    "x70_certified_approx_pctl" -> x70,
+    "x71_weighted_sample" -> x71)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -906,7 +1006,100 @@ object Extensions {
 
   private val byteSum = "list_aggregate(list_transform(str_split(text, ''), c -> ascii(c)), 'sum')"
 
+  /** Unrolled integer-PageRank oracle: `n` damped rounds as CTE pairs
+    * (sK = incoming contribution sums, iK = damped ranks) — the exact
+    * arithmetic of [[graft.operators.Graph.pageRank]]. */
+  private def pageRankOracle(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s"""s$k AS (SELECT e.dst, SUM(p.r // deg.d) AS s FROM e
+         | JOIN deg ON e.src = deg.src JOIN $prev p ON p.v = e.src
+         | GROUP BY e.dst),
+         |i$k AS (SELECT n.v, 150000000000 + (85 * COALESCE(s$k.s, 0)) // 100 AS r
+         | FROM nodes n LEFT JOIN s$k ON s$k.dst = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+       |nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+       |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT v, r FROM i$n ORDER BY r DESC, v LIMIT 20""".stripMargin.replace("\n", " ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x66_pagerank_integer" -> pageRankOracle(3),
+    "x69_bigram_vocab_topk" ->
+      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |ix AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2),
+         |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
+         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x70_certified_approx_pctl" ->
+      ("""SELECT l_returnflag,
+         | quantile_cont(l_quantity, 0.5) AS exact_p50,
+         | quantile_cont(l_quantity, 0.9) AS exact_p90,
+         | TRUE AS approx_ok
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", " ")),
+    "x71_weighted_sample" ->
+      ("""WITH d AS (SELECT source,
+         |  CASE WHEN n_chars >= 400 THEN 8 WHEN n_chars >= 200 THEN 5 ELSE 2 END AS w,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS draw
+         | FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN draw % 10 < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x67_editdist_neardup" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |p AS (SELECT doc_id, substr(text, 1, 80) AS pfx FROM documents)
+         |SELECT j.d1, j.d2, CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+         |FROM jpairs j JOIN p a ON j.d1 = a.doc_id JOIN p b ON j.d2 = b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= 20
+         |ORDER BY d1, d2""".stripMargin.replace("\n", " ")),
+    "x68_gap_fill_forward" ->
+      ("""WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+         |   ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+         |dv AS (SELECT user_id, day, value AS day_value FROM pd WHERE rn = 1),
+         |rng AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+         |  MAX(CAST(ts AS DATE)) AS d1 FROM events GROUP BY user_id),
+         |spine AS (SELECT user_id,
+         |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         | FROM rng),
+         |f AS (SELECT s.user_id, s.day, d.day_value FROM spine s
+         |  LEFT JOIN dv d ON s.user_id = d.user_id AND s.day = d.day)
+         |SELECT user_id, day, day_value,
+         | LAST_VALUE(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+         |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS filled_value
+         |FROM f ORDER BY user_id, day""".stripMargin.replace("\n", " ")),
+    "x64_funnel_conversion" ->
+      ("""WITH w1 AS (SELECT user_id, ts, event_type,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END)
+         |   OVER (PARTITION BY user_id ORDER BY ts) AS sig_t FROM events),
+         |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND sig_t < ts THEN ts END)
+         |   OVER (PARTITION BY user_id ORDER BY ts) AS mid_t FROM w1),
+         |u AS (SELECT user_id,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         |  MIN(CASE WHEN event_type = 'click' AND sig_t < ts THEN ts END) AS t2,
+         |  MIN(CASE WHEN event_type = 'purchase' AND mid_t < ts THEN ts END) AS t3
+         | FROM w2 GROUP BY user_id)
+         |SELECT COUNT(t1) AS n_stage1, COUNT(t2) AS n_stage2, COUNT(t3) AS n_stage3
+         |FROM u""".stripMargin.replace("\n", " ")),
+    "x65_cohort_retention" ->
+      ("""WITH fw AS (SELECT user_id,
+         |  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         | FROM events GROUP BY user_id),
+         |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         | FROM events)
+         |SELECT f.cohort_week,
+         | CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INT) AS week_offset,
+         | COUNT(*) AS n_users
+         |FROM act a JOIN fw f ON a.user_id = f.user_id
+         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+        .stripMargin.replace("\n", " ")),
     "x01_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "x02_dedup_minhash_lsh" -> jaccardOracle(0.7),

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a→b, a→c, b→c with r0=1000, damping 85/100, hand-computed:
+  //   base = 150
+  //   round 1: a=150, b=150+85*500 DIV 100=575, c=150+85*1500 DIV 100=1425
+  //   round 2: a=150, b=150+85*75 DIV 100=213, c=150+85*650 DIV 100=702
+  private val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+
+  test("pageRank: one integer-exact round") {
+    val r = Graph.pageRank(edges, 1, r0 = 1000L).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 150L, "b" -> 575L, "c" -> 1425L))
+  }
+
+  test("pageRank: two rounds (source decays, sink accumulates)") {
+    val r = Graph.pageRank(edges, 2, r0 = 1000L).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 150L, "b" -> 213L, "c" -> 702L))
+  }
+
+  test("pageRank: duplicate edges collapse before degree counting") {
+    val dup = edges.union(Seq(("a", "b")).toDF("src", "dst"))
+    val r = Graph.pageRank(dup, 1, r0 = 1000L).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("b") == 575L) // deg(a) stays 2, not 3
+  }
+}

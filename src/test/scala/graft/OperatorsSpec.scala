@@ -120,6 +120,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == nGrams1)
     assert(out(2L) < out(1L)) // the near dup shares strictly fewer
   }
+
+  test("editDistancePairs: verifies LSH candidates at character level") {
+    // docs fixture: 0≡1 exact (dist 0), 2 is a near dup differing only in
+    // the final word — beyond the 60-char prefix, so dist 0 there too;
+    // 3≡5 exact. All are jaccard-0.7 candidates.
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 5, prefixLen = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((0L, 1L, 0), (0L, 2L, 0), (1L, 2L, 0), (3L, 5L, 0)))
+  }
+
+  test("editDistancePairs: maxDist filters candidate pairs whose heads diverge") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // same token SET (jaccard 1.0) but rotated word order → large prefix edit
+    val rotated = "kappa alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq((1L, a), (2L, rotated)).toDF("doc_id", "text")
+    val all = Dedup.editDistancePairs(d, "doc_id", "text",
+      maxDist = 60, prefixLen = 60).collect()
+    assert(all.length == 1 && all.head.getInt(2) > 0) // candidate, nonzero dist
+    val strict = Dedup.editDistancePairs(d, "doc_id", "text",
+      maxDist = 2, prefixLen = 60).collect()
+    assert(strict.isEmpty) // character-level filter rejects
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -119,6 +119,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Sampling.stratifiedSample(df25, "id", "lang", 1, 10).count() == 3L)
   }
 
+  test("weightedBernoulli: weight 0 drops all, weight=den keeps all, deterministic between runs") {
+    val df = (1L to 200L).map(i => (i, "t")).toDF("id", "t")
+    assert(df.filter(Sampling.weightedBernoulli(col("id"), lit(0))).count() == 0L)
+    assert(df.filter(Sampling.weightedBernoulli(col("id"), lit(10))).count() == 200L)
+    val k1 = df.filter(Sampling.weightedBernoulli(col("id"), lit(5))).collect().map(_.getLong(0)).toSet
+    val k2 = df.filter(Sampling.weightedBernoulli(col("id"), lit(5))).collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.nonEmpty && k1.size < 200)
+  }
+
+  test("weightedBernoulli: higher weight keeps a superset (draw is weight-independent)") {
+    val df = (1L to 200L).map(i => (i, "t")).toDF("id", "t")
+    val lo = df.filter(Sampling.weightedBernoulli(col("id"), lit(3))).collect().map(_.getLong(0)).toSet
+    val hi = df.filter(Sampling.weightedBernoulli(col("id"), lit(8))).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("bigramCounts: adjacent pairs only, ordered by count then lexicographically") {
+    val df = Seq("a b a b c", "a b").toDF("text")
+    val out = operators.TextAnalysis.bigramCounts(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // "a b": 3 (twice in doc1, once in doc2); "b a": 1; "b c": 1
+    assert(out == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("Scd2.buildHistory chains validity intervals and marks the current version") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val changes = Seq(

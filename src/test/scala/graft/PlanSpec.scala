@@ -331,4 +331,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"),
       s"expected the bloom build as a scalar subquery in:\n$p")
   }
+
+  test("x64: funnel reads events once — one data exchange feeds both windows and the user agg") {
+    val p = plan("x64_funnel_conversion")
+    // exactly one scan of the events table
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"events must be scanned once:\n$p")
+    assert(!p.contains("Join"), s"no join-back per stage:\n$p")
+    // one hashpartitioning exchange on user_id + the final single-partition
+    // rollup; a naive per-stage shape would show 3+ hashpartitioning exchanges
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"windows and user agg must share one user_id exchange:\n$p")
+  }
+
+  test("x69: bigram top-k is TakeOrdered over a vocabulary-bounded aggregate, no corpus sort") {
+    val p = plan("x69_bigram_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("Join"), s"bigrams come from transform(), not a positional self-join:\n$p")
+  }
+
+  test("x71: weighted sampling filter is map-side — no exchange below the reporting agg") {
+    val p = plan("x71_weighted_sample")
+    // filter happens before the single source->agg exchange; no window, no join
+    assert("hashpartitioning".r.findAllIn(p).length <= 1, s"filter must not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"pure map-side filter expected:\n$p")
+  }
+
+  test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
+    val p = plan("b49_exists_not_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop:\n$p")
+  }
 }
