@@ -106,4 +106,91 @@ object Analytics {
     filled.withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
       .select(col(userCol), col("day"), col("day_value"), col("filled_value"))
   }
+
+  /**
+   * Trending items: top-`k` event types per tumbling day window, ranked by
+   * count (ties broken alphabetically — deterministic).
+   *
+   * Scale shape: the aggregate collapses raw events to (window × type)
+   * BEFORE any window function — the rank runs over a frame bounded by the
+   * type cardinality, never the event count; one exchange for the agg, one
+   * for the per-window rank. (Ranking raw events directly would sort the
+   * corpus inside each day — the anti-pattern.)
+   */
+  def trendingTopK(events: DataFrame, tsCol: String, typeCol: String,
+      k: Int = 3): DataFrame = {
+    val counted = events
+      .groupBy(window(col(tsCol), "1 day").as("w"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val rankW = Window.partitionBy("w").orderBy(desc("n"), col(typeCol))
+    counted.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("w.start").as("win_start"), col(typeCol), col("n"), col("rnk"))
+  }
+
+  /**
+   * Market-basket co-occurrence with INTEGER-EXACT lift: for every pair of
+   * event types, the number of users who did both, and
+   * `lift ≈ P(a,b) / (P(a)·P(b))` scaled to an integer
+   * (`n_both · n_users · scale DIV (n_a · n_b)`) — no float division, so
+   * the association ranking is engine- and partitioning-identical.
+   *
+   * Scale shape: events collapse to DISTINCT (user, type) first, so the
+   * per-user self-join emits at most `types²/2` rows PER USER — bounded by
+   * the type-dimension cardinality, not the event count. Type totals and
+   * the user count are tiny aggregates joined back by broadcast.
+   */
+  def coOccurrenceLift(events: DataFrame, userCol: String, typeCol: String,
+      scale: Int = 1000): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t")).distinct().cache()
+    val nUsers = ut.agg(countDistinct(col("u")).as("n_users"))
+    val typeCounts = ut.groupBy("t").agg(count(lit(1)).as("n_t"))
+    ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(typeCounts).as("c1"), col("t1") === col("c1.t"))
+      .join(broadcast(typeCounts).as("c2"), col("t2") === col("c2.t"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("t1"), col("t2"), col("n_both"),
+        expr(s"n_both * n_users * $scale DIV (c1.n_t * c2.n_t)").as("lift_scaled"))
+  }
+
+  /**
+   * RFM segmentation — the classic user-value feature build: per user,
+   * Recency (days since last event, anchored to the corpus max — data-
+   * relative, so reruns are reproducible), Frequency (event count), and
+   * Monetary (decimal-exact value sum); each banded by fixed thresholds
+   * and reported as segment counts.
+   *
+   * Scale shape: one hash aggregate on the user key computes all three
+   * features in a single pass; the anchor timestamp is a 1-row broadcast;
+   * banding is map-side; the final segment rollup is an aggregate over
+   * user-count rows. Decimal summation makes the monetary threshold
+   * comparisons engine-exact (float partial-sum order would flip rows at
+   * band boundaries).
+   */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String,
+      rDays: (Int, Int) = (0, 1), fCounts: (Long, Long) = (70L, 60L),
+      mTotals: (Double, Double) = (4000.0, 2500.0)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val anchor = events.agg(max(to_date(col(tsCol))).as("anchor_day"))
+    events.groupBy(userCol)
+      .agg(
+        max(to_date(col(tsCol))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(
+        when(datediff(col("anchor_day"), col("last_day")) <= rDays._1, "r_hot")
+          .when(datediff(col("anchor_day"), col("last_day")) <= rDays._2, "r_warm")
+          .otherwise("r_cold").as("r_band"),
+        when(col("freq") >= fCounts._1, "f_high").when(col("freq") >= fCounts._2, "f_mid")
+          .otherwise("f_low").as("f_band"),
+        when(col("monetary") >= mTotals._1, "m_high").when(col("monetary") >= mTotals._2, "m_mid")
+          .otherwise("m_low").as("m_band"))
+      .groupBy("r_band", "f_band", "m_band")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

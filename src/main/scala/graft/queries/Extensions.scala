@@ -383,6 +383,27 @@ object Extensions {
       "user_id", "ts", "event_id", "value")
       .orderBy("user_id", "day")
 
+  /** x72 — trending top-3 event types per day ([[Analytics.trendingTopK]]):
+    * the rank runs over (window × type) aggregates, never raw events. */
+  private val x72: Q = (spark, sfDir) =>
+    Analytics.trendingTopK(Tables(spark, sfDir, "events"), "ts", "event_type", k = 3)
+      .withColumn("win_start", col("win_start").cast("date"))
+      .orderBy("win_start", "rnk")
+
+  /** x73 — market-basket co-occurrence with integer-exact lift
+    * ([[Analytics.coOccurrenceLift]]): users collapse to DISTINCT
+    * (user, type) before the bounded per-user pair join. */
+  private val x73: Q = (spark, sfDir) =>
+    Analytics.coOccurrenceLift(Tables(spark, sfDir, "events"), "user_id", "event_type")
+      .orderBy("t1", "t2")
+
+  /** x74 — RFM segmentation ([[Analytics.rfmSegments]]): single-pass
+    * recency/frequency/monetary features, decimal-exact monetary bands,
+    * segment counts. */
+  private val x74: Q = (spark, sfDir) =>
+    Analytics.rfmSegments(Tables(spark, sfDir, "events"), "user_id", "ts", "value")
+      .orderBy("r_band", "f_band", "m_band")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -860,7 +881,10 @@ object Extensions {
     "x68_gap_fill_forward" -> x68,
     "x69_bigram_vocab_topk" -> x69,
     "x70_certified_approx_pctl" -> x70,
-    "x71_weighted_sample" -> x71)
+    "x71_weighted_sample" -> x71,
+    "x72_trending_topk" -> x72,
+    "x73_cooccurrence_lift" -> x73,
+    "x74_rfm_segments" -> x74)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1036,6 +1060,41 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x72_trending_topk" ->
+      ("""WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start, event_type,
+         |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+         |  ORDER BY n DESC, event_type) AS rnk FROM c)
+         |SELECT win_start, event_type, n, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 3 ORDER BY win_start, rnk""".stripMargin.replace("\n", " ")),
+    "x73_cooccurrence_lift" ->
+      ("""WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+         |nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM ut),
+         |tc AS (SELECT t, COUNT(*) AS n_t FROM ut GROUP BY t),
+         |p AS (SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_both
+         |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+         |SELECT t1, t2, n_both,
+         | (n_both * nu.n_users * 1000) // (c1.n_t * c2.n_t) AS lift_scaled
+         |FROM p JOIN tc c1 ON p.t1 = c1.t JOIN tc c2 ON p.t2 = c2.t
+         |CROSS JOIN nu ORDER BY t1, t2""".stripMargin.replace("\n", " ")),
+    "x74_rfm_segments" ->
+      ("""WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor_day FROM events),
+         |per AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+         |  COUNT(*) AS freq,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         | FROM events GROUP BY user_id),
+         |b AS (SELECT
+         |  CASE WHEN date_diff('day', last_day, anchor_day) <= 0 THEN 'r_hot'
+         |   WHEN date_diff('day', last_day, anchor_day) <= 1 THEN 'r_warm'
+         |   ELSE 'r_cold' END AS r_band,
+         |  CASE WHEN freq >= 70 THEN 'f_high' WHEN freq >= 60 THEN 'f_mid'
+         |   ELSE 'f_low' END AS f_band,
+         |  CASE WHEN monetary >= 4000 THEN 'm_high' WHEN monetary >= 2500 THEN 'm_mid'
+         |   ELSE 'm_low' END AS m_band
+         | FROM per CROSS JOIN a)
+         |SELECT r_band, f_band, m_band, COUNT(*) AS n_users FROM b
+         |GROUP BY 1, 2, 3 ORDER BY r_band, f_band, m_band"""
+        .stripMargin.replace("\n", " ")),
     "x70_certified_approx_pctl" ->
       ("""SELECT l_returnflag,
          | quantile_cont(l_quantity, 0.5) AS exact_p50,

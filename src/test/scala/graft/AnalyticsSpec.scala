@@ -56,6 +56,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Set(("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L)))
   }
 
+  test("trendingTopK: per-window rank by count with alphabetical tie-break") {
+    val events = Seq(
+      (ts("2024-01-01 01:00:00"), "b"), (ts("2024-01-01 02:00:00"), "b"),
+      (ts("2024-01-01 03:00:00"), "a"), (ts("2024-01-01 04:00:00"), "c"),
+      (ts("2024-01-02 01:00:00"), "c")
+    ).toDF("ts", "event_type")
+    val out = Analytics.trendingTopK(events, "ts", "event_type", k = 2)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toList.sortBy(x => (x._1, x._4))
+    // day 1: b(2) then a(1) — 'a' beats 'c' on the tie; day 2: c(1)
+    assert(out == List(
+      ("2024-01-01", "b", 2L, 1), ("2024-01-01", "a", 1L, 2),
+      ("2024-01-02", "c", 1L, 1)))
+  }
+
+  test("coOccurrenceLift: counts users with both types; lift is integer-exact") {
+    val events = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // dup event collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "z")
+    ).toDF("user_id", "event_type")
+    val out = Analytics.coOccurrenceLift(events, "user_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // n_users=4; x:3 users, y:2, z:1; (x,y) both:2 → lift = 2*4*1000 / (3*2) = 1333
+    assert(out(("x", "y")) == ((2L, 1333L)))
+    assert(!out.contains(("x", "z"))) // no shared user
+  }
+
+  test("rfmSegments: bands split on the configured thresholds") {
+    val events = Seq(
+      // u1: 3 events, last on anchor day, total 120 → r_hot, f_high, m_high
+      (1L, ts("2024-01-10 10:00:00"), 50.0), (1L, ts("2024-01-11 10:00:00"), 50.0),
+      (1L, ts("2024-01-12 10:00:00"), 20.0),
+      // u2: 1 event 5 days before anchor, total 10 → r_cold, f_low, m_low
+      (2L, ts("2024-01-07 10:00:00"), 10.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.rfmSegments(events, "user_id", "ts", "value",
+        rDays = (0, 1), fCounts = (3L, 2L), mTotals = (100.0, 50.0))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    assert(out == Map(
+      ("r_hot", "f_high", "m_high") -> 1L,
+      ("r_cold", "f_low", "m_low") -> 1L))
+  }
+
   test("gap fill: every day in the user's range appears; values carry forward") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 10L, 1.0),
