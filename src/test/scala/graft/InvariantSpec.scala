@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Scd2, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Graph, Sampling, Scd2, TextAnalysis}
 
 /**
  * Invariant tests over seeded-random inputs (fixed seeds — deterministic,
@@ -185,6 +185,80 @@ class InvariantSpec extends AnyFunSuite {
     assert(out(1L) == (2L, 1L, 3L), "doc 1: 2 chunks, shared 'a b c' dropped")
     assert(out(2L) == (2L, 1L, 3L))
     assert(out(3L) == (2L, 2L, 6L), "doc 3 keeps everything")
+  }
+
+  private def randomEvents(seed: Long, n: Int, users: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val types = Seq("signup", "click", "purchase", "view")
+    (0L until n.toLong).map { i =>
+      (i, rnd.nextInt(users).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(28)}%02d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        types(rnd.nextInt(types.length)), 1.0 + rnd.nextInt(100))
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  test("funnel: stage counts are monotonically non-increasing on random streams") {
+    for (seed <- Seq(11L, 12L)) {
+      val ev = randomEvents(seed, 400, 25)
+      val r = Analytics.funnel(ev, "user_id", "ts", "event_type",
+        "signup", "click", "purchase").collect().head
+      val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(s1 >= s2 && s2 >= s3, s"funnel must narrow: $s1 >= $s2 >= $s3")
+      assert(s1 <= 25, "stage 1 bounded by user count")
+    }
+  }
+
+  test("cohortRetention: offset-0 cells cover every user exactly once") {
+    val ev = randomEvents(21L, 400, 30)
+    val out = Analytics.cohortRetention(ev, "user_id", "ts").collect()
+    assert(out.forall(_.getInt(1) >= 0), "no negative week offsets")
+    val week0Total = out.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(week0Total == nUsers, "every user is active in their own cohort week")
+  }
+
+  test("gapFill: spine is dense per user and filled_value is never null") {
+    val ev = randomEvents(31L, 300, 12)
+    val out = Analytics.gapFillForwardFill(ev, "user_id", "ts", "event_id", "value")
+    val perUser = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("day").as("d0"), max("day").as("d1"),
+        sum(col("filled_value").isNull.cast("int")).as("n_null"))
+      .collect()
+    perUser.foreach { r =>
+      val expected = r.getDate(2).toLocalDate.until(r.getDate(3).toLocalDate).getDays + 1
+      assert(r.getLong(1) == expected, "one row per calendar day in the user's range")
+      assert(r.getLong(4) == 0L, "forward fill leaves no nulls (first day has an event)")
+    }
+  }
+
+  test("coOccurrenceLift: pair support never exceeds either type's user count") {
+    val ev = randomEvents(41L, 500, 20)
+    val ut = ev.select("user_id", "event_type").distinct()
+    val typeCounts = ut.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Analytics.coOccurrenceLift(ev, "user_id", "event_type").collect().foreach { r =>
+      val (t1, t2, both) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(t1 < t2, "pairs are canonically ordered")
+      assert(both <= math.min(typeCounts(t1), typeCounts(t2)))
+    }
+  }
+
+  test("pageRank: mass bound holds and sourceless nodes sit exactly at the base rank") {
+    val rnd = new scala.util.Random(51)
+    val edges = (1 to 60).map(_ => (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val r0 = 1000000L
+    val ranks = Graph.pageRank(edges, 3, r0 = r0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ranks.size
+    assert(ranks.values.sum <= n * r0, "damped total never exceeds initial mass")
+    val base = r0 / 100 * 15
+    assert(ranks.values.forall(_ >= base), "every node keeps at least the teleport base")
+    val dsts = edges.select("dst").distinct().collect().map(_.getString(0)).toSet
+    ranks.foreach { case (v, r) =>
+      if (!dsts.contains(v)) assert(r == base, s"no-inbound node $v must be exactly base")
+    }
   }
 
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
