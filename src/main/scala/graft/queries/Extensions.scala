@@ -404,6 +404,14 @@ object Extensions {
     Analytics.rfmSegments(Tables(spark, sfDir, "events"), "user_id", "ts", "value")
       .orderBy("r_band", "f_band", "m_band")
 
+  /** x75 — STREAMING trending top-k ([[graft.streaming.EventStream
+    * .trendingTopK]]): watermarked append-mode day-window counts over the
+    * ordered replay, ranked over finalized windows only — the streaming
+    * twin of x72 (which includes the in-progress final day; here it is
+    * still in state, unemitted, exactly as on a live source). */
+  private val x75: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.trendingTopK(spark, sfDir, k = 3)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -884,7 +892,8 @@ object Extensions {
     "x71_weighted_sample" -> x71,
     "x72_trending_topk" -> x72,
     "x73_cooccurrence_lift" -> x73,
-    "x74_rfm_segments" -> x74)
+    "x74_rfm_segments" -> x74,
+    "x75_streaming_trending" -> x75)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1060,6 +1069,16 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x75_streaming_trending" ->
+      ("""WITH mx AS (SELECT MAX(ts) AS m FROM events),
+         |c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start, event_type,
+         |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |f AS (SELECT c.* FROM c CROSS JOIN mx
+         |  WHERE CAST(win_start AS TIMESTAMP) + INTERVAL 1 DAY <= mx.m),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+         |  ORDER BY n DESC, event_type) AS rnk FROM f)
+         |SELECT win_start, event_type, n, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 3 ORDER BY win_start, rnk""".stripMargin.replace("\n", " ")),
     "x72_trending_topk" ->
       ("""WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start, event_type,
          |  COUNT(*) AS n FROM events GROUP BY 1, 2),

@@ -187,6 +187,46 @@ object EventStream {
   }
 
   /**
+   * STREAMING TRENDING TOP-K: watermarked APPEND-mode day-window counts over
+   * the ordered multi-batch replay, then a rank over the FINALIZED windows —
+   * the serving pattern for a live "trending now" board: the state store
+   * maintains only per-(window, type) counts (bounded by windows × types,
+   * evicted at the watermark); the top-k rank is a cheap batch query over
+   * the emitted finalized windows, NOT streaming state (ranking inside the
+   * stream would need complete-mode output — unbounded re-emission).
+   * A window emits once the watermark passes its end, so the oracle is the
+   * same rank over day windows whose end ≤ the global max event time.
+   */
+  def trendingTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .count()
+
+    val qname = "graft_trend_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      val query = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(desc("n"), col("event_type"))
+    spark.table(qname)
+      .select(col("window.start").cast("date").as("win_start"),
+        col("event_type"), col("count").as("n"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .orderBy("win_start", "rnk")
+  }
+
+  /**
    * STREAMING DEDUPLICATION: `dropDuplicates` over the ordered multi-batch
    * replay — the first (user_id, event_type) occurrence passes, every later
    * duplicate (including across micro-batches, which is what the keyed state

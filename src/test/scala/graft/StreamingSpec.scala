@@ -39,4 +39,23 @@ class StreamingSpec extends AnyFunSuite {
     // sessions for unknown users cannot appear
     assert(closed.keySet.subsetOf(totals.keySet))
   }
+
+  test("streaming trending ranks only finalized day windows (in-progress day stays in state)") {
+    val out = streaming.EventStream.trendingTopK(spark, sf, k = 3).collect()
+    assert(out.nonEmpty)
+    val lastEmitted = out.map(_.getDate(0).toLocalDate).max
+    val maxEventDay = sources.Tables(spark, sf, "events")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts"))))
+      .head.getDate(0).toLocalDate
+    assert(lastEmitted.isBefore(maxEventDay),
+      "the day containing the max event time must not have emitted")
+    // per finalized window: ranks are 1..k dense and counts non-increasing
+    out.groupBy(_.getDate(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getLong(2) >= b.getLong(2); case _ => true })
+    }
+  }
 }
