@@ -472,6 +472,34 @@ object Dedup {
   }
 
   /**
+   * Splice-overlap detection: ordered pairs (d1, d2) where the LAST
+   * `k` tokens of d1 equal the FIRST `k` tokens of d2 — the signal for
+   * spliced/cyclically-duplicated content and for documents that were cut
+   * at a shared boundary (a chunking artifact that inflates n-gram counts
+   * and leaks across train/eval splits).
+   *
+   * Scale shape: LINEAR — each doc contributes one head key and one tail
+   * key (md5 of the k-token affix); detection is a single hash equi-join
+   * tail→head. No pairwise work, no shingle table: cost is one exchange on
+   * the 16-byte affix hash regardless of corpus size (hot affixes — e.g. a
+   * boilerplate footer — fan out exactly like the duplicate content they
+   * represent, and AQE splits those buckets).
+   */
+  def spliceOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"affix length $k must be >= 1")
+    val ws = split(col(textCol), " ")
+    val ht = docs
+      .filter(size(ws) >= k)
+      .select(col(idCol).as("doc_id"),
+        md5(concat_ws(" ", slice(ws, 1, k))).as("head"),
+        md5(concat_ws(" ", slice(ws, -k, k))).as("tail"))
+    ht.as("a").join(ht.as("b"),
+        col("a.tail") === col("b.head") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  }
+
+  /**
    * SimHash near-duplicate pairs. Each distinct word contributes ±1 per bit
    * of its hash; the sign vector folds into a `numBits`-bit fingerprint.
    * Candidate generation blocks on `numBands` equal bit-slices — any pair

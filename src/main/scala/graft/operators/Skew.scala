@@ -31,4 +31,26 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /**
+   * Key-skew diagnostics — the observability query run BEFORE choosing a
+   * join strategy at scale: the top-`k` heaviest values of `keyCol` with an
+   * integer-scaled ratio of each key's row count to the mean
+   * (`count · n_keys · scale DIV total` — no float division, so reruns and
+   * engines agree exactly). A skew_scaled ≫ scale key is the signal to
+   * reach for [[saltedJoin]] / AQE skew splitting.
+   *
+   * Scale shape: one hash aggregate (map-side partials bound the exchange
+   * by key cardinality), grand totals as a 1-row broadcast, top-k via
+   * TakeOrderedAndProject — the key histogram is never globally sorted.
+   */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10,
+      scale: Int = 1000): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        expr(s"n * n_keys * $scale DIV total").as("skew_scaled"))
+      .orderBy(desc("n"), col(keyCol)).limit(k)
+  }
 }

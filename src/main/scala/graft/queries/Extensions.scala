@@ -412,6 +412,20 @@ object Extensions {
   private val x75: Q = (spark, sfDir) =>
     graft.streaming.EventStream.trendingTopK(spark, sfDir, k = 3)
 
+  /** x76 — key-skew diagnostics on the lineitem supplier key
+    * ([[Skew.keySkewReport]]): top-10 heaviest keys with integer-scaled
+    * count/mean ratio — the pre-join observability query that decides
+    * between plain, salted (x17), and AQE-split (x46) joins. */
+  private val x76: Q = (spark, sfDir) =>
+    Skew.keySkewReport(Tables(spark, sfDir, "lineitem"), "l_suppkey", k = 10)
+
+  /** x77 — splice-overlap pairs ([[Dedup.spliceOverlapPairs]]): docs whose
+    * 3-token tail equals another doc's 3-token head — chunking-artifact /
+    * spliced-duplication detection; linear one-join shape. */
+  private val x77: Q = (spark, sfDir) =>
+    Dedup.spliceOverlapPairs(docs(spark, sfDir), "doc_id", "text", k = 3)
+      .orderBy("d1", "d2")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -893,7 +907,9 @@ object Extensions {
     "x72_trending_topk" -> x72,
     "x73_cooccurrence_lift" -> x73,
     "x74_rfm_segments" -> x74,
-    "x75_streaming_trending" -> x75)
+    "x75_streaming_trending" -> x75,
+    "x76_key_skew_report" -> x76,
+    "x77_splice_overlap" -> x77)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1069,6 +1085,20 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x76_key_skew_report" ->
+      ("""WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+         |SELECT l_suppkey, n,
+         | CAST((n * t.n_keys * 1000) // t.total AS BIGINT) AS skew_scaled
+         |FROM c CROSS JOIN t ORDER BY n DESC, l_suppkey LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+    "x77_splice_overlap" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ht AS (SELECT doc_id, array_to_string(ws[1:3], ' ') AS head,
+         |  array_to_string(ws[-3:], ' ') AS tail FROM w WHERE len(ws) >= 3)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2 FROM ht a
+         |JOIN ht b ON a.tail = b.head AND a.doc_id <> b.doc_id
+         |ORDER BY d1, d2""".stripMargin.replace("\n", " ")),
     "x75_streaming_trending" ->
       ("""WITH mx AS (SELECT MAX(ts) AS m FROM events),
          |c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start, event_type,

@@ -57,4 +57,15 @@ class SkewSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(nSalts > 1, "identical rows must not all share one salt")
   }
+
+  test("keySkewReport: hot key ranked first with exact integer skew ratio") {
+    // key 1: 60 rows, keys 2..5: 10 each → total 100, n_keys 5, mean 20
+    val rows = (1 to 60).map(_ => 1L) ++ (2L to 5L).flatMap(k => Seq.fill(10)(k))
+    val df = rows.map((_, "x")).toDF("k", "v")
+    val out = Skew.keySkewReport(df, "k", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // skew_scaled = n * 5 * 1000 / 100 → hot key 3000, others 500
+    assert(out.head == ((1L, 60L, 3000L)))
+    assert(out.length == 3 && out(1) == ((2L, 10L, 500L)))
+  }
 }

@@ -121,6 +121,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) < out(1L)) // the near dup shares strictly fewer
   }
 
+  test("spliceOverlapPairs: tail-head token overlap is directional; short docs skipped") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),   // tail "d e f"
+      (2L, "d e f g h i"),   // head "d e f" → (1,2)
+      (3L, "x y z d e f"),   // tail "d e f" → (3,2); head "x y z" matches nobody
+      (4L, "q r")            // < 3 tokens, excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.spliceOverlapPairs(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 2L)))
+  }
+
   test("editDistancePairs: verifies LSH candidates at character level") {
     // docs fixture: 0≡1 exact (dist 0), 2 is a near dup differing only in
     // the final word — beyond the 60-char prefix, so dist 0 there too;
