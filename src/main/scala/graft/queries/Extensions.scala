@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, AsOf, CdcMerge, Dedup, Graph, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -425,6 +425,43 @@ object Extensions {
   private val x77: Q = (spark, sfDir) =>
     Dedup.spliceOverlapPairs(docs(spark, sfDir), "doc_id", "text", k = 3)
       .orderBy("d1", "d2")
+
+  /** x78 — CO-LOCATED bucketed join ([[Bucketing.ensureBucketed]]): orders
+    * and customer materialized as 8-bucket sorted parquet tables on their
+    * join keys, then joined with ZERO exchanges and ZERO sorts before the
+    * join (plan-asserted) — the write-once/join-many layout that removes
+    * the fact-table shuffle from every downstream query. */
+  private val x78: Q = (spark, sfDir) => {
+    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    val o = Bucketing.ensureBucketed(spark, s"graft_bkt_orders_$tag",
+      Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", 8, s"${QueryUtil.scratchDir}/bkt_orders_$tag")
+    val c = Bucketing.ensureBucketed(spark, s"graft_bkt_customer_$tag",
+      Tables(spark, sfDir, "customer").select("c_custkey", "c_mktsegment"),
+      "c_custkey", 8, s"${QueryUtil.scratchDir}/bkt_customer_$tag")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** x79 — replica sync check ([[Integrity.syncCheck]]): customer vs a
+    * deterministically-drifted copy (acctbal +1 where custkey % 397 = 0);
+    * per-bucket counts + order-independent md5-sum checksums flag exactly
+    * the drifted key ranges — the O(buckets) anti-entropy comparison that
+    * makes cross-replica verification affordable at 100 TB. */
+  private val x79: Q = (spark, sfDir) => {
+    val src = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val dst = src.withColumn("c_acctbal",
+      col("c_acctbal") + when(pmod(col("c_custkey"), lit(397)) === 0, 1.0).otherwise(0.0))
+    val fp = (df: DataFrame) => concat_ws("|",
+      col("c_custkey"),
+      col("c_acctbal").cast("decimal(18,2)").cast("string"),
+      col("c_mktsegment"))
+    Integrity.syncCheck(src, dst, "c_custkey", fp, buckets = 16)
+      .orderBy("bucket")
+  }
 
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
@@ -909,7 +946,9 @@ object Extensions {
     "x74_rfm_segments" -> x74,
     "x75_streaming_trending" -> x75,
     "x76_key_skew_report" -> x76,
-    "x77_splice_overlap" -> x77)
+    "x77_splice_overlap" -> x77,
+    "x78_bucketed_join" -> x78,
+    "x79_replica_sync_check" -> x79)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1085,6 +1124,30 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x79_replica_sync_check" -> {
+      def cksum(rel: String, n: String, s: String) =
+        s"""c$rel AS (SELECT CAST(c_custkey % 16 AS INT) AS bucket, COUNT(*) AS $n,
+           | SUM(CAST(('0x' || substr(md5(c_custkey || '|' ||
+           |   CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+           |   c_mktsegment), 1, 15)) AS BIGINT)) AS $s
+           | FROM $rel GROUP BY 1)""".stripMargin
+      s"""WITH src AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+         |dst AS (SELECT c_custkey, c_acctbal +
+         |  CASE WHEN c_custkey % 397 = 0 THEN 1.0 ELSE 0.0 END AS c_acctbal,
+         |  c_mktsegment FROM customer),
+         |${cksum("src", "n_src", "sum_src")},
+         |${cksum("dst", "n_dst", "sum_dst")}
+         |SELECT csrc.bucket, n_src, n_dst,
+         | (n_src = n_dst AND sum_src = sum_dst) AS in_sync
+         |FROM csrc JOIN cdst ON csrc.bucket = cdst.bucket
+         |ORDER BY csrc.bucket""".stripMargin.replace("\n", " ")
+    },
+    "x78_bucketed_join" ->
+      ("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin.replace("\n", " ")),
     "x76_key_skew_report" ->
       ("""WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)

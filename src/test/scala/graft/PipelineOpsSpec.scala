@@ -143,6 +143,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("syncCheck: equal tables all in sync; a one-row drift flags exactly its bucket") {
+    val src = (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v")
+    val fp = (df: org.apache.spark.sql.DataFrame) => concat_ws("|", col("k"), col("v"))
+    val clean = operators.Integrity.syncCheck(src, src, "k", fp, buckets = 8)
+      .collect().map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    assert(clean.size == 8 && clean.values.forall(identity))
+    // drift key 19 (bucket 3): only that bucket must flag
+    val dst = src.withColumn("v", when(col("k") === 19, "DRIFT").otherwise(col("v")))
+    val drifted = operators.Integrity.syncCheck(src, dst, "k", fp, buckets = 8)
+      .collect().map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    assert(!drifted(3) && drifted.filterNot(_._1 == 3).values.forall(identity))
+  }
+
+  test("syncCheck: a missing row changes the bucket count, not just the checksum") {
+    val src = (1L to 32L).map(i => (i, "x")).toDF("k", "v")
+    val dst = src.filter(col("k") =!= 10) // bucket 10 % 8 = 2 loses a row
+    val fp = (df: org.apache.spark.sql.DataFrame) => concat_ws("|", col("k"), col("v"))
+    val out = operators.Integrity.syncCheck(src, dst, "k", fp, buckets = 8)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(2) == ((4L, 3L, false)))
+    assert(out.filterNot(_._1 == 2).values.forall(_._3))
+  }
+
+  test("ensureBucketed: memoized write, catalog-backed reads equal the source") {
+    val spark2 = SparkTestSession.spark
+    val src = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+    val path = graft.queries.QueryUtil.scratchDir + "/bkt_spec_test"
+    val t1 = operators.Bucketing.ensureBucketed(spark2, "graft_bkt_spec", src, "k", 4, path)
+    assert(t1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (1L to 100L).map(i => (i, i * 2)).toSet)
+    // second call must reuse the table (no rewrite): same file listing
+    val files1 = new java.io.File(path).listFiles().map(_.getName).toSet
+    operators.Bucketing.ensureBucketed(spark2, "graft_bkt_spec", src, "k", 4, path)
+    val files2 = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(files1 == files2, "idempotent: no rewrite on the second call")
+  }
+
   test("Scd2.buildHistory chains validity intervals and marks the current version") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val changes = Seq(

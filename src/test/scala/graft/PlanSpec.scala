@@ -356,6 +356,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"), s"pure map-side filter expected:\n$p")
   }
 
+  test("x78: bucketed tables join with no exchange and no sort below the join") {
+    // at sf0.001 the dim broadcasts (the right call there); disable
+    // auto-broadcast to pin the at-scale shape — co-located sort-merge
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("x78_bucketed_join")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scans must be bucketed:\n$p")
+      // the ONLY exchanges are the post-join aggregate + final order-by;
+      // an unbucketed SMJ would add one hashpartitioning exchange per side.
+      // (A cheap in-partition Sort remains: Spark 3+ deliberately does not
+      // expose bucket sort order at scan time — the shuffle is the win.)
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"), s"no exchange below the join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
     val p = plan("b49_exists_not_exists")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
