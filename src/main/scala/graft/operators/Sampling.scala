@@ -166,6 +166,31 @@ object Sampling {
     pmod(draw, lit(den.toLong)) < weight
   }
 
+  /**
+   * Rebalance a corpus toward a UNIFORM group mixture: every group is
+   * downsampled to (in expectation, exactly in rate) the size of the
+   * smallest group — keep-rate `n_min / n_group`, drawn per row with the
+   * same deterministic md5 draw as [[weightedBernoulli]] but with a
+   * PER-GROUP modulus (`draw mod n_group < n_min`), so the rate is the
+   * exact rational per group, not a rounded global fraction. The standard
+   * final step of mixture construction after [[graft.queries.Extensions]]
+   * x43's sqrt-damped weighting: cap the dominant sources, keep the tail.
+   *
+   * Returns the input rows with a `kept` flag (callers filter or audit).
+   *
+   * Scale shape: group sizes are one hash aggregate broadcast back (group
+   * cardinality ≪ corpus); the draw + flag are pure map-side.
+   */
+  def rebalanceToUniform(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("n_group"))
+    val minSize = sizes.agg(min(col("n_group")).as("n_min"))
+    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.join(broadcast(sizes), groupCol)
+      .crossJoin(broadcast(minSize))
+      .withColumn("kept", pmod(draw, col("n_group")) < col("n_min"))
+  }
+
   def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
       valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,

@@ -463,6 +463,17 @@ object Extensions {
       .orderBy("bucket")
   }
 
+  /** x80 — uniform-mixture rebalance ([[Sampling.rebalanceToUniform]]):
+    * every source downsampled to the smallest source's rate with an exact
+    * per-group rational keep-rate (md5 draw mod n_group < n_min); reports
+    * per-source before/after counts. */
+  private val x80: Q = (spark, sfDir) =>
+    Sampling.rebalanceToUniform(docs(spark, sfDir), "doc_id", "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("kept").cast("int")).as("n_kept"))
+      .orderBy("source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -948,7 +959,8 @@ object Extensions {
     "x76_key_skew_report" -> x76,
     "x77_splice_overlap" -> x77,
     "x78_bucketed_join" -> x78,
-    "x79_replica_sync_check" -> x79)
+    "x79_replica_sync_check" -> x79,
+    "x80_uniform_rebalance" -> x80)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1124,6 +1136,15 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x80_uniform_rebalance" ->
+      ("""WITH c AS (SELECT source, COUNT(*) AS n_group FROM documents GROUP BY source),
+         |m AS (SELECT MIN(n_group) AS n_min FROM c),
+         |d AS (SELECT doc.source, c.n_group, m.n_min,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS draw
+         | FROM documents doc JOIN c ON doc.source = c.source CROSS JOIN m)
+         |SELECT source, COUNT(*) AS n_before,
+         | CAST(SUM(CASE WHEN draw % n_group < n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
     "x79_replica_sync_check" -> {
       def cksum(rel: String, n: String, s: String) =
         s"""c$rel AS (SELECT CAST(c_custkey % 16 AS INT) AS bucket, COUNT(*) AS $n,

@@ -261,6 +261,26 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceToUniform: the smallest group keeps everything; others shrink toward it") {
+    val rnd = new scala.util.Random(61)
+    val df = (0L until 600L).map { i =>
+      (i, if (i < 40) "small" else if (rnd.nextBoolean()) "big_a" else "big_b")
+    }.toDF("doc_id", "grp")
+    val out = Sampling.rebalanceToUniform(df, "doc_id", "grp")
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(col("kept").cast("int")).as("kept"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // draw mod n_min < n_min is always true → the floor group is untouched
+    assert(out("small") == ((40L, 40L)))
+    for (g <- Seq("big_a", "big_b")) {
+      val (n, kept) = out(g)
+      assert(kept < n, s"$g must shrink")
+      // kept/n concentrates near n_min/n: allow generous hash variance
+      assert(math.abs(kept - 40L) < 25, s"$g kept $kept, expected ≈40")
+    }
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
