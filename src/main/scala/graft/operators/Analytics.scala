@@ -152,8 +152,12 @@ object Analytics {
       .join(broadcast(typeCounts).as("c1"), col("t1") === col("c1.t"))
       .join(broadcast(typeCounts).as("c2"), col("t2") === col("c2.t"))
       .crossJoin(broadcast(nUsers))
+      // staged through DECIMAL(38,0): the raw BIGINT product n_both·n_users·scale
+      // wraps past 2^63 near 10^8 users — on exactly the strongest pairs
       .select(col("t1"), col("t2"), col("n_both"),
-        expr(s"n_both * n_users * $scale DIV (c1.n_t * c2.n_t)").as("lift_scaled"))
+        expr(s"CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * $scale" +
+          s" DIV (CAST(c1.n_t AS DECIMAL(38,0)) * c2.n_t) AS BIGINT)")
+          .as("lift_scaled"))
   }
 
   /**

@@ -25,6 +25,17 @@ object Bucketing {
   def ensureBucketed(spark: SparkSession, table: String, df: DataFrame,
       key: String, buckets: Int, path: String): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
+    if (spark.catalog.tableExists(table)) {
+      // memoization is by name only — a second caller asking for a DIFFERENT
+      // layout under the same name must fail loudly, not silently get the
+      // first table's data and bucketing
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+      require(spec.exists(s =>
+          s.numBuckets == buckets && s.bucketColumnNames == Seq(key)),
+        s"table $table exists with bucket layout $spec, not ($buckets, $key)")
+    }
     if (!spark.catalog.tableExists(table)) {
       // one file per bucket: Spark honors the per-bucket sort order at read
       // time only when a bucket is a single file (multi-file buckets force a

@@ -435,7 +435,7 @@ object Dedup {
     * simhash pipeline built on it fully oracle-checkable; 15 hex chars keep
     * the value inside a signed 64-bit int on both sides. */
   val portableWordHash: Column => Column =
-    w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+    w => PortableHash.hash60(w)
 
   /**
    * Edit-distance near-duplicate pairs: among documents whose token-set

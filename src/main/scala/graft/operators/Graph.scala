@@ -19,7 +19,9 @@ object Graph {
    * dividing ranks by `r0`.
    *
    * Semantics: `rank_{i+1}(v) = r0*(den-num) DIV den
-   *                              + num * (Σ_{u→v} rank_i(u) DIV deg(u)) DIV den`.
+   *                              + num * (Σ_{u→v} rank_i(u) DIV deg(u)) DIV den`
+   * (the teleport base is the exact floor for any `r0`, computed in split
+   * form so the product never overflows).
    * Dangling mass (sinks have no out-edges) is dropped, not redistributed —
    * ranks are a relative ordering, not a probability distribution
    * (documented standard simplification; conservation costs an extra global
@@ -53,7 +55,12 @@ object Graph {
     val ed = e.join(deg, "src").cache()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().cache()
-    val base = r0 / dampDen * (dampDen - dampNum) // exact when dampDen | r0
+    // exact floor(r0·(den−num)/den) for ANY r0 without overflowing the
+    // intermediate product: split r0 = q·den + rem and divide the remainder
+    // term separately — a plain r0/den*(den−num) silently diverges from the
+    // documented formula whenever den does not divide r0
+    val keep = dampDen - dampNum
+    val base = r0 / dampDen * keep + r0 % dampDen * keep / dampDen
     var ranks = nodes.withColumn("r", lit(r0))
     for (_ <- 1 to iterations) {
       val in = ed.join(ranks, ed("src") === ranks("v"))

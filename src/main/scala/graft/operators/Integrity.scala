@@ -33,7 +33,7 @@ object Integrity {
       buckets: Int = 16): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
     df.select(pmod(col(keyCol), lit(buckets.toLong)).cast("int").as("bucket"),
-        conv(substring(md5(fingerprint), 1, 15), 16, 10).cast("long").as("h"))
+        PortableHash.hash60(fingerprint).as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         sum(col("h").cast("decimal(38,0)")).as("checksum"))

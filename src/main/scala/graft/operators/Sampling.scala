@@ -162,7 +162,7 @@ object Sampling {
    */
   def weightedBernoulli(id: Column, weight: Column, den: Int = 10): Column = {
     require(den > 0 && den <= 1000000, s"den $den not in [1,1e6]")
-    val draw = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    val draw = PortableHash.hash60(id)
     pmod(draw, lit(den.toLong)) < weight
   }
 
@@ -184,8 +184,7 @@ object Sampling {
   def rebalanceToUniform(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
     val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("n_group"))
     val minSize = sizes.agg(min(col("n_group")).as("n_min"))
-    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val draw = PortableHash.hash60(col(idCol))
     df.join(broadcast(sizes), groupCol)
       .crossJoin(broadcast(minSize))
       .withColumn("kept", pmod(draw, col("n_group")) < col("n_min"))

@@ -43,6 +43,11 @@ object Skew {
    * Scale shape: one hash aggregate (map-side partials bound the exchange
    * by key cardinality), grand totals as a 1-row broadcast, top-k via
    * TakeOrderedAndProject — the key histogram is never globally sorted.
+   *
+   * The ratio is staged through DECIMAL(38,0) before the integral divide:
+   * the raw BIGINT product `n · n_keys · scale` wraps past 2^63 at table
+   * sizes this operator exists for (10^9-row hot key × 10^7 keys already
+   * overflows), and it would wrap on exactly the hot keys being flagged.
    */
   def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10,
       scale: Int = 1000): DataFrame = {
@@ -50,7 +55,8 @@ object Skew {
     val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
       .select(col(keyCol), col("n"),
-        expr(s"n * n_keys * $scale DIV total").as("skew_scaled"))
+        expr(s"CAST(CAST(n AS DECIMAL(38,0)) * n_keys * $scale DIV total AS BIGINT)")
+          .as("skew_scaled"))
       .orderBy(desc("n"), col(keyCol)).limit(k)
   }
 }

@@ -159,13 +159,18 @@ object EventStream {
     (watch.toString, raw.schema)
   }
 
-  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared drain: watermarked APPEND-mode (window × event_type) counts over
+    * the ordered slice replay, drained to a memory sink — the finalized
+    * windows only. One definition so the replay/watermark/drain protocol
+    * cannot diverge between the queries built on it. */
+  private def drainAppendWindowCounts(spark: SparkSession, sfDir: String,
+      windowDuration: String): DataFrame = {
     val (watch, schema) = sliceReplayDir(spark, sfDir)
     val agg = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .count()
 
     val qname = "graft_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -177,14 +182,16 @@ object EventStream {
         .start()
       try query.processAllAvailable() finally query.stop()
     }
-
     spark.table(qname)
+  }
+
+  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame =
+    drainAppendWindowCounts(spark, sfDir, "1 hour")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"),
         col("count").as("n"))
       .orderBy("hour", "event_type")
-  }
 
   /**
    * STREAMING TRENDING TOP-K: watermarked APPEND-mode day-window counts over
@@ -198,27 +205,9 @@ object EventStream {
    * same rank over day windows whose end ≤ the global max event time.
    */
   def trendingTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val (watch, schema) = sliceReplayDir(spark, sfDir)
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .count()
-
-    val qname = "graft_trend_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark) {
-      val query = agg.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .start()
-      try query.processAllAvailable() finally query.stop()
-    }
-
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("win_start").orderBy(desc("n"), col("event_type"))
-    spark.table(qname)
+    drainAppendWindowCounts(spark, sfDir, "1 day")
       .select(col("window.start").cast("date").as("win_start"),
         col("event_type"), col("count").as("n"))
       .withColumn("rnk", row_number().over(rankW))

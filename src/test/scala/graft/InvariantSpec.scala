@@ -226,7 +226,8 @@ class InvariantSpec extends AnyFunSuite {
         sum(col("filled_value").isNull.cast("int")).as("n_null"))
       .collect()
     perUser.foreach { r =>
-      val expected = r.getDate(2).toLocalDate.until(r.getDate(3).toLocalDate).getDays + 1
+      val expected = java.time.temporal.ChronoUnit.DAYS.between(
+        r.getDate(2).toLocalDate, r.getDate(3).toLocalDate) + 1
       assert(r.getLong(1) == expected, "one row per calendar day in the user's range")
       assert(r.getLong(4) == 0L, "forward fill leaves no nulls (first day has an event)")
     }

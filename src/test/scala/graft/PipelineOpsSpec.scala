@@ -178,6 +178,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     operators.Bucketing.ensureBucketed(spark2, "graft_bkt_spec", src, "k", 4, path)
     val files2 = new java.io.File(path).listFiles().map(_.getName).toSet
     assert(files1 == files2, "idempotent: no rewrite on the second call")
+    // same name with a DIFFERENT layout must fail loudly, not serve stale data
+    val e = intercept[IllegalArgumentException](
+      operators.Bucketing.ensureBucketed(spark2, "graft_bkt_spec", src, "v", 8, path))
+    assert(e.getMessage.contains("bucket layout"))
   }
 
   test("Scd2.buildHistory chains validity intervals and marks the current version") {
