@@ -108,6 +108,41 @@ object Analytics {
   }
 
   /**
+   * Gap-based batch sessionization with session-level stats: events within
+   * `gapMinutes` of the previous event (per user) share a session; emits
+   * one row per session with event count, span in seconds, and whether the
+   * session CONVERTED (contains `convType`) — the session-level funnel
+   * question ("how many sessions end in a purchase") that event-level
+   * counts can't answer.
+   *
+   * Scale shape: one hash exchange on the user key; the lag, the
+   * cumulative session counter, and the final per-session aggregate all
+   * run over the same (user, ts) sort — Spark plans one Exchange + one
+   * Sort for the two window passes, and the session aggregate reuses the
+   * user partitioning. All outputs integer/exact (span in whole seconds
+   * via unix timestamps). Complements the streaming sessionizers (x15/x27
+   * event-at-a-time state, x56 native session_window) with the batch
+   * replay shape used for backfills.
+   */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, gapMinutes: Int = 30): DataFrame = {
+    val byTs = Window.partitionBy(userCol).orderBy(tsCol)
+    val ts = col(tsCol)
+    events
+      .withColumn("prev_ts", lag(ts, 1).over(byTs))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          unix_timestamp(ts) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L)
+          .cast("int"))
+      .withColumn("session_id", sum(col("new_sess")).over(byTs))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(ts)) - unix_timestamp(min(ts))).as("span_secs"),
+        max((col(typeCol) === convType).cast("int")).as("converted"))
+  }
+
+  /**
    * Trending items: top-`k` event types per tumbling day window, ranked by
    * count (ties broken alphabetically — deterministic).
    *

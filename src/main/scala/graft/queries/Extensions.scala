@@ -474,6 +474,19 @@ object Extensions {
         sum(col("kept").cast("int")).as("n_kept"))
       .orderBy("source")
 
+  /** x81 — gap-based batch sessionization ([[Analytics.sessionize]],
+    * 30-min gap) rolled up to the session-level conversion report: the
+    * backfill twin of the streaming sessionizers (x15/x27/x56), one user
+    * exchange shared by lag, session counter, and session aggregate. */
+  private val x81: Q = (spark, sfDir) =>
+    Analytics.sessionize(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_type", "purchase", gapMinutes = 30)
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted").cast("long")).as("n_converted"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_events"),
+        max(col("span_secs")).as("max_span_secs"))
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -960,7 +973,8 @@ object Extensions {
     "x77_splice_overlap" -> x77,
     "x78_bucketed_join" -> x78,
     "x79_replica_sync_check" -> x79,
-    "x80_uniform_rebalance" -> x80)
+    "x80_uniform_rebalance" -> x80,
+    "x81_sessionized_conversion" -> x81)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1136,6 +1150,22 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x81_sessionized_conversion" ->
+      ("""WITH o AS (SELECT user_id, ts, event_type,
+         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+         |s AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+         | FROM o),
+         |sid AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
+         |  AS session_id FROM s),
+         |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_secs,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         | FROM sid GROUP BY user_id, session_id)
+         |SELECT COUNT(*) AS n_sessions, CAST(SUM(conv) AS BIGINT) AS n_converted,
+         | CAST(SUM(n_events) AS BIGINT) AS total_events, MAX(n_events) AS max_events,
+         | MAX(span_secs) AS max_span_secs FROM sess"""
+        .stripMargin.replace("\n", " ")),
     "x80_uniform_rebalance" ->
       ("""WITH c AS (SELECT source, COUNT(*) AS n_group FROM documents GROUP BY source),
          |m AS (SELECT MIN(n_group) AS n_min FROM c),

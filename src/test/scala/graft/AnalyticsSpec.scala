@@ -101,6 +101,31 @@ class AnalyticsSpec extends AnyFunSuite {
       ("r_cold", "f_low", "m_low") -> 1L))
   }
 
+  test("sessionize: gap splits sessions; conversion and span are per session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"), // same session (10 min)
+      (1L, ts("2024-01-01 12:00:00"), "view"),     // > 30 min gap → session 2
+      (2L, ts("2024-01-01 09:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.sessionize(events, "user_id", "ts", "event_type", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out((1L, 1L)) == ((2L, 600L, 1))) // 2 events, 600 s span, converted
+    assert(out((1L, 2L)) == ((1L, 0L, 0)))
+    assert(out((2L, 1L)) == ((1L, 0L, 0)))
+  }
+
+  test("sessionize: an event exactly at the gap boundary stays in the session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "view") // exactly 1800 s: NOT > gap
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.sessionize(events, "user_id", "ts", "event_type", "purchase")
+      .collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2L)
+  }
+
   test("gap fill: every day in the user's range appears; values carry forward") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 10L, 1.0),
