@@ -63,4 +63,40 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /**
+   * Frame sampling — the video-pipeline shape (demux → sample every k-th
+   * frame → per-frame features): the payload is cut into fixed
+   * `frameBytes` slices standing in for demuxed frames (a real container
+   * parser is a codec concern, stubbed like [[decodeStub]]), every
+   * `stride`-th slice is kept, and each kept frame emits its size and byte
+   * checksum. Iterator-to-iterator `mapPartitions` over the typed Dataset:
+   * one pass, constant memory, frames never materialized as a whole list
+   * per row — the batch shape a real decoder plugs into unchanged.
+   *
+   * At 100 TB: sampling inside the same pass as the read means dropped
+   * frames are never shuffled or spilled — the stride cut happens before
+   * any exchange.
+   */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 32, stride: Int = 4): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+          val start = i * frameBytes
+          val end = math.min(start + frameBytes, n)
+          var sum = 0L
+          var j = start
+          while (j < end) { sum += r.payload(j) & 0xff; j += 1 }
+          FrameRow(r.doc_id, i, end - start, sum)
+        }
+      }
+    }
+  }
 }

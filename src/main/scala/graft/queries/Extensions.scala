@@ -487,6 +487,16 @@ object Extensions {
         max(col("n_events")).as("max_events"),
         max(col("span_secs")).as("max_span_secs"))
 
+  /** x82 — multimodal frame sampling ([[Multimodal.sampleFrames]]): every
+    * 4th 32-byte "frame" of each payload with per-frame checksums — the
+    * demux→sample→feature video shape with the codec seam stubbed (like
+    * x12); the stride cut happens inside the scan pass, before any
+    * exchange. */
+  private val x82: Q = (spark, sfDir) =>
+    Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs(spark, sfDir)))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -974,7 +984,8 @@ object Extensions {
     "x78_bucketed_join" -> x78,
     "x79_replica_sync_check" -> x79,
     "x80_uniform_rebalance" -> x80,
-    "x81_sessionized_conversion" -> x81)
+    "x81_sessionized_conversion" -> x81,
+    "x82_frame_sampling" -> x82)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1150,6 +1161,15 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x82_frame_sampling" ->
+      ("""WITH f AS (SELECT doc_id, text,
+         |  unnest(range((length(text) + 31) // 32)) AS i FROM documents),
+         |s AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |  substr(text, CAST(i * 32 + 1 AS INT), 32) AS fr FROM f WHERE i % 4 = 0)
+         |SELECT doc_id, frame_idx, CAST(length(fr) AS INT) AS n_bytes,
+         | CAST(list_aggregate(list_transform(str_split(fr, ''), c -> ascii(c)), 'sum')
+         |   AS BIGINT) AS checksum
+         |FROM s ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
     "x81_sessionized_conversion" ->
       ("""WITH o AS (SELECT user_id, ts, event_type,
          |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),

@@ -274,6 +274,26 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class FrameSamplingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("sampleFrames: stride keeps every k-th frame; tail frame is short; checksums exact") {
+    // 10-byte payload, frameBytes=4 → frames 0..2 (sizes 4,4,2); stride 2 → 0 and 2
+    val media = Seq((1L, "abcdefghij".getBytes("UTF-8"), "img/x"))
+      .toDF("doc_id", "payload", "format")
+    val out = Multimodal.sampleFrames(spark, media, frameBytes = 4, stride = 2)
+      .collect().map(f => (f.frame_idx, f.n_bytes, f.checksum)).toSet
+    val sum = (s: String) => s.map(_.toLong).sum
+    assert(out == Set((0, 4, sum("abcd")), (2, 2, sum("ij"))))
+  }
+
+  test("sampleFrames: empty payload emits no frames") {
+    val media = Seq((1L, Array.empty[Byte], "img/x")).toDF("doc_id", "payload", "format")
+    assert(Multimodal.sampleFrames(spark, media).collect().isEmpty)
+  }
+}
+
 class TextAnalysisSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
