@@ -641,6 +641,17 @@ object BTier {
         |WHERE doc_id < 5 ORDER BY doc_id, pos""".stripMargin)
   }
 
+  /** b51 — GROUP BY ALL / ORDER BY ALL: the modern analyst shorthand
+    * (every non-aggregate select item groups; every output column orders)
+    * — same plan as the explicit form. */
+  private val b51: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -691,7 +702,8 @@ object BTier {
     "b47_agg_filter_clause" -> b47,
     "b48_grouping_function" -> b48,
     "b49_exists_not_exists" -> b49,
-    "b50_posexplode_ordinal" -> b50)
+    "b50_posexplode_ordinal" -> b50,
+    "b51_group_by_all" -> b51)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -704,6 +716,11 @@ object BTier {
          |  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
          |    AND o2.o_totalprice < 10000)
          |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+    "b51_group_by_all" ->
+      ("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |FROM lineitem GROUP BY ALL ORDER BY ALL"""
+        .stripMargin.replace("\n", " ")),
     "b50_posexplode_ordinal" ->
       ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          |  FROM documents WHERE doc_id < 5),

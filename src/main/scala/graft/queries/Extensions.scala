@@ -497,6 +497,26 @@ object Extensions {
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** x83 — MERGEABLE distinct-count sketch maintenance (the x40 pattern
+    * applied to cardinality): per-day Datasketches HLL sketches are the
+    * stored partial states; the all-time distinct-user estimate merges the
+    * day sketches (`hll_union_agg`) WITHOUT rescanning events — the only
+    * way a 100 TB incremental pipeline answers "distinct users ever".
+    * Certified b14-style: the exact count is the oracle-checked column,
+    * the sketch estimate rides along as a pinned within-2% boolean. */
+  private val x83: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |  hll_sketch_agg(user_id) AS sk FROM events GROUP BY 1),
+        |merged AS (SELECT COUNT(*) AS n_days,
+        |  hll_sketch_estimate(hll_union_agg(sk)) AS est FROM daily),
+        |exact AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events)
+        |SELECT n_days, exact_users,
+        | (abs(est - exact_users) <= 0.02 * exact_users + 1) AS approx_ok
+        |FROM merged CROSS JOIN exact""".stripMargin)
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -985,7 +1005,8 @@ object Extensions {
     "x79_replica_sync_check" -> x79,
     "x80_uniform_rebalance" -> x80,
     "x81_sessionized_conversion" -> x81,
-    "x82_frame_sampling" -> x82)
+    "x82_frame_sampling" -> x82,
+    "x83_hll_sketch_merge" -> x83)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1161,6 +1182,10 @@ object Extensions {
          |b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x83_hll_sketch_merge" ->
+      ("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+         | COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+         |FROM events""".stripMargin.replace("\n", " ")),
     "x82_frame_sampling" ->
       ("""WITH f AS (SELECT doc_id, text,
          |  unnest(range((length(text) + 31) // 32)) AS i FROM documents),
