@@ -374,6 +374,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("x81: sessionization shares one user exchange across lag, counter, and session agg") {
+    val p = plan("x81_sessionized_conversion")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"events scanned once:\n$p")
+    // one hashpartitioning (user_id) feeds both windows AND the
+    // (user, session) aggregate — session_id is a narrowing of the user key
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"windows and session agg must share the user exchange:\n$p")
+    assert(!p.contains("Join"), s"no join-back:\n$p")
+  }
+
   test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
     val p = plan("b49_exists_not_exists")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
