@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation audit operators: the bookkeeping layer of a training-data
+ * pipeline. A production corpus build is a SEQUENCE of filters, and the
+ * artifact reviewers actually read is the funnel report ("rule X dropped
+ * N docs") plus the leakage-safe split manifest — not the filtered rows.
+ * These operators produce those reports in one pass each, engine-exactly
+ * (integer arithmetic + the portable md5 draw), so every number is
+ * DuckDB-oracle-checkable.
+ */
+object Curation {
+
+  /**
+   * Sequential filter-funnel audit: apply `rules` IN ORDER and report, per
+   * stage, how many documents entered, were dropped, and survived. A doc
+   * is evaluated by rule i only if it passed rules 0..i-1 — the numbers a
+   * curation report needs ("lang filter dropped 70 of the 463 length
+   * survivors"), not independent per-rule counts.
+   *
+   * Scale shape: ONE pass — every rule becomes a boolean column, the
+   * prefix-conjunction survivor counts are conditional sums in a single
+   * global aggregate (map-side partials), and the per-stage rows are
+   * `inline`d from that one aggregated row on the driver side of the plan.
+   * No per-rule scan, no self-join; rules that need a window (e.g. exact-dup
+   * rank) add their own exchange but still share the single scan. Cost at
+   * 100 TB = one corpus read regardless of rule count.
+   */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    val flagged = rules.zipWithIndex.foldLeft(df) { case (d, ((_, c), i)) =>
+      d.withColumn(s"_r$i", c.cast("boolean"))
+    }
+    val survivors = rules.indices.map { i =>
+      val prefix = (0 to i).map(j => col(s"_r$j")).reduce(_ && _)
+      sum(when(prefix, 1L).otherwise(0L)).as(s"_s$i")
+    }
+    val one = flagged.agg(count(lit(1)).as("_total"), survivors: _*)
+    val stages = rules.zipWithIndex.map { case ((name, _), i) =>
+      val nIn = if (i == 0) col("_total") else col(s"_s${i - 1}")
+      val nOut = col(s"_s$i")
+      struct(lit(i + 1).as("stage"), lit(name).as("rule"), nIn.as("n_in"),
+        (nIn - nOut).as("n_dropped"), nOut.as("n_out"))
+    }
+    one.select(inline(array(stages: _*)))
+  }
+
+  /**
+   * Leakage-safe train/val/test split manifest: every GROUP (e.g. source
+   * domain) — not every document — is assigned to exactly one split by the
+   * portable 60-bit md5 draw, so near-duplicate documents within a domain
+   * can never straddle the train/eval boundary (the standard web-corpus
+   * leakage control; doc-level hashing does NOT give this property).
+   * Returns the per-split manifest: group count, doc count, char volume.
+   *
+   * Split is a pure function of the group key — adding documents later
+   * routes them to the SAME split with no repartitioning of history.
+   * Scale shape: map-side draw + one hash aggregate; the distinct-group
+   * count rides the same exchange via partial distinct aggregation.
+   */
+  def leakageSafeSplit(df: DataFrame, groupCol: String, docSizeCol: String,
+      trainPct: Int = 60, valPct: Int = 20): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"invalid split percents ($trainPct, $valPct)")
+    val draw = PortableHash.hash60(col(groupCol)) % 100
+    df.withColumn("split",
+        when(draw < trainPct, "train")
+          .when(draw < trainPct + valPct, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct(col(groupCol)).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col(docSizeCol)).as("total_size"))
+  }
+
+  /**
+   * Robust outlier report (median / MAD, the standard robust z-score): a
+   * doc is an outlier when |x − median| > k·MAD, with MAD the median
+   * absolute deviation — unlike mean/stddev, one corrupted batch of
+   * giant documents cannot drag the threshold. Reports per-group doc,
+   * outlier, and retained-range stats.
+   *
+   * Scale shape: two global aggregates over the metric column (median,
+   * then MAD over |x − median|) broadcast into a final per-group
+   * aggregate — three passes over ONE column (each a partial-agg
+   * exchange of a few bytes), never a sort of the corpus. The interpolated
+   * exact percentile is used at audit time; a production loop would swap
+   * in `approx_percentile` partials with identical plumbing.
+   */
+  def robustOutlierReport(df: DataFrame, metricCol: String, groupCol: String,
+      k: Int = 3): DataFrame = {
+    val med = df.agg(expr(s"percentile($metricCol, 0.5)").as("med"))
+    val stats = df.crossJoin(broadcast(med))
+      .agg(expr(s"percentile(abs($metricCol - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    val isOut = abs(col(metricCol) - col("med")) > lit(k) * col("mad")
+    df.crossJoin(broadcast(stats))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(!isOut, col(metricCol))).as("kept_min"),
+        max(when(!isOut, col(metricCol))).as("kept_max"))
+  }
+}

@@ -652,6 +652,19 @@ object BTier {
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
+  /** b52 — SLIDING time windows (2-day window, 1-day slide): each event
+    * lands in exactly window/slide = 2 overlapping windows — the rolling
+    * "last-48h" report shape b22's tumbling windows can't express. Spark
+    * expands the window set map-side (no self-join); the oracle mirrors
+    * the expansion with a 2-element unnest. */
+  private val b52: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "2 days", "1 day").getField("start")
+          .cast("date").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -703,7 +716,8 @@ object BTier {
     "b48_grouping_function" -> b48,
     "b49_exists_not_exists" -> b49,
     "b50_posexplode_ordinal" -> b50,
-    "b51_group_by_all" -> b51)
+    "b51_group_by_all" -> b51,
+    "b52_sliding_window" -> b52)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -720,6 +734,15 @@ object BTier {
       ("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          |FROM lineitem GROUP BY ALL ORDER BY ALL"""
+        .stripMargin.replace("\n", " ")),
+    "b52_sliding_window" ->
+      ("""WITH e AS (SELECT ts, event_type, user_id, unnest([0, 1]) AS i
+         | FROM events),
+         |w AS (SELECT CAST(date_trunc('day', ts) - i * INTERVAL 1 DAY AS DATE)
+         |  AS win_start, event_type, user_id FROM e)
+         |SELECT win_start, event_type, COUNT(*) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type"""
         .stripMargin.replace("\n", " ")),
     "b50_posexplode_ordinal" ->
       ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -517,6 +517,51 @@ object Extensions {
         |FROM merged CROSS JOIN exact""".stripMargin)
   }
 
+  /** x84 — filter-funnel audit ([[Curation.filterFunnel]]): the curation
+    * report for a four-rule cleaning pass (length floor, language
+    * allowlist, integer-exact avg-word-length cap, exact-dup rank) —
+    * per-stage entered/dropped/survived counts from ONE corpus scan.
+    * The dup stage drops rows only where the corpus has exact dups
+    * (sf0.1); its zero at smaller SFs is still an asserted value, and
+    * the other stages drop >0 rows at every SF. */
+  private val x84: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val nw = size(split(col("text"), " "))
+    Curation.filterFunnel(docs(spark, sfDir), Seq(
+      "min_chars" -> (col("n_chars") >= 100),
+      "lang_allowed" -> col("lang").isInCollection(Seq("en", "de", "fr", "es")),
+      "avg_word_len" -> (col("n_chars") * 10 <= nw * 56),
+      "exact_dup" -> (row_number().over(
+        Window.partitionBy("text").orderBy("doc_id")) === 1)))
+      .orderBy("stage")
+  }
+
+  /** x85 — leakage-safe split manifest ([[Curation.leakageSafeSplit]]):
+    * sources (not docs) hashed into train/val/test at 60/20/20 — no
+    * near-dup can straddle the eval boundary. 20 sources land 9/3/8, so
+    * every split is non-empty at every SF. */
+  private val x85: Q = (spark, sfDir) =>
+    Curation.leakageSafeSplit(docs(spark, sfDir), "source", "n_chars",
+      trainPct = 60, valPct = 20)
+      .orderBy("split")
+
+  /** x86 — time-weighted average value per user
+    * ([[Analytics.timeWeightedAvg]]): duration-weighted state mean over
+    * irregular events; integer-cents × micros staged through
+    * DECIMAL(38,0), one shared user exchange (plan-asserted). */
+  private val x86: Q = (spark, sfDir) =>
+    Analytics.timeWeightedAvg(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "value", "event_id")
+      .orderBy("user_id")
+
+  /** x87 — robust outlier report ([[Curation.robustOutlierReport]]):
+    * median/MAD fence on n_chars (k=3), per-source outlier counts and
+    * retained range — the audit that catches a corrupted ingest batch
+    * without the mean/stddev masking problem. */
+  private val x87: Q = (spark, sfDir) =>
+    Curation.robustOutlierReport(docs(spark, sfDir), "n_chars", "source", k = 3)
+      .orderBy("source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1006,7 +1051,11 @@ object Extensions {
     "x80_uniform_rebalance" -> x80,
     "x81_sessionized_conversion" -> x81,
     "x82_frame_sampling" -> x82,
-    "x83_hll_sketch_merge" -> x83)
+    "x83_hll_sketch_merge" -> x83,
+    "x84_filter_funnel" -> x84,
+    "x85_leakage_split" -> x85,
+    "x86_time_weighted_avg" -> x86,
+    "x87_robust_outliers" -> x87)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1186,6 +1235,57 @@ object Extensions {
       ("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
          | COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
          |FROM events""".stripMargin.replace("\n", " ")),
+    "x84_filter_funnel" ->
+      ("""WITH f AS (SELECT n_chars, lang, len(string_split(text, ' ')) AS nw,
+         |  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents),
+         |g AS (SELECT (n_chars >= 100) AS r1,
+         |  (lang IN ('en','de','fr','es')) AS r2,
+         |  (n_chars * 10 <= nw * 56) AS r3, (rn = 1) AS r4 FROM f),
+         |a AS (SELECT COUNT(*) AS t,
+         |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |  CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         | FROM g)
+         |SELECT CAST(1 AS INT) AS stage, 'min_chars' AS rule, t AS n_in,
+         |  t - s1 AS n_dropped, s1 AS n_out FROM a
+         |UNION ALL SELECT 2, 'lang_allowed', s1, s1 - s2, s2 FROM a
+         |UNION ALL SELECT 3, 'avg_word_len', s2, s2 - s3, s3 FROM a
+         |UNION ALL SELECT 4, 'exact_dup', s3, s3 - s4, s4 FROM a
+         |ORDER BY stage""".stripMargin.replace("\n", " ")),
+    "x85_leakage_split" ->
+      ("""WITH d AS (SELECT source, n_chars,
+         |  CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 100 AS draw
+         | FROM documents),
+         |s AS (SELECT CASE WHEN draw < 60 THEN 'train'
+         |  WHEN draw < 80 THEN 'val' ELSE 'test' END AS split, source, n_chars FROM d)
+         |SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_size
+         |FROM s GROUP BY split ORDER BY split""".stripMargin.replace("\n", " ")),
+    "x86_time_weighted_avg" ->
+      ("""WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v_cents,
+         |  LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS nxt
+         | FROM events),
+         |d AS (SELECT user_id, v_cents, nxt - t_us AS dur_us FROM o
+         | WHERE nxt IS NOT NULL)
+         |SELECT user_id, COUNT(*) AS n_intervals,
+         | CAST(SUM(dur_us) AS BIGINT) AS active_us,
+         | CAST(SUM(v_cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
+         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x87_robust_outliers" ->
+      ("""WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+         |s AS (SELECT quantile_cont(abs(n_chars - med), 0.5) AS mad, MIN(med) AS med
+         | FROM documents CROSS JOIN m),
+         |f AS (SELECT d.source, d.n_chars,
+         |  abs(d.n_chars - s.med) > 3 * s.mad AS is_out
+         | FROM documents d CROSS JOIN s)
+         |SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         | MIN(CASE WHEN NOT is_out THEN n_chars END) AS kept_min,
+         | MAX(CASE WHEN NOT is_out THEN n_chars END) AS kept_max
+         |FROM f GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
     "x82_frame_sampling" ->
       ("""WITH f AS (SELECT doc_id, text,
          |  unnest(range((length(text) + 31) // 32)) AS i FROM documents),

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Curation}
+
+class CurationSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("filterFunnel: sequential semantics — a rule only sees prior survivors") {
+    val docs = Seq(
+      (1L, "good doc", 100L, "en"),   // passes both
+      (2L, "short", 10L, "en"),       // fails r1; r2 must NOT count it
+      (3L, "good doc zh", 100L, "zh") // passes r1, fails r2
+    ).toDF("doc_id", "text", "n_chars", "lang")
+    val r = Curation.filterFunnel(docs, Seq(
+      "len" -> (col("n_chars") >= 50),
+      "lang" -> (col("lang") === "en")))
+      .orderBy("stage").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3),
+      x.getLong(4))).toSeq ==
+      Seq((1, "len", 3L, 1L, 2L), (2, "lang", 2L, 1L, 1L)))
+  }
+
+  test("filterFunnel: stage outputs chain (n_out(i) == n_in(i+1)) and are monotone") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 7).as("a"), (col("id") % 3).as("b"))
+    val rows = Curation.filterFunnel(docs, Seq(
+      "r1" -> (col("a") =!= 0), "r2" -> (col("b") =!= 0),
+      "r3" -> (col("doc_id") < 50))).orderBy("stage").collect()
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(p.getLong(4) == n.getLong(2), "n_out must chain into next n_in")
+    }
+    rows.foreach { x =>
+      assert(x.getLong(2) - x.getLong(3) == x.getLong(4), "n_in - dropped = n_out")
+      assert(x.getLong(3) >= 0L)
+    }
+  }
+
+  test("leakageSafeSplit: every group lands in exactly one split") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("dom"), col("id") % 37).as("source"), lit(10L).as("n_chars"))
+    val manifest = Curation.leakageSafeSplit(docs, "source", "n_chars").collect()
+    assert(manifest.map(_.getLong(1)).sum == 37L, "each group in exactly one split")
+    assert(manifest.map(_.getLong(2)).sum == 500L)
+    // group-level determinism: rerunning yields the identical manifest
+    val again = Curation.leakageSafeSplit(docs, "source", "n_chars").collect()
+    assert(manifest.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("robustOutlierReport: a planted giant batch is fenced, inliers keep their range") {
+    val normal = spark.range(100).select(col("id").as("doc_id"),
+      lit("a").as("source"), (lit(100L) + col("id") % 21).as("n_chars"))
+    val giants = spark.range(5).select((col("id") + 1000L).as("doc_id"),
+      lit("b").as("source"), lit(100000L).as("n_chars"))
+    val r = Curation.robustOutlierReport(normal.union(giants), "n_chars", "source")
+      .orderBy("source").collect()
+    val a = r(0); val b = r(1)
+    assert(a.getLong(1) == 100L && a.getLong(2) == 0L)
+    assert(a.getLong(3) == 100L && a.getLong(4) == 120L)
+    assert(b.getLong(1) == 5L && b.getLong(2) == 5L, "all giants are outliers")
+    assert(b.isNullAt(3) && b.isNullAt(4), "no inliers retained in the giant batch")
+  }
+
+  test("timeWeightedAvg: burst does not over-count; last reading excluded") {
+    // u1 holds value 1.00 for 90s, then a 10s burst at 100.00, last excluded:
+    // twa = (100*90s + 10000*10s) / 100s = 1090 cents
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.00, 1L),
+      (2L, ts("2024-01-01 00:01:30"), 100.00, 1L),
+      (3L, ts("2024-01-01 00:01:40"), 999.99, 1L)
+    ).toDF("event_id", "ts", "value", "user_id")
+    val r = Analytics.timeWeightedAvg(events, "user_id", "ts", "value", "event_id")
+      .collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 100L * 1000000L)
+    assert(r.getLong(3) == 1090L)
+  }
+
+  test("timeWeightedAvg: ties on ts are broken by id (zero-duration interval)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 5.00, 1L),
+      (2L, ts("2024-01-01 00:00:00"), 7.00, 1L), // tie: 0-duration after id 1
+      (3L, ts("2024-01-01 00:00:10"), 9.00, 1L)
+    ).toDF("event_id", "ts", "value", "user_id")
+    val r = Analytics.timeWeightedAvg(events, "user_id", "ts", "value", "event_id")
+      .collect().head
+    // intervals: (id1→id2)=0s at 500c, (id2→id3)=10s at 700c → twa=700c
+    assert(r.getLong(1) == 2L && r.getLong(3) == 700L)
+  }
+
+  test("timeWeightedAvg: single-event users emit nothing") {
+    val events = Seq((1L, ts("2024-01-01 00:00:00"), 5.00, 42L))
+      .toDF("event_id", "ts", "value", "user_id")
+    assert(Analytics.timeWeightedAvg(events, "user_id", "ts", "value", "event_id")
+      .count() == 0L)
+  }
+}

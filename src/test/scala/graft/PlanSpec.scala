@@ -384,6 +384,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join-back:\n$p")
   }
 
+  test("x84: filter funnel is one corpus scan — rules never fan out to per-rule scans") {
+    val p = plan("x84_filter_funnel")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"documents scanned once:\n$p")
+    // only the dup-rank rule's text exchange; survivor counting is one
+    // global aggregate with map-side partials
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one window exchange at most:\n$p")
+    assert(!p.contains("Join"), s"no self-join per rule:\n$p")
+  }
+
+  test("x86: time-weighted avg shares one user exchange between lead() and the aggregate") {
+    val p = plan("x86_time_weighted_avg")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"events scanned once:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"window and aggregate must share the user exchange:\n$p")
+    assert(!p.contains("Join"), s"no join-back:\n$p")
+  }
+
   test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
     val p = plan("b49_exists_not_exists")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
