@@ -243,6 +243,39 @@ object Dedup {
   }
 
   /**
+   * Exact n-gram CONTAINMENT pairs: overlap normalized by the SMALLER
+   * shingle set — `|A∩B| / min(|A|,|B|)` — instead of the union. Catches
+   * the asymmetric duplication jaccard structurally cannot: a short doc
+   * quoted whole inside a long one scores containment ≈ 1 while its
+   * jaccard ≈ |A|/|B| ≈ 0 (the quote-expansion / boilerplate-wrapping
+   * case a web-corpus dedup pass must flag). Same scale shape as
+   * [[ngramJaccard]]: hashed 8-byte shingle join with the same
+   * document-frequency cap bounding the hot-key quadratic.
+   */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, minContainment: Double = 0.6,
+                       maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
+    val tokens = shingleHashRows(docs, idCol, textCol, shingleN).cache()
+    val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val joinable = tokens.join(rare, Seq("sh"), "left_semi")
+    val inter = joinable.as("a")
+      .join(joinable.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("d1", "d2", "containment")
+  }
+
+  /**
    * Duplicate clusters from a near-dup pair list: iterative min-label
    * propagation (the two-phase connected-components pattern) bounded to
    * `iterations` rounds — each round is one join + one aggregation, so the

@@ -200,6 +200,33 @@ object Similarity {
   }
 
   /**
+   * Budgeted context assembly — the retrieval-to-prompt step of a RAG
+   * pipeline: for each query, take its ranked neighbours ([[batchTopK]]),
+   * price each doc at `ceil(n_chars / 4)` proxy tokens, and keep the
+   * rank-ordered prefix that fits the token budget (greedy-by-rank, the
+   * standard context packer). A doc that would overflow the budget drops
+   * AND truncates the tail — rank order is the relevance order, so
+   * skipping past an oversized doc would reorder relevance.
+   *
+   * Scale shape: the retrieval frame is |queries| × k rows — tiny — so the
+   * doc-length join broadcasts it (AQE); the prefix cut is one window over
+   * (qid, rank). Integer token math (`DIV`) keeps it engine-exact.
+   */
+  def assembleContext(retrieved: DataFrame, docs: DataFrame, idCol: String,
+      sizeCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 1, "budgetTokens must be positive")
+    val priced = retrieved
+      .join(docs.select(col(idCol).as("vec_id"),
+        expr(s"($sizeCol + 3) DIV 4").as("tok")), "vec_id")
+    val w = Window.partitionBy("qid").orderBy("rn")
+    priced
+      .withColumn("cum_tok", sum(col("tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col("qid"), col("rn"), col("vec_id"), col("tok"), col("cum_tok"))
+  }
+
+  /**
    * Label-centroid assignment confusion — the embedding-space cluster-
    * quality report: each labeled vector is assigned to its nearest label
    * centroid by cosine, and the (true label, predicted label) counts come

@@ -245,6 +245,32 @@ object TextAnalysis {
   }
 
   /**
+   * Incremental inverted-index maintenance: fold a DELTA index (built from
+   * newly-ingested docs only) into an existing base index WITHOUT
+   * rescanning the base corpus — the x40/x83 partial-state pattern applied
+   * to text indexing. df adds; capped posting lists concatenate
+   * base-then-delta and re-cap, which equals the full rebuild's first-k
+   * EXACTLY when delta doc ids are strictly greater than base ids (the
+   * append-only ingest invariant; `require`d cheaply by the caller).
+   *
+   * Scale shape: ONE full-outer join of two term-keyed manifests — cost is
+   * O(vocabulary), not O(corpus); the 100 TB of already-indexed text is
+   * never read again.
+   */
+  def mergeIndexDelta(base: DataFrame, delta: DataFrame,
+      maxPostings: Int = 20): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be positive")
+    val b = base.select(col("term"), col("df").as("b_df"), col("postings").as("b_p"))
+    val d = delta.select(col("term"), col("df").as("d_df"), col("postings").as("d_p"))
+    b.join(d, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("b_df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
+        slice(concat(coalesce(col("b_p"), array().cast("array<long>")),
+          coalesce(col("d_p"), array().cast("array<long>"))), 1, maxPostings)
+          .as("postings"))
+  }
+
+  /**
    * Unigram rarity score — the LM-free stand-in for perplexity filtering
    * (CCNet-style: flag documents whose tokens are improbable under the
    * corpus unigram distribution). Per occurrence the contribution is

@@ -665,6 +665,22 @@ object BTier {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
       .orderBy("win_start", "event_type")
 
+  /** b53 — fault-tolerant parsing with try_cast: dirty numeric extraction
+    * (a deterministic doc_id-modulo mix of parseable and junk strings)
+    * yields NULL instead of a job-killing cast error — COUNT/SUM of the
+    * parses give the ingest health report. At 100 TB one malformed row
+    * must never fail the batch. */
+  private val b53: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT lang, COUNT(*) AS n_total,
+        | COUNT(try_cast(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS STRING)
+        |   ELSE lang END AS INT)) AS n_parsed,
+        | SUM(try_cast(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS STRING)
+        |   ELSE lang END AS INT)) AS sum_parsed
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -717,7 +733,8 @@ object BTier {
     "b49_exists_not_exists" -> b49,
     "b50_posexplode_ordinal" -> b50,
     "b51_group_by_all" -> b51,
-    "b52_sliding_window" -> b52)
+    "b52_sliding_window" -> b52,
+    "b53_try_cast_parse" -> b53)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -734,6 +751,14 @@ object BTier {
       ("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          |FROM lineitem GROUP BY ALL ORDER BY ALL"""
+        .stripMargin.replace("\n", " ")),
+    "b53_try_cast_parse" ->
+      ("""SELECT lang, COUNT(*) AS n_total,
+         | COUNT(TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+         |   ELSE lang END AS INTEGER)) AS n_parsed,
+         | CAST(SUM(TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+         |   ELSE lang END AS INTEGER)) AS BIGINT) AS sum_parsed
+         |FROM documents GROUP BY lang ORDER BY lang"""
         .stripMargin.replace("\n", " ")),
     "b52_sliding_window" ->
       ("""WITH e AS (SELECT ts, event_type, user_id, unnest([0, 1]) AS i

@@ -562,6 +562,46 @@ object Extensions {
     Curation.robustOutlierReport(docs(spark, sfDir), "n_chars", "source", k = 3)
       .orderBy("source")
 
+  /** x88 — n-gram CONTAINMENT pairs ([[Dedup.ngramContainment]]):
+    * overlap over the SMALLER shingle set — flags quote-expansion /
+    * boilerplate-wrapping duplication that jaccard (x04) structurally
+    * misses; same df-capped shingle join shape. */
+  private val x88: Q = (spark, sfDir) =>
+    Dedup.ngramContainment(docs(spark, sfDir), "doc_id", "text",
+      minContainment = 0.6)
+      .orderBy("d1", "d2")
+
+  /** x89 — incremental inverted-index maintenance
+    * ([[TextAnalysis.mergeIndexDelta]]): the base index (older half of the
+    * corpus by id, data-driven cutoff) is folded with a delta index built
+    * from ONLY the new docs — one O(vocabulary) manifest join, no base
+    * rescan; oracle is the full rebuild over all documents. */
+  private val x89: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir)
+    val cut = d.agg((max(col("doc_id")) / 2).cast("long").as("cut"))
+    val tagged = d.crossJoin(broadcast(cut))
+    val base = TextAnalysis.invertedIndex(
+      tagged.filter(col("doc_id") < col("cut")), "doc_id", "text", maxPostings = 20)
+    val delta = TextAnalysis.invertedIndex(
+      tagged.filter(col("doc_id") >= col("cut")), "doc_id", "text", maxPostings = 20)
+    TextAnalysis.mergeIndexDelta(base, delta, maxPostings = 20).orderBy("term")
+  }
+
+  /** x90 — budgeted context assembly ([[Similarity.assembleContext]]): the
+    * RAG retrieval-to-prompt step — each of 8 query vectors' top-5
+    * neighbours greedily packed into a 250-proxy-token budget in rank
+    * order (typical doc ≈ 75 tokens, so budgets truncate at 3-4 docs —
+    * non-vacuous at every SF). */
+  private val x90: Q = (spark, sfDir) => {
+    val e = emb(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.assembleContext(
+      Similarity.batchTopK(e, queries, k = 5),
+      docs(spark, sfDir), "doc_id", "n_chars", budgetTokens = 250L)
+      .orderBy("qid", "rn")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1055,7 +1095,10 @@ object Extensions {
     "x84_filter_funnel" -> x84,
     "x85_leakage_split" -> x85,
     "x86_time_weighted_avg" -> x86,
-    "x87_robust_outliers" -> x87)
+    "x87_robust_outliers" -> x87,
+    "x88_containment_pairs" -> x88,
+    "x89_index_delta_merge" -> x89,
+    "x90_context_assembly" -> x90)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1274,6 +1317,47 @@ object Extensions {
          | CAST(SUM(dur_us) AS BIGINT) AS active_us,
          | CAST(SUM(v_cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x88_containment_pairs" ->
+      (s"""WITH $shingleCtes,
+         |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+         |shj AS (SELECT sh.doc_id, sh.s FROM sh JOIN df
+         |  ON df.s = sh.s AND df.df <= 1000),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |  FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (SELECT d1, d2,
+         |  CAST(inter AS DOUBLE) / CAST(LEAST(s1.n, s2.n) AS DOUBLE)
+         |    AS containment
+         | FROM pairs JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2)
+         |SELECT d1, d2, containment FROM c WHERE containment >= 0.6
+         |ORDER BY d1, d2""".stripMargin.replace("\n", " ")),
+    "x89_index_delta_merge" ->
+      ("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+         |  FROM documents),
+         |r AS (SELECT term, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY term) AS df FROM tok)
+         |SELECT term, MAX(df) AS df, list(doc_id ORDER BY doc_id) AS postings
+         |FROM r WHERE rn <= 20 GROUP BY term ORDER BY term"""
+        .stripMargin.replace("\n", " ")),
+    "x90_context_assembly" ->
+      (s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 8),
+         |sc AS (SELECT q.qid, e.vec_id,
+         |  ROUND(${cos2Sql("e.embedding", "q.qe")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sc),
+         |k AS (SELECT qid, vec_id, rn FROM r WHERE rn <= 5),
+         |p AS (SELECT k.qid, CAST(k.rn AS INT) AS rn, k.vec_id,
+         |  CAST((d.n_chars + 3) // 4 AS BIGINT) AS tok
+         | FROM k JOIN documents d ON d.doc_id = k.vec_id),
+         |c AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY qid ORDER BY rn)
+         |  AS BIGINT) AS cum_tok FROM p)
+         |SELECT qid, rn, vec_id, tok, cum_tok FROM c WHERE cum_tok <= 250
+         |ORDER BY qid, rn""".stripMargin.replace("\n", " ")),
     "x87_robust_outliers" ->
       ("""WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
          |s AS (SELECT quantile_cont(abs(n_chars - med), 0.5) AS mad, MIN(med) AS med

@@ -159,6 +159,23 @@ class DedupSpec extends AnyFunSuite {
       maxDist = 2, prefixLen = 60).collect()
     assert(strict.isEmpty) // character-level filter rejects
   }
+
+  test("containment flags a fully-embedded short doc that jaccard misses") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta" // strict prefix of long
+    val d = Seq((1L, long), (2L, short), (3L, "unrelated words only here now"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(d, "doc_id", "text", minContainment = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont((1L, 2L)) == 1.0, "short doc's shingles all inside the long doc")
+    assert(cont.size == 1)
+    // the same pair is INVISIBLE to jaccard at any useful threshold
+    val j = Dedup.ngramJaccard(d, "doc_id", "text", minJaccard = 0.5).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -272,6 +289,26 @@ class SimilaritySpec extends AnyFunSuite {
       .select(Similarity.signBucket(col("embedding"))).collect().map(_.getInt(0)).toSet
     assert(buckets == Set(qb))
   }
+
+  test("assembleContext: greedy rank-order prefix under the token budget") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // q1: docs cost 25+25+25 tokens → rank 3 overflows a 60-token budget
+    // AND truncates the tail (rank 4 would fit but must not appear);
+    // q2: first doc alone overflows → empty context
+    val retrieved = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("qid", "vec_id", "rn")
+    val docs = Seq((10L, 100L), (11L, 100L), (12L, 100L), (13L, 4L),
+      (20L, 999L), (21L, 4L))
+      .toDF("doc_id", "n_chars")
+    val out = Similarity.assembleContext(retrieved, docs, "doc_id", "n_chars",
+      budgetTokens = 60L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+    assert(out.toSet == Set((1L, 1, 25L), (1L, 2, 50L)),
+      s"rank 3 overflows and cuts the tail; q2 has no fitting prefix: ${out.toSeq}")
+  }
 }
 
 class FrameSamplingSpec extends AnyFunSuite {
@@ -297,6 +334,22 @@ class FrameSamplingSpec extends AnyFunSuite {
 class TextAnalysisSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
+
+  test("mergeIndexDelta == full rebuild under append-only ids (cap exercised)") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val cap = 5 // small cap so base lists overflow and the re-cap path matters
+    val base = TextAnalysis.invertedIndex(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", maxPostings = cap)
+    val delta = TextAnalysis.invertedIndex(docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", maxPostings = cap)
+    val merged = TextAnalysis.mergeIndexDelta(base, delta, maxPostings = cap)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val rebuilt = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = cap)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(merged == rebuilt)
+    assert(merged.exists(_._2._2.length == cap), "cap must actually bind")
+  }
 
   test("token counts: whitespace and BPE-ish") {
     val df = Seq("Hello, world! 42 foo_bar").toDF("text")
