@@ -200,6 +200,58 @@ object Similarity {
   }
 
   /**
+   * Int8-quantized retrieval with CERTIFIED recall — the serving-path
+   * trade every vector store makes (4× smaller vectors, integer dot
+   * products) made auditable: rank by the quantized score AND mark which
+   * of the quantized top-k survive in the exact float top-k, so the
+   * recall loss is a checked value in the result, not a hope.
+   *
+   * Symmetric per-vector int8 quantization (`round(x·127/max|x|)`, the
+   * standard scheme); scores are EXACT integer dot products (engine- and
+   * order-independent) normalized once in double — cosine is
+   * scale-invariant, so per-vector scales cancel out of the ranking up to
+   * quantization error, which is precisely what `in_exact` certifies.
+   *
+   * Scale shape: one corpus pass computes quantized and exact scores
+   * side by side (cached — at production scale the quantized column is
+   * the stored representation); both rankings are TakeOrdered top-k, the
+   * final recall join is k×k rows.
+   */
+  def int8QuantizedTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val quant = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / " +
+      "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+      "(a, y) -> greatest(a, abs(CAST(y AS DOUBLE)))), CAST(1e-30 AS DOUBLE))) AS INT))"
+    val qrow = embeddings.filter(col("vec_id") === 0)
+      .select(expr(quant).as("qqv"), col("embedding").as("qe"))
+    val scored = embeddings.filter(col("vec_id") =!= 0)
+      .withColumn("qv", expr(quant))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("embedding"), col("qe"),
+        expr("aggregate(zip_with(qv, qqv, (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (s, x) -> s + x)").as("qdot"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), " +
+          "(s, x) -> s + CAST(x AS BIGINT) * CAST(x AS BIGINT))").as("na"),
+        expr("aggregate(qqv, CAST(0 AS BIGINT), " +
+          "(s, x) -> s + CAST(x AS BIGINT) * CAST(x AS BIGINT))").as("nb"))
+      .withColumn("qscore",
+        round(col("qdot").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")), 6))
+      .cache()
+    val topQ = scored.orderBy(desc("qscore"), col("vec_id")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("qscore"), col("vec_id"))))
+    val exactTop = scored
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id")).limit(k)
+      .select(col("vec_id"), lit(1).as("in_exact"))
+    topQ.join(exactTop, Seq("vec_id"), "left")
+      .select(col("rnk"), col("vec_id"), col("qdot"), col("qscore"),
+        coalesce(col("in_exact"), lit(0)).as("in_exact"))
+  }
+
+  /**
    * Budgeted context assembly — the retrieval-to-prompt step of a RAG
    * pipeline: for each query, take its ranked neighbours ([[batchTopK]]),
    * price each doc at `ceil(n_chars / 4)` proxy tokens, and keep the

@@ -602,6 +602,13 @@ object Extensions {
       .orderBy("qid", "rn")
   }
 
+  /** x91 — int8-quantized retrieval with certified recall
+    * ([[Similarity.int8QuantizedTopK]]): top-10 by exact integer dot
+    * product over symmetric int8 vectors, each hit marked by whether the
+    * float ranking agrees — the quantized-serving recall audit. */
+  private val x91: Q = (spark, sfDir) =>
+    Similarity.int8QuantizedTopK(emb(spark, sfDir), k = 10).orderBy("rnk")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1098,7 +1105,8 @@ object Extensions {
     "x87_robust_outliers" -> x87,
     "x88_containment_pairs" -> x88,
     "x89_index_delta_merge" -> x89,
-    "x90_context_assembly" -> x90)
+    "x90_context_assembly" -> x90,
+    "x91_int8_quantized_topk" -> x91)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1317,6 +1325,34 @@ object Extensions {
          | CAST(SUM(dur_us) AS BIGINT) AS active_us,
          | CAST(SUM(v_cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x91_int8_quantized_topk" ->
+      (s"""WITH base AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+         |    greatest(list_aggregate(list_transform(embedding,
+         |      y -> abs(CAST(y AS DOUBLE))), 'max'),
+         |    CAST(1e-30 AS DOUBLE))) AS INT)) AS qv
+         | FROM embeddings),
+         |q AS (SELECT qv AS qqv, embedding AS qe FROM base WHERE vec_id = 0),
+         |sc AS (SELECT b.vec_id, b.embedding, q.qe,
+         |  CAST(list_aggregate(list_transform(list_zip(b.qv, q.qqv),
+         |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), 'sum') AS BIGINT) AS qdot,
+         |  CAST(list_aggregate(list_transform(b.qv,
+         |    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)), 'sum') AS BIGINT) AS na,
+         |  CAST(list_aggregate(list_transform(q.qqv,
+         |    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)), 'sum') AS BIGINT) AS nb
+         | FROM base b CROSS JOIN q WHERE b.vec_id <> 0),
+         |s2 AS (SELECT vec_id, qdot,
+         |  ROUND(CAST(qdot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)), 6) AS qscore,
+         |  embedding, qe FROM sc),
+         |topq AS (SELECT vec_id, qdot, qscore,
+         |  ROW_NUMBER() OVER (ORDER BY qscore DESC, vec_id) AS rnk FROM s2),
+         |tope AS (SELECT vec_id FROM
+         |  (SELECT vec_id, ROUND(${cos2Sql("embedding", "qe")}, 6) AS sim
+         |   FROM s2 ORDER BY sim DESC, vec_id LIMIT 10))
+         |SELECT CAST(rnk AS INT) AS rnk, vec_id, qdot, qscore,
+         | CAST(CASE WHEN vec_id IN (SELECT vec_id FROM tope)
+         |   THEN 1 ELSE 0 END AS INT) AS in_exact
+         |FROM topq WHERE rnk <= 10 ORDER BY rnk""".stripMargin.replace("\n", " ")),
     "x88_containment_pairs" ->
       (s"""WITH $shingleCtes,
          |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),

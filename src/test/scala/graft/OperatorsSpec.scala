@@ -290,6 +290,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets == Set(qb))
   }
 
+  test("int8QuantizedTopK: quantized ranking matches exact on well-separated vectors") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (1L, Seq(0.9f, 0.1f)),   // cos ≈ .994
+      (2L, Seq(0.1f, 0.9f)),   // cos ≈ .110
+      (3L, Seq(-1.0f, 0.0f))). // cos = -1
+      toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantizedTopK(emb, k = 3).orderBy("rnk")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(4)))
+    assert(out.toSeq == Seq((1, 1L, 1), (2, 2L, 1), (3, 3L, 1)),
+      s"order preserved and every hit certified in the exact top-k: ${out.toSeq}")
+  }
+
+  test("int8QuantizedTopK: real embeddings keep high certified recall") {
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.int8QuantizedTopK(emb, k = 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getInt(4)).sum >= 8,
+      s"int8 should lose at most 2 of 10: ${out.map(_.getInt(4)).toSeq}")
+  }
+
   test("assembleContext: greedy rank-order prefix under the token budget") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
