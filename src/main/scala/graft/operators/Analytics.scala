@@ -251,6 +251,39 @@ object Analytics {
    * per-key aggregate share the same partitioning (same single-exchange
    * pattern as [[sessionize]]); no join, no second scan.
    */
+  /**
+   * LAST-TOUCH attribution: every conversion is credited to the user's
+   * most recent preceding marketing touch (conversions with no prior
+   * touch land in the 'none' bucket), reported per touch type with
+   * conversion count, exact attributed value in cents, and the integer
+   * mean touch-to-conversion lag — the marketing-analytics join-free
+   * answer to "which channel closes".
+   *
+   * Scale shape: the carried-forward touch is `last(..., ignoreNulls)`
+   * over the (user, time) window — ONE hash exchange, no self-join of
+   * conversions against touches (the naive formulation is a per-row
+   * range join). The final per-touch aggregate is a 5-row frame.
+   */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, idCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val touch = when(col(typeCol).isInCollection(touchTypes), col(typeCol))
+    events
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lag_us", unix_micros(col(tsCol)) -
+        last(when(touch.isNotNull, unix_micros(col(tsCol))), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("attributed_cents"),
+        sum(col("lag_us")).as("lag_sum"), count(col("lag_us")).as("lag_n"))
+      .select(col("touch"), col("n_conversions"), col("attributed_cents"),
+        when(col("lag_n") > 0, expr("lag_sum DIV (1000000 * lag_n)"))
+          .as("avg_lag_secs"))
+  }
+
   def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))

@@ -77,6 +77,27 @@ object Curation {
   }
 
   /**
+   * Wide single-pass column profile: per column, null count and EXACT
+   * distinct count — the post-load data-quality summary for every column
+   * of a table in ONE scan (the per-upload profiler's warehouse-scale
+   * sibling). Spark plans the multi-column distinct as one Expand (+16×
+   * the scan rows through the exchange for 16 columns) — the standard
+   * single-pass trade; at 100 TB swap `countDistinct` for
+   * `approx_count_distinct` with identical plumbing when exactness isn't
+   * contractual (here it is: the counts are oracle-checked).
+   */
+  def profileWide(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct")))
+    row.select(inline(array(entries: _*)))
+  }
+
+  /**
    * Robust outlier report (median / MAD, the standard robust z-score): a
    * doc is an outlier when |x − median| > k·MAD, with MAD the median
    * absolute deviation — unlike mean/stddev, one corrupted batch of

@@ -45,6 +45,28 @@ object Integrity {
    * an incremental repair exactly WHICH key ranges to re-copy (the
    * Merkle-style narrowing used by anti-entropy protocols, one level deep).
    */
+  /**
+   * Referential-conformance audit over a set of FK relationships: for each
+   * (child, parent) pair, the child row count and how many child rows have
+   * NO matching parent key (orphans) — the data-quality gate a warehouse
+   * runs after every load, as ONE report frame.
+   *
+   * Scale shape: each relation is a LEFT ANTI join on its key (hash or
+   * broadcast as AQE sizes the parent), aggregated to a single count —
+   * orphan counting never materializes orphan rows wider than the key.
+   * Relations union into an O(#relations)-row report.
+   */
+  def fkConformance(relations: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one (name, childKeys, parentKeys)")
+    relations.map { case (name, childKeys, parentKeys) =>
+      val total = childKeys.agg(count(lit(1)).as("n_child"))
+      val orphans = childKeys.join(parentKeys, childKeys.columns.toSeq, "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans).select(lit(name).as("relation"),
+        col("n_child"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   def syncCheck(src: DataFrame, dst: DataFrame, keyCol: String,
       fingerprint: DataFrame => Column, buckets: Int = 16): DataFrame = {
     val a = bucketChecksums(src, keyCol, fingerprint(src), buckets)

@@ -609,6 +609,75 @@ object Extensions {
   private val x91: Q = (spark, sfDir) =>
     Similarity.int8QuantizedTopK(emb(spark, sfDir), k = 10).orderBy("rnk")
 
+  /** x92 — last-touch attribution ([[Analytics.lastTouchAttribution]]):
+    * purchases credited to the most recent preceding click/view per user
+    * via a carried-forward ignore-nulls window — join-free channel
+    * report with exact cents and integer mean lag. */
+  private val x92: Q = (spark, sfDir) =>
+    Analytics.lastTouchAttribution(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_type", "value", "event_id",
+      touchTypes = Seq("click", "view"), convType = "purchase")
+      .orderBy("touch")
+
+  /** x93 — referential-conformance audit ([[Integrity.fkConformance]]):
+    * per-FK child counts and orphan counts as one report; two relations
+    * carry deterministically planted orphans (negated keys on an id
+    * modulus) so the orphan path is non-vacuously oracle-checked, one
+    * relation is clean. */
+  private val x93: Q = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    Integrity.fkConformance(Seq(
+      ("orders_customer",
+        orders.select(when(col("o_orderkey") % 97 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("k")),
+        Tables(spark, sfDir, "customer").select(col("c_custkey").as("k"))),
+      ("lineitem_orders",
+        li.select(when(col("l_orderkey") % 101 === 0, -col("l_orderkey"))
+          .otherwise(col("l_orderkey")).as("k")),
+        orders.select(col("o_orderkey").as("k"))),
+      ("lineitem_part",
+        li.select(col("l_partkey").as("k")),
+        Tables(spark, sfDir, "part").select(col("p_partkey").as("k")))))
+      .orderBy("relation")
+  }
+
+  /** x94 — wide single-pass column profile ([[Curation.profileWide]]):
+    * null + exact distinct counts for every events column in one scan
+    * (Expand plan); nulls planted on two columns by id modulus so the
+    * null path is non-vacuous. */
+  private val x94: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .withColumn("value",
+        when(col("event_id") % 37 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("props",
+        when(col("event_id") % 53 === 0, lit(null)).otherwise(col("props")))
+    Curation.profileWide(e).orderBy("col_name")
+  }
+
+  /** x95 — mergeable EXACT-distinct bitmap maintenance: x83's sibling
+    * with bitmaps instead of HLL sketches — per-day
+    * `bitmap_construct_agg` partial states merged via `bitmap_or_agg`
+    * answer "distinct users ever" with NO event rescan AND no
+    * approximation, so the oracle is the strong exact equality (vs
+    * x83's 2%-bound certification). Bitmaps cost
+    * O(id-range/8) bytes per bucket — the right trade for dense integer
+    * key spaces; HLL (x83) remains the sparse/string-key path. */
+  private val x95: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |  bitmap_bucket_number(user_id) AS bucket,
+        |  bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+        | FROM events GROUP BY 1, 2),
+        |merged AS (SELECT bucket, bitmap_or_agg(bm) AS bm
+        | FROM daily GROUP BY bucket),
+        |exact AS (SELECT CAST(SUM(bitmap_count(bm)) AS BIGINT)
+        |  AS distinct_users FROM merged),
+        |days AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+        |SELECT n_days, distinct_users FROM days CROSS JOIN exact""".stripMargin)
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1106,7 +1175,11 @@ object Extensions {
     "x88_containment_pairs" -> x88,
     "x89_index_delta_merge" -> x89,
     "x90_context_assembly" -> x90,
-    "x91_int8_quantized_topk" -> x91)
+    "x91_int8_quantized_topk" -> x91,
+    "x92_last_touch_attribution" -> x92,
+    "x93_fk_conformance" -> x93,
+    "x94_column_profile_wide" -> x94,
+    "x95_bitmap_distinct_merge" -> x95)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1325,6 +1398,64 @@ object Extensions {
          | CAST(SUM(dur_us) AS BIGINT) AS active_us,
          | CAST(SUM(v_cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
          |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x95_bitmap_distinct_merge" ->
+      ("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+         | COUNT(DISTINCT user_id) AS distinct_users
+         |FROM events""".stripMargin.replace("\n", " ")),
+    "x93_fk_conformance" ->
+      ("""WITH oc AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey
+         |  ELSE o_custkey END AS k FROM orders),
+         |lo AS (SELECT CASE WHEN l_orderkey % 101 = 0 THEN -l_orderkey
+         |  ELSE l_orderkey END AS k FROM lineitem)
+         |SELECT 'orders_customer' AS relation,
+         | (SELECT COUNT(*) FROM oc) AS n_child,
+         | (SELECT COUNT(*) FROM oc
+         |   WHERE k NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+         |UNION ALL SELECT 'lineitem_orders',
+         | (SELECT COUNT(*) FROM lo),
+         | (SELECT COUNT(*) FROM lo
+         |   WHERE k NOT IN (SELECT o_orderkey FROM orders))
+         |UNION ALL SELECT 'lineitem_part',
+         | (SELECT COUNT(*) FROM lineitem),
+         | (SELECT COUNT(*) FROM lineitem
+         |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+         |ORDER BY relation""".stripMargin.replace("\n", " ")),
+    "x94_column_profile_wide" ->
+      ("""WITH e AS (SELECT event_id, ts, user_id, event_type,
+         |  CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value,
+         |  CASE WHEN event_id % 53 = 0 THEN NULL ELSE props END AS props
+         | FROM events)
+         |SELECT 'event_id' AS col_name, COUNT(*) - COUNT(event_id) AS n_nulls,
+         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM e
+         |UNION ALL SELECT 'ts', COUNT(*) - COUNT(ts), COUNT(DISTINCT ts) FROM e
+         |UNION ALL SELECT 'user_id', COUNT(*) - COUNT(user_id),
+         |  COUNT(DISTINCT user_id) FROM e
+         |UNION ALL SELECT 'event_type', COUNT(*) - COUNT(event_type),
+         |  COUNT(DISTINCT event_type) FROM e
+         |UNION ALL SELECT 'value', COUNT(*) - COUNT(value),
+         |  COUNT(DISTINCT value) FROM e
+         |UNION ALL SELECT 'props', COUNT(*) - COUNT(props),
+         |  COUNT(DISTINCT props) FROM e
+         |ORDER BY col_name""".stripMargin.replace("\n", " ")),
+    "x92_last_touch_attribution" ->
+      ("""WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+         |  LAST_VALUE(CASE WHEN event_type IN ('click','view')
+         |    THEN event_type END IGNORE NULLS)
+         |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch,
+         |  LAST_VALUE(CASE WHEN event_type IN ('click','view')
+         |    THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+         |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS touch_us
+         | FROM events),
+         |p AS (SELECT COALESCE(last_touch, 'none') AS touch,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) - touch_us AS lag_us
+         | FROM o WHERE event_type = 'purchase')
+         |SELECT touch, COUNT(*) AS n_conversions,
+         | CAST(SUM(cents) AS BIGINT) AS attributed_cents,
+         | CASE WHEN COUNT(lag_us) = 0 THEN NULL
+         |  ELSE CAST(SUM(lag_us) // (1000000 * COUNT(lag_us)) AS BIGINT) END
+         |  AS avg_lag_secs
+         |FROM p GROUP BY touch ORDER BY touch""".stripMargin.replace("\n", " ")),
     "x91_int8_quantized_topk" ->
       (s"""WITH base AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /

@@ -141,4 +141,27 @@ class AnalyticsSpec extends AnyFunSuite {
       ("2024-01-03", None, 2.0),
       ("2024-01-04", Some(9.0), 9.0)))
   }
+
+  test("lastTouchAttribution: most recent touch wins; no-touch lands in 'none'") {
+    val events = Seq(
+      // u1: click → purchase(10.00, 60s later) → view → purchase(5.00, 30s later)
+      (1L, ts("2024-01-01 10:00:00"), "click", 0.0, 1L),
+      (1L, ts("2024-01-01 10:01:00"), "purchase", 10.0, 2L),
+      (1L, ts("2024-01-01 10:02:00"), "view", 0.0, 3L),
+      (1L, ts("2024-01-01 10:02:30"), "purchase", 5.0, 4L),
+      // u2: purchase with no preceding touch ever
+      (2L, ts("2024-01-01 09:00:00"), "purchase", 7.0, 5L),
+      // u1's click must not leak into u2
+      (2L, ts("2024-01-01 09:30:00"), "error", 0.0, 6L)
+    ).toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = Analytics.lastTouchAttribution(events, "user_id", "ts",
+      "event_type", "value", "event_id", Seq("click", "view"), "purchase")
+      .orderBy("touch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("click", 1L, 1000L, 60L),
+      ("none", 1L, 700L, -1L),
+      ("view", 1L, 500L, 30L)))
+  }
 }

@@ -92,6 +92,27 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L && r.getLong(3) == 700L)
   }
 
+  test("fkConformance: orphans counted exactly, clean relations report zero") {
+    import graft.operators.Integrity
+    val parent = spark.range(10).select(col("id").as("k"))
+    val clean = spark.range(20).select((col("id") % 10).as("k"))
+    val dirty = spark.range(20).select(
+      when(col("id") >= 17, col("id") + 100).otherwise(col("id") % 10).as("k"))
+    val r = Integrity.fkConformance(Seq(
+      ("clean", clean, parent), ("dirty", dirty, parent)))
+      .orderBy("relation").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("clean", 20L, 0L), ("dirty", 20L, 3L)))
+  }
+
+  test("profileWide: per-column null and exact distinct counts in one frame") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")))
+      .toDF("id", "tag")
+    val r = Curation.profileWide(df).orderBy("col_name").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("id", 0L, 4L), ("tag", 1L, 2L)))
+  }
+
   test("timeWeightedAvg: single-event users emit nothing") {
     val events = Seq((1L, ts("2024-01-01 00:00:00"), 5.00, 42L))
       .toDF("event_id", "ts", "value", "user_id")
