@@ -199,6 +199,58 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Deterministic sign source for the JL projection: the portable 60-bit
+    * md5 hash of each dimension index (same construction as
+    * [[PortableHash.hash60]], computed once at plan-build time — the
+    * oracle recomputes the identical values in SQL); projection j uses
+    * bit j of dimension i's hash as its ±1 sign. */
+  private[operators] def jlHashes(dims: Int): Seq[Long] = (0 until dims).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /**
+   * Johnson–Lindenstrauss random-projection sketch with CERTIFIED
+   * distortion — x91's companion on the other compression axis: project
+   * 64-dim float vectors to `projDims` dims with a deterministic ±1 sign
+   * matrix (Achlioptas construction — integer signs, no gaussians), then
+   * report, for the query's exact top-k, the original cosine, the
+   * projected cosine, and their absolute gap. The distortion is an
+   * oracle-checked VALUE per neighbour, so the 4×-fewer-dims pre-filter
+   * trade is measured, not assumed.
+   *
+   * Engine-exact: signs are bits of the per-dimension portable md5 hash;
+   * projections and cosines are ascending-index double folds (the same
+   * fold the oracle's list_aggregate performs). Scale shape: projection
+   * is map-side (the sign matrix is a plan literal, broadcast-free);
+   * ranking is TakeOrdered top-k.
+   */
+  def jlProjectionDistortion(embeddings: DataFrame, projDims: Int = 16,
+      k: Int = 20): DataFrame = {
+    require(projDims >= 1 && projDims <= 60, "projDims must be in [1, 60]")
+    val hArr = jlHashes(64).mkString("array(", "L, ", "L)")
+    val projExpr = s"transform(sequence(0, ${projDims - 1}), j -> " +
+      s"aggregate(zip_with(embedding, $hArr, (x, h) -> CAST(x AS DOUBLE) * " +
+      "CAST(1 - 2 * (shiftright(h, j) % 2) AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (s, v) -> s + v))"
+    def cosD(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)" +
+        s" / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x))" +
+        s" * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)))"
+    val withProj = embeddings.withColumn("proj", expr(projExpr))
+    val qrow = withProj.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("proj").as("qp"))
+    withProj.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 6).as("cos_orig"),
+        round(expr(cosD("proj", "qp")), 6).as("cos_proj"))
+      .withColumn("abs_err", round(abs(col("cos_orig") - col("cos_proj")), 6))
+      .orderBy(desc("cos_orig"), col("vec_id"))
+      .limit(k)
+  }
+
   /**
    * Int8-quantized retrieval with CERTIFIED recall — the serving-path
    * trade every vector store makes (4× smaller vectors, integer dot

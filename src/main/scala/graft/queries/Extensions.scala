@@ -678,6 +678,14 @@ object Extensions {
         |SELECT n_days, distinct_users FROM days CROSS JOIN exact""".stripMargin)
   }
 
+  /** x96 — JL projection distortion audit
+    * ([[Similarity.jlProjectionDistortion]]): 64→16-dim ±1-sign
+    * projection; for the query's exact top-20, original vs projected
+    * cosine and the absolute gap as oracle-checked values — the
+    * measured version of the "project first, rank later" trade. */
+  private val x96: Q = (spark, sfDir) =>
+    Similarity.jlProjectionDistortion(emb(spark, sfDir), projDims = 16, k = 20)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1179,7 +1187,8 @@ object Extensions {
     "x92_last_touch_attribution" -> x92,
     "x93_fk_conformance" -> x93,
     "x94_column_profile_wide" -> x94,
-    "x95_bitmap_distinct_merge" -> x95)
+    "x95_bitmap_distinct_merge" -> x95,
+    "x96_jl_projection_distortion" -> x96)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1402,6 +1411,31 @@ object Extensions {
       ("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
          | COUNT(DISTINCT user_id) AS distinct_users
          |FROM events""".stripMargin.replace("\n", " ")),
+    "x96_jl_projection_distortion" -> {
+      val cosDSql = (a: String, b: String) =>
+        s"""list_aggregate(list_transform(list_zip($a, $b), p -> p[1] * p[2]), 'sum')
+           | / (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum'))
+           |  * sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum')))"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH hs AS (SELECT list(CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))
+         |    AS BIGINT) ORDER BY i) AS hl
+         |  FROM (SELECT unnest(range(64)) AS i)),
+         |pr AS (SELECT vec_id, embedding,
+         |  list_transform(range(16), j ->
+         |    list_aggregate(list_transform(list_zip(embedding, hs.hl),
+         |      p -> CAST(p[1] AS DOUBLE) *
+         |        CAST(1 - 2 * ((p[2] >> j) & 1) AS DOUBLE)), 'sum')) AS proj
+         | FROM embeddings CROSS JOIN hs),
+         |q AS (SELECT embedding AS qe, proj AS qp FROM pr WHERE vec_id = 0),
+         |sc AS (SELECT pr.vec_id,
+         |  ROUND(${cos2Sql("pr.embedding", "q.qe")}, 6) AS cos_orig,
+         |  ROUND(${cosDSql("pr.proj", "q.qp")}, 6) AS cos_proj
+         | FROM pr CROSS JOIN q WHERE pr.vec_id <> 0)
+         |SELECT vec_id, cos_orig, cos_proj,
+         | ROUND(abs(cos_orig - cos_proj), 6) AS abs_err
+         |FROM sc ORDER BY cos_orig DESC, vec_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")
+    },
     "x93_fk_conformance" ->
       ("""WITH oc AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey
          |  ELSE o_custkey END AS k FROM orders),

@@ -313,6 +313,20 @@ class SimilaritySpec extends AnyFunSuite {
       s"int8 should lose at most 2 of 10: ${out.map(_.getInt(4)).toSeq}")
   }
 
+  test("jlProjectionDistortion: identical vectors project identically (zero distortion)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val v = (0 until 64).map(i => (math.sin(i + 1) * 0.7).toFloat)
+    val o = (0 until 64).map(i => (math.cos(i * 2 + 1) * 0.4).toFloat)
+    val emb = Seq((0L, v), (1L, v), (2L, o)).toDF("vec_id", "embedding")
+    val out = Similarity.jlProjectionDistortion(emb, projDims = 16, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    assert(out.head == ((1L, 1.0, 0.0)),
+      s"duplicate of the query: cos 1.0 both ways, abs_err 0: ${out.toSeq}")
+    assert(out.last._1 == 2L && out.last._3 < 1.0,
+      s"unrelated vector reported with measured distortion: ${out.toSeq}")
+  }
+
   test("assembleContext: greedy rank-order prefix under the token budget") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._

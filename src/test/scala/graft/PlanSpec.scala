@@ -402,6 +402,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join-back:\n$p")
   }
 
+  test("x92: attribution is join-free — one events scan, carried-forward window") {
+    val p = plan("x92_last_touch_attribution")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"events scanned once:\n$p")
+    assert(!p.contains("Join"), s"no touches-to-conversions range join:\n$p")
+  }
+
+  test("x93: FK conformance orphan checks are HASH anti-joins on the key") {
+    val p = plan("x93_fk_conformance")
+    // every LeftAnti must be a hash-family join (the only BNLJs allowed are
+    // the O(1) single-row×single-row report-assembly crossJoins)
+    val antis = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antis.nonEmpty, s"orphan checks must plan as anti joins:\n$p")
+    assert(antis.forall(l => l.contains("HashJoin") || l.contains("SortMergeJoin")),
+      s"anti joins must be hash/merge, got:\n${antis.mkString("\n")}\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian on real tables:\n$p")
+  }
+
   test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
     val p = plan("b49_exists_not_exists")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
