@@ -681,6 +681,35 @@ object BTier {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** b54 — IGNORE NULLS window navigation: carried-forward and whole-frame
+    * first/last over a sparse column (purchase value among non-purchase
+    * events) — the SQL surface behind forward-fill and "value as of";
+    * running last counts the pre-first-purchase prefix, whole-frame
+    * first/last pin both ends. Decimal cents keep it engine-exact. */
+  private val b54: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS pc
+        | FROM events),
+        |w AS (SELECT user_id,
+        |  LAST_VALUE(pc) IGNORE NULLS OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS run_last,
+        |  FIRST_VALUE(pc) IGNORE NULLS OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_p,
+        |  LAST_VALUE(pc) IGNORE NULLS OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_p
+        | FROM o)
+        |SELECT user_id,
+        | CAST(SUM(CASE WHEN run_last IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_before_first,
+        | MIN(first_p) AS first_purchase_cents, MIN(last_p) AS last_purchase_cents
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -734,7 +763,8 @@ object BTier {
     "b50_posexplode_ordinal" -> b50,
     "b51_group_by_all" -> b51,
     "b52_sliding_window" -> b52,
-    "b53_try_cast_parse" -> b53)
+    "b53_try_cast_parse" -> b53,
+    "b54_ignore_nulls_window" -> b54)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -751,6 +781,27 @@ object BTier {
       ("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          |FROM lineitem GROUP BY ALL ORDER BY ALL"""
+        .stripMargin.replace("\n", " ")),
+    "b54_ignore_nulls_window" ->
+      ("""WITH o AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN event_type = 'purchase'
+         |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS pc
+         | FROM events),
+         |w AS (SELECT user_id,
+         |  LAST_VALUE(pc IGNORE NULLS) OVER
+         |   (PARTITION BY user_id ORDER BY ts, event_id) AS run_last,
+         |  FIRST_VALUE(pc IGNORE NULLS) OVER (PARTITION BY user_id
+         |   ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_p,
+         |  LAST_VALUE(pc IGNORE NULLS) OVER (PARTITION BY user_id
+         |   ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_p
+         | FROM o)
+         |SELECT user_id,
+         | CAST(SUM(CASE WHEN run_last IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_before_first,
+         | MIN(first_p) AS first_purchase_cents, MIN(last_p) AS last_purchase_cents
+         |FROM w GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replace("\n", " ")),
     "b53_try_cast_parse" ->
       ("""SELECT lang, COUNT(*) AS n_total,

@@ -686,6 +686,14 @@ object Extensions {
   private val x96: Q = (spark, sfDir) =>
     Similarity.jlProjectionDistortion(emb(spark, sfDir), projDims = 16, k = 20)
 
+  /** x97 — STREAMING sliding windows
+    * ([[graft.streaming.EventStream.slidingWindowCountsAppend]]): b52's
+    * overlapping 2-day/1-day windows as a watermarked append-mode
+    * stream — finalized windows only, each event counted in two live
+    * state entries. */
+  private val x97: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.slidingWindowCountsAppend(spark, sfDir)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1188,7 +1196,8 @@ object Extensions {
     "x93_fk_conformance" -> x93,
     "x94_column_profile_wide" -> x94,
     "x95_bitmap_distinct_merge" -> x95,
-    "x96_jl_projection_distortion" -> x96)
+    "x96_jl_projection_distortion" -> x96,
+    "x97_streaming_sliding_window" -> x97)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1411,6 +1420,15 @@ object Extensions {
       ("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
          | COUNT(DISTINCT user_id) AS distinct_users
          |FROM events""".stripMargin.replace("\n", " ")),
+    "x97_streaming_sliding_window" ->
+      ("""WITH mx AS (SELECT MAX(ts) AS m FROM events),
+         |e AS (SELECT ts, event_type, unnest([0, 1]) AS i FROM events),
+         |w AS (SELECT CAST(date_trunc('day', ts) - i * INTERVAL 1 DAY AS DATE)
+         |  AS win_start, event_type FROM e),
+         |c AS (SELECT win_start, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2)
+         |SELECT win_start, event_type, n FROM c CROSS JOIN mx
+         |WHERE CAST(win_start AS TIMESTAMP) + INTERVAL 2 DAY <= mx.m
+         |ORDER BY win_start, event_type""".stripMargin.replace("\n", " ")),
     "x96_jl_projection_distortion" -> {
       val cosDSql = (a: String, b: String) =>
         s"""list_aggregate(list_transform(list_zip($a, $b), p -> p[1] * p[2]), 'sum')

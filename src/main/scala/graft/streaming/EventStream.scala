@@ -164,13 +164,15 @@ object EventStream {
     * windows only. One definition so the replay/watermark/drain protocol
     * cannot diverge between the queries built on it. */
   private def drainAppendWindowCounts(spark: SparkSession, sfDir: String,
-      windowDuration: String): DataFrame = {
+      windowDuration: String, slide: Option[String] = None): DataFrame = {
     val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val win = slide.map(s => window(col("ts"), windowDuration, s))
+      .getOrElse(window(col("ts"), windowDuration))
     val agg = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .groupBy(win, col("event_type"))
       .count()
 
     val qname = "graft_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -184,6 +186,22 @@ object EventStream {
     }
     spark.table(qname)
   }
+
+  /**
+   * STREAMING SLIDING windows (2-day window, 1-day slide) in watermarked
+   * APPEND mode over the ordered replay — the streaming twin of batch
+   * b52 and the last window shape in the zoo: every event lives in TWO
+   * overlapping windows simultaneously, so the state store holds ~2×
+   * the tumbling window count (still bounded by windows × types and
+   * evicted as the watermark passes each window's END — a window stays
+   * in state one slide longer than its tumbling cousin). Only finalized
+   * windows emit, so the oracle keeps windows with end ≤ max event time.
+   */
+  def slidingWindowCountsAppend(spark: SparkSession, sfDir: String): DataFrame =
+    drainAppendWindowCounts(spark, sfDir, "2 days", slide = Some("1 day"))
+      .select(col("window.start").cast("date").as("win_start"),
+        col("event_type"), col("count").as("n"))
+      .orderBy("win_start", "event_type")
 
   def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame =
     drainAppendWindowCounts(spark, sfDir, "1 hour")
