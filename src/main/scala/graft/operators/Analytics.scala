@@ -234,24 +234,6 @@ object Analytics {
   }
 
   /**
-   * Per-key TIME-WEIGHTED average of a value stream: each reading is
-   * weighted by how long it was the current state (microseconds until the
-   * key's next event); the last reading of a key has no duration and is
-   * excluded. The honest mean for irregularly-sampled state (sensor
-   * readings, price ticks, session quality) — the unweighted mean
-   * over-counts bursts.
-   *
-   * Engine-exact: value is staged to integer cents, durations are exact
-   * `unix_micros` deltas, the weighted sum rides DECIMAL(38,0) (cents ×
-   * micros overflows BIGINT at ~week-long gaps), and the final average is
-   * one integral division back to cents. Ties on the timestamp are broken
-   * by `idCol` so the lead() neighbor is deterministic cross-engine.
-   *
-   * Scale shape: ONE hash exchange on the key — the lead() window and the
-   * per-key aggregate share the same partitioning (same single-exchange
-   * pattern as [[sessionize]]); no join, no second scan.
-   */
-  /**
    * LAST-TOUCH attribution: every conversion is credited to the user's
    * most recent preceding marketing touch (conversions with no prior
    * touch land in the 'none' bucket), reported per touch type with
@@ -284,6 +266,24 @@ object Analytics {
           .as("avg_lag_secs"))
   }
 
+  /**
+   * Per-key TIME-WEIGHTED average of a value stream: each reading is
+   * weighted by how long it was the current state (microseconds until the
+   * key's next event); the last reading of a key has no duration and is
+   * excluded. The honest mean for irregularly-sampled state (sensor
+   * readings, price ticks, session quality) — the unweighted mean
+   * over-counts bursts.
+   *
+   * Engine-exact: value is staged to integer cents, durations are exact
+   * `unix_micros` deltas, the weighted sum rides DECIMAL(38,0) (cents ×
+   * micros overflows BIGINT at ~week-long gaps), and the final average is
+   * one integral division back to cents. Ties on the timestamp are broken
+   * by `idCol` so the lead() neighbor is deterministic cross-engine.
+   *
+   * Scale shape: ONE hash exchange on the key — the lead() window and the
+   * per-key aggregate share the same partitioning (same single-exchange
+   * pattern as [[sessionize]]); no join, no second scan.
+   */
   def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
@@ -297,6 +297,10 @@ object Analytics {
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dur_us")).as("active_us"),
         sum(col("v_cents") * col("dur_us")).cast("decimal(38,0)").as("vt_sum"))
+      // a key whose retained intervals are ALL zero-duration (every event
+      // at one timestamp) has no time-weighted mean — drop it like the
+      // single-event case rather than emit a NULL-average row
+      .filter(col("active_us") > 0)
       .select(col(userCol), col("n_intervals"), col("active_us"),
         expr("vt_sum DIV active_us").as("twa_cents"))
   }

@@ -31,6 +31,12 @@ object Curation {
    */
   def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    // the staging columns below would silently SHADOW same-named input
+    // columns inside later rule expressions — refuse instead
+    val reserved = df.columns.filter(c =>
+      c == "_total" || c.matches("_[rs]\\d+"))
+    require(reserved.isEmpty,
+      s"filterFunnel staging names collide with input columns: ${reserved.mkString(", ")}")
     val flagged = rules.zipWithIndex.foldLeft(df) { case (d, ((_, c), i)) =>
       d.withColumn(s"_r$i", c.cast("boolean"))
     }
@@ -58,6 +64,9 @@ object Curation {
    *
    * Split is a pure function of the group key — adding documents later
    * routes them to the SAME split with no repartitioning of history.
+   * NULL group keys coalesce into one deterministic group (unknown
+   * provenance travels together; the draw, not a silent fall-through,
+   * decides its split).
    * Scale shape: map-side draw + one hash aggregate; the distinct-group
    * count rides the same exchange via partial distinct aggregation.
    */
@@ -65,7 +74,11 @@ object Curation {
       trainPct: Int = 60, valPct: Int = 20): DataFrame = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
       s"invalid split percents ($trainPct, $valPct)")
-    val draw = PortableHash.hash60(col(groupCol)) % 100
+    // NULL group keys must not silently land in the eval split (they are
+    // the docs whose provenance is UNKNOWN — exactly the ones that might
+    // near-dup against anything): coalesce to one deterministic group, so
+    // all unknown-provenance docs travel together and the draw decides
+    val draw = PortableHash.hash60(coalesce(col(groupCol), lit(""))) % 100
     df.withColumn("split",
         when(draw < trainPct, "train")
           .when(draw < trainPct + valPct, "val")

@@ -49,21 +49,28 @@ object Integrity {
    * Referential-conformance audit over a set of FK relationships: for each
    * (child, parent) pair, the child row count and how many child rows have
    * NO matching parent key (orphans) — the data-quality gate a warehouse
-   * runs after every load, as ONE report frame.
+   * runs after every load, as ONE report frame. NULL child keys follow SQL
+   * FK semantics: they are counted in `n_child` but are NOT violations
+   * (matching a `NOT IN` oracle, where a NULL key never reports).
    *
-   * Scale shape: each relation is a LEFT ANTI join on its key (hash or
-   * broadcast as AQE sizes the parent), aggregated to a single count —
-   * orphan counting never materializes orphan rows wider than the key.
-   * Relations union into an O(#relations)-row report.
+   * Scale shape: ONE pass over each child — a LEFT OUTER join against the
+   * de-duplicated parent key set (hash or broadcast as AQE sizes it)
+   * feeds a single aggregate producing both counts; orphan rows never
+   * materialize wider than the key. Relations union into an
+   * O(#relations)-row report.
    */
   def fkConformance(relations: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
     require(relations.nonEmpty, "need at least one (name, childKeys, parentKeys)")
     relations.map { case (name, childKeys, parentKeys) =>
-      val total = childKeys.agg(count(lit(1)).as("n_child"))
-      val orphans = childKeys.join(parentKeys, childKeys.columns.toSeq, "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      total.crossJoin(orphans).select(lit(name).as("relation"),
-        col("n_child"), col("n_orphans"))
+      val keyCols = childKeys.columns.toSeq
+      val parent = parentKeys.toDF(keyCols: _*).distinct()
+        .withColumn("_parent_present", lit(1))
+      val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+      childKeys.join(parent, keyCols, "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_parent_present").isNull && keyNotNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
     }.reduce(_ unionByName _)
   }
 

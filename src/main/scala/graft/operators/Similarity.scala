@@ -320,9 +320,15 @@ object Similarity {
       sizeCol: String, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens >= 1, "budgetTokens must be positive")
+    // LEFT join + raise_error: a retrieved id missing from `docs` (stale
+    // retrieval index) must fail loudly — an inner join would silently
+    // drop the rank and pack a DIFFERENT context than the true greedy cut
     val priced = retrieved
       .join(docs.select(col(idCol).as("vec_id"),
-        expr(s"($sizeCol + 3) DIV 4").as("tok")), "vec_id")
+        expr(s"($sizeCol + 3) DIV 4").as("tok")), Seq("vec_id"), "left_outer")
+      .withColumn("tok", coalesce(col("tok"),
+        expr("raise_error('assembleContext: retrieved vec_id missing from docs')")
+          .cast("long")))
     val w = Window.partitionBy("qid").orderBy("rn")
     priced
       .withColumn("cum_tok", sum(col("tok")).over(w))

@@ -1415,7 +1415,8 @@ object Extensions {
          |SELECT user_id, COUNT(*) AS n_intervals,
          | CAST(SUM(dur_us) AS BIGINT) AS active_us,
          | CAST(SUM(v_cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
-         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+         |FROM d GROUP BY user_id HAVING SUM(dur_us) > 0
+         |ORDER BY user_id""".stripMargin.replace("\n", " ")),
     "x95_bitmap_distinct_merge" ->
       ("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
          | COUNT(DISTINCT user_id) AS distinct_users

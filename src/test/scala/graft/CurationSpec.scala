@@ -113,6 +113,34 @@ class CurationSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("id", 0L, 4L), ("tag", 1L, 2L)))
   }
 
+  test("fkConformance: NULL child keys count as children but never as orphans") {
+    import graft.operators.Integrity
+    val parent = spark.range(5).select(col("id").as("k"))
+    val child = Seq(Some(1L), Some(2L), None, Some(99L), None)
+      .toDF("k")
+    val r = Integrity.fkConformance(Seq(("rel", child, parent))).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((5L, 1L)),
+      "5 children, only the non-null unmatched key is an orphan")
+  }
+
+  test("filterFunnel: refuses input columns that collide with staging names") {
+    val df = spark.range(3).select(col("id"), lit(true).as("_r0"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.filterFunnel(df, Seq("r" -> (col("id") > 0)))
+    }
+    assert(e.getMessage.contains("_r0"))
+  }
+
+  test("timeWeightedAvg: all-ties user (zero active time) is dropped, not NULL") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 5.0, 1L),
+      (2L, ts("2024-01-01 00:00:00"), 7.0, 1L),
+      (3L, ts("2024-01-01 00:00:00"), 9.0, 1L)
+    ).toDF("event_id", "ts", "value", "user_id")
+    assert(Analytics.timeWeightedAvg(events, "user_id", "ts", "value", "event_id")
+      .count() == 0L)
+  }
+
   test("timeWeightedAvg: single-event users emit nothing") {
     val events = Seq((1L, ts("2024-01-01 00:00:00"), 5.00, 42L))
       .toDF("event_id", "ts", "value", "user_id")

@@ -346,6 +346,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 1, 25L), (1L, 2, 50L)),
       s"rank 3 overflows and cuts the tail; q2 has no fitting prefix: ${out.toSeq}")
   }
+
+  test("assembleContext: a retrieved id missing from docs fails loudly") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val retrieved = Seq((1L, 10L, 1), (1L, 99L, 2)).toDF("qid", "vec_id", "rn")
+    val docs = Seq((10L, 100L)).toDF("doc_id", "n_chars")
+    val e = intercept[Exception] {
+      Similarity.assembleContext(retrieved, docs, "doc_id", "n_chars", 60L).collect()
+    }
+    assert(e.getMessage.contains("missing from docs") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing from docs")),
+      s"expected the raise_error message, got: ${e.getMessage}")
+  }
 }
 
 class FrameSamplingSpec extends AnyFunSuite {

@@ -408,15 +408,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no touches-to-conversions range join:\n$p")
   }
 
-  test("x93: FK conformance orphan checks are HASH anti-joins on the key") {
+  test("x93: FK conformance is one outer hash join per child — no BNLJ, no cartesian") {
     val p = plan("x93_fk_conformance")
-    // every LeftAnti must be a hash-family join (the only BNLJs allowed are
-    // the O(1) single-row×single-row report-assembly crossJoins)
-    val antis = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
-    assert(antis.nonEmpty, s"orphan checks must plan as anti joins:\n$p")
-    assert(antis.forall(l => l.contains("HashJoin") || l.contains("SortMergeJoin")),
-      s"anti joins must be hash/merge, got:\n${antis.mkString("\n")}\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian on real tables:\n$p")
+    val outers = p.linesIterator.filter(_.contains("LeftOuter")).toSeq
+    assert(outers.nonEmpty, s"orphan checks must plan as left outer joins:\n$p")
+    assert(outers.forall(l => l.contains("HashJoin") || l.contains("SortMergeJoin")),
+      s"outer joins must be hash/merge, got:\n${outers.mkString("\n")}\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"single-pass child scan needs no nested-loop report assembly:\n$p")
   }
 
   test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
