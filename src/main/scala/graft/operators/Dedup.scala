@@ -418,6 +418,32 @@ object Dedup {
       .select("doc_id")
 
   /**
+   * Cluster-CAPPED retention — [[retainBest]] generalized from keep-1 to
+   * keep-top-m: near-dup clusters are capped at `m` members ranked by
+   * `score` (ties → smallest doc_id) instead of collapsed to one. The
+   * soft-dedup policy (keep a couple of high-quality variants, cap the
+   * boilerplate flood) used when exact collapse is too aggressive for the
+   * training mix. Docs in no cluster always survive.
+   *
+   * Scale shape: one broadcast-able cluster-label join, then a window
+   * ranked WITHIN clusters only (rows in no cluster bypass the rank via
+   * the coalesced singleton label — the window input is bounded by
+   * clustered docs, which near-dup graphs keep ≪ corpus).
+   */
+  def retainTopM(docs: DataFrame, idCol: String, score: Column,
+                 clusters: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "m must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster").orderBy(desc("score"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), score.as("score"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select("doc_id")
+  }
+
+  /**
    * Per-document n-gram repetition statistics (the Gopher-style repetition
    * quality signal, public technique): total vs distinct n-gram occurrences
    * and the duplicate fraction. ZERO shuffles: a document's shingle hashes

@@ -694,6 +694,19 @@ object Extensions {
   private val x97: Q = (spark, sfDir) =>
     graft.streaming.EventStream.slidingWindowCountsAppend(spark, sfDir)
 
+  /** x98 — cluster-CAPPED retention ([[Dedup.retainTopM]]): x24's
+    * composite with the soft-dedup policy — near-dup clusters keep their
+    * top-2 docs by quality instead of collapsing to one (clusters of ≥3
+    * exist at every SF, so the cap provably binds). */
+  private val x98: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
+    val clusters = Dedup.dupClusters(pairs, iterations = 3)
+    Dedup.retainTopM(d, "doc_id", TextAnalysis.qualityScore(col("text")),
+      clusters, m = 2)
+      .orderBy("doc_id")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1197,7 +1210,8 @@ object Extensions {
     "x94_column_profile_wide" -> x94,
     "x95_bitmap_distinct_merge" -> x95,
     "x96_jl_projection_distortion" -> x96,
-    "x97_streaming_sliding_window" -> x97)
+    "x97_streaming_sliding_window" -> x97,
+    "x98_cluster_capped_retention" -> x98)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1920,6 +1934,13 @@ object Extensions {
          |r AS (SELECT doc_id,
          |  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM lab)
          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x98_cluster_capped_retention" ->
+      (s"""WITH $clusterCtes, $qualityCtes,
+         |lab AS (SELECT q.doc_id, COALESCE(l.label, q.doc_id) AS cluster, q.score
+         | FROM qscore q LEFT JOIN l3 l ON l.node = q.doc_id),
+         |r AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM lab)
+         |SELECT doc_id FROM r WHERE rn <= 2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x25_top_terms_per_lang" ->
       ("""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
          |c AS (SELECT lang, word, COUNT(*) AS n FROM w GROUP BY 1, 2),

@@ -282,6 +282,60 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: a group's split never moves when the corpus grows (cross-SF)") {
+    import graft.operators.{Curation, PortableHash}
+    def assignments(sf: String): Map[String, Long] =
+      sources.Tables(spark, s"/root/testdata/sf$sf", "documents")
+        .select(col("source"),
+          (PortableHash.hash60(col("source")) % 100).as("draw"))
+        .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val small = assignments("0.001"); val big = assignments("0.1")
+    assert(small.nonEmpty && small.keySet.subsetOf(big.keySet))
+    small.foreach { case (src, draw) =>
+      assert(big(src) == draw, s"$src draw moved between corpora")
+    }
+    // and the manifest itself is consistent with those draws at both SFs
+    val manifest = Curation.leakageSafeSplit(
+      sources.Tables(spark, "/root/testdata/sf0.1", "documents"),
+      "source", "n_chars").collect()
+    assert(manifest.map(_.getLong(1)).sum == big.size.toLong)
+  }
+
+  test("mergeIndexDelta composes: three-way incremental merge == full rebuild") {
+    import graft.operators.TextAnalysis
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val cap = 7
+    def idx(lo: Long, hi: Long) = TextAnalysis.invertedIndex(
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+      "doc_id", "text", maxPostings = cap)
+    val merged = TextAnalysis.mergeIndexDelta(
+      TextAnalysis.mergeIndexDelta(idx(0, 150), idx(150, 350), cap),
+      idx(350, 1000), cap)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val rebuilt = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = cap)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(merged == rebuilt, "incremental maintenance must compose across batches")
+  }
+
+  test("retainTopM(1) == retainBest, and retainTopM(2) ⊇ retainBest with a binding cap") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val d = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
+    val clusters = Dedup.dupClusters(pairs, iterations = 3).cache()
+    val score = TextAnalysis.qualityScore(col("text"))
+    val best = Dedup.retainBest(d, "doc_id", score, clusters)
+      .collect().map(_.getLong(0)).toSet
+    val top1 = Dedup.retainTopM(d, "doc_id", score, clusters, m = 1)
+      .collect().map(_.getLong(0)).toSet
+    val top2 = Dedup.retainTopM(d, "doc_id", score, clusters, m = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top1 == best, "m=1 must reduce to retainBest")
+    assert(best.subsetOf(top2), "raising the cap only adds docs")
+    assert(top2.size > best.size, "some cluster has a second member to keep")
+    assert(top2.size < d.count(), "the cap binds: some cluster loses a member")
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
