@@ -111,6 +111,32 @@ object Curation {
   }
 
   /**
+   * Per-group feature standardization (z-score): each row's metric scaled
+   * to (x − group mean)/group stddev — the classic ML feature-prep step,
+   * per group so heterogeneous sources are comparable. Moments come from
+   * EXACT decimal sums ((Σx² − (Σx)²/n)/(n−1), the b24 pattern) — never
+   * the engines' streaming variance, whose merge order is
+   * non-deterministic — then one broadcast join fans the ≤|groups| stats
+   * back over the corpus map-side. Groups with fewer than 2 rows (or zero
+   * variance) emit NULL z rather than ±Infinity.
+   */
+  def standardizeByGroup(df: DataFrame, idCol: String, metricCol: String,
+      groupCol: String): DataFrame = {
+    val x = col(metricCol)
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("decimal(19,0)")).cast("double").as("s"),
+      sum(x.cast("decimal(19,0)") * x).cast("double").as("sq"))
+      .select(col(groupCol), (col("s") / col("n")).as("mean"),
+        when(col("n") > 1,
+          sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+          .as("std"))
+    df.join(broadcast(stats), groupCol)
+      .select(col(idCol), col(groupCol), x.as("x"),
+        round((x - col("mean")) / when(col("std") > 0, col("std")), 6).as("z"))
+  }
+
+  /**
    * Robust outlier report (median / MAD, the standard robust z-score): a
    * doc is an outlier when |x − median| > k·MAD, with MAD the median
    * absolute deviation — unlike mean/stddev, one corrupted batch of

@@ -674,7 +674,7 @@ object Extensions {
         | FROM daily GROUP BY bucket),
         |exact AS (SELECT CAST(SUM(bitmap_count(bm)) AS BIGINT)
         |  AS distinct_users FROM merged),
-        |days AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+        |days AS (SELECT COUNT(DISTINCT d) AS n_days FROM daily)
         |SELECT n_days, distinct_users FROM days CROSS JOIN exact""".stripMargin)
   }
 
@@ -706,6 +706,14 @@ object Extensions {
       clusters, m = 2)
       .orderBy("doc_id")
   }
+
+  /** x99 — per-source z-score standardization
+    * ([[Curation.standardizeByGroup]]): n_chars scaled to each source's
+    * exact-decimal mean/stddev — feature prep with b24's deterministic
+    * moment arithmetic and a broadcast stats join. */
+  private val x99: Q = (spark, sfDir) =>
+    Curation.standardizeByGroup(docs(spark, sfDir), "doc_id", "n_chars", "source")
+      .orderBy("doc_id")
 
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
@@ -1211,7 +1219,8 @@ object Extensions {
     "x95_bitmap_distinct_merge" -> x95,
     "x96_jl_projection_distortion" -> x96,
     "x97_streaming_sliding_window" -> x97,
-    "x98_cluster_capped_retention" -> x98)
+    "x98_cluster_capped_retention" -> x98,
+    "x99_zscore_by_group" -> x99)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1934,6 +1943,19 @@ object Extensions {
          |r AS (SELECT doc_id,
          |  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM lab)
          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x99_zscore_by_group" ->
+      ("""WITH st AS (SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE) AS s,
+         |  CAST(SUM(CAST(n_chars AS DECIMAL(19,0)) * n_chars) AS DOUBLE) AS sq
+         | FROM documents GROUP BY source),
+         |m AS (SELECT source, s / n AS mean,
+         |  CASE WHEN n > 1 THEN sqrt((sq - s * s / n) / (n - 1)) END AS std
+         | FROM st)
+         |SELECT d.doc_id, d.source, d.n_chars AS x,
+         | ROUND((d.n_chars - m.mean) /
+         |   (CASE WHEN m.std > 0 THEN m.std END), 6) AS z
+         |FROM documents d JOIN m ON d.source = m.source
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
     "x98_cluster_capped_retention" ->
       (s"""WITH $clusterCtes, $qualityCtes,
          |lab AS (SELECT q.doc_id, COALESCE(l.label, q.doc_id) AS cluster, q.score

@@ -65,6 +65,20 @@ class CurationSpec extends AnyFunSuite {
     assert(b.isNullAt(3) && b.isNullAt(4), "no inliers retained in the giant batch")
   }
 
+  test("standardizeByGroup: hand-computed z; singleton and constant groups yield NULL") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // mean 20, std 10
+      (4L, "solo", 7L),                               // n=1 → NULL z
+      (5L, "flat", 5L), (6L, "flat", 5L)              // std 0 → NULL z
+    ).toDF("doc_id", "source", "n_chars")
+    val r = Curation.standardizeByGroup(df, "doc_id", "n_chars", "source")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+    assert(r.toSeq == Seq(
+      (1L, Some(-1.0)), (2L, Some(0.0)), (3L, Some(1.0)),
+      (4L, None), (5L, None), (6L, None)))
+  }
+
   test("timeWeightedAvg: burst does not over-count; last reading excluded") {
     // u1 holds value 1.00 for 90s, then a 10s burst at 100.00, last excluded:
     // twa = (100*90s + 10000*10s) / 100s = 1090 cents
