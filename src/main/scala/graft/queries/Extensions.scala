@@ -715,6 +715,33 @@ object Extensions {
     Curation.standardizeByGroup(docs(spark, sfDir), "doc_id", "n_chars", "source")
       .orderBy("doc_id")
 
+  /** x100 — curated-corpus materialization summary: the pipeline capstone
+    * composing x84's sequential rules with x85's leakage-safe split over
+    * the SURVIVORS — per split: docs, whitespace tokens, chars. The
+    * numbers a training run actually consumes ("how many train tokens
+    * after cleaning"), produced by one scan + one dup-rank window + one
+    * aggregate. */
+  private val x100: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val nw = size(split(col("text"), " "))
+    val survivors = docs(spark, sfDir)
+      .withColumn("nw", nw.cast("long"))
+      .withColumn("dup_rank",
+        row_number().over(Window.partitionBy("text").orderBy("doc_id")))
+      .filter(col("n_chars") >= 100 &&
+        col("lang").isInCollection(Seq("en", "de", "fr", "es")) &&
+        col("n_chars") * 10 <= col("nw") * 56 &&
+        col("dup_rank") === 1)
+    val draw = graft.operators.PortableHash.hash60(col("source")) % 100
+    survivors
+      .withColumn("split",
+        when(draw < 60, "train").when(draw < 80, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1220,7 +1247,8 @@ object Extensions {
     "x96_jl_projection_distortion" -> x96,
     "x97_streaming_sliding_window" -> x97,
     "x98_cluster_capped_retention" -> x98,
-    "x99_zscore_by_group" -> x99)
+    "x99_zscore_by_group" -> x99,
+    "x100_curated_corpus_summary" -> x100)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1943,6 +1971,21 @@ object Extensions {
          |r AS (SELECT doc_id,
          |  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM lab)
          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x100_curated_corpus_summary" ->
+      ("""WITH f AS (SELECT doc_id, source, n_chars, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         | FROM documents),
+         |s AS (SELECT *, CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 100
+         |   AS draw
+         | FROM f WHERE n_chars >= 100 AND lang IN ('en','de','fr','es')
+         |  AND n_chars * 10 <= nw * 56 AND rn = 1),
+         |sp AS (SELECT CASE WHEN draw < 60 THEN 'train'
+         |  WHEN draw < 80 THEN 'val' ELSE 'test' END AS split, nw, n_chars FROM s)
+         |SELECT split, COUNT(*) AS n_docs,
+         | CAST(SUM(nw) AS BIGINT) AS total_tokens,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin.replace("\n", " ")),
     "x99_zscore_by_group" ->
       ("""WITH st AS (SELECT source, COUNT(*) AS n,
          |  CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE) AS s,
