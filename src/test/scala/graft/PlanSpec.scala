@@ -418,6 +418,18 @@ class PlanSpec extends AnyFunSuite {
       s"single-pass child scan needs no nested-loop report assembly:\n$p")
   }
 
+  test("x94: wide profile is one scan through a single Expand (no per-column scans)") {
+    val p = plan("x94_column_profile_wide")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"events scanned once:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct must plan as Expand:\n$p")
+  }
+
+  test("x99: z-score stats come back as a broadcast join, never a shuffle of the corpus") {
+    val p = plan("x99_zscore_by_group")
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide merge join:\n$p")
+  }
+
   test("b49: EXISTS/NOT EXISTS rewrite to semi + anti hash joins, no per-row subqueries") {
     val p = plan("b49_exists_not_exists")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
