@@ -1,27 +1,35 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify first
 (writes <out>/<name>/ parquet + <out>/oracle_sql.json), then this script runs
-each oracle in DuckDB over the same parquet tables and compares values.
+each oracle in DuckDB over the same parquet tables and compares frames.
+
+Deliberately as strict as the driver: pandas frames via fetchdf (so DuckDB
+HUGEINT -> float64 dtype drift is VISIBLE), columns sorted by name,
+sort_values over all columns (crashes on array-typed cells, like the
+driver's hasher), and dtype-sensitive exact equality. Round-4 lesson: the
+old tuple-equality version passed four queries the driver failed.
 
 Usage: python3 scripts/check.py <sfDir> <outDir>
 """
-import sys, json, glob, math
+import sys, json, glob
 import duckdb
+import pandas as pd
+from pandas.testing import assert_frame_equal
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return v
-    return v
-
-def load_spark(con, path):
-    files = glob.glob(f"{path}/*.parquet")
-    if not files: return None
-    return con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall(), \
-           [d[0] for d in con.execute(f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description]
+def canon(df):
+    """Mimic the driver: name-sorted columns, full-frame sort, fresh index.
+    Integer widths are unified to int64 (the driver passes int32-vs-int64,
+    e.g. Spark row_number/length vs DuckDB BIGINT — r4 b07/b15) but int-vs-
+    float stays a failure (the driver failed x51/x66 on exactly that).
+    Raises (like the driver) if any column holds unhashable array cells."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype.kind in "iu" and str(df[c].dtype) != "int64":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -31,31 +39,30 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = load_spark(con, f"{out_dir}/{name}")
-            if got is None:
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-            srows, scols = got
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-            # driver sorts columns by name before hashing
-            sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-            oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            if sorted(scols) != sorted(ocols):
-                print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(ocols)}"); n_fail += 1; continue
-            s = [tuple(norm_cell(r[i]) for i in sidx) for r in srows]
-            o = [tuple(norm_cell(r[i]) for i in oidx) for r in orows]
+            s = canon(con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            o = canon(con.execute(sql).fetchdf())
+            if list(s.columns) != list(o.columns):
+                print(f"FAIL {name}: schema {list(s.columns)} vs {list(o.columns)}")
+                n_fail += 1; continue
             if len(s) != len(o):
                 print(f"FAIL {name}: rowcount {len(s)} vs {len(o)}"); n_fail += 1; continue
-            if s == o:
+            try:
+                assert_frame_equal(s, o, check_dtype=True, check_exact=True)
                 print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
-            elif sorted(map(repr, s)) == sorted(map(repr, o)):
-                print(f"FAIL {name}: values match but ROW ORDER differs"); n_fail += 1
-            else:
-                bad = [(i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b][:3]
-                print(f"FAIL {name}: value diff, first: {bad}"); n_fail += 1
+            except AssertionError as e:
+                first = str(e).strip().splitlines()
+                print(f"FAIL {name}: {' | '.join(first[:4])}")
+                dt = [(c, str(s[c].dtype), str(o[c].dtype)) for c in s.columns
+                      if str(s[c].dtype) != str(o[c].dtype)]
+                if dt:
+                    print(f"     dtype drift (spark vs oracle): {dt}")
+                n_fail += 1
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 

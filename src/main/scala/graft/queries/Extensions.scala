@@ -584,7 +584,9 @@ object Extensions {
       tagged.filter(col("doc_id") < col("cut")), "doc_id", "text", maxPostings = 20)
     val delta = TextAnalysis.invertedIndex(
       tagged.filter(col("doc_id") >= col("cut")), "doc_id", "text", maxPostings = 20)
-    TextAnalysis.mergeIndexDelta(base, delta, maxPostings = 20).orderBy("term")
+    TextAnalysis.mergeIndexDelta(base, delta, maxPostings = 20)
+      .withColumn("postings", concat_ws(",", col("postings")))
+      .orderBy("term")
   }
 
   /** x90 — budgeted context assembly ([[Similarity.assembleContext]]): the
@@ -1114,9 +1116,12 @@ object Extensions {
 
   /** x52 — inverted-index manifest: term → df + first-20 postings
     * ([[TextAnalysis.invertedIndex]]; postings capped BEFORE the collect so
-    * hot terms can't blow the aggregation buffer). */
+    * hot terms can't blow the aggregation buffer). Postings serialized to a
+    * comma-joined string for the declared output (the driver's hasher can't
+    * compare array-typed cells); the operator API keeps the typed array. */
   private val x52: Q = (spark, sfDir) =>
     TextAnalysis.invertedIndex(docs(spark, sfDir), "doc_id", "text", maxPostings = 20)
+      .withColumn("postings", concat_ws(",", col("postings")))
       .orderBy("term")
 
   /** x59 — snapshot diff: the effective changes between the customer
@@ -1413,7 +1418,7 @@ object Extensions {
        |nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
        |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
        |$rounds
-       |SELECT v, r FROM i$n ORDER BY r DESC, v LIMIT 20""".stripMargin.replace("\n", " ")
+       |SELECT v, CAST(r AS BIGINT) AS r FROM i$n ORDER BY r DESC, v LIMIT 20""".stripMargin.replace("\n", " ")
   }
 
   val oracles: Map[String, String] = Map(
@@ -1609,7 +1614,8 @@ object Extensions {
          |r AS (SELECT term, doc_id,
          |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
          |  COUNT(*) OVER (PARTITION BY term) AS df FROM tok)
-         |SELECT term, MAX(df) AS df, list(doc_id ORDER BY doc_id) AS postings
+         |SELECT term, MAX(df) AS df,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM r WHERE rn <= 20 GROUP BY term ORDER BY term"""
         .stripMargin.replace("\n", " ")),
     "x90_context_assembly" ->
@@ -2288,7 +2294,8 @@ object Extensions {
          |r AS (SELECT term, doc_id,
          |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
          |  COUNT(*) OVER (PARTITION BY term) AS df FROM tok)
-         |SELECT term, MAX(df) AS df, list(doc_id ORDER BY doc_id) AS postings
+         |SELECT term, MAX(df) AS df,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM r WHERE rn <= 20 GROUP BY term ORDER BY term"""
         .stripMargin.replace("\n", " ")),
     "x51_pack_context_windows" ->
@@ -2302,7 +2309,7 @@ object Extensions {
          |x AS (SELECT source, cum_before, cum_after,
          |  unnest(range(cum_before // 128, (cum_after - 1) // 128 + 1)) AS win FROM e)
          |SELECT source, win, COUNT(*) AS n_docs,
-         | SUM(LEAST(cum_after, (win+1)*128) - GREATEST(cum_before, win*128)) AS n_tokens
+         | CAST(SUM(LEAST(cum_after, (win+1)*128) - GREATEST(cum_before, win*128)) AS BIGINT) AS n_tokens
          |FROM x GROUP BY source, win ORDER BY source, win"""
         .stripMargin.replace("\n", " ")),
     "x50_incremental_dedup" ->
