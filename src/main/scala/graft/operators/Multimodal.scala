@@ -1,19 +1,24 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Multimodal-column plumbing — LLM-pipeline extension (SURVEY.md §7.4).
  *
- * Media (image/audio/video) is modeled as an opaque `binary` payload column
- * plus typed metadata, processed batch-at-a-time with `mapPartitions` over a
+ * Media (image/video) is modeled as an opaque `binary` payload column plus
+ * typed metadata, processed batch-at-a-time with `mapPartitions` over a
  * typed Dataset (the Scala analog of `mapInPandas`: one iterator per
- * partition, no per-row UDF dispatch, executor-local batching). The Spark
- * side — schema, partitioning, batch shape, feature extraction pipeline — is
- * real and oracle-tested; the codec itself is STUBBED (no image/audio
- * libraries in this environment) behind [[decodeStub]] with a deterministic
- * fake so the pipeline stays verifiable end-to-end.
+ * partition, no per-row UDF dispatch, executor-local batching). The codec is
+ * REAL: PNG encode/decode via `javax.imageio` (pure JDK, no external
+ * libraries), so the oracle check exercises a genuine decode∘encode
+ * round-trip — the oracle computes per-image stats arithmetically from the
+ * test-pattern formula, and they only match if the codec reproduced every
+ * pixel.
  *
  * At 100 TB: payloads dominate I/O, so the media table should be stored with
  * the payload in its own parquet column (column pruning skips it when only
@@ -22,80 +27,139 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
-  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
-                           checksum: Long, width: Int, height: Int, gray_mean: Double)
+  // in-memory ImageIO (the default spills codec scratch to temp FILES —
+  // per-row disk I/O inside an executor hot loop)
+  ImageIO.setUseCache(false)
 
-  /**
-   * STUB — a real implementation would hand `bytes` to an image/audio codec
-   * (not available in this container). The fake is a pure deterministic
-   * function of the payload so correctness of the surrounding distributed
-   * pipeline is still fully testable.
-   */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Double, Long) = {
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    val width = 64 + (bytes.length % 576)
-    val height = 64 + (sum % 416).toInt
-    val grayMean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    (width, height, grayMean, sum)
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+  case class ImageFeatures(doc_id: Long, format: String, width: Int,
+                           height: Int, gray_sum: Long)
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+                           height: Int, gray_sum: Long)
+
+  /** Deterministic test-pattern dimensions — pure functions of the doc id so
+    * a SQL oracle can reproduce the per-image stats arithmetically. */
+  def imgWidth(docId: Long): Int = 8 + (docId % 9).toInt
+  def imgHeight(docId: Long): Int = 8 + (docId % 7).toInt
+  def numFrames(docId: Long): Int = 1 + (docId % 6).toInt
+
+  /** Pixel formula of the synthetic pattern: `(31·doc + 17·frame + 7x + 13y) mod 256`. */
+  private def pixel(docId: Long, frameIdx: Int, x: Int, y: Int): Int =
+    ((docId * 31 + frameIdx * 17L + 7L * x + 13L * y) % 256).toInt
+
+  /** Render one grayscale PNG frame of the deterministic pattern. */
+  def renderPng(docId: Long, frameIdx: Int): Array[Byte] = {
+    val (w, h) = (imgWidth(docId), imgHeight(docId))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(docId, frameIdx, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Wrap a text table as a media table: payload = UTF-8 bytes, format from
-    * the source tag. (Stand-in for real media ingest; keeps the binary
-    * column + metadata shape the pipeline contract needs.) */
-  def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      concat(lit("img/"), col("source")).as("format"))
+  /** REAL image decode (pure-JDK `javax.imageio`): bytes → (width, height,
+    * sum of band-0 samples). Fails loudly on undecodable payloads — silent
+    * nulls would let a corrupt shard pass the pipeline unnoticed. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, sum)
+  }
 
-  /** Batch feature extraction: one `mapPartitions` pass, iterator-to-iterator
-    * (streaming within the partition, constant memory). */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** Image ingest: one PNG-encoded pattern image per document. Encoding runs
+    * inside `mapPartitions` on the executors — the driver never sees a
+    * payload byte. */
+  def renderImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.payload
-        val (w, h, gray, sum) = decodeStub(bytes)
-        MediaFeatures(r.doc_id, r.format, bytes.length, sum % 997, w, h, gray)
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, renderPng(id, 0), "png")))
+      .toDF()
+  }
+
+  /** Batch feature extraction over an image table: one iterator-to-iterator
+    * `mapPartitions` pass (streaming within the partition, constant memory),
+    * each payload run through the REAL `javax.imageio` decode. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val (w, h, sum) = decodeImage(r.payload)
+        ImageFeatures(r.doc_id, r.format, w, h, sum)
       }
     }
   }
 
-  case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+  /** Pack PNG frames into a length-prefixed container (the demuxable "video"
+    * payload: `[int32 length][png bytes]`*). Container framing is pipeline
+    * code; the per-frame codec stays `javax.imageio`. */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Demux a length-prefixed container into (frame_idx, frame bytes) —
+    * an iterator, so frames stream through without materializing the list. */
+  def unpackFrames(payload: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    val dis = new DataInputStream(new ByteArrayInputStream(payload))
+    Iterator.from(0)
+      .takeWhile(_ => dis.available() >= 4)
+      .map { i =>
+        val len = dis.readInt()
+        val buf = new Array[Byte](len)
+        dis.readFully(buf)
+        (i, buf)
+      }
+  }
+
+  /** Video ingest: each document becomes a multi-frame container of
+    * per-frame PNGs (frame count varies by doc — realistic skew). */
+  def renderVideoTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, packFrames((0 until numFrames(id)).map(renderPng(id, _))), "vid")
+      })
+      .toDF()
+  }
 
   /**
    * Frame sampling — the video-pipeline shape (demux → sample every k-th
-   * frame → per-frame features): the payload is cut into fixed
-   * `frameBytes` slices standing in for demuxed frames (a real container
-   * parser is a codec concern, stubbed like [[decodeStub]]), every
-   * `stride`-th slice is kept, and each kept frame emits its size and byte
-   * checksum. Iterator-to-iterator `mapPartitions` over the typed Dataset:
-   * one pass, constant memory, frames never materialized as a whole list
-   * per row — the batch shape a real decoder plugs into unchanged.
-   *
-   * At 100 TB: sampling inside the same pass as the read means dropped
-   * frames are never shuffled or spilled — the stride cut happens before
-   * any exchange.
+   * frame → per-frame decode + features) in ONE iterator-to-iterator
+   * `mapPartitions` pass. The stride cut happens at demux time, BEFORE the
+   * decode: dropped frames are never decoded, shuffled, or spilled — at
+   * 100 TB the decode is the dominant cost and sampling first is the
+   * difference between decoding 100% and 1/stride of the corpus.
    */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-      frameBytes: Int = 32, stride: Int = 4): Dataset[FrameRow] = {
-    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+      stride: Int = 2): Dataset[FrameFeatures] = {
+    require(stride > 0, "stride must be positive")
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      rows.flatMap { r =>
-        val n = r.payload.length
-        val nFrames = (n + frameBytes - 1) / frameBytes
-        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
-          val start = i * frameBytes
-          val end = math.min(start + frameBytes, n)
-          var sum = 0L
-          var j = start
-          while (j < end) { sum += r.payload(j) & 0xff; j += 1 }
-          FrameRow(r.doc_id, i, end - start, sum)
-        }
+    media.as[MediaRow].mapPartitions {
+      _.flatMap { r =>
+        unpackFrames(r.payload)
+          .filter(_._1 % stride == 0)
+          .map { case (i, fb) =>
+            val (w, h, sum) = decodeImage(fb)
+            FrameFeatures(r.doc_id, i, w, h, sum)
+          }
       }
     }
   }

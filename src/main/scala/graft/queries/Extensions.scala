@@ -85,14 +85,14 @@ object Extensions {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** x12 — multimodal binary pipeline: binary payload + metadata →
-    * mapPartitions batch feature extraction (decode STUBBED, deterministic). */
+  /** x12 — multimodal image pipeline: per-doc deterministic PNG payloads →
+    * mapPartitions batch feature extraction through a REAL `javax.imageio`
+    * decode; the oracle recomputes each image's stats arithmetically from
+    * the test-pattern formula, so the rows only match if the codec
+    * round-trips every pixel. */
   private val x12: Q = (spark, sfDir) => {
-    val media = Multimodal.asMediaTable(docs(spark, sfDir))
+    val media = Multimodal.renderImageTable(spark, docs(spark, sfDir))
     Multimodal.extractFeatures(spark, media).toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes").cast("long").as("n_bytes"),
-        col("checksum"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"), col("gray_mean"))
       .orderBy("doc_id")
   }
 
@@ -487,13 +487,13 @@ object Extensions {
         max(col("n_events")).as("max_events"),
         max(col("span_secs")).as("max_span_secs"))
 
-  /** x82 — multimodal frame sampling ([[Multimodal.sampleFrames]]): every
-    * 4th 32-byte "frame" of each payload with per-frame checksums — the
-    * demux→sample→feature video shape with the codec seam stubbed (like
-    * x12); the stride cut happens inside the scan pass, before any
-    * exchange. */
+  /** x82 — multimodal frame sampling ([[Multimodal.sampleFrames]]): each
+    * doc becomes a length-prefixed container of PNG frames; every 2nd frame
+    * is demuxed, REALLY decoded (`javax.imageio`, like x12), and reduced to
+    * per-frame stats — the stride cut happens at demux time, before any
+    * decode or exchange. */
   private val x82: Q = (spark, sfDir) =>
-    Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs(spark, sfDir)))
+    Multimodal.sampleFrames(spark, Multimodal.renderVideoTable(spark, docs(spark, sfDir)))
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
@@ -1397,7 +1397,13 @@ object Extensions {
   private def signBucketSql(v: String): String =
     (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
-  private val byteSum = "list_aggregate(list_transform(str_split(text, ''), c -> ascii(c)), 'sum')"
+  /** Oracle mirror of [[eventsNullUser]]: events with NULL user keys planted
+    * on the same event-id modulus. */
+  private val nullUserCte: String =
+    """ne AS (SELECT event_id, ts,
+      |  CASE WHEN event_id % 211 = 0 THEN NULL ELSE user_id END AS user_id,
+      |  event_type, value FROM events)""".stripMargin
+
 
   /** Unrolled integer-PageRank oracle: `n` damped rounds as CTE pairs
     * (sK = incoming contribution sums, iK = damped ranks) — the exact
@@ -1648,14 +1654,17 @@ object Extensions {
          | MAX(CASE WHEN NOT is_out THEN n_chars END) AS kept_max
          |FROM f GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
     "x82_frame_sampling" ->
-      ("""WITH f AS (SELECT doc_id, text,
-         |  unnest(range((length(text) + 31) // 32)) AS i FROM documents),
-         |s AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
-         |  substr(text, CAST(i * 32 + 1 AS INT), 32) AS fr FROM f WHERE i % 4 = 0)
-         |SELECT doc_id, frame_idx, CAST(length(fr) AS INT) AS n_bytes,
-         | CAST(list_aggregate(list_transform(str_split(fr, ''), c -> ascii(c)), 'sum')
-         |   AS BIGINT) AS checksum
-         |FROM s ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
+      ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         |  1 + doc_id % 6 AS nf FROM documents),
+         |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM p),
+         |k AS (SELECT * FROM f WHERE fi % 2 = 0),
+         |px AS (SELECT doc_id, fi, w, h, unnest(range(w * h)) AS i FROM k)
+         |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(w AS INT) AS width,
+         | CAST(h AS INT) AS height,
+         | CAST(SUM((doc_id * 31 + fi * 17 + 7 * (i % w) + 13 * (i // w)) % 256)
+         |   AS BIGINT) AS gray_sum
+         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx"""
+        .stripMargin.replace("\n", " ")),
     "x81_sessionized_conversion" ->
       ("""WITH o AS (SELECT user_id, ts, event_type,
          |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
@@ -1885,13 +1894,15 @@ object Extensions {
     "x11_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "x12_multimodal_features" ->
-      (s"""SELECT doc_id, 'img/' || source AS format,
-         | CAST(length(text) AS BIGINT) AS n_bytes,
-         | CAST($byteSum % 997 AS BIGINT) AS checksum,
-         | CAST(64 + length(text) % 576 AS BIGINT) AS width,
-         | CAST(64 + $byteSum % 416 AS BIGINT) AS height,
-         | CAST($byteSum AS DOUBLE)/length(text) AS gray_mean
-         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |  FROM documents),
+         |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p)
+         |SELECT doc_id, 'png' AS format, CAST(w AS INT) AS width,
+         | CAST(h AS INT) AS height,
+         | CAST(SUM((doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256) AS BIGINT)
+         |   AS gray_sum
+         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
     "x13_streaming_window_counts" ->
       ("""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          | event_type, COUNT(*) AS n

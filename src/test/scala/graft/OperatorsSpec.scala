@@ -365,18 +365,24 @@ class FrameSamplingSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("sampleFrames: stride keeps every k-th frame; tail frame is short; checksums exact") {
-    // 10-byte payload, frameBytes=4 → frames 0..2 (sizes 4,4,2); stride 2 → 0 and 2
-    val media = Seq((1L, "abcdefghij".getBytes("UTF-8"), "img/x"))
+  test("sampleFrames: stride demuxes every k-th frame and decodes it exactly") {
+    // doc 10 → 5 frames (1 + 10%6), stride 2 keeps frames 0, 2, 4
+    val media = Seq((10L,
+      Multimodal.packFrames((0 until 5).map(Multimodal.renderPng(10L, _))), "vid"))
       .toDF("doc_id", "payload", "format")
-    val out = Multimodal.sampleFrames(spark, media, frameBytes = 4, stride = 2)
-      .collect().map(f => (f.frame_idx, f.n_bytes, f.checksum)).toSet
-    val sum = (s: String) => s.map(_.toLong).sum
-    assert(out == Set((0, 4, sum("abcd")), (2, 2, sum("ij"))))
+    val out = Multimodal.sampleFrames(spark, media, stride = 2)
+      .collect().map(f => (f.frame_idx, f.width, f.height, f.gray_sum)).toSet
+    val (w, h) = (Multimodal.imgWidth(10L), Multimodal.imgHeight(10L))
+    val expect = Set(0, 2, 4).map { fi =>
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield (10L * 31 + fi * 17 + 7 * x + 13 * y) % 256).sum
+      (fi, w, h, sum)
+    }
+    assert(out == expect)
   }
 
   test("sampleFrames: empty payload emits no frames") {
-    val media = Seq((1L, Array.empty[Byte], "img/x")).toDF("doc_id", "payload", "format")
+    val media = Seq((1L, Array.empty[Byte], "vid")).toDF("doc_id", "payload", "format")
     assert(Multimodal.sampleFrames(spark, media).collect().isEmpty)
   }
 }
@@ -456,16 +462,21 @@ class MultimodalSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("feature extraction matches hand-computed byte stats") {
+  test("extractFeatures round-trips the real PNG codec (decode∘encode = identity)") {
     val docs = Seq((7L, "abc", "en", "src1", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val f = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs)).collect().head
-    val byteSum = "abc".getBytes("UTF-8").map(_ & 0xff).sum // 97+98+99 = 294
+    val f = Multimodal.extractFeatures(spark, Multimodal.renderImageTable(spark, docs))
+      .collect().head
+    val (w, h) = (Multimodal.imgWidth(7L), Multimodal.imgHeight(7L))
+    val expect = (for (y <- 0 until h; x <- 0 until w)
+      yield (7L * 31 + 7 * x + 13 * y) % 256).sum
     assert(f.doc_id == 7L)
-    assert(f.format == "img/src1")
-    assert(f.n_bytes == 3)
-    assert(f.checksum == byteSum % 997)
-    assert(f.width == 64 + 3 % 576)
-    assert(f.height == 64 + byteSum % 416)
-    assert(math.abs(f.gray_mean - byteSum / 3.0) < 1e-12)
+    assert(f.format == "png")
+    assert((f.width, f.height) == (w, h))
+    assert(f.gray_sum == expect)
+  }
+
+  test("decodeImage fails loudly on a non-image payload") {
+    val e = intercept[Exception](Multimodal.decodeImage("not a png".getBytes("UTF-8")))
+    assert(e.getMessage.contains("decodable"))
   }
 }
