@@ -19,8 +19,11 @@ object Bench {
     // Drop DataFrames cached during warm-up (operators cache small reused
     // intermediates): Spark keys cached plans by canonicalized form, so the
     // timed pass would otherwise read warm-up's InMemoryRelations and skip
-    // the work being measured.
+    // the work being measured. The staging memo (localCheckpoint'd frames,
+    // NOT covered by clearCache) is dropped too, so every timed pass pays
+    // the shared staging build exactly once.
     spark.catalog.clearCache()
+    graft.queries.Extensions.clearStagingMemo()
     // Two timed passes, report the per-query MIN: single runs on this shared
     // VM jitter by 2-4x under noisy neighbors (measured: the same query
     // 2.1s-8.0s across back-to-back runs); min-of-2 after a warm-up is the
@@ -35,6 +38,7 @@ object Bench {
     }
     val pass1 = timedPass()
     spark.catalog.clearCache()
+    graft.queries.Extensions.clearStagingMemo()
     val pass2 = timedPass()
     val results = pass1.map { case (k, v) =>
       val m = math.min(v, pass2(k))

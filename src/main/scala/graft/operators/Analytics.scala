@@ -177,6 +177,11 @@ object Analytics {
    */
   def coOccurrenceLift(events: DataFrame, userCol: String, typeCol: String,
       scale: Int = 1000): DataFrame = {
+    // cached: three consumers (user count, type totals, self-join) share it
+    // within the returned plan. Lifecycle is caller-managed — the entry goes
+    // unreferenced when the returned frame is collected and Spark's
+    // ContextCleaner reclaims it; long-lived callers needing deterministic
+    // release should `spark.catalog.clearCache()` between operator runs.
     val ut = events.select(col(userCol).as("u"), col(typeCol).as("t")).distinct().cache()
     val nUsers = ut.agg(countDistinct(col("u")).as("n_users"))
     val typeCounts = ut.groupBy("t").agg(count(lit(1)).as("n_t"))

@@ -84,7 +84,10 @@ object Curation {
           .when(draw < trainPct + valPct, "val")
           .otherwise("test"))
       .groupBy("split")
-      .agg(countDistinct(col(groupCol)).as("n_groups"),
+      // count groups on the SAME coalesced key the draw uses — otherwise
+      // the NULL pseudo-group's docs appear in n_docs/total_size while
+      // n_groups omits the group, an internally inconsistent manifest
+      .agg(countDistinct(coalesce(col(groupCol), lit(""))).as("n_groups"),
         count(lit(1)).as("n_docs"),
         sum(col(docSizeCol)).as("total_size"))
   }

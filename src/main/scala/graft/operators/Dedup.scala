@@ -256,6 +256,9 @@ object Dedup {
                        shingleN: Int = 3, minContainment: Double = 0.6,
                        maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, "maxDf must be positive")
+    // cached: sizes, the df filter, and the pair join all consume it.
+    // Caller-managed lifecycle (ContextCleaner reclaims it once the result
+    // is materialized and dropped) — see Analytics.coOccurrenceLift.
     val tokens = shingleHashRows(docs, idCol, textCol, shingleN).cache()
     val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = tokens.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -33,7 +33,10 @@ object Graph {
    * (map-side combine) bounds the shuffle by the node count, not the edge
    * count. Node and edge frames are cached because the fixed-depth loop
    * references them in every round (at cluster scale: persist edges
-   * partitioned by src). `iterations` is small and fixed, so plan depth is
+   * partitioned by src); their lifecycle is caller-managed — once the
+   * returned ranks are materialized and dropped, Spark's ContextCleaner
+   * reclaims the unreferenced cache entries (deterministic release:
+   * `spark.catalog.clearCache()`). `iterations` is small and fixed, so plan depth is
    * bounded and no per-round checkpoint is needed (contrast
    * [[Dedup.connectedComponents]], whose data-dependent round count
    * requires lineage truncation).

@@ -50,8 +50,12 @@ object Integrity {
    * (child, parent) pair, the child row count and how many child rows have
    * NO matching parent key (orphans) — the data-quality gate a warehouse
    * runs after every load, as ONE report frame. NULL child keys follow SQL
-   * FK semantics: they are counted in `n_child` but are NOT violations
-   * (matching a `NOT IN` oracle, where a NULL key never reports).
+   * FK semantics: they are counted in `n_child` but are NOT violations.
+   * NULL PARENT keys are dropped from the lookup set before the join, so
+   * the result equals a `NOT IN (SELECT k FROM parent WHERE k IS NOT
+   * NULL)` oracle on every input — without the filter, a single NULL
+   * parent key would make raw `NOT IN` report zero orphans for the whole
+   * child (three-valued logic), a trap this operator deliberately avoids.
    *
    * Scale shape: ONE pass over each child — a LEFT OUTER join against the
    * de-duplicated parent key set (hash or broadcast as AQE sizes it)
@@ -63,7 +67,9 @@ object Integrity {
     require(relations.nonEmpty, "need at least one (name, childKeys, parentKeys)")
     relations.map { case (name, childKeys, parentKeys) =>
       val keyCols = childKeys.columns.toSeq
-      val parent = parentKeys.toDF(keyCols: _*).distinct()
+      val parent = parentKeys.toDF(keyCols: _*)
+        .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .distinct()
         .withColumn("_parent_present", lit(1))
       val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
       childKeys.join(parent, keyCols, "left_outer")

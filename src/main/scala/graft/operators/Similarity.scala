@@ -290,6 +290,9 @@ object Similarity {
       .withColumn("qscore",
         round(col("qdot").cast("double") /
           sqrt((col("na") * col("nb")).cast("double")), 6))
+      // cached: both the quantized and the exact top-k consume it. Caller-
+      // managed lifecycle (ContextCleaner reclaims it once the returned
+      // frame is materialized and dropped) — see coOccurrenceLift.
       .cache()
     val topQ = scored.orderBy(desc("qscore"), col("vec_id")).limit(k)
       .withColumn("rnk",

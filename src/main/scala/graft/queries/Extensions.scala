@@ -17,6 +17,36 @@ object Extensions {
 
   private def docs(spark: SparkSession, sfDir: String) = Tables(spark, sfDir, "documents")
   private def emb(spark: SparkSession, sfDir: String) = Tables(spark, sfDir, "embeddings")
+
+  /** events with deterministically planted NULL user keys (~0.5% of rows by
+    * event-id modulus, mirrored in [[nullUserCte]]) — the clean testdata has
+    * no NULL partition keys, which would leave the classic NULL-window-key
+    * engine divergence vacuously untested (x93's planting pattern). */
+  private def eventsNullUser(spark: SparkSession, sfDir: String) =
+    Tables(spark, sfDir, "events").withColumn("user_id",
+      when(col("event_id") % 211 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")))
+
+  /** Session-scoped memo of the MinHash-LSH candidate-pair STAGING frame —
+    * the production "staging table" pattern: four downstream queries
+    * (x18/x24/x53/x98) consume the same verified pair set, so it is
+    * computed and materialized (`localCheckpoint`) ONCE per session+SF and
+    * every consumer reads the tiny checkpointed frame instead of re-running
+    * the corpus-wide LSH. x02 stays on the raw operator — it IS the pair
+    * computation and PlanSpec pins its LSH plan shape. Keyed by
+    * applicationId so a fresh session never reads a stale frame. */
+  private val lshPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    lshPairsMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir",
+      _ => Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
+        .localCheckpoint())
+
+  /** Drop the staging memo (checkpointed frames are reclaimed by the
+    * ContextCleaner once unreferenced). The bench calls this between timed
+    * passes so each pass honestly pays the one-time staging build —
+    * `clearCache()` alone would not drop checkpointed RDD blocks. */
+  def clearStagingMemo(): Unit = lshPairsMemo.clear()
   private def queryVec(spark: SparkSession, sfDir: String) =
     emb(spark, sfDir).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
 
@@ -168,8 +198,7 @@ object Extensions {
     * The end product of the dedup pipeline: the retained doc set. */
   private val x24: Q = (spark, sfDir) => {
     val d = docs(spark, sfDir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
-    val clusters = Dedup.dupClusters(pairs, iterations = 3)
+    val clusters = Dedup.dupClusters(lshPairs(spark, sfDir), iterations = 3)
     Dedup.retainBest(d, "doc_id", TextAnalysis.qualityScore(col("text")), clusters)
       .orderBy("doc_id")
   }
@@ -208,20 +237,16 @@ object Extensions {
 
   /** x18 — duplicate clusters: minhash pairs → bounded min-label propagation
     * (3 rounds; near-dup clusters are near-cliques, diameter ≤ 3 here). */
-  private val x18: Q = (spark, sfDir) => {
-    val pairs = Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
-    Dedup.dupClusters(pairs, iterations = 3).orderBy("doc_id")
-  }
+  private val x18: Q = (spark, sfDir) =>
+    Dedup.dupClusters(lshPairs(spark, sfDir), iterations = 3).orderBy("doc_id")
 
   /** x53 — convergence-checked connected components over the same minhash
     * pair graph as x18: min-label propagation iterated until no label
     * changes ([[Dedup.connectedComponents]]) — exact components for any
     * graph shape, where x18's fixed 3 rounds under-merge past 3 hops. The
     * oracle is a DuckDB RECURSIVE CTE computing true reachability. */
-  private val x53: Q = (spark, sfDir) => {
-    val pairs = Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
-    Dedup.connectedComponents(pairs).orderBy("doc_id")
-  }
+  private val x53: Q = (spark, sfDir) =>
+    Dedup.connectedComponents(lshPairs(spark, sfDir)).orderBy("doc_id")
 
   /** x54 — line-level (chunk-hash) boilerplate dedup: aligned 10-token
     * chunks shared by >1 doc are dropped everywhere; per-doc survival
@@ -293,12 +318,15 @@ object Extensions {
 
   /** x64 — ordered funnel conversion (signup → click → purchase): users
     * counted at each stage only when the stage event is strictly after
-    * their first previous-stage event. Single events scan: one exchange,
+    * their first previous-stage event. NULL user keys are deterministically
+    * planted (id-modulo, mirrored in the oracle) so the classic window-op
+    * divergence — how engines partition NULL keys — is non-vacuously
+    * checked. Single events scan: one exchange,
     * two chained running-min windows, user agg reusing the partitioning
     * ([[Analytics.funnel]] — vs 3 shuffles + 3 scans for the naive
     * aggregate-and-join-back-per-stage shape). */
   private val x64: Q = (spark, sfDir) =>
-    Analytics.funnel(Tables(spark, sfDir, "events"),
+    Analytics.funnel(eventsNullUser(spark, sfDir),
       "user_id", "ts", "event_type", "signup", "click", "purchase")
 
   /** x65 — weekly cohort retention matrix: distinct active users per
@@ -377,9 +405,12 @@ object Extensions {
   /** x68 — daily gap fill + forward fill per user: dense calendar spine
     * sized by each user's own active range, last observed `value` carried
     * across gap days ([[Analytics.gapFillForwardFill]] — spine join and
-    * fill window all hash-partitioned on the user key). */
+    * fill window all hash-partitioned on the user key). NULL user keys
+    * planted (id-modulo): they spine/window as one pseudo-user but never
+    * equi-join back to their day values — both engines must agree on BOTH
+    * behaviors. */
   private val x68: Q = (spark, sfDir) =>
-    Analytics.gapFillForwardFill(Tables(spark, sfDir, "events"),
+    Analytics.gapFillForwardFill(eventsNullUser(spark, sfDir),
       "user_id", "ts", "event_id", "value")
       .orderBy("user_id", "day")
 
@@ -614,9 +645,10 @@ object Extensions {
   /** x92 — last-touch attribution ([[Analytics.lastTouchAttribution]]):
     * purchases credited to the most recent preceding click/view per user
     * via a carried-forward ignore-nulls window — join-free channel
-    * report with exact cents and integer mean lag. */
+    * report with exact cents and integer mean lag. NULL user keys planted
+    * (id-modulo) so the NULL window partition is non-vacuously checked. */
   private val x92: Q = (spark, sfDir) =>
-    Analytics.lastTouchAttribution(Tables(spark, sfDir, "events"),
+    Analytics.lastTouchAttribution(eventsNullUser(spark, sfDir),
       "user_id", "ts", "event_type", "value", "event_id",
       touchTypes = Seq("click", "view"), convType = "purchase")
       .orderBy("touch")
@@ -702,8 +734,7 @@ object Extensions {
     * exist at every SF, so the cap provably binds). */
   private val x98: Q = (spark, sfDir) => {
     val d = docs(spark, sfDir)
-    val pairs = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.7)
-    val clusters = Dedup.dupClusters(pairs, iterations = 3)
+    val clusters = Dedup.dupClusters(lshPairs(spark, sfDir), iterations = 3)
     Dedup.retainTopM(d, "doc_id", TextAnalysis.qualityScore(col("text")),
       clusters, m = 2)
       .orderBy("doc_id")
@@ -1458,8 +1489,8 @@ object Extensions {
          |UNION ALL SELECT 4, 'exact_dup', s3, s3 - s4, s4 FROM a
          |ORDER BY stage""".stripMargin.replace("\n", " ")),
     "x85_leakage_split" ->
-      ("""WITH d AS (SELECT source, n_chars,
-         |  CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 100 AS draw
+      ("""WITH d AS (SELECT COALESCE(source, '') AS source, n_chars,
+         |  CAST(('0x' || substr(md5(COALESCE(source, '')), 1, 15)) AS BIGINT) % 100 AS draw
          | FROM documents),
          |s AS (SELECT CASE WHEN draw < 60 THEN 'train'
          |  WHEN draw < 80 THEN 'val' ELSE 'test' END AS split, source, n_chars FROM d)
@@ -1553,14 +1584,15 @@ object Extensions {
          |  COUNT(DISTINCT props) FROM e
          |ORDER BY col_name""".stripMargin.replace("\n", " ")),
     "x92_last_touch_attribution" ->
-      ("""WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+      (s"""WITH $nullUserCte,
+         |o AS (SELECT user_id, ts, event_id, event_type, value,
          |  LAST_VALUE(CASE WHEN event_type IN ('click','view')
          |    THEN event_type END IGNORE NULLS)
          |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch,
          |  LAST_VALUE(CASE WHEN event_type IN ('click','view')
          |    THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
          |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS touch_us
-         | FROM events),
+         | FROM ne),
          |p AS (SELECT COALESCE(last_touch, 'none') AS touch,
          |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          |  epoch_us(CAST(ts AS TIMESTAMP)) - touch_us AS lag_us
@@ -1796,12 +1828,13 @@ object Extensions {
          |WHERE levenshtein(a.pfx, b.pfx) <= 20
          |ORDER BY d1, d2""".stripMargin.replace("\n", " ")),
     "x68_gap_fill_forward" ->
-      ("""WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+      (s"""WITH $nullUserCte,
+         |pd AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
          |  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-         |   ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+         |   ORDER BY ts DESC, event_id DESC) AS rn FROM ne),
          |dv AS (SELECT user_id, day, value AS day_value FROM pd WHERE rn = 1),
          |rng AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
-         |  MAX(CAST(ts AS DATE)) AS d1 FROM events GROUP BY user_id),
+         |  MAX(CAST(ts AS DATE)) AS d1 FROM ne GROUP BY user_id),
          |spine AS (SELECT user_id,
          |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
          | FROM rng),
@@ -1813,9 +1846,10 @@ object Extensions {
          |  AS filled_value
          |FROM f ORDER BY user_id, day""".stripMargin.replace("\n", " ")),
     "x64_funnel_conversion" ->
-      ("""WITH w1 AS (SELECT user_id, ts, event_type,
+      (s"""WITH $nullUserCte,
+         |w1 AS (SELECT user_id, ts, event_type,
          |  MIN(CASE WHEN event_type = 'signup' THEN ts END)
-         |   OVER (PARTITION BY user_id ORDER BY ts) AS sig_t FROM events),
+         |   OVER (PARTITION BY user_id ORDER BY ts) AS sig_t FROM ne),
          |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND sig_t < ts THEN ts END)
          |   OVER (PARTITION BY user_id ORDER BY ts) AS mid_t FROM w1),
          |u AS (SELECT user_id,
