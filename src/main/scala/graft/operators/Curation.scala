@@ -167,4 +167,58 @@ object Curation {
         min(when(!isOut, col(metricCol))).as("kept_min"),
         max(when(!isOut, col(metricCol))).as("kept_max"))
   }
+
+  /**
+   * Water-filling token-budget allocator — the data-mixture capping step:
+   * given a per-source token supply and a global training budget, find the
+   * integer cap `C` maximizing Σ min(tokens_s, C) without exceeding the
+   * budget, and report each source's allocation. Sources below the
+   * waterline keep everything; over-represented sources are cut to `C` —
+   * how a corpus build stops one crawl domain from dominating the mixture
+   * while using the budget exactly as far as integer caps allow.
+   *
+   * Closed form, all integer: with sources sorted by supply ascending and
+   * `prefix_i` the tokens of the i smallest, candidate `C_i = (budget −
+   * prefix_i) div (n − i)` is valid for exactly one i (the largest with
+   * `t_i ≤ C_i`); budget ≥ total supply means nothing is capped (cap
+   * reported as the max supply). Deterministic for any input — no search,
+   * no floats.
+   *
+   * Scale shape: the corpus collapses to one row per source in a single
+   * map-side-combined aggregate; the waterline math runs over that
+   * |sources|-row frame (tiny by construction) with one window pass.
+   */
+  def waterFillAllocation(df: DataFrame, sourceCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget $budget must be non-negative")
+    val supply = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol)).as("n_tokens"))
+    val byAsc = Window.orderBy(col("n_tokens"), col("source"))
+    val all = Window.partitionBy(lit(1))
+    // At row i (ascending): sources 1..i−1 saturate, the n−i+1 others sit at
+    // the cap; the regime's max cap is C_i = (budget − prefix_{i−1}) div
+    // (n−i+1), and exactly one row satisfies t_{i−1} ≤ C_i < t_i when the
+    // total supply exceeds the budget.
+    val withCand = supply
+      .withColumn("i", row_number().over(byAsc))
+      .withColumn("prefix", sum(col("n_tokens")).over(
+        byAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("cand",
+        expr(s"($budget - prefix + n_tokens) DIV (n_src - i + 1)"))
+      .withColumn("cand_valid",
+        col("cand") >= lag(col("n_tokens"), 1, 0L).over(byAsc) &&
+          col("cand") < col("n_tokens"))
+    val cap = withCand
+      .agg(max(col("total")).as("total"),
+        max(col("n_tokens")).as("max_supply"),
+        min(when(col("cand_valid"), col("cand"))).as("waterline"))
+      .select(when(col("total") <= budget, col("max_supply"))
+        .otherwise(col("waterline")).as("cap"))
+    supply.crossJoin(broadcast(cap))
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), col("cap")).as("allocated"), col("cap"))
+  }
 }

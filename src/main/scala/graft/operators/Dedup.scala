@@ -279,6 +279,38 @@ object Dedup {
   }
 
   /**
+   * Prefix-corpus novelty: for each document — with the corpus ordered by
+   * ingest id — how many distinct n-gram shingles it contains and how many
+   * of them appear in NO earlier document. The content-growth signal a
+   * crawl pipeline tracks ("is today's batch new text or re-crawl?") and
+   * the greedy form of novelty-based curriculum selection; `n_novel = 0`
+   * flags a document wholly assembled from previously-seen text even when
+   * no single pair-level duplicate exists.
+   *
+   * Scale shape: NO pair join — one exchange on the shingle hash computes
+   * each shingle's first-occurrence id (min over docs), one exchange on the
+   * doc id folds per-doc totals; cost is linear in corpus shingle volume,
+   * so it runs where the quadratic dedup passes cannot. Docs shorter than
+   * `shingleN` tokens emit zero shingles and report (0, 0) via the
+   * left join back to the corpus spine.
+   */
+  def prefixNovelty(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = shingleHashRows(docs, idCol, textCol, shingleN)
+    val firstSeen = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
+  /**
    * Duplicate clusters from a near-dup pair list: iterative min-label
    * propagation (the two-phase connected-components pattern) bounded to
    * `iterations` rounds — each round is one join + one aggregation, so the

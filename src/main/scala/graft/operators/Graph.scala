@@ -75,4 +75,45 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Fixed-iteration HITS (hubs & authorities) in PURE INTEGER ARITHMETIC —
+   * [[pageRank]]'s bit-reproducibility argument applied to the two-score
+   * mutual-reinforcement ranking: `auth_k(v) = Σ_{u→v} hub_{k-1}(u)`,
+   * `hub_k(u) = Σ_{u→v} auth_k(v)`. No per-round normalization: HITS
+   * rankings are scale-invariant, and dropping the (float, sum-order-
+   * dependent) L2 normalization is exactly what makes the result
+   * engine-identical; `h0` only sets the fixed-point resolution.
+   *
+   * Scale shape: the distinct edge frame is cached once; each round is two
+   * hash join + map-side-combined aggregate passes bounded by the node
+   * count. Fixed small `iterations` ⇒ bounded plan depth, no checkpoint
+   * (same contract as [[pageRank]]).
+   *
+   * Overflow bound: scores grow by a factor ≤ max_in_deg·max_out_deg per
+   * full round, so `h0 · (d_in·d_out)^iterations < 2^63` must hold — with
+   * the defaults (h0 = 10^6, 2 iterations) safe to degree products of
+   * ~3·10^6 per round; shrink `h0` for denser graphs (resolution degrades
+   * gracefully, the ordering is preserved).
+   */
+  def hits(edges: DataFrame, iterations: Int = 2, h0: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, s"iterations $iterations not in [1,10]")
+    require(h0 >= 1L, s"h0 $h0 must be positive")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().cache()
+    var hub = nodes.withColumn("h", lit(h0))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iterations) {
+      val aIn = e.join(hub, e("src") === hub("v"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      auth = nodes.join(aIn, nodes("v") === aIn("dst"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("a"))
+      val hIn = e.join(auth, e("dst") === auth("v"))
+        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      hub = nodes.join(hIn, nodes("v") === hIn("src"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("h"))
+    }
+    hub.join(auth, "v").select(col("v"), col("h"), col("a"))
+  }
 }

@@ -141,6 +141,49 @@ object Multimodal {
   }
 
   /**
+   * Lake-side image ingest, step 1: materialize one PNG FILE per document
+   * under `dir` (executors write their own partitions — the driver never
+   * sees a payload byte; on a cluster `dir` is shared storage). This is the
+   * layout-build step of the real multimodal ingest path, where media
+   * arrives as files, not table rows.
+   */
+  def writeImageFiles(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.select(col("doc_id")).as[Long].foreachPartition { (ids: Iterator[Long]) =>
+      ids.foreach { id =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"doc_$id.png"), renderPng(id, 0))
+      }
+    }
+  }
+
+  /**
+   * Lake-side image ingest, step 2: Spark's `binaryFile` source reads the
+   * directory as (path, modificationTime, length, content) rows; doc ids
+   * are recovered from filenames and every payload goes through the REAL
+   * `javax.imageio` decode. The binaryFile source splits by FILE, so decode
+   * parallelism equals file count — exactly how a production image corpus
+   * is ingested before being compacted into payload-column parquet.
+   */
+  def ingestImageDir(spark: SparkSession, dir: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          val (w, h, sum) = decodeImage(bytes)
+          ImageFeatures(id, "png", w, h, sum)
+        }
+      }
+  }
+
+  /**
    * Frame sampling — the video-pipeline shape (demux → sample every k-th
    * frame → per-frame decode + features) in ONE iterator-to-iterator
    * `mapPartitions` pass. The stride cut happens at demux time, BEFORE the

@@ -326,6 +326,50 @@ object TextAnalysis {
       .orderBy(desc("n"), col("bigram")).limit(k)
   }
 
+  /**
+   * Collocation extraction by INTEGER-SCALED pointwise association: for
+   * every adjacent word pair seen at least `minCount` times, the lift of
+   * the pair over its parts' independent rates —
+   * `score = c(ab) · N_bigrams · scale DIV (c(a) · c(b))`
+   * (the PMI argument before the log; log is monotone, so the top-k
+   * ORDERING equals PMI's while staying engine-exact — float log ulps and
+   * partial-sum order cannot flip ranks). The vocabulary-induction
+   * signal that count ranking ([[bigramCounts]]) misses: "of course" beats
+   * "of the" on association even when it loses on raw count.
+   *
+   * Scale shape: one map-side bigram materialization (same no-self-join
+   * trade as [[bigramCounts]]), one aggregate bounded by the bigram
+   * vocabulary, unigram counts as a second vocabulary-bounded aggregate
+   * broadcast back onto the ≥`minCount` pairs, top-k via
+   * TakeOrderedAndProject. The three-factor product is staged through
+   * DECIMAL(38,0) — `c(ab)·N₂·scale` overflows BIGINT at ~10^12 pair
+   * occurrences, i.e. well inside a 100 TB corpus.
+   */
+  def bigramAssociation(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 20, scale: Long = 1000000L): DataFrame = {
+    require(minCount >= 1 && k >= 1 && scale >= 1, "invalid parameters")
+    val ws = split(col(textCol), " ")
+    val tokens = docs.select(ws.as("ws")).filter(size(col("ws")) >= 2)
+    val bigrams = tokens
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val leftCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("n_a"))
+    val rightCounts = bigrams.groupBy("w2").agg(count(lit(1)).as("n_b"))
+    val totals = bigrams.agg(count(lit(1)).as("n2"))
+    pairCounts.filter(col("n_ab") >= minCount)
+      .join(leftCounts, "w1")
+      .join(rightCounts, "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("n_ab"),
+        expr(s"CAST(CAST(n_ab AS DECIMAL(38,0)) * n2 * $scale" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("score"))
+      .orderBy(desc("score"), col("bigram")).limit(k)
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -42,11 +42,29 @@ object Extensions {
       _ => Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text", threshold = 0.7)
         .localCheckpoint())
 
-  /** Drop the staging memo (checkpointed frames are reclaimed by the
+  /** Session-scoped memo of the distinct customer→supplier purchase-graph
+    * edge frame — the staging table both graph rankings (x66 PageRank,
+    * x104 HITS) consume; built from orders⋈lineitem once per session+SF
+    * and localCheckpoint'd (same contract as [[lshPairs]]). */
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def purchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edgesMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir",
+      _ => {
+        val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+          .localCheckpoint()
+      })
+
+  /** Drop the staging memos (checkpointed frames are reclaimed by the
     * ContextCleaner once unreferenced). The bench calls this between timed
-    * passes so each pass honestly pays the one-time staging build —
+    * passes so each pass honestly pays the one-time staging builds —
     * `clearCache()` alone would not drop checkpointed RDD blocks. */
-  def clearStagingMemo(): Unit = lshPairsMemo.clear()
+  def clearStagingMemo(): Unit = { lshPairsMemo.clear(); edgesMemo.clear() }
   private def queryVec(spark: SparkSession, sfDir: String) =
     emb(spark, sfDir).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
 
@@ -343,14 +361,9 @@ object Extensions {
     * lineitem). All-BIGINT fixed-point arithmetic ([[Graph.pageRank]]) makes
     * the iterative ranking bit-reproducible across engines — the oracle is
     * the same three rounds unrolled as CTEs. Top-20 nodes by rank. */
-  private val x66: Q = (spark, sfDir) => {
-    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
-    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-    Graph.pageRank(edges, 3).orderBy(desc("r"), col("v")).limit(20)
-  }
+  private val x66: Q = (spark, sfDir) =>
+    Graph.pageRank(purchaseEdges(spark, sfDir), 3)
+      .orderBy(desc("r"), col("v")).limit(20)
 
   /** x67 — edit-distance near-dup pairs (levenshtein ≤ 20 over 80-char
     * prefixes, restricted to jaccard ≥ 0.7 LSH candidates):
@@ -773,6 +786,56 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy("split")
+  }
+
+  /** x101 — binary-FILE image ingest: the lake-side multimodal source path.
+    * One PNG file per doc is materialized under a scratch dir (layout-build
+    * step, like x32's partitioned write), read back with Spark's
+    * `binaryFile` source, doc ids recovered from filenames, and every
+    * payload run through the REAL `javax.imageio` decode — x12's codec
+    * check, but entering through the file-based source a production image
+    * corpus actually arrives from. */
+  private val x101: Q = (spark, sfDir) => {
+    val dir = s"${QueryUtil.scratchDir}/png_lake_" +
+      sfDir.replaceAll("[^0-9A-Za-z]", "_")
+    Multimodal.writeImageFiles(spark, docs(spark, sfDir), dir)
+    Multimodal.ingestImageDir(spark, dir).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("gray_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** x102 — prefix-corpus novelty ([[Dedup.prefixNovelty]]): per doc, its
+    * distinct shingles and how many no EARLIER doc contains — the crawl
+    * content-growth signal, linear (no pair join). */
+  private val x102: Q = (spark, sfDir) =>
+    Dedup.prefixNovelty(docs(spark, sfDir), "doc_id", "text").orderBy("doc_id")
+
+  /** x103 — collocations by integer-scaled association
+    * ([[TextAnalysis.bigramAssociation]]): top-20 adjacent pairs by
+    * `c(ab)·N₂·10⁶ DIV (c(a)·c(b))` — the PMI ordering without the float
+    * log; complements x69's raw-count ranking. */
+  private val x103: Q = (spark, sfDir) =>
+    TextAnalysis.bigramAssociation(docs(spark, sfDir), "text",
+      minCount = 5L, k = 20)
+
+  /** x104 — integer HITS hubs/authorities ([[Graph.hits]], 2 rounds) over
+    * the x66 purchase graph (shared memoized edge frame): top-20 nodes by
+    * authority. Mutual-reinforcement ranking where PageRank measures link
+    * mass; the unnormalized integer form is bit-identical cross-engine. */
+  private val x104: Q = (spark, sfDir) =>
+    Graph.hits(purchaseEdges(spark, sfDir), iterations = 2)
+      .orderBy(desc("a"), desc("h"), col("v")).limit(20)
+
+  /** x105 — water-filling token-budget allocator
+    * ([[Curation.waterFillAllocation]]): the mixture-capping step — the
+    * integer waterline cap over per-source token supplies at a 60%-of-
+    * corpus budget (binds at every SF), allocations reported per source. */
+  private val x105: Q = (spark, sfDir) => {
+    val toks = docs(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val budget = toks.agg(sum(col("n_tok"))).head().getLong(0) * 6L / 10L
+    Curation.waterFillAllocation(toks, "source", "n_tok", budget)
+      .orderBy("source")
   }
 
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
@@ -1284,7 +1347,12 @@ object Extensions {
     "x97_streaming_sliding_window" -> x97,
     "x98_cluster_capped_retention" -> x98,
     "x99_zscore_by_group" -> x99,
-    "x100_curated_corpus_summary" -> x100)
+    "x100_curated_corpus_summary" -> x100,
+    "x101_binaryfile_ingest" -> x101,
+    "x102_prefix_novelty" -> x102,
+    "x103_bigram_association" -> x103,
+    "x104_hits_integer" -> x104,
+    "x105_waterfill_budget" -> x105)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1458,7 +1526,89 @@ object Extensions {
        |SELECT v, CAST(r AS BIGINT) AS r FROM i$n ORDER BY r DESC, v LIMIT 20""".stripMargin.replace("\n", " ")
   }
 
+  /** Unrolled integer-HITS oracle: `n` rounds as (aK, hK) CTE pairs — the
+    * exact arithmetic of [[graft.operators.Graph.hits]] (auth from previous
+    * hubs, hubs from the NEW auths; every SUM cast back from HUGEINT). */
+  private def hitsOracle(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""a$k AS (SELECT n.v, CAST(COALESCE(SUM(p.h), 0) AS BIGINT) AS a
+         | FROM nodes n LEFT JOIN e ON e.dst = n.v
+         | LEFT JOIN $prevH p ON p.v = e.src GROUP BY n.v),
+         |h$k AS (SELECT n.v, CAST(COALESCE(SUM(a$k.a), 0) AS BIGINT) AS h
+         | FROM nodes n LEFT JOIN e ON e.src = n.v
+         | LEFT JOIN a$k ON a$k.v = e.dst GROUP BY n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+       |h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h$n.v, h$n.h, a$n.a FROM h$n JOIN a$n ON a$n.v = h$n.v
+       |ORDER BY a$n.a DESC, h$n.h DESC, h$n.v LIMIT 20"""
+      .stripMargin.replace("\n", " ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x101_binaryfile_ingest" ->
+      ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |  FROM documents),
+         |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         | CAST(SUM((doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256) AS BIGINT)
+         |   AS gray_sum
+         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x102_prefix_novelty" ->
+      (s"""WITH $shingleCtes,
+         |f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+         |pd AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel
+         | FROM sh JOIN f ON f.s = sh.s GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+         | CAST(COALESCE(pd.n_novel, 0) AS BIGINT) AS n_novel
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
+    "x103_bigram_association" ->
+      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |ix AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w
+         |  WHERE len(ws) >= 2),
+         |b AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2 FROM ix),
+         |pc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM b GROUP BY 1, 2),
+         |lc AS (SELECT w1, COUNT(*) AS n_a FROM b GROUP BY 1),
+         |rc AS (SELECT w2, COUNT(*) AS n_b FROM b GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n2 FROM b)
+         |SELECT pc.w1 || ' ' || pc.w2 AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
+         | CAST((n_ab * n2 * 1000000) // (n_a * n_b) AS BIGINT) AS score
+         |FROM pc JOIN lc ON lc.w1 = pc.w1 JOIN rc ON rc.w2 = pc.w2, t
+         |WHERE n_ab >= 5
+         |ORDER BY score DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+    "x104_hits_integer" -> hitsOracle(2),
+    "x105_waterfill_budget" ->
+      ("""WITH tk AS (SELECT source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         | FROM tk GROUP BY source),
+         |bd AS (SELECT CAST(SUM(n_tokens) * 6 // 10 AS BIGINT) AS budget FROM s),
+         |r AS (SELECT source, n_tokens,
+         |  ROW_NUMBER() OVER wa AS i,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+         |  COUNT(*) OVER () AS n_src,
+         |  CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+         |  LAG(n_tokens, 1, 0) OVER wa AS prev
+         | FROM s WINDOW wa AS (ORDER BY n_tokens, source)),
+         |c AS (SELECT r.*, bd.budget,
+         |  CAST((bd.budget - prefix + n_tokens) // (n_src - i + 1) AS BIGINT) AS cand
+         | FROM r, bd),
+         |cap AS (SELECT CAST(CASE WHEN MAX(total) <= MAX(budget) THEN MAX(n_tokens)
+         |  ELSE MIN(CASE WHEN cand >= prev AND cand < n_tokens THEN cand END)
+         |  END AS BIGINT) AS cap FROM c)
+         |SELECT s.source, s.n_tokens,
+         | CAST(LEAST(s.n_tokens, cap.cap) AS BIGINT) AS allocated, cap.cap
+         |FROM s, cap ORDER BY source""".stripMargin.replace("\n", " ")),
     "x66_pagerank_integer" -> pageRankOracle(3),
     "x69_bigram_vocab_topk" ->
       ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -161,4 +161,44 @@ class CurationSpec extends AnyFunSuite {
     assert(Analytics.timeWeightedAvg(events, "user_id", "ts", "value", "event_id")
       .count() == 0L)
   }
+
+  // supplies (a:5, b:5, c:10) — hand-computed waterlines:
+  //   budget 12 → cap 4 (3·4 ≤ 12 < 3·5);  budget 16 → cap 6 (5+5+6 = 16);
+  //   budget ≥ 20 → nothing capped, cap = max supply
+  private val supplies = Seq(("a", 2L), ("a", 3L), ("b", 5L), ("c", 10L))
+    .toDF("source", "n_tok")
+
+  test("waterFillAllocation: cap below the smallest supply") {
+    val r = Curation.waterFillAllocation(supplies, "source", "n_tok", 12L)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("a", 5L, 4L, 4L), ("b", 5L, 4L, 4L), ("c", 10L, 4L, 4L)))
+  }
+
+  test("waterFillAllocation: cap between supplies saturates the small sources") {
+    val r = Curation.waterFillAllocation(supplies, "source", "n_tok", 16L)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("a", 5L, 5L, 6L), ("b", 5L, 5L, 6L), ("c", 10L, 6L, 6L)))
+  }
+
+  test("waterFillAllocation: budget covering the total supply caps nothing") {
+    val r = Curation.waterFillAllocation(supplies, "source", "n_tok", 25L)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(2)))
+    assert(r.toSeq == Seq(("a", 5L), ("b", 5L), ("c", 10L)))
+  }
+
+  test("waterFillAllocation: allocations never exceed the budget and fill it maximally") {
+    for (budget <- Seq(0L, 3L, 7L, 11L, 14L, 19L, 20L, 100L)) {
+      val rows = Curation.waterFillAllocation(supplies, "source", "n_tok", budget)
+        .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+      val used = rows.map(_._2).sum
+      assert(used <= budget, s"budget $budget overspent: $used")
+      val cap = rows.head._3
+      if (budget < 20L) // below total supply the integer cap must be maximal
+        assert(rows.map { case (t, _, c) => math.min(t, c + 1) }.sum > budget,
+          s"budget $budget: cap $cap not maximal")
+    }
+  }
 }

@@ -31,4 +31,22 @@ class GraphSpec extends AnyFunSuite {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r("b") == 575L) // deg(a) stays 2, not 3
   }
+
+  // 1→3, 2→3, 3→4 with h0=10, hand-computed:
+  //   iter1: a=(3:20, 4:10), h=(1:20, 2:20, 3:10, 4:0)
+  //   iter2: a=(3:40, 4:10), h=(1:40, 2:40, 3:10, 4:0)
+  test("hits: two integer-exact rounds (hubs feed authorities feed hubs)") {
+    val e = Seq(("1", "3"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    val r = Graph.hits(e, iterations = 2, h0 = 10L).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map("1" -> (40L, 0L), "2" -> (40L, 0L),
+      "3" -> (10L, 40L), "4" -> (0L, 10L)))
+  }
+
+  test("hits: duplicate edges collapse (no double-counted contributions)") {
+    val e = Seq(("1", "3"), ("1", "3"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    val r = Graph.hits(e, iterations = 1, h0 = 10L).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("3") == (10L, 20L)) // auth(3) = h0(1) + h0(2), dup edge ignored
+  }
 }

@@ -72,6 +72,18 @@ class DedupSpec extends AnyFunSuite {
     assert(fused == reference)
   }
 
+  test("prefixNovelty: first occurrence owns the shingle; short docs report zeros") {
+    val d = Seq(
+      (1L, "a b c d"),   // shingles {abc, bcd} — both novel
+      (2L, "b c d e"),   // {bcd, cde} — bcd seen in doc 1, cde novel
+      (3L, "x"),         // too short: 0 shingles
+      (4L, "a b c d")    // exact dup of doc 1: nothing novel
+    ).toDF("doc_id", "text")
+    val r = Dedup.prefixNovelty(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> (2L, 2L), 2L -> (2L, 1L), 3L -> (0L, 0L), 4L -> (2L, 0L)))
+  }
+
   test("repetitionStats: counts total vs distinct n-grams") {
     val df = Seq((1L, "a b c a b c a b c"), (2L, "all unique words right here"), (3L, "x y"))
       .toDF("doc_id", "text")
@@ -462,6 +474,17 @@ class MultimodalSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bigramAssociation: integer PMI-order scores, hand-computed") {
+    // docs: "a b a b" → (a,b),(b,a),(a,b); "a b c" → (a,b),(b,c)
+    // n_ab: (a,b)=3 (b,a)=1 (b,c)=1; n_a: a=3 b=2; n_b: b=3 a=1 c=1; N2=5
+    // score·1000: (a,b)=3·5·1000/(3·3)=1666, (b,a)=1·5·1000/(2·1)=2500,
+    // (b,c)=2500 — tie broken by bigram string
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramAssociation(d, "text", minCount = 1L, k = 10,
+      scale = 1000L).collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("b a", 1L, 2500L), ("b c", 1L, 2500L), ("a b", 3L, 1666L)))
+  }
+
   test("extractFeatures round-trips the real PNG codec (decode∘encode = identity)") {
     val docs = Seq((7L, "abc", "en", "src1", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val f = Multimodal.extractFeatures(spark, Multimodal.renderImageTable(spark, docs))
@@ -478,5 +501,18 @@ class MultimodalSpec extends AnyFunSuite {
   test("decodeImage fails loudly on a non-image payload") {
     val e = intercept[Exception](Multimodal.decodeImage("not a png".getBytes("UTF-8")))
     assert(e.getMessage.contains("decodable"))
+  }
+
+  test("binaryFile ingest equals the payload-column pipeline on the same docs") {
+    val docs = Seq((3L, "x", "en", "s", 1L), (11L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_test").toString
+    Multimodal.writeImageFiles(spark, docs, dir)
+    val viaFiles = Multimodal.ingestImageDir(spark, dir).collect()
+      .map(f => (f.doc_id, f.width, f.height, f.gray_sum)).sortBy(_._1).toSeq
+    val viaTable = Multimodal.extractFeatures(
+      spark, Multimodal.renderImageTable(spark, docs)).collect()
+      .map(f => (f.doc_id, f.width, f.height, f.gray_sum)).sortBy(_._1).toSeq
+    assert(viaFiles == viaTable && viaFiles.size == 2)
   }
 }
