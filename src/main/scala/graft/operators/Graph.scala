@@ -48,12 +48,18 @@ object Graph {
    *
    * @param edges (src, dst) directed edge frame; duplicates collapsed.
    * @param r0    initial rank per node (fixed-point scale).
+   * @param assumeDistinct skip the dedup exchange when the caller already
+   *   materialized a distinct edge frame (e.g. a checkpointed staging
+   *   table Catalyst cannot see through) — semantics are the caller's
+   *   contract, the plan saves one full shuffle of the edge set.
    */
   def pageRank(edges: DataFrame, iterations: Int, r0: Long = 1000000000000L,
-      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+      dampNum: Int = 85, dampDen: Int = 100,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20, s"iterations $iterations not in [1,20]")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val raw = edges.select(col("src"), col("dst"))
+    val e = if (assumeDistinct) raw else raw.distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val ed = e.join(deg, "src").cache()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
@@ -96,10 +102,12 @@ object Graph {
    * ~3·10^6 per round; shrink `h0` for denser graphs (resolution degrades
    * gracefully, the ordering is preserved).
    */
-  def hits(edges: DataFrame, iterations: Int = 2, h0: Long = 1000000L): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int = 2, h0: Long = 1000000L,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations $iterations not in [1,10]")
     require(h0 >= 1L, s"h0 $h0 must be positive")
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val raw = edges.select(col("src"), col("dst"))
+    val e = (if (assumeDistinct) raw else raw.distinct()).cache()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().cache()
     var hub = nodes.withColumn("h", lit(h0))

@@ -80,6 +80,40 @@ object Integrity {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Targeted repair diff — the anti-entropy step AFTER [[syncCheck]]: for
+   * the buckets whose counts/checksums drifted, the exact keys to re-copy,
+   * each tagged `only_src` / `only_dst` / `changed`. In-sync buckets never
+   * reach the key-level join, so the repair payload (and the join) scales
+   * with the DRIFT, not the table — re-ship a few keys, not 100 TB.
+   *
+   * Scale shape: per-key 60-bit fingerprints are map-side over each scan;
+   * the drifted-bucket set is an O(buckets) frame broadcast into left-semi
+   * prunes of both sides; the full-outer key join runs only over drifted
+   * buckets' rows. (On a lake laid out WITH a bucket column the semi join
+   * becomes partition pruning and the healthy data is never read at all.)
+   */
+  def repairDiff(src: DataFrame, dst: DataFrame, keyCol: String,
+      fingerprint: DataFrame => Column, buckets: Int = 16): DataFrame = {
+    val keyed = (df: DataFrame) =>
+      df.select(pmod(col(keyCol), lit(buckets.toLong)).cast("int").as("bucket"),
+        col(keyCol).as("k"), PortableHash.hash60(fingerprint(df)).as("h"))
+    val a = keyed(src)
+    val b = keyed(dst)
+    val drifted = syncCheck(src, dst, keyCol, fingerprint, buckets)
+      .filter(!col("in_sync")).select("bucket")
+    val aDrift = a.join(broadcast(drifted), Seq("bucket"), "left_semi")
+      .withColumnsRenamed(Map("h" -> "h_src"))
+    val bDrift = b.join(broadcast(drifted), Seq("bucket"), "left_semi")
+      .withColumnsRenamed(Map("h" -> "h_dst"))
+    aDrift.join(bDrift, Seq("bucket", "k"), "full_outer")
+      .filter(!col("h_src").eqNullSafe(col("h_dst")))
+      .select(col("bucket"), col("k"),
+        when(col("h_dst").isNull, "only_src")
+          .when(col("h_src").isNull, "only_dst")
+          .otherwise("changed").as("status"))
+  }
+
   def syncCheck(src: DataFrame, dst: DataFrame, keyCol: String,
       fingerprint: DataFrame => Column, buckets: Int = 16): DataFrame = {
     val a = bucketChecksums(src, keyCol, fingerprint(src), buckets)

@@ -59,4 +59,19 @@ object Skew {
           .as("skew_scaled"))
       .orderBy(desc("n"), col(keyCol)).limit(k)
   }
+
+  /**
+   * Skew-safe EXACT distinct count per key: dedup on (key, value) FIRST —
+   * hash-partitioned by the pair, so a hot key's rows spread over the whole
+   * cluster — then count per key with map-side partial aggregation. The
+   * naive `groupBy(key).agg(countDistinct(value))` hashes every row of the
+   * hot key into ONE task's aggregation buffer (Expand + exchange on the
+   * key alone): the straggler that salting exists to kill, solved here by
+   * partitioning choice instead of salt bookkeeping. Result is identical
+   * by construction; PlanSpec pins the two-exchange shape.
+   */
+  def distinctCountSkewSafe(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    df.select(col(keyCol), col(valCol)).distinct()
+      .groupBy(keyCol).agg(count(lit(1)).as("n_distinct"))
 }

@@ -710,6 +710,24 @@ object BTier {
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  /** b55 — ranking-function zoo: NTILE / PERCENT_RANK / CUME_DIST over the
+    * same deterministic (partition, order) — the SQL surface behind
+    * quantile bucketing (curriculum deciles, equal-size shards). The two
+    * float functions are single divisions of small integers, so they are
+    * bit-identical across engines (no summation order involved). */
+  private val b55: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        | NTILE(4) OVER w AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -764,11 +782,22 @@ object BTier {
     "b51_group_by_all" -> b51,
     "b52_sliding_window" -> b52,
     "b53_try_cast_parse" -> b53,
-    "b54_ignore_nulls_window" -> b54)
+    "b54_ignore_nulls_window" -> b54,
+    "b55_ranking_zoo" -> b55)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b55_ranking_zoo" ->
+      ("""SELECT l_returnflag, l_orderkey, l_linenumber,
+         | NTILE(4) OVER w AS quartile,
+         | PERCENT_RANK() OVER w AS pct_rank,
+         | CUME_DIST() OVER w AS cume
+         |FROM lineitem
+         |WINDOW w AS (PARTITION BY l_returnflag
+         |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+         |ORDER BY l_returnflag, l_orderkey, l_linenumber"""
+        .stripMargin.replace("\n", " ")),
     "b49_exists_not_exists" ->
       ("""SELECT c_custkey, c_mktsegment FROM customer c
          |WHERE EXISTS (SELECT 1 FROM orders o

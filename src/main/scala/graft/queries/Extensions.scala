@@ -362,7 +362,7 @@ object Extensions {
     * the iterative ranking bit-reproducible across engines — the oracle is
     * the same three rounds unrolled as CTEs. Top-20 nodes by rank. */
   private val x66: Q = (spark, sfDir) =>
-    Graph.pageRank(purchaseEdges(spark, sfDir), 3)
+    Graph.pageRank(purchaseEdges(spark, sfDir), 3, assumeDistinct = true)
       .orderBy(desc("r"), col("v")).limit(20)
 
   /** x67 — edit-distance near-dup pairs (levenshtein ≤ 20 over 80-char
@@ -823,7 +823,7 @@ object Extensions {
     * authority. Mutual-reinforcement ranking where PageRank measures link
     * mass; the unnormalized integer form is bit-identical cross-engine. */
   private val x104: Q = (spark, sfDir) =>
-    Graph.hits(purchaseEdges(spark, sfDir), iterations = 2)
+    Graph.hits(purchaseEdges(spark, sfDir), iterations = 2, assumeDistinct = true)
       .orderBy(desc("a"), desc("h"), col("v")).limit(20)
 
   /** x105 — water-filling token-budget allocator
@@ -836,6 +836,74 @@ object Extensions {
     val budget = toks.agg(sum(col("n_tok"))).head().getLong(0) * 6L / 10L
     Curation.waterFillAllocation(toks, "source", "n_tok", budget)
       .orderBy("source")
+  }
+
+  /** x106 — BOUNDED-STATE streaming dedup
+    * ([[graft.streaming.EventStream.boundedDedupDaily]]):
+    * `dropDuplicatesWithinWatermark` on (user, type, event-day) with a
+    * 1-day delay — day-scoped key state is EVICTED as the watermark
+    * passes, so state is bounded by keys-per-window, not all-time keys
+    * (the production companion to x28's exact dropDuplicates). */
+  private val x106: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.boundedDedupDaily(spark, sfDir)
+
+  /** x107 — corrupt-record quarantine ingest: a JSONL lake file with
+    * deterministically planted malformed lines (doc-id modulus), read in
+    * PERMISSIVE mode with `_corrupt_record` — bad lines land in the
+    * quarantine bucket instead of killing the job (b53's try_cast story at
+    * the SOURCE layer), reported as per-lang parse counts. */
+  private val x107: Q = (spark, sfDir) => {
+    val dir = s"${QueryUtil.scratchDir}/jsonl_" +
+      sfDir.replaceAll("[^0-9A-Za-z]", "_")
+    docs(spark, sfDir).select(
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id"), lit(",")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    spark.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .groupBy(when(col("_corrupt_record").isNotNull, "_corrupt")
+        .otherwise(col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** x108 — targeted sync repair ([[Integrity.repairDiff]]): x79's
+    * drifted-bucket narrowing taken to the key level — changed / only-src /
+    * only-dst keys, with the key join restricted to drifted buckets so the
+    * repair payload scales with the drift. Drift planted on three id
+    * moduli (non-vacuous for all three statuses at every SF). */
+  private val x108: Q = (spark, sfDir) => {
+    val src = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val dst = src.filter(pmod(col("c_custkey"), lit(31)) =!= 0)
+      .withColumn("c_acctbal", col("c_acctbal") +
+        when(pmod(col("c_custkey"), lit(29)) === 0, 1.0).otherwise(0.0))
+      .unionByName(src.filter(pmod(col("c_custkey"), lit(37)) === 0)
+        .withColumn("c_custkey", -col("c_custkey")))
+    val fp = (df: DataFrame) => concat_ws("|",
+      col("c_custkey"),
+      col("c_acctbal").cast("decimal(18,2)").cast("string"),
+      col("c_mktsegment"))
+    Integrity.repairDiff(src, dst, "c_custkey", fp, buckets = 16)
+      .orderBy("bucket", "k", "status")
+  }
+
+  /** x109 — skew-safe exact distinct count
+    * ([[Skew.distinctCountSkewSafe]]): a planted hot key (a third of all
+    * events remapped to one user) counted by pair-dedup-then-count — the
+    * hot key's rows spread across the (key, value) hash space instead of
+    * one countDistinct buffer. */
+  private val x109: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(3)) === 0, 0L).otherwise(col("user_id")))
+    Skew.distinctCountSkewSafe(ev, "user_id", "event_type").orderBy("user_id")
   }
 
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
@@ -1352,7 +1420,11 @@ object Extensions {
     "x102_prefix_novelty" -> x102,
     "x103_bigram_association" -> x103,
     "x104_hits_integer" -> x104,
-    "x105_waterfill_budget" -> x105)
+    "x105_waterfill_budget" -> x105,
+    "x106_bounded_stream_dedup" -> x106,
+    "x107_corrupt_quarantine" -> x107,
+    "x108_sync_repair_diff" -> x108,
+    "x109_skew_safe_distinct" -> x109)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1586,6 +1658,36 @@ object Extensions {
          |WHERE n_ab >= 5
          |ORDER BY score DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
     "x104_hits_integer" -> hitsOracle(2),
+    "x106_bounded_stream_dedup" ->
+      ("""SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+         |FROM events ORDER BY user_id, event_type, day"""
+        .stripMargin.replace("\n", " ")),
+    "x107_corrupt_quarantine" ->
+      ("""SELECT CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE lang END AS lang,
+         | COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
+         |   AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    "x108_sync_repair_diff" ->
+      ("""WITH src AS (SELECT c_custkey AS k,
+         |  CAST(c_acctbal AS DECIMAL(18,2)) AS b FROM customer),
+         |dst AS (SELECT k, CASE WHEN k % 29 = 0 THEN b + 1 ELSE b END AS b
+         |  FROM src WHERE k % 31 <> 0
+         | UNION ALL SELECT -k, b FROM src WHERE k % 37 = 0),
+         |d AS (SELECT COALESCE(s.k, t.k) AS k,
+         |  CASE WHEN t.k IS NULL THEN 'only_src'
+         |       WHEN s.k IS NULL THEN 'only_dst'
+         |       WHEN s.b <> t.b THEN 'changed' END AS status
+         | FROM src s FULL OUTER JOIN dst t ON s.k = t.k)
+         |SELECT CAST(((k % 16) + 16) % 16 AS INT) AS bucket, k, status
+         |FROM d WHERE status IS NOT NULL ORDER BY bucket, k, status"""
+        .stripMargin.replace("\n", " ")),
+    "x109_skew_safe_distinct" ->
+      ("""WITH e AS (SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END
+         |  AS user_id, event_type FROM events)
+         |SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
+         |FROM e GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replace("\n", " ")),
     "x105_waterfill_budget" ->
       ("""WITH tk AS (SELECT source,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -269,6 +269,43 @@ object EventStream {
   }
 
   /**
+   * BOUNDED-STATE STREAMING DEDUPLICATION: `dropDuplicatesWithinWatermark`
+   * keyed on (user, type, event-day) with a 1-day watermark delay — the
+   * production semantics [[streamingDistinctPairs]] deliberately avoids:
+   * state for a day's keys is EVICTED once the watermark passes, so state
+   * size is bounded by keys-per-delay-window, not all-time distinct keys
+   * (the difference between a stream that runs for years and one that
+   * OOMs).
+   *
+   * Equality with the batch `DISTINCT (user, type, day)` oracle holds
+   * because the replay is event-time-ordered (quartile slices ⇒ no late
+   * drops) and every duplicate of a day-scoped key arrives within one day
+   * of its first occurrence — inside the within-watermark guarantee — so
+   * no key is ever re-emitted after eviction.
+   */
+  def boundedDedupDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val dedup = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .withColumn("day", to_date(col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+
+    val qname = "graft_wmdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      val query = dedup.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    spark.table(qname).orderBy("user_id", "event_type", "day")
+  }
+
+  /**
    * STREAM-STATIC JOIN: the event stream enriched against the static
    * `customer` dimension (user_id ↔ c_custkey), then a windowless streaming
    * aggregation by (market segment, event type). The static side is read

@@ -166,6 +166,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filterNot(_._1 == 2).values.forall(_._3))
   }
 
+  test("repairDiff: emits exactly the differing keys, tagged by drift kind") {
+    val src = (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v")
+    val fp = (df: org.apache.spark.sql.DataFrame) => concat_ws("|", col("k"), col("v"))
+    val dst = src.filter(col("k") =!= 10)                            // only_src
+      .withColumn("v", when(col("k") === 19, "DRIFT").otherwise(col("v"))) // changed
+      .union(Seq((99L, "new")).toDF("k", "v"))                       // only_dst
+    val out = operators.Integrity.repairDiff(src, dst, "k", fp, buckets = 8)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((10L, "only_src"), (19L, "changed"), (99L, "only_dst")))
+    // identical tables → empty repair payload
+    assert(operators.Integrity.repairDiff(src, src, "k", fp, buckets = 8)
+      .collect().isEmpty)
+  }
+
+  test("distinctCountSkewSafe equals countDistinct on a hot-key frame") {
+    val df = (1L to 400L).map(i => (if (i % 2 == 0) 0L else i % 7, s"t${i % 5}"))
+      .toDF("user_id", "event_type")
+    val safe = operators.Skew.distinctCountSkewSafe(df, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.groupBy("user_id").agg(countDistinct(col("event_type")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(safe == naive && safe(0L) == 5L)
+  }
+
   test("ensureBucketed: memoized write, catalog-backed reads equal the source") {
     val spark2 = SparkTestSession.spark
     val src = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")

@@ -436,4 +436,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop:\n$p")
   }
+
+  test("x109: skew-safe distinct partitions by the PAIR, then partial-aggs on the key") {
+    val p = plan("x109_skew_safe_distinct")
+    assert(p.contains("hashpartitioning(user_id"), s"key exchange expected:\n$p")
+    assert(p.contains("hashpartitioning(user_id#") || p.contains("event_type"),
+      s"pair dedup exchange expected:\n$p")
+    // the hot-key killer: the dedup exchange must hash BOTH columns
+    assert("hashpartitioning\\(user_id[^)]*event_type".r.findFirstIn(p).isDefined,
+      s"dedup must partition on (user_id, event_type), not user_id alone:\n$p")
+    assert(!p.contains("Expand"), s"no countDistinct Expand (that is the skewed shape):\n$p")
+  }
+
+  test("x108: repair diff prunes both sides with broadcast semi joins on drifted buckets") {
+    val p = plan("x108_sync_repair_diff")
+    val semis = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semis.size >= 2, s"both sides must semi-prune to drifted buckets:\n$p")
+    assert(semis.forall(_.contains("Broadcast")),
+      s"bucket set is O(buckets) — must broadcast:\n${semis.mkString("\n")}")
+  }
 }
