@@ -88,4 +88,24 @@ object CdcMerge {
       .filter(col("rn") === 1 && col(opCol) =!= DeleteOp)
       .select(col(keyCol) +: attrCols.map(col): _*)
   }
+
+  /**
+   * Incremental equi-join maintenance for APPEND-ONLY deltas — the join
+   * analog of the x40 partial-state aggregate: with a previously
+   * materialized `old ⋈ old` result, the updated join is
+   * `old ∪ incrementalJoinDelta(...)`, where the delta is
+   * `ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR` — every term joins a DELTA against a full
+   * side, so the nightly maintenance cost is O(|Δ| · match rate), never a
+   * re-join of two 100 TB tables. (Correctness is the distributivity of ⋈
+   * over ∪; the decomposition assigns each new pair to exactly one term.)
+   * Deltas small by construction ⇒ Spark broadcasts them; the big sides
+   * are probed map-side without a shuffle.
+   */
+  def incrementalJoinDelta(oldLeft: DataFrame, deltaLeft: DataFrame,
+      oldRight: DataFrame, deltaRight: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "incrementalJoinDelta needs join keys")
+    deltaLeft.join(oldRight.unionByName(deltaRight), keys)
+      .unionByName(oldLeft.join(deltaRight, keys))
+  }
 }

@@ -728,6 +728,22 @@ object BTier {
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** b56 — VARIANT ingestion (Spark 4 semi-structured type): JSON props
+    * parsed ONCE into a Variant column, then typed `variant_get` paths —
+    * the shred-at-read pattern replacing per-access string re-parsing
+    * (b21's get_json_object re-parses the string per extraction; a Variant
+    * parses once and serves every path from its binary encoding). */
+  private val b56: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH v AS (SELECT event_type, parse_json(props) AS pv FROM events),
+        |t AS (SELECT event_type, variant_get(pv, '$.k', 'int') AS k FROM v)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        | MAX(k) AS max_k,
+        | CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -783,11 +799,21 @@ object BTier {
     "b52_sliding_window" -> b52,
     "b53_try_cast_parse" -> b53,
     "b54_ignore_nulls_window" -> b54,
-    "b55_ranking_zoo" -> b55)
+    "b55_ranking_zoo" -> b55,
+    "b56_variant_json" -> b56)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b56_variant_json" ->
+      ("""WITH t AS (SELECT event_type,
+         |  CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT) AS k
+         | FROM events)
+         |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+         | MAX(k) AS max_k,
+         | CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |FROM t GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
     "b55_ranking_zoo" ->
       ("""SELECT l_returnflag, l_orderkey, l_linenumber,
          | NTILE(4) OVER w AS quartile,

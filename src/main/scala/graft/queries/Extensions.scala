@@ -906,6 +906,40 @@ object Extensions {
     Skew.distinctCountSkewSafe(ev, "user_id", "event_type").orderBy("user_id")
   }
 
+  /** x110 — incremental JOIN maintenance
+    * ([[CdcMerge.incrementalJoinDelta]]): the old orders⋈customer result
+    * is materialized once (the previously-built table), then append-only
+    * deltas on BOTH sides (id-modulo splits) are folded in as
+    * `ΔL⋈(R∪ΔR) ∪ L⋈ΔR` — no re-join of the full sides. The oracle is the
+    * full join of the full tables, so equality proves the decomposition. */
+  private val x110: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val oldO = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+    val dO = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+    val oldC = c.filter(pmod(col("custkey"), lit(17)) =!= 0)
+    val dC = c.filter(pmod(col("custkey"), lit(17)) === 0)
+    val path = s"${QueryUtil.scratchDir}/oldjoin_" +
+      sfDir.replaceAll("[^0-9A-Za-z]", "_")
+    oldO.join(oldC, "custkey").write.mode("overwrite").parquet(path)
+    val oldJoin = spark.read.parquet(path)
+    val updated = oldJoin.unionByName(
+      CdcMerge.incrementalJoinDelta(oldO, dO, oldC, dC, Seq("custkey")))
+    updated.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** x111 — Spark 4 `transformWithState`
+    * ([[graft.streaming.EventStream.purchaseMilestones]]): per-user
+    * purchase counter in named ValueState (RocksDB-backed), emitting one
+    * row per 5-purchase milestone crossed — the newest arbitrary-state
+    * API beside the mapGroupsWithState/flatMapGroupsWithState pair. */
+  private val x111: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.purchaseMilestones(spark, sfDir, step = 5)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1424,7 +1458,9 @@ object Extensions {
     "x106_bounded_stream_dedup" -> x106,
     "x107_corrupt_quarantine" -> x107,
     "x108_sync_repair_diff" -> x108,
-    "x109_skew_safe_distinct" -> x109)
+    "x109_skew_safe_distinct" -> x109,
+    "x110_incremental_join" -> x110,
+    "x111_transform_with_state" -> x111)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1688,6 +1724,19 @@ object Extensions {
          |SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
          |FROM e GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replace("\n", " ")),
+    "x110_incremental_join" ->
+      ("""SELECT c_mktsegment, COUNT(*) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin.replace("\n", " ")),
+    "x111_transform_with_state" ->
+      ("""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |m AS (SELECT user_id, unnest(range(1, n // 5 + 1)) * 5 AS milestone
+         |  FROM c WHERE n >= 5)
+         |SELECT user_id, CAST(milestone AS BIGINT) AS milestone
+         |FROM m ORDER BY user_id, milestone""".stripMargin.replace("\n", " ")),
     "x105_waterfill_budget" ->
       ("""WITH tk AS (SELECT source,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /**
  * Structured Streaming over the `events` table — SURVEY.md §7.4's streaming
@@ -266,6 +266,73 @@ object EventStream {
     }
 
     spark.table(qname).orderBy("user_id", "event_type")
+  }
+
+  /** Output row of [[purchaseMilestones]]. */
+  case class Milestone(user_id: Long, milestone: Long)
+
+  /**
+   * `transformWithState` processor: a per-user running purchase counter in
+   * a `ValueState[Long]`, emitting a row each time the count crosses a
+   * multiple of `step`. The emitted SET is a pure function of final counts
+   * (batching only changes how many milestones one invocation emits), so
+   * the streaming result is oracle-checkable against batch arithmetic.
+   */
+  private class MilestoneProcessor(step: Int)
+      extends StatefulProcessor[Long, Long, Milestone] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[Milestone] = {
+      val before = if (count.exists()) count.get() else 0L
+      val after = before + rows.size
+      count.update(after)
+      Iterator.range(before / step + 1, after / step + 1)
+        .map(m => Milestone(key, m * step))
+    }
+  }
+
+  /**
+   * ARBITRARY STATE, NEW API: the Spark 4 `transformWithState` operator
+   * (the typed-state successor to mapGroupsWithState — named states, TTL,
+   * timers, RocksDB-backed) driving a per-user milestone emitter: one
+   * output row per `step` purchases crossed. State is one Long per user;
+   * milestones emit exactly once because the counter never replays under
+   * the ordered drain.
+   *
+   * Requires the RocksDB state store provider — set for the drain and
+   * restored after, the same scoped-conf discipline as
+   * [[withStatePartitions]].
+   */
+  def purchaseMilestones(spark: SparkSession, sfDir: String,
+      step: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val purchases = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).as[Long]
+    val milestones = purchases.groupByKey(identity)
+      .transformWithState(new MilestoneProcessor(step),
+        TimeMode.None(), OutputMode.Append(), Encoders.product[Milestone])
+
+    val qname = "graft_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withStatePartitions(spark) {
+        val query = milestones.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qname)
+          .start()
+        try query.processAllAvailable() finally query.stop()
+      }
+    } finally spark.conf.set(provKey, prevProv)
+    spark.table(qname).orderBy("user_id", "milestone")
   }
 
   /**

@@ -190,6 +190,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(safe == naive && safe(0L) == 5L)
   }
 
+  test("incrementalJoinDelta: old ∪ delta == full join; delta has no old-old pairs") {
+    val l = (1L to 40L).map(i => (i % 8, i)).toDF("k", "lv")
+    val r = (1L to 12L).map(i => (i % 8, i * 100)).toDF("k", "rv")
+    val (oldL, dL) = (l.filter(col("lv") % 5 =!= 0), l.filter(col("lv") % 5 === 0))
+    val (oldR, dR) = (r.filter(col("rv") % 300 =!= 0), r.filter(col("rv") % 300 === 0))
+    val delta = operators.CdcMerge.incrementalJoinDelta(oldL, dL, oldR, dR, Seq("k"))
+    val setOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val incremental = setOf(oldL.join(oldR, Seq("k")).unionByName(delta))
+    assert(incremental == setOf(l.join(r, Seq("k"))))
+    // every delta pair involves at least one delta-side row — the operator
+    // must never recompute old-old pairs (that is the whole point)
+    setOf(delta).keys.foreach { case (_, lv, rv) =>
+      assert(lv % 5 == 0 || rv % 300 == 0, s"old-old pair in delta: ($lv, $rv)")
+    }
+  }
+
   test("ensureBucketed: memoized write, catalog-backed reads equal the source") {
     val spark2 = SparkTestSession.spark
     val src = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
