@@ -940,6 +940,57 @@ object Extensions {
   private val x111: Q = (spark, sfDir) =>
     graft.streaming.EventStream.purchaseMilestones(spark, sfDir, step = 5)
 
+  /** x112 — schema-drift tolerant lake read: half the corpus written with
+    * the ORIGINAL 3-column schema, half with a LATER 4-column schema
+    * (the `source` column added mid-stream — the classic producer
+    * deployment drift), read back as one table with `mergeSchema` —
+    * pre-drift rows surface the new column as NULL instead of failing the
+    * read or silently dropping files. */
+  private val x112: Q = (spark, sfDir) => {
+    val base = s"${QueryUtil.scratchDir}/drift_lake_" +
+      sfDir.replaceAll("[^0-9A-Za-z]", "_")
+    val d = docs(spark, sfDir)
+    d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/v1")
+    d.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      .select("doc_id", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$base/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_pre_drift"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** x113 — dynamic partition overwrite: initial partitioned load, then a
+    * restatement batch covering ONLY one partition (1997 prices doubled)
+    * written with `partitionOverwriteMode=dynamic` — exactly that
+    * partition is replaced, every other year's data survives (static
+    * overwrite mode would silently truncate the whole table; the oracle's
+    * other-year totals catch that). */
+  private val x113: Q = (spark, sfDir) => {
+    val base = s"${QueryUtil.scratchDir}/dynpart_" +
+      sfDir.replaceAll("[^0-9A-Za-z]", "_")
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.write.partitionBy("o_year").mode("overwrite").parquet(base)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try
+      o.filter(col("o_year") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.partitionBy("o_year").mode("overwrite").parquet(base)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(base)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_year")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1460,7 +1511,9 @@ object Extensions {
     "x108_sync_repair_diff" -> x108,
     "x109_skew_safe_distinct" -> x109,
     "x110_incremental_join" -> x110,
-    "x111_transform_with_state" -> x111)
+    "x111_transform_with_state" -> x111,
+    "x112_schema_drift_read" -> x112,
+    "x113_dynamic_partition_overwrite" -> x113)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1737,6 +1790,20 @@ object Extensions {
          |  FROM c WHERE n >= 5)
          |SELECT user_id, CAST(milestone AS BIGINT) AS milestone
          |FROM m ORDER BY user_id, milestone""".stripMargin.replace("\n", " ")),
+    "x112_schema_drift_read" ->
+      ("""SELECT lang, COUNT(*) AS n,
+         | CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_pre_drift,
+         | CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN source END)
+         |   AS BIGINT) AS n_sources
+         |FROM documents GROUP BY lang ORDER BY lang"""
+        .stripMargin.replace("\n", " ")),
+    "x113_dynamic_partition_overwrite" ->
+      ("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+         | CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1997
+         |   THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2)))
+         |   AS DOUBLE) AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
     "x105_waterfill_budget" ->
       ("""WITH tk AS (SELECT source,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
