@@ -67,11 +67,20 @@ object Skew {
    * naive `groupBy(key).agg(countDistinct(value))` hashes every row of the
    * hot key into ONE task's aggregation buffer (Expand + exchange on the
    * key alone): the straggler that salting exists to kill, solved here by
-   * partitioning choice instead of salt bookkeeping. Result is identical
-   * by construction; PlanSpec pins the two-exchange shape.
+   * partitioning choice instead of salt bookkeeping. NULL values are
+   * excluded before the pair dedup (COUNT DISTINCT semantics — a bare
+   * pair-distinct would count NULL as a value) and every key keeps a row
+   * via the key-spine left join, so the result equals `countDistinct` on
+   * ALL inputs; PlanSpec pins the two-exchange shape.
    */
   def distinctCountSkewSafe(df: DataFrame, keyCol: String,
-      valCol: String): DataFrame =
-    df.select(col(keyCol), col(valCol)).distinct()
+      valCol: String): DataFrame = {
+    val counts = df.select(col(keyCol), col(valCol))
+      .filter(col(valCol).isNotNull)
+      .distinct()
       .groupBy(keyCol).agg(count(lit(1)).as("n_distinct"))
+    df.select(col(keyCol)).distinct()
+      .join(counts, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+  }
 }

@@ -1742,7 +1742,8 @@ object Extensions {
          |rc AS (SELECT w2, COUNT(*) AS n_b FROM b GROUP BY 1),
          |t AS (SELECT COUNT(*) AS n2 FROM b)
          |SELECT pc.w1 || ' ' || pc.w2 AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
-         | CAST((n_ab * n2 * 1000000) // (n_a * n_b) AS BIGINT) AS score
+         | CAST(CAST(n_ab AS HUGEINT) * n2 * 1000000
+         |   // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS score
          |FROM pc JOIN lc ON lc.w1 = pc.w1 JOIN rc ON rc.w2 = pc.w2, t
          |WHERE n_ab >= 5
          |ORDER BY score DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),

@@ -180,14 +180,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
-  test("distinctCountSkewSafe equals countDistinct on a hot-key frame") {
-    val df = (1L to 400L).map(i => (if (i % 2 == 0) 0L else i % 7, s"t${i % 5}"))
-      .toDF("user_id", "event_type")
+  test("distinctCountSkewSafe equals countDistinct, including NULL values") {
+    // NULL event_type on a third of rows + one all-NULL key (6): COUNT
+    // DISTINCT ignores NULLs, and key 6 must still report a 0 row
+    val df = (1L to 400L).map { i =>
+      val k = if (i % 2 == 0) 0L else i % 7
+      val v = if (k == 6L || i % 3 == 0) null else s"t${i % 5}"
+      (k, v)
+    }.toDF("user_id", "event_type")
     val safe = operators.Skew.distinctCountSkewSafe(df, "user_id", "event_type")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val naive = df.groupBy("user_id").agg(countDistinct(col("event_type")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(safe == naive && safe(0L) == 5L)
+    assert(safe == naive && safe(0L) == 5L && safe(6L) == 0L)
   }
 
   test("incrementalJoinDelta: old ∪ delta == full join; delta has no old-old pairs") {
