@@ -52,18 +52,25 @@ object Graph {
    *   materialized a distinct edge frame (e.g. a checkpointed staging
    *   table Catalyst cannot see through) — semantics are the caller's
    *   contract, the plan saves one full shuffle of the edge set.
+   * @param precomputedNodes optional (v)-column node frame (e.g. shared
+   *   staging, see Extensions.purchaseNodes) — skips the union+distinct
+   *   derivation; must equal the edges' endpoint set (caller's contract,
+   *   like `assumeDistinct`).
    */
   def pageRank(edges: DataFrame, iterations: Int, r0: Long = 1000000000000L,
       dampNum: Int = 85, dampDen: Int = 100,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      precomputedNodes: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 20, s"iterations $iterations not in [1,20]")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val raw = edges.select(col("src"), col("dst"))
     val e = if (assumeDistinct) raw else raw.distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val ed = e.join(deg, "src").cache()
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().cache()
+    val nodes = precomputedNodes.map(_.select(col("v")))
+      .getOrElse(e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+        .distinct())
+      .cache()
     // exact floor(r0·(den−num)/den) for ANY r0 without overflowing the
     // intermediate product: split r0 = q·den + rem and divide the remainder
     // term separately — a plain r0/den*(den−num) silently diverges from the
@@ -103,13 +110,16 @@ object Graph {
    * gracefully, the ordering is preserved).
    */
   def hits(edges: DataFrame, iterations: Int = 2, h0: Long = 1000000L,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      precomputedNodes: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations $iterations not in [1,10]")
     require(h0 >= 1L, s"h0 $h0 must be positive")
     val raw = edges.select(col("src"), col("dst"))
     val e = (if (assumeDistinct) raw else raw.distinct()).cache()
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().cache()
+    val nodes = precomputedNodes.map(_.select(col("v")))
+      .getOrElse(e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+        .distinct())
+      .cache()
     var hub = nodes.withColumn("h", lit(h0))
     var auth = nodes.withColumn("a", lit(0L))
     for (_ <- 1 to iterations) {

@@ -60,11 +60,26 @@ object Extensions {
           .localCheckpoint()
       })
 
+  /** Node frame of [[purchaseEdges]] (distinct endpoint set), checkpointed
+    * once per session+SF — both graph rankings derive it otherwise. */
+  private val nodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def purchaseNodes(spark: SparkSession, sfDir: String): DataFrame =
+    nodesMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir",
+      _ => {
+        val e = purchaseEdges(spark, sfDir)
+        e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+          .distinct()
+          .localCheckpoint()
+      })
+
   /** Drop the staging memos (checkpointed frames are reclaimed by the
     * ContextCleaner once unreferenced). The bench calls this between timed
     * passes so each pass honestly pays the one-time staging builds —
     * `clearCache()` alone would not drop checkpointed RDD blocks. */
-  def clearStagingMemo(): Unit = { lshPairsMemo.clear(); edgesMemo.clear() }
+  def clearStagingMemo(): Unit = {
+    lshPairsMemo.clear(); edgesMemo.clear(); nodesMemo.clear()
+  }
   private def queryVec(spark: SparkSession, sfDir: String) =
     emb(spark, sfDir).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
 
@@ -362,7 +377,8 @@ object Extensions {
     * the iterative ranking bit-reproducible across engines — the oracle is
     * the same three rounds unrolled as CTEs. Top-20 nodes by rank. */
   private val x66: Q = (spark, sfDir) =>
-    Graph.pageRank(purchaseEdges(spark, sfDir), 3, assumeDistinct = true)
+    Graph.pageRank(purchaseEdges(spark, sfDir), 3, assumeDistinct = true,
+        precomputedNodes = Some(purchaseNodes(spark, sfDir)))
       .orderBy(desc("r"), col("v")).limit(20)
 
   /** x67 — edit-distance near-dup pairs (levenshtein ≤ 20 over 80-char
@@ -823,7 +839,9 @@ object Extensions {
     * authority. Mutual-reinforcement ranking where PageRank measures link
     * mass; the unnormalized integer form is bit-identical cross-engine. */
   private val x104: Q = (spark, sfDir) =>
-    Graph.hits(purchaseEdges(spark, sfDir), iterations = 2, assumeDistinct = true)
+    Graph.hits(purchaseEdges(spark, sfDir), iterations = 2,
+        assumeDistinct = true,
+        precomputedNodes = Some(purchaseNodes(spark, sfDir)))
       .orderBy(desc("a"), desc("h"), col("v")).limit(20)
 
   /** x105 — water-filling token-budget allocator

@@ -336,6 +336,22 @@ class InvariantSpec extends AnyFunSuite {
     assert(top2.size < d.count(), "the cap binds: some cluster loses a member")
   }
 
+  test("prefixNovelty: novelty bounded by shingle count; every shingle novel exactly once") {
+    val docs = randomDocs(23L, n = 40, vocab = 6, len = 12)
+    val rows = Dedup.prefixNovelty(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (id, nSh, nNov) =>
+      assert(nNov >= 0 && nNov <= nSh, s"doc $id: novelty $nNov not in [0, $nSh]")
+    }
+    // each distinct shingle is owned by exactly its first doc ⇒ the novelty
+    // column partitions the global shingle vocabulary
+    val globalDistinct = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      .select("sh").distinct().count()
+    assert(rows.map(_._3).sum == globalDistinct,
+      "sum of per-doc novelty must equal the corpus-wide distinct shingle count")
+    assert(rows.length == 40, "every doc reports, including zero-shingle docs")
+  }
+
   test("simhashPairs finds every pair within the hamming bound (pigeonhole completeness)") {
     val docs = randomDocs(17L, n = 30, vocab = 10, len = 25)
       .union(randomDocs(17L, n = 8, vocab = 10, len = 25)
