@@ -279,6 +279,59 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity self-join via PREFIX FILTERING (the AllPairs /
+   * PPJoin family — public technique): for jaccard ≥ t, two shingle sets
+   * MUST share an element within each set's first `|d| − ceil(t·|d|) + 1`
+   * elements under a COMMON global order (proof: the smallest shared
+   * element has ≥ o−1 shared elements after it in both sets, and
+   * o ≥ t·max(|x|,|y|) forces its rank into both prefixes). Candidates
+   * therefore come from a self-equi-join on PREFIX rows only; exact
+   * jaccard verification removes false positives and the bound admits
+   * ZERO false negatives — output equality with the full shingle join is
+   * a theorem, not a probability (vs [[minhashLsh]]'s 2e-6 miss) and
+   * loses nothing (vs [[ngramJaccard]]'s lossy `maxDf` cap).
+   *
+   * The global order is ascending document frequency (rarest first, ties
+   * by hash): prefixes then hold each doc's RAREST shingles, so the
+   * candidate join's per-key fan-out is minimal by construction — the
+   * stopword-grade keys that explode a naive shingle join never enter it.
+   *
+   * Scale shape: one vocabulary-bounded df aggregate, one per-doc window
+   * for the prefix cut, a self-join over ~(1−t) of the shingle volume
+   * (the rare tail of it), and set verification restricted to candidate
+   * docs. All exchanges hash-partitioned; nothing quadratic in the corpus.
+   */
+  def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val tokens = shingleHashRows(docs, idCol, textCol, shingleN).cache()
+    val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = tokens.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "sh")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .cache()
+    val candidateDocs = candidates
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sets = candidateShingleSets(tokens, candidateDocs)
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /**
    * Prefix-corpus novelty: for each document — with the corpus ordered by
    * ingest id — how many distinct n-gram shingles it contains and how many
    * of them appear in NO earlier document. The content-growth signal a

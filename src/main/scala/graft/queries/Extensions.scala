@@ -1009,6 +1009,18 @@ object Extensions {
       .orderBy("o_year")
   }
 
+  /** x114 — EXACT similarity join via prefix filtering
+    * ([[Dedup.prefixFilterJaccard]]): candidates only from each doc's
+    * rarest `(1−t)·|d|+1` shingles under the global df order — zero false
+    * negatives by the prefix theorem, so the oracle is the FULL exact
+    * jaccard pair set (the third pair-join strategy beside x02's LSH and
+    * x04's df-capped join, and the only one that is both exact and
+    * pruned). */
+  private val x114: Q = (spark, sfDir) =>
+    Dedup.prefixFilterJaccard(docs(spark, sfDir), "doc_id", "text",
+        threshold = 0.7)
+      .orderBy("d1", "d2")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1531,7 +1543,8 @@ object Extensions {
     "x110_incremental_join" -> x110,
     "x111_transform_with_state" -> x111,
     "x112_schema_drift_read" -> x112,
-    "x113_dynamic_partition_overwrite" -> x113)
+    "x113_dynamic_partition_overwrite" -> x113,
+    "x114_prefix_filter_join" -> x114)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2261,6 +2274,7 @@ object Extensions {
     "x01_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "x02_dedup_minhash_lsh" -> jaccardOracle(0.7),
+    "x114_prefix_filter_join" -> jaccardOracle(0.7),
     "x03_dedup_simhash" ->
       ("""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t),

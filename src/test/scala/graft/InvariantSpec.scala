@@ -106,6 +106,21 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixFilterJaccard equals the uncapped exact join (zero false negatives)") {
+    for (seed <- Seq(7L, 19L)) {
+      val docs = randomDocs(seed, n = 40, vocab = 8, len = 25)
+        .union(randomDocs(seed, n = 10, vocab = 8, len = 25)
+          .withColumn("doc_id", col("doc_id") + 100)) // planted exact dups
+      val pf = Dedup.prefixFilterJaccard(docs, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.5,
+          maxDf = Int.MaxValue)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(pf == exact, s"seed $seed: prefix-filter must equal the exact join")
+      assert(exact.nonEmpty, "planted duplicates must appear")
+    }
+  }
+
   test("ngramJaccard: df-capped output is a subset of the uncapped output") {
     // tiny vocab => hot shingles with df far above the cap, so the cap binds
     for (seed <- Seq(29L, 31L)) {
