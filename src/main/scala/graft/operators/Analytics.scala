@@ -309,4 +309,47 @@ object Analytics {
       .select(col(userCol), col("n_intervals"), col("active_us"),
         expr("vt_sum DIV active_us").as("twa_cents"))
   }
+
+  /**
+   * Pairwise Pearson correlation matrix over `cols` in ONE scan: every
+   * moment (Σx, Σx², Σxy for all pairs) is an EXACT decimal sum inside a
+   * single aggregate, and each coefficient is assembled from those exact
+   * sums with one fixed double expression — so the result is
+   * engine-identical (the built-in `corr` streams float partial states
+   * whose merge order varies run to run; b24's determinism argument,
+   * applied to the full matrix). NULL policy: listwise deletion — rows
+   * containing a NULL in ANY of `cols` are excluded up front (one shared
+   * n for every pair, the textbook correlation-matrix convention), and
+   * the report carries the surviving row count so the exclusion is
+   * visible.
+   *
+   * Scale shape: one corpus scan, one map-side-combined aggregate carrying
+   * `2k + k(k−1)/2 + 1` decimal buffers (k = |cols|, 15 buffers for k=4);
+   * the k(k−1)/2 output rows are `inline`d from the single aggregated row.
+   * Zero-variance columns yield NULL coefficients, never ±Inf/NaN.
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val d4 = (c: String) => col(c).cast("decimal(18,4)")
+    val clean = df.na.drop(cols)
+    val aggs =
+      cols.flatMap(c => Seq(sum(d4(c)).as(s"_s_$c"),
+        sum(d4(c) * d4(c)).as(s"_q_$c"))) ++
+        pairs.map { case (a, b) => sum(d4(a) * d4(b)).as(s"_p_${a}_$b") }
+    val one = clean.agg(count(lit(1)).as("_n"), aggs: _*)
+    val n = col("_n").cast("double")
+    def s(c: String) = col(s"_s_$c").cast("double")
+    def q(c: String) = col(s"_q_$c").cast("double")
+    val entries = pairs.map { case (a, b) =>
+      val cov = n * col(s"_p_${a}_$b").cast("double") - s(a) * s(b)
+      val va = n * q(a) - s(a) * s(a)
+      val vb = n * q(b) - s(b) * s(b)
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("_n").as("n"),
+        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
+    }
+    one.select(inline(array(entries: _*)))
+  }
 }

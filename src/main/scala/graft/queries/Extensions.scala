@@ -1021,6 +1021,16 @@ object Extensions {
         threshold = 0.7)
       .orderBy("d1", "d2")
 
+  /** x115 — single-scan correlation matrix
+    * ([[Analytics.correlationMatrix]]): pairwise Pearson over four
+    * lineitem measures from EXACT decimal moment sums in one aggregate —
+    * the feature-selection screen, deterministic where the built-in
+    * streaming `corr` is merge-order-dependent. */
+  private val x115: Q = (spark, sfDir) =>
+    Analytics.correlationMatrix(Tables(spark, sfDir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_x", "col_y")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1544,7 +1554,8 @@ object Extensions {
     "x111_transform_with_state" -> x111,
     "x112_schema_drift_read" -> x112,
     "x113_dynamic_partition_overwrite" -> x113,
-    "x114_prefix_filter_join" -> x114)
+    "x114_prefix_filter_join" -> x114,
+    "x115_correlation_matrix" -> x115)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1742,7 +1753,37 @@ object Extensions {
       .stripMargin.replace("\n", " ")
   }
 
+  /** x115 oracle: the same exact-decimal moment sums and the same fixed
+    * double expression as [[graft.operators.Analytics.correlationMatrix]] —
+    * identical inputs + identical IEEE operation order ⇒ identical
+    * coefficients. DECIMAL(19,4) (not 18) on the DuckDB side: width ≤ 18
+    * keeps DuckDB's multiply in int64, which overflows on extendedprice² —
+    * 19 forces HUGEINT arithmetic. Same scale-4 values either way, so the
+    * exact moment sums match Spark's decimal(18,4) products bit-for-bit. */
+  private val corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d4(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val moments = cols.flatMap(c =>
+      Seq(s"SUM(${d4(c)}) AS s_$c", s"SUM(${d4(c)} * ${d4(c)}) AS q_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j } yield
+        s"SUM(${d4(cols(i))} * ${d4(cols(j))}) AS p_${cols(i)}_${cols(j)}")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val branches = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      val va = s"(${dbl("n")} * ${dbl(s"q_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})"
+      val vb = s"(${dbl("n")} * ${dbl(s"q_$b")} - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})"
+      val cov = s"(${dbl("n")} * ${dbl(s"p_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")})"
+      s"SELECT '$a' AS col_x, '$b' AS col_y, n, " +
+        s"CASE WHEN $va > 0 AND $vb > 0 " +
+        s"THEN ROUND($cov / sqrt($va * $vb), 6) END AS corr FROM m"
+    }).mkString(" UNION ALL ")
+    s"WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM lineitem " +
+      s"WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}) " +
+      s"$branches ORDER BY col_x, col_y"
+  }
+
   val oracles: Map[String, String] = Map(
+    "x115_correlation_matrix" -> corrMatrixOracle,
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

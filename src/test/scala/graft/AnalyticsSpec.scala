@@ -164,4 +164,44 @@ class AnalyticsSpec extends AnyFunSuite {
       ("none", 1L, 700L, -1L),
       ("view", 1L, 500L, 30L)))
   }
+
+  test("correlationMatrix: known coefficients, one pair per unordered column pair") {
+    // y = 2x (corr +1), w = -x (corr -1 with x), z hand-computed:
+    // n=4 Σx=10 Σx²=30 Σz=11 Σz²=39 Σxz=33 → 22/√(20·35) = 0.831522
+    val df = Seq(
+      (1.0, 2.0, 1.0, -1.0),
+      (2.0, 4.0, 3.0, -2.0),
+      (3.0, 6.0, 2.0, -3.0),
+      (4.0, 8.0, 5.0, -4.0)
+    ).toDF("x", "y", "z", "w")
+    val out = Analytics.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")) == ((4L, 1.0)))
+    assert(out(("x", "w")) == ((4L, -1.0)))
+    assert(out(("x", "z")) == ((4L, 0.831522)))
+    assert(out(("y", "w")) == ((4L, -1.0)))
+  }
+
+  test("correlationMatrix: zero-variance column yields NULL, never NaN/Inf") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "c")
+    val r = Analytics.correlationMatrix(df, Seq("x", "c")).collect().head
+    assert(r.isNullAt(3))
+    assert(r.getLong(2) == 3L)
+  }
+
+  test("correlationMatrix: listwise NULL deletion shares one n across all pairs") {
+    // row 3 has NULL in z only, but is dropped for EVERY pair (listwise)
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(1.0)),
+      (Some(2.0), Some(4.0), Some(3.0)),
+      (Some(3.0), Some(6.0), None),
+      (Some(4.0), Some(8.0), Some(5.0))
+    ).toDF("x", "y", "z")
+    val out = Analytics.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out.values.toSet == Set(3L))
+    assert(out(("x", "y")) == 3L)
+  }
 }
