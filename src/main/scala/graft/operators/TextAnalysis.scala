@@ -370,6 +370,53 @@ object TextAnalysis {
       .orderBy(desc("score"), col("bigram")).limit(k)
   }
 
+  /**
+   * Pairwise total-variation distance between the unigram distributions of
+   * corpus slices (sources, languages, snapshot generations) — the
+   * composition-drift audit a training-data pipeline runs before mixing
+   * corpora: TVD = ½·Σ_t |p_t − q_t| ∈ [0, 1], reported as exact ppm.
+   *
+   * EXACT integer arithmetic throughout: with per-slice token totals
+   * Nₐ, N_b, `TVD·2NₐN_b = Σ_t |cₜN_b − dₜNₐ|`, and the union-over-tokens
+   * sum reduces to an INNER join because tokens absent from one side
+   * contribute their full mass:
+   * `Σ_union = 2NₐN_b + Σ_shared (|cN_b − dNₐ| − cN_b − dNₐ)`.
+   * No floats, no log — identical in any engine.
+   *
+   * Scale shape: one corpus scan → per-(slice, token) counts (map-side
+   * combine; the shuffle is bounded by slices × vocabulary, not corpus
+   * size); the token self-join emits ≤ |slices|² rows per DISTINCT token —
+   * never a corpus-sized pair blow-up (contrast a doc-level pair join);
+   * per-slice totals are a tiny broadcast. The shared-token sum is staged
+   * through DECIMAL(38,0): `cₜ·N_b` alone overflows BIGINT when
+   * token-count × slice-tokens exceeds ~9·10^18, i.e. at 100 TB scale.
+   * Pairs with NO shared vocabulary (TVD exactly 1) are restored by the
+   * slice-spine left join.
+   */
+  def distributionDivergence(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    val shared = counts.as("a").join(counts.as("b"),
+        col("a.w") === col("b.w") && col("a.g") < col("b.g"))
+      .join(broadcast(totals.as("na")), col("a.g") === col("na.g"))
+      .join(broadcast(totals.as("nb")), col("b.g") === col("nb.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(sum(expr("abs(CAST(a.c AS DECIMAL(38,0)) * nb.n - CAST(b.c AS DECIMAL(38,0)) * na.n)" +
+        " - CAST(a.c AS DECIMAL(38,0)) * nb.n - CAST(b.c AS DECIMAL(38,0)) * na.n"))
+        .as("s"))
+    totals.as("ta").crossJoin(broadcast(totals.as("tb")))
+      .filter(col("ta.g") < col("tb.g"))
+      .join(shared, col("ta.g") === col("g1") && col("tb.g") === col("g2"), "left")
+      .select(col("ta.g").as("src_a"), col("tb.g").as("src_b"),
+        col("ta.n").as("n_a"), col("tb.n").as("n_b"),
+        expr("CAST((2 * CAST(ta.n AS DECIMAL(38,0)) * tb.n + coalesce(s, 0))" +
+          " * 1000000 DIV (2 * CAST(ta.n AS DECIMAL(38,0)) * tb.n) AS BIGINT)")
+          .as("tvd_ppm"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -1031,6 +1031,14 @@ object Extensions {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_x", "col_y")
 
+  /** x116 — pairwise total-variation distance between per-source unigram
+    * distributions ([[TextAnalysis.distributionDivergence]]): the
+    * composition-drift audit before mixing corpora, in EXACT integer
+    * arithmetic (ppm; no floats, no logs). */
+  private val x116: Q = (spark, sfDir) =>
+    TextAnalysis.distributionDivergence(docs(spark, sfDir), "source", "text")
+      .orderBy("src_a", "src_b")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1555,7 +1563,8 @@ object Extensions {
     "x112_schema_drift_read" -> x112,
     "x113_dynamic_partition_overwrite" -> x113,
     "x114_prefix_filter_join" -> x114,
-    "x115_correlation_matrix" -> x115)
+    "x115_correlation_matrix" -> x115,
+    "x116_source_divergence" -> x116)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1782,8 +1791,30 @@ object Extensions {
       s"$branches ORDER BY col_x, col_y"
   }
 
+  /** x116 oracle: same inner-join reduction of the union-over-tokens sum
+    * (`Σ_union = 2NₐN_b + Σ_shared(|cN_b − dNₐ| − cN_b − dNₐ)`), staged
+    * through HUGEINT (DuckDB's checked BIGINT multiply would raise on the
+    * same products Spark stages through DECIMAL(38,0)); `//` on HUGEINT
+    * floors = truncates for positives = Spark DIV. */
+  private val sourceDivergenceOracle: String =
+    ("""WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w FROM documents),
+       |c AS (SELECT g, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |j AS (SELECT a.g AS g1, b.g AS g2,
+       |  SUM(abs(CAST(a.c AS HUGEINT) * nb.n - CAST(b.c AS HUGEINT) * na.n)
+       |      - CAST(a.c AS HUGEINT) * nb.n - CAST(b.c AS HUGEINT) * na.n) AS s
+       |  FROM c a JOIN c b ON a.w = b.w AND a.g < b.g
+       |  JOIN n na ON na.g = a.g JOIN n nb ON nb.g = b.g GROUP BY 1, 2)
+       |SELECT ta.g AS src_a, tb.g AS src_b, ta.n AS n_a, tb.n AS n_b,
+       |  CAST((2 * CAST(ta.n AS HUGEINT) * tb.n + COALESCE(j.s, 0)) * 1000000
+       |    // (2 * CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT) AS tvd_ppm
+       |FROM n ta JOIN n tb ON ta.g < tb.g
+       |LEFT JOIN j ON j.g1 = ta.g AND j.g2 = tb.g
+       |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))
+
   val oracles: Map[String, String] = Map(
     "x115_correlation_matrix" -> corrMatrixOracle,
+    "x116_source_divergence" -> sourceDivergenceOracle,
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -346,4 +346,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(3L, 500L, 999L))
   }
+
+  test("distributionDivergence: hand-computed TVD, identical=0, disjoint=10^6") {
+    // A: "a a b" (p = 2/3, 1/3)  B: "a b b b" (q = 1/4, 3/4)
+    //   TVD = ½(|2/3−1/4| + |1/3−3/4|) = 5/12 → 416666 ppm (floor)
+    // C ≡ A's distribution exactly → 0 ppm; D shares no token with A → 10^6
+    val docs = Seq(
+      ("A", "a a b"), ("B", "a b b b"), ("C", "a a b"), ("D", "z z")
+    ).toDF("src", "text")
+    val out = TextAnalysis.distributionDivergence(docs, "src", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(out.size == 6)
+    assert(out(("A", "B")) == 416666L)
+    assert(out(("A", "C")) == 0L)
+    assert(out(("A", "D")) == 1000000L)
+    assert(out(("B", "D")) == 1000000L)
+  }
 }
