@@ -183,6 +183,154 @@ object Multimodal {
       }
   }
 
+  case class HashedImage(img_id: Long, h1: Long, h2: Long)
+
+  /** Nearest-neighbor sample columns for the dHash grid: 9 x-positions. */
+  private def gridX(w: Int, i: Int): Int = i * w / 9
+  /** Nearest-neighbor sample rows for the dHash grid: 8 y-positions. */
+  private def gridY(h: Int, j: Int): Int = j * h / 8
+
+  /**
+   * 64-bit difference hash (dHash) of a decoded image: nearest-neighbor
+   * sample a 9×8 grid, emit `bit(j,i) = [p(x_{i+1},y_j) > p(x_i,y_j)]` —
+   * 8 horizontal-gradient bits per row × 8 rows. Gradient comparisons are
+   * LOCAL (no global mean, unlike aHash), so editing one pixel can flip at
+   * most the ≤3 comparisons that touch it — the bound that makes planted
+   * perturbations certifiably land under a small Hamming threshold.
+   * Returned as two 32-bit halves in BIGINTs (rows 0–3, rows 4–7): a
+   * single 64-bit value would overflow the sign bit, and the halves are
+   * what the band split wants anyway.
+   */
+  def dHash64(img: BufferedImage): (Long, Long) = {
+    val (w, h, raster) = (img.getWidth, img.getHeight, img.getRaster)
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < 8) {
+      val y = gridY(h, j)
+      var i = 0
+      while (i < 8) {
+        val bit = if (raster.getSample(gridX(w, i + 1), y, 0) >
+          raster.getSample(gridX(w, i), y, 0)) 1L else 0L
+        val pos = (3 - (j % 4)) * 8 + (7 - i)
+        if (j < 4) h1 |= bit << pos else h2 |= bit << pos
+        i += 1
+      }
+      j += 1
+    }
+    (h1, h2)
+  }
+
+  /** Pixel formula of the DEDUP test pattern: unlike [[pixel]]'s shared
+    * linear gradient (which makes every doc's dHash near-identical — a
+    * synthetic worst case that degenerates any perceptual hash), a
+    * QUADRATIC mix mod a prime (`s²+s mod 251`, s linear in doc/x/y)
+    * gives each doc an effectively independent 64-bit signature —
+    * P(Hamming ≤ 3 | unrelated docs) ≈ 2⁻⁴⁸, so the pair set is exactly
+    * the planted variants, the realistic-corpus shape. All arithmetic
+    * stays < 2³¹ (d is reduced mod 251 first) so the SQL oracle computes
+    * the identical values in checked BIGINT. */
+  private def dedupPixel(docId: Long, x: Int, y: Int): Int = {
+    val s = (docId % 251) * 131 + 31L * x + 17L * y
+    ((s * s + s) % 251).toInt
+  }
+
+  /** Render one grayscale PNG of the dedup test pattern. */
+  def renderDHashPng(docId: Long): Array[Byte] = {
+    val (w, h) = (imgWidth(docId), imgHeight(docId))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, dedupPixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Render the near-dup PLANT: the document's dedup-pattern image with ONE
+    * pixel — the grid sample at (x₄, y₃) — shifted by +128 mod 256. The
+    * perturbed pixel serves at most 2 consecutive grid slots (only w=8
+    * collides slots 0/1), so at most 3 row-3 gradient bits change: the
+    * planted pair sits at Hamming ≤ 3 BY CONSTRUCTION, never by luck. */
+  def renderPerturbedPng(docId: Long): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(renderDHashPng(docId)))
+    val (px, py) = (gridX(img.getWidth, 4), gridY(img.getHeight, 3))
+    val raster = img.getRaster
+    raster.setSample(px, py, 0, (raster.getSample(px, py, 0) + 128) % 256)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Media table for the near-dup pipeline: every document's pattern image
+   * plus, for each `doc_id % plantMod == 0`, a perturbed variant under
+   * `img_id = doc_id + variantOffset` — the deterministic dirty-data plant
+   * (x14's perturbed-embedding pattern, applied to pixels) that keeps the
+   * perceptual-dedup query non-vacuous at every SF.
+   */
+  def renderImageTableWithVariants(spark: SparkSession, docs: DataFrame,
+      plantMod: Long = 97L, variantOffset: Long = 1000000000L): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = MediaRow(id, renderDHashPng(id), "png")
+        if (id % plantMod == 0)
+          Iterator(base, MediaRow(id + variantOffset, renderPerturbedPng(id), "png"))
+        else Iterator(base)
+      })
+      .toDF()
+  }
+
+  /** Decode (REAL `javax.imageio`) + dHash every payload in one
+    * iterator-to-iterator `mapPartitions` pass. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[HashedImage] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        val (a, b) = dHash64(img)
+        HashedImage(r.doc_id, a, b)
+      }
+    }
+  }
+
+  /**
+   * Perceptual near-duplicate pairs at `Hamming ≤ maxHamming` via the
+   * 4×16-bit band split of the 64-bit dHash — [[x03 SimHash]]'s banding
+   * argument on image hashes: with 4 disjoint bands, any pair within
+   * Hamming ≤ 3 shares at least one full band (pigeonhole), so candidates
+   * come ONLY from per-band equality buckets (shuffle bounded by
+   * images × 4, never the all-pairs square) and the exact Hamming check
+   * on candidates has zero false negatives. At larger thresholds raise
+   * the band count to t+1 (and widen the hash) — the standard
+   * LSH-banding trade, same as the text SimHash path.
+   */
+  def perceptualNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands guarantee recall only to Hamming 3, got $maxHamming")
+    val banded = hashes.select(col("img_id"), col("h1"), col("h2"),
+      explode(array(
+        struct(lit(0).as("band"), expr("h1 DIV 65536").as("v")),
+        struct(lit(1).as("band"), expr("h1 % 65536").as("v")),
+        struct(lit(2).as("band"), expr("h2 DIV 65536").as("v")),
+        struct(lit(3).as("band"), expr("h2 % 65536").as("v")))).as("b"))
+      .select(col("img_id"), col("h1"), col("h2"),
+        col("b.band").as("band"), col("b.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+        (expr("CAST(bit_count(a.h1 ^ b.h1) AS INT)") +
+          expr("CAST(bit_count(a.h2 ^ b.h2) AS INT)")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /**
    * Frame sampling — the video-pipeline shape (demux → sample every k-th
    * frame → per-frame decode + features) in ONE iterator-to-iterator

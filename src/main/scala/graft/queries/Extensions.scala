@@ -159,6 +159,18 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x117 — perceptual image near-dup ([[Multimodal.perceptualNearDupPairs]]):
+    * REAL decode → 64-bit dHash → 4×16-bit banded Hamming join at t=3
+    * (pigeonhole recall guarantee). Non-vacuous via planted one-pixel
+    * variants (doc_id % 97), whose ≤3-bit flips are certified by dHash's
+    * local-gradient structure. */
+  private val x117: Q = (spark, sfDir) => {
+    val media = Multimodal.renderImageTableWithVariants(spark, docs(spark, sfDir))
+    Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualHashes(spark, media).toDF())
+      .orderBy("img_a", "img_b")
+  }
+
   /** x13 — Structured Streaming tumbling-window counts, drained to a memory
     * sink in complete mode so the final state equals the batch oracle. */
   private val x13: Q = (spark, sfDir) =>
@@ -1564,7 +1576,8 @@ object Extensions {
     "x113_dynamic_partition_overwrite" -> x113,
     "x114_prefix_filter_join" -> x114,
     "x115_correlation_matrix" -> x115,
-    "x116_source_divergence" -> x116)
+    "x116_source_divergence" -> x116,
+    "x117_perceptual_image_dedup" -> x117)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1812,9 +1825,60 @@ object Extensions {
        |LEFT JOIN j ON j.g1 = ta.g AND j.g2 = tb.g
        |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))
 
+  /** x117 oracle: the dHash pipeline recomputed ARITHMETICALLY from the
+    * test-pattern formula (pixel = (31d+7x+13y) mod 256, nearest-neighbor
+    * 9×8 grid, the planted +128 shift at grid slot (4,3)) — it matches the
+    * Spark side only if the real PNG encode∘decode reproduced every pixel
+    * AND the band join found every pair. Bit packing stays in BIGINT `<<`
+    * (the SUM is HUGEINT → cast); `xor()` not `^` (DuckDB `^` is power). */
+  private val perceptualDedupOracle: String =
+    ("""WITH ids AS (
+       |  SELECT doc_id AS img_id, doc_id AS d, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents WHERE doc_id % 97 = 0),
+       |dim AS (SELECT img_id, d, pert, 8 + d % 9 AS w, 8 + d % 7 AS h FROM ids),
+       |s0 AS (
+       |  SELECT img_id, pert, j.j AS j, i.i AS i,
+       |    (i.i * w) // 9 AS x, (j.j * h) // 8 AS y,
+       |    (4 * w) // 9 AS px, (3 * h) // 8 AS py,
+       |    (d % 251) * 131 + 31 * ((i.i * w) // 9) + 17 * ((j.j * h) // 8) AS sr
+       |  FROM dim, generate_series(0, 8) AS i(i), generate_series(0, 7) AS j(j)),
+       |s AS (
+       |  SELECT img_id, j, i,
+       |    CASE WHEN pert = 1 AND x = px AND y = py
+       |      THEN ((sr * sr + sr) % 251 + 128) % 256
+       |      ELSE (sr * sr + sr) % 251
+       |    END AS v
+       |  FROM s0),
+       |b AS (
+       |  SELECT img_id, j, i, bit FROM (
+       |    SELECT img_id, j, i,
+       |      CASE WHEN LEAD(v) OVER (PARTITION BY img_id, j ORDER BY i) > v
+       |        THEN 1 ELSE 0 END AS bit
+       |    FROM s) t WHERE i < 8),
+       |hh AS (SELECT img_id,
+       |  CAST(SUM(CASE WHEN j < 4
+       |    THEN CAST(bit AS BIGINT) << ((3 - j) * 8 + (7 - i)) ELSE 0 END) AS BIGINT) AS h1,
+       |  CAST(SUM(CASE WHEN j >= 4
+       |    THEN CAST(bit AS BIGINT) << ((7 - j) * 8 + (7 - i)) ELSE 0 END) AS BIGINT) AS h2
+       |  FROM b GROUP BY 1),
+       |bands AS (
+       |  SELECT img_id, h1, h2, 0 AS band, h1 // 65536 AS v FROM hh
+       |  UNION ALL SELECT img_id, h1, h2, 1, h1 % 65536 FROM hh
+       |  UNION ALL SELECT img_id, h1, h2, 2, h2 // 65536 FROM hh
+       |  UNION ALL SELECT img_id, h1, h2, 3, h2 % 65536 FROM hh),
+       |cand AS (SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b,
+       |    CAST(bit_count(xor(a.h1, b.h1)) AS INT)
+       |      + CAST(bit_count(xor(a.h2, b.h2)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v = b.v AND a.img_id < b.img_id)
+       |SELECT img_a, img_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY img_a, img_b""".stripMargin.replace("\n", " "))
+
   val oracles: Map[String, String] = Map(
     "x115_correlation_matrix" -> corrMatrixOracle,
     "x116_source_divergence" -> sourceDivergenceOracle,
+    "x117_perceptual_image_dedup" -> perceptualDedupOracle,
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

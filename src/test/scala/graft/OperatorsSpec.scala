@@ -515,4 +515,38 @@ class MultimodalSpec extends AnyFunSuite {
       .map(f => (f.doc_id, f.width, f.height, f.gray_sum)).sortBy(_._1).toSeq
     assert(viaFiles == viaTable && viaFiles.size == 2)
   }
+
+  private def hamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  private def dHashOf(bytes: Array[Byte]): (Long, Long) =
+    Multimodal.dHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+
+  test("dHash perturbation bound: one-pixel plant flips at most 3 bits, every doc") {
+    for (id <- 0L until 120L) {
+      val d = hamming(dHashOf(Multimodal.renderDHashPng(id)),
+        dHashOf(Multimodal.renderPerturbedPng(id)))
+      assert(d <= 3, s"doc $id: planted variant at Hamming $d > 3")
+    }
+  }
+
+  test("perceptualNearDupPairs: banded join equals brute force (zero false negatives)") {
+    val docs = (0L until 250L).map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.renderImageTableWithVariants(spark, docs, plantMod = 50L)
+    val hashes = Multimodal.perceptualHashes(spark, media)
+    val got = Multimodal.perceptualNearDupPairs(hashes.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = hashes.collect().map(h => (h.img_id, (h.h1, h.h2)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = hamming(ha, hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == brute)
+    // every planted pair surfaces (the ≤3-flip bound makes this certain)
+    for (id <- 0L until 250L by 50L)
+      assert(got.exists(p => p._1 == id && p._2 == id + 1000000000L),
+        s"planted pair for doc $id missing")
+  }
 }
