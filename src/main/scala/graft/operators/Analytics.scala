@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,56 @@ object Analytics {
       .filter(col("active_us") > 0)
       .select(col(userCol), col("n_intervals"), col("active_us"),
         expr("vt_sum DIV active_us").as("twa_cents"))
+  }
+
+  /**
+   * Quantiles from a fixed-width histogram sketch with a CERTIFIED rank
+   * error — the single-pass scale path beside exact percentiles (which
+   * sort-shuffle the corpus): one tiny min/max/count aggregate, one
+   * map-side-combined bin-count aggregate (the only corpus shuffle,
+   * bounded by `nBins` partial states per task), then all quantile
+   * arithmetic runs on the ≤`nBins`-row bin table. For each requested
+   * percentile the reported value is the upper edge of the first bin
+   * whose cumulative count reaches the target rank, so the achieved rank
+   * is EXACT (the cumulative count itself — no second corpus scan) and
+   * `achieved − target < bin_count` is a per-query certificate, reported
+   * as `rank_err ≤ bound`. Max possible bound ≈ N/nBins for uniform-ish
+   * data: 1024 bins certify ~0.1% rank error.
+   *
+   * Integer-exact throughout: values enter as BIGINT (cents), bin index
+   * `(v−vmin)·nBins DIV (vmax−vmin+1)` and edge arithmetic stage through
+   * DECIMAL(38,0) (the product overflows BIGINT once value-range × nBins
+   * exceeds ~9·10^18). The bin-table window runs single-partition — over
+   * `nBins` rows, not data.
+   */
+  def histogramQuantiles(df: DataFrame, valueCents: Column, nBins: Int,
+      probsPct: Seq[Int]): DataFrame = {
+    require(nBins >= 2 && probsPct.nonEmpty &&
+      probsPct.forall(p => p >= 1 && p <= 100), "invalid histogram spec")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = valueCents.cast("long")
+    val stats = df.agg(min(v).as("vmin"), max(v).as("vmax"),
+      count(lit(1)).as("n"))
+    val counts = df.select(v.as("v")).crossJoin(broadcast(stats))
+      .select(expr(s"CAST(CAST(v - vmin AS DECIMAL(38,0)) * $nBins" +
+        " DIV (vmax - vmin + 1) AS BIGINT)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("crank", sum(col("cnt")).over(Window.orderBy("b")))
+    val targets = probsPct.toDF("p_pct").crossJoin(broadcast(stats))
+      .withColumn("target_rank", expr("(p_pct * n + 99) DIV 100"))
+    targets.join(cum, col("crank") >= col("target_rank"))
+      .groupBy("p_pct", "vmin", "vmax", "n", "target_rank")
+      .agg(min(col("b")).as("b"))
+      .join(cum, "b")
+      .select(col("p_pct").cast("int").as("p_pct"), col("n"),
+        col("target_rank"),
+        expr(s"vmin + (CAST(b + 1 AS DECIMAL(38,0)) * (vmax - vmin + 1)" +
+          s" + $nBins - 1) DIV $nBins - 1").cast("long").as("approx_cents"),
+        col("crank").as("achieved_rank"),
+        (col("crank") - col("target_rank")).as("rank_err"),
+        col("cnt").as("bound"))
   }
 
   /**

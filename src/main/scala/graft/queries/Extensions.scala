@@ -1051,6 +1051,17 @@ object Extensions {
     TextAnalysis.distributionDivergence(docs(spark, sfDir), "source", "text")
       .orderBy("src_a", "src_b")
 
+  /** x118 — histogram-sketch quantiles with certified rank error
+    * ([[Analytics.histogramQuantiles]]): p50/p90/p99 of lineitem price
+    * cents from a 1024-bin single-pass sketch; the achieved rank is exact
+    * (cumulative bin count) and `rank_err ≤ bound` is the per-query
+    * certificate — the scale path beside b13's exact percentiles. */
+  private val x118: Q = (spark, sfDir) =>
+    Analytics.histogramQuantiles(Tables(spark, sfDir, "lineitem"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        nBins = 1024, probsPct = Seq(50, 90, 99))
+      .orderBy("p_pct")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1577,7 +1588,8 @@ object Extensions {
     "x114_prefix_filter_join" -> x114,
     "x115_correlation_matrix" -> x115,
     "x116_source_divergence" -> x116,
-    "x117_perceptual_image_dedup" -> x117)
+    "x117_perceptual_image_dedup" -> x117,
+    "x118_histogram_quantiles" -> x118)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1879,6 +1891,26 @@ object Extensions {
     "x115_correlation_matrix" -> corrMatrixOracle,
     "x116_source_divergence" -> sourceDivergenceOracle,
     "x117_perceptual_image_dedup" -> perceptualDedupOracle,
+    "x118_histogram_quantiles" ->
+      ("""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM lineitem),
+         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
+         |bins AS (SELECT (v - vmin) * 1024 // (vmax - vmin + 1) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM c, st GROUP BY 1),
+         |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
+         |  FROM bins),
+         |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
+         |  FROM (VALUES (50), (90), (99)) p(p_pct), st),
+         |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
+         |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
+         |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
+         |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + 1023) // 1024 - 1
+         |    AS approx_cents,
+         |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
+         |  cum.cnt AS bound
+         |FROM pick p JOIN cum ON cum.b = p.b, st
+         |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Analytics
 
@@ -163,6 +164,33 @@ class AnalyticsSpec extends AnyFunSuite {
       ("click", 1L, 1000L, 60L),
       ("none", 1L, 700L, -1L),
       ("view", 1L, 500L, 30L)))
+  }
+
+  test("histogramQuantiles: exact on bin-aligned data; certificate always holds") {
+    // values 1..100 cents, 10 bins of width 10: p50 target rank 50 →
+    // first bin with crank ≥ 50 is b=4 (crank 50), upper edge 50
+    val df = (1L to 100L).toDF("cents")
+    val out = Analytics.histogramQuantiles(df, col("cents"), nBins = 10,
+        probsPct = Seq(50, 90, 99))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(50) == ((50L, 0L, 10L)))
+    assert(out(90) == ((90L, 0L, 10L)))
+    assert(out(99) == ((100L, 1L, 10L))) // target 99, edge 100 covers rank 100
+    out.values.foreach { case (_, err, bound) => assert(err >= 0 && err < bound) }
+  }
+
+  test("histogramQuantiles: skewed data keeps rank_err under the reported bound") {
+    // heavy cluster at 5, long tail: bins are unequal-mass, certificate must hold
+    val df = ((1L to 900L).map(_ => 5L) ++ (1L to 100L).map(i => 1000L + i)).toDF("c")
+    val rows = Analytics.histogramQuantiles(df, col("c"), nBins = 16,
+      probsPct = Seq(50, 95)).collect()
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(5) < r.getLong(6))
+      assert(r.getLong(4) >= r.getLong(2)) // achieved ≥ target
+    }
+    // p50 sits in the heavy first bin
+    assert(rows.find(_.getInt(0) == 50).get.getLong(6) == 900L)
   }
 
   test("correlationMatrix: known coefficients, one pair per unordered column pair") {
