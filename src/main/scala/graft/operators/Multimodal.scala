@@ -331,6 +331,91 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           sum_abs: Long, peak: Int)
+
+  /** Deterministic audio-pattern length — a pure function of the doc id so
+    * the SQL oracle can reproduce the per-clip stats arithmetically. */
+  def audioSamples(docId: Long): Int = 64 + (docId % 37).toInt
+
+  /** Sample formula of the synthetic PCM pattern: a signed 16-bit value
+    * `((doc·31 + 7t) mod 65536) − 32768` — integer-exact, covers the full
+    * amplitude range, and reproducible in SQL. */
+  def sampleVal(docId: Long, t: Int): Int =
+    (((docId * 31 + 7L * t) % 65536) - 32768).toInt
+
+  /** Render one mono 16-bit little-endian PCM WAV clip of the deterministic
+    * pattern via the REAL pure-JDK codec (`javax.sound.sampled` writes the
+    * RIFF container — no hand-rolled headers). */
+  def renderWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = audioSamples(docId)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val v = sampleVal(docId, t)
+      pcm(2 * t) = (v & 0xFF).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (pure-JDK `javax.sound.sampled`): WAV bytes →
+    * (sample rate, sample count, Σ|amplitude|, peak |amplitude|). Handles
+    * either endianness from the container header; fails loudly on
+    * undecodable or non-mono-16-bit payloads — silent nulls would let a
+    * corrupt shard pass the pipeline unnoticed. */
+  def decodeWav(bytes: Array[Byte]): (Int, Long, Long, Int) = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected mono 16-bit PCM, got $fmt")
+    val data = ais.readAllBytes()
+    val big = fmt.isBigEndian
+    var sumAbs = 0L; var peak = 0; var n = 0L
+    var i = 0
+    while (i + 2 <= data.length) {
+      val v =
+        if (big) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort.toInt
+        else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort.toInt
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      n += 1
+      i += 2
+    }
+    (fmt.getSampleRate.toInt, n, sumAbs, peak)
+  }
+
+  /** Audio ingest: one WAV-encoded pattern clip per document, encoded inside
+    * `mapPartitions` on the executors — the driver never sees a payload
+    * byte (same contract as [[renderImageTable]]). */
+  def renderAudioTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, renderWav(id), "wav")))
+      .toDF()
+  }
+
+  /** Batch audio feature extraction: one iterator-to-iterator
+    * `mapPartitions` pass, each payload run through the REAL
+    * `javax.sound.sampled` decode. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val (rate, n, sumAbs, peak) = decodeWav(r.payload)
+        AudioFeatures(r.doc_id, rate, n, sumAbs, peak)
+      }
+    }
+  }
+
   /**
    * Frame sampling — the video-pipeline shape (demux → sample every k-th
    * frame → per-frame decode + features) in ONE iterator-to-iterator

@@ -215,6 +215,61 @@ object TextAnalysis {
   }
 
   /**
+   * Heavy hitters via per-partition Misra–Gries summaries with a
+   * ZERO-FALSE-NEGATIVE certificate — the sketch path beside the exact
+   * full-vocabulary groupBy when the vocabulary itself is too large to
+   * shuffle. Phase 1 folds each partition's token stream through a local
+   * MG(k) summary (≤ k entries, decrement-on-overflow) inside
+   * `mapPartitions` — at most `k` (term, residual) rows leave each
+   * partition, so the shuffle is partitions·k, never vocabulary-sized.
+   * Merging summaries by summing residuals preserves the MG bound:
+   * `true_count − Σresidual ≤ N/(k+1)` (per-partition bounds are additive),
+   * so every term with `true_count > N/(k+1)` has a positive merged
+   * residual and MUST appear in the candidate set — the certificate.
+   * Phase 2 computes EXACT counts restricted to candidates (one semi-join
+   * scan whose aggregate state is candidate-bounded) and keeps terms with
+   * `cnt·(k+1) > n` — strict integer arithmetic, no division. The final
+   * output is therefore partitioning-INDEPENDENT (exact counts over an
+   * exact threshold; the sketch only proposes a certified superset), which
+   * is what makes a deterministic SQL oracle possible. Overflow bound:
+   * `cnt·(k+1)` stays in BIGINT for corpora up to ~9·10¹⁸/(k+1) tokens.
+   */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.select(explode(split(col(textCol), " ")).as("term"))
+    val summaries = tokens.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m(t) = c + 1
+          case None if m.size < k => m(t) = 1L
+          case None =>
+            // decrement-all: amortized O(1) per token (each decrement
+            // cancels one prior increment); drop exhausted entries
+            m.mapValuesInPlace((_, v) => v - 1)
+            m.filterInPlace((_, v) => v > 0)
+        }
+      }
+      m.iterator
+    }.toDF("term", "residual")
+    // candidate set: ≤ partitions·k rows pre-merge, tiny post-merge —
+    // broadcast to phase 2 (for extreme partition counts swap for a
+    // shuffle semi-join; the certificate is unchanged)
+    val candidates = summaries.groupBy("term")
+      .agg(sum(col("residual")).as("est"))
+      .filter(col("est") > 0)
+      .select("term")
+    val total = tokens.agg(count(lit(1)).as("n"))
+    tokens.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("term"), col("cnt"), col("n"))
+  }
+
+  /**
    * Inverted-index build: term → document frequency + the first
    * `maxPostings` doc_ids (ascending) — the retrieval-side structure a
    * corpus search / decontamination service builds from the training set.

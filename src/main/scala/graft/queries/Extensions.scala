@@ -1062,6 +1062,27 @@ object Extensions {
         nBins = 1024, probsPct = Seq(50, 90, 99))
       .orderBy("p_pct")
 
+  /** x119 — real audio decode ([[Multimodal.extractAudioFeatures]]): one
+    * deterministic 16-bit PCM WAV clip per document, encoded AND decoded by
+    * the pure-JDK `javax.sound.sampled` codec inside `mapPartitions`; the
+    * oracle recomputes sample count / Σ|amplitude| / peak arithmetically
+    * from the pattern formula, so it matches only if the RIFF round-trip
+    * was sample-exact (the x12/x101 audit style, audio modality). */
+  private val x119: Q = (spark, sfDir) =>
+    Multimodal.extractAudioFeatures(spark,
+        Multimodal.renderAudioTable(spark, docs(spark, sfDir))).toDF()
+      .orderBy("doc_id")
+
+  /** x120 — certified heavy hitters ([[TextAnalysis.heavyHitters]]):
+    * per-partition Misra–Gries summaries (≤k rows leave each partition)
+    * merged algebraically, then EXACT counts restricted to the certified
+    * candidate superset — terms with `cnt·(k+1) > n`, k=30. The output is
+    * partitioning-independent (exact counts over an exact threshold), which
+    * is what the deterministic oracle checks. */
+  private val x120: Q = (spark, sfDir) =>
+    TextAnalysis.heavyHitters(docs(spark, sfDir), "text", k = 30)
+      .orderBy("term")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1589,7 +1610,9 @@ object Extensions {
     "x115_correlation_matrix" -> x115,
     "x116_source_divergence" -> x116,
     "x117_perceptual_image_dedup" -> x117,
-    "x118_histogram_quantiles" -> x118)
+    "x118_histogram_quantiles" -> x118,
+    "x119_audio_decode_features" -> x119,
+    "x120_heavy_hitters_mg" -> x120)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1911,6 +1934,23 @@ object Extensions {
          |  cum.cnt AS bound
          |FROM pick p JOIN cum ON cum.b = p.b, st
          |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
+    "x119_audio_decode_features" ->
+      ("""WITH p AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
+         |s AS (SELECT doc_id, n,
+         |    ABS((doc_id * 31 + 7 * unnest(range(n))) % 65536 - 32768) AS a
+         |  FROM p)
+         |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(SUM(a) AS BIGINT) AS sum_abs, CAST(MAX(a) AS INT) AS peak
+         |FROM s GROUP BY doc_id, n ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x120_heavy_hitters_mg" ->
+      ("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+         |SELECT c.term, c.cnt, tot.n FROM c, tot
+         |WHERE c.cnt * 31 > tot.n ORDER BY term"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

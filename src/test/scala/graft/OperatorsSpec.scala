@@ -403,6 +403,32 @@ class TextAnalysisSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("heavyHitters: hand-computed threshold — strict cnt·(k+1) > n cut") {
+    // tokens: a×3 b×2 c×1, N=6, k=2 → keep cnt·3 > 6 ⇔ cnt > 2 ⇔ only a.
+    // b (cnt·3 = 6, not > 6) sits exactly AT the threshold and must be cut.
+    val d = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(d, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 3L, 6L)))
+  }
+
+  test("heavyHitters is partitioning-independent and equals the exact filter") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val k = 30
+    val exact = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(sum(col("cnt"))).collect().head.getLong(0)
+    val expect = exact.filter(col("cnt") * (k + 1) > lit(n))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty, "test must be non-vacuous")
+    for (parts <- Seq(1, 7)) {
+      val got = TextAnalysis.heavyHitters(docs.repartition(parts), "text", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expect, s"parts=$parts: MG candidate set missed a heavy hitter")
+    }
+  }
+
   test("mergeIndexDelta == full rebuild under append-only ids (cap exercised)") {
     val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
@@ -501,6 +527,38 @@ class MultimodalSpec extends AnyFunSuite {
   test("decodeImage fails loudly on a non-image payload") {
     val e = intercept[Exception](Multimodal.decodeImage("not a png".getBytes("UTF-8")))
     assert(e.getMessage.contains("decodable"))
+  }
+
+  test("extractAudioFeatures round-trips the real WAV codec (decode∘encode = identity)") {
+    val docs = Seq((7L, "abc", "en", "src1", 3L), (40L, "d", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.extractAudioFeatures(
+        spark, Multimodal.renderAudioTable(spark, docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(7L, 40L)) {
+      val n = Multimodal.audioSamples(id)
+      val vals = (0 until n).map(t => math.abs(Multimodal.sampleVal(id, t)))
+      val f = out(id)
+      assert(f.sample_rate == 8000)
+      assert(f.n_samples == n.toLong)
+      assert(f.sum_abs == vals.map(_.toLong).sum)
+      assert(f.peak == vals.max)
+    }
+  }
+
+  test("decodeWav fails loudly on a non-audio payload") {
+    assertThrows[Exception](Multimodal.decodeWav("not a wav".getBytes("UTF-8")))
+  }
+
+  test("sampleVal covers the signed 16-bit range and matches the decoded bytes") {
+    // doc 0: samples 7t mod 65536 − 32768 — includes the negative half;
+    // the decode path must sign-extend correctly
+    val (_, n, sumAbs, peak) = Multimodal.decodeWav(Multimodal.renderWav(0L))
+    val vals = (0 until Multimodal.audioSamples(0L)).map(t => Multimodal.sampleVal(0L, t))
+    assert(vals.exists(_ < 0))
+    assert(n == vals.size.toLong)
+    assert(sumAbs == vals.map(v => math.abs(v).toLong).sum)
+    assert(peak == vals.map(math.abs).max)
   }
 
   test("binaryFile ingest equals the payload-column pipeline on the same docs") {
