@@ -108,6 +108,56 @@ object Analytics {
   }
 
   /**
+   * Gap fill by LINEAR INTERPOLATION between the surrounding observations —
+   * the interior-gap complement to [[gapFillForwardFill]] (which carries the
+   * last value): a missing day between two observed days gets
+   * `(prev·(L−g) + next·g) DIV L` where `g`/`L` are day offsets — the
+   * weighted-sum form keeps the numerator NON-NEGATIVE for non-negative
+   * values, so Spark's truncating DIV and an oracle's flooring `//` agree
+   * (a `prev + (next−prev)·g DIV L` form would diverge between engines on
+   * every downward slope). Values must be integral non-negative (cents);
+   * the product stages through DECIMAL(38,0) so value·span cannot overflow
+   * BIGINT at scale. Day values are made deterministic by taking the LAST
+   * event per (user, day) in (ts, id) order. Spine endpoints are observed
+   * days, so every spine day has both neighbors — no extrapolation branch.
+   *
+   * Scale shape: identical to forward fill — one hash exchange on the user
+   * key shared by the per-day collapse, the spine join, and BOTH window
+   * passes (asc + desc carries); the desc pass reuses the partitioning.
+   */
+  def gapFillInterpolate(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCentsCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val perDay = events
+      .groupBy(col(userCol), day.as("day"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valueCentsCol)))
+        .getField(valueCentsCol).as("day_cents"))
+    val spine = events
+      .groupBy(userCol)
+      .agg(min(day).as("d0"), max(day).as("d1"))
+      .select(col(userCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val filled = spine.join(perDay, Seq(userCol, "day"), "left")
+    val wAsc = Window.partitionBy(userCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(userCol).orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsDay = when(col("day_cents").isNotNull, col("day"))
+    filled
+      .withColumn("prev_c", last(col("day_cents"), ignoreNulls = true).over(wAsc))
+      .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(wAsc))
+      .withColumn("next_c", last(col("day_cents"), ignoreNulls = true).over(wDesc))
+      .withColumn("next_day", last(obsDay, ignoreNulls = true).over(wDesc))
+      .select(col(userCol), col("day"), col("day_cents"),
+        when(col("day_cents").isNotNull, col("day_cents"))
+          .otherwise(expr(
+            "CAST((CAST(prev_c AS DECIMAL(38,0)) * datediff(next_day, day)" +
+              " + CAST(next_c AS DECIMAL(38,0)) * datediff(day, prev_day))" +
+              " DIV datediff(next_day, prev_day) AS BIGINT)"))
+          .as("interp_cents"))
+  }
+
+  /**
    * Gap-based batch sessionization with session-level stats: events within
    * `gapMinutes` of the previous event (per user) share a session; emits
    * one row per session with event count, span in seconds, and whether the

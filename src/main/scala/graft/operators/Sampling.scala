@@ -190,6 +190,36 @@ object Sampling {
       .withColumn("kept", pmod(draw, col("n_group")) < col("n_min"))
   }
 
+  /**
+   * Round-robin source interleave — the training-order schedule that caps
+   * same-source runs: with S sources, position `(rank_in_source − 1)·S +
+   * src_idx` is a CLOSED FORM, so while every source still has documents
+   * no two consecutive positions share a source (run length 1 by
+   * construction — arithmetic, not a property to hope for). Once a source
+   * exhausts, its slots become holes and the survivors' relative
+   * round-robin order is preserved. The closed form is the scale win: a
+   * naive global `ROW_NUMBER() OVER (ORDER BY …)` serializes the corpus
+   * through one partition, while this needs only the per-source rank
+   * exchange plus a broadcast of the S-row source index — position is
+   * computed map-side.
+   */
+  def roundRobinInterleave(df: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    // S-row dim: dense source index + source count (the x118 bin-table
+    // pattern — the unpartitioned window runs over S rows, never data)
+    val srcIdx = df.select(col(sourceCol)).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(sourceCol)).cast("long") - 1L)
+      .withColumn("ns", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bySource = Window.partitionBy(sourceCol).orderBy(idCol)
+    df.select(col(idCol), col(sourceCol))
+      .withColumn("src_rank", row_number().over(bySource).cast("long"))
+      .join(broadcast(srcIdx), sourceCol)
+      .withColumn("pos", (col("src_rank") - 1L) * col("ns") + col("src_idx"))
+      .select(col(idCol), col(sourceCol), col("src_rank"), col("pos"))
+  }
+
   def percentileBandTrim(df: DataFrame, idCol: String, stratumCol: String,
       valueCol: String, lowPct: Int, highPct: Int): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,

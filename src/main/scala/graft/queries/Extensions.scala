@@ -1083,6 +1083,25 @@ object Extensions {
     TextAnalysis.heavyHitters(docs(spark, sfDir), "text", k = 30)
       .orderBy("term")
 
+  /** x121 — linear-interpolation gap fill ([[Analytics.gapFillInterpolate]]):
+    * interior missing days get the integer-exact weighted mean of their
+    * surrounding observations in cents — the interpolating complement to
+    * x68's forward fill, over the same NULL-key-planted events. */
+  private val x121: Q = (spark, sfDir) =>
+    Analytics.gapFillInterpolate(
+        eventsNullUser(spark, sfDir).withColumn("value_cents",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+        "user_id", "ts", "event_id", "value_cents")
+      .orderBy("user_id", "day")
+
+  /** x122 — round-robin source interleave ([[Sampling.roundRobinInterleave]]):
+    * the closed-form training-order schedule — per-source rank exchange plus
+    * a broadcast S-row source index, position computed map-side, no global
+    * single-partition ROW_NUMBER. */
+  private val x122: Q = (spark, sfDir) =>
+    Sampling.roundRobinInterleave(docs(spark, sfDir), "doc_id", "source")
+      .orderBy("pos")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1612,7 +1631,9 @@ object Extensions {
     "x117_perceptual_image_dedup" -> x117,
     "x118_histogram_quantiles" -> x118,
     "x119_audio_decode_features" -> x119,
-    "x120_heavy_hitters_mg" -> x120)
+    "x120_heavy_hitters_mg" -> x120,
+    "x121_gap_fill_interpolate" -> x121,
+    "x122_round_robin_interleave" -> x122)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1950,6 +1971,49 @@ object Extensions {
          |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
          |SELECT c.term, c.cnt, tot.n FROM c, tot
          |WHERE c.cnt * 31 > tot.n ORDER BY term"""
+        .stripMargin.replace("\n", " ")),
+    "x121_gap_fill_interpolate" ->
+      (s"""WITH $nullUserCte,
+         |pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+         |   ORDER BY ts DESC, event_id DESC) AS rn FROM ne),
+         |dv AS (SELECT user_id, day, vc AS day_cents FROM pd WHERE rn = 1),
+         |rng AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+         |  MAX(CAST(ts AS DATE)) AS d1 FROM ne GROUP BY user_id),
+         |spine AS (SELECT user_id,
+         |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         | FROM rng),
+         |f AS (SELECT s.user_id, s.day, d.day_cents FROM spine s
+         |  LEFT JOIN dv d ON s.user_id = d.user_id AND s.day = d.day),
+         |i AS (SELECT user_id, day, day_cents,
+         |  LAST_VALUE(day_cents IGNORE NULLS) OVER wa AS prev_c,
+         |  LAST_VALUE(CASE WHEN day_cents IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER wa AS prev_day,
+         |  LAST_VALUE(day_cents IGNORE NULLS) OVER wd AS next_c,
+         |  LAST_VALUE(CASE WHEN day_cents IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER wd AS next_day
+         | FROM f WINDOW
+         |  wa AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wd AS (PARTITION BY user_id ORDER BY day DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, day, day_cents,
+         | CASE WHEN day_cents IS NOT NULL THEN day_cents
+         |  ELSE (prev_c * (next_day - day) + next_c * (day - prev_day))
+         |    // (next_day - prev_day) END AS interp_cents
+         |FROM i ORDER BY user_id, day""".stripMargin.replace("\n", " ")),
+    "x122_round_robin_interleave" ->
+      ("""WITH si AS (SELECT source,
+         |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |ns AS (SELECT COUNT(*) AS ns FROM si),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+         |  CAST((r.src_rank - 1) * ns.ns + si.src_idx AS BIGINT) AS pos
+         |FROM r JOIN si USING (source), ns ORDER BY pos"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -166,6 +166,38 @@ class AnalyticsSpec extends AnyFunSuite {
       ("view", 1L, 500L, 30L)))
   }
 
+  test("gapFillInterpolate: interior gaps get the exact weighted mean, hand-computed") {
+    // user 1: day 1 = 100c, day 4 = 400c → day 2 = (100·2+400·1) DIV 3 = 200,
+    // day 3 = (100·1+400·2) DIV 3 = 300. Downward slope user 2:
+    // day 1 = 400c, day 3 = 100c → day 2 = (400·1+100·1) DIV 2 = 250.
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 100L, 1L),
+      (2L, "2024-01-04 10:00:00", 400L, 1L),
+      (3L, "2024-01-01 10:00:00", 400L, 2L),
+      (4L, "2024-01-03 10:00:00", 100L, 2L)
+    ).toDF("event_id", "ts_s", "cents", "user_id")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts_s").cast("timestamp"))
+    val out = Analytics.gapFillInterpolate(df, "user_id", "ts", "event_id", "cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(3)).toMap
+    assert(out((1L, "2024-01-02")) == 200L)
+    assert(out((1L, "2024-01-03")) == 300L)
+    assert(out((2L, "2024-01-02")) == 250L)
+    assert(out((1L, "2024-01-01")) == 100L) // observed days pass through
+  }
+
+  test("gapFillInterpolate: truncation is exact division floor on non-negative cents") {
+    // day 1 = 0c, day 3 = 1c → day 2 = (0·1+1·1) DIV 2 = 0 (floor, not round)
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 0L, 9L),
+      (2L, "2024-01-03 00:00:00", 1L, 9L)
+    ).toDF("event_id", "ts_s", "cents", "user_id")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts_s").cast("timestamp"))
+    val out = Analytics.gapFillInterpolate(df, "user_id", "ts", "event_id", "cents")
+      .collect().map(r => r.getDate(1).toString -> r.getLong(3)).toMap
+    assert(out("2024-01-02") == 0L)
+  }
+
   test("histogramQuantiles: exact on bin-aligned data; certificate always holds") {
     // values 1..100 cents, 10 bins of width 10: p50 target rank 50 →
     // first bin with crank ≥ 50 is b=4 (crank 50), upper edge 50

@@ -90,6 +90,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("roundRobinInterleave: no same-source run while every source is active") {
+    // 3 sources with 3/2/1 docs: positions are closed-form round robin
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "source")
+    val rows = Sampling.roundRobinInterleave(df, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    // schedule: round 1 = a1 b4 c6 (pos 0,1,2), round 2 = a2 b5 hole (3,4),
+    // round 3 = a3 (pos 6; 5 is c's exhausted slot)
+    assert(rows.map(x => (x._1, x._4)).toSeq ==
+      Seq((1L, 0L), (4L, 1L), (6L, 2L), (2L, 3L), (5L, 4L), (3L, 6L)))
+    // while all sources are active (positions 0..4), adjacent sources differ
+    val active = rows.filter(_._4 <= 4L).map(_._2)
+    active.sliding(2).foreach(p => assert(p(0) != p(1)))
+    // positions are unique and rank·S+idx-consistent
+    assert(rows.map(_._4).distinct.length == rows.length)
+  }
+
   test("globalRankByValue ranks null values first instead of dropping them") {
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)), (4L, None))
       .toDF("id", "v")
