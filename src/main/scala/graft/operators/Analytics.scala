@@ -382,17 +382,56 @@ object Analytics {
    */
   def histogramQuantiles(df: DataFrame, valueCents: Column, nBins: Int,
       probsPct: Seq[Int]): DataFrame = {
+    val (stats, binned) = histogramBinned(df, valueCents, nBins, probsPct)
+    quantilesFromBins(stats, binned.groupBy("b").agg(count(lit(1)).as("cnt")),
+      nBins, probsPct)
+  }
+
+  /**
+   * The MERGEABLE form of [[histogramQuantiles]]: per-`shardCol` partial
+   * sketches (shard × bin counts over the SHARED corpus-wide bin domain —
+   * fixing the domain first is exactly what makes the partials mergeable)
+   * are reduced by an associative `SUM` per bin, then the same certified
+   * quantile arithmetic runs on the merged bin table. The merge is the
+   * x83/x95 partial-state pattern applied to quantiles: per-shard sketch
+   * tables can be persisted and re-merged later (new shards, incremental
+   * appends) without rescanning the corpus, and the result is IDENTICAL to
+   * the direct single-pass sketch — spec-asserted, and the SQL oracle is
+   * the direct computation.
+   */
+  def histogramQuantilesSharded(df: DataFrame, valueCents: Column, nBins: Int,
+      probsPct: Seq[Int], shardCol: String): DataFrame = {
+    val (stats, binned) = histogramBinned(df, valueCents, nBins, probsPct,
+      carryCols = Seq(shardCol))
+    val partials = binned.groupBy(col(shardCol), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = partials.groupBy("b").agg(sum(col("cnt")).as("cnt"))
+    quantilesFromBins(stats, merged, nBins, probsPct)
+  }
+
+  /** Shared first phase: global (vmin, vmax, n) stats + per-row bin ids over
+    * that fixed domain (`carryCols` ride along for sharded variants). */
+  private def histogramBinned(df: DataFrame, valueCents: Column, nBins: Int,
+      probsPct: Seq[Int], carryCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     require(nBins >= 2 && probsPct.nonEmpty &&
       probsPct.forall(p => p >= 1 && p <= 100), "invalid histogram spec")
-    val spark = df.sparkSession
-    import spark.implicits._
     val v = valueCents.cast("long")
     val stats = df.agg(min(v).as("vmin"), max(v).as("vmax"),
       count(lit(1)).as("n"))
-    val counts = df.select(v.as("v")).crossJoin(broadcast(stats))
-      .select(expr(s"CAST(CAST(v - vmin AS DECIMAL(38,0)) * $nBins" +
-        " DIV (vmax - vmin + 1) AS BIGINT)").as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val binned = df.select(carryCols.map(col) :+ v.as("v"): _*)
+      .crossJoin(broadcast(stats))
+      .select(carryCols.map(col) :+
+        expr(s"CAST(CAST(v - vmin AS DECIMAL(38,0)) * $nBins" +
+          " DIV (vmax - vmin + 1) AS BIGINT)").as("b"): _*)
+    (stats, binned)
+  }
+
+  /** Shared second phase: certified quantiles from a (b, cnt) bin table —
+    * all windows/joins here run over ≤nBins rows, never data. */
+  private def quantilesFromBins(stats: DataFrame, counts: DataFrame,
+      nBins: Int, probsPct: Seq[Int]): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
     val cum = counts
       .withColumn("crank", sum(col("cnt")).over(Window.orderBy("b")))
     val targets = probsPct.toDF("p_pct").crossJoin(broadcast(stats))

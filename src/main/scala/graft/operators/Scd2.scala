@@ -43,4 +43,20 @@ object Scd2 {
         col("next_ts").isNull.cast("int").as("is_current")) ++
         attrCols.map(col): _*)
   }
+
+  /**
+   * Point-in-time (time-travel) read over an SCD2 history: each key's state
+   * AS OF `asOf` — the rows whose half-open validity interval
+   * `[valid_from, valid_to)` contains the cutoff. ONE predicate, no window
+   * or join: the interval encoding did the temporal work at build time, so
+   * the as-of read is a plain filter that pushes down to the history scan
+   * (at 100 TB: the history table is stored partitioned/z-ordered on
+   * `valid_from`, and this predicate prunes files). Lexicographic
+   * comparison on the `yyyy-MM-dd HH:mm:ss` strings equals timestamp
+   * order, and the `9999-…` open-end sentinel needs no special case.
+   * Keys whose first version starts after `asOf` are absent — they did
+   * not exist yet.
+   */
+  def snapshotAsOf(history: DataFrame, asOf: String): DataFrame =
+    history.filter(lit(asOf) >= col("valid_from") && lit(asOf) < col("valid_to"))
 }

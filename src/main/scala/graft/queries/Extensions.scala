@@ -1102,6 +1102,31 @@ object Extensions {
     Sampling.roundRobinInterleave(docs(spark, sfDir), "doc_id", "source")
       .orderBy("pos")
 
+  /** x123 — point-in-time (as-of) snapshot ([[Scd2.snapshotAsOf]]): each
+    * user's purchase state as of Jan 15 — ONE pushdown-able interval filter
+    * over the x38 history, no window or join at read time. */
+  private val x123: Q = (spark, sfDir) =>
+    Scd2.snapshotAsOf(
+        Scd2.buildHistory(
+          Tables(spark, sfDir, "events")
+            .filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          attrCols = Seq("value")),
+        "2024-01-15 00:00:00")
+      .orderBy("user_id")
+
+  /** x124 — mergeable histogram sketch ([[Analytics.histogramQuantilesSharded]]):
+    * per-returnflag partial sketches over the shared corpus-wide bin domain,
+    * merged by an associative per-bin SUM, then the x118 certified quantile
+    * arithmetic — the x83/x95 partial-state pattern applied to quantiles;
+    * the oracle is the direct computation (merge changes nothing). */
+  private val x124: Q = (spark, sfDir) =>
+    Analytics.histogramQuantilesSharded(Tables(spark, sfDir, "lineitem"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        nBins = 512, probsPct = Seq(25, 75, 95), shardCol = "l_returnflag")
+      .orderBy("p_pct")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1633,7 +1658,9 @@ object Extensions {
     "x119_audio_decode_features" -> x119,
     "x120_heavy_hitters_mg" -> x120,
     "x121_gap_fill_interpolate" -> x121,
-    "x122_round_robin_interleave" -> x122)
+    "x122_round_robin_interleave" -> x122,
+    "x123_snapshot_asof" -> x123,
+    "x124_mergeable_histogram" -> x124)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2015,6 +2042,43 @@ object Extensions {
          |  CAST((r.src_rank - 1) * ns.ns + si.src_idx AS BIGINT) AS pos
          |FROM r JOIN si USING (source), ns ORDER BY pos"""
         .stripMargin.replace("\n", " ")),
+    "x123_snapshot_asof" ->
+      ("""WITH p AS (SELECT user_id, ts, event_id, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts, event_id, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+         | FROM p),
+         |h AS (SELECT user_id, CAST(version AS INT) AS version,
+         |  STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         |  COALESCE(STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S'),
+         |    '9999-12-31 00:00:00') AS valid_to,
+         |  CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current, value
+         | FROM v)
+         |SELECT user_id, version, valid_from, valid_to, is_current, value
+         |FROM h WHERE valid_from <= '2024-01-15 00:00:00'
+         |  AND '2024-01-15 00:00:00' < valid_to
+         |ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x124_mergeable_histogram" ->
+      ("""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM lineitem),
+         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
+         |bins AS (SELECT (v - vmin) * 512 // (vmax - vmin + 1) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM c, st GROUP BY 1),
+         |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
+         |  FROM bins),
+         |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
+         |  FROM (VALUES (25), (75), (95)) p(p_pct), st),
+         |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
+         |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
+         |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
+         |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + 511) // 512 - 1
+         |    AS approx_cents,
+         |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
+         |  cum.cnt AS bound
+         |FROM pick p JOIN cum ON cum.b = p.b, st
+         |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

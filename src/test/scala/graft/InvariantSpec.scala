@@ -76,6 +76,44 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd2.snapshotAsOf: exactly one row per key existing at the cutoff; none after") {
+    val rnd = new scala.util.Random(13)
+    val changes = (0 until 200).map { i =>
+      val key = rnd.nextInt(20).toLong
+      val ts = new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L)
+      (key, ts, i.toLong, rnd.nextDouble())
+    }.toDF("user_id", "ts", "event_id", "value")
+    val hist = Scd2.buildHistory(changes, "user_id", "ts", "event_id", Seq("value"))
+    // cutoff inside the change range: each key's snapshot row is the last
+    // version that started at-or-before the cutoff
+    val cutoff = "2023-11-20 00:00:00" // ~mid-range of base + [0, 1e6) seconds
+    val snap = Scd2.snapshotAsOf(hist, cutoff)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(snap.nonEmpty, "cutoff must fall inside the generated range")
+    assert(snap.map(_._1).distinct.length == snap.length, "one row per key")
+    snap.foreach { case (_, _, from, to) =>
+      assert(from <= cutoff && cutoff < to, "interval must contain the cutoff")
+    }
+    // agrees with the brute-force per-key computation from raw changes
+    val expect = changes.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .filter { case (_, ts, _) =>
+        new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss").format(ts) <= cutoff }
+      .groupBy(_._1).keys.toSet
+    assert(snap.map(_._1).toSet == expect)
+  }
+
+  test("histogramQuantilesSharded == direct sketch on skewed multi-shard data") {
+    val df = ((1L to 500L).map(v => (v, "a")) ++ (1L to 300L).map(_ => (7L, "b")) ++
+      (1L to 10L).map(v => (9000L + v, "c"))).toDF("cents", "shard")
+    val direct = Analytics.histogramQuantiles(df, col("cents"), nBins = 16,
+      probsPct = Seq(10, 50, 99)).collect().map(_.toSeq).toSet
+    val merged = Analytics.histogramQuantilesSharded(df, col("cents"), nBins = 16,
+      probsPct = Seq(10, 50, 99), shardCol = "shard").collect().map(_.toSeq).toSet
+    assert(direct == merged)
+    assert(direct.nonEmpty)
+  }
+
   test("percentileBandTrim keeps exactly floor(hi*n/100) - floor(lo*n/100) rows per stratum") {
     val rnd = new scala.util.Random(23)
     val sizes = Seq(1, 7, 50, 83, 100)
