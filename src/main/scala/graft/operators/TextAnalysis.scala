@@ -215,6 +215,69 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic masked-span (denoising) schedule: each token position is
+   * masked iff `hash60(doc_id ":" pos) mod 100 < maskPct` — a pure function
+   * of (doc, position), so the schedule is reproducible across runs,
+   * engines, and partitionings (no RNG state to seed or checkpoint; the
+   * same property the [[Sampling.weightedBernoulli]] draws use). Emits the
+   * per-document manifest (token count, masked count, first masked
+   * position; −1 when nothing masked) a span-corruption training job
+   * shards by. One posexplode + one hash-partitioned aggregate on the doc
+   * id — linear, no joins.
+   */
+  def maskSchedule(docs: DataFrame, idCol: String, textCol: String,
+      maskPct: Int): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 99, s"maskPct $maskPct not in [1, 99]")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val masked = PortableHash.hash60(
+      concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))
+    ) % 100 < maskPct
+    toks.withColumn("m", masked)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m").cast("long")).as("n_masked"),
+        coalesce(min(when(col("m"), col("pos"))).cast("long"), lit(-1L))
+          .as("first_masked"))
+  }
+
+  /**
+   * Cross-source contamination matrix: for every ordered source pair
+   * (a, b), how many of a's DISTINCT shingles also appear in b — reported
+   * as integer parts-per-million of a's shingle vocabulary. The
+   * source-granular "how much of A is inside B" governance question
+   * (directional, unlike x116's symmetric distribution divergence), asked
+   * before mixing corpora or auditing a vendor drop.
+   *
+   * Scale shape: shingles collapse to DISTINCT (source, shingle) FIRST —
+   * the join input is vocabulary × S bounded, never corpus-sized — and the
+   * self-join on the shingle key fans out at most S per shingle. The S×S
+   * spine comes from a broadcast cross of the tiny per-source size frame,
+   * so zero-overlap pairs report 0 instead of vanishing. The ppm ratio
+   * stages through DECIMAL(38,0): `n_common · 10⁶` overflows BIGINT once
+   * a source's shared vocabulary passes ~9·10¹².
+   */
+  def sourceContainment(docs: DataFrame, sourceCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val ss = docs.select(col(sourceCol).as("src"),
+        explode(graft.functions.ShingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val common = ss.as("a").join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") =!= col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val spine = sizes.select(col("src").as("src_a"), col("n_sh"))
+      .crossJoin(broadcast(sizes.select(col("src").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+    spine.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("CAST(CAST(COALESCE(n_common, 0) AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_sh AS BIGINT)").as("containment_ppm"))
+  }
+
+  /**
    * Heavy hitters via per-partition Misra–Gries summaries with a
    * ZERO-FALSE-NEGATIVE certificate — the sketch path beside the exact
    * full-vocabulary groupBy when the vocabulary itself is too large to

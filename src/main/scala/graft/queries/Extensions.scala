@@ -1127,6 +1127,22 @@ object Extensions {
         nBins = 512, probsPct = Seq(25, 75, 95), shardCol = "l_returnflag")
       .orderBy("p_pct")
 
+  /** x125 — deterministic masked-span schedule ([[TextAnalysis.maskSchedule]]):
+    * 15% token masking as a pure hash of (doc, position) — reproducible
+    * across runs/engines/partitionings; per-doc manifest for a
+    * span-corruption training job. */
+  private val x125: Q = (spark, sfDir) =>
+    TextAnalysis.maskSchedule(docs(spark, sfDir), "doc_id", "text", maskPct = 15)
+      .orderBy("doc_id")
+
+  /** x126 — cross-source contamination matrix
+    * ([[TextAnalysis.sourceContainment]]): directional shingle containment
+    * in exact ppm for every ordered source pair, zero-overlap pairs kept by
+    * the S×S spine. */
+  private val x126: Q = (spark, sfDir) =>
+    TextAnalysis.sourceContainment(docs(spark, sfDir), "source", "text")
+      .orderBy("src_a", "src_b")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1660,7 +1676,9 @@ object Extensions {
     "x121_gap_fill_interpolate" -> x121,
     "x122_round_robin_interleave" -> x122,
     "x123_snapshot_asof" -> x123,
-    "x124_mergeable_histogram" -> x124)
+    "x124_mergeable_histogram" -> x124,
+    "x125_mask_schedule" -> x125,
+    "x126_source_containment" -> x126)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2079,6 +2097,37 @@ object Extensions {
          |  cum.cnt AS bound
          |FROM pick p JOIN cum ON cum.b = p.b, st
          |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
+    "x125_mask_schedule" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(range(len(ws))) AS pos FROM w),
+         |m AS (SELECT doc_id, pos,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |    CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15 AS msk
+         | FROM t)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         | CAST(COALESCE(MIN(CASE WHEN msk THEN pos END), -1) AS BIGINT)
+         |   AS first_masked
+         |FROM m GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x126_source_containment" ->
+      ("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |ix AS (SELECT source, ws, unnest(range(len(ws)-2)) AS i
+         |  FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT source,
+         |    ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
+         |sz AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+         |pc AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT a.source AS src_a, a.n_sh, b.source AS src_b
+         |  FROM sz a, sz b WHERE a.source <> b.source)
+         |SELECT sp.src_a, sp.src_b,
+         | CAST(COALESCE(pc.n_common, 0) AS BIGINT) AS n_common,
+         | COALESCE(pc.n_common, 0) * 1000000 // sp.n_sh AS containment_ppm
+         |FROM sp LEFT JOIN pc ON sp.src_a = pc.src_a AND sp.src_b = pc.src_b
+         |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

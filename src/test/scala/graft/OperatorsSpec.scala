@@ -403,6 +403,40 @@ class TextAnalysisSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("maskSchedule: draw matches an independent md5 computation; -1 when unmasked") {
+    // cross-check the hash path against java.security MessageDigest directly
+    def draw(docId: Long, pos: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val d = Seq((1L, "a b c d e f g h"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.maskSchedule(d, "doc_id", "text", maskPct = 15)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- Seq(1L, 2L)) {
+      val n = if (id == 1L) 8 else 1
+      val masked = (0 until n).filter(p => draw(id, p) % 100 < 15)
+      assert(out(id)._1 == n.toLong)
+      assert(out(id)._2 == masked.size.toLong)
+      assert(out(id)._3 == (if (masked.isEmpty) -1L else masked.min.toLong))
+    }
+  }
+
+  test("sourceContainment: hand-computed directional ppm with a zero-overlap source") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "a"), // shingles {w1w2w3, w2w3w4}
+      (2L, "w1 w2 w3", "b"),    // shingles {w1w2w3}
+      (3L, "x1 x2 x3", "c")     // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceContainment(d, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "b")) == ((1L, 500000L)))  // 1 of a's 2 shingles in b
+    assert(out(("b", "a")) == ((1L, 1000000L))) // b's only shingle is in a
+    assert(out(("a", "c")) == ((0L, 0L)))       // spine keeps zero-overlap pairs
+    assert(out.size == 6)                       // full ordered S*(S-1) matrix
+  }
+
   test("heavyHitters: hand-computed threshold — strict cnt·(k+1) > n cut") {
     // tokens: a×3 b×2 c×1, N=6, k=2 → keep cnt·3 > 6 ⇔ cnt > 2 ⇔ only a.
     // b (cnt·3 = 6, not > 6) sits exactly AT the threshold and must be cut.
