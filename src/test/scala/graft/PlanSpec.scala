@@ -453,4 +453,33 @@ class PlanSpec extends AnyFunSuite {
     assert(semis.forall(_.contains("Broadcast")),
       s"bucket set is O(buckets) — must broadcast:\n${semis.mkString("\n")}")
   }
+
+  test("x120: heavy-hitter exact pass semi-joins candidates by BROADCAST, no vocab shuffle") {
+    val p = plan("x120_heavy_hitters_mg")
+    val semis = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semis.nonEmpty && semis.forall(_.contains("Broadcast")),
+      s"candidate set is partitions·k rows — must broadcast-semi, got:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"per-partition MG summaries must run as mapPartitions:\n$p")
+  }
+
+  test("x122: interleave ranks per source; the only unpartitioned window is the S-row dim") {
+    val p = plan("x122_round_robin_interleave")
+    assert(p.contains("hashpartitioning(source"),
+      s"per-source rank needs the source exchange:\n$p")
+    // the corpus-side join of the S-row source index must be broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"S-row source index must broadcast, not shuffle the corpus:\n$p")
+    // exactly one SinglePartition exchange (the S-row dim), never the data
+    val singles = p.linesIterator.filter(_.contains("SinglePartition")).size
+    assert(singles <= 1, s"only the S-row dim may gather to one partition:\n$p")
+  }
+
+  test("x124: sharded sketch aggregates partials per (shard, bin) before the bin merge") {
+    val p = plan("x124_mergeable_histogram")
+    assert("hashpartitioning\\(l_returnflag[^)]*b".r.findFirstIn(p).isDefined,
+      s"partial sketches must partition on (shard, bin):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats frame must broadcast:\n$p")
+  }
 }
