@@ -409,6 +409,37 @@ object Analytics {
     quantilesFromBins(stats, merged, nBins, probsPct)
   }
 
+  /**
+   * 2-D Pareto frontier (skyline, maximize both dims): the docs no other
+   * doc weakly dominates (`x' ≥ x ∧ y' ≥ y` with one strict). The naive
+   * formulation is a quadratic dominance self-join; this runs in ONE
+   * corpus aggregate + one window over the per-x-group maxima table
+   * (bounded by |distinct x|, the x118 bin-table pattern — the
+   * unpartitioned window never sees data): group q survives iff its
+   * `ymax` strictly exceeds the running max over all strictly-greater x
+   * groups, and within a surviving group exactly the `y = ymax` docs are
+   * undominated (anything lower loses to its own group's max; equal
+   * points don't dominate each other, so ties all survive). Joining the
+   * tiny frontier-group table back is the only other corpus touch (the
+   * frontier is corpus-sized only for perfectly anti-correlated
+   * all-distinct dims — drop the broadcast hint for such inputs).
+   * The declared query's oracle is the INDEPENDENT quadratic NOT EXISTS —
+   * algorithm-level cross-validation, not a re-derivation.
+   */
+  def paretoFrontier2D(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val gx = df.groupBy(xCol).agg(max(col(yCol)).as("ymax"))
+    val strictGreater = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierGroups = gx
+      .withColumn("gmax", max(col("ymax")).over(strictGreater))
+      .filter(col("gmax").isNull || col("ymax") > col("gmax"))
+      .select(col(xCol).as("fx"), col("ymax")) // renamed: joins back onto df
+    df.join(broadcast(frontierGroups),
+        col(xCol) === col("fx") && col(yCol) === col("ymax"))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
+
   /** Shared first phase: global (vmin, vmax, n) stats + per-row bin ids over
     * that fixed domain (`carryCols` ride along for sharded variants). */
   private def histogramBinned(df: DataFrame, valueCents: Column, nBins: Int,

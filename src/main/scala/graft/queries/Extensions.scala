@@ -1143,6 +1143,22 @@ object Extensions {
     TextAnalysis.sourceContainment(docs(spark, sfDir), "source", "text")
       .orderBy("src_a", "src_b")
 
+  /** x127 — Pareto curation frontier ([[Analytics.paretoFrontier2D]]):
+    * docs undominated on (quality centi-score, length) via one window over
+    * per-score maxima — the oracle is the INDEPENDENT quadratic NOT EXISTS
+    * dominance query, so the single-pass algorithm is cross-validated
+    * against the definition, not re-derived. FLOOR (not CAST) for the
+    * centi-score: DuckDB's double→BIGINT cast rounds while Spark's
+    * truncates. */
+  private val x127: Q = (spark, sfDir) =>
+    Analytics.paretoFrontier2D(
+        docs(spark, sfDir).select(col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 100).cast("long")
+            .as("q_centi"),
+          length(col("text")).cast("long").as("n_chars")),
+        "doc_id", "q_centi", "n_chars")
+      .orderBy("doc_id")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1678,7 +1694,8 @@ object Extensions {
     "x123_snapshot_asof" -> x123,
     "x124_mergeable_histogram" -> x124,
     "x125_mask_schedule" -> x125,
-    "x126_source_containment" -> x126)
+    "x126_source_containment" -> x126,
+    "x127_pareto_frontier" -> x127)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2128,6 +2145,16 @@ object Extensions {
          | COALESCE(pc.n_common, 0) * 1000000 // sp.n_sh AS containment_ppm
          |FROM sp LEFT JOIN pc ON sp.src_a = pc.src_a AND sp.src_b = pc.src_b
          |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+    "x127_pareto_frontier" ->
+      (s"""WITH $qualityCtes,
+         |q AS (SELECT doc_id, CAST(FLOOR(score * 100) AS BIGINT) AS q_centi,
+         |    CAST(nchars AS BIGINT) AS n_chars
+         |  FROM qscore JOIN qbase USING (doc_id))
+         |SELECT doc_id, q_centi, n_chars FROM q a
+         |WHERE NOT EXISTS (SELECT 1 FROM q b
+         |  WHERE b.q_centi >= a.q_centi AND b.n_chars >= a.n_chars
+         |    AND (b.q_centi > a.q_centi OR b.n_chars > a.n_chars))
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

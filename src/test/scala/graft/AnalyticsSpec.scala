@@ -198,6 +198,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == 0L)
   }
 
+  test("paretoFrontier2D: hand-computed frontier, ties kept, interior dominated") {
+    // points: (1,9) frontier; (3,7) frontier; (3,5) dominated by (3,7);
+    // (2,7) dominated by (3,7); (5,2)×2 identical — both frontier;
+    // (4,2) dominated by (5,2)
+    val df = Seq((1L, 1L, 9L), (2L, 3L, 7L), (3L, 3L, 5L), (4L, 2L, 7L),
+      (5L, 5L, 2L), (6L, 5L, 2L), (7L, 4L, 2L)).toDF("id", "x", "y")
+    val out = Analytics.paretoFrontier2D(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L, 6L))
+  }
+
+  test("paretoFrontier2D equals the quadratic dominance filter on random data") {
+    val rnd = new scala.util.Random(41)
+    val pts = (1L to 300L).map(i => (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val got = Analytics.paretoFrontier2D(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val expect = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("histogramQuantiles: exact on bin-aligned data; certificate always holds") {
     // values 1..100 cents, 10 bins of width 10: p50 target rank 50 →
     // first bin with crank ≥ 50 is b=4 (crank 50), upper edge 50
