@@ -458,8 +458,10 @@ object Analytics {
   }
 
   /** Shared second phase: certified quantiles from a (b, cnt) bin table —
-    * all windows/joins here run over ≤nBins rows, never data. */
-  private def quantilesFromBins(stats: DataFrame, counts: DataFrame,
+    * all windows/joins here run over ≤nBins rows, never data. Visible to
+    * the streaming leg ([[graft.streaming.EventStream]]), which maintains
+    * the bin table incrementally and finishes with this same arithmetic. */
+  private[graft] def quantilesFromBins(stats: DataFrame, counts: DataFrame,
       nBins: Int, probsPct: Seq[Int]): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._

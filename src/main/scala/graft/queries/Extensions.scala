@@ -1159,6 +1159,14 @@ object Extensions {
         "doc_id", "q_centi", "n_chars")
       .orderBy("doc_id")
 
+  /** x128 — streaming incremental quantile sketch
+    * ([[graft.streaming.EventStream.streamingHistogramQuantiles]]): the
+    * streaming leg of the x118/x124 histogram family — per-micro-batch bin
+    * counts merged into ≤256-row persisted state, final certified quantiles
+    * equal the batch computation (the oracle). */
+  private val x128: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.streamingHistogramQuantiles(spark, sfDir)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1695,7 +1703,8 @@ object Extensions {
     "x124_mergeable_histogram" -> x124,
     "x125_mask_schedule" -> x125,
     "x126_source_containment" -> x126,
-    "x127_pareto_frontier" -> x127)
+    "x127_pareto_frontier" -> x127,
+    "x128_streaming_histogram" -> x128)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2155,6 +2164,26 @@ object Extensions {
          |  WHERE b.q_centi >= a.q_centi AND b.n_chars >= a.n_chars
          |    AND (b.q_centi > a.q_centi OR b.n_chars > a.n_chars))
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x128_streaming_histogram" ->
+      ("""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events),
+         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
+         |bins AS (SELECT (v - vmin) * 256 // (vmax - vmin + 1) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM c, st GROUP BY 1),
+         |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
+         |  FROM bins),
+         |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
+         |  FROM (VALUES (50), (90), (99)) p(p_pct), st),
+         |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
+         |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
+         |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
+         |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + 255) // 256 - 1
+         |    AS approx_cents,
+         |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
+         |  cum.cnt AS bound
+         |FROM pick p JOIN cum ON cum.b = p.b, st
+         |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

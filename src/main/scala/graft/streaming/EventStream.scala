@@ -555,6 +555,68 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** One bin-table base dir per source dir (same lifecycle discipline as
+    * [[cdcBaseCache]]): repeated invocations overwrite the two ping-pong
+    * sides instead of leaking fresh state dirs per call. */
+  private val histBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /**
+   * STREAMING INCREMENTAL QUANTILE SKETCH — the streaming leg of the
+   * histogram family ([[graft.operators.Analytics.histogramQuantiles]] is
+   * the batch single-pass, `histogramQuantilesSharded` the partial-merge):
+   * the bin DOMAIN is registered up front from the reference table (one
+   * O(1) min/max aggregate — the fixed-domain precondition that makes
+   * partial sketches mergeable at all), then each micro-batch's bin counts
+   * are MERGED into a persisted ≤nBins-row bin table inside `foreachBatch`
+   * (ping-pong paths with the batch-id side pick, the same idempotent
+   * retry discipline as [[cdcSnapshotSink]]), and the final CERTIFIED
+   * quantiles run the shared arithmetic over the accumulated bins.
+   * Maintained state is ≤nBins rows no matter how long the stream runs —
+   * the property that lets a live deployment serve percentile dashboards
+   * without ever rescanning history.
+   */
+  def streamingHistogramQuantiles(spark: SparkSession, sfDir: String,
+      nBins: Int = 256, probsPct: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val dom = graft.sources.Tables(spark, sfDir, "events")
+      .agg(min(cents).as("vmin"), max(cents).as("vmax")).head()
+    val (vmin, vmax) = (dom.getLong(0), dom.getLong(1))
+    val base = histBaseCache.computeIfAbsent(sfDir,
+      _ => java.nio.file.Files.createTempDirectory("graft_hist_"))
+    val sides = Array(base.resolve("a").toString, base.resolve("b").toString)
+    @volatile var current = -1 // no bins yet
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    withStatePartitions(spark) {
+      val query = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val batchBins = batch.select(cents.as("v"))
+            .select(expr(s"CAST(CAST(v - $vmin AS DECIMAL(38,0)) * $nBins" +
+              s" DIV (${vmax}L - ${vmin}L + 1) AS BIGINT)").as("b"))
+            .groupBy("b").agg(count(lit(1)).as("cnt"))
+          val prev =
+            if (current < 0) batchBins.limit(0)
+            else spark.read.parquet(sides(current))
+          val side = (batchId % 2).toInt
+          prev.unionByName(batchBins)
+            .groupBy("b").agg(sum(col("cnt")).as("cnt"))
+            .write.mode("overwrite").parquet(sides(side))
+          current = side
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    require(current >= 0, "no micro-batch arrived")
+    val bins = spark.read.parquet(sides(current))
+    val stats = bins.agg(sum(col("cnt")).as("n"))
+      .select(lit(vmin).as("vmin"), lit(vmax).as("vmax"), col("n"))
+    graft.operators.Analytics.quantilesFromBins(stats, bins, nBins, probsPct)
+      .orderBy("p_pct")
+  }
+
   /** Open-session state for [[closedSessions]]. */
   case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
 

@@ -40,6 +40,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.keySet.subsetOf(totals.keySet))
   }
 
+  test("streaming incremental histogram == the batch single-pass sketch") {
+    import org.apache.spark.sql.functions.expr
+    val streamed = streaming.EventStream
+      .streamingHistogramQuantiles(spark, sf, nBins = 256, probsPct = Seq(50, 90, 99))
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Analytics.histogramQuantiles(
+        sources.Tables(spark, sf, "events"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        nBins = 256, probsPct = Seq(50, 90, 99))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("streaming trending ranks only finalized day windows (in-progress day stays in state)") {
     val out = streaming.EventStream.trendingTopK(spark, sf, k = 3).collect()
     assert(out.nonEmpty)
