@@ -89,22 +89,30 @@ object Analytics {
    */
   def gapFillForwardFill(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
+    val filled = daySpineJoin(events, userCol, tsCol, idCol, valueCol, "day_value")
+    val w = Window.partitionBy(userCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+      .select(col(userCol), col("day"), col("day_value"), col("filled_value"))
+  }
+
+  /** Shared gap-fill scaffolding: deterministic per-(user, day) collapse
+    * (LAST event in (ts, id) order via max-of-struct — engine-exact), the
+    * per-user min..max calendar spine, and the (user, day) left join. Both
+    * fill variants diverge only in how they fill the NULL days. */
+  private def daySpineJoin(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, outName: String): DataFrame = {
     val day = to_date(col(tsCol))
-    // last observed value per (user, day): order by (ts, id) — engine-exact
     val perDay = events
       .groupBy(col(userCol), day.as("day"))
       .agg(max(struct(col(tsCol), col(idCol), col(valueCol))).getField(valueCol)
-        .as("day_value"))
+        .as(outName))
     val spine = events
       .groupBy(userCol)
       .agg(min(day).as("d0"), max(day).as("d1"))
       .select(col(userCol),
         explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val filled = spine.join(perDay, Seq(userCol, "day"), "left")
-    val w = Window.partitionBy(userCol).orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    filled.withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
-      .select(col(userCol), col("day"), col("day_value"), col("filled_value"))
+    spine.join(perDay, Seq(userCol, "day"), "left")
   }
 
   /**
@@ -127,17 +135,7 @@ object Analytics {
    */
   def gapFillInterpolate(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valueCentsCol: String): DataFrame = {
-    val day = to_date(col(tsCol))
-    val perDay = events
-      .groupBy(col(userCol), day.as("day"))
-      .agg(max(struct(col(tsCol), col(idCol), col(valueCentsCol)))
-        .getField(valueCentsCol).as("day_cents"))
-    val spine = events
-      .groupBy(userCol)
-      .agg(min(day).as("d0"), max(day).as("d1"))
-      .select(col(userCol),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val filled = spine.join(perDay, Seq(userCol, "day"), "left")
+    val filled = daySpineJoin(events, userCol, tsCol, idCol, valueCentsCol, "day_cents")
     val wAsc = Window.partitionBy(userCol).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDesc = Window.partitionBy(userCol).orderBy(col("day").desc)

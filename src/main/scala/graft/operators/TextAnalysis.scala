@@ -262,7 +262,13 @@ object TextAnalysis {
     val ss = docs.select(col(sourceCol).as("src"),
         explode(graft.functions.ShingleHashes(col(textCol), shingleN)).as("sh"))
       .distinct()
-    val sizes = ss.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    // spine sources come from the DOCS frame, not the shingle frame: a
+    // source whose docs are all shorter than shingleN emits zero shingles
+    // and would otherwise vanish from the matrix instead of reporting 0
+    val sources = docs.select(col(sourceCol).as("src")).distinct()
+    val sizes = sources.join(
+        ss.groupBy("src").agg(count(lit(1)).as("n_sh")), Seq("src"), "left")
+      .select(col("src"), coalesce(col("n_sh"), lit(0L)).as("n_sh"))
     val common = ss.as("a").join(ss.as("b"),
         col("a.sh") === col("b.sh") && col("a.src") =!= col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
@@ -273,8 +279,9 @@ object TextAnalysis {
     spine.join(common, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
-        expr("CAST(CAST(COALESCE(n_common, 0) AS DECIMAL(38,0)) * 1000000" +
-          " DIV n_sh AS BIGINT)").as("containment_ppm"))
+        expr("CASE WHEN n_sh = 0 THEN CAST(0 AS BIGINT) ELSE" +
+          " CAST(CAST(COALESCE(n_common, 0) AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_sh AS BIGINT) END").as("containment_ppm"))
   }
 
   /**
@@ -302,9 +309,15 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val tokens = docs.select(explode(split(col(textCol), " ")).as("term"))
+    // one pass emits BOTH the MG summary rows and a per-partition token
+    // count (term = NULL sentinel) — the corpus total needs no extra scan.
+    // Materialized eagerly (partitions·k + partitions rows) so its two
+    // consumers don't each re-run the corpus scan.
     val summaries = tokens.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
       it.foreach { t =>
+        np += 1
         m.get(t) match {
           case Some(c) => m(t) = c + 1
           case None if m.size < k => m(t) = 1L
@@ -315,16 +328,19 @@ object TextAnalysis {
             m.filterInPlace((_, v) => v > 0)
         }
       }
-      m.iterator
+      m.iterator.map { case (t, c) => (Option(t), c) } ++
+        Iterator((Option.empty[String], np))
     }.toDF("term", "residual")
-    // candidate set: ≤ partitions·k rows pre-merge, tiny post-merge —
-    // broadcast to phase 2 (for extreme partition counts swap for a
-    // shuffle semi-join; the certificate is unchanged)
-    val candidates = summaries.groupBy("term")
-      .agg(sum(col("residual")).as("est"))
-      .filter(col("est") > 0)
-      .select("term")
-    val total = tokens.agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // candidate set: ≤ partitions·k rows — every merged residual is ≥ 1
+    // (entries enter at 1, exhausted entries are dropped immediately), so
+    // no post-merge pruning exists or is needed. Broadcast to phase 2 (for
+    // extreme partition counts swap for a shuffle semi-join; the
+    // certificate is unchanged).
+    val candidates = summaries.filter(col("term").isNotNull)
+      .select("term").distinct()
+    val total = summaries.filter(col("term").isNull)
+      .agg(sum(col("residual")).as("n"))
     tokens.join(broadcast(candidates), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

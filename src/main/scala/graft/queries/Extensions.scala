@@ -1850,6 +1850,35 @@ object Extensions {
 
   /** Oracle mirror of [[eventsNullUser]]: events with NULL user keys planted
     * on the same event-id modulus. */
+  /** Parameterized histogram-quantile oracle (x118/x124/x128 share it):
+    * the DIRECT single-pass computation over `sourceCte` (must yield a
+    * BIGINT column `v`), matching `Analytics.quantilesFromBins`'s bin-edge
+    * and target-rank arithmetic — one definition instead of three
+    * hand-synced copies. */
+  private def histogramOracle(sourceCte: String, nBins: Int,
+      probs: Seq[Int]): String =
+    s"""WITH c AS ($sourceCte),
+       |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
+       |bins AS (SELECT (v - vmin) * $nBins // (vmax - vmin + 1) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM c, st GROUP BY 1),
+       |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
+       |  FROM bins),
+       |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
+       |  FROM (VALUES ${probs.map(p => s"($p)").mkString(", ")}) p(p_pct), st),
+       |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
+       |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
+       |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
+       |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + ${nBins - 1}) // $nBins - 1
+       |    AS approx_cents,
+       |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
+       |  cum.cnt AS bound
+       |FROM pick p JOIN cum ON cum.b = p.b, st
+       |ORDER BY p_pct""".stripMargin.replace("\n", " ")
+
+  private val lineitemCentsCte: String =
+    "SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM lineitem"
+
   private val nullUserCte: String =
     """ne AS (SELECT event_id, ts,
       |  CASE WHEN event_id % 211 = 0 THEN NULL ELSE user_id END AS user_id,
@@ -2007,25 +2036,7 @@ object Extensions {
     "x116_source_divergence" -> sourceDivergenceOracle,
     "x117_perceptual_image_dedup" -> perceptualDedupOracle,
     "x118_histogram_quantiles" ->
-      ("""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-         |  FROM lineitem),
-         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
-         |bins AS (SELECT (v - vmin) * 1024 // (vmax - vmin + 1) AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM c, st GROUP BY 1),
-         |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
-         |  FROM bins),
-         |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
-         |  FROM (VALUES (50), (90), (99)) p(p_pct), st),
-         |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
-         |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
-         |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
-         |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + 1023) // 1024 - 1
-         |    AS approx_cents,
-         |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
-         |  cum.cnt AS bound
-         |FROM pick p JOIN cum ON cum.b = p.b, st
-         |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
+      histogramOracle(lineitemCentsCte, nBins = 1024, probs = Seq(50, 90, 99)),
     "x119_audio_decode_features" ->
       ("""WITH p AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
          |s AS (SELECT doc_id, n,
@@ -2104,25 +2115,7 @@ object Extensions {
          |  AND '2024-01-15 00:00:00' < valid_to
          |ORDER BY user_id""".stripMargin.replace("\n", " ")),
     "x124_mergeable_histogram" ->
-      ("""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-         |  FROM lineitem),
-         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
-         |bins AS (SELECT (v - vmin) * 512 // (vmax - vmin + 1) AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM c, st GROUP BY 1),
-         |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
-         |  FROM bins),
-         |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
-         |  FROM (VALUES (25), (75), (95)) p(p_pct), st),
-         |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
-         |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
-         |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
-         |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + 511) // 512 - 1
-         |    AS approx_cents,
-         |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
-         |  cum.cnt AS bound
-         |FROM pick p JOIN cum ON cum.b = p.b, st
-         |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
+      histogramOracle(lineitemCentsCte, nBins = 512, probs = Seq(25, 75, 95)),
     "x125_mask_schedule" ->
       ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |t AS (SELECT doc_id, unnest(range(len(ws))) AS pos FROM w),
@@ -2142,7 +2135,10 @@ object Extensions {
          |  FROM w WHERE len(ws) >= 3),
          |sh AS (SELECT DISTINCT source,
          |    ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
-         |sz AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |szr AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+         |sz AS (SELECT srcs.source, COALESCE(szr.n_sh, 0) AS n_sh
+         |  FROM srcs LEFT JOIN szr ON srcs.source = szr.source),
          |pc AS (SELECT a.source AS src_a, b.source AS src_b,
          |    CAST(COUNT(*) AS BIGINT) AS n_common
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
@@ -2151,7 +2147,9 @@ object Extensions {
          |  FROM sz a, sz b WHERE a.source <> b.source)
          |SELECT sp.src_a, sp.src_b,
          | CAST(COALESCE(pc.n_common, 0) AS BIGINT) AS n_common,
-         | COALESCE(pc.n_common, 0) * 1000000 // sp.n_sh AS containment_ppm
+         | CASE WHEN sp.n_sh = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE COALESCE(pc.n_common, 0) * 1000000 // sp.n_sh END
+         |  AS containment_ppm
          |FROM sp LEFT JOIN pc ON sp.src_a = pc.src_a AND sp.src_b = pc.src_b
          |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
     "x127_pareto_frontier" ->
@@ -2165,25 +2163,9 @@ object Extensions {
          |    AND (b.q_centi > a.q_centi OR b.n_chars > a.n_chars))
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x128_streaming_histogram" ->
-      ("""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-         |  FROM events),
-         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM c),
-         |bins AS (SELECT (v - vmin) * 256 // (vmax - vmin + 1) AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM c, st GROUP BY 1),
-         |cum AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS crank
-         |  FROM bins),
-         |t AS (SELECT p_pct, n, (p_pct * n + 99) // 100 AS target_rank
-         |  FROM (VALUES (50), (90), (99)) p(p_pct), st),
-         |pick AS (SELECT t.p_pct, t.n, t.target_rank, MIN(cum.b) AS b
-         |  FROM t JOIN cum ON cum.crank >= t.target_rank GROUP BY 1, 2, 3)
-         |SELECT CAST(p.p_pct AS INT) AS p_pct, p.n, p.target_rank,
-         |  st.vmin + ((p.b + 1) * (st.vmax - st.vmin + 1) + 255) // 256 - 1
-         |    AS approx_cents,
-         |  cum.crank AS achieved_rank, cum.crank - p.target_rank AS rank_err,
-         |  cum.cnt AS bound
-         |FROM pick p JOIN cum ON cum.b = p.b, st
-         |ORDER BY p_pct""".stripMargin.replace("\n", " ")),
+      histogramOracle(
+        "SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events",
+        nBins = 256, probs = Seq(50, 90, 99)),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -537,9 +537,12 @@ object EventStream {
             when(col("event_type") === "error",
               graft.operators.CdcMerge.DeleteOp).otherwise("U").as("op"),
             col("value"))
+          // read side from batchId (not the mutable progress var): a
+          // re-run of batch B reads the side B never wrote — idempotent
+          // retry, and never overwrite-while-reading
           val snap =
-            if (current < 0) changes.select(col("k"), col("value")).limit(0)
-            else spark.read.parquet(sides(current))
+            if (batchId == 0) changes.select(col("k"), col("value")).limit(0)
+            else spark.read.parquet(sides(((batchId + 1) % 2).toInt))
           val side = (batchId % 2).toInt
           graft.operators.CdcMerge
             .applyChanges(snap, changes, "k", "ts", "seq", "op", Seq("value"))
@@ -597,9 +600,13 @@ object EventStream {
             .select(expr(s"CAST(CAST(v - $vmin AS DECIMAL(38,0)) * $nBins" +
               s" DIV (${vmax}L - ${vmin}L + 1) AS BIGINT)").as("b"))
             .groupBy("b").agg(count(lit(1)).as("cnt"))
+          // read side derived from batchId, NOT from mutable progress: a
+          // re-run of batch B (failed epoch commit) reads the side B never
+          // wrote and rewrites its own side from the same input — true
+          // idempotent retry, and never overwrite-while-reading
           val prev =
-            if (current < 0) batchBins.limit(0)
-            else spark.read.parquet(sides(current))
+            if (batchId == 0) batchBins.limit(0)
+            else spark.read.parquet(sides(((batchId + 1) % 2).toInt))
           val side = (batchId % 2).toInt
           prev.unionByName(batchBins)
             .groupBy("b").agg(sum(col("cnt")).as("cnt"))

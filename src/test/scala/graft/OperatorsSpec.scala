@@ -423,18 +423,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("sourceContainment: hand-computed directional ppm with a zero-overlap source") {
+  test("sourceContainment: hand-computed directional ppm; zero-overlap and shingle-less sources kept") {
     val d = Seq(
       (1L, "w1 w2 w3 w4", "a"), // shingles {w1w2w3, w2w3w4}
       (2L, "w1 w2 w3", "b"),    // shingles {w1w2w3}
-      (3L, "x1 x2 x3", "c")     // disjoint
+      (3L, "x1 x2 x3", "c"),    // disjoint
+      (4L, "too short", "d")    // < shingleN tokens: zero shingles
     ).toDF("doc_id", "text", "source")
     val out = TextAnalysis.sourceContainment(d, "source", "text")
       .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(out(("a", "b")) == ((1L, 500000L)))  // 1 of a's 2 shingles in b
     assert(out(("b", "a")) == ((1L, 1000000L))) // b's only shingle is in a
     assert(out(("a", "c")) == ((0L, 0L)))       // spine keeps zero-overlap pairs
-    assert(out.size == 6)                       // full ordered S*(S-1) matrix
+    assert(out(("d", "a")) == ((0L, 0L)))       // shingle-less source still reports
+    assert(out(("a", "d")) == ((0L, 0L)))
+    assert(out.size == 12)                      // full ordered S*(S-1) matrix
   }
 
   test("heavyHitters: hand-computed threshold — strict cnt·(k+1) > n cut") {
