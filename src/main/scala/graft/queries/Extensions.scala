@@ -1167,6 +1167,28 @@ object Extensions {
   private val x128: Q = (spark, sfDir) =>
     graft.streaming.EventStream.streamingHistogramQuantiles(spark, sfDir)
 
+  /** x129 — DYNAMIC partition pruning: the fact table is laid out
+    * partitioned by day, and the restricting predicate lives on a DIM
+    * attribute (`day(event_day) % 7`), not the partition key — static
+    * pushdown cannot prune, so Spark inserts a runtime
+    * `dynamicpruningexpression` on the fact scan fed by the broadcast dim
+    * (plan-asserted): at 100 TB this is the difference between scanning
+    * every daily partition and only the dim-selected ones. Complements
+    * x32's STATIC partition-key pruning. */
+  private val x129: Q = (spark, sfDir) => {
+    val path = s"${QueryUtil.scratchDir}/events_by_day"
+    Tables(spark, sfDir, "events")
+      .withColumn("event_day", to_date(col("ts")))
+      .write.partitionBy("event_day").mode("overwrite").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = fact.select(col("event_day")).distinct()
+      .withColumn("day_bucket", expr("day(event_day) % 7"))
+    fact.join(dim.filter(col("day_bucket") === 3), "event_day")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1704,7 +1726,8 @@ object Extensions {
     "x125_mask_schedule" -> x125,
     "x126_source_containment" -> x126,
     "x127_pareto_frontier" -> x127,
-    "x128_streaming_histogram" -> x128)
+    "x128_streaming_histogram" -> x128,
+    "x129_dynamic_partition_pruning" -> x129)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2166,6 +2189,12 @@ object Extensions {
       histogramOracle(
         "SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events",
         nBins = 256, probs = Seq(50, 90, 99)),
+    "x129_dynamic_partition_pruning" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events WHERE day(CAST(ts AS DATE)) % 7 = 3
+         |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -236,6 +236,25 @@ class AnalyticsSpec extends AnyFunSuite {
     out.values.foreach { case (_, err, bound) => assert(err >= 0 && err < bound) }
   }
 
+  test("histogramQuantiles certificate holds on random data; achieved rank is exact") {
+    val rnd = new scala.util.Random(59)
+    val vals = (1 to 2000).map(_ => rnd.nextInt(100000).toLong)
+    val df = vals.toDF("cents")
+    val rows = Analytics.histogramQuantiles(df, col("cents"), nBins = 64,
+      probsPct = Seq(10, 50, 90, 99)).collect()
+    val sorted = vals.sorted
+    rows.foreach { r =>
+      val (n, target, approx, achieved, err, bound) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n == 2000L)
+      assert(err >= 0 && err < bound, s"certificate violated: err=$err bound=$bound")
+      assert(achieved == target + err)
+      // the reported achieved rank IS the exact rank of the reported value:
+      // #values <= approx (the bin's upper edge) equals the cumulative count
+      assert(sorted.count(_ <= approx) == achieved)
+    }
+  }
+
   test("histogramQuantiles: skewed data keeps rank_err under the reported bound") {
     // heavy cluster at 5, long tail: bins are unequal-mass, certificate must hold
     val df = ((1L to 900L).map(_ => 5L) ++ (1L to 100L).map(i => 1000L + i)).toDF("c")

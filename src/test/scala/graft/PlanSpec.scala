@@ -478,6 +478,12 @@ class PlanSpec extends AnyFunSuite {
     assert(singles <= 1, s"only the S-row dim may gather to one partition:\n$p")
   }
 
+  test("x129: fact scan carries a runtime dynamic-pruning expression from the dim filter") {
+    val p = plan("x129_dynamic_partition_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact partitions must be pruned at runtime by the dim subquery:\n$p")
+  }
+
   test("x124: sharded sketch aggregates partials per (shard, bin) before the bin merge") {
     val p = plan("x124_mergeable_histogram")
     assert("hashpartitioning\\(l_returnflag[^)]*b".r.findFirstIn(p).isDefined,
