@@ -498,6 +498,35 @@ object Analytics {
    * the k(k−1)/2 output rows are `inline`d from the single aggregated row.
    * Zero-variance columns yield NULL coefficients, never ±Inf/NaN.
    */
+  /**
+   * Per-group OLS trend line from EXACT decimal moment sums in ONE scan —
+   * [[correlationMatrix]]'s moments pattern applied to regression: the five
+   * sufficient statistics (n, Σx, Σy, Σx², Σxy) accumulate as exact
+   * DECIMAL(18,4) sums inside a single map-side-combined aggregate (no
+   * per-group second pass, no merge-order dependence — the built-in
+   * streaming `regr_slope` is a running update whose float error depends on
+   * partition order), and only the FINAL slope/intercept division happens
+   * in double (rounded to 6dp; an engine-portable single operation).
+   * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`; NULL when x is constant
+   * within the group (zero variance — no trend is defined).
+   */
+  def trendSlope(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val dx = x.cast("decimal(18,4)")
+    val dy = y.cast("decimal(18,4)")
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(dx).as("_sx"), sum(dy).as("_sy"),
+      sum(dx * dx).as("_sxx"), sum(dx * dy).as("_sxy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxx, sxy) = (col("_sx").cast("double"), col("_sy").cast("double"),
+      col("_sxx").cast("double"), col("_sxy").cast("double"))
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / den
+    agg.select(col(groupCol), col("n"),
+      when(den > 0, round(slope, 6)).as("slope"),
+      when(den > 0, round((sy - slope * sx) / n, 6)).as("intercept"))
+  }
+
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val pairs = for {

@@ -59,4 +59,27 @@ object Scd2 {
    */
   def snapshotAsOf(history: DataFrame, asOf: String): DataFrame =
     history.filter(lit(asOf) >= col("valid_from") && lit(asOf) < col("valid_to"))
+
+  /**
+   * PER-ROW temporal enrichment: each probe row joins the history version
+   * valid at ITS OWN timestamp — `[valid_from, valid_to)` contains
+   * `probe.tsCol` — the event-time lookup a feature pipeline runs
+   * ("customer's plan when the click happened"), where [[snapshotAsOf]] is
+   * the single-cutoff special case. Probe rows before the key's first
+   * version match nothing (the entity did not exist yet) — inner join.
+   *
+   * Scale shape: an EQUI join on the key carries the interval containment
+   * as a join residual — each key's history is its version count, so the
+   * residual scan per probe row is tiny; both sides hash-partition on the
+   * key (broadcast the history when it is dim-sized). Half-open intervals
+   * make the match unique by construction: a probe at exactly a version
+   * boundary joins the STARTING version only.
+   */
+  def temporalJoin(history: DataFrame, probe: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val pts = date_format(probe(tsCol), "yyyy-MM-dd HH:mm:ss")
+    probe.as("p").join(history.as("h"),
+      probe(keyCol) === history(keyCol) &&
+        pts >= history("valid_from") && pts < history("valid_to"))
+  }
 }

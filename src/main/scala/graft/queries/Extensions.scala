@@ -1189,6 +1189,35 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x130 — per-row temporal enrichment ([[Scd2.temporalJoin]]): each click
+    * joined to the user's purchase-history version valid at the CLICK's own
+    * timestamp — the event-time feature lookup; x123's snapshot is the
+    * single-cutoff special case. */
+  private val x130: Q = (spark, sfDir) => {
+    val hist = Scd2.buildHistory(
+      Tables(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value"),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      attrCols = Seq("value"))
+    val clicks = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Scd2.temporalJoin(hist, clicks, "user_id", "ts")
+      .select(clicks("event_id"), clicks("user_id"),
+        date_format(clicks("ts"), "yyyy-MM-dd HH:mm:ss").as("ets"),
+        hist("version"), hist("value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** x131 — per-group OLS trend ([[Analytics.trendSlope]]): price-over-time
+    * slope and intercept per return flag from exact decimal moments, the
+    * x115 single-scan pattern applied to regression. */
+  private val x131: Q = (spark, sfDir) =>
+    Analytics.trendSlope(Tables(spark, sfDir, "lineitem"), "l_returnflag",
+        expr("datediff(l_shipdate, DATE '1992-01-01')"), col("l_extendedprice"))
+      .orderBy("l_returnflag")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1727,7 +1756,9 @@ object Extensions {
     "x126_source_containment" -> x126,
     "x127_pareto_frontier" -> x127,
     "x128_streaming_histogram" -> x128,
-    "x129_dynamic_partition_pruning" -> x129)
+    "x129_dynamic_partition_pruning" -> x129,
+    "x130_temporal_history_join" -> x130,
+    "x131_trend_slope" -> x131)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2195,6 +2226,48 @@ object Extensions {
          |FROM events WHERE day(CAST(ts AS DATE)) % 7 = 3
          |GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
+    "x130_temporal_history_join" ->
+      ("""WITH p AS (SELECT user_id, ts, event_id, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts, event_id, value,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+         | FROM p),
+         |h AS (SELECT user_id, CAST(version AS INT) AS version,
+         |  STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         |  COALESCE(STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S'),
+         |    '9999-12-31 00:00:00') AS valid_to, value
+         | FROM v),
+         |c AS (SELECT event_id, user_id,
+         |    STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ets
+         |  FROM events WHERE event_type = 'click')
+         |SELECT c.event_id, c.user_id, c.ets, h.version,
+         |  h.value AS purchase_value
+         |FROM c JOIN h ON c.user_id = h.user_id
+         |  AND c.ets >= h.valid_from AND c.ets < h.valid_to
+         |ORDER BY event_id""".stripMargin.replace("\n", " ")),
+    "x131_trend_slope" ->
+      ("""WITH m AS (SELECT l_returnflag,
+         |  CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS DECIMAL(18,4)) AS x,
+         |  CAST(l_extendedprice AS DECIMAL(18,4)) AS y FROM lineitem),
+         |a AS (SELECT l_returnflag, COUNT(*) AS n,
+         |  SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+         | FROM m GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         | CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0 THEN
+         |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) END AS slope,
+         | CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0 THEN
+         |  ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END AS intercept
+         |FROM a ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -198,6 +198,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == 0L)
   }
 
+  test("trendSlope: exact on a perfect line; NULL slope for constant x") {
+    // group a: y = 3x + 2 exactly; group b: constant x (no trend defined)
+    val df = (Seq((1.0, 5.0, "a"), (2.0, 8.0, "a"), (3.0, 11.0, "a"), (4.0, 14.0, "a")) ++
+      Seq((2.0, 1.0, "b"), (2.0, 9.0, "b"))).toDF("x", "y", "g")
+    val out = Analytics.trendSlope(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("a") == ((4L, Some(3.0), Some(2.0))))
+    assert(out("b") == ((2L, None, None)))
+  }
+
   test("paretoFrontier2D: hand-computed frontier, ties kept, interior dominated") {
     // points: (1,9) frontier; (3,7) frontier; (3,5) dominated by (3,7);
     // (2,7) dominated by (3,7); (5,2)×2 identical — both frontier;

@@ -103,6 +103,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(snap.map(_._1).toSet == expect)
   }
 
+  test("Scd2.temporalJoin: each probe hits exactly the version containing its ts") {
+    val changes = Seq(
+      (7L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1L, 10.0),
+      (7L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 2L, 20.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val hist = Scd2.buildHistory(changes, "user_id", "ts", "event_id", Seq("value"))
+    val probes = Seq(
+      (100L, 7L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")), // before v1
+      (101L, 7L, java.sql.Timestamp.valueOf("2024-01-07 00:00:00")), // in v1
+      (102L, 7L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), // boundary -> v2
+      (103L, 7L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")), // open end -> v2
+      (104L, 8L, java.sql.Timestamp.valueOf("2024-01-07 00:00:00"))  // unknown key
+    ).toDF("event_id", "user_id", "ts")
+    val out = Scd2.temporalJoin(hist, probes, "user_id", "ts")
+      .select(probes("event_id"), hist("version"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(101L -> 1, 102L -> 2, 103L -> 2)) // 100/104 match nothing
+  }
+
   test("histogramQuantilesSharded == direct sketch on skewed multi-shard data") {
     val df = ((1L to 500L).map(v => (v, "a")) ++ (1L to 300L).map(_ => (7L, "b")) ++
       (1L to 10L).map(v => (9000L + v, "c"))).toDF("cents", "shard")
