@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, SkippingIndex, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -1218,6 +1218,24 @@ object Extensions {
         expr("datediff(l_shipdate, DATE '1992-01-01')"), col("l_extendedprice"))
       .orderBy("l_returnflag")
 
+  /** x132 — file-skipping manifest ([[SkippingIndex]]): events laid out
+    * range-partitioned on ts (tight disjoint per-file ranges), a per-file
+    * min/max manifest built in one scan, and a 5-day range query answered
+    * by reading ONLY the overlapping files (the spec asserts strict
+    * pruning). The lakehouse data-skipping pattern on plain parquet. */
+  private val x132: Q = (spark, sfDir) => {
+    val path = s"${QueryUtil.scratchDir}/events_ranged"
+    Tables(spark, sfDir, "events")
+      .repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(path)
+    val manifest = SkippingIndex.buildManifest(spark, path, "ts")
+    SkippingIndex.prunedRangeRead(spark, path, manifest, "ts",
+        "2024-01-10 00:00:00", "2024-01-15 00:00:00")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1758,7 +1776,8 @@ object Extensions {
     "x128_streaming_histogram" -> x128,
     "x129_dynamic_partition_pruning" -> x129,
     "x130_temporal_history_join" -> x130,
-    "x131_trend_slope" -> x131)
+    "x131_trend_slope" -> x131,
+    "x132_file_skipping_index" -> x132)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2268,6 +2287,14 @@ object Extensions {
          |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
          |   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END AS intercept
          |FROM a ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
+    "x132_file_skipping_index" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events
+         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+         |  AND TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -122,6 +122,30 @@ class InvariantSpec extends AnyFunSuite {
     assert(out == Map(101L -> 1, 102L -> 2, 103L -> 2)) // 100/104 match nothing
   }
 
+  test("SkippingIndex: narrow range reads strictly fewer files; result equals full scan") {
+    import graft.operators.SkippingIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip_test").toString
+    sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = SkippingIndex.buildManifest(spark, dir, "ts")
+    val total = manifest.count()
+    assert(total == 8L)
+    val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-15 00:00:00")
+    val hit = SkippingIndex.overlappingFiles(manifest, lo, hi)
+    assert(hit.nonEmpty && hit.length < total,
+      s"range layout must let the 5-day query skip files: ${hit.length}/$total")
+    val pruned = SkippingIndex.prunedRangeRead(spark, dir, manifest, "ts", lo, hi)
+      .agg(count(lit(1))).head.getLong(0)
+    val full = spark.read.parquet(dir)
+      .filter(col("ts").between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+      .agg(count(lit(1))).head.getLong(0)
+    assert(pruned == full && full > 0)
+    // a range outside every file's stats reads nothing and returns empty
+    assert(SkippingIndex.prunedRangeRead(spark, dir, manifest, "ts",
+      "2030-01-01 00:00:00", "2030-01-02 00:00:00").count() == 0)
+  }
+
   test("histogramQuantilesSharded == direct sketch on skewed multi-shard data") {
     val df = ((1L to 500L).map(v => (v, "a")) ++ (1L to 300L).map(_ => (7L, "b")) ++
       (1L to 10L).map(v => (9000L + v, "c"))).toDF("cents", "shard")
