@@ -145,6 +145,38 @@ object Sampling {
   }
 
   /**
+   * Budget-constrained greedy selection via DISTRIBUTED PREFIX SUMS — keep
+   * documents in (densityCol desc, id) order until the global running token
+   * total passes `budget`: the knapsack-greedy "best quality per token
+   * under a budget" corpus cut. The cumulative sum uses
+   * [[globalRankRange]]'s two-phase shape with SUM in place of COUNT:
+   * range-partition on the order keys, sum locally per partition, add the
+   * exclusive prefix of per-partition totals (a one-row-per-partition
+   * frame — the only single-partition hop). The kept set depends only on
+   * the total order (unique — ties broken by id), NOT on where the sampled
+   * range boundaries land, so the output is deterministic and
+   * partitioning-independent. A naive global `SUM OVER (ORDER BY …)`
+   * funnels the corpus through one task; this never does.
+   */
+  def budgetedSelection(df: DataFrame, idCol: String, tokenCol: String,
+      densityCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    val keys = Seq(col(densityCol).desc, col(idCol).asc)
+    val parted = (if (partitions > 0) df.repartitionByRange(partitions, keys: _*)
+      else df.repartitionByRange(keys: _*))
+      .select(col(idCol), col(densityCol), col(tokenCol))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lcum",
+      sum(col(tokenCol)).over(Window.partitionBy("pid").orderBy(keys: _*)))
+    val offsets = local.groupBy("pid").agg(sum(col(tokenCol)).as("ptot"))
+      .withColumn("offset", sum(col("ptot")).over(Window.orderBy("pid")) - col("ptot"))
+      .select(col("pid").as("_off_pid"), col("offset"))
+    local.join(broadcast(offsets), col("pid") === col("_off_pid"))
+      .withColumn("cum_tokens", col("offset") + col("lcum"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(tokenCol), col(densityCol), col("cum_tokens"))
+  }
+
+  /**
    * Deterministic WEIGHTED Bernoulli sampling: row kept iff
    * `hash(id) mod den < weight`, where `weightCol` is an integer per-row
    * keep-weight in [0, den] — rows with weight w survive with probability

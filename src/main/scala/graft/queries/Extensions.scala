@@ -1236,6 +1236,19 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x133 — budgeted greedy selection ([[Sampling.budgetedSelection]]):
+    * docs kept in quality-density order until the global 10k-token budget —
+    * the distributed-prefix-sum cut (two-phase, never a single-partition
+    * global window); output depends only on the unique total order. */
+  private val x133: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        floor(TextAnalysis.qualityScore(col("text")) * 100).cast("long").as("q_centi"))
+      .withColumn("density", expr("q_centi * 1000 DIV n_tok"))
+    Sampling.budgetedSelection(d, "doc_id", "n_tok", "density", budget = 10000L)
+      .orderBy("doc_id")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1777,7 +1790,8 @@ object Extensions {
     "x129_dynamic_partition_pruning" -> x129,
     "x130_temporal_history_join" -> x130,
     "x131_trend_slope" -> x131,
-    "x132_file_skipping_index" -> x132)
+    "x132_file_skipping_index" -> x132,
+    "x133_budgeted_selection" -> x133)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2294,6 +2308,19 @@ object Extensions {
          |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
          |  AND TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x133_budgeted_selection" ->
+      (s"""WITH $qualityCtes,
+         |d AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(FLOOR(score * 100) AS BIGINT) * 1000 // CAST(n_tok AS BIGINT)
+         |    AS density
+         | FROM qscore),
+         |o AS (SELECT doc_id, n_tok, density,
+         |  CAST(SUM(n_tok) OVER (ORDER BY density DESC, doc_id) AS BIGINT)
+         |    AS cum_tokens
+         | FROM d)
+         |SELECT doc_id, n_tok, density, cum_tokens FROM o
+         |WHERE cum_tokens <= 10000 ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -108,6 +108,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length == rows.length)
   }
 
+  test("budgetedSelection equals the single-window greedy cut at any partition count") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1L to 300L).map(i => (i, 1L + rnd.nextInt(50).toLong, rnd.nextInt(90).toLong))
+    val df = rows.toDF("id", "tok", "density")
+    // reference: one global greedy pass
+    val expect = rows.sortBy { case (id, _, d) => (-d, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, tok, d)) => (id, tok, d, cum + tok) }
+      .drop(1).takeWhile(_._4 <= 3000L).map(x => (x._1, x._4)).toMap
+    assert(expect.nonEmpty && expect.size < 300)
+    for (parts <- Seq(0, 3, 17)) {
+      val got = Sampling.budgetedSelection(df, "id", "tok", "density", budget = 3000L,
+          partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == expect, s"partitions=$parts")
+    }
+  }
+
   test("globalRankByValue ranks null values first instead of dropping them") {
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)), (4L, None))
       .toDF("id", "v")
