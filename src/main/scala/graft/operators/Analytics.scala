@@ -499,6 +499,42 @@ object Analytics {
    * Zero-variance columns yield NULL coefficients, never ±Inf/NaN.
    */
   /**
+   * MULTI-touch (linear) attribution in EXACT integer basis points — the
+   * fractional-credit complement to last-touch attribution: every
+   * non-conversion touch in the `windowDays` before a conversion shares
+   * the conversion's 10000 bps equally, `10000 DIV n` each with the
+   * remainder `10000 mod n` assigned to the LAST touch (deterministic
+   * policy — credit always sums to exactly 10000 per conversion, no float
+   * drift, engine-portable). Emits per-touch-type totals.
+   *
+   * Scale shape: conversions join their user's preceding touches with an
+   * equi key + time-band residual (per-user event lists are small — the
+   * x130 temporal-join argument); the per-conversion count and the
+   * last-touch rank share ONE window partitioning on the conversion id.
+   */
+  def multiTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      windowDays: Int = 7): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol).as("cu"), col(tsCol).as("cts"))
+    val touches = conv.join(events.filter(col(typeCol) =!= convType),
+        col("cu") === col(userCol) &&
+          col(tsCol) >= col("cts") - expr(s"INTERVAL $windowDays DAYS") &&
+          col(tsCol) < col("cts"))
+      .select(col("conv_id"), col(idCol), col(typeCol), col(tsCol))
+    val byConv = Window.partitionBy("conv_id")
+    val lastFirst = Window.partitionBy("conv_id")
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    touches
+      .withColumn("nt", count(lit(1)).over(byConv))
+      .withColumn("rd", row_number().over(lastFirst))
+      .withColumn("bps", expr("10000 DIV nt") +
+        when(col("rd") === 1, expr("10000 % nt")).otherwise(lit(0L)))
+      .groupBy(typeCol)
+      .agg(count(lit(1)).as("n_touches"), sum(col("bps")).as("bps_total"))
+  }
+
+  /**
    * Per-group OLS trend line from EXACT decimal moment sums in ONE scan —
    * [[correlationMatrix]]'s moments pattern applied to regression: the five
    * sufficient statistics (n, Σx, Σy, Σx², Σxy) accumulate as exact

@@ -1249,6 +1249,16 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x134 — multi-touch attribution ([[Analytics.multiTouchAttribution]]):
+    * linear credit over the 7-day pre-purchase window in exact integer
+    * basis points (10000 DIV n per touch, remainder to the last touch —
+    * credit sums to exactly 10000 per conversion); the fractional-credit
+    * complement to x92's last-touch. */
+  private val x134: Q = (spark, sfDir) =>
+    Analytics.multiTouchAttribution(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", convType = "purchase")
+      .orderBy("event_type")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1791,7 +1801,8 @@ object Extensions {
     "x130_temporal_history_join" -> x130,
     "x131_trend_slope" -> x131,
     "x132_file_skipping_index" -> x132,
-    "x133_budgeted_selection" -> x133)
+    "x133_budgeted_selection" -> x133,
+    "x134_multitouch_attribution" -> x134)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2321,6 +2332,23 @@ object Extensions {
          | FROM d)
          |SELECT doc_id, n_tok, density, cum_tokens FROM o
          |WHERE cum_tokens <= 10000 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x134_multitouch_attribution" ->
+      ("""WITH pur AS (SELECT event_id AS conv_id, user_id AS cu, ts AS cts
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT p.conv_id, e.event_id, e.event_type, e.ts
+         |  FROM pur p JOIN events e ON e.user_id = p.cu
+         |   AND e.ts >= p.cts - INTERVAL 7 DAY AND e.ts < p.cts
+         |   AND e.event_type <> 'purchase'),
+         |w AS (SELECT conv_id, event_type,
+         |  COUNT(*) OVER (PARTITION BY conv_id) AS nt,
+         |  ROW_NUMBER() OVER (PARTITION BY conv_id
+         |    ORDER BY ts DESC, event_id DESC) AS rd
+         | FROM t)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+         | CAST(SUM(10000 // nt + CASE WHEN rd = 1 THEN 10000 % nt ELSE 0 END)
+         |   AS BIGINT) AS bps_total
+         |FROM w GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

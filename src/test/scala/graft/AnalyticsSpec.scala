@@ -198,6 +198,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == 0L)
   }
 
+  test("multiTouchAttribution: exact bps split, remainder to last touch, sums to 10000") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // purchase at Jan 10 with 3 prior touches (2 clicks + 1 view):
+    // each 3333 bps, last touch (view, latest ts) gets +1 → 3334
+    val ev = Seq(
+      (1L, ts("2024-01-08 10:00:00"), 5L, "click"),
+      (2L, ts("2024-01-09 10:00:00"), 5L, "click"),
+      (3L, ts("2024-01-09 18:00:00"), 5L, "view"),
+      (4L, ts("2024-01-10 10:00:00"), 5L, "purchase"),
+      (5L, ts("2023-12-01 10:00:00"), 5L, "click") // outside 7-day window
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.multiTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", convType = "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("click") == ((2L, 6666L)))
+    assert(out("view") == ((1L, 3334L)))
+    assert(out.values.map(_._2).sum == 10000L) // exact conservation
+  }
+
   test("trendSlope: exact on a perfect line; NULL slope for constant x") {
     // group a: y = 3x + 2 exactly; group b: constant x (no trend defined)
     val df = (Seq((1.0, 5.0, "a"), (2.0, 8.0, "a"), (3.0, 11.0, "a"), (4.0, 14.0, "a")) ++
