@@ -1259,6 +1259,33 @@ object Extensions {
         "user_id", "ts", "event_id", "event_type", convType = "purchase")
       .orderBy("event_type")
 
+  /** x135 — contrastive negative sampling: k=3 deterministic hash-drawn
+    * negatives per anchor (doc_id % 17 == 0), excluding the anchor itself
+    * and any VERIFIED near-duplicate (the [[lshPairs]] staging set — a
+    * near-dup "negative" teaches an embedding model to push duplicates
+    * apart, the classic contrastive-training poisoning). Colliding slots
+    * are DROPPED, not re-drawn — closed form, no iteration; the oracle
+    * re-derives draws from the md5 formula and excludes via the exact
+    * jaccard pair set. */
+  private val x135: Q = (spark, sfDir) => {
+    val nDocs = broadcast(docs(spark, sfDir).agg(count(lit(1)).as("n_docs")))
+    val draws = docs(spark, sfDir).filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("anchor"))
+      .crossJoin(nDocs)
+      .select(col("anchor"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("slot"), col("n_docs"))
+      .withColumn("neg_id", graft.operators.PortableHash.hash60(
+        concat(col("anchor").cast("string"), lit(":"),
+          col("slot").cast("string"))) % col("n_docs"))
+      .filter(col("neg_id") =!= col("anchor"))
+    val p = lshPairs(spark, sfDir).select("d1", "d2")
+    val sym = p.union(p.select(col("d2"), col("d1"))).toDF("a", "b")
+    draws.join(sym,
+        col("anchor") === col("a") && col("neg_id") === col("b"), "left_anti")
+      .select(col("anchor"), col("slot"), col("neg_id"))
+      .orderBy("anchor", "slot")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1802,7 +1829,8 @@ object Extensions {
     "x131_trend_slope" -> x131,
     "x132_file_skipping_index" -> x132,
     "x133_budgeted_selection" -> x133,
-    "x134_multitouch_attribution" -> x134)
+    "x134_multitouch_attribution" -> x134,
+    "x135_negative_sampling" -> x135)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2350,6 +2378,20 @@ object Extensions {
          |   AS BIGINT) AS bps_total
          |FROM w GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
+    "x135_negative_sampling" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |an AS (SELECT doc_id AS anchor FROM documents WHERE doc_id % 17 = 0),
+         |dr AS (SELECT anchor, CAST(s.slot AS BIGINT) AS slot,
+         |  CAST(('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':' ||
+         |    CAST(s.slot AS VARCHAR)), 1, 15)) AS BIGINT) % n_docs AS neg_id
+         | FROM an, (VALUES (0), (1), (2)) s(slot), nd),
+         |f AS (SELECT * FROM dr WHERE neg_id <> anchor)
+         |SELECT anchor, slot, neg_id FROM f
+         |WHERE NOT EXISTS (SELECT 1 FROM jpairs j
+         |  WHERE (j.d1 = f.anchor AND j.d2 = f.neg_id)
+         |     OR (j.d2 = f.anchor AND j.d1 = f.neg_id))
+         |ORDER BY anchor, slot""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
