@@ -31,13 +31,29 @@ object Analytics {
    * (strictly after). Same for stage 3 over the first qualifying stage-2 ts.
    */
   def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      s1: String, s2: String, s3: String): DataFrame = {
-    val w = Window.partitionBy(userCol).orderBy(tsCol)
+      s1: String, s2: String, s3: String): DataFrame =
+    funnelBy(events, Seq(col(userCol)), tsCol, typeCol, s1, s2, s3)
+
+  /** [[funnel]] at SESSION granularity: the ordered-step question asked per
+    * (user, day) instead of per user lifetime — "how many daily sessions
+    * signed up, then clicked, then purchased WITHIN the session". Same
+    * single-exchange shape; the partition key just gains the day. */
+  def sessionFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, s1: String, s2: String, s3: String): DataFrame =
+    funnelBy(events, Seq(col(userCol), to_date(col(tsCol))), tsCol, typeCol,
+      s1, s2, s3)
+
+  /** Shared ordered-funnel core over arbitrary partition keys: the windows
+    * and the per-key aggregate use the SAME partitioning, so Spark plans
+    * one exchange for all three passes. */
+  private def funnelBy(events: DataFrame, keys: Seq[Column], tsCol: String,
+      typeCol: String, s1: String, s2: String, s3: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
     val ts = col(tsCol); val tpe = col(typeCol)
     events
       .withColumn("sig_t", min(when(tpe === s1, ts)).over(w))
       .withColumn("mid_t", min(when(tpe === s2 && col("sig_t") < ts, ts)).over(w))
-      .groupBy(col(userCol))
+      .groupBy(keys: _*)
       .agg(
         min(when(tpe === s1, ts)).as("t1"),
         min(when(tpe === s2 && col("sig_t") < ts, ts)).as("t2"),

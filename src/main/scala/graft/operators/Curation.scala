@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -220,5 +221,25 @@ object Curation {
     supply.crossJoin(broadcast(cap))
       .select(col("source"), col("n_tokens"),
         least(col("n_tokens"), col("cap")).as("allocated"), col("cap"))
+  }
+
+  /**
+   * Within-group percentile calibration: each row's score mapped to its
+   * group-relative percentile in integer basis points —
+   * `(rank − 1)·10000 DIV (n − 1)` with RANK, so VALUE ties share a
+   * percentile (calibration must not split equal scores by id) — making
+   * scores from groups with different scales comparable before a global
+   * cut (the x49 domain-cap / x133 budget-cut consumers). Single-row
+   * groups calibrate to 0. One exchange on the group key; the rank window,
+   * the count window, and nothing else — no joins.
+   */
+  def percentileCalibration(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val byScore = Window.partitionBy(groupCol).orderBy(scoreCol)
+    df.withColumn("rk", rank().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        expr("CASE WHEN n > 1 THEN (rk - 1) * 10000 DIV (n - 1)" +
+          " ELSE CAST(0 AS BIGINT) END").as("pct_bps"))
   }
 }

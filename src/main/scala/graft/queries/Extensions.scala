@@ -1286,6 +1286,26 @@ object Extensions {
       .orderBy("anchor", "slot")
   }
 
+  /** x136 — within-source percentile calibration
+    * ([[Curation.percentileCalibration]]): quality centi-scores mapped to
+    * source-relative percentiles in integer bps (RANK — value ties share),
+    * making cross-source scores comparable before a global cut. */
+  private val x136: Q = (spark, sfDir) =>
+    Curation.percentileCalibration(
+        docs(spark, sfDir).select(col("doc_id"), col("source"),
+          floor(TextAnalysis.qualityScore(col("text")) * 100).cast("long")
+            .as("q_centi")),
+        "doc_id", "source", "q_centi")
+      .orderBy("doc_id")
+
+  /** x137 — session-scoped ordered funnel ([[Analytics.sessionFunnel]]):
+    * signup→click→purchase required IN ORDER within the same (user, day)
+    * session — the session-granular variant of x64's lifetime funnel,
+    * same single-exchange shape with the day in the partition key. */
+  private val x137: Q = (spark, sfDir) =>
+    Analytics.sessionFunnel(eventsNullUser(spark, sfDir),
+      "user_id", "ts", "event_type", "signup", "click", "purchase")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1830,7 +1850,9 @@ object Extensions {
     "x132_file_skipping_index" -> x132,
     "x133_budgeted_selection" -> x133,
     "x134_multitouch_attribution" -> x134,
-    "x135_negative_sampling" -> x135)
+    "x135_negative_sampling" -> x135,
+    "x136_percentile_calibration" -> x136,
+    "x137_session_funnel" -> x137)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2392,6 +2414,32 @@ object Extensions {
          |  WHERE (j.d1 = f.anchor AND j.d2 = f.neg_id)
          |     OR (j.d2 = f.anchor AND j.d1 = f.neg_id))
          |ORDER BY anchor, slot""".stripMargin.replace("\n", " ")),
+    "x136_percentile_calibration" ->
+      (s"""WITH $qualityCtes,
+         |q AS (SELECT doc_id, source, CAST(FLOOR(score * 100) AS BIGINT)
+         |    AS q_centi FROM qscore),
+         |r AS (SELECT doc_id, source, q_centi,
+         |  CAST(RANK() OVER (PARTITION BY source ORDER BY q_centi) AS BIGINT) AS rk,
+         |  COUNT(*) OVER (PARTITION BY source) AS n FROM q)
+         |SELECT doc_id, source, q_centi,
+         | CASE WHEN n > 1 THEN (rk - 1) * 10000 // (n - 1)
+         |  ELSE CAST(0 AS BIGINT) END AS pct_bps
+         |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x137_session_funnel" ->
+      (s"""WITH $nullUserCte,
+         |w1 AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_type,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END)
+         |   OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts) AS sig_t
+         | FROM ne),
+         |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND sig_t < ts THEN ts END)
+         |   OVER (PARTITION BY user_id, day ORDER BY ts) AS mid_t FROM w1),
+         |u AS (SELECT user_id, day,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         |  MIN(CASE WHEN event_type = 'click' AND sig_t < ts THEN ts END) AS t2,
+         |  MIN(CASE WHEN event_type = 'purchase' AND mid_t < ts THEN ts END) AS t3
+         | FROM w2 GROUP BY user_id, day)
+         |SELECT COUNT(t1) AS n_stage1, COUNT(t2) AS n_stage2,
+         | COUNT(t3) AS n_stage3 FROM u""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

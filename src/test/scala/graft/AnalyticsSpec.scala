@@ -198,6 +198,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == 0L)
   }
 
+  test("sessionFunnel: order enforced WITHIN the day; cross-day sequences don't count") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1, day 1: full ordered funnel in-session
+      (1L, ts("2024-01-01 09:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase"),
+      // user 2: signup day 1, click+purchase day 2 — day 2 session lacks signup
+      (4L, ts("2024-01-01 09:00:00"), 2L, "signup"),
+      (5L, ts("2024-01-02 10:00:00"), 2L, "click"),
+      (6L, ts("2024-01-02 11:00:00"), 2L, "purchase"),
+      // user 3, day 1: purchase BEFORE click — stage 3 not reached
+      (7L, ts("2024-01-01 09:00:00"), 3L, "signup"),
+      (8L, ts("2024-01-01 09:30:00"), 3L, "purchase"),
+      (9L, ts("2024-01-01 10:00:00"), 3L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = Analytics.sessionFunnel(ev, "user_id", "ts", "event_type",
+      "signup", "click", "purchase").collect().head
+    // sessions with signup: u1d1, u2d1, u3d1 = 3; +click after: u1, u3 = 2;
+    // +purchase after click: u1 only = 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
   test("multiTouchAttribution: exact bps split, remainder to last touch, sums to 10000") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // purchase at Jan 10 with 3 prior touches (2 clicks + 1 view):

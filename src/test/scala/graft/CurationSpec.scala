@@ -201,4 +201,16 @@ class CurationSpec extends AnyFunSuite {
           s"budget $budget: cap $cap not maximal")
     }
   }
+
+  test("percentileCalibration: ties share a percentile; single-row group is 0") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L), (5L, "a", 40L),
+      (6L, "b", 99L)
+    ).toDF("id", "grp", "score")
+    val out = Curation.percentileCalibration(df, "id", "grp", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // group a (n=5): ranks 1,2,2,4,5 -> bps 0, 2500, 2500, 7500, 10000
+    assert(out == Map(1L -> 0L, 2L -> 2500L, 3L -> 2500L, 4L -> 7500L,
+      5L -> 10000L, 6L -> 0L))
+  }
 }
