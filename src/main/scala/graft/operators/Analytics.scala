@@ -533,21 +533,28 @@ object Analytics {
       windowDays: Int = 7): DataFrame = {
     val conv = events.filter(col(typeCol) === convType)
       .select(col(idCol).as("conv_id"), col(userCol).as("cu"), col(tsCol).as("cts"))
+    // LEFT join: conversions with zero in-window touches survive as one
+    // null-extended row and land in an explicit "(unattributed)" bucket
+    // with the full 10000 bps — conservation (Σbps = 10000 · conversions)
+    // holds GLOBALLY, and unattributed volume is visible, never silent
     val touches = conv.join(events.filter(col(typeCol) =!= convType),
         col("cu") === col(userCol) &&
           col(tsCol) >= col("cts") - expr(s"INTERVAL $windowDays DAYS") &&
-          col(tsCol) < col("cts"))
+          col(tsCol) < col("cts"),
+        "left")
       .select(col("conv_id"), col(idCol), col(typeCol), col(tsCol))
     val byConv = Window.partitionBy("conv_id")
     val lastFirst = Window.partitionBy("conv_id")
       .orderBy(col(tsCol).desc, col(idCol).desc)
     touches
-      .withColumn("nt", count(lit(1)).over(byConv))
+      .withColumn("nt", count(col(idCol)).over(byConv))
       .withColumn("rd", row_number().over(lastFirst))
-      .withColumn("bps", expr("10000 DIV nt") +
-        when(col("rd") === 1, expr("10000 % nt")).otherwise(lit(0L)))
-      .groupBy(typeCol)
-      .agg(count(lit(1)).as("n_touches"), sum(col("bps")).as("bps_total"))
+      .withColumn("touch_type", coalesce(col(typeCol), lit("(unattributed)")))
+      .withColumn("bps", when(col(idCol).isNull, lit(10000L))
+        .otherwise(expr("10000 DIV nt") +
+          when(col("rd") === 1, expr("10000 % nt")).otherwise(lit(0L))))
+      .groupBy("touch_type")
+      .agg(count(col(idCol)).as("n_touches"), sum(col("bps")).as("bps_total"))
   }
 
   /**
@@ -565,18 +572,26 @@ object Analytics {
   def trendSlope(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
     val dx = x.cast("decimal(18,4)")
     val dy = y.cast("decimal(18,4)")
-    val agg = df.groupBy(groupCol).agg(
+    // listwise complete pairs only (regr_slope semantics): a NULL in either
+    // coordinate would otherwise poison the moment set — n counting rows the
+    // sums skipped yields a wrong slope, not a degraded one
+    val clean = df.filter(x.isNotNull && y.isNotNull)
+    val agg = clean.groupBy(groupCol).agg(
       count(lit(1)).as("n"),
       sum(dx).as("_sx"), sum(dy).as("_sy"),
       sum(dx * dx).as("_sxx"), sum(dx * dy).as("_sxy"))
     val n = col("n").cast("double")
     val (sx, sy, sxx, sxy) = (col("_sx").cast("double"), col("_sy").cast("double"),
       col("_sxx").cast("double"), col("_sxy").cast("double"))
+    // the zero-variance guard runs in EXACT decimal arithmetic: cast-to-
+    // double first and constant-x groups can leak through on rounding noise
+    // (den ≈ 2e-16 > 0) and emit noise/noise garbage instead of NULL
+    val denExact = col("n") * col("_sxx") - col("_sx") * col("_sx")
     val den = n * sxx - sx * sx
     val slope = (n * sxy - sx * sy) / den
     agg.select(col(groupCol), col("n"),
-      when(den > 0, round(slope, 6)).as("slope"),
-      when(den > 0, round((sy - slope * sx) / n, 6)).as("intercept"))
+      when(denExact > 0, round(slope, 6)).as("slope"),
+      when(denExact > 0, round((sy - slope * sx) / n, 6)).as("intercept"))
   }
 
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -236,10 +236,12 @@ object Curation {
   def percentileCalibration(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
     val byScore = Window.partitionBy(groupCol).orderBy(scoreCol)
-    df.withColumn("rk", rank().over(byScore).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    // reserved temp names: plain "rk"/"n" would clobber (and corrupt) a
+    // same-named input column
+    df.withColumn("__rk", rank().over(byScore).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
       .select(col(idCol), col(groupCol), col(scoreCol),
-        expr("CASE WHEN n > 1 THEN (rk - 1) * 10000 DIV (n - 1)" +
+        expr("CASE WHEN __n > 1 THEN (__rk - 1) * 10000 DIV (__n - 1)" +
           " ELSE CAST(0 AS BIGINT) END").as("pct_bps"))
   }
 }

@@ -74,6 +74,13 @@ object Scd2 {
    * key (broadcast the history when it is dim-sized). Half-open intervals
    * make the match unique by construction: a probe at exactly a version
    * boundary joins the STARTING version only.
+   *
+   * GRANULARITY CONTRACT: [[buildHistory]] formats interval bounds at whole
+   * seconds, so this join resolves at SECOND granularity — a probe and a
+   * version change within the same second resolve in favor of the newer
+   * version regardless of sub-second order. Callers needing finer
+   * resolution must build the history (and this probe format) with a
+   * fractional-seconds pattern.
    */
   def temporalJoin(history: DataFrame, probe: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {

@@ -29,12 +29,16 @@ object SkippingIndex {
       .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
 
-  /** Files whose stats range overlaps [lo, hi] — the planning step. */
-  def overlappingFiles(manifest: DataFrame, lo: String, hi: String): Array[String] =
+  /** Files whose stats range overlaps [lo, hi] — the planning step. The
+    * bound literals are cast to the MANIFEST's stat type (a hardcoded
+    * timestamp cast would NULL out on a numeric index column and silently
+    * select zero files). */
+  def overlappingFiles(manifest: DataFrame, lo: String, hi: String): Array[String] = {
+    val t = manifest.schema("min_v").dataType
     manifest
-      .filter(col("max_v") >= lit(lo).cast("timestamp") &&
-        col("min_v") <= lit(hi).cast("timestamp"))
+      .filter(col("max_v") >= lit(lo).cast(t) && col("min_v") <= lit(hi).cast(t))
       .select("file").collect().map(_.getString(0))
+  }
 
   /** Range read THROUGH the manifest: read only the overlapping files,
     * then apply the exact predicate (stats prune at file granularity; the
@@ -47,6 +51,7 @@ object SkippingIndex {
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col(valueCol).between(lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+    val t = base.schema(valueCol).dataType
+    base.filter(col(valueCol).between(lit(lo).cast(t), lit(hi).cast(t)))
   }
 }

@@ -1257,7 +1257,7 @@ object Extensions {
   private val x134: Q = (spark, sfDir) =>
     Analytics.multiTouchAttribution(Tables(spark, sfDir, "events"),
         "user_id", "ts", "event_id", "event_type", convType = "purchase")
-      .orderBy("event_type")
+      .orderBy("touch_type")
 
   /** x135 — contrastive negative sampling: k=3 deterministic hash-drawn
     * negatives per anchor (doc_id % 17 == 0), excluding the anchor itself
@@ -2343,19 +2343,18 @@ object Extensions {
     "x131_trend_slope" ->
       ("""WITH m AS (SELECT l_returnflag,
          |  CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS DECIMAL(18,4)) AS x,
-         |  CAST(l_extendedprice AS DECIMAL(18,4)) AS y FROM lineitem),
+         |  CAST(l_extendedprice AS DECIMAL(18,4)) AS y FROM lineitem
+         | WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL),
          |a AS (SELECT l_returnflag, COUNT(*) AS n,
          |  SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
          | FROM m GROUP BY l_returnflag)
          |SELECT l_returnflag, n,
-         | CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
-         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0 THEN
+         | CASE WHEN n * sxx - sx * sx > 0 THEN
          |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
          |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
          |   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
          |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) END AS slope,
-         | CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
-         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0 THEN
+         | CASE WHEN n * sxx - sx * sx > 0 THEN
          |  ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
          |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
          |   / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
@@ -2387,18 +2386,20 @@ object Extensions {
       ("""WITH pur AS (SELECT event_id AS conv_id, user_id AS cu, ts AS cts
          |  FROM events WHERE event_type = 'purchase'),
          |t AS (SELECT p.conv_id, e.event_id, e.event_type, e.ts
-         |  FROM pur p JOIN events e ON e.user_id = p.cu
+         |  FROM pur p LEFT JOIN events e ON e.user_id = p.cu
          |   AND e.ts >= p.cts - INTERVAL 7 DAY AND e.ts < p.cts
          |   AND e.event_type <> 'purchase'),
-         |w AS (SELECT conv_id, event_type,
-         |  COUNT(*) OVER (PARTITION BY conv_id) AS nt,
+         |w AS (SELECT conv_id, event_id,
+         |  COALESCE(event_type, '(unattributed)') AS touch_type,
+         |  COUNT(event_id) OVER (PARTITION BY conv_id) AS nt,
          |  ROW_NUMBER() OVER (PARTITION BY conv_id
          |    ORDER BY ts DESC, event_id DESC) AS rd
          | FROM t)
-         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
-         | CAST(SUM(10000 // nt + CASE WHEN rd = 1 THEN 10000 % nt ELSE 0 END)
+         |SELECT touch_type, CAST(COUNT(event_id) AS BIGINT) AS n_touches,
+         | CAST(SUM(CASE WHEN event_id IS NULL THEN 10000
+         |   ELSE 10000 // nt + CASE WHEN rd = 1 THEN 10000 % nt ELSE 0 END END)
          |   AS BIGINT) AS bps_total
-         |FROM w GROUP BY event_type ORDER BY event_type"""
+         |FROM w GROUP BY touch_type ORDER BY touch_type"""
         .stripMargin.replace("\n", " ")),
     "x135_negative_sampling" ->
       (s"""WITH ${jaccardCtes(0.7)},

@@ -230,14 +230,16 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, ts("2024-01-09 10:00:00"), 5L, "click"),
       (3L, ts("2024-01-09 18:00:00"), 5L, "view"),
       (4L, ts("2024-01-10 10:00:00"), 5L, "purchase"),
-      (5L, ts("2023-12-01 10:00:00"), 5L, "click") // outside 7-day window
+      (5L, ts("2023-12-01 10:00:00"), 5L, "click"),   // outside 7-day window
+      (6L, ts("2024-01-20 10:00:00"), 9L, "purchase") // zero-touch conversion
     ).toDF("event_id", "ts", "user_id", "event_type")
     val out = Analytics.multiTouchAttribution(ev, "user_id", "ts", "event_id",
         "event_type", convType = "purchase")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out("click") == ((2L, 6666L)))
     assert(out("view") == ((1L, 3334L)))
-    assert(out.values.map(_._2).sum == 10000L) // exact conservation
+    assert(out("(unattributed)") == ((0L, 10000L))) // visible, not silent
+    assert(out.values.map(_._2).sum == 20000L) // 10000 per conversion, globally
   }
 
   test("trendSlope: exact on a perfect line; NULL slope for constant x") {
@@ -249,6 +251,24 @@ class AnalyticsSpec extends AnyFunSuite {
         ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
     assert(out("a") == ((4L, Some(3.0), Some(2.0))))
     assert(out("b") == ((2L, None, None)))
+  }
+
+  test("trendSlope: constant non-integer x stays NULL (exact guard, no FP leak-through)") {
+    // x constant 0.7: a double-cast guard sees den ≈ 2e-16 > 0 and emits
+    // noise/noise garbage; the exact decimal guard must return NULL
+    val df = Seq((0.7, 1.0, "c"), (0.7, 2.0, "c"), (0.7, 3.0, "c")).toDF("x", "y", "g")
+    val r = Analytics.trendSlope(df, "g", col("x"), col("y")).collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("trendSlope: NULL coordinates drop the whole pair (listwise), not one sum") {
+    // only complete pairs: (1,2) and (3,6) -> slope 2, intercept 0;
+    // the (NULL, 100) row must not poison sy
+    val df = Seq((Some(1.0), Some(2.0)), (None, Some(100.0)), (Some(3.0), Some(6.0)))
+      .toDF("x", "y").withColumn("g", org.apache.spark.sql.functions.lit("z"))
+    val r = Analytics.trendSlope(df, "g", col("x"), col("y")).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 0.0)
   }
 
   test("paretoFrontier2D: hand-computed frontier, ties kept, interior dominated") {
