@@ -515,6 +515,39 @@ object Analytics {
    * Zero-variance columns yield NULL coefficients, never ±Inf/NaN.
    */
   /**
+   * Per-group inter-arrival-gap percentiles, EXACT (rank formula over the
+   * sorted gaps — no t-digest approximation): the latency/SLO question
+   * "p50/p90/p99 seconds between consecutive events of each type". Gaps
+   * are whole seconds (truncate-then-subtract on both engines — identical
+   * floor); the reported percentile value is the element at rank
+   * `ceil(p·n/100)` of the sorted gap multiset, which is deterministic
+   * even when ties permute row identities. Two window passes, both on the
+   * SAME group partitioning (one exchange); the rank pick is a filter,
+   * not a second aggregate.
+   */
+  def interArrivalPercentiles(events: DataFrame, typeCol: String,
+      tsCol: String, idCol: String, probsPct: Seq[Int]): DataFrame = {
+    require(probsPct.nonEmpty && probsPct.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byTs = Window.partitionBy(typeCol).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byTs))
+      .filter(col("__prev").isNotNull)
+      .select(col(typeCol),
+        (unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev"))).as("gap_s"))
+    val byGap = Window.partitionBy(typeCol).orderBy("gap_s")
+    gaps
+      .withColumn("__rk", row_number().over(byGap).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(typeCol)))
+      .crossJoin(broadcast(probsPct.toDF("p_pct")))
+      .filter(col("__rk") === expr("(p_pct * __n + 99) DIV 100"))
+      .select(col(typeCol), col("p_pct"), col("__n").as("n"),
+        col("gap_s").as("pctl_gap_s"))
+  }
+
+  /**
    * MULTI-touch (linear) attribution in EXACT integer basis points — the
    * fractional-credit complement to last-touch attribution: every
    * non-conversion touch in the `windowDays` before a conversion shares

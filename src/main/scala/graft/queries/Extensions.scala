@@ -1306,6 +1306,16 @@ object Extensions {
     Analytics.sessionFunnel(eventsNullUser(spark, sfDir),
       "user_id", "ts", "event_type", "signup", "click", "purchase")
 
+  /** x138 — inter-arrival percentiles ([[Analytics.interArrivalPercentiles]]):
+    * exact p50/p90/p99 whole-second gaps between consecutive events per
+    * type via the rank formula over sorted gaps — the latency-SLO metric
+    * without a sketch; deterministic under ties (the value at a sorted
+    * rank is unique even when tie row-identities permute). */
+  private val x138: Q = (spark, sfDir) =>
+    Analytics.interArrivalPercentiles(Tables(spark, sfDir, "events"),
+        "event_type", "ts", "event_id", probsPct = Seq(50, 90, 99))
+      .orderBy("event_type", "p_pct")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1852,7 +1862,8 @@ object Extensions {
     "x134_multitouch_attribution" -> x134,
     "x135_negative_sampling" -> x135,
     "x136_percentile_calibration" -> x136,
-    "x137_session_funnel" -> x137)
+    "x137_session_funnel" -> x137,
+    "x138_interarrival_percentiles" -> x138)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2441,6 +2452,22 @@ object Extensions {
          | FROM w2 GROUP BY user_id, day)
          |SELECT COUNT(t1) AS n_stage1, COUNT(t2) AS n_stage2,
          | COUNT(t3) AS n_stage3 FROM u""".stripMargin.replace("\n", " ")),
+    "x138_interarrival_percentiles" ->
+      ("""WITH e AS (SELECT event_type, event_id, ts,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |g AS (SELECT event_type,
+         |  es - LAG(es) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+         | FROM e),
+         |f AS (SELECT event_type, gap_s FROM g
+         |  WHERE gap_s IS NOT NULL),
+         |r AS (SELECT event_type, gap_s,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s) AS rk,
+         |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM f)
+         |SELECT event_type, CAST(p.p_pct AS INT) AS p_pct,
+         |  CAST(n AS BIGINT) AS n, gap_s AS pctl_gap_s
+         |FROM r, (VALUES (50), (90), (99)) p(p_pct)
+         |WHERE rk = (p.p_pct * n + 99) // 100
+         |ORDER BY event_type, p_pct""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

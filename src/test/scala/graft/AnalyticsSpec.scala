@@ -198,6 +198,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == 0L)
   }
 
+  test("interArrivalPercentiles: exact rank pick on hand-computed gaps") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // type A events at 0, 10, 30, 100s → gaps 10, 20, 70 (n=3):
+    // p50 target rank ceil(1.5)=2 → 20; p90 ceil(2.7)=3 → 70; p99 → 70
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "A"), (2L, ts("2024-01-01 00:00:10"), "A"),
+      (3L, ts("2024-01-01 00:00:30"), "A"), (4L, ts("2024-01-01 00:01:40"), "A"),
+      (5L, ts("2024-01-01 00:00:00"), "B") // single event: no gaps, no rows
+    ).toDF("event_id", "ts", "event_type")
+    val out = Analytics.interArrivalPercentiles(ev, "event_type", "ts", "event_id",
+        probsPct = Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out == Map(("A", 50) -> 20L, ("A", 90) -> 70L, ("A", 99) -> 70L))
+  }
+
   test("sessionFunnel: order enforced WITHIN the day; cross-day sequences don't count") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
