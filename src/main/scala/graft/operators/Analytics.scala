@@ -548,6 +548,44 @@ object Analytics {
   }
 
   /**
+   * EXACT weighted median per group: the smallest value whose cumulative
+   * weight reaches half the group total — "median document length weighted
+   * by token count" and kin. Ties collapse FIRST (one aggregate per
+   * (group, value)), so the cumulative window runs over distinct values
+   * with no ordering ambiguity, and `2·cum ≥ total` stays in integers —
+   * no ordering-dependent float accumulation anywhere.
+   * One exchange on (group, value) for the collapse; the two windows and
+   * the final min reuse the group partitioning.
+   */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val gv = df.groupBy(groupCol, valueCol).agg(sum(col(weightCol)).as("w"))
+    val cum = gv
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(groupCol).orderBy(valueCol)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(groupCol)))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy(groupCol)
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("tw")).as("total_weight"))
+  }
+
+  /**
+   * Per-group MODE (most frequent value) with a DETERMINISTIC tie-break
+   * (highest count, then smallest value): "dominant language per source".
+   * One count aggregate on (group, value) — bounded by distinct values,
+   * not rows — then a rank over each group's value-count table.
+   */
+  def groupMode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("n"))
+    val byFreq = Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col(valueCol))
+    counts.withColumn("__rk", row_number().over(byFreq))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"), col("n"))
+  }
+
+  /**
    * MULTI-touch (linear) attribution in EXACT integer basis points — the
    * fractional-credit complement to last-touch attribution: every
    * non-conversion touch in the `windowDays` before a conversion shares

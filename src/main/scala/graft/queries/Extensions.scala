@@ -1316,6 +1316,23 @@ object Extensions {
         "event_type", "ts", "event_id", probsPct = Seq(50, 90, 99))
       .orderBy("event_type", "p_pct")
 
+  /** x139 — exact weighted median ([[Analytics.weightedMedian]]): per-source
+    * median doc length weighted by token count — ties collapsed before the
+    * cumulative window, integer `2·cum ≥ total` test, no float anywhere. */
+  private val x139: Q = (spark, sfDir) =>
+    Analytics.weightedMedian(
+        docs(spark, sfDir).select(col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "n_chars", "n_tok")
+      .orderBy("source")
+
+  /** x140 — per-group mode ([[Analytics.groupMode]]): dominant language per
+    * source, deterministic tie-break (count desc, value asc); the aggregate
+    * is bounded by distinct (source, lang), never rows. */
+  private val x140: Q = (spark, sfDir) =>
+    Analytics.groupMode(docs(spark, sfDir), "source", "lang")
+      .orderBy("source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1863,7 +1880,9 @@ object Extensions {
     "x135_negative_sampling" -> x135,
     "x136_percentile_calibration" -> x136,
     "x137_session_funnel" -> x137,
-    "x138_interarrival_percentiles" -> x138)
+    "x138_interarrival_percentiles" -> x138,
+    "x139_weighted_median" -> x139,
+    "x140_group_mode" -> x140)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2468,6 +2487,26 @@ object Extensions {
          |FROM r, (VALUES (50), (90), (99)) p(p_pct)
          |WHERE rk = (p.p_pct * n + 99) // 100
          |ORDER BY event_type, p_pct""".stripMargin.replace("\n", " ")),
+    "x139_weighted_median" ->
+      ("""WITH d AS (SELECT source, n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |gv AS (SELECT source, n_chars, CAST(SUM(n_tok) AS BIGINT) AS w
+         |  FROM d GROUP BY source, n_chars),
+         |c AS (SELECT source, n_chars,
+         |  CAST(SUM(w) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cw,
+         |  CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+         | FROM gv)
+         |SELECT source, MIN(n_chars) AS weighted_median,
+         |  CAST(MAX(tw) AS BIGINT) AS total_weight
+         |FROM c WHERE cw * 2 >= tw GROUP BY source ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x140_group_mode" ->
+      ("""WITH c AS (SELECT source, lang, COUNT(*) AS n
+         |  FROM documents GROUP BY source, lang),
+         |r AS (SELECT source, lang, n, ROW_NUMBER() OVER
+         |  (PARTITION BY source ORDER BY n DESC, lang) AS rk FROM c)
+         |SELECT source, lang AS mode_value, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rk = 1 ORDER BY source""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

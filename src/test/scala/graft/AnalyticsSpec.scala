@@ -198,6 +198,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == 0L)
   }
 
+  test("weightedMedian: hand-computed, half-total boundary inclusive") {
+    // group g: values 1 (w=3), 2 (w=1), 5 (w=4) → total 8, cum(1)=3, cum(2)=4;
+    // 2·4 ≥ 8 so the median is 2, not 5 (boundary is inclusive)
+    val df = Seq((1L, 3L, "g"), (2L, 1L, "g"), (5L, 4L, "g"),
+      (7L, 9L, "h")).toDF("v", "w", "grp")
+    val out = Analytics.weightedMedian(df, "grp", "v", "w")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("g") == ((2L, 8L)))
+    assert(out("h") == ((7L, 9L)))
+  }
+
+  test("groupMode: deterministic tie-break by (count desc, value asc)") {
+    val df = Seq(("s", "en"), ("s", "en"), ("s", "fr"), ("s", "fr"), ("s", "de"))
+      .toDF("src", "lang")
+    val r = Analytics.groupMode(df, "src", "lang").collect().head
+    assert((r.getString(1), r.getLong(2)) == (("en", 2L))) // en before fr on tie
+  }
+
   test("interArrivalPercentiles: exact rank pick on hand-computed gaps") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // type A events at 0, 10, 30, 100s → gaps 10, 20, 70 (n=3):
