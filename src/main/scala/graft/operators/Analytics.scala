@@ -497,24 +497,6 @@ object Analytics {
   }
 
   /**
-   * Pairwise Pearson correlation matrix over `cols` in ONE scan: every
-   * moment (Σx, Σx², Σxy for all pairs) is an EXACT decimal sum inside a
-   * single aggregate, and each coefficient is assembled from those exact
-   * sums with one fixed double expression — so the result is
-   * engine-identical (the built-in `corr` streams float partial states
-   * whose merge order varies run to run; b24's determinism argument,
-   * applied to the full matrix). NULL policy: listwise deletion — rows
-   * containing a NULL in ANY of `cols` are excluded up front (one shared
-   * n for every pair, the textbook correlation-matrix convention), and
-   * the report carries the surviving row count so the exclusion is
-   * visible.
-   *
-   * Scale shape: one corpus scan, one map-side-combined aggregate carrying
-   * `2k + k(k−1)/2 + 1` decimal buffers (k = |cols|, 15 buffers for k=4);
-   * the k(k−1)/2 output rows are `inline`d from the single aggregated row.
-   * Zero-variance columns yield NULL coefficients, never ±Inf/NaN.
-   */
-  /**
    * Per-group inter-arrival-gap percentiles, EXACT (rank formula over the
    * sorted gaps — no t-digest approximation): the latency/SLO question
    * "p50/p90/p99 seconds between consecutive events of each type". Gaps
@@ -559,7 +541,13 @@ object Analytics {
    */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String): DataFrame = {
-    val gv = df.groupBy(groupCol, valueCol).agg(sum(col(weightCol)).as("w"))
+    // NULL values/weights are excluded up front (standard median
+    // semantics) — leaving them in would also diverge between engines:
+    // Spark's cumulative window sorts NULLS FIRST (the NULL bucket's
+    // weight would count as if it were the smallest value), SQL engines
+    // default to NULLS LAST
+    val gv = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(sum(col(weightCol)).as("w"))
     val cum = gv
       .withColumn("cw", sum(col("w")).over(
         Window.partitionBy(groupCol).orderBy(valueCol)))
@@ -577,7 +565,11 @@ object Analytics {
    * not rows — then a rank over each group's value-count table.
    */
   def groupMode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val counts = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("n"))
+    // mode is over NON-NULL values: a NULL "dominant value" is never what
+    // callers want, and NULL tie-break order differs between engines
+    // (Spark NULLS FIRST vs SQL NULLS LAST on the value tiebreaker)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("n"))
     val byFreq = Window.partitionBy(groupCol)
       .orderBy(col("n").desc, col(valueCol))
     counts.withColumn("__rk", row_number().over(byFreq))
@@ -665,6 +657,24 @@ object Analytics {
       when(denExact > 0, round((sy - slope * sx) / n, 6)).as("intercept"))
   }
 
+  /**
+   * Pairwise Pearson correlation matrix over `cols` in ONE scan: every
+   * moment (Σx, Σx², Σxy for all pairs) is an EXACT decimal sum inside a
+   * single aggregate, and each coefficient is assembled from those exact
+   * sums with one fixed double expression — so the result is
+   * engine-identical (the built-in `corr` streams float partial states
+   * whose merge order varies run to run; b24's determinism argument,
+   * applied to the full matrix). NULL policy: listwise deletion — rows
+   * containing a NULL in ANY of `cols` are excluded up front (one shared
+   * n for every pair, the textbook correlation-matrix convention), and
+   * the report carries the surviving row count so the exclusion is
+   * visible.
+   *
+   * Scale shape: one corpus scan, one map-side-combined aggregate carrying
+   * `2k + k(k−1)/2 + 1` decimal buffers (k = |cols|, 15 buffers for k=4);
+   * the k(k−1)/2 output rows are `inline`d from the single aggregated row.
+   * Zero-variance columns yield NULL coefficients, never ±Inf/NaN.
+   */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val pairs = for {

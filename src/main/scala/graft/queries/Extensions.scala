@@ -2489,7 +2489,8 @@ object Extensions {
          |ORDER BY event_type, p_pct""".stripMargin.replace("\n", " ")),
     "x139_weighted_median" ->
       ("""WITH d AS (SELECT source, n_chars,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+         | WHERE n_chars IS NOT NULL AND text IS NOT NULL),
          |gv AS (SELECT source, n_chars, CAST(SUM(n_tok) AS BIGINT) AS w
          |  FROM d GROUP BY source, n_chars),
          |c AS (SELECT source, n_chars,
@@ -2502,7 +2503,7 @@ object Extensions {
         .stripMargin.replace("\n", " ")),
     "x140_group_mode" ->
       ("""WITH c AS (SELECT source, lang, COUNT(*) AS n
-         |  FROM documents GROUP BY source, lang),
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
          |r AS (SELECT source, lang, n, ROW_NUMBER() OVER
          |  (PARTITION BY source ORDER BY n DESC, lang) AS rk FROM c)
          |SELECT source, lang AS mode_value, CAST(n AS BIGINT) AS n

@@ -216,6 +216,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((r.getString(1), r.getLong(2)) == (("en", 2L))) // en before fr on tie
   }
 
+  test("groupMode ignores NULL values; weightedMedian excludes NULL value/weight rows") {
+    val gm = Seq(("s", Some("en")), ("s", None), ("s", None), ("s", None))
+      .toDF("src", "lang")
+    val r = Analytics.groupMode(gm, "src", "lang").collect().head
+    assert(r.getString(1) == "en") // 3 NULLs must not out-vote the real value
+    // NULL value's weight must not count as the smallest value's mass
+    val wm = Seq((Option.empty[Long], Some(10L), "g"), (Some(1L), Some(1L), "g"),
+      (Some(2L), Some(9L), "g")).toDF("v", "w", "grp")
+    val m = Analytics.weightedMedian(wm, "grp", "v", "w").collect().head
+    assert((m.getLong(1), m.getLong(2)) == ((2L, 10L))) // cum(1)=1 < 5, median 2
+  }
+
   test("interArrivalPercentiles: exact rank pick on hand-computed gaps") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // type A events at 0, 10, 30, 100s → gaps 10, 20, 70 (n=3):
