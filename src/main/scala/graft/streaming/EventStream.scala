@@ -53,7 +53,7 @@ object EventStream {
     // The streaming file source wants a directory; glob-filter to the one table.
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
 
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -122,19 +122,24 @@ object EventStream {
   private def buildSliceReplayDir(spark: SparkSession, sfDir: String)
       : (String, org.apache.spark.sql.types.StructType) = {
     graft.sources.Tables.ensureNanosAsLong(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = long nanos
+    // Normalize BEFORE slicing: the watch-dir files then carry one canonical
+    // ts schema (TimestampType µs) regardless of the source parquet's
+    // physical timestamp form, and every downstream readStream consumer's
+    // normalize pass is a no-op.
+    val raw = graft.sources.Tables.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val base = java.nio.file.Files.createTempDirectory("graft_append_")
     val watch = base.resolve("watch")
     java.nio.file.Files.createDirectories(watch)
     // One tiny driver action at setup time (harness plumbing, not the
-    // measured query). Double round-off on ~1e18 nanos shifts a boundary by
-    // O(100 ns) — irrelevant to slice placement.
+    // measured query). Slice key = µs since epoch; values (~1.7e15) are below
+    // 2^53, so the percentile's double is exact.
     val bounds = raw
-      .select(expr("percentile(ts, array(0.25, 0.5, 0.75))"))
+      .select(expr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))"))
       .head().getSeq[Double](0).map(_.toLong).distinct.sorted
     val edges = (Long.MinValue +: bounds) :+ Long.MaxValue
     val ranges = edges.sliding(2).toSeq.collect {
-      case Seq(lo, hi) => col("ts") >= lo && col("ts") < hi
+      case Seq(lo, hi) => unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi
     }
     val written = ranges.zipWithIndex.count { case (cond, i) =>
       val staging = base.resolve(s"staging$i")
@@ -170,7 +175,7 @@ object EventStream {
       .getOrElse(window(col("ts"), windowDuration))
     val agg = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "0 seconds")
       .groupBy(win, col("event_type"))
       .count()
@@ -354,7 +359,7 @@ object EventStream {
     val (watch, schema) = sliceReplayDir(spark, sfDir)
     val dedup = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "1 day")
       .withColumn("day", to_date(col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
@@ -430,7 +435,7 @@ object EventStream {
     // the watch directory with their own offset state.
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     val errors = src.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
       .withWatermark("err_ts", "0 seconds")
@@ -476,7 +481,7 @@ object EventStream {
     val lake = java.nio.file.Files.createTempDirectory("graft_fb_lake_").toString
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     withStatePartitions(spark) {
       val query = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -528,7 +533,7 @@ object EventStream {
     @volatile var current = -1 // no snapshot yet
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     withStatePartitions(spark) {
       val query = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -649,7 +654,7 @@ object EventStream {
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
@@ -718,7 +723,7 @@ object EventStream {
 
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
 

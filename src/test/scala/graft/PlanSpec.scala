@@ -317,8 +317,10 @@ class PlanSpec extends AnyFunSuite {
       l.contains("FileScan parquet") && l.contains("events.parquet"))
     assert(eventsScans == 2, s"expected delta + cutoff scans only ($eventsScans):\n$p")
     assert(p.contains("mv_state"), s"expected the materialized state scan in:\n$p")
-    // the cutoff scan reads only ts (pruned), not the full row
-    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+    // the cutoff scan reads only ts (pruned), not the full row — physical ts
+    // form varies by testdata generation (int64 nanos vs native µs timestamp)
+    assert(p.contains("ReadSchema: struct<ts:bigint>") ||
+           p.contains("ReadSchema: struct<ts:timestamp>"),
       s"expected a ts-only pruned scan for the cutoff in:\n$p")
   }
 
