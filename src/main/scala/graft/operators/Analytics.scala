@@ -699,4 +699,74 @@ object Analytics {
     }
     one.select(inline(array(entries: _*)))
   }
+
+  /**
+   * First-order Markov TRANSITION MATRIX over per-key event sequences:
+   * for every (prev_type → next_type) bigram of consecutive events within
+   * a key (user), the transition count and its row-conditional probability
+   * in EXACT integer ppm (`n · 1e6 DIV row_total` — truncating integer
+   * division, so Σppm per row ≤ 1e6 with the deficit visible, never a
+   * float that pretends to sum to 1.0). The sequence-statistics complement
+   * to co-occurrence lift: ORDER matters here.
+   *
+   * Scale shape: ONE exchange on the key for the lag window (consecutive
+   * pairs never leave their partition), then an aggregate bounded by
+   * |types|² — the output is type-square-bounded regardless of corpus
+   * size, and the row-total join is a broadcast of that same tiny frame.
+   * NULL keys form one partition (SQL window semantics on both engines);
+   * ties inside a key break on `idCol` so the bigram set is deterministic.
+   */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val bigrams = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(byKey))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bigrams.groupBy("prev_type").agg(sum("n").as("__tot"))
+    bigrams.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 DIV __tot").as("p_ppm"))
+  }
+
+  /**
+   * Per-group WINSORIZED mean, EXACT: values are clamped to the group's
+   * [p-lo, p-hi] rank-percentile bounds (the element at sorted rank
+   * `ceil(p·n/100)` — the same deterministic rank pick as
+   * [[interArrivalPercentiles]], no interpolation, no sketch), then
+   * averaged in integer centi-units (`SUM·100 DIV n`). The robust-mean
+   * a quality pipeline reports when a handful of giant documents would
+   * otherwise dominate a plain mean.
+   *
+   * Scale shape: one exchange on the group for the rank window; the two
+   * bounds per group collapse to a |groups|-row frame that BROADCASTS back
+   * onto the ranked rows (clamp is map-side), and the final aggregate
+   * reuses the group partitioning. NULL values are excluded up front
+   * (rank semantics over NULLs diverge between engines).
+   */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      loPct: Int, hiPct: Int): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val byV = Window.partitionBy(groupCol).orderBy("__v")
+    val ranked = clean
+      .withColumn("__rk", row_number().over(byV).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val bounds = ranked
+      .filter(col("__rk") === expr(s"($loPct * __n + 99) DIV 100") ||
+        col("__rk") === expr(s"($hiPct * __n + 99) DIV 100"))
+      .groupBy(groupCol)
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol),
+        greatest(col("__lo"), least(col("__hi"), col("__v"))).as("__w"),
+        col("__lo"), col("__hi"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        expr("SUM(__w) * 100 DIV COUNT(1)").as("wins_mean_centi"),
+        min("__lo").as("lo_bound"), min("__hi").as("hi_bound"))
+  }
 }

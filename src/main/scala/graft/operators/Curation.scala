@@ -244,4 +244,52 @@ object Curation {
         expr("CASE WHEN __n > 1 THEN (__rk - 1) * 10000 DIV (__n - 1)" +
           " ELSE CAST(0 AS BIGINT) END").as("pct_bps"))
   }
+
+  /**
+   * TEMPORAL holdout split — the leakage-safe eval protocol for
+   * time-ordered data (forecasting, recommendation, event modeling): pick
+   * the cutoff DAY at the `trainPct` rank of the DISTINCT day spine (the
+   * element at rank `ceil(p·n/100)` — data-driven, so the split tracks the
+   * actual time range; rank over distinct days, not rows, so one hot day
+   * cannot drag the cutoff) and assign rows ≤ cutoff to train, the rest to
+   * test. Reports per-split event/user counts plus the count of users
+   * seen on BOTH sides — the overlap a temporal split permits by design
+   * but an entity-split forbids; surfacing it makes the protocol choice
+   * auditable ([[leakageSafeSplit]] is the entity-split complement).
+   *
+   * Scale shape: the day spine is a |days|-row aggregate (map-side
+   * combined), its rank pick is a 1-row broadcast; the split tag is then
+   * MAP-SIDE over one corpus scan feeding a 2-row aggregate, and the
+   * overlap count is a |users|-bounded aggregate — no corpus-sized joins
+   * or windows anywhere.
+   */
+  def temporalSplit(events: DataFrame, userCol: String, tsCol: String,
+      trainPct: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trainPct >= 1 && trainPct <= 99, s"trainPct $trainPct not in [1,99]")
+    val days = events.select(to_date(col(tsCol)).as("day"))
+      .filter(col("day").isNotNull).distinct()
+    val byDay = Window.orderBy("day")
+    // |days|-row frame: the global window is bounded and the pick is 1 row
+    val cutoff = days
+      .withColumn("__rk", row_number().over(byDay).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("__rk") === expr(s"($trainPct * __n + 99) DIV 100"))
+      .select(col("day").as("__cut"))
+    val tagged = events.filter(col(tsCol).isNotNull)
+      .crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(to_date(col(tsCol)) <= col("__cut"), "train").otherwise("test"))
+    val perSplit = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"))
+    // NULL keys are not users: n_users (countDistinct) skips them, so the
+    // overlap count must too or the report is internally inconsistent (the
+    // leakageSafeSplit NULL-group lesson)
+    val overlap = tagged.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(countDistinct(col("split")).as("__ns"))
+      .agg(sum(when(col("__ns") === 2, 1L).otherwise(0L)).as("n_shared_users"))
+    perSplit.crossJoin(broadcast(overlap))
+  }
 }

@@ -114,6 +114,48 @@ object Integrity {
           .otherwise("changed").as("status"))
   }
 
+  /** Benford's-law expected first-digit rates, in exact ppm — fixed
+    * mathematical constants (`log10(1 + 1/d) · 1e6`, truncated), hardcoded
+    * so NO runtime `log` runs on either engine: libm `log10` is not
+    * bit-portable, a literal table is. */
+  private[graft] val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /**
+   * BENFORD first-digit audit — the fraud/synthetic-data smoke test over a
+   * financial or measurement column: naturally-occurring multiplicative
+   * quantities put digit d first with probability log10(1+1/d); a column
+   * that deviates hard was rounded, capped, or fabricated. Input is exact
+   * integer units (cents — callers stage doubles through DECIMAL, the
+   * repo-standard float-exactness pattern); the leading digit is taken
+   * from the integer's decimal string (no float log anywhere), observed
+   * rates are integer ppm, and expected rates are the hardcoded
+   * [[BenfordPpm]] constants, so the report is engine-exact.
+   *
+   * Scale shape: ONE scan, map-side digit extraction, a 9-row hash
+   * aggregate with map-side combine, and a broadcast of the 9-row expected
+   * table — nothing here grows with the corpus.
+   */
+  def benfordAudit(df: DataFrame, amountUnits: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = BenfordPpm.toDF("digit", "exp_ppm")
+    val counts = df.select(amountUnits.cast("long").as("__amt"))
+      .filter(col("__amt").isNotNull && col("__amt") > 0)
+      .select(substring(col("__amt").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__tot"))
+    // the 9-row expected spine drives: digits absent from the data still
+    // report (n = 0, full negative deviation) instead of vanishing
+    expected.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(expr("n * 1000000 DIV __tot"), lit(0L)).as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
   def syncCheck(src: DataFrame, dst: DataFrame, keyCol: String,
       fingerprint: DataFrame => Column, buckets: Int = 16): DataFrame = {
     val a = bucketChecksums(src, keyCol, fingerprint(src), buckets)

@@ -551,6 +551,52 @@ object TextAnalysis {
           .as("tvd_ppm"))
   }
 
+  /**
+   * Index-accelerated SUBSTRING search (code-search style): find documents
+   * containing literal `pattern` by intersecting character-TRIGRAM posting
+   * lists, then exact-verifying only the candidates — the standard
+   * trigram-index query plan (Google Code Search, PostgreSQL pg_trgm): a
+   * doc can contain the pattern only if it contains EVERY trigram of the
+   * pattern, so candidates = ∩ postings(t) over the pattern's trigrams,
+   * and the expensive exact scan touches candidates alone. Emits matched
+   * doc ids with the exact occurrence count (length-delta arithmetic —
+   * identical in any engine).
+   *
+   * Scale shape: the trigram explode is map-side and the filter to the
+   * pattern's ≤|pattern|−2 trigrams happens BEFORE any exchange, so the
+   * shuffle carries only candidate postings (corpus-size-independent for
+   * selective patterns); the candidate set semi-joins back to the corpus
+   * (broadcast when small — AQE decides) and the verify reads candidates
+   * only. At warehouse scale the posting lists are PREBUILT once
+   * ([[invertedIndex]] shape) and this operator becomes a pure index
+   * lookup; building them inline here keeps the query self-contained.
+   */
+  def trigramSearch(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String): DataFrame = {
+    require(pattern.length >= 3, "trigram search needs a pattern of length >= 3")
+    require(!pattern.contains("%") && !pattern.contains("_"),
+      "literal patterns only (LIKE metacharacters would change oracle semantics)")
+    val patTrigs = pattern.sliding(3).toSeq.distinct
+    val k = patTrigs.size
+    val trigs = docs
+      .filter(length(col(textCol)) >= 3) // sequence(1,0) would reverse-step
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"transform(sequence(1, length($textCol) - 2)," +
+          s" i -> substr($textCol, i, 3))")).as("trig"))
+      .filter(col("trig").isin(patTrigs: _*))
+    val cand = trigs.groupBy("doc_id")
+      .agg(countDistinct(col("trig")).as("__kt"))
+      .filter(col("__kt") === k)
+      .select("doc_id")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(cand, "doc_id", "left_semi")
+      .filter(col("__t").contains(pattern))
+      .select(col("doc_id"),
+        ((length(col("__t")) - length(regexp_replace(col("__t"),
+          java.util.regex.Pattern.quote(pattern), "")))
+          .cast("long") / lit(pattern.length)).cast("long").as("n_occ"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -1333,6 +1333,46 @@ object Extensions {
     Analytics.groupMode(docs(spark, sfDir), "source", "lang")
       .orderBy("source")
 
+  /** x141 — Markov transition matrix ([[Analytics.transitionMatrix]]):
+    * per-user event-type bigram counts + row-conditional probability in
+    * exact ppm; one user exchange, |types|²-bounded output. */
+  private val x141: Q = (spark, sfDir) =>
+    Analytics.transitionMatrix(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("prev_type", "next_type")
+
+  /** x142 — trigram-index substring search ([[TextAnalysis.trigramSearch]]):
+    * posting-intersection candidates, exact verify on candidates only;
+    * oracle = the full LIKE scan it accelerates. */
+  private val x142: Q = (spark, sfDir) =>
+    TextAnalysis.trigramSearch(docs(spark, sfDir), "doc_id", "text",
+        "spark merge")
+      .orderBy("doc_id")
+
+  /** x143 — Benford first-digit audit ([[Integrity.benfordAudit]]) over
+    * lineitem extended prices in exact cents (decimal-staged, the dsum
+    * pattern); expected rates are hardcoded constants — no runtime log. */
+  private val x143: Q = (spark, sfDir) =>
+    Integrity.benfordAudit(Tables(spark, sfDir, "lineitem"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .orderBy("digit")
+
+  /** x144 — temporal holdout split ([[Curation.temporalSplit]]): cutoff at
+    * the p80-ranked distinct day, map-side split tag, shared-user overlap
+    * audit (the quantity an entity split would force to zero). */
+  private val x144: Q = (spark, sfDir) =>
+    Curation.temporalSplit(Tables(spark, sfDir, "events"), "user_id", "ts",
+        trainPct = 80)
+      .orderBy("split")
+
+  /** x145 — winsorized mean ([[Analytics.winsorizedMean]]): per-source mean
+    * doc length with rank-exact [p5, p95] clamping, integer centi-units. */
+  private val x145: Q = (spark, sfDir) =>
+    Analytics.winsorizedMean(
+        docs(spark, sfDir).select(col("source"), col("n_chars")),
+        "source", "n_chars", loPct = 5, hiPct = 95)
+      .orderBy("source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1882,7 +1922,12 @@ object Extensions {
     "x137_session_funnel" -> x137,
     "x138_interarrival_percentiles" -> x138,
     "x139_weighted_median" -> x139,
-    "x140_group_mode" -> x140)
+    "x140_group_mode" -> x140,
+    "x141_transition_matrix" -> x141,
+    "x142_trigram_search" -> x142,
+    "x143_benford_audit" -> x143,
+    "x144_temporal_split" -> x144,
+    "x145_winsorized_mean" -> x145)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2508,6 +2553,75 @@ object Extensions {
          |  (PARTITION BY source ORDER BY n DESC, lang) AS rk FROM c)
          |SELECT source, lang AS mode_value, CAST(n AS BIGINT) AS n
          |FROM r WHERE rk = 1 ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x141_transition_matrix" ->
+      ("""WITH s AS (SELECT user_id, event_type,
+         |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    AS prev_t FROM events),
+         |c AS (SELECT prev_t AS prev_type, event_type AS next_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE prev_t IS NOT NULL
+         | GROUP BY 1, 2),
+         |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+         |  FROM c GROUP BY 1)
+         |SELECT c.prev_type, c.next_type, c.n, c.n * 1000000 // t.tot AS p_ppm
+         |FROM c JOIN t USING (prev_type)
+         |ORDER BY prev_type, next_type""".stripMargin.replace("\n", " ")),
+    "x142_trigram_search" ->
+      ("""SELECT doc_id,
+         | CAST((len(text) - len(replace(text, 'spark merge', '')))
+         |   // len('spark merge') AS BIGINT) AS n_occ
+         |FROM documents WHERE text LIKE '%spark merge%'
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x143_benford_audit" ->
+      ("""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT) AS amt FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |d AS (SELECT CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS INT) AS digit,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE amt > 0 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d),
+         |e AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+         |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+         |  (9, 45757)) v(digit, exp_ppm))
+         |SELECT e.digit, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+         | CAST(COALESCE(d.n * 1000000 // t.tot, 0) AS BIGINT) AS obs_ppm,
+         | CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         | CAST(COALESCE(d.n * 1000000 // t.tot, 0) - e.exp_ppm AS BIGINT)
+         |   AS dev_ppm
+         |FROM e LEFT JOIN d USING (digit), t
+         |ORDER BY digit""".stripMargin.replace("\n", " ")),
+    "x144_temporal_split" ->
+      ("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+         |  WHERE ts IS NOT NULL),
+         |rk AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS r,
+         |  COUNT(*) OVER () AS n FROM days),
+         |cut AS (SELECT day AS c FROM rk WHERE r = (80 * n + 99) // 100),
+         |tag AS (SELECT CASE WHEN CAST(ts AS DATE) <= (SELECT c FROM cut)
+         |    THEN 'train' ELSE 'test' END AS split, user_id
+         |  FROM events WHERE ts IS NOT NULL),
+         |ps AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         | FROM tag GROUP BY 1),
+         |ov AS (SELECT CAST(COALESCE(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_shared_users
+         |  FROM (SELECT user_id, COUNT(DISTINCT split) AS ns FROM tag
+         |    WHERE user_id IS NOT NULL GROUP BY 1))
+         |SELECT ps.split, ps.n_events, ps.n_users, ov.n_shared_users
+         |FROM ps, ov ORDER BY split""".stripMargin.replace("\n", " ")),
+    "x145_winsorized_mean" ->
+      ("""WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |r AS (SELECT source, v,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk,
+         |  COUNT(*) OVER (PARTITION BY source) AS n FROM c),
+         |b AS (SELECT source,
+         |  MIN(CASE WHEN rk = (5 * n + 99) // 100 THEN v END) AS lo,
+         |  MAX(CASE WHEN rk = (95 * n + 99) // 100 THEN v END) AS hi
+         | FROM r GROUP BY 1)
+         |SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(GREATEST(b.lo, LEAST(b.hi, r.v))) * 100 // COUNT(*)
+         |   AS BIGINT) AS wins_mean_centi,
+         | CAST(MIN(b.lo) AS BIGINT) AS lo_bound,
+         | CAST(MIN(b.hi) AS BIGINT) AS hi_bound
+         |FROM r JOIN b USING (source) GROUP BY r.source
+         |ORDER BY r.source""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

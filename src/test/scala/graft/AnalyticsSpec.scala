@@ -425,4 +425,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(3L))
     assert(out(("x", "y")) == 3L)
   }
+
+  test("transitionMatrix: ordered bigrams per key, truncating ppm") {
+    // u1: a→b→b, u2: a→c; transitions from a: b(1) c(1) → 500000 ppm each;
+    // from b: b(1) → 1000000 ppm. Cross-user bigram (u1.b → u2.a) must NOT
+    // appear — sequences are per-key.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "b"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "b"),
+      (4L, ts("2024-01-02 10:00:00"), 2L, "a"),
+      (5L, ts("2024-01-02 11:00:00"), 2L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 500000L)), ("a", "c") -> ((1L, 500000L)),
+      ("b", "b") -> ((1L, 1000000L))))
+  }
+
+  test("transitionMatrix: same-timestamp ties break on idCol deterministically") {
+    val t = ts("2024-01-01 10:00:00")
+    val df = Seq((2L, t, 1L, "y"), (1L, t, 1L, "x"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("x", "y"))) // id order, not insertion order
+  }
+
+  test("winsorizedMean: clamps at the rank-picked bounds, exact centi mean") {
+    // g: 1..10; p10 rank = (10*10+99) DIV 100 = 1 → lo=1;
+    // p90 rank = (90*10+99) DIV 100 = 9 → hi=9; clamped sum = 1+..+9+9 = 54
+    // → mean_centi = 5400 DIV 10 = 540
+    val df = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
+    val r = Analytics.winsorizedMean(df, "grp", "v", 10, 90).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 540L, 1L, 9L)))
+  }
+
+  test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
+    // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
+    // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225
+    val df = Seq(Some(1L), Some(2L), Some(3L), Some(1000000L), None)
+      .map(v => ("g", v)).toDF("grp", "v")
+    val r = Analytics.winsorizedMean(df, "grp", "v", 25, 75).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 225L)))
+  }
 }

@@ -213,4 +213,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 2500L, 3L -> 2500L, 4L -> 7500L,
       5L -> 10000L, 6L -> 0L))
   }
+
+  test("temporalSplit: cutoff at the ranked day; overlap counts both-side users") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 5 distinct days; trainPct=60 → cutoff rank (60*5+99) DIV 100 = 3 →
+    // day 3. u1 has events on both sides (shared); u2 train-only; u3 test-only
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-05 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")), (3L, ts("2024-01-04 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Curation.temporalSplit(df, "user_id", "ts", trainPct = 60)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("train") == ((3L, 2L, 1L))) // 3 events, users {1,2}, 1 shared
+    assert(out("test") == ((2L, 2L, 1L)))  // 2 events, users {1,3}
+  }
+
+  test("benfordAudit: digit from integer string; absent digits report zero") {
+    import graft.operators.Integrity
+    // amounts: 10,11,19 (d=1 ×3), 25 (d=2), 90,95,99,91 (d=9 ×4); 0 and
+    // negative are excluded; digit 3..8 rows must still appear with n=0
+    val df = Seq(10L, 11L, 19L, 25L, 90L, 95L, 99L, 91L, 0L, -7L).toDF("amt")
+    val out = Integrity.benfordAudit(df, col("amt"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(out.keySet == (1 to 9).toSet)
+    assert(out(1) == ((3L, 375000L, 375000L - 301029L)))
+    assert(out(2)._1 == 1L)
+    assert(out(9) == ((4L, 500000L, 500000L - 45757L)))
+    assert(out(3) == ((0L, 0L, -124938L))) // spine row, full negative deviation
+  }
 }

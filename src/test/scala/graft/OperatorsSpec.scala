@@ -531,6 +531,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(counts.toSeq == Seq((1, 1), (0, 1), (0, 0)))
   }
+
+  test("trigramSearch: exact verify kills trigram-candidate false positives") {
+    val docs = Seq(
+      (1L, "xx abcdef yy"),        // true match, 1 occurrence
+      (2L, "abcd cdef"),           // ALL trigrams of 'abcdef' but not the string
+      (3L, "abcdef and abcdef"),   // 2 occurrences
+      (4L, "nothing here"),
+      (5L, "ab")                   // shorter than a trigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramSearch(docs, "doc_id", "text", "abcdef")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L)) // doc 2 was a candidate, verify dropped it
+  }
+
+  test("trigramSearch: occurrence count is non-overlapping, regex-metachar safe") {
+    // 'a.a' must match literally (the dot is quoted), and 'aaaa' holds TWO
+    // non-overlapping 'aa' — the same left-to-right count replace() gives
+    val docs = Seq((1L, "xa.ax"), (2L, "aaaa x a.a"))
+      .toDF("doc_id", "text")
+    val dot = TextAnalysis.trigramSearch(docs, "doc_id", "text", "a.a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dot == Map(1L -> 1L, 2L -> 1L)) // 'aaaa' does NOT match literal a.a
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
