@@ -731,6 +731,64 @@ object Analytics {
   }
 
   /**
+   * Per-user DAILY STREAKS (gaps-and-islands): for each user, the number
+   * of maximal runs of consecutive active days, the longest run, and the
+   * active-day total — the engagement statistic behind "N-day streak"
+   * features. The island key is `day − rank(day)` (consecutive days share
+   * it, any gap breaks it) — pure date arithmetic, engine-exact.
+   *
+   * Scale shape: ONE exchange on the user key; the distinct-day collapse,
+   * the rank window, and both aggregates all reuse that partitioning
+   * (island key = f(user rows only)), so the whole operator is a single
+   * shuffle regardless of corpus size. Output is |users|-bounded.
+   */
+  def dailyStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val byDay = Window.partitionBy(userCol).orderBy("__day")
+    days
+      .withColumn("__anchor", date_sub(col("__day"),
+        row_number().over(byDay)))
+      .groupBy(userCol, "__anchor").agg(count(lit(1)).as("__len"))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_streaks"),
+        max("__len").as("longest_streak"),
+        sum("__len").as("n_active_days"))
+  }
+
+  /**
+   * Deterministic A/B EXPERIMENT readout: users assigned to two arms by a
+   * portable keyed hash (`hash60(user) mod 2` — reproducible across
+   * engines and reruns; no RNG, the repo-wide sampling rule), conversion
+   * = "did the user ever emit `convType`", rates and the arm delta in
+   * EXACT integer ppm. One row out, every figure oracle-checkable.
+   *
+   * Scale shape: one exchange on the user key for the per-user collapse
+   * (map-side partial max), then a 2-row aggregate folded to one row —
+   * the arm split never reshuffles the corpus. NULL users are excluded
+   * (they are not assignable experiment units).
+   */
+  def abExperiment(events: DataFrame, userCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val perUser = events.filter(col(userCol).isNotNull)
+      .groupBy(userCol)
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("__conv"))
+      .withColumn("__arm", pmod(PortableHash.hash60(col(userCol)), lit(2)))
+    perUser.agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__arm") === 0, col("__conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("__arm") === 1, col("__conv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("conv_a * 1000000 DIV n_a").as("rate_a_ppm"),
+        expr("conv_b * 1000000 DIV n_b").as("rate_b_ppm"),
+        expr("conv_b * 1000000 DIV n_b - conv_a * 1000000 DIV n_a")
+          .as("diff_ppm"))
+  }
+
+  /**
    * Per-group WINSORIZED mean, EXACT: values are clamped to the group's
    * [p-lo, p-hi] rank-percentile bounds (the element at sorted rank
    * `ceil(p·n/100)` — the same deterministic rank pick as

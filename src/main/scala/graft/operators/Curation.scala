@@ -292,4 +292,35 @@ object Curation {
       .agg(sum(when(col("__ns") === 2, 1L).otherwise(0L)).as("n_shared_users"))
     perSplit.crossJoin(broadcast(overlap))
   }
+
+  /**
+   * CONTRIBUTION-BOUNDED aggregate — the user-level clamp every
+   * differential-privacy (and abuse-robust analytics) pipeline applies
+   * BEFORE aggregating: each user contributes at most `maxPerUser` events
+   * (their first `maxPerUser` by (ts, id) — deterministic, not sampled),
+   * so no single key can dominate a statistic. Emits per-type raw vs
+   * bounded counts plus how many users were clamped — the sensitivity
+   * readout that tells you what the bound cost.
+   *
+   * Scale shape: ONE exchange on the user key; the rank window and the
+   * per-user clamp-flag aggregate share it, and the per-type rollups are
+   * map-side-combined aggregates over the already-partitioned rows. NULL
+   * users pass through UNBOUNDED by SQL-window accident in naive
+   * implementations — here they are excluded explicitly (a NULL key is
+   * not a user; bounding "them" as one pseudo-user would silently drop
+   * real events).
+   */
+  def boundedContribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, maxPerUser: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerUser >= 1, s"maxPerUser $maxPerUser must be positive")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val ranked = events.filter(col(userCol).isNotNull)
+      .withColumn("__rk", row_number().over(byUser))
+    ranked.groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__rk") <= maxPerUser, 1L).otherwise(0L)).as("n_bounded"),
+        countDistinct(when(col("__rk") > maxPerUser, col(userCol)))
+          .as("n_users_clamped"))
+  }
 }

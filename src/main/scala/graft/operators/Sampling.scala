@@ -263,4 +263,100 @@ object Sampling {
         col("rn") * 100 <= col("n") * highPct)
       .select(col(idCol), col(stratumCol), col(valueCol))
   }
+
+  /**
+   * LARGEST-REMAINDER (Hamilton) apportionment of a fixed sample budget
+   * `k` across strata, EXACT: stratum i gets `floor(nᵢ·k/N)` plus one of
+   * the `k − Σfloor` remainder slots, awarded by largest fractional part
+   * (`nᵢ·k mod N` desc, stratum asc — deterministic ties). Conservation
+   * is exact by construction: Σalloc = k ALWAYS, which the proportional
+   * round-half rules cannot promise — the property a sampling manifest
+   * must state, not approximate.
+   *
+   * Scale shape: one map-side-combined count per stratum, then windows
+   * over the |strata|-row frame (tiny) — the corpus is scanned once and
+   * never reshuffled. The `nᵢ·k` products stage through DECIMAL(38,0):
+   * at warehouse scale nᵢ·k exceeds BIGINT (10¹²·10⁷), the house
+   * overflow rule.
+   */
+  def largestRemainderAllocation(df: DataFrame, stratumCol: String,
+      k: Long): DataFrame = {
+    require(k >= 0, s"budget k=$k must be non-negative")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_rows"))
+    val all = Window.partitionBy(lit(1))
+    counts
+      .withColumn("__N", sum("n_rows").over(all))
+      .withColumn("__base",
+        expr(s"CAST(CAST(n_rows AS DECIMAL(38,0)) * $k DIV __N AS BIGINT)"))
+      .withColumn("__slots", lit(k) - sum("__base").over(all))
+      .withColumn("__pri", row_number().over(Window.orderBy(
+        expr(s"CAST(n_rows AS DECIMAL(38,0)) * $k % __N").desc,
+        col(stratumCol))).cast("long"))
+      .select(col(stratumCol), col("n_rows"),
+        (col("__base") + when(col("__pri") <= col("__slots"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /**
+   * CONSISTENT-HASH ring vs mod-hash MIGRATION AUDIT: when a shard set
+   * grows `nOld → nNew`, what fraction of keys move? Mod-hash reassigns
+   * ~`1 − 1/nNew` of all keys (cache armageddon); a hash ring with
+   * virtual nodes moves ~`1/nNew` (only keys adjacent to the new shard's
+   * vnodes). Both assignments are computed from the portable hash —
+   * ring position = first vnode hash ≥ key hash, wrapping to the ring's
+   * minimum — so the audit is deterministic and oracle-checkable. Emits
+   * one row: key count, moved counts, and exact-ppm movement rates.
+   *
+   * Scale shape: the vnode tables are |shards|·V-row literal frames that
+   * BROADCAST; each key's ring lookup is `min(vnode ≥ h)` via a broadcast
+   * range join + min aggregate on the key (never a corpus shuffle wider
+   * than the key column), and the wrap fallback rides the same broadcast.
+   * The final report is a 1-row aggregate.
+   */
+  def consistentHashMigration(df: DataFrame, idCol: String,
+      nOld: Int, nNew: Int, vnodes: Int = 8): DataFrame = {
+    require(nOld >= 1 && nNew >= 1 && nOld != nNew && vnodes >= 1,
+      s"need distinct positive shard counts, got $nOld -> $nNew ($vnodes vnodes)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ring(n: Int, gen: String): DataFrame = {
+      val rows = for { s <- 0 until n; v <- 0 until vnodes }
+        yield (gen, s.toLong, s"$s:$v")
+      rows.toDF("gen", "shard", "__vkey")
+        .select(col("gen"), col("shard"),
+          PortableHash.hash60(col("__vkey")).as("vh"))
+    }
+    val rings = ring(nOld, "old").union(ring(nNew, "new")) // (nOld+nNew)·V rows
+    val wraps = rings.groupBy().agg(
+      min(when(col("gen") === "old", col("vh"))).as("__wrap_old"),
+      min(when(col("gen") === "new", col("vh"))).as("__wrap_new"))
+    val keys = df.select(col(idCol).as("k"))
+      .withColumn("kh", PortableHash.hash60(col("k")))
+    // ONE broadcast range join covers both generations; the per-key
+    // successor vnode for each gen falls out of the same aggregate, and a
+    // key past a ring's last vnode wraps to that ring's minimum
+    val succ = keys.join(broadcast(rings), col("vh") >= col("kh"), "left")
+      .groupBy("k", "kh")
+      .agg(min(when(col("gen") === "old", col("vh"))).as("__t_old"),
+        min(when(col("gen") === "new", col("vh"))).as("__t_new"))
+      .crossJoin(broadcast(wraps))
+      .select(col("k"), col("kh"),
+        coalesce(col("__t_old"), col("__wrap_old")).as("__t_old"),
+        coalesce(col("__t_new"), col("__wrap_new")).as("__t_new"))
+    // resolve target hash → shard per generation (vnode hashes are md5 of
+    // distinct strings — collision-free in practice; equality join is exact)
+    val oldRing = ring(nOld, "old")
+      .select(col("vh").as("__t_old"), col("shard").as("s_old"))
+    val newRing = ring(nNew, "new")
+      .select(col("vh").as("__t_new"), col("shard").as("s_new"))
+    succ.join(broadcast(oldRing), "__t_old")
+      .join(broadcast(newRing), "__t_new")
+      .agg(count(lit(1)).as("n_keys"),
+        sum((pmod(col("kh"), lit(nOld.toLong)) =!=
+          pmod(col("kh"), lit(nNew.toLong))).cast("long")).as("moved_mod"),
+        sum((col("s_old") =!= col("s_new")).cast("long")).as("moved_ring"))
+      .select(col("n_keys"), col("moved_mod"), col("moved_ring"),
+        expr("moved_mod * 1000000 DIV n_keys").as("mod_ppm"),
+        expr("moved_ring * 1000000 DIV n_keys").as("ring_ppm"))
+  }
 }

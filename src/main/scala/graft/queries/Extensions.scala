@@ -1373,6 +1373,40 @@ object Extensions {
         "source", "n_chars", loPct = 5, hiPct = 95)
       .orderBy("source")
 
+  /** x146 — daily streaks ([[Analytics.dailyStreaks]]): gaps-and-islands
+    * per user (n_streaks, longest, active days) in one user exchange. */
+  private val x146: Q = (spark, sfDir) =>
+    Analytics.dailyStreaks(Tables(spark, sfDir, "events"), "user_id", "ts")
+      .orderBy("user_id")
+
+  /** x147 — A/B experiment readout ([[Analytics.abExperiment]]): portable
+    * hash-mod arm assignment, purchase conversion, exact-ppm rates + delta. */
+  private val x147: Q = (spark, sfDir) =>
+    Analytics.abExperiment(Tables(spark, sfDir, "events"),
+      "user_id", "event_type", "purchase")
+
+  /** x148 — consistent-hash migration audit
+    * ([[Sampling.consistentHashMigration]]): ring-vs-mod movement when the
+    * doc shard set grows 16 → 17, exact ppm, all hashes portable. */
+  private val x148: Q = (spark, sfDir) =>
+    Sampling.consistentHashMigration(docs(spark, sfDir), "doc_id",
+      nOld = 16, nNew = 17, vnodes = 8)
+
+  /** x149 — largest-remainder allocation
+    * ([[Sampling.largestRemainderAllocation]]): Hamilton apportionment of a
+    * 1000-doc sample budget across sources; Σalloc = 1000 exactly. */
+  private val x149: Q = (spark, sfDir) =>
+    Sampling.largestRemainderAllocation(docs(spark, sfDir), "source", k = 1000L)
+      .orderBy("source")
+
+  /** x150 — contribution-bounded aggregate
+    * ([[Curation.boundedContribution]]): per-user cap of 5 events (first 5
+    * by ts, id) before the per-type rollup — the DP-prep clamp. */
+  private val x150: Q = (spark, sfDir) =>
+    Curation.boundedContribution(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", maxPerUser = 5)
+      .orderBy("event_type")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1927,7 +1961,12 @@ object Extensions {
     "x142_trigram_search" -> x142,
     "x143_benford_audit" -> x143,
     "x144_temporal_split" -> x144,
-    "x145_winsorized_mean" -> x145)
+    "x145_winsorized_mean" -> x145,
+    "x146_daily_streaks" -> x146,
+    "x147_ab_experiment" -> x147,
+    "x148_consistent_hash_migration" -> x148,
+    "x149_largest_remainder_alloc" -> x149,
+    "x150_bounded_contribution" -> x150)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2622,6 +2661,83 @@ object Extensions {
          | CAST(MIN(b.hi) AS BIGINT) AS hi_bound
          |FROM r JOIN b USING (source) GROUP BY r.source
          |ORDER BY r.source""".stripMargin.replace("\n", " ")),
+    "x146_daily_streaks" ->
+      ("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |r AS (SELECT user_id, day,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rk FROM d),
+         |i AS (SELECT user_id, day - CAST(rk AS INTEGER) AS anchor,
+         |  CAST(COUNT(*) AS BIGINT) AS len FROM r GROUP BY 1, 2)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+         | CAST(MAX(len) AS BIGINT) AS longest_streak,
+         | CAST(SUM(len) AS BIGINT) AS n_active_days
+         |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    "x147_ab_experiment" ->
+      ("""WITH u AS (SELECT user_id,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % 2 AS arm
+         | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |a AS (SELECT
+         |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |  CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         | FROM u)
+         |SELECT n_a, n_b, conv_a, conv_b,
+         | conv_a * 1000000 // n_a AS rate_a_ppm,
+         | conv_b * 1000000 // n_b AS rate_b_ppm,
+         | conv_b * 1000000 // n_b - conv_a * 1000000 // n_a AS diff_ppm
+         |FROM a""".stripMargin.replace("\n", " ")),
+    "x148_consistent_hash_migration" ->
+      ("""WITH vn AS (SELECT gen, s,
+         |  CAST(('0x' || substr(md5(s || ':' || v), 1, 15)) AS BIGINT) AS vh
+         | FROM (SELECT 'old' AS gen, o.range AS s, i.range AS v
+         |    FROM range(16) o, range(8) i
+         |   UNION ALL SELECT 'new', o.range, i.range
+         |    FROM range(17) o, range(8) i)),
+         |k AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |    1, 15)) AS BIGINT) AS kh FROM documents),
+         |s AS (SELECT k.doc_id, k.kh,
+         |  MIN(CASE WHEN vn.gen = 'old' AND vn.vh >= k.kh THEN vn.vh END) AS t_old,
+         |  MIN(CASE WHEN vn.gen = 'new' AND vn.vh >= k.kh THEN vn.vh END) AS t_new
+         | FROM k LEFT JOIN vn ON vn.vh >= k.kh GROUP BY 1, 2),
+         |w AS (SELECT MIN(CASE WHEN gen = 'old' THEN vh END) AS w_old,
+         |  MIN(CASE WHEN gen = 'new' THEN vh END) AS w_new FROM vn),
+         |r AS (SELECT s.kh, COALESCE(s.t_old, w.w_old) AS t_old,
+         |  COALESCE(s.t_new, w.w_new) AS t_new FROM s, w),
+         |j AS (SELECT r.kh, ro.s AS s_old, rn.s AS s_new FROM r
+         |  JOIN vn ro ON ro.gen = 'old' AND ro.vh = r.t_old
+         |  JOIN vn rn ON rn.gen = 'new' AND rn.vh = r.t_new),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN kh % 16 <> kh % 17 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS moved_mod,
+         |  CAST(SUM(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS moved_ring FROM j)
+         |SELECT n_keys, moved_mod, moved_ring,
+         | moved_mod * 1000000 // n_keys AS mod_ppm,
+         | moved_ring * 1000000 // n_keys AS ring_ppm
+         |FROM m""".stripMargin.replace("\n", " ")),
+    "x149_largest_remainder_alloc" ->
+      ("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT c.*, CAST(SUM(n_rows) OVER () AS BIGINT) AS N FROM c),
+         |b AS (SELECT source, n_rows, CAST(n_rows * 1000 // N AS BIGINT) AS base,
+         |  CAST(n_rows * 1000 % N AS BIGINT) AS rem FROM t),
+         |s AS (SELECT b.*, CAST(1000 - SUM(base) OVER () AS BIGINT) AS slots,
+         |  ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS pri FROM b)
+         |SELECT source, n_rows,
+         | CAST(base + CASE WHEN pri <= slots THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM s ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x150_bounded_contribution" ->
+      ("""WITH r AS (SELECT event_type, user_id,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+         | FROM events WHERE user_id IS NOT NULL)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         | CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounded,
+         | CAST(COUNT(DISTINCT CASE WHEN rk > 5 THEN user_id END) AS BIGINT)
+         |   AS n_users_clamped
+         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -464,6 +464,33 @@ class AnalyticsSpec extends AnyFunSuite {
       ((10L, 540L, 1L, 9L)))
   }
 
+  test("dailyStreaks: islands split on gaps; multiple events per day collapse") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")), // same day
+      (1L, ts("2024-01-02 09:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-05 09:00:00")),                                  // gap → new island
+      (2L, ts("2024-02-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Analytics.dailyStreaks(df, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 3L, 4L))) // streaks {1-3}, {5}: longest 3, 4 active days
+    assert(out(2L) == ((1L, 1L, 1L)))
+  }
+
+  test("abExperiment: arm counts partition users; conversion sums conserve") {
+    val df = (1L to 40L).flatMap(u => Seq(
+      (u, "click"), (u, if (u % 4 == 0) "purchase" else "view")
+    )).toDF("user_id", "event_type")
+    val r = Analytics.abExperiment(df, "user_id", "event_type", "purchase")
+      .collect().head
+    val (na, nb, ca, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb == 40L)     // every user lands in exactly one arm
+    assert(ca + cb == 10L)     // u % 4 == 0 converters, split across arms
+    assert(r.getLong(4) == ca * 1000000L / na)
+    assert(r.getLong(6) == r.getLong(5) - r.getLong(4))
+  }
+
   test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
     // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
     // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225

@@ -230,6 +230,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out("test") == ((2L, 2L, 1L)))  // 2 events, users {1,3}
   }
 
+  test("boundedContribution: caps each user at the first maxPerUser by (ts, id)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 emits 4 events (cap 2 → first two by time survive: a, b);
+    // u2 emits 1; NULL user rows are excluded entirely
+    val df = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), 1L, "a"),
+      (Some(1L), ts("2024-01-01 11:00:00"), 2L, "b"),
+      (Some(1L), ts("2024-01-01 12:00:00"), 3L, "a"),
+      (Some(1L), ts("2024-01-01 13:00:00"), 4L, "c"),
+      (Some(2L), ts("2024-01-01 10:00:00"), 5L, "a"),
+      (None,     ts("2024-01-01 10:00:00"), 6L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Curation.boundedContribution(df, "user_id", "ts", "event_id",
+        "event_type", maxPerUser = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((3L, 2L, 1L))) // u1's 3rd 'a' clamped, u2's kept
+    assert(out("b") == ((1L, 1L, 0L)))
+    assert(out("c") == ((1L, 0L, 1L))) // entirely beyond u1's cap
+  }
+
   test("benfordAudit: digit from integer string; absent digits report zero") {
     import graft.operators.Integrity
     // amounts: 10,11,19 (d=1 ×3), 25 (d=2), 90,95,99,91 (d=9 ×4); 0 and
