@@ -743,9 +743,15 @@ object Analytics {
    * shuffle regardless of corpus size. Output is |users|-bounded.
    */
   def dailyStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // partition by the USER alone before the distinct: hash(user) clusters
+    // (user, day) too, so the day-collapse, the rank window, and both
+    // aggregates all satisfy their distribution from this ONE exchange — a
+    // plain distinct() would shuffle on (user, day) and force a second
+    // user-only exchange for the window
     val days = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .repartition(col(userCol))
       .distinct()
     val byDay = Window.partitionBy(userCol).orderBy("__day")
     days

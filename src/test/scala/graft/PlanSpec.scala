@@ -493,4 +493,58 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row stats frame must broadcast:\n$p")
   }
+
+  test("x141: the |types|^2 totals frame broadcasts back, never reshuffles bigrams") {
+    val p = plan("x141_transition_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"row-total join must broadcast the tiny totals frame:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the lag window needs exactly the user exchange:\n$p")
+  }
+
+  test("x142: trigram candidates filter map-side; verify is a semi join on candidates") {
+    val p = plan("x142_trigram_search")
+    assert(p.contains("LeftSemi"),
+      s"exact verify must semi-join the candidate set:\n$p")
+    // the pattern-trigram filter runs in the same stage as the explode —
+    // BEFORE the aggregate exchange — so the shuffle carries only candidate
+    // postings, not the corpus-wide trigram stream
+    val filterThenAgg = p.linesIterator.zipWithIndex.toSeq
+    val fi = filterThenAgg.collectFirst {
+      case (l, i) if l.contains("trig#") && l.contains("Filter") => i }
+    val ei = filterThenAgg.collectFirst {
+      case (l, i) if l.contains("Exchange hashpartitioning(doc_id") => i }
+    assert(fi.isDefined && ei.isDefined && fi.get > ei.get,
+      s"trigram filter must sit BELOW (after, in tree order) the doc_id exchange:\n$p")
+  }
+
+  test("x145: winsor bounds broadcast back onto the ranked rows") {
+    val p = plan("x145_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group bounds frame must broadcast:\n$p")
+    // one exchange partitions the corpus by group for the rank window; the
+    // bounds derivation and the final aggregate REUSE it — more exchanges
+    // would mean the corpus reshuffles for a 20-row bounds table
+    val corpusExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(source"))
+    assert(corpusExchanges <= 2,
+      s"rank + reuse should need at most 2 source exchanges, got $corpusExchanges:\n$p")
+  }
+
+  test("x146: streaks are one user exchange — islands never leave their partition") {
+    val p = plan("x146_daily_streaks")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"distinct + window + both aggregates must share ONE user exchange, got $exchanges:\n$p")
+  }
+
+  test("x148: both ring lookups ride broadcasts — keys never shuffle for the rings") {
+    val p = plan("x148_consistent_hash_migration")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the vnode range probe must be a broadcast nested-loop:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both shard resolutions must be broadcast equality joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized sort-merge join belongs in a ring lookup:\n$p")
+  }
 }
