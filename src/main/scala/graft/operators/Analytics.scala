@@ -795,6 +795,120 @@ object Analytics {
   }
 
   /**
+   * ROLLING 7-day DISTINCT users per day (WAU-style) — the windowed
+   * COUNT(DISTINCT) SQL windows cannot express (no DISTINCT over RANGE
+   * frames in any engine): collapse to distinct (user, day) pairs, then
+   * each observed day counts the distinct users of its trailing window
+   * via a range join against the DAY SPINE.
+   *
+   * Scale shape: the pair frame is |users×days|-bounded (day-grain, not
+   * event-grain) and the spine is |days| rows — the range join BROADCASTS
+   * the spine over the pairs (each pair lands in ≤`windowDays` windows,
+   * so the blow-up is a constant factor, never quadratic), and one
+   * count-distinct aggregate per day finishes it. The corpus is scanned
+   * once.
+   */
+  def rollingDistinctUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays $windowDays must be positive")
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val spine = pairs.select(col("__day").as("day")).distinct()
+    pairs.join(broadcast(spine),
+        col("__day") > date_sub(col("day"), windowDays) &&
+          col("__day") <= col("day"))
+      .groupBy("day")
+      .agg(countDistinct(col(userCol)).as("n_active_users"))
+  }
+
+  /**
+   * FEDERATED-MEDIAN divergence audit: the exact global median versus the
+   * "median of per-shard medians" shortcut every federated/streaming
+   * system is tempted by — reported side by side with the error in ppm,
+   * so the shortcut's bias is MEASURED, not assumed. Medians are
+   * rank-exact lower medians (element at rank `(n+1) DIV 2` — no
+   * interpolation, defined for any ordered type); shards are assigned by
+   * the portable hash so the audit reproduces anywhere.
+   *
+   * Scale shape: the true median is one rank window over a value-sorted
+   * exchange; the per-shard medians are the same shape partitioned by
+   * shard; the S-row medians frame then folds in a single tiny aggregate.
+   * Nothing quadratic, nothing collected.
+   */
+  def federatedMedianAudit(df: DataFrame, idCol: String, valueCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be positive")
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).cast("long").as("__v"))
+      .withColumn("__shard", pmod(PortableHash.hash60(col("__id")), lit(nShards)))
+    def lowerMedian(d: DataFrame, parts: Seq[String]): DataFrame = {
+      val w = if (parts.isEmpty) Window.orderBy("__v", "__id")
+        else Window.partitionBy(parts.map(col): _*).orderBy("__v", "__id")
+      val cnt = if (parts.isEmpty) Window.partitionBy(lit(1))
+        else Window.partitionBy(parts.map(col): _*)
+      d.withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(cnt))
+        .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+    }
+    val truth = lowerMedian(clean, Nil)
+      .select(col("__n").as("n"), col("__v").as("true_median"))
+    val fed = lowerMedian(
+      lowerMedian(clean, Seq("__shard"))
+        .select(col("__shard").as("__id"), col("__v")),
+      Nil).select(col("__v").as("federated_median"))
+    truth.crossJoin(broadcast(fed))
+      .select(col("n"), col("true_median"), col("federated_median"),
+        expr("abs(federated_median - true_median) * 1000000" +
+          " DIV greatest(abs(true_median), 1)").as("err_ppm"))
+  }
+
+  /**
+   * GROWTH ACCOUNTING (new / retained / resurrected / churned) at week
+   * grain — the startup-metrics matrix, engine-exact because week
+   * boundaries are ISO Mondays in both Spark and DuckDB and every status
+   * is pure date arithmetic over the per-user active-week sequence:
+   * `new` = first active week, `retained` = active the week before,
+   * `resurrected` = returned after a gap ≥ 2 weeks, and `churned(w)` =
+   * active in `w−7d` but not `w`. Churn is only reported for weeks
+   * OBSERVED in the data (a week nobody touched the product cannot carry
+   * a row — documented convention; beyond-horizon churn is unknowable).
+   *
+   * Scale shape: one exchange on the user key — the week collapse, the
+   * lag/lead windows, and the status derivation all share it; the
+   * per-week rollups are |weeks|-bounded aggregates and the spine join
+   * broadcasts. Event grain never reshuffles.
+   */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val uw = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), to_date(date_trunc("week", col(tsCol))).as("__wk"))
+      .repartition(col(userCol)) // one exchange serves collapse + windows
+      .distinct()
+    val byWk = Window.partitionBy(userCol).orderBy("__wk")
+    val seq = uw
+      .withColumn("__prev", lag(col("__wk"), 1).over(byWk))
+      .withColumn("__next", lead(col("__wk"), 1).over(byWk))
+    val statuses = seq.groupBy(col("__wk").as("week"))
+      .agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === date_sub(col("__wk"), 7), 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") < date_sub(col("__wk"), 7), 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = seq
+      .filter(col("__next").isNull || col("__next") > date_add(col("__wk"), 7))
+      .groupBy(date_add(col("__wk"), 7).as("week"))
+      .agg(count(lit(1)).as("__churned"))
+    statuses.join(churn, Seq("week"), "left")
+      .select(col("week"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("__churned"), lit(0L)).as("n_churned"))
+  }
+
+  /**
    * Per-group WINSORIZED mean, EXACT: values are clamped to the group's
    * [p-lo, p-hi] rank-percentile bounds (the element at sorted rank
    * `ceil(p·n/100)` — the same deterministic rank pick as

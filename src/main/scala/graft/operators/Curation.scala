@@ -310,6 +310,39 @@ object Curation {
    * not a user; bounding "them" as one pseudo-user would silently drop
    * real events).
    */
+  /**
+   * K-ANONYMITY audit over quasi-identifier columns: group rows into
+   * equivalence classes by the quasi-identifier tuple and report, per
+   * candidate k, how many classes fall below k and how many rows sit in
+   * them (the re-identifiable population) plus the smallest class — the
+   * release-gate numbers a privacy review asks for before a dataset
+   * ships. NULL quasi-values form their own class (SQL GROUP BY
+   * semantics, identical in both engines): an unknown attribute is still
+   * an attribute an attacker can match on.
+   *
+   * Scale shape: ONE map-side-combined aggregate to the class table
+   * (bounded by distinct quasi-tuples), then a |ks|-row broadcast cross
+   * join over that tiny frame — the corpus is scanned once, and nothing
+   * downstream is row-bounded.
+   */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      ks: Seq[Int]): DataFrame = {
+    require(quasiCols.nonEmpty && ks.nonEmpty && ks.forall(_ >= 1),
+      "need quasi-identifier columns and positive k values")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+    classes.crossJoin(broadcast(ks.toDF("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("__sz") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_below_k"),
+        sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min("__sz").as("min_class_size"))
+  }
+
   def boundedContribution(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, maxPerUser: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

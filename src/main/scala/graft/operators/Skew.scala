@@ -83,4 +83,40 @@ object Skew {
       .join(counts, Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
+
+  /**
+   * SKEW-AWARE partition PLAN: assign keys to `nParts` partitions by
+   * SNAKE placement over the count-desc key ranking (1..P, then P..1,
+   * …) — the deterministic greedy-balancing layout a custom partitioner
+   * ships when hash partitioning would let one hot key sink a task. The
+   * report gives each planned partition's key count and row load plus
+   * its imbalance vs the ideal `total/nParts` in exact ppm — the number
+   * that says whether the layout is worth deploying. Snake (vs plain
+   * round-robin) pairs the heaviest key in each band with the lightest
+   * of the next, bounding adjacent-band imbalance.
+   *
+   * Scale shape: one map-side-combined count per key, one rank window
+   * over the |keys|-row frame (vocabulary-bounded, never row-bounded),
+   * and a `nParts`-row rollup. The corpus is scanned once; nothing about
+   * the plan computation is corpus-sized.
+   */
+  def skewAwarePartitionPlan(df: DataFrame, keyCol: String,
+      nParts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nParts >= 1, s"nParts $nParts must be positive")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    val byCount = Window.orderBy(col("__n").desc, col(keyCol))
+    val planned = counts
+      .withColumn("__rk", row_number().over(byCount).cast("long") - 1L)
+      .withColumn("part",
+        expr(s"CASE WHEN (__rk DIV $nParts) % 2 = 0 THEN __rk % $nParts" +
+          s" ELSE $nParts - 1 - (__rk % $nParts) END"))
+    val loads = planned.groupBy("part")
+      .agg(count(lit(1)).as("n_keys"), sum("__n").as("load"))
+    val total = loads.agg(sum("load").as("__total"))
+    loads.crossJoin(broadcast(total))
+      .select(col("part"), col("n_keys"), col("load"),
+        expr(s"CAST(CAST(load AS DECIMAL(38,0)) * $nParts * 1000000" +
+          " DIV __total - 1000000 AS BIGINT)").as("imbalance_ppm"))
+  }
 }

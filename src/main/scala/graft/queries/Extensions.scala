@@ -1407,6 +1407,45 @@ object Extensions {
         "user_id", "ts", "event_id", "event_type", maxPerUser = 5)
       .orderBy("event_type")
 
+  /** x151 — rolling 7-day distinct users ([[Analytics.rollingDistinctUsers]]):
+    * the windowed COUNT DISTINCT no RANGE frame can express; day-grain
+    * pairs × broadcast day spine. */
+  private val x151: Q = (spark, sfDir) =>
+    Analytics.rollingDistinctUsers(Tables(spark, sfDir, "events"),
+        "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+
+  /** x152 — skew-aware partition plan ([[Skew.skewAwarePartitionPlan]]):
+    * snake placement of doc sources over 4 planned partitions, loads +
+    * exact-ppm imbalance. */
+  private val x152: Q = (spark, sfDir) =>
+    Skew.skewAwarePartitionPlan(docs(spark, sfDir), "source", nParts = 4)
+      .orderBy("part")
+
+  /** x153 — federated-median divergence ([[Analytics.federatedMedianAudit]]):
+    * exact global lower median vs median-of-8-shard-medians, error in ppm —
+    * the federated shortcut's bias measured, not assumed. */
+  private val x153: Q = (spark, sfDir) =>
+    Analytics.federatedMedianAudit(
+      docs(spark, sfDir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", nShards = 8)
+
+  /** x154 — k-anonymity audit ([[Curation.kAnonymityAudit]]) over the
+    * (lang, source, 500-char length band) quasi-identifier at k ∈
+    * {2,5,10,20}: classes below k and rows at risk. */
+  private val x154: Q = (spark, sfDir) =>
+    Curation.kAnonymityAudit(
+        docs(spark, sfDir).withColumn("len_band", expr("n_chars DIV 500")),
+        Seq("lang", "source", "len_band"), ks = Seq(2, 5, 10, 20))
+      .orderBy("k")
+
+  /** x155 — growth accounting ([[Analytics.growthAccounting]]): weekly
+    * new/retained/resurrected/churned from the per-user active-week
+    * sequence; ISO-Monday weeks on both engines. */
+  private val x155: Q = (spark, sfDir) =>
+    Analytics.growthAccounting(Tables(spark, sfDir, "events"), "user_id", "ts")
+      .orderBy("week")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -1966,7 +2005,12 @@ object Extensions {
     "x147_ab_experiment" -> x147,
     "x148_consistent_hash_migration" -> x148,
     "x149_largest_remainder_alloc" -> x149,
-    "x150_bounded_contribution" -> x150)
+    "x150_bounded_contribution" -> x150,
+    "x151_rolling_distinct_users" -> x151,
+    "x152_skew_partition_plan" -> x152,
+    "x153_federated_median_audit" -> x153,
+    "x154_k_anonymity_audit" -> x154,
+    "x155_growth_accounting" -> x155)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2738,6 +2782,80 @@ object Extensions {
          | CAST(COUNT(DISTINCT CASE WHEN rk > 5 THEN user_id END) AS BIGINT)
          |   AS n_users_clamped
          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "x151_rolling_distinct_users" ->
+      ("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |s AS (SELECT DISTINCT d AS day FROM p)
+         |SELECT s.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+         |  AS n_active_users
+         |FROM s JOIN p ON p.d > s.day - 7 AND p.d <= s.day
+         |GROUP BY s.day ORDER BY s.day""".stripMargin.replace("\n", " ")),
+    "x152_skew_partition_plan" ->
+      ("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT source, n,
+         |  ROW_NUMBER() OVER (ORDER BY n DESC, source) - 1 AS rk FROM c),
+         |p AS (SELECT *, CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4
+         |  ELSE 4 - 1 - (rk % 4) END AS part FROM r),
+         |l AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(n) AS BIGINT) AS load FROM p GROUP BY 1),
+         |t AS (SELECT CAST(SUM(load) AS BIGINT) AS total FROM l)
+         |SELECT CAST(l.part AS BIGINT) AS part, l.n_keys, l.load,
+         | l.load * 4 * 1000000 // t.total - 1000000 AS imbalance_ppm
+         |FROM l, t ORDER BY part""".stripMargin.replace("\n", " ")),
+    "x153_federated_median_audit" ->
+      ("""WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % 8 AS shard
+         | FROM documents WHERE n_chars IS NOT NULL),
+         |g AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS rk,
+         |  COUNT(*) OVER () AS n FROM c),
+         |tm AS (SELECT CAST(n AS BIGINT) AS n, v AS true_median FROM g
+         |  WHERE rk = (n + 1) // 2),
+         |sm AS (SELECT shard, v,
+         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v, doc_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY shard) AS sn FROM c),
+         |sv AS (SELECT shard, v FROM sm WHERE rk = (sn + 1) // 2),
+         |fm AS (SELECT v AS federated_median FROM
+         |  (SELECT v, ROW_NUMBER() OVER (ORDER BY v, shard) AS rk,
+         |    COUNT(*) OVER () AS n FROM sv) WHERE rk = (n + 1) // 2)
+         |SELECT tm.n, tm.true_median, fm.federated_median,
+         | abs(fm.federated_median - tm.true_median) * 1000000
+         |   // greatest(abs(tm.true_median), 1) AS err_ppm
+         |FROM tm, fm""".stripMargin.replace("\n", " ")),
+    "x154_k_anonymity_audit" ->
+      ("""WITH c AS (SELECT lang, source, n_chars // 500 AS len_band,
+         |  CAST(COUNT(*) AS BIGINT) AS sz
+         | FROM documents GROUP BY 1, 2, 3)
+         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         | CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_classes_below_k,
+         | CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         |   AS n_rows_at_risk,
+         | CAST(MIN(sz) AS BIGINT) AS min_class_size
+         |FROM c, (VALUES (2), (5), (10), (20)) v(k)
+         |GROUP BY k ORDER BY k""".stripMargin.replace("\n", " ")),
+    "x155_growth_accounting" ->
+      ("""WITH uw AS (SELECT DISTINCT user_id,
+         |  CAST(date_trunc('week', ts) AS DATE) AS wk
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |s AS (SELECT user_id, wk,
+         |  LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+         |  LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt FROM uw),
+         |st AS (SELECT wk AS week,
+         |  CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  CAST(SUM(CASE WHEN prev = wk - 7 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retained,
+         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < wk - 7 THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_resurrected
+         | FROM s GROUP BY 1),
+         |ch AS (SELECT wk + 7 AS week, CAST(COUNT(*) AS BIGINT) AS churned
+         | FROM s WHERE nxt IS NULL OR nxt > wk + 7 GROUP BY 1)
+         |SELECT st.week, st.n_new, st.n_retained, st.n_resurrected,
+         | CAST(COALESCE(ch.churned, 0) AS BIGINT) AS n_churned
+         |FROM st LEFT JOIN ch USING (week)
+         |ORDER BY st.week""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

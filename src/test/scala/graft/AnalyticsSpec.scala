@@ -491,6 +491,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(6) == r.getLong(5) - r.getLong(4))
   }
 
+  test("rollingDistinctUsers: trailing window counts distinct, not events") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")), // same user+day
+      (2L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-09 10:00:00"))  // far gap: window holds only u3
+    ).toDF("user_id", "ts")
+    val out = Analytics.rollingDistinctUsers(df, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out == Map(
+      "2024-01-01" -> 1L,   // {1}
+      "2024-01-02" -> 2L,   // {1,2}
+      "2024-01-03" -> 2L,   // {1,2} — u1 twice in window counts once
+      "2024-01-09" -> 1L))  // {3}
+  }
+
+  test("federatedMedianAudit: one shard equals the truth; multi-shard matches brute force") {
+    val one = Analytics.federatedMedianAudit(
+      (1L to 9L).map(i => (i, i * 10L)).toDF("id", "v"), "id", "v", nShards = 1)
+      .collect().head
+    assert((one.getLong(1), one.getLong(2), one.getLong(3)) == ((50L, 50L, 0L)))
+    // brute-force the 4-shard path with the same portable hash
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val rows = (1L to 100L).map(i => (i, i)) // value = id: median 50
+    def lowerMedian(vs: Seq[Long]): Long = vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val fedExp = lowerMedian(rows.groupBy { case (id, _) => h60(id.toString) % 4 }
+      .toSeq.map { case (_, g) => lowerMedian(g.map(_._2)) })
+    val r = Analytics.federatedMedianAudit(rows.toDF("id", "v"), "id", "v", 4)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 50L, fedExp)))
+    assert(r.getLong(3) == math.abs(fedExp - 50L) * 1000000L / 50L)
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned classified by week gaps") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // wk1 (Mon Jan 1): new
+      (1L, ts("2024-01-08 10:00:00")), // wk2: retained
+      (2L, ts("2024-01-01 11:00:00")), // wk1: new, then absent wk2 → churned wk2
+      (3L, ts("2024-01-01 12:00:00")), // wk1: new
+      (3L, ts("2024-01-15 10:00:00"))  // wk3: resurrected (skipped wk2)
+    ).toDF("user_id", "ts")
+    val out = Analytics.growthAccounting(df, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("2024-01-01") == ((3L, 0L, 0L, 0L)))
+    // wk2: u1 retained; u2 and u3 churn out of wk1 (u3 returns later — churn
+    // still happened in wk2, resurrection is a separate wk3 event)
+    assert(out("2024-01-08") == ((0L, 1L, 0L, 2L)))
+    assert(out("2024-01-15") == ((0L, 0L, 1L, 1L))) // u1 churns wk3 too
+  }
+
   test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
     // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
     // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225

@@ -68,4 +68,27 @@ class SkewSpec extends AnyFunSuite {
     assert(out.head == ((1L, 60L, 3000L)))
     assert(out.length == 3 && out(1) == ((2L, 10L, 500L)))
   }
+
+  test("skewAwarePartitionPlan: snake placement pairs heavy with light") {
+    // counts desc: a=40, b=30, c=20, d=10; P=2 → ranks 0,1,2,3; band 0
+    // ascends (a→p0, b→p1), band 1 REVERSES (c→p1, d→p0):
+    // p0 = {a,d} load 50, p1 = {b,c} load 50 — perfectly balanced, where
+    // plain round-robin would give {a,c}=60 vs {b,d}=40
+    val rows = Seq.fill(40)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(20)("c") ++ Seq.fill(10)("d")
+    val out = Skew.skewAwarePartitionPlan(rows.toDF("k"), "k", nParts = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) == ((2L, 50L, 0L)))
+    assert(out(1L) == ((2L, 50L, 0L)))
+  }
+
+  test("skewAwarePartitionPlan: imbalance ppm is signed and exact") {
+    // a=3, b=1 into P=2: p0={a}=3, p1={b}=1, ideal 2 →
+    // p0: 3·2·1e6/4 − 1e6 = +500000; p1: 1·2·1e6/4 − 1e6 = −500000
+    val df = (Seq.fill(3)("a") ++ Seq("b")).toDF("k")
+    val out = Skew.skewAwarePartitionPlan(df, "k", nParts = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(0L -> 500000L, 1L -> -500000L))
+  }
 }

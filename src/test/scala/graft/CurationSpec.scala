@@ -251,6 +251,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out("c") == ((1L, 0L, 1L))) // entirely beyond u1's cap
   }
 
+  test("kAnonymityAudit: class sizes vs k; NULL quasi-values form a class") {
+    // classes: (en,s1)=3 rows, (fr,s1)=1, (NULL,s2)=2 → 3 classes
+    val df = Seq(
+      (Some("en"), "s1"), (Some("en"), "s1"), (Some("en"), "s1"),
+      (Some("fr"), "s1"),
+      (None, "s2"), (None, "s2")
+    ).toDF("lang", "source")
+    val out = Curation.kAnonymityAudit(df, Seq("lang", "source"), ks = Seq(2, 4))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(2) == ((3L, 1L, 1L, 1L))) // only (fr,s1) below 2
+    assert(out(4) == ((3L, 3L, 6L, 1L))) // every class below 4 — all rows at risk
+  }
+
   test("benfordAudit: digit from integer string; absent digits report zero") {
     import graft.operators.Integrity
     // amounts: 10,11,19 (d=1 ×3), 25 (d=2), 90,95,99,91 (d=9 ×4); 0 and
