@@ -909,6 +909,60 @@ object Analytics {
   }
 
   /**
+   * CONVERSION LIFE TABLE (discrete survival analysis numerators and
+   * denominators): for each whole-day lag k since a user's first
+   * `startType` event — n_at_risk (users still unconverted and still
+   * observable at day k), n_converted (first `convType` lands exactly at
+   * lag k), n_censored (observation window ends at lag k without
+   * conversion; the window closes at the GLOBAL max event date, the
+   * standard administrative-censoring cutoff). Pure integer day
+   * arithmetic — the Kaplan-Meier PRODUCT estimate is deliberately left
+   * to the caller (it is float; these exact counts are what any engine
+   * must agree on).
+   *
+   * Scale shape: one exchange on the user key collapses each user to a
+   * single (conv_lag | censor_lag) row; the lag-grain rollup is bounded
+   * by |days of history|, and n_at_risk is a REVERSE cumulative window
+   * over that tiny frame (at-risk(k) = Σ_{j≥k} converted(j)+censored(j)).
+   * Only lags that actually occur carry rows (documented — empty lags
+   * are absent, not zero).
+   */
+  def conversionLifeTable(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, startType: String, convType: String): DataFrame = {
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(userCol)
+      .agg(min(when(col(typeCol) === startType, to_date(col(tsCol))))
+          .as("__start"),
+        min(when(col(typeCol) === convType, to_date(col(tsCol))))
+          .as("__convd"))
+      .filter(col("__start").isNotNull)
+    val horizon = events.agg(max(to_date(col(tsCol))).as("__end"))
+    val lagged = perUser.crossJoin(broadcast(horizon))
+      // conversions BEFORE the first start are not conversions OF it
+      .withColumn("__conv_lag",
+        when(col("__convd") >= col("__start"),
+          datediff(col("__convd"), col("__start")).cast("long")))
+      .withColumn("__cens_lag",
+        datediff(col("__end"), col("__start")).cast("long"))
+    val perLag = lagged
+      .withColumn("lag_days",
+        coalesce(col("__conv_lag"), col("__cens_lag")))
+      .groupBy("lag_days")
+      .agg(sum(when(col("__conv_lag").isNotNull, 1L).otherwise(0L))
+          .as("n_converted"),
+        sum(when(col("__conv_lag").isNull, 1L).otherwise(0L))
+          .as("n_censored"))
+    perLag
+      .withColumn("n_at_risk",
+        sum(col("n_converted") + col("n_censored")).over(
+          Window.orderBy(col("lag_days").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("lag_days"), col("n_at_risk"), col("n_converted"),
+        col("n_censored"))
+  }
+
+  /**
    * Per-group WINSORIZED mean, EXACT: values are clamped to the group's
    * [p-lo, p-hi] rank-percentile bounds (the element at sorted rank
    * `ceil(p·n/100)` — the same deterministic rank pick as

@@ -532,6 +532,36 @@ object Dedup {
   }
 
   /**
+   * GOLDEN-RECORD survivorship per near-dup cluster — the MDM merge step
+   * [[retainBest]] stops short of: instead of picking ONE winner, build
+   * the cluster's merged record field-by-field under explicit,
+   * deterministic rules (representative = min id; longest text's id with
+   * min-id tie-break; best quality score; member count; pooled size).
+   * Every rule is a plain aggregate, so the record is reproducible and
+   * each field's provenance policy is visible in the output schema.
+   *
+   * Scale shape: one broadcast-able cluster-label join (unlabeled docs
+   * become singleton clusters via the coalesced id — they survive as
+   * their own golden record), then ONE map-side-combined aggregate per
+   * cluster. The longest-text pick uses `max_by` over a (len, −id)
+   * struct — an aggregate, not a window, so no per-cluster sort.
+   */
+  def goldenRecord(docs: DataFrame, idCol: String, textCol: String,
+      scoreCentis: Column, clusters: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long")
+        .as("__len"), scoreCentis.as("__q"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("rep_doc"),
+        max_by(col("doc_id"),
+          struct(col("__len"), (-col("doc_id")).as("tie"))).as("longest_doc"),
+        max(col("__len")).as("max_len"),
+        max(col("__q")).as("best_quality_centi"),
+        sum(col("__len")).as("total_chars"))
+
+  /**
    * Per-document n-gram repetition statistics (the Gopher-style repetition
    * quality signal, public technique): total vs distinct n-gram occurrences
    * and the duplicate fraction. ZERO shuffles: a document's shingle hashes

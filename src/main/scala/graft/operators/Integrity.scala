@@ -156,6 +156,36 @@ object Integrity {
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 
+  /**
+   * ORDER-SENSITIVE audit hash chain per ledger partition (day): the
+   * checksum `Σ rank·hash60(row) mod p` (p = 2³¹−1, Mersenne prime)
+   * over rows ranked by their canonical order — reordering, dropping, or
+   * editing ANY row changes the chain, where [[bucketChecksums]]'s plain
+   * hash SUM is order-blind by design (reconciliation wants that;
+   * tamper-evidence does not). All arithmetic is BIGINT modular: ranks
+   * and hashes reduce mod p BEFORE multiplying (each product < 2⁶² — no
+   * overflow), and the per-term-reduced sum stays below rows·p, so the
+   * chain holds exactly for partitions up to ~4·10⁹ rows — far past any
+   * daily ledger partition — with zero decimal/float anywhere.
+   *
+   * Scale shape: one exchange on the partition key; the rank window and
+   * the checksum aggregate share it, and the output is |partitions| rows.
+   */
+  def auditHashChain(df: DataFrame, partCol: Column, fingerprint: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "need a canonical row order for the chain")
+    df.select(partCol.as("part") +: PortableHash.hash60(fingerprint).as("__h") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("part"))
+          .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("SUM(((__rk % 2147483647) * (__h % 2147483647)) % 2147483647)" +
+          " % 2147483647").as("chain_mod"))
+  }
+
   def syncCheck(src: DataFrame, dst: DataFrame, keyCol: String,
       fingerprint: DataFrame => Column, buckets: Int = 16): DataFrame = {
     val a = bucketChecksums(src, keyCol, fingerprint(src), buckets)

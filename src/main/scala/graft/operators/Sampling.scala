@@ -265,6 +265,53 @@ object Sampling {
   }
 
   /**
+   * SYSTEMATIC PPS (probability-proportional-to-size) sample: walk the
+   * cumulative-weight axis in fixed strides of `total DIV n` and keep
+   * every row whose weight interval `(cum_before, cum_after]` crosses a
+   * stride boundary — heavy rows are near-certain picks, light rows keep
+   * proportional odds, and the pick count is deterministic (`≈ n`;
+   * integer-exact, no RNG, reruns identical). The workhorse for "sample
+   * ~n docs proportional to token count" without a weighted-reservoir
+   * heap.
+   *
+   * Scale shape: the [[budgetedSelection]] DISTRIBUTED PREFIX SUM — range
+   * partition on the walk order, local running sums, exclusive partition
+   * offsets broadcast back — so no global single-partition window
+   * anywhere; the boundary test is then map-side arithmetic. Non-positive
+   * weights are EXCLUDED from selection (a zero-width interval cannot
+   * cross a boundary), and a degenerate stride (total < n) selects
+   * nothing rather than dividing by zero — both visible in the output
+   * count, neither a crash.
+   */
+  def systematicPpsSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Long, partitions: Int = 0): DataFrame = {
+    require(n >= 1, s"sample size $n must be positive")
+    val keys = Seq(col(idCol).asc)
+    val parted = (if (partitions > 0) df.repartitionByRange(partitions, keys: _*)
+      else df.repartitionByRange(keys: _*))
+      .select(col(idCol), col(weightCol).cast("long").as("__w"))
+      // exclude BEFORE the prefix: a negative weight would make the
+      // cumulative axis non-monotone and corrupt every later boundary test
+      .filter(col("__w") > 0)
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lcum",
+      sum(col("__w")).over(Window.partitionBy("pid").orderBy(keys: _*)))
+    val offsets = local.groupBy("pid").agg(sum(col("__w")).as("ptot"))
+      .withColumn("offset",
+        sum(col("ptot")).over(Window.orderBy("pid")) - col("ptot"))
+      .withColumn("total", sum(col("ptot")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid").as("_off_pid"), col("offset"), col("total"))
+    local.join(broadcast(offsets), col("pid") === col("_off_pid"))
+      .withColumn("cum_after", col("offset") + col("lcum"))
+      .withColumn("cum_before", col("cum_after") - col("__w"))
+      .withColumn("__stride", expr(s"total DIV $n"))
+      .filter(col("__stride") > 0 &&
+        expr("cum_before DIV __stride") < expr("cum_after DIV __stride"))
+      .select(col(idCol), col("__w").as("weight"), col("cum_after"))
+  }
+
+  /**
    * LARGEST-REMAINDER (Hamilton) apportionment of a fixed sample budget
    * `k` across strata, EXACT: stratum i gets `floor(nᵢ·k/N)` plus one of
    * the `k − Σfloor` remainder slots, awarded by largest fractional part

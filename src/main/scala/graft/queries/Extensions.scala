@@ -1446,6 +1446,55 @@ object Extensions {
     Analytics.growthAccounting(Tables(spark, sfDir, "events"), "user_id", "ts")
       .orderBy("week")
 
+  /** x156 — systematic PPS sample ([[Sampling.systematicPpsSample]]):
+    * ~50 docs proportional to n_chars via stride walks over distributed
+    * prefix sums — deterministic, no RNG, no global window. */
+  private val x156: Q = (spark, sfDir) =>
+    Sampling.systematicPpsSample(
+        docs(spark, sfDir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 50L)
+      .orderBy("doc_id")
+
+  /** x157 — column-level drift ([[CdcMerge.columnDrift]]) between the
+    * customer snapshot and x48's merged result: per tracked column, the
+    * changed-key count and ppm — x59's row verdict decomposed by attribute. */
+  private val x157: Q = (spark, sfDir) =>
+    CdcMerge.columnDrift(
+        Tables(spark, sfDir, "customer")
+          .select("c_custkey", "c_acctbal", "c_mktsegment"),
+        x48(spark, sfDir),
+        "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+      .orderBy("col_name")
+
+  /** x158 — golden-record survivorship ([[Dedup.goldenRecord]]) per
+    * near-dup cluster (same x18 cluster frame): field-by-field merged
+    * record under deterministic rules, singletons survive as themselves. */
+  private val x158: Q = (spark, sfDir) =>
+    Dedup.goldenRecord(
+        docs(spark, sfDir).filter(col("text").isNotNull),
+        "doc_id", "text",
+        floor(TextAnalysis.qualityScore(col("text")) * 100).cast("long"),
+        Dedup.dupClusters(lshPairs(spark, sfDir), iterations = 3))
+      .orderBy("cluster")
+
+  /** x159 — conversion life table ([[Analytics.conversionLifeTable]]):
+    * signup→purchase discrete survival counts by whole-day lag with
+    * administrative censoring at the global max event date. */
+  private val x159: Q = (spark, sfDir) =>
+    Analytics.conversionLifeTable(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_type", "signup", "purchase")
+      .orderBy("lag_days")
+
+  /** x160 — audit hash chain ([[Integrity.auditHashChain]]): per-day
+    * order-sensitive ledger checksum Σ rank·hash mod p — reorder/drop/edit
+    * all change it, where x79's order-blind sum can't see reorders. */
+  private val x160: Q = (spark, sfDir) =>
+    Integrity.auditHashChain(Tables(spark, sfDir, "events"),
+        to_date(col("ts")),
+        concat_ws("|", col("event_id"), col("user_id"), col("event_type")),
+        Seq(col("ts"), col("event_id")))
+      .orderBy("part")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2010,7 +2059,12 @@ object Extensions {
     "x152_skew_partition_plan" -> x152,
     "x153_federated_median_audit" -> x153,
     "x154_k_anonymity_audit" -> x154,
-    "x155_growth_accounting" -> x155)
+    "x155_growth_accounting" -> x155,
+    "x156_systematic_pps_sample" -> x156,
+    "x157_column_drift" -> x157,
+    "x158_golden_record" -> x158,
+    "x159_conversion_life_table" -> x159,
+    "x160_audit_hash_chain" -> x160)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2856,6 +2910,88 @@ object Extensions {
          | CAST(COALESCE(ch.churned, 0) AS BIGINT) AS n_churned
          |FROM st LEFT JOIN ch USING (week)
          |ORDER BY st.week""".stripMargin.replace("\n", " ")),
+    "x156_systematic_pps_sample" ->
+      ("""WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+         |  FROM documents WHERE n_chars > 0),
+         |s AS (SELECT doc_id, w,
+         |  CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum_after FROM c),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) // 50 AS stride FROM c)
+         |SELECT doc_id, w AS weight, cum_after FROM s, t
+         |WHERE stride > 0 AND (cum_after - w) // stride < cum_after // stride
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x157_column_drift" ->
+      (s"""WITH $cdcMergeCtes,
+         |old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+         |j AS (SELECT o.c_custkey IS NOT NULL AS in_old,
+         |  n.c_custkey IS NOT NULL AS in_new,
+         |  o.c_acctbal AS oa, o.c_mktsegment AS om,
+         |  n.c_acctbal AS na, n.c_mktsegment AS nm
+         | FROM old o FULL OUTER JOIN news n ON o.c_custkey = n.c_custkey),
+         |a AS (SELECT
+         |  CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_both,
+         |  CAST(SUM(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+         |  CAST(SUM(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+         |  CAST(SUM(CASE WHEN in_old AND in_new AND (na IS DISTINCT FROM oa)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_a,
+         |  CAST(SUM(CASE WHEN in_old AND in_new AND (nm IS DISTINCT FROM om)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_m FROM j)
+         |SELECT v.col_name, a.n_both AS n_compared,
+         | CASE v.col_name WHEN 'c_acctbal' THEN a.chg_a ELSE a.chg_m END
+         |   AS n_changed,
+         | CAST(CASE WHEN a.n_both > 0 THEN
+         |   (CASE v.col_name WHEN 'c_acctbal' THEN a.chg_a ELSE a.chg_m END)
+         |     * 1000000 // a.n_both ELSE 0 END AS BIGINT) AS changed_ppm,
+         | a.n_ins AS n_inserted_rows, a.n_del AS n_deleted_rows
+         |FROM a, (VALUES ('c_acctbal'), ('c_mktsegment')) v(col_name)
+         |ORDER BY col_name""".stripMargin.replace("\n", " ")),
+    "x158_golden_record" ->
+      (s"""WITH $clusterCtes, $qualityCtes,
+         |base AS (SELECT q.doc_id, COALESCE(l.label, q.doc_id) AS cluster,
+         |  CAST(len(d.text) AS BIGINT) AS len,
+         |  CAST(FLOOR(q.score * 100) AS BIGINT) AS qc
+         | FROM qscore q LEFT JOIN l3 l ON l.node = q.doc_id
+         | JOIN documents d ON d.doc_id = q.doc_id WHERE d.text IS NOT NULL),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+         |  ORDER BY len DESC, doc_id) AS rn FROM base)
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         | CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+         | CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS longest_doc,
+         | CAST(MAX(len) AS BIGINT) AS max_len,
+         | CAST(MAX(qc) AS BIGINT) AS best_quality_centi,
+         | CAST(SUM(len) AS BIGINT) AS total_chars
+         |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin.replace("\n", " ")),
+    "x159_conversion_life_table" ->
+      ("""WITH pu AS (SELECT user_id,
+         |  MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS sd,
+         |  MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+         |h AS (SELECT MAX(CAST(ts AS DATE)) AS ed FROM events),
+         |g AS (SELECT CASE WHEN cd >= sd THEN cd - sd END AS conv_lag,
+         |  ed - sd AS cens_lag FROM pu, h WHERE sd IS NOT NULL),
+         |p AS (SELECT CAST(COALESCE(conv_lag, cens_lag) AS BIGINT) AS lag_days,
+         |  CAST(SUM(CASE WHEN conv_lag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_converted,
+         |  CAST(SUM(CASE WHEN conv_lag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_censored
+         | FROM g GROUP BY 1)
+         |SELECT lag_days,
+         | CAST(SUM(n_converted + n_censored) OVER (ORDER BY lag_days DESC)
+         |   AS BIGINT) AS n_at_risk,
+         | n_converted, n_censored
+         |FROM p ORDER BY lag_days""".stripMargin.replace("\n", " ")),
+    "x160_audit_hash_chain" ->
+      ("""WITH e AS (SELECT CAST(ts AS DATE) AS part, ts, event_id,
+         |  CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id,
+         |    event_type)), 1, 15)) AS BIGINT) AS h
+         | FROM events),
+         |r AS (SELECT part, h,
+         |  ROW_NUMBER() OVER (PARTITION BY part ORDER BY ts, event_id) AS rk
+         | FROM e)
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(((rk % 2147483647) * (h % 2147483647)) % 2147483647)
+         |   % 2147483647 AS BIGINT) AS chain_mod
+         |FROM r GROUP BY part ORDER BY part""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

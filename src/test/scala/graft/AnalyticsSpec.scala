@@ -546,6 +546,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-15") == ((0L, 0L, 1L, 1L))) // u1 churns wk3 too
   }
 
+  test("conversionLifeTable: converted/censored lags and reverse-cumulative risk") {
+    // horizon = 2024-01-10 (global max). u1 signs up d0, converts d2;
+    // u2 signs up 01-05, never converts → censored at lag 5;
+    // u3 purchase BEFORE signup → not a conversion of it, censored lag 2;
+    // u4 never signs up → excluded entirely
+    val df = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "signup"),
+      (1L, ts("2024-01-03 09:00:00"), "purchase"),
+      (2L, ts("2024-01-05 08:00:00"), "signup"),
+      (3L, ts("2024-01-07 08:00:00"), "purchase"),
+      (3L, ts("2024-01-08 08:00:00"), "signup"),
+      (4L, ts("2024-01-10 08:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.conversionLifeTable(df, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(2L) == ((3L, 1L, 1L))) // at lag2: all 3 at risk; u1 converts, u3 censors
+    assert(out(5L) == ((1L, 0L, 1L))) // u2 censored at 5; only u2 still at risk
+  }
+
   test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
     // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
     // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225

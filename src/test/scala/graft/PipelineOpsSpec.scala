@@ -348,6 +348,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rebuilt == expected, "diff-then-apply must reconstruct the new snapshot")
   }
 
+  test("columnDrift: per-column change counts over the same I/U/D fixture") {
+    val old = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "bal", "seg")
+    val next = Seq((1L, 10.0, "a"), (2L, 21.0, "b"), (4L, 40.0, "d"))
+      .toDF("k", "bal", "seg")
+    val out = CdcMerge.columnDrift(old, next, "k", Seq("bal", "seg"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // keys 1,2 co-present; only bal changed (on key 2) → 500000 ppm; key 4
+    // inserted, key 3 deleted — row counts identical on both column rows
+    assert(out("bal") == ((2L, 1L, 500000L, 1L, 1L)))
+    assert(out("seg") == ((2L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("goldenRecord: per-cluster field rules; singleton survives as itself") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "aaaa", 50L), (2L, "bbbbbb", 30L), (3L, "cc", 90L), // cluster 1
+      (9L, "solo", 70L)                                        // unlabeled
+    ).toDF("doc_id", "text", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val out = Dedup.goldenRecord(docs, "doc_id", "text", col("q"), clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // cluster 1: 3 members, rep=min id 1, longest text doc 2 (len 6),
+    // best quality 90 (doc 3), pooled chars 4+6+2=12
+    assert(out(1L) == ((3L, 1L, 2L, 6L, 90L, 12L)))
+    assert(out(9L) == ((1L, 9L, 9L, 4L, 70L, 4L)))
+  }
+
+  test("goldenRecord: longest-text ties break to the smaller doc id") {
+    import graft.operators.Dedup
+    val docs = Seq((5L, "xxxx", 1L), (7L, "yyyy", 2L)).toDF("doc_id", "text", "q")
+    val clusters = Seq((5L, 5L), (7L, 5L)).toDF("doc_id", "cluster")
+    val r = Dedup.goldenRecord(docs, "doc_id", "text", col("q"), clusters)
+      .collect().head
+    assert(r.getLong(3) == 5L) // equal length 4 → min id wins
+  }
+
   test("ZOrder: column and driver-side interleaves agree; cell list covers range queries") {
     import graft.operators.ZOrder
     val pairs = for (a <- 0 to 7; b <- 0 to 7) yield (a, b)
@@ -414,6 +455,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out.values.sum == 10L)
     assert(out("a") > out("b")) // proportionality preserved
+  }
+
+  test("systematicPpsSample: boundary crossings, heavy rows certain, partition-invariant") {
+    // weights: id 1→9, id 2→1, id 3→9, id 4→1; total 20, n=4 → stride 5.
+    // cums: 9, 10, 19, 20 → boundaries at 5,10,15,20:
+    // id1 (0,9] crosses 5 ✓; id2 (9,10] crosses 10 ✓; id3 (10,19] crosses 15 ✓;
+    // id4 (19,20] crosses 20 ✓ — all four here; the heavy rows MUST be in.
+    val df = Seq((1L, 9L), (2L, 1L), (3L, 9L), (4L, 1L)).toDF("id", "w")
+    val got = Sampling.systematicPpsSample(df, "id", "w", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 9L), (2L, 1L), (3L, 9L), (4L, 1L)))
+    // a light row between boundaries is skipped: n=2 → stride 10 → picks
+    // exactly the rows whose interval crosses 10 and 20
+    val two = Sampling.systematicPpsSample(df, "id", "w", n = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(two == Set(2L, 4L))
+    // the distributed prefix must not depend on partition count
+    val big = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val p1 = Sampling.systematicPpsSample(big, "id", "w", 40, partitions = 1)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val p7 = Sampling.systematicPpsSample(big, "id", "w", 40, partitions = 7)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(p1 == p7 && p1.nonEmpty)
+  }
+
+  test("auditHashChain: order-sensitive — swapping two rows changes the chain") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val p = 2147483647L
+    import graft.operators.Integrity
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    def expected(ordered: Seq[(Long, String)]): Long =
+      ordered.zipWithIndex.map { case ((id, t), i) =>
+        ((i + 1) % p) * (h60(s"$id|$t") % p) % p }.sum % p
+    val df = rows.map { case (id, t) => (1, id, t) }.toDF("d", "id", "t")
+    val out = Integrity.auditHashChain(df, col("d"),
+      concat_ws("|", col("id"), col("t")), Seq(col("id")))
+      .collect().head
+    assert((out.getLong(1), out.getLong(2)) == ((3L, expected(rows))))
+    // permuting the ledger (same multiset!) must change the checksum —
+    // this is exactly what the order-blind bucketChecksums cannot see
+    assert(expected(Seq(rows(1), rows(0), rows(2))) != expected(rows))
   }
 
   test("consistentHashMigration matches a local brute-force ring") {
