@@ -530,6 +530,84 @@ object Analytics {
   }
 
   /**
+   * EXACT weighted QUANTILES per group — [[weightedMedian]] generalized
+   * to arbitrary percentiles: for each requested p, the smallest value
+   * whose cumulative weight reaches `p%` of the group total
+   * (`100·cum ≥ p·total`, all integers — the weighted analogue of the
+   * rank formula, no interpolation). One collapse + two windows + a tiny
+   * broadcast percentile spine; ties collapse first exactly as in the
+   * median, so the cumulative axis is unambiguous.
+   */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, probsPct: Seq[Int]): DataFrame = {
+    require(probsPct.nonEmpty && probsPct.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gv = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(sum(col(weightCol)).as("w"))
+    val cum = gv
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(groupCol).orderBy(valueCol)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(groupCol)))
+    cum.crossJoin(broadcast(probsPct.toDF("p_pct")))
+      .filter(col("cw") * 100 >= col("p_pct") * col("tw"))
+      .groupBy(groupCol, "p_pct")
+      .agg(min(col(valueCol)).as("q_value"), max(col("tw")).as("total_weight"))
+  }
+
+  /**
+   * DIFFERENCE-IN-DIFFERENCES readout over a hash-assigned experiment and
+   * a rank-derived time cutoff: per (arm, period) user-conversion cells in
+   * exact ppm, folded to one row with the DiD estimate
+   * `(post_B − pre_B) − (post_A − pre_A)` — the causal-analytics summary
+   * an A/B readout ([[abExperiment]]) can't give when both arms drift
+   * over time. The cutoff day is the `cutoffPct`-ranked DISTINCT day (the
+   * x144 temporal-split pick); a user's period cell is judged by the
+   * events they emitted IN that period, so one user can appear in both
+   * periods (panel semantics, stated not hidden).
+   *
+   * Scale shape: one exchange on (user) for the per-(user, period)
+   * collapse (map-side partial max), a 4-row cell aggregate, one output
+   * row. The cutoff derivation windows over the |days| frame only.
+   */
+  def diffInDiff(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, cutoffPct: Int = 50): DataFrame = {
+    require(cutoffPct >= 1 && cutoffPct <= 99, s"cutoffPct $cutoffPct not in [1,99]")
+    val days = events.select(to_date(col(tsCol)).as("day"))
+      .filter(col("day").isNotNull).distinct()
+    val cutoff = days
+      .withColumn("__rk", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("__rk") === expr(s"($cutoffPct * __n + 99) DIV 100"))
+      .select(col("day").as("__cut"))
+    val cells = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .crossJoin(broadcast(cutoff))
+      .withColumn("__period",
+        when(to_date(col(tsCol)) <= col("__cut"), "pre").otherwise("post"))
+      .groupBy(col(userCol), col("__period"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("__conv"))
+      .withColumn("__arm", pmod(PortableHash.hash60(col(userCol)), lit(2)))
+    def cell(arm: Int, period: String, what: Column): Column =
+      sum(when(col("__arm") === arm && col("__period") === period, what)
+        .otherwise(0L))
+    val agg = cells.agg(
+      cell(0, "pre", lit(1L)).as("n_a_pre"), cell(0, "pre", col("__conv")).as("c_a_pre"),
+      cell(0, "post", lit(1L)).as("n_a_post"), cell(0, "post", col("__conv")).as("c_a_post"),
+      cell(1, "pre", lit(1L)).as("n_b_pre"), cell(1, "pre", col("__conv")).as("c_b_pre"),
+      cell(1, "post", lit(1L)).as("n_b_post"), cell(1, "post", col("__conv")).as("c_b_post"))
+    agg.select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      expr("c_a_pre * 1000000 DIV n_a_pre").as("rate_a_pre_ppm"),
+      expr("c_a_post * 1000000 DIV n_a_post").as("rate_a_post_ppm"),
+      expr("c_b_pre * 1000000 DIV n_b_pre").as("rate_b_pre_ppm"),
+      expr("c_b_post * 1000000 DIV n_b_post").as("rate_b_post_ppm"),
+      expr("(c_b_post * 1000000 DIV n_b_post - c_b_pre * 1000000 DIV n_b_pre)" +
+        " - (c_a_post * 1000000 DIV n_a_post - c_a_pre * 1000000 DIV n_a_pre)")
+        .as("did_ppm"))
+  }
+
+  /**
    * EXACT weighted median per group: the smallest value whose cumulative
    * weight reaches half the group total — "median document length weighted
    * by token count" and kin. Ties collapse FIRST (one aggregate per
@@ -728,6 +806,30 @@ object Analytics {
     bigrams.join(broadcast(totals), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("n * 1000000 DIV __tot").as("p_ppm"))
+  }
+
+  /**
+   * Daily BOUNCE RATE over (user, day) sessions: the share of sessions
+   * with exactly one event, in exact ppm — the engagement-quality
+   * counterpart to session length averages, which single-event sessions
+   * silently drag. Session = (user, day) here (the x137 day-session
+   * convention); NULL users are excluded (not a session owner).
+   *
+   * Scale shape: one exchange on (user, day) for the session collapse
+   * (map-side partial counts) — the day rollup afterward is satisfied by
+   * the same clustering, so the corpus shuffles once; output is
+   * |days|-bounded.
+   */
+  def bounceRate(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val sessions = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__len"))
+    sessions.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__len") === 1, 1L).otherwise(0L)).as("n_bounced"))
+      .select(col("day"), col("n_sessions"), col("n_bounced"),
+        expr("n_bounced * 1000000 DIV n_sessions").as("bounce_ppm"))
   }
 
   /**

@@ -134,4 +134,39 @@ object Graph {
     }
     hub.join(auth, "v").select(col("v"), col("h"), col("a"))
   }
+
+  /**
+   * DEGREE-CONCENTRATION audit: how much of the edge mass sits on the
+   * top `topPct`% highest-degree nodes — the heavy-tail health check run
+   * before any graph computation (a purchase graph where 1% of suppliers
+   * carry half the edges needs the skew treatments; one where they
+   * don't, doesn't). Reports per side (src/dst): node count, edge count,
+   * the top-ceil(`topPct`%·nodes) cohort's edge share in exact ppm, and
+   * its max single-node degree.
+   *
+   * Scale shape: degrees are one map-side-combined count per endpoint;
+   * the rank window runs over the |nodes| frame (vocabulary-bounded);
+   * the report is 2 rows. Edges are scanned once per side, never joined.
+   */
+  def degreeConcentration(edges: DataFrame, topPct: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topPct >= 1 && topPct <= 100, s"topPct $topPct not in [1,100]")
+    def side(c: String): DataFrame = {
+      val deg = edges.groupBy(col(c).as("node")).agg(count(lit(1)).as("d"))
+      val byDeg = Window.orderBy(col("d").desc, col("node"))
+      deg
+        .withColumn("__rk", row_number().over(byDeg).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .withColumn("__top", expr(s"(__n * $topPct + 99) DIV 100"))
+        .agg(max(col("__n")).as("n_nodes"),
+          sum(col("d")).as("n_edges"),
+          sum(when(col("__rk") <= col("__top"), col("d")).otherwise(0L))
+            .as("__topdeg"),
+          max(when(col("__rk") === 1, col("d"))).as("max_degree"))
+        .select(lit(c).as("side"), col("n_nodes"), col("n_edges"),
+          expr("__topdeg * 1000000 DIV n_edges").as("top_share_ppm"),
+          col("max_degree"))
+    }
+    side("src").unionByName(side("dst"))
+  }
 }

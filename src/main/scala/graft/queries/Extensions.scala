@@ -1495,6 +1495,48 @@ object Extensions {
         Seq(col("ts"), col("event_id")))
       .orderBy("part")
 
+  /** x161 — exact weighted quantiles ([[Analytics.weightedQuantiles]]):
+    * x139's weighted median generalized to p25/p50/p75 — token-weighted
+    * length quartiles per source, all-integer threshold test. */
+  private val x161: Q = (spark, sfDir) =>
+    Analytics.weightedQuantiles(
+        docs(spark, sfDir).select(col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "n_chars", "n_tok", probsPct = Seq(25, 50, 75))
+      .orderBy("source", "p_pct")
+
+  /** x162 — difference-in-differences ([[Analytics.diffInDiff]]): hash
+    * arms × rank-cutoff periods, per-cell conversion ppm and the DiD
+    * estimate — the drift-robust reading x147 alone can't give. */
+  private val x162: Q = (spark, sfDir) =>
+    Analytics.diffInDiff(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_type", "purchase", cutoffPct = 50)
+
+  /** x163 — degree concentration ([[Graph.degreeConcentration]]) of the
+    * purchase graph (same memoized edge staging as x66/x104): top-1%
+    * node cohort's edge share per side, exact ppm. */
+  private val x163: Q = (spark, sfDir) =>
+    Graph.degreeConcentration(purchaseEdges(spark, sfDir), topPct = 1)
+      .orderBy("side")
+
+  /** x164 — quantile parity audit ([[Curation.quantileParityAudit]]):
+    * per-source median quality centi-score vs the global median — the
+    * fairness gate before a quality cut erases a slice. */
+  private val x164: Q = (spark, sfDir) =>
+    Curation.quantileParityAudit(
+        docs(spark, sfDir).select(col("doc_id"), col("source"),
+          floor(TextAnalysis.qualityScore(col("text")) * 100).cast("long")
+            .as("q_centi")),
+        "doc_id", "source", "q_centi")
+      .orderBy("grp")
+
+  /** x165 — daily bounce rate ([[Analytics.bounceRate]]): share of
+    * single-event (user, day) sessions in exact ppm; one session
+    * exchange reused by the day rollup. */
+  private val x165: Q = (spark, sfDir) =>
+    Analytics.bounceRate(Tables(spark, sfDir, "events"), "user_id", "ts")
+      .orderBy("day")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2064,7 +2106,12 @@ object Extensions {
     "x157_column_drift" -> x157,
     "x158_golden_record" -> x158,
     "x159_conversion_life_table" -> x159,
-    "x160_audit_hash_chain" -> x160)
+    "x160_audit_hash_chain" -> x160,
+    "x161_weighted_quantiles" -> x161,
+    "x162_diff_in_diff" -> x162,
+    "x163_degree_concentration" -> x163,
+    "x164_quantile_parity" -> x164,
+    "x165_bounce_rate" -> x165)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2992,6 +3039,112 @@ object Extensions {
          | CAST(SUM(((rk % 2147483647) * (h % 2147483647)) % 2147483647)
          |   % 2147483647 AS BIGINT) AS chain_mod
          |FROM r GROUP BY part ORDER BY part""".stripMargin.replace("\n", " ")),
+    "x161_weighted_quantiles" ->
+      ("""WITH d AS (SELECT source, n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+         | WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |gv AS (SELECT source, n_chars, CAST(SUM(n_tok) AS BIGINT) AS w
+         |  FROM d GROUP BY source, n_chars),
+         |c AS (SELECT source, n_chars,
+         |  CAST(SUM(w) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cw,
+         |  CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tw FROM gv)
+         |SELECT source, p.p_pct, MIN(n_chars) AS q_value,
+         | CAST(MAX(tw) AS BIGINT) AS total_weight
+         |FROM c, (VALUES (25), (50), (75)) p(p_pct)
+         |WHERE cw * 100 >= p.p_pct * tw
+         |GROUP BY source, p.p_pct ORDER BY source, p_pct"""
+        .stripMargin.replace("\n", " ")),
+    "x162_diff_in_diff" ->
+      ("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+         |  WHERE ts IS NOT NULL),
+         |rk AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS r,
+         |  COUNT(*) OVER () AS n FROM days),
+         |cut AS (SELECT day AS c FROM rk WHERE r = (50 * n + 99) // 100),
+         |up AS (SELECT user_id,
+         |  CASE WHEN CAST(ts AS DATE) <= (SELECT c FROM cut) THEN 'pre'
+         |    ELSE 'post' END AS period,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+         |ua AS (SELECT *, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         |  1, 15)) AS BIGINT) % 2 AS arm FROM up),
+         |a AS (SELECT
+         |  CAST(SUM(CASE WHEN arm = 0 AND period = 'pre' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_a_pre,
+         |  CAST(SUM(CASE WHEN arm = 0 AND period = 'pre' THEN conv ELSE 0 END)
+         |    AS BIGINT) AS c_a_pre,
+         |  CAST(SUM(CASE WHEN arm = 0 AND period = 'post' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_a_post,
+         |  CAST(SUM(CASE WHEN arm = 0 AND period = 'post' THEN conv ELSE 0 END)
+         |    AS BIGINT) AS c_a_post,
+         |  CAST(SUM(CASE WHEN arm = 1 AND period = 'pre' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_b_pre,
+         |  CAST(SUM(CASE WHEN arm = 1 AND period = 'pre' THEN conv ELSE 0 END)
+         |    AS BIGINT) AS c_b_pre,
+         |  CAST(SUM(CASE WHEN arm = 1 AND period = 'post' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_b_post,
+         |  CAST(SUM(CASE WHEN arm = 1 AND period = 'post' THEN conv ELSE 0 END)
+         |    AS BIGINT) AS c_b_post FROM ua)
+         |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+         | c_a_pre * 1000000 // n_a_pre AS rate_a_pre_ppm,
+         | c_a_post * 1000000 // n_a_post AS rate_a_post_ppm,
+         | c_b_pre * 1000000 // n_b_pre AS rate_b_pre_ppm,
+         | c_b_post * 1000000 // n_b_post AS rate_b_post_ppm,
+         | (c_b_post * 1000000 // n_b_post - c_b_pre * 1000000 // n_b_pre)
+         |  - (c_a_post * 1000000 // n_a_post - c_a_pre * 1000000 // n_a_pre)
+         |  AS did_ppm
+         |FROM a""".stripMargin.replace("\n", " ")),
+    "x163_degree_concentration" ->
+      ("""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |ds AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e
+         |  GROUP BY 1),
+         |dd AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e
+         |  GROUP BY 1),
+         |rs AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rk,
+         |  COUNT(*) OVER () AS n FROM ds),
+         |rd AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rk,
+         |  COUNT(*) OVER () AS n FROM dd),
+         |agg AS (
+         | SELECT 'src' AS side, CAST(MAX(n) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(d) AS BIGINT) AS n_edges,
+         |  CAST(SUM(CASE WHEN rk <= (n * 1 + 99) // 100 THEN d ELSE 0 END)
+         |    AS BIGINT) AS topdeg,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN d END) AS BIGINT) AS max_degree
+         | FROM rs
+         | UNION ALL
+         | SELECT 'dst', CAST(MAX(n) AS BIGINT), CAST(SUM(d) AS BIGINT),
+         |  CAST(SUM(CASE WHEN rk <= (n * 1 + 99) // 100 THEN d ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(MAX(CASE WHEN rk = 1 THEN d END) AS BIGINT)
+         | FROM rd)
+         |SELECT side, n_nodes, n_edges,
+         | topdeg * 1000000 // n_edges AS top_share_ppm, max_degree
+         |FROM agg ORDER BY side""".stripMargin.replace("\n", " ")),
+    "x164_quantile_parity" ->
+      (s"""WITH $qualityCtes,
+         |c AS (SELECT doc_id, source AS grp,
+         |  CAST(FLOOR(score * 100) AS BIGINT) AS s FROM qscore),
+         |g AS (SELECT grp, s,
+         |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s, doc_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY grp) AS n FROM c),
+         |pg AS (SELECT grp, CAST(n AS BIGINT) AS n_rows, s AS group_median
+         |  FROM g WHERE rk = (n + 1) // 2),
+         |gl AS (SELECT s AS global_median FROM
+         |  (SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rk,
+         |    COUNT(*) OVER () AS n FROM c) WHERE rk = (n + 1) // 2)
+         |SELECT pg.grp, pg.n_rows, pg.group_median, gl.global_median,
+         | pg.group_median - gl.global_median AS median_gap
+         |FROM pg, gl ORDER BY grp""".stripMargin.replace("\n", " ")),
+    "x165_bounce_rate" ->
+      ("""WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS len
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
+         |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         | CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+         | CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |   // COUNT(*) AS bounce_ppm
+         |FROM s GROUP BY day ORDER BY day""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -567,6 +567,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 0L, 1L))) // u2 censored at 5; only u2 still at risk
   }
 
+  test("weightedQuantiles: threshold inclusive, degenerates to the weighted median at p50") {
+    // g: 1(w3), 2(w1), 5(w4); total 8. cum: 3, 4, 8.
+    // p25: 100·cum ≥ 25·8=200 → cum 3 qualifies → 1
+    // p50: 100·cum ≥ 400 → cum 4 → 2 (matches weightedMedian's answer)
+    // p75: 100·cum ≥ 600 → cum 8 → 5
+    val df = Seq((1L, 3L, "g"), (2L, 1L, "g"), (5L, 4L, "g")).toDF("v", "w", "grp")
+    val out = Analytics.weightedQuantiles(df, "grp", "v", "w", Seq(25, 50, 75))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out == Map(25 -> 1L, 50 -> 2L, 75 -> 5L))
+  }
+
+  test("diffInDiff: cells partition user-periods; DiD assembles from the cells") {
+    val df = (1L to 30L).flatMap { u =>
+      val pre = Seq((u, ts("2024-01-01 10:00:00"), "click"))
+      val post = Seq((u, ts("2024-01-09 10:00:00"),
+        if (u % 3 == 0) "purchase" else "view"))
+      pre ++ post
+    }.toDF("user_id", "ts", "event_type")
+    // 2 distinct days; cutoff at rank (50·2+99) DIV 100 = 1 → day 1 = pre
+    val r = Analytics.diffInDiff(df, "user_id", "ts", "event_type",
+      "purchase", cutoffPct = 50).collect().head
+    val (naPre, naPost, nbPre, nbPost) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(naPre + nbPre == 30L && naPost + nbPost == 30L)
+    val (raPre, raPost, rbPre, rbPost) =
+      (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(raPre == 0L && rbPre == 0L) // nobody converts pre-cutoff
+    assert(r.getLong(8) == (rbPost - rbPre) - (raPost - raPre))
+  }
+
+  test("bounceRate: single-event sessions counted, exact ppm") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")), // 2-event
+      (2L, ts("2024-01-01 10:00:00")),                                  // bounce
+      (3L, ts("2024-01-02 10:00:00"))                                   // bounce
+    ).toDF("user_id", "ts")
+    val out = Analytics.bounceRate(df, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("2024-01-01") == ((2L, 1L, 500000L)))
+    assert(out("2024-01-02") == ((1L, 1L, 1000000L)))
+  }
+
   test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
     // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
     // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225

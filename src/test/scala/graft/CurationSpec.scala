@@ -251,6 +251,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out("c") == ((1L, 0L, 1L))) // entirely beyond u1's cap
   }
 
+  test("quantileParityAudit: per-group lower medians vs the global median") {
+    // a: {10,20,30} → median 20; b: {40,50} → lower median 40;
+    // global {10,20,30,40,50} → 30
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 40L), (5L, "b", 50L)).toDF("id", "grp", "s")
+    val out = Curation.quantileParityAudit(df, "id", "grp", "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 20L, 30L, -10L)))
+    assert(out("b") == ((2L, 40L, 30L, 10L)))
+  }
+
   test("kAnonymityAudit: class sizes vs k; NULL quasi-values form a class") {
     // classes: (en,s1)=3 rows, (fr,s1)=1, (NULL,s2)=2 → 3 classes
     val df = Seq(

@@ -49,4 +49,16 @@ class GraphSpec extends AnyFunSuite {
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
     assert(r("3") == (10L, 20L)) // auth(3) = h0(1) + h0(2), dup edge ignored
   }
+
+  test("degreeConcentration: top cohort share per side, exact ppm") {
+    // src degrees: a=3, b=1; dst degrees: x=2, y=1, z=1.
+    // topPct=50 → src top ceil(2·50/100)=1 node (a): 3 of 4 edges = 750000;
+    // dst top ceil(3·50/100)=2 nodes (x + y-by-tiebreak): 3 of 4 = 750000
+    val e = Seq(("a", "x"), ("a", "y"), ("a", "z"), ("b", "x")).toDF("src", "dst")
+    val out = Graph.degreeConcentration(e, topPct = 50)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("src") == ((2L, 4L, 750000L, 3L)))
+    assert(out("dst") == ((3L, 4L, 750000L, 2L)))
+  }
 }
