@@ -833,6 +833,75 @@ object Analytics {
   }
 
   /**
+   * TOP USER JOURNEYS: the most frequent first-`steps` event-type paths
+   * per (user, day) session — the "what do sessions actually look like"
+   * question product analytics asks after transitions ([[transitionMatrix]]
+   * answers single hops; this answers whole openings). Path strings
+   * assemble deterministically: events rank by (ts, id) inside the
+   * session, and the concatenation orders by that rank via a sorted
+   * struct array — never `collect_list` order, which Spark does not
+   * define.
+   *
+   * Scale shape: one exchange on (user, day) for the rank window; the
+   * path aggregate reuses it; the journey rollup is bounded by distinct
+   * paths (≤ |types|^steps) and finishes with TakeOrderedAndProject —
+   * the top-k never sorts the corpus.
+   */
+  def topJourneys(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, steps: Int = 3, k: Int = 10): DataFrame = {
+    require(steps >= 1 && k >= 1, "steps and k must be positive")
+    val bySession = Window.partitionBy(col(userCol), to_date(col(tsCol)))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__rk", row_number().over(bySession))
+      .filter(col("__rk") <= steps)
+      .groupBy(col(userCol), to_date(col(tsCol)).as("__day"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rk"), col(typeCol).as("t")))),
+        p => p.getField("t")), ">").as("journey"))
+      .groupBy("journey")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("journey"))
+      .limit(k)
+  }
+
+  /**
+   * TRAFFIC ANOMALY days: each day's event count against its TRAILING
+   * `windowDays`-day mean in exact integer ratio ppm
+   * (`count·trail_n·1e6 DIV trail_sum` — 1e6 = exactly at trend), with
+   * spike/drop flags at ±(threshold). The volume monitor that catches a
+   * broken producer or a bot flood without a single float. Days without
+   * a full trailing window emit NULL ratio and no flag (insufficient
+   * baseline is not an anomaly — stated, not guessed).
+   *
+   * Scale shape: the corpus collapses to |days| rows in one map-side-
+   * combined aggregate; the trailing window runs over that tiny frame
+   * only (a global ROWS window over ≤ years of days, not over events).
+   */
+  def trafficAnomalyDays(events: DataFrame, tsCol: String,
+      windowDays: Int = 7, thresholdPct: Int = 50): DataFrame = {
+    require(windowDays >= 1 && thresholdPct >= 1 && thresholdPct <= 99,
+      "invalid parameters")
+    val daily = events.select(to_date(col(tsCol)).as("day"))
+      .filter(col("day").isNotNull)
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    val trail = Window.orderBy("day").rowsBetween(-windowDays, -1)
+    val band = thresholdPct * 10000L // symmetric ±thresholdPct% around 1e6
+    daily
+      .withColumn("__tsum", sum("n_events").over(trail))
+      .withColumn("__tn", count(lit(1)).over(trail))
+      .withColumn("ratio_ppm",
+        when(col("__tn") === windowDays,
+          expr("n_events * __tn * 1000000 DIV __tsum")))
+      .select(col("day"), col("n_events"),
+        coalesce(col("__tsum"), lit(0L)).as("trail_sum"), col("ratio_ppm"),
+        when(col("ratio_ppm") > 1000000L + band, "spike")
+          .when(col("ratio_ppm") < 1000000L - band, "drop")
+          .as("flag"))
+  }
+
+  /**
    * Per-user DAILY STREAKS (gaps-and-islands): for each user, the number
    * of maximal runs of consecutive active days, the longest run, and the
    * active-day total — the engagement statistic behind "N-day streak"

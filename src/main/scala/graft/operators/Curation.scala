@@ -294,6 +294,72 @@ object Curation {
   }
 
   /**
+   * GROUP-MEDIAN imputation with a visible audit trail: NULL metric
+   * values are filled with their group's rank-exact lower median (the
+   * x153 pick — deterministic, no interpolation) and every row carries
+   * `was_imputed` so downstream consumers can weight or exclude filled
+   * values — silent imputation is how a "clean" feature hides a biased
+   * one. Rows in groups with NO observed values stay NULL with
+   * `was_imputed = 0`: inventing a global fallback would cross group
+   * distributions, the exact thing per-group imputation exists to avoid.
+   *
+   * Scale shape: one exchange on the group for the median window over
+   * observed rows; the |groups|-row median frame broadcasts back onto
+   * the corpus (fill is map-side); nothing corpus-sized shuffles twice.
+   */
+  def medianImpute(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        col(idCol).as("__i"))
+    val medians = observed
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__g").orderBy("__v", "__i")).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+      .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+      .select(col("__g"), col("__v").as("__med"))
+    df.select(col(idCol), col(groupCol), col(valueCol).cast("long").as("__raw"))
+      .join(broadcast(medians), col(groupCol) === col("__g"), "left")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("__raw"), col("__med")).as("value_filled"),
+        (col("__raw").isNull && col("__med").isNotNull).cast("long")
+          .as("was_imputed"))
+  }
+
+  /**
+   * MIXTURE-DRIFT time series: each source's token share per week in
+   * exact ppm plus the week-over-week delta — the composition monitor a
+   * training-data pipeline watches so one source can't quietly take over
+   * the mix between snapshots ([[graft.operators.TextAnalysis
+   * .distributionDivergence]] answers the pairwise-static question; this
+   * answers "when did it move"). Truncating integer shares mean Σshare
+   * per week ≤ 1e6 with the deficit visible, never a float that
+   * pretends to sum to one.
+   *
+   * Scale shape: one map-side-combined aggregate to the (snapshot,
+   * source) grain, then windows over that |snapshots|·|sources| frame
+   * only; the corpus is scanned once. `snapshotCol` is any ordinal
+   * snapshot axis — an ingest week, a crawl generation, a release id.
+   */
+  def mixtureDrift(docs: DataFrame, sourceCol: String, snapshotCol: Column,
+      tokenCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = docs
+      .filter(snapshotCol.isNotNull)
+      .groupBy(snapshotCol.as("snapshot"), col(sourceCol).as("source"))
+      .agg(sum(tokenCol).as("n_tokens"))
+    grain
+      .withColumn("__wtot", sum("n_tokens").over(Window.partitionBy("snapshot")))
+      .withColumn("share_ppm", expr("n_tokens * 1000000 DIV __wtot"))
+      .withColumn("delta_ppm",
+        col("share_ppm") - lag(col("share_ppm"), 1).over(
+          Window.partitionBy("source").orderBy("snapshot")))
+      .select(col("snapshot"), col("source"), col("n_tokens"),
+        col("share_ppm"), col("delta_ppm"))
+  }
+
+  /**
    * QUANTILE PARITY audit (group-fairness check for a scored corpus):
    * each group's rank-exact median score next to the GLOBAL median and
    * the signed gap — "is any source/language systematically scored

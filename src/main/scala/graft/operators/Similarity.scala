@@ -381,4 +381,37 @@ object Similarity {
       .groupBy(col("label"), col("clabel").as("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /**
+   * kNN LABEL-NOISE audit: flag vectors whose `k` nearest neighbors (by
+   * cosine) MAJORITY-disagree with their own label — the standard
+   * neighbor-vote mislabel detector run before training on labeled
+   * embeddings. Ordering ties break on neighbor id; the cosine fold is
+   * index-ordered on both engines (the x05 determinism argument), so the
+   * neighbor set — and therefore the flag set — is oracle-exact.
+   *
+   * Scale shape: HERE a broadcast self-join scores all pairs (the
+   * label table is small); at corpus scale the SAME vote runs over
+   * LSH/IVF candidates ([[annBandedTopK]]/[[ivfTopK]] feeds) instead of
+   * all pairs — the vote logic is unchanged, only candidate generation
+   * swaps, which is why it lives behind this operator boundary. The
+   * per-vector top-k is a window over the pair stream partitioned by
+   * the probe id; flagged rows only are emitted.
+   */
+  def labelNoiseAudit(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k $k must be positive")
+    val b = embeddings.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("embedding").as("eb"))
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), col("vb"))
+    embeddings.join(broadcast(b), col("vec_id") =!= col("vb"))
+      .select(col("vec_id"), col("label"), col("vb"), col("lb"),
+        cosine(col("embedding"), col("eb")).as("sim"))
+      .withColumn("__rk", row_number().over(byVec))
+      .filter(col("__rk") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("lb") === col("label"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("lb") =!= col("label"), 1L).otherwise(0L)).as("n_disagree"))
+      .filter(col("n_disagree") * 2 > k)
+  }
 }

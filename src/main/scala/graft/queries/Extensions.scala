@@ -1537,6 +1537,49 @@ object Extensions {
     Analytics.bounceRate(Tables(spark, sfDir, "events"), "user_id", "ts")
       .orderBy("day")
 
+  /** x166 — group-median imputation ([[Curation.medianImpute]]) over
+    * id-modulo-planted NULL n_chars: fill with the source's rank-exact
+    * median, `was_imputed` audit flag on every row. */
+  private val x166: Q = (spark, sfDir) =>
+    Curation.medianImpute(
+        docs(spark, sfDir).withColumn("n_chars",
+          when(col("doc_id") % 17 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")))
+          .select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** x167 — kNN label-noise audit ([[Similarity.labelNoiseAudit]]): vecs
+    * whose 5 nearest neighbors majority-disagree with their label — the
+    * mislabel detector; index-ordered cosine keeps it oracle-exact. */
+  private val x167: Q = (spark, sfDir) =>
+    Similarity.labelNoiseAudit(emb(spark, sfDir), k = 5)
+      .orderBy("vec_id")
+
+  /** x168 — top user journeys ([[Analytics.topJourneys]]): most frequent
+    * first-3 event-type paths per (user, day) session, deterministic
+    * rank-ordered path assembly, top-10. */
+  private val x168: Q = (spark, sfDir) =>
+    Analytics.topJourneys(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "event_type", steps = 3, k = 10)
+
+  /** x169 — traffic anomaly days ([[Analytics.trafficAnomalyDays]]):
+    * each day vs its trailing-7-day mean in exact ratio ppm with
+    * spike/drop flags; no baseline → NULL, not a guess. */
+  private val x169: Q = (spark, sfDir) =>
+    Analytics.trafficAnomalyDays(Tables(spark, sfDir, "events"), "ts",
+        windowDays = 7, thresholdPct = 50)
+      .orderBy("day")
+
+  /** x170 — mixture drift ([[Curation.mixtureDrift]]): per-source token
+    * share across id-modulo snapshot generations with WoW-style delta in
+    * exact ppm — the composition monitor between corpus snapshots. */
+  private val x170: Q = (spark, sfDir) =>
+    Curation.mixtureDrift(docs(spark, sfDir), "source",
+        pmod(col("doc_id"), lit(8L)),
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .orderBy("snapshot", "source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2111,7 +2154,12 @@ object Extensions {
     "x162_diff_in_diff" -> x162,
     "x163_degree_concentration" -> x163,
     "x164_quantile_parity" -> x164,
-    "x165_bounce_rate" -> x165)
+    "x165_bounce_rate" -> x165,
+    "x166_median_impute" -> x166,
+    "x167_label_noise_audit" -> x167,
+    "x168_top_journeys" -> x168,
+    "x169_traffic_anomaly_days" -> x169,
+    "x170_mixture_drift" -> x170)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3145,6 +3193,75 @@ object Extensions {
          | CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
          |   // COUNT(*) AS bounce_ppm
          |FROM s GROUP BY day ORDER BY day""".stripMargin.replace("\n", " ")),
+    "x166_median_impute" ->
+      ("""WITH d AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 17 = 0 THEN NULL
+         |    ELSE CAST(n_chars AS BIGINT) END AS v FROM documents),
+         |o AS (SELECT source, v, doc_id FROM d WHERE v IS NOT NULL),
+         |m AS (SELECT source, v AS med FROM
+         |  (SELECT source, v, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n FROM o)
+         |  WHERE rk = (n + 1) // 2)
+         |SELECT d.doc_id, d.source,
+         | CAST(COALESCE(d.v, m.med) AS BIGINT) AS value_filled,
+         | CAST(CASE WHEN d.v IS NULL AND m.med IS NOT NULL THEN 1 ELSE 0 END
+         |   AS BIGINT) AS was_imputed
+         |FROM d LEFT JOIN m USING (source)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x167_label_noise_audit" ->
+      (s"""WITH p AS (SELECT a.vec_id, a.label, b.vec_id AS vb, b.label AS lb,
+         |  ${cos2Sql("a.embedding", "b.embedding")} AS sim
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |  ORDER BY sim DESC, vb) AS rk FROM p),
+         |t AS (SELECT vec_id, label,
+         |  CAST(SUM(CASE WHEN lb = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(SUM(CASE WHEN lb <> label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_disagree
+         | FROM r WHERE rk <= 5 GROUP BY 1, 2)
+         |SELECT vec_id, label, n_agree, n_disagree FROM t
+         |WHERE n_disagree * 2 > 5 ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+    "x168_top_journeys" ->
+      ("""WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+         |    ORDER BY ts, event_id) AS rk
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |j AS (SELECT user_id, day,
+         |  string_agg(event_type, '>' ORDER BY rk) AS journey
+         | FROM r WHERE rk <= 3 GROUP BY 1, 2)
+         |SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         |FROM j GROUP BY 1
+         |ORDER BY n_sessions DESC, journey LIMIT 10""".stripMargin.replace("\n", " ")),
+    "x169_traffic_anomaly_days" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |w AS (SELECT day, n_events,
+         |  CAST(SUM(n_events) OVER (ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS tsum,
+         |  COUNT(*) OVER (ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn FROM d),
+         |v AS (SELECT day, n_events, tsum,
+         |  CAST(CASE WHEN tn = 7 THEN n_events * tn * 1000000 // tsum END
+         |    AS BIGINT) AS ratio_ppm FROM w)
+         |SELECT day, n_events, CAST(COALESCE(tsum, 0) AS BIGINT) AS trail_sum,
+         | ratio_ppm,
+         | CASE WHEN ratio_ppm > 1500000 THEN 'spike'
+         |   WHEN ratio_ppm < 500000 THEN 'drop' END AS flag
+         |FROM v ORDER BY day""".stripMargin.replace("\n", " ")),
+    "x170_mixture_drift" ->
+      ("""WITH g AS (SELECT doc_id % 8 AS snapshot, source,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY snapshot)
+         |  AS BIGINT) AS wt FROM g),
+         |s AS (SELECT snapshot, source, n_tokens,
+         |  n_tokens * 1000000 // wt AS share_ppm FROM w)
+         |SELECT snapshot, source, n_tokens, share_ppm,
+         | share_ppm - LAG(share_ppm) OVER (PARTITION BY source
+         |   ORDER BY snapshot) AS delta_ppm
+         |FROM s ORDER BY snapshot, source""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

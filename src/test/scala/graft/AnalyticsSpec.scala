@@ -610,6 +610,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-02") == ((1L, 1L, 1000000L)))
   }
 
+  test("topJourneys: path order is event order, ties on id; only first steps count") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val df = Seq(
+      (2L, t0, 1L, "b"), (1L, t0, 1L, "a"),           // same ts → id order: a>b
+      (3L, ts("2024-01-01 11:00:00"), 1L, "c"),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "d"),       // beyond steps=3, ignored
+      (5L, ts("2024-01-02 09:00:00"), 2L, "a")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Analytics.topJourneys(df, "user_id", "ts", "event_id",
+        "event_type", steps = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 1L, "a" -> 1L))
+  }
+
+  test("trafficAnomalyDays: ratio vs trailing mean; short baseline gives NULL") {
+    val days = Seq(
+      ("2024-01-01", 10), ("2024-01-02", 10), ("2024-01-03", 10),
+      ("2024-01-04", 40) // 4x the trailing mean of 10 → spike
+    ).flatMap { case (d, n) => (1 to n).map(_ => ts(s"$d 10:00:00")) }
+    val df = days.map(Tuple1(_)).toDF("ts")
+    val out = Analytics.trafficAnomalyDays(df, "ts", windowDays = 2,
+        thresholdPct = 50)
+      .collect().map(r => r.getDate(0).toString ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)),
+          if (r.isNullAt(4)) "" else r.getString(4))).toMap
+    assert(out("2024-01-01") == ((-1L, ""))) // no baseline
+    assert(out("2024-01-02") == ((-1L, ""))) // 1 < windowDays days of history
+    assert(out("2024-01-03") == ((1000000L, ""))) // exactly at trend
+    assert(out("2024-01-04") == ((4000000L, "spike")))
+  }
+
   test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
     // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
     // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225

@@ -251,6 +251,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out("c") == ((1L, 0L, 1L))) // entirely beyond u1's cap
   }
 
+  test("medianImpute: fills with the group median, flags rows, all-NULL group stays NULL") {
+    val df = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", Some(30L)),
+      (4L, "a", None),                       // → filled with 20
+      (5L, "b", None)                        // group b has no observations
+    ).toDF("id", "grp", "v")
+    val out = Curation.medianImpute(df, "id", "grp", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2)), r.getLong(3))).toMap
+    assert(out(4L) == ((20L, 1L)))
+    assert(out(5L) == ((-1L, 0L))) // stays NULL, not invented, not flagged
+    assert(out(1L) == ((10L, 0L)))
+  }
+
+  test("mixtureDrift: shares are truncating ppm; delta vs the prior snapshot") {
+    val df = Seq(
+      (0L, "s1", 30L), (0L, "s2", 70L),
+      (1L, "s1", 60L), (1L, "s2", 40L)
+    ).toDF("snap", "source", "tok")
+    val out = Curation.mixtureDrift(df, "source", col("snap"), col("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    assert(out((0L, "s1")) == ((300000L, Long.MinValue))) // no prior snapshot
+    assert(out((1L, "s1")) == ((600000L, 300000L)))
+    assert(out((1L, "s2")) == ((400000L, -300000L)))
+  }
+
   test("quantileParityAudit: per-group lower medians vs the global median") {
     // a: {10,20,30} → median 20; b: {40,50} → lower median 40;
     // global {10,20,30,40,50} → 30

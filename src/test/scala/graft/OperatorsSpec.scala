@@ -202,6 +202,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("labelNoiseAudit: a mislabeled vector inside a cluster is flagged") {
+    // three near-identical "A" vectors + one vector labeled "B" sitting in
+    // the same cluster + two far-away genuine "B"s. With k=3 the planted
+    // B's neighbors are the three As → 3 disagreements → flagged; the
+    // genuine As see 2 As + the fake B → majority agree → not flagged.
+    val emb = Seq(
+      (1L, "A", Array(1f, 0f, 0.00f)),
+      (2L, "A", Array(1f, 0f, 0.01f)),
+      (3L, "A", Array(1f, 0f, 0.02f)),
+      (4L, "B", Array(1f, 0f, 0.03f)), // mislabeled
+      (5L, "B", Array(0f, 1f, 0f)),
+      (6L, "B", Array(0f, 1f, 0.01f))
+    ).toDF("vec_id", "label", "embedding")
+    val flagged = Similarity.labelNoiseAudit(emb, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(flagged.contains(4L))
+    assert(flagged(4L) == ((0L, 3L)))
+    assert(!flagged.contains(1L) && !flagged.contains(2L) && !flagged.contains(3L))
+  }
+
   test("brute-force top-k returns k best, self first") {
     val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
