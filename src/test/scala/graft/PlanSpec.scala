@@ -547,4 +547,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-sized sort-merge join belongs in a ring lookup:\n$p")
   }
+
+  test("x151: the day spine broadcasts onto the pair frame — no pair-side sort-merge") {
+    val p = plan("x151_rolling_distinct_users")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the trailing-window range join must broadcast the |days| spine:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"day-grain pairs must never sort-merge against a tiny spine:\n$p")
+  }
+
+  test("x158: golden record is a max_by AGGREGATE with map-side partials, no window") {
+    val p = plan("x158_golden_record")
+    assert(p.contains("partial_max_by"),
+      s"the longest-text pick must partial-aggregate map-side:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Window ")),
+      s"survivorship must not sort clusters through a window:\n$p")
+  }
+
+  test("x167: per-vector top-k prunes BEFORE the exchange (WindowGroupLimit)") {
+    val p = plan("x167_label_noise_audit")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number<=k must push a group limit below the window exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the pair scoring must broadcast the label table:\n$p")
+  }
 }
