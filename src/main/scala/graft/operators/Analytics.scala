@@ -902,6 +902,107 @@ object Analytics {
   }
 
   /**
+   * SLA ATTAINMENT per group: the share of inter-arrival gaps at or under
+   * a threshold, in exact ppm — the operational complement to
+   * [[interArrivalPercentiles]]: "p99 ≤ 60s" asks for a quantile,
+   * "what fraction met 60s" asks for attainment, and ops dashboards want
+   * both. Same single-exchange lag-window shape; the attainment is a
+   * map-side-combined aggregate over the gap stream.
+   */
+  def slaAttainment(events: DataFrame, typeCol: String, tsCol: String,
+      idCol: String, thresholdSeconds: Long): DataFrame = {
+    require(thresholdSeconds >= 0, "threshold must be non-negative")
+    val byTs = Window.partitionBy(typeCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byTs))
+      .filter(col("__prev").isNotNull)
+      .select(col(typeCol),
+        (unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev"))).as("__gap"))
+      .groupBy(typeCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("__gap") <= thresholdSeconds, 1L).otherwise(0L))
+          .as("n_within"))
+      .withColumn("attain_ppm", expr("n_within * 1000000 DIV n_gaps"))
+  }
+
+  /**
+   * SEASONALITY PROFILE: the (day-of-week × hour-of-day) event-count
+   * matrix with each cell's share of the week in exact ppm — the load
+   * fingerprint capacity planning and anomaly baselines start from.
+   * Engine-exact because both sides compute dow/hour from the same UTC
+   * instants (ISO numbering pinned explicitly — Spark's `dayofweek` is
+   * Sunday=1, so we derive ISO Monday=1 arithmetic both sides).
+   *
+   * Scale shape: ONE map-side-combined aggregate to the ≤168-cell grain;
+   * the share join is a 1-row broadcast. Nothing else.
+   */
+  def seasonalityProfile(events: DataFrame, tsCol: String): DataFrame = {
+    val cells = events.filter(col(tsCol).isNotNull)
+      .groupBy(
+        // ISO dow (Mon=1..Sun=7) from Spark's Sunday=1 dayofweek
+        expr(s"(dayofweek($tsCol) + 5) % 7 + 1").as("iso_dow"),
+        hour(col(tsCol)).as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val total = cells.agg(sum("n_events").as("__tot"))
+    cells.crossJoin(broadcast(total))
+      .select(col("iso_dow"), col("hod"), col("n_events"),
+        expr("n_events * 1000000 DIV __tot").as("share_ppm"))
+  }
+
+  /**
+   * REVENUE CONCENTRATION report: exact-rank deciles of a value column
+   * with each decile's share in ppm, plus the exact GINI coefficient in
+   * ppm from the closed form `G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n` over
+   * ascending-sorted values — the inequality audit ("does the top decile
+   * carry half the revenue?") behind mixture capping and anomaly review.
+   * Values are integer cents (decimal-staged by callers); Σ i·xᵢ stages
+   * through DECIMAL(38,0) (rank×cents×rows overflows BIGINT at warehouse
+   * scale), and both Gini terms are scaled to ppm BEFORE the subtraction
+   * so the arithmetic never leaves integers.
+   *
+   * Scale shape: ranks come from [[Sampling.globalRankByValue]]'s
+   * two-phase construction — a cumulative window over the DISTINCT-value
+   * frame (vocabulary-bounded, never a row-bounded global sort) plus an
+   * intra-value local rank, offsets broadcast back; decile cells and the
+   * Gini moments are then map-side-combined aggregates; the report is
+   * ≤10 rows + the 1-row Gini broadcast onto each. Tie permutations
+   * cannot change any output (equal values contribute identically
+   * wherever their contiguous ranks land).
+   */
+  def revenueConcentration(df: DataFrame, idCol: String,
+      valueCents: Column): DataFrame = {
+    val vals = df.select(col(idCol).as("__i"), valueCents.as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = vals.groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts
+      .withColumn("__before",
+        sum(col("__cnt")).over(Window.orderBy("__v")) - col("__cnt"))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__v").as("__ov"), col("__before"), col("__n"))
+    val ranked = vals
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("__v").orderBy("__i")).cast("long"))
+      .join(broadcast(offsets), col("__v") === col("__ov"))
+      .withColumn("__rk", col("__before") + col("__lr"))
+    val gini = ranked.agg(
+        max(col("__n")).as("__n"), sum("__v").as("__sx"),
+        sum(expr("CAST(__rk AS DECIMAL(38,0)) * __v")).as("__six"))
+      .select(expr(
+        "CAST(2 * __six * 1000000 DIV (CAST(__n AS DECIMAL(38,0)) * __sx)" +
+          " - (__n + 1) * 1000000 DIV __n AS BIGINT)").as("gini_ppm"))
+    ranked
+      .withColumn("decile", expr("((__rk - 1) * 10 DIV __n) + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"), sum("__v").as("sum_cents"))
+      .withColumn("__tot", sum("sum_cents").over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_rows"), col("sum_cents"),
+        expr("sum_cents * 1000000 DIV __tot").as("share_ppm"),
+        col("gini_ppm"))
+  }
+
+  /**
    * Per-user DAILY STREAKS (gaps-and-islands): for each user, the number
    * of maximal runs of consecutive active days, the longest run, and the
    * active-day total — the engagement statistic behind "N-day streak"

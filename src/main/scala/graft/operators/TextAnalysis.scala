@@ -597,6 +597,42 @@ object TextAnalysis {
           .cast("long") / lit(pattern.length)).cast("long").as("n_occ"))
   }
 
+  /**
+   * TRENDING TERMS between two corpus snapshots: for every term above a
+   * previous-snapshot support floor, the relative rate ratio
+   * `cnt_cur·tot_prev·1e6 DIV (cnt_prev·tot_cur)` (1e6 = unchanged
+   * rate) and the top-k risers — the vocabulary-drift monitor between
+   * crawl generations ([[Curation]]'s mixtureDrift watches SOURCES move;
+   * this watches WORDS move). The support floor keeps one-off terms from
+   * topping the board with infinite-looking ratios; the three-factor
+   * numerator stages through DECIMAL(38,0) (count × corpus-tokens × 1e6
+   * passes BIGINT long before 100 TB).
+   *
+   * Scale shape: a map-side filter to the two snapshots, ONE
+   * vocabulary-bounded aggregate (map-side combine), per-snapshot totals
+   * as a tiny broadcast, TakeOrderedAndProject for the top-k.
+   */
+  def termTrends(docs: DataFrame, textCol: String, snapshotCol: Column,
+      prevSnap: Long, curSnap: Long, minPrevCount: Long = 5L,
+      k: Int = 15): DataFrame = {
+    require(prevSnap != curSnap && minPrevCount >= 1 && k >= 1,
+      "need two distinct snapshots, positive support floor and k")
+    val words = docs
+      .select(snapshotCol.as("__snap"), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("__snap").isin(prevSnap, curSnap))
+    val counts = words.groupBy("term")
+      .agg(sum(when(col("__snap") === prevSnap, 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("__snap") === curSnap, 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum("n_prev").as("__tp"), sum("n_cur").as("__tc"))
+    counts.filter(col("n_prev") >= minPrevCount)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("n_prev"), col("n_cur"),
+        expr("CAST(CAST(n_cur AS DECIMAL(38,0)) * __tp * 1000000" +
+          " DIV (CAST(n_prev AS DECIMAL(38,0)) * __tc) AS BIGINT)")
+          .as("rate_ratio_ppm"))
+      .orderBy(desc("rate_ratio_ppm"), col("term")).limit(k)
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -1580,6 +1580,40 @@ object Extensions {
         TextAnalysis.tokenCount(col("text")).cast("long"))
       .orderBy("snapshot", "source")
 
+  /** x171 — SLA attainment ([[Analytics.slaAttainment]]): share of
+    * inter-arrival gaps ≤ 1h per type in exact ppm — x138's quantile
+    * question turned into the threshold question ops dashboards pair it
+    * with. */
+  private val x171: Q = (spark, sfDir) =>
+    Analytics.slaAttainment(Tables(spark, sfDir, "events"),
+        "event_type", "ts", "event_id", thresholdSeconds = 3600L)
+      .orderBy("event_type")
+
+  /** x172 — seasonality profile ([[Analytics.seasonalityProfile]]): the
+    * ISO-dow × hour event matrix with exact-ppm shares — the load
+    * fingerprint; ≤168 cells from one aggregate. */
+  private val x172: Q = (spark, sfDir) =>
+    Analytics.seasonalityProfile(Tables(spark, sfDir, "events"), "ts")
+      .orderBy("iso_dow", "hod")
+
+  /** x173 — revenue concentration ([[Analytics.revenueConcentration]]):
+    * exact-rank deciles of order value in cents with share ppm and the
+    * exact Gini in ppm; vocabulary-bounded rank construction. */
+  private val x173: Q = (spark, sfDir) =>
+    Analytics.revenueConcentration(
+        Tables(spark, sfDir, "orders").filter(col("o_totalprice").isNotNull),
+        "o_orderkey",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .orderBy("decile")
+
+  /** x174 — trending terms ([[TextAnalysis.termTrends]]) between snapshot
+    * generations 6 → 7 (id-modulo): relative rate ratio in ppm over a
+    * support floor, top-15 risers. */
+  private val x174: Q = (spark, sfDir) =>
+    TextAnalysis.termTrends(docs(spark, sfDir), "text",
+      pmod(col("doc_id"), lit(8L)), prevSnap = 6L, curSnap = 7L,
+      minPrevCount = 5L, k = 15)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2159,7 +2193,11 @@ object Extensions {
     "x167_label_noise_audit" -> x167,
     "x168_top_journeys" -> x168,
     "x169_traffic_anomaly_days" -> x169,
-    "x170_mixture_drift" -> x170)
+    "x170_mixture_drift" -> x170,
+    "x171_sla_attainment" -> x171,
+    "x172_seasonality_profile" -> x172,
+    "x173_revenue_concentration" -> x173,
+    "x174_term_trends" -> x174)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3262,6 +3300,63 @@ object Extensions {
          | share_ppm - LAG(share_ppm) OVER (PARTITION BY source
          |   ORDER BY snapshot) AS delta_ppm
          |FROM s ORDER BY snapshot, source""".stripMargin.replace("\n", " ")),
+    "x171_sla_attainment" ->
+      ("""WITH e AS (SELECT event_type, event_id, ts,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |g AS (SELECT event_type,
+         |  es - LAG(es) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         |    AS gap FROM e)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         | CAST(SUM(CASE WHEN gap <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_within,
+         | CAST(SUM(CASE WHEN gap <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+         |   * 1000000 // COUNT(*) AS attain_ppm
+         |FROM g WHERE gap IS NOT NULL GROUP BY 1
+         |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "x172_seasonality_profile" ->
+      ("""WITH c AS (SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+         |  CAST(hour(ts) AS INT) AS hod, CAST(COUNT(*) AS BIGINT) AS n_events
+         | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM c)
+         |SELECT iso_dow, hod, n_events,
+         | n_events * 1000000 // t.tot AS share_ppm
+         |FROM c, t ORDER BY iso_dow, hod""".stripMargin.replace("\n", " ")),
+    "x173_revenue_concentration" ->
+      ("""WITH v AS (SELECT o_orderkey AS i,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_totalprice IS NOT NULL),
+         |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+         |o AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT)
+         |  AS bef, CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+         |r AS (SELECT v.v, o.bef + ROW_NUMBER() OVER (PARTITION BY v.v
+         |  ORDER BY v.i) AS rk, o.n FROM v JOIN o USING (v)),
+         |gin AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(SUM(v) AS BIGINT) AS sx,
+         |  SUM(CAST(rk AS HUGEINT) * v) AS six FROM r),
+         |gp AS (SELECT CAST(2 * six * 1000000 // (CAST(n AS HUGEINT) * sx)
+         |  - (n + 1) * 1000000 // n AS BIGINT) AS gini_ppm FROM gin),
+         |d AS (SELECT ((rk - 1) * 10 // n) + 1 AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(v) AS BIGINT)
+         |    AS sum_cents FROM r GROUP BY 1),
+         |dt AS (SELECT CAST(SUM(sum_cents) AS BIGINT) AS tot FROM d)
+         |SELECT CAST(d.decile AS BIGINT) AS decile, d.n_rows, d.sum_cents,
+         | d.sum_cents * 1000000 // dt.tot AS share_ppm, gp.gini_ppm
+         |FROM d, dt, gp ORDER BY decile""".stripMargin.replace("\n", " ")),
+    "x174_term_trends" ->
+      ("""WITH w AS (SELECT doc_id % 8 AS snap,
+         |  unnest(string_split(text, ' ')) AS term FROM documents
+         | WHERE doc_id % 8 IN (6, 7)),
+         |c AS (SELECT term,
+         |  CAST(SUM(CASE WHEN snap = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+         |  CAST(SUM(CASE WHEN snap = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         | FROM w GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_prev) AS BIGINT) AS tp,
+         |  CAST(SUM(n_cur) AS BIGINT) AS tc FROM c)
+         |SELECT term, n_prev, n_cur,
+         | CAST(CAST(n_cur AS HUGEINT) * t.tp * 1000000
+         |   // (CAST(n_prev AS HUGEINT) * t.tc) AS BIGINT) AS rate_ratio_ppm
+         |FROM c, t WHERE n_prev >= 5
+         |ORDER BY rate_ratio_ppm DESC, term LIMIT 15""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

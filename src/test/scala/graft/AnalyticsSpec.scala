@@ -641,6 +641,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("2024-01-04") == ((4000000L, "spike")))
   }
 
+  test("slaAttainment: gaps at the threshold count as within") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:00:30"), "a"), // gap 30 ≤ 30 → within
+      (3L, ts("2024-01-01 10:02:00"), "a"), // gap 90 → miss
+      (4L, ts("2024-01-01 10:00:00"), "b")  // no gap (first event)
+    ).toDF("event_id", "ts", "event_type")
+    val out = Analytics.slaAttainment(df, "event_type", "ts", "event_id", 30L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((2L, 1L, 500000L)))
+    assert(!out.contains("b")) // a single event has no inter-arrival gap
+  }
+
+  test("seasonalityProfile: ISO Monday=1; shares sum within truncation of 1e6") {
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    val df = Seq(
+      ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"),
+      ts("2024-01-07 23:00:00"), ts("2024-01-03 00:00:00")
+    ).map(Tuple1(_)).toDF("ts")
+    val out = Analytics.seasonalityProfile(df, "ts")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1, 9)) == ((2L, 500000L)))  // Monday 9h
+    assert(out((7, 23)) == ((1L, 250000L))) // Sunday 23h
+    assert(out((3, 0))._1 == 1L)            // Wednesday 0h
+    assert(out.values.map(_._2).sum <= 1000000L)
+  }
+
+  test("revenueConcentration: deciles of 1..10 and the exact Gini 0.3") {
+    // values 1..10 cents: decile d holds exactly value d; Gini closed form:
+    // 2·Σi·i/(n·Σ) − (n+1)/n = 2·385/550 − 1.1 = 0.3 → 300000 ppm exact
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "cents")
+    val out = Analytics.revenueConcentration(df, "id", col("cents"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 10)
+    assert(out(1L) == ((1L, 1L, 1000000L / 55L, 300000L))) // 1/55 share, floor
+    assert(out(10L)._2 == 10L)
+    assert(out(10L)._3 == 10L * 1000000L / 55L)
+    assert(out.values.map(_._4).toSet == Set(300000L))
+  }
+
   test("winsorizedMean: outlier cannot drag the mean; NULLs excluded") {
     // 1,2,3,1000000 with p25/p75: n=4 → lo rank (25*4+99)/100=1 → lo=1,
     // hi rank (75*4+99)/100=3 → hi=3; clamped 1,2,3,3 → 900 DIV 4 = 225

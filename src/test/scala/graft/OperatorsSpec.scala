@@ -574,6 +574,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dot == Map(1L -> 1L, 2L -> 1L)) // 'aaaa' does NOT match literal a.a
   }
+
+  test("termTrends: rate ratio vs corpus totals; support floor filters") {
+    // snap 0: "a a a a a b"×1 → a=5, b=1, tot=6
+    // snap 1: "a a b b b b"×1 → a=2, b=4, tot=6
+    // a: 2·6·1e6/(5·6) = 400000 (fell); b below floor (n_prev=1 < 2)... use
+    // minPrevCount=1: b: 4·6·1e6/(1·6) = 4000000 (rose 4x)
+    val docs = Seq((0L, "a a a a a b"), (1L, "a a b b b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.termTrends(docs, "text", col("doc_id"),
+        prevSnap = 0L, curSnap = 1L, minPrevCount = 1L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("a" -> 400000L, "b" -> 4000000L))
+    val floored = TextAnalysis.termTrends(docs, "text", col("doc_id"),
+        0L, 1L, minPrevCount = 2L, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(floored == Set("a")) // b lacks previous-snapshot support
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
