@@ -460,4 +460,29 @@ class InvariantSpec extends AnyFunSuite {
       assert(found.contains((i, i + 100)), s"identical pair ($i, ${i + 100}) missed")
     }
   }
+
+  test("largestRemainderAllocation: conservation holds for every k (property sweep)") {
+    import graft.operators.Sampling
+    // deterministic pseudo-random stratum sizes; Σalloc must equal k EXACTLY
+    // for every budget — the Hamilton guarantee proportional rounding lacks
+    val rows = (1 to 200).map(i => s"s${(i * 7919) % 13}").toDF("s")
+    for (k <- Seq(1L, 7L, 13L, 100L, 199L, 200L, 1000L)) {
+      val total = Sampling.largestRemainderAllocation(rows, "s", k)
+        .agg(org.apache.spark.sql.functions.sum("alloc")).head.getLong(0)
+      assert(total == k, s"k=$k allocated $total")
+    }
+  }
+
+  test("systematicPpsSample: pick count is exactly total DIV stride (property sweep)") {
+    import graft.operators.Sampling
+    // every stride multiple in (0, total] is crossed exactly once by the
+    // strictly-increasing cumulative axis → |picks| = total DIV stride
+    val df = (1L to 300L).map(i => (i, (i * 31) % 17 + 1)).toDF("id", "w")
+    val total = df.agg(org.apache.spark.sql.functions.sum("w")).head.getLong(0)
+    for (n <- Seq(1L, 5L, 37L, 100L)) {
+      val stride = total / n
+      val picks = Sampling.systematicPpsSample(df, "id", "w", n).count()
+      assert(picks == total / stride, s"n=$n: $picks picks, expected ${total / stride}")
+    }
+  }
 }
