@@ -55,22 +55,29 @@ object Bench {
     // shutdown logging can follow it.
     def fmtAt(scale: Int)(v: Double): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonLine(keyOf: String => String, scale: Int): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jsonLine(entries: Iterable[(String, Double)], keyOf: String => String,
+                 scale: Int): String = {
       val fmt = fmtAt(scale) _
-      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+      val qs = entries.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val fullLine = jsonLine(identity, 3)
+    val fullLine = jsonLine(results, identity, 3)
     // the line must survive the harness's 2000-char log tail WHOLE — a
-    // front-truncated JSON parses as null (r01/r02). As the query count
-    // grows, degrade per-query precision until it fits instead of silently
-    // outgrowing the tail (bench_out.json keeps full names + precision).
-    val shortLine = (3 to 1 by -1).iterator
-      .map(s => jsonLine(_.takeWhile(_ != '_'), s))
+    // front-truncated JSON parses as null (r01/r02; r05 lost the total when
+    // 238 short-keyed entries outgrew the precision ladder). Degrading
+    // precision is unbounded in the query count, so the guaranteed-fit path
+    // is: total + only the N SLOWEST queries, shrinking N until the line is
+    // ≤1900 chars. The total (the driver's graded number) always leads the
+    // line; the slowest queries are the informative subset; bench_out.json
+    // keeps full names + full precision for every query.
+    val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
+    val shortLine = Iterator
+      .iterate(results.size)(n => math.max(0, (n * 3) / 4 - 1))
+      .map(n => jsonLine(byTimeDesc.take(n), _.takeWhile(_ != '_'), 2))
       .find(_.length <= 1900)
-      .getOrElse(jsonLine(_.takeWhile(_ != '_'), 1))
+      .getOrElse(jsonLine(Nil, identity, 2))
     spark.stop()
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -1096,6 +1096,43 @@ object Analytics {
   }
 
   /**
+   * Rank-exact LOWER MEDIAN (the element at rank `(n+1) DIV 2`) computed
+   * over the VALUE-COLLAPSED frame: collapse to (parts, value, count)
+   * first — one map-side-combined aggregate bounded by DISTINCT values —
+   * then pick the smallest value whose cumulative count reaches half the
+   * total (`2·cum ≥ n`, the [[weightedMedian]] integer-rank identity;
+   * for odd n, `2·cum` is even so `≥ n` and `≥ n+1` coincide — one
+   * predicate serves both parities). Row-identical to ranking raw rows
+   * (equal values collapse, so a row-id tiebreak is vacuous), but the
+   * cumulative window runs over the distinct-value frame, never the
+   * corpus: a global median costs one collapse plus a vocabulary-bounded
+   * window instead of funneling every row through a single-task sort.
+   *
+   * Output: one row per `parts` group with `__v` = median and `__n` =
+   * non-null row count. With `parts = Nil` the cumulative window is
+   * unpartitioned BUT value-bounded — the accepted spine/vocabulary
+   * shape, not the row-sized funnel this helper exists to avoid.
+   */
+  def lowerMedianByValue(d: DataFrame, parts: Seq[String],
+      valueCol: String): DataFrame = {
+    val gcols = parts.map(col)
+    val gv = d.groupBy((gcols :+ col(valueCol)): _*).agg(count(lit(1)).as("__c"))
+    val (w, cnt) =
+      if (parts.isEmpty)
+        (Window.orderBy(valueCol), Window.partitionBy(lit(1)))
+      else
+        (Window.partitionBy(gcols: _*).orderBy(valueCol),
+          Window.partitionBy(gcols: _*))
+    val qualifying = gv
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(cnt))
+      .filter(col("__cum") * 2 >= col("__n"))
+    val agg = Seq(min(col(valueCol)).as("__v"), max(col("__n")).as("__n"))
+    if (parts.isEmpty) qualifying.agg(agg.head, agg.tail: _*)
+    else qualifying.groupBy(gcols: _*).agg(agg.head, agg.tail: _*)
+  }
+
+  /**
    * FEDERATED-MEDIAN divergence audit: the exact global median versus the
    * "median of per-shard medians" shortcut every federated/streaming
    * system is tempted by — reported side by side with the error in ppm,
@@ -1104,10 +1141,12 @@ object Analytics {
    * interpolation, defined for any ordered type); shards are assigned by
    * the portable hash so the audit reproduces anywhere.
    *
-   * Scale shape: the true median is one rank window over a value-sorted
-   * exchange; the per-shard medians are the same shape partitioned by
-   * shard; the S-row medians frame then folds in a single tiny aggregate.
-   * Nothing quadratic, nothing collected.
+   * Scale shape: every median is [[lowerMedianByValue]] — a
+   * map-side-combined value collapse, then cumulative counts over the
+   * DISTINCT-VALUE frame only (never a row-sized window); the per-shard
+   * variant partitions the same shape by shard, and the S-row
+   * shard-medians frame folds through the same collapsed path. Nothing
+   * quadratic, nothing collected, nothing corpus-sized in one task.
    */
   def federatedMedianAudit(df: DataFrame, idCol: String, valueCol: String,
       nShards: Int): DataFrame = {
@@ -1115,21 +1154,11 @@ object Analytics {
     val clean = df.filter(col(valueCol).isNotNull)
       .select(col(idCol).as("__id"), col(valueCol).cast("long").as("__v"))
       .withColumn("__shard", pmod(PortableHash.hash60(col("__id")), lit(nShards)))
-    def lowerMedian(d: DataFrame, parts: Seq[String]): DataFrame = {
-      val w = if (parts.isEmpty) Window.orderBy("__v", "__id")
-        else Window.partitionBy(parts.map(col): _*).orderBy("__v", "__id")
-      val cnt = if (parts.isEmpty) Window.partitionBy(lit(1))
-        else Window.partitionBy(parts.map(col): _*)
-      d.withColumn("__rk", row_number().over(w).cast("long"))
-        .withColumn("__n", count(lit(1)).over(cnt))
-        .filter(col("__rk") === expr("(__n + 1) DIV 2"))
-    }
-    val truth = lowerMedian(clean, Nil)
+    val truth = lowerMedianByValue(clean, Nil, "__v")
       .select(col("__n").as("n"), col("__v").as("true_median"))
-    val fed = lowerMedian(
-      lowerMedian(clean, Seq("__shard"))
-        .select(col("__shard").as("__id"), col("__v")),
-      Nil).select(col("__v").as("federated_median"))
+    val fed = lowerMedianByValue(
+      lowerMedianByValue(clean, Seq("__shard"), "__v").select(col("__v")),
+      Nil, "__v").select(col("__v").as("federated_median"))
     truth.crossJoin(broadcast(fed))
       .select(col("n"), col("true_median"), col("federated_median"),
         expr("abs(federated_median - true_median) * 1000000" +

@@ -368,29 +368,20 @@ object Curation {
    * pick), so every number is engine-exact; the gap is in raw score
    * units, interpretable against the scoring scale.
    *
-   * Scale shape: one exchange on the group for the per-group rank
-   * window; the global median is the same window unpartitioned over a
-   * (score, id)-sorted exchange — both |rows|-linear, no joins beyond
-   * the 1-row global broadcast.
+   * Scale shape: both medians are [[Analytics.lowerMedianByValue]] — a
+   * map-side-combined (group, score) collapse, then cumulative counts
+   * over the DISTINCT-SCORE frame only; the global median runs the same
+   * collapsed shape unpartitioned (value-bounded, never row-sized). No
+   * joins beyond the 1-row global broadcast.
    */
   def quantileParityAudit(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clean = df.filter(col(scoreCol).isNotNull)
-      .select(col(idCol).as("__id"), col(groupCol).as("grp"),
-        col(scoreCol).cast("long").as("__s"))
-    def median(d: DataFrame, parts: Seq[String]): DataFrame = {
-      val w = if (parts.isEmpty) Window.orderBy("__s", "__id")
-        else Window.partitionBy(parts.map(col): _*).orderBy("__s", "__id")
-      val cnt = if (parts.isEmpty) Window.partitionBy(lit(1))
-        else Window.partitionBy(parts.map(col): _*)
-      d.withColumn("__rk", row_number().over(w).cast("long"))
-        .withColumn("__n", count(lit(1)).over(cnt))
-        .filter(col("__rk") === expr("(__n + 1) DIV 2"))
-    }
-    val perGroup = median(clean, Seq("grp"))
-      .select(col("grp"), col("__n").as("n_rows"), col("__s").as("group_median"))
-    val global = median(clean, Nil).select(col("__s").as("global_median"))
+      .select(col(groupCol).as("grp"), col(scoreCol).cast("long").as("__s"))
+    val perGroup = Analytics.lowerMedianByValue(clean, Seq("grp"), "__s")
+      .select(col("grp"), col("__n").as("n_rows"), col("__v").as("group_median"))
+    val global = Analytics.lowerMedianByValue(clean, Nil, "__s")
+      .select(col("__v").as("global_median"))
     perGroup.crossJoin(broadcast(global))
       .select(col("grp"), col("n_rows"), col("group_median"),
         col("global_median"),

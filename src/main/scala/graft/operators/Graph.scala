@@ -145,18 +145,35 @@ object Graph {
    * its max single-node degree.
    *
    * Scale shape: degrees are one map-side-combined count per endpoint;
-   * the rank window runs over the |nodes| frame (vocabulary-bounded);
-   * the report is 2 rows. Edges are scanned once per side, never joined.
+   * the rank is the TWO-PHASE range-partitioned prefix sum
+   * ([[graft.operators.Sampling.globalRankRange]]'s shape): range-exchange
+   * the |nodes| degree frame on (degree desc, node), rank locally per
+   * partition, and add the exclusive prefix of per-partition counts — the
+   * only single-partition hop is the one-row-per-partition offsets frame,
+   * so the node frame itself (which grows with the corpus for a purchase
+   * graph) is never funneled through one task. Report is 2 rows; edges
+   * never join anything — the offsets branch re-reads the degree
+   * lineage (node-frame-sized, distributed), the price of carrying the
+   * grand total without a cache.
    */
   def degreeConcentration(edges: DataFrame, topPct: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topPct >= 1 && topPct <= 100, s"topPct $topPct not in [1,100]")
     def side(c: String): DataFrame = {
       val deg = edges.groupBy(col(c).as("node")).agg(count(lit(1)).as("d"))
-      val byDeg = Window.orderBy(col("d").desc, col("node"))
-      deg
-        .withColumn("__rk", row_number().over(byDeg).cast("long"))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val keys = Seq(col("d").desc, col("node").asc)
+      val parted = deg.repartitionByRange(keys: _*)
+        .withColumn("__pid", spark_partition_id())
+      val local = parted.withColumn("__lr",
+        row_number().over(Window.partitionBy("__pid").orderBy(keys: _*)).cast("long"))
+      // offsets: one row per range partition — cumulative window over a
+      // #partitions-sized frame, plus the grand total carried alongside
+      val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+        .withColumn("__off", sum(col("__cnt")).over(Window.orderBy("__pid")) - col("__cnt"))
+        .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(lit(1))))
+        .select(col("__pid").as("__opid"), col("__off"), col("__n"))
+      local.join(broadcast(offsets), col("__pid") === col("__opid"))
+        .withColumn("__rk", col("__off") + col("__lr"))
         .withColumn("__top", expr(s"(__n * $topPct + 99) DIV 100"))
         .agg(max(col("__n")).as("n_nodes"),
           sum(col("d")).as("n_edges"),

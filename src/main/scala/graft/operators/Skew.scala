@@ -95,19 +95,30 @@ object Skew {
    * round-robin) pairs the heaviest key in each band with the lightest
    * of the next, bounding adjacent-band imbalance.
    *
-   * Scale shape: one map-side-combined count per key, one rank window
-   * over the |keys|-row frame (vocabulary-bounded, never row-bounded),
-   * and a `nParts`-row rollup. The corpus is scanned once; nothing about
-   * the plan computation is corpus-sized.
+   * Scale shape: one map-side-combined count per key; the count-desc key
+   * rank is the TWO-PHASE range-partitioned prefix sum
+   * ([[graft.operators.Sampling.globalRankRange]]'s shape) — range-exchange
+   * the |keys| frame on (count desc, key), rank locally, add the exclusive
+   * prefix of per-partition counts (the only single-partition hop is the
+   * one-row-per-partition offsets frame, never the key frame itself, which
+   * grows with the corpus) — then a `nParts`-row rollup. The corpus is
+   * scanned once; nothing about the plan computation is corpus-sized.
    */
   def skewAwarePartitionPlan(df: DataFrame, keyCol: String,
       nParts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nParts >= 1, s"nParts $nParts must be positive")
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
-    val byCount = Window.orderBy(col("__n").desc, col(keyCol))
-    val planned = counts
-      .withColumn("__rk", row_number().over(byCount).cast("long") - 1L)
+    val keys = Seq(col("__n").desc, col(keyCol).asc)
+    val parted = counts.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lr",
+      row_number().over(Window.partitionBy("__pid").orderBy(keys: _*)).cast("long"))
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", sum(col("__cnt")).over(Window.orderBy("__pid")) - col("__cnt"))
+      .select(col("__pid").as("__opid"), col("__off"))
+    val planned = local.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn("__rk", col("__off") + col("__lr") - 1L)
       .withColumn("part",
         expr(s"CASE WHEN (__rk DIV $nParts) % 2 = 0 THEN __rk % $nParts" +
           s" ELSE $nParts - 1 - (__rk % $nParts) END"))

@@ -2309,9 +2309,11 @@ object Extensions {
     * expression uses, the per-plane sum folds `embedding` in the same
     * ascending index order in double, and bits pack into band keys the same
     * way — so the LSH candidate set matches bit-for-bit across engines. */
-  private def hyperplaneCtes(source: String = "embeddings"): String = {
-    val r = Similarity.DefaultRowsPerBand
-    val masks = graft.functions.Hyperplanes.masks(Similarity.DefaultBands * r)
+  private def hyperplaneCtes(source: String = "embeddings",
+      numBands: Int = Similarity.DefaultBands,
+      rowsPerBand: Int = Similarity.DefaultRowsPerBand): String = {
+    val r = rowsPerBand
+    val masks = graft.functions.Hyperplanes.masks(numBands * r)
     val values = masks.zipWithIndex
       .map { case (m, p) => s"($p, CAST($m AS BIGINT))" }.mkString(", ")
     s"""planes AS (SELECT p, mask FROM (VALUES $values) t(p, mask)),
@@ -3248,9 +3250,14 @@ object Extensions {
          |FROM d LEFT JOIN m USING (source)
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x167_label_noise_audit" ->
-      (s"""WITH p AS (SELECT a.vec_id, a.label, b.vec_id AS vb, b.label AS lb,
+      (s"""WITH ${hyperplaneCtes("embeddings", Similarity.VoteBands, Similarity.VoteRowsPerBand)},
+         |cand AS (SELECT DISTINCT ka.vec_id, kb.vec_id AS vb
+         | FROM hpkeys ka JOIN hpkeys kb
+         |  ON ka.band = kb.band AND ka.bkey = kb.bkey AND ka.vec_id <> kb.vec_id),
+         |p AS (SELECT a.vec_id, a.label, b.vec_id AS vb, b.label AS lb,
          |  ${cos2Sql("a.embedding", "b.embedding")} AS sim
-         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         | FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+         |  JOIN embeddings b ON b.vec_id = c.vb),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |  ORDER BY sim DESC, vb) AS rk FROM p),
          |t AS (SELECT vec_id, label,

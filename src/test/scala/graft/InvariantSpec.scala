@@ -485,4 +485,40 @@ class InvariantSpec extends AnyFunSuite {
       assert(picks == total / stride, s"n=$n: $picks picks, expected ${total / stride}")
     }
   }
+
+  test("labelNoiseAudit: LSH-candidate vote flags the IDENTICAL set as all-pairs brute force") {
+    import graft.operators.Similarity
+    // certifies the x167 scale path loses nothing on the real test corpus:
+    // the wide-recall band shape (VoteBands×VoteRowsPerBand) captures every
+    // probe's exact top-5, so candidate restriction changes the PLAN
+    // (bucket-bounded equi-joins, no nested loop) and not the ANSWER
+    val emb = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Similarity.labelNoiseAudit(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val brute = Similarity.labelNoiseAuditBrute(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(lsh == brute,
+      s"flag sets diverge: lsh-only=${(lsh -- brute).take(5)} brute-only=${(brute -- lsh).take(5)}")
+    assert(lsh.nonEmpty, "vote produced no flags — vacuous certification")
+  }
+
+  test("lowerMedianByValue: equals the row-ranked lower median for random multisets") {
+    import graft.operators.Analytics
+    // the value-collapsed cumulative rank must agree with sorting raw rows
+    // and indexing at (n+1) DIV 2 — for every group, including heavy ties
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 500).map(i => (s"g${i % 7}", rnd.nextInt(12).toLong))
+    val df = rows.toDF("grp", "v")
+    val got = Analytics.lowerMedianByValue(df, Seq("grp"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val expect = sorted((sorted.size + 1) / 2 - 1)
+      assert(got(g) == (expect, sorted.size.toLong), s"group $g")
+    }
+    val (gv, gn) = Analytics.lowerMedianByValue(df, Nil, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val all = rows.map(_._2).sorted
+    assert((gv, gn) == (all((all.size + 1) / 2 - 1), all.size.toLong), "global median")
+  }
 }

@@ -564,11 +564,31 @@ class PlanSpec extends AnyFunSuite {
       s"survivorship must not sort clusters through a window:\n$p")
   }
 
-  test("x167: per-vector top-k prunes BEFORE the exchange (WindowGroupLimit)") {
+  test("x153/x164: global medians run over the VALUE-COLLAPSED frame — no row-ranked window anywhere") {
+    for (q <- Seq("x153_federated_median_audit", "x164_quantile_parity")) {
+      val p = plan(q)
+      assert(!p.contains("row_number()"),
+        s"$q must rank collapsed (value, count) rows via cumulative sums, not row_number:\n$p")
+      assert(p.contains("partial_count"),
+        s"$q's value collapse must partial-aggregate map-side:\n$p")
+    }
+  }
+
+  test("x163/x152: entity-frame ranks are two-phase — every row_number window is pid-partitioned") {
+    for (q <- Seq("x163_degree_concentration", "x152_skew_partition_plan")) {
+      val p = plan(q)
+      val rn = p.linesIterator.filter(_.contains("row_number() windowspecdefinition")).toSeq
+      assert(rn.nonEmpty, s"$q lost its local rank window:\n$p")
+      assert(rn.forall(_.contains("windowspecdefinition(__pid")),
+        s"$q has an unpartitioned row_number over an entity frame:\n${rn.mkString("\n")}")
+    }
+  }
+
+  test("x167: LSH-candidate equi-joins only — no all-pairs nested loop; top-k prunes below the exchange") {
     val p = plan("x167_label_noise_audit")
     assert(p.contains("WindowGroupLimit"),
       s"row_number<=k must push a group limit below the window exchange:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the pair scoring must broadcast the label table:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the pair stream must be LSH-candidate equi-joins, never an n² nested loop:\n$p")
   }
 }
