@@ -44,6 +44,18 @@ object Bench {
       val m = math.min(v, pass2(k))
       k -> (if (m.isInfinite) -1.0 else m)
     }
+    // Per-query time-budget guard: creep is caught locally before the
+    // driver sees it. Budget applies at the full bench SF (sf0.1); at
+    // smaller SFs the same ceiling is just slack. Violations go to
+    // stderr BEFORE the JSON line (stdout tail must stay clean) and into
+    // bench_out.json; they never fail the run — the driver still needs
+    // the bench line — but the local workflow treats any [bench-budget]
+    // line as a stop-and-fix.
+    val budgetSec = sys.env.get("SPARK_GRAFT_MAX_QUERY_SEC").map(_.toDouble).getOrElse(8.0)
+    val over = results.filter { case (_, v) => v > budgetSec || v < 0 }.toSeq.sortBy(-_._2)
+    over.foreach { case (k, v) =>
+      System.err.println(f"[bench-budget] VIOLATION $k ${v}%.2f s > $budgetSec%.1f s budget")
+    }
     // The harness keeps only the last 2000 chars of the log (measured from
     // BENCH_r01/r02: "tail" is exactly 2000 chars and sbt's trailing
     // "[success] Total time..." line eats ~75 of them), so a full-name
@@ -63,7 +75,11 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val fullLine = jsonLine(results, identity, 3)
+    val fullLine = {
+      val base = jsonLine(results, identity, 3)
+      val viol = over.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      base.dropRight(1) + s""","budget_sec":$budgetSec,"budget_violations":$viol}"""
+    }
     // the line must survive the harness's 2000-char log tail WHOLE — a
     // front-truncated JSON parses as null (r01/r02; r05 lost the total when
     // 238 short-keyed entries outgrew the precision ladder). Degrading

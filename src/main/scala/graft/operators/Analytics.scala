@@ -514,7 +514,10 @@ object Analytics {
     val spark = events.sparkSession
     import spark.implicits._
     val byTs = Window.partitionBy(typeCol).orderBy(col(tsCol), col(idCol))
+    // NULL ts excluded (see slaAttainment): gaps need an order, and NULLS
+    // FIRST (Spark) vs LAST (SQL) would diverge if NULL ts appeared
     val gaps = events
+      .filter(col(tsCol).isNotNull)
       .withColumn("__prev", lag(col(tsCol), 1).over(byTs))
       .filter(col("__prev").isNotNull)
       .select(col(typeCol),
@@ -597,13 +600,21 @@ object Analytics {
       cell(0, "post", lit(1L)).as("n_a_post"), cell(0, "post", col("__conv")).as("c_a_post"),
       cell(1, "pre", lit(1L)).as("n_b_pre"), cell(1, "pre", col("__conv")).as("c_b_pre"),
       cell(1, "post", lit(1L)).as("n_b_post"), cell(1, "post", col("__conv")).as("c_b_post"))
+    // empty-cell guard on every rate (see abExperiment): a degenerate
+    // input with an unpopulated (arm, period) cell reads as NULL, not a
+    // cross-engine crash-vs-NULL divergence
     agg.select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
-      expr("c_a_pre * 1000000 DIV n_a_pre").as("rate_a_pre_ppm"),
-      expr("c_a_post * 1000000 DIV n_a_post").as("rate_a_post_ppm"),
-      expr("c_b_pre * 1000000 DIV n_b_pre").as("rate_b_pre_ppm"),
-      expr("c_b_post * 1000000 DIV n_b_post").as("rate_b_post_ppm"),
-      expr("(c_b_post * 1000000 DIV n_b_post - c_b_pre * 1000000 DIV n_b_pre)" +
-        " - (c_a_post * 1000000 DIV n_a_post - c_a_pre * 1000000 DIV n_a_pre)")
+      expr("CASE WHEN n_a_pre > 0 THEN c_a_pre * 1000000 DIV n_a_pre END")
+        .as("rate_a_pre_ppm"),
+      expr("CASE WHEN n_a_post > 0 THEN c_a_post * 1000000 DIV n_a_post END")
+        .as("rate_a_post_ppm"),
+      expr("CASE WHEN n_b_pre > 0 THEN c_b_pre * 1000000 DIV n_b_pre END")
+        .as("rate_b_pre_ppm"),
+      expr("CASE WHEN n_b_post > 0 THEN c_b_post * 1000000 DIV n_b_post END")
+        .as("rate_b_post_ppm"),
+      expr("CASE WHEN n_a_pre > 0 AND n_a_post > 0 AND n_b_pre > 0 AND n_b_post > 0" +
+        " THEN (c_b_post * 1000000 DIV n_b_post - c_b_pre * 1000000 DIV n_b_pre)" +
+        " - (c_a_post * 1000000 DIV n_a_post - c_a_pre * 1000000 DIV n_a_pre) END")
         .as("did_ppm"))
   }
 
@@ -797,7 +808,11 @@ object Analytics {
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, typeCol: String): DataFrame = {
     val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    // NULL timestamps are excluded up front: an unordered event has no
+    // place in a SEQUENCE, and Spark windows sort NULLs first while SQL
+    // engines sort them last — the bigram sets would silently diverge
     val bigrams = events
+      .filter(col(tsCol).isNotNull)
       .withColumn("__prev", lag(col(typeCol), 1).over(byKey))
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
@@ -913,7 +928,10 @@ object Analytics {
       idCol: String, thresholdSeconds: Long): DataFrame = {
     require(thresholdSeconds >= 0, "threshold must be non-negative")
     val byTs = Window.partitionBy(typeCol).orderBy(col(tsCol), col(idCol))
+    // NULL ts excluded: no gap is defined against an unknown time, and
+    // NULLS FIRST (Spark) vs LAST (SQL) window order would diverge
     events
+      .filter(col(tsCol).isNotNull)
       .withColumn("__prev", lag(col(tsCol), 1).over(byTs))
       .filter(col("__prev").isNotNull)
       .select(col(typeCol),
@@ -1060,9 +1078,13 @@ object Analytics {
         sum(when(col("__arm") === 0, col("__conv")).otherwise(0L)).as("conv_a"),
         sum(when(col("__arm") === 1, col("__conv")).otherwise(0L)).as("conv_b"))
       .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-        expr("conv_a * 1000000 DIV n_a").as("rate_a_ppm"),
-        expr("conv_b * 1000000 DIV n_b").as("rate_b_ppm"),
-        expr("conv_b * 1000000 DIV n_b - conv_a * 1000000 DIV n_a")
+        // empty-arm guard: Spark's DIV-by-zero yields NULL but a SQL
+        // oracle's integer division raises — make "no data" an explicit
+        // NULL on both engines (columnDrift's changed_ppm pattern)
+        expr("CASE WHEN n_a > 0 THEN conv_a * 1000000 DIV n_a END").as("rate_a_ppm"),
+        expr("CASE WHEN n_b > 0 THEN conv_b * 1000000 DIV n_b END").as("rate_b_ppm"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN" +
+          " conv_b * 1000000 DIV n_b - conv_a * 1000000 DIV n_a END")
           .as("diff_ppm"))
   }
 

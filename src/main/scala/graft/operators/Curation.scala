@@ -389,23 +389,6 @@ object Curation {
   }
 
   /**
-   * CONTRIBUTION-BOUNDED aggregate — the user-level clamp every
-   * differential-privacy (and abuse-robust analytics) pipeline applies
-   * BEFORE aggregating: each user contributes at most `maxPerUser` events
-   * (their first `maxPerUser` by (ts, id) — deterministic, not sampled),
-   * so no single key can dominate a statistic. Emits per-type raw vs
-   * bounded counts plus how many users were clamped — the sensitivity
-   * readout that tells you what the bound cost.
-   *
-   * Scale shape: ONE exchange on the user key; the rank window and the
-   * per-user clamp-flag aggregate share it, and the per-type rollups are
-   * map-side-combined aggregates over the already-partitioned rows. NULL
-   * users pass through UNBOUNDED by SQL-window accident in naive
-   * implementations — here they are excluded explicitly (a NULL key is
-   * not a user; bounding "them" as one pseudo-user would silently drop
-   * real events).
-   */
-  /**
    * K-ANONYMITY audit over quasi-identifier columns: group rows into
    * equivalence classes by the quasi-identifier tuple and report, per
    * candidate k, how many classes fall below k and how many rows sit in
@@ -438,6 +421,23 @@ object Curation {
         min("__sz").as("min_class_size"))
   }
 
+  /**
+   * CONTRIBUTION-BOUNDED aggregate — the user-level clamp every
+   * differential-privacy (and abuse-robust analytics) pipeline applies
+   * BEFORE aggregating: each user contributes at most `maxPerUser` events
+   * (their first `maxPerUser` by (ts, id) — deterministic, not sampled),
+   * so no single key can dominate a statistic. Emits per-type raw vs
+   * bounded counts plus how many users were clamped — the sensitivity
+   * readout that tells you what the bound cost.
+   *
+   * Scale shape: ONE exchange on the user key; the rank window and the
+   * per-user clamp-flag aggregate share it, and the per-type rollups are
+   * map-side-combined aggregates over the already-partitioned rows. NULL
+   * users pass through UNBOUNDED by SQL-window accident in naive
+   * implementations — here they are excluded explicitly (a NULL key is
+   * not a user; bounding "them" as one pseudo-user would silently drop
+   * real events).
+   */
   def boundedContribution(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, maxPerUser: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

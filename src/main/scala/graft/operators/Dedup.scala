@@ -305,6 +305,9 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // cached: df-count, prefix derivation, and verification all re-read the
+    // shingle rows. Caller-managed lifecycle (ContextCleaner reclaims once
+    // the returned frame is materialized and dropped) — see coOccurrenceLift.
     val tokens = shingleHashRows(docs, idCol, textCol, shingleN).cache()
     val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -319,6 +322,8 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      // cached: consumed by the candidate-doc collapse AND the final
+      // verification join. Same caller-managed lifecycle as tokens above.
       .cache()
     val candidateDocs = candidates
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()

@@ -2790,7 +2790,8 @@ object Extensions {
          | COUNT(t3) AS n_stage3 FROM u""".stripMargin.replace("\n", " ")),
     "x138_interarrival_percentiles" ->
       ("""WITH e AS (SELECT event_type, event_id, ts,
-         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+         |  WHERE ts IS NOT NULL),
          |g AS (SELECT event_type,
          |  es - LAG(es) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
          | FROM e),
@@ -2828,7 +2829,7 @@ object Extensions {
     "x141_transition_matrix" ->
       ("""WITH s AS (SELECT user_id, event_type,
          |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         |    AS prev_t FROM events),
+         |    AS prev_t FROM events WHERE ts IS NOT NULL),
          |c AS (SELECT prev_t AS prev_type, event_type AS next_type,
          |  CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE prev_t IS NOT NULL
          | GROUP BY 1, 2),
@@ -2918,9 +2919,10 @@ object Extensions {
          |  CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
          | FROM u)
          |SELECT n_a, n_b, conv_a, conv_b,
-         | conv_a * 1000000 // n_a AS rate_a_ppm,
-         | conv_b * 1000000 // n_b AS rate_b_ppm,
-         | conv_b * 1000000 // n_b - conv_a * 1000000 // n_a AS diff_ppm
+         | CASE WHEN n_a > 0 THEN conv_a * 1000000 // n_a END AS rate_a_ppm,
+         | CASE WHEN n_b > 0 THEN conv_b * 1000000 // n_b END AS rate_b_ppm,
+         | CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |  conv_b * 1000000 // n_b - conv_a * 1000000 // n_a END AS diff_ppm
          |FROM a""".stripMargin.replace("\n", " ")),
     "x148_consistent_hash_migration" ->
       ("""WITH vn AS (SELECT gen, s,
@@ -3173,12 +3175,18 @@ object Extensions {
          |  CAST(SUM(CASE WHEN arm = 1 AND period = 'post' THEN conv ELSE 0 END)
          |    AS BIGINT) AS c_b_post FROM ua)
          |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
-         | c_a_pre * 1000000 // n_a_pre AS rate_a_pre_ppm,
-         | c_a_post * 1000000 // n_a_post AS rate_a_post_ppm,
-         | c_b_pre * 1000000 // n_b_pre AS rate_b_pre_ppm,
-         | c_b_post * 1000000 // n_b_post AS rate_b_post_ppm,
-         | (c_b_post * 1000000 // n_b_post - c_b_pre * 1000000 // n_b_pre)
-         |  - (c_a_post * 1000000 // n_a_post - c_a_pre * 1000000 // n_a_pre)
+         | CASE WHEN n_a_pre > 0 THEN c_a_pre * 1000000 // n_a_pre END
+         |   AS rate_a_pre_ppm,
+         | CASE WHEN n_a_post > 0 THEN c_a_post * 1000000 // n_a_post END
+         |   AS rate_a_post_ppm,
+         | CASE WHEN n_b_pre > 0 THEN c_b_pre * 1000000 // n_b_pre END
+         |   AS rate_b_pre_ppm,
+         | CASE WHEN n_b_post > 0 THEN c_b_post * 1000000 // n_b_post END
+         |   AS rate_b_post_ppm,
+         | CASE WHEN n_a_pre > 0 AND n_a_post > 0 AND n_b_pre > 0
+         |   AND n_b_post > 0 THEN
+         |  (c_b_post * 1000000 // n_b_post - c_b_pre * 1000000 // n_b_pre)
+         |  - (c_a_post * 1000000 // n_a_post - c_a_pre * 1000000 // n_a_pre) END
          |  AS did_ppm
          |FROM a""".stripMargin.replace("\n", " ")),
     "x163_degree_concentration" ->
@@ -3309,7 +3317,8 @@ object Extensions {
          |FROM s ORDER BY snapshot, source""".stripMargin.replace("\n", " ")),
     "x171_sla_attainment" ->
       ("""WITH e AS (SELECT event_type, event_id, ts,
-         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+         |  WHERE ts IS NOT NULL),
          |g AS (SELECT event_type,
          |  es - LAG(es) OVER (PARTITION BY event_type ORDER BY ts, event_id)
          |    AS gap FROM e)

@@ -48,7 +48,9 @@ object EventStream {
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.Tables.ensureNanosAsLong(spark)
     val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts arrives as long (nanos)
+    // physical ts form varies by testdata generation (long nanos,
+    // TIMESTAMP_NTZ, or TimestampType); normalizeEventTs canonicalizes
+    val schema = spark.read.parquet(path).schema
 
     // The streaming file source wants a directory; glob-filter to the one table.
     val stream = spark.readStream.schema(schema)
