@@ -1324,4 +1324,149 @@ object Analytics {
         expr("SUM(__w) * 100 DIV COUNT(1)").as("wins_mean_centi"),
         min("__lo").as("lo_bound"), min("__hi").as("hi_bound"))
   }
+
+  /**
+   * BURST detection — the bot/abuse heuristic every event pipeline runs
+   * before trusting per-user statistics: each user's maximum event count
+   * inside ANY trailing `windowSeconds` window, found exactly by a
+   * RANGE frame over epoch seconds (every event anchors a window ending
+   * at itself; a burst's peak is always anchored at its last event, so
+   * the per-event frame maximum IS the true sliding-window maximum).
+   * Top `topK` burstiest users emitted (burst desc, volume desc, user) —
+   * the review queue, not a corpus-sized report.
+   *
+   * Scale shape: ONE exchange on the user key — the range-frame count
+   * and the per-user aggregate share it — then TakeOrdered for the
+   * top-k (per-partition heaps, no global sort). Integer epoch-second
+   * arithmetic; NULL users/ts excluded (not attributable to an actor).
+   */
+  def burstDetection(events: DataFrame, userCol: String, tsCol: String,
+      windowSeconds: Int = 60, topK: Int = 50): DataFrame = {
+    require(windowSeconds >= 1 && topK >= 1, "windowSeconds and topK must be positive")
+    val w = Window.partitionBy(userCol).orderBy("__es")
+      .rangeBetween(-(windowSeconds - 1L), 0L)
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), floor(unix_timestamp(col(tsCol))).as("__es"))
+      .withColumn("__burst", count(lit(1)).over(w))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_events"), max(col("__burst")).as("max_burst"))
+      .orderBy(col("max_burst").desc, col("n_events").desc, col(userCol))
+      .limit(topK)
+  }
+
+  /**
+   * TRANSITION DIVERSITY per antecedent — the Simpson concentration
+   * index λ = Σ nᵢ(nᵢ−1) / N(N−1) over each prev_type's next-type
+   * distribution, in exact integer ppm (the probability two random
+   * successors of the same antecedent coincide — 1e6 = a deterministic
+   * funnel, → 0 = anything-can-follow). The integer-exact alternative to
+   * Shannon entropy (whose logs never hash-match across engines), asked
+   * of the same bigram stream as [[transitionMatrix]].
+   *
+   * Scale shape: identical to transitionMatrix — one exchange on the key
+   * for the lag window, a |types|²-bounded bigram aggregate, then a
+   * |types|-row rollup. The Σnᵢ(nᵢ−1) sum stages through DECIMAL(38,0):
+   * at claimed scale nᵢ·(nᵢ−1)·1e6 overflows BIGINT long before the
+   * answer does.
+   */
+  def transitionDiversity(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val bigrams = events
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__prev", lag(col(typeCol), 1).over(byKey))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    bigrams.groupBy("prev_type")
+      .agg(count(lit(1)).as("n_next_types"),
+        sum(col("n")).as("n_total"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("__coin"))
+      .select(col("prev_type"), col("n_next_types"), col("n_total"),
+        expr("CASE WHEN n_total > 1 THEN CAST(__coin * 1000000" +
+          " DIV (CAST(n_total AS DECIMAL(38,0)) * (n_total - 1)) AS BIGINT) END")
+          .as("simpson_ppm"))
+  }
+
+  /**
+   * POSITIONAL (U-shaped) attribution in EXACT integer basis points —
+   * the third attribution policy next to last-touch and linear: the
+   * FIRST and LAST in-window touches before a conversion earn 4000 bps
+   * each, the middles split the remaining 2000 (`2000 DIV m` each, the
+   * remainder `2000 mod m` to the EARLIEST middle — deterministic;
+   * credit sums to exactly 10000 per conversion). Degenerate paths keep
+   * conservation: one touch → 10000, two touches → 5000/5000, zero
+   * in-window touches → the explicit "(unattributed)" bucket takes the
+   * full 10000 (the [[multiTouchAttribution]] LEFT-join convention).
+   *
+   * Scale shape: identical to linear attribution — a per-user time-band
+   * equi-join feeds ONE window partitioning on the conversion id for
+   * both the touch count and the ascending position rank.
+   */
+  def positionalAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      windowDays: Int = 7): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol).as("cu"), col(tsCol).as("cts"))
+    val touches = conv.join(events.filter(col(typeCol) =!= convType),
+        col("cu") === col(userCol) &&
+          col(tsCol) >= col("cts") - expr(s"INTERVAL $windowDays DAYS") &&
+          col(tsCol) < col("cts"),
+        "left")
+      .select(col("conv_id"), col(idCol), col(typeCol), col(tsCol))
+    val byConv = Window.partitionBy("conv_id")
+    val firstFirst = Window.partitionBy("conv_id")
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    touches
+      .withColumn("nt", count(col(idCol)).over(byConv))
+      .withColumn("rp", row_number().over(firstFirst))
+      .withColumn("touch_type", coalesce(col(typeCol), lit("(unattributed)")))
+      .withColumn("bps", when(col(idCol).isNull, lit(10000L))
+        .otherwise(expr(
+          """CASE WHEN nt = 1 THEN 10000
+            |     WHEN nt = 2 THEN 5000
+            |     WHEN rp = 1 OR rp = nt THEN 4000
+            |     ELSE 2000 DIV (nt - 2) +
+            |          CASE WHEN rp = 2 THEN 2000 % (nt - 2) ELSE 0 END
+            |END""".stripMargin.replace("\n", " "))))
+      .groupBy("touch_type")
+      .agg(count(col(idCol)).as("n_touches"), sum(col("bps")).as("bps_total"))
+  }
+
+  /**
+   * Score-DECILE LIFT table — the model-evaluation readout for any
+   * per-user score against a conversion outcome: rank users by (score,
+   * user), cut into 10 equal-depth deciles (`(rank−1)·10 DIV n` — exact
+   * ±1-row depth, no NTILE engine quirks), and report each decile's
+   * conversion rate plus its LIFT versus the overall rate, all in exact
+   * integer ppm (`lift = n_conv·N·1e6 DIV (n_users·C)`, staged through
+   * DECIMAL(38,0) — three chained counts overflow BIGINT at scale).
+   *
+   * Scale shape: the user rank is [[Sampling.globalRankRange]] — the
+   * two-phase range-partitioned prefix sum, never a single-task window
+   * over the user frame; the decile rollup is 10 rows and the overall
+   * totals come from a window over that 10-row frame.
+   */
+  def decileLift(users: DataFrame, userCol: String, scoreCol: String,
+      convCol: String): DataFrame = {
+    val ranked = Sampling.globalRankRange(
+        users.select(col(userCol), col(scoreCol)), userCol, scoreCol)
+      .join(users.select(col(userCol), col(convCol)), Seq(userCol))
+    // totals ride a 1-row broadcast — NEVER an unpartitioned window over
+    // the user frame (the single-task funnel this operator's rank already
+    // avoids via the two-phase prefix sum)
+    val tot = users.agg(count(lit(1)).as("__N"), sum(col(convCol)).as("__C"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(global_rank - 1) * 10 DIV __N"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col(convCol)).as("n_conv"),
+        max(col("__N")).as("__N"), max(col("__C")).as("__C"))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        expr("CASE WHEN n_users > 0 THEN n_conv * 1000000 DIV n_users END")
+          .as("conv_rate_ppm"),
+        expr("CASE WHEN __C > 0 THEN CAST(CAST(n_conv AS DECIMAL(38,0))" +
+          " * __N * 1000000 DIV (CAST(n_users AS DECIMAL(38,0)) * __C)" +
+          " AS BIGINT) END").as("lift_ppm"))
+  }
 }

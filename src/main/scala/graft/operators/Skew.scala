@@ -130,4 +130,38 @@ object Skew {
         expr(s"CAST(CAST(load AS DECIMAL(38,0)) * $nParts * 1000000" +
           " DIV __total - 1000000 AS BIGINT)").as("imbalance_ppm"))
   }
+
+  /**
+   * JOIN-CARDINALITY estimate WITHOUT executing the join — the planner
+   * arithmetic (`|A ⋈ B| = Σₖ aₖ·bₖ` over per-key counts, exact when the
+   * histograms are exact) surfaced as an operator: run it before a big
+   * join to learn the output size, the matched-key count, and the
+   * hottest key's pair contribution (the number that says "salt this" —
+   * [[skewAwarePartitionPlan]]'s trigger) for the cost of two count
+   * aggregates instead of the join itself.
+   *
+   * Scale shape: one map-side-combined count per side, an equi-join of
+   * the two KEY frames (key-bounded, never row-bounded), one final
+   * 1-row fold. The pair sum rides DECIMAL(38,0): two hot keys of 1e7
+   * rows each contribute 1e14 pairs — Σ overflows BIGINT at scale long
+   * before any real join materializes. NULL keys never match in an
+   * equi-join, so they are excluded from both histograms.
+   */
+  def joinCardinalityEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val a = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__na"))
+    val b = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nb"))
+    val matched = a.join(b, "__k")
+      .agg(count(lit(1)).as("n_keys_matched"),
+        sum(expr("CAST(__na AS DECIMAL(38,0)) * __nb")).as("__pairs"),
+        max(expr("CAST(__na AS DECIMAL(38,0)) * __nb")).as("__hot"))
+    val totals = a.agg(count(lit(1)).as("n_keys_left"))
+      .crossJoin(b.agg(count(lit(1)).as("n_keys_right")))
+    matched.crossJoin(broadcast(totals))
+      .select(col("n_keys_left"), col("n_keys_right"), col("n_keys_matched"),
+        expr("CAST(__pairs AS BIGINT)").as("est_rows"),
+        expr("CAST(__hot AS BIGINT)").as("max_key_pairs"))
+  }
 }

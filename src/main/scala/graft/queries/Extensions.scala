@@ -1614,6 +1614,51 @@ object Extensions {
       pmod(col("doc_id"), lit(8L)), prevSnap = 6L, curSnap = 7L,
       minPrevCount = 5L, k = 15)
 
+  /** x175 — burst detection ([[Analytics.burstDetection]]): each user's
+    * max event count in any trailing 60 s window via a RANGE frame over
+    * epoch seconds; top-50 burstiest users (the bot review queue). */
+  private val x175: Q = (spark, sfDir) =>
+    Analytics.burstDetection(Tables(spark, sfDir, "events"),
+      "user_id", "ts", windowSeconds = 60, topK = 50)
+
+  /** x176 — join-cardinality estimate ([[Skew.joinCardinalityEstimate]]):
+    * planner arithmetic Σₖ aₖ·bₖ for orders ⋈ lineitem from the two key
+    * histograms — output size, matched keys, hottest key — without
+    * executing the join. */
+  private val x176: Q = (spark, sfDir) =>
+    Skew.joinCardinalityEstimate(
+      Tables(spark, sfDir, "orders"), "o_orderkey",
+      Tables(spark, sfDir, "lineitem"), "l_orderkey")
+
+  /** x177 — transition diversity ([[Analytics.transitionDiversity]]):
+    * Simpson concentration λ in exact ppm per antecedent event type —
+    * the integer-exact entropy stand-in over x141's bigram stream. */
+  private val x177: Q = (spark, sfDir) =>
+    Analytics.transitionDiversity(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("prev_type")
+
+  /** x178 — positional (U-shaped) attribution
+    * ([[Analytics.positionalAttribution]]): first/last touches take
+    * 4000 bps each, middles split 2000 with a deterministic remainder —
+    * conservation Σbps = 10000·conversions is invariant-tested. */
+  private val x178: Q = (spark, sfDir) =>
+    Analytics.positionalAttribution(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", convType = "purchase")
+      .orderBy("touch_type")
+
+  /** x179 — score-decile lift ([[Analytics.decileLift]]): users ranked by
+    * event volume (two-phase prefix-sum rank), cut into exact equal-depth
+    * deciles, per-decile conversion rate and lift vs overall in ppm. */
+  private val x179: Q = (spark, sfDir) => {
+    val perUser = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    Analytics.decileLift(perUser, "user_id", "score", "conv").orderBy("decile")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2197,7 +2242,12 @@ object Extensions {
     "x171_sla_attainment" -> x171,
     "x172_seasonality_profile" -> x172,
     "x173_revenue_concentration" -> x173,
-    "x174_term_trends" -> x174)
+    "x174_term_trends" -> x174,
+    "x175_burst_detection" -> x175,
+    "x176_join_cardinality_estimate" -> x176,
+    "x177_transition_diversity" -> x177,
+    "x178_positional_attribution" -> x178,
+    "x179_decile_lift" -> x179)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3373,6 +3423,83 @@ object Extensions {
          |   // (CAST(n_prev AS HUGEINT) * t.tc) AS BIGINT) AS rate_ratio_ppm
          |FROM c, t WHERE n_prev >= 5
          |ORDER BY rate_ratio_ppm DESC, term LIMIT 15""".stripMargin.replace("\n", " ")),
+    "x175_burst_detection" ->
+      ("""WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |b AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id
+         |  ORDER BY es RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS burst
+         | FROM e)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(MAX(burst) AS BIGINT) AS max_burst
+         |FROM b GROUP BY 1
+         |ORDER BY max_burst DESC, n_events DESC, user_id LIMIT 50"""
+        .stripMargin.replace("\n", " ")),
+    "x176_join_cardinality_estimate" ->
+      ("""WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders
+         |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+         |  CAST(SUM(na * nb) AS BIGINT) AS est_rows,
+         |  CAST(MAX(na * nb) AS BIGINT) AS max_key_pairs FROM a JOIN b USING (k))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_keys_left,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_keys_right,
+         | n_keys_matched, est_rows, max_key_pairs FROM m"""
+        .stripMargin.replace("\n", " ")),
+    "x177_transition_diversity" ->
+      ("""WITH s AS (SELECT user_id, event_type,
+         |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    AS prev_t FROM events WHERE ts IS NOT NULL),
+         |c AS (SELECT prev_t AS prev_type, event_type AS next_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE prev_t IS NOT NULL
+         | GROUP BY 1, 2),
+         |g AS (SELECT prev_type, CAST(COUNT(*) AS BIGINT) AS n_next_types,
+         |  CAST(SUM(n) AS BIGINT) AS n_total,
+         |  CAST(SUM(n * (n - 1)) AS BIGINT) AS coin FROM c GROUP BY 1)
+         |SELECT prev_type, n_next_types, n_total,
+         | CASE WHEN n_total > 1
+         |   THEN coin * 1000000 // (n_total * (n_total - 1)) END AS simpson_ppm
+         |FROM g ORDER BY prev_type""".stripMargin.replace("\n", " ")),
+    "x178_positional_attribution" ->
+      ("""WITH pur AS (SELECT event_id AS conv_id, user_id AS cu, ts AS cts
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT p.conv_id, e.event_id, e.event_type, e.ts
+         |  FROM pur p LEFT JOIN events e ON e.user_id = p.cu
+         |   AND e.ts >= p.cts - INTERVAL 7 DAY AND e.ts < p.cts
+         |   AND e.event_type <> 'purchase'),
+         |w AS (SELECT conv_id, event_id,
+         |  COALESCE(event_type, '(unattributed)') AS touch_type,
+         |  COUNT(event_id) OVER (PARTITION BY conv_id) AS nt,
+         |  ROW_NUMBER() OVER (PARTITION BY conv_id
+         |    ORDER BY ts ASC, event_id ASC) AS rp
+         | FROM t)
+         |SELECT touch_type, CAST(COUNT(event_id) AS BIGINT) AS n_touches,
+         | CAST(SUM(CASE WHEN event_id IS NULL THEN 10000
+         |   WHEN nt = 1 THEN 10000 WHEN nt = 2 THEN 5000
+         |   WHEN rp = 1 OR rp = nt THEN 4000
+         |   ELSE 2000 // (nt - 2) +
+         |     CASE WHEN rp = 2 THEN 2000 % (nt - 2) ELSE 0 END END)
+         |   AS BIGINT) AS bps_total
+         |FROM w GROUP BY touch_type ORDER BY touch_type"""
+        .stripMargin.replace("\n", " ")),
+    "x179_decile_lift" ->
+      ("""WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |r AS (SELECT user_id, score, conv,
+         |  ROW_NUMBER() OVER (ORDER BY score, user_id) AS rk,
+         |  COUNT(*) OVER () AS n FROM u),
+         |d AS (SELECT (rk - 1) * 10 // n AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(conv) AS BIGINT) AS n_conv FROM r GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nn,
+         |  CAST(SUM(n_conv) AS BIGINT) AS cc FROM d)
+         |SELECT CAST(decile AS BIGINT) AS decile, n_users, n_conv,
+         | CASE WHEN n_users > 0 THEN n_conv * 1000000 // n_users END
+         |   AS conv_rate_ppm,
+         | CASE WHEN cc > 0 THEN CAST(CAST(n_conv AS HUGEINT) * nn * 1000000
+         |   // (CAST(n_users AS HUGEINT) * cc) AS BIGINT) END AS lift_ppm
+         |FROM d, t ORDER BY decile""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

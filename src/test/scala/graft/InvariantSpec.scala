@@ -486,6 +486,35 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("positionalAttribution: credit conserves exactly — Σbps = 10000 · conversions") {
+    import graft.operators.Analytics
+    val events = sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val out = Analytics.positionalAttribution(events,
+      "user_id", "ts", "event_id", "event_type", convType = "purchase")
+    val total = out.agg(org.apache.spark.sql.functions.sum("bps_total"))
+      .head.getLong(0)
+    val nConv = events.filter(col("event_type") === "purchase").count()
+    assert(total == 10000L * nConv,
+      s"Σbps $total != 10000 * $nConv — positional split leaks credit")
+  }
+
+  test("decileLift: deciles are equal-depth ±1 and user/conversion counts conserve") {
+    import graft.operators.Analytics
+    val events = sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val rows = Analytics.decileLift(perUser, "user_id", "score", "conv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = perUser.count()
+    val c = perUser.agg(sum("conv")).head.getLong(0)
+    assert(rows.map(_._2).sum == n, "user counts must conserve")
+    assert(rows.map(_._3).sum == c, "conversion counts must conserve")
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"deciles must be equal-depth ±1: ${sizes.toSeq}")
+  }
+
   test("labelNoiseAudit: LSH-candidate vote flags the IDENTICAL set as all-pairs brute force") {
     import graft.operators.Similarity
     // certifies the x167 scale path loses nothing on the real test corpus:

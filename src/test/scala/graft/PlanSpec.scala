@@ -584,6 +584,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x175: burst scan is join-free — one user exchange, top-k via TakeOrdered") {
+    val p = plan("x175_burst_detection")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k users must be a per-partition heap merge, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"burst detection must never join:\n$p")
+  }
+
+  test("x176: cardinality estimate touches only KEY frames — no nested loop, no fact-row join") {
+    val p = plan("x176_join_cardinality_estimate")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      s"only the two 1-row totals cross joins may nest-loop:\n$p")
+    assert(p.contains("partial_count"),
+      s"both key histograms must partial-aggregate map-side:\n$p")
+  }
+
+  test("x179: the user rank is two-phase — every row_number window is pid-partitioned") {
+    val p = plan("x179_decile_lift")
+    val rn = p.linesIterator.filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("windowspecdefinition(pid")),
+      s"decile rank must ride the range-partitioned prefix sum:\n${rn.mkString("\n")}")
+  }
+
   test("x167: LSH-candidate equi-joins only — no all-pairs nested loop; top-k prunes below the exchange") {
     val p = plan("x167_label_noise_audit")
     assert(p.contains("WindowGroupLimit"),
