@@ -43,6 +43,40 @@ object Analytics {
     funnelBy(events, Seq(col(userCol), to_date(col(tsCol))), tsCol, typeCol,
       s1, s2, s3)
 
+  /**
+   * TIMED funnel — [[funnel]] with a per-step deadline: each stage must
+   * land within `maxGapSeconds` of the PREVIOUS stage's first completion
+   * ("clicked within a day of signing up, purchased within a day of
+   * that"), the form product funnels actually ship (an unbounded funnel
+   * counts a purchase two years later as conversion). Same
+   * chained-running-min construction as [[funnel]] — the deadline is an
+   * extra upper bound on each window's CASE, so the single-exchange
+   * shape (two windows + the per-key aggregate on one user partitioning)
+   * is unchanged.
+   */
+  def timedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, s1: String, s2: String, s3: String,
+      maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds >= 1, "maxGapSeconds must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val ts = col(tsCol); val tpe = col(typeCol)
+    val gap = expr(s"INTERVAL $maxGapSeconds SECONDS")
+    val inS2 = tpe === s2 && col("sig_t") < ts && ts <= col("sig_t") + gap
+    events
+      .withColumn("sig_t", min(when(tpe === s1, ts)).over(w))
+      .withColumn("mid_t", min(when(inS2, ts)).over(w))
+      .groupBy(col(userCol))
+      .agg(
+        min(when(tpe === s1, ts)).as("t1"),
+        min(when(inS2, ts)).as("t2"),
+        min(when(tpe === s3 && col("mid_t") < ts &&
+          ts <= col("mid_t") + gap, ts)).as("t3"))
+      .agg(
+        count(col("t1")).as("n_stage1"),
+        count(col("t2")).as("n_stage2"),
+        count(col("t3")).as("n_stage3"))
+  }
+
   /** Shared ordered-funnel core over arbitrary partition keys: the windows
     * and the per-key aggregate use the SAME partitioning, so Spark plans
     * one exchange for all three passes. */

@@ -156,6 +156,45 @@ object Graph {
    * lineage (node-frame-sized, distributed), the price of carrying the
    * grand total without a cache.
    */
+  /**
+   * Bounded-round K-CORE pruning: repeatedly drop nodes with total degree
+   * < `k` (and their edges) for exactly `rounds` rounds — the standard
+   * graph-cleaning pass run before expensive graph computations (a
+   * purchase graph's 2-core is where the collaborative signal lives; the
+   * pruned fringe is one-off noise). Reports the surviving edge count,
+   * per-side node counts, and whether the LAST round still pruned
+   * anything (converged = the fixed point was reached within the budget —
+   * stated, not assumed, the CC vote-to-halt honesty convention at fixed
+   * depth).
+   *
+   * Scale shape: each round is one endpoint-union degree aggregate
+   * (map-side combined, node-bounded) plus two LEFT-SEMI joins filtering
+   * the edge frame; the edge frame is `localCheckpoint`'d per round to
+   * truncate lineage (the [[Dedup.connectedComponents]] discipline —
+   * plan depth stays O(1) per round, not O(rounds)). Nothing is
+   * collected; the report is one row.
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = edges.select("src", "dst")
+    var lastPruned = 0L
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      val before = e.count()
+      e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      lastPruned = before - e.count()
+    }
+    e.agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(col("dst")).as("n_dst"))
+      .withColumn("converged", lit(if (lastPruned == 0L) 1 else 0))
+  }
+
   def degreeConcentration(edges: DataFrame, topPct: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topPct >= 1 && topPct <= 100, s"topPct $topPct not in [1,100]")

@@ -416,6 +416,73 @@ object Multimodal {
     }
   }
 
+  /** Raw signed 16-bit samples from a WAV payload (same decode + checks
+    * as [[decodeWav]], materializing the sample stream instead of its
+    * aggregates — the framing features need positions, not just sums). */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected mono 16-bit PCM, got $fmt")
+    val data = ais.readAllBytes()
+    val big = fmt.isBigEndian
+    val out = new Array[Int](data.length / 2)
+    var i = 0
+    while (i + 2 <= data.length) {
+      out(i / 2) =
+        if (big) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort.toInt
+        else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort.toInt
+      i += 2
+    }
+    out
+  }
+
+  case class AudioFrameFeatures(doc_id: Long, n_samples: Long, n_frames: Long,
+                                max_frame_energy: Long, total_zero_crossings: Long)
+
+  /**
+   * Speech-pipeline FRAMING features — the windowed shape every audio
+   * front-end (MFCC, VAD, diarization) starts from: slice each decoded
+   * clip into `window`-sample frames every `stride` samples (tail frames
+   * shorter than `window` are dropped — standard framing), and per frame
+   * compute the INTEGER energy `Σv²` and the zero-crossing count
+   * (`v·v' < 0` over in-frame neighbors). Per clip: frame count, max
+   * frame energy (the VAD peak), total crossings (the voicing proxy) —
+   * all integer-exact, so the SQL oracle certifies the decode AND the
+   * framing arithmetic.
+   *
+   * Scale shape: ONE iterator-to-iterator `mapPartitions` pass — decode,
+   * frame, and fold per clip without materializing frames into rows; at
+   * corpus scale the payload bytes never shuffle and the output is one
+   * row per clip.
+   */
+  def audioFrameFeatures(spark: SparkSession, media: DataFrame,
+      window: Int = 32, stride: Int = 16): Dataset[AudioFrameFeatures] = {
+    require(window >= 2 && stride >= 1, "window must be >=2 and stride >=1")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val v = decodeWavSamples(r.payload)
+        var nFrames = 0L; var maxEnergy = 0L; var zc = 0L
+        var s = 0
+        while (s + window <= v.length) {
+          var energy = 0L
+          var i = s
+          while (i < s + window) {
+            energy += v(i).toLong * v(i)
+            if (i < s + window - 1 && v(i).toLong * v(i + 1) < 0) zc += 1
+            i += 1
+          }
+          if (energy > maxEnergy) maxEnergy = energy
+          nFrames += 1
+          s += stride
+        }
+        AudioFrameFeatures(r.doc_id, v.length.toLong, nFrames, maxEnergy, zc)
+      }
+    }
+  }
+
   /**
    * Frame sampling — the video-pipeline shape (demux → sample every k-th
    * frame → per-frame decode + features) in ONE iterator-to-iterator

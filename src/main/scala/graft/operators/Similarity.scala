@@ -129,17 +129,8 @@ object Similarity {
    */
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = embeddings
-      .filter(col("vec_id") >= 1 && col("vec_id") <= nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    // argmax cosine per vector: max over (sim, -cid) structs aggregates
-    // map-side; first(embedding) is deterministic (constant per vec_id)
-    val assigned = embeddings.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"),
-        struct(cosine(col("embedding"), col("cemb")).as("csim"), (-col("cid")).as("ncid")).as("sc"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cell"))
+    val centroids = ivfCentroids(embeddings, nCells)
+    val assigned = ivfAssign(embeddings, centroids)
     val probed = centroids.crossJoin(broadcast(query))
       .select(col("cid").as("cell"), cosine(col("cemb"), col("qe")).as("qsim"))
       .orderBy(desc("qsim"), col("cell"))
@@ -150,6 +141,56 @@ object Similarity {
       .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Deterministic IVF centroid seeds (vec_id 1..nCells — see [[ivfTopK]]). */
+  private def ivfCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
+    embeddings
+      .filter(col("vec_id") >= 1 && col("vec_id") <= nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+
+  /** Nearest-centroid cell per vector (argmax cosine; ties → lowest cid):
+    * max over (sim, -cid) structs aggregates MAP-SIDE — no window shuffle;
+    * first(embedding) is deterministic (constant per vec_id). */
+  private def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"),
+        struct(cosine(col("embedding"), col("cemb")).as("csim"), (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cell"))
+
+  /**
+   * IVF INDEX BALANCE audit — the health check run after building (or
+   * drifting) an IVF index: per-cell occupancy, its share of the corpus,
+   * and the imbalance versus the ideal `n/nCells` in exact ppm. A cell at
+   * +4e6 ppm holds 5× its share — queries probing it pay 5× the scan; a
+   * near-empty cell wastes a probe. The same number that decides "retrain
+   * the centroids" in every production vector store, computed from the
+   * assignment [[ivfTopK]] already defines (so the audit measures the
+   * index actually served).
+   *
+   * Scale shape: the assignment is the map-side broadcast argmax (no
+   * window); the report is one |nCells|-row aggregate plus a 1-row total
+   * broadcast. Empty cells still report (LEFT join from the centroid
+   * spine) — an invisible empty cell is the failure mode.
+   */
+  def ivfCellBalance(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nCells)
+    val occ = ivfAssign(embeddings, centroids)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    // occ is ≤ nCells rows but sits behind an aggregate whose size estimate
+    // Spark inflates — hint the broadcast or the 16-row spine sort-merges
+    val cells = centroids.select(col("cid").as("cell"))
+      .join(broadcast(occ), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("__n"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("CASE WHEN __n > 0 THEN n_vecs * 1000000 DIV __n END").as("share_ppm"),
+        expr(s"CASE WHEN __n > 0 THEN CAST(CAST(n_vecs AS DECIMAL(38,0))" +
+          s" * $nCells * 1000000 DIV __n - 1000000 AS BIGINT) END")
+          .as("imbalance_ppm"))
   }
 
   /**

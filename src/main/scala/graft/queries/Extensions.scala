@@ -1659,6 +1659,36 @@ object Extensions {
     Analytics.decileLift(perUser, "user_id", "score", "conv").orderBy("decile")
   }
 
+  /** x180 — audio framing features ([[Multimodal.audioFrameFeatures]]):
+    * windowed frames (32/16) over the real-codec-decoded PCM stream,
+    * per-frame integer energy + zero crossings folded per clip; the
+    * oracle recomputes frame arithmetic from the pattern formula, so
+    * green certifies decode AND framing. */
+  private val x180: Q = (spark, sfDir) =>
+    Multimodal.audioFrameFeatures(spark,
+        Multimodal.renderAudioTable(spark, docs(spark, sfDir))).toDF()
+      .orderBy("doc_id")
+
+  /** x181 — bounded-round k-core ([[Graph.kCore]]): 3 pruning rounds at
+    * k=3 over the memoized purchase graph; reports survivors plus the
+    * fixed-point flag (the CC vote-to-halt honesty at fixed depth). */
+  private val x181: Q = (spark, sfDir) =>
+    Graph.kCore(purchaseEdges(spark, sfDir), k = 3, rounds = 3)
+
+  /** x182 — timed funnel ([[Analytics.timedFunnel]]): signup → click →
+    * purchase with each step within 1 day of the previous — the deadline
+    * form product funnels ship; same single-exchange shape as x64. */
+  private val x182: Q = (spark, sfDir) =>
+    Analytics.timedFunnel(eventsNullUser(spark, sfDir),
+      "user_id", "ts", "event_type", "signup", "click", "purchase",
+      maxGapSeconds = 86400L)
+
+  /** x183 — IVF cell balance ([[Similarity.ivfCellBalance]]): per-cell
+    * occupancy / share / imbalance ppm of the x30 index, empty cells
+    * reported via the centroid spine — the retrain-the-centroids gauge. */
+  private val x183: Q = (spark, sfDir) =>
+    Similarity.ivfCellBalance(emb(spark, sfDir), nCells = 16).orderBy("cell")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2247,7 +2277,11 @@ object Extensions {
     "x176_join_cardinality_estimate" -> x176,
     "x177_transition_diversity" -> x177,
     "x178_positional_attribution" -> x178,
-    "x179_decile_lift" -> x179)
+    "x179_decile_lift" -> x179,
+    "x180_audio_frame_features" -> x180,
+    "x181_kcore_prune" -> x181,
+    "x182_timed_funnel" -> x182,
+    "x183_ivf_cell_balance" -> x183)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3500,6 +3534,85 @@ object Extensions {
          | CASE WHEN cc > 0 THEN CAST(CAST(n_conv AS HUGEINT) * nn * 1000000
          |   // (CAST(n_users AS HUGEINT) * cc) AS BIGINT) END AS lift_ppm
          |FROM d, t ORDER BY decile""".stripMargin.replace("\n", " ")),
+    "x180_audio_frame_features" ->
+      ("""WITH p AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
+         |f AS (SELECT doc_id, n, unnest(range((n - 32) // 16 + 1)) AS fi
+         |  FROM p WHERE n >= 32),
+         |s AS (SELECT doc_id, n, fi, fi * 16 + unnest(range(32)) AS t FROM f),
+         |v AS (SELECT doc_id, n, fi, t,
+         |  (doc_id * 31 + 7 * t) % 65536 - 32768 AS v FROM s),
+         |w AS (SELECT doc_id, n, fi, v,
+         |  LEAD(v) OVER (PARTITION BY doc_id, fi ORDER BY t) AS nv FROM v),
+         |fr AS (SELECT doc_id, n, fi, SUM(CAST(v AS BIGINT) * v) AS energy,
+         |  SUM(CASE WHEN nv IS NOT NULL AND CAST(v AS BIGINT) * nv < 0
+         |    THEN 1 ELSE 0 END) AS zc
+         | FROM w GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         | CAST(COUNT(*) AS BIGINT) AS n_frames,
+         | CAST(MAX(energy) AS BIGINT) AS max_frame_energy,
+         | CAST(SUM(zc) AS BIGINT) AS total_zero_crossings
+         |FROM fr GROUP BY doc_id, n ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x181_kcore_prune" ->
+      ("""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |d1 AS (SELECT v, COUNT(*) AS d FROM
+         |  (SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY 1),
+         |k1 AS (SELECT v FROM d1 WHERE d >= 3),
+         |e1 AS (SELECT src, dst FROM e0 WHERE src IN (SELECT v FROM k1)
+         |  AND dst IN (SELECT v FROM k1)),
+         |d2 AS (SELECT v, COUNT(*) AS d FROM
+         |  (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1) GROUP BY 1),
+         |k2 AS (SELECT v FROM d2 WHERE d >= 3),
+         |e2 AS (SELECT src, dst FROM e1 WHERE src IN (SELECT v FROM k2)
+         |  AND dst IN (SELECT v FROM k2)),
+         |d3 AS (SELECT v, COUNT(*) AS d FROM
+         |  (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2) GROUP BY 1),
+         |k3 AS (SELECT v FROM d3 WHERE d >= 3),
+         |e3 AS (SELECT src, dst FROM e2 WHERE src IN (SELECT v FROM k3)
+         |  AND dst IN (SELECT v FROM k3))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         | CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+         | CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst,
+         | CAST(CASE WHEN (SELECT COUNT(*) FROM e2) = (SELECT COUNT(*) FROM e3)
+         |   THEN 1 ELSE 0 END AS INT) AS converged
+         |FROM e3""".stripMargin.replace("\n", " ")),
+    "x182_timed_funnel" ->
+      (s"""WITH $nullUserCte,
+         |w1 AS (SELECT user_id, ts, event_type,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END)
+         |   OVER (PARTITION BY user_id ORDER BY ts) AS sig_t FROM ne),
+         |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND sig_t < ts
+         |   AND ts <= sig_t + INTERVAL 86400 SECOND THEN ts END)
+         |   OVER (PARTITION BY user_id ORDER BY ts) AS mid_t FROM w1),
+         |u AS (SELECT user_id,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         |  MIN(CASE WHEN event_type = 'click' AND sig_t < ts
+         |    AND ts <= sig_t + INTERVAL 86400 SECOND THEN ts END) AS t2,
+         |  MIN(CASE WHEN event_type = 'purchase' AND mid_t < ts
+         |    AND ts <= mid_t + INTERVAL 86400 SECOND THEN ts END) AS t3
+         | FROM w2 GROUP BY user_id)
+         |SELECT COUNT(t1) AS n_stage1, COUNT(t2) AS n_stage2,
+         | COUNT(t3) AS n_stage3 FROM u""".stripMargin.replace("\n", " ")),
+    "x183_ivf_cell_balance" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |occ AS (SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |  FROM asg GROUP BY 1),
+         |cells AS (SELECT c.cid AS cell, COALESCE(o.n_vecs, 0) AS n_vecs
+         |  FROM cent c LEFT JOIN occ o ON o.cell = c.cid),
+         |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM cells)
+         |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         | CASE WHEN n > 0 THEN n_vecs * 1000000 // n END AS share_ppm,
+         | CASE WHEN n > 0 THEN n_vecs * 16 * 1000000 // n - 1000000 END
+         |   AS imbalance_ppm
+         |FROM cells, t ORDER BY cell""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -486,6 +486,33 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: prunes the tail, keeps the clique, and reports convergence") {
+    import graft.operators.Graph
+    // K4 (every degree 3) with a pendant chain 4-5-6: the 2-core is exactly
+    // the clique — the chain unravels over two rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 2, rounds = 4).head
+    assert(out.getLong(0) == 6L, s"the K4's 6 edges must survive: $out")
+    assert(out.getInt(3) == 1, s"4 rounds must reach the fixed point: $out")
+  }
+
+  test("timedFunnel: every stage count is bounded by the untimed funnel's") {
+    import graft.operators.Analytics
+    val events = sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val untimed = Analytics.funnel(events, "user_id", "ts", "event_type",
+      "signup", "click", "purchase").head
+    val timed = Analytics.timedFunnel(events, "user_id", "ts", "event_type",
+      "signup", "click", "purchase", maxGapSeconds = 86400L).head
+    assert(timed.getLong(0) == untimed.getLong(0),
+      "stage 1 has no deadline — counts must match")
+    assert(timed.getLong(1) <= untimed.getLong(1) &&
+      timed.getLong(2) <= untimed.getLong(2),
+      s"deadlines can only shrink later stages: $timed vs $untimed")
+    assert(timed.getLong(1) >= timed.getLong(2),
+      "funnel stages must be monotone non-increasing")
+  }
+
   test("positionalAttribution: credit conserves exactly — Σbps = 10000 · conversions") {
     import graft.operators.Analytics
     val events = sources.Tables(spark, "/root/testdata/sf0.001", "events")

@@ -607,6 +607,19 @@ class PlanSpec extends AnyFunSuite {
       s"decile rank must ride the range-partitioned prefix sum:\n${rn.mkString("\n")}")
   }
 
+  test("x182: timed funnel is join-free — deadlines ride the same single user exchange") {
+    val p = plan("x182_timed_funnel")
+    assert(!p.contains("Join"), s"the per-step deadline must not add a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) <= 1,
+      s"both windows and the user aggregate must share one exchange:\n$p")
+  }
+
+  test("x183: IVF balance audit is broadcast-only — no sort-merge join anywhere") {
+    val p = plan("x183_ivf_cell_balance")
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid spine + totals must broadcast:\n$p")
+  }
+
   test("x167: LSH-candidate equi-joins only — no all-pairs nested loop; top-k prunes below the exchange") {
     val p = plan("x167_label_noise_audit")
     assert(p.contains("WindowGroupLimit"),
