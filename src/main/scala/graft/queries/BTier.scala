@@ -744,6 +744,28 @@ object BTier {
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** b57 — RANK() group limit with TIES KEPT: top-3 suppliers per nation
+    * by exact-decimal revenue where equal revenues share a rank and ALL
+    * tied rows survive — the semantic row_number top-n silently breaks
+    * (it drops an arbitrary tied row). Spark pushes the rk<=3 filter
+    * below the window exchange as a rank-mode WindowGroupLimit, so each
+    * partition ships only its top rows — same pruning as b07's
+    * row_number form, different (and sometimes required) semantics. */
+  private val b57: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH rev AS (SELECT n_name, s_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY n_name, s_name),
+        |r AS (SELECT n_name, s_name, revenue,
+        |  RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC) AS rk
+        | FROM rev)
+        |SELECT n_name, s_name, revenue, rk FROM r WHERE rk <= 3
+        |ORDER BY n_name, rk, s_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -800,11 +822,23 @@ object BTier {
     "b53_try_cast_parse" -> b53,
     "b54_ignore_nulls_window" -> b54,
     "b55_ranking_zoo" -> b55,
-    "b56_variant_json" -> b56)
+    "b56_variant_json" -> b56,
+    "b57_rank_ties_topk" -> b57)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b57_rank_ties_topk" ->
+      ("""WITH rev AS (SELECT n_name, s_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         | GROUP BY n_name, s_name),
+         |r AS (SELECT n_name, s_name, revenue,
+         |  RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC) AS rk
+         | FROM rev)
+         |SELECT n_name, s_name, revenue, rk FROM r WHERE rk <= 3
+         |ORDER BY n_name, rk, s_name""".stripMargin.replace("\n", " ")),
     "b56_variant_json" ->
       ("""WITH t AS (SELECT event_type,
          |  CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT) AS k

@@ -607,6 +607,12 @@ class PlanSpec extends AnyFunSuite {
       s"decile rank must ride the range-partitioned prefix sum:\n${rn.mkString("\n")}")
   }
 
+  test("b57: rank-ties top-k pushes a RANK-mode WindowGroupLimit below the exchange") {
+    val p = plan("b57_rank_ties_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("rank(revenue"),
+      s"rk<=3 must prune via a rank-mode group limit, ties preserved:\n$p")
+  }
+
   test("x182: timed funnel is join-free — deadlines ride the same single user exchange") {
     val p = plan("x182_timed_funnel")
     assert(!p.contains("Join"), s"the per-step deadline must not add a join:\n$p")
