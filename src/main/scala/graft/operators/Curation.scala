@@ -451,4 +451,79 @@ object Curation {
         countDistinct(when(col("__rk") > maxPerUser, col(userCol)))
           .as("n_users_clamped"))
   }
+
+  /**
+   * IQR OUTLIER audit per group — the Tukey-fence data-quality gate in
+   * exact integer arithmetic: rank-exact quartiles from the
+   * VALUE-COLLAPSED cumulative counts (`4·cum ≥ n` / `4·cum ≥ 3n` — the
+   * [[Analytics.lowerMedianByValue]] shape, so the quartile windows run
+   * over distinct values, never rows), fences at `q ∓ (3·IQR) DIV 2`
+   * (the 1.5×IQR rule kept integral), and per-group counts outside each
+   * fence. Quarantine counts, not dropped rows — the release decision
+   * stays with the caller, the audit just prices it.
+   *
+   * Scale shape: one map-side-combined (group, value) collapse, one
+   * group-partitioned window pair over the collapsed frame, then ONE
+   * corpus re-scan against the broadcast |groups|-row fence table.
+   */
+  def iqrOutlierAudit(df: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.filter(valueCol.isNotNull)
+      .select(col(groupCol).as("grp"), valueCol.cast("long").as("__v"))
+    val gv = clean.groupBy("grp", "__v").agg(count(lit(1)).as("__c"))
+    val cum = gv
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("grp").orderBy("__v")))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("grp")))
+    val fences = cum.groupBy("grp")
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__cum") * 4 >= col("__n"), col("__v"))).as("q1"),
+        min(when(col("__cum") * 4 >= col("__n") * 3, col("__v"))).as("q3"))
+      .select(col("grp"), col("n"), col("q1"), col("q3"),
+        expr("q1 - (3 * (q3 - q1)) DIV 2").as("lo_fence"),
+        expr("q3 + (3 * (q3 - q1)) DIV 2").as("hi_fence"))
+    clean.join(broadcast(fences), "grp")
+      .groupBy("grp")
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"),
+        max(col("lo_fence")).as("lo_fence"), max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("__v") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+  }
+
+  /**
+   * MARKET-BASKET pair mining: support counts for item PAIRS co-occurring
+   * in a basket (order), the frequent-itemset primitive behind
+   * "bought together" — distinct from user-level co-occurrence lift
+   * (x73), which pools a user's whole history; a basket is one checkout.
+   *
+   * Scale shape: collapse to DISTINCT (basket, item) first, CAP basket
+   * width at `maxBasketItems` (an oversized basket contributes O(w²)
+   * pairs — one pathological 1e4-item basket is 5e7 rows; the cap is the
+   * df-cap discipline from the dedup joins, stated not silent), then the
+   * per-basket self-join is bounded by cap² per basket. Support filter +
+   * TakeOrdered top-k close it out.
+   */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketItems: Int = 100,
+      topK: Int = 20): DataFrame = {
+    require(minSupport >= 1 && maxBasketItems >= 2 && topK >= 1,
+      "minSupport/maxBasketItems/topK must be positive (basket width >= 2)")
+    val items = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = items
+      .withColumn("__w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__b")))
+      .filter(col("__w") <= maxBasketItems)
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item1"), col("b.__i").as("item2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item1"), col("item2"))
+      .limit(topK)
+  }
 }

@@ -1689,6 +1689,27 @@ object Extensions {
   private val x183: Q = (spark, sfDir) =>
     Similarity.ivfCellBalance(emb(spark, sfDir), nCells = 16).orderBy("cell")
 
+  /** x184 — IQR outlier audit ([[Curation.iqrOutlierAudit]]): Tukey
+    * fences per order priority over totalprice cents — rank-exact
+    * quartiles from value-collapsed cumulative counts, integral 1.5×IQR
+    * fences, per-group quarantine counts. */
+  private val x184: Q = (spark, sfDir) =>
+    Curation.iqrOutlierAudit(Tables(spark, sfDir, "orders"),
+        "o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .orderBy("grp")
+
+  /** x185 — market-basket pairs ([[Curation.basketPairs]]): top-20 brand
+    * pairs co-occurring in an order (checkout grain, vs x73's user-pooled
+    * lift); basket width capped, support-filtered, TakeOrdered. */
+  private val x185: Q = (spark, sfDir) => {
+    val withBrand = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+    Curation.basketPairs(withBrand, "l_orderkey", "p_brand",
+      minSupport = 2L, topK = 20)
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2281,7 +2302,9 @@ object Extensions {
     "x180_audio_frame_features" -> x180,
     "x181_kcore_prune" -> x181,
     "x182_timed_funnel" -> x182,
-    "x183_ivf_cell_balance" -> x183)
+    "x183_ivf_cell_balance" -> x183,
+    "x184_iqr_outlier_audit" -> x184,
+    "x185_basket_pairs" -> x185)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3613,6 +3636,41 @@ object Extensions {
          | CASE WHEN n > 0 THEN n_vecs * 16 * 1000000 // n - 1000000 END
          |   AS imbalance_ppm
          |FROM cells, t ORDER BY cell""".stripMargin.replace("\n", " ")),
+    "x184_iqr_outlier_audit" ->
+      ("""WITH c AS (SELECT o_orderpriority AS grp,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_totalprice IS NOT NULL),
+         |gv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM c GROUP BY 1, 2),
+         |cum AS (SELECT grp, v, CAST(SUM(cnt) OVER (PARTITION BY grp
+         |   ORDER BY v) AS BIGINT) AS cm,
+         |  CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n FROM gv),
+         |q AS (SELECT grp, MAX(n) AS n,
+         |  MIN(CASE WHEN cm * 4 >= n THEN v END) AS q1,
+         |  MIN(CASE WHEN cm * 4 >= n * 3 THEN v END) AS q3
+         | FROM cum GROUP BY 1),
+         |f AS (SELECT grp, n, q1, q3,
+         |  q1 - (3 * (q3 - q1)) // 2 AS lo_fence,
+         |  q3 + (3 * (q3 - q1)) // 2 AS hi_fence FROM q)
+         |SELECT grp, n, q1, q3, lo_fence, hi_fence,
+         | CAST(SUM(CASE WHEN c.v < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_low,
+         | CAST(SUM(CASE WHEN c.v > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_high
+         |FROM c JOIN f USING (grp)
+         |GROUP BY grp, n, q1, q3, lo_fence, hi_fence ORDER BY grp"""
+        .stripMargin.replace("\n", " ")),
+    "x185_basket_pairs" ->
+      ("""WITH i AS (SELECT DISTINCT l_orderkey AS b, p_brand AS it
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |w AS (SELECT b, it, COUNT(*) OVER (PARTITION BY b) AS wdt FROM i),
+         |f AS (SELECT b, it FROM w WHERE wdt <= 100),
+         |pr AS (SELECT a.it AS item1, c.it AS item2 FROM f a JOIN f c
+         |  ON a.b = c.b AND a.it < c.it)
+         |SELECT item1, item2, CAST(COUNT(*) AS BIGINT) AS support
+         |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY support DESC, item1, item2 LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
