@@ -77,6 +77,88 @@ object Analytics {
         count(col("t3")).as("n_stage3"))
   }
 
+  /**
+   * LEVEL-SHIFT scan (single change-point detection, AMOC): over the
+   * daily event-count series, find the split day maximizing the absolute
+   * difference between the mean BEFORE (inclusive) and AFTER, with both
+   * means in exact events-per-day ppm (`cum·1e6 DIV k`) — "when did the
+   * traffic regime change", answered deterministically (max shift, ties →
+   * earliest day) instead of by an RNG-seeded changepoint library. The
+   * prefix-sum formulation makes every candidate split O(1): no
+   * per-split re-aggregation, no quadratic scan.
+   *
+   * Scale shape: one map-side-combined day collapse, then cumulative
+   * windows over the |days| frame only (spine-bounded — the accepted
+   * x169 shape), a 1-row totals broadcast, and a 1-row TakeOrdered pick.
+   */
+  def levelShiftScan(events: DataFrame, tsCol: String): DataFrame = {
+    val days = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__n"))
+    val byDay = Window.orderBy("day")
+    val cum = days
+      .withColumn("__ck", sum(col("__n")).over(byDay))
+      .withColumn("__rk", row_number().over(byDay).cast("long"))
+    // `__tot`/`__days`, not `__N`: Spark resolves identifiers
+    // case-insensitively, so `__N` would clash with the day frame's `__n`
+    val tot = days.agg(sum(col("__n")).as("__tot"), count(lit(1)).as("__days"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__rk") < col("__days")) // a split needs a non-empty "after"
+      .select(col("day").as("split_day"),
+        expr("__ck * 1000000 DIV __rk").as("mean_before_ppm"),
+        expr("(__tot - __ck) * 1000000 DIV (__days - __rk)").as("mean_after_ppm"))
+      .withColumn("shift_ppm",
+        abs(col("mean_after_ppm") - col("mean_before_ppm")))
+      .orderBy(col("shift_ppm").desc, col("split_day"))
+      .limit(1)
+  }
+
+  /**
+   * NEAREST-EVENT match — the BIDIRECTIONAL as-of join: each `probeType`
+   * event matched to the nearest `matchType` event of the SAME user in
+   * EITHER time direction within `maxGapSeconds` (ties → the earlier
+   * match) — "which purchase does this error sit closest to", where a
+   * one-sided as-of join silently picks the wrong neighbor half the
+   * time. Unmatched probes survive with NULL match columns (visible, not
+   * dropped).
+   *
+   * Scale shape: NO join at all — one exchange on the user key feeds
+   * carried-forward/backward IGNORE-NULLS window navigation (the b54
+   * surface) over the interleaved event stream; both directions and the
+   * final pick share that single partitioning. Ordering ties break on
+   * the event id, so the chosen neighbor is engine-exact.
+   */
+  def nearestEventMatch(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, probeType: String, matchType: String,
+      maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds >= 0, "maxGapSeconds must be non-negative")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+    val mTs = when(col(typeCol) === matchType, col(tsCol))
+    val mId = when(col(typeCol) === matchType, col(idCol))
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__pts", last(mTs, ignoreNulls = true).over(prevW))
+      .withColumn("__pid", last(mId, ignoreNulls = true).over(prevW))
+      .withColumn("__nts", first(mTs, ignoreNulls = true).over(nextW))
+      .withColumn("__nid", first(mId, ignoreNulls = true).over(nextW))
+      .filter(col(typeCol) === probeType)
+      .withColumn("__pgap", unix_timestamp(col(tsCol)) - unix_timestamp(col("__pts")))
+      .withColumn("__ngap", unix_timestamp(col("__nts")) - unix_timestamp(col(tsCol)))
+      .withColumn("__cp", col("__pgap").isNotNull && col("__pgap") <= maxGapSeconds)
+      .withColumn("__cn", col("__ngap").isNotNull && col("__ngap") <= maxGapSeconds)
+      .select(col(idCol).as("event_id"), col(userCol),
+        when(col("__cp") && (!col("__cn") || col("__pgap") <= col("__ngap")),
+            col("__pid"))
+          .when(col("__cn"), col("__nid")).as("matched_id"),
+        when(col("__cp") && (!col("__cn") || col("__pgap") <= col("__ngap")),
+            lit("before"))
+          .when(col("__cn"), lit("after")).as("direction"),
+        when(col("__cp") && (!col("__cn") || col("__pgap") <= col("__ngap")),
+            col("__pgap"))
+          .when(col("__cn"), col("__ngap")).as("gap_s"))
+  }
+
   /** Shared ordered-funnel core over arbitrary partition keys: the windows
     * and the per-key aggregate use the SAME partitioning, so Spark plans
     * one exchange for all three passes. */

@@ -1710,6 +1710,23 @@ object Extensions {
       minSupport = 2L, topK = 20)
   }
 
+  /** x186 — level-shift scan ([[Analytics.levelShiftScan]]): the split
+    * day maximizing |mean-before − mean-after| of daily event counts in
+    * exact ppm — deterministic AMOC change-point via prefix sums over
+    * the |days| spine. */
+  private val x186: Q = (spark, sfDir) =>
+    Analytics.levelShiftScan(Tables(spark, sfDir, "events"), "ts")
+
+  /** x187 — nearest-event match ([[Analytics.nearestEventMatch]]): each
+    * error matched to the nearest same-user purchase in EITHER direction
+    * within 1 h (ties → earlier), join-free via IGNORE-NULLS window
+    * navigation on one user exchange; unmatched errors kept visible. */
+  private val x187: Q = (spark, sfDir) =>
+    Analytics.nearestEventMatch(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        probeType = "error", matchType = "purchase", maxGapSeconds = 3600L)
+      .orderBy("event_id")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2304,7 +2321,9 @@ object Extensions {
     "x182_timed_funnel" -> x182,
     "x183_ivf_cell_balance" -> x183,
     "x184_iqr_outlier_audit" -> x184,
-    "x185_basket_pairs" -> x185)
+    "x185_basket_pairs" -> x185,
+    "x186_level_shift_scan" -> x186,
+    "x187_nearest_event_match" -> x187)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3671,6 +3690,56 @@ object Extensions {
          |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY support DESC, item1, item2 LIMIT 20"""
         .stripMargin.replace("\n", " ")),
+    "x186_level_shift_scan" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |c AS (SELECT day, CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS ck,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rk FROM d),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |  CAST(COUNT(*) AS BIGINT) AS dd FROM d),
+         |s AS (SELECT day AS split_day,
+         |  ck * 1000000 // rk AS mean_before_ppm,
+         |  (nn - ck) * 1000000 // (dd - rk) AS mean_after_ppm
+         | FROM c, t WHERE rk < dd)
+         |SELECT split_day, mean_before_ppm, mean_after_ppm,
+         | ABS(mean_after_ppm - mean_before_ppm) AS shift_ppm
+         |FROM s ORDER BY shift_ppm DESC, split_day LIMIT 1"""
+        .stripMargin.replace("\n", " ")),
+    "x187_nearest_event_match" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |a AS (SELECT *,
+         |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+         |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid,
+         |  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts,
+         |  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nid
+         | FROM e),
+         |p AS (SELECT event_id, user_id, pid, nid,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |    - CAST(FLOOR(epoch(pts)) AS BIGINT) AS pgap,
+         |  CAST(FLOOR(epoch(nts)) AS BIGINT)
+         |    - CAST(FLOOR(epoch(ts)) AS BIGINT) AS ngap
+         | FROM a WHERE event_type = 'error'),
+         |q AS (SELECT event_id, user_id, pid, nid, pgap, ngap,
+         |  pgap IS NOT NULL AND pgap <= 3600 AS cp,
+         |  ngap IS NOT NULL AND ngap <= 3600 AS cn FROM p)
+         |SELECT event_id, user_id,
+         | CASE WHEN cp AND (NOT cn OR pgap <= ngap) THEN pid
+         |      WHEN cn THEN nid END AS matched_id,
+         | CASE WHEN cp AND (NOT cn OR pgap <= ngap) THEN 'before'
+         |      WHEN cn THEN 'after' END AS direction,
+         | CASE WHEN cp AND (NOT cn OR pgap <= ngap) THEN pgap
+         |      WHEN cn THEN ngap END AS gap_s
+         |FROM q ORDER BY event_id""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -626,6 +626,14 @@ class PlanSpec extends AnyFunSuite {
       s"centroid spine + totals must broadcast:\n$p")
   }
 
+  test("x187: bidirectional nearest match is join-free — both directions ride one user exchange") {
+    val p = plan("x187_nearest_event_match")
+    assert(!p.contains("Join"),
+      s"nearest-event match must be window navigation, never an as-of join pair:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) <= 1,
+      s"backward and forward navigation must share one exchange:\n$p")
+  }
+
   test("x167: LSH-candidate equi-joins only — no all-pairs nested loop; top-k prunes below the exchange") {
     val p = plan("x167_label_noise_audit")
     assert(p.contains("WindowGroupLimit"),
