@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HyperplaneBandKeys, Hyperplanes, MinHashSignature, ShingleHashes, SimHashSignature}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, HyperplaneBandKeys, Hyperplanes, MinHashSignature, ShingleHashes, SimHashSignature}
 
 /**
  * Session-extension wiring: registers the engine's custom Catalyst
@@ -17,6 +17,7 @@ import graft.functions.{CosineSimilarity, HyperplaneBandKeys, Hyperplanes, MinHa
  * `simhash_signature(h)`         — aggregate 64-bit SimHash fingerprint
  * `shingle_hashes(text, n)`      — map-side word n-gram hash array
  * `hyperplane_band_keys(v, b, r)` — banded cosine-LSH keys (default planes)
+ * `damerau_levenshtein(a, b)`    — unrestricted DL edit distance (int)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -53,6 +54,9 @@ object GraftExtensions {
     ("shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => new ShingleHashes(exprs(0), longArg(exprs(1)).toInt)),
+    ("damerau_levenshtein",
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => new DamerauLevenshtein(exprs(0), exprs(1))),
     ("hyperplane_band_keys",
       new ExpressionInfo(classOf[HyperplaneBandKeys].getName, "hyperplane_band_keys"),
       (exprs: Seq[Expression]) => {

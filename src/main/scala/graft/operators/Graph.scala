@@ -225,4 +225,80 @@ object Graph {
     }
     side("src").unionByName(side("dst"))
   }
+
+  /**
+   * Exact TRIANGLE COUNT via degree-ordered orientation — the standard
+   * scale trick (node-iterator++ / Cohen's MapReduce formulation): each
+   * undirected edge is oriented from its lower-(degree, id) endpoint to the
+   * higher one, turning the graph into a DAG in which every triangle
+   * {a,b,c} appears EXACTLY once as the wedge a→b, a→c (b before c in the
+   * total order) closed by the edge b→c. Orientation bounds each node's
+   * out-degree by O(√m) on any graph (a node of degree d only points at
+   * neighbors of degree ≥ d, and there are at most 2m/d of those), so the
+   * wedge join fans out O(m^1.5) worst-case instead of Σd² — the hub that
+   * explodes a naive neighbor join contributes almost no wedges because
+   * nearly all its edges point INTO it.
+   *
+   * Semantics: self-loops dropped, parallel edges collapsed, direction of
+   * the input ignored (undirected closure count). Output is one row:
+   * node/edge/wedge/triangle counts plus the global clustering coefficient
+   * `3·triangles·1e6 DIV wedges` in exact integer ppm (0 when wedge-free),
+   * where wedges is the textbook denominator Σ d(d−1)/2 — a degree-frame
+   * aggregate, NOT the oriented pair count (orientation is an execution
+   * strategy; the reported statistic stays the standard one).
+   *
+   * Scale shape: one dedup exchange for the canonical edge set, one
+   * node-bounded degree aggregate joined back (broadcast-eligible only if
+   * nodes are few — left as a hash join for generality), then the wedge
+   * self-join and closure join both hash-partition on node keys. Nothing
+   * is ever quadratic in the corpus; the O(√m) orientation bound is the
+   * whole point. Orientation keys pack (degree, id) into one BIGINT
+   * (`deg·10¹² + id`) so the DAG comparison is a scalar `<`; requires
+   * ids < 10¹² and degrees < 9.2·10⁶ — both documented, both far above
+   * this corpus and checked nowhere hot.
+   */
+  def triangleCount(edges: DataFrame, idsBelow: Long = 1000000000000L): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orientation key: (degree, id) as one scalar; ties break on id so the
+    // order is total and the oriented graph is a DAG
+    val key = col("d") * lit(idsBelow) + col("node")
+    val keyed = deg.select(col("node"), key.as("k"))
+    val oriented = canon
+      .join(keyed.withColumnRenamed("node", "u").withColumnRenamed("k", "ku"), "u")
+      .join(keyed.withColumnRenamed("node", "v").withColumnRenamed("k", "kv"), "v")
+      .select(when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"))
+      // cached: consumed three times (both wedge sides + the closure
+      // probe). Caller-managed lifecycle — see pageRank's contract.
+      .cache()
+    // oriented out-pairs a→b, a→c with kb < kc (each triangle's apex wedge
+    // exactly once), closed by a semi join on the b→c edge
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = deg
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+      .crossJoin(canon.agg(count(lit(1)).as("n_edges")))
+    // both frames are 1 row — the cross join broadcasts
+    sizes.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        col("n_triangles"),
+        when(coalesce(col("n_wedges"), lit(0L)) > 0,
+          expr("3 * n_triangles * 1000000 DIV n_wedges"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
 }

@@ -1727,6 +1727,36 @@ object Extensions {
         probeType = "error", matchType = "purchase", maxGapSeconds = 3600L)
       .orderBy("event_id")
 
+  /** x188 — triangle count ([[Graph.triangleCount]]): global closure
+    * census of the part co-purchase graph (parts co-shipped in an order,
+    * 1996–97 analysis window) — degree-ordered orientation bounds the
+    * wedge join by O(√m) out-degree; the oracle counts the same triangles
+    * via the independent ordered triple-join formulation, so green
+    * cross-checks the orientation method itself. The date window is the
+    * closure census's natural scoping (co-purchase structure drifts, so
+    * production runs it per window) and it rides the pushed-down shipdate
+    * scan filter; the FULL graph's wedge volume grows with avg-degree²,
+    * which is a budget decision, not a correctness one. */
+  private val x188: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
+      .distinct()
+    val copurchase = li.as("a")
+      .join(li.as("b"), col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
+      .select(col("a.__p").as("src"), col("b.__p").as("dst"))
+    Graph.triangleCount(copurchase)
+  }
+
+  /** x189 — blocked fuzzy name match ([[Dedup.blockedNameMatch]]): part-
+    * name variants within 2 Damerau-Levenshtein edits, vocabulary-collapsed
+    * then blocked on the head noun; the DL metric is the native codegen'd
+    * expression, oracle-checked against DuckDB's damerau_levenshtein. */
+  private val x189: Q = (spark, sfDir) =>
+    Dedup.blockedNameMatch(Tables(spark, sfDir, "part"), "p_name", maxDist = 2)
+      .orderBy("name_1", "name_2")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2323,7 +2353,9 @@ object Extensions {
     "x184_iqr_outlier_audit" -> x184,
     "x185_basket_pairs" -> x185,
     "x186_level_shift_scan" -> x186,
-    "x187_nearest_event_match" -> x187)
+    "x187_nearest_event_match" -> x187,
+    "x188_triangle_count" -> x188,
+    "x189_blocked_name_match" -> x189)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3740,6 +3772,38 @@ object Extensions {
          | CASE WHEN cp AND (NOT cn OR pgap <= ngap) THEN pgap
          |      WHEN cn THEN ngap END AS gap_s
          |FROM q ORDER BY event_id""".stripMargin.replace("\n", " ")),
+    // Deliberately NOT the orientation algorithm: the ordered triple join
+    // counts each triangle {a<b<c} once via its canonical edge pattern, so
+    // a green row certifies the degree-ordered orientation independently.
+    "x188_triangle_count" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         |  GROUP BY 1),
+         |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         |            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         | CASE WHEN n_wedges > 0
+         |      THEN 3 * n_triangles * 1000000 // n_wedges
+         |      ELSE 0 END AS clustering_ppm
+         |FROM sz, ec, tri""".stripMargin.replace("\n", " ")),
+    "x189_blocked_name_match" ->
+      ("""WITH g AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+         |v AS (SELECT name, n, regexp_extract(name, '(\S+)$', 1) AS blk FROM g)
+         |SELECT a.name AS name_1, b.name AS name_2,
+         | damerau_levenshtein(a.name, b.name) AS dist,
+         | a.n AS n_1, b.n AS n_2, a.n * b.n AS pair_count
+         |FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+         |WHERE damerau_levenshtein(a.name, b.name) <= 2
+         |ORDER BY name_1, name_2""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

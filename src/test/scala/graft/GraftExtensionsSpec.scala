@@ -50,4 +50,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0))
     assert(keys.forall(k => k.length == 16 && k.forall(v => v >= 0 && v < (1L << 12))))
   }
+
+  test("damerau_levenshtein is callable from SQL and codegen matches interpreted eval") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT damerau_levenshtein('ca', 'abc') AS a,
+        |       damerau_levenshtein('ab', 'ba') AS b,
+        |       damerau_levenshtein(NULL, 'x') AS c""".stripMargin).collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.isNullAt(2))
+    // a non-literal plan exercises the doGenCode path row by row
+    sources.Tables(spark, "/root/testdata/sf0.001", "part")
+      .createOrReplaceTempView("part_dl")
+    val viaCol = spark.sql(
+      "SELECT p_partkey, damerau_levenshtein(p_name, reverse(p_name)) AS d FROM part_dl ORDER BY p_partkey LIMIT 20")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = sources.Tables(spark, "/root/testdata/sf0.001", "part")
+      .orderBy("p_partkey").limit(20)
+      .collect().map(r => r.getLong(0) -> {
+        val n = r.getString(1)
+        graft.functions.DamerauLevenshtein.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(n.reverse))
+      }).toMap
+    assert(viaCol == expected)
+  }
 }

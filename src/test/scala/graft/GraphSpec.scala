@@ -61,4 +61,26 @@ class GraphSpec extends AnyFunSuite {
     assert(out("src") == ((2L, 4L, 750000L, 3L)))
     assert(out("dst") == ((3L, 4L, 750000L, 2L)))
   }
+
+  test("triangleCount: K4 closes every wedge (clustering = 1e6 ppm exactly)") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(k4).collect().head
+    // 4 nodes, 6 edges, wedges = 4 * C(3,2) = 12, triangles = C(4,3) = 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 6L, 12L, 4L, 1000000L)))
+  }
+
+  test("triangleCount: open path has wedges but no triangles") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.triangleCount(path).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L)))
+  }
+
+  test("triangleCount: direction, duplicates, and self-loops are ignored") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(messy).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) == ((3L, 3L, 1L)))
+  }
 }

@@ -188,6 +188,30 @@ class DedupSpec extends AnyFunSuite {
     val j = Dedup.ngramJaccard(d, "doc_id", "text", minJaccard = 0.5).collect()
     assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
+
+  test("damerau-levenshtein: UNRESTRICTED metric (transposed pair may be edited again)") {
+    import graft.functions.DamerauLevenshtein.{compute => dl}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(dl(u("ca"), u("abc")) == 2)      // transpose + insert; OSA says 3
+    assert(dl(u("ab"), u("ba")) == 1)       // plain adjacent transposition
+    assert(dl(u("kitten"), u("sitting")) == 3) // reduces to levenshtein
+    assert(dl(u(""), u("abc")) == 3 && dl(u("abc"), u("")) == 3)
+    assert(dl(u("same"), u("same")) == 0)
+  }
+
+  test("blockedNameMatch: vocabulary-collapsed, blocked on head noun, multiplicity restored") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val df = Seq("cold ring", "cold ring", "old ring", "old ring", "old ring",
+      "red gear", "old gear", "blue widget")
+      .toDF("name")
+    val out = Dedup.blockedNameMatch(df, "name", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(5))).toSet
+    assert(out == Set(
+      ("cold ring", "old ring", 1, 6L),   // 2 x 3 record pairs
+      ("old gear", "red gear", 2, 1L)))
+    // "blue widget" is alone in its block → never compared
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

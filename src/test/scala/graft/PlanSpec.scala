@@ -641,4 +641,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"the pair stream must be LSH-candidate equi-joins, never an n² nested loop:\n$p")
   }
+
+  test("x188: triangle census joins are all equi-joins; only 1-row stat frames may nest-loop") {
+    val p = plan("x188_triangle_count")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      s"only the two 1-row stat cross joins may nest-loop — wedge/closure joins must hash:\n$p")
+  }
+
+  test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
+    val p = plan("x189_blocked_name_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the blocked self-join must be an equi-join on the block key:\n$p")
+    assert(p.contains("partial_count"),
+      s"the corpus must collapse to (name, count) with map-side partials BEFORE pairing:\n$p")
+  }
 }
