@@ -1585,4 +1585,60 @@ object Analytics {
           " * __N * 1000000 DIV (CAST(n_users AS DECIMAL(38,0)) * __C)" +
           " AS BIGINT) END").as("lift_ppm"))
   }
+
+  /**
+   * Daily-count AUTOCORRELATION at lags 1..`maxLag` — the periodicity
+   * detector: a weekly-cyclic workload shows the lag-7 spike
+   * [[seasonalityProfile]]'s bucket means can only hint at, and the lag-1
+   * coefficient is the burstiness gauge. Exact Pearson over the ZERO-FILLED
+   * calendar series (a silent day is a 0 observation, not a missing row —
+   * pairing only observed days would bias every lag toward quiet-period
+   * survivorship).
+   *
+   * Determinism: [[correlationMatrix]]'s moments discipline — per-lag
+   * sufficient statistics accumulate as EXACT decimal sums, each
+   * coefficient is ONE fixed double expression over them (round 6dp), and
+   * the zero-variance guard runs on the exact decimals so a constant
+   * series yields NULL, never noise/noise garbage.
+   *
+   * Scale shape: the corpus collapses to the |days| spine in one
+   * map-side-combined aggregate; everything after — zero-fill, the
+   * per-lag alignment equi-join on `day + lag`, the moment aggregate —
+   * is |days|·maxLag-bounded. The lag frame broadcasts; output is
+   * `maxLag` rows.
+   */
+  def autocorrelation(events: DataFrame, tsCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"maxLag $maxLag not in [1,366]")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__n"))
+    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      // cached: both alignment sides of every lag re-read the filled
+      // series. Caller-managed lifecycle — see pageRank's contract.
+      .select(col("day"), coalesce(col("__n"), lit(0L)).as("__x"))
+      .cache()
+    val lags = filled.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = filled.as("a")
+      .crossJoin(broadcast(lags))
+      .join(filled.as("b"), expr("b.day = date_add(a.day, lag)"))
+    val dx = col("a.__x").cast("decimal(19,0)")
+    val dy = col("b.__x").cast("decimal(19,0)")
+    val agg = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(dx).as("_sx"), sum(dy).as("_sy"),
+      sum(dx * dx).as("_sxx"), sum(dy * dy).as("_syy"), sum(dx * dy).as("_sxy"))
+    val n = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val va = n * d("_sxx") - d("_sx") * d("_sx")
+    val vb = n * d("_syy") - d("_sy") * d("_sy")
+    val vaExact = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val vbExact = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(col("lag"), col("n_pairs"),
+      when(vaExact > 0 && vbExact > 0,
+        round((n * d("_sxy") - d("_sx") * d("_sy")) / sqrt(va * vb), 6)).as("acf"))
+      .orderBy("lag")
+  }
 }

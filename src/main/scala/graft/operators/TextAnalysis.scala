@@ -633,6 +633,36 @@ object TextAnalysis {
       .orderBy(desc("rate_ratio_ppm"), col("term")).limit(k)
   }
 
+  /**
+   * BPE MERGE-CANDIDATE scan — one iteration of the byte-pair-encoding
+   * vocabulary build, distributed: the corpus-wide frequency of every
+   * ADJACENT character pair inside a word, ranked; the top row is the
+   * pair the next BPE merge would fuse. (Classic BPE then re-tokenizes
+   * and repeats — each iteration is one run of this scan over the
+   * current symbolization; the scan itself is the distributed primitive,
+   * the merge loop is a driver-side schedule over tiny outputs.)
+   *
+   * Scale shape: pair generation is ROW-LOCAL map-side work (a
+   * higher-order `transform` over character offsets — no explode-to-
+   * chars-then-window shuffle of the corpus, the [[graft.functions.ShingleHashes]]
+   * argument at character level), and the only exchange is the pair
+   * aggregate, bounded by |alphabet|² regardless of corpus size;
+   * TakeOrdered closes it out. Words shorter than 2 chars (and the
+   * empty tokens a double space makes) contribute nothing.
+   */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -1757,6 +1757,20 @@ object Extensions {
     Dedup.blockedNameMatch(Tables(spark, sfDir, "part"), "p_name", maxDist = 2)
       .orderBy("name_1", "name_2")
 
+  /** x190 — daily autocorrelation ([[Analytics.autocorrelation]]): exact
+    * Pearson at lags 1..7 over the zero-filled daily event counts — the
+    * weekly-periodicity detector; moments are exact decimal sums, each
+    * coefficient one fixed double expression (x115's discipline). */
+  private val x190: Q = (spark, sfDir) =>
+    Analytics.autocorrelation(Tables(spark, sfDir, "events"), "ts", maxLag = 7)
+
+  /** x191 — BPE merge candidates ([[TextAnalysis.bpeMergeCandidates]]):
+    * corpus-wide adjacent character-pair frequencies (the next BPE merge's
+    * argmax and runners-up) — row-local pair generation, |alphabet|²-bounded
+    * aggregate, TakeOrdered top-20. */
+  private val x191: Q = (spark, sfDir) =>
+    TextAnalysis.bpeMergeCandidates(docs(spark, sfDir), "text", topK = 20)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2355,7 +2369,9 @@ object Extensions {
     "x186_level_shift_scan" -> x186,
     "x187_nearest_event_match" -> x187,
     "x188_triangle_count" -> x188,
-    "x189_blocked_name_match" -> x189)
+    "x189_blocked_name_match" -> x189,
+    "x190_autocorrelation" -> x190,
+    "x191_bpe_merge_candidates" -> x191)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3804,6 +3820,45 @@ object Extensions {
          |FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
          |WHERE damerau_levenshtein(a.name, b.name) <= 2
          |ORDER BY name_1, name_2""".stripMargin.replace("\n", " ")),
+    // Exact sums stay HUGEINT internally; every coefficient is assembled
+    // from DOUBLE casts of those sums in the same expression shape the
+    // Spark side uses (x115's determinism argument).
+    "x190_autocorrelation" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |  AS day FROM bo),
+         |f AS (SELECT s.day, COALESCE(d.n, 0) AS x
+         |  FROM s LEFT JOIN d ON s.day = d.day),
+         |l AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+         |pr AS (SELECT l.lag AS lag, a.x AS x, b2.x AS y
+         |  FROM f a CROSS JOIN l JOIN f b2 ON b2.day = a.day + l.lag),
+         |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         |  SUM(y * y) AS syy, SUM(x * y) AS sxy
+         | FROM pr GROUP BY 1)
+         |SELECT lag, n_pairs,
+         | CASE WHEN n_pairs * sxx - sx * sx > 0
+         |       AND n_pairs * syy - sy * sy > 0
+         |  THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         | END AS acf
+         |FROM m ORDER BY lag""".stripMargin.replace("\n", " ")),
+    "x191_bpe_merge_candidates" ->
+      ("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT w, unnest(range(1, length(w))) AS i
+         |  FROM w WHERE length(w) >= 2)
+         |SELECT substring(w, CAST(i AS INT), 2) AS pair,
+         | CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -692,4 +692,22 @@ class AnalyticsSpec extends AnyFunSuite {
     val r = Analytics.winsorizedMean(df, "grp", "v", 25, 75).collect().head
     assert((r.getLong(1), r.getLong(2)) == ((4L, 225L)))
   }
+
+  test("autocorrelation: alternating series has acf(1) = -1, acf(2) = +1; silent days zero-fill") {
+    // events only on even days 0,2,4,6,8 — odd days must enter as ZEROS,
+    // making the series 1,0,1,0,1,0,1,0,1 (period 2)
+    val events = (0 to 8 by 2)
+      .map(d => ts(f"2024-03-${d + 1}%02d 12:00:00"))
+      .toDF("ts")
+    val r = Analytics.autocorrelation(events, "ts", maxLag = 2).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1) == ((8L, -1.0)))
+    assert(r(2) == ((7L, 1.0)))
+  }
+
+  test("autocorrelation: constant series yields NULL acf, never 0/0 noise") {
+    val events = (1 to 5).map(d => ts(f"2024-03-0$d 09:00:00")).toDF("ts")
+    val rows = Analytics.autocorrelation(events, "ts", maxLag = 3).collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(2)))
+  }
 }

@@ -527,4 +527,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // moves strictly fewer keys than mod rehashing
     assert(expRing < expMod)
   }
+
+  test("bpeMergeCandidates: adjacent pair counts; short and empty tokens contribute nothing") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "x  abba")).toDF("doc_id", "text")
+    // pairs: ab,ab + ab,bc (from abc) + ab,bb,ba (from abba); "x" and the
+    // double-space empty token are skipped
+    val r = TextAnalysis.bpeMergeCandidates(docs, "text", topK = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(r.toMap == Map("ab" -> 4L, "ba" -> 1L, "bb" -> 1L, "bc" -> 1L))
+    assert(r.head == ("ab" -> 4L)) // count-desc, then lexicographic
+  }
 }

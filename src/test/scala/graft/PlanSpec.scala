@@ -649,6 +649,24 @@ class PlanSpec extends AnyFunSuite {
       s"only the two 1-row stat cross joins may nest-loop — wedge/closure joins must hash:\n$p")
   }
 
+  test("x190: the corpus collapses to the day spine BEFORE any join; the lag frame broadcasts") {
+    val p = plan("x190_autocorrelation")
+    assert(p.contains("partial_count"),
+      s"daily counts must partial-aggregate map-side before alignment:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 7-row lag frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("x191: BPE pair scan is join-free — row-local generation, aggregate, TakeOrdered") {
+    val p = plan("x191_bpe_merge_candidates")
+    assert(!p.contains("Join"), s"pair generation must be row-local, never a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap merge, not a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"the pair aggregate must partial-aggregate map-side:\n$p")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
