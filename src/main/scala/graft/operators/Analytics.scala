@@ -1641,4 +1641,94 @@ object Analytics {
         round((n * d("_sxy") - d("_sx") * d("_sy")) / sqrt(va * vb), 6)).as("acf"))
       .orderBy("lag")
   }
+
+  /**
+   * BUSINESS-DAY lag distribution — fulfillment SLA in working days, not
+   * calendar days (a Friday order shipped Monday is 1 business day, not
+   * 3): per group, the count/min/max/mean of business days from `startCol`
+   * to `endCol`, where the lag counts weekdays in the half-open interval
+   * (start, end] (ship ON the order day = 0; weekend endpoints contribute
+   * nothing).
+   *
+   * The DATE-DIMENSION pattern, not per-row modular arithmetic: a
+   * calendar spine from global min(start) to max(end) carries a
+   * cumulative business-day index (one |days|-bounded window over the
+   * SPINE, never the fact rows), the dimension broadcasts, and each fact
+   * row's lag is two index lookups — `bd(end) − bd(start)`. Closed-form
+   * weekday counting is O(1) per row but unreadable and engine-divergent
+   * at the mod-7 corners; the dimension join is the warehouse-standard
+   * form and holds any calendar refinement (holidays = one more spine
+   * predicate) without touching fact-side code.
+   *
+   * Rows with NULL endpoints or end < start are excluded (no SLA defined);
+   * mean is exact integer ppm.
+   */
+  def businessDayLag(df: DataFrame, startCol: String, endCol: String,
+      groupCol: String): DataFrame = {
+    val clean = df
+      .select(col(groupCol), to_date(col(startCol)).as("__s"),
+        to_date(col(endCol)).as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull && col("__e") >= col("__s"))
+    val bounds = clean.agg(min(col("__s")).as("__d0"), max(col("__e")).as("__d1"))
+    val dim = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      // weekday(): 0=Mon..6=Sun; the cumulative index is a window over the
+      // CALENDAR spine — |days|-bounded by construction
+      .withColumn("__bd", sum(when(expr("weekday(day)") < 5, 1L).otherwise(0L))
+        .over(Window.orderBy("day")))
+    clean
+      .join(broadcast(dim.select(col("day").as("__s"), col("__bd").as("__bs"))), "__s")
+      .join(broadcast(dim.select(col("day").as("__e"), col("__bd").as("__be"))), "__e")
+      .withColumn("__lag", col("__be") - col("__bs"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        min(col("__lag")).as("min_bd"), max(col("__lag")).as("max_bd"),
+        sum(col("__lag")).as("__sum"))
+      .select(col(groupCol), col("n"), col("min_bd"), col("max_bd"),
+        expr("__sum * 1000000 DIV n").as("mean_bd_ppm"))
+  }
+
+  /**
+   * RANK-AGREEMENT audit between two scorings of the same item vocabulary
+   * — "did this quarter's brand ranking actually change?": Kendall
+   * concordant/discordant pair counts plus top-`topK` set overlap. Both
+   * sides rank by (score DESC, item) — the item tiebreak makes the
+   * permutation total and engine-exact, so concordant + discordant =
+   * C(n,2) always (no tie bucket to reconcile). Counts are returned raw,
+   * NOT folded into a tau ratio: tau's sign makes truncating integer
+   * division engine-divergent (Spark DIV truncates toward zero, SQL `//`
+   * floors), and the counts are what an audit diffs anyway.
+   *
+   * PRECONDITION (stated, like the dedup caps): the item set must be a
+   * bounded vocabulary (brands, categories, sources) — Kendall's tau IS
+   * a pairwise statistic, the C(n,2) pair frame is its definition. The
+   * ranking windows run over that same bounded frame. For unbounded item
+   * sets use top-k overlap alone ([[Sampling.globalRankRange]] feeds it
+   * scale-safely).
+   */
+  def rankAgreement(left: DataFrame, right: DataFrame, itemCol: String,
+      scoreCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    def ranked(df: DataFrame, rk: String) = df
+      .select(col(itemCol).as("item"), col(scoreCol).as("__s"))
+      .withColumn(rk,
+        row_number().over(Window.orderBy(col("__s").desc, col("item"))).cast("long"))
+      .select(col("item"), col(rk))
+    val j = ranked(left, "ra").join(ranked(right, "rb"), "item")
+      // cached: consumed by both pair sides and the overlap aggregate.
+      // Caller-managed lifecycle — see pageRank's contract.
+      .cache()
+    val pairs = j.as("x").join(j.as("y"), col("x.item") < col("y.item"))
+      .select(((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))).as("__p"))
+      .agg(sum(when(col("__p") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__p") < 0, 1L).otherwise(0L)).as("discordant"))
+    val tops = j.agg(count(lit(1)).as("n_common"),
+      sum(when(col("ra") <= topK && col("rb") <= topK, 1L).otherwise(0L))
+        .as(s"overlap_top$topK"))
+    // both frames are 1 row — the cross join broadcasts
+    tops.crossJoin(pairs)
+      .select(col("n_common"), coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        coalesce(col(s"overlap_top$topK"), lit(0L)).as(s"overlap_top$topK"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, SkippingIndex, TextAnalysis}
 import graft.sources.Tables
@@ -1771,6 +1771,34 @@ object Extensions {
   private val x191: Q = (spark, sfDir) =>
     TextAnalysis.bpeMergeCandidates(docs(spark, sfDir), "text", topK = 20)
 
+  /** x192 — business-day lag ([[Analytics.businessDayLag]]): order→ship
+    * fulfillment lag in WORKING days per order priority — the
+    * date-dimension pattern: cumulative business-day index on a broadcast
+    * calendar spine, two index lookups per fact row, exact ppm mean. */
+  private val x192: Q = (spark, sfDir) => {
+    val f = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+    Analytics.businessDayLag(f, "o_orderdate", "l_shipdate", "o_orderpriority")
+      .orderBy("o_orderpriority")
+  }
+
+  /** x193 — rank agreement ([[Analytics.rankAgreement]]): did the brand
+    * revenue ranking change between the first and second half of the
+    * corpus timeline? Kendall concordant/discordant counts + top-10
+    * overlap over the bounded brand vocabulary (stated precondition);
+    * revenue is the exact decimal sum cast once to double, so both
+    * engines rank identical values. */
+  private val x193: Q = (spark, sfDir) => {
+    def rev(pred: Column) = Tables(spark, sfDir, "lineitem").filter(pred)
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(QueryUtil.dsum(col("l_extendedprice")).as("rev"))
+    val mid = lit("1998-07-01").cast("timestamp")
+    Analytics.rankAgreement(rev(col("l_shipdate") < mid),
+      rev(col("l_shipdate") >= mid), "p_brand", "rev", topK = 10)
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2371,7 +2399,9 @@ object Extensions {
     "x188_triangle_count" -> x188,
     "x189_blocked_name_match" -> x189,
     "x190_autocorrelation" -> x190,
-    "x191_bpe_merge_candidates" -> x191)
+    "x191_bpe_merge_candidates" -> x191,
+    "x192_business_day_lag" -> x192,
+    "x193_rank_agreement" -> x193)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3859,6 +3889,51 @@ object Extensions {
          | CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""
         .stripMargin.replace("\n", " ")),
+    "x192_business_day_lag" ->
+      ("""WITH f AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS s,
+         |  CAST(l_shipdate AS DATE) AS e
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+         |  AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+         |bo AS (SELECT MIN(s) AS d0, MAX(e) AS d1 FROM f),
+         |dim AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |bd AS (SELECT day, SUM(CASE WHEN isodow(day) <= 5 THEN 1 ELSE 0 END)
+         |  OVER (ORDER BY day) AS bdx FROM dim),
+         |g AS (SELECT o_orderpriority, be.bdx - bs.bdx AS lag
+         | FROM f JOIN bd bs ON f.s = bs.day JOIN bd be ON f.e = be.day)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(MIN(lag) AS BIGINT) AS min_bd, CAST(MAX(lag) AS BIGINT) AS max_bd,
+         | CAST(SUM(lag) * 1000000 // COUNT(*) AS BIGINT) AS mean_bd_ppm
+         |FROM g GROUP BY 1 ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
+    "x193_rank_agreement" ->
+      ("""WITH h1 AS (SELECT p_brand AS item,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate < TIMESTAMP '1998-07-01' GROUP BY 1),
+         |h2 AS (SELECT p_brand AS item,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate >= TIMESTAMP '1998-07-01' GROUP BY 1),
+         |r1 AS (SELECT item, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, item)
+         |  AS BIGINT) AS ra FROM h1),
+         |r2 AS (SELECT item, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, item)
+         |  AS BIGINT) AS rb FROM h2),
+         |j AS (SELECT r1.item, ra, rb FROM r1 JOIN r2 USING (item)),
+         |p AS (SELECT (x.ra - y.ra) * (x.rb - y.rb) AS pr
+         | FROM j x JOIN j y ON x.item < y.item),
+         |pc AS (SELECT CAST(SUM(CASE WHEN pr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS concordant,
+         | CAST(SUM(CASE WHEN pr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+         | FROM p),
+         |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+         | CAST(SUM(CASE WHEN ra <= 10 AND rb <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS overlap_top10 FROM j)
+         |SELECT n_common, COALESCE(concordant, 0) AS concordant,
+         | COALESCE(discordant, 0) AS discordant,
+         | COALESCE(overlap_top10, 0) AS overlap_top10
+         |FROM tc, pc""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -710,4 +710,30 @@ class AnalyticsSpec extends AnyFunSuite {
     val rows = Analytics.autocorrelation(events, "ts", maxLag = 3).collect()
     assert(rows.length == 3 && rows.forall(_.isNullAt(2)))
   }
+
+  test("businessDayLag: weekends in (start, end] contribute nothing") {
+    // 2024-03-01 is a Friday; 2024-03-04 the following Monday
+    val df = Seq(
+      ("fri_to_mon", ts("2024-03-01 10:00:00"), ts("2024-03-04 10:00:00")), // Sat,Sun,Mon -> 1
+      ("same_day",   ts("2024-03-01 10:00:00"), ts("2024-03-01 18:00:00")), // () -> 0
+      ("fri_to_sun", ts("2024-03-01 10:00:00"), ts("2024-03-03 10:00:00")), // Sat,Sun -> 0
+      ("mon_to_fri", ts("2024-03-04 10:00:00"), ts("2024-03-08 10:00:00")), // Tue..Fri -> 4
+      ("backwards",  ts("2024-03-08 10:00:00"), ts("2024-03-04 10:00:00"))) // excluded
+      .toDF("grp", "start", "end")
+    val r = Analytics.businessDayLag(df, "start", "end", "grp").collect()
+      .map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r == Map("fri_to_mon" -> 1000000L, "same_day" -> 0L,
+      "fri_to_sun" -> 0L, "mon_to_fri" -> 4000000L))
+  }
+
+  test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
+    val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
+    val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")
+    // left ranks a=1,b=2,c=3; right ranks b=1,c=2,a=3
+    // (a,b) discordant, (a,c) discordant, (b,c) concordant
+    val r = Analytics.rankAgreement(left, right, "item", "s", topK = 2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((3L, 1L, 2L, 1L))) // top-2 sets {a,b} vs {b,c} share only b
+  }
 }

@@ -667,6 +667,24 @@ class PlanSpec extends AnyFunSuite {
       s"the pair aggregate must partial-aggregate map-side:\n$p")
   }
 
+  test("x192: the business-day dimension broadcasts onto the fact rows") {
+    val p = plan("x192_business_day_lag")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both date-index lookups must be broadcast joins of the calendar dim:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("x193: revenue collapses to the brand vocabulary before the pair frame") {
+    val p = plan("x193_rank_agreement")
+    assert(p.contains("partial_sum"),
+      s"per-half revenue must partial-aggregate map-side before ranking:\n$p")
+    // the C(n,2) pair join over the bounded brand vocabulary is the
+    // DEFINITION of Kendall's tau (stated precondition) — but it must be
+    // the only nested loop beyond the 1-row stat cross join
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      s"only the vocabulary pair join and the 1-row stat join may nest-loop:\n$p")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
