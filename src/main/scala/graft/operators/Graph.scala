@@ -301,4 +301,50 @@ object Graph {
           expr("3 * n_triangles * 1000000 DIV n_wedges"))
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
+
+  /**
+   * K-HOP FRONTIER census — breadth-first reach from a seed set over the
+   * UNDIRECTED closure of an edge list: how many NEW nodes become
+   * reachable at each hop ≤ `hops`. The blast-radius question every
+   * graph investigation opens with ("how far does this account's
+   * influence extend?"), and the cheap preflight before committing to a
+   * full traversal — frontier growth rate tells you whether hop k+1 is
+   * affordable.
+   *
+   * Scale shape: per hop, ONE hash join (symmetrized edges × current
+   * frontier on the node key) + distinct + an anti join against the
+   * visited set — all exchanges keyed on node ids, nothing ever
+   * quadratic; per-round `localCheckpoint` truncates lineage so the
+   * visited set's plan does not nest `hops` deep (the
+   * [[Dedup.connectedComponents]] contract; `hops` is small and fixed,
+   * but visited grows data-dependently). Frontier SIZES leave each round
+   * as 1-row aggregates; the node frames themselves never reach the
+   * driver.
+   *
+   * Semantics: hop 0 = the seed set (deduplicated); a node is counted at
+   * its FIRST reachable hop only (BFS level = shortest-path distance).
+   */
+  def khopFrontier(edges: DataFrame, seed: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 10, s"hops $hops not in [1,10]")
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      // cached: probed once per hop. Caller-managed lifecycle — see
+      // pageRank's contract.
+      .cache()
+    var frontier = seed.select(col("v")).distinct().localCheckpoint()
+    var visited = frontier
+    var out = frontier.agg(count(lit(1)).as("frontier_size"))
+      .select(lit(0).as("hop"), col("frontier_size"))
+    for (h <- 1 to hops) {
+      frontier = und.join(frontier, und("src") === frontier("v"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+      out = out.unionAll(frontier.agg(count(lit(1)).as("frontier_size"))
+        .select(lit(h).as("hop"), col("frontier_size")))
+    }
+    out
+  }
 }

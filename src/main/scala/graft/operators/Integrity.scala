@@ -199,4 +199,35 @@ object Integrity {
         (col("n_src").eqNullSafe(col("n_dst")) &&
           col("sum_src").eqNullSafe(col("sum_dst"))).as("in_sync"))
   }
+
+  /**
+   * DELETION-IMPACT manifest — the right-to-be-forgotten preflight: given
+   * a key set to erase, how many rows in each downstream table reference
+   * it (directly or through a join path)? The manifest is what a
+   * compliance run reviews and signs BEFORE any destructive delete
+   * executes; row counts per table are also the cost estimate for the
+   * delete job itself.
+   *
+   * Each entry is (table label, table frame, key column): the frame may
+   * already be a join (e.g. lineitem reached through orders) — the
+   * operator only counts rows whose key semi-joins the forget set.
+   *
+   * Scale shape: the forget-key frame is deduplicated once and BROADCAST
+   * into a left-semi join per table — each table is scanned exactly once,
+   * only its key column is read (columnar pruning), and nothing shuffles:
+   * the output is |tables| rows of counts. A forget set too large to
+   * broadcast is a bulk purge, not a forget request (stated bound, like
+   * the dedup caps).
+   */
+  def forgetImpact(keys: DataFrame, keyCol: String,
+      tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "forgetImpact needs at least one table")
+    val forget = broadcast(keys.select(col(keyCol).as("__k")).distinct())
+    tables.map { case (label, df, c) =>
+      df.select(col(c).as("__k"))
+        .join(forget, Seq("__k"), "left_semi")
+        .agg(count(lit(1)).as("affected_rows"))
+        .select(lit(label).as("entity"), col("affected_rows"))
+    }.reduce(_ unionAll _)
+  }
 }

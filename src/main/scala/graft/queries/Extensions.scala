@@ -1799,6 +1799,38 @@ object Extensions {
       rev(col("l_shipdate") >= mid), "p_brand", "rev", topK = 10)
   }
 
+  /** x194 — k-hop frontier ([[Graph.khopFrontier]]): BFS blast radius
+    * from the highest-degree node of the purchase graph (tie → min id),
+    * 3 hops over the undirected closure — per-hop sizes only, nodes never
+    * reach the driver; reuses the checkpointed edge staging. */
+  private val x194: Q = (spark, sfDir) => {
+    val e = purchaseEdges(spark, sfDir)
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val seed = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("__d"))
+      .orderBy(col("__d").desc, col("v")).limit(1).select("v")
+    Graph.khopFrontier(e, seed, hops = 3).orderBy("hop")
+  }
+
+  /** x195 — deletion-impact manifest ([[Integrity.forgetImpact]]): the
+    * right-to-be-forgotten preflight — per-table affected-row counts for
+    * a deterministic forget set (custkey % 101 = 7), reaching lineitem
+    * through its order and events through the shared user-id domain;
+    * broadcast semi-joins, one key-column scan per table. */
+  private val x195: Q = (spark, sfDir) => {
+    val forget = Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 101 === 7)
+    val liKeyed = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    Integrity.forgetImpact(forget, "c_custkey", Seq(
+      ("customer", Tables(spark, sfDir, "customer"), "c_custkey"),
+      ("orders", Tables(spark, sfDir, "orders"), "o_custkey"),
+      ("lineitem", liKeyed, "o_custkey"),
+      ("events", Tables(spark, sfDir, "events"), "user_id")))
+      .orderBy("entity")
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2401,7 +2433,9 @@ object Extensions {
     "x190_autocorrelation" -> x190,
     "x191_bpe_merge_candidates" -> x191,
     "x192_business_day_lag" -> x192,
-    "x193_rank_agreement" -> x193)
+    "x193_rank_agreement" -> x193,
+    "x194_khop_frontier" -> x194,
+    "x195_forget_impact" -> x195)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -3934,6 +3968,41 @@ object Extensions {
          | COALESCE(discordant, 0) AS discordant,
          | COALESCE(overlap_top10, 0) AS overlap_top10
          |FROM tc, pc""".stripMargin.replace("\n", " ")),
+    "x194_khop_frontier" ->
+      ("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src,
+         |  's' || l_suppkey AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |und AS (SELECT src, dst FROM e0
+         |  UNION SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src AS v, COUNT(*) AS d FROM und GROUP BY 1),
+         |sd AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 1),
+         |f1 AS (SELECT DISTINCT u.dst AS v FROM und u JOIN sd ON u.src = sd.v
+         | WHERE u.dst NOT IN (SELECT v FROM sd)),
+         |v1 AS (SELECT v FROM sd UNION SELECT v FROM f1),
+         |f2 AS (SELECT DISTINCT u.dst AS v FROM und u JOIN f1 ON u.src = f1.v
+         | WHERE u.dst NOT IN (SELECT v FROM v1)),
+         |v2 AS (SELECT v FROM v1 UNION SELECT v FROM f2),
+         |f3 AS (SELECT DISTINCT u.dst AS v FROM und u JOIN f2 ON u.src = f2.v
+         | WHERE u.dst NOT IN (SELECT v FROM v2))
+         |SELECT CAST(0 AS INT) AS hop,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sd) AS frontier_size
+         |UNION ALL SELECT 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM f1)
+         |UNION ALL SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM f2)
+         |UNION ALL SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM f3)
+         |ORDER BY hop""".stripMargin.replace("\n", " ")),
+    "x195_forget_impact" ->
+      ("""WITH fk AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey % 101 = 7)
+         |SELECT 'customer' AS entity, CAST(COUNT(*) AS BIGINT) AS affected_rows
+         | FROM customer WHERE c_custkey IN (SELECT k FROM fk)
+         |UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT)
+         | FROM events WHERE user_id IN (SELECT k FROM fk)
+         |UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_custkey IN (SELECT k FROM fk)
+         |UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT)
+         | FROM orders WHERE o_custkey IN (SELECT k FROM fk)
+         |ORDER BY entity""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

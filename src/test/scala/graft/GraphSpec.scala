@@ -83,4 +83,21 @@ class GraphSpec extends AnyFunSuite {
     val r = Graph.triangleCount(messy).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(3)) == ((3L, 3L, 1L)))
   }
+
+  test("khopFrontier: BFS levels are shortest-path distances (path graph, one per hop)") {
+    val path = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")).toDF("src", "dst")
+    val seed = Seq("1").toDF("v")
+    val r = Graph.khopFrontier(path, seed, hops = 3).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("khopFrontier: a cycle never revisits (frontier drains to zero)") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val seed = Seq("a").toDF("v")
+    val r = Graph.khopFrontier(cycle, seed, hops = 2).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    // hop 1 reaches b AND c (undirected closure); hop 2 finds nothing new
+    assert(r == Map(0 -> 1L, 1 -> 2L, 2 -> 0L))
+  }
 }

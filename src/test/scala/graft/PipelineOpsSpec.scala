@@ -528,6 +528,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expRing < expMod)
   }
 
+  test("forgetImpact: per-table affected counts, zero rows reported not dropped") {
+    import graft.operators.Integrity
+    val keys = Seq(1L, 2L, 2L).toDF("k")
+    val t1 = Seq(1L, 1L, 2L, 3L).toDF("id")
+    val t2 = Seq(4L, 5L).toDF("id")
+    val r = Integrity.forgetImpact(keys, "k",
+      Seq(("t1", t1, "id"), ("t2", t2, "id"))).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("t1" -> 3L, "t2" -> 0L))
+  }
+
   test("bpeMergeCandidates: adjacent pair counts; short and empty tokens contribute nothing") {
     val docs = Seq((1L, "ab ab abc"), (2L, "x  abba")).toDF("doc_id", "text")
     // pairs: ab,ab + ab,bc (from abc) + ab,bb,ba (from abba); "x" and the

@@ -685,6 +685,16 @@ class PlanSpec extends AnyFunSuite {
       s"only the vocabulary pair join and the 1-row stat join may nest-loop:\n$p")
   }
 
+  test("x195: every table probe is a BROADCAST semi join of the forget set") {
+    val p = plan("x195_forget_impact")
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) >= 3,
+      s"forget-set probes must broadcast-semi-join, never shuffle the tables:\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"only the lineitem→orders path join may shuffle:\n$p")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
