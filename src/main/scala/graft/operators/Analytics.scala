@@ -1731,4 +1731,96 @@ object Analytics {
         coalesce(col("discordant"), lit(0L)).as("discordant"),
         coalesce(col(s"overlap_top$topK"), lit(0L)).as(s"overlap_top$topK"))
   }
+
+  /**
+   * EXACT geometric smoothing of the daily event series — the EWMA shape
+   * without the float recurrence: `smooth(t) = Σ_{k<W} x(t−k)·2^(W−1−k)`,
+   * reported as the weighted mean in exact integer ppm (denominator
+   * `2^W − 1`). A true EWMA is an infinite recurrence whose float state
+   * depends on where the stream started; the W-day geometric window is
+   * its bounded, engine-exact twin — identical ordering behavior, and
+   * every value is reproducible arithmetic over the zero-filled calendar
+   * series ([[autocorrelation]]'s zero-fill argument).
+   *
+   * Scale shape: the corpus collapses to the |days| spine first; each
+   * spine day then fans out to its W target days via a broadcast offset
+   * frame (W rows) and one |days|·W-bounded aggregate — no window over
+   * anything row-sized, no recurrence. Days before the series start
+   * contribute zero (the series is zero-extended backward).
+   */
+  def geometricSmoothing(events: DataFrame, tsCol: String,
+      windowDays: Int = 14): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 62,
+      s"windowDays $windowDays not in [1,62] (2^63 weight overflow above)")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__x"))
+      // cached: bounds, zero-fill, and the final end-of-series filter all
+      // derive from it — one corpus aggregate, not three. Caller-managed
+      // lifecycle — see pageRank's contract.
+      .cache()
+    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val filled = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__x"), lit(0L)).as("__x"))
+    val offsets = events.sparkSession.range(0, windowDays)
+      .select(col("id").cast("int").as("k"),
+        expr(s"shiftleft(1L, ${windowDays - 1} - cast(id AS int))").as("w"))
+    val denom = (1L << windowDays) - 1L
+    filled.crossJoin(broadcast(offsets))
+      .select(expr("date_add(day, k)").as("day"), (col("__x") * col("w")).as("__c"),
+        when(col("k") === 0, col("__x")).as("__raw"))
+      .groupBy("day")
+      .agg(max(col("__raw")).as("n_events"), sum(col("__c")).as("__s"))
+      // targets past the series end receive only PARTIAL windows — drop
+      // them (they are future days); in-range early days keep the
+      // zero-extended semantics
+      .join(broadcast(bounds), col("day") <= col("__d1"))
+      .select(col("day"), col("n_events"),
+        expr(s"__s * 1000000 DIV $denom").as("smooth_ppm"))
+      .orderBy("day")
+  }
+
+  /**
+   * PEAK CONCURRENCY per day — the capacity-planning sweep line: model
+   * each event as an active interval `[t, t+duration)`, and report, for
+   * each day, the maximum number of simultaneously active intervals at
+   * any instant (evaluated at interval STARTS, where every peak occurs;
+   * the day is the day of the peak's arriving event). Boundary rows are
+   * `(+1 at t, −1 at t+duration)`; at an exact tie the −1 sorts first
+   * (half-open intervals: a session ending at t has already released its
+   * slot), and remaining ties break on the boundary's event id, so the
+   * running count is engine-exact.
+   *
+   * Scale shape: the global running sum is the TWO-PHASE range-partitioned
+   * prefix sum ([[Sampling.globalRankRange]]'s shape with SUM of deltas):
+   * range-exchange on the sweep order, pid-local cumulative window, plus
+   * the exclusive prefix of per-partition delta totals (a
+   * one-row-per-partition frame — the only single-partition hop). A naive
+   * `SUM OVER (ORDER BY t)` funnels every boundary through one task; this
+   * never does.
+   */
+  def peakConcurrency(events: DataFrame, tsCol: String, idCol: String,
+      durationSeconds: Long): DataFrame = {
+    require(durationSeconds >= 1, s"durationSeconds $durationSeconds must be positive")
+    val clean = events.filter(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(tsCol).as("__ts"), col(idCol).as("__id"))
+    val b = clean
+      .select(col("__ts").as("t"), lit(1L).as("delta"), col("__id").as("bid"))
+      .unionAll(clean.select(
+        (col("__ts") + expr(s"interval $durationSeconds seconds")).as("t"),
+        lit(-1L).as("delta"), col("__id").as("bid")))
+    val keys = Seq(col("t").asc, col("delta").asc, col("bid").asc)
+    val parted = b.repartitionByRange(keys: _*).withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lcum",
+      sum(col("delta")).over(Window.partitionBy("pid").orderBy(keys: _*)))
+    val offsets = local.groupBy("pid").agg(sum(col("delta")).as("ptot"))
+      .withColumn("offset", sum(col("ptot")).over(Window.orderBy("pid")) - col("ptot"))
+      .select(col("pid").as("_off_pid"), col("offset"))
+    local.join(broadcast(offsets), col("pid") === col("_off_pid"))
+      .filter(col("delta") === 1)
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("offset") + col("lcum")).as("peak_concurrent"))
+      .orderBy("day")
+  }
 }

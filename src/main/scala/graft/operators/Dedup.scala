@@ -731,6 +731,40 @@ object Dedup {
   }
 
   /**
+   * DEDUPLICATION-RATE report by source — the corpus-health dashboard row:
+   * per source, how many documents are exact duplicates (their full text
+   * appears on ≥ 2 docs) and how many sit in at least one near-duplicate
+   * pair, as counts and exact ppm rates. This is the STAGING-CONSUMER
+   * pattern: `pairs` is a precomputed near-dup pair frame (d1, d2) — the
+   * LSH staging table four other queries already share — so the report
+   * never re-runs candidate generation.
+   *
+   * Scale shape: exact-dup flags ride ONE text-keyed exchange (a count
+   * window over the text partition — each partition is one text's
+   * duplicate family, never the corpus); near-dup membership is a
+   * left-semi probe of the pair frame exploded to doc ids; the rollup is
+   * |sources|-bounded.
+   */
+  def dedupRateBySource(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fam = Window.partitionBy(col(textCol))
+    val flagged = docs
+      .withColumn("__exact", when(count(lit(1)).over(fam) > 1, 1L).otherwise(0L))
+    val nearIds = pairs
+      .select(explode(array(col("d1"), col("d2"))).as(idCol)).distinct()
+    flagged
+      .join(nearIds.withColumn("__near", lit(1L)), Seq(idCol), "left")
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__exact")).as("n_exact_dup"),
+        sum(coalesce(col("__near"), lit(0L))).as("n_near_dup"))
+      .select(col(sourceCol), col("n_docs"), col("n_exact_dup"), col("n_near_dup"),
+        expr("n_exact_dup * 1000000 DIV n_docs").as("exact_ppm"),
+        expr("n_near_dup * 1000000 DIV n_docs").as("near_ppm"))
+  }
+
+  /**
    * BLOCKED fuzzy NAME MATCHING — the entity-resolution primitive: which
    * distinct name strings in a corpus are within `maxDist` Damerau-
    * Levenshtein edits of each other, and how many record pairs does each

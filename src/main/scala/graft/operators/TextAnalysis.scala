@@ -663,6 +663,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /**
+   * Per-document KEYWORD extraction — each document's most distinctive
+   * term, scored `tf · 1e6 DIV df` in exact integers: term frequency
+   * weighted by corpus-wide rarity (the integer-exact tf-idf stand-in;
+   * a log-idf would be float and engine-divergent). The per-DOC complement
+   * of [[tfidfTopTerms]] (corpus/language grain): this one labels every
+   * document, e.g. as a routing key or a dedup-cluster name.
+   *
+   * Scale shape: one (doc, term) collapse with map-side partials, one
+   * |vocab|-bounded df aggregate hash-joined back, then a DOC-partitioned
+   * rank window — partitioned by the id key, so no single-task frame
+   * anywhere. Ties break on the term string; output is |docs| rows.
+   */
+  def docKeywords(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000 DIV df"))
+      .withColumn("__rk", row_number().over(byDoc))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("term").as("keyword"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

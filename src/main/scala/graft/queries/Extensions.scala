@@ -1831,6 +1831,38 @@ object Extensions {
       .orderBy("entity")
   }
 
+  /** x196 — per-doc keywords ([[TextAnalysis.docKeywords]]): each doc's
+    * most distinctive term by exact-integer `tf·1e6 DIV df` — the per-doc
+    * complement of x35's corpus-grain tf-idf; doc-partitioned rank, ties
+    * on the term string. */
+  private val x196: Q = (spark, sfDir) =>
+    TextAnalysis.docKeywords(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** x197 — dedup rate by source ([[Dedup.dedupRateBySource]]): the
+    * corpus-health dashboard — per source, exact-dup and near-dup doc
+    * counts + ppm rates, consuming the SHARED LSH pair staging (x18's
+    * memo) instead of re-running candidate generation. */
+  private val x197: Q = (spark, sfDir) =>
+    Dedup.dedupRateBySource(docs(spark, sfDir), lshPairs(spark, sfDir),
+      "doc_id", "text", "source")
+      .orderBy("source")
+
+  /** x198 — geometric smoothing ([[Analytics.geometricSmoothing]]): the
+    * EWMA shape without the float recurrence — 14-day power-of-two
+    * weighted daily mean in exact ppm over the zero-filled series. */
+  private val x198: Q = (spark, sfDir) =>
+    Analytics.geometricSmoothing(Tables(spark, sfDir, "events"), "ts",
+      windowDays = 14)
+
+  /** x199 — peak concurrency ([[Analytics.peakConcurrency]]): sweep-line
+    * max of simultaneously active 5-minute event intervals per day — the
+    * running count rides the two-phase range-partitioned prefix sum,
+    * never a single-task ORDER BY window. */
+  private val x199: Q = (spark, sfDir) =>
+    Analytics.peakConcurrency(Tables(spark, sfDir, "events"), "ts",
+      "event_id", durationSeconds = 300L)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2435,7 +2467,11 @@ object Extensions {
     "x192_business_day_lag" -> x192,
     "x193_rank_agreement" -> x193,
     "x194_khop_frontier" -> x194,
-    "x195_forget_impact" -> x195)
+    "x195_forget_impact" -> x195,
+    "x196_doc_keywords" -> x196,
+    "x197_dedup_rate_by_source" -> x197,
+    "x198_geometric_smoothing" -> x198,
+    "x199_peak_concurrency" -> x199)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4003,6 +4039,67 @@ object Extensions {
          |UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT)
          | FROM orders WHERE o_custkey IN (SELECT k FROM fk)
          |ORDER BY entity""".stripMargin.replace("\n", " ")),
+    "x196_doc_keywords" ->
+      ("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM t WHERE length(term) > 0 GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |  tf.tf * 1000000 // df.df AS score FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, term) AS rk FROM s)
+         |SELECT doc_id, term AS keyword, tf, df, score
+         |FROM r WHERE rk = 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x197_dedup_rate_by_source" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |nd AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT d1 AS doc_id FROM jpairs UNION ALL SELECT d2 FROM jpairs)),
+         |ex AS (SELECT doc_id, source,
+         |  CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END AS e
+         | FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(e) AS BIGINT) AS n_exact_dup,
+         | CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_near_dup,
+         | CAST(SUM(e) * 1000000 // COUNT(*) AS BIGINT) AS exact_ppm,
+         | CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS near_ppm
+         |FROM ex LEFT JOIN nd ON ex.doc_id = nd.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x198_geometric_smoothing" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS x FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT s.day, COALESCE(d.x, 0) AS x
+         |  FROM s LEFT JOIN d ON s.day = d.day),
+         |o AS (SELECT CAST(unnest(range(0, 14)) AS INT) AS k),
+         |c AS (SELECT f.day + o.k AS day,
+         |  f.x * (CAST(1 AS BIGINT) << (13 - o.k)) AS contrib,
+         |  CASE WHEN o.k = 0 THEN f.x END AS raw
+         | FROM f CROSS JOIN o),
+         |g AS (SELECT day, MAX(raw) AS n_events, SUM(contrib) AS sm
+         | FROM c GROUP BY 1)
+         |SELECT g.day, CAST(n_events AS BIGINT) AS n_events,
+         | CAST(sm * 1000000 // 16383 AS BIGINT) AS smooth_ppm
+         |FROM g, bo WHERE g.day <= bo.d1 ORDER BY g.day"""
+        .stripMargin.replace("\n", " ")),
+    "x199_peak_concurrency" ->
+      ("""WITH c AS (SELECT ts, event_id FROM events
+         |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |b AS (SELECT ts AS t, CAST(1 AS BIGINT) AS delta, event_id AS bid FROM c
+         | UNION ALL
+         | SELECT ts + INTERVAL 300 SECOND, CAST(-1 AS BIGINT), event_id FROM c),
+         |r AS (SELECT t, delta, SUM(delta) OVER (ORDER BY t, delta, bid
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b)
+         |SELECT CAST(t AS DATE) AS day, CAST(MAX(conc) AS BIGINT)
+         |  AS peak_concurrent
+         |FROM r WHERE delta = 1 GROUP BY 1 ORDER BY day"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -726,6 +726,29 @@ class AnalyticsSpec extends AnyFunSuite {
       "fri_to_sun" -> 0L, "mon_to_fri" -> 4000000L))
   }
 
+  test("geometricSmoothing: power-of-two weights, zero-extended start, exact ppm") {
+    // day1: 1 event, day2: 2 events; W=2 -> weights [2,1], denom 3
+    val events = Seq(ts("2024-03-01 10:00:00"), ts("2024-03-02 10:00:00"),
+      ts("2024-03-02 11:00:00")).toDF("ts")
+    val r = Analytics.geometricSmoothing(events, "ts", windowDays = 2).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2)))
+    // day1: 1*2 + 0*1 = 2 -> 666666 ppm; day2: 2*2 + 1*1 = 5 -> 1666666 ppm
+    assert(r.toSeq == Seq(("2024-03-01", 1L, 666666L), ("2024-03-02", 2L, 1666666L)))
+  }
+
+  test("peakConcurrency: overlap counted at arrivals; half-open intervals release first") {
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")),
+      (2L, ts("2024-03-01 10:02:00")), // overlaps event 1 -> peak 2
+      (3L, ts("2024-03-01 10:10:00")), // isolated
+      (4L, ts("2024-03-02 09:00:00")),
+      (5L, ts("2024-03-02 09:05:00"))) // event 4 expires EXACTLY here -> no overlap
+      .toDF("event_id", "ts")
+    val r = Analytics.peakConcurrency(events, "ts", "event_id", 300L).collect()
+      .map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    assert(r == Map("2024-03-01" -> 2L, "2024-03-02" -> 1L))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

@@ -539,6 +539,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r == Map("t1" -> 3L, "t2" -> 0L))
   }
 
+  test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.docKeywords(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(4)))).toMap
+    assert(r(1L) == (("apple", 2000000L)))  // tf 2 / df 1
+    assert(r(2L) == (("cherry", 1000000L))) // beats banana (df 2)
+    assert(r(3L) == (("x", 1000000L)))      // x and y tie -> lexicographic
+  }
+
+  test("dedupRateBySource: exact families via text partition; near membership from the pair frame") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a", "s1"), (2L, "a", "s1"), (3L, "b", "s2"),
+      (4L, "c", "s2")).toDF("doc_id", "text", "source")
+    val pairs = Seq((3L, 4L)).toDF("d1", "d2")
+    val r = Dedup.dedupRateBySource(docs, pairs, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r("s1") == ((2L, 2L, 0L, 1000000L, 0L)))
+    assert(r("s2") == ((2L, 0L, 2L, 0L, 1000000L)))
+  }
+
   test("bpeMergeCandidates: adjacent pair counts; short and empty tokens contribute nothing") {
     val docs = Seq((1L, "ab ab abc"), (2L, "x  abba")).toDF("doc_id", "text")
     // pairs: ab,ab + ab,bc (from abc) + ab,bb,ba (from abba); "x" and the

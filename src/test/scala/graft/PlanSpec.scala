@@ -695,6 +695,23 @@ class PlanSpec extends AnyFunSuite {
       s"only the lineitem→orders path join may shuffle:\n$p")
   }
 
+  test("x196: the keyword rank window is DOC-partitioned — no single-task frame") {
+    val p = plan("x196_doc_keywords")
+    val rn = p.linesIterator.filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("windowspecdefinition(doc_id")),
+      s"per-doc argmax must partition by the doc key:\n${rn.mkString("\n")}")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk=1 must push a group limit below the window exchange:\n$p")
+  }
+
+  test("x199: the sweep-line running sum is pid-partitioned (two-phase prefix sum)") {
+    val p = plan("x199_peak_concurrency")
+    val sums = p.linesIterator
+      .filter(l => l.contains("sum(delta") && l.contains("windowspecdefinition")).toSeq
+    assert(sums.nonEmpty && sums.forall(_.contains("windowspecdefinition(pid")),
+      s"the boundary cumsum must ride the range-partitioned prefix sum:\n${sums.mkString("\n")}")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
