@@ -1782,6 +1782,35 @@ object Analytics {
   }
 
   /**
+   * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
+   * observability workhorse: exponentially-widening buckets cover nine
+   * orders of magnitude in ~30 rows with bounded relative error, which is
+   * why latency/size/amount telemetry ships as log2 buckets and not
+   * equi-width ones. Bucket index = floor(log2(v)), computed EXACTLY as
+   * `length(bin(v)) − 1` (the bit length of the value) — never a float
+   * log whose boundary behavior differs per engine at exact powers of
+   * two. Reports per-bucket count, true min/max, and the closed bucket
+   * bounds `[2^b, 2^{b+1})`.
+   *
+   * Scale shape: one scan, one aggregate bounded by 63 possible buckets;
+   * entirely map-side work before the tiny exchange. Non-positive values
+   * have no log bucket and are EXCLUDED by contract (count them upstream
+   * if they can occur; this corpus's measure is strictly positive).
+   */
+  def log2Histogram(df: DataFrame, units: Column): DataFrame = {
+    val v = units.cast("long")
+    df.select(v.as("__v")).filter(col("__v") >= 1)
+      .withColumn("bucket", (length(bin(col("__v"))) - 1).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"))
+      .select(col("bucket"), expr("shiftleft(1L, bucket)").as("bucket_lo"),
+        expr("shiftleft(1L, bucket + 1) - 1").as("bucket_hi"),
+        col("n"), col("min_v"), col("max_v"))
+      .orderBy("bucket")
+  }
+
+  /**
    * PEAK CONCURRENCY per day — the capacity-planning sweep line: model
    * each event as an active interval `[t, t+duration)`, and report, for
    * each day, the maximum number of simultaneously active intervals at

@@ -526,4 +526,47 @@ object Curation {
       .orderBy(col("support").desc, col("item1"), col("item2"))
       .limit(topK)
   }
+
+  /**
+   * "ALSO BOUGHT" recommendation table — for each of the `nAnchors`
+   * highest-volume items, the `nRecs` items most often sharing a basket
+   * with it: the item-item collaborative-filtering primitive served
+   * behind every product page. Directed view of [[basketPairs]]'s
+   * co-occurrence (an anchor's recommendations are ranked FROM the
+   * anchor's perspective, so both directions of each pair matter).
+   *
+   * Scale shape: the anchor set is a TakeOrdered top-n (never a global
+   * sort) broadcast as a semi-join filter BEFORE the pair join — so the
+   * per-basket fan-out is anchors-only (≤ basket width · nAnchors per
+   * basket), not the full O(w²) pair stream; the rank window partitions
+   * by anchor, bounded frames throughout.
+   */
+  def alsoBought(df: DataFrame, basketCol: String, itemCol: String,
+      nAnchors: Int = 5, nRecs: Int = 3): DataFrame = {
+    require(nAnchors >= 1 && nRecs >= 1, "nAnchors and nRecs must be positive")
+    val items = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      // cached: anchor census + both sides of the pair join read it.
+      // Caller-managed lifecycle — see coOccurrenceLift.
+      .cache()
+    val anchors = items.groupBy(col("__i").as("anchor"))
+      .agg(count(lit(1)).as("anchor_baskets"))
+      .orderBy(col("anchor_baskets").desc, col("anchor"))
+      .limit(nAnchors)
+    val anchorSide = items
+      .join(broadcast(anchors.select(col("anchor").as("__i"))), Seq("__i"), "left_semi")
+    val support = anchorSide.as("a")
+      .join(items.as("o"),
+        col("a.__b") === col("o.__b") && col("a.__i") =!= col("o.__i"))
+      .groupBy(col("a.__i").as("anchor"), col("o.__i").as("rec"))
+      .agg(count(lit(1)).as("support"))
+    val byAnchor = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(col("support").desc, col("rec"))
+    support.withColumn("rank", row_number().over(byAnchor).cast("long"))
+      .filter(col("rank") <= nRecs)
+      .join(broadcast(anchors), "anchor")
+      .select(col("anchor"), col("anchor_baskets"), col("rank"), col("rec"),
+        col("support"))
+  }
 }

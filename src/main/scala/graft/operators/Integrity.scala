@@ -219,6 +219,42 @@ object Integrity {
    * broadcast is a bulk purge, not a forget request (stated bound, like
    * the dedup caps).
    */
+  /**
+   * COMPLETENESS GRID audit — which (time slot × dimension) cells that
+   * SHOULD have data don't? The ingestion-gap detector: a feed that went
+   * dark for three hours shows up as three missing cells long before any
+   * aggregate drifts. Expected cells = the full hourly spine (global min
+   * to max slot) × every observed dimension value; a cell is missing when
+   * no row lands in it.
+   *
+   * Scale shape: the corpus collapses to DISTINCT observed cells in one
+   * map-side-combined exchange; the expected grid is a |slots|-row spine
+   * cross-joined with the broadcast |dims| frame (both bounded, never
+   * corpus-sized); missing = one anti join grid-vs-observed, and the
+   * report is |dims| rows with exact ppm coverage.
+   */
+  def completenessGrid(df: DataFrame, tsCol: String, dimCol: String): DataFrame = {
+    val observed = df.filter(col(tsCol).isNotNull && col(dimCol).isNotNull)
+      .select(date_trunc("hour", col(tsCol)).as("slot"), col(dimCol).as("dim"))
+      .distinct()
+      // cached: spine bounds, the anti join, and the per-dim rollup all
+      // read it. Caller-managed lifecycle — see bucketChecksums' siblings.
+      .cache()
+    val bounds = observed.agg(min(col("slot")).as("__t0"), max(col("slot")).as("__t1"))
+    val spine = bounds
+      .select(explode(expr("sequence(__t0, __t1, interval 1 hour)")).as("slot"))
+    val dims = observed.select(col("dim")).distinct()
+    val grid = spine.crossJoin(broadcast(dims))
+    val missing = grid.join(observed, Seq("slot", "dim"), "left_anti")
+      .groupBy("dim").agg(count(lit(1)).as("n_missing"))
+    grid.groupBy("dim").agg(count(lit(1)).as("n_expected"))
+      .join(missing, Seq("dim"), "left")
+      .select(col("dim"), col("n_expected"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        expr("(n_expected - coalesce(n_missing, 0)) * 1000000 DIV n_expected")
+          .as("coverage_ppm"))
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

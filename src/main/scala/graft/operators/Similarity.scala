@@ -522,4 +522,37 @@ object Similarity {
         sum(when(col("lb") =!= col("label"), 1L).otherwise(0L)).as("n_disagree"))
       .filter(col("n_disagree") * 2 > k)
   }
+
+  /**
+   * RECIPROCAL-RANK FUSION of retrieval result lists — the standard
+   * score-free ensemble for hybrid search (RRF, Cormack et al.): each
+   * list contributes `1e9 DIV (rrfK + rank)` per item in EXACT integers
+   * (the float 1/(k+r) scaled to fixed point — ranks are small, so the
+   * scaled reciprocal is collision-free down to rank thousands), summed
+   * across lists. Items missing from a list simply contribute nothing —
+   * that asymmetry is the point of RRF: no score calibration between
+   * systems is needed, only ranks.
+   *
+   * Each input list is re-ranked internally by (`scoreCol` DESC, id) so
+   * fusion never trusts caller ordering (nondeterministic row order is
+   * invisible until it flips a fused rank). Result lists are top-k
+   * frames by contract — tiny — so the rank windows and the fusion
+   * aggregate never see corpus-scale data; the heavy retrieval work
+   * happened upstream (brute/banded/IVF operators).
+   */
+  def rrfFusion(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.size >= 2, "rrfFusion needs at least two result lists")
+    require(rrfK >= 1, s"rrfK $rrfK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val contributions = lists.map { df =>
+      df.select(col(idCol), col(scoreCol).as("__s"))
+        .withColumn("__rk",
+          row_number().over(Window.orderBy(col("__s").desc, col(idCol))).cast("long"))
+        .select(col(idCol), expr(s"1000000000 DIV ($rrfK + __rk)").as("__c"))
+    }.reduce(_ unionAll _)
+    contributions.groupBy(idCol)
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+  }
 }

@@ -1863,6 +1863,42 @@ object Extensions {
     Analytics.peakConcurrency(Tables(spark, sfDir, "events"), "ts",
       "event_id", durationSeconds = 300L)
 
+  /** x200 — reciprocal-rank fusion ([[Similarity.rrfFusion]]): the hybrid-
+    * search ensemble — brute-force top-20 and sign-bucket ANN top-10 for
+    * the same query fused by exact-integer `1e9 DIV (60 + rank)`; no score
+    * calibration, only ranks. */
+  private val x200: Q = (spark, sfDir) =>
+    Similarity.rrfFusion(Seq(
+      Similarity.bruteForceTopK(emb(spark, sfDir), queryVec(spark, sfDir), 20),
+      Similarity.annTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10)),
+      "vec_id", "sim")
+
+  /** x201 — "also bought" table ([[Curation.alsoBought]]): top-3 co-basket
+    * brands for each of the 5 highest-volume brands — the item-item CF
+    * primitive; anchors semi-filter the pair join BEFORE fan-out. */
+  private val x201: Q = (spark, sfDir) => {
+    val withBrand = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+    Curation.alsoBought(withBrand, "l_orderkey", "p_brand",
+      nAnchors = 5, nRecs = 3)
+      .orderBy("anchor", "rank")
+  }
+
+  /** x202 — completeness grid ([[Integrity.completenessGrid]]): which
+    * (hour × event_type) cells are silent? The ingestion-gap audit —
+    * expected grid = hourly spine × observed types, missing = one anti
+    * join, exact ppm coverage per type. */
+  private val x202: Q = (spark, sfDir) =>
+    Integrity.completenessGrid(Tables(spark, sfDir, "events"), "ts", "event_type")
+      .orderBy("dim")
+
+  /** x203 — log2 HDR histogram ([[Analytics.log2Histogram]]): event values
+    * in cents bucketed by bit length (exact floor(log2), never a float
+    * log) — the exponential-bucket telemetry shape, ≤ 63 rows. */
+  private val x203: Q = (spark, sfDir) =>
+    Analytics.log2Histogram(Tables(spark, sfDir, "events"),
+      round(col("value") * 100))
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2471,7 +2507,11 @@ object Extensions {
     "x196_doc_keywords" -> x196,
     "x197_dedup_rate_by_source" -> x197,
     "x198_geometric_smoothing" -> x198,
-    "x199_peak_concurrency" -> x199)
+    "x199_peak_concurrency" -> x199,
+    "x200_rrf_fusion" -> x200,
+    "x201_also_bought" -> x201,
+    "x202_completeness_grid" -> x202,
+    "x203_log2_histogram" -> x203)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4099,6 +4139,69 @@ object Extensions {
          |SELECT CAST(t AS DATE) AS day, CAST(MAX(conc) AS BIGINT)
          |  AS peak_concurrent
          |FROM r WHERE delta = 1 GROUP BY 1 ORDER BY day"""
+        .stripMargin.replace("\n", " ")),
+    "x200_rrf_fusion" ->
+      (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |l1 AS (SELECT vec_id, ROUND($cosSql, 6) AS sim FROM embeddings, q
+         | ORDER BY sim DESC, vec_id LIMIT 20),
+         |l2 AS (SELECT vec_id, ROUND($cosSql, 6) AS sim FROM embeddings, q
+         | WHERE ${signBucketSql("embedding")} = ${signBucketSql("qe")}
+         | ORDER BY sim DESC, vec_id LIMIT 10),
+         |r1 AS (SELECT vec_id, CAST(ROW_NUMBER() OVER
+         |  (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM l1),
+         |r2 AS (SELECT vec_id, CAST(ROW_NUMBER() OVER
+         |  (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM l2),
+         |u AS (SELECT vec_id, 1000000000 // (60 + rk) AS c FROM r1
+         | UNION ALL SELECT vec_id, 1000000000 // (60 + rk) FROM r2)
+         |SELECT vec_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+         | CAST(COUNT(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY 1 ORDER BY rrf_score DESC, vec_id"""
+        .stripMargin.replace("\n", " ")),
+    "x201_also_bought" ->
+      ("""WITH it AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |an AS (SELECT i AS anchor, CAST(COUNT(*) AS BIGINT) AS anchor_baskets
+         |  FROM it GROUP BY 1 ORDER BY anchor_baskets DESC, anchor LIMIT 5),
+         |sup AS (SELECT a.i AS anchor, o.i AS rec,
+         |  CAST(COUNT(*) AS BIGINT) AS support
+         | FROM it a JOIN it o ON a.b = o.b AND a.i <> o.i
+         | WHERE a.i IN (SELECT anchor FROM an) GROUP BY 1, 2),
+         |r AS (SELECT anchor, rec, support, CAST(ROW_NUMBER() OVER
+         |  (PARTITION BY anchor ORDER BY support DESC, rec) AS BIGINT) AS rank
+         | FROM sup)
+         |SELECT r.anchor, an.anchor_baskets, r.rank, r.rec, r.support
+         |FROM r JOIN an ON an.anchor = r.anchor
+         |WHERE r.rank <= 3 ORDER BY r.anchor, r.rank"""
+        .stripMargin.replace("\n", " ")),
+    "x202_completeness_grid" ->
+      ("""WITH ob AS (SELECT DISTINCT date_trunc('hour', ts) AS slot,
+         |  event_type AS dim FROM events
+         | WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |bo AS (SELECT MIN(slot) AS t0, MAX(slot) AS t1 FROM ob),
+         |sp AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+         |  AS slot FROM bo),
+         |dm AS (SELECT DISTINCT dim FROM ob),
+         |grid AS (SELECT sp.slot, dm.dim FROM sp CROSS JOIN dm),
+         |mi AS (SELECT g.dim, CAST(COUNT(*) AS BIGINT) AS n_missing
+         |  FROM grid g LEFT JOIN ob ON ob.slot = g.slot AND ob.dim = g.dim
+         |  WHERE ob.dim IS NULL GROUP BY 1),
+         |ex AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_expected
+         |  FROM grid GROUP BY 1)
+         |SELECT ex.dim, ex.n_expected, COALESCE(mi.n_missing, 0) AS n_missing,
+         | (ex.n_expected - COALESCE(mi.n_missing, 0)) * 1000000 // ex.n_expected
+         |  AS coverage_ppm
+         |FROM ex LEFT JOIN mi ON mi.dim = ex.dim ORDER BY ex.dim"""
+        .stripMargin.replace("\n", " ")),
+    "x203_log2_histogram" ->
+      ("""WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |b AS (SELECT v, CAST(length(bin(v)) - 1 AS INT) AS bucket
+         |  FROM v WHERE v >= 1)
+         |SELECT bucket, CAST(1 AS BIGINT) << bucket AS bucket_lo,
+         | (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS bucket_hi,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+         |FROM b GROUP BY 1 ORDER BY bucket"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

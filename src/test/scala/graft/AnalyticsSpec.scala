@@ -749,6 +749,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == Map("2024-03-01" -> 2L, "2024-03-02" -> 1L))
   }
 
+  test("log2Histogram: bit-length buckets, exact power-of-two boundaries, non-positives excluded") {
+    val df = Seq(1L, 1L, 2L, 3L, 8L, 0L, -4L).toDF("v")
+    val r = Analytics.log2Histogram(df, col("v")).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r == Map(
+      0 -> ((1L, 1L, 2L, 1L, 1L)),
+      1 -> ((2L, 3L, 2L, 2L, 3L)),
+      3 -> ((8L, 15L, 1L, 8L, 8L))))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

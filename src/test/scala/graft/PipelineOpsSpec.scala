@@ -539,6 +539,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r == Map("t1" -> 3L, "t2" -> 0L))
   }
 
+  test("rrfFusion: rank reciprocals sum across lists; absent items just contribute less") {
+    import graft.operators.Similarity
+    val l1 = Seq((10L, 0.9), (20L, 0.8)).toDF("vec_id", "sim")
+    val l2 = Seq((20L, 0.99), (30L, 0.5)).toDF("vec_id", "sim")
+    val r = Similarity.rrfFusion(Seq(l1, l2), "vec_id", "sim").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // 1e9/61 = 16393442, 1e9/62 = 16129032
+    assert(r.toSeq == Seq(
+      (20L, 16393442L + 16129032L, 2L),
+      (10L, 16393442L, 1L),
+      (30L, 16129032L, 1L)))
+  }
+
+  test("alsoBought: anchors filter before fan-out; per-anchor rank with deterministic ties") {
+    import graft.operators.Curation
+    val df = Seq((1L, "X"), (1L, "Y"), (2L, "X"), (2L, "Y"), (3L, "X"),
+      (3L, "Z"), (4L, "Y")).toDF("b", "i")
+    val r = Curation.alsoBought(df, "b", "i", nAnchors = 2, nRecs = 2).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getString(3), x.getLong(4)))
+    assert(r.toSet == Set(
+      ("X", 1L, "Y", 2L), ("X", 2L, "Z", 1L), ("Y", 1L, "X", 2L)))
+  }
+
+  test("completenessGrid: silent (slot x dim) cells counted, exact ppm coverage") {
+    import graft.operators.Integrity
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(("A", t("2024-03-01 10:15:00")), ("A", t("2024-03-01 12:05:00")),
+      ("B", t("2024-03-01 10:30:00"))).toDF("dim0", "ts")
+    val r = Integrity.completenessGrid(df, "ts", "dim0").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // spine = 10:00, 11:00, 12:00 -> A misses 11:00; B misses 11:00 + 12:00
+    assert(r == Map("A" -> ((3L, 1L, 666666L)), "B" -> ((3L, 2L, 333333L))))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")

@@ -712,6 +712,21 @@ class PlanSpec extends AnyFunSuite {
       s"the boundary cumsum must ride the range-partitioned prefix sum:\n${sums.mkString("\n")}")
   }
 
+  test("x201: the anchor set SEMI-FILTERS the pair join before fan-out") {
+    val p = plan("x201_also_bought")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"anchors must broadcast-semi-filter one pair side before the basket join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("x203: the log2 histogram is join-free — one scan, one bounded aggregate") {
+    val p = plan("x203_log2_histogram")
+    assert(!p.contains("Join"), s"bucketing must be row-local, never a join:\n$p")
+    assert(p.contains("partial_count"),
+      s"the bucket aggregate must partial-aggregate map-side:\n$p")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
