@@ -1782,6 +1782,80 @@ object Analytics {
   }
 
   /**
+   * Two-sided-free, one-sided CUSUM drift scan over the daily event
+   * series — the SEQUENTIAL drift detector: where [[levelShiftScan]]
+   * finds the single best retrospective split and x169 flags individual
+   * outlier days, CUSUM accumulates small same-direction deviations until
+   * their SUM is undeniable, catching slow upward drifts neither sees.
+   * Recurrence-free formulation: `S⁺(t) = max(0, S⁺(t−1) + y_t)` is
+   * identically `cum(t) − min(0, min_{j≤t} cum(j))` — a prefix sum and a
+   * prefix min over the |days| spine, both bounded windows, no sequential
+   * state. All arithmetic in exact ppm of the global mean (`y_t =
+   * x_t·1e6 − mean_ppm − slack_ppm`); slack = mean/100, alert threshold =
+   * mean/10 (stated tuning constants, the standard "small persistent
+   * shift" configuration).
+   *
+   * Output is EVERY day with its running statistic and an alert flag —
+   * never just the alerts, so a quiet series still produces a non-vacuous,
+   * oracle-checkable frame.
+   */
+  def cusumDrift(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__x"))
+    val tot = daily.agg(sum(col("__x")).as("__tot"), count(lit(1)).as("__days"))
+    val byDay = Window.orderBy("day")
+    daily.crossJoin(broadcast(tot))
+      .withColumn("__mean", expr("__tot * 1000000 DIV __days"))
+      .withColumn("__y",
+        col("__x") * 1000000L - col("__mean") - expr("__mean DIV 100"))
+      .withColumn("__cum", sum(col("__y")).over(byDay))
+      .withColumn("__rmin", min(col("__cum")).over(byDay))
+      .select(col("day"), col("__x").as("n_events"),
+        (col("__cum") - least(lit(0L), col("__rmin"))).as("s_pos_ppm"),
+        when(col("__cum") - least(lit(0L), col("__rmin")) > expr("__mean DIV 10"),
+          1).otherwise(0).as("alert"))
+      .orderBy("day")
+  }
+
+  /**
+   * REVENUE WATERFALL decomposition between two periods, per group — the
+   * finance-analytics bridge: Δrevenue split into a VOLUME effect
+   * (quantity change at old unit economics, `(q2−q1)·rev1 DIV q1`) and a
+   * PRICE/MIX effect (the remainder, `Δrev − volume`), which reconciles
+   * EXACTLY by construction — no residual bucket, because price/mix is
+   * defined as what volume doesn't explain. Sign-split integral division
+   * (`sign · (|q2−q1|·rev1 DIV q1)`) keeps the truncation direction
+   * engine-identical — Spark DIV truncates toward zero while SQL `//`
+   * floors, and q2 < q1 is routine.
+   *
+   * Exactness: revenues ride decimal cents end to end; the volume product
+   * is staged through DECIMAL(38,0) (qty-delta × period revenue overflows
+   * BIGINT at claimed scale). Groups present in only one period
+   * contribute with the other side at 0 (full outer join — a vanished
+   * brand IS the story).
+   */
+  def revenueWaterfall(df: DataFrame, groupCol: String, qtyCol: Column,
+      revenueCents: Column, periodTwo: Column): DataFrame = {
+    def side(p: Boolean, q: String, r: String) = df
+      .filter(if (p) periodTwo else !periodTwo)
+      .groupBy(col(groupCol))
+      .agg(sum(qtyCol.cast("long")).as(q),
+        sum(revenueCents.cast("decimal(18,0)")).cast("long").as(r))
+    side(false, "q1", "rev1").join(side(true, "q2", "rev2"), Seq(groupCol), "full")
+      .select(col(groupCol),
+        coalesce(col("q1"), lit(0L)).as("q1"), coalesce(col("q2"), lit(0L)).as("q2"),
+        coalesce(col("rev1"), lit(0L)).as("rev1_cents"),
+        coalesce(col("rev2"), lit(0L)).as("rev2_cents"))
+      .withColumn("delta_cents", col("rev2_cents") - col("rev1_cents"))
+      .withColumn("volume_cents", when(col("q1") === 0, lit(0L)).otherwise(
+        expr("""CASE WHEN q2 >= q1
+          THEN CAST(CAST(q2 - q1 AS DECIMAL(38,0)) * rev1_cents DIV q1 AS BIGINT)
+          ELSE -CAST(CAST(q1 - q2 AS DECIMAL(38,0)) * rev1_cents DIV q1 AS BIGINT)
+          END""")))
+      .withColumn("price_mix_cents", col("delta_cents") - col("volume_cents"))
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is
@@ -1808,6 +1882,97 @@ object Analytics {
         expr("shiftleft(1L, bucket + 1) - 1").as("bucket_hi"),
         col("n"), col("min_v"), col("max_v"))
       .orderBy("bucket")
+  }
+
+  /**
+   * OUT-OF-ORDER ARRIVAL audit — how late do events arrive relative to
+   * the stream's high-water mark? THE input to choosing a streaming
+   * watermark: lateness(e) = max(0, hwm_before(e) − ts(e)) in whole
+   * seconds, where hwm_before is the maximum EVENT time over everything
+   * that ARRIVED earlier (arrival order = `arrivalCol`, ties broken by
+   * `idCol`). Reported as log2 lateness buckets (bucket −1 = on time),
+   * so the tail that decides the watermark is visible at any magnitude.
+   *
+   * Scale shape: the running maximum is the TWO-PHASE range-partitioned
+   * prefix MAX ([[peakConcurrency]]'s shape with MAX for SUM):
+   * range-exchange on arrival order, pid-local prefix max over rows
+   * `(unbounded preceding, 1 preceding)`, plus the exclusive prefix max
+   * of per-partition maxima (one row per partition). The bucket rollup
+   * is ≤ 64 rows. Never a single-task ORDER BY window.
+   */
+  def latenessAudit(events: DataFrame, tsCol: String, arrivalCol: String,
+      idCol: String): DataFrame = {
+    val clean = events
+      .filter(col(tsCol).isNotNull && col(arrivalCol).isNotNull && col(idCol).isNotNull)
+      // whole seconds since epoch; post-1970 data so DIV == floor
+      .select(col(arrivalCol).as("__a"), col(idCol).as("__id"),
+        expr(s"unix_micros($tsCol) DIV 1000000").as("__s"))
+    val parted = clean.repartitionByRange(col("__a").asc, col("__id").asc)
+      .withColumn("pid", spark_partition_id())
+    val byArrival = Window.partitionBy("pid").orderBy("__a", "__id")
+    val local = parted.withColumn("__lprev",
+      max(col("__s")).over(byArrival.rowsBetween(Window.unboundedPreceding, -1)))
+    val offsets = local.groupBy("pid").agg(max(col("__s")).as("pmax"))
+      .withColumn("omax",
+        max(col("pmax")).over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid").as("_off_pid"), col("omax"))
+    local.join(broadcast(offsets), col("pid") === col("_off_pid"))
+      // unknown hwm (first arrival) coalesces to the row's own ts — a
+      // MinValue sentinel would overflow the ANSI subtraction
+      .withColumn("__late",
+        greatest(lit(0L), greatest(coalesce(col("__lprev"), col("__s")),
+          coalesce(col("omax"), col("__s"))) - col("__s")))
+      .withColumn("bucket",
+        when(col("__late") <= 0, lit(-1))
+          .otherwise((length(bin(col("__late"))) - 1).cast("int")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max(col("__late")).as("max_lateness_s"))
+      .orderBy("bucket")
+  }
+
+  /**
+   * TIME-DECAY multi-touch attribution — the fourth classic credit model
+   * (after last-touch x92, linear x134, positional x178): each in-window
+   * touch earns weight `1e6 >> min(age_days, 19)` — a power-of-two decay
+   * with one-day half-life, EXACT integers, no float exponentials — and
+   * every conversion distributes exactly 10000 basis points of credit in
+   * proportion (`w·10000 DIV Σw`, integral-division deficit assigned to
+   * the MOST RECENT touch, where time-decay's own logic puts it).
+   * Conservation `Σbps = 10000 · conversions` holds globally;
+   * conversions with no in-window touches land in an explicit
+   * "(unattributed)" bucket ([[multiTouchAttribution]]'s contract).
+   *
+   * Scale shape: identical to x134 — one conversion×touch interval join
+   * keyed on the user, per-conversion windows over in-window touches
+   * (bounded by the lookback), |types|-bounded rollup.
+   */
+  def timeDecayAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      windowDays: Int = 7): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol).as("cu"), col(tsCol).as("cts"))
+    val touches = conv.join(events.filter(col(typeCol) =!= convType),
+        col("cu") === col(userCol) &&
+          col(tsCol) >= col("cts") - expr(s"INTERVAL $windowDays DAYS") &&
+          col(tsCol) < col("cts"),
+        "left")
+      .select(col("conv_id"), col(idCol), col(typeCol), col(tsCol), col("cts"))
+    val byConv = Window.partitionBy("conv_id")
+    val lastFirst = Window.partitionBy("conv_id")
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    touches
+      .withColumn("__w", when(col(idCol).isNotNull,
+        expr(s"shiftright(1000000L, CAST(least(datediff(cts, $tsCol), 19) AS INT))")))
+      .withColumn("__sw", sum(col("__w")).over(byConv))
+      .withColumn("__fl", expr("__w * 10000 DIV __sw"))
+      .withColumn("__sfl", sum(col("__fl")).over(byConv))
+      .withColumn("rd", row_number().over(lastFirst))
+      .withColumn("touch_type", coalesce(col(typeCol), lit("(unattributed)")))
+      .withColumn("bps", when(col(idCol).isNull, lit(10000L))
+        .otherwise(col("__fl") +
+          when(col("rd") === 1, lit(10000L) - col("__sfl")).otherwise(lit(0L))))
+      .groupBy("touch_type")
+      .agg(count(col(idCol)).as("n_touches"), sum(col("bps")).as("bps_total"))
   }
 
   /**

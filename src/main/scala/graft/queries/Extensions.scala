@@ -1899,6 +1899,48 @@ object Extensions {
     Analytics.log2Histogram(Tables(spark, sfDir, "events"),
       round(col("value") * 100))
 
+  /** x204 — CUSUM drift scan ([[Analytics.cusumDrift]]): sequential
+    * accumulation of small same-direction deviations of the daily count —
+    * the slow-drift detector x186's single split and x169's per-day
+    * outliers both miss; recurrence-free prefix-sum/prefix-min form,
+    * every day reported with its running statistic + alert flag. */
+  private val x204: Q = (spark, sfDir) =>
+    Analytics.cusumDrift(Tables(spark, sfDir, "events"), "ts")
+
+  /** x205 — revenue waterfall ([[Analytics.revenueWaterfall]]): per-brand
+    * Δrevenue between the two timeline halves split into volume vs
+    * price/mix effects, reconciling exactly; sign-split integral division
+    * keeps truncation engine-identical. */
+  private val x205: Q = (spark, sfDir) =>
+    Analytics.revenueWaterfall(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey")),
+      "p_brand", col("l_quantity"),
+      col("l_extendedprice").cast("decimal(18,2)") * 100,
+      col("l_shipdate") >= lit("1998-07-01").cast("timestamp"))
+      .orderBy("p_brand")
+
+  /** x206 — out-of-order arrival audit ([[Analytics.latenessAudit]]):
+    * log2 lateness-vs-high-water-mark buckets under a DETERMINISTIC
+    * planted ingest delay (`event_id % 7` × 90 s — the clean testdata
+    * arrives perfectly ordered, which would leave the audit vacuously
+    * on-time; the plant is mirrored in the oracle, x93's pattern);
+    * running max via the two-phase range-partitioned prefix MAX. */
+  private val x206: Q = (spark, sfDir) =>
+    Analytics.latenessAudit(
+      Tables(spark, sfDir, "events")
+        .withColumn("arrival_ts", expr("ts + (event_id % 7) * INTERVAL '90' SECOND")),
+      "ts", "arrival_ts", "event_id")
+
+  /** x207 — time-decay attribution ([[Analytics.timeDecayAttribution]]):
+    * the fourth credit model beside x92/x134/x178 — power-of-two one-day
+    * half-life weights, exact 10000-bps conservation per conversion,
+    * division deficit to the most recent touch. */
+  private val x207: Q = (spark, sfDir) =>
+    Analytics.timeDecayAttribution(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "event_type", "purchase", windowDays = 7)
+      .orderBy("touch_type")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2511,7 +2553,11 @@ object Extensions {
     "x200_rrf_fusion" -> x200,
     "x201_also_bought" -> x201,
     "x202_completeness_grid" -> x202,
-    "x203_log2_histogram" -> x203)
+    "x203_log2_histogram" -> x203,
+    "x204_cusum_drift" -> x204,
+    "x205_revenue_waterfall" -> x205,
+    "x206_lateness_audit" -> x206,
+    "x207_time_decay_attribution" -> x207)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4202,6 +4248,88 @@ object Extensions {
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
          |FROM b GROUP BY 1 ORDER BY bucket"""
+        .stripMargin.replace("\n", " ")),
+    "x204_cusum_drift" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS x FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(SUM(x) AS BIGINT) AS tot,
+         |  CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+         |y AS (SELECT day, x, tot * 1000000 // nd AS mean,
+         |  x * 1000000 - tot * 1000000 // nd
+         |   - (tot * 1000000 // nd) // 100 AS yv FROM d, t),
+         |c AS (SELECT day, x, mean,
+         |  CAST(SUM(yv) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         | FROM y),
+         |m AS (SELECT day, x, mean, cum,
+         |  CAST(MIN(cum) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rmin
+         | FROM c)
+         |SELECT day, x AS n_events,
+         | cum - LEAST(0, rmin) AS s_pos_ppm,
+         | CASE WHEN cum - LEAST(0, rmin) > mean // 10 THEN 1 ELSE 0 END AS alert
+         |FROM m ORDER BY day""".stripMargin.replace("\n", " ")),
+    "x205_revenue_waterfall" ->
+      ("""WITH f AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rc,
+         |  l_shipdate >= TIMESTAMP '1998-07-01' AS p2
+         | FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |s1 AS (SELECT p_brand, CAST(SUM(q) AS BIGINT) AS q1,
+         |  CAST(SUM(rc) AS BIGINT) AS rev1 FROM f WHERE NOT p2 GROUP BY 1),
+         |s2 AS (SELECT p_brand, CAST(SUM(q) AS BIGINT) AS q2,
+         |  CAST(SUM(rc) AS BIGINT) AS rev2 FROM f WHERE p2 GROUP BY 1),
+         |j AS (SELECT COALESCE(s1.p_brand, s2.p_brand) AS p_brand,
+         |  COALESCE(q1, 0) AS q1, COALESCE(q2, 0) AS q2,
+         |  COALESCE(rev1, 0) AS rev1_cents, COALESCE(rev2, 0) AS rev2_cents
+         | FROM s1 FULL JOIN s2 ON s1.p_brand = s2.p_brand),
+         |v AS (SELECT *, rev2_cents - rev1_cents AS delta_cents,
+         |  CASE WHEN q1 = 0 THEN 0
+         |       WHEN q2 >= q1 THEN CAST((q2 - q1) * rev1_cents // q1 AS BIGINT)
+         |       ELSE -CAST((q1 - q2) * rev1_cents // q1 AS BIGINT) END
+         |   AS volume_cents FROM j)
+         |SELECT p_brand, q1, q2, rev1_cents, rev2_cents, delta_cents,
+         | volume_cents, delta_cents - volume_cents AS price_mix_cents
+         |FROM v ORDER BY p_brand""".stripMargin.replace("\n", " ")),
+    "x206_lateness_audit" ->
+      ("""WITH e AS (SELECT event_id, ts,
+         |  ts + (event_id % 7) * INTERVAL 90 SECOND AS at
+         | FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |h AS (SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         |  MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (ORDER BY at, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+         | FROM e),
+         |l AS (SELECT GREATEST(0, COALESCE(hwm - s, 0)) AS late FROM h),
+         |b AS (SELECT CASE WHEN late <= 0 THEN -1
+         |  ELSE CAST(length(bin(late)) - 1 AS INT) END AS bucket, late FROM l)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(MAX(late) AS BIGINT) AS max_lateness_s
+         |FROM b GROUP BY 1 ORDER BY bucket"""
+        .stripMargin.replace("\n", " ")),
+    "x207_time_decay_attribution" ->
+      ("""WITH pur AS (SELECT event_id AS conv_id, user_id AS cu, ts AS cts
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT p.conv_id, p.cts, e.event_id, e.event_type, e.ts
+         |  FROM pur p LEFT JOIN events e ON e.user_id = p.cu
+         |   AND e.ts >= p.cts - INTERVAL 7 DAY AND e.ts < p.cts
+         |   AND e.event_type <> 'purchase'),
+         |w AS (SELECT conv_id, event_id,
+         |  COALESCE(event_type, '(unattributed)') AS touch_type,
+         |  CASE WHEN event_id IS NOT NULL THEN CAST(1000000 AS BIGINT) >> LEAST(
+         |    date_diff('day', CAST(ts AS DATE), CAST(cts AS DATE)), 19) END AS wt,
+         |  ROW_NUMBER() OVER (PARTITION BY conv_id
+         |    ORDER BY ts DESC, event_id DESC) AS rd
+         | FROM t),
+         |w2 AS (SELECT *, CAST(SUM(wt) OVER (PARTITION BY conv_id) AS BIGINT)
+         |  AS sw FROM w),
+         |w3 AS (SELECT *, wt * 10000 // sw AS fl FROM w2),
+         |w4 AS (SELECT *, CAST(SUM(fl) OVER (PARTITION BY conv_id) AS BIGINT)
+         |  AS sfl FROM w3)
+         |SELECT touch_type, CAST(COUNT(event_id) AS BIGINT) AS n_touches,
+         | CAST(SUM(CASE WHEN event_id IS NULL THEN 10000
+         |   ELSE fl + CASE WHEN rd = 1 THEN 10000 - sfl ELSE 0 END END)
+         |   AS BIGINT) AS bps_total
+         |FROM w4 GROUP BY touch_type ORDER BY touch_type"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -760,6 +760,60 @@ class AnalyticsSpec extends AnyFunSuite {
       3 -> ((8L, 15L, 1L, 8L, 8L))))
   }
 
+  test("cusumDrift: accumulation resets at zero and fires on a sustained jump") {
+    // counts 10,10,10,30: mean 15 -> S+ stays 0 through the low days,
+    // jumps to 14.85e6 ppm on day 4 (> mean/10 = 1.5e6) -> alert
+    val events = (Seq.fill(10)("2024-03-01") ++ Seq.fill(10)("2024-03-02") ++
+      Seq.fill(10)("2024-03-03") ++ Seq.fill(30)("2024-03-04"))
+      .map(d => ts(s"$d 09:00:00")).toDF("ts")
+    val r = Analytics.cusumDrift(events, "ts").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(2), x.getInt(3)))
+    assert(r.toSeq == Seq(
+      ("2024-03-01", 0L, 0), ("2024-03-02", 0L, 0), ("2024-03-03", 0L, 0),
+      ("2024-03-04", 14850000L, 1)))
+  }
+
+  test("revenueWaterfall: volume at old economics, price/mix reconciles, one-sided brands survive") {
+    val p2 = col("period") === 2
+    val df = Seq(
+      ("A", 1, 2L, 20000L), ("A", 2, 3L, 33000L),  // vol = 1*20000/2 = 10000
+      ("B", 1, 5L, 50000L),                         // vanishes in p2
+      ("C", 2, 4L, 8000L))                          // appears in p2
+      .toDF("brand", "period", "q", "cents")
+    val r = Analytics.revenueWaterfall(df, "brand", col("q"), col("cents"), p2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(5), x.getLong(6), x.getLong(7)))).toMap
+    assert(r("A") == ((13000L, 10000L, 3000L)))
+    assert(r("B") == ((-50000L, -50000L, 0L)))   // all volume, by definition
+    assert(r("C") == ((8000L, 0L, 8000L)))       // q1=0 -> no volume base
+  }
+
+  test("latenessAudit: out-of-order arrival shows up in log2 buckets; in-order is on time") {
+    val df = Seq(
+      (1L, ts("2024-03-01 10:01:40"), ts("2024-03-01 10:02:00")), // arrives first
+      (2L, ts("2024-03-01 10:00:00"), ts("2024-03-01 10:02:01"))) // 100 s late
+      .toDF("event_id", "ts", "arrival")
+    val r = Analytics.latenessAudit(df, "ts", "arrival", "event_id").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(-1 -> ((1L, 0L)), 6 -> ((1L, 100L)))) // 100 in [64,128)
+  }
+
+  test("timeDecayAttribution: half-life weights, deficit to the most recent touch, conservation") {
+    val events = Seq(
+      (1L, 7L, ts("2024-03-01 10:00:00"), "view"),
+      (2L, 7L, ts("2024-03-02 10:00:00"), "click"),
+      (3L, 7L, ts("2024-03-03 10:00:00"), "purchase"),
+      (4L, 8L, ts("2024-03-03 12:00:00"), "purchase")) // no touches
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = Analytics.timeDecayAttribution(events, "user_id", "ts", "event_id",
+      "event_type", "purchase").collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    // weights: view (age 2) 250000, click (age 1) 500000; floors 3333/6666,
+    // deficit 1 bps -> click (most recent)
+    assert(r == Map("view" -> 3333L, "click" -> 6667L, "(unattributed)" -> 10000L))
+    assert(r.values.sum == 2 * 10000L) // global conservation
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

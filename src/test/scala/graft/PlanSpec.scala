@@ -727,6 +727,22 @@ class PlanSpec extends AnyFunSuite {
       s"the bucket aggregate must partial-aggregate map-side:\n$p")
   }
 
+  test("x206: the arrival-order running max is pid-partitioned (two-phase prefix max)") {
+    val p = plan("x206_lateness_audit")
+    val mx = p.linesIterator
+      .filter(l => l.contains("max(__s") && l.contains("windowspecdefinition")).toSeq
+    assert(mx.nonEmpty && mx.forall(_.contains("windowspecdefinition(pid")),
+      s"the high-water mark must ride the range-partitioned prefix max:\n${mx.mkString("\n")}")
+  }
+
+  test("x207: decay attribution shares x134's single interval-join shape — windows per conversion") {
+    val p = plan("x207_time_decay_attribution")
+    val rn = p.linesIterator.filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("windowspecdefinition(conv_id")),
+      s"the recency rank must partition by conversion:\n${rn.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
