@@ -1856,6 +1856,113 @@ object Analytics {
   }
 
   /**
+   * CROSS-CORRELATION between two event-type daily series at lags
+   * −`maxLag`..+`maxLag` — the lead/lag question ("do clicks LEAD
+   * purchases, and by how many days?") that [[autocorrelation]] answers
+   * only for a series against itself. ccf(L) = Pearson(a(t), b(t+L)) over
+   * the SHARED zero-filled calendar (one spine for both series — a day
+   * silent in either contributes a 0, not a dropped pair); positive-lag
+   * peaks mean `a` leads `b`.
+   *
+   * Determinism and scale shape inherited verbatim from
+   * [[autocorrelation]]: exact decimal moment sums per lag, one fixed
+   * double expression per coefficient, exact zero-variance guard → NULL;
+   * corpus → |days| spine collapse first, broadcast lag frame, alignment
+   * equi-join on `day + lag`, |days|·(2·maxLag+1)-bounded throughout.
+   */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"maxLag $maxLag not in [1,366]")
+    val daily = events
+      .filter(col(tsCol).isNotNull &&
+        (col(typeCol) === typeA || col(typeCol) === typeB))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("__b"))
+      // cached: bounds + both alignment sides re-read it. Caller-managed
+      // lifecycle — see pageRank's contract.
+      .cache()
+    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val filled = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    val lags = events.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = filled.select(col("day"), col("__a")).as("x")
+      .crossJoin(broadcast(lags))
+      .join(filled.select(col("day").as("__bd"), col("__b")).as("y"),
+        expr("__bd = date_add(day, lag)"))
+    val dx = col("__a").cast("decimal(19,0)")
+    val dy = col("__b").cast("decimal(19,0)")
+    val agg = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(dx).as("_sx"), sum(dy).as("_sy"),
+      sum(dx * dx).as("_sxx"), sum(dy * dy).as("_syy"), sum(dx * dy).as("_sxy"))
+    val n = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val va = n * d("_sxx") - d("_sx") * d("_sx")
+    val vb = n * d("_syy") - d("_sy") * d("_sy")
+    val vaExact = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val vbExact = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(col("lag"), col("n_pairs"),
+      when(vaExact > 0 && vbExact > 0,
+        round((n * d("_sxy") - d("_sx") * d("_sy")) / sqrt(va * vb), 6)).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /**
+   * Month-over-month REVENUE BRIDGE per customer cohort movement — the
+   * recurring-revenue decomposition every finance review opens with: this
+   * month's revenue change split into NEW (customer absent last month),
+   * EXPANSION (spent more), CONTRACTION (spent less, negative), and
+   * CHURN (absent this month, negative last-month revenue), reconciling
+   * exactly: `Σ effects = revenue(m) − revenue(m−1)` for every month.
+   * The revenue counterpart of user-grain growth accounting (x155).
+   *
+   * Exactness: cents end to end; classification joins current
+   * customer-months against last month's shifted by `add_months` (a full
+   * outer join — churned customers exist only on the shifted side).
+   *
+   * Scale shape: one exchange to (customer, month) totals with map-side
+   * partials, one hash join on the same key pair, a |months|-bounded
+   * rollup. The first observed month reports everything as NEW by
+   * construction.
+   */
+  def revenueBridge(df: DataFrame, custCol: String, tsCol: String,
+      amountCents: Column): DataFrame = {
+    val cm = df.filter(col(custCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(custCol).as("__c"), trunc(col(tsCol), "month").as("__m"))
+      .agg(sum(amountCents.cast("decimal(18,0)")).cast("long").as("__r"))
+      // cached: both bridge sides read it. Caller-managed lifecycle — see
+      // pageRank's contract.
+      .cache()
+    val prev = cm.select(col("__c"), expr("add_months(__m, 1)").as("__m"),
+      col("__r").as("__rp"))
+    // the shift manufactures a phantom month AFTER the horizon where every
+    // customer "churns" — clip the bridge to observed months
+    val lastM = cm.agg(max(col("__m")).as("__last"))
+    cm.join(prev, Seq("__c", "__m"), "full")
+      .crossJoin(broadcast(lastM))
+      .filter(col("__m") <= col("__last"))
+      .groupBy(col("__m").as("month"))
+      .agg(
+        sum(when(col("__rp").isNull, col("__r")).otherwise(0L)).as("new_cents"),
+        sum(when(col("__r").isNotNull && col("__rp").isNotNull &&
+          col("__r") > col("__rp"), col("__r") - col("__rp")).otherwise(0L))
+          .as("expansion_cents"),
+        sum(when(col("__r").isNotNull && col("__rp").isNotNull &&
+          col("__r") < col("__rp"), col("__r") - col("__rp")).otherwise(0L))
+          .as("contraction_cents"),
+        sum(when(col("__r").isNull, -col("__rp")).otherwise(0L)).as("churn_cents"))
+      .withColumn("net_change_cents",
+        col("new_cents") + col("expansion_cents") + col("contraction_cents") +
+          col("churn_cents"))
+      .orderBy("month")
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

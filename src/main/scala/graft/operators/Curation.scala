@@ -528,6 +528,36 @@ object Curation {
   }
 
   /**
+   * SMALL-CELL SUPPRESSION for publishable aggregates — the
+   * disclosure-control step after a k-anonymity AUDIT (x154) says "these
+   * cells are unsafe": every (group, dim) cell with fewer than
+   * `minCellSize` members is merged into the dim's "(suppressed)" bucket,
+   * so no published count identifies a small cohort while PER-DIM TOTALS
+   * ARE PRESERVED EXACTLY (Σ published = Σ raw within each dim —
+   * suppression relocates counts, never deletes them; invariant-tested).
+   * A dim whose small cells sum to fewer than `minCellSize` members still
+   * publishes the bucket — the bucket is categorical ("small cohorts
+   * live here"), not a cell that must itself pass k.
+   *
+   * Scale shape: one exchange to (group, dim) counts with map-side
+   * partials; the suppression rewrite is a row-local CASE; the re-merge
+   * aggregate is bounded by the published cell count. Nothing row-scale
+   * after the first collapse.
+   */
+  def cellSuppression(df: DataFrame, groupCol: String, dimCol: String,
+      minCellSize: Long = 10L): DataFrame = {
+    require(minCellSize >= 1, s"minCellSize $minCellSize must be positive")
+    df.filter(col(groupCol).isNotNull && col(dimCol).isNotNull)
+      .groupBy(col(groupCol), col(dimCol)).agg(count(lit(1)).as("__n"))
+      .select(
+        when(col("__n") < minCellSize, lit("(suppressed)"))
+          .otherwise(col(groupCol).cast("string")).as(groupCol),
+        col(dimCol), col("__n"))
+      .groupBy(col(groupCol), col(dimCol))
+      .agg(sum(col("__n")).as("n"))
+  }
+
+  /**
    * "ALSO BOUGHT" recommendation table — for each of the `nAnchors`
    * highest-volume items, the `nRecs` items most often sharing a basket
    * with it: the item-item collaborative-filtering primitive served

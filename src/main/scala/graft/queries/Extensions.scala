@@ -1941,6 +1941,33 @@ object Extensions {
       "user_id", "ts", "event_id", "event_type", "purchase", windowDays = 7)
       .orderBy("touch_type")
 
+  /** x208 — cross-correlation ([[Analytics.crossCorrelation]]): do clicks
+    * LEAD purchases? ccf at lags −7..+7 over the shared zero-filled daily
+    * calendar — x190's exact-moment discipline for two series. */
+  private val x208: Q = (spark, sfDir) =>
+    Analytics.crossCorrelation(Tables(spark, sfDir, "events"), "ts",
+      "event_type", "click", "purchase", maxLag = 7)
+
+  /** x209 — small-cell suppression ([[Curation.cellSuppression]]): the
+    * publishable (nation × segment) customer counts with sub-10 cells
+    * merged into "(suppressed)" — totals preserved exactly per segment;
+    * the disclosure-control STEP after x154's k-anonymity audit. */
+  private val x209: Q = (spark, sfDir) =>
+    Curation.cellSuppression(
+      Tables(spark, sfDir, "customer")
+        .join(Tables(spark, sfDir, "nation"),
+          col("c_nationkey") === col("n_nationkey")),
+      "n_name", "c_mktsegment", minCellSize = 10L)
+      .orderBy("n_name", "c_mktsegment")
+
+  /** x210 — revenue bridge ([[Analytics.revenueBridge]]): month-over-month
+    * revenue change split into new / expansion / contraction / churn in
+    * exact cents, reconciling to the net change — the revenue counterpart
+    * of x155's user-grain growth accounting. */
+  private val x210: Q = (spark, sfDir) =>
+    Analytics.revenueBridge(Tables(spark, sfDir, "orders"), "o_custkey",
+      "o_orderdate", col("o_totalprice").cast("decimal(18,2)") * 100)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2557,7 +2584,10 @@ object Extensions {
     "x204_cusum_drift" -> x204,
     "x205_revenue_waterfall" -> x205,
     "x206_lateness_audit" -> x206,
-    "x207_time_decay_attribution" -> x207)
+    "x207_time_decay_attribution" -> x207,
+    "x208_cross_correlation" -> x208,
+    "x209_cell_suppression" -> x209,
+    "x210_revenue_bridge" -> x210)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4331,6 +4361,75 @@ object Extensions {
          |   AS BIGINT) AS bps_total
          |FROM w4 GROUP BY touch_type ORDER BY touch_type"""
         .stripMargin.replace("\n", " ")),
+    "x208_cross_correlation" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS a,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS b
+         | FROM events WHERE ts IS NOT NULL
+         |  AND event_type IN ('click', 'purchase') GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT s.day, COALESCE(d.a, 0) AS a, COALESCE(d.b, 0) AS b
+         |  FROM s LEFT JOIN d ON s.day = d.day),
+         |l AS (SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag),
+         |pr AS (SELECT l.lag AS lag, x.a AS xa, y.b AS yb
+         |  FROM f x CROSS JOIN l JOIN f y ON y.day = x.day + l.lag),
+         |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  SUM(xa) AS sx, SUM(yb) AS sy, SUM(xa * xa) AS sxx,
+         |  SUM(yb * yb) AS syy, SUM(xa * yb) AS sxy
+         | FROM pr GROUP BY 1)
+         |SELECT lag, n_pairs,
+         | CASE WHEN n_pairs * sxx - sx * sx > 0
+         |       AND n_pairs * syy - sy * sy > 0
+         |  THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         | END AS ccf
+         |FROM m ORDER BY lag""".stripMargin.replace("\n", " ")),
+    "x209_cell_suppression" ->
+      ("""WITH c AS (SELECT n_name, c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         | FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY 1, 2),
+         |s AS (SELECT CASE WHEN n < 10 THEN '(suppressed)' ELSE n_name END
+         |  AS n_name, c_mktsegment, n FROM c)
+         |SELECT n_name, c_mktsegment, CAST(SUM(n) AS BIGINT) AS n
+         |FROM s GROUP BY 1, 2 ORDER BY n_name, c_mktsegment"""
+        .stripMargin.replace("\n", " ")),
+    "x210_revenue_bridge" ->
+      ("""WITH cm AS (SELECT o_custkey AS c,
+         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS BIGINT) AS r
+         | FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         | GROUP BY 1, 2),
+         |pv AS (SELECT c, CAST(m + INTERVAL 1 MONTH AS DATE) AS m, r AS rp
+         |  FROM cm),
+         |lm AS (SELECT MAX(m) AS lastm FROM cm),
+         |j AS (SELECT COALESCE(cm.c, pv.c) AS c, COALESCE(cm.m, pv.m) AS m,
+         |  cm.r, pv.rp
+         | FROM cm FULL JOIN pv ON cm.c = pv.c AND cm.m = pv.m),
+         |g AS (SELECT m AS month,
+         |  CAST(SUM(CASE WHEN rp IS NULL THEN r ELSE 0 END) AS BIGINT)
+         |    AS new_cents,
+         |  CAST(SUM(CASE WHEN r IS NOT NULL AND rp IS NOT NULL AND r > rp
+         |    THEN r - rp ELSE 0 END) AS BIGINT) AS expansion_cents,
+         |  CAST(SUM(CASE WHEN r IS NOT NULL AND rp IS NOT NULL AND r < rp
+         |    THEN r - rp ELSE 0 END) AS BIGINT) AS contraction_cents,
+         |  CAST(SUM(CASE WHEN r IS NULL THEN -rp ELSE 0 END) AS BIGINT)
+         |    AS churn_cents
+         | FROM j, lm WHERE m <= lastm GROUP BY 1)
+         |SELECT month, new_cents, expansion_cents, contraction_cents,
+         | churn_cents,
+         | new_cents + expansion_cents + contraction_cents + churn_cents
+         |  AS net_change_cents
+         |FROM g ORDER BY month""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -814,6 +814,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.values.sum == 2 * 10000L) // global conservation
   }
 
+  test("crossCorrelation: a series leading by one day peaks at lag +1") {
+    // A fires on days 1,3,5; B fires on days 2,4 (B = A shifted +1 day)
+    val events = (Seq(1, 3, 5).map(d => (s"2024-03-0$d", "A")) ++
+      Seq(2, 4).map(d => (s"2024-03-0$d", "B")))
+      .map { case (d, t) => (ts(s"$d 09:00:00"), t) }.toDF("ts", "event_type")
+    val r = Analytics.crossCorrelation(events, "ts", "event_type", "A", "B",
+      maxLag = 1).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1) == ((4L, 1.0)))  // a(t) == b(t+1) exactly
+    assert(r(0) == ((5L, -1.0))) // perfectly anti-aligned at lag 0
+  }
+
+  test("revenueBridge: new/expansion/churn reconcile to the net change; phantom month clipped") {
+    val orders = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10000L), // cust 1 Jan 100.00
+      (1L, ts("2024-02-10 00:00:00"), 15000L), // cust 1 Feb 150.00 -> +50 exp
+      (2L, ts("2024-01-20 00:00:00"), 8000L),  // cust 2 Jan only -> Feb churn
+      (3L, ts("2024-02-25 00:00:00"), 6000L))  // cust 3 Feb only -> new
+      .toDF("cust", "ts", "cents")
+    val r = Analytics.revenueBridge(orders, "cust", "ts", col("cents")).collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", (18000L, 0L, 0L, 0L, 18000L)),
+      ("2024-02-01", (6000L, 5000L, 0L, -8000L, 3000L))))
+    // no 2024-03 row: the post-horizon churn month is clipped
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

@@ -318,4 +318,15 @@ class CurationSpec extends AnyFunSuite {
     assert(out(9) == ((4L, 500000L, 500000L - 45757L)))
     assert(out(3) == ((0L, 0L, -124938L))) // spine row, full negative deviation
   }
+
+  test("cellSuppression: small cells merge into the bucket; per-dim totals preserved") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    val df = (Seq.fill(12)("A") ++ Seq.fill(3)("B") ++ Seq.fill(4)("C"))
+      .map(g => (g, "seg1")).toDF("grp", "seg")
+    val r = graft.operators.Curation.cellSuppression(df, "grp", "seg", 10L)
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r == Map("A" -> 12L, "(suppressed)" -> 7L))
+    assert(r.values.sum == 19L) // conservation: nothing deleted
+  }
 }

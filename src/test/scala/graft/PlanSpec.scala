@@ -743,6 +743,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
 
+  test("x210: the bridge is customer-month collapse first, then ONE hash join pair") {
+    val p = plan("x210_revenue_bridge")
+    assert(p.contains("partial_sum"),
+      s"customer-month revenue must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin FullOuter")) <= 1,
+      s"exactly one full-outer bridge join on (customer, month):\n$p")
+  }
+
   test("x189: the DL comparison runs on the VOCABULARY frame — aggregates precede the self-join") {
     val p = plan("x189_blocked_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
