@@ -1963,6 +1963,120 @@ object Analytics {
   }
 
   /**
+   * OPEN-ORDER BACKLOG curve — how many orders were placed but not yet
+   * fully shipped on each calendar day: the operations metric behind
+   * "are we falling behind?". An order is open from its placement day
+   * through the day its LAST line ships (inclusive); the curve is the
+   * running sum of `+1 at placement, −1 the day after completion` over
+   * the zero-filled day spine.
+   *
+   * Scale shape: one exchange collapses lines to per-order
+   * (placed, completed) bounds with map-side partials; the delta frame is
+   * 2 rows per order, immediately re-collapsed to per-DAY net deltas
+   * (|days|-bounded); the cumulative window rides the calendar spine,
+   * never an order-sized frame. Orders with any unshipped NULL line are
+   * excluded (no completion day exists — stated; an inventory variant
+   * would carry them as permanently open).
+   */
+  def backlogCurve(df: DataFrame, orderCol: String, placedCol: String,
+      shippedCol: String): DataFrame = {
+    val orders = df
+      .filter(col(orderCol).isNotNull && col(placedCol).isNotNull &&
+        col(shippedCol).isNotNull)
+      .groupBy(col(orderCol))
+      .agg(min(to_date(col(placedCol))).as("__p"),
+        max(to_date(col(shippedCol))).as("__s"))
+      .filter(col("__s") >= col("__p"))
+    val deltas = orders.select(col("__p").as("day"), lit(1L).as("__d"))
+      .unionAll(orders.select(expr("date_add(__s, 1)").as("day"),
+        lit(-1L).as("__d")))
+      .groupBy("day").agg(sum(col("__d")).as("__net"))
+      // cached: spine bounds + the zero-fill join both read it.
+      // Caller-managed lifecycle — see pageRank's contract.
+      .cache()
+    val bounds = deltas.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      .join(deltas, Seq("day"), "left")
+      .withColumn("backlog",
+        sum(coalesce(col("__net"), lit(0L))).over(Window.orderBy("day")))
+      .select(col("day"), col("backlog"))
+      .orderBy("day")
+  }
+
+  /**
+   * BACKFILL PLANNER — which days' row counts collapsed relative to their
+   * own recent history and need regeneration? Each day is compared to the
+   * EXACT lower median of its trailing week (the 7 prior days, current
+   * day excluded — a failing day must not drag its own baseline), flagged
+   * when it delivers under half the expected volume. The data-ops
+   * counterpart of [[cusumDrift]]: CUSUM finds slow drifts, this finds
+   * the sharp single-day holes a backfill job can actually fix.
+   *
+   * Exactness: the trailing median is `array_sort(collect_list(...))`
+   * over the |days| spine window with the lower-median element picked by
+   * index — sorting makes the nondeterministic collect order irrelevant,
+   * and the same construction runs verbatim in SQL. Days with fewer than
+   * `minHistory` trailing observations report NULL (no baseline, no
+   * flag). Ratio in exact ppm.
+   */
+  def backfillPlan(events: DataFrame, tsCol: String,
+      minHistory: Int = 3): DataFrame = {
+    require(minHistory >= 1 && minHistory <= 7, s"minHistory $minHistory not in [1,7]")
+    val observed = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__n"))
+      // cached: bounds + zero-fill both read it. Caller-managed lifecycle
+      // — see pageRank's contract.
+      .cache()
+    val bounds = observed.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    // zero-filled: a day with NO rows at all is the prime backfill
+    // candidate — dropping it would hide exactly the hole being hunted
+    val daily = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      .join(observed, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__n"), lit(0L)).as("n"))
+    val trailing = Window.orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("__hist", array_sort(collect_list(col("n")).over(trailing)))
+      .withColumn("trailing_median",
+        when(size(col("__hist")) >= minHistory,
+          expr("element_at(__hist, CAST((size(__hist) + 1) DIV 2 AS INT))")))
+      .withColumn("ratio_ppm",
+        when(col("trailing_median") > 0,
+          expr("n * 1000000 DIV trailing_median")))
+      .select(col("day"), col("n"), col("trailing_median"), col("ratio_ppm"),
+        when(col("ratio_ppm") < 500000, 1).otherwise(0).as("backfill_flag"))
+      .orderBy("day")
+  }
+
+  /**
+   * RATE-LIMIT violation audit — per hour, how many users exceeded the
+   * per-user hourly event quota, and how hard: the abuse/quota census a
+   * batch pipeline runs over ingest logs before anyone trusts per-user
+   * counts downstream. NULL users are excluded (no quota identity).
+   *
+   * Scale shape: ONE exchange to (user, hour) counts with map-side
+   * partials; the hourly rollup reuses the hour component of the same
+   * clustering; output is |hours|-bounded. The quota check is a
+   * row-local comparison on the collapsed frame — the corpus is never
+   * scanned twice.
+   */
+  def rateLimitAudit(events: DataFrame, userCol: String, tsCol: String,
+      hourlyLimit: Long): DataFrame = {
+    require(hourlyLimit >= 1, s"hourlyLimit $hourlyLimit must be positive")
+    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(when(col("__n") > hourlyLimit, 1L).otherwise(0L)).as("n_violators"),
+        sum(when(col("__n") > hourlyLimit, col("__n") - hourlyLimit)
+          .otherwise(0L)).as("excess_events"),
+        max(col("__n")).as("max_events"))
+      .orderBy("hour")
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

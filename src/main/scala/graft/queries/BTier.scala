@@ -766,6 +766,24 @@ object BTier {
         |ORDER BY n_name, rk, s_name""".stripMargin)
   }
 
+  /** b58 — named WINDOW clause: one window definition shared by a running
+    * sum, a navigation lag, and a rank — the de-duplicated-spec SQL
+    * surface (repeating the OVER(...) body invites drift between the
+    * copies); Spark resolves all three against the single `w`. */
+  private val b58: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_qty,
+        |  CAST(LAG(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS prev_qty,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS line_seq
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -823,11 +841,22 @@ object BTier {
     "b54_ignore_nulls_window" -> b54,
     "b55_ranking_zoo" -> b55,
     "b56_variant_json" -> b56,
-    "b57_rank_ties_topk" -> b57)
+    "b57_rank_ties_topk" -> b57,
+    "b58_named_window_clause" -> b58)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b58_named_window_clause" ->
+      ("""SELECT l_orderkey, l_linenumber,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         |  AS running_qty,
+         | CAST(LAG(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         |  AS prev_qty,
+         | CAST(ROW_NUMBER() OVER w AS BIGINT) AS line_seq
+         |FROM lineitem WHERE l_orderkey % 997 = 0
+         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")),
     "b57_rank_ties_topk" ->
       ("""WITH rev AS (SELECT n_name, s_name,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

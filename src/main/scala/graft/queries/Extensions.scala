@@ -1968,6 +1968,29 @@ object Extensions {
     Analytics.revenueBridge(Tables(spark, sfDir, "orders"), "o_custkey",
       "o_orderdate", col("o_totalprice").cast("decimal(18,2)") * 100)
 
+  /** x211 — open-order backlog curve ([[Analytics.backlogCurve]]): orders
+    * placed but not yet fully shipped, per day — ±1 deltas collapsed to
+    * per-day nets, cumulative sum over the calendar spine only. */
+  private val x211: Q = (spark, sfDir) =>
+    Analytics.backlogCurve(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")),
+      "o_orderkey", "o_orderdate", "l_shipdate")
+
+  /** x212 — rate-limit audit ([[Analytics.rateLimitAudit]]): per hour,
+    * users exceeding 2 events/hour with excess volume — the quota census
+    * over ingest logs; one (user, hour) exchange. */
+  private val x212: Q = (spark, sfDir) =>
+    Analytics.rateLimitAudit(Tables(spark, sfDir, "events"), "user_id", "ts",
+      hourlyLimit = 2L)
+
+  /** x213 — backfill planner ([[Analytics.backfillPlan]]): days delivering
+    * under half their trailing-week lower median (zero-filled — a fully
+    * silent day is the prime candidate), exact array-sorted median. */
+  private val x213: Q = (spark, sfDir) =>
+    Analytics.backfillPlan(Tables(spark, sfDir, "events"), "ts")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2587,7 +2610,10 @@ object Extensions {
     "x207_time_decay_attribution" -> x207,
     "x208_cross_correlation" -> x208,
     "x209_cell_suppression" -> x209,
-    "x210_revenue_bridge" -> x210)
+    "x210_revenue_bridge" -> x210,
+    "x211_backlog_curve" -> x211,
+    "x212_rate_limit_audit" -> x212,
+    "x213_backfill_plan" -> x213)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4430,6 +4456,57 @@ object Extensions {
          | new_cents + expansion_cents + contraction_cents + churn_cents
          |  AS net_change_cents
          |FROM g ORDER BY month""".stripMargin.replace("\n", " ")),
+    "x211_backlog_curve" ->
+      ("""WITH o AS (SELECT o_orderkey,
+         |  MIN(CAST(o_orderdate AS DATE)) AS p,
+         |  MAX(CAST(l_shipdate AS DATE)) AS s
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+         | GROUP BY 1
+         | HAVING MAX(CAST(l_shipdate AS DATE)) >= MIN(CAST(o_orderdate AS DATE))),
+         |d AS (SELECT p AS day, CAST(1 AS BIGINT) AS dl FROM o
+         | UNION ALL SELECT s + 1, CAST(-1 AS BIGINT) FROM o),
+         |nd AS (SELECT day, CAST(SUM(dl) AS BIGINT) AS net FROM d GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM nd),
+         |sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo)
+         |SELECT sp.day, CAST(SUM(COALESCE(nd.net, 0)) OVER (ORDER BY sp.day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS backlog
+         |FROM sp LEFT JOIN nd ON sp.day = nd.day ORDER BY sp.day"""
+        .stripMargin.replace("\n", " ")),
+    "x212_rate_limit_audit" ->
+      ("""WITH uh AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         | GROUP BY 1, 2)
+         |SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_active_users,
+         | CAST(SUM(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_violators,
+         | CAST(SUM(CASE WHEN n > 2 THEN n - 2 ELSE 0 END) AS BIGINT)
+         |  AS excess_events,
+         | CAST(MAX(n) AS BIGINT) AS max_events
+         |FROM uh GROUP BY 1 ORDER BY hour"""
+        .stripMargin.replace("\n", " ")),
+    "x213_backfill_plan" ->
+      ("""WITH ob AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ob),
+         |sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT sp.day, COALESCE(ob.n, 0) AS n
+         |  FROM sp LEFT JOIN ob ON sp.day = ob.day),
+         |h AS (SELECT day, n, list_sort(list(n) OVER (ORDER BY day
+         |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS hist FROM f),
+         |m AS (SELECT day, n, CASE WHEN len(hist) >= 3
+         |  THEN hist[(len(hist) + 1) // 2] END AS trailing_median FROM h),
+         |r AS (SELECT day, n, trailing_median,
+         |  CASE WHEN trailing_median > 0
+         |   THEN n * 1000000 // trailing_median END AS ratio_ppm FROM m)
+         |SELECT day, n, trailing_median, ratio_ppm,
+         | CASE WHEN ratio_ppm < 500000 THEN 1 ELSE 0 END AS backfill_flag
+         |FROM r ORDER BY day""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -842,6 +842,40 @@ class AnalyticsSpec extends AnyFunSuite {
     // no 2024-03 row: the post-horizon churn month is clipped
   }
 
+  test("backlogCurve: open through the last ship day, zero after; quiet days carried") {
+    val df = Seq(
+      (1L, ts("2024-03-01 09:00:00"), ts("2024-03-02 09:00:00")),
+      (1L, ts("2024-03-01 09:00:00"), ts("2024-03-03 09:00:00")), // o1 completes day3
+      (2L, ts("2024-03-02 09:00:00"), ts("2024-03-02 09:00:00"))) // o2 same-day
+      .toDF("ok", "placed", "shipped")
+    val r = Analytics.backlogCurve(df, "ok", "placed", "shipped").collect()
+      .map(x => x.getDate(0).toString -> x.getLong(1))
+    assert(r.toSeq == Seq("2024-03-01" -> 1L, "2024-03-02" -> 2L,
+      "2024-03-03" -> 1L, "2024-03-04" -> 0L))
+  }
+
+  test("backfillPlan: trailing lower median excludes the day itself; short history -> NULL") {
+    val events = (Seq.fill(10)("01") ++ Seq.fill(10)("02") ++ Seq.fill(10)("03") ++
+      Seq.fill(10)("04") ++ Seq.fill(2)("05"))
+      .map(d => ts(s"2024-03-$d 09:00:00")).toDF("ts")
+    val r = Analytics.backfillPlan(events, "ts").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getInt(4)))
+    assert(r.toSeq == Seq(
+      ("2024-03-01", 10L, -1L, 0), ("2024-03-02", 10L, -1L, 0),
+      ("2024-03-03", 10L, -1L, 0), ("2024-03-04", 10L, 10L, 0),
+      ("2024-03-05", 2L, 10L, 1))) // 200000 ppm < half -> backfill
+  }
+
+  test("rateLimitAudit: per-hour violator census with excess volume") {
+    val events = (Seq.fill(3)(1L) ++ Seq(2L)).zipWithIndex
+      .map { case (u, i) => (u, ts(s"2024-03-01 10:0$i:00")) }
+      .toDF("user_id", "ts")
+    val r = Analytics.rateLimitAudit(events, "user_id", "ts", 2L).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((2L, 1L, 1L, 3L))) // user 1 fired 3 times: 1 violator, 1 excess
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")
