@@ -528,6 +528,45 @@ object Curation {
   }
 
   /**
+   * FILTER-OVERLAP (leave-one-out) audit — before committing a curation
+   * filter stack, which filters actually matter? For each named kill
+   * predicate: how many docs it kills, and how many it kills UNIQUELY
+   * (no other filter would catch them) — the filter whose unique-kill
+   * count is ~0 is redundant and can be dropped without changing the
+   * surviving corpus. The SET-ANALYSIS complement of the sequential
+   * filter funnel (x84), which by construction hides overlap behind
+   * application order.
+   *
+   * Scale shape: ONE corpus scan evaluates every predicate into a flag
+   * vector (row-local; any predicate needing its own exchange — e.g. a
+   * dup-family flag — is the caller's input column), then one
+   * map-side-combined aggregate of 2·|filters|+2 counters. Output is
+   * |filters|+1 rows (the "(any)" summary row carries total/killed).
+   */
+  def filterOverlap(df: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "filterOverlap needs at least one filter")
+    val flagged = df.select(filters.map { case (n, p) =>
+      when(p, 1L).otherwise(0L).as(s"__f_$n")
+    }: _*)
+      .withColumn("__nkill",
+        filters.map(f => col(s"__f_${f._1}")).reduce(_ + _))
+    val aggs = filters.flatMap { case (n, _) =>
+      Seq(sum(col(s"__f_$n")).as(s"__k_$n"),
+        sum(when(col(s"__f_$n") === 1 && col("__nkill") === 1, 1L).otherwise(0L))
+          .as(s"__u_$n"))
+    } :+ sum(when(col("__nkill") > 0, 1L).otherwise(0L)).as("__any")
+    val one = flagged.agg(count(lit(1)).as("__total"), aggs: _*)
+    val rows = filters.map { case (n, _) =>
+      struct(lit(n).as("filter"), col(s"__k_$n").as("n_killed"),
+        col(s"__u_$n").as("n_unique_kill"),
+        expr(s"__k_$n * 1000000 DIV __total").as("kill_ppm"))
+    } :+ struct(lit("(any)").as("filter"), col("__any").as("n_killed"),
+      col("__any").as("n_unique_kill"),
+      expr("__any * 1000000 DIV __total").as("kill_ppm"))
+    one.select(inline(array(rows: _*)))
+  }
+
+  /**
    * SMALL-CELL SUPPRESSION for publishable aggregates — the
    * disclosure-control step after a k-anonymity AUDIT (x154) says "these
    * cells are unsafe": every (group, dim) cell with fewer than

@@ -540,6 +540,29 @@ object Similarity {
    * aggregate never see corpus-scale data; the heavy retrieval work
    * happened upstream (brute/banded/IVF operators).
    */
+  /**
+   * ANN RECALL@k evaluation — the retrieval-quality harness: each
+   * approximate method's top-k is scored against the brute-force ground
+   * truth as `|approx ∩ truth| / k` in exact ppm. This is the table a
+   * team reads before trading brute-force cost for ANN speed — an index
+   * whose recall you haven't measured is a rumor. All frames are top-k
+   * results by contract (tiny); each intersection is one semi join of
+   * two k-row frames. The heavy work (the retrievals themselves)
+   * happened upstream in the measured operators.
+   */
+  def recallEval(methods: Seq[(String, DataFrame)], truth: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    require(methods.nonEmpty && k >= 1, "need methods and positive k")
+    val truthIds = truth.select(col(idCol)).limit(k)
+    methods.map { case (name, m) =>
+      m.select(col(idCol)).limit(k)
+        .join(truthIds, Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), lit(k).as("k"), col("n_hits"),
+          expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   def rrfFusion(lists: Seq[DataFrame], idCol: String, scoreCol: String,
       rrfK: Int = 60): DataFrame = {
     require(lists.size >= 2, "rrfFusion needs at least two result lists")

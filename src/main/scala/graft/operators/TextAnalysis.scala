@@ -692,6 +692,82 @@ object TextAnalysis {
         col("score"))
   }
 
+  /**
+   * FEATURE-HASHING collision audit — before shipping hashed features
+   * ("the hashing trick") at a chosen width, measure what the hash
+   * actually destroys: distinct terms vs occupied buckets, how many
+   * terms share a bucket with another (their signals merge
+   * irrecoverably), and the worst bucket's load. Uses the engine-portable
+   * 60-bit md5 hash ([[graft.operators.PortableHash]]) so the audit is
+   * reproducible in any SQL engine — auditing a hash you can't reproduce
+   * certifies nothing.
+   *
+   * Scale shape: corpus → distinct-term collapse (vocabulary-bounded),
+   * row-local bucket assignment, one bucket aggregate + one 5-counter
+   * rollup. Output is 1 row.
+   */
+  def featureHashAudit(docs: DataFrame, textCol: String,
+      numBuckets: Int = 1 << 18): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets $numBuckets must be >= 2")
+    val terms = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .withColumn("bucket",
+        graft.operators.PortableHash.hash60(col("term")) % numBuckets)
+    terms.groupBy("bucket").agg(count(lit(1)).as("__load"))
+      .agg(sum(col("__load")).as("n_terms"),
+        count(lit(1)).as("n_buckets_used"),
+        sum(when(col("__load") > 1, col("__load")).otherwise(0L))
+          .as("n_collided_terms"),
+        max(col("__load")).as("max_bucket_load"))
+      .select(col("n_terms"), lit(numBuckets).as("n_buckets"),
+        col("n_buckets_used"), col("n_collided_terms"), col("max_bucket_load"),
+        expr("n_collided_terms * 1000000 DIV n_terms").as("collision_ppm"))
+  }
+
+  /**
+   * STOPWORD-LIST induction — the top-`topK` terms by DOCUMENT frequency
+   * with their corpus coverage: df share of docs (ppm), token share of
+   * the corpus (ppm), and the CUMULATIVE token share down the ranked
+   * list — the number a curation run reads to decide where to cut the
+   * list ("the top 12 terms already cover 31% of all tokens"). Induced,
+   * not curated: high-df terms ARE the corpus's own function words.
+   *
+   * Scale shape: one (doc, term) collapse for df + one term collapse for
+   * tf, joined on the |vocab|-bounded frames; ranking and the cumulative
+   * sum run AFTER the top-k cut (a k-row frame), so no unbounded
+   * unpartitioned window exists.
+   */
+  def stopwordInduction(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val tokens = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      // cached: df, tf, and both totals derive from it. Caller-managed
+      // lifecycle — see coOccurrenceLift.
+      .cache()
+    val df = tokens.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = tokens.groupBy("term").agg(count(lit(1)).as("tf"))
+    val totals = tokens.agg(countDistinct(col(idCol)).as("__nd"),
+      count(lit(1)).as("__nt"))
+    val top = df.join(tf, "term").crossJoin(broadcast(totals))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term"))
+    top
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .withColumn("cum_tf", sum(col("tf")).over(byRank))
+      .select(col("rank"), col("term"), col("df"), col("tf"),
+        expr("df * 1000000 DIV __nd").as("doc_share_ppm"),
+        expr("tf * 1000000 DIV __nt").as("token_share_ppm"),
+        expr("cum_tf * 1000000 DIV __nt").as("cum_token_share_ppm"))
+      .orderBy("rank")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -1991,6 +1991,47 @@ object Extensions {
   private val x213: Q = (spark, sfDir) =>
     Analytics.backfillPlan(Tables(spark, sfDir, "events"), "ts")
 
+  /** x214 — filter-overlap audit ([[Curation.filterOverlap]]): per kill
+    * predicate, total and UNIQUE kills — the leave-one-out redundancy
+    * check x84's sequential funnel hides; the dup flag rides its own
+    * text exchange as an input column, every other flag is row-local. */
+  private val x214: Q = (spark, sfDir) => {
+    val byText = org.apache.spark.sql.expressions.Window.partitionBy("text")
+    val d = docs(spark, sfDir).withColumn("__rep", min(col("doc_id")).over(byText))
+    Curation.filterOverlap(d, Seq(
+      "exact_dup" -> (col("doc_id") =!= col("__rep")),
+      "non_english" -> (col("lang") =!= "en"),
+      "oversize" -> (col("n_chars") > 400),
+      "too_short" -> (col("n_chars") < 100)))
+      .orderBy("filter")
+  }
+
+  /** x215 — feature-hash collision audit ([[TextAnalysis.featureHashAudit]]):
+    * what the hashing trick destroys at 2^18 buckets — collided-term count
+    * and worst bucket load over the distinct vocabulary, with the
+    * engine-portable md5-60 hash so the audit reproduces anywhere. */
+  private val x215: Q = (spark, sfDir) =>
+    TextAnalysis.featureHashAudit(docs(spark, sfDir), "text", 1 << 18)
+
+  /** x216 — stopword induction ([[TextAnalysis.stopwordInduction]]): the
+    * top-50 document-frequency terms with doc/token shares and CUMULATIVE
+    * token coverage — where to cut the induced stopword list. */
+  private val x216: Q = (spark, sfDir) =>
+    TextAnalysis.stopwordInduction(docs(spark, sfDir), "doc_id", "text", 50)
+
+  /** x217 — ANN recall@10 eval ([[Similarity.recallEval]]): each
+    * approximate index (sign-bucket, banded LSH, IVF) scored against the
+    * brute-force ground truth — the table read before trading exactness
+    * for speed; intersections are k-row semi joins. */
+  private val x217: Q = (spark, sfDir) =>
+    Similarity.recallEval(Seq(
+      "banded_lsh" -> Similarity.annBandedTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10),
+      "ivf" -> Similarity.ivfTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10),
+      "sign_bucket" -> Similarity.annTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10)),
+      Similarity.bruteForceTopK(emb(spark, sfDir), queryVec(spark, sfDir), 10),
+      "vec_id", 10)
+      .orderBy("method")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2613,7 +2654,11 @@ object Extensions {
     "x210_revenue_bridge" -> x210,
     "x211_backlog_curve" -> x211,
     "x212_rate_limit_audit" -> x212,
-    "x213_backfill_plan" -> x213)
+    "x213_backfill_plan" -> x213,
+    "x214_filter_overlap" -> x214,
+    "x215_feature_hash_audit" -> x215,
+    "x216_stopword_induction" -> x216,
+    "x217_ann_recall_eval" -> x217)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4507,6 +4552,115 @@ object Extensions {
          |SELECT day, n, trailing_median, ratio_ppm,
          | CASE WHEN ratio_ppm < 500000 THEN 1 ELSE 0 END AS backfill_flag
          |FROM r ORDER BY day""".stripMargin.replace("\n", " ")),
+    "x214_filter_overlap" ->
+      ("""WITH d AS (SELECT doc_id, lang, n_chars,
+         |  MIN(doc_id) OVER (PARTITION BY text) AS rep FROM documents),
+         |f AS (SELECT
+         |  CASE WHEN doc_id <> rep THEN 1 ELSE 0 END AS fd,
+         |  CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS fe,
+         |  CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS fo,
+         |  CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS fs
+         | FROM d),
+         |g AS (SELECT *, fd + fe + fo + fs AS nk FROM f),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         |  CAST(SUM(fd) AS BIGINT) AS kd,
+         |  CAST(SUM(CASE WHEN fd = 1 AND nk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ud,
+         |  CAST(SUM(fe) AS BIGINT) AS ke,
+         |  CAST(SUM(CASE WHEN fe = 1 AND nk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ue,
+         |  CAST(SUM(fo) AS BIGINT) AS ko,
+         |  CAST(SUM(CASE WHEN fo = 1 AND nk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uo,
+         |  CAST(SUM(fs) AS BIGINT) AS ks,
+         |  CAST(SUM(CASE WHEN fs = 1 AND nk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS us,
+         |  CAST(SUM(CASE WHEN nk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kany
+         | FROM g)
+         |SELECT * FROM (
+         | SELECT '(any)' AS filter, kany AS n_killed, kany AS n_unique_kill,
+         |  kany * 1000000 // total AS kill_ppm FROM t
+         | UNION ALL SELECT 'exact_dup', kd, ud, kd * 1000000 // total FROM t
+         | UNION ALL SELECT 'non_english', ke, ue, ke * 1000000 // total FROM t
+         | UNION ALL SELECT 'oversize', ko, uo, ko * 1000000 // total FROM t
+         | UNION ALL SELECT 'too_short', ks, us, ks * 1000000 // total FROM t)
+         |ORDER BY filter""".stripMargin.replace("\n", " ")),
+    "x215_feature_hash_audit" ->
+      ("""WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |t2 AS (SELECT term FROM t WHERE length(term) > 0),
+         |b AS (SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+         |  % 262144 AS bucket FROM t2),
+         |l AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ld FROM b GROUP BY 1)
+         |SELECT CAST(SUM(ld) AS BIGINT) AS n_terms,
+         | CAST(262144 AS INT) AS n_buckets,
+         | CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+         | CAST(SUM(CASE WHEN ld > 1 THEN ld ELSE 0 END) AS BIGINT)
+         |  AS n_collided_terms,
+         | CAST(MAX(ld) AS BIGINT) AS max_bucket_load,
+         | CAST(CAST(SUM(CASE WHEN ld > 1 THEN ld ELSE 0 END) AS BIGINT)
+         |  * 1000000 // CAST(SUM(ld) AS BIGINT) AS BIGINT) AS collision_ppm
+         |FROM l""".stripMargin.replace("\n", " ")),
+    "x216_stopword_induction" ->
+      ("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM
+         |  (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+         |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+         |  CAST(COUNT(*) AS BIGINT) AS nt FROM tk),
+         |top AS (SELECT d.term, d.df, tf.tf, nd, nt
+         |  FROM df d JOIN tf USING (term), tt
+         |  ORDER BY d.df DESC, d.term LIMIT 50),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term)
+         |   AS BIGINT) AS rank,
+         |  CAST(SUM(tf) OVER (ORDER BY df DESC, term
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_tf FROM top)
+         |SELECT rank, term, df, tf,
+         | df * 1000000 // nd AS doc_share_ppm,
+         | tf * 1000000 // nt AS token_share_ppm,
+         | cum_tf * 1000000 // nt AS cum_token_share_ppm
+         |FROM r ORDER BY rank""".stripMargin.replace("\n", " ")),
+    "x217_ann_recall_eval" ->
+      (s"""WITH ${hyperplaneCtes()},
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |truth AS (SELECT vec_id FROM embeddings, qv
+         |  ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT 10),
+         |m_sign AS (SELECT vec_id FROM embeddings, qv
+         |  WHERE ${signBucketSql("embedding")} = ${signBucketSql("qe")}
+         |  ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT 10),
+         |cand AS (SELECT DISTINCT a.vec_id
+         |  FROM hpkeys a JOIN hpkeys q ON a.band = q.band AND a.bkey = q.bkey
+         |  WHERE q.vec_id = 0),
+         |m_band AS (SELECT e.vec_id
+         |  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv
+         |  ORDER BY ROUND(${cos2Sql("e.embedding", "qe")}, 6) DESC, e.vec_id
+         |  LIMIT 10),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |probe AS (SELECT cid FROM cent, qv
+         |  ORDER BY ${cos2Sql("cemb", "qe")} DESC, cid LIMIT 4),
+         |m_ivf AS (SELECT a.vec_id FROM asg a JOIN probe USING (cid), qv
+         |  ORDER BY ROUND(${cos2Sql("a.embedding", "qe")}, 6) DESC, a.vec_id
+         |  LIMIT 10)
+         |SELECT * FROM (
+         | SELECT 'banded_lsh' AS method, CAST(10 AS INT) AS k,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_band JOIN truth USING (vec_id))
+         |   AS n_hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_band JOIN truth USING (vec_id))
+         |   * 1000000 // 10 AS recall_ppm
+         | UNION ALL SELECT 'ivf', 10,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_ivf JOIN truth USING (vec_id)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_ivf JOIN truth USING (vec_id))
+         |   * 1000000 // 10
+         | UNION ALL SELECT 'sign_bucket', 10,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_sign JOIN truth USING (vec_id)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_sign JOIN truth USING (vec_id))
+         |   * 1000000 // 10)
+         |ORDER BY method""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -574,6 +574,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r == Map("A" -> ((3L, 1L, 666666L)), "B" -> ((3L, 2L, 333333L))))
   }
 
+  test("filterOverlap: unique kills expose redundant filters; (any) row totals") {
+    import graft.operators.Curation
+    val df = Seq((1, "x"), (60, "x"), (60, "y"), (200, "y")).toDF("len", "tag")
+    val r = Curation.filterOverlap(df, Seq(
+      "short" -> (col("len") < 100),
+      "xtag" -> (col("tag") === "x")))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // short kills rows 1,2,3 (unique: rows 1? no: r1 len=1 tag=x both -> not
+    // unique; r3 len=60 tag=y -> unique). xtag kills rows 1,2 (unique: none -
+    // both also short). any = 3.
+    assert(r("short") == ((3L, 1L)))
+    assert(r("xtag") == ((2L, 0L)))
+    assert(r("(any)") == ((3L, 3L)))
+  }
+
+  test("featureHashAudit: wide table no collisions; width 2 forces them") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val wide = TextAnalysis.featureHashAudit(docs, "text", 1 << 20).collect().head
+    assert((wide.getLong(0), wide.getLong(2), wide.getLong(3), wide.getLong(4))
+      == ((3L, 3L, 0L, 1L)))
+    val narrow = TextAnalysis.featureHashAudit(docs, "text", 2).collect().head
+    assert(narrow.getLong(3) >= 2L && narrow.getLong(4) >= 2L) // pigeonhole
+  }
+
+  test("stopwordInduction: df ranking with cumulative token coverage") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.stopwordInduction(docs, "doc_id", "text", 50).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(6)))
+    assert(r.toSeq == Seq((1L, "a", 2L, 500000L), (2L, "b", 1L, 750000L),
+      (3L, "c", 1L, 1000000L)))
+  }
+
+  test("recallEval: intersection with truth in exact ppm; disjoint list scores zero") {
+    import graft.operators.Similarity
+    val truth = Seq(1L, 2L, 3L).toDF("vec_id")
+    val mx = Seq(2L, 3L, 4L).toDF("vec_id")
+    val my = Seq(7L, 8L, 9L).toDF("vec_id")
+    val r = Similarity.recallEval(Seq("x" -> mx, "y" -> my), truth, "vec_id", 3)
+      .collect().map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map("x" -> ((2L, 666666L)), "y" -> ((0L, 0L))))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")
