@@ -2077,6 +2077,38 @@ object Analytics {
   }
 
   /**
+   * TOP-K CHURN between two scorings of the same bounded item vocabulary
+   * — who ENTERED the top k, who EXITED, who STAYED (and how their ranks
+   * moved): the leaderboard diff a weekly business review actually reads,
+   * where [[rankAgreement]] reports only the aggregate correlation.
+   * Ranks are (score DESC, item) row_numbers on each side; items outside
+   * a side's top k carry a NULL rank there.
+   *
+   * PRECONDITION (stated, as in [[rankAgreement]]): bounded vocabulary —
+   * the ranking windows run over the item frame. For unbounded item sets
+   * feed ranks from [[Sampling.globalRankRange]] instead.
+   */
+  def topkChurn(prev: DataFrame, cur: DataFrame, itemCol: String,
+      scoreCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    def topRanks(df: DataFrame, rk: String) = df
+      .select(col(itemCol).as("item"), col(scoreCol).as("__s"))
+      .withColumn(rk,
+        row_number().over(Window.orderBy(col("__s").desc, col("item"))).cast("long"))
+      .filter(col(rk) <= k)
+      .select(col("item"), col(rk))
+    topRanks(prev, "prev_rank")
+      .join(topRanks(cur, "cur_rank"), Seq("item"), "full")
+      .select(col("item"),
+        when(col("prev_rank").isNull, lit("entered"))
+          .when(col("cur_rank").isNull, lit("exited"))
+          .otherwise(lit("stayed")).as("status"),
+        col("prev_rank"), col("cur_rank"))
+      .orderBy(col("status"), coalesce(col("cur_rank"), col("prev_rank")),
+        col("item"))
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

@@ -597,6 +597,70 @@ object Curation {
   }
 
   /**
+   * FREQUENT ITEM TRIPLES via the APRIORI candidate cut — the size-3
+   * extension of [[basketPairs]] with the pruning that makes it feasible:
+   * a triple can only be frequent if ALL THREE of its pairs are
+   * (downward closure), so candidates are generated by joining frequent
+   * pairs sharing their first item and semi-checking the third pair —
+   * never by enumerating per-basket item triples, whose O(w³) fan-out is
+   * the naive killer. Only candidate triples are then support-counted
+   * against the (width-capped, frequent-item-restricted) basket rows.
+   *
+   * Scale shape: the pair census is [[basketPairs]]'s bounded join; the
+   * candidate join runs on the FREQUENT-pair frame (support-floored,
+   * orders of magnitude smaller than the pair stream); the final count
+   * joins basket items three ways but each side is semi-filtered to
+   * frequent items first and the triple stream is semi-filtered to
+   * candidates before aggregation. Stated caps: basket width, support
+   * floor, top-k.
+   */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketItems: Int = 100,
+      topK: Int = 20): DataFrame = {
+    require(minSupport >= 1 && maxBasketItems >= 3 && topK >= 1,
+      "minSupport/maxBasketItems/topK must be positive (basket width >= 3)")
+    val items = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = items
+      .withColumn("__w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__b")))
+      .filter(col("__w") <= maxBasketItems)
+      .select("__b", "__i")
+      // cached: the pair census and all three legs of the triple count
+      // read it. Caller-managed lifecycle — see coOccurrenceLift.
+      .cache()
+    val fpairs = sized.as("a")
+      .join(sized.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("p"), col("b.__i").as("q"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= minSupport)
+      .select("p", "q")
+      // cached: candidate generation reads it three times. Same contract.
+      .cache()
+    // Apriori join: (a,b) ⋈ (a,c), b < c, require (b,c) frequent too
+    val cands = fpairs.as("x")
+      .join(fpairs.as("y"), col("x.p") === col("y.p") && col("x.q") < col("y.q"))
+      .select(col("x.p").as("i1"), col("x.q").as("i2"), col("y.q").as("i3"))
+      .join(fpairs.select(col("p").as("i2"), col("q").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+    val fitems = fpairs.select(col("p").as("__i"))
+      .unionAll(fpairs.select(col("q").as("__i"))).distinct()
+    val fi = sized.join(fitems, Seq("__i"), "left_semi")
+    fi.as("a")
+      .join(fi.as("b"), col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .join(fi.as("c"), col("b.__b") === col("c.__b") && col("b.__i") < col("c.__i"))
+      .select(col("a.__i").as("i1"), col("b.__i").as("i2"), col("c.__i").as("i3"))
+      .join(broadcast(cands), Seq("i1", "i2", "i3"), "left_semi")
+      .groupBy("i1", "i2", "i3")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
+      .limit(topK)
+  }
+
+  /**
    * "ALSO BOUGHT" recommendation table — for each of the `nAnchors`
    * highest-volume items, the `nRecs` items most often sharing a basket
    * with it: the item-item collaborative-filtering primitive served

@@ -255,6 +255,39 @@ object Integrity {
           .as("coverage_ppm"))
   }
 
+  /**
+   * DOMAIN-OVERLAP census between two key columns — the "do these
+   * actually join?" preflight: distinct-value counts on each side, the
+   * shared count, each side's exclusive count, and the Jaccard overlap in
+   * exact ppm. Run BEFORE building a pipeline on an assumed relationship
+   * — a 30% overlap means the join silently drops most of both sides,
+   * which no downstream metric will confess to.
+   *
+   * Scale shape: both columns collapse to distinct values (map-side
+   * partials), one full-outer hash join of the two VALUE frames, one
+   * 3-counter aggregate. Output is 1 row. NULLs are excluded — NULL
+   * never joins, so it is not part of either domain.
+   */
+  def domainOverlap(a: DataFrame, aCol: String,
+      b: DataFrame, bCol: String): DataFrame = {
+    val av = a.filter(col(aCol).isNotNull).select(col(aCol).as("__v")).distinct()
+      .withColumn("__ina", lit(1))
+    val bv = b.filter(col(bCol).isNotNull).select(col(bCol).as("__v")).distinct()
+      .withColumn("__inb", lit(1))
+    av.join(bv, Seq("__v"), "full")
+      .agg(sum(when(col("__ina").isNotNull && col("__inb").isNull, 1L)
+        .otherwise(0L)).as("only_a"),
+        sum(when(col("__ina").isNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("only_b"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("both"))
+      .select(
+        (col("only_a") + col("both")).as("n_a"),
+        (col("only_b") + col("both")).as("n_b"),
+        col("both"), col("only_a"), col("only_b"),
+        expr("both * 1000000 DIV (only_a + only_b + both)").as("jaccard_ppm"))
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

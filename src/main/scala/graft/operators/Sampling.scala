@@ -406,4 +406,50 @@ object Sampling {
         expr("moved_mod * 1000000 DIV n_keys").as("mod_ppm"),
         expr("moved_ring * 1000000 DIV n_keys").as("ring_ppm"))
   }
+
+  /**
+   * COORDINATED sampling across a parent/child table pair — the
+   * referential-integrity-preserving downsample: both tables keep a row
+   * iff `hash(join key) mod 100 < pct`, so a sampled child row's parent
+   * is IN the sample by construction (same hash, same key, same
+   * decision) — no join is needed to coordinate, which is the whole
+   * point: independent uniform samples of two tables destroy their join
+   * (E[matching pairs] shrinks by pct², and per-parent child counts
+   * bias). The engine-portable md5-60 draw keeps the sample identical
+   * across engines and runs.
+   *
+   * Output is the audit row, not the sample (the sample is one
+   * `filter(keep)` away): totals, kept counts, the achieved rates in
+   * exact ppm, and `orphan_child_rows` — kept children whose parent key
+   * is NOT in the kept parent set. Zero certifies coordination; nonzero
+   * measures pre-existing FK violations (the sample inherits, never
+   * introduces, orphans).
+   *
+   * Scale shape: the keep decision is row-local on both tables; the
+   * orphan check is one left-anti join of kept-child KEYS against
+   * kept-parent KEYS (both already pct-shrunk and key-collapsed).
+   */
+  def coordinatedSample(parent: DataFrame, parentKey: String,
+      child: DataFrame, childKey: String, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct $pct not in [1,99]")
+    def keep(c: Column) = graft.operators.PortableHash.hash60(c) % 100 < pct
+    val p = parent.select(col(parentKey).as("__k"))
+    val c = child.select(col(childKey).as("__k"))
+    val pKept = p.filter(keep(col("__k")))
+    val cKept = c.filter(keep(col("__k")))
+    val orphans = cKept.select(col("__k")).distinct()
+      .join(pKept.select(col("__k")).distinct(), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("orphan_child_keys"))
+    val stats = p.agg(count(lit(1)).as("parent_total"))
+      .crossJoin(pKept.agg(count(lit(1)).as("parent_kept")))
+      .crossJoin(c.agg(count(lit(1)).as("child_total")))
+      .crossJoin(cKept.agg(count(lit(1)).as("child_kept")))
+    // all frames are 1 row — the cross joins broadcast
+    stats.crossJoin(orphans)
+      .select(col("parent_total"), col("parent_kept"),
+        expr("parent_kept * 1000000 DIV parent_total").as("parent_ppm"),
+        col("child_total"), col("child_kept"),
+        expr("child_kept * 1000000 DIV child_total").as("child_ppm"),
+        col("orphan_child_keys"))
+  }
 }

@@ -2032,6 +2032,45 @@ object Extensions {
       "vec_id", 10)
       .orderBy("method")
 
+  /** x218 — coordinated sample ([[Sampling.coordinatedSample]]): orders +
+    * lineitem downsampled by the SAME key hash so the join survives —
+    * audit row proves zero orphaned children; row-local keeps, one
+    * key-collapsed anti join. */
+  private val x218: Q = (spark, sfDir) =>
+    Sampling.coordinatedSample(Tables(spark, sfDir, "orders"), "o_orderkey",
+      Tables(spark, sfDir, "lineitem"), "l_orderkey", pct = 5)
+
+  /** x219 — frequent triples ([[Curation.frequentTriples]]): size-3
+    * basket itemsets via the Apriori downward-closure cut — candidates
+    * only from frequent pairs; the oracle counts ALL triples directly,
+    * so green certifies the pruning lost nothing. */
+  private val x219: Q = (spark, sfDir) => {
+    val withBrand = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+    Curation.frequentTriples(withBrand, "l_orderkey", "p_brand",
+      minSupport = 2L, topK = 20)
+  }
+
+  /** x220 — domain overlap ([[Integrity.domainOverlap]]): do events.user_id
+    * and customer.c_custkey actually join? Distinct-value census with
+    * exclusive counts and Jaccard ppm — the join preflight. */
+  private val x220: Q = (spark, sfDir) =>
+    Integrity.domainOverlap(Tables(spark, sfDir, "events"), "user_id",
+      Tables(spark, sfDir, "customer"), "c_custkey")
+
+  /** x221 — top-k churn ([[Analytics.topkChurn]]): who entered/exited/
+    * stayed in the brand revenue top-10 between the timeline halves —
+    * the leaderboard diff behind x193's aggregate correlation. */
+  private val x221: Q = (spark, sfDir) => {
+    def rev(pred: Column) = Tables(spark, sfDir, "lineitem").filter(pred)
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(QueryUtil.dsum(col("l_extendedprice")).as("rev"))
+    val mid = lit("1998-07-01").cast("timestamp")
+    Analytics.topkChurn(rev(col("l_shipdate") < mid),
+      rev(col("l_shipdate") >= mid), "p_brand", "rev", k = 10)
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2658,7 +2697,11 @@ object Extensions {
     "x214_filter_overlap" -> x214,
     "x215_feature_hash_audit" -> x215,
     "x216_stopword_induction" -> x216,
-    "x217_ann_recall_eval" -> x217)
+    "x217_ann_recall_eval" -> x217,
+    "x218_coordinated_sample" -> x218,
+    "x219_frequent_triples" -> x219,
+    "x220_domain_overlap" -> x220,
+    "x221_topk_churn" -> x221)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4661,6 +4704,85 @@ object Extensions {
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_sign JOIN truth USING (vec_id))
          |   * 1000000 // 10)
          |ORDER BY method""".stripMargin.replace("\n", " ")),
+    "x218_coordinated_sample" ->
+      ("""WITH pk AS (SELECT o_orderkey AS k FROM orders),
+         |ck AS (SELECT l_orderkey AS k FROM lineitem),
+         |pkk AS (SELECT k FROM pk WHERE CAST(('0x' ||
+         |  substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5),
+         |ckk AS (SELECT k FROM ck WHERE CAST(('0x' ||
+         |  substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5),
+         |orp AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphan_child_keys FROM
+         |  (SELECT DISTINCT k FROM ckk) c LEFT JOIN
+         |  (SELECT DISTINCT k FROM pkk) p ON c.k = p.k WHERE p.k IS NULL),
+         |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pk) AS parent_total,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pkk) AS parent_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS child_total,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ckk) AS child_kept)
+         |SELECT parent_total, parent_kept,
+         | parent_kept * 1000000 // parent_total AS parent_ppm,
+         | child_total, child_kept,
+         | child_kept * 1000000 // child_total AS child_ppm,
+         | orphan_child_keys
+         |FROM st, orp""".stripMargin.replace("\n", " ")),
+    // Deliberately NOT the Apriori algorithm: counting every width-capped
+    // basket triple directly is feasible at oracle scale, so green
+    // certifies the downward-closure pruning lost no frequent triple.
+    "x219_frequent_triples" ->
+      ("""WITH it AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |sz AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 100),
+         |s AS (SELECT it.b, it.i FROM it JOIN sz ON it.b = sz.b),
+         |tr AS (SELECT a.i AS i1, bb.i AS i2, c.i AS i3
+         | FROM s a JOIN s bb ON a.b = bb.b AND a.i < bb.i
+         |          JOIN s c ON bb.b = c.b AND bb.i < c.i)
+         |SELECT i1, i2, i3, CAST(COUNT(*) AS BIGINT) AS support
+         |FROM tr GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+         |ORDER BY support DESC, i1, i2, i3 LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x220_domain_overlap" ->
+      ("""WITH av AS (SELECT DISTINCT user_id AS v FROM events
+         |  WHERE user_id IS NOT NULL),
+         |bv AS (SELECT DISTINCT c_custkey AS v FROM customer
+         |  WHERE c_custkey IS NOT NULL),
+         |j AS (SELECT av.v AS va, bv.v AS vb
+         |  FROM av FULL JOIN bv ON av.v = bv.v)
+         |SELECT CAST(SUM(CASE WHEN va IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_a,
+         | CAST(SUM(CASE WHEN vb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_b,
+         | CAST(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN 1 ELSE 0
+         |  END) AS BIGINT) AS both,
+         | CAST(SUM(CASE WHEN va IS NOT NULL AND vb IS NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS only_a,
+         | CAST(SUM(CASE WHEN va IS NULL AND vb IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS only_b,
+         | CAST(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN 1 ELSE 0
+         |   END) * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+         |FROM j""".stripMargin.replace("\n", " ")),
+    "x221_topk_churn" ->
+      ("""WITH h1 AS (SELECT p_brand AS item,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate < TIMESTAMP '1998-07-01' GROUP BY 1),
+         |h2 AS (SELECT p_brand AS item,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate >= TIMESTAMP '1998-07-01' GROUP BY 1),
+         |r1 AS (SELECT item, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, item)
+         |  AS BIGINT) AS prev_rank FROM h1),
+         |r2 AS (SELECT item, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, item)
+         |  AS BIGINT) AS cur_rank FROM h2),
+         |t1 AS (SELECT * FROM r1 WHERE prev_rank <= 10),
+         |t2 AS (SELECT * FROM r2 WHERE cur_rank <= 10),
+         |j AS (SELECT COALESCE(t1.item, t2.item) AS item, t1.prev_rank,
+         |  t2.cur_rank FROM t1 FULL JOIN t2 ON t1.item = t2.item)
+         |SELECT item,
+         | CASE WHEN prev_rank IS NULL THEN 'entered'
+         |      WHEN cur_rank IS NULL THEN 'exited'
+         |      ELSE 'stayed' END AS status,
+         | prev_rank, cur_rank
+         |FROM j ORDER BY status, COALESCE(cur_rank, prev_rank), item"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -876,6 +876,17 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((2L, 1L, 1L, 3L))) // user 1 fired 3 times: 1 violator, 1 excess
   }
 
+  test("topkChurn: entered/exited/stayed with rank movement") {
+    val prev = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
+    val cur = Seq(("b", 3.0), ("d", 2.0), ("a", 1.0)).toDF("item", "s")
+    val r = Analytics.topkChurn(prev, cur, "item", "s", k = 2).collect()
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    assert(r == Set(("a", "exited", 1L, -1L), ("b", "stayed", 2L, 1L),
+      ("d", "entered", -1L, 2L)))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

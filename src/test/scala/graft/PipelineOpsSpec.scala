@@ -616,6 +616,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r == Map("x" -> ((2L, 666666L)), "y" -> ((0L, 0L))))
   }
 
+  test("coordinatedSample: shared hash keeps the join intact; foreign keys flag orphans") {
+    val parent = (1L to 200L).toDF("k")
+    val child = ((1L to 200L) ++ (1L to 200L)).toDF("k") // 2 lines per order
+    val r = Sampling.coordinatedSample(parent, "k", child, "k", 50).collect().head
+    assert(r.getLong(6) == 0L, "coordination must leave zero orphans")
+    assert(r.getLong(4) == 2 * r.getLong(1), "child keeps exactly its parents' lines")
+    // now corrupt: child rows referencing absent parents inherit orphanhood
+    val dirty = ((1L to 200L) ++ (9001L to 9040L)).toDF("k")
+    val r2 = Sampling.coordinatedSample(parent, "k", dirty, "k", 50).collect().head
+    assert(r2.getLong(6) >= 1L, "pre-existing FK violations must surface")
+  }
+
+  test("frequentTriples: downward closure prunes, support counts are basket-exact") {
+    import graft.operators.Curation
+    val df = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (2L, "C"), (3L, "A"), (3L, "B"), (3L, "D")).toDF("b", "i")
+    val r = Curation.frequentTriples(df, "b", "i", minSupport = 2L).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("A", "B", "C", 2L))) // ABD blocked: AD, BD infrequent
+  }
+
+  test("domainOverlap: exclusive counts and Jaccard in exact ppm") {
+    import graft.operators.Integrity
+    val a = Seq(1L, 2L, 3L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 4L, 5L).toDF("v")
+    val r = Integrity.domainOverlap(a, "v", b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 4L, 2L, 1L, 2L, 400000L)))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")
