@@ -2109,6 +2109,78 @@ object Analytics {
   }
 
   /**
+   * WEEKLY USER CONTINUITY — of each week's active users, how many were
+   * already active the PREVIOUS week (ppm): the week-over-week engagement
+   * pulse, finer than monthly growth accounting (x155) and blind to
+   * volume (a doubling corpus with the same returning share reads flat —
+   * by design; continuity is a RATE).
+   *
+   * Weeks are Monday-started `date_trunc('week')`. Scale shape: one
+   * exchange to DISTINCT (user, week), one self-join on
+   * (user, week − 7 days) — both sides key-collapsed — and a
+   * |weeks|-bounded rollup. The first observed week reports NULL
+   * continuity (no previous week exists), never a fake 0.
+   */
+  def weeklyContinuity(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .distinct()
+      // cached: both join sides + the first-week bound read it.
+      // Caller-managed lifecycle — see pageRank's contract.
+      .cache()
+    val prev = uw.select(col("__u"), expr("date_add(__w, 7)").as("__w"),
+      lit(1L).as("__ret"))
+    val firstW = uw.agg(min(col("__w")).as("__w0"))
+    uw.join(prev, Seq("__u", "__w"), "left")
+      .groupBy(col("__w").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("__ret"), lit(0L))).as("n_returning"))
+      .crossJoin(broadcast(firstW))
+      .select(col("week"), col("n_active"), col("n_returning"),
+        when(col("week") > col("__w0"),
+          expr("n_returning * 1000000 DIV n_active")).as("continuity_ppm"))
+      .orderBy("week")
+  }
+
+  /**
+   * SEASONAL-NAIVE FORECAST BACKTEST — the honesty baseline every
+   * forecasting effort must beat: predict each day's event count with the
+   * count from 7 days earlier, then score the prediction on the days
+   * where both exist. Reported per day (actual, forecast, abs error) plus
+   * the error in exact ppm of the actual; a model that can't beat
+   * last-week-same-day has learned nothing but the calendar.
+   *
+   * Scale shape: corpus → |days| spine collapse (zero-filled — a silent
+   * day is a 0 the forecast must also predict), one self-join on
+   * `day − 7`, |days|-bounded output. The first 7 days have no forecast
+   * and are excluded (not scored as free zeros).
+   */
+  def seasonalNaiveBacktest(events: DataFrame, tsCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 1 && period <= 366, s"period $period not in [1,366]")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__x"))
+      // cached: bounds + zero-fill + both join sides. Caller-managed
+      // lifecycle — see pageRank's contract.
+      .cache()
+    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val filled = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__x"), lit(0L)).as("actual"))
+    filled.as("a")
+      .join(filled.select(expr(s"date_add(day, $period)").as("day"),
+        col("actual").as("forecast")), Seq("day"))
+      .select(col("day"), col("actual"), col("forecast"),
+        abs(col("actual") - col("forecast")).as("abs_err"),
+        when(col("actual") > 0,
+          expr("abs(actual - forecast) * 1000000 DIV actual")).as("err_ppm"))
+      .orderBy("day")
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

@@ -731,6 +731,28 @@ object Dedup {
   }
 
   /**
+   * DUP-CLUSTER SIZE census — the shape of the duplication problem: how
+   * many near-dup clusters exist at each size, plus the members the
+   * largest family holds. A corpus of pairs (size-2 families) dedups
+   * cheaply; one 10 000-member family means a template/boilerplate source
+   * that sampling-based review would misread as diverse. Consumes a
+   * precomputed pair frame (the shared LSH staging) and the min-label
+   * clusters [[dupClusters]] already derives from it.
+   *
+   * Scale shape: labels → per-cluster size aggregate (bounded by cluster
+   * count) → size histogram (bounded by the largest family); all
+   * exchanges on collapsed frames, the corpus never reappears.
+   */
+  def clusterSizeCensus(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val sizes = dupClusters(pairs, iterations)
+      .groupBy("cluster").agg(count(lit(1)).as("__sz"))
+    sizes.groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  /**
    * DEDUPLICATION-RATE report by source — the corpus-health dashboard row:
    * per source, how many documents are exact duplicates (their full text
    * appears on ≥ 2 docs) and how many sit in at least one near-duplicate

@@ -541,6 +541,37 @@ object Similarity {
    * happened upstream (brute/banded/IVF operators).
    */
   /**
+   * IVF CLUSTER-LABEL PURITY census — do the index's cells respect the
+   * label structure? Per cell: occupancy, the majority label, and its
+   * share in exact ppm, plus how many distinct labels landed there. High
+   * purity means the coarse quantizer aligns with the labels (cell-level
+   * routing or filtering is safe); purity near 1/|labels| means the
+   * labels are invisible to the geometry and any label-filtered probe
+   * must scan everything. Uses the SAME assignment [[ivfTopK]] serves.
+   *
+   * Scale shape: assignment is the map-side broadcast argmax; the census
+   * is a (cell, label) aggregate (≤ nCells·|labels| rows) with the
+   * majority picked by a max-struct aggregate per cell — no windows.
+   */
+  def ivfLabelPurity(embeddings: DataFrame, labelCol: String,
+      nCells: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, ivfCentroids(embeddings, nCells))
+      .select(col("vec_id"), col("cell"))
+      .join(embeddings.select(col("vec_id"), col(labelCol).as("__lbl")), "vec_id")
+    val cl = assigned.groupBy("cell", "__lbl").agg(count(lit(1)).as("__n"))
+    cl.groupBy("cell")
+      .agg(sum(col("__n")).as("n_vectors"),
+        count(lit(1)).as("n_labels"),
+        // majority label: max over (count, -label) structs — ties to the
+        // LOWEST label id, deterministically, without a window
+        max(struct(col("__n").as("c"), (-col("__lbl")).as("nl"))).as("__best"))
+      .select(col("cell"), col("n_vectors"), col("n_labels"),
+        (-col("__best.nl")).as("majority_label"),
+        expr("__best.c * 1000000 DIV n_vectors").as("purity_ppm"))
+      .orderBy("cell")
+  }
+
+  /**
    * ANN RECALL@k evaluation — the retrieval-quality harness: each
    * approximate method's top-k is scored against the brute-force ground
    * truth as `|approx ∩ truth| / k` in exact ppm. This is the table a

@@ -2071,6 +2071,32 @@ object Extensions {
       rev(col("l_shipdate") >= mid), "p_brand", "rev", k = 10)
   }
 
+  /** x222 — weekly continuity ([[Analytics.weeklyContinuity]]): share of
+    * each week's actives already active the week before — the WoW
+    * engagement pulse; first week reports NULL, never a fake zero. */
+  private val x222: Q = (spark, sfDir) =>
+    Analytics.weeklyContinuity(Tables(spark, sfDir, "events"), "user_id", "ts")
+
+  /** x223 — seasonal-naive backtest ([[Analytics.seasonalNaiveBacktest]]):
+    * predict each day with last-week-same-day and score it — the honesty
+    * baseline any forecast must beat; zero-filled spine, exact ppm. */
+  private val x223: Q = (spark, sfDir) =>
+    Analytics.seasonalNaiveBacktest(Tables(spark, sfDir, "events"), "ts", 7)
+
+  /** x224 — IVF label purity ([[Similarity.ivfLabelPurity]]): per cell,
+    * the majority label's share — does the coarse quantizer respect the
+    * labels? Same assignment x30 serves; majority via max-struct, no
+    * window. */
+  private val x224: Q = (spark, sfDir) =>
+    Similarity.ivfLabelPurity(emb(spark, sfDir), "label", nCells = 16)
+
+  /** x225 — dup-cluster size census ([[Dedup.clusterSizeCensus]]): how
+    * many near-dup families exist at each size — the sixth consumer of
+    * the shared LSH pair staging; template sources show up as one huge
+    * family. */
+  private val x225: Q = (spark, sfDir) =>
+    Dedup.clusterSizeCensus(lshPairs(spark, sfDir), iterations = 3)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2701,7 +2727,11 @@ object Extensions {
     "x218_coordinated_sample" -> x218,
     "x219_frequent_triples" -> x219,
     "x220_domain_overlap" -> x220,
-    "x221_topk_churn" -> x221)
+    "x221_topk_churn" -> x221,
+    "x222_weekly_continuity" -> x222,
+    "x223_seasonal_naive_backtest" -> x223,
+    "x224_ivf_label_purity" -> x224,
+    "x225_cluster_size_census" -> x225)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4782,6 +4812,63 @@ object Extensions {
          |      ELSE 'stayed' END AS status,
          | prev_rank, cur_rank
          |FROM j ORDER BY status, COALESCE(cur_rank, prev_rank), item"""
+        .stripMargin.replace("\n", " ")),
+    "x222_weekly_continuity" ->
+      ("""WITH uw AS (SELECT DISTINCT user_id AS u,
+         |  CAST(date_trunc('week', ts) AS DATE) AS w
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |pv AS (SELECT u, w + 7 AS w, 1 AS ret FROM uw),
+         |f0 AS (SELECT MIN(w) AS w0 FROM uw),
+         |j AS (SELECT uw.w, uw.u, pv.ret
+         |  FROM uw LEFT JOIN pv ON uw.u = pv.u AND uw.w = pv.w)
+         |SELECT w AS week, CAST(COUNT(*) AS BIGINT) AS n_active,
+         | CAST(SUM(COALESCE(ret, 0)) AS BIGINT) AS n_returning,
+         | CASE WHEN w > w0 THEN CAST(SUM(COALESCE(ret, 0)) AS BIGINT)
+         |  * 1000000 // COUNT(*) END AS continuity_ppm
+         |FROM j, f0 GROUP BY w, w0 ORDER BY week"""
+        .stripMargin.replace("\n", " ")),
+    "x223_seasonal_naive_backtest" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS x FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT s.day, COALESCE(d.x, 0) AS actual
+         |  FROM s LEFT JOIN d ON s.day = d.day)
+         |SELECT a.day, a.actual, p.actual AS forecast,
+         | ABS(a.actual - p.actual) AS abs_err,
+         | CASE WHEN a.actual > 0
+         |  THEN ABS(a.actual - p.actual) * 1000000 // a.actual END AS err_ppm
+         |FROM f a JOIN f p ON a.day = p.day + 7 ORDER BY a.day"""
+        .stripMargin.replace("\n", " ")),
+    "x224_ivf_label_purity" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |al AS (SELECT a.vec_id, a.cid AS cell, e.label
+         |  FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |cl AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM al GROUP BY 1, 2),
+         |r AS (SELECT cell, label, n, ROW_NUMBER() OVER (PARTITION BY cell
+         |  ORDER BY n DESC, label) AS rk FROM cl),
+         |t AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vectors,
+         |  CAST(COUNT(*) AS BIGINT) AS n_labels FROM cl GROUP BY 1)
+         |SELECT t.cell, t.n_vectors, t.n_labels, r.label AS majority_label,
+         | r.n * 1000000 // t.n_vectors AS purity_ppm
+         |FROM t JOIN r ON r.cell = t.cell AND r.rk = 1 ORDER BY t.cell"""
+        .stripMargin.replace("\n", " ")),
+    "x225_cluster_size_census" ->
+      (s"""WITH $clusterCtes,
+         |csizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM l3 GROUP BY 1)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         | CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM csizes GROUP BY 1 ORDER BY cluster_size"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

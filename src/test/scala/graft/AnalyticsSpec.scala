@@ -887,6 +887,28 @@ class AnalyticsSpec extends AnyFunSuite {
       ("d", "entered", -1L, 2L)))
   }
 
+  test("weeklyContinuity: returning share per week; first week NULL, not zero") {
+    // 2024-03-04 and 2024-03-11 are Mondays
+    val events = Seq((1L, "2024-03-05"), (1L, "2024-03-12"),
+      (2L, "2024-03-06"), (3L, "2024-03-13"))
+      .map { case (u, d) => (u, ts(s"$d 10:00:00")) }.toDF("user_id", "ts")
+    val r = Analytics.weeklyContinuity(events, "user_id", "ts").collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), if (x.isNullAt(3)) -1L else x.getLong(3))))
+    assert(r.toSeq == Seq("2024-03-04" -> ((2L, 0L, -1L)),
+      "2024-03-11" -> ((2L, 1L, 500000L))))
+  }
+
+  test("seasonalNaiveBacktest: last-week-same-day forecast, first period unscored") {
+    val events = ((1 to 7).map(d => Seq(ts(f"2024-03-0$d 09:00:00"))) :+
+      Seq.fill(3)(ts("2024-03-08 09:00:00"))).flatten.toDF("ts")
+    val r = Analytics.seasonalNaiveBacktest(events, "ts", 7).collect()
+    assert(r.length == 1) // only day 8 has a day-minus-7 forecast
+    val x = r.head
+    assert((x.getDate(0).toString, x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4)) == (("2024-03-08", 3L, 1L, 2L, 666666L)))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

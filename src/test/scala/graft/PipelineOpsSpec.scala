@@ -646,6 +646,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       r.getLong(4), r.getLong(5)) == ((3L, 4L, 2L, 1L, 2L, 400000L)))
   }
 
+  test("ivfLabelPurity: majority share per cell, ties to the lowest label") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1),
+      (3L, Array(0.9f, 0.1f), 0), (4L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.ivfLabelPurity(df, "label", nCells = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getInt(3),
+        x.getLong(4)))).toMap
+    assert(r(1L) == ((2L, 1L, 0, 1000000L)))  // vecs 1,3 both label 0
+    assert(r(2L) == ((2L, 2L, 1, 500000L)))   // labels 1,2 tie -> lowest
+  }
+
+  test("clusterSizeCensus: family sizes histogram from the pair graph") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val r = Dedup.clusterSizeCensus(pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")
