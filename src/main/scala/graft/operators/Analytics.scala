@@ -2181,6 +2181,100 @@ object Analytics {
   }
 
   /**
+   * SHARE-OF-PARENT hierarchical rollup — each leaf's share of its parent
+   * AND the parent's share of the grand total, in exact ppm, one row per
+   * leaf: the two-level "who carries whom" BI readout (nation within
+   * region, region within world) that a flat GROUP BY forces analysts to
+   * recompute by hand. Truncating integer division, so per-parent shares
+   * sum to ≤ 1e6 with the deficit visible.
+   *
+   * Scale shape: one exchange to (parent, leaf) sums with map-side
+   * partials; parent totals are a parent-bounded re-aggregate joined back
+   * by broadcast; the grand total rides a 1-row broadcast. No windows.
+   */
+  def shareOfParent(df: DataFrame, parentCol: String, leafCol: String,
+      measureCents: Column): DataFrame = {
+    val leaf = df.filter(col(parentCol).isNotNull && col(leafCol).isNotNull)
+      .groupBy(col(parentCol), col(leafCol))
+      .agg(sum(measureCents.cast("decimal(18,0)")).cast("long").as("cents"))
+    val parents = leaf.groupBy(parentCol)
+      .agg(sum(col("cents")).as("__ptot"))
+    val total = leaf.agg(sum(col("cents")).as("__gtot"))
+    leaf.join(broadcast(parents), Seq(parentCol))
+      .crossJoin(broadcast(total))
+      .select(col(parentCol), col(leafCol), col("cents"),
+        expr("cents * 1000000 DIV __ptot").as("share_of_parent_ppm"),
+        expr("__ptot * 1000000 DIV __gtot").as("parent_share_ppm"))
+  }
+
+  /**
+   * ORDER FILL-RATE bands — service-level census: per order, the share of
+   * lines shipped within `slaDays` of placement (in basis points), rolled
+   * into five fixed bands (0–25%, …, 75–<100%, exactly-100%) — the
+   * "how many orders do we fully serve on time" distribution, readable at
+   * a glance where a raw percentile list is not. The 100% band is its own
+   * bucket: a fully-served order is a categorically different outcome
+   * from a 99% one.
+   *
+   * Scale shape: one exchange to per-order (total, on-time) counts with
+   * map-side partials; banding is row-local; the census is a ≤5-row
+   * aggregate.
+   */
+  def fillRateBands(df: DataFrame, orderCol: String, placedCol: String,
+      shippedCol: String, slaDays: Int = 30): DataFrame = {
+    require(slaDays >= 0, s"slaDays $slaDays must be non-negative")
+    val perOrder = df
+      .filter(col(orderCol).isNotNull && col(placedCol).isNotNull &&
+        col(shippedCol).isNotNull)
+      .groupBy(col(orderCol))
+      .agg(count(lit(1)).as("__total"),
+        sum(when(to_date(col(shippedCol)) <=
+          date_add(to_date(col(placedCol)), slaDays), 1L).otherwise(0L))
+          .as("__ontime"))
+    perOrder
+      .withColumn("__bps", expr("__ontime * 10000 DIV __total"))
+      .withColumn("band",
+        when(col("__bps") === 10000, lit(4))
+          .otherwise(expr("CAST(__bps DIV 2500 AS INT)")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), min(col("__bps")).as("min_bps"),
+        max(col("__bps")).as("max_bps"))
+      .orderBy("band")
+  }
+
+  /**
+   * DAILY VWAP deviation scan — the volume-weighted average price per
+   * shipping day versus the global VWAP, with days drifting beyond
+   * `flagPpm` flagged: the pricing-drift monitor (a mix shift toward
+   * premium items and a price change look identical in raw revenue;
+   * VWAP separates them from volume). All arithmetic exact:
+   * `Σ cents DIV Σ qty` per day and globally, deviation in ppm of the
+   * global.
+   *
+   * Scale shape: one exchange to |days| (cents, qty) sums with map-side
+   * partials; the global rides a 1-row broadcast; output |days| rows.
+   */
+  def vwapDeviation(df: DataFrame, tsCol: String, qty: Column,
+      amountCents: Column, flagPpm: Long = 50000L): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(amountCents.cast("decimal(18,0)")).cast("long").as("__c"),
+        sum(qty.cast("long")).as("__q"))
+      .filter(col("__q") > 0)
+      // cached: the global total re-reads it. Caller-managed lifecycle —
+      // see pageRank's contract.
+      .cache()
+    val global = daily.agg(sum(col("__c")).as("__gc"), sum(col("__q")).as("__gq"))
+    daily.crossJoin(broadcast(global))
+      .select(col("day"), expr("__c DIV __q").as("vwap_cents"),
+        expr("__gc DIV __gq").as("global_vwap_cents"),
+        expr("abs(__c DIV __q - __gc DIV __gq) * 1000000 DIV (__gc DIV __gq)")
+          .as("deviation_ppm"))
+      .withColumn("flag", when(col("deviation_ppm") > flagPpm, 1).otherwise(0))
+      .orderBy("day")
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

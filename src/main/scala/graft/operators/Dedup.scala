@@ -753,6 +753,63 @@ object Dedup {
   }
 
   /**
+   * NEAR-DUP pair EXPLANATIONS — the review artifact behind a dedup
+   * decision: for the `nPairs` highest-similarity pairs, the
+   * `nShingles` RAREST shingles the two documents share (rarest = lowest
+   * corpus document frequency — the shared content that is least
+   * explainable by chance, which is what a human reviewer needs to see
+   * to trust the match; shared stopword shingles explain nothing).
+   * Shingles here are the readable 3-gram STRINGS, not their hashes —
+   * an explanation you can't read isn't one.
+   *
+   * Scale shape: the pair frame is collapsed to its top-`nPairs` via
+   * TakeOrdered and broadcast; shingle rows are generated ONLY for the
+   * ≤ 2·nPairs docs those pairs mention (semi join before the explode);
+   * the df lookup joins the |vocab|-bounded frequency frame; the
+   * rarest-k rank partitions by pair. Corpus-wide work is the one df
+   * aggregate — everything else is pairs-bounded.
+   */
+  def nearDupExplanations(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, nPairs: Int = 10, nShingles: Int = 3): DataFrame = {
+    require(nPairs >= 1 && nShingles >= 1, "nPairs and nShingles must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val top = pairs.orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(nPairs)
+    val mentioned = top.select(explode(array(col("d1"), col("d2"))).as(idCol))
+      .distinct()
+    def shingles(src: DataFrame) = {
+      val ws = split(col(textCol), " ")
+      src.select(col(idCol), ws.as("__ws"))
+        .filter(size(col("__ws")) >= 3)
+        .select(col(idCol), explode(transform(
+          sequence(lit(0), size(col("__ws")) - 3),
+          i => concat(element_at(col("__ws"), i + 1), lit(" "),
+            element_at(col("__ws"), i + 2), lit(" "),
+            element_at(col("__ws"), i + 3)))).as("sh"))
+        .distinct()
+    }
+    // df over the FULL corpus (rarity is a corpus property); shingle rows
+    // for the mentioned docs only
+    val dfreq = shingles(docs.filter(col(textCol).isNotNull))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val mdocs = shingles(
+      docs.join(broadcast(mentioned), Seq(idCol), "left_semi"))
+    val shared = broadcast(top).as("p")
+      .join(mdocs.as("s1"), col("p.d1") === col(s"s1.$idCol"))
+      .join(mdocs.as("s2"),
+        col("p.d2") === col(s"s2.$idCol") && col("s1.sh") === col("s2.sh"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.jaccard").as("jaccard"), col("s1.sh").as("sh"))
+      .join(dfreq, "sh")
+    val byPair = Window.partitionBy("d1", "d2")
+      .orderBy(col("df"), col("sh"))
+    shared.withColumn("rk", row_number().over(byPair).cast("long"))
+      .filter(col("rk") <= nShingles)
+      .select(col("d1"), col("d2"), col("jaccard"), col("rk"),
+        col("sh").as("shared_shingle"), col("df"))
+  }
+
+  /**
    * DEDUPLICATION-RATE report by source — the corpus-health dashboard row:
    * per source, how many documents are exact duplicates (their full text
    * appears on ≥ 2 docs) and how many sit in at least one near-duplicate

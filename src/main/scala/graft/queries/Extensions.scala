@@ -2097,6 +2097,46 @@ object Extensions {
   private val x225: Q = (spark, sfDir) =>
     Dedup.clusterSizeCensus(lshPairs(spark, sfDir), iterations = 3)
 
+  /** x226 — share-of-parent rollup ([[Analytics.shareOfParent]]): each
+    * nation's share of its region's revenue AND the region's share of
+    * the total, exact ppm, one row per nation — two-level BI without
+    * windows. */
+  private val x226: Q = (spark, sfDir) => {
+    val f = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+    Analytics.shareOfParent(f, "r_name", "n_name",
+      col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .orderBy("r_name", "n_name")
+  }
+
+  /** x227 — fill-rate bands ([[Analytics.fillRateBands]]): per order, the
+    * share of lines shipped within 30 days of placement, rolled into five
+    * bands with exactly-100% its own bucket. */
+  private val x227: Q = (spark, sfDir) =>
+    Analytics.fillRateBands(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")),
+      "o_orderkey", "o_orderdate", "l_shipdate", slaDays = 30)
+
+  /** x228 — near-dup explanations ([[Dedup.nearDupExplanations]]): for the
+    * top-10 LSH pairs, the 3 RAREST shared 3-gram strings — the review
+    * artifact behind each dedup decision; shingles generated only for the
+    * mentioned docs, df from one corpus aggregate. */
+  private val x228: Q = (spark, sfDir) =>
+    Dedup.nearDupExplanations(docs(spark, sfDir), lshPairs(spark, sfDir),
+      "doc_id", "text", nPairs = 10, nShingles = 3)
+      .orderBy("d1", "d2", "rk")
+
+  /** x229 — VWAP deviation ([[Analytics.vwapDeviation]]): daily
+    * volume-weighted average price vs the global, days beyond 5% flagged
+    * — separates price moves from volume moves, exact integer cents. */
+  private val x229: Q = (spark, sfDir) =>
+    Analytics.vwapDeviation(Tables(spark, sfDir, "lineitem"), "l_shipdate",
+      col("l_quantity"), col("l_extendedprice").cast("decimal(18,2)") * 100)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2731,7 +2771,11 @@ object Extensions {
     "x222_weekly_continuity" -> x222,
     "x223_seasonal_naive_backtest" -> x223,
     "x224_ivf_label_purity" -> x224,
-    "x225_cluster_size_census" -> x225)
+    "x225_cluster_size_census" -> x225,
+    "x226_share_of_parent" -> x226,
+    "x227_fill_rate_bands" -> x227,
+    "x228_near_dup_explanations" -> x228,
+    "x229_vwap_deviation" -> x229)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4870,6 +4914,67 @@ object Extensions {
          | CAST(SUM(sz) AS BIGINT) AS n_docs
          |FROM csizes GROUP BY 1 ORDER BY cluster_size"""
         .stripMargin.replace("\n", " ")),
+    "x226_share_of_parent" ->
+      ("""WITH leaf AS (SELECT r_name, n_name,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS cents
+         | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY 1, 2),
+         |p AS (SELECT r_name, CAST(SUM(cents) AS BIGINT) AS ptot
+         |  FROM leaf GROUP BY 1),
+         |g AS (SELECT CAST(SUM(cents) AS BIGINT) AS gtot FROM leaf)
+         |SELECT leaf.r_name, n_name, cents,
+         | cents * 1000000 // ptot AS share_of_parent_ppm,
+         | ptot * 1000000 // gtot AS parent_share_ppm
+         |FROM leaf JOIN p ON leaf.r_name = p.r_name, g
+         |ORDER BY leaf.r_name, n_name""".stripMargin.replace("\n", " ")),
+    "x227_fill_rate_bands" ->
+      ("""WITH po AS (SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS total,
+         |  CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) <=
+         |    CAST(o_orderdate AS DATE) + 30 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS ontime
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+         | GROUP BY 1),
+         |b AS (SELECT CASE WHEN ontime * 10000 // total = 10000 THEN 4
+         |  ELSE CAST((ontime * 10000 // total) // 2500 AS INT) END AS band,
+         | ontime * 10000 // total AS bps FROM po)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(MIN(bps) AS BIGINT) AS min_bps,
+         | CAST(MAX(bps) AS BIGINT) AS max_bps
+         |FROM b GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
+    "x228_near_dup_explanations" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |top AS (SELECT d1, d2, jaccard FROM jpairs
+         |  ORDER BY jaccard DESC, d1, d2 LIMIT 10),
+         |dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY 1),
+         |shr AS (SELECT t.d1, t.d2, t.jaccard, a.s FROM top t
+         |  JOIN sh a ON a.doc_id = t.d1
+         |  JOIN sh b ON b.doc_id = t.d2 AND a.s = b.s),
+         |r AS (SELECT shr.d1, shr.d2, shr.jaccard, shr.s, dfreq.df,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shr.d1, shr.d2
+         |    ORDER BY dfreq.df, shr.s) AS BIGINT) AS rk
+         | FROM shr JOIN dfreq ON shr.s = dfreq.s)
+         |SELECT d1, d2, jaccard, rk, s AS shared_shingle, df
+         |FROM r WHERE rk <= 3 ORDER BY d1, d2, rk"""
+        .stripMargin.replace("\n", " ")),
+    "x229_vwap_deviation" ->
+      ("""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS c,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         | FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+         | HAVING SUM(CAST(l_quantity AS BIGINT)) > 0),
+         |g AS (SELECT CAST(SUM(c) AS BIGINT) AS gc,
+         |  CAST(SUM(q) AS BIGINT) AS gq FROM d)
+         |SELECT day, c // q AS vwap_cents, gc // gq AS global_vwap_cents,
+         | ABS(c // q - gc // gq) * 1000000 // (gc // gq) AS deviation_ppm,
+         | CASE WHEN ABS(c // q - gc // gq) * 1000000 // (gc // gq) > 50000
+         |  THEN 1 ELSE 0 END AS flag
+         |FROM d, g ORDER BY day""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

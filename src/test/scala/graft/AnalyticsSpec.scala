@@ -909,6 +909,39 @@ class AnalyticsSpec extends AnyFunSuite {
       x.getLong(4)) == (("2024-03-08", 3L, 1L, 2L, 666666L)))
   }
 
+  test("shareOfParent: leaf-of-parent and parent-of-total ppm in one row") {
+    val df = Seq(("R1", "N1", 100L), ("R1", "N2", 300L), ("R2", "N3", 600L))
+      .toDF("r", "n", "cents")
+    val r = Analytics.shareOfParent(df, "r", "n", col("cents")).collect()
+      .map(x => x.getString(1) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map("N1" -> ((250000L, 400000L)), "N2" -> ((750000L, 400000L)),
+      "N3" -> ((1000000L, 600000L))))
+  }
+
+  test("fillRateBands: exactly-100% is its own band; partial orders band by quartile") {
+    val df = Seq(
+      (1L, "2024-03-01", "2024-03-10"), (1L, "2024-03-01", "2024-03-20"),
+      (2L, "2024-03-01", "2024-03-15"), (2L, "2024-03-01", "2024-06-01"),
+      (3L, "2024-03-01", "2024-06-01"), (3L, "2024-03-01", "2024-07-01"),
+      (3L, "2024-03-01", "2024-08-01"))
+      .map { case (o, p, s) => (o, ts(s"$p 00:00:00"), ts(s"$s 00:00:00")) }
+      .toDF("ok", "placed", "shipped")
+    val r = Analytics.fillRateBands(df, "ok", "placed", "shipped", 30).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(4 -> 1L, 2 -> 1L, 0 -> 1L))
+  }
+
+  test("vwapDeviation: price moves separate from volume moves, exact cents") {
+    val df = Seq((ts("2024-03-01 09:00:00"), 2L, 200L),
+      (ts("2024-03-02 09:00:00"), 1L, 400L)).toDF("ts", "q", "cents")
+    val r = Analytics.vwapDeviation(df, "ts", col("q"), col("cents")).collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))).toMap
+    // global vwap = 600/3 = 200
+    assert(r("2024-03-01") == ((100L, 200L, 500000L, 1)))
+    assert(r("2024-03-02") == ((400L, 200L, 1000000L, 1)))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

@@ -667,6 +667,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((2L, 1L, 2L), (3L, 1L, 3L)))
   }
 
+  test("nearDupExplanations: rarest shared shingles first, readable strings") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "a b c z z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.5)).toDF("d1", "d2", "jaccard")
+    val r = Dedup.nearDupExplanations(docs, pairs, "doc_id", "text").collect()
+      .map(x => (x.getLong(3), x.getString(4), x.getLong(5)))
+    // shared: "a b c" (df 3, doc 3 has it too), "b c d" (df 2 -> rarer)
+    assert(r.toSeq == Seq((1L, "b c d", 2L), (2L, "a b c", 3L)))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")
