@@ -753,6 +753,45 @@ object Dedup {
   }
 
   /**
+   * DEDUP THRESHOLD-SENSITIVITY sweep — how many pairs (and docs) would
+   * each candidate jaccard threshold mark as duplicates? The curve a team
+   * reads to CHOOSE τ: a cliff between 0.6 and 0.7 means the corpus has a
+   * crisp dup/non-dup boundary there; a smooth slope means τ is a policy
+   * knob, not a discovery. Computed from ONE pair materialization at the
+   * lowest threshold — each higher τ is a filter over the same frame,
+   * never a re-run of candidate generation.
+   *
+   * Scale shape: the pair pipeline runs once ([[ngramJaccard]], df-capped);
+   * the sweep crosses the (tiny) pair frame with a broadcast threshold
+   * spine; doc counts collapse (threshold, doc) before counting.
+   */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      "thresholds must be percentages in [1,100]")
+    val base = thresholds.min / 100.0
+    val pairs = ngramJaccard(docs, idCol, textCol, minJaccard = base)
+      // cached: every threshold row filters it. Caller-managed lifecycle —
+      // see coOccurrenceLift.
+      .cache()
+    val ts = docs.sparkSession.createDataFrame(
+      thresholds.sorted.map(Tuple1(_))).toDF("threshold_pct")
+    val qual = pairs.crossJoin(broadcast(ts))
+      .filter(col("jaccard") * 100 >= col("threshold_pct"))
+    val np = qual.groupBy("threshold_pct").agg(count(lit(1)).as("n_pairs"))
+    val nd = qual.select(col("threshold_pct"),
+        explode(array(col("d1"), col("d2"))).as("doc"))
+      .distinct()
+      .groupBy("threshold_pct").agg(count(lit(1)).as("n_docs"))
+    ts.join(np, Seq("threshold_pct"), "left")
+      .join(nd, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold_pct")
+  }
+
+  /**
    * NEAR-DUP pair EXPLANATIONS — the review artifact behind a dedup
    * decision: for the `nPairs` highest-similarity pairs, the
    * `nShingles` RAREST shingles the two documents share (rarest = lowest

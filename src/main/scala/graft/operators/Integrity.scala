@@ -288,6 +288,65 @@ object Integrity {
         expr("both * 1000000 DIV (only_a + only_b + both)").as("jaccard_ppm"))
   }
 
+  /**
+   * DATA-FRESHNESS report — per stream/dimension, how stale is the newest
+   * row relative to the freshest dimension anywhere in the table? The
+   * "is feed X behind?" dashboard: lag is measured against the table's
+   * own high-water mark (not wall clock — batch data has no reliable
+   * "now"), in whole seconds, with dimensions beyond `maxLagSeconds`
+   * flagged.
+   *
+   * Scale shape: one map-side-combined (dim → max ts) aggregate; the
+   * global high-water mark re-aggregates the |dims| frame and broadcasts.
+   */
+  def freshnessReport(df: DataFrame, tsCol: String, dimCol: String,
+      maxLagSeconds: Long = 3600L): DataFrame = {
+    require(maxLagSeconds >= 0, "maxLagSeconds must be non-negative")
+    val dimMax = df.filter(col(tsCol).isNotNull && col(dimCol).isNotNull)
+      .groupBy(col(dimCol).as("dim"))
+      .agg(max(expr(s"unix_micros($tsCol) DIV 1000000")).as("__m"))
+    val hwm = dimMax.agg(max(col("__m")).as("__h"))
+    dimMax.crossJoin(broadcast(hwm))
+      .select(col("dim"),
+        expr("CAST(to_timestamp(__m) AS STRING)").as("newest"),
+        (col("__h") - col("__m")).as("lag_seconds"),
+        when(col("__h") - col("__m") > maxLagSeconds, 1).otherwise(0).as("stale"))
+      .orderBy("dim")
+  }
+
+  /**
+   * CROSS-FIELD RECONCILIATION audit — does the denormalized header total
+   * actually equal what its lines sum to? Per parent: the relative gap
+   * between the header amount and the line aggregate, in exact ppm,
+   * rolled into bands (exact / <1% / <5% / <20% / ≥20%): the invariant
+   * check that catches partial writes, currency drift, and "someone
+   * updated the header by hand" — silently poisoned aggregates come from
+   * exactly this class of skew.
+   *
+   * Scale shape: one exchange collapses lines to per-parent sums (the
+   * header value rides `max` — constant per parent after the join); the
+   * banding is row-local, the census ≤ 5 rows. Cents end to end.
+   */
+  def reconciliationAudit(df: DataFrame, parentCol: String,
+      headerCents: Column, lineCents: Column): DataFrame = {
+    val per = df.filter(col(parentCol).isNotNull)
+      .groupBy(col(parentCol))
+      .agg(max(headerCents.cast("decimal(18,0)")).cast("long").as("__h"),
+        sum(lineCents.cast("decimal(18,0)")).cast("long").as("__l"))
+      .filter(col("__h") > 0)
+      .withColumn("__ppm", expr("abs(__h - __l) * 1000000 DIV __h"))
+    per
+      .withColumn("band",
+        when(col("__ppm") === 0, "0_exact")
+          .when(col("__ppm") < 10000, "1_under_1pct")
+          .when(col("__ppm") < 50000, "2_under_5pct")
+          .when(col("__ppm") < 200000, "3_under_20pct")
+          .otherwise("4_over_20pct"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parents"), max(col("__ppm")).as("max_gap_ppm"))
+      .orderBy("band")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

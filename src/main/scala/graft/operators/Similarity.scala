@@ -572,6 +572,43 @@ object Similarity {
   }
 
   /**
+   * IVF CLUSTER TOPIC labels — the multimodal bridge: each embedding
+   * cell named by the most DISTINCTIVE terms of its member documents
+   * (cell term count · 1e6 DIV corpus df — the rarity weighting of
+   * per-doc keywords lifted to cluster grain). Embedding ids align 1:1
+   * with document ids (the corpus contract); the output is what a human
+   * reads to decide whether cluster 7 is "german legal boilerplate" or
+   * noise.
+   *
+   * Scale shape: assignment is the broadcast map-side argmax; terms
+   * collapse to (cell, term) with map-side partials; df is one
+   * |vocab|-bounded aggregate joined in; the rank window partitions by
+   * cell. Nothing unbounded, no cross join beyond the centroid broadcast.
+   */
+  def ivfClusterTopics(embeddings: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, nCells: Int = 16, topTerms: Int = 3): DataFrame = {
+    require(topTerms >= 1, s"topTerms $topTerms must be positive")
+    val assigned = ivfAssign(embeddings, ivfCentroids(embeddings, nCells))
+      .select(col("vec_id").as(idCol), col("cell"))
+    val terms = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val cellTerms = terms.join(assigned, idCol)
+      .groupBy("cell", "term").agg(count(lit(1)).as("n"))
+    val dfreq = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("score").desc, col("term"))
+    cellTerms.join(dfreq, "term")
+      .withColumn("score", expr("n * 1000000 DIV df"))
+      .withColumn("rank", row_number().over(byCell).cast("long"))
+      .filter(col("rank") <= topTerms)
+      .select(col("cell"), col("rank"), col("term"), col("n"), col("df"),
+        col("score"))
+      .orderBy("cell", "rank")
+  }
+
+  /**
    * ANN RECALL@k evaluation — the retrieval-quality harness: each
    * approximate method's top-k is scored against the brute-force ground
    * truth as `|approx ∩ truth| / k` in exact ppm. This is the table a

@@ -2137,6 +2137,39 @@ object Extensions {
     Analytics.vwapDeviation(Tables(spark, sfDir, "lineitem"), "l_shipdate",
       col("l_quantity"), col("l_extendedprice").cast("decimal(18,2)") * 100)
 
+  /** x230 — dedup threshold sweep ([[Dedup.thresholdSweep]]): pair and
+    * doc counts at τ ∈ {50..90}% from ONE pair materialization — the
+    * curve that chooses the dedup threshold. */
+  private val x230: Q = (spark, sfDir) =>
+    Dedup.thresholdSweep(docs(spark, sfDir), "doc_id", "text")
+
+  /** x231 — IVF cluster topics ([[Similarity.ivfClusterTopics]]): each
+    * embedding cell named by its member docs' most distinctive terms —
+    * the multimodal bridge (vec_id ↔ doc_id corpus contract); rarity
+    * weighting at cluster grain. */
+  private val x231: Q = (spark, sfDir) =>
+    Similarity.ivfClusterTopics(emb(spark, sfDir), docs(spark, sfDir),
+      "doc_id", "text", nCells = 16, topTerms = 3)
+
+  /** x232 — freshness report ([[Integrity.freshnessReport]]): per event
+    * type, lag behind the table's own high-water mark in whole seconds,
+    * stale types flagged — the "is feed X behind?" dashboard. */
+  private val x232: Q = (spark, sfDir) =>
+    Integrity.freshnessReport(Tables(spark, sfDir, "events"), "ts",
+      "event_type", maxLagSeconds = 3600L)
+
+  /** x233 — reconciliation audit ([[Integrity.reconciliationAudit]]):
+    * does o_totalprice equal its lines' sum? Per-order relative gap in
+    * exact ppm rolled into bands — the denormalization invariant check. */
+  private val x233: Q = (spark, sfDir) =>
+    Integrity.reconciliationAudit(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")),
+      "o_orderkey",
+      col("o_totalprice").cast("decimal(18,2)") * 100,
+      col("l_extendedprice").cast("decimal(18,2)") * 100)
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2775,7 +2808,11 @@ object Extensions {
     "x226_share_of_parent" -> x226,
     "x227_fill_rate_bands" -> x227,
     "x228_near_dup_explanations" -> x228,
-    "x229_vwap_deviation" -> x229)
+    "x229_vwap_deviation" -> x229,
+    "x230_threshold_sweep" -> x230,
+    "x231_ivf_cluster_topics" -> x231,
+    "x232_freshness_report" -> x232,
+    "x233_reconciliation_audit" -> x233)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -4975,6 +5012,74 @@ object Extensions {
          | CASE WHEN ABS(c // q - gc // gq) * 1000000 // (gc // gq) > 50000
          |  THEN 1 ELSE 0 END AS flag
          |FROM d, g ORDER BY day""".stripMargin.replace("\n", " ")),
+    "x230_threshold_sweep" ->
+      (s"""WITH ${jaccardCtes(0.5, Some(1000))},
+         |ts AS (SELECT * FROM (VALUES (50), (60), (70), (80), (90))
+         |  t(threshold_pct)),
+         |q AS (SELECT ts.threshold_pct, d1, d2 FROM jpairs CROSS JOIN ts
+         |  WHERE jaccard * 100 >= threshold_pct),
+         |np AS (SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM q GROUP BY 1),
+         |nd AS (SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_docs FROM
+         |  (SELECT DISTINCT threshold_pct, doc FROM
+         |   (SELECT threshold_pct, d1 AS doc FROM q
+         |    UNION ALL SELECT threshold_pct, d2 FROM q)) GROUP BY 1)
+         |SELECT ts.threshold_pct, COALESCE(np.n_pairs, 0) AS n_pairs,
+         | COALESCE(nd.n_docs, 0) AS n_docs
+         |FROM ts LEFT JOIN np ON ts.threshold_pct = np.threshold_pct
+         | LEFT JOIN nd ON ts.threshold_pct = nd.threshold_pct
+         |ORDER BY ts.threshold_pct""".stripMargin.replace("\n", " ")),
+    "x231_ivf_cluster_topics" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |asg AS (SELECT vec_id AS doc_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |tm AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |tm2 AS (SELECT doc_id, term FROM tm WHERE length(term) > 0),
+         |ct AS (SELECT a.cell, t.term, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tm2 t JOIN asg a ON t.doc_id = a.doc_id GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM
+         |  (SELECT DISTINCT doc_id, term FROM tm2) GROUP BY 1),
+         |sc AS (SELECT ct.cell, ct.term, ct.n, dfq.df,
+         |  ct.n * 1000000 // dfq.df AS score
+         | FROM ct JOIN dfq ON ct.term = dfq.term),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cell
+         |  ORDER BY score DESC, term) AS BIGINT) AS rank FROM sc)
+         |SELECT cell, rank, term, n, df, score
+         |FROM r WHERE rank <= 3 ORDER BY cell, rank"""
+        .stripMargin.replace("\n", " ")),
+    "x232_freshness_report" ->
+      ("""WITH dm AS (SELECT event_type AS dim,
+         |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS m
+         | FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         | GROUP BY 1),
+         |h AS (SELECT MAX(m) AS hw FROM dm)
+         |SELECT dim, STRFTIME(CAST(to_timestamp(m) AS TIMESTAMP),
+         |  '%Y-%m-%d %H:%M:%S') AS newest,
+         | hw - m AS lag_seconds,
+         | CASE WHEN hw - m > 3600 THEN 1 ELSE 0 END AS stale
+         |FROM dm, h ORDER BY dim""".stripMargin.replace("\n", " ")),
+    "x233_reconciliation_audit" ->
+      ("""WITH per AS (SELECT o_orderkey,
+         |  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS h,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS l
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | GROUP BY 1 HAVING MAX(o_totalprice) > 0),
+         |p2 AS (SELECT ABS(h - l) * 1000000 // h AS ppm FROM per),
+         |b AS (SELECT CASE WHEN ppm = 0 THEN '0_exact'
+         |  WHEN ppm < 10000 THEN '1_under_1pct'
+         |  WHEN ppm < 50000 THEN '2_under_5pct'
+         |  WHEN ppm < 200000 THEN '3_under_20pct'
+         |  ELSE '4_over_20pct' END AS band, ppm FROM p2)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parents,
+         | CAST(MAX(ppm) AS BIGINT) AS max_gap_ppm
+         |FROM b GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -528,6 +528,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expRing < expMod)
   }
 
+  test("freshnessReport: lag vs the table's own high-water mark, stale flagged") {
+    import graft.operators.Integrity
+    import java.sql.Timestamp
+    val df = Seq(("A", Timestamp.valueOf("2024-03-01 10:00:00")),
+      ("B", Timestamp.valueOf("2024-03-01 12:00:00"))).toDF("t", "ts")
+    val r = Integrity.freshnessReport(df, "ts", "t", maxLagSeconds = 3600L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(2), x.getInt(3)))).toMap
+    assert(r == Map("A" -> ((7200L, 1)), "B" -> ((0L, 0))))
+  }
+
+  test("reconciliationAudit: header-vs-lines gap bands in exact ppm") {
+    import graft.operators.Integrity
+    val df = Seq((1L, 10000L, 4000L), (1L, 10000L, 6000L),
+      (2L, 10000L, 9000L), (3L, 100L, 300L)).toDF("pk", "h", "lc")
+    val r = Integrity.reconciliationAudit(df, "pk", col("h"), col("lc"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("0_exact" -> ((1L, 0L)), "3_under_20pct" -> ((1L, 100000L)),
+      "4_over_20pct" -> ((1L, 2000000L))))
+  }
+
   test("forgetImpact: per-table affected counts, zero rows reported not dropped") {
     import graft.operators.Integrity
     val keys = Seq(1L, 2L, 2L).toDF("k")
@@ -676,6 +696,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(x => (x.getLong(3), x.getString(4), x.getLong(5)))
     // shared: "a b c" (df 3, doc 3 has it too), "b c d" (df 2 -> rarer)
     assert(r.toSeq == Seq((1L, "b c d", 2L), (2L, "a b c", 3L)))
+  }
+
+  test("thresholdSweep: one pair materialization, monotone counts down the ladder") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val r = Dedup.thresholdSweep(docs, "doc_id", "text").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(_._1).toSeq == Seq(50, 60, 70, 80, 90))
+    assert(r.forall { case (_, p, d) => p == 1L && d == 2L }) // identical pair
+    assert(r.map(_._2).sliding(2).forall(w => w.head >= w.last)) // monotone
+  }
+
+  test("ivfClusterTopics: cells named by their members' most distinctive terms") {
+    import graft.operators.Similarity
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq((1L, "apple apple"), (2L, "zebra"), (3L, "apple pie"),
+      (4L, "zoo zebra")).toDF("doc_id", "text")
+    val r = Similarity.ivfClusterTopics(emb, docs, "doc_id", "text",
+      nCells = 2, topTerms = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getString(2), x.getLong(5)))).toMap
+    assert(r(1L) == (("apple", 1500000L))) // n=3 over df=2
+    assert(r(2L) == (("zebra", 1000000L))) // ties with zoo -> lexicographic
   }
 
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
