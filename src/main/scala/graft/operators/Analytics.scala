@@ -2275,6 +2275,76 @@ object Analytics {
   }
 
   /**
+   * WEEKDAY-ADJUSTED outlier scan — each day's event count versus the
+   * exact lower median of ITS OWN WEEKDAY: the seasonality-aware anomaly
+   * gate ("quiet Sunday" is normal; "quiet Tuesday" is an incident) that
+   * global z-scores (x169) and trailing windows (x213) both misread on
+   * weekly-cyclic traffic. Medians are rank-exact from value-collapsed
+   * cumulative counts (the x139/x161 pattern — never a row-sorted
+   * window); deviation in exact ppm of the weekday median, days beyond
+   * `flagPpm` flagged.
+   *
+   * Scale shape: corpus → zero-filled |days| spine; the (weekday, value)
+   * collapse is ≤ |days| rows with 7-partition windows; the median joins
+   * back by broadcast. Output is |days| rows.
+   */
+  def weekdayAdjustedOutliers(events: DataFrame, tsCol: String,
+      flagPpm: Long = 200000L): DataFrame = {
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("n"))
+      // cached: bounds + fill + the weekday median all read it.
+      // Caller-managed lifecycle — see pageRank's contract.
+      .cache()
+    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val filled = bounds
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("weekday(day)").as("__wd"))
+    val collapsed = filled.groupBy("__wd", "n").agg(count(lit(1)).as("__c"))
+    val byVal = Window.partitionBy("__wd").orderBy("n")
+    val med = collapsed
+      .withColumn("__cum", sum(col("__c")).over(byVal))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy("__wd")))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("__wd").agg(min(col("n")).as("wd_median"))
+    filled.join(broadcast(med), Seq("__wd"))
+      .select(col("day"), col("n"), col("wd_median"),
+        when(col("wd_median") > 0,
+          expr("abs(n - wd_median) * 1000000 DIV wd_median")).as("dev_ppm"))
+      .withColumn("flag",
+        when(col("dev_ppm") > flagPpm, 1).otherwise(0))
+      .orderBy("day")
+  }
+
+  /**
+   * TOUCH-DEPTH histogram — how many touches precede a conversion? The
+   * distribution behind every attribution model's denominator: depth 0 is
+   * the unattributed bucket (conversion with no in-window touches), and a
+   * heavy tail means multi-touch models and last-touch will disagree
+   * badly — worth knowing BEFORE arguing about credit. Uses the same
+   * conversion×touch interval join as x134/x207, collapsed to a
+   * per-conversion count and then a depth census.
+   *
+   * Scale shape: one user-keyed interval join, one per-conversion count
+   * (map-side partials), one depth-bounded histogram aggregate.
+   */
+  def touchDepthHistogram(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      windowDays: Int = 7): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol).as("cu"), col(tsCol).as("cts"))
+    conv.join(events.filter(col(typeCol) =!= convType),
+        col("cu") === col(userCol) &&
+          col(tsCol) >= col("cts") - expr(s"INTERVAL $windowDays DAYS") &&
+          col(tsCol) < col("cts"),
+        "left")
+      .groupBy("conv_id").agg(count(col(idCol)).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_conversions"))
+      .orderBy("depth")
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

@@ -792,6 +792,30 @@ object Dedup {
   }
 
   /**
+   * CROSS-SOURCE duplicate census — where does the duplication COME
+   * from? Verified near-dup pairs bucketed by their endpoints' source
+   * pair (unordered): the off-diagonal cells are syndication/mirroring
+   * between feeds; the diagonal is within-source boilerplate. The
+   * pair-grain complement of x126's n-gram contamination matrix —
+   * these pairs passed FULL similarity verification, not just shared
+   * n-grams.
+   *
+   * Scale shape: the pair frame joins the (id → source) projection
+   * twice (hash joins on doc ids); the census is |sources|²-bounded.
+   */
+  def crossSourceDups(docs: DataFrame, pairs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol), col(sourceCol).as("__s"))
+    pairs
+      .join(src.withColumnRenamed(idCol, "d1").withColumnRenamed("__s", "__s1"), "d1")
+      .join(src.withColumnRenamed(idCol, "d2").withColumnRenamed("__s", "__s2"), "d2")
+      .groupBy(least(col("__s1"), col("__s2")).as("source_1"),
+        greatest(col("__s1"), col("__s2")).as("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_1", "source_2")
+  }
+
+  /**
    * NEAR-DUP pair EXPLANATIONS — the review artifact behind a dedup
    * decision: for the `nPairs` highest-similarity pairs, the
    * `nShingles` RAREST shingles the two documents share (rarest = lowest

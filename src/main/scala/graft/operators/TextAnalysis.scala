@@ -768,6 +768,37 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /**
+   * VOCABULARY EXCLUSIVITY census — per source, how much of its
+   * vocabulary appears NOWHERE else (count + ppm): the corpus-diversity
+   * gauge that separates a source contributing genuinely new language
+   * from one paraphrasing the rest — near-dup pair rates (x197) miss
+   * this entirely, because novel vocabulary needs no duplicate to exist.
+   *
+   * Scale shape: one (source, term) distinct collapse; term →
+   * source-count is a |vocab|-bounded aggregate joined back; the report
+   * is |sources| rows.
+   */
+  def vocabExclusivity(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val st = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      // cached: the per-term source count and the per-source rollup both
+      // read it. Caller-managed lifecycle — see coOccurrenceLift.
+      .cache()
+    val spread = st.groupBy("term").agg(count(lit(1)).as("__ns"))
+    st.join(spread, "term")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+      .select(col("source"), col("n_terms"), col("n_exclusive"),
+        expr("n_exclusive * 1000000 DIV n_terms").as("exclusive_ppm"))
+      .orderBy("source")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -2170,6 +2170,32 @@ object Extensions {
       col("o_totalprice").cast("decimal(18,2)") * 100,
       col("l_extendedprice").cast("decimal(18,2)") * 100)
 
+  /** x234 — weekday-adjusted outliers ([[Analytics.weekdayAdjustedOutliers]]):
+    * each day vs ITS weekday's rank-exact median — seasonality-aware
+    * anomaly flags global z-scores misread; value-collapsed medians. */
+  private val x234: Q = (spark, sfDir) =>
+    Analytics.weekdayAdjustedOutliers(Tables(spark, sfDir, "events"), "ts")
+
+  /** x235 — vocabulary exclusivity ([[TextAnalysis.vocabExclusivity]]):
+    * per source, terms appearing nowhere else — the diversity gauge
+    * near-dup rates can't see. */
+  private val x235: Q = (spark, sfDir) =>
+    TextAnalysis.vocabExclusivity(docs(spark, sfDir), "source", "text")
+
+  /** x236 — touch-depth histogram ([[Analytics.touchDepthHistogram]]):
+    * how many touches precede each purchase (depth 0 = unattributed) —
+    * the distribution behind every attribution denominator. */
+  private val x236: Q = (spark, sfDir) =>
+    Analytics.touchDepthHistogram(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "event_type", "purchase", windowDays = 7)
+
+  /** x237 — cross-source dup census ([[Dedup.crossSourceDups]]): verified
+    * near-dup pairs bucketed by source pair — syndication off-diagonal,
+    * boilerplate on it; the EIGHTH consumer of the LSH pair staging. */
+  private val x237: Q = (spark, sfDir) =>
+    Dedup.crossSourceDups(docs(spark, sfDir), lshPairs(spark, sfDir),
+      "doc_id", "source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2812,7 +2838,11 @@ object Extensions {
     "x230_threshold_sweep" -> x230,
     "x231_ivf_cluster_topics" -> x231,
     "x232_freshness_report" -> x232,
-    "x233_reconciliation_audit" -> x233)
+    "x233_reconciliation_audit" -> x233,
+    "x234_weekday_adjusted_outliers" -> x234,
+    "x235_vocab_exclusivity" -> x235,
+    "x236_touch_depth_histogram" -> x236,
+    "x237_cross_source_dups" -> x237)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5080,6 +5110,66 @@ object Extensions {
          |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parents,
          | CAST(MAX(ppm) AS BIGINT) AS max_gap_ppm
          |FROM b GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
+    "x234_weekday_adjusted_outliers" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |bo AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+         |sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT sp.day, COALESCE(d.n, 0) AS n,
+         |  isodow(sp.day) - 1 AS wd FROM sp LEFT JOIN d ON sp.day = d.day),
+         |cl AS (SELECT wd, n, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM f GROUP BY 1, 2),
+         |cm AS (SELECT wd, n,
+         |  CAST(SUM(c) OVER (PARTITION BY wd ORDER BY n
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(SUM(c) OVER (PARTITION BY wd) AS BIGINT) AS tot FROM cl),
+         |md AS (SELECT wd, CAST(MIN(n) AS BIGINT) AS wd_median
+         |  FROM cm WHERE cum * 2 >= tot GROUP BY 1)
+         |SELECT f.day, f.n, md.wd_median,
+         | CASE WHEN wd_median > 0
+         |  THEN ABS(f.n - wd_median) * 1000000 // wd_median END AS dev_ppm,
+         | CASE WHEN (CASE WHEN wd_median > 0
+         |  THEN ABS(f.n - wd_median) * 1000000 // wd_median END) > 200000
+         |  THEN 1 ELSE 0 END AS flag
+         |FROM f JOIN md ON f.wd = md.wd ORDER BY f.day"""
+        .stripMargin.replace("\n", " ")),
+    "x235_vocab_exclusivity" ->
+      ("""WITH st AS (SELECT DISTINCT source,
+         |  unnest(string_split(text, ' ')) AS term
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |st2 AS (SELECT source, term FROM st WHERE length(term) > 0),
+         |sp AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM st2 GROUP BY 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         | CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_exclusive,
+         | CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000
+         |  // COUNT(*) AS BIGINT) AS exclusive_ppm
+         |FROM st2 JOIN sp ON st2.term = sp.term
+         |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x236_touch_depth_histogram" ->
+      ("""WITH pur AS (SELECT event_id AS conv_id, user_id AS cu, ts AS cts
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT p.conv_id, e.event_id
+         |  FROM pur p LEFT JOIN events e ON e.user_id = p.cu
+         |   AND e.ts >= p.cts - INTERVAL 7 DAY AND e.ts < p.cts
+         |   AND e.event_type <> 'purchase'),
+         |d AS (SELECT conv_id, CAST(COUNT(event_id) AS BIGINT) AS depth
+         |  FROM t GROUP BY 1)
+         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_conversions
+         |FROM d GROUP BY 1 ORDER BY depth""".stripMargin.replace("\n", " ")),
+    "x237_cross_source_dups" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |src AS (SELECT doc_id, source FROM documents),
+         |sp AS (SELECT LEAST(s1.source, s2.source) AS source_1,
+         |  GREATEST(s1.source, s2.source) AS source_2
+         | FROM jpairs j JOIN src s1 ON j.d1 = s1.doc_id
+         |  JOIN src s2 ON j.d2 = s2.doc_id)
+         |SELECT source_1, source_2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY 1, 2 ORDER BY source_1, source_2"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

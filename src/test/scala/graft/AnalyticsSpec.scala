@@ -942,6 +942,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r("2024-03-02") == ((400L, 200L, 1000000L, 1)))
   }
 
+  test("weekdayAdjustedOutliers: a loud Tuesday flags against its own weekday median") {
+    // 14 days from Mon 2024-03-04; all 10 events except Tue 2024-03-12 = 30
+    val events = (0 until 14).flatMap { i =>
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(i)
+      val k = if (d.toString == "2024-03-12") 30 else 10
+      Seq.fill(k)(ts(s"$d 09:00:00"))
+    }.toDF("ts")
+    val r = Analytics.weekdayAdjustedOutliers(events, "ts").collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(2), x.getLong(3), x.getInt(4))))
+      .toMap
+    assert(r("2024-03-12") == ((10L, 2000000L, 1)))
+    assert(r("2024-03-11") == ((10L, 0L, 0)))
+  }
+
+  test("touchDepthHistogram: depth census with the unattributed zero bucket") {
+    val events = Seq(
+      (1L, 7L, ts("2024-03-01 10:00:00"), "view"),
+      (2L, 7L, ts("2024-03-02 10:00:00"), "click"),
+      (3L, 7L, ts("2024-03-03 10:00:00"), "purchase"),
+      (4L, 8L, ts("2024-03-03 12:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = Analytics.touchDepthHistogram(events, "user_id", "ts", "event_id",
+      "event_type", "purchase").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L, 2L -> 1L))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

@@ -723,6 +723,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(2L) == (("zebra", 1000000L))) // ties with zoo -> lexicographic
   }
 
+  test("vocabExclusivity: terms owned by exactly one source, exact ppm") {
+    val docs = Seq((1L, "a b", "s1"), (2L, "b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.vocabExclusivity(docs, "source", "text").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map("s1" -> ((2L, 1L, 500000L)), "s2" -> ((2L, 1L, 500000L))))
+  }
+
+  test("crossSourceDups: unordered source-pair census over verified pairs") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s1")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8)).toDF("d1", "d2", "jaccard")
+    val r = Dedup.crossSourceDups(docs, pairs, "doc_id", "source").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSet == Set(("s1", "s1", 1L), ("s1", "s2", 1L)))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")
