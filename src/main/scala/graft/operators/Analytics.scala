@@ -2345,6 +2345,74 @@ object Analytics {
   }
 
   /**
+   * REORDER-ETA projection — for each repeat customer, when is the next
+   * order DUE? last order day + the exact lower median of the customer's
+   * own inter-order gaps: the replenishment baseline behind churn-risk
+   * lists ("14 days past their personal cadence") and inventory
+   * forecasts. Median, not mean — one vacation gap would poison a mean
+   * cadence for a year.
+   *
+   * Only customers with at least `minOrders` distinct order DAYS qualify
+   * (below that a "cadence" is numerology). The per-customer gap list is
+   * bounded by the customer's own order count, so the
+   * `array_sort(collect_list(...))` median is per-key-bounded work (the
+   * x168 journey-assembly argument), and ties/order sensitivity vanish
+   * under the sort.
+   *
+   * Scale shape: one exchange to distinct (customer, day); the lag
+   * window and the gap-list aggregate share that customer partitioning;
+   * output ≤ |customers| rows.
+   */
+  def reorderEta(orders: DataFrame, custCol: String, tsCol: String,
+      minOrders: Int = 3): DataFrame = {
+    require(minOrders >= 2, s"minOrders $minOrders must be >= 2 (gaps need pairs)")
+    val days = orders.filter(col(custCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(custCol), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val byCust = Window.partitionBy(custCol).orderBy("__d")
+    days
+      .withColumn("__gap", datediff(col("__d"), lag(col("__d"), 1).over(byCust)))
+      .groupBy(col(custCol))
+      .agg(count(lit(1)).as("n_order_days"),
+        max(col("__d")).as("last_order_day"),
+        array_sort(collect_list(col("__gap"))).as("__gaps"))
+      .filter(col("n_order_days") >= minOrders)
+      .withColumn("median_gap_days",
+        expr("CAST(element_at(__gaps, CAST((size(__gaps) + 1) DIV 2 AS INT)) AS BIGINT)"))
+      .select(col(custCol), col("n_order_days"), col("last_order_day"),
+        col("median_gap_days"),
+        expr("date_add(last_order_day, CAST(median_gap_days AS INT))")
+          .as("eta_day"))
+  }
+
+  /**
+   * HHI CONCENTRATION trend — the Herfindahl-Hirschman index of brand
+   * revenue share per quarter, in exact ppm-of-ppm units (Σ share_ppm²
+   * DIV 1e6; monopoly = 1e6, n equal brands = 1e6/n): the standard
+   * concentration metric, tracked over time — x173's top-share answers
+   * "how big is the head", HHI answers "how concentrated is the WHOLE
+   * distribution", and regulators read the latter.
+   *
+   * Scale shape: one exchange to (quarter, brand) cents with map-side
+   * partials; quarter totals re-aggregate the brand-bounded frame and
+   * broadcast; shares and their squares are row-local; output
+   * |quarters| rows. Share squares stay ≤ 1e12·|brands| — inside BIGINT.
+   */
+  def hhiTrend(df: DataFrame, tsCol: String, groupCol: String,
+      amountCents: Column): DataFrame = {
+    val qb = df.filter(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(trunc(col(tsCol), "quarter").as("quarter"), col(groupCol))
+      .agg(sum(amountCents.cast("decimal(18,0)")).cast("long").as("__c"))
+    val qt = qb.groupBy("quarter").agg(sum(col("__c")).as("__qt"))
+    qb.join(broadcast(qt), "quarter")
+      .withColumn("__share", expr("__c * 1000000 DIV __qt"))
+      .groupBy("quarter")
+      .agg(count(lit(1)).as("n_groups"),
+        expr("SUM(__share * __share) DIV 1000000").as("hhi_ppm"))
+      .orderBy("quarter")
+  }
+
+  /**
    * LOG2 (HDR-style) HISTOGRAM of a positive integer measure — the
    * observability workhorse: exponentially-widening buckets cover nine
    * orders of magnitude in ~30 rows with bounded relative error, which is

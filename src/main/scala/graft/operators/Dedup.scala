@@ -792,6 +792,41 @@ object Dedup {
   }
 
   /**
+   * DEDUP TOKEN-SAVINGS report — what does near-dup removal actually buy,
+   * in TOKENS, per source? Training budgets are token-denominated, so
+   * "3% of docs are dups" understates the win when the dups are long:
+   * this reports tokens before, tokens dropped (every cluster member
+   * except the min-id representative — [[exact]]'s keep-min convention),
+   * and the savings in exact ppm. Consumes the shared LSH pair staging
+   * via [[dupClusters]].
+   *
+   * Scale shape: labels → per-cluster min (cluster-bounded) → the
+   * dropped-id set semi-joins the (id, source, tokens) projection; the
+   * rollup is |sources|-bounded. Token counts are row-local
+   * `size(split(...))`.
+   */
+  def dedupTokenSavings(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, iterations: Int = 3): DataFrame = {
+    val labels = dupClusters(pairs, iterations)
+    val reps = labels.groupBy("cluster").agg(min(col(idCol)).as("__rep"))
+    val dropped = labels.join(reps, "cluster")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol), lit(1L).as("__drop"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("__tok"))
+      .join(dropped, Seq(idCol), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("tokens_total"),
+        sum(when(col("__drop").isNotNull, col("__tok")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("tokens_dropped"),
+        expr("tokens_dropped * 1000000 DIV tokens_total").as("savings_ppm"))
+      .orderBy("source")
+  }
+
+  /**
    * CROSS-SOURCE duplicate census — where does the duplication COME
    * from? Verified near-dup pairs bucketed by their endpoints' source
    * pair (unordered): the off-diagonal cells are syndication/mirroring

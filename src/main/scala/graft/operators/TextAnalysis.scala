@@ -799,6 +799,36 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /**
+   * EFFECTIVE VOCABULARY size per source — the inverse-Simpson diversity
+   * of the term distribution, `N² DIV Σn²` in exact integers: "this
+   * source talks like it has K equally-common words". A source with a
+   * million distinct terms but an effective vocabulary of 40 is template
+   * spam; raw distinct counts (x07) cannot tell the difference. Exact
+   * and log-free where Shannon entropy would be float (the x177
+   * Simpson-over-entropy argument, applied to vocabulary).
+   *
+   * Scale shape: one (source, term) count collapse with map-side
+   * partials; Σn² rides DECIMAL(38,0) (term counts square past BIGINT
+   * at claimed scale); output |sources| rows.
+   */
+  def effectiveVocabulary(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val tc = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("__n"))
+    tc.groupBy("source")
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_terms"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__sq"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_terms"),
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens DIV __sq AS BIGINT)")
+          .as("effective_terms"))
+      .orderBy("source")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -2196,6 +2196,38 @@ object Extensions {
     Dedup.crossSourceDups(docs(spark, sfDir), lshPairs(spark, sfDir),
       "doc_id", "source")
 
+  /** x238 — reorder ETA ([[Analytics.reorderEta]]): next-order due date
+    * per repeat customer = last order + their own median inter-order gap
+    * — the replenishment baseline; per-key-bounded sorted gap lists. */
+  private val x238: Q = (spark, sfDir) =>
+    Analytics.reorderEta(Tables(spark, sfDir, "orders"), "o_custkey",
+      "o_orderdate", minOrders = 3)
+      .orderBy("o_custkey")
+
+  /** x239 — HHI trend ([[Analytics.hhiTrend]]): Herfindahl concentration
+    * of brand revenue per quarter in exact ppm units — "how concentrated
+    * is the WHOLE distribution", beyond x173's top-share head. */
+  private val x239: Q = (spark, sfDir) =>
+    Analytics.hhiTrend(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey")),
+      "l_shipdate", "p_brand",
+      col("l_extendedprice").cast("decimal(18,2)") * 100)
+
+  /** x240 — effective vocabulary ([[TextAnalysis.effectiveVocabulary]]):
+    * inverse-Simpson diversity of each source's term distribution in
+    * exact integers — template spam reads as a tiny effective vocabulary
+    * no matter how many distinct terms it technically has. */
+  private val x240: Q = (spark, sfDir) =>
+    TextAnalysis.effectiveVocabulary(docs(spark, sfDir), "source", "text")
+
+  /** x241 — dedup token savings ([[Dedup.dedupTokenSavings]]): tokens the
+    * near-dup pass actually frees per source (budgets are
+    * token-denominated) — the NINTH consumer of the LSH pair staging. */
+  private val x241: Q = (spark, sfDir) =>
+    Dedup.dedupTokenSavings(docs(spark, sfDir), lshPairs(spark, sfDir),
+      "doc_id", "text", "source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2842,7 +2874,11 @@ object Extensions {
     "x234_weekday_adjusted_outliers" -> x234,
     "x235_vocab_exclusivity" -> x235,
     "x236_touch_depth_histogram" -> x236,
-    "x237_cross_source_dups" -> x237)
+    "x237_cross_source_dups" -> x237,
+    "x238_reorder_eta" -> x238,
+    "x239_hhi_trend" -> x239,
+    "x240_effective_vocabulary" -> x240,
+    "x241_dedup_token_savings" -> x241)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5169,6 +5205,66 @@ object Extensions {
          |  JOIN src s2 ON j.d2 = s2.doc_id)
          |SELECT source_1, source_2, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM sp GROUP BY 1, 2 ORDER BY source_1, source_2"""
+        .stripMargin.replace("\n", " ")),
+    "x238_reorder_eta" ->
+      ("""WITH dy AS (SELECT DISTINCT o_custkey AS c,
+         |  CAST(o_orderdate AS DATE) AS d FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |g AS (SELECT c, d, date_diff('day',
+         |  LAG(d) OVER (PARTITION BY c ORDER BY d), d) AS gap FROM dy),
+         |a AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_order_days,
+         |  MAX(d) AS last_order_day,
+         |  list_sort(list(gap) FILTER (WHERE gap IS NOT NULL)) AS gaps
+         | FROM g GROUP BY 1),
+         |b AS (SELECT c, n_order_days, last_order_day,
+         |  CAST(gaps[(len(gaps) + 1) // 2] AS BIGINT) AS median_gap_days
+         | FROM a WHERE n_order_days >= 3)
+         |SELECT c AS o_custkey, n_order_days, last_order_day,
+         | median_gap_days,
+         | last_order_day + CAST(median_gap_days AS INT) AS eta_day
+         |FROM b ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+    "x239_hhi_trend" ->
+      ("""WITH qb AS (SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE)
+         |  AS quarter, p_brand,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
+         |qt AS (SELECT quarter, CAST(SUM(c) AS BIGINT) AS t
+         |  FROM qb GROUP BY 1),
+         |sh AS (SELECT qb.quarter, c * 1000000 // t AS s
+         |  FROM qb JOIN qt ON qb.quarter = qt.quarter)
+         |SELECT quarter, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         | CAST(SUM(s * s) // 1000000 AS BIGINT) AS hhi_ppm
+         |FROM sh GROUP BY 1 ORDER BY quarter"""
+        .stripMargin.replace("\n", " ")),
+    "x240_effective_vocabulary" ->
+      ("""WITH tm AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tm WHERE length(term) > 0 GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         | CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+         | CAST(CAST(SUM(n) AS HUGEINT) * CAST(SUM(n) AS HUGEINT)
+         |  // SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS effective_terms
+         |FROM tc GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x241_dedup_token_savings" ->
+      (s"""WITH $clusterCtes,
+         |reps AS (SELECT label, MIN(node) AS rep FROM l3 GROUP BY 1),
+         |drp AS (SELECT l3.node AS doc_id FROM l3
+         |  JOIN reps ON l3.label = reps.label WHERE l3.node <> reps.rep),
+         |tk AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         | FROM documents WHERE text IS NOT NULL)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(tok) AS BIGINT) AS tokens_total,
+         | CAST(SUM(CASE WHEN drp.doc_id IS NOT NULL THEN tok ELSE 0 END)
+         |  AS BIGINT) AS tokens_dropped,
+         | CAST(SUM(CASE WHEN drp.doc_id IS NOT NULL THEN tok ELSE 0 END)
+         |  * 1000000 // SUM(tok) AS BIGINT) AS savings_ppm
+         |FROM tk LEFT JOIN drp ON tk.doc_id = drp.doc_id
+         |GROUP BY source ORDER BY source"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

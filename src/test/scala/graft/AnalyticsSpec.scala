@@ -969,6 +969,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == Map(0L -> 1L, 2L -> 1L))
   }
 
+  test("reorderEta: personal median cadence, one outlier gap shrugged off") {
+    // cust 7: orders on days 1, 8, 15, 50 -> gaps [7,7,35], median 7
+    val orders = Seq("2024-03-01", "2024-03-08", "2024-03-15", "2024-04-19")
+      .map(d => (7L, ts(s"$d 10:00:00"))) :+ ((8L, ts("2024-03-01 10:00:00")))
+    val r = Analytics.reorderEta(orders.toDF("o_custkey", "ts"), "o_custkey",
+      "ts", minOrders = 3).collect()
+    assert(r.length == 1) // cust 8 has one order: no cadence
+    val x = r.head
+    assert((x.getLong(0), x.getLong(1), x.getLong(3), x.getDate(4).toString)
+      == ((7L, 4L, 7L, "2024-04-26")))
+  }
+
+  test("hhiTrend: monopoly scores 1e6; two equal groups score half") {
+    val df = Seq(("2024-01-05", "A", 100L), ("2024-04-05", "A", 50L),
+      ("2024-04-10", "B", 50L))
+      .map { case (d, g, c) => (ts(s"$d 00:00:00"), g, c) }
+      .toDF("ts", "g", "cents")
+    val r = Analytics.hhiTrend(df, "ts", "g", col("cents")).collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("2024-01-01") == ((1L, 1000000L)))
+    assert(r("2024-04-01") == ((2L, 500000L)))
+  }
+
   test("rankAgreement: hand-computed Kendall counts and top-k overlap") {
     val left = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("item", "s")
     val right = Seq(("a", 1.0), ("b", 3.0), ("c", 2.0)).toDF("item", "s")

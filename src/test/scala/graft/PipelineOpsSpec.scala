@@ -740,6 +740,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.toSet == Set(("s1", "s1", 1L), ("s1", "s2", 1L)))
   }
 
+  test("effectiveVocabulary: template spam reads as a tiny effective vocab") {
+    val docs = Seq((1L, "spam spam spam spam spam rare", "tpl"),
+      (2L, "a b c d e f", "div")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.effectiveVocabulary(docs, "source", "text").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // tpl: N=6, sq=25+1=26 -> 36/26 = 1 effective term despite 2 distinct
+    assert(r("tpl") == ((6L, 2L, 1L)))
+    assert(r("div") == ((6L, 6L, 6L))) // uniform: effective == distinct
+  }
+
+  test("dedupTokenSavings: cluster members beyond the representative are the cost") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a b c d", "s1"),
+      (3L, "x y", "s2")).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L, 0.9)).toDF("d1", "d2", "jaccard")
+    val r = Dedup.dedupTokenSavings(docs, pairs, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // doc 1 is the representative; doc 2 (4 tokens) drops
+    assert(r("s1") == ((2L, 7L, 4L, 571428L)))
+    assert(r("s2") == ((1L, 2L, 0L, 0L)))
+  }
+
   test("docKeywords: rarity-weighted argmax per doc, ties break on the term") {
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "x y")).toDF("doc_id", "text")
