@@ -2574,4 +2574,86 @@ object Analytics {
       .agg(max(col("offset") + col("lcum")).as("peak_concurrent"))
       .orderBy("day")
   }
+
+  /**
+   * CHI-SQUARE INDEPENDENCE audit of two categorical columns — the
+   * per-cell contingency table with exact-integer expected counts and χ²
+   * contributions: `contrib = (O·N − RT·CT)² DIV (N·RT·CT)` in micro
+   * units, which is algebraically `(O−E)²/E` with E = RT·CT/N cleared of
+   * fractions. Large contributions point at the cells DRIVING the
+   * association ("which segment over-orders which priority"), which a
+   * single global p-value hides. Everything is integer: `expected_milli`
+   * is `RT·CT·1000 DIV N` and contributions floor per cell (documented —
+   * both engines floor identically).
+   *
+   * Scale shape: one exchange to the (a, b) contingency cells with
+   * map-side partials; marginals re-aggregate the cell-bounded frame and
+   * broadcast back; output |a|·|b| rows. The numerator `(O·N − RT·CT)²`
+   * reaches N⁴ at corpus scale, so it rides DECIMAL(38,0) (exact to
+   * 10^38 — N up to ~3·10^9 rows) rather than BIGINT (overflows at
+   * N ≈ 55k).
+   */
+  def chiSquareAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val aTot = cells.groupBy(aCol).agg(sum(col("observed")).as("__rt"))
+    val bTot = cells.groupBy(bCol).agg(sum(col("observed")).as("__ct"))
+    val nTot = cells.agg(sum(col("observed")).as("__n"))
+    cells
+      .join(broadcast(aTot), aCol).join(broadcast(bTot), bCol)
+      .crossJoin(broadcast(nTot))
+      .select(col(aCol), col(bCol), col("observed"),
+        expr("CAST(CAST(__rt AS DECIMAL(38,0)) * __ct * 1000 DIV __n AS BIGINT)")
+          .as("expected_milli"),
+        expr("""CAST(
+            (CAST(observed AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+          * (CAST(observed AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+          * 1000000
+          DIV (CAST(__n AS DECIMAL(38,0)) * __rt * __ct) AS BIGINT)""")
+          .as("contrib_micro"))
+      .orderBy(aCol, bCol)
+  }
+
+  /**
+   * SESSION GAP-THRESHOLD sweep — session counts and mean session depth
+   * at several inactivity thresholds in ONE pass over the per-user gap
+   * sequence: `n_sessions(τ) = |users| + |gaps > τ|`, because every user
+   * opens one session and each over-threshold gap opens exactly one
+   * more. This is the τ-choosing curve for sessionization (x81 fixes one
+   * τ; picking it blind is how "sessions" become noise) — the elbow
+   * where n_sessions stops falling is the natural gap.
+   *
+   * Scale shape: one user-partitioned lag window (per-key bounded), one
+   * aggregate computing every threshold's conditional count
+   * simultaneously (map-side partials), then a |thresholds|-row unpivot.
+   * The sweep adds NO second scan over the corpus — cost is identical
+   * to sessionizing once.
+   */
+  def sessionGapSweep(events: DataFrame, userCol: String, tsCol: String,
+      thresholdsSec: Seq[Long]): DataFrame = {
+    require(thresholdsSec.nonEmpty, "sessionGapSweep needs at least one threshold")
+    // lag over ts alone is safe: among tied timestamps every ordering
+    // yields the same gap MULTISET (ties chain as zero gaps), and only
+    // the multiset feeds the threshold counts.
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
+    val gaps = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(tsCol))
+      .withColumn("__gap",
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(byUser)))
+    val sums = thresholdsSec.sorted.map { t =>
+      sum(when(col("__gap") > t, 1L).otherwise(0L)).as(s"__x$t")
+    }
+    val aggs = count(lit(1)).as("__events") +: sums
+    val base = gaps.agg(countDistinct(col(userCol)).as("__u"), aggs: _*)
+    val stacked = thresholdsSec.sorted
+      .map(t => s"${t}L, __x$t").mkString(", ")
+    base.select(expr(
+        s"stack(${thresholdsSec.size}, $stacked) AS (threshold_sec, __extra)"),
+        col("__u"), col("__events"))
+      .select(col("threshold_sec"),
+        (col("__u") + col("__extra")).as("n_sessions"),
+        expr("__events * 1000 DIV (__u + __extra)").as("events_per_session_milli"))
+      .orderBy("threshold_sec")
+  }
 }

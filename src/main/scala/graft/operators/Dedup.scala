@@ -978,4 +978,43 @@ object Dedup {
         col("dist"), col("a.__n").as("n_1"), col("b.__n").as("n_2"),
         (col("a.__n") * col("b.__n")).as("pair_count"))
   }
+
+  /**
+   * TOKEN-SET canonical dup census — per source, docs whose SORTED
+   * DISTINCT token set collides with another doc's, split into exact
+   * text dups ([[exact]]'s families) vs REORDER-ONLY dups: texts equal
+   * as bags of words but not as strings (shuffled boilerplate, list
+   * reorderings, template field permutations). Reorder-only is the dup
+   * mass exact hashing misses WITHOUT paying the n-gram Jaccard price —
+   * the cheap middle rung of the dedup ladder (x01 exact → THIS → x02
+   * LSH).
+   *
+   * Scale shape: canonicalization is one codegen'd map-side pass
+   * (split → drop empties → distinct → sort → md5, so the shuffle key
+   * is 32 bytes however long the doc); family sizes come from two
+   * key-collapsed aggregates joined back by compact hash; output
+   * |sources| rows.
+   */
+  def tokenSetDupCensus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val canon = md5(concat_ws(" ",
+      array_sort(array_distinct(
+        filter(split(col(textCol), " "), t => length(t) > 0)))))
+    val keyed = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol).as("source"),
+        canon.as("__ck"), md5(col(textCol)).as("__tk"))
+    val canonFam = keyed.groupBy("__ck").agg(count(lit(1)).as("__cn"))
+    val exactFam = keyed.groupBy("__tk").agg(count(lit(1)).as("__tn"))
+    keyed.join(canonFam, "__ck").join(exactFam, "__tk")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tn") > 1, 1L).otherwise(0L)).as("exact_dup_docs"),
+        sum(when(col("__cn") > 1, 1L).otherwise(0L)).as("canon_dup_docs"),
+        sum(when(col("__cn") > 1 && col("__tn") === 1, 1L).otherwise(0L))
+          .as("reorder_only_docs"))
+      .select(col("source"), col("n_docs"), col("exact_dup_docs"),
+        col("canon_dup_docs"), col("reorder_only_docs"),
+        expr("reorder_only_docs * 1000000 DIV n_docs").as("reorder_only_ppm"))
+      .orderBy("source")
+  }
 }

@@ -347,6 +347,42 @@ object Integrity {
       .orderBy("band")
   }
 
+  /**
+   * FUNCTIONAL-DEPENDENCY audit — for each candidate determinant→dependent
+   * column pair, how many determinant values map to MORE than one distinct
+   * dependent value. `violation_ppm = 0` certifies the FD holds on this
+   * snapshot (safe to normalize / use as a lookup key); anything else
+   * quantifies how broken the assumed dependency is — the schema-design
+   * check profilers skip because it needs a per-value distinct count, not
+   * a column histogram.
+   *
+   * Scale shape: per candidate pair, one (det, dep) distinct collapse
+   * followed by a det-keyed count — both shuffle on the determinant and
+   * combine map-side; the report is |pairs| rows unioned from bounded
+   * single-row aggregates. Nothing is quadratic and no pair reads another
+   * pair's shuffle.
+   *
+   * NULL semantics: rows with a NULL determinant or dependent are excluded
+   * (a NULL key determines nothing; a NULL value is absence, not a second
+   * witness) — mirroring fkConformance's NULL-FK treatment.
+   */
+  def functionalDependencyAudit(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencyAudit needs at least one pair")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull && col(dep).isNotNull)
+        .select(col(det).as("__det"), col(dep).as("__dep"))
+        .distinct()
+        .groupBy("__det")
+        .agg(count(lit(1)).as("__ndep"))
+        .agg(count(lit(1)).as("n_det_values"),
+          sum(when(col("__ndep") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_det_values"), col("n_violating"),
+          expr("n_violating * 1000000 DIV n_det_values").as("violation_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

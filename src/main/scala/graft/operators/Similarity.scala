@@ -646,4 +646,137 @@ object Similarity {
       .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
       .orderBy(col("rrf_score").desc, col(idCol))
   }
+
+  /** Σ (aᵢ−bᵢ)² in double, sequential fold order (same determinism
+    * argument as [[dot]]). */
+  private def sqL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /**
+   * PRODUCT-QUANTIZATION (PQ) recall audit — encode every vector as
+   * `nSub` one-byte codes (nearest codeword per subspace, squared-L2,
+   * ties → lowest code id; codebooks seeded deterministically from
+   * vec_id 1..nCodes like [[ivfTopK]]'s centroids), score candidates by
+   * ASYMMETRIC DISTANCE (the query's per-(subspace, code) dot-product
+   * table, summed over the vector's codes — the ADC of Jégou et al.,
+   * IEEE TPAMI 2011), and report PQ top-k recall against the exact
+   * brute-force cosine top-k. THE scale path for 100 TB of embeddings:
+   * a 64-dim float vector is 256 bytes, its PQ code is `nSub` bytes —
+   * the audit prints that compression next to the recall it costs, which
+   * is the whole engineering trade in one row.
+   *
+   * Scale shape: encoding is a map-side broadcast argmin per subspace
+   * (codebook is nSub·nCodes rows); ADC scoring joins the
+   * |vectors|·nSub code rows to the BROADCAST query table and collapses
+   * by vec_id with map-side partials; both top-ks are
+   * TakeOrderedAndProject. Nothing pairwise, nothing windowed.
+   */
+  def pqRecallAudit(embeddings: DataFrame, query: DataFrame, k: Int,
+      dim: Int = 64, nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    def subs(v: Column): Column =
+      array((0 until nSub).map(s => slice(v, s * subDim + 1, subDim)): _*)
+    // codebook: one codeword per (subspace, code), seeded from the first
+    // nCodes vectors — deterministic, no RNG (the IVF seeding argument)
+    val codebook = embeddings
+      .filter(col("vec_id") >= 1 && col("vec_id") <= nCodes)
+      .select(col("vec_id").cast("int").as("code"),
+        posexplode(subs(col("embedding"))).as(Seq("sub", "cvec")))
+    // encode: nearest codeword per subspace (argmin sq-L2; tie → low code)
+    val encoded = embeddings
+      .select(col("vec_id"), posexplode(subs(col("embedding"))).as(Seq("sub", "svec")))
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct((-round(sqL2(col("svec"), col("cvec")), 9)).as("nd"),
+          (-col("code")).as("nc")).as("sc"))
+      .groupBy("vec_id", "sub")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("sub"), (-col("best.nc")).as("code"))
+    // the query's ADC table: dot(query subvector, codeword) per (sub, code)
+    val qtab = codebook.crossJoin(broadcast(query))
+      .select(col("sub"), col("code"),
+        dot(element_at(subs(col("qe")), col("sub") + 1), col("cvec")).as("qdot"))
+    val pqTop = encoded.join(broadcast(qtab), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(round(sum(col("qdot").cast("decimal(28,12)")).cast("double"), 6).as("adc"))
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(k)
+    val truth = bruteForceTopK(embeddings, query, k).select("vec_id")
+    pqTop.select("vec_id")
+      .join(truth, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"),
+        lit(dim * 4L).as("raw_bytes_per_vec"),
+        lit(nSub.toLong).as("pq_bytes_per_vec"))
+  }
+
+  /**
+   * EMBEDDING NORM audit — per label: vector count, zero (degenerate)
+   * vectors, min/max squared norm (rounded to 6 dp, the corpus cosine
+   * convention) and the exact decimal-summed mean. The pre-flight gate
+   * before ANY cosine pipeline: a zero vector makes cosine undefined, a
+   * norm range spanning orders of magnitude means the index was built
+   * from unnormalized embeddings and every dot-product shortcut is
+   * silently wrong.
+   *
+   * Scale shape: one map-side fused fold per vector
+   * ([[graft.functions.CosineSimilarity]]'s argument applies — the
+   * squared norm is the same sequential double fold both engines
+   * reproduce bit-identically), then a |labels|-bounded aggregate.
+   * Mean rides DECIMAL(18,6) so summation order cannot drift a ulp.
+   */
+  def embeddingNormAudit(embeddings: DataFrame, labelCol: String): DataFrame = {
+    val sq = round(dot(col("embedding"), col("embedding")), 6)
+    embeddings.filter(col(labelCol).isNotNull && col("embedding").isNotNull)
+      .select(col(labelCol), sq.as("__sq"))
+      .groupBy(labelCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__sq") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("__sq")).as("min_sq_norm"),
+        max(col("__sq")).as("max_sq_norm"),
+        (sum(col("__sq").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("avg_sq_norm"))
+      .orderBy(labelCol)
+  }
+
+  /**
+   * DIMENSION DRIFT audit — per embedding dimension: the global mean
+   * component and the worst per-label deviation from it, in exact micro
+   * units (each float component rounds ONCE to an integer, so every sum
+   * is exact BIGINT arithmetic; the only division is one double divide
+   * per row at the very end — bit-identical cross-engine). High
+   * deviation = the dimension leaks the label (a shortcut feature /
+   * contamination smell); global mean ≈ 0 with tiny deviation = a dead
+   * dimension paying storage for nothing.
+   *
+   * Scale shape: the explode is map-side and collapses immediately to
+   * (label, dim) partial sums — |labels|·dim rows — then to dim rows;
+   * nothing vector-count-sized survives the first exchange.
+   */
+  def dimensionDriftAudit(embeddings: DataFrame, labelCol: String): DataFrame = {
+    val comps = embeddings
+      .filter(col(labelCol).isNotNull && col("embedding").isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "__x")))
+      .select(col("label"), (col("dim") + 1).as("dim"),
+        expr("CAST(ROUND(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)").as("__m"))
+    val byLabel = comps.groupBy("label", "dim")
+      .agg(sum(col("__m")).as("__ls"), count(lit(1)).as("__ln"))
+    val global = byLabel.groupBy("dim")
+      .agg(sum(col("__ls")).as("__gs"), sum(col("__ln")).as("__gn"))
+    byLabel.join(broadcast(global), "dim")
+      .withColumn("__dev",
+        abs(col("__ls").cast("double") / col("__ln")
+          - col("__gs").cast("double") / col("__gn")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_labels"),
+        max((col("__gs").cast("double") / col("__gn"))).as("global_avg_micro"),
+        max(col("__dev")).as("max_label_dev_micro"))
+      .orderBy("dim")
+  }
 }

@@ -829,6 +829,39 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /**
+   * TERM FREQUENCY-SPECTRUM (Zipf) audit — per source, how many distinct
+   * terms fall in each log2 frequency band `[2^k, 2^{k+1})`, with the
+   * band's token mass. A natural-language source shows the Zipf
+   * signature (band term-counts decaying smoothly from a huge hapax band
+   * k=0); generated/template text shows a hollow spectrum — few hapaxes,
+   * mass spiked in narrow mid bands. The spectrum is what x240's single
+   * effective-vocabulary number integrates away; reading it per band
+   * localizes WHERE the distribution is unnatural. Band index is the
+   * exact bit length `length(bin(n)) − 1` — never a float log with
+   * engine-divergent boundaries at powers of two.
+   *
+   * Scale shape: one (source, term) count collapse with map-side
+   * partials, then a second collapse to ≤ 64 bands per source; the
+   * vocabulary-sized frame is aggregated, never windowed or sorted.
+   * Output |sources|·bands rows.
+   */
+  def frequencySpectrum(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val tc = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("__n"))
+    tc.withColumn("freq_band", (length(bin(col("__n"))) - 1).cast("int"))
+      .groupBy("source", "freq_band")
+      .agg(count(lit(1)).as("n_terms"), sum(col("__n")).as("n_tokens"))
+      .select(col("source"), col("freq_band"),
+        expr("shiftleft(1L, freq_band)").as("band_lo"),
+        col("n_terms"), col("n_tokens"))
+      .orderBy("source", "freq_band")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -2228,6 +2228,56 @@ object Extensions {
     Dedup.dedupTokenSavings(docs(spark, sfDir), lshPairs(spark, sfDir),
       "doc_id", "text", "source")
 
+  /** x242 — functional-dependency audit ([[Integrity.functionalDependencyAudit]]):
+    * does p_name determine p_brand? does p_brand determine p_type? —
+    * violation census per candidate FD, the normalize-or-not check. */
+  private val x242: Q = (spark, sfDir) =>
+    Integrity.functionalDependencyAudit(Tables(spark, sfDir, "part"),
+      Seq(("p_name", "p_brand"), ("p_brand", "p_type"), ("p_type", "p_size")))
+      .orderBy("determinant", "dependent")
+
+  /** x243 — chi-square independence audit ([[Analytics.chiSquareAudit]]):
+    * market segment × order priority contingency cells with exact-integer
+    * expected counts and χ² contributions — which cells drive the
+    * association. */
+  private val x243: Q = (spark, sfDir) =>
+    Analytics.chiSquareAudit(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_orderpriority")
+
+  /** x244 — session gap-threshold sweep ([[Analytics.sessionGapSweep]]):
+    * session counts at τ ∈ {5, 15, 30, 60} min from ONE pass over the
+    * per-user gap sequence — the τ-choosing curve for sessionization. */
+  private val x244: Q = (spark, sfDir) =>
+    Analytics.sessionGapSweep(Tables(spark, sfDir, "events"),
+      "user_id", "ts", Seq(300L, 900L, 1800L, 3600L))
+
+  /** x245 — term frequency-spectrum audit ([[TextAnalysis.frequencySpectrum]]):
+    * distinct terms per log2 frequency band per source — the Zipf
+    * signature x240's single diversity number integrates away. */
+  private val x245: Q = (spark, sfDir) =>
+    TextAnalysis.frequencySpectrum(docs(spark, sfDir), "source", "text")
+
+  /** x246 — embedding norm audit ([[Similarity.embeddingNormAudit]]):
+    * per label, zero-vector count and squared-norm range/mean — the
+    * pre-flight gate before any cosine pipeline. */
+  private val x246: Q = (spark, sfDir) =>
+    Similarity.embeddingNormAudit(emb(spark, sfDir), "label")
+
+  /** x247 — dimension drift audit ([[Similarity.dimensionDriftAudit]]):
+    * per dimension, global mean component and worst per-label deviation
+    * in micro units — label-leaking and dead dimensions. */
+  private val x247: Q = (spark, sfDir) =>
+    Similarity.dimensionDriftAudit(emb(spark, sfDir), "label")
+
+  /** x248 — token-set dup census ([[Dedup.tokenSetDupCensus]]): docs equal
+    * as bags of words but not as strings — the cheap middle rung of the
+    * dedup ladder between x01 exact and x02 LSH. */
+  private val x248: Q = (spark, sfDir) =>
+    Dedup.tokenSetDupCensus(docs(spark, sfDir), "doc_id", "text", "source")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2878,7 +2928,14 @@ object Extensions {
     "x238_reorder_eta" -> x238,
     "x239_hhi_trend" -> x239,
     "x240_effective_vocabulary" -> x240,
-    "x241_dedup_token_savings" -> x241)
+    "x241_dedup_token_savings" -> x241,
+    "x242_fd_audit" -> x242,
+    "x243_chi_square_audit" -> x243,
+    "x244_session_gap_sweep" -> x244,
+    "x245_frequency_spectrum" -> x245,
+    "x246_embedding_norm_audit" -> x246,
+    "x247_dimension_drift_audit" -> x247,
+    "x248_token_set_dup_census" -> x248)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5266,6 +5323,136 @@ object Extensions {
          |FROM tk LEFT JOIN drp ON tk.doc_id = drp.doc_id
          |GROUP BY source ORDER BY source"""
         .stripMargin.replace("\n", " ")),
+    "x242_fd_audit" ->
+      ("""WITH f1 AS (SELECT p_name AS det, p_brand AS dep FROM part
+         |  WHERE p_name IS NOT NULL AND p_brand IS NOT NULL),
+         |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_det_values,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+         | FROM (SELECT det, COUNT(DISTINCT dep) AS nd FROM f1 GROUP BY 1)),
+         |f2 AS (SELECT p_brand AS det, p_type AS dep FROM part
+         |  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL),
+         |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_det_values,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+         | FROM (SELECT det, COUNT(DISTINCT dep) AS nd FROM f2 GROUP BY 1)),
+         |f3 AS (SELECT p_type AS det, p_size AS dep FROM part
+         |  WHERE p_type IS NOT NULL AND p_size IS NOT NULL),
+         |a3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_det_values,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+         | FROM (SELECT det, COUNT(DISTINCT dep) AS nd FROM f3 GROUP BY 1))
+         |SELECT 'p_name' AS determinant, 'p_brand' AS dependent, n_det_values,
+         |  n_violating,
+         |  CAST(n_violating * 1000000 // n_det_values AS BIGINT) AS violation_ppm
+         | FROM a1
+         |UNION ALL SELECT 'p_brand', 'p_type', n_det_values, n_violating,
+         |  CAST(n_violating * 1000000 // n_det_values AS BIGINT) FROM a2
+         |UNION ALL SELECT 'p_type', 'p_size', n_det_values, n_violating,
+         |  CAST(n_violating * 1000000 // n_det_values AS BIGINT) FROM a3
+         |ORDER BY determinant, dependent""".stripMargin.replace("\n", " ")),
+    "x243_chi_square_audit" ->
+      ("""WITH j AS (SELECT c_mktsegment, o_orderpriority FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL),
+         |cells AS (SELECT c_mktsegment, o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS observed FROM j GROUP BY 1, 2),
+         |rt AS (SELECT c_mktsegment, CAST(SUM(observed) AS BIGINT) AS rt
+         |  FROM cells GROUP BY 1),
+         |ct AS (SELECT o_orderpriority, CAST(SUM(observed) AS BIGINT) AS ct
+         |  FROM cells GROUP BY 1),
+         |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+         |SELECT cells.c_mktsegment, cells.o_orderpriority, observed,
+         | CAST(CAST(rt AS HUGEINT) * ct * 1000 // n AS BIGINT) AS expected_milli,
+         | CAST((CAST(observed AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+         |   * (CAST(observed AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+         |   * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+         |   AS contrib_micro
+         |FROM cells JOIN rt USING (c_mktsegment)
+         | JOIN ct USING (o_orderpriority) CROSS JOIN n
+         |ORDER BY c_mktsegment, o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
+    "x244_session_gap_sweep" ->
+      ("""WITH e AS (SELECT user_id, ts FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |g AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |  - CAST(FLOOR(epoch(LAG(ts) OVER
+         |      (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap FROM e),
+         |b AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
+         |  CAST(COUNT(*) AS BIGINT) AS ev,
+         |  CAST(SUM(CASE WHEN gap > 300 THEN 1 ELSE 0 END) AS BIGINT) AS x300,
+         |  CAST(SUM(CASE WHEN gap > 900 THEN 1 ELSE 0 END) AS BIGINT) AS x900,
+         |  CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS x1800,
+         |  CAST(SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS x3600
+         | FROM g)
+         |SELECT CAST(300 AS BIGINT) AS threshold_sec, u + x300 AS n_sessions,
+         |  CAST(ev * 1000 // (u + x300) AS BIGINT) AS events_per_session_milli
+         | FROM b
+         |UNION ALL SELECT 900, u + x900,
+         |  CAST(ev * 1000 // (u + x900) AS BIGINT) FROM b
+         |UNION ALL SELECT 1800, u + x1800,
+         |  CAST(ev * 1000 // (u + x1800) AS BIGINT) FROM b
+         |UNION ALL SELECT 3600, u + x3600,
+         |  CAST(ev * 1000 // (u + x3600) AS BIGINT) FROM b
+         |ORDER BY threshold_sec""".stripMargin.replace("\n", " ")),
+    "x245_frequency_spectrum" ->
+      ("""WITH tm AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tm WHERE length(term) > 0 GROUP BY 1, 2)
+         |SELECT source,
+         | CAST(length(format('{:b}', n)) - 1 AS INT) AS freq_band,
+         | CAST(CAST(1 AS BIGINT) << (length(format('{:b}', n)) - 1) AS BIGINT)
+         |   AS band_lo,
+         | CAST(COUNT(*) AS BIGINT) AS n_terms,
+         | CAST(SUM(n) AS BIGINT) AS n_tokens
+         |FROM tc GROUP BY 1, 2, 3 ORDER BY source, freq_band"""
+        .stripMargin.replace("\n", " ")),
+    "x246_embedding_norm_audit" ->
+      ("""WITH v AS (SELECT label,
+         |  round(list_aggregate(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq
+         | FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         | CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         | MIN(sq) AS min_sq_norm, MAX(sq) AS max_sq_norm,
+         | CAST(CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |   AS DOUBLE) AS avg_sq_norm
+         |FROM v GROUP BY 1 ORDER BY label""".stripMargin.replace("\n", " ")),
+    "x247_dimension_drift_audit" ->
+      ("""WITH e AS (SELECT label, embedding FROM embeddings
+         |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         |u AS (SELECT label, embedding,
+         |  unnest(range(len(embedding))) AS i FROM e),
+         |c AS (SELECT label, CAST(i + 1 AS INT) AS dim,
+         |  CAST(ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS m FROM u),
+         |bl AS (SELECT label, dim, CAST(SUM(m) AS BIGINT) AS ls,
+         |  CAST(COUNT(*) AS BIGINT) AS ln FROM c GROUP BY 1, 2),
+         |g AS (SELECT dim, CAST(SUM(ls) AS BIGINT) AS gs,
+         |  CAST(SUM(ln) AS BIGINT) AS gn FROM bl GROUP BY 1)
+         |SELECT bl.dim AS dim, CAST(COUNT(*) AS BIGINT) AS n_labels,
+         | MAX(CAST(gs AS DOUBLE) / gn) AS global_avg_micro,
+         | MAX(ABS(CAST(ls AS DOUBLE) / ln - CAST(gs AS DOUBLE) / gn))
+         |   AS max_label_dev_micro
+         |FROM bl JOIN g USING (dim) GROUP BY 1 ORDER BY dim"""
+        .stripMargin.replace("\n", " ")),
+    "x248_token_set_dup_census" ->
+      ("""WITH k AS (SELECT doc_id, source,
+         |  md5(array_to_string(list_sort(list_distinct(list_filter(
+         |    string_split(text, ' '), t -> length(t) > 0))), ' ')) AS ck,
+         |  md5(text) AS tk
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |cf AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS cn FROM k GROUP BY 1),
+         |ef AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS tn FROM k GROUP BY 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN tn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS exact_dup_docs,
+         | CAST(SUM(CASE WHEN cn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS canon_dup_docs,
+         | CAST(SUM(CASE WHEN cn > 1 AND tn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS reorder_only_docs,
+         | CAST(SUM(CASE WHEN cn > 1 AND tn = 1 THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS reorder_only_ppm
+         |FROM k JOIN cf USING (ck) JOIN ef USING (tk)
+         |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1002,4 +1002,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       == ((3L, 1L, 2L, 1L))) // top-2 sets {a,b} vs {b,c} share only b
   }
+
+  test("chiSquareAudit: independent 2x2 table has zero contributions") {
+    // perfectly independent: every cell observed == expected
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("g", "h")
+    val r = Analytics.chiSquareAudit(df, "g", "h").collect()
+    assert(r.length == 4)
+    r.foreach { x =>
+      assert(x.getLong(2) == 1L)        // observed
+      assert(x.getLong(3) == 1000L)     // expected_milli = 2*2*1000/4
+      assert(x.getLong(4) == 0L)        // contrib_micro
+    }
+  }
+
+  test("chiSquareAudit: fully dependent cells carry the whole statistic") {
+    // g determines h: O=2,E=1 on the diagonal -> contrib (2*4-2*2)^2*1e6
+    // / (4*2*2) = 16e6/16 = 1e6 micro each
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("g", "h")
+    val r = Analytics.chiSquareAudit(df, "g", "h").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(4)).toMap
+    assert(r == Map(("a", "x") -> 1000000L, ("b", "y") -> 1000000L))
+  }
+
+  test("sessionGapSweep: session counts fall as the threshold widens") {
+    // u1: gaps 600s and 2000s; u2: single event (no gaps)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 10:43:20")),
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Analytics.sessionGapSweep(events, "user_id", "ts",
+      Seq(300L, 1800L, 3600L)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // tau=300: both gaps split -> 2 + 2 = 4 sessions, 4 events -> 1000 milli
+    // tau=1800: only the 2000s gap splits -> 3 sessions
+    // tau=3600: nothing splits -> 2 sessions, 4*1000 DIV 2 = 2000
+    assert(r(300L) == ((4L, 1000L)))
+    assert(r(1800L) == ((3L, 1333L)))
+    assert(r(3600L) == ((2L, 2000L)))
+  }
 }

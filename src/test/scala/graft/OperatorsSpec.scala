@@ -727,4 +727,31 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.exists(p => p._1 == id && p._2 == id + 1000000000L),
         s"planted pair for doc $id missing")
   }
+
+  test("embeddingNormAudit: zero vectors counted; norm range and exact mean per label") {
+    val emb = Seq(
+      (1L, 0L, Array(3f, 4f)),   // sq norm 25
+      (2L, 0L, Array(0f, 0f)),   // zero vector
+      (3L, 1L, Array(1f, 0f))    // sq norm 1
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.embeddingNormAudit(emb, "label").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    assert(r(0L) == ((2L, 1L, 0.0, 25.0, 12.5)))
+    assert(r(1L) == ((1L, 0L, 1.0, 1.0, 1.0)))
+  }
+
+  test("dimensionDriftAudit: a label-separating dimension shows the deviation; a constant one shows zero") {
+    val emb = Seq(
+      (1L, 0L, Array(1f, 5f)), (2L, 0L, Array(1f, 5f)),
+      (3L, 1L, Array(-1f, 5f)), (4L, 1L, Array(-1f, 5f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.dimensionDriftAudit(emb, "label").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    // dim 1: label means ±1e6 around a 0 global mean; dim 2 constant 5e6
+    assert(r(1) == ((2L, 0.0, 1000000.0)))
+    assert(r(2) == ((2L, 5000000.0, 0.0)))
+  }
 }

@@ -794,4 +794,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.toMap == Map("ab" -> 4L, "ba" -> 1L, "bb" -> 1L, "bc" -> 1L))
     assert(r.head == ("ab" -> 4L)) // count-desc, then lexicographic
   }
+
+  test("functionalDependencyAudit: holding FD scores zero ppm; broken FD counts violators") {
+    import graft.operators.Integrity
+    val df = Seq(
+      ("k1", "a", 1), ("k1", "a", 2),   // k1 -> a holds (dep2 varies)
+      ("k2", "b", 3),
+      ("k3", "c", 4), ("k3", "d", 4)    // k3 maps to two deps: violation
+    ).toDF("det", "dep", "dep2")
+    val r = Integrity.functionalDependencyAudit(df,
+      Seq(("det", "dep"), ("det", "dep2"))).collect()
+      .map(x => x.getString(1) -> ((x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r("dep") == ((3L, 1L, 333333L)))  // k3 violates
+    assert(r("dep2") == ((3L, 1L, 333333L))) // k1 violates
+  }
+
+  test("functionalDependencyAudit: NULL determinant and dependent rows excluded") {
+    import graft.operators.Integrity
+    val df = Seq((Some("k1"), Some("a")), (Some("k1"), None),
+      (None, Some("z"))).toDF("det", "dep")
+    val r = Integrity.functionalDependencyAudit(df, Seq(("det", "dep")))
+      .collect().head
+    // only (k1, a) survives: 1 det value, 0 violations
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L)))
+  }
+
+  test("tokenSetDupCensus: reordered text is a canon dup but not an exact dup") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick fox", "s1"),
+      (2L, "fox the quick", "s1"),     // reorder-only dup of 1
+      (3L, "the quick fox", "s2"),     // exact dup of 1 (cross-source)
+      (4L, "something else", "s2"),
+      (5L, "the  quick fox", "s2")     // double space: same token set as 1
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.tokenSetDupCensus(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // s1: both docs canon-dup; doc1 also exact-dups with doc3
+    assert(r("s1") == ((2L, 1L, 2L, 1L)))
+    // s2: doc3 exact+canon, doc5 canon-only, doc4 unique
+    assert(r("s2") == ((3L, 1L, 2L, 1L)))
+  }
+
+  test("frequencySpectrum: bands split at exact powers of two") {
+    // source s: term freq 1 -> band 0, freq 2 and 3 -> band 1, freq 4 -> band 2
+    val docs = Seq(
+      (1L, "a b b c c c d d d d", "s")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.frequencySpectrum(docs, "source", "text").collect()
+      .map(x => x.getInt(1) -> ((x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r(0) == ((1L, 1L, 1L)))  // a
+    assert(r(1) == ((2L, 2L, 5L)))  // b(2), c(3)
+    assert(r(2) == ((4L, 1L, 4L)))  // d
+  }
 }
