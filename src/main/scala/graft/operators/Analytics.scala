@@ -2576,6 +2576,67 @@ object Analytics {
   }
 
   /**
+   * FIRST-TOUCH ACQUISITION MIX — per month, how many users had their
+   * FIRST-EVER event in each event type, with the month's share in ppm:
+   * the acquisition-channel trend ("are this quarter's new users arriving
+   * through search or checkout?"). First event = minimum (ts, event id)
+   * — the id breaks timestamp ties so the answer is exact, not
+   * first-row-wins.
+   *
+   * Scale shape: ONE user-keyed aggregate — `min(struct(ts, id, type))`
+   * resolves the first event map-side with no window and no second scan
+   * (the id is unique per event, so `type` never participates in the
+   * comparison); the month×type rollup and broadcast month totals are
+   * |months|·|types| rows.
+   */
+  def firstTouchMix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val firsts = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(idCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(struct(col(tsCol).as("ts"), col(idCol).as("id"),
+        col(typeCol).as("t"))).as("f"))
+      .select(to_date(date_trunc("month", col("f.ts"))).as("month"),
+        col("f.t").as(typeCol))
+    val m = firsts.groupBy("month", typeCol)
+      .agg(count(lit(1)).as("n_new_users"))
+    val tot = m.groupBy("month").agg(sum(col("n_new_users")).as("__tot"))
+    m.join(broadcast(tot), "month")
+      .select(col("month"), col(typeCol), col("n_new_users"),
+        expr("n_new_users * 1000000 DIV __tot").as("share_ppm"))
+      .orderBy("month", typeCol)
+  }
+
+  /**
+   * ORDER-COUNT SURVIVAL curve — for each observed per-customer order
+   * count k: customers with EXACTLY k and with AT LEAST k orders, plus
+   * the at-least share in ppm. The engagement-depth distribution behind
+   * "what fraction of the base are repeat customers?" — a survival curve
+   * over counts, where x159's life table follows conversion over TIME.
+   *
+   * Scale shape: one customer-keyed count, collapsed to (count, freq) —
+   * the survival cumulative runs over the DISTINCT-COUNT frame, bounded
+   * by the maximum orders any single customer has (per-key cardinality,
+   * not corpus size — the x139/x161 value-collapse discipline), so the
+   * unpartitioned window is bin-bounded by construction.
+   */
+  def orderCountSurvival(orders: DataFrame, custCol: String): DataFrame = {
+    val perCust = orders.filter(col(custCol).isNotNull)
+      .groupBy(col(custCol)).agg(count(lit(1)).as("__n"))
+    val dist = perCust.groupBy(col("__n").as("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cum = Window.orderBy(col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dist.agg(sum(col("n_customers")).as("__tot"))
+    dist.withColumn("n_at_least", sum(col("n_customers")).over(cum))
+      .crossJoin(broadcast(tot))
+      .select(col("n_orders"), col("n_customers"), col("n_at_least"),
+        expr("n_at_least * 1000000 DIV __tot").as("at_least_ppm"))
+      .orderBy("n_orders")
+  }
+
+  /**
    * CHI-SQUARE INDEPENDENCE audit of two categorical columns — the
    * per-cell contingency table with exact-integer expected counts and χ²
    * contributions: `contrib = (O·N − RT·CT)² DIV (N·RT·CT)` in micro

@@ -2278,6 +2278,25 @@ object Extensions {
   private val x248: Q = (spark, sfDir) =>
     Dedup.tokenSetDupCensus(docs(spark, sfDir), "doc_id", "text", "source")
 
+  /** x249 — product-quantization recall audit ([[Similarity.pqRecallAudit]]):
+    * 4-byte PQ codes + asymmetric-distance top-k vs the exact brute-force
+    * truth — the 64× compression/recall trade in one row. */
+  private val x249: Q = (spark, sfDir) =>
+    Similarity.pqRecallAudit(emb(spark, sfDir), queryVec(spark, sfDir), 10)
+
+  /** x250 — first-touch acquisition mix ([[Analytics.firstTouchMix]]): new
+    * users per month by their first-ever event type, share in ppm — the
+    * acquisition-channel trend from one keyed aggregate. */
+  private val x250: Q = (spark, sfDir) =>
+    Analytics.firstTouchMix(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+
+  /** x251 — order-count survival curve ([[Analytics.orderCountSurvival]]):
+    * customers with exactly / at least k orders — the engagement-depth
+    * distribution over the value-collapsed count frame. */
+  private val x251: Q = (spark, sfDir) =>
+    Analytics.orderCountSurvival(Tables(spark, sfDir, "orders"), "o_custkey")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2935,7 +2954,10 @@ object Extensions {
     "x245_frequency_spectrum" -> x245,
     "x246_embedding_norm_audit" -> x246,
     "x247_dimension_drift_audit" -> x247,
-    "x248_token_set_dup_census" -> x248)
+    "x248_token_set_dup_census" -> x248,
+    "x249_pq_recall_audit" -> x249,
+    "x250_first_touch_mix" -> x250,
+    "x251_order_count_survival" -> x251)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5453,6 +5475,74 @@ object Extensions {
          |   * 1000000 // COUNT(*) AS BIGINT) AS reorder_only_ppm
          |FROM k JOIN cf USING (ck) JOIN ef USING (tk)
          |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x249_pq_recall_audit" ->
+      (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sp AS (SELECT CAST(unnest(range(4)) AS INT) AS sub),
+         |cw AS (SELECT CAST(vec_id AS INT) AS code, sub,
+         |    embedding[sub * 16 + 1 : sub * 16 + 16] AS cvec
+         |  FROM embeddings, sp WHERE vec_id BETWEEN 1 AND 8),
+         |sv AS (SELECT vec_id, sub,
+         |    embedding[sub * 16 + 1 : sub * 16 + 16] AS svec
+         |  FROM embeddings, sp),
+         |dist AS (SELECT vec_id, sv.sub AS sub, code,
+         |    round(list_aggregate(list_transform(list_zip(svec, cvec),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), 9)
+         |      AS d
+         |  FROM sv JOIN cw ON sv.sub = cw.sub),
+         |enc AS (SELECT vec_id, sub, code FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY d, code) = 1),
+         |qt AS (SELECT cw.sub AS sub, code,
+         |    list_aggregate(list_transform(
+         |      list_zip(qe[cw.sub * 16 + 1 : cw.sub * 16 + 16], cvec),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS qdot
+         |  FROM cw, q),
+         |adc AS (SELECT vec_id,
+         |    CAST(ROUND(CAST(SUM(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS DOUBLE) AS adc
+         |  FROM enc JOIN qt USING (sub, code) GROUP BY 1),
+         |pq AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 10),
+         |tr AS (SELECT vec_id FROM embeddings, q
+         |  ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT 10),
+         |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM pq JOIN tr USING (vec_id))
+         |SELECT CAST(10 AS INT) AS k, n_hits,
+         | CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
+         | CAST(256 AS BIGINT) AS raw_bytes_per_vec,
+         | CAST(4 AS BIGINT) AS pq_bytes_per_vec
+         |FROM h""".stripMargin.replace("\n", " ")),
+    "x250_first_touch_mix" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |f AS (SELECT user_id, MIN(ts) AS fts FROM e GROUP BY 1),
+         |fi AS (SELECT e.user_id, e.ts, MIN(event_id) AS fid FROM e
+         |  JOIN f ON e.user_id = f.user_id AND e.ts = f.fts GROUP BY 1, 2),
+         |ft AS (SELECT CAST(date_trunc('month', e.ts) AS DATE) AS month,
+         |    e.event_type
+         |  FROM e JOIN fi ON e.user_id = fi.user_id AND e.ts = fi.ts
+         |    AND e.event_id = fi.fid),
+         |m AS (SELECT month, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_new_users FROM ft GROUP BY 1, 2),
+         |t AS (SELECT month, CAST(SUM(n_new_users) AS BIGINT) AS tot
+         |  FROM m GROUP BY 1)
+         |SELECT m.month, m.event_type, n_new_users,
+         | CAST(n_new_users * 1000000 // tot AS BIGINT) AS share_ppm
+         |FROM m JOIN t USING (month) ORDER BY month, event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x251_order_count_survival" ->
+      ("""WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |d AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_customers
+         |  FROM c GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS tot FROM d),
+         |s AS (SELECT n, n_customers, CAST(SUM(n_customers) OVER
+         |    (ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |     CURRENT ROW) AS BIGINT) AS n_at_least FROM d)
+         |SELECT n AS n_orders, n_customers, n_at_least,
+         | CAST(n_at_least * 1000000 // tot AS BIGINT) AS at_least_ppm
+         |FROM s, t ORDER BY n_orders""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1003,6 +1003,39 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((3L, 1L, 2L, 1L))) // top-2 sets {a,b} vs {b,c} share only b
   }
 
+  test("firstTouchMix: timestamp ties break by event id; months partition new users") {
+    val events = Seq(
+      // u1: two events at the SAME ts -> event_id 10 wins -> "search"
+      (1L, ts("2024-01-05 10:00:00"), 10L, "search"),
+      (1L, ts("2024-01-05 10:00:00"), 11L, "checkout"),
+      // u2 first touches in February
+      (2L, ts("2024-02-01 09:00:00"), 20L, "browse"),
+      (2L, ts("2024-02-02 09:00:00"), 21L, "search"),
+      // u3 also January, via browse
+      (3L, ts("2024-01-20 09:00:00"), 30L, "browse")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Analytics.firstTouchMix(events, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(x => (x.getDate(0).toString, x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      ("2024-01-01", "search") -> ((1L, 500000L)),
+      ("2024-01-01", "browse") -> ((1L, 500000L)),
+      ("2024-02-01", "browse") -> ((1L, 1000000L))))
+  }
+
+  test("orderCountSurvival: at-least column is the descending cumulative") {
+    val orders = Seq(1L, 1L, 1L, 2L, 2L, 3L).map(c => Tuple1(c))
+      .toDF("o_custkey")
+    val r = Analytics.orderCountSurvival(orders, "o_custkey").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((1L, 3L, 1000000L)),  // all 3 customers have >= 1 order
+      2L -> ((1L, 2L, 666666L)),
+      3L -> ((1L, 1L, 333333L))))
+  }
+
   test("chiSquareAudit: independent 2x2 table has zero contributions") {
     // perfectly independent: every cell observed == expected
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))

@@ -728,6 +728,21 @@ class MultimodalSpec extends AnyFunSuite {
         s"planted pair for doc $id missing")
   }
 
+  test("pqRecallAudit: vectors sitting exactly on codewords give perfect recall") {
+    // codebook seeds are vec_id 1..2; vec 3 copies vec 1, so its PQ codes
+    // equal vec 1's and ADC ranks {1, 3} on top — exactly the brute truth
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("qe")
+    val r = Similarity.pqRecallAudit(emb, q, k = 2, dim = 4, nSub = 2,
+      nCodes = 2).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) == ((2, 2L, 1000000L)))
+    assert((r.getLong(3), r.getLong(4)) == ((16L, 2L))) // 8x compression
+  }
+
   test("embeddingNormAudit: zero vectors counted; norm range and exact mean per label") {
     val emb = Seq(
       (1L, 0L, Array(3f, 4f)),   // sq norm 25
