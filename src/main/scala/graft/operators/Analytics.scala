@@ -2576,6 +2576,75 @@ object Analytics {
   }
 
   /**
+   * DAU/MAU STICKINESS — per month: monthly actives, the exact mean
+   * daily actives, and stickiness = avg DAU / MAU in ppm, floored ONCE
+   * (`Σdau · 1e6 DIV (n_days · mau)` — a single integer division, not a
+   * div-of-divs that compounds floors). The canonical product-health
+   * ratio: 1e6 = everyone active every active day; ~33k = monthly users
+   * touch the product one day in thirty.
+   *
+   * Scale shape: one (day, user) distinct collapse; DAU is a |days|-row
+   * count over it, MAU a second distinct over the already-collapsed
+   * frame; the rollup is |months| rows. Never a row-sized window.
+   */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val dayUser = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"), col(userCol).as("__u"))
+      .distinct()
+    val dau = dayUser.groupBy("__d").agg(count(lit(1)).as("__dau"))
+      .groupBy(trunc(col("__d"), "month").as("month"))
+      .agg(count(lit(1)).as("n_active_days"), sum(col("__dau")).as("__sum_dau"))
+    val mau = dayUser
+      .select(trunc(col("__d"), "month").as("month"), col("__u"))
+      .distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("n_active_days"), col("mau"),
+        expr("__sum_dau DIV n_active_days").as("avg_dau"),
+        expr("CAST(CAST(__sum_dau AS DECIMAL(38,0)) * 1000000" +
+          " DIV (CAST(n_active_days AS DECIMAL(38,0)) * mau) AS BIGINT)")
+          .as("stickiness_ppm"))
+      .orderBy("month")
+  }
+
+  /**
+   * SINGLE-SOURCE DEPENDENCY census — how concentrated is each part's
+   * supply on its top supplier? Parts roll into top-supplier-share bands
+   * (≤25 % = well diversified … >90 % = effectively single-sourced): the
+   * supply-chain risk histogram, and the same shape as a data-pipeline's
+   * "is this entity's evidence all from one source?" check. Exact
+   * integer shares; the top supplier is a MAX over per-supplier counts
+   * (value-only, so ties need no break).
+   *
+   * Scale shape: one (part, supplier) count collapse, one part-keyed
+   * re-aggregate of that collapsed frame (both with map-side partials),
+   * then a ≤5-row band rollup. No windows, no joins.
+   */
+  def singleSourceCensus(df: DataFrame, entityCol: String,
+      sourceCol: String): DataFrame = {
+    val ps = df.filter(col(entityCol).isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(entityCol), col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+    val per = ps.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("__nsrc"), sum(col("__n")).as("__tot"),
+        max(col("__n")).as("__top"))
+      .withColumn("__share", expr("__top * 1000000 DIV __tot"))
+    per
+      .withColumn("band",
+        when(col("__share") <= 250000, "1_under_25pct")
+          .when(col("__share") <= 500000, "2_under_50pct")
+          .when(col("__share") <= 750000, "3_under_75pct")
+          .when(col("__share") <= 900000, "4_under_90pct")
+          .otherwise("5_over_90pct"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_entities"),
+        min(col("__share")).as("min_share_ppm"),
+        max(col("__share")).as("max_share_ppm"),
+        sum(col("__nsrc")).as("total_sources"))
+      .orderBy("band")
+  }
+
+  /**
    * FIRST-TOUCH ACQUISITION MIX — per month, how many users had their
    * FIRST-EVER event in each event type, with the month's share in ppm:
    * the acquisition-channel trend ("are this quarter's new users arriving

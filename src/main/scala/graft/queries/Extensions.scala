@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, SkippingIndex, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, LayoutAdvisor, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, SkippingIndex, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -2297,6 +2297,34 @@ object Extensions {
   private val x251: Q = (spark, sfDir) =>
     Analytics.orderCountSurvival(Tables(spark, sfDir, "orders"), "o_custkey")
 
+  /** x252 — sort-order layout advisor ([[LayoutAdvisor.runCounts]]): exact
+    * per-column run counts under two candidate sort orders — the RLE
+    * cost model for "which key should this table be written in",
+    * computed by the two-phase global-adjacency scan. */
+  private val x252: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val measures = Seq("l_shipdate", "l_returnflag", "l_linestatus",
+      "l_partkey", "l_suppkey")
+    LayoutAdvisor.runCounts(li,
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"), measures, "by_shipdate")
+      .unionAll(LayoutAdvisor.runCounts(li,
+        Seq("l_partkey", "l_orderkey", "l_linenumber"), measures, "by_partkey"))
+      .orderBy("order_label", "column_name")
+  }
+
+  /** x253 — DAU/MAU stickiness ([[Analytics.stickiness]]): monthly
+    * actives, exact mean daily actives, and the canonical stickiness
+    * ratio in ppm — floored once, never a div-of-divs. */
+  private val x253: Q = (spark, sfDir) =>
+    Analytics.stickiness(Tables(spark, sfDir, "events"), "user_id", "ts")
+
+  /** x254 — single-source dependency census ([[Analytics.singleSourceCensus]]):
+    * parts banded by their top supplier's volume share — the
+    * concentration-risk histogram in exact ppm. */
+  private val x254: Q = (spark, sfDir) =>
+    Analytics.singleSourceCensus(Tables(spark, sfDir, "lineitem"),
+      "l_partkey", "l_suppkey")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2957,7 +2985,10 @@ object Extensions {
     "x248_token_set_dup_census" -> x248,
     "x249_pq_recall_audit" -> x249,
     "x250_first_touch_mix" -> x250,
-    "x251_order_count_survival" -> x251)
+    "x251_order_count_survival" -> x251,
+    "x252_layout_run_advisor" -> x252,
+    "x253_stickiness" -> x253,
+    "x254_single_source_census" -> x254)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5543,6 +5574,94 @@ object Extensions {
          |SELECT n AS n_orders, n_customers, n_at_least,
          | CAST(n_at_least * 1000000 // tot AS BIGINT) AS at_least_ppm
          |FROM s, t ORDER BY n_orders""".stripMargin.replace("\n", " ")),
+    "x252_layout_run_advisor" ->
+      ("""WITH o1 AS (SELECT ROW_NUMBER() OVER w AS rn,
+         |  l_shipdate, l_returnflag, l_linestatus, l_partkey, l_suppkey,
+         |  LAG(l_shipdate) OVER w AS p1, LAG(l_returnflag) OVER w AS p2,
+         |  LAG(l_linestatus) OVER w AS p3, LAG(l_partkey) OVER w AS p4,
+         |  LAG(l_suppkey) OVER w AS p5
+         | FROM lineitem
+         | WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+         |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p1 IS DISTINCT FROM l_shipdate
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p2 IS DISTINCT FROM l_returnflag
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p3 IS DISTINCT FROM l_linestatus
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p4 IS DISTINCT FROM l_partkey
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p5 IS DISTINCT FROM l_suppkey
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r5 FROM o1),
+         |o2 AS (SELECT ROW_NUMBER() OVER w AS rn,
+         |  l_shipdate, l_returnflag, l_linestatus, l_partkey, l_suppkey,
+         |  LAG(l_shipdate) OVER w AS p1, LAG(l_returnflag) OVER w AS p2,
+         |  LAG(l_linestatus) OVER w AS p3, LAG(l_partkey) OVER w AS p4,
+         |  LAG(l_suppkey) OVER w AS p5
+         | FROM lineitem
+         | WINDOW w AS (ORDER BY l_partkey, l_orderkey, l_linenumber)),
+         |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p1 IS DISTINCT FROM l_shipdate
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p2 IS DISTINCT FROM l_returnflag
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p3 IS DISTINCT FROM l_linestatus
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p4 IS DISTINCT FROM l_partkey
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+         |  CAST(SUM(CASE WHEN rn = 1 OR p5 IS DISTINCT FROM l_suppkey
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS r5 FROM o2),
+         |u AS (
+         | SELECT 'by_shipdate' AS order_label, 'l_shipdate' AS column_name,
+         |   n AS n_rows, r1 AS n_runs FROM a1
+         | UNION ALL SELECT 'by_shipdate', 'l_returnflag', n, r2 FROM a1
+         | UNION ALL SELECT 'by_shipdate', 'l_linestatus', n, r3 FROM a1
+         | UNION ALL SELECT 'by_shipdate', 'l_partkey', n, r4 FROM a1
+         | UNION ALL SELECT 'by_shipdate', 'l_suppkey', n, r5 FROM a1
+         | UNION ALL SELECT 'by_partkey', 'l_shipdate', n, r1 FROM a2
+         | UNION ALL SELECT 'by_partkey', 'l_returnflag', n, r2 FROM a2
+         | UNION ALL SELECT 'by_partkey', 'l_linestatus', n, r3 FROM a2
+         | UNION ALL SELECT 'by_partkey', 'l_partkey', n, r4 FROM a2
+         | UNION ALL SELECT 'by_partkey', 'l_suppkey', n, r5 FROM a2)
+         |SELECT order_label, column_name, n_rows, n_runs,
+         | CAST(n_runs * 1000000 // n_rows AS BIGINT) AS runs_ppm
+         |FROM u ORDER BY order_label, column_name"""
+        .stripMargin.replace("\n", " ")),
+    "x253_stickiness" ->
+      ("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau
+         |  FROM du GROUP BY 1),
+         |m1 AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         |  CAST(COUNT(*) AS BIGINT) AS n_active_days,
+         |  CAST(SUM(dau) AS BIGINT) AS sum_dau FROM dau GROUP BY 1),
+         |mu AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         |  CAST(COUNT(DISTINCT u) AS BIGINT) AS mau FROM du GROUP BY 1)
+         |SELECT m1.month, n_active_days, mau,
+         | CAST(sum_dau // n_active_days AS BIGINT) AS avg_dau,
+         | CAST(sum_dau * 1000000 // (n_active_days * mau) AS BIGINT)
+         |   AS stickiness_ppm
+         |FROM m1 JOIN mu USING (month) ORDER BY month"""
+        .stripMargin.replace("\n", " ")),
+    "x254_single_source_census" ->
+      ("""WITH ps AS (SELECT l_partkey, l_suppkey,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+         |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+         |  GROUP BY 1, 2),
+         |per AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nsrc,
+         |  CAST(SUM(n) AS BIGINT) AS tot, CAST(MAX(n) AS BIGINT) AS top
+         | FROM ps GROUP BY 1),
+         |sh AS (SELECT nsrc, top * 1000000 // tot AS share FROM per),
+         |b AS (SELECT CASE WHEN share <= 250000 THEN '1_under_25pct'
+         |    WHEN share <= 500000 THEN '2_under_50pct'
+         |    WHEN share <= 750000 THEN '3_under_75pct'
+         |    WHEN share <= 900000 THEN '4_under_90pct'
+         |    ELSE '5_over_90pct' END AS band, share, nsrc FROM sh)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_entities,
+         | CAST(MIN(share) AS BIGINT) AS min_share_ppm,
+         | CAST(MAX(share) AS BIGINT) AS max_share_ppm,
+         | CAST(SUM(nsrc) AS BIGINT) AS total_sources
+         |FROM b GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

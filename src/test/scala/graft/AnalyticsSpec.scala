@@ -1036,6 +1036,63 @@ class AnalyticsSpec extends AnyFunSuite {
       3L -> ((1L, 1L, 333333L))))
   }
 
+  test("layout runCounts: exact runs across range-partition boundaries, null-safe") {
+    import graft.operators.LayoutAdvisor
+    // 8 rows over 4 shuffle partitions -> boundary pairs are exercised
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 10L), (3L, None, 10L),
+      (4L, None, 20L), (5L, Some("b"), 20L), (6L, Some("b"), 20L),
+      (7L, Some("b"), 30L), (8L, Some("c"), 30L)
+    ).toDF("k", "v", "g")
+    val r = LayoutAdvisor.runCounts(df, Seq("k"), Seq("v", "g"), "by_k")
+      .collect().map(x => x.getString(1) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    // v: a,a,null,null,b,b,b,c -> 4 runs; g: 10,10,10,20,20,20,30,30 -> 3
+    assert(r("v") == ((8L, 4L)))
+    assert(r("g") == ((8L, 3L)))
+  }
+
+  test("layout runCounts: empty input reports zero runs") {
+    import graft.operators.LayoutAdvisor
+    val df = Seq.empty[(Long, String)].toDF("k", "v")
+    val r = LayoutAdvisor.runCounts(df, Seq("k"), Seq("v"), "e").collect()
+    assert(r.map(x => (x.getLong(2), x.getLong(3))).toSeq == Seq((0L, 0L)))
+  }
+
+  test("stickiness: everyone active every day scores 1e6; the ratio floors once") {
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),
+      (1L, ts("2024-03-02 10:00:00")), (2L, ts("2024-03-02 11:00:00")),
+      // second event same user same day: no extra DAU
+      (1L, ts("2024-03-02 12:00:00")),
+      // April: u1 active 1 of 2 active days, u3 the other
+      (1L, ts("2024-04-01 10:00:00")), (3L, ts("2024-04-05 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Analytics.stickiness(events, "user_id", "ts").collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("2024-03-01") == ((2L, 2L, 2L, 1000000L)))
+    // April: sum_dau 2 over 2 days, mau 2 -> 2*1e6/(2*2) = 500000
+    assert(r("2024-04-01") == ((2L, 2L, 1L, 500000L)))
+  }
+
+  test("singleSourceCensus: bands split on exact share boundaries") {
+    val li = Seq(
+      // part 1: 4 rows from supplier A -> 100% single-sourced
+      (1L, "A"), (1L, "A"), (1L, "A"), (1L, "A"),
+      // part 2: 1 of 4 from the top supplier... all equal at 25% -> band 1
+      (2L, "A"), (2L, "B"), (2L, "C"), (2L, "D"),
+      // part 3: 3 of 4 from A -> 75% -> band 3 boundary (<= 750000)
+      (3L, "A"), (3L, "A"), (3L, "A"), (3L, "B")
+    ).toDF("l_partkey", "l_suppkey")
+    val r = Analytics.singleSourceCensus(li, "l_partkey", "l_suppkey")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("1_under_25pct") == ((1L, 250000L, 250000L, 4L)))
+    assert(r("3_under_75pct") == ((1L, 750000L, 750000L, 2L)))
+    assert(r("5_over_90pct") == ((1L, 1000000L, 1000000L, 1L)))
+  }
+
   test("chiSquareAudit: independent 2x2 table has zero contributions") {
     // perfectly independent: every cell observed == expected
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
