@@ -428,6 +428,42 @@ object Dedup {
    * converges in O(diameter) rounds; a dup graph with diameter > 50 means
    * the threshold upstream is broken).
    */
+  /**
+   * CLUSTER DENSITY audit — per near-dup cluster size: how complete is
+   * the direct-evidence graph? `density_ppm = 2·|direct pairs| · 1e6
+   * DIV (n·(n−1))`: 1e6 means every member pair was independently
+   * verified; low density means the cluster is held together by
+   * TRANSITIVE chains, the classic over-merge smell (A~B~C where A and
+   * C share nothing) that decides whether [[connectedComponents]]
+   * families are safe to collapse to one representative.
+   *
+   * Scale shape: components come from the vote-to-halt CC; sizes and
+   * per-cluster pair counts are two label-keyed collapses (the pair→
+   * label map rides the d1 endpoint — both endpoints share a label by
+   * construction); the report rolls up by cluster size. Density
+   * numerators ride DECIMAL(38,0) (pairs·2e6 outruns BIGINT in the
+   * pathological giant-cluster case this audit exists to catch).
+   */
+  def clusterDensityAudit(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("doc_id").as("d1"), col("cluster").as("label"))
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val pl = pairs.select(col("d1"))
+      .join(cc, "d1")
+      .groupBy("label").agg(count(lit(1)).as("n_pairs"))
+    sizes.join(pl, Seq("label"), "left")
+      .select(col("n_nodes"), coalesce(col("n_pairs"), lit(0L)).as("__p"))
+      .withColumn("density_ppm",
+        expr("""CAST(CAST(__p AS DECIMAL(38,0)) * 2000000
+          DIV (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT)"""))
+      .groupBy(col("n_nodes").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        min(col("density_ppm")).as("min_density_ppm"),
+        max(col("density_ppm")).as("max_density_ppm"),
+        sum(col("__p")).as("total_direct_pairs"))
+      .orderBy("cluster_size")
+  }
+
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))

@@ -383,6 +383,37 @@ object Integrity {
     }.reduce(_ unionAll _)
   }
 
+  /**
+   * INTEGER HEADROOM audit — per integral column: the maximum absolute
+   * value, its exact bit length, and whether the column still fits
+   * INT32/INT16. The downcast-safety check before a storage rewrite
+   * (half the width = half the scan at 100 TB for key columns), and the
+   * overflow early-warning when a key sequence is drifting toward its
+   * type ceiling. Bit length is `length(bin(max_abs))` — exact, never a
+   * float log.
+   *
+   * Scale shape: ONE aggregate row over the table computing every
+   * column's max(abs) with map-side partials, unpivoted to |columns|
+   * rows. All-NULL and empty columns report 0 bits (nothing to store
+   * needs no width).
+   */
+  def integerHeadroomAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "integerHeadroomAudit needs at least one column")
+    val maxes = cols.map(c =>
+      max(abs(col(c).cast("long"))).as(s"__m_$c"))
+    val row = df.agg(maxes.head, maxes.tail: _*)
+    val stacked = cols.map(c => s"'$c', coalesce(__m_$c, 0L)").mkString(", ")
+    row.select(expr(s"stack(${cols.size}, $stacked) AS (column_name, max_abs)"))
+      .select(col("column_name"), col("max_abs"),
+        when(col("max_abs") > 0, length(bin(col("max_abs"))))
+          .otherwise(lit(0)).cast("int").as("bits_used"))
+      .withColumn("fits_int16",
+        (col("max_abs") <= Short.MaxValue.toLong).cast("int"))
+      .withColumn("fits_int32",
+        (col("max_abs") <= Int.MaxValue.toLong).cast("int"))
+      .orderBy("column_name")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

@@ -862,6 +862,40 @@ object TextAnalysis {
       .orderBy("source", "freq_band")
   }
 
+  /**
+   * VOCABULARY NOVELTY curve — ingest batches (fixed `batchSize` runs of
+   * doc ids, the arrival-order proxy) scored by how much NEW vocabulary
+   * they contribute: terms whose FIRST occurrence is in this batch, over
+   * terms the batch uses, in ppm. The curve every dataset-growth
+   * decision reads: when novelty flattens, more of the same source buys
+   * nothing — and a late batch spiking novelty is either a genuinely
+   * new domain or an encoding bug, both worth a look.
+   *
+   * Scale shape: one (term, batch) distinct collapse; first batch per
+   * term is a term-keyed MIN over it; per-batch new/seen counts are two
+   * aggregates of already-collapsed frames joined on the batch spine.
+   * No cumulative window — the curve is per-batch, so nothing needs a
+   * global prefix.
+   */
+  def vocabNoveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Long): DataFrame = {
+    require(batchSize >= 1, s"batchSize $batchSize must be positive")
+    val tb = docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(expr(s"CAST($idCol AS BIGINT) DIV $batchSize").as("batch"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val firstBatch = tb.groupBy("term").agg(min(col("batch")).as("__fb"))
+    val seen = tb.groupBy("batch").agg(count(lit(1)).as("n_terms_used"))
+    val fresh = firstBatch.groupBy(col("__fb").as("batch"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    seen.join(fresh, Seq("batch"), "left")
+      .select(col("batch"), col("n_terms_used"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      .withColumn("novelty_ppm", expr("n_new_terms * 1000000 DIV n_terms_used"))
+      .orderBy("batch")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -2325,6 +2325,27 @@ object Extensions {
     Analytics.singleSourceCensus(Tables(spark, sfDir, "lineitem"),
       "l_partkey", "l_suppkey")
 
+  /** x255 — vocabulary novelty curve ([[TextAnalysis.vocabNoveltyCurve]]):
+    * per ingest batch, terms first seen there over terms used, ppm —
+    * when the curve flattens, more of the same source buys nothing. */
+  private val x255: Q = (spark, sfDir) =>
+    TextAnalysis.vocabNoveltyCurve(docs(spark, sfDir), "doc_id", "text",
+      batchSize = 100L)
+
+  /** x256 — cluster density audit ([[Dedup.clusterDensityAudit]]): direct
+    * pair evidence over possible pairs per near-dup cluster — low
+    * density = transitive over-merge; TENTH consumer of the LSH pair
+    * staging. */
+  private val x256: Q = (spark, sfDir) =>
+    Dedup.clusterDensityAudit(lshPairs(spark, sfDir))
+
+  /** x257 — integer headroom audit ([[Integrity.integerHeadroomAudit]]):
+    * per key column, max abs value and exact bit length — the
+    * downcast-safety check before a storage rewrite. */
+  private val x257: Q = (spark, sfDir) =>
+    Integrity.integerHeadroomAudit(Tables(spark, sfDir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -2988,7 +3009,10 @@ object Extensions {
     "x251_order_count_survival" -> x251,
     "x252_layout_run_advisor" -> x252,
     "x253_stickiness" -> x253,
-    "x254_single_source_census" -> x254)
+    "x254_single_source_census" -> x254,
+    "x255_vocab_novelty_curve" -> x255,
+    "x256_cluster_density_audit" -> x256,
+    "x257_integer_headroom_audit" -> x257)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5662,6 +5686,59 @@ object Extensions {
          | CAST(MAX(share) AS BIGINT) AS max_share_ppm,
          | CAST(SUM(nsrc) AS BIGINT) AS total_sources
          |FROM b GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
+    "x255_vocab_novelty_curve" ->
+      ("""WITH tb AS (SELECT DISTINCT doc_id // 100 AS batch,
+         |  unnest(string_split(text, ' ')) AS term FROM documents
+         |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         |tb2 AS (SELECT batch, term FROM tb WHERE length(term) > 0),
+         |fb AS (SELECT term, CAST(MIN(batch) AS BIGINT) AS fbatch
+         |  FROM tb2 GROUP BY 1),
+         |seen AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_terms_used
+         |  FROM tb2 GROUP BY 1),
+         |fresh AS (SELECT fbatch AS batch, CAST(COUNT(*) AS BIGINT)
+         |  AS n_new_terms FROM fb GROUP BY 1)
+         |SELECT seen.batch AS batch, n_terms_used,
+         | CAST(COALESCE(n_new_terms, 0) AS BIGINT) AS n_new_terms,
+         | CAST(COALESCE(n_new_terms, 0) * 1000000 // n_terms_used AS BIGINT)
+         |   AS novelty_ppm
+         |FROM seen LEFT JOIN fresh ON seen.batch = fresh.batch
+         |ORDER BY batch""".stripMargin.replace("\n", " ")),
+    "x256_cluster_density_audit" ->
+      (s"""WITH $clusterCtes,
+         |csz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM l3 GROUP BY 1),
+         |cpl AS (SELECT l3.label AS label, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM jpairs JOIN l3 ON jpairs.d1 = l3.node GROUP BY 1),
+         |ccl AS (SELECT s.label, n_nodes,
+         |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(n_pairs, 0) * 2000000
+         |    // (n_nodes * (n_nodes - 1)) AS BIGINT) AS density_ppm
+         | FROM csz s LEFT JOIN cpl ON s.label = cpl.label)
+         |SELECT n_nodes AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         | CAST(MIN(density_ppm) AS BIGINT) AS min_density_ppm,
+         | CAST(MAX(density_ppm) AS BIGINT) AS max_density_ppm,
+         | CAST(SUM(n_pairs) AS BIGINT) AS total_direct_pairs
+         |FROM ccl GROUP BY 1 ORDER BY cluster_size"""
+        .stripMargin.replace("\n", " ")),
+    "x257_integer_headroom_audit" ->
+      ("""WITH m AS (SELECT
+         |  CAST(COALESCE(MAX(ABS(l_orderkey)), 0) AS BIGINT) AS m1,
+         |  CAST(COALESCE(MAX(ABS(l_partkey)), 0) AS BIGINT) AS m2,
+         |  CAST(COALESCE(MAX(ABS(l_suppkey)), 0) AS BIGINT) AS m3,
+         |  CAST(COALESCE(MAX(ABS(l_linenumber)), 0) AS BIGINT) AS m4
+         | FROM lineitem),
+         |u AS (SELECT 'l_orderkey' AS column_name, m1 AS max_abs FROM m
+         | UNION ALL SELECT 'l_partkey', m2 FROM m
+         | UNION ALL SELECT 'l_suppkey', m3 FROM m
+         | UNION ALL SELECT 'l_linenumber', m4 FROM m)
+         |SELECT column_name, max_abs,
+         | CAST(CASE WHEN max_abs > 0
+         |   THEN length(format('{:b}', max_abs)) ELSE 0 END AS INT) AS bits_used,
+         | CAST(CASE WHEN max_abs <= 32767 THEN 1 ELSE 0 END AS INT)
+         |   AS fits_int16,
+         | CAST(CASE WHEN max_abs <= 2147483647 THEN 1 ELSE 0 END AS INT)
+         |   AS fits_int32
+         |FROM u ORDER BY column_name""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

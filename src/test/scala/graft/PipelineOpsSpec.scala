@@ -838,6 +838,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("s2") == ((3L, 1L, 2L, 1L)))
   }
 
+  test("vocabNoveltyCurve: later batches only count first-seen terms as new") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"),        // batch 0: all 3 terms new
+      (2L, "a d"),                        // batch 1: d new, a reused
+      (4L, "a b c")                       // batch 2: nothing new
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabNoveltyCurve(docs, "doc_id", "text",
+      batchSize = 2L).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      0L -> ((3L, 3L, 1000000L)),
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((3L, 0L, 0L))))
+  }
+
+  test("clusterDensityAudit: a transitive chain scores below a fully-verified triangle") {
+    import graft.operators.Dedup
+    val pairs = Seq(
+      // triangle 1-2-3: all three pairs verified -> density 1e6
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      // chain 10-11-12: two of three pairs -> density 666666
+      (10L, 11L), (11L, 12L)
+    ).toDF("d1", "d2")
+    val r = Dedup.clusterDensityAudit(pairs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(3L) == ((2L, 666666L, 1000000L, 5L)))
+  }
+
+  test("integerHeadroomAudit: exact bit lengths and downcast flags") {
+    import graft.operators.Integrity
+    val df = Seq((255L, 40000L, 3000000000L), (-256L, 1L, 5L))
+      .toDF("small", "mid", "big")
+    val r = Integrity.integerHeadroomAudit(df, Seq("small", "mid", "big"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getInt(2), x.getInt(3), x.getInt(4)))).toMap
+    assert(r("small") == ((256L, 9, 1, 1)))   // |-256| = 256 needs 9 bits
+    assert(r("mid") == ((40000L, 16, 0, 1)))  // > 32767 -> no int16
+    assert(r("big") == ((3000000000L, 32, 0, 0))) // > int32
+  }
+
   test("frequencySpectrum: bands split at exact powers of two") {
     // source s: term freq 1 -> band 0, freq 2 and 3 -> band 1, freq 4 -> band 2
     val docs = Seq(
