@@ -2576,6 +2576,62 @@ object Analytics {
   }
 
   /**
+   * PRICE-ENDING census — the top-k cents endings (amount mod 100) with
+   * exact ppm share: charm-pricing / hand-keyed-amount fingerprinting.
+   * Organic machine-generated amounts spread endings near-uniformly
+   * (~10 000 ppm each); a spike at .99/.00/.95 is human price-setting,
+   * and a spike at an arbitrary ending is a duplicated transaction or a
+   * unit bug. Complements x143: Benford reads the LEADING digit's
+   * natural-growth law, this reads the TRAILING digits' human
+   * fingerprint.
+   *
+   * Scale shape: one map-side mod + a ≤100-row aggregate, a broadcast
+   * 1-row total, and a top-k that plans as TakeOrderedAndProject.
+   */
+  def priceEndingCensus(df: DataFrame, amountCents: Column,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val e = df.select(pmod(amountCents.cast("long"), lit(100L)).as("ending"))
+      .filter(col("ending").isNotNull)
+      .groupBy("ending").agg(count(lit(1)).as("n"))
+    val tot = e.agg(sum(col("n")).as("__t"))
+    e.crossJoin(broadcast(tot))
+      .select(col("ending"), col("n"),
+        expr("n * 1000000 DIV __t").as("share_ppm"))
+      .orderBy(col("n").desc, col("ending"))
+      .limit(topK)
+  }
+
+  /**
+   * RETENTION HALF-LIFE — per weekly cohort: its size and the first week
+   * offset where retention falls BELOW half the cohort (−1 = never did
+   * within the observed horizon). The one-number-per-cohort compression
+   * of the x65 retention triangle that product teams actually track
+   * ("is half-life improving release over release?"), computed exactly:
+   * `min{offset > 0 : 2·retained < size}`.
+   *
+   * Scale shape: reuses [[cohortRetention]] (two user-keyed collapses);
+   * the half-life MIN is a filtered aggregate over the |cohorts|·|offsets|
+   * retention frame joined back to the offset-0 spine. No windows.
+   */
+  def retentionHalfLife(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val cr = cohortRetention(
+      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull),
+      userCol, tsCol)
+    val size = cr.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    val hl = cr.join(size, "cohort_week")
+      .filter(col("week_offset") > 0 && col("n_users") * 2 < col("cohort_size"))
+      .groupBy("cohort_week")
+      .agg(min(col("week_offset")).as("__hl"))
+    size.join(hl, Seq("cohort_week"), "left")
+      .select(col("cohort_week"), col("cohort_size"),
+        coalesce(col("__hl"), lit(-1)).cast("int").as("half_life_weeks"))
+      .orderBy("cohort_week")
+  }
+
+  /**
    * DAU/MAU STICKINESS — per month: monthly actives, the exact mean
    * daily actives, and stickiness = avg DAU / MAU in ppm, floored ONCE
    * (`Σdau · 1e6 DIV (n_days · mau)` — a single integer division, not a

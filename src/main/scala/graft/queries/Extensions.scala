@@ -2346,6 +2346,28 @@ object Extensions {
     Integrity.integerHeadroomAudit(Tables(spark, sfDir, "lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
 
+  /** x258 — streaming LEFT OUTER interval join
+    * ([[graft.streaming.EventStream.streamStreamLeftOuterPurchases]]):
+    * purchases with their following-hour errors, NULL rows emitted by
+    * watermark-driven state eviction — the outer-join state machine x34
+    * never touches. */
+  private val x258: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.streamStreamLeftOuterPurchases(spark, sfDir)
+
+  /** x259 — price-ending census ([[Analytics.priceEndingCensus]]): top
+    * cents endings with exact ppm share — the trailing-digit human
+    * fingerprint, complementing x143's leading-digit Benford. */
+  private val x259: Q = (spark, sfDir) =>
+    Analytics.priceEndingCensus(Tables(spark, sfDir, "orders"),
+      col("o_totalprice").cast("decimal(18,2)") * 100)
+
+  /** x260 — retention half-life ([[Analytics.retentionHalfLife]]): first
+    * week offset where a cohort retains below half of itself — the
+    * one-number compression of the x65 retention triangle. */
+  private val x260: Q = (spark, sfDir) =>
+    Analytics.retentionHalfLife(Tables(spark, sfDir, "events"),
+      "user_id", "ts")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -3012,7 +3034,10 @@ object Extensions {
     "x254_single_source_census" -> x254,
     "x255_vocab_novelty_curve" -> x255,
     "x256_cluster_density_audit" -> x256,
-    "x257_integer_headroom_audit" -> x257)
+    "x257_integer_headroom_audit" -> x257,
+    "x258_streaming_outer_join" -> x258,
+    "x259_price_ending_census" -> x259,
+    "x260_retention_half_life" -> x260)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5739,6 +5764,58 @@ object Extensions {
          | CAST(CASE WHEN max_abs <= 2147483647 THEN 1 ELSE 0 END AS INT)
          |   AS fits_int32
          |FROM u ORDER BY column_name""".stripMargin.replace("\n", " ")),
+    "x258_streaming_outer_join" ->
+      ("""WITH p AS (SELECT event_id AS pur_id, user_id, ts AS pur_ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |e AS (SELECT event_id AS err_id, user_id, ts AS err_ts
+         |  FROM events WHERE event_type = 'error'),
+         |wm AS (SELECT LEAST((SELECT MAX(pur_ts) FROM p),
+         |  (SELECT MAX(err_ts) FROM e)) AS w),
+         |m AS (SELECT p.pur_id, e.err_id, p.user_id, p.value
+         | FROM p JOIN e ON p.user_id = e.user_id
+         |  AND e.err_ts >= p.pur_ts
+         |  AND e.err_ts <= p.pur_ts + INTERVAL 1 HOUR),
+         |um AS (SELECT p.pur_id, CAST(NULL AS BIGINT) AS err_id,
+         |  p.user_id, p.value
+         | FROM p, wm
+         | WHERE p.pur_id NOT IN (SELECT pur_id FROM m)
+         |  AND p.pur_ts + INTERVAL 1 HOUR < wm.w)
+         |SELECT pur_id, err_id, user_id, value FROM m
+         |UNION ALL SELECT pur_id, err_id, user_id, value FROM um
+         |ORDER BY pur_id, err_id""".stripMargin.replace("\n", " ")),
+    "x259_price_ending_census" ->
+      ("""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT) % 100 AS ending FROM orders),
+         |e AS (SELECT ending, CAST(COUNT(*) AS BIGINT) AS n FROM c
+         |  WHERE ending IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM e)
+         |SELECT ending, n, CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+         |FROM e, t ORDER BY n DESC, ending LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+    "x260_retention_half_life" ->
+      ("""WITH ev AS (SELECT user_id, ts FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |fw AS (SELECT user_id,
+         |  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         | FROM ev GROUP BY user_id),
+         |act AS (SELECT DISTINCT user_id,
+         |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM ev),
+         |cr AS (SELECT f.cohort_week,
+         |  CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INT)
+         |    AS week_offset,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users
+         | FROM act a JOIN fw f ON a.user_id = f.user_id GROUP BY 1, 2),
+         |sz AS (SELECT cohort_week, n_users AS cohort_size FROM cr
+         |  WHERE week_offset = 0),
+         |hl AS (SELECT cr.cohort_week,
+         |  CAST(MIN(week_offset) AS INT) AS hlw
+         | FROM cr JOIN sz ON cr.cohort_week = sz.cohort_week
+         | WHERE week_offset > 0 AND n_users * 2 < cohort_size
+         | GROUP BY 1)
+         |SELECT sz.cohort_week, cohort_size,
+         | CAST(COALESCE(hlw, -1) AS INT) AS half_life_weeks
+         |FROM sz LEFT JOIN hl ON sz.cohort_week = hl.cohort_week
+         |ORDER BY sz.cohort_week""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

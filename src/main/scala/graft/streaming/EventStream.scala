@@ -467,6 +467,62 @@ object EventStream {
   }
 
   /**
+   * STREAM-STREAM LEFT OUTER interval join — purchases joined to the
+   * errors of the FOLLOWING hour, with unmatched purchases emitted
+   * (NULL error) once the watermark proves no match can still arrive:
+   * the "did this purchase trigger an error, or provably not?" feed.
+   * This exercises the outer-join state machine x34's inner join never
+   * touches — eviction-driven NULL emission, including the end-of-stream
+   * no-data batch that flushes the final expirations.
+   *
+   * Determinism contract (and the oracle's WHERE clause): matched pairs
+   * equal the batch interval join (time-ordered replay slices keep the
+   * left state alive past every possible match — the x34 argument);
+   * an unmatched purchase appears iff its match window closed under the
+   * final watermark, `pur_ts + 1h < min(max pur_ts, max err_ts)` —
+   * purchases still inside the window correctly DON'T emit, exactly as
+   * a production run would hold them for the next batch.
+   *
+   * Scale: both sides watermarked ⇒ bounded state; the join is
+   * key-partitioned on user; NULL rows stream out of state eviction,
+   * never from a rescan.
+   */
+  def streamStreamLeftOuterPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .transform(graft.sources.Tables.normalizeEventTs)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
+        col("ts").as("pur_ts"), col("value"))
+      .withWatermark("pur_ts", "0 seconds")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "0 seconds")
+
+    val joined = purchases.join(errors,
+      col("p_user") === col("user_id") &&
+        col("err_ts") >= col("pur_ts") &&
+        col("err_ts") <= col("pur_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+
+    val qname = "graft_ssoj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+
+    spark.table(qname)
+      .select(col("pur_id"), col("err_id"), col("p_user").as("user_id"),
+        col("value"))
+      .orderBy("pur_id", "err_id")
+  }
+
+  /**
    * STREAMING SINK pattern: `foreachBatch` appending each micro-batch to a
    * parquet lake directory — the escape hatch for destinations without a
    * native streaming sink (JDBC, MERGE upserts, multi-table fan-out), and

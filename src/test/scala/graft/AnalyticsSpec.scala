@@ -1059,6 +1059,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(2), x.getLong(3))).toSeq == Seq((0L, 0L)))
   }
 
+  test("priceEndingCensus: endings counted mod 100 with exact shares, count-desc order") {
+    val df = Seq(1099L, 2099L, 399L, 500L).map(Tuple1(_)).toDF("cents")
+    val r = Analytics.priceEndingCensus(df, col("cents"), topK = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((99L, 3L, 750000L), (0L, 1L, 250000L)))
+  }
+
+  test("retentionHalfLife: first sub-half week found; fully-retained cohort reports -1") {
+    val events = Seq(
+      // cohort of week 2024-01-01: users 1,2 both active week 0;
+      // only u1 in week 1 (2*1 < 2 false -> not below half);
+      // nobody in week 2... absent weeks don't emit rows, so the half-life
+      // must come from an OBSERVED below-half week: u1 returns week 3 alone
+      (1L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")), (2L, ts("2024-01-09 11:00:00")),
+      (1L, ts("2024-01-23 10:00:00"))   // week 3: 1 of 2 -> 2*1<2 false
+    ).toDF("user_id", "ts")
+    val r = Analytics.retentionHalfLife(events, "user_id", "ts").collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getInt(2)))).toMap
+    // week 3 retains exactly half (1 of 2): 2*1 < 2 is FALSE -> never below
+    assert(r("2024-01-01") == ((2L, -1)))
+  }
+
+  test("retentionHalfLife: a genuinely sub-half week is picked as the minimum offset") {
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-16 10:00:00"))   // week 2: 1 of 3 -> 2*1 < 3 -> below
+    ).toDF("user_id", "ts")
+    val r = Analytics.retentionHalfLife(events, "user_id", "ts").collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r("2024-01-01") == ((3L, 2)))
+  }
+
   test("stickiness: everyone active every day scores 1e6; the ratio floors once") {
     val events = Seq(
       (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),

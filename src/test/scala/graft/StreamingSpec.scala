@@ -54,6 +54,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 3)
   }
 
+  test("left-outer stream-stream join: matched pairs equal the inner join; NULLs only for expired windows") {
+    val out = streaming.EventStream.streamStreamLeftOuterPurchases(spark, sf)
+      .collect()
+    val matched = out.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = streaming.EventStream.streamStreamErrorPurchases(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(matched == inner, "matched pairs must equal the inner interval join")
+    // NULL rows exist (some purchases provably have no following-hour error)
+    val nulls = out.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(nulls.nonEmpty)
+    // and no purchase appears both matched and as a NULL row
+    assert(nulls.intersect(matched.map(_._1)).isEmpty)
+  }
+
   test("streaming trending ranks only finalized day windows (in-progress day stays in state)") {
     val out = streaming.EventStream.trendingTopK(spark, sf, k = 3).collect()
     assert(out.nonEmpty)
