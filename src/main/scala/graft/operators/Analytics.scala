@@ -2576,6 +2576,87 @@ object Analytics {
   }
 
   /**
+   * ABC CLASSIFICATION — entities ranked by revenue and split at the
+   * classic cumulative-share cuts (A ≤ 80 %, B ≤ 95 %, C the tail),
+   * reported as a per-class census: the inventory-management workhorse
+   * ("count A-parts, they get daily attention") and the
+   * which-fraction-of-keys-carries-the-load question every cache/tier
+   * decision asks. An entity straddling a boundary lands in the LATER
+   * class (classification by its own inclusive cumulative share) —
+   * stated, deterministic, engine-identical.
+   *
+   * Scale shape: one entity-keyed revenue collapse, then the cumulative
+   * share rides the TWO-PHASE range-partitioned prefix sum
+   * ([[Sampling.globalRankRange]]'s shape): range-exchange on
+   * (revenue desc, key), pid-local running sums, exclusive prefix of
+   * per-partition totals — never a single-task `SUM OVER (ORDER BY)`
+   * over the entity frame. Share numerators ride DECIMAL(38,0).
+   */
+  def abcClassification(df: DataFrame, keyCol: String,
+      amountCents: Column): DataFrame = {
+    val per = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(amountCents.cast("decimal(18,0)")).cast("long").as("__rev"))
+    val keys = Seq(col("__rev").desc, col(keyCol).asc)
+    val parted = per.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lcum",
+      sum(col("__rev")).over(Window.partitionBy("__pid").orderBy(keys: _*)))
+    val offsets = local.groupBy("__pid").agg(sum(col("__rev")).as("__ptot"))
+      .withColumn("__off",
+        sum(col("__ptot")).over(Window.orderBy("__pid")) - col("__ptot"))
+      .select(col("__pid").as("_o_pid"), col("__off"))
+    val tot = per.agg(sum(col("__rev")).as("__tot"))
+    local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__cum_ppm",
+        expr("CAST(CAST(__off + __lcum AS DECIMAL(38,0)) * 1000000 DIV __tot AS BIGINT)"))
+      .withColumn("abc_class",
+        when(col("__cum_ppm") <= 800000, "A")
+          .when(col("__cum_ppm") <= 950000, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_entities"), sum(col("__rev")).as("class_revenue"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("n_entities"), col("class_revenue"),
+        expr("CAST(CAST(class_revenue AS DECIMAL(38,0)) * 1000000 DIV __tot AS BIGINT)")
+          .as("revenue_share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  /**
+   * MEDIAN DAILY-DELTA trend — per event type, the median of day-over-day
+   * count changes between consecutive OBSERVED days: the robust trend
+   * read. One viral day wrecks an OLS slope (x131) and a mean delta; the
+   * median delta shrugs it off and answers "is this stream structurally
+   * growing, flat, or decaying". Median = lower median of the sorted
+   * per-type delta list (per-key bounded by the calendar, the x238
+   * convention).
+   *
+   * Scale shape: one (type, day) count collapse; the lag window
+   * partitions by type over the calendar-bounded daily frame; the median
+   * sorts a per-type array bounded by |days|. Nothing row-sized is
+   * windowed or sorted.
+   */
+  def medianDeltaTrend(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val daily = events.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val byType = Window.partitionBy(typeCol).orderBy("__d")
+    daily
+      .withColumn("__delta", col("__n") - lag(col("__n"), 1).over(byType))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(col("__delta"))).as("__ds"))
+      .filter(size(col("__ds")) > 0)
+      .select(col(typeCol), col("n_days"),
+        expr("CAST(element_at(__ds, CAST((size(__ds) + 1) DIV 2 AS INT)) AS BIGINT)")
+          .as("median_daily_delta"))
+      .orderBy(typeCol)
+  }
+
+  /**
    * PRICE-ENDING census — the top-k cents endings (amount mod 100) with
    * exact ppm share: charm-pricing / hand-keyed-amount fingerprinting.
    * Organic machine-generated amounts spread endings near-uniformly

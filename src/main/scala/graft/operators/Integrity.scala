@@ -414,6 +414,33 @@ object Integrity {
       .orderBy("column_name")
   }
 
+  /**
+   * MISSINGNESS-PATTERN census — the JOINT distribution of NULLs: which
+   * COMBINATIONS of columns go missing together, with counts and ppm.
+   * Per-column null rates (x94) cannot distinguish "5 % of rows lost the
+   * whole enrichment block" from "independent 5 % dropouts per column" —
+   * but imputation strategy, MCAR/MAR reasoning, and root-causing a
+   * broken upstream join all depend on exactly that difference. The
+   * pattern key is the comma-joined list of missing column names (empty
+   * string = complete row), built row-local from compile-time names.
+   *
+   * Scale shape: one codegen'd map-side pass computing the pattern
+   * string, one aggregate bounded by 2^|cols| patterns (|cols| is a
+   * handful by contract), one broadcast total. No windows, no joins.
+   */
+  def missingnessPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "missingnessPatterns needs at least one column")
+    val pattern = concat_ws(",",
+      cols.map(c => when(col(c).isNull, lit(c))): _*)
+    val pats = df.select(pattern.as("missing_cols"))
+      .groupBy("missing_cols").agg(count(lit(1)).as("n_rows"))
+    val tot = pats.agg(sum(col("n_rows")).as("__t"))
+    pats.crossJoin(broadcast(tot))
+      .select(col("missing_cols"), col("n_rows"),
+        expr("n_rows * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("missing_cols")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

@@ -2368,6 +2368,35 @@ object Extensions {
     Analytics.retentionHalfLife(Tables(spark, sfDir, "events"),
       "user_id", "ts")
 
+  /** x261 — ABC classification ([[Analytics.abcClassification]]): parts
+    * split at the 80/95 % cumulative revenue cuts via the TWO-PHASE
+    * range-partitioned prefix sum — never a single-task running total. */
+  private val x261: Q = (spark, sfDir) =>
+    Analytics.abcClassification(Tables(spark, sfDir, "lineitem"),
+      "l_partkey", col("l_extendedprice").cast("decimal(18,2)") * 100)
+
+  /** x262 — missingness-pattern census ([[Integrity.missingnessPatterns]]):
+    * the JOINT null distribution over deterministically-planted gaps —
+    * block dropouts vs independent dropouts, which x94's per-column
+    * rates cannot distinguish. */
+  private val x262: Q = (spark, sfDir) =>
+    Integrity.missingnessPatterns(
+      Tables(spark, sfDir, "events").select(
+        when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("user_id"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(pmod(col("event_id"), lit(11)) === 0, lit(null).cast("string"))
+          .otherwise(col("props")).as("props")),
+      Seq("user_id", "value", "props"))
+
+  /** x263 — median daily-delta trend ([[Analytics.medianDeltaTrend]]):
+    * per event type, the median day-over-day change — the robust
+    * growing/flat/decaying read one viral day can't wreck. */
+  private val x263: Q = (spark, sfDir) =>
+    Analytics.medianDeltaTrend(Tables(spark, sfDir, "events"),
+      "ts", "event_type")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -3037,7 +3066,10 @@ object Extensions {
     "x257_integer_headroom_audit" -> x257,
     "x258_streaming_outer_join" -> x258,
     "x259_price_ending_census" -> x259,
-    "x260_retention_half_life" -> x260)
+    "x260_retention_half_life" -> x260,
+    "x261_abc_classification" -> x261,
+    "x262_missingness_patterns" -> x262,
+    "x263_median_delta_trend" -> x263)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5816,6 +5848,54 @@ object Extensions {
          | CAST(COALESCE(hlw, -1) AS INT) AS half_life_weeks
          |FROM sz LEFT JOIN hl ON sz.cohort_week = hl.cohort_week
          |ORDER BY sz.cohort_week""".stripMargin.replace("\n", " ")),
+    "x261_abc_classification" ->
+      ("""WITH per AS (SELECT l_partkey,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS rev
+         | FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM per),
+         |c AS (SELECT l_partkey, rev, CAST(SUM(rev) OVER
+         |  (ORDER BY rev DESC, l_partkey
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM per),
+         |cl AS (SELECT rev,
+         |  CASE WHEN cum * 1000000 // tot <= 800000 THEN 'A'
+         |    WHEN cum * 1000000 // tot <= 950000 THEN 'B'
+         |    ELSE 'C' END AS abc_class FROM c, t)
+         |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_entities,
+         | CAST(SUM(rev) AS BIGINT) AS class_revenue,
+         | CAST(SUM(rev) * 1000000 // tot AS BIGINT) AS revenue_share_ppm
+         |FROM cl, t GROUP BY abc_class, tot ORDER BY abc_class"""
+        .stripMargin.replace("\n", " ")),
+    "x262_missingness_patterns" ->
+      ("""WITH e AS (SELECT
+         |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS u,
+         |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+         |  CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS p
+         | FROM events),
+         |k AS (SELECT concat_ws(',',
+         |  CASE WHEN u IS NULL THEN 'user_id' END,
+         |  CASE WHEN v IS NULL THEN 'value' END,
+         |  CASE WHEN p IS NULL THEN 'props' END) AS missing_cols FROM e),
+         |g AS (SELECT missing_cols, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM k GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM g)
+         |SELECT missing_cols, n_rows,
+         | CAST(n_rows * 1000000 // tot AS BIGINT) AS share_ppm
+         |FROM g, t ORDER BY missing_cols""".stripMargin.replace("\n", " ")),
+    "x263_median_delta_trend" ->
+      ("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dy,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |dl AS (SELECT event_type, n - LAG(n) OVER
+         |  (PARTITION BY event_type ORDER BY dy) AS delta FROM d),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  list_sort(list(delta) FILTER (WHERE delta IS NOT NULL)) AS ds
+         | FROM dl GROUP BY 1)
+         |SELECT event_type, n_days,
+         | CAST(ds[(len(ds) + 1) // 2] AS BIGINT) AS median_daily_delta
+         |FROM a WHERE len(ds) > 0 ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

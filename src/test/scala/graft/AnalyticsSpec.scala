@@ -1059,6 +1059,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(2), x.getLong(3))).toSeq == Seq((0L, 0L)))
   }
 
+  test("abcClassification: boundary entity lands in the later class") {
+    // revenues 80, 15, 5: cum shares 80% (A, exactly at the cut), 95% (B,
+    // exactly at the cut), 100% (C)
+    val df = Seq((1L, 8000L), (2L, 1500L), (3L, 500L))
+      .toDF("k", "cents")
+    val r = Analytics.abcClassification(df, "k", col("cents")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("A") == ((1L, 8000L, 800000L)))
+    assert(r("B") == ((1L, 1500L, 150000L)))
+    assert(r("C") == ((1L, 500L, 50000L)))
+  }
+
+  test("medianDeltaTrend: lower median of consecutive-day deltas; single-day types drop") {
+    val events = Seq(
+      // type a: days with counts 1, 3, 2, 6 -> deltas [2, -1, 4] -> median 2... sorted [-1,2,4] -> lower median 2
+      ("a", "2024-01-01", 1), ("a", "2024-01-02", 3),
+      ("a", "2024-01-03", 2), ("a", "2024-01-04", 6),
+      ("b", "2024-01-01", 1)  // single day: no deltas -> dropped
+    ).flatMap { case (t, d, n) =>
+      (1 to n).map(i => (t, ts(s"$d 0$i:00:00")))
+    }.toDF("event_type", "ts")
+    val r = Analytics.medianDeltaTrend(events, "ts", "event_type").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("a" -> ((4L, 2L))))
+  }
+
   test("priceEndingCensus: endings counted mod 100 with exact shares, count-desc order") {
     val df = Seq(1099L, 2099L, 399L, 500L).map(Tuple1(_)).toDF("cents")
     val r = Analytics.priceEndingCensus(df, col("cents"), topK = 2).collect()

@@ -868,6 +868,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(3L) == ((2L, 666666L, 1000000L, 5L)))
   }
 
+  test("missingnessPatterns: joint null combos counted; complete rows keyed by empty string") {
+    import graft.operators.Integrity
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), Some("y")),
+      (None, Some("z")), (None, None)
+    ).toDF("a", "b")
+    val r = Integrity.missingnessPatterns(df, Seq("a", "b")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      "" -> ((2L, 500000L)),
+      "a" -> ((1L, 250000L)),
+      "a,b" -> ((1L, 250000L))))
+  }
+
   test("integerHeadroomAudit: exact bit lengths and downcast flags") {
     import graft.operators.Integrity
     val df = Seq((255L, 40000L, 3000000000L), (-256L, 1L, 5L))

@@ -759,4 +759,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"the corpus must collapse to (name, count) with map-side partials BEFORE pairing:\n$p")
   }
+
+  test("x252: the corpus-sized adjacency windows ride the range exchange, partitioned by pid") {
+    val p = plan("x252_layout_run_advisor")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"runCounts must range-exchange on the candidate sort key:\n$p")
+    // every lag/row_number over the full frame is pid-local; the only
+    // unpartitioned window ranks the |partitions|-row boundary frame
+    val big = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        (l.contains("lag(") || l.contains("row_number()")))
+      .toSeq
+    assert(big.nonEmpty, s"expected window nodes in:\n$p")
+    val unpartitioned = big.filterNot(l =>
+      l.contains("windowspecdefinition(__pid") ||
+        l.contains("windowspecdefinition(__rk"))
+    assert(unpartitioned.forall(_.contains("windowspecdefinition(__pid")) ||
+      unpartitioned.forall(!_.contains("lag(")),
+      s"corpus-sized lag must be pid-partitioned:\n${unpartitioned.mkString("\n")}")
+  }
+
+  test("x250: first-touch mix resolves the first event with ZERO window operators") {
+    val p = plan("x250_first_touch_mix")
+    assert(!p.contains("Window"),
+      s"min(struct(ts,id,type)) must replace the row_number window:\n$p")
+    assert(p.contains("partial_min"),
+      s"the first-event min must partial-aggregate map-side:\n$p")
+  }
+
+  test("x244: the gap lag partitions by user; threshold sweep adds no second scan") {
+    val p = plan("x244_session_gap_sweep")
+    val lags = p.linesIterator
+      .filter(l => l.contains("lag(") && l.contains("windowspecdefinition")).toSeq
+    assert(lags.nonEmpty && lags.forall(_.contains("windowspecdefinition(user_id")),
+      s"the gap lag must be user-partitioned:\n${lags.mkString("\n")}")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"one scan must feed every threshold:\n$p")
+  }
+
+  test("x249: PQ encode/ADC are broadcast equi-joins; both top-ks are TakeOrderedAndProject") {
+    val p = plan("x249_pq_recall_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PQ and brute top-k must plan as per-partition top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/ADC-table joins must broadcast-hash, not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("x247: dimension drift is explode-collapse — no windows, broadcast global means") {
+    val p = plan("x247_dimension_drift_audit")
+    assert(!p.contains("Window"), s"no window operators expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim-bounded global means must broadcast back:\n$p")
+  }
 }
