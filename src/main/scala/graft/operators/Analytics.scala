@@ -2576,6 +2576,71 @@ object Analytics {
   }
 
   /**
+   * DOUBLE-CHARGE audit — per user, pairs of SAME-AMOUNT purchases
+   * within `windowSeconds` of each other: the retry-bug / double-click /
+   * double-charge incident detector every payments team runs after a
+   * deploy. Consecutive-pair semantics (each purchase pairs with its
+   * predecessor in the same (user, amount) stream), so a burst of k
+   * rapid retries reports k−1 pairs, not k·(k−1)/2 — the count tracks
+   * incidents, not combinatorics. Amounts compare in exact cents
+   * (`ROUND(value·100)` — one deterministic float rounding, then pure
+   * integers).
+   *
+   * Scale shape: one lag window partitioned by (user, cents) — per-key
+   * bounded — then a user rollup and a top-k that plans as
+   * TakeOrderedAndProject. No self-join, nothing pairwise.
+   */
+  def doubleChargeAudit(events: DataFrame, userCol: String, tsCol: String,
+      amount: Column, windowSeconds: Long = 300L, topK: Int = 10): DataFrame = {
+    require(windowSeconds >= 1 && topK >= 1, "positive window and topK required")
+    val cents = round(amount.cast("double") * 100).cast("long")
+    val stream = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(tsCol), cents.as("__c"))
+      .filter(col("__c").isNotNull)
+    val byKey = Window.partitionBy(col(userCol), col("__c")).orderBy(col(tsCol))
+    stream
+      .withColumn("__gap",
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(byKey)))
+      .filter(col("__gap").isNotNull && col("__gap") <= windowSeconds)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_suspect_pairs"),
+        countDistinct(col("__c")).as("n_amounts"))
+      .orderBy(col("n_suspect_pairs").desc, col(userCol))
+      .limit(topK)
+  }
+
+  /**
+   * POPULARITY AFFINITY by breadth — do broad buyers buy popular items,
+   * or do they explore the tail? Customers grouped by how many DISTINCT
+   * items they purchase; each group reports the exact mean popularity
+   * (distinct buyers) of the items its members buy, in milli units. The
+   * degree-degree correlation of the bipartite purchase graph, read as
+   * a table instead of one assortativity coefficient — recommender and
+   * assortment decisions hang on the shape.
+   *
+   * Scale shape: one (customer, item) distinct collapse feeds BOTH
+   * per-item popularity and per-customer breadth; the popularity joins
+   * back on the item key (hash join, both sides collapsed frames); the
+   * report is bounded by distinct breadth values. No windows.
+   */
+  def popularityAffinity(df: DataFrame, custCol: String,
+      itemCol: String): DataFrame = {
+    val ci = df.filter(col(custCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(custCol), col(itemCol)).distinct()
+    val pop = ci.groupBy(col(itemCol)).agg(count(lit(1)).as("__pop"))
+    val per = ci.join(pop, itemCol)
+      .groupBy(col(custCol))
+      .agg(count(lit(1)).as("__breadth"), sum(col("__pop")).as("__sp"))
+    per.groupBy(col("__breadth").as("n_distinct_items"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("__sp")).as("__tsp"), sum(col("__breadth")).as("__tb"))
+      .select(col("n_distinct_items"), col("n_customers"),
+        expr("CAST(CAST(__tsp AS DECIMAL(38,0)) * 1000 DIV __tb AS BIGINT)")
+          .as("avg_item_popularity_milli"))
+      .orderBy("n_distinct_items")
+  }
+
+  /**
    * ABC CLASSIFICATION — entities ranked by revenue and split at the
    * classic cumulative-share cuts (A ≤ 80 %, B ≤ 95 %, C the tail),
    * reported as a per-class census: the inventory-management workhorse

@@ -784,6 +784,23 @@ object BTier {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** b59 — union BY NAME with missing-column fill: branches with
+    * differently-ORDERED select lists align by column name, and a column
+    * present on one side only back-fills NULL (`unionByName(allowMissing
+    * Columns = true)`; DuckDB's `UNION ALL BY NAME` has identical
+    * semantics, which is the oracle). Positional UNION would silently
+    * cross-wire k and name here — BY NAME is the refactoring-safe
+    * spelling of schema-drift-tolerant ingestion. */
+  private val b59: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.functions.col
+    val r = Tables(spark, sfDir, "region")
+      .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+    val n = Tables(spark, sfDir, "nation")
+      .select(col("n_name").as("name"), col("n_regionkey").as("k"),
+        col("n_nationkey").as("member_key"))
+    r.unionByName(n, allowMissingColumns = true).orderBy("k", "name")
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -842,11 +859,17 @@ object BTier {
     "b55_ranking_zoo" -> b55,
     "b56_variant_json" -> b56,
     "b57_rank_ties_topk" -> b57,
-    "b58_named_window_clause" -> b58)
+    "b58_named_window_clause" -> b58,
+    "b59_union_by_name" -> b59)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b59_union_by_name" ->
+      ("""SELECT r_regionkey AS k, r_name AS name FROM region
+         |UNION ALL BY NAME
+         |SELECT n_name AS name, n_regionkey AS k, n_nationkey AS member_key
+         |FROM nation ORDER BY k, name""".stripMargin.replace("\n", " ")),
     "b58_named_window_clause" ->
       ("""SELECT l_orderkey, l_linenumber,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -2397,6 +2397,32 @@ object Extensions {
     Analytics.medianDeltaTrend(Tables(spark, sfDir, "events"),
       "ts", "event_type")
 
+  /** x264 — double-charge audit ([[Analytics.doubleChargeAudit]]): top
+    * users by same-amount purchase pairs within 5 minutes — the
+    * payments retry-bug detector; consecutive pairs, exact cents. */
+  private val x264: Q = (spark, sfDir) => {
+    val p = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // deterministic incident plant (organic data has no double-charges —
+    // the x262 NULL-plant convention): every 5th purchase re-submits 60 s
+    // later, so the audit provably surfaces k−1 pairs per retry burst
+    val retries = p.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 seconds"))
+    Analytics.doubleChargeAudit(p.unionAll(retries), "user_id", "ts",
+      col("value"))
+  }
+
+  /** x265 — popularity affinity ([[Analytics.popularityAffinity]]): mean
+    * item popularity by customer breadth — the bipartite degree-degree
+    * correlation read as a table. */
+  private val x265: Q = (spark, sfDir) =>
+    Analytics.popularityAffinity(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")),
+      "o_custkey", "l_partkey")
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -3069,7 +3095,9 @@ object Extensions {
     "x260_retention_half_life" -> x260,
     "x261_abc_classification" -> x261,
     "x262_missingness_patterns" -> x262,
-    "x263_median_delta_trend" -> x263)
+    "x263_median_delta_trend" -> x263,
+    "x264_double_charge_audit" -> x264,
+    "x265_popularity_affinity" -> x265)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -5895,6 +5923,40 @@ object Extensions {
          |SELECT event_type, n_days,
          | CAST(ds[(len(ds) + 1) // 2] AS BIGINT) AS median_daily_delta
          |FROM a WHERE len(ds) > 0 ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x264_double_charge_audit" ->
+      ("""WITH p0 AS (SELECT user_id, ts, value FROM events
+         |  WHERE event_type = 'purchase'
+         | UNION ALL
+         | SELECT user_id, ts + INTERVAL 60 SECOND, value FROM events
+         |  WHERE event_type = 'purchase' AND event_id % 5 = 0),
+         |p AS (SELECT user_id, ts,
+         |  CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS c
+         | FROM p0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND value IS NOT NULL),
+         |g AS (SELECT user_id, c,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER
+         |   (PARTITION BY user_id, c ORDER BY ts))) AS BIGINT) AS gap FROM p),
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+         |  CAST(COUNT(DISTINCT c) AS BIGINT) AS n_amounts
+         | FROM g WHERE gap IS NOT NULL AND gap <= 300 GROUP BY 1)
+         |SELECT user_id, n_suspect_pairs, n_amounts FROM a
+         |ORDER BY n_suspect_pairs DESC, user_id LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+    "x265_popularity_affinity" ->
+      ("""WITH ci AS (SELECT DISTINCT o_custkey AS c, l_partkey AS i
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |pop AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS pop
+         |  FROM ci GROUP BY 1),
+         |per AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS breadth,
+         |  CAST(SUM(pop) AS BIGINT) AS sp FROM ci JOIN pop USING (i)
+         |  GROUP BY 1)
+         |SELECT breadth AS n_distinct_items,
+         | CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(sp) * 1000 // SUM(breadth) AS BIGINT)
+         |   AS avg_item_popularity_milli
+         |FROM per GROUP BY 1 ORDER BY n_distinct_items"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -1059,6 +1059,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(2), x.getLong(3))).toSeq == Seq((0L, 0L)))
   }
 
+  test("doubleChargeAudit: consecutive same-amount pairs inside the window; k retries -> k-1 pairs") {
+    val events = Seq(
+      // u1: 3 rapid retries of 9.99 -> 2 pairs; a different amount nearby
+      (1L, ts("2024-01-01 10:00:00"), 9.99),
+      (1L, ts("2024-01-01 10:01:00"), 9.99),
+      (1L, ts("2024-01-01 10:02:00"), 9.99),
+      (1L, ts("2024-01-01 10:01:30"), 5.00),
+      // u2: same amount but 10 minutes apart -> no pair
+      (2L, ts("2024-01-01 10:00:00"), 7.50),
+      (2L, ts("2024-01-01 10:10:00"), 7.50)
+    ).toDF("user_id", "ts", "value")
+    val r = Analytics.doubleChargeAudit(events, "user_id", "ts", col("value"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((2L, 1L))))
+  }
+
+  test("popularityAffinity: exact mean popularity per breadth group") {
+    // items: A bought by 3 customers, B by 1
+    val df = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (3L, "B"), (3L, "B") // dup row collapses
+    ).toDF("c", "i")
+    val r = Analytics.popularityAffinity(df, "c", "i").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // breadth 1: customers 1,2 each buy A (pop 3) -> mean 3000 milli
+    // breadth 2: customer 3 buys A(3) + B(1) -> mean 2000 milli
+    assert(r == Map(1L -> ((2L, 3000L)), 2L -> ((1L, 2000L))))
+  }
+
   test("abcClassification: boundary entity lands in the later class") {
     // revenues 80, 15, 5: cum shares 80% (A, exactly at the cut), 95% (B,
     // exactly at the cut), 100% (C)
