@@ -452,4 +452,72 @@ object Sampling {
         expr("child_kept * 1000000 DIV child_total").as("child_ppm"),
         col("orphan_child_keys"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash range:
+    * a draw `h < thresholds(k)` has multiplicity k. Computed once here
+    * and interpolated VERBATIM into both the Spark expression and the
+    * DuckDB oracle, so the construction cannot drift between engines.
+    * Tail beyond k=7 (mass < 1e-5) collapses to multiplicity 8. */
+  val PoissonThresholds: Seq[Long] = {
+    val scale = math.pow(2, 60)
+    val probs = (0 to 7).map { k =>
+      math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }
+    probs.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * scale).toLong)
+  }
+
+  /**
+   * HASH-BOOTSTRAP confidence interval for a mean — the Poisson
+   * bootstrap (each row's multiplicity in resample b is an independent
+   * Poisson(1) draw; Chamandy et al., "Estimating Uncertainty for
+   * Massive Data Streams", Google 2012) with every draw replaced by the
+   * portable 60-bit hash of (row id, resample id): fully deterministic,
+   * engine-reproducible, single-pass. Reports the exact data mean plus
+   * the 2nd-smallest / 2nd-largest of `nResamples` resample means
+   * (≈ the 94 % interval at 32) — the error bar every point estimate
+   * in this inventory deserves but RNG-based bootstraps can't give an
+   * oracle for.
+   *
+   * Scale shape: the resample explode is a constant `nResamples`×
+   * map-side fan-out collapsing immediately to (resample, sum, count)
+   * partials — the shuffle carries nResamples rows, not the corpus.
+   * Means ride DECIMAL(38,0); the order statistics sort an
+   * nResamples-length array on one row.
+   */
+  def hashBootstrapMeanCI(df: DataFrame, idCol: String, valueCents: Column,
+      nResamples: Int = 32): DataFrame = {
+    require(nResamples >= 4, s"nResamples $nResamples too small for order stats")
+    // reverse fold so the SMALLEST threshold is checked first:
+    // when(h<t0, 0).otherwise(when(h<t1, 1).otherwise(... 8))
+    val multExpr = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
+        when(col("__h") < t, k.toLong).otherwise(acc)
+      }
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val resamples = base
+      .select(col("__id"), col("__v"),
+        explode(expr(s"sequence(0, ${nResamples - 1})")).as("__b"))
+      .withColumn("__h", PortableHash.hash60(
+        concat(col("__id"), lit("|"), col("__b").cast("string"))))
+      .withColumn("__m", multExpr)
+      .groupBy("__b")
+      .agg(sum(col("__m").cast("decimal(38,0)") * col("__v")).as("__s"),
+        sum(col("__m")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(expr("CAST(__s DIV __n AS BIGINT)").as("__mean"))
+    val boot = resamples.agg(
+      array_sort(collect_list(col("__mean"))).as("__ms"))
+    val orig = base.agg(count(lit(1)).as("n_rows"),
+      sum(col("__v").cast("decimal(38,0)")).as("__sv"))
+    orig.crossJoin(boot)
+      .select(col("n_rows"),
+        expr("CAST(__sv DIV n_rows AS BIGINT)").as("mean_cents"),
+        expr("CAST(element_at(__ms, 2) AS BIGINT)").as("boot_lo_cents"),
+        expr(s"CAST(element_at(__ms, ${nResamples - 1}) AS BIGINT)")
+          .as("boot_hi_cents"),
+        lit(nResamples).as("n_resamples"))
+  }
 }

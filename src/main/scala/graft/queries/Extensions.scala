@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Graph, Integrity, LayoutAdvisor, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, SkippingIndex, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Bucketing, CdcMerge, Curation, Dedup, Geo, Graph, Integrity, LayoutAdvisor, Multimodal, RangeJoin, Sampling, Scd2, Similarity, Skew, SkippingIndex, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -2423,6 +2423,23 @@ object Extensions {
           col("o_orderkey") === col("l_orderkey")),
       "o_custkey", "l_partkey")
 
+  /** x266 — grid block spatial join ([[Geo.blockNeighborPairs]]): pairs
+    * within radius via 3×3 neighbor-cell candidates over deterministic
+    * synthetic coordinates — the geohash join shape, zero false
+    * negatives by pigeonhole, never all-pairs. */
+  private val x266: Q = (spark, sfDir) =>
+    Geo.blockNeighborPairs(
+      Geo.syntheticPoints(Tables(spark, sfDir, "customer"), "c_custkey",
+        worldMicroDeg = 24000000L),
+      cellMicroDeg = 1000000L, radiusMicroDeg = 500000L)
+
+  /** x267 — hash-bootstrap CI ([[Sampling.hashBootstrapMeanCI]]): the
+    * Poisson bootstrap with hash draws — a deterministic error bar for
+    * the mean order value, oracle-reproducible unlike any RNG bootstrap. */
+  private val x267: Q = (spark, sfDir) =>
+    Sampling.hashBootstrapMeanCI(Tables(spark, sfDir, "orders"),
+      "o_orderkey", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -3097,9 +3114,19 @@ object Extensions {
     "x262_missingness_patterns" -> x262,
     "x263_median_delta_trend" -> x263,
     "x264_double_charge_audit" -> x264,
-    "x265_popularity_affinity" -> x265)
+    "x265_popularity_affinity" -> x265,
+    "x266_geo_block_join" -> x266,
+    "x267_hash_bootstrap_ci" -> x267)
 
   // ---- oracle SQL ----------------------------------------------------------
+
+  /** Poisson(1) multiplicity CASE over the 60-bit hash `h`, built from
+    * [[Sampling.PoissonThresholds]] so the Spark expression and the
+    * oracle share ONE set of threshold literals (x267). */
+  private val poissonCaseSql: String =
+    Sampling.PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
 
   /** Shared CTE chain: exact pairwise n-gram jaccard in DuckDB (shingle
     * join — same algorithm as [[Dedup.ngramJaccard]]); `jpairs` holds
@@ -5958,6 +5985,48 @@ object Extensions {
          |   AS avg_item_popularity_milli
          |FROM per GROUP BY 1 ORDER BY n_distinct_items"""
         .stripMargin.replace("\n", " ")),
+    "x266_geo_block_join" ->
+      ("""WITH pts AS (SELECT c_custkey AS id,
+         |  (c_custkey * 48271) % 24000001 AS ulat,
+         |  (c_custkey * 69621) % 24000001 AS ulon
+         | FROM customer WHERE c_custkey IS NOT NULL),
+         |cl AS (SELECT id, ulat, ulon, ulat // 1000000 AS cy,
+         |  ulon // 1000000 AS cx FROM pts),
+         |rep AS (SELECT id AS b_id, ulat AS b_ulat, ulon AS b_ulon,
+         |  cy + dy.d AS cy, cx + dx.d AS cx
+         | FROM cl, (SELECT unnest(range(-1, 2)) AS d) dy,
+         |  (SELECT unnest(range(-1, 2)) AS d) dx),
+         |pr AS (SELECT (a.ulat - r.b_ulat) * (a.ulat - r.b_ulat)
+         |    + (a.ulon - r.b_ulon) * (a.ulon - r.b_ulon) AS d2
+         | FROM cl a JOIN rep r ON a.cy = r.cy AND a.cx = r.cx
+         |  AND a.id < r.b_id),
+         |q AS (SELECT d2 FROM pr WHERE d2 <= 250000000000)
+         |SELECT CAST(d2 // 10000000000 AS BIGINT) AS dist_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(MIN(d2) AS BIGINT) AS min_d2, CAST(MAX(d2) AS BIGINT) AS max_d2
+         |FROM q GROUP BY 1 ORDER BY dist_band"""
+        .stripMargin.replace("\n", " ")),
+    "x267_hash_bootstrap_ci" ->
+      (s"""WITH v AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_orderkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL),
+         |rs AS (SELECT id, v, unnest(range(32)) AS b FROM v),
+         |hh AS (SELECT v, b, CAST(('0x' || substr(md5(id || '|' ||
+         |  CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM rs),
+         |mm AS (SELECT v, b, $poissonCaseSql AS m FROM hh),
+         |agg AS (SELECT b, CAST(SUM(CAST(m AS HUGEINT) * v) AS HUGEINT) AS s,
+         |  CAST(SUM(m) AS BIGINT) AS n FROM mm GROUP BY 1),
+         |means AS (SELECT CAST(s // n AS BIGINT) AS mean FROM agg
+         |  WHERE n > 0),
+         |ms AS (SELECT list_sort(list(mean)) AS arr FROM means),
+         |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sv FROM v)
+         |SELECT n_rows, CAST(sv // n_rows AS BIGINT) AS mean_cents,
+         | CAST(arr[2] AS BIGINT) AS boot_lo_cents,
+         | CAST(arr[31] AS BIGINT) AS boot_hi_cents,
+         | CAST(32 AS INT) AS n_resamples
+         |FROM o, ms""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1059,6 +1059,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(2), x.getLong(3))).toSeq == Seq((0L, 0L)))
   }
 
+  test("geo blockNeighborPairs: boundary-distance pair kept; cross-cell pair found exactly once") {
+    import graft.operators.Geo
+    val pts = Seq(
+      (1L, 0L, 0L),
+      (2L, 300000L, 400000L),      // d2 = 2.5e11 = r^2 exactly -> kept
+      (3L, 999999L, 999999L),      // cell (0,0) corner
+      (4L, 1000001L, 1000001L),    // cell (1,1): pairs with 3 across cells
+      (5L, 5000000L, 5000000L)     // far away: no pairs
+    ).toDF("id", "ulat", "ulon")
+    val r = Geo.blockNeighborPairs(pts, cellMicroDeg = 1000000L,
+      radiusMicroDeg = 500000L).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // pair (1,2): d2 = 2.5e11 -> band 25; pair (3,4): d2 = 8 -> band 0
+    assert(r == Map(0L -> 1L, 25L -> 1L))
+  }
+
+  test("hashBootstrapMeanCI: a constant column collapses the interval onto the mean") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).map(i => (i, 700L)).toDF("id", "cents")
+    val r = Sampling.hashBootstrapMeanCI(df, "id", col("cents")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      == ((200L, 700L, 700L, 700L, 32)))
+  }
+
   test("doubleChargeAudit: consecutive same-amount pairs inside the window; k retries -> k-1 pairs") {
     val events = Seq(
       // u1: 3 rapid retries of 9.99 -> 2 pairs; a different amount nearby
