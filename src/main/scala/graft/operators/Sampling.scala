@@ -484,6 +484,68 @@ object Sampling {
    * Means ride DECIMAL(38,0); the order statistics sort an
    * nResamples-length array on one row.
    */
+  /**
+   * HASH-BOOTSTRAP difference-in-means CI — [[hashBootstrapMeanCI]]'s
+   * Poisson-bootstrap machinery applied to a two-arm comparison: each
+   * resample recomputes BOTH arm means from the same deterministic
+   * multiplicities, and the 2nd-smallest / 2nd-largest resample
+   * difference bound the effect. `significant = 1` iff the interval
+   * excludes zero — the readout x147's exact rate table deliberately
+   * stops short of, now with an error bar and still bit-reproducible in
+   * the oracle. Subtlety stated: only the resample DIFFERENCES may be
+   * negative, and they are never divided — every integer division in
+   * the chain has positive operands, so Spark's truncation and DuckDB's
+   * floor agree.
+   *
+   * Scale shape: identical to the mean CI — constant fan-out, partials
+   * collapse to 2·nResamples rows, order stats on one row.
+   */
+  def hashBootstrapDiffCI(df: DataFrame, idCol: String, arm: Column,
+      valueCents: Column, nResamples: Int = 32): DataFrame = {
+    require(nResamples >= 4, s"nResamples $nResamples too small for order stats")
+    val multExpr = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
+        when(col("__h") < t, k.toLong).otherwise(acc)
+      }
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"), arm.cast("int").as("__a"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__a").isNotNull)
+    val means = base
+      .select(col("__id"), col("__a"), col("__v"),
+        explode(expr(s"sequence(0, ${nResamples - 1})")).as("__b"))
+      .withColumn("__h", PortableHash.hash60(
+        concat(col("__id"), lit("|"), col("__b").cast("string"))))
+      .withColumn("__m", multExpr)
+      .groupBy("__b", "__a")
+      .agg(sum(col("__m").cast("decimal(38,0)") * col("__v")).as("__s"),
+        sum(col("__m")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("__b"), col("__a"), expr("CAST(__s DIV __n AS BIGINT)").as("__mean"))
+    val diffs = means.groupBy("__b")
+      .agg(max(when(col("__a") === 0, col("__mean"))).as("__m0"),
+        max(when(col("__a") === 1, col("__mean"))).as("__m1"))
+      .filter(col("__m0").isNotNull && col("__m1").isNotNull)
+      .select((col("__m1") - col("__m0")).as("__d"))
+    val boot = diffs.agg(array_sort(collect_list(col("__d"))).as("__ds"))
+    val orig = base.groupBy("__a")
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v").cast("decimal(38,0)")).as("__sv"))
+      .select(col("__a"), col("__cnt"), expr("CAST(__sv DIV __cnt AS BIGINT)").as("__mean"))
+      .groupBy()
+      .agg(max(when(col("__a") === 0, col("__cnt"))).as("n_control"),
+        max(when(col("__a") === 1, col("__cnt"))).as("n_treatment"),
+        max(when(col("__a") === 0, col("__mean"))).as("__om0"),
+        max(when(col("__a") === 1, col("__mean"))).as("__om1"))
+    orig.crossJoin(boot)
+      .select(col("n_control"), col("n_treatment"),
+        (col("__om1") - col("__om0")).as("mean_diff_cents"),
+        expr("CAST(element_at(__ds, 2) AS BIGINT)").as("boot_lo_cents"),
+        expr(s"CAST(element_at(__ds, ${nResamples - 1}) AS BIGINT)")
+          .as("boot_hi_cents"))
+      .withColumn("significant",
+        (col("boot_lo_cents") > 0 || col("boot_hi_cents") < 0).cast("int"))
+  }
+
   def hashBootstrapMeanCI(df: DataFrame, idCol: String, valueCents: Column,
       nResamples: Int = 32): DataFrame = {
     require(nResamples >= 4, s"nResamples $nResamples too small for order stats")

@@ -2440,6 +2440,37 @@ object Extensions {
     Sampling.hashBootstrapMeanCI(Tables(spark, sfDir, "orders"),
       "o_orderkey", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
 
+  /** x268 — bootstrap A/B difference CI ([[Sampling.hashBootstrapDiffCI]]):
+    * deterministic arms (custkey parity), resampled difference in mean
+    * order value with a significance flag — the error bar x147 stops
+    * short of. */
+  private val x268: Q = (spark, sfDir) =>
+    Sampling.hashBootstrapDiffCI(Tables(spark, sfDir, "orders"),
+      "o_orderkey", pmod(col("o_custkey"), lit(2)),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
+  /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
+    * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
+    * the exact Jaccard truth — the method-comparison row that decides
+    * which dedup tier a corpus gets. */
+  private val x269: Q = (spark, sfDir) => {
+    val cand = Dedup.simhashPairs(docs(spark, sfDir), "doc_id", "text",
+      maxHamming = 3, wordHash = Dedup.portableWordHash, numBits = 60,
+      numBands = 4).select("d1", "d2")
+    val truth = Dedup.ngramJaccard(docs(spark, sfDir), "doc_id", "text")
+      .select("d1", "d2")
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nh = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nc.crossJoin(nt).crossJoin(nh)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        expr("CASE WHEN n_candidates > 0 THEN n_hits * 1000000 DIV n_candidates ELSE 0L END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_truth > 0 THEN n_hits * 1000000 DIV n_truth ELSE 0L END")
+          .as("recall_ppm"))
+  }
+
   /** x19 — sliding-window chunking (40-token windows, stride 30). */
   private val x19: Q = (spark, sfDir) =>
     TextAnalysis.chunkDocs(docs(spark, sfDir), "doc_id", "text", window = 40, stride = 30)
@@ -3116,7 +3147,9 @@ object Extensions {
     "x264_double_charge_audit" -> x264,
     "x265_popularity_affinity" -> x265,
     "x266_geo_block_join" -> x266,
-    "x267_hash_bootstrap_ci" -> x267)
+    "x267_hash_bootstrap_ci" -> x267,
+    "x268_bootstrap_ab_diff" -> x268,
+    "x269_dedup_method_eval" -> x269)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6027,6 +6060,75 @@ object Extensions {
          | CAST(arr[31] AS BIGINT) AS boot_hi_cents,
          | CAST(32 AS INT) AS n_resamples
          |FROM o, ms""".stripMargin.replace("\n", " ")),
+    "x268_bootstrap_ab_diff" ->
+      (s"""WITH v AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |  o_custkey % 2 AS a,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_orderkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+         |rs AS (SELECT id, a, v, unnest(range(32)) AS b FROM v),
+         |hh AS (SELECT a, v, b, CAST(('0x' || substr(md5(id || '|' ||
+         |  CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM rs),
+         |mm AS (SELECT a, v, b, $poissonCaseSql AS m FROM hh),
+         |agg AS (SELECT b, a, CAST(SUM(CAST(m AS HUGEINT) * v) AS HUGEINT)
+         |  AS s, CAST(SUM(m) AS BIGINT) AS n FROM mm GROUP BY 1, 2),
+         |means AS (SELECT b, a, CAST(s // n AS BIGINT) AS mean FROM agg
+         |  WHERE n > 0),
+         |dd AS (SELECT b, MAX(CASE WHEN a = 1 THEN mean END)
+         |    - MAX(CASE WHEN a = 0 THEN mean END) AS d
+         |  FROM means GROUP BY 1
+         |  HAVING MAX(CASE WHEN a = 0 THEN mean END) IS NOT NULL
+         |   AND MAX(CASE WHEN a = 1 THEN mean END) IS NOT NULL),
+         |ds AS (SELECT list_sort(list(d)) AS arr FROM dd),
+         |og AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sv FROM v GROUP BY 1),
+         |om AS (SELECT a, cnt, CAST(sv // cnt AS BIGINT) AS mean FROM og),
+         |oo AS (SELECT MAX(CASE WHEN a = 0 THEN cnt END) AS n_control,
+         |  MAX(CASE WHEN a = 1 THEN cnt END) AS n_treatment,
+         |  MAX(CASE WHEN a = 1 THEN mean END)
+         |    - MAX(CASE WHEN a = 0 THEN mean END) AS mean_diff_cents
+         | FROM om)
+         |SELECT CAST(n_control AS BIGINT) AS n_control,
+         | CAST(n_treatment AS BIGINT) AS n_treatment,
+         | CAST(mean_diff_cents AS BIGINT) AS mean_diff_cents,
+         | CAST(arr[2] AS BIGINT) AS boot_lo_cents,
+         | CAST(arr[31] AS BIGINT) AS boot_hi_cents,
+         | CAST(CASE WHEN arr[2] > 0 OR arr[31] < 0 THEN 1 ELSE 0 END AS INT)
+         |   AS significant
+         |FROM oo, ds""".stripMargin.replace("\n", " ")),
+    "x269_dedup_method_eval" ->
+      (s"""WITH ${jaccardCtes(0.5, Some(1000))},
+         |sm_w AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id,
+         |  unnest(string_split(text, ' ')) AS word FROM documents) t),
+         |sm_h AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM sm_w),
+         |sm_bits AS (SELECT doc_id, i.i AS i,
+         |  CASE WHEN SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |   THEN 1 ELSE 0 END AS bit
+         | FROM sm_h CROSS JOIN (SELECT unnest(range(60)) AS i) i
+         | GROUP BY doc_id, i.i),
+         |sm_fp AS (SELECT doc_id,
+         |  CAST(SUM(CAST(bit AS BIGINT) << i) AS BIGINT) AS fp
+         | FROM sm_bits GROUP BY doc_id),
+         |sm_bands AS (SELECT doc_id, fp, q.q AS q,
+         |  (fp >> (q.q * 15)) & 32767 AS slice
+         | FROM sm_fp CROSS JOIN (SELECT unnest(range(4)) AS q) q),
+         |sm_cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         | FROM sm_bands a JOIN sm_bands b ON a.q = b.q
+         |  AND a.slice = b.slice AND a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |tr AS (SELECT d1, d2 FROM jpairs),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM sm_cand),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+         |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM sm_cand JOIN tr USING (d1, d2))
+         |SELECT n_candidates, n_truth, n_hits,
+         | CAST(CASE WHEN n_candidates > 0
+         |   THEN n_hits * 1000000 // n_candidates ELSE 0 END AS BIGINT)
+         |   AS precision_ppm,
+         | CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 // n_truth
+         |   ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM nc, nt, nh""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1083,6 +1083,18 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("hashBootstrapDiffCI: constant arm offset is detected as significant with a degenerate interval") {
+    import graft.operators.Sampling
+    // arm 0 pays 500, arm 1 pays 900: every resample diff is exactly 400
+    val df = (1L to 400L).map(i => (i, (i % 2).toInt, if (i % 2 == 1) 900L else 500L))
+      .toDF("id", "arm", "cents")
+    val r = Sampling.hashBootstrapDiffCI(df, "id", col("arm"), col("cents"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((200L, 200L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))
+      == ((400L, 400L, 400L, 1)))
+  }
+
   test("doubleChargeAudit: consecutive same-amount pairs inside the window; k retries -> k-1 pairs") {
     val events = Seq(
       // u1: 3 rapid retries of 9.99 -> 2 pairs; a different amount nearby
