@@ -2576,6 +2576,39 @@ object Analytics {
   }
 
   /**
+   * TRANSITION DWELL-TIME — for each (from → to) event-type transition:
+   * how many happened and the rank-exact MEDIAN seconds between them.
+   * x141's transition matrix says WHERE journeys go; this says HOW LONG
+   * each hop takes — the timing layer of the journey map ("browse→
+   * purchase takes 40 s, error→purchase takes 20 min"), robust to the
+   * long-tail gaps a mean would absorb.
+   *
+   * Scale shape: one user-partitioned lag window builds the hop stream;
+   * medians are [[lowerMedianByValue]] partitioned by the
+   * |types|²-bounded transition pair — cumulative counts over each
+   * pair's DISTINCT gap values (gap seconds are horizon-bounded), never
+   * a row-sized sort. Ties in ts order by the id column, so the hop
+   * stream is a total order and the answer is exact.
+   */
+  def transitionDwellMedian(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val hops = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(idCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(byUser))
+      .withColumn("gap_sec",
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(byUser)))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("to_type"), col("gap_sec"))
+    lowerMedianByValue(hops, Seq("from_type", "to_type"), "gap_sec")
+      .select(col("from_type"), col("to_type"), col("__n").as("n_transitions"),
+        col("__v").as("median_gap_sec"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /**
    * DOUBLE-CHARGE audit — per user, pairs of SAME-AMOUNT purchases
    * within `windowSeconds` of each other: the retry-bug / double-click /
    * double-charge incident detector every payments team runs after a

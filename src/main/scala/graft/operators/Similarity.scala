@@ -674,21 +674,26 @@ object Similarity {
    * by vec_id with map-side partials; both top-ks are
    * TakeOrderedAndProject. Nothing pairwise, nothing windowed.
    */
-  def pqRecallAudit(embeddings: DataFrame, query: DataFrame, k: Int,
-      dim: Int = 64, nSub: Int = 4, nCodes: Int = 8): DataFrame = {
-    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
-    val subDim = dim / nSub
-    def subs(v: Column): Column =
-      array((0 until nSub).map(s => slice(v, s * subDim + 1, subDim)): _*)
-    // codebook: one codeword per (subspace, code), seeded from the first
-    // nCodes vectors — deterministic, no RNG (the IVF seeding argument)
-    val codebook = embeddings
+  /** Array of the `nSub` subvector slices of `v` (1-based slice API). */
+  private def pqSubs(v: Column, nSub: Int, subDim: Int): Column =
+    array((0 until nSub).map(s => slice(v, s * subDim + 1, subDim)): _*)
+
+  /** Codebook: one codeword per (subspace, code), seeded from the first
+    * `nCodes` vectors — deterministic, no RNG (the IVF seeding argument). */
+  private def pqCodebook(embeddings: DataFrame, nSub: Int, subDim: Int,
+      nCodes: Int): DataFrame =
+    embeddings
       .filter(col("vec_id") >= 1 && col("vec_id") <= nCodes)
       .select(col("vec_id").cast("int").as("code"),
-        posexplode(subs(col("embedding"))).as(Seq("sub", "cvec")))
-    // encode: nearest codeword per subspace (argmin sq-L2; tie → low code)
-    val encoded = embeddings
-      .select(col("vec_id"), posexplode(subs(col("embedding"))).as(Seq("sub", "svec")))
+        posexplode(pqSubs(col("embedding"), nSub, subDim)).as(Seq("sub", "cvec")))
+
+  /** Encode: nearest codeword per subspace (argmin sq-L2; tie → low code),
+    * resolved map-side against the broadcast codebook. */
+  private def pqEncode(embeddings: DataFrame, codebook: DataFrame,
+      nSub: Int, subDim: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        posexplode(pqSubs(col("embedding"), nSub, subDim)).as(Seq("sub", "svec")))
       .join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"),
         struct((-round(sqL2(col("svec"), col("cvec")), 9)).as("nd"),
@@ -696,13 +701,30 @@ object Similarity {
       .groupBy("vec_id", "sub")
       .agg(max(col("sc")).as("best"))
       .select(col("vec_id"), col("sub"), (-col("best.nc")).as("code"))
-    // the query's ADC table: dot(query subvector, codeword) per (sub, code)
-    val qtab = codebook.crossJoin(broadcast(query))
+
+  /** The query's ADC table: dot(query subvector, codeword) per (sub, code). */
+  private def pqQueryTable(codebook: DataFrame, query: DataFrame,
+      nSub: Int, subDim: Int): DataFrame =
+    codebook.crossJoin(broadcast(query))
       .select(col("sub"), col("code"),
-        dot(element_at(subs(col("qe")), col("sub") + 1), col("cvec")).as("qdot"))
-    val pqTop = encoded.join(broadcast(qtab), Seq("sub", "code"))
+        dot(element_at(pqSubs(col("qe"), nSub, subDim), col("sub") + 1),
+          col("cvec")).as("qdot"))
+
+  /** ADC scores (rounded to 6 dp via exact decimal partial sums) for the
+    * given encoded vectors against the broadcast query table. */
+  private def adcScores(encoded: DataFrame, qtab: DataFrame): DataFrame =
+    encoded.join(broadcast(qtab), Seq("sub", "code"))
       .groupBy("vec_id")
       .agg(round(sum(col("qdot").cast("decimal(28,12)")).cast("double"), 6).as("adc"))
+
+  def pqRecallAudit(embeddings: DataFrame, query: DataFrame, k: Int,
+      dim: Int = 64, nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val codebook = pqCodebook(embeddings, nSub, subDim, nCodes)
+    val encoded = pqEncode(embeddings, codebook, nSub, subDim)
+    val qtab = pqQueryTable(codebook, query, nSub, subDim)
+    val pqTop = adcScores(encoded, qtab)
       .orderBy(desc("adc"), col("vec_id"))
       .limit(k)
     val truth = bruteForceTopK(embeddings, query, k).select("vec_id")
@@ -713,6 +735,55 @@ object Similarity {
         expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"),
         lit(dim * 4L).as("raw_bytes_per_vec"),
         lit(nSub.toLong).as("pq_bytes_per_vec"))
+  }
+
+  /**
+   * IVF-PQ recall audit — the production ANN index layout (FAISS's
+   * `IVFx,PQy`; Jégou et al. TPAMI 2011 §V): a coarse IVF quantizer
+   * prunes the corpus to `nProbe` cells, and ASYMMETRIC PQ distances
+   * rank only those candidates — the query never touches a full vector.
+   * Reported against the exact brute-force top-k, next to the scan
+   * fraction the cell pruning bought: the two numbers an index tuning
+   * session actually trades.
+   *
+   * Scale shape: composes the [[ivfTopK]] assignment (map-side broadcast
+   * argmax) with the [[pqRecallAudit]] machinery (broadcast codebook
+   * encode, broadcast ADC table); the candidate restriction is a
+   * left-semi hash join on vec_id. Everything non-candidate-sized is
+   * broadcast; nothing is pairwise.
+   */
+  def ivfPqRecallAudit(embeddings: DataFrame, query: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64, nSub: Int = 4,
+      nCodes: Int = 8): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val centroids = ivfCentroids(embeddings, nCells)
+    val assigned = ivfAssign(embeddings, centroids)
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("cid").as("cell"), cosine(col("cemb"), col("qe")).as("qsim"))
+      .orderBy(desc("qsim"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    val candidates = assigned.join(broadcast(probed), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val codebook = pqCodebook(embeddings, nSub, subDim, nCodes)
+    val encoded = pqEncode(embeddings, codebook, nSub, subDim)
+    val qtab = pqQueryTable(codebook, query, nSub, subDim)
+    val top = adcScores(encoded.join(candidates, Seq("vec_id"), "left_semi"), qtab)
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(k)
+    val truth = bruteForceTopK(embeddings, query, k).select("vec_id")
+    val nScanned = candidates.agg(count(lit(1)).as("n_scanned"))
+    val nTotal = embeddings.agg(count(lit(1)).as("__n_total"))
+    top.select("vec_id")
+      .join(truth, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nScanned))
+      .crossJoin(broadcast(nTotal))
+      .select(lit(k).as("k"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"),
+        col("n_scanned"),
+        expr("n_scanned * 1000000 DIV __n_total").as("scan_fraction_ppm"))
   }
 
   /**

@@ -2449,6 +2449,19 @@ object Extensions {
       "o_orderkey", pmod(col("o_custkey"), lit(2)),
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
 
+  /** x270 — IVF-PQ recall audit ([[Similarity.ivfPqRecallAudit]]): coarse
+    * cell pruning + asymmetric PQ ranking — the production ANN layout
+    * (FAISS IVFx,PQy), reported as recall next to scan fraction. */
+  private val x270: Q = (spark, sfDir) =>
+    Similarity.ivfPqRecallAudit(emb(spark, sfDir), queryVec(spark, sfDir), 10)
+
+  /** x271 — transition dwell-time ([[Analytics.transitionDwellMedian]]):
+    * rank-exact median seconds per (from → to) hop — the timing layer of
+    * x141's journey map; value-collapsed medians per pair. */
+  private val x271: Q = (spark, sfDir) =>
+    Analytics.transitionDwellMedian(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3149,7 +3162,9 @@ object Extensions {
     "x266_geo_block_join" -> x266,
     "x267_hash_bootstrap_ci" -> x267,
     "x268_bootstrap_ab_diff" -> x268,
-    "x269_dedup_method_eval" -> x269)
+    "x269_dedup_method_eval" -> x269,
+    "x270_ivf_pq_recall" -> x270,
+    "x271_transition_dwell_median" -> x271)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6129,6 +6144,78 @@ object Extensions {
          | CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 // n_truth
          |   ELSE 0 END AS BIGINT) AS recall_ppm
          |FROM nc, nt, nh""".stripMargin.replace("\n", " ")),
+    "x270_ivf_pq_recall" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |probe AS (SELECT cid FROM cent, qv
+         |  ORDER BY ${cos2Sql("cemb", "qe")} DESC, cid LIMIT 4),
+         |cand AS (SELECT a.vec_id FROM asg a JOIN probe USING (cid)),
+         |sp AS (SELECT CAST(unnest(range(4)) AS INT) AS sub),
+         |cw AS (SELECT CAST(vec_id AS INT) AS code, sub,
+         |    embedding[sub * 16 + 1 : sub * 16 + 16] AS cvec
+         |  FROM embeddings, sp WHERE vec_id BETWEEN 1 AND 8),
+         |sv AS (SELECT vec_id, sub,
+         |    embedding[sub * 16 + 1 : sub * 16 + 16] AS svec
+         |  FROM embeddings, sp),
+         |dist AS (SELECT vec_id, sv.sub AS sub, code,
+         |    round(list_aggregate(list_transform(list_zip(svec, cvec),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), 9)
+         |      AS d
+         |  FROM sv JOIN cw ON sv.sub = cw.sub),
+         |enc AS (SELECT vec_id, sub, code FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY d, code) = 1),
+         |qt AS (SELECT cw.sub AS sub, code,
+         |    list_aggregate(list_transform(
+         |      list_zip(qe[cw.sub * 16 + 1 : cw.sub * 16 + 16], cvec),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS qdot
+         |  FROM cw, qv),
+         |adc AS (SELECT vec_id,
+         |    CAST(ROUND(CAST(SUM(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS DOUBLE) AS adc
+         |  FROM enc JOIN qt USING (sub, code) JOIN cand USING (vec_id)
+         |  GROUP BY vec_id),
+         |tp AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 10),
+         |tr AS (SELECT vec_id FROM embeddings, qv
+         |  ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT 10),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned FROM cand),
+         |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM embeddings),
+         |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM tp JOIN tr USING (vec_id))
+         |SELECT CAST(10 AS INT) AS k, n_hits,
+         | CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
+         | n_scanned, CAST(n_scanned * 1000000 // nt AS BIGINT)
+         |   AS scan_fraction_ppm
+         |FROM hh, ns, ntot""".stripMargin.replace("\n", " ")),
+    "x271_transition_dwell_median" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |hp AS (SELECT event_type AS to_type,
+         |  LAG(event_type) OVER w AS from_type,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |    - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_sec
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT from_type, to_type, gap_sec FROM hp
+         |  WHERE from_type IS NOT NULL),
+         |gv AS (SELECT from_type, to_type, gap_sec,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
+         |cum AS (SELECT from_type, to_type, gap_sec,
+         |  CAST(SUM(c) OVER (PARTITION BY from_type, to_type
+         |    ORDER BY gap_sec) AS BIGINT) AS cw,
+         |  CAST(SUM(c) OVER (PARTITION BY from_type, to_type) AS BIGINT)
+         |    AS tw FROM gv)
+         |SELECT from_type, to_type, CAST(MAX(tw) AS BIGINT) AS n_transitions,
+         | CAST(MIN(gap_sec) AS BIGINT) AS median_gap_sec
+         |FROM cum WHERE cw * 2 >= tw GROUP BY 1, 2
+         |ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1083,6 +1083,29 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("transitionDwellMedian: per-pair lower medians; ts ties ordered by event id") {
+    val events = Seq(
+      // u1: a -10s-> b, a -30s-> b (via second visit), a -20s-> b
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "b"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "a"),
+      (2L, ts("2024-01-01 10:00:30"), 4L, "b"),
+      (3L, ts("2024-01-01 10:00:00"), 5L, "a"),
+      (3L, ts("2024-01-01 10:00:20"), 6L, "b"),
+      // u4: tied timestamps -> id order decides a->c (not c->a)
+      (4L, ts("2024-01-01 09:00:00"), 7L, "a"),
+      (4L, ts("2024-01-01 09:00:00"), 8L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Analytics.transitionDwellMedian(events, "user_id", "ts",
+      "event_id", "event_type").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    // a->b gaps {10, 30, 20}: lower median 20
+    assert(r(("a", "b")) == ((3L, 20L)))
+    assert(r(("a", "c")) == ((1L, 0L)))
+    assert(!r.contains(("c", "a")))
+  }
+
   test("hashBootstrapDiffCI: constant arm offset is detected as significant with a degenerate interval") {
     import graft.operators.Sampling
     // arm 0 pays 500, arm 1 pays 900: every resample diff is exactly 400

@@ -415,7 +415,63 @@ class SimilaritySpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("missing from docs")),
       s"expected the raise_error message, got: ${e.getMessage}")
   }
+
+  test("pqRecallAudit: vectors sitting exactly on codewords give perfect recall") {
+    // codebook seeds are vec_id 1..2; vec 3 copies vec 1, so its PQ codes
+    // equal vec 1's and ADC ranks {1, 3} on top — exactly the brute truth
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("qe")
+    val r = Similarity.pqRecallAudit(emb, q, k = 2, dim = 4, nSub = 2,
+      nCodes = 2).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) == ((2, 2L, 1000000L)))
+    assert((r.getLong(3), r.getLong(4)) == ((16L, 2L))) // 8x compression
+  }
+
+  test("ivfPqRecallAudit: probing every cell with on-codeword vectors gives perfect recall") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("qe")
+    val r = Similarity.ivfPqRecallAudit(emb, q, k = 2, nCells = 2, nProbe = 2,
+      dim = 4, nSub = 2, nCodes = 2).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) == ((2, 2L, 1000000L)))
+    assert((r.getLong(3), r.getLong(4)) == ((3L, 1000000L))) // all cells probed
+  }
+
+  test("embeddingNormAudit: zero vectors counted; norm range and exact mean per label") {
+    val emb = Seq(
+      (1L, 0L, Array(3f, 4f)),   // sq norm 25
+      (2L, 0L, Array(0f, 0f)),   // zero vector
+      (3L, 1L, Array(1f, 0f))    // sq norm 1
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.embeddingNormAudit(emb, "label").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    assert(r(0L) == ((2L, 1L, 0.0, 25.0, 12.5)))
+    assert(r(1L) == ((1L, 0L, 1.0, 1.0, 1.0)))
+  }
+
+  test("dimensionDriftAudit: a label-separating dimension shows the deviation; a constant one shows zero") {
+    val emb = Seq(
+      (1L, 0L, Array(1f, 5f)), (2L, 0L, Array(1f, 5f)),
+      (3L, 1L, Array(-1f, 5f)), (4L, 1L, Array(-1f, 5f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.dimensionDriftAudit(emb, "label").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    // dim 1: label means ±1e6 around a 0 global mean; dim 2 constant 5e6
+    assert(r(1) == ((2L, 0.0, 1000000.0)))
+    assert(r(2) == ((2L, 5000000.0, 0.0)))
+  }
 }
+
 
 class FrameSamplingSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -726,47 +782,5 @@ class MultimodalSpec extends AnyFunSuite {
     for (id <- 0L until 250L by 50L)
       assert(got.exists(p => p._1 == id && p._2 == id + 1000000000L),
         s"planted pair for doc $id missing")
-  }
-
-  test("pqRecallAudit: vectors sitting exactly on codewords give perfect recall") {
-    // codebook seeds are vec_id 1..2; vec 3 copies vec 1, so its PQ codes
-    // equal vec 1's and ADC ranks {1, 3} on top — exactly the brute truth
-    val emb = Seq(
-      (1L, Array(1f, 0f, 0f, 0f)),
-      (2L, Array(0f, 1f, 0f, 0f)),
-      (3L, Array(1f, 0f, 0f, 0f))
-    ).toDF("vec_id", "embedding")
-    val q = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("qe")
-    val r = Similarity.pqRecallAudit(emb, q, k = 2, dim = 4, nSub = 2,
-      nCodes = 2).collect().head
-    assert((r.getInt(0), r.getLong(1), r.getLong(2)) == ((2, 2L, 1000000L)))
-    assert((r.getLong(3), r.getLong(4)) == ((16L, 2L))) // 8x compression
-  }
-
-  test("embeddingNormAudit: zero vectors counted; norm range and exact mean per label") {
-    val emb = Seq(
-      (1L, 0L, Array(3f, 4f)),   // sq norm 25
-      (2L, 0L, Array(0f, 0f)),   // zero vector
-      (3L, 1L, Array(1f, 0f))    // sq norm 1
-    ).toDF("vec_id", "label", "embedding")
-    val r = Similarity.embeddingNormAudit(emb, "label").collect()
-      .map(x => x.getLong(0) ->
-        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
-      .toMap
-    assert(r(0L) == ((2L, 1L, 0.0, 25.0, 12.5)))
-    assert(r(1L) == ((1L, 0L, 1.0, 1.0, 1.0)))
-  }
-
-  test("dimensionDriftAudit: a label-separating dimension shows the deviation; a constant one shows zero") {
-    val emb = Seq(
-      (1L, 0L, Array(1f, 5f)), (2L, 0L, Array(1f, 5f)),
-      (3L, 1L, Array(-1f, 5f)), (4L, 1L, Array(-1f, 5f))
-    ).toDF("vec_id", "label", "embedding")
-    val r = Similarity.dimensionDriftAudit(emb, "label").collect()
-      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
-      .toMap
-    // dim 1: label means ±1e6 around a 0 global mean; dim 2 constant 5e6
-    assert(r(1) == ((2L, 0.0, 1000000.0)))
-    assert(r(2) == ((2L, 5000000.0, 0.0)))
   }
 }
