@@ -441,6 +441,46 @@ object Integrity {
       .orderBy("missing_cols")
   }
 
+  /**
+   * ID-CONTINUITY census — key-space fill rates per fixed-width id block
+   * (`key DIV blockSize`), rolled into fill-ppm bands: the
+   * "did we lose a range of records?" check. A uniformly sparse key
+   * space (TPC-H-style gapped sequences, sharded generators) shows every
+   * block in one tight band; a DROPPED RANGE shows as blocks falling
+   * into a lower band than their neighbors — visible in the census even
+   * when the total row count looks plausible. Fill = present ids over
+   * the block's OBSERVED span (max−min+1), so the metric is
+   * generator-agnostic.
+   *
+   * Scale shape: one block-keyed collapse (map-side partials) then a
+   * ≤5-row band rollup. No windows, no joins, no sort.
+   */
+  def idContinuityCensus(df: DataFrame, keyCol: String,
+      blockSize: Long = 1000L): DataFrame = {
+    require(blockSize >= 2, s"blockSize $blockSize must be >= 2")
+    val blocks = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"))
+      .distinct()
+      .groupBy(expr(s"__k DIV $blockSize").as("__blk"))
+      .agg(count(lit(1)).as("__present"),
+        min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+      .withColumn("__fill",
+        expr("__present * 1000000 DIV (__hi - __lo + 1)"))
+    blocks
+      .withColumn("band",
+        when(col("__fill") <= 200000, "1_under_20pct")
+          .when(col("__fill") <= 400000, "2_under_40pct")
+          .when(col("__fill") <= 600000, "3_under_60pct")
+          .when(col("__fill") <= 800000, "4_under_80pct")
+          .otherwise("5_over_80pct"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__present")).as("ids_present"),
+        min(col("__fill")).as("min_fill_ppm"),
+        max(col("__fill")).as("max_fill_ppm"))
+      .orderBy("band")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

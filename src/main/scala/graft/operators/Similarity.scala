@@ -787,6 +787,46 @@ object Similarity {
   }
 
   /**
+   * EMBEDDING OUTLIER audit — the top vectors by how many dimensions sit
+   * more than 3σ from that dimension's corpus mean: the "is this vector
+   * corrupt / from another model / adversarial" triage list. Entirely
+   * exact integers via CROSS-MULTIPLICATION — with per-dim micro sums
+   * s1 = Σm, s2 = Σm², the 3σ test `(x−μ)² > 9σ²` clears denominators to
+   * `(m·n − s1)² > 9·(s2·n − s1²)`, so no division, no float variance,
+   * no engine drift. (The same trick x147's rate guards use, applied to
+   * second moments.)
+   *
+   * Scale shape: one map-side explode collapsing to dim-bounded (s1, s2,
+   * n) broadcast back; the flag test is row-local; the report is a
+   * top-k (TakeOrderedAndProject). Moments ride DECIMAL(38,0): s2 sums
+   * squares of ±1e6-scale components — 1e12 per row, exact to 1e26 rows.
+   */
+  def embeddingOutlierAudit(embeddings: DataFrame, labelCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val comps = embeddings
+      .filter(col(labelCol).isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col(labelCol).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "__x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(ROUND(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)").as("__m"))
+    val moments = comps.groupBy("dim")
+      .agg(sum(col("__m").cast("decimal(38,0)")).as("__s1"),
+        sum(col("__m").cast("decimal(38,0)") * col("__m")).as("__s2"),
+        count(lit(1)).as("__n"))
+    comps.join(broadcast(moments), "dim")
+      .withColumn("__flag", when(
+        expr("""(CAST(__m AS DECIMAL(38,0)) * __n - __s1)
+              * (CAST(__m AS DECIMAL(38,0)) * __n - __s1)
+              > 9 * (__s2 * __n - __s1 * __s1)"""), 1L).otherwise(0L))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("__flag")).as("n_flagged_dims"))
+      .filter(col("n_flagged_dims") > 0)
+      .orderBy(col("n_flagged_dims").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /**
    * EMBEDDING NORM audit — per label: vector count, zero (degenerate)
    * vectors, min/max squared norm (rounded to 6 dp, the corpus cosine
    * convention) and the exact decimal-summed mean. The pre-flight gate

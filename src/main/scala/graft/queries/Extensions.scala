@@ -2462,6 +2462,19 @@ object Extensions {
     Analytics.transitionDwellMedian(Tables(spark, sfDir, "events"),
       "user_id", "ts", "event_id", "event_type")
 
+  /** x272 — embedding outlier audit ([[Similarity.embeddingOutlierAudit]]):
+    * top vectors by dims beyond 3σ of the corpus mean — exact integers
+    * via cross-multiplication, no float variance. */
+  private val x272: Q = (spark, sfDir) =>
+    Similarity.embeddingOutlierAudit(emb(spark, sfDir), "label")
+
+  /** x273 — id-continuity census ([[Integrity.idContinuityCensus]]):
+    * key-space fill per id block in ppm bands — dropped ranges surface
+    * even when total counts look plausible. */
+  private val x273: Q = (spark, sfDir) =>
+    Integrity.idContinuityCensus(Tables(spark, sfDir, "orders"),
+      "o_orderkey")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3164,7 +3177,9 @@ object Extensions {
     "x268_bootstrap_ab_diff" -> x268,
     "x269_dedup_method_eval" -> x269,
     "x270_ivf_pq_recall" -> x270,
-    "x271_transition_dwell_median" -> x271)
+    "x271_transition_dwell_median" -> x271,
+    "x272_embedding_outlier_audit" -> x272,
+    "x273_id_continuity_census" -> x273)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6216,6 +6231,47 @@ object Extensions {
          | CAST(MIN(gap_sec) AS BIGINT) AS median_gap_sec
          |FROM cum WHERE cw * 2 >= tw GROUP BY 1, 2
          |ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")),
+    "x272_embedding_outlier_audit" ->
+      ("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         |u AS (SELECT vec_id, label, embedding,
+         |  unnest(range(len(embedding))) AS i FROM e),
+         |c AS (SELECT vec_id, label, CAST(i AS INT) AS dim,
+         |  CAST(ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS m FROM u),
+         |mo AS (SELECT dim, CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT) AS s1,
+         |  CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS s2,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1),
+         |f AS (SELECT vec_id, label,
+         |  CASE WHEN (CAST(m AS HUGEINT) * n - s1)
+         |      * (CAST(m AS HUGEINT) * n - s1)
+         |      > 9 * (s2 * n - s1 * s1) THEN 1 ELSE 0 END AS flag
+         | FROM c JOIN mo USING (dim)),
+         |a AS (SELECT vec_id, label,
+         |  CAST(SUM(flag) AS BIGINT) AS n_flagged_dims
+         | FROM f GROUP BY 1, 2)
+         |SELECT vec_id, label, n_flagged_dims FROM a
+         |WHERE n_flagged_dims > 0
+         |ORDER BY n_flagged_dims DESC, vec_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x273_id_continuity_census" ->
+      ("""WITH k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+         |  FROM orders WHERE o_orderkey IS NOT NULL),
+         |b AS (SELECT k // 1000 AS blk, CAST(COUNT(*) AS BIGINT) AS present,
+         |  CAST(MIN(k) AS BIGINT) AS lo, CAST(MAX(k) AS BIGINT) AS hi
+         | FROM k GROUP BY 1),
+         |fl AS (SELECT present,
+         |  CAST(present * 1000000 // (hi - lo + 1) AS BIGINT) AS fill FROM b),
+         |bd AS (SELECT CASE WHEN fill <= 200000 THEN '1_under_20pct'
+         |    WHEN fill <= 400000 THEN '2_under_40pct'
+         |    WHEN fill <= 600000 THEN '3_under_60pct'
+         |    WHEN fill <= 800000 THEN '4_under_80pct'
+         |    ELSE '5_over_80pct' END AS band, present, fill FROM fl)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         | CAST(SUM(present) AS BIGINT) AS ids_present,
+         | CAST(MIN(fill) AS BIGINT) AS min_fill_ppm,
+         | CAST(MAX(fill) AS BIGINT) AS max_fill_ppm
+         |FROM bd GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -444,6 +444,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert((r.getLong(3), r.getLong(4)) == ((3L, 1000000L))) // all cells probed
   }
 
+  test("embeddingOutlierAudit: only the planted far-out vector is flagged") {
+    // dim 1: 100 zeros and one 100 — the outlier's z is ~10, well past 3
+    // sigma (n must be large: among n points the max z is at most sqrt(n-1),
+    // so tiny fixtures can never flag); dim 2 constant so it never flags
+    val emb = (1L to 100L).map(i => (i, 0L, Array(0f, 5f))) :+
+      ((101L, 1L, Array(100f, 5f)))
+    val r = Similarity.embeddingOutlierAudit(emb.toDF("vec_id", "label", "embedding"),
+      "label").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+    assert(r.toSeq == Seq(101L -> ((1L, 1L))))
+  }
+
   test("embeddingNormAudit: zero vectors counted; norm range and exact mean per label") {
     val emb = Seq(
       (1L, 0L, Array(3f, 4f)),   // sq norm 25

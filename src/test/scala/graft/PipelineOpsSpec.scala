@@ -882,6 +882,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a,b" -> ((1L, 250000L))))
   }
 
+  test("idContinuityCensus: a dropped range lands its block in a lower fill band") {
+    import graft.operators.Integrity
+    // block 0: ids 0..9 complete (fill 1e6); block 1: only 2 of span 10
+    val ids = ((0L to 9L) ++ Seq(10L, 19L)).map(Tuple1(_)).toDF("k")
+    val r = Integrity.idContinuityCensus(ids, "k", blockSize = 10L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r("5_over_80pct") == ((1L, 10L)))
+    assert(r("1_under_20pct") == ((1L, 2L)))  // 2/10 = 200000 ppm
+  }
+
   test("integerHeadroomAudit: exact bit lengths and downcast flags") {
     import graft.operators.Integrity
     val df = Seq((255L, 40000L, 3000000000L), (-256L, 1L, 5L))
