@@ -2576,6 +2576,41 @@ object Analytics {
   }
 
   /**
+   * DISCOUNT LIFT — per discount level: order-line volume, exact mean
+   * quantity in milli units, and the lift versus the zero-discount
+   * baseline in ppm: the "does discounting actually move volume" read,
+   * computed from the observational table (stated: this is correlation
+   * — the causal version is x147/x162's job; this is the curve buyers
+   * look at first). Discounts land in exact basis points
+   * (`ROUND(d·10000)` — one deterministic float rounding).
+   *
+   * Scale shape: one collapse to the ≤|distinct discounts| frame with
+   * map-side partials; the baseline joins back as a broadcast 1-row
+   * frame. Division happens ONCE per band on positive operands.
+   */
+  def discountLift(df: DataFrame, discountCol: String,
+      qtyCol: String): DataFrame = {
+    val bands = df
+      .filter(col(discountCol).isNotNull && col(qtyCol).isNotNull)
+      .select(
+        expr(s"CAST(ROUND(CAST($discountCol AS DOUBLE) * 10000) AS BIGINT)")
+          .as("discount_bp"),
+        expr(s"CAST(ROUND(CAST($qtyCol AS DOUBLE) * 1000) AS BIGINT)")
+          .as("__qm"))
+      .groupBy("discount_bp")
+      .agg(count(lit(1)).as("n_lines"), sum(col("__qm")).as("__sq"))
+      .withColumn("avg_qty_milli", expr("__sq DIV n_lines"))
+    val base = bands.filter(col("discount_bp") === 0)
+      .select(col("avg_qty_milli").as("__base"))
+    bands.crossJoin(broadcast(base))
+      .select(col("discount_bp"), col("n_lines"), col("avg_qty_milli"),
+        // positive-operand division FIRST, subtraction after — a negative
+        // numerator would hit Spark-trunc vs DuckDB-floor divergence
+        expr("avg_qty_milli * 1000000 DIV __base - 1000000").as("lift_ppm"))
+      .orderBy("discount_bp")
+  }
+
+  /**
    * TRANSITION DWELL-TIME — for each (from → to) event-type transition:
    * how many happened and the rank-exact MEDIAN seconds between them.
    * x141's transition matrix says WHERE journeys go; this says HOW LONG

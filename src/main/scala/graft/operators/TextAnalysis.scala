@@ -896,6 +896,48 @@ object TextAnalysis {
       .orderBy("batch")
   }
 
+  /**
+   * EFFECTIVE BRANCHING FACTOR — per source, the token-weighted mean of
+   * each word's inverse-Simpson successor diversity: "after a typical
+   * word, how many successors does this source REALLY choose from?"
+   * Natural text branches wide (high factor); templated/generated text
+   * rails onto fixed continuations (low factor) even when its unigram
+   * diversity (x240) looks healthy — this is the bigram-level
+   * templatedness gauge, exact and log-free where conditional entropy
+   * would be float. Per word w: `eff(w) = n_w² DIV Σ_v n_{wv}²`; source
+   * score = `Σ_w n_w·eff(w) DIV Σ_w n_w` in milli units.
+   *
+   * Scale shape: one (source, w, v) bigram collapse, re-collapsed to
+   * (source, w), then to |sources| rows — all map-side partials;
+   * squares ride DECIMAL(38,0).
+   */
+  def effectiveBranchingFactor(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("__ts"))
+    val bigrams = toks
+      .select(col("source"), posexplode(col("__ts")).as(Seq("__i", "__w")),
+        col("__ts"))
+      .filter(col("__i") < size(col("__ts")) - 1)
+      .select(col("source"), col("__w"),
+        element_at(col("__ts"), col("__i") + 2).as("__v"))
+      .groupBy("source", "__w", "__v").agg(count(lit(1)).as("__n"))
+    val perWord = bigrams.groupBy("source", "__w")
+      .agg(sum(col("__n")).as("__nw"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__sq"))
+      .withColumn("__eff",
+        expr("CAST(CAST(__nw AS DECIMAL(38,0)) * __nw * 1000 DIV __sq AS BIGINT)"))
+    perWord.groupBy("source")
+      .agg(count(lit(1)).as("n_prefix_words"),
+        sum(col("__nw")).as("n_bigrams"),
+        sum(col("__nw").cast("decimal(38,0)") * col("__eff")).as("__wsum"))
+      .select(col("source"), col("n_prefix_words"), col("n_bigrams"),
+        expr("CAST(__wsum DIV n_bigrams AS BIGINT)")
+          .as("eff_branching_milli"))
+      .orderBy("source")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -2475,6 +2475,19 @@ object Extensions {
     Integrity.idContinuityCensus(Tables(spark, sfDir, "orders"),
       "o_orderkey")
 
+  /** x274 — discount lift ([[Analytics.discountLift]]): mean quantity per
+    * discount level with lift vs the zero-discount baseline — the
+    * does-discounting-move-volume curve, stated observational. */
+  private val x274: Q = (spark, sfDir) =>
+    Analytics.discountLift(Tables(spark, sfDir, "lineitem"),
+      "l_discount", "l_quantity")
+
+  /** x275 — effective branching factor ([[TextAnalysis.effectiveBranchingFactor]]):
+    * token-weighted inverse-Simpson successor diversity per source — the
+    * bigram-level templatedness gauge x240's unigram view misses. */
+  private val x275: Q = (spark, sfDir) =>
+    TextAnalysis.effectiveBranchingFactor(docs(spark, sfDir), "source", "text")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3179,7 +3192,9 @@ object Extensions {
     "x270_ivf_pq_recall" -> x270,
     "x271_transition_dwell_median" -> x271,
     "x272_embedding_outlier_audit" -> x272,
-    "x273_id_continuity_census" -> x273)
+    "x273_id_continuity_census" -> x273,
+    "x274_discount_lift" -> x274,
+    "x275_effective_branching" -> x275)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6272,6 +6287,43 @@ object Extensions {
          | CAST(MIN(fill) AS BIGINT) AS min_fill_ppm,
          | CAST(MAX(fill) AS BIGINT) AS max_fill_ppm
          |FROM bd GROUP BY 1 ORDER BY band""".stripMargin.replace("\n", " ")),
+    "x274_discount_lift" ->
+      ("""WITH b AS (SELECT
+         |  CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS BIGINT)
+         |    AS discount_bp,
+         |  CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000) AS BIGINT) AS qm
+         | FROM lineitem WHERE l_discount IS NOT NULL
+         |  AND l_quantity IS NOT NULL),
+         |g AS (SELECT discount_bp, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(qm) // COUNT(*) AS BIGINT) AS avg_qty_milli
+         | FROM b GROUP BY 1),
+         |z AS (SELECT avg_qty_milli AS base FROM g WHERE discount_bp = 0)
+         |SELECT discount_bp, n_lines, avg_qty_milli,
+         | CAST(avg_qty_milli * 1000000 // base - 1000000 AS BIGINT)
+         |   AS lift_ppm
+         |FROM g, z ORDER BY discount_bp""".stripMargin.replace("\n", " ")),
+    "x275_effective_branching" ->
+      ("""WITH tk AS (SELECT source, list_filter(string_split(text, ' '),
+         |    t -> length(t) > 0) AS ts FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL),
+         |ix AS (SELECT source, ts, unnest(range(len(ts) - 1)) AS i
+         |  FROM tk WHERE len(ts) >= 2),
+         |bg AS (SELECT source, ts[CAST(i AS INT) + 1] AS w,
+         |  ts[CAST(i AS INT) + 2] AS v FROM ix),
+         |bc AS (SELECT source, w, v, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM bg GROUP BY 1, 2, 3),
+         |pw AS (SELECT source, w, CAST(SUM(n) AS BIGINT) AS nw,
+         |  CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+         | FROM bc GROUP BY 1, 2),
+         |pe AS (SELECT source, nw,
+         |  CAST(CAST(nw AS HUGEINT) * nw * 1000 // sq AS BIGINT) AS eff
+         | FROM pw)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_prefix_words,
+         | CAST(SUM(nw) AS BIGINT) AS n_bigrams,
+         | CAST(SUM(CAST(nw AS HUGEINT) * eff) // SUM(nw) AS BIGINT)
+         |   AS eff_branching_milli
+         |FROM pe GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1083,6 +1083,17 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("discountLift: lift is relative to the zero-discount band, division before subtraction") {
+    val df = Seq((0.0, 10.0), (0.0, 10.0), (0.05, 15.0), (0.10, 5.0))
+      .toDF("d", "q")
+    val r = Analytics.discountLift(df, "d", "q").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(0L) == ((2L, 10000L, 0L)))
+    assert(r(500L) == ((1L, 15000L, 500000L)))   // +50%
+    assert(r(1000L) == ((1L, 5000L, -500000L)))  // -50%
+  }
+
   test("transitionDwellMedian: per-pair lower medians; ts ties ordered by event id") {
     val events = Seq(
       // u1: a -10s-> b, a -30s-> b (via second visit), a -20s-> b

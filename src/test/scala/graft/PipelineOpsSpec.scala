@@ -838,6 +838,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("s2") == ((3L, 1L, 2L, 1L)))
   }
 
+  test("effectiveBranchingFactor: railed continuations score 1000; free branching scores higher") {
+    val docs = Seq(
+      // s1: "a" always followed by "b" -> eff(a)=1000; bigrams a->b x3
+      (1L, "a b a b a b", "s1"),
+      // s2: "a" followed by b, c (once each) -> eff(a) = 4*1000/2 = 2000
+      (2L, "a b a c", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.effectiveBranchingFactor(docs, "source", "text")
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    // s1: prefixes a(3 bigrams, eff 1000) and b(2 bigrams a, eff 1000) -> 1000
+    assert(r("s1") == 1000L)
+    // s2: a has 2 bigrams eff 2000; b has 1 bigram (b->a) eff 1000
+    // weighted: (2*2000 + 1*1000) / 3 = 1666
+    assert(r("s2") == 1666L)
+  }
+
   test("vocabNoveltyCurve: later batches only count first-seen terms as new") {
     val docs = Seq(
       (0L, "a b c"), (1L, "a b"),        // batch 0: all 3 terms new
