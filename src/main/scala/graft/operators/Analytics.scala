@@ -2576,6 +2576,36 @@ object Analytics {
   }
 
   /**
+   * ORDER COLLISION census — groups of orders sharing the SAME day and
+   * the SAME exact amount but placed by DIFFERENT customers, rolled up
+   * by collision size: the shared-identity / split-account / generated-
+   * data smell. One customer re-ordering the same amount is normal
+   * (x264's territory); three DIFFERENT customers paying an identical
+   * odd amount on one day is either a price point (big groups, stable
+   * across days) or an integrity problem (sporadic exact collisions) —
+   * the census separates the two by shape.
+   *
+   * Scale shape: one (day, cents) collapse carrying count + distinct
+   * customers, then a collision-size rollup — bounded by the largest
+   * collision. No joins, no windows.
+   */
+  def orderCollisionCensus(orders: DataFrame, custCol: String, tsCol: String,
+      amountCents: Column): DataFrame = {
+    val groups = orders
+      .filter(col(custCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"),
+        amountCents.cast("long").as("__c"), col(custCol))
+      .filter(col("__c").isNotNull)
+      .groupBy("__d", "__c")
+      .agg(count(lit(1)).as("__n"), countDistinct(col(custCol)).as("__nc"))
+      .filter(col("__nc") > 1)
+    groups.groupBy(col("__nc").as("n_customers"))
+      .agg(count(lit(1)).as("n_collision_groups"),
+        sum(col("__n")).as("n_orders"))
+      .orderBy("n_customers")
+  }
+
+  /**
    * DISCOUNT LIFT — per discount level: order-line volume, exact mean
    * quantity in milli units, and the lift versus the zero-discount
    * baseline in ppm: the "does discounting actually move volume" read,

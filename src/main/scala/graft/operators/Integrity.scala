@@ -481,6 +481,41 @@ object Integrity {
       .orderBy("band")
   }
 
+  /**
+   * CHILD-NUMBERING audit — do a parent's child sequence numbers form
+   * the dense run 1..n? Violations split by KIND, because each kind has
+   * a different root cause: `dup_seq` (same number twice — a retried
+   * write), `gap` (max > count with distinct numbers — a lost child),
+   * `bad_start` (min ≠ 1 — truncated head). The invariant every
+   * order/lineitem, invoice/line, message/part schema promises and
+   * nothing enforces.
+   *
+   * Scale shape: one parent-keyed collapse computing (count, distinct,
+   * min, max) with map-side partials, then a ≤4-row kind rollup.
+   */
+  def childNumberingAudit(df: DataFrame, parentCol: String,
+      seqCol: String): DataFrame = {
+    val per = df.filter(col(parentCol).isNotNull && col(seqCol).isNotNull)
+      .groupBy(col(parentCol))
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(seqCol)).as("__nd"),
+        min(col(seqCol).cast("long")).as("__mn"),
+        max(col(seqCol).cast("long")).as("__mx"))
+      .withColumn("kind",
+        when(col("__nd") < col("__n"), "1_dup_seq")
+          .when(col("__mn") =!= 1L, "2_bad_start")
+          .when(col("__mx") =!= col("__n"), "3_gap")
+          .otherwise("0_dense"))
+    val tot = per.agg(count(lit(1)).as("__t"))
+    per.groupBy("kind")
+      .agg(count(lit(1)).as("n_parents"),
+        sum(col("__n")).as("n_children"))
+      .crossJoin(broadcast(tot))
+      .select(col("kind"), col("n_parents"), col("n_children"),
+        expr("n_parents * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("kind")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

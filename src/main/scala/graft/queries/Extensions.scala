@@ -2488,6 +2488,30 @@ object Extensions {
   private val x275: Q = (spark, sfDir) =>
     TextAnalysis.effectiveBranchingFactor(docs(spark, sfDir), "source", "text")
 
+  /** x276 — child-numbering audit ([[Integrity.childNumberingAudit]]):
+    * are lineitem numbers the dense run 1..n per order? violations split
+    * by root-cause kind. */
+  private val x276: Q = (spark, sfDir) =>
+    Integrity.childNumberingAudit(Tables(spark, sfDir, "lineitem"),
+      "l_orderkey", "l_linenumber")
+
+  /** x277 — order collision census ([[Analytics.orderCollisionCensus]]):
+    * different customers, same day, same exact amount — integrity
+    * smells by collision-size shape. Organic cent-precision amounts
+    * never collide, so every 101st order is re-planted under the next
+    * customer (the x264 incident-plant convention) — the audit provably
+    * surfaces exactly those groups. */
+  private val x277: Q = (spark, sfDir) => {
+    val p = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderkey"))
+    val clones = p.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .withColumn("o_custkey", col("o_custkey") + 1)
+    Analytics.orderCollisionCensus(p.unionAll(clones),
+      "o_custkey", "o_orderdate",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3194,7 +3218,9 @@ object Extensions {
     "x272_embedding_outlier_audit" -> x272,
     "x273_id_continuity_census" -> x273,
     "x274_discount_lift" -> x274,
-    "x275_effective_branching" -> x275)
+    "x275_effective_branching" -> x275,
+    "x276_child_numbering_audit" -> x276,
+    "x277_order_collision_census" -> x277)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6323,6 +6349,41 @@ object Extensions {
          | CAST(SUM(CAST(nw AS HUGEINT) * eff) // SUM(nw) AS BIGINT)
          |   AS eff_branching_milli
          |FROM pe GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x276_child_numbering_audit" ->
+      ("""WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd,
+         |  CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+         |  CAST(MAX(l_linenumber) AS BIGINT) AS mx
+         | FROM lineitem WHERE l_orderkey IS NOT NULL
+         |  AND l_linenumber IS NOT NULL GROUP BY 1),
+         |k AS (SELECT CASE WHEN nd < n THEN '1_dup_seq'
+         |    WHEN mn <> 1 THEN '2_bad_start'
+         |    WHEN mx <> n THEN '3_gap'
+         |    ELSE '0_dense' END AS kind, n FROM per),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM per)
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_parents,
+         | CAST(SUM(n) AS BIGINT) AS n_children,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM k, t GROUP BY kind, tt ORDER BY kind"""
+        .stripMargin.replace("\n", " ")),
+    "x277_order_collision_census" ->
+      ("""WITH orders2 AS (SELECT o_custkey, o_orderdate, o_totalprice
+         |  FROM orders
+         | UNION ALL
+         | SELECT o_custkey + 1, o_orderdate, o_totalprice FROM orders
+         |  WHERE o_orderkey % 101 = 0),
+         |g AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc
+         | FROM orders2 WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         |  AND o_totalprice IS NOT NULL
+         | GROUP BY 1, 2 HAVING COUNT(DISTINCT o_custkey) > 1)
+         |SELECT nc AS n_customers,
+         | CAST(COUNT(*) AS BIGINT) AS n_collision_groups,
+         | CAST(SUM(n) AS BIGINT) AS n_orders
+         |FROM g GROUP BY 1 ORDER BY n_customers"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -1083,6 +1083,24 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("orderCollisionCensus: same-customer repeats don't collide; cross-customer ones do") {
+    val orders = Seq(
+      // 3 different customers, same day+amount -> group of 3
+      (1L, ts("2024-01-01 00:00:00"), 999L),
+      (2L, ts("2024-01-01 00:00:00"), 999L),
+      (3L, ts("2024-01-01 00:00:00"), 999L),
+      // same customer twice -> NOT a collision (nc = 1)
+      (4L, ts("2024-01-02 00:00:00"), 500L),
+      (4L, ts("2024-01-02 00:00:00"), 500L),
+      // pairwise collision on another day
+      (5L, ts("2024-01-03 00:00:00"), 777L),
+      (6L, ts("2024-01-03 00:00:00"), 777L)
+    ).toDF("cust", "ts", "cents")
+    val r = Analytics.orderCollisionCensus(orders, "cust", "ts", col("cents"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("discountLift: lift is relative to the zero-discount band, division before subtraction") {
     val df = Seq((0.0, 10.0), (0.0, 10.0), (0.05, 15.0), (0.10, 5.0))
       .toDF("d", "q")

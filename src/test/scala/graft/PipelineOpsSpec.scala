@@ -898,6 +898,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a,b" -> ((1L, 250000L))))
   }
 
+  test("childNumberingAudit: each violation kind classified by its root cause") {
+    import graft.operators.Integrity
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),  // dense
+      (2L, 1L), (2L, 1L),            // dup seq
+      (3L, 2L), (3L, 3L),            // bad start
+      (4L, 1L), (4L, 3L)             // gap
+    ).toDF("pk", "seq")
+    val r = Integrity.childNumberingAudit(df, "pk", "seq").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("0_dense") == ((1L, 3L, 250000L)))
+    assert(r("1_dup_seq") == ((1L, 2L, 250000L)))
+    assert(r("2_bad_start") == ((1L, 2L, 250000L)))
+    assert(r("3_gap") == ((1L, 2L, 250000L)))
+  }
+
   test("idContinuityCensus: a dropped range lands its block in a lower fill band") {
     import graft.operators.Integrity
     // block 0: ids 0..9 complete (fill 1e6); block 1: only 2 of span 10
