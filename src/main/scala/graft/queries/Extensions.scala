@@ -2512,6 +2512,28 @@ object Extensions {
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
   }
 
+  /** x278 — checkpoint-restart exactly-once
+    * ([[graft.streaming.EventStream.checkpointRestartLakeSink]]): half
+    * the files, a clean shutdown, a NEW query resuming from the same
+    * checkpoint — the landed lake holds each event exactly once. */
+  private val x278: Q = (spark, sfDir) =>
+    graft.streaming.EventStream.checkpointRestartLakeSink(spark, sfDir)
+
+  /** x279 — ANN ensemble fusion eval ([[Similarity.rrfFusion]] over the
+    * x217 members): does rank fusion beat each individual index? recall
+    * rows for all three members plus the fused list. */
+  private val x279: Q = (spark, sfDir) => {
+    val e = emb(spark, sfDir); val q = queryVec(spark, sfDir)
+    val members = Seq(
+      "banded_lsh" -> Similarity.annBandedTopK(e, q, 10),
+      "ivf" -> Similarity.ivfTopK(e, q, 10),
+      "sign_bucket" -> Similarity.annTopK(e, q, 10))
+    val fused = Similarity.rrfFusion(members.map(_._2), "vec_id", "sim")
+    Similarity.recallEval(members :+ ("rrf_fusion" -> fused),
+      Similarity.bruteForceTopK(e, q, 10), "vec_id", 10)
+      .orderBy("method")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3220,7 +3242,9 @@ object Extensions {
     "x274_discount_lift" -> x274,
     "x275_effective_branching" -> x275,
     "x276_child_numbering_audit" -> x276,
-    "x277_order_collision_census" -> x277)
+    "x277_order_collision_census" -> x277,
+    "x278_checkpoint_restart" -> x278,
+    "x279_ann_fusion_eval" -> x279)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6385,6 +6409,72 @@ object Extensions {
          | CAST(SUM(n) AS BIGINT) AS n_orders
          |FROM g GROUP BY 1 ORDER BY n_customers"""
         .stripMargin.replace("\n", " ")),
+    "x278_checkpoint_restart" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+         | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x279_ann_fusion_eval" ->
+      (s"""WITH ${hyperplaneCtes()},
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |truth AS (SELECT vec_id FROM embeddings, qv
+         |  ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT 10),
+         |m_sign AS (SELECT vec_id, ROUND($cosSql, 6) AS sim
+         |  FROM embeddings, qv
+         |  WHERE ${signBucketSql("embedding")} = ${signBucketSql("qe")}
+         |  ORDER BY sim DESC, vec_id LIMIT 10),
+         |cand AS (SELECT DISTINCT a.vec_id
+         |  FROM hpkeys a JOIN hpkeys q ON a.band = q.band AND a.bkey = q.bkey
+         |  WHERE q.vec_id = 0),
+         |m_band AS (SELECT e.vec_id,
+         |  ROUND(${cos2Sql("e.embedding", "qe")}, 6) AS sim
+         |  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv
+         |  ORDER BY sim DESC, e.vec_id LIMIT 10),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |probe AS (SELECT cid FROM cent, qv
+         |  ORDER BY ${cos2Sql("cemb", "qe")} DESC, cid LIMIT 4),
+         |m_ivf AS (SELECT a.vec_id,
+         |  ROUND(${cos2Sql("a.embedding", "qe")}, 6) AS sim
+         |  FROM asg a JOIN probe USING (cid), qv
+         |  ORDER BY sim DESC, a.vec_id LIMIT 10),
+         |r1 AS (SELECT vec_id, CAST(ROW_NUMBER() OVER
+         |  (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM m_band),
+         |r2 AS (SELECT vec_id, CAST(ROW_NUMBER() OVER
+         |  (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM m_ivf),
+         |r3 AS (SELECT vec_id, CAST(ROW_NUMBER() OVER
+         |  (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM m_sign),
+         |uf AS (SELECT vec_id, 1000000000 // (60 + rk) AS c FROM r1
+         | UNION ALL SELECT vec_id, 1000000000 // (60 + rk) FROM r2
+         | UNION ALL SELECT vec_id, 1000000000 // (60 + rk) FROM r3),
+         |fs AS (SELECT vec_id, CAST(SUM(c) AS BIGINT) AS s FROM uf
+         |  GROUP BY 1),
+         |m_fus AS (SELECT vec_id FROM fs ORDER BY s DESC, vec_id LIMIT 10)
+         |SELECT * FROM (
+         | SELECT 'banded_lsh' AS method, CAST(10 AS INT) AS k,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_band JOIN truth USING (vec_id))
+         |   AS n_hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_band JOIN truth USING (vec_id))
+         |   * 1000000 // 10 AS recall_ppm
+         | UNION ALL SELECT 'ivf', 10,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_ivf JOIN truth USING (vec_id)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_ivf JOIN truth USING (vec_id))
+         |   * 1000000 // 10
+         | UNION ALL SELECT 'sign_bucket', 10,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_sign JOIN truth USING (vec_id)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_sign JOIN truth USING (vec_id))
+         |   * 1000000 // 10
+         | UNION ALL SELECT 'rrf_fusion', 10,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_fus JOIN truth USING (vec_id)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_fus JOIN truth USING (vec_id))
+         |   * 1000000 // 10)
+         |ORDER BY method""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

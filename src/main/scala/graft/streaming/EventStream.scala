@@ -523,6 +523,60 @@ object EventStream {
   }
 
   /**
+   * CHECKPOINT-RESTART exactly-once — the fault-tolerance contract the
+   * other streaming queries take on faith, exercised end to end: a
+   * foreachBatch lake sink processes HALF the replay files, the query
+   * STOPS (a deploy/crash boundary), the rest of the files arrive, and a
+   * brand-new query object resumes from the SAME `checkpointLocation`.
+   * The checkpoint's offset log makes the restart skip every
+   * already-committed file, so the landed lake holds each event EXACTLY
+   * once and the final rollup equals plain batch SQL over the source
+   * table — which is precisely what the oracle checks. Drop the
+   * checkpoint dir and the same code double-counts: the green row IS the
+   * exactly-once property.
+   *
+   * Scale: the lake rollup is the x45 shape (decimal-cast sums); state
+   * here is the file-source offset log, O(files processed).
+   */
+  def checkpointRestartLakeSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val (watchAll, schema) = sliceReplayDir(spark, sfDir)
+    val slices = new java.io.File(watchAll).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(slices.length >= 2, "need >= 2 replay slices for a restart boundary")
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val watch = s"$base/watch"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    new java.io.File(watch).mkdirs()
+    def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(watch, f.getName)): Unit
+    }
+    def runOnce(): Unit = withStatePartitions(spark) {
+      val query = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+        .transform(graft.sources.Tables.normalizeEventTs)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(lake)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val (first, rest) = slices.splitAt(slices.length / 2)
+    arrive(first); runOnce()   // half the data, then a clean shutdown
+    arrive(rest); runOnce()    // new query object, same checkpoint
+    spark.read.parquet(lake)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
+  /**
    * STREAMING SINK pattern: `foreachBatch` appending each micro-batch to a
    * parquet lake directory — the escape hatch for destinations without a
    * native streaming sink (JDBC, MERGE upserts, multi-table fan-out), and

@@ -69,6 +69,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(nulls.intersect(matched.map(_._1)).isEmpty)
   }
 
+  test("checkpoint restart: the resumed query lands each event exactly once") {
+    val out = streaming.EventStream.checkpointRestartLakeSink(spark, sf).collect()
+    assert(out.nonEmpty)
+    // no duplicates: per type, row count equals distinct event ids
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"type ${r.getString(0)}: ${r.getLong(1)} rows vs ${r.getLong(2)} distinct"))
+    // no loss: totals equal the batch table
+    val batch = sources.Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == batch(r.getString(0))))
+  }
+
   test("streaming trending ranks only finalized day windows (in-progress day stays in state)") {
     val out = streaming.EventStream.trendingTopK(spark, sf, k = 3).collect()
     assert(out.nonEmpty)
