@@ -2576,6 +2576,36 @@ object Analytics {
   }
 
   /**
+   * COHORT VALUE curve — x65's retention triangle with MONEY in the
+   * cells: per (first-active week, week offset), the exact decimal sum
+   * of purchase value those cohort members generated that week. The LTV
+   * accumulation read ("how much is a January user worth by week 6?")
+   * that user-count retention cannot answer — two cohorts can retain
+   * identically and monetize completely differently.
+   *
+   * Scale shape: the first-week frame is one user-keyed MIN; value rows
+   * join it on the user key (hash join, both sides user-collapsed or
+   * raw-but-keyed); the rollup is |cohorts|·|offsets| rows. Sums ride
+   * DECIMAL(18,2) (the dsum determinism argument).
+   */
+  def cohortValueCurve(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, purchaseType: Column): DataFrame = {
+    val clean = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val firstWeek = clean.groupBy(userCol)
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    clean.filter(purchaseType && col(valueCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(valueCol))
+      .join(firstWeek, userCol)
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", col(tsCol)).cast("date"),
+          col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("value_total"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /**
    * ORDER COLLISION census — groups of orders sharing the SAME day and
    * the SAME exact amount but placed by DIFFERENT customers, rolled up
    * by collision size: the shared-identity / split-account / generated-

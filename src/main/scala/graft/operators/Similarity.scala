@@ -787,6 +787,38 @@ object Similarity {
   }
 
   /**
+   * DIVERSITY-CONSTRAINED top-k — exact cosine ranking with AT MOST
+   * `perGroup` results per label: the result-diversification contract
+   * every retrieval surface ships ("don't fill the page with one
+   * cluster") in its deterministic quota form — rank within label,
+   * keep ranks ≤ perGroup, then global top-k. Greedy MMR re-scoring is
+   * order-dependent and float-fragile; the quota form is the
+   * oracle-checkable spelling of the same product requirement.
+   *
+   * Scale shape: one broadcast query pass for scores; the per-label
+   * rank is a label-partitioned window (per-key bounded); the final
+   * top-k plans as TakeOrderedAndProject. `WindowGroupLimit` pushes the
+   * quota below the exchange.
+   */
+  def diverseTopK(embeddings: DataFrame, query: DataFrame, labelCol: String,
+      k: Int, perGroup: Int): DataFrame = {
+    require(k >= 1 && perGroup >= 1, "positive k and perGroup required")
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings.filter(col(labelCol).isNotNull)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col(labelCol).as("label"),
+        round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+    val byLabel = Window.partitionBy("label")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("__r", row_number().over(byLabel))
+      .filter(col("__r") <= perGroup)
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /**
    * EMBEDDING OUTLIER audit — the top vectors by how many dimensions sit
    * more than 3σ from that dimension's corpus mean: the "is this vector
    * corrupt / from another model / adversarial" triage list. Entirely

@@ -2534,6 +2534,20 @@ object Extensions {
       .orderBy("method")
   }
 
+  /** x280 — diversity-constrained top-k ([[Similarity.diverseTopK]]):
+    * exact cosine top-10 with at most 2 results per label — the
+    * result-diversification quota every retrieval surface ships. */
+  private val x280: Q = (spark, sfDir) =>
+    Similarity.diverseTopK(emb(spark, sfDir), queryVec(spark, sfDir),
+      "label", k = 10, perGroup = 2)
+
+  /** x281 — cohort value curve ([[Analytics.cohortValueCurve]]): x65's
+    * retention triangle with money in the cells — the LTV accumulation
+    * read user counts can't answer. */
+  private val x281: Q = (spark, sfDir) =>
+    Analytics.cohortValueCurve(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "value", col("event_type") === "purchase")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3244,7 +3258,9 @@ object Extensions {
     "x276_child_numbering_audit" -> x276,
     "x277_order_collision_census" -> x277,
     "x278_checkpoint_restart" -> x278,
-    "x279_ann_fusion_eval" -> x279)
+    "x279_ann_fusion_eval" -> x279,
+    "x280_diverse_topk" -> x280,
+    "x281_cohort_value_curve" -> x281)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6475,6 +6491,31 @@ object Extensions {
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m_fus JOIN truth USING (vec_id))
          |   * 1000000 // 10)
          |ORDER BY method""".stripMargin.replace("\n", " ")),
+    "x280_diverse_topk" ->
+      (s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, label, ROUND($cosSql, 6) AS sim
+         |  FROM embeddings, qv WHERE label IS NOT NULL),
+         |r AS (SELECT vec_id, label, sim FROM s
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+         |    ORDER BY sim DESC, vec_id) <= 2)
+         |SELECT vec_id, label, sim FROM r
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")),
+    "x281_cohort_value_curve" ->
+      ("""WITH e AS (SELECT user_id, ts, event_type, value FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |fw AS (SELECT user_id,
+         |  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         | FROM e GROUP BY user_id),
+         |p AS (SELECT e.user_id, e.ts, e.value, f.cohort_week
+         |  FROM e JOIN fw f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL)
+         |SELECT cohort_week,
+         | CAST(date_diff('day', cohort_week,
+         |   CAST(date_trunc('week', ts) AS DATE)) // 7 AS INT) AS week_offset,
+         | CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+         |FROM p GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1083,6 +1083,24 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("cohortValueCurve: purchase value lands in the buyer's cohort-week offset cell") {
+    val events = Seq(
+      // u1 first active week of Jan 1 (browse); buys in week 0 and week 2
+      (1L, ts("2024-01-02 10:00:00"), "browse", 0.0),
+      (1L, ts("2024-01-03 10:00:00"), "purchase", 10.5),
+      (1L, ts("2024-01-16 10:00:00"), "purchase", 4.5),
+      // u2 same cohort week, never buys
+      (2L, ts("2024-01-04 10:00:00"), "browse", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val r = Analytics.cohortValueCurve(events, "user_id", "ts", "value",
+      col("event_type") === "purchase").collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map(
+      ("2024-01-01", 0) -> ((1L, 10.5)),
+      ("2024-01-01", 2) -> ((1L, 4.5))))
+  }
+
   test("orderCollisionCensus: same-customer repeats don't collide; cross-customer ones do") {
     val orders = Seq(
       // 3 different customers, same day+amount -> group of 3

@@ -444,6 +444,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert((r.getLong(3), r.getLong(4)) == ((3L, 1000000L))) // all cells probed
   }
 
+  test("diverseTopK: the label quota forces a weaker cross-label result in") {
+    // three near-perfect label-0 vectors, one mediocre label-1: with
+    // perGroup=2 the third label-0 vector is displaced by the label-1 one
+    val emb = Seq(
+      (1L, 0L, Array(1f, 0f, 0f)),
+      (2L, 0L, Array(1f, 0.01f, 0f)),
+      (3L, 0L, Array(1f, 0.02f, 0f)),
+      (4L, 1L, Array(0.5f, 0.5f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val q = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("qe")
+    val ids = Similarity.diverseTopK(emb, q, "label", k = 3, perGroup = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L)) // 3 capped out by the label-0 quota
+  }
+
   test("embeddingOutlierAudit: only the planted far-out vector is flagged") {
     // dim 1: 100 zeros and one 100 — the outlier's z is ~10, well past 3
     // sigma (n must be large: among n points the max z is at most sqrt(n-1),
