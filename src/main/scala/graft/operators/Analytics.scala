@@ -2606,6 +2606,50 @@ object Analytics {
   }
 
   /**
+   * SPEND TRAJECTORY census — customers classified rising / flat /
+   * falling by the SIGN of their own OLS slope over (order index, order
+   * cents), rolled into a census with each class's order volume. The
+   * sign needs only the slope NUMERATOR `n·Σxy − Σx·Σy` — exact
+   * integers, zero divisions (x131 computes full slopes; the census
+   * question is cheaper and the sign is division-free by construction).
+   * Order index = rank of the order day within the customer (per-key
+   * bounded window), so calendars with gaps don't tilt the fit.
+   *
+   * Scale shape: one customer-partitioned rank window (per-key
+   * bounded), one customer-keyed moment collapse, one ≤3-row census.
+   * Moments ride DECIMAL(38,0).
+   */
+  def spendTrajectoryCensus(orders: DataFrame, custCol: String, tsCol: String,
+      amountCents: Column, minOrders: Int = 3): DataFrame = {
+    require(minOrders >= 2, s"minOrders $minOrders must be >= 2")
+    val byCust = Window.partitionBy(custCol)
+      .orderBy(col(tsCol), col("__c"))
+    val seq0 = orders.filter(col(custCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(custCol), col(tsCol), amountCents.cast("long").as("__c"))
+      .filter(col("__c").isNotNull)
+      .withColumn("__x", row_number().over(byCust).cast("long"))
+    val moments = seq0.groupBy(col(custCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__c").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__c")).as("__sxy"))
+      .filter(col("__n") >= minOrders)
+      .withColumn("__num",
+        expr("CAST(__n AS DECIMAL(38,0)) * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy"))
+      .withColumn("trajectory",
+        when(col("__num") > 0, "1_rising")
+          .when(col("__num") < 0, "2_falling")
+          .otherwise("3_flat"))
+    val tot = moments.agg(count(lit(1)).as("__t"))
+    moments.groupBy("trajectory")
+      .agg(count(lit(1)).as("n_customers"), sum(col("__n")).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("trajectory"), col("n_customers"), col("n_orders"),
+        expr("n_customers * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("trajectory")
+  }
+
+  /**
    * ORDER COLLISION census — groups of orders sharing the SAME day and
    * the SAME exact amount but placed by DIFFERENT customers, rolled up
    * by collision size: the shared-identity / split-account / generated-

@@ -464,6 +464,42 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /**
+   * BOILERPLATE MASS per source — the share of a source's line-chunks
+   * (and of its tokens) sitting in chunks that repeat across `minDocs`+
+   * documents: headers, footers, nav bars, license blocks. [[lineDedup]]
+   * answers it per document; this is the SOURCE procurement view — "is
+   * this feed 5 % boilerplate or 60 %?" — which decides whether the
+   * source gets line-filtered or dropped wholesale.
+   *
+   * Scale shape: the chunk stream is map-side ([[TextAnalysis.chunkDocs]]'s
+   * md5 keys), document frequency is one chunk-keyed collapse joined
+   * back by the 32-byte hash, and the report is |sources| rows.
+   */
+  def boilerplateMass(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, lineTokens: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
+    // chunkDocs canonicalizes the id column to "doc_id"
+    val chunks = TextAnalysis.chunkDocs(
+        docs.filter(col(sourceCol).isNotNull), idCol, textCol,
+        window = lineTokens, stride = lineTokens)
+      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        "doc_id")
+    val docFreq = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    chunks.join(docFreq, "chunk_md5")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("bp_chunks"),
+        sum(when(col("__df") >= minDocs, col("n_tokens").cast("long"))
+          .otherwise(0L)).as("bp_tokens"))
+      .select(col("source"), col("n_chunks"), col("bp_chunks"),
+        expr("bp_chunks * 1000000 DIV n_chunks").as("bp_chunk_ppm"),
+        expr("bp_tokens * 1000000 DIV n_tokens").as("bp_token_ppm"))
+      .orderBy("source")
+  }
+
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))

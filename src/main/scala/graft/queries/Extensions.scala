@@ -2548,6 +2548,20 @@ object Extensions {
     Analytics.cohortValueCurve(Tables(spark, sfDir, "events"),
       "user_id", "ts", "value", col("event_type") === "purchase")
 
+  /** x282 — boilerplate mass ([[Dedup.boilerplateMass]]): share of each
+    * source's line-chunks (and tokens) repeating across 3+ docs — the
+    * filter-or-drop procurement view of x54's per-doc line dedup. */
+  private val x282: Q = (spark, sfDir) =>
+    Dedup.boilerplateMass(docs(spark, sfDir), "doc_id", "text", "source")
+
+  /** x283 — spend trajectory census ([[Analytics.spendTrajectoryCensus]]):
+    * customers rising/falling/flat by the SIGN of their own OLS slope —
+    * division-free, exact. */
+  private val x283: Q = (spark, sfDir) =>
+    Analytics.spendTrajectoryCensus(Tables(spark, sfDir, "orders"),
+      "o_custkey", "o_orderdate",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3260,7 +3274,9 @@ object Extensions {
     "x278_checkpoint_restart" -> x278,
     "x279_ann_fusion_eval" -> x279,
     "x280_diverse_topk" -> x280,
-    "x281_cohort_value_curve" -> x281)
+    "x281_cohort_value_curve" -> x281,
+    "x282_boilerplate_mass" -> x282,
+    "x283_spend_trajectory" -> x283)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6515,6 +6531,47 @@ object Extensions {
          | CAST(COUNT(*) AS BIGINT) AS n_purchases,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
          |FROM p GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+        .stripMargin.replace("\n", " ")),
+    "x282_boilerplate_mass" ->
+      ("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |  FROM documents WHERE source IS NOT NULL),
+         |s AS (SELECT doc_id, source,
+         |  unnest(range(0, len(ws), 10)) AS st, ws FROM w),
+         |ch AS (SELECT doc_id, source,
+         |  md5(array_to_string(ws[st+1 : st+10], ' ')) AS h,
+         |  len(ws[st+1 : st+10]) AS n_tokens FROM s),
+         |df AS (SELECT h, COUNT(DISTINCT doc_id) AS d FROM ch GROUP BY h)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         | CAST(SUM(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS bp_chunks,
+         | CAST(SUM(CASE WHEN d >= 3 THEN 1 ELSE 0 END) * 1000000
+         |   // COUNT(*) AS BIGINT) AS bp_chunk_ppm,
+         | CAST(SUM(CASE WHEN d >= 3 THEN n_tokens ELSE 0 END) * 1000000
+         |   // SUM(n_tokens) AS BIGINT) AS bp_token_ppm
+         |FROM ch JOIN df USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x283_spend_trajectory" ->
+      ("""WITH o AS (SELECT o_custkey AS c, o_orderdate AS d,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         |r AS (SELECT c, v, CAST(ROW_NUMBER() OVER
+         |  (PARTITION BY c ORDER BY d, v) AS BIGINT) AS x FROM o),
+         |m AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sx,
+         |  CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sy,
+         |  CAST(SUM(CAST(x AS HUGEINT) * v) AS HUGEINT) AS sxy
+         | FROM r GROUP BY 1 HAVING COUNT(*) >= 3),
+         |k AS (SELECT CASE
+         |   WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0
+         |     THEN '1_rising'
+         |   WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0
+         |     THEN '2_falling'
+         |   ELSE '3_flat' END AS trajectory, n FROM m),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM m)
+         |SELECT trajectory, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(n) AS BIGINT) AS n_orders,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM k, t GROUP BY trajectory, tt ORDER BY trajectory"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -1083,6 +1083,27 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("spendTrajectoryCensus: slope sign classifies; short histories excluded") {
+    val orders = Seq(
+      // rising: 100, 200, 300
+      (1L, "2024-01-01", 100L), (1L, "2024-01-02", 200L), (1L, "2024-01-03", 300L),
+      // falling: 300, 200, 100
+      (2L, "2024-01-01", 300L), (2L, "2024-01-02", 200L), (2L, "2024-01-03", 100L),
+      // flat: 150 x3
+      (3L, "2024-01-01", 150L), (3L, "2024-01-02", 150L), (3L, "2024-01-03", 150L),
+      // only two orders: excluded
+      (4L, "2024-01-01", 1L), (4L, "2024-01-02", 2L)
+    ).map { case (c, d, v) => (c, ts(s"$d 00:00:00"), v) }
+      .toDF("cust", "ts", "cents")
+    val r = Analytics.spendTrajectoryCensus(orders, "cust", "ts", col("cents"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      "1_rising" -> ((1L, 3L, 333333L)),
+      "2_falling" -> ((1L, 3L, 333333L)),
+      "3_flat" -> ((1L, 3L, 333333L))))
+  }
+
   test("cohortValueCurve: purchase value lands in the buyer's cohort-week offset cell") {
     val events = Seq(
       // u1 first active week of Jan 1 (browse); buys in week 0 and week 2

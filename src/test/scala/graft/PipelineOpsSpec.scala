@@ -898,6 +898,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a,b" -> ((1L, 250000L))))
   }
 
+  test("boilerplateMass: a chunk repeated across 3 docs counts as boilerplate; pairs don't") {
+    import graft.operators.Dedup
+    val bp = "shared header line one two three four five six seven"  // 10 tokens
+    val docs = Seq(
+      (1L, s"$bp unique tail a b c d e f g h", "s1"),
+      (2L, s"$bp other tail a b c d e f g h2", "s1"),
+      (3L, s"$bp third tail a b c d e f g h3", "s2"),
+      (4L, "standalone content x y z q w e r t y u", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.boilerplateMass(docs, "doc_id", "text", "source",
+      lineTokens = 10, minDocs = 3).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // s1: 4 chunks (2 per doc), 2 are the shared header (df=3)
+    assert(r("s1") == ((4L, 2L)))
+    // s2: doc3 has the header, doc4 none
+    assert(r("s2") == ((4L, 1L)))
+  }
+
   test("childNumberingAudit: each violation kind classified by its root cause") {
     import graft.operators.Integrity
     val df = Seq(
