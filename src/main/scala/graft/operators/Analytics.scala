@@ -2606,6 +2606,44 @@ object Analytics {
   }
 
   /**
+   * TWO-SAMPLE KS DISTANCE — the exact Kolmogorov-Smirnov statistic
+   * between two arms' value distributions: `max_v |F_a(v) − F_b(v)|` in
+   * ppm, with the value where the gap peaks. The DISTRIBUTION-level
+   * companion to x268's mean CI — two arms can share a mean and differ
+   * wildly in shape, and KS is the standard test that sees it. Exact by
+   * cross-multiplication: `|cumA·nB − cumB·nA| · 1e6 DIV (nA·nB)` — abs
+   * BEFORE the single division, so operands stay positive.
+   *
+   * Scale shape: one (arm, value) collapse pivoted to per-value arm
+   * counts; cumulative counts ride the unpartitioned-but-VALUE-BOUNDED
+   * window (the x139/lowerMedianByValue discipline — distinct cents, not
+   * rows); the max is one aggregate row.
+   */
+  def ksDistance(df: DataFrame, arm: Column, valueCents: Column): DataFrame = {
+    val vals = df
+      .select(arm.cast("int").as("__a"), valueCents.cast("long").as("__v"))
+      .filter(col("__a").isNotNull && col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(sum(when(col("__a") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a") === 1, 1L).otherwise(0L)).as("__cb"))
+    val byV = Window.orderBy("__v")
+    val tot = vals.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val gaps = vals
+      .withColumn("__cuma", sum(col("__ca")).over(byV))
+      .withColumn("__cumb", sum(col("__cb")).over(byV))
+      .crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        expr("""CAST(abs(CAST(__cuma AS DECIMAL(38,0)) * __nb
+              - CAST(__cumb AS DECIMAL(38,0)) * __na) * 1000000
+              DIV (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"""))
+    gaps.agg(max(col("__na")).as("n_control"),
+        max(col("__nb")).as("n_treatment"),
+        max(struct(col("__gap").as("g"), (-col("__v")).as("nv"))).as("__best"))
+      .select(col("n_control"), col("n_treatment"),
+        col("__best.g").as("ks_ppm"), (-col("__best.nv")).as("ks_at_value"))
+  }
+
+  /**
    * SPEND TRAJECTORY census — customers classified rising / flat /
    * falling by the SIGN of their own OLS slope over (order index, order
    * cents), rolled into a census with each class's order volume. The

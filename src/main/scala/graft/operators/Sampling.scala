@@ -453,6 +453,48 @@ object Sampling {
         col("orphan_child_keys"))
   }
 
+  /**
+   * NEYMAN ALLOCATION plan — split a sampling budget across strata
+   * ∝ Nh·σh (the allocation minimizing the estimator's variance;
+   * Neyman 1934), with the fractional seats settled by the largest-
+   * remainder rule ([[largestRemainderAllocation]]'s conservation
+   * guarantee: allocations sum to EXACTLY the budget). The weight is
+   * `floor(sqrt(Nh·Σv² − (Σv)²))` = floor(Nh·σh·√Nh·…) up to the common
+   * constant that cancels in the shares — the one square root is a
+   * single deterministic IEEE-double op both engines evaluate
+   * identically (the ROUND precedent), everything else is exact
+   * integers on DECIMAL(38,0).
+   *
+   * Scale shape: one stratum-keyed moment collapse; the seat-settling
+   * windows run over the |strata|-bounded frame. Output |strata| rows.
+   */
+  def neymanAllocationPlan(df: DataFrame, stratumCol: String,
+      valueCents: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget $budget must be non-negative")
+    val m = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol), valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s1"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__s2"))
+      .withColumn("weight", expr(
+        """CAST(FLOOR(SQRT(CAST(CAST(n_rows AS DECIMAL(38,0)) * __s2
+           - __s1 * __s1 AS DOUBLE))) AS BIGINT)"""))
+    val all = Window.partitionBy(lit(1))
+    m.withColumn("__W", sum(col("weight")).over(all))
+      .withColumn("__base",
+        expr(s"CAST(CAST(weight AS DECIMAL(38,0)) * $budget DIV __W AS BIGINT)"))
+      .withColumn("__slots", lit(budget) - sum(col("__base")).over(all))
+      .withColumn("__pri", row_number().over(Window.orderBy(
+        expr(s"CAST(weight AS DECIMAL(38,0)) * $budget % __W").desc,
+        col(stratumCol))).cast("long"))
+      .select(col(stratumCol), col("n_rows"), col("weight"),
+        (col("__base") + when(col("__pri") <= col("__slots"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(stratumCol)
+  }
+
   /** Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash range:
     * a draw `h < thresholds(k)` has multiplicity k. Computed once here
     * and interpolated VERBATIM into both the Spark expression and the

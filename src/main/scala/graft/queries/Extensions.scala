@@ -2562,6 +2562,26 @@ object Extensions {
       "o_custkey", "o_orderdate",
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
 
+  /** x284 — two-sample KS distance ([[Analytics.ksDistance]]): exact
+    * max CDF gap between the parity arms' order values — the
+    * distribution-level companion to x268's mean CI. */
+  private val x284: Q = (spark, sfDir) =>
+    Analytics.ksDistance(Tables(spark, sfDir, "orders"),
+      pmod(col("o_custkey"), lit(2)),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
+  /** x285 — Neyman allocation plan ([[Sampling.neymanAllocationPlan]]):
+    * sampling budget split ∝ Nh·σh with largest-remainder conservation
+    * — the variance-optimal stratified design. */
+  private val x285: Q = (spark, sfDir) =>
+    Sampling.neymanAllocationPlan(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+      "c_mktsegment",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      budget = 1000L)
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3276,7 +3296,9 @@ object Extensions {
     "x280_diverse_topk" -> x280,
     "x281_cohort_value_curve" -> x281,
     "x282_boilerplate_mass" -> x282,
-    "x283_spend_trajectory" -> x283)
+    "x283_spend_trajectory" -> x283,
+    "x284_ks_distance" -> x284,
+    "x285_neyman_allocation" -> x285)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6573,6 +6595,53 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM k, t GROUP BY trajectory, tt ORDER BY trajectory"""
         .stripMargin.replace("\n", " ")),
+    "x284_ks_distance" ->
+      ("""WITH v AS (SELECT o_custkey % 2 AS a,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL),
+         |g AS (SELECT v, CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS ca,
+         |  CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         | FROM v GROUP BY 1),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         |  CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+         |c AS (SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         |  CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM g),
+         |gp AS (SELECT v, CAST(abs(CAST(cuma AS HUGEINT) * nb
+         |    - CAST(cumb AS HUGEINT) * na) * 1000000
+         |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS gap
+         |  FROM c, t),
+         |mx AS (SELECT MAX(gap) AS ks FROM gp)
+         |SELECT t.na AS n_control, t.nb AS n_treatment,
+         | CAST(mx.ks AS BIGINT) AS ks_ppm,
+         | (SELECT CAST(MIN(v) AS BIGINT) FROM gp, mx WHERE gap = mx.ks)
+         |   AS ks_at_value
+         |FROM t, mx""".stripMargin.replace("\n", " ")),
+    "x285_neyman_allocation" ->
+      ("""WITH s AS (SELECT c_mktsegment,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL),
+         |m AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+         |  CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+         | FROM s GROUP BY 1),
+         |w AS (SELECT c_mktsegment, n_rows,
+         |  CAST(FLOOR(SQRT(CAST(CAST(n_rows AS HUGEINT) * s2 - s1 * s1
+         |    AS DOUBLE))) AS BIGINT) AS weight FROM m),
+         |tt AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+         |b AS (SELECT c_mktsegment, n_rows, weight,
+         |  CAST(CAST(weight AS HUGEINT) * 1000 // tw AS BIGINT) AS base,
+         |  CAST(CAST(weight AS HUGEINT) * 1000 % tw AS BIGINT) AS rem
+         | FROM w, tt),
+         |sl AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS slots FROM b),
+         |p AS (SELECT b.*, CAST(ROW_NUMBER() OVER
+         |  (ORDER BY rem DESC, c_mktsegment) AS BIGINT) AS pri FROM b)
+         |SELECT c_mktsegment, n_rows, weight,
+         | CAST(base + CASE WHEN pri <= slots THEN 1 ELSE 0 END AS BIGINT)
+         |   AS alloc
+         |FROM p, sl ORDER BY c_mktsegment""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

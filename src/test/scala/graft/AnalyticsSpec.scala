@@ -1083,6 +1083,36 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("ksDistance: disjoint supports give KS 1e6 at the smaller arm's top value") {
+    // arm 0 all values <= 10, arm 1 all values > 10: F gap hits 1 at v=10
+    val df = Seq((0, 5L), (0, 10L), (1, 20L), (1, 30L)).toDF("a", "v")
+    val r = Analytics.ksDistance(df, col("a"), col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 1000000L, 10L)))
+  }
+
+  test("ksDistance: identical distributions score zero") {
+    val df = Seq((0, 5L), (0, 9L), (1, 5L), (1, 9L)).toDF("a", "v")
+    val r = Analytics.ksDistance(df, col("a"), col("v")).collect().head
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("neymanAllocationPlan: zero-variance strata get nothing; allocations conserve the budget") {
+    import graft.operators.Sampling
+    val df = Seq(
+      // stratum A: constant values -> sigma 0 -> weight 0
+      ("A", 100L), ("A", 100L), ("A", 100L),
+      // stratum B: spread values -> positive weight takes the whole budget
+      ("B", 0L), ("B", 200L), ("B", 400L)
+    ).toDF("s", "v")
+    val r = Sampling.neymanAllocationPlan(df, "s", col("v"), budget = 10L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("A")._1 == 0L && r("A")._2 == 0L)
+    assert(r("B")._2 == 10L)
+    assert(r.values.map(_._2).sum == 10L)
+  }
+
   test("spendTrajectoryCensus: slope sign classifies; short histories excluded") {
     val orders = Seq(
       // rising: 100, 200, 300
