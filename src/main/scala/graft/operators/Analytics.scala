@@ -2615,9 +2615,11 @@ object Analytics {
    * BEFORE the single division, so operands stay positive.
    *
    * Scale shape: one (arm, value) collapse pivoted to per-value arm
-   * counts; cumulative counts ride the unpartitioned-but-VALUE-BOUNDED
-   * window (the x139/lowerMedianByValue discipline — distinct cents, not
-   * rows); the max is one aggregate row.
+   * counts; the cumulative counts ride the TWO-PHASE range-partitioned
+   * prefix sum ([[peakConcurrency]]'s shape) — cent-precision values
+   * collapse barely below the row count, so a bare value-ordered window
+   * would be the single-task funnel this inventory bans; the max is one
+   * aggregate row.
    */
   def ksDistance(df: DataFrame, arm: Column, valueCents: Column): DataFrame = {
     val vals = df
@@ -2626,11 +2628,23 @@ object Analytics {
       .groupBy("__v")
       .agg(sum(when(col("__a") === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a") === 1, 1L).otherwise(0L)).as("__cb"))
-    val byV = Window.orderBy("__v")
     val tot = vals.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    val gaps = vals
-      .withColumn("__cuma", sum(col("__ca")).over(byV))
-      .withColumn("__cumb", sum(col("__cb")).over(byV))
+    val parted = vals.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy("__v")
+    val local = parted
+      .withColumn("__la", sum(col("__ca")).over(w))
+      .withColumn("__lb", sum(col("__cb")).over(w))
+    val offsets = local.groupBy("__pid")
+      .agg(sum(col("__ca")).as("__pa"), sum(col("__cb")).as("__pb"))
+      .withColumn("__offa",
+        sum(col("__pa")).over(Window.orderBy("__pid")) - col("__pa"))
+      .withColumn("__offb",
+        sum(col("__pb")).over(Window.orderBy("__pid")) - col("__pb"))
+      .select(col("__pid").as("_o_pid"), col("__offa"), col("__offb"))
+    val gaps = local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
+      .withColumn("__cuma", col("__offa") + col("__la"))
+      .withColumn("__cumb", col("__offb") + col("__lb"))
       .crossJoin(broadcast(tot))
       .withColumn("__gap",
         expr("""CAST(abs(CAST(__cuma AS DECIMAL(38,0)) * __nb
