@@ -812,4 +812,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the dim-bounded global means must broadcast back:\n$p")
   }
+
+  test("x261/x284: cumulative shares/CDFs ride the range-partitioned two-phase prefix sum") {
+    for (name <- Seq("x261_abc_classification", "x284_ks_distance")) {
+      val p = plan(name)
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$name must range-exchange before the local cumulative:\n$p")
+      val cum = p.linesIterator
+        .filter(l => l.contains("windowspecdefinition") && l.contains("sum("))
+        .toSeq
+      assert(cum.exists(_.contains("windowspecdefinition(__pid")),
+        s"$name's corpus-sized cumulative must be pid-local:\n${cum.mkString("\n")}")
+    }
+  }
 }
