@@ -938,6 +938,46 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /**
+   * DISCRIMINATIVE TERMS — the vocabulary most over-represented in
+   * high-quality documents, scored by the add-one-smoothed document-
+   * frequency odds ratio `((a+1)·(N_lo+1)) DIV ((b+1)·(N_hi+1))` in
+   * milli units: the curation miner that turns a scalar quality score
+   * into an INSPECTABLE vocabulary ("docs scoring high say these
+   * words"), which is how quality-classifier shortcuts and topic bias
+   * get caught before training. Smoothing is stated (+1 on every
+   * factor); all arithmetic is positive integers, single division.
+   *
+   * Scale shape: one (doc, term) distinct collapse carrying the class
+   * flag; per-term class frequencies are one vocabulary-bounded
+   * aggregate; class totals broadcast as one row; top-k plans as
+   * TakeOrderedAndProject.
+   */
+  def discriminativeTerms(docs: DataFrame, idCol: String, textCol: String,
+      isHigh: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val flagged = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        when(isHigh, 1L).otherwise(0L).as("__hi"))
+    val totals = flagged.agg(sum(col("__hi")).as("__nh"),
+      sum(lit(1L) - col("__hi")).as("__nl"))
+    val termDf = flagged
+      .select(col(idCol), col("__hi"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .groupBy("term")
+      .agg(sum(col("__hi")).as("df_high"),
+        sum(lit(1L) - col("__hi")).as("df_low"))
+    termDf.crossJoin(broadcast(totals))
+      .select(col("term"), col("df_high"), col("df_low"),
+        expr("""CAST(CAST(df_high + 1 AS DECIMAL(38,0)) * (__nl + 1) * 1000
+              DIV (CAST(df_low + 1 AS DECIMAL(38,0)) * (__nh + 1)) AS BIGINT)""")
+          .as("odds_milli"))
+      .orderBy(col("odds_milli").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -2582,6 +2582,13 @@ object Extensions {
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
       budget = 1000L)
 
+  /** x286 — discriminative terms ([[TextAnalysis.discriminativeTerms]]):
+    * vocabulary most over-represented in high-quality docs by smoothed
+    * df odds ratio — the inspectable face of a scalar quality score. */
+  private val x286: Q = (spark, sfDir) =>
+    TextAnalysis.discriminativeTerms(docs(spark, sfDir), "doc_id", "text",
+      TextAnalysis.qualityScore(col("text")) >= 0.5)
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3298,7 +3305,8 @@ object Extensions {
     "x282_boilerplate_mass" -> x282,
     "x283_spend_trajectory" -> x283,
     "x284_ks_distance" -> x284,
-    "x285_neyman_allocation" -> x285)
+    "x285_neyman_allocation" -> x285,
+    "x286_discriminative_terms" -> x286)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6642,6 +6650,25 @@ object Extensions {
          | CAST(base + CASE WHEN pri <= slots THEN 1 ELSE 0 END AS BIGINT)
          |   AS alloc
          |FROM p, sl ORDER BY c_mktsegment""".stripMargin.replace("\n", " ")),
+    "x286_discriminative_terms" ->
+      (s"""WITH $qualityCtes,
+         |fl AS (SELECT d.doc_id, d.text,
+         |  CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END AS hi
+         | FROM documents d JOIN qscore q ON d.doc_id = q.doc_id
+         | WHERE d.text IS NOT NULL),
+         |n AS (SELECT CAST(SUM(hi) AS BIGINT) AS nh,
+         |  CAST(SUM(1 - hi) AS BIGINT) AS nl FROM fl),
+         |td AS (SELECT DISTINCT doc_id, hi, term FROM
+         |  (SELECT doc_id, hi, unnest(string_split(text, ' ')) AS term
+         |   FROM fl) t WHERE length(term) > 0),
+         |tf AS (SELECT term, CAST(SUM(hi) AS BIGINT) AS df_high,
+         |  CAST(SUM(1 - hi) AS BIGINT) AS df_low FROM td GROUP BY 1)
+         |SELECT term, df_high, df_low,
+         | CAST(CAST(df_high + 1 AS HUGEINT) * (nl + 1) * 1000
+         |   // (CAST(df_low + 1 AS HUGEINT) * (nh + 1)) AS BIGINT)
+         |   AS odds_milli
+         |FROM tf, n ORDER BY odds_milli DESC, term LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

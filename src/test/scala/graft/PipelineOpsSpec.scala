@@ -898,6 +898,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a,b" -> ((1L, 250000L))))
   }
 
+  test("discriminativeTerms: smoothed odds rank the class-exclusive term first") {
+    val docs = Seq(
+      (1L, "gold shared", true), (2L, "gold shared", true),
+      (3L, "junk shared", false), (4L, "junk shared", false)
+    ).toDF("doc_id", "text", "hi")
+    val r = TextAnalysis.discriminativeTerms(docs, "doc_id", "text",
+      col("hi"), topK = 3).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+    // gold: a=2 b=0 -> (3*3*1000)/(1*3) = 3000; shared: (3*3000)/(3*3)=1000;
+    // junk: (1*3000)/(3*3) = 333
+    assert(r.toSeq == Seq(
+      "gold" -> ((2L, 0L, 3000L)),
+      "shared" -> ((2L, 2L, 1000L)),
+      "junk" -> ((0L, 2L, 333L))))
+  }
+
   test("boilerplateMass: a chunk repeated across 3 docs counts as boilerplate; pairs don't") {
     import graft.operators.Dedup
     val bp = "shared header line one two three four five six seven"  // 10 tokens
