@@ -2606,6 +2606,38 @@ object Analytics {
   }
 
   /**
+   * LIFETIME SPAN histogram — users bucketed by the whole-day span
+   * between their first and last event (log2 bands; band −1 =
+   * single-day users): the engagement-duration distribution, anchored
+   * to each user's OWN clock where x65's retention triangle anchors to
+   * the calendar. The single-day band is the drive-by share; the tail
+   * bands are the durable base — the two numbers a "how sticky is this
+   * product really" conversation starts with.
+   *
+   * Scale shape: one user-keyed (min, max) collapse, then a ≤16-row
+   * band rollup. Exact bit-length bands, never a float log.
+   */
+  def lifetimeSpanHistogram(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val per = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol))))
+        .cast("long").as("__span"))
+    val tot = per.agg(count(lit(1)).as("__u"))
+    per
+      .withColumn("span_band",
+        when(col("__span") === 0, lit(-1))
+          .otherwise(length(bin(col("__span"))) - 1).cast("int"))
+      .groupBy("span_band")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("__span")).as("min_days"), max(col("__span")).as("max_days"))
+      .crossJoin(broadcast(tot))
+      .select(col("span_band"), col("n_users"), col("min_days"),
+        col("max_days"), expr("n_users * 1000000 DIV __u").as("user_share_ppm"))
+      .orderBy("span_band")
+  }
+
+  /**
    * TWO-SAMPLE KS DISTANCE — the exact Kolmogorov-Smirnov statistic
    * between two arms' value distributions: `max_v |F_a(v) − F_b(v)|` in
    * ppm, with the value where the gap peaks. The DISTRIBUTION-level

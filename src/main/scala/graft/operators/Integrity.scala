@@ -516,6 +516,37 @@ object Integrity {
       .orderBy("kind")
   }
 
+  /**
+   * TIMESTAMP COLLISION census — how many events share each EXACT
+   * timestamp, rolled up by collision size: the ingest-forensics read
+   * that separates genuinely event-timed data (collisions ≈ birthday-
+   * bound) from batch-stamped data (every row in a load shares the
+   * writer's clock) and from truncated precision (collisions step up
+   * exactly at the second/minute boundary). A timestamp column that
+   * LOOKS event-time but is batch-stamped silently breaks every
+   * watermark, session, and as-of join built on it — this census is the
+   * two-aggregate check that catches it first.
+   *
+   * Scale shape: one ts-keyed collapse, one ≤64-row size rollup (size
+   * bands are log2 — a million-row collision lands in band 20, not a
+   * million output rows).
+   */
+  def timestampCollisionCensus(df: DataFrame, tsCol: String): DataFrame = {
+    val per = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(tsCol)).agg(count(lit(1)).as("__n"))
+    val tot = per.agg(sum(col("__n")).as("__rows"))
+    per
+      .withColumn("size_band", (length(bin(col("__n"))) - 1).cast("int"))
+      .groupBy("size_band")
+      .agg(count(lit(1)).as("n_timestamps"), sum(col("__n")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("size_band"),
+        expr("shiftleft(1L, size_band)").as("band_lo"),
+        col("n_timestamps"), col("n_events"),
+        expr("n_events * 1000000 DIV __rows").as("event_share_ppm"))
+      .orderBy("size_band")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

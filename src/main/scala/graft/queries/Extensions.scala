@@ -2589,6 +2589,19 @@ object Extensions {
     TextAnalysis.discriminativeTerms(docs(spark, sfDir), "doc_id", "text",
       TextAnalysis.qualityScore(col("text")) >= 0.5)
 
+  /** x287 — timestamp collision census ([[Integrity.timestampCollisionCensus]]):
+    * events per exact ts in log2 size bands — the event-time vs
+    * batch-stamp forensics every watermark depends on. */
+  private val x287: Q = (spark, sfDir) =>
+    Integrity.timestampCollisionCensus(Tables(spark, sfDir, "events"), "ts")
+
+  /** x288 — lifetime span histogram ([[Analytics.lifetimeSpanHistogram]]):
+    * users by first→last event span in log2 day bands — drive-by share
+    * vs durable base, anchored to each user's own clock. */
+  private val x288: Q = (spark, sfDir) =>
+    Analytics.lifetimeSpanHistogram(Tables(spark, sfDir, "events"),
+      "user_id", "ts")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3306,7 +3319,9 @@ object Extensions {
     "x283_spend_trajectory" -> x283,
     "x284_ks_distance" -> x284,
     "x285_neyman_allocation" -> x285,
-    "x286_discriminative_terms" -> x286)
+    "x286_discriminative_terms" -> x286,
+    "x287_ts_collision_census" -> x287,
+    "x288_lifetime_span_histogram" -> x288)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6668,6 +6683,36 @@ object Extensions {
          |   // (CAST(df_low + 1 AS HUGEINT) * (nh + 1)) AS BIGINT)
          |   AS odds_milli
          |FROM tf, n ORDER BY odds_milli DESC, term LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x287_ts_collision_census" ->
+      ("""WITH per AS (SELECT ts, CAST(COUNT(*) AS BIGINT) AS n FROM events
+         |  WHERE ts IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS rows_total FROM per),
+         |b AS (SELECT CAST(length(format('{:b}', n)) - 1 AS INT) AS size_band,
+         |  n FROM per)
+         |SELECT size_band,
+         | CAST(CAST(1 AS BIGINT) << size_band AS BIGINT) AS band_lo,
+         | CAST(COUNT(*) AS BIGINT) AS n_timestamps,
+         | CAST(SUM(n) AS BIGINT) AS n_events,
+         | CAST(SUM(n) * 1000000 // rows_total AS BIGINT) AS event_share_ppm
+         |FROM b, t GROUP BY size_band, rows_total ORDER BY size_band"""
+        .stripMargin.replace("\n", " ")),
+    "x288_lifetime_span_histogram" ->
+      ("""WITH per AS (SELECT user_id,
+         |  CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+         |    MAX(CAST(ts AS DATE))) AS BIGINT) AS span
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         | GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM per),
+         |b AS (SELECT CASE WHEN span = 0 THEN -1
+         |  ELSE CAST(length(format('{:b}', span)) - 1 AS INT) END AS span_band,
+         |  span FROM per)
+         |SELECT CAST(span_band AS INT) AS span_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(MIN(span) AS BIGINT) AS min_days,
+         | CAST(MAX(span) AS BIGINT) AS max_days,
+         | CAST(COUNT(*) * 1000000 // u AS BIGINT) AS user_share_ppm
+         |FROM b, t GROUP BY span_band, u ORDER BY span_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

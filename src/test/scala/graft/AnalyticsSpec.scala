@@ -1083,6 +1083,21 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("lifetimeSpanHistogram: single-day users band at -1; spans band by bit length") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 18:00:00")), // span 0
+      (2L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-04 09:00:00")), // span 3 -> band 1
+      (3L, ts("2024-01-01 09:00:00")), (3L, ts("2024-01-09 09:00:00"))  // span 8 -> band 3
+    ).toDF("user_id", "ts")
+    val r = Analytics.lifetimeSpanHistogram(events, "user_id", "ts")
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      -1 -> ((1L, 0L, 0L, 333333L)),
+      1 -> ((1L, 3L, 3L, 333333L)),
+      3 -> ((1L, 8L, 8L, 333333L))))
+  }
+
   test("ksDistance: disjoint supports give KS 1e6 at the smaller arm's top value") {
     // arm 0 all values <= 10, arm 1 all values > 10: F gap hits 1 at v=10
     val df = Seq((0, 5L), (0, 10L), (1, 20L), (1, 30L)).toDF("a", "v")

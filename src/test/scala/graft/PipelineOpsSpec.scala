@@ -932,6 +932,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("s2") == ((4L, 1L)))
   }
 
+  test("timestampCollisionCensus: collision sizes land in log2 bands") {
+    import graft.operators.Integrity
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:00:02")
+    // t0 appears once (band 0), t1 twice (band 1), t2 four times (band 2)
+    val df = (Seq(t0) ++ Seq.fill(2)(t1) ++ Seq.fill(4)(t2))
+      .map(Tuple1(_)).toDF("ts")
+    val r = Integrity.timestampCollisionCensus(df, "ts").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r == Map(
+      0 -> ((1L, 1L, 142857L)),
+      1 -> ((1L, 2L, 285714L)),
+      2 -> ((1L, 4L, 571428L))))
+  }
+
   test("childNumberingAudit: each violation kind classified by its root cause") {
     import graft.operators.Integrity
     val df = Seq(
