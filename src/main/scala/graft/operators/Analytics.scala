@@ -2637,6 +2637,58 @@ object Analytics {
       .orderBy("span_band")
   }
 
+  /** Two-phase cumulative counts over (value, count) rows — the x284/
+    * peakConcurrency shape factored out: range-exchange on value,
+    * pid-local running sums, exclusive prefix of per-partition totals.
+    * Returns (__v, __cum) plus the passthrough count column. */
+  private def cumByValue(vals: DataFrame): DataFrame = {
+    val parted = vals.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy("__v")
+    val local = parted.withColumn("__l", sum(col("__c")).over(w))
+    val offsets = local.groupBy("__pid").agg(sum(col("__c")).as("__p"))
+      .withColumn("__off",
+        sum(col("__p")).over(Window.orderBy("__pid")) - col("__p"))
+      .select(col("__pid").as("_o_pid"), col("__off"))
+    local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
+      .select(col("__v"), col("__c"), (col("__off") + col("__l")).as("__cum"))
+  }
+
+  /**
+   * QQ DECILE table — the exact d1…d9 decile values of BOTH arms side by
+   * side with their gaps in cents: the whole-curve companion to x284's
+   * single KS number ("treatment lifts the median but compresses the
+   * top decile" is invisible to both a mean and a max-gap). Decile d =
+   * `min{v : 10·cum(v) ≥ d·n}` — the rank-exact lower quantile (the
+   * x139 identity at every tenth), no interpolation, defined for any
+   * ordered type. Gaps are subtractions, never divisions.
+   *
+   * Scale shape: per arm, one value collapse + the [[cumByValue]]
+   * two-phase prefix; the decile extraction is a constant 9× map-side
+   * fan-out filtered and collapsed to 9 rows per arm. Never a
+   * single-task value sort.
+   */
+  def qqDecileTable(df: DataFrame, arm: Column, valueCents: Column): DataFrame = {
+    val base = df
+      .select(arm.cast("int").as("__a"), valueCents.cast("long").as("__v"))
+      .filter(col("__a").isNotNull && col("__v").isNotNull)
+    def deciles(a: Int, outCol: String): DataFrame = {
+      val vals = base.filter(col("__a") === a)
+        .groupBy("__v").agg(count(lit(1)).as("__c"))
+      val n = vals.agg(sum(col("__c")).as("__n"))
+      cumByValue(vals)
+        .crossJoin(broadcast(n))
+        .select(col("__v"), col("__cum"), col("__n"),
+          explode(expr("sequence(1, 9)")).as("decile"))
+        .filter(col("__cum") * 10 >= col("decile") * col("__n"))
+        .groupBy("decile").agg(min(col("__v")).as(outCol))
+    }
+    deciles(0, "v_control").join(deciles(1, "v_treatment"), "decile")
+      .select(col("decile"), col("v_control"), col("v_treatment"),
+        (col("v_treatment") - col("v_control")).as("gap_cents"))
+      .orderBy("decile")
+  }
+
   /**
    * TWO-SAMPLE KS DISTANCE — the exact Kolmogorov-Smirnov statistic
    * between two arms' value distributions: `max_v |F_a(v) − F_b(v)|` in

@@ -2602,6 +2602,14 @@ object Extensions {
     Analytics.lifetimeSpanHistogram(Tables(spark, sfDir, "events"),
       "user_id", "ts")
 
+  /** x289 — QQ decile table ([[Analytics.qqDecileTable]]): both arms'
+    * exact d1..d9 values side by side — the whole-curve companion to
+    * x284's single KS number. */
+  private val x289: Q = (spark, sfDir) =>
+    Analytics.qqDecileTable(Tables(spark, sfDir, "orders"),
+      pmod(col("o_custkey"), lit(2)),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3321,7 +3329,8 @@ object Extensions {
     "x285_neyman_allocation" -> x285,
     "x286_discriminative_terms" -> x286,
     "x287_ts_collision_census" -> x287,
-    "x288_lifetime_span_histogram" -> x288)
+    "x288_lifetime_span_histogram" -> x288,
+    "x289_qq_decile_table" -> x289)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6714,6 +6723,26 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // u AS BIGINT) AS user_share_ppm
          |FROM b, t GROUP BY span_band, u ORDER BY span_band"""
         .stripMargin.replace("\n", " ")),
+    "x289_qq_decile_table" ->
+      ("""WITH v AS (SELECT o_custkey % 2 AS a,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL),
+         |g AS (SELECT a, v, CAST(COUNT(*) AS BIGINT) AS c FROM v
+         |  GROUP BY 1, 2),
+         |cc AS (SELECT a, v, CAST(SUM(c) OVER
+         |   (PARTITION BY a ORDER BY v) AS BIGINT) AS cum FROM g),
+         |n AS (SELECT a, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+         |d AS (SELECT cc.a, dd.d AS decile, MIN(cc.v) AS dv
+         |  FROM cc JOIN n USING (a),
+         |   (SELECT unnest(range(1, 10)) AS d) dd
+         |  WHERE cc.cum * 10 >= dd.d * n.n GROUP BY 1, 2)
+         |SELECT c.decile AS decile, CAST(c.dv AS BIGINT) AS v_control,
+         | CAST(t.dv AS BIGINT) AS v_treatment,
+         | CAST(t.dv - c.dv AS BIGINT) AS gap_cents
+         |FROM (SELECT * FROM d WHERE a = 0) c
+         | JOIN (SELECT * FROM d WHERE a = 1) t USING (decile)
+         |ORDER BY decile""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

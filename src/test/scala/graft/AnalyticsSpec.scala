@@ -1098,6 +1098,19 @@ class AnalyticsSpec extends AnyFunSuite {
       3 -> ((1L, 8L, 8L, 333333L))))
   }
 
+  test("qqDecileTable: rank-exact lower deciles per arm; gaps are plain differences") {
+    // arm 0: values 1..10 -> decile d = d; arm 1: values 11..20 -> d+10
+    val df = ((1L to 10L).map(v => (0, v)) ++ (11L to 20L).map(v => (1, v)))
+      .toDF("a", "v")
+    val r = Analytics.qqDecileTable(df, col("a"), col("v")).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r.size == 9)
+    (1 to 9).foreach { d =>
+      assert(r(d) == ((d.toLong, d + 10L, 10L)), s"decile $d: ${r(d)}")
+    }
+  }
+
   test("ksDistance: disjoint supports give KS 1e6 at the smaller arm's top value") {
     // arm 0 all values <= 10, arm 1 all values > 10: F gap hits 1 at v=10
     val df = Seq((0, 5L), (0, 10L), (1, 20L), (1, 30L)).toDF("a", "v")
