@@ -2606,6 +2606,36 @@ object Analytics {
   }
 
   /**
+   * SPLIT-SHIPMENT census — orders bucketed by how many DISTINCT ship
+   * dates their lines left on, with each bucket's mean fulfillment span
+   * in exact milli-days: the logistics fragmentation read ("what share
+   * of orders ship whole vs dribble out over a week"), and the cost
+   * driver behind per-shipment handling fees. One-date orders define
+   * the clean baseline; the span column shows whether multi-date orders
+   * split across days or weeks.
+   *
+   * Scale shape: one order-keyed collapse (distinct dates, min, max
+   * with map-side partials), then a small bucket rollup (distinct-date
+   * counts are bounded by lines per order). No windows, no joins.
+   */
+  def splitShipmentCensus(df: DataFrame, orderCol: String,
+      shipDateCol: String): DataFrame = {
+    val per = df.filter(col(orderCol).isNotNull && col(shipDateCol).isNotNull)
+      .groupBy(col(orderCol))
+      .agg(countDistinct(to_date(col(shipDateCol))).as("__nd"),
+        datediff(max(to_date(col(shipDateCol))), min(to_date(col(shipDateCol))))
+          .cast("long").as("__span"))
+    val tot = per.agg(count(lit(1)).as("__t"))
+    per.groupBy(col("__nd").as("n_ship_dates"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__span")).as("__sumspan"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_ship_dates"), col("n_orders"),
+        expr("__sumspan * 1000 DIV n_orders").as("avg_span_millidays"),
+        expr("n_orders * 1000000 DIV __t").as("order_share_ppm"))
+      .orderBy("n_ship_dates")
+  }
+
+  /**
    * LIFETIME SPAN histogram — users bucketed by the whole-day span
    * between their first and last event (log2 bands; band −1 =
    * single-day users): the engagement-duration distribution, anchored

@@ -2610,6 +2610,13 @@ object Extensions {
       pmod(col("o_custkey"), lit(2)),
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
 
+  /** x290 — split-shipment census ([[Analytics.splitShipmentCensus]]):
+    * orders by distinct ship dates with mean span — whole vs dribbled
+    * fulfillment, the per-shipment cost driver. */
+  private val x290: Q = (spark, sfDir) =>
+    Analytics.splitShipmentCensus(Tables(spark, sfDir, "lineitem"),
+      "l_orderkey", "l_shipdate")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3330,7 +3337,8 @@ object Extensions {
     "x286_discriminative_terms" -> x286,
     "x287_ts_collision_census" -> x287,
     "x288_lifetime_span_histogram" -> x288,
-    "x289_qq_decile_table" -> x289)
+    "x289_qq_decile_table" -> x289,
+    "x290_split_shipment_census" -> x290)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6743,6 +6751,19 @@ object Extensions {
          |FROM (SELECT * FROM d WHERE a = 0) c
          | JOIN (SELECT * FROM d WHERE a = 1) t USING (decile)
          |ORDER BY decile""".stripMargin.replace("\n", " ")),
+    "x290_split_shipment_census" ->
+      ("""WITH per AS (SELECT l_orderkey,
+         |  CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS nd,
+         |  CAST(date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+         |    MAX(CAST(l_shipdate AS DATE))) AS BIGINT) AS span
+         | FROM lineitem WHERE l_orderkey IS NOT NULL
+         |  AND l_shipdate IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM per)
+         |SELECT nd AS n_ship_dates, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(span) * 1000 // COUNT(*) AS BIGINT) AS avg_span_millidays,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS order_share_ppm
+         |FROM per, t GROUP BY nd, tt ORDER BY n_ship_dates"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

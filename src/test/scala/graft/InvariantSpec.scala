@@ -577,4 +577,29 @@ class InvariantSpec extends AnyFunSuite {
     val all = rows.map(_._2).sorted
     assert((gv, gn) == (all((all.size + 1) / 2 - 1), all.size.toLong), "global median")
   }
+
+  test("two-phase prefix sums are partitioning-invariant (ABC + KS at 2/5/32 partitions)") {
+    // the docstring claim under test: results depend only on the total
+    // order, never on where repartitionByRange boundaries land
+    val rnd = new scala.util.Random(77)
+    val df = (1L to 500L).map(i => (i, 100L + rnd.nextInt(5000).toLong))
+      .toDF("k", "cents")
+    val armed = df.withColumn("a", pmod(col("k"), lit(2)))
+    def run(): (Seq[Row2], Seq[Row2]) = {
+      val abc = Analytics.abcClassification(df, "k", col("cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ks = Analytics.ksDistance(armed, col("a"), col("cents"))
+        .collect().map(r => (r.getLong(2).toString, r.getLong(3))).toSeq
+      (abc, ks)
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val results = try {
+      Seq("2", "5", "32").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p); run()
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(results.distinct.size == 1,
+      s"partitioning changed the answer: $results")
+  }
+  private type Row2 = (String, Long)
 }
