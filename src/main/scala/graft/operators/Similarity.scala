@@ -859,6 +859,54 @@ object Similarity {
   }
 
   /**
+   * SOURCE CENTROID similarity — pairwise cosine between each source's
+   * centroid embedding, top pairs first: "which feeds say the same
+   * things" at the SEMANTIC level, where x237's near-dup census sees
+   * only literal text reuse. Cosine is scale-invariant, so the centroid
+   * never needs the division: the per-source per-dim SUM of once-rounded
+   * micro components is an exact integer vector with the same direction
+   * as the mean, and the only floating point is the final
+   * `dot/(|a||b|)` on those exact sums (three deterministic double ops,
+   * rounded to 6 dp — the corpus cosine convention).
+   *
+   * Scale shape: one map-side explode collapsing to |sources|·dim exact
+   * sums; the pair join runs on the |sources|-bounded frame (never the
+   * corpus); dot products ride DECIMAL(38,0). Output ≤ topK rows.
+   */
+  def sourceCentroidSimilarity(embeddings: DataFrame, docs: DataFrame,
+      docIdCol: String, sourceCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK $topK must be positive")
+    val bridged = embeddings
+      .join(docs.select(col(docIdCol).as("vec_id"), col(sourceCol).as("source")),
+        "vec_id")
+      .filter(col("source").isNotNull && col("embedding").isNotNull)
+    val sums = bridged
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "__x")))
+      .select(col("source"), col("dim"),
+        expr("CAST(ROUND(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)").as("__m"))
+      .groupBy("source", "dim")
+      .agg(sum(col("__m")).as("__s"))
+    val norms = sums.groupBy("source")
+      .agg(sum(col("__s").cast("decimal(38,0)") * col("__s")).as("__n2"))
+    val dots = sums.as("a")
+      .join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_1"), col("b.source").as("source_2"))
+      .agg(sum(col("a.__s").cast("decimal(38,0)") * col("b.__s")).as("__dot"))
+    dots
+      .join(norms.select(col("source").as("source_1"), col("__n2").as("__na")),
+        "source_1")
+      .join(norms.select(col("source").as("source_2"), col("__n2").as("__nb")),
+        "source_2")
+      .select(col("source_1"), col("source_2"),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)
+          .as("centroid_cosine"))
+      .orderBy(col("centroid_cosine").desc, col("source_1"), col("source_2"))
+      .limit(topK)
+  }
+
+  /**
    * EMBEDDING NORM audit — per label: vector count, zero (degenerate)
    * vectors, min/max squared norm (rounded to 6 dp, the corpus cosine
    * convention) and the exact decimal-summed mean. The pre-flight gate

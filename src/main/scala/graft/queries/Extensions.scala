@@ -2617,6 +2617,13 @@ object Extensions {
     Analytics.splitShipmentCensus(Tables(spark, sfDir, "lineitem"),
       "l_orderkey", "l_shipdate")
 
+  /** x291 — source centroid similarity ([[Similarity.sourceCentroidSimilarity]]):
+    * pairwise cosine between source centroids over the vec_id↔doc_id
+    * bridge — semantic feed overlap where x237 sees only literal reuse. */
+  private val x291: Q = (spark, sfDir) =>
+    Similarity.sourceCentroidSimilarity(emb(spark, sfDir), docs(spark, sfDir),
+      "doc_id", "source")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3338,7 +3345,8 @@ object Extensions {
     "x287_ts_collision_census" -> x287,
     "x288_lifetime_span_histogram" -> x288,
     "x289_qq_decile_table" -> x289,
-    "x290_split_shipment_census" -> x290)
+    "x290_split_shipment_census" -> x290,
+    "x291_source_centroid_similarity" -> x291)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6763,6 +6771,31 @@ object Extensions {
          | CAST(SUM(span) * 1000 // COUNT(*) AS BIGINT) AS avg_span_millidays,
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS order_share_ppm
          |FROM per, t GROUP BY nd, tt ORDER BY n_ship_dates"""
+        .stripMargin.replace("\n", " ")),
+    "x291_source_centroid_similarity" ->
+      ("""WITH br AS (SELECT d.source, e.embedding FROM embeddings e
+         |  JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.source IS NOT NULL AND e.embedding IS NOT NULL),
+         |u AS (SELECT source, embedding,
+         |  unnest(range(len(embedding))) AS i FROM br),
+         |c AS (SELECT source, CAST(i AS INT) AS dim,
+         |  CAST(ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS m FROM u),
+         |s AS (SELECT source, dim, CAST(SUM(m) AS BIGINT) AS sv
+         |  FROM c GROUP BY 1, 2),
+         |nr AS (SELECT source, CAST(SUM(CAST(sv AS HUGEINT) * sv) AS HUGEINT)
+         |  AS n2 FROM s GROUP BY 1),
+         |dt AS (SELECT a.source AS source_1, b.source AS source_2,
+         |  CAST(SUM(CAST(a.sv AS HUGEINT) * b.sv) AS HUGEINT) AS dot
+         | FROM s a JOIN s b ON a.dim = b.dim AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT source_1, source_2,
+         | ROUND(CAST(dot AS DOUBLE)
+         |   / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+         |   AS centroid_cosine
+         |FROM dt JOIN nr na ON dt.source_1 = na.source
+         | JOIN nr nb ON dt.source_2 = nb.source
+         |ORDER BY centroid_cosine DESC, source_1, source_2 LIMIT 20"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -459,6 +459,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 4L)) // 3 capped out by the label-0 quota
   }
 
+  test("sourceCentroidSimilarity: aligned sources score 1, orthogonal ones 0") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),  // source A: direction (1,0)
+      (3L, Array(3f, 0f)),                        // source B: same direction
+      (4L, Array(0f, 1f))                         // source C: orthogonal
+    ).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("doc_id", "source")
+    val r = Similarity.sourceCentroidSimilarity(emb, docs, "doc_id", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    assert(r(("A", "B")) == 1.0)
+    assert(r(("A", "C")) == 0.0)
+    assert(r(("B", "C")) == 0.0)
+  }
+
   test("embeddingOutlierAudit: only the planted far-out vector is flagged") {
     // dim 1: 100 zeros and one 100 — the outlier's z is ~10, well past 3
     // sigma (n must be large: among n points the max z is at most sqrt(n-1),
