@@ -2606,6 +2606,54 @@ object Analytics {
   }
 
   /**
+   * OUTAGE STREAK report — per event type: dark days (calendar days with
+   * ZERO events inside the stream's own [min, max] span) and the LONGEST
+   * consecutive dark run, via the gaps-and-islands identity (day index
+   * minus dark-row rank is constant within a run). x202's completeness
+   * grid counts the missing cells; the MAX STREAK is the on-call number
+   * — one dark day is a blip, nine in a row is an incident, and only
+   * the run length distinguishes them.
+   *
+   * Scale shape: the grid is |types|·|days| (calendar-bounded spine,
+   * the b45 shape); all windows partition by type over that bounded
+   * frame; daily counts collapse map-side before joining the spine.
+   */
+  def outageStreaks(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val clean = events.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+    val span = clean.agg(min(to_date(col(tsCol))).as("__lo"),
+      max(to_date(col(tsCol))).as("__hi"))
+    val spine = span.select(
+      explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val types = clean.select(col(typeCol).as("__t")).distinct()
+    val daily = clean
+      .groupBy(col(typeCol).as("__t"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = types.crossJoin(spine)
+      .join(daily, Seq("__t", "__d"), "left")
+      .withColumn("__dark", col("__n").isNull)
+    val byType = Window.partitionBy("__t").orderBy("__d")
+    val darkRank = Window.partitionBy("__t", "__dark").orderBy("__d")
+    val runs = grid
+      .withColumn("__i", row_number().over(byType))
+      .withColumn("__j", row_number().over(darkRank))
+      .filter(col("__dark"))
+      .groupBy(col("__t"), (col("__i") - col("__j")).as("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("__t")
+      .agg(sum(col("__len")).as("n_dark_days"),
+        max(col("__len")).as("max_dark_streak"))
+    types
+      .join(runs, Seq("__t"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("__t").as(typeCol),
+        (datediff(col("__hi"), col("__lo")) + 1).cast("long").as("n_days"),
+        coalesce(col("n_dark_days"), lit(0L)).as("n_dark_days"),
+        coalesce(col("max_dark_streak"), lit(0L)).as("max_dark_streak"))
+      .orderBy(typeCol)
+  }
+
+  /**
    * SPLIT-SHIPMENT census — orders bucketed by how many DISTINCT ship
    * dates their lines left on, with each bucket's mean fulfillment span
    * in exact milli-days: the logistics fragmentation read ("what share

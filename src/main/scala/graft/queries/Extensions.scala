@@ -2624,6 +2624,12 @@ object Extensions {
     Similarity.sourceCentroidSimilarity(emb(spark, sfDir), docs(spark, sfDir),
       "doc_id", "source")
 
+  /** x292 — outage streak report ([[Analytics.outageStreaks]]): longest
+    * consecutive zero-event day run per type — one dark day is a blip,
+    * nine in a row is an incident; gaps-and-islands over the spine. */
+  private val x292: Q = (spark, sfDir) =>
+    Analytics.outageStreaks(Tables(spark, sfDir, "events"), "ts", "event_type")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3346,7 +3352,8 @@ object Extensions {
     "x288_lifetime_span_histogram" -> x288,
     "x289_qq_decile_table" -> x289,
     "x290_split_shipment_census" -> x290,
-    "x291_source_centroid_similarity" -> x291)
+    "x291_source_centroid_similarity" -> x291,
+    "x292_outage_streaks" -> x292)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6797,6 +6804,33 @@ object Extensions {
          | JOIN nr nb ON dt.source_2 = nb.source
          |ORDER BY centroid_cosine DESC, source_1, source_2 LIMIT 20"""
         .stripMargin.replace("\n", " ")),
+    "x292_outage_streaks" ->
+      ("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |sp AS (SELECT CAST(MIN(d) AS DATE) AS lo, CAST(MAX(d) AS DATE) AS hi
+         |  FROM e),
+         |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |  INTERVAL 1 DAY)) AS DATE) AS d FROM sp),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |dc AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM e GROUP BY 1, 2),
+         |grid AS (SELECT ty.event_type, days.d, dc.n IS NULL AS dark
+         | FROM ty CROSS JOIN days
+         |  LEFT JOIN dc ON dc.event_type = ty.event_type AND dc.d = days.d),
+         |rk AS (SELECT event_type, d, dark,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type, dark ORDER BY d) AS j
+         | FROM grid),
+         |rn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS len
+         | FROM rk WHERE dark GROUP BY event_type, i - j),
+         |agg AS (SELECT event_type, CAST(SUM(len) AS BIGINT) AS n_dark_days,
+         |  CAST(MAX(len) AS BIGINT) AS max_dark_streak FROM rn GROUP BY 1)
+         |SELECT ty.event_type,
+         | CAST(date_diff('day', sp.lo, sp.hi) + 1 AS BIGINT) AS n_days,
+         | CAST(COALESCE(agg.n_dark_days, 0) AS BIGINT) AS n_dark_days,
+         | CAST(COALESCE(agg.max_dark_streak, 0) AS BIGINT) AS max_dark_streak
+         |FROM ty LEFT JOIN agg ON ty.event_type = agg.event_type, sp
+         |ORDER BY ty.event_type""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1098,6 +1098,22 @@ class AnalyticsSpec extends AnyFunSuite {
       3 -> ((1L, 8L, 8L, 333333L))))
   }
 
+  test("outageStreaks: gaps-and-islands finds the longest dark run per type") {
+    val events = Seq(
+      // type a: active days 1, 5 -> dark 2,3,4 = streak 3 within span 1..5
+      ("a", "2024-01-01"), ("a", "2024-01-05"),
+      // type b: active every day of the span -> 0 dark
+      ("b", "2024-01-01"), ("b", "2024-01-02"), ("b", "2024-01-03"),
+      ("b", "2024-01-04"), ("b", "2024-01-05")
+    ).map { case (t, d) => (t, ts(s"$d 10:00:00")) }
+      .toDF("event_type", "ts")
+    val r = Analytics.outageStreaks(events, "ts", "event_type").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("a") == ((5L, 3L, 3L)))
+    assert(r("b") == ((5L, 0L, 0L)))
+  }
+
   test("qqDecileTable: rank-exact lower deciles per arm; gaps are plain differences") {
     // arm 0: values 1..10 -> decile d = d; arm 1: values 11..20 -> d+10
     val df = ((1L to 10L).map(v => (0, v)) ++ (11L to 20L).map(v => (1, v)))
