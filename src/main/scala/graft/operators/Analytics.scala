@@ -2606,6 +2606,50 @@ object Analytics {
   }
 
   /**
+   * CADENCE DISPERSION census — users classified by the dispersion
+   * index of their inter-event gaps (D = σ²/μ; Poisson arrivals sit at
+   * D ≈ 1): `bursty` (D > 2 — sessions and silences), `poisson_like`,
+   * and `metronomic` (D < ½ — schedulers and bots; a TOO-regular "user"
+   * is the strongest automation tell). Entirely exact integers by
+   * cross-multiplication: with S = Σgap, Q = Σgap², the tests
+   * `D > 2 ⟺ n·Q − S² > 2·n·S` and `D < ½ ⟺ 2·(n·Q − S²) < n·S`
+   * clear every denominator (the x272 second-moment trick on gaps).
+   *
+   * Scale shape: one user-partitioned lag (per-key bounded), one
+   * user-keyed moment collapse, one 3-row census. Q rides
+   * DECIMAL(38,0) (squared second-gaps outrun BIGINT on long
+   * histories).
+   */
+  def cadenceDispersionCensus(events: DataFrame, userCol: String,
+      tsCol: String, minEvents: Int = 5): DataFrame = {
+    require(minEvents >= 3, s"minEvents $minEvents must be >= 3 (need gaps)")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
+    val gaps = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(tsCol))
+      .withColumn("__g",
+        unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(byUser)))
+      .filter(col("__g").isNotNull)
+    val moments = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__g").cast("decimal(38,0)")).as("__s"),
+        sum(col("__g").cast("decimal(38,0)") * col("__g")).as("__q"))
+      .filter(col("__n") >= minEvents - 1)
+      .withColumn("__vn", expr("CAST(__n AS DECIMAL(38,0)) * __q - __s * __s"))
+      .withColumn("cadence",
+        when(expr("__vn > 2 * CAST(__n AS DECIMAL(38,0)) * __s"), "1_bursty")
+          .when(expr("2 * __vn < CAST(__n AS DECIMAL(38,0)) * __s"),
+            "3_metronomic")
+          .otherwise("2_poisson_like"))
+    val tot = moments.agg(count(lit(1)).as("__t"))
+    moments.groupBy("cadence")
+      .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_gaps"))
+      .crossJoin(broadcast(tot))
+      .select(col("cadence"), col("n_users"), col("n_gaps"),
+        expr("n_users * 1000000 DIV __t").as("user_share_ppm"))
+      .orderBy("cadence")
+  }
+
+  /**
    * OUTAGE STREAK report — per event type: dark days (calendar days with
    * ZERO events inside the stream's own [min, max] span) and the LONGEST
    * consecutive dark run, via the gaps-and-islands identity (day index

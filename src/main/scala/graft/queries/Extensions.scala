@@ -2630,6 +2630,14 @@ object Extensions {
   private val x292: Q = (spark, sfDir) =>
     Analytics.outageStreaks(Tables(spark, sfDir, "events"), "ts", "event_type")
 
+  /** x293 — cadence dispersion census ([[Analytics.cadenceDispersionCensus]]):
+    * users classified bursty / poisson-like / metronomic by the exact
+    * cross-multiplied dispersion index of their gaps — TOO-regular is
+    * the strongest automation tell. */
+  private val x293: Q = (spark, sfDir) =>
+    Analytics.cadenceDispersionCensus(Tables(spark, sfDir, "events"),
+      "user_id", "ts")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3353,7 +3361,8 @@ object Extensions {
     "x289_qq_decile_table" -> x289,
     "x290_split_shipment_census" -> x290,
     "x291_source_centroid_similarity" -> x291,
-    "x292_outage_streaks" -> x292)
+    "x292_outage_streaks" -> x292,
+    "x293_cadence_dispersion" -> x293)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6831,6 +6840,27 @@ object Extensions {
          | CAST(COALESCE(agg.max_dark_streak, 0) AS BIGINT) AS max_dark_streak
          |FROM ty LEFT JOIN agg ON ty.event_type = agg.event_type, sp
          |ORDER BY ty.event_type""".stripMargin.replace("\n", " ")),
+    "x293_cadence_dispersion" ->
+      ("""WITH g AS (SELECT user_id,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER
+         |   (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gp
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(gp AS HUGEINT)) AS HUGEINT) AS s,
+         |  CAST(SUM(CAST(gp AS HUGEINT) * gp) AS HUGEINT) AS q
+         | FROM g WHERE gp IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 4),
+         |k AS (SELECT CASE
+         |   WHEN CAST(n AS HUGEINT) * q - s * s
+         |     > 2 * CAST(n AS HUGEINT) * s THEN '1_bursty'
+         |   WHEN 2 * (CAST(n AS HUGEINT) * q - s * s)
+         |     < CAST(n AS HUGEINT) * s THEN '3_metronomic'
+         |   ELSE '2_poisson_like' END AS cadence, n FROM m),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM m)
+         |SELECT cadence, CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(SUM(n) AS BIGINT) AS n_gaps,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS user_share_ppm
+         |FROM k, t GROUP BY cadence, tt ORDER BY cadence"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

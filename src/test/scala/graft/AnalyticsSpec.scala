@@ -1098,6 +1098,26 @@ class AnalyticsSpec extends AnyFunSuite {
       3 -> ((1L, 8L, 8L, 333333L))))
   }
 
+  test("cadenceDispersionCensus: metronomic, bursty, and poisson-ish users classified exactly") {
+    def series(u: Long, gaps: Seq[Long]): Seq[(Long, java.sql.Timestamp)] = {
+      var t = 0L
+      (u, ts("2024-01-01 00:00:00")) +: gaps.map { g =>
+        t += g; (u, new java.sql.Timestamp(
+          ts("2024-01-01 00:00:00").getTime + t * 1000))
+      }
+    }
+    val events = (
+      series(1L, Seq(60, 60, 60, 60)) ++          // constant gaps: D=0 -> metronomic
+      series(2L, Seq(1, 1, 1, 1, 996)) ++         // one huge gap: bursty
+      series(3L, Seq(30, 90, 60, 45, 75))         // moderate spread
+    ).toDF("user_id", "ts")
+    val r = Analytics.cadenceDispersionCensus(events, "user_id", "ts")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("3_metronomic") >= 1L)
+    assert(r("1_bursty") >= 1L)
+    assert(r.values.sum == 3L)
+  }
+
   test("outageStreaks: gaps-and-islands finds the longest dark run per type") {
     val events = Seq(
       // type a: active days 1, 5 -> dark 2,3,4 = streak 3 within span 1..5
