@@ -2638,6 +2638,46 @@ object Extensions {
     Analytics.cadenceDispersionCensus(Tables(spark, sfDir, "events"),
       "user_id", "ts")
 
+  /** x294 — feature propensity curve: events bucketed by props.k decile
+    * with the purchase share per bucket in ppm — the simplest
+    * feature-vs-outcome read, shred-at-read via get_json_object. */
+  private val x294: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .filter(col("props").isNotNull)
+      .select(expr("CAST(get_json_object(props, '$.k') AS INT)").as("__k"),
+        col("event_type"))
+      .filter(col("__k").isNotNull)
+      .groupBy(expr("__k DIV 10").cast("int").as("k_band"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select(col("k_band"), col("n_events"), col("n_purchases"),
+        expr("n_purchases * 1000000 DIV n_events").as("purchase_ppm"))
+      .orderBy("k_band")
+
+  /** x295 — dedup quality uplift: mean quality score (milli) of the full
+    * corpus vs the x24 retained set — the number that justifies the
+    * dedup pass ("keep-best raised average quality by N points"). */
+  private val x295: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir)
+    // ROUND before the integer cast: Spark's double→long cast truncates
+    // while DuckDB's rounds — ROUND(×1000) makes both engines agree
+    val scored = d.select(col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")) * 1000).cast("long").as("__q"))
+    val clusters = Dedup.dupClusters(lshPairs(spark, sfDir), iterations = 3)
+    val kept = Dedup.retainBest(d, "doc_id",
+      TextAnalysis.qualityScore(col("text")), clusters).select("doc_id")
+    val full = scored.agg(count(lit(1)).as("n_docs"),
+      sum(col("__q")).as("__s"))
+      .select(col("n_docs"), expr("__s DIV n_docs").as("mean_quality_milli"))
+    val retained = scored.join(kept, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_retained"), sum(col("__q")).as("__s"))
+      .select(col("n_retained"), expr("__s DIV n_retained").as("retained_quality_milli"))
+    full.crossJoin(retained)
+      .withColumn("uplift_milli",
+        col("retained_quality_milli") - col("mean_quality_milli"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3362,7 +3402,9 @@ object Extensions {
     "x290_split_shipment_census" -> x290,
     "x291_source_centroid_similarity" -> x291,
     "x292_outage_streaks" -> x292,
-    "x293_cadence_dispersion" -> x293)
+    "x293_cadence_dispersion" -> x293,
+    "x294_feature_propensity" -> x294,
+    "x295_dedup_quality_uplift" -> x295)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6861,6 +6903,38 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS user_share_ppm
          |FROM k, t GROUP BY cadence, tt ORDER BY cadence"""
         .stripMargin.replace("\n", " ")),
+    "x294_feature_propensity" ->
+      ("""WITH e AS (SELECT CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1)
+         |    AS INT) AS k, event_type
+         | FROM events WHERE props IS NOT NULL),
+         |b AS (SELECT k // 10 AS k_band, event_type FROM e
+         |  WHERE k IS NOT NULL)
+         |SELECT CAST(k_band AS INT) AS k_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_purchases,
+         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS purchase_ppm
+         |FROM b GROUP BY 1 ORDER BY k_band""".stripMargin.replace("\n", " ")),
+    "x295_dedup_quality_uplift" ->
+      (s"""WITH $clusterCtes, $qualityCtes,
+         |sc AS (SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS q
+         |  FROM qscore),
+         |lab AS (SELECT q2.doc_id, COALESCE(l.label, q2.doc_id) AS cluster,
+         |  q2.score FROM qscore q2 LEFT JOIN l3 l ON l.node = q2.doc_id),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster
+         |  ORDER BY score DESC, doc_id) AS rn FROM lab),
+         |kept AS (SELECT doc_id FROM r WHERE rn = 1),
+         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_quality_milli FROM sc),
+         |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_retained,
+         |  CAST(SUM(q) // COUNT(*) AS BIGINT) AS retained_quality_milli
+         | FROM sc JOIN kept USING (doc_id))
+         |SELECT n_docs, mean_quality_milli, n_retained,
+         | retained_quality_milli,
+         | CAST(retained_quality_milli - mean_quality_milli AS BIGINT)
+         |   AS uplift_milli
+         |FROM f, k""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
