@@ -2606,6 +2606,42 @@ object Analytics {
   }
 
   /**
+   * RHYTHM SIMILARITY — pairwise cosine between event types' hourly
+   * activity profiles (24 exact integer counts per type): "which
+   * behaviors share a daily rhythm" — types that co-move hourly belong
+   * to the same user journey; a type whose rhythm matches nothing is
+   * batch traffic wearing an event name. Profiles are exact counts, so
+   * the only floating point is the final dot/(|a||b|) on integers
+   * (the x291 construction on a 24-dim clock).
+   *
+   * Scale shape: one (type, hour) collapse — map-side partials into a
+   * |types|·24 frame; the pair join runs on that bounded frame. Output
+   * |types|² / 2 rows.
+   */
+  def rhythmSimilarity(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val prof = events.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(typeCol).as("__t"), hour(col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val norms = prof.groupBy("__t")
+      .agg(sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__n2"))
+    prof.as("a")
+      .join(prof.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_1"), col("b.__t").as("type_2"))
+      .agg(sum(col("a.__n").cast("decimal(38,0)") * col("b.__n")).as("__dot"))
+      .join(norms.select(col("__t").as("type_1"), col("__n2").as("__na")),
+        "type_1")
+      .join(norms.select(col("__t").as("type_2"), col("__n2").as("__nb")),
+        "type_2")
+      .select(col("type_1"), col("type_2"),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)
+          .as("rhythm_cosine"))
+      .orderBy("type_1", "type_2")
+  }
+
+  /**
    * CADENCE DISPERSION census — users classified by the dispersion
    * index of their inter-event gaps (D = σ²/μ; Poisson arrivals sit at
    * D ≈ 1): `bursty` (D > 2 — sessions and silences), `poisson_like`,

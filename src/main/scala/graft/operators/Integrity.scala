@@ -547,6 +547,42 @@ object Integrity {
       .orderBy("size_band")
   }
 
+  /**
+   * TEMPORAL-ORDER audit — child events dated BEFORE their parent
+   * (lineitems shipping before the order was placed): per violation
+   * severity band (same-day grace, <7 days, ≥7 days early), counts and
+   * the worst lead observed. Impossible orderings are the strongest
+   * signal of clock skew, timezone double-conversion, or key collisions
+   * from a bad join — and they poison every as-of/causal analysis
+   * silently unless counted first.
+   *
+   * Scale shape: one hash equi-join on the parent key, a map-side day
+   * diff, a ≤4-row band rollup with a broadcast total.
+   */
+  def temporalOrderAudit(parent: DataFrame, parentKey: String,
+      parentTs: String, child: DataFrame, childKey: String,
+      childTs: String): DataFrame = {
+    val joined = child
+      .filter(col(childKey).isNotNull && col(childTs).isNotNull)
+      .select(col(childKey).as("__k"), to_date(col(childTs)).as("__ct"))
+      .join(parent.filter(col(parentKey).isNotNull && col(parentTs).isNotNull)
+        .select(col(parentKey).as("__k"), to_date(col(parentTs)).as("__pt")),
+        "__k")
+      .withColumn("__lead", datediff(col("__pt"), col("__ct")).cast("long"))
+    val tot = joined.agg(count(lit(1)).as("__t"))
+    joined
+      .withColumn("band",
+        when(col("__lead") <= 0, "0_ok")
+          .when(col("__lead") < 7, "1_under_week_early")
+          .otherwise("2_week_plus_early"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_children"), max(col("__lead")).as("worst_lead_days"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n_children"), col("worst_lead_days"),
+        expr("n_children * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("band")
+  }
+
   def forgetImpact(keys: DataFrame, keyCol: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "forgetImpact needs at least one table")

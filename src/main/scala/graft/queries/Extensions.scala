@@ -2678,6 +2678,21 @@ object Extensions {
         col("retained_quality_milli") - col("mean_quality_milli"))
   }
 
+  /** x296 — rhythm similarity ([[Analytics.rhythmSimilarity]]): pairwise
+    * cosine of hourly activity profiles — behaviors sharing a daily
+    * rhythm belong to the same journey; exact 24-dim integer profiles. */
+  private val x296: Q = (spark, sfDir) =>
+    Analytics.rhythmSimilarity(Tables(spark, sfDir, "events"),
+      "ts", "event_type")
+
+  /** x297 — temporal-order audit ([[Integrity.temporalOrderAudit]]):
+    * lineitems shipping BEFORE their order date, banded by severity —
+    * clock-skew/join-collision forensics. */
+  private val x297: Q = (spark, sfDir) =>
+    Integrity.temporalOrderAudit(
+      Tables(spark, sfDir, "orders"), "o_orderkey", "o_orderdate",
+      Tables(spark, sfDir, "lineitem"), "l_orderkey", "l_shipdate")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3404,7 +3419,9 @@ object Extensions {
     "x292_outage_streaks" -> x292,
     "x293_cadence_dispersion" -> x293,
     "x294_feature_propensity" -> x294,
-    "x295_dedup_quality_uplift" -> x295)
+    "x295_dedup_quality_uplift" -> x295,
+    "x296_rhythm_similarity" -> x296,
+    "x297_temporal_order_audit" -> x297)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6935,6 +6952,37 @@ object Extensions {
          | CAST(retained_quality_milli - mean_quality_milli AS BIGINT)
          |   AS uplift_milli
          |FROM f, k""".stripMargin.replace("\n", " ")),
+    "x296_rhythm_similarity" ->
+      ("""WITH p AS (SELECT event_type AS t, CAST(hour(ts) AS INT) AS h,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |nr AS (SELECT t, CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT)
+         |  AS n2 FROM p GROUP BY 1),
+         |dt AS (SELECT a.t AS type_1, b.t AS type_2,
+         |  CAST(SUM(CAST(a.n AS HUGEINT) * b.n) AS HUGEINT) AS dot
+         | FROM p a JOIN p b ON a.h = b.h AND a.t < b.t GROUP BY 1, 2)
+         |SELECT type_1, type_2,
+         | ROUND(CAST(dot AS DOUBLE)
+         |  / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+         |  AS rhythm_cosine
+         |FROM dt JOIN nr na ON dt.type_1 = na.t
+         | JOIN nr nb ON dt.type_2 = nb.t
+         |ORDER BY type_1, type_2""".stripMargin.replace("\n", " ")),
+    "x297_temporal_order_audit" ->
+      ("""WITH j AS (SELECT date_diff('day', CAST(l_shipdate AS DATE),
+         |  CAST(o_orderdate AS DATE)) AS lead FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+         |  AND o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM j),
+         |b AS (SELECT CASE WHEN lead <= 0 THEN '0_ok'
+         |   WHEN lead < 7 THEN '1_under_week_early'
+         |   ELSE '2_week_plus_early' END AS band, lead FROM j)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_children,
+         | CAST(MAX(lead) AS BIGINT) AS worst_lead_days,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY band, tt ORDER BY band"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
