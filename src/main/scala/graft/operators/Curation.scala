@@ -505,6 +505,36 @@ object Curation {
    * per-basket self-join is bounded by cap² per basket. Support filter +
    * TakeOrdered top-k close it out.
    */
+  /**
+   * DIRECTIONAL basket confidence — for the top co-occurring item pairs,
+   * BOTH conditional rates side by side: `conf(A→B) = n_AB·1e6 DIV n_A`
+   * and `conf(B→A)`. Support (x185) is symmetric; recommendations are
+   * not — 90 % of protector buyers own the phone, almost no phone
+   * buyers add the protector, and only the directional pair shows which
+   * way the recommendation should point.
+   *
+   * Scale shape: [[basketPairs]]'s bounded self-join for the pair
+   * counts, plus one item-keyed basket count joined back (hash joins on
+   * the collapsed item frame). Divisions are single and positive.
+   */
+  def basketConfidence(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasketItems: Int = 100,
+      topK: Int = 20): DataFrame = {
+    val items = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    basketPairs(df, basketCol, itemCol, minSupport, maxBasketItems, topK)
+      .join(itemCounts.select(col("__i").as("item1"), col("__ni").as("__n1")),
+        "item1")
+      .join(itemCounts.select(col("__i").as("item2"), col("__ni").as("__n2")),
+        "item2")
+      .select(col("item1"), col("item2"), col("support"),
+        expr("support * 1000000 DIV __n1").as("conf_1_to_2_ppm"),
+        expr("support * 1000000 DIV __n2").as("conf_2_to_1_ppm"))
+      .orderBy(col("support").desc, col("item1"), col("item2"))
+  }
+
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, maxBasketItems: Int = 100,
       topK: Int = 20): DataFrame = {

@@ -2693,6 +2693,32 @@ object Extensions {
       Tables(spark, sfDir, "orders"), "o_orderkey", "o_orderdate",
       Tables(spark, sfDir, "lineitem"), "l_orderkey", "l_shipdate")
 
+  /** x298 — directional basket confidence ([[Curation.basketConfidence]]):
+    * conf(A→B) vs conf(B→A) for the top pairs — support is symmetric,
+    * recommendations are not. */
+  private val x298: Q = (spark, sfDir) =>
+    Curation.basketConfidence(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "part"),
+          col("l_partkey") === col("p_partkey")),
+      "l_orderkey", "p_brand", minSupport = 2L, topK = 20)
+
+  /** x299 — brand return-rate ranking: returned-line share per brand in
+    * exact ppm, volume-filtered — the retail QA list of brands whose
+    * returns run hot. */
+  private val x299: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_returnflag").isNotNull)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .filter(col("n_lines") >= 100)
+      .select(col("p_brand"), col("n_lines"), col("n_returned"),
+        expr("n_returned * 1000000 DIV n_lines").as("return_ppm"))
+      .orderBy(col("return_ppm").desc, col("p_brand"))
+      .limit(15)
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3421,7 +3447,9 @@ object Extensions {
     "x294_feature_propensity" -> x294,
     "x295_dedup_quality_uplift" -> x295,
     "x296_rhythm_similarity" -> x296,
-    "x297_temporal_order_audit" -> x297)
+    "x297_temporal_order_audit" -> x297,
+    "x298_basket_confidence" -> x298,
+    "x299_brand_return_rate" -> x299)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -6982,6 +7010,35 @@ object Extensions {
          | CAST(MAX(lead) AS BIGINT) AS worst_lead_days,
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM b, t GROUP BY band, tt ORDER BY band"""
+        .stripMargin.replace("\n", " ")),
+    "x298_basket_confidence" ->
+      ("""WITH i AS (SELECT DISTINCT l_orderkey AS b, p_brand AS it
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |w AS (SELECT b, it, COUNT(*) OVER (PARTITION BY b) AS wdt FROM i),
+         |f AS (SELECT b, it FROM w WHERE wdt <= 100),
+         |ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS ni FROM i GROUP BY 1),
+         |pr AS (SELECT a.it AS item1, c.it AS item2 FROM f a JOIN f c
+         |  ON a.b = c.b AND a.it < c.it),
+         |tp AS (SELECT item1, item2, CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |  ORDER BY support DESC, item1, item2 LIMIT 20)
+         |SELECT item1, item2, support,
+         | CAST(support * 1000000 // n1.ni AS BIGINT) AS conf_1_to_2_ppm,
+         | CAST(support * 1000000 // n2.ni AS BIGINT) AS conf_2_to_1_ppm
+         |FROM tp JOIN ic n1 ON tp.item1 = n1.it
+         | JOIN ic n2 ON tp.item2 = n2.it
+         |ORDER BY support DESC, item1, item2"""
+        .stripMargin.replace("\n", " ")),
+    "x299_brand_return_rate" ->
+      ("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_returned,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand IS NOT NULL AND l_returnflag IS NOT NULL
+         |GROUP BY p_brand HAVING COUNT(*) >= 100
+         |ORDER BY return_ppm DESC, p_brand LIMIT 15"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
