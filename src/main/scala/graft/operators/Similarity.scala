@@ -859,6 +859,56 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ + EXACT RE-RANK — the COMPLETE production retrieval stack
+   * (FAISS's `index.refine` pattern): the coarse IVF quantizer prunes to
+   * `nProbe` cells, ASYMMETRIC PQ distances cut the candidates to a
+   * `rerankPool`, and only that pool's FULL vectors are read for an
+   * exact cosine top-k. This is the three-tier memory hierarchy every
+   * billion-vector deployment runs — centroids in L1, codes in RAM,
+   * full vectors on flash touched `rerankPool` times per query — and
+   * the recall row shows what the two approximations left on the table
+   * AFTER the exact pass repaired the PQ ranking noise.
+   *
+   * Scale shape: [[ivfPqRecallAudit]]'s broadcast pipeline plus ONE
+   * left-semi hash join to fetch the pool's full vectors; both top-ks
+   * plan as TakeOrderedAndProject.
+   */
+  def ivfPqRerankAudit(embeddings: DataFrame, query: DataFrame, k: Int,
+      rerankPool: Int = 50, nCells: Int = 16, nProbe: Int = 4,
+      dim: Int = 64, nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    require(rerankPool >= k, s"rerankPool $rerankPool must cover k=$k")
+    val subDim = dim / nSub
+    val centroids = ivfCentroids(embeddings, nCells)
+    val assigned = ivfAssign(embeddings, centroids)
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("cid").as("cell"), cosine(col("cemb"), col("qe")).as("qsim"))
+      .orderBy(desc("qsim"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    val candidates = assigned.join(broadcast(probed), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val codebook = pqCodebook(embeddings, nSub, subDim, nCodes)
+    val encoded = pqEncode(embeddings, codebook, nSub, subDim)
+    val qtab = pqQueryTable(codebook, query, nSub, subDim)
+    val pool = adcScores(encoded.join(candidates, Seq("vec_id"), "left_semi"), qtab)
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(rerankPool)
+      .select("vec_id")
+    val reranked = embeddings.join(pool, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+    val truth = bruteForceTopK(embeddings, query, k).select("vec_id")
+    reranked.select("vec_id")
+      .join(truth, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k"), lit(rerankPool).as("rerank_pool"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"))
+  }
+
+  /**
    * SOURCE CENTROID similarity — pairwise cosine between each source's
    * centroid embedding, top pairs first: "which feeds say the same
    * things" at the SEMANTIC level, where x237's near-dup census sees

@@ -2719,6 +2719,13 @@ object Extensions {
       .orderBy(col("return_ppm").desc, col("p_brand"))
       .limit(15)
 
+  /** x300 — IVF-PQ + exact re-rank ([[Similarity.ivfPqRerankAudit]]):
+    * the complete three-tier retrieval stack — coarse cells, PQ codes,
+    * exact re-rank of the pool — recall after the exact pass repaired
+    * the PQ ranking noise. */
+  private val x300: Q = (spark, sfDir) =>
+    Similarity.ivfPqRerankAudit(emb(spark, sfDir), queryVec(spark, sfDir), 10)
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3449,7 +3456,8 @@ object Extensions {
     "x296_rhythm_similarity" -> x296,
     "x297_temporal_order_audit" -> x297,
     "x298_basket_confidence" -> x298,
-    "x299_brand_return_rate" -> x299)
+    "x299_brand_return_rate" -> x299,
+    "x300_ivf_pq_rerank" -> x300)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7040,6 +7048,56 @@ object Extensions {
          |GROUP BY p_brand HAVING COUNT(*) >= 100
          |ORDER BY return_ppm DESC, p_brand LIMIT 15"""
         .stripMargin.replace("\n", " ")),
+    "x300_ivf_pq_rerank" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${cos2Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |probe AS (SELECT cid FROM cent, qv
+         |  ORDER BY ${cos2Sql("cemb", "qe")} DESC, cid LIMIT 4),
+         |cand AS (SELECT a.vec_id FROM asg a JOIN probe USING (cid)),
+         |sp AS (SELECT CAST(unnest(range(4)) AS INT) AS sub),
+         |cw AS (SELECT CAST(vec_id AS INT) AS code, sub,
+         |    embedding[sub * 16 + 1 : sub * 16 + 16] AS cvec
+         |  FROM embeddings, sp WHERE vec_id BETWEEN 1 AND 8),
+         |sv AS (SELECT vec_id, sub,
+         |    embedding[sub * 16 + 1 : sub * 16 + 16] AS svec
+         |  FROM embeddings, sp),
+         |dist AS (SELECT vec_id, sv.sub AS sub, code,
+         |    round(list_aggregate(list_transform(list_zip(svec, cvec),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), 9)
+         |      AS d
+         |  FROM sv JOIN cw ON sv.sub = cw.sub),
+         |enc AS (SELECT vec_id, sub, code FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY d, code) = 1),
+         |qt AS (SELECT cw.sub AS sub, code,
+         |    list_aggregate(list_transform(
+         |      list_zip(qe[cw.sub * 16 + 1 : cw.sub * 16 + 16], cvec),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS qdot
+         |  FROM cw, qv),
+         |adc AS (SELECT vec_id,
+         |    CAST(ROUND(CAST(SUM(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS DOUBLE) AS adc
+         |  FROM enc JOIN qt USING (sub, code) JOIN cand USING (vec_id)
+         |  GROUP BY vec_id),
+         |pool AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50),
+         |rr AS (SELECT e.vec_id
+         |  FROM embeddings e JOIN pool USING (vec_id), qv
+         |  ORDER BY ROUND(${cos2Sql("e.embedding", "qe")}, 6) DESC, e.vec_id
+         |  LIMIT 10),
+         |tr AS (SELECT vec_id FROM embeddings, qv
+         |  ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT 10),
+         |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM rr JOIN tr USING (vec_id))
+         |SELECT CAST(10 AS INT) AS k, CAST(50 AS INT) AS rerank_pool,
+         | n_hits, CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM hh""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -459,6 +459,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 4L)) // 3 capped out by the label-0 quota
   }
 
+  test("ivfPqRerankAudit: exact re-rank over a full probe recovers brute-force truth") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("qe")
+    val r = Similarity.ivfPqRerankAudit(emb, q, k = 2, rerankPool = 3,
+      nCells = 2, nProbe = 2, dim = 4, nSub = 2, nCodes = 2).collect().head
+    // pool covers everything and the re-rank is exact -> perfect recall
+    assert((r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      == ((2, 3, 2L, 1000000L)))
+  }
+
   test("sourceCentroidSimilarity: aligned sources score 1, orthogonal ones 0") {
     val emb = Seq(
       (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),  // source A: direction (1,0)
