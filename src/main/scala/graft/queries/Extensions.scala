@@ -2726,6 +2726,21 @@ object Extensions {
   private val x300: Q = (spark, sfDir) =>
     Similarity.ivfPqRerankAudit(emb(spark, sfDir), queryVec(spark, sfDir), 10)
 
+  /** x301 — conversion by session depth: [[Analytics.sessionize]]'s
+    * sessions rolled into log2 depth bands with the purchase rate per
+    * band — "do longer sessions convert better" read off the same
+    * machinery x81 aggregates globally. */
+  private val x301: Q = (spark, sfDir) =>
+    Analytics.sessionize(Tables(spark, sfDir, "events"),
+        "user_id", "ts", "event_type", "purchase", gapMinutes = 30)
+      .withColumn("depth_band", (length(bin(col("n_events"))) - 1).cast("int"))
+      .groupBy("depth_band")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted").cast("long")).as("n_converted"))
+      .select(col("depth_band"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 1000000 DIV n_sessions").as("conversion_ppm"))
+      .orderBy("depth_band")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3457,7 +3472,8 @@ object Extensions {
     "x297_temporal_order_audit" -> x297,
     "x298_basket_confidence" -> x298,
     "x299_brand_return_rate" -> x299,
-    "x300_ivf_pq_rerank" -> x300)
+    "x300_ivf_pq_rerank" -> x300,
+    "x301_conversion_by_depth" -> x301)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7098,6 +7114,26 @@ object Extensions {
          |SELECT CAST(10 AS INT) AS k, CAST(50 AS INT) AS rerank_pool,
          | n_hits, CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm
          |FROM hh""".stripMargin.replace("\n", " ")),
+    "x301_conversion_by_depth" ->
+      ("""WITH o AS (SELECT user_id, ts, event_type,
+         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+         | FROM events),
+         |s AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+         |  AS new_sess FROM o),
+         |sid AS (SELECT *, SUM(new_sess) OVER
+         |  (PARTITION BY user_id ORDER BY ts) AS session_id FROM s),
+         |sess AS (SELECT user_id, session_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         | FROM sid GROUP BY user_id, session_id),
+         |b AS (SELECT CAST(length(format('{:b}', n_events)) - 1 AS INT)
+         |  AS depth_band, conv FROM sess)
+         |SELECT depth_band, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         | CAST(SUM(conv) AS BIGINT) AS n_converted,
+         | CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS conversion_ppm
+         |FROM b GROUP BY 1 ORDER BY depth_band"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
