@@ -2795,6 +2795,82 @@ object Analytics {
       .orderBy("span_band")
   }
 
+  /** KEYED two-phase cumulative counts over (__k, __v, __c) rows: the
+    * [[cumByValue]] shape with a group key — range-exchange on (key,
+    * value) keeps each key's values contiguous and ordered across
+    * partitions, pid-local windows partition by (pid, key), and the
+    * exclusive prefix runs per key over the |partitions|·|keys|-bounded
+    * offsets frame. Per-key CDFs at corpus scale without a per-key
+    * single-task sort. */
+  private def keyedCumByValue(vals: DataFrame): DataFrame = {
+    val parted = vals.repartitionByRange(col("__k"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid", "__k").orderBy("__v")
+    val local = parted.withColumn("__l", sum(col("__c")).over(w))
+    val offsets = local.groupBy("__pid", "__k").agg(sum(col("__c")).as("__p"))
+      .withColumn("__off",
+        sum(col("__p")).over(Window.partitionBy("__k").orderBy("__pid"))
+          - col("__p"))
+      .select(col("__pid").as("_o_pid"), col("__k").as("_o_k"), col("__off"))
+    local.join(broadcast(offsets),
+        col("__pid") === col("_o_pid") && col("__k") === col("_o_k"))
+      .select(col("__k"), col("__v"), col("__c"),
+        (col("__off") + col("__l")).as("__cum"))
+  }
+
+  /**
+   * TOP-DECILE RETENTION — of each quarter's top-decile spenders, what
+   * share are STILL top-decile next quarter? The whale-churn number
+   * revenue concentration (x173) makes urgent: if 10 % of customers
+   * carry half the revenue, their quarter-over-quarter retention IS the
+   * business. The decile cut is rank-exact per quarter
+   * (`min{v : 10·cum ≥ 9·n}`, ties included above the cut, stated) via
+   * the KEYED two-phase prefix — never a per-quarter single-task sort.
+   *
+   * Scale shape: one (quarter, customer) spend collapse; per-quarter
+   * CDFs ride [[keyedCumByValue]]; membership joins are hash joins on
+   * the collapsed frames; output |quarters|−1 rows.
+   */
+  def topDecileRetention(orders: DataFrame, custCol: String, tsCol: String,
+      amountCents: Column): DataFrame = {
+    val spend = orders
+      .filter(col(custCol).isNotNull && col(tsCol).isNotNull)
+      .select(trunc(col(tsCol), "quarter").as("__q"), col(custCol).as("__cust"),
+        amountCents.cast("long").as("__a"))
+      .filter(col("__a").isNotNull)
+      .groupBy("__q", "__cust")
+      .agg(sum(col("__a")).as("__v"))
+    val vals = spend.groupBy(col("__q").as("__k"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val n = vals.groupBy("__k").agg(sum(col("__c")).as("__n"))
+    val cut = keyedCumByValue(vals)
+      .join(broadcast(n), "__k")
+      .filter(col("__cum") * 10 >= col("__n") * 9)
+      .groupBy(col("__k")).agg(min(col("__v")).as("__cut"))
+    val top = spend.join(broadcast(cut), col("__q") === col("__k"))
+      .filter(col("__v") >= col("__cut"))
+      .select(col("__q"), col("__cust"))
+    // membership in NEXT quarter's top set, shifted back so the semi-join
+    // key is this quarter: (q, cust) ∈ shiftedBack ⟺ cust is top in q+3mo
+    val shiftedBack = top.select(add_months(col("__q"), -3).as("__q"),
+      col("__cust"))
+    val retained = top.join(shiftedBack, Seq("__q", "__cust"), "left_semi")
+      .groupBy(col("__q")).agg(count(lit(1)).as("n_retained"))
+    val prevCount = top.groupBy(col("__q")).agg(count(lit(1)).as("__ntop"))
+    // only quarters whose NEXT quarter is observed get a retention row —
+    // the last quarter has nothing to retain into yet
+    val observed = top.select(col("__q")).distinct()
+    prevCount
+      .join(observed.select(add_months(col("__q"), -3).as("__q")).distinct(),
+        "__q")
+      .join(retained, Seq("__q"), "left")
+      .select(col("__q").as("quarter"), col("__ntop").as("n_top_decile"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        expr("coalesce(n_retained, 0L) * 1000000 DIV __ntop")
+          .as("retention_ppm"))
+      .orderBy("quarter")
+  }
+
   /** Two-phase cumulative counts over (value, count) rows — the x284/
     * peakConcurrency shape factored out: range-exchange on value,
     * pid-local running sums, exclusive prefix of per-partition totals.

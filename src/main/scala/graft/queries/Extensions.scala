@@ -2741,6 +2741,15 @@ object Extensions {
         expr("n_converted * 1000000 DIV n_sessions").as("conversion_ppm"))
       .orderBy("depth_band")
 
+  /** x302 — top-decile retention ([[Analytics.topDecileRetention]]): of
+    * each quarter's top-decile spenders, the share still top-decile next
+    * quarter — the whale-churn number x173's concentration makes urgent;
+    * keyed two-phase prefix CDFs per quarter. */
+  private val x302: Q = (spark, sfDir) =>
+    Analytics.topDecileRetention(Tables(spark, sfDir, "orders"),
+      "o_custkey", "o_orderdate",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3473,7 +3482,8 @@ object Extensions {
     "x298_basket_confidence" -> x298,
     "x299_brand_return_rate" -> x299,
     "x300_ivf_pq_rerank" -> x300,
-    "x301_conversion_by_depth" -> x301)
+    "x301_conversion_by_depth" -> x301,
+    "x302_top_decile_retention" -> x302)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7134,6 +7144,38 @@ object Extensions {
          | CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS conversion_ppm
          |FROM b GROUP BY 1 ORDER BY depth_band"""
         .stripMargin.replace("\n", " ")),
+    "x302_top_decile_retention" ->
+      ("""WITH sp AS (SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE)
+         |  AS q, o_custkey AS cust,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS v
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+         | GROUP BY 1, 2),
+         |vals AS (SELECT q, v, CAST(COUNT(*) AS BIGINT) AS c FROM sp
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT q, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+         |cc AS (SELECT q, v, CAST(SUM(c) OVER
+         |  (PARTITION BY q ORDER BY v) AS BIGINT) AS cum FROM vals),
+         |cut AS (SELECT cc.q, CAST(MIN(v) AS BIGINT) AS cutv
+         |  FROM cc JOIN nn USING (q) WHERE cum * 10 >= n * 9 GROUP BY 1),
+         |top AS (SELECT sp.q, sp.cust FROM sp
+         |  JOIN cut ON sp.q = cut.q AND sp.v >= cut.cutv),
+         |ret AS (SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n_retained
+         | FROM top t JOIN top t2
+         |  ON t2.q = CAST(t.q + INTERVAL 3 MONTH AS DATE)
+         |   AND t2.cust = t.cust GROUP BY 1),
+         |pc AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS ntop FROM top
+         |  GROUP BY 1),
+         |nx AS (SELECT DISTINCT CAST(q - INTERVAL 3 MONTH AS DATE) AS q
+         |  FROM top)
+         |SELECT pc.q AS quarter, ntop AS n_top_decile,
+         | CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+         | CAST(COALESCE(n_retained, 0) * 1000000 // ntop AS BIGINT)
+         |   AS retention_ppm
+         |FROM pc JOIN nx ON pc.q = nx.q
+         | LEFT JOIN ret ON pc.q = ret.q
+         |ORDER BY quarter""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

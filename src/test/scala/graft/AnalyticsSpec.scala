@@ -1098,6 +1098,23 @@ class AnalyticsSpec extends AnyFunSuite {
       3 -> ((1L, 8L, 8L, 333333L))))
   }
 
+  test("topDecileRetention: only customers top in BOTH quarters count as retained") {
+    // Q1 spends: custs 1..10 spend 1..10 -> top decile cut = v with
+    // 10*cum >= 9*10 -> v=9 -> top = {9, 10}
+    val q1 = (1L to 10L).map(c => (c, ts("2024-01-15 00:00:00"), c * 100L))
+    // Q2: cust 10 stays huge, cust 9 collapses; others small
+    val q2 = Seq((10L, ts("2024-04-15 00:00:00"), 1000L),
+      (9L, ts("2024-04-15 00:00:00"), 1L)) ++
+      (1L to 8L).map(c => (c, ts("2024-04-15 00:00:00"), 2L))
+    val orders = (q1 ++ q2).toDF("cust", "ts", "cents")
+    val r = Analytics.topDecileRetention(orders, "cust", "ts", col("cents"))
+      .collect().map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // Q1 top {9,10}; of those only 10 is top in Q2 -> 1 of 2 retained.
+    // Q2 has no observed next quarter -> no row.
+    assert(r == Map("2024-01-01" -> ((2L, 1L, 500000L))))
+  }
+
   test("cadenceDispersionCensus: metronomic, bursty, and poisson-ish users classified exactly") {
     def series(u: Long, gaps: Seq[Long]): Seq[(Long, java.sql.Timestamp)] = {
       var t = 0L
