@@ -801,6 +801,22 @@ object BTier {
     r.unionByName(n, allowMissingColumns = true).orderBy("k", "name")
   }
 
+  /** b60 — lateral column aliases: a SELECT item referencing an alias
+    * DEFINED EARLIER IN THE SAME LIST (Spark 3.4+ surface; DuckDB agrees)
+    * — derived-metric chains without a wrapping subquery, and each step
+    * of the chain stays visible in the output for auditing. */
+  private val b60: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  total / n AS avg_price,
+        |  avg_price * 2 AS double_avg
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
@@ -860,11 +876,20 @@ object BTier {
     "b56_variant_json" -> b56,
     "b57_rank_ties_topk" -> b57,
     "b58_named_window_clause" -> b58,
-    "b59_union_by_name" -> b59)
+    "b59_union_by_name" -> b59,
+    "b60_lateral_column_alias" -> b60)
 
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b60_lateral_column_alias" ->
+      ("""SELECT o_orderpriority,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         | total / n AS avg_price,
+         | avg_price * 2 AS double_avg
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
     "b59_union_by_name" ->
       ("""SELECT r_regionkey AS k, r_name AS name FROM region
          |UNION ALL BY NAME

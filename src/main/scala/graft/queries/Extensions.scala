@@ -2750,6 +2750,25 @@ object Extensions {
       "o_custkey", "o_orderdate",
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
 
+  /** x303 — token budget matrix: tokens per (lang × quality band) with
+    * corpus share ppm — the mixture-planning grid a training-data budget
+    * is written against. */
+  private val x303: Q = (spark, sfDir) => {
+    val base = docs(spark, sfDir)
+      .filter(col("lang").isNotNull && col("text").isNotNull)
+      .select(col("lang"),
+        when(TextAnalysis.qualityScore(col("text")) >= 0.5, "hi")
+          .otherwise("lo").as("quality_band"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"))
+    val m = base.groupBy("lang", "quality_band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val tot = m.agg(sum(col("n_tokens")).as("__t"))
+    m.crossJoin(broadcast(tot))
+      .select(col("lang"), col("quality_band"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 DIV __t").as("token_share_ppm"))
+      .orderBy("lang", "quality_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3483,7 +3502,8 @@ object Extensions {
     "x299_brand_return_rate" -> x299,
     "x300_ivf_pq_rerank" -> x300,
     "x301_conversion_by_depth" -> x301,
-    "x302_top_decile_retention" -> x302)
+    "x302_top_decile_retention" -> x302,
+    "x303_token_budget_matrix" -> x303)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7176,6 +7196,20 @@ object Extensions {
          |FROM pc JOIN nx ON pc.q = nx.q
          | LEFT JOIN ret ON pc.q = ret.q
          |ORDER BY quarter""".stripMargin.replace("\n", " ")),
+    "x303_token_budget_matrix" ->
+      (s"""WITH $qualityCtes,
+         |b AS (SELECT d.lang,
+         |  CASE WHEN q.score >= 0.5 THEN 'hi' ELSE 'lo' END AS quality_band,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+         | FROM documents d JOIN qscore q ON d.doc_id = q.doc_id
+         | WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |m AS (SELECT lang, quality_band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens FROM b GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM m)
+         |SELECT lang, quality_band, n_docs, n_tokens,
+         | CAST(n_tokens * 1000000 // tt AS BIGINT) AS token_share_ppm
+         |FROM m, t ORDER BY lang, quality_band"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
