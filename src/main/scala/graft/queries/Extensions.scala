@@ -2769,6 +2769,21 @@ object Extensions {
       .orderBy("lang", "quality_band")
   }
 
+  /** x304 — embedding coverage audit: per source, docs WITH a vector
+    * under the vec_id↔doc_id contract — the multimodal-bridge
+    * completeness check every retrieval feature silently assumes. */
+  private val x304: Q = (spark, sfDir) => {
+    val vecIds = emb(spark, sfDir).select(col("vec_id").as("doc_id"))
+    docs(spark, sfDir).filter(col("source").isNotNull)
+      .join(vecIds.withColumn("__has", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__has"), lit(0L))).as("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        expr("n_with_vec * 1000000 DIV n_docs").as("coverage_ppm"))
+      .orderBy("source")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3503,7 +3518,8 @@ object Extensions {
     "x300_ivf_pq_rerank" -> x300,
     "x301_conversion_by_depth" -> x301,
     "x302_top_decile_retention" -> x302,
-    "x303_token_budget_matrix" -> x303)
+    "x303_token_budget_matrix" -> x303,
+    "x304_embedding_coverage" -> x304)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7209,6 +7225,16 @@ object Extensions {
          |SELECT lang, quality_band, n_docs, n_tokens,
          | CAST(n_tokens * 1000000 // tt AS BIGINT) AS token_share_ppm
          |FROM m, t ORDER BY lang, quality_band"""
+        .stripMargin.replace("\n", " ")),
+    "x304_embedding_coverage" ->
+      ("""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_with_vec,
+         | CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+         |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+         |WHERE d.source IS NOT NULL
+         |GROUP BY d.source ORDER BY d.source"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
