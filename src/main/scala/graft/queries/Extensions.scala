@@ -2784,6 +2784,52 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x305 — ARPU trend: monthly purchase revenue over monthly actives in
+    * exact milli-cents — the unit-economics line x253's stickiness sits
+    * beside on every dashboard. */
+  private val x305: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val mau = e.select(trunc(col("ts"), "month").as("month"), col("user_id"))
+      .distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    val rev = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(trunc(col("ts"), "month").as("month"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)"))
+          .as("rev_cents"))
+    mau.join(rev, Seq("month"), "left")
+      .select(col("month"), col("mau"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev_cents"),
+        expr("coalesce(rev_cents, 0L) * 1000 DIV mau").as("arpu_millicents"))
+      .orderBy("month")
+  }
+
+  /** x306 — new-vs-returning revenue split: each month's purchase revenue
+    * split by whether the buyer's FIRST-EVER event falls in that month —
+    * the money view of x155's user-count growth accounting. */
+  private val x306: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val firstMonth = e.groupBy("user_id")
+      .agg(trunc(min(col("ts")), "month").as("__fm"))
+    e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), trunc(col("ts"), "month").as("month"),
+        expr("CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("__c"))
+      .join(firstMonth, "user_id")
+      .groupBy("month")
+      .agg(sum(when(col("month") === col("__fm"), col("__c")).otherwise(0L))
+          .as("new_rev_cents"),
+        sum(when(col("month") =!= col("__fm"), col("__c")).otherwise(0L))
+          .as("returning_rev_cents"))
+      .select(col("month"), col("new_rev_cents"), col("returning_rev_cents"),
+        expr("""CASE WHEN new_rev_cents + returning_rev_cents > 0
+            THEN new_rev_cents * 1000000 DIV (new_rev_cents + returning_rev_cents)
+            ELSE 0L END""").as("new_share_ppm"))
+      .orderBy("month")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3519,7 +3565,9 @@ object Extensions {
     "x301_conversion_by_depth" -> x301,
     "x302_top_decile_retention" -> x302,
     "x303_token_budget_matrix" -> x303,
-    "x304_embedding_coverage" -> x304)
+    "x304_embedding_coverage" -> x304,
+    "x305_arpu_trend" -> x305,
+    "x306_new_returning_revenue" -> x306)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7235,6 +7283,44 @@ object Extensions {
          |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
          |WHERE d.source IS NOT NULL
          |GROUP BY d.source ORDER BY d.source"""
+        .stripMargin.replace("\n", " ")),
+    "x305_arpu_trend" ->
+      ("""WITH e AS (SELECT user_id, ts, event_type, value FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |mau AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM e GROUP BY 1),
+         |rev AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT))
+         |    AS BIGINT) AS rev_cents
+         | FROM e WHERE event_type = 'purchase' AND value IS NOT NULL
+         | GROUP BY 1)
+         |SELECT mau.month, mau.mau,
+         | CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+         | CAST(COALESCE(rev_cents, 0) AS BIGINT) AS rev_cents,
+         | CAST(COALESCE(rev_cents, 0) * 1000 // mau AS BIGINT)
+         |   AS arpu_millicents
+         |FROM mau LEFT JOIN rev ON mau.month = rev.month
+         |ORDER BY mau.month""".stripMargin.replace("\n", " ")),
+    "x306_new_returning_revenue" ->
+      ("""WITH e AS (SELECT user_id, ts, event_type, value FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |fm AS (SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE)
+         |  AS f FROM e GROUP BY 1),
+         |p AS (SELECT e.user_id, CAST(date_trunc('month', e.ts) AS DATE)
+         |  AS month,
+         |  CAST(ROUND(CAST(e.value AS DOUBLE) * 100) AS BIGINT) AS c, fm.f
+         | FROM e JOIN fm ON e.user_id = fm.user_id
+         | WHERE e.event_type = 'purchase' AND e.value IS NOT NULL)
+         |SELECT month,
+         | CAST(SUM(CASE WHEN month = f THEN c ELSE 0 END) AS BIGINT)
+         |   AS new_rev_cents,
+         | CAST(SUM(CASE WHEN month <> f THEN c ELSE 0 END) AS BIGINT)
+         |   AS returning_rev_cents,
+         | CAST(CASE WHEN SUM(c) > 0
+         |   THEN SUM(CASE WHEN month = f THEN c ELSE 0 END) * 1000000
+         |     // SUM(c) ELSE 0 END AS BIGINT) AS new_share_ppm
+         |FROM p GROUP BY 1 ORDER BY month"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
