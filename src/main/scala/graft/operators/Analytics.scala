@@ -2642,6 +2642,48 @@ object Analytics {
   }
 
   /**
+   * TIME-TO-SECOND-PURCHASE — whole-day gaps between each buyer's first
+   * and second purchase, as a log2-band histogram plus the rank-exact
+   * median: the repeat-purchase activation lever ("get them back within
+   * N days or lose them") — x159's life table tracks first conversion,
+   * this tracks the habit forming AFTER it. One-time buyers are counted
+   * separately (they're the population the lever acts on), never mixed
+   * into the gap distribution.
+   *
+   * Scale shape: per-user first/second purchase via one keyed aggregate
+   * of (min ts, min-above-min ts) — two MIN structs, no window; the
+   * histogram is a ≤16-band rollup and the median runs value-collapsed
+   * ([[lowerMedianByValue]]).
+   */
+  def timeToSecondPurchase(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, purchaseType: String): DataFrame = {
+    val p = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull
+        && col(typeCol) === purchaseType)
+      .select(col(userCol), to_date(col(tsCol)).as("__d"))
+    val firsts = p.groupBy(col(userCol)).agg(min(col("__d")).as("__f"))
+    val seconds = p.join(firsts, Seq(userCol.toString))
+      .filter(col("__d") > col("__f"))
+      .groupBy(col(userCol)).agg(min(col("__d")).as("__s"),
+        first(col("__f")).as("__f2"))
+    val gaps = seconds
+      .select(datediff(col("__s"), col("__f2")).cast("long").as("__g"))
+    val counts = firsts.agg(count(lit(1)).as("__buyers"))
+      .crossJoin(gaps.agg(count(lit(1)).as("__repeat")))
+    val med = lowerMedianByValue(gaps, Nil, "__g")
+    gaps
+      .withColumn("gap_band", (length(bin(col("__g"))) - 1).cast("int"))
+      .groupBy("gap_band")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(counts))
+      .crossJoin(broadcast(med.select(col("__v").as("__med"))))
+      .select(col("gap_band"), col("n_users"),
+        col("__buyers").as("n_buyers_total"),
+        col("__repeat").as("n_repeat_buyers"),
+        col("__med").as("median_gap_days"))
+      .orderBy("gap_band")
+  }
+
+  /**
    * CADENCE DISPERSION census — users classified by the dispersion
    * index of their inter-event gaps (D = σ²/μ; Poisson arrivals sit at
    * D ≈ 1): `bursty` (D > 2 — sessions and silences), `poisson_like`,

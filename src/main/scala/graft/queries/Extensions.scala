@@ -2830,6 +2830,14 @@ object Extensions {
       .orderBy("month")
   }
 
+  /** x307 — time-to-second-purchase ([[Analytics.timeToSecondPurchase]]):
+    * whole-day first→second purchase gaps in log2 bands with the exact
+    * median — the habit-forming lever x159's first-conversion table
+    * stops short of. */
+  private val x307: Q = (spark, sfDir) =>
+    Analytics.timeToSecondPurchase(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_type", "purchase")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3567,7 +3575,8 @@ object Extensions {
     "x303_token_budget_matrix" -> x303,
     "x304_embedding_coverage" -> x304,
     "x305_arpu_trend" -> x305,
-    "x306_new_returning_revenue" -> x306)
+    "x306_new_returning_revenue" -> x306,
+    "x307_time_to_second_purchase" -> x307)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7321,6 +7330,30 @@ object Extensions {
          |   THEN SUM(CASE WHEN month = f THEN c ELSE 0 END) * 1000000
          |     // SUM(c) ELSE 0 END AS BIGINT) AS new_share_ppm
          |FROM p GROUP BY 1 ORDER BY month"""
+        .stripMargin.replace("\n", " ")),
+    "x307_time_to_second_purchase" ->
+      ("""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_type = 'purchase'),
+         |f AS (SELECT user_id, MIN(d) AS fd FROM p GROUP BY 1),
+         |s AS (SELECT p.user_id, MIN(p.d) AS sd, MIN(f.fd) AS fd
+         |  FROM p JOIN f ON p.user_id = f.user_id AND p.d > f.fd
+         |  GROUP BY 1),
+         |g AS (SELECT CAST(date_diff('day', fd, sd) AS BIGINT) AS gp FROM s),
+         |buyers AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM f),
+         |rep AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM g),
+         |gv AS (SELECT gp, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+         |cum AS (SELECT gp, CAST(SUM(c) OVER (ORDER BY gp) AS BIGINT) AS cw,
+         |  CAST(SUM(c) OVER () AS BIGINT) AS tw FROM gv),
+         |med AS (SELECT CAST(MIN(gp) AS BIGINT) AS m FROM cum
+         |  WHERE cw * 2 >= tw)
+         |SELECT CAST(length(format('{:b}', gp)) - 1 AS INT) AS gap_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(buyers.b AS BIGINT) AS n_buyers_total,
+         | CAST(rep.r AS BIGINT) AS n_repeat_buyers,
+         | CAST(med.m AS BIGINT) AS median_gap_days
+         |FROM g, buyers, rep, med
+         |GROUP BY 1, buyers.b, rep.r, med.m ORDER BY gap_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
