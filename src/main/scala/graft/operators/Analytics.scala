@@ -2642,6 +2642,49 @@ object Analytics {
   }
 
   /**
+   * CONVERSION LATENCY by channel — per first-touch event type: how many
+   * users arrived through it, how many ever purchased, and the
+   * rank-exact median days from first touch to first purchase. The
+   * channel-quality table x250's arrival counts only hint at — a channel
+   * can deliver volume that never converts, or few users who convert
+   * same-day, and only latency + rate together rank the spend.
+   *
+   * Scale shape: first touch = one keyed `min(struct)` (the x250 shape);
+   * first purchase = one keyed MIN; the join is user-keyed; medians run
+   * value-collapsed per |channels|-bounded group
+   * ([[lowerMedianByValue]]).
+   */
+  def conversionLatencyByChannel(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      purchaseType: String): DataFrame = {
+    val clean = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull
+      && col(idCol).isNotNull && col(typeCol).isNotNull)
+    val firstTouch = clean.groupBy(col(userCol))
+      .agg(min(struct(col(tsCol).as("ts"), col(idCol).as("id"),
+        col(typeCol).as("t"))).as("f"))
+      .select(col(userCol), to_date(col("f.ts")).as("__fd"),
+        col("f.t").as("channel"))
+    val firstPurchase = clean.filter(col(typeCol) === purchaseType)
+      .groupBy(col(userCol)).agg(min(to_date(col(tsCol))).as("__pd"))
+    val joined = firstTouch.join(firstPurchase, Seq(userCol.toString), "left")
+      .withColumn("__gap", datediff(col("__pd"), col("__fd")).cast("long"))
+    val meds = lowerMedianByValue(
+      joined.filter(col("__gap").isNotNull)
+        .select(col("channel"), col("__gap")),
+      Seq("channel"), "__gap")
+      .select(col("channel"), col("__v").as("median_days_to_purchase"))
+    joined.groupBy("channel")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("__gap").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+      .join(meds, Seq("channel"), "left")
+      .select(col("channel"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 DIV n_users").as("conversion_ppm"),
+        coalesce(col("median_days_to_purchase"), lit(-1L))
+          .as("median_days_to_purchase"))
+      .orderBy("channel")
+  }
+
+  /**
    * TIME-TO-SECOND-PURCHASE — whole-day gaps between each buyer's first
    * and second purchase, as a log2-band histogram plus the rank-exact
    * median: the repeat-purchase activation lever ("get them back within

@@ -2838,6 +2838,14 @@ object Extensions {
     Analytics.timeToSecondPurchase(Tables(spark, sfDir, "events"),
       "user_id", "ts", "event_type", "purchase")
 
+  /** x308 — conversion latency by channel
+    * ([[Analytics.conversionLatencyByChannel]]): per first-touch type,
+    * conversion rate AND median days to first purchase — volume, rate,
+    * and latency together rank the spend. */
+  private val x308: Q = (spark, sfDir) =>
+    Analytics.conversionLatencyByChannel(Tables(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3576,7 +3584,8 @@ object Extensions {
     "x304_embedding_coverage" -> x304,
     "x305_arpu_trend" -> x305,
     "x306_new_returning_revenue" -> x306,
-    "x307_time_to_second_purchase" -> x307)
+    "x307_time_to_second_purchase" -> x307,
+    "x308_conversion_latency" -> x308)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7355,6 +7364,39 @@ object Extensions {
          |FROM g, buyers, rep, med
          |GROUP BY 1, buyers.b, rep.r, med.m ORDER BY gap_band"""
         .stripMargin.replace("\n", " ")),
+    "x308_conversion_latency" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |ft0 AS (SELECT user_id, MIN(ts) AS fts FROM e GROUP BY 1),
+         |ft1 AS (SELECT e.user_id, e.ts, MIN(event_id) AS fid FROM e
+         |  JOIN ft0 ON e.user_id = ft0.user_id AND e.ts = ft0.fts
+         |  GROUP BY 1, 2),
+         |ft AS (SELECT e.user_id, CAST(e.ts AS DATE) AS fd,
+         |  e.event_type AS channel
+         | FROM e JOIN ft1 ON e.user_id = ft1.user_id AND e.ts = ft1.ts
+         |  AND e.event_id = ft1.fid),
+         |fp AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS pd FROM e
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |j AS (SELECT ft.channel,
+         |  CAST(date_diff('day', ft.fd, fp.pd) AS BIGINT) AS gap
+         | FROM ft LEFT JOIN fp ON ft.user_id = fp.user_id),
+         |gv AS (SELECT channel, gap, CAST(COUNT(*) AS BIGINT) AS c FROM j
+         |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT channel, gap,
+         |  CAST(SUM(c) OVER (PARTITION BY channel ORDER BY gap) AS BIGINT)
+         |    AS cw,
+         |  CAST(SUM(c) OVER (PARTITION BY channel) AS BIGINT) AS tw FROM gv),
+         |md AS (SELECT channel, CAST(MIN(gap) AS BIGINT) AS med FROM cum
+         |  WHERE cw * 2 >= tw GROUP BY 1),
+         |ag AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_converted FROM j GROUP BY 1)
+         |SELECT ag.channel, n_users, n_converted,
+         | CAST(n_converted * 1000000 // n_users AS BIGINT) AS conversion_ppm,
+         | CAST(COALESCE(md.med, -1) AS BIGINT) AS median_days_to_purchase
+         |FROM ag LEFT JOIN md ON ag.channel = md.channel
+         |ORDER BY ag.channel""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
