@@ -2846,6 +2846,28 @@ object Extensions {
     Analytics.conversionLatencyByChannel(Tables(spark, sfDir, "events"),
       "user_id", "ts", "event_id", "event_type", "purchase")
 
+  /** x309 — fulfillment service-level sweep: share of orders fully
+    * shipped within k days of first shipment for k ∈ {0, 7, 14, 30} —
+    * the SLA curve from ONE pass over per-order spans (the x244
+    * one-scan sweep discipline applied to x290's spans). */
+  private val x309: Q = (spark, sfDir) => {
+    val spans = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_shipdate").isNotNull)
+      .groupBy("l_orderkey")
+      .agg(datediff(max(to_date(col("l_shipdate"))),
+        min(to_date(col("l_shipdate")))).cast("long").as("__span"))
+    val ks = Seq(0L, 7L, 14L, 30L)
+    val aggs = count(lit(1)).as("__n") +:
+      ks.map(k => sum(when(col("__span") <= k, 1L).otherwise(0L)).as(s"__w$k"))
+    val row = spans.agg(aggs.head, aggs.tail: _*)
+    val stacked = ks.map(k => s"${k}L, __w$k").mkString(", ")
+    row.select(col("__n"),
+        expr(s"stack(${ks.size}, $stacked) AS (within_days, n_within)"))
+      .select(col("within_days"), col("n_within"), col("__n").as("n_orders"),
+        expr("n_within * 1000000 DIV __n").as("service_ppm"))
+      .orderBy("within_days")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3585,7 +3607,8 @@ object Extensions {
     "x305_arpu_trend" -> x305,
     "x306_new_returning_revenue" -> x306,
     "x307_time_to_second_purchase" -> x307,
-    "x308_conversion_latency" -> x308)
+    "x308_conversion_latency" -> x308,
+    "x309_service_level_sweep" -> x309)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7397,6 +7420,25 @@ object Extensions {
          | CAST(COALESCE(md.med, -1) AS BIGINT) AS median_days_to_purchase
          |FROM ag LEFT JOIN md ON ag.channel = md.channel
          |ORDER BY ag.channel""".stripMargin.replace("\n", " ")),
+    "x309_service_level_sweep" ->
+      ("""WITH per AS (SELECT l_orderkey,
+         |  CAST(date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+         |    MAX(CAST(l_shipdate AS DATE))) AS BIGINT) AS span
+         | FROM lineitem WHERE l_orderkey IS NOT NULL
+         |  AND l_shipdate IS NOT NULL GROUP BY 1),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN span <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+         |  CAST(SUM(CASE WHEN span <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS w7,
+         |  CAST(SUM(CASE WHEN span <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS w14,
+         |  CAST(SUM(CASE WHEN span <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS w30
+         | FROM per)
+         |SELECT CAST(0 AS BIGINT) AS within_days, w0 AS n_within,
+         |  n AS n_orders, CAST(w0 * 1000000 // n AS BIGINT) AS service_ppm
+         | FROM b
+         |UNION ALL SELECT 7, w7, n, CAST(w7 * 1000000 // n AS BIGINT) FROM b
+         |UNION ALL SELECT 14, w14, n, CAST(w14 * 1000000 // n AS BIGINT) FROM b
+         |UNION ALL SELECT 30, w30, n, CAST(w30 * 1000000 // n AS BIGINT) FROM b
+         |ORDER BY within_days""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
