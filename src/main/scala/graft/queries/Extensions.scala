@@ -2868,6 +2868,30 @@ object Extensions {
       .orderBy("within_days")
   }
 
+  /** x310 — repeat rate by first-basket size: do customers whose FIRST
+    * order had more lines come back more? — the onboarding-breadth
+    * hypothesis read exactly; first order via keyed min(struct), line
+    * counts from the collapsed per-order frame. */
+  private val x310: Q = (spark, sfDir) => {
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+    val perCust = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("k")))
+          .as("__f"))
+      .select(col("o_custkey"), col("__n"), col("__f.k").as("__first_order"))
+    val lines = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("__first_order"))
+      .agg(count(lit(1)).as("__lines"))
+    perCust.join(lines, "__first_order")
+      .groupBy(col("__lines").as("first_order_lines"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("first_order_lines"), col("n_customers"), col("n_repeat"),
+        expr("n_repeat * 1000000 DIV n_customers").as("repeat_ppm"))
+      .orderBy("first_order_lines")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3608,7 +3632,8 @@ object Extensions {
     "x306_new_returning_revenue" -> x306,
     "x307_time_to_second_purchase" -> x307,
     "x308_conversion_latency" -> x308,
-    "x309_service_level_sweep" -> x309)
+    "x309_service_level_sweep" -> x309,
+    "x310_repeat_by_first_basket" -> x310)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7439,6 +7464,26 @@ object Extensions {
          |UNION ALL SELECT 14, w14, n, CAST(w14 * 1000000 // n AS BIGINT) FROM b
          |UNION ALL SELECT 30, w30, n, CAST(w30 * 1000000 // n AS BIGINT) FROM b
          |ORDER BY within_days""".stripMargin.replace("\n", " ")),
+    "x310_repeat_by_first_basket" ->
+      ("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+         |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |pc0 AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(o_orderdate) AS fd FROM o GROUP BY 1),
+         |pc AS (SELECT o.o_custkey, pc0.n,
+         |  MIN(o.o_orderkey) AS first_order
+         | FROM o JOIN pc0 ON o.o_custkey = pc0.o_custkey
+         |  AND o.o_orderdate = pc0.fd GROUP BY 1, 2),
+         |ln AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS lines
+         |  FROM lineitem GROUP BY 1)
+         |SELECT ln.lines AS first_order_lines,
+         | CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(CASE WHEN pc.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_repeat,
+         | CAST(SUM(CASE WHEN pc.n >= 2 THEN 1 ELSE 0 END) * 1000000
+         |   // COUNT(*) AS BIGINT) AS repeat_ppm
+         |FROM pc JOIN ln ON pc.first_order = ln.l_orderkey
+         |GROUP BY 1 ORDER BY first_order_lines"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
