@@ -2892,6 +2892,28 @@ object Extensions {
       .orderBy("first_order_lines")
   }
 
+  /** x311 — co-purchase degree census: brands by how many DISTINCT other
+    * brands they share an order with, in log2 bands — hub brands anchor
+    * cross-sell, isolated ones are category islands; basket-bounded
+    * pair join, |brands| collapse. */
+  private val x311: Q = (spark, sfDir) => {
+    val ob = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_orderkey").isNotNull && col("p_brand").isNotNull)
+      .select(col("l_orderkey").as("__o"), col("p_brand").as("__b"))
+      .distinct()
+    val deg = ob.as("a")
+      .join(ob.as("b"),
+        col("a.__o") === col("b.__o") && col("a.__b") =!= col("b.__b"))
+      .select(col("a.__b").as("brand"), col("b.__b").as("partner"))
+      .distinct()
+      .groupBy("brand").agg(count(lit(1)).as("__deg"))
+    deg.groupBy((length(bin(col("__deg"))) - 1).cast("int").as("degree_band"))
+      .agg(count(lit(1)).as("n_brands"),
+        min(col("__deg")).as("min_degree"), max(col("__deg")).as("max_degree"))
+      .orderBy("degree_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3633,7 +3655,8 @@ object Extensions {
     "x307_time_to_second_purchase" -> x307,
     "x308_conversion_latency" -> x308,
     "x309_service_level_sweep" -> x309,
-    "x310_repeat_by_first_basket" -> x310)
+    "x310_repeat_by_first_basket" -> x310,
+    "x311_copurchase_degree_census" -> x311)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7483,6 +7506,20 @@ object Extensions {
          |   // COUNT(*) AS BIGINT) AS repeat_ppm
          |FROM pc JOIN ln ON pc.first_order = ln.l_orderkey
          |GROUP BY 1 ORDER BY first_order_lines"""
+        .stripMargin.replace("\n", " ")),
+    "x311_copurchase_degree_census" ->
+      ("""WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+         |pr AS (SELECT DISTINCT a.b AS brand, c.b AS partner
+         |  FROM ob a JOIN ob c ON a.o = c.o AND a.b <> c.b),
+         |dg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS deg FROM pr
+         |  GROUP BY 1)
+         |SELECT CAST(length(format('{:b}', deg)) - 1 AS INT) AS degree_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_brands,
+         | CAST(MIN(deg) AS BIGINT) AS min_degree,
+         | CAST(MAX(deg) AS BIGINT) AS max_degree
+         |FROM dg GROUP BY 1 ORDER BY degree_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
