@@ -2914,6 +2914,77 @@ object Extensions {
       .orderBy("degree_band")
   }
 
+  /** x312 — hapax share per source: fraction of each source's DISTINCT
+    * vocabulary that occurs exactly once corpus-wide — the classic
+    * noisy-text signal (typos, serial numbers, and boilerplate IDs
+    * inflate hapaxes; curated prose doesn't). Scale shape: per-
+    * (source, word) collapse FIRST, corpus totals from the collapsed
+    * frame, so every exchange after the first scan is |vocab|-bounded. */
+  private val x312: Q = (spark, sfDir) => {
+    val sw = docs(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("source", "__w").agg(count(lit(1)).as("__k"))
+    val tot = sw.groupBy("__w").agg(sum(col("__k")).as("__n"))
+    sw.join(tot, "__w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_vocab"), col("n_hapax"),
+        expr("n_hapax * 1000000 DIV n_vocab").as("hapax_ppm"))
+      .orderBy("source")
+  }
+
+  /** x313 — supplier return-rate census: per-supplier returned-line ppm
+    * (l_returnflag = 'R') over a minimum-volume floor, banded in 10%
+    * ppm bands — the vendor-scorecard DISTRIBUTION at a glance (x299
+    * ranks brands; this profiles the whole supplier population).
+    * Supplier frame is |suppliers|-bounded after the first groupBy; no
+    * windows anywhere. */
+  private val x313: Q = (spark, sfDir) => {
+    val sup = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey").isNotNull && col("l_returnflag").isNotNull)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__r"))
+      .filter(col("__n") >= 3)
+      .select(col("l_suppkey"), expr("__r * 1000000 DIV __n").as("__ppm"))
+    sup.groupBy(expr("__ppm DIV 100000").cast("int").as("return_band"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("__ppm")).as("min_ppm"), max(col("__ppm")).as("max_ppm"))
+      .orderBy("return_band")
+  }
+
+  /** x314 — order-priority mix drift: year-over-year L1 distance between
+    * the priority share vectors (exact integer ppm) — the categorical
+    * data-drift monitor every ingest pipeline wants (x157 watches schema,
+    * x247 watches embeddings; this watches a label DISTRIBUTION). The
+    * year×priority spine makes categories that vanish count their full
+    * share as drift; lag is over the previous OBSERVED year. Window
+    * partition = priority (category-bounded), never row-sized. */
+  private val x314: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cell = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_orderpriority").isNotNull)
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
+        col("o_orderpriority").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val yrTot = cell.groupBy("yr").agg(sum(col("__n")).as("__t"))
+    val share = cell.join(yrTot, "yr")
+      .select(col("yr"), col("__p"), expr("__n * 1000000 DIV __t").as("__s"))
+    val spine = yrTot.select("yr")
+      .crossJoin(broadcast(cell.select("__p").distinct()))
+    val w = Window.partitionBy("__p").orderBy("yr")
+    spine.join(share, Seq("yr", "__p"), "left")
+      .select(col("yr"), col("__p"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy("yr")
+      .agg(sum(abs(col("__s") - col("__prev"))).as("l1_drift_ppm"),
+        count(lit(1)).as("n_categories"))
+      .orderBy("yr")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3656,7 +3727,10 @@ object Extensions {
     "x308_conversion_latency" -> x308,
     "x309_service_level_sweep" -> x309,
     "x310_repeat_by_first_basket" -> x310,
-    "x311_copurchase_degree_census" -> x311)
+    "x311_copurchase_degree_census" -> x311,
+    "x312_hapax_share" -> x312,
+    "x313_supplier_return_census" -> x313,
+    "x314_priority_mix_drift" -> x314)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7520,6 +7594,52 @@ object Extensions {
          | CAST(MIN(deg) AS BIGINT) AS min_degree,
          | CAST(MAX(deg) AS BIGINT) AS max_degree
          |FROM dg GROUP BY 1 ORDER BY degree_band"""
+        .stripMargin.replace("\n", " ")),
+    "x312_hapax_share" ->
+      ("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS k FROM w
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |tt AS (SELECT w, SUM(k) AS n FROM sw GROUP BY 1)
+         |SELECT sw.source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         | CAST(SUM(CASE WHEN tt.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_hapax,
+         | CAST(SUM(CASE WHEN tt.n = 1 THEN 1 ELSE 0 END) * 1000000
+         |   // COUNT(*) AS BIGINT) AS hapax_ppm
+         |FROM sw JOIN tt ON tt.w = sw.w GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x313_supplier_return_census" ->
+      ("""WITH s AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS r
+         | FROM lineitem WHERE l_suppkey IS NOT NULL
+         |  AND l_returnflag IS NOT NULL
+         | GROUP BY 1 HAVING COUNT(*) >= 3),
+         |p AS (SELECT l_suppkey, CAST(r * 1000000 // n AS BIGINT) AS ppm
+         |  FROM s)
+         |SELECT CAST(ppm // 100000 AS INT) AS return_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         | CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+         | CAST(MAX(ppm) AS BIGINT) AS max_ppm
+         |FROM p GROUP BY 1 ORDER BY return_band"""
+        .stripMargin.replace("\n", " ")),
+    "x314_priority_mix_drift" ->
+      ("""WITH cell AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+         |  o_orderpriority AS p, COUNT(*) AS n FROM orders
+         | WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+         | GROUP BY 1, 2),
+         |yt AS (SELECT yr, SUM(n) AS t FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.yr, p, CAST(n * 1000000 // t AS BIGINT) AS s
+         |  FROM cell JOIN yt ON yt.yr = cell.yr),
+         |spine AS (SELECT yt.yr, pr.p FROM yt
+         |  CROSS JOIN (SELECT DISTINCT p FROM cell) pr),
+         |f AS (SELECT spine.yr, spine.p, COALESCE(sh.s, 0) AS s FROM spine
+         |  LEFT JOIN sh ON sh.yr = spine.yr AND sh.p = spine.p),
+         |lg AS (SELECT yr, p, s,
+         |  LAG(s) OVER (PARTITION BY p ORDER BY yr) AS prev FROM f)
+         |SELECT yr, CAST(SUM(ABS(s - prev)) AS BIGINT) AS l1_drift_ppm,
+         | CAST(COUNT(*) AS BIGINT) AS n_categories
+         |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY yr"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
