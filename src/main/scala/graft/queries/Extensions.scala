@@ -2985,6 +2985,86 @@ object Extensions {
       .orderBy("yr")
   }
 
+  /** x315 — top converting paths: the most common within-session
+    * event-type SEQUENCES (30-min gap sessionization, ≤ 8 events) that
+    * contain a purchase — the path-to-conversion report funnels (x64)
+    * and transition matrices (x141) both flatten away. Windows are
+    * user-partitioned (user-bounded frames); per-session order is pinned
+    * by (ts, event_id) so tie-broken paths agree across engines. */
+  private val x315: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L,
+        1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "__sess")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type").as("et")))).as("__seq"))
+      .select(expr("array_join(transform(__seq, s -> s.et), '>')").as("path"),
+        expr("size(__seq)").as("__len"),
+        expr("array_contains(transform(__seq, s -> s.et), 'purchase')").as("__hit"))
+      .filter(col("__len") <= 8 && col("__hit"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** x316 — inter-order gap quartiles by market segment: exact p25/p50/
+    * p75 of customer reorder gaps in days per segment via
+    * [[Analytics.weightedQuantiles]] (unit weights) — the purchase-
+    * cadence profile a retention model trains on, computed by the
+    * distinct-value cumulative rule (`100·cum ≥ p·total`), never a
+    * row-sized sort. Lag window is customer-partitioned. */
+  private val x316: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    val gaps = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("__d"), col("__prev")).cast("long").as("gap_days"))
+    val j = gaps.join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("gap_days"))
+      .withColumn("__w", lit(1L))
+    Analytics.weightedQuantiles(j, "segment", "gap_days", "__w",
+        probsPct = Seq(25, 50, 75))
+      .select(col("segment"), col("p_pct"),
+        col("q_value").as("gap_days_q"), col("total_weight").as("n_gaps"))
+      .orderBy("segment", "p_pct")
+  }
+
+  /** x317 — character-class mix by source: corpus-level alpha/digit/
+    * space ppm per source from ONE scan (per-doc x08 scores quality;
+    * this profiles the population — a digit-heavy source is tables or
+    * logs, not prose). Row-local regexp lengths, |sources|-bounded
+    * aggregate. */
+  private val x317: Q = (spark, sfDir) => {
+    val t = docs(spark, sfDir).select(col("source"),
+      length(col("text")).cast("long").as("__n"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("__a"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("__d"),
+      length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("__s"))
+    t.groupBy("source")
+      .agg(sum(col("__n")).as("n_chars"), sum(col("__a")).as("__an"),
+        sum(col("__d")).as("__dn"), sum(col("__s")).as("__sn"))
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("n_chars"),
+        expr("__an * 1000000 DIV n_chars").as("alpha_ppm"),
+        expr("__dn * 1000000 DIV n_chars").as("digit_ppm"),
+        expr("__sn * 1000000 DIV n_chars").as("space_ppm"))
+      .orderBy("source")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3730,7 +3810,10 @@ object Extensions {
     "x311_copurchase_degree_census" -> x311,
     "x312_hapax_share" -> x312,
     "x313_supplier_return_census" -> x313,
-    "x314_priority_mix_drift" -> x314)
+    "x314_priority_mix_drift" -> x314,
+    "x315_top_conversion_paths" -> x315,
+    "x316_reorder_gap_quartiles" -> x316,
+    "x317_char_class_mix" -> x317)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7640,6 +7723,57 @@ object Extensions {
          |SELECT yr, CAST(SUM(ABS(s - prev)) AS BIGINT) AS l1_drift_ppm,
          | CAST(COUNT(*) AS BIGINT) AS n_categories
          |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY yr"""
+        .stripMargin.replace("\n", " ")),
+    "x315_top_conversion_paths" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_type IS NOT NULL),
+         |l AS (SELECT *, LAG(ts) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+         |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+         |   OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS UNBOUNDED PRECEDING) AS sess FROM l),
+         |p AS (SELECT user_id, sess,
+         |   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         |   COUNT(*) AS len,
+         |   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+         |  FROM s GROUP BY 1, 2)
+         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         |FROM p WHERE len <= 8 AND np > 0
+         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x316_reorder_gap_quartiles" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |g AS (SELECT o_custkey, d - LAG(d) OVER
+         |  (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap FROM o),
+         |j AS (SELECT c_mktsegment AS segment, CAST(gap AS BIGINT)
+         |   AS gap_days
+         |  FROM g JOIN customer ON c_custkey = o_custkey
+         |  WHERE gap IS NOT NULL),
+         |gv AS (SELECT segment, gap_days, COUNT(*) AS w FROM j GROUP BY 1, 2),
+         |cum AS (SELECT segment, gap_days, w,
+         |  SUM(w) OVER (PARTITION BY segment ORDER BY gap_days) AS cw,
+         |  SUM(w) OVER (PARTITION BY segment) AS tw FROM gv)
+         |SELECT segment, p.p_pct, CAST(MIN(gap_days) AS BIGINT)
+         |  AS gap_days_q, CAST(MAX(tw) AS BIGINT) AS n_gaps
+         |FROM cum CROSS JOIN (VALUES (25), (50), (75)) p(p_pct)
+         |WHERE cw * 100 >= p.p_pct * tw
+         |GROUP BY 1, 2 ORDER BY segment, p_pct"""
+        .stripMargin.replace("\n", " ")),
+    "x317_char_class_mix" ->
+      ("""WITH t AS (SELECT source, length(text) AS n,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+         |  length(regexp_replace(text, '[^ ]', '', 'g')) AS s
+         | FROM documents)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_chars,
+         | CAST(SUM(a) * 1000000 // SUM(n) AS BIGINT) AS alpha_ppm,
+         | CAST(SUM(d) * 1000000 // SUM(n) AS BIGINT) AS digit_ppm,
+         | CAST(SUM(s) * 1000000 // SUM(n) AS BIGINT) AS space_ppm
+         |FROM t GROUP BY 1 HAVING SUM(n) > 0 ORDER BY source"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
