@@ -3065,6 +3065,79 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x318 — exact deterministic MODE of order quantity per brand (tie →
+    * smallest value): DuckDB/Spark `mode()` both leave ties engine-
+    * defined, so the portable spelling is count-collapse then
+    * max(struct(count, −value)) — two vocabulary-bounded aggregates, no
+    * window, deterministic on every engine. */
+  private val x318: Q = (spark, sfDir) => {
+    val c = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_quantity").isNotNull)
+      .groupBy(col("p_brand").as("brand"),
+        col("l_quantity").cast("long").as("__q"))
+      .agg(count(lit(1)).as("__c"))
+    c.groupBy("brand")
+      .agg(max(struct(col("__c"), (-col("__q")).as("__nq"))).as("__m"),
+        sum(col("__c")).as("n_lines"))
+      .select(col("brand"), (-col("__m.__nq")).as("mode_qty"),
+        col("__m.__c").as("n_mode"), col("n_lines"))
+      .orderBy("brand")
+  }
+
+  /** x319 — nation trade balance: revenue netting between customer
+    * nation and supplier nation over canonical unordered pairs — the
+    * TPC-H Q7 volume-shipping shape folded to a NET balance sheet.
+    * Exact integer cents; nation dims broadcast; the flow matrix is
+    * |nations|²-bounded after one group-by. */
+  private val x319: Q = (spark, sfDir) => {
+    val nat = Tables(spark, sfDir, "nation")
+    val flow = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("__ck"),
+        col("n_name").as("__cn"))), col("c_nationkey") === col("__ck"))
+      .join(broadcast(nat.select(col("n_nationkey").as("__sk"),
+        col("n_name").as("__sn"))), col("s_nationkey") === col("__sk"))
+      .filter(col("__cn") =!= col("__sn"))
+      .groupBy("__cn", "__sn")
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__cents"))
+    flow.select(
+        least(col("__cn"), col("__sn")).as("nation_a"),
+        greatest(col("__cn"), col("__sn")).as("nation_b"),
+        when(col("__cn") < col("__sn"), col("__cents")).otherwise(lit(0L)).as("__ab"),
+        when(col("__cn") < col("__sn"), lit(0L)).otherwise(col("__cents")).as("__ba"))
+      .groupBy("nation_a", "nation_b")
+      .agg(sum(col("__ab")).as("a_buys_cents"), sum(col("__ba")).as("b_buys_cents"))
+      .select(col("nation_a"), col("nation_b"), col("a_buys_cents"),
+        col("b_buys_cents"),
+        (col("a_buys_cents") - col("b_buys_cents")).as("net_cents"))
+      .orderBy("nation_a", "nation_b")
+  }
+
+  /** x320 — inactive-customer census by nation: customers with zero
+    * orders as exact ppm per nation — the anti-join census behind every
+    * "reachable but dormant" audience cut. Distinct active keys first
+    * (|customers|-bounded), nation dim broadcast. */
+  private val x320: Q = (spark, sfDir) => {
+    val active = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull).select("o_custkey").distinct()
+    Tables(spark, sfDir, "customer")
+      .join(active, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_inactive"))
+      .select(col("nation"), col("n_customers"), col("n_inactive"),
+        expr("n_inactive * 1000000 DIV n_customers").as("inactive_ppm"))
+      .orderBy("nation")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3813,7 +3886,10 @@ object Extensions {
     "x314_priority_mix_drift" -> x314,
     "x315_top_conversion_paths" -> x315,
     "x316_reorder_gap_quartiles" -> x316,
-    "x317_char_class_mix" -> x317)
+    "x317_char_class_mix" -> x317,
+    "x318_brand_quantity_mode" -> x318,
+    "x319_nation_trade_balance" -> x319,
+    "x320_inactive_customer_census" -> x320)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7774,6 +7850,52 @@ object Extensions {
          | CAST(SUM(d) * 1000000 // SUM(n) AS BIGINT) AS digit_ppm,
          | CAST(SUM(s) * 1000000 // SUM(n) AS BIGINT) AS space_ppm
          |FROM t GROUP BY 1 HAVING SUM(n) > 0 ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x318_brand_quantity_mode" ->
+      ("""WITH c AS (SELECT p_brand AS brand, CAST(l_quantity AS BIGINT)
+         |   AS q, COUNT(*) AS n
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand IS NOT NULL AND l_quantity IS NOT NULL
+         |  GROUP BY 1, 2),
+         |r AS (SELECT brand, q, n,
+         |  ROW_NUMBER() OVER (PARTITION BY brand ORDER BY n DESC, q) AS rk,
+         |  SUM(n) OVER (PARTITION BY brand) AS t FROM c)
+         |SELECT brand, CAST(q AS BIGINT) AS mode_qty,
+         | CAST(n AS BIGINT) AS n_mode, CAST(t AS BIGINT) AS n_lines
+         |FROM r WHERE rk = 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x319_nation_trade_balance" ->
+      ("""WITH f AS (SELECT cn.n_name AS cust_nation, sn.n_name
+         |   AS supp_nation,
+         |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS cents
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         | WHERE cn.n_name <> sn.n_name GROUP BY 1, 2),
+         |p AS (SELECT least(cust_nation, supp_nation) AS nation_a,
+         |  greatest(cust_nation, supp_nation) AS nation_b,
+         |  CASE WHEN cust_nation < supp_nation THEN cents ELSE 0 END AS ab,
+         |  CASE WHEN cust_nation < supp_nation THEN 0 ELSE cents END AS ba
+         | FROM f)
+         |SELECT nation_a, nation_b, CAST(SUM(ab) AS BIGINT)
+         |  AS a_buys_cents, CAST(SUM(ba) AS BIGINT) AS b_buys_cents,
+         | CAST(SUM(ab) - SUM(ba) AS BIGINT) AS net_cents
+         |FROM p GROUP BY 1, 2 ORDER BY nation_a, nation_b"""
+        .stripMargin.replace("\n", " ")),
+    "x320_inactive_customer_census" ->
+      ("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+         |  WHERE o_custkey IS NOT NULL)
+         |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(CASE WHEN a.o_custkey IS NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_inactive,
+         | CAST(SUM(CASE WHEN a.o_custkey IS NULL THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS inactive_ppm
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | LEFT JOIN a ON c_custkey = a.o_custkey
+         |GROUP BY 1 ORDER BY nation"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
