@@ -3138,6 +3138,86 @@ object Extensions {
       .orderBy("nation")
   }
 
+  /** x321 — brand momentum: first-vs-last CALENDAR-year revenue per
+    * brand with exact growth ppm — spelled `ratio − 1e6` so the integer
+    * division only ever sees positive operands (DuckDB `//` floors,
+    * Spark `DIV` truncates; they agree only on positives — the x103
+    * lesson). The ratio stages through DECIMAL(38,0) on the Spark side
+    * for the claimed-scale overflow bound. */
+  private val x321: Q = (spark, sfDir) => {
+    val rev = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("p_brand").as("brand"),
+        year(to_date(col("o_orderdate"))).as("__yr"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val span = rev.agg(min(col("__yr")).as("__y0"), max(col("__yr")).as("__y1"))
+    rev.crossJoin(broadcast(span))
+      .groupBy("brand")
+      .agg(max(col("__y0")).as("first_year"), max(col("__y1")).as("last_year"),
+        sum(when(col("__yr") === col("__y0"), col("__c")).otherwise(0L))
+          .as("rev_first_cents"),
+        sum(when(col("__yr") === col("__y1"), col("__c")).otherwise(0L))
+          .as("rev_last_cents"))
+      .select(col("brand"), col("first_year"), col("last_year"),
+        col("rev_first_cents"), col("rev_last_cents"),
+        when(col("rev_first_cents") > 0,
+          expr("CAST(CAST(rev_last_cents AS DECIMAL(38,0)) * 1000000" +
+            " DIV rev_first_cents AS BIGINT) - 1000000"))
+          .otherwise(lit(null).cast("long")).as("growth_ppm"))
+      .orderBy("brand")
+  }
+
+  /** x322 — month-end concentration: share of each month's order value
+    * landing in the last 3 calendar days vs the uniform expectation
+    * (3/days-in-month) — the quota-stuffing / batch-posting fingerprint.
+    * One scan; month frame is |months|-bounded. `trunc(_, "month")`
+    * stays DATE on both engines (the date_trunc TIMESTAMP trap). */
+  private val x322: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(to_date(col("o_orderdate")).as("__d"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .withColumn("__m", trunc(col("__d"), "month"))
+      .withColumn("__dim", dayofmonth(last_day(col("__d"))))
+    o.groupBy(col("__m").as("month"), col("__dim").as("n_days"))
+      .agg(sum(col("__c")).as("total_cents"),
+        sum(when(dayofmonth(col("__d")) >= col("__dim") - 2, col("__c"))
+          .otherwise(0L)).as("last3_cents"))
+      .filter(col("total_cents") > 0)
+      .select(col("month"), col("n_days"), col("total_cents"),
+        col("last3_cents"),
+        expr("last3_cents * 1000000 DIV total_cents").as("actual_ppm"),
+        expr("CAST(3000000 DIV n_days AS BIGINT)").as("expected_ppm"))
+      .withColumn("excess_ppm", col("actual_ppm") - col("expected_ppm"))
+      .orderBy("month")
+  }
+
+  /** x323 — volume-discount curve: exact mean discount ppm per quantity
+    * decade band with the step vs the previous band — does the pricing
+    * ladder actually climb? Discounts go through DECIMAL(8,6) (a double
+    * ×1e6 cast truncates into off-by-one ppm). The lag window rides the
+    * band spine (≤ 6 rows), not row data. */
+  private val x323: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bands = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_discount").isNotNull)
+      .select(expr("CAST(CAST(l_quantity AS BIGINT) DIV 10 AS INT)")
+          .as("qty_band"),
+        (col("l_discount").cast("decimal(8,6)") * 1000000).cast("long")
+          .as("__dppm"))
+      .groupBy("qty_band")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(__dppm) DIV COUNT(1)").as("mean_discount_ppm"))
+    bands
+      .withColumn("delta_vs_prev", col("mean_discount_ppm") -
+        lag(col("mean_discount_ppm"), 1).over(Window.orderBy("qty_band")))
+      .orderBy("qty_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3889,7 +3969,10 @@ object Extensions {
     "x317_char_class_mix" -> x317,
     "x318_brand_quantity_mode" -> x318,
     "x319_nation_trade_balance" -> x319,
-    "x320_inactive_customer_census" -> x320)
+    "x320_inactive_customer_census" -> x320,
+    "x321_brand_momentum" -> x321,
+    "x322_month_end_concentration" -> x322,
+    "x323_volume_discount_curve" -> x323)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7897,6 +7980,60 @@ object Extensions {
          | LEFT JOIN a ON c_custkey = a.o_custkey
          |GROUP BY 1 ORDER BY nation"""
         .stripMargin.replace("\n", " ")),
+    "x321_brand_momentum" ->
+      ("""WITH r AS (SELECT p_brand AS brand,
+         |  year(CAST(o_orderdate AS DATE)) AS yr,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND o_orderdate IS NOT NULL),
+         |s AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM r),
+         |b AS (SELECT brand, MAX(y0) AS first_year, MAX(y1) AS last_year,
+         |  CAST(SUM(CASE WHEN yr = y0 THEN c ELSE 0 END) AS BIGINT)
+         |   AS rev_first_cents,
+         |  CAST(SUM(CASE WHEN yr = y1 THEN c ELSE 0 END) AS BIGINT)
+         |   AS rev_last_cents
+         | FROM r, s GROUP BY 1)
+         |SELECT brand, first_year, last_year, rev_first_cents,
+         | rev_last_cents,
+         | CASE WHEN rev_first_cents > 0 THEN
+         |   CAST(CAST(rev_last_cents AS HUGEINT) * 1000000
+         |    // rev_first_cents AS BIGINT) - 1000000
+         |  ELSE NULL END AS growth_ppm
+         |FROM b ORDER BY brand""".stripMargin.replace("\n", " ")),
+    "x322_month_end_concentration" ->
+      ("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders WHERE o_orderdate IS NOT NULL),
+         |g AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         |  date_part('day', last_day(d)) AS n_days,
+         |  CAST(SUM(c) AS BIGINT) AS total_cents,
+         |  CAST(SUM(CASE WHEN date_part('day', d) >=
+         |    date_part('day', last_day(d)) - 2 THEN c ELSE 0 END)
+         |   AS BIGINT) AS last3_cents
+         | FROM o GROUP BY 1, 2 HAVING SUM(c) > 0)
+         |SELECT month, n_days, total_cents, last3_cents,
+         | CAST(last3_cents * 1000000 // total_cents AS BIGINT)
+         |  AS actual_ppm,
+         | CAST(3000000 // n_days AS BIGINT) AS expected_ppm,
+         | CAST(last3_cents * 1000000 // total_cents AS BIGINT)
+         |  - CAST(3000000 // n_days AS BIGINT) AS excess_ppm
+         |FROM g ORDER BY month""".stripMargin.replace("\n", " ")),
+    "x323_volume_discount_curve" ->
+      ("""WITH b AS (SELECT
+         |  CAST(CAST(l_quantity AS BIGINT) // 10 AS INT) AS qty_band,
+         |  CAST(CAST(l_discount AS DECIMAL(8,6)) * 1000000 AS BIGINT)
+         |   AS dppm
+         | FROM lineitem
+         | WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+         |g AS (SELECT qty_band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(dppm) // COUNT(*) AS BIGINT) AS mean_discount_ppm
+         | FROM b GROUP BY 1)
+         |SELECT qty_band, n_lines, mean_discount_ppm,
+         | mean_discount_ppm - LAG(mean_discount_ppm)
+         |  OVER (ORDER BY qty_band) AS delta_vs_prev
+         |FROM g ORDER BY qty_band""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
