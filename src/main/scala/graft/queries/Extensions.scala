@@ -3218,6 +3218,70 @@ object Extensions {
       .orderBy("qty_band")
   }
 
+  /** x324 — balance-band activity split: customer account-balance bands
+    * (negative / low / high) vs their order activity — the credit-risk
+    * read "do indebted customers still buy?". Left join against the
+    * per-customer order rollup (customer-bounded), 3-row output. */
+  private val x324: Q = (spark, sfDir) => {
+    val po = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("__no"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("__rev"))
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__b"))
+      .join(po, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        when(col("__b") < 0, "1_negative")
+          .when(col("__b") < 500000L, "2_low").otherwise("3_high")
+          .as("bal_band"),
+        coalesce(col("__no"), lit(0L)).as("__no"),
+        coalesce(col("__rev"), lit(0L)).as("__rev"))
+      .groupBy("bal_band")
+      .agg(count(lit(1)).as("n_customers"), sum(col("__no")).as("n_orders"),
+        sum(col("__rev")).as("rev_cents"))
+      .select(col("bal_band"), col("n_customers"), col("n_orders"),
+        col("rev_cents"),
+        expr("n_orders * 1000 DIV n_customers").as("orders_per_k"))
+      .orderBy("bal_band")
+  }
+
+  /** x325 — brand seasonal index: month-of-year revenue index per brand
+    * in ppm of the uniform 1/12 share (1 000 000 = no seasonality) —
+    * the demand-shape fingerprint feeding x223's seasonal-naive
+    * baseline. |brands|×12 cells; the numerator stages through
+    * DECIMAL(38,0) (cents × 12e6 outruns Long at claimed scale). */
+  private val x325: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("p_brand").as("brand"),
+        month(to_date(col("o_orderdate"))).as("mo"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("month_cents"))
+    val tot = cell.groupBy("brand").agg(sum(col("month_cents")).as("__t"))
+    cell.join(tot, "brand")
+      .select(col("brand"), col("mo"), col("month_cents"),
+        expr("CAST(CAST(month_cents AS DECIMAL(38,0)) * 12000000 DIV __t" +
+          " AS BIGINT)").as("seasonal_index_ppm"))
+      .orderBy("brand", "mo")
+  }
+
+  /** x326 — cross-LANGUAGE dup census ([[Dedup.crossSourceDups]] keyed
+    * on lang): verified near-dup pairs bucketed by language pair —
+    * off-diagonal mass is copied-untranslated contamination, the thing a
+    * per-language dedup pass structurally cannot see. Ninth consumer of
+    * the LSH pair staging. */
+  private val x326: Q = (spark, sfDir) =>
+    Dedup.crossSourceDups(docs(spark, sfDir), lshPairs(spark, sfDir),
+        "doc_id", "lang")
+      .select(col("source_1").as("lang_1"), col("source_2").as("lang_2"),
+        col("n_pairs"))
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -3972,7 +4036,10 @@ object Extensions {
     "x320_inactive_customer_census" -> x320,
     "x321_brand_momentum" -> x321,
     "x322_month_end_concentration" -> x322,
-    "x323_volume_discount_curve" -> x323)
+    "x323_volume_discount_curve" -> x323,
+    "x324_balance_band_activity" -> x324,
+    "x325_brand_seasonal_index" -> x325,
+    "x326_cross_lang_dups" -> x326)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8034,6 +8101,49 @@ object Extensions {
          | mean_discount_ppm - LAG(mean_discount_ppm)
          |  OVER (ORDER BY qty_band) AS delta_vs_prev
          |FROM g ORDER BY qty_band""".stripMargin.replace("\n", " ")),
+    "x324_balance_band_activity" ->
+      ("""WITH po AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev
+         | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |c AS (SELECT CASE
+         |   WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    < 0 THEN '1_negative'
+         |   WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    < 500000 THEN '2_low' ELSE '3_high' END AS bal_band,
+         |  COALESCE(po.no, 0) AS no, COALESCE(po.rev, 0) AS rev
+         | FROM customer LEFT JOIN po ON c_custkey = po.o_custkey)
+         |SELECT bal_band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(no) AS BIGINT) AS n_orders,
+         | CAST(SUM(rev) AS BIGINT) AS rev_cents,
+         | CAST(SUM(no) * 1000 // COUNT(*) AS BIGINT) AS orders_per_k
+         |FROM c GROUP BY 1 ORDER BY bal_band"""
+        .stripMargin.replace("\n", " ")),
+    "x325_brand_seasonal_index" ->
+      ("""WITH cell AS (SELECT p_brand AS brand,
+         |  month(CAST(o_orderdate AS DATE)) AS mo,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS month_cents
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND o_orderdate IS NOT NULL
+         | GROUP BY 1, 2),
+         |t AS (SELECT brand, SUM(month_cents) AS tt FROM cell GROUP BY 1)
+         |SELECT cell.brand, mo, month_cents,
+         | CAST(CAST(month_cents AS HUGEINT) * 12000000 // tt AS BIGINT)
+         |  AS seasonal_index_ppm
+         |FROM cell JOIN t ON t.brand = cell.brand
+         |ORDER BY cell.brand, mo""".stripMargin.replace("\n", " ")),
+    "x326_cross_lang_dups" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |lg AS (SELECT doc_id, lang FROM documents),
+         |lp AS (SELECT LEAST(s1.lang, s2.lang) AS lang_1,
+         |  GREATEST(s1.lang, s2.lang) AS lang_2
+         | FROM jpairs j JOIN lg s1 ON j.d1 = s1.doc_id
+         |  JOIN lg s2 ON j.d2 = s2.doc_id)
+         |SELECT lang_1, lang_2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM lp GROUP BY 1, 2 ORDER BY lang_1, lang_2"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
