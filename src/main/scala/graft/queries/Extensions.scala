@@ -3282,6 +3282,72 @@ object Extensions {
       .select(col("source_1").as("lang_1"), col("source_2").as("lang_2"),
         col("n_pairs"))
 
+  /** x327 — brand revenue volatility: max-to-min observed-month revenue
+    * ratio per brand in ppm (range volatility — no square roots, exact
+    * integers) — the planning-risk companion to x325's seasonal shape.
+    * Month cells exist only where revenue exists, so the divisor is
+    * structurally positive. */
+  private val x327: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("p_brand").as("brand"),
+        trunc(to_date(col("o_orderdate")), "month").as("__m"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__mc"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_months"), min(col("__mc")).as("min_month_cents"),
+        max(col("__mc")).as("max_month_cents"))
+      .select(col("brand"), col("n_months"), col("min_month_cents"),
+        col("max_month_cents"),
+        expr("CAST(CAST(max_month_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV min_month_cents AS BIGINT)").as("volatility_ppm"))
+      .orderBy("brand")
+  }
+
+  /** x328 — word-length histogram by language: per-lang distribution of
+    * token lengths (capped at 15+) in exact share ppm — the
+    * tokenizer-sanity fingerprint (a lang whose mass sits at 1–2 chars
+    * is fragmenting; at 15+ it's concatenating). One explode scan, then
+    * |lang × 15| cells. */
+  private val x328: Q = (spark, sfDir) => {
+    val c = docs(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("lang"), least(length(col("__w")), lit(15)).as("wlen"))
+      .agg(count(lit(1)).as("n_words"))
+    val tot = c.groupBy("lang").agg(sum(col("n_words")).as("__t"))
+    c.join(tot, "lang")
+      .select(col("lang"), col("wlen"), col("n_words"),
+        expr("CAST(CAST(n_words AS DECIMAL(38,0)) * 1000000 DIV __t" +
+          " AS BIGINT)").as("share_ppm"))
+      .orderBy("lang", "wlen")
+  }
+
+  /** x329 — dup-graph transitivity audit: closed-wedge rate of the
+    * verified near-dup relation — low closure means the 0.7 threshold is
+    * fragmenting clusters (a~b, b~c, a̸~c), the signal that decides
+    * between pair-level and cluster-level retention. Wedge join is
+    * bounded by the LSH pair frame (≪ corpus), tenth consumer of the
+    * shared staging. */
+  private val x329: Q = (spark, sfDir) => {
+    val p = lshPairs(spark, sfDir).select(col("d1"), col("d2"))
+    val adj = p.select(col("d1").as("__c"), col("d2").as("__nb"))
+      .union(p.select(col("d2").as("__c"), col("d1").as("__nb")))
+    val w = adj.as("x").join(adj.as("y"),
+        col("x.__c") === col("y.__c") && col("x.__nb") < col("y.__nb"))
+      .select(col("x.__nb").as("__a"), col("y.__nb").as("__b"))
+    val nw = w.agg(count(lit(1)).as("n_wedges"))
+    val nc = w.join(p, col("__a") === col("d1") && col("__b") === col("d2"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
+    nw.crossJoin(nc).select(col("n_wedges"), col("n_closed"),
+      expr("CASE WHEN n_wedges > 0 THEN n_closed * 1000000 DIV n_wedges" +
+        " ELSE CAST(0 AS BIGINT) END").as("closure_ppm"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4039,7 +4105,10 @@ object Extensions {
     "x323_volume_discount_curve" -> x323,
     "x324_balance_band_activity" -> x324,
     "x325_brand_seasonal_index" -> x325,
-    "x326_cross_lang_dups" -> x326)
+    "x326_cross_lang_dups" -> x326,
+    "x327_brand_volatility" -> x327,
+    "x328_word_length_histogram" -> x328,
+    "x329_dup_transitivity_audit" -> x329)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8144,6 +8213,50 @@ object Extensions {
          |SELECT lang_1, lang_2, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM lp GROUP BY 1, 2 ORDER BY lang_1, lang_2"""
         .stripMargin.replace("\n", " ")),
+    "x327_brand_volatility" ->
+      ("""WITH m AS (SELECT p_brand AS brand,
+         |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+         |   AS mo,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS mc
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND o_orderdate IS NOT NULL
+         | GROUP BY 1, 2)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_months,
+         | CAST(MIN(mc) AS BIGINT) AS min_month_cents,
+         | CAST(MAX(mc) AS BIGINT) AS max_month_cents,
+         | CAST(CAST(MAX(mc) AS HUGEINT) * 1000000 // MIN(mc) AS BIGINT)
+         |  AS volatility_ppm
+         |FROM m GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x328_word_length_histogram" ->
+      ("""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |c AS (SELECT lang, LEAST(length(w), 15) AS wlen,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words
+         | FROM w WHERE w <> '' GROUP BY 1, 2),
+         |t AS (SELECT lang, SUM(n_words) AS tt FROM c GROUP BY 1)
+         |SELECT c.lang, wlen, n_words,
+         | CAST(CAST(n_words AS HUGEINT) * 1000000 // tt AS BIGINT)
+         |  AS share_ppm
+         |FROM c JOIN t ON t.lang = c.lang ORDER BY c.lang, wlen"""
+        .stripMargin.replace("\n", " ")),
+    "x329_dup_transitivity_audit" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |adj AS (SELECT d1 AS c, d2 AS nb FROM jpairs
+         |        UNION ALL SELECT d2, d1 FROM jpairs),
+         |wg AS (SELECT x.nb AS a, y.nb AS b2 FROM adj x JOIN adj y
+         |      ON x.c = y.c AND x.nb < y.nb),
+         |nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wg),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_closed FROM wg
+         |       WHERE EXISTS (SELECT 1 FROM jpairs p
+         |         WHERE p.d1 = wg.a AND p.d2 = wg.b2))
+         |SELECT n_wedges, n_closed,
+         | CASE WHEN n_wedges > 0
+         |  THEN CAST(n_closed * 1000000 // n_wedges AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS closure_ppm
+         |FROM nw, nc""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
