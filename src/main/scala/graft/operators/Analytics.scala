@@ -3615,4 +3615,44 @@ object Analytics {
         expr("__events * 1000 DIV (__u + __extra)").as("events_per_session_milli"))
       .orderBy("threshold_sec")
   }
+
+  /**
+   * CATEGORICAL MIX DRIFT — period-over-period L1 distance between a
+   * categorical column's share vectors (exact integer ppm): the
+   * distribution-drift monitor for LABELS (x157 watches schema, x247
+   * watches embeddings; this watches a category mix). A period×category
+   * SPINE zero-fills absent cells so a category that vanishes counts its
+   * full share as drift; the lag is against the previous OBSERVED
+   * period. Output: (periodCol, l1_drift_ppm, n_categories), one row per
+   * period after the first.
+   *
+   * Scale shape: one exchange for the (period, category) collapse (map-
+   * side partial counts); everything after is |periods × categories|-
+   * bounded — the spine cross-join broadcasts the category side and the
+   * lag window partitions by CATEGORY (category-bounded frames, never
+   * row-sized).
+   */
+  def categoricalMixDrift(df: DataFrame, periodCol: String,
+      catCol: String): DataFrame = {
+    val cell = df
+      .filter(col(periodCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(periodCol), col(catCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val perTot = cell.groupBy(periodCol).agg(sum(col("__n")).as("__t"))
+    val share = cell.join(perTot, periodCol)
+      .select(col(periodCol), col("__p"),
+        expr("__n * 1000000 DIV __t").as("__s"))
+    val spine = perTot.select(periodCol)
+      .crossJoin(broadcast(cell.select("__p").distinct()))
+    val w = Window.partitionBy("__p").orderBy(periodCol)
+    spine.join(share, Seq(periodCol, "__p"), "left")
+      .select(col(periodCol), col("__p"),
+        coalesce(col("__s"), lit(0L)).as("__s"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(periodCol)
+      .agg(sum(abs(col("__s") - col("__prev"))).as("l1_drift_ppm"),
+        count(lit(1)).as("n_categories"))
+      .orderBy(periodCol)
+  }
 }

@@ -2955,35 +2955,18 @@ object Extensions {
       .orderBy("return_band")
   }
 
-  /** x314 — order-priority mix drift: year-over-year L1 distance between
-    * the priority share vectors (exact integer ppm) — the categorical
-    * data-drift monitor every ingest pipeline wants (x157 watches schema,
-    * x247 watches embeddings; this watches a label DISTRIBUTION). The
-    * year×priority spine makes categories that vanish count their full
-    * share as drift; lag is over the previous OBSERVED year. Window
-    * partition = priority (category-bounded), never row-sized. */
-  private val x314: Q = (spark, sfDir) => {
-    import org.apache.spark.sql.expressions.Window
-    val cell = Tables(spark, sfDir, "orders")
-      .filter(col("o_orderdate").isNotNull && col("o_orderpriority").isNotNull)
-      .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
-        col("o_orderpriority").as("__p"))
-      .agg(count(lit(1)).as("__n"))
-    val yrTot = cell.groupBy("yr").agg(sum(col("__n")).as("__t"))
-    val share = cell.join(yrTot, "yr")
-      .select(col("yr"), col("__p"), expr("__n * 1000000 DIV __t").as("__s"))
-    val spine = yrTot.select("yr")
-      .crossJoin(broadcast(cell.select("__p").distinct()))
-    val w = Window.partitionBy("__p").orderBy("yr")
-    spine.join(share, Seq("yr", "__p"), "left")
-      .select(col("yr"), col("__p"), coalesce(col("__s"), lit(0L)).as("__s"))
-      .withColumn("__prev", lag(col("__s"), 1).over(w))
-      .filter(col("__prev").isNotNull)
-      .groupBy("yr")
-      .agg(sum(abs(col("__s") - col("__prev"))).as("l1_drift_ppm"),
-        count(lit(1)).as("n_categories"))
-      .orderBy("yr")
-  }
+  /** x314 — order-priority mix drift ([[Analytics.categoricalMixDrift]]):
+    * year-over-year L1 distance between the priority share vectors in
+    * exact integer ppm — the categorical data-drift monitor every ingest
+    * pipeline wants; x330 points the same operator at the event-type mix
+    * monthly. */
+  private val x314: Q = (spark, sfDir) =>
+    Analytics.categoricalMixDrift(
+      Tables(spark, sfDir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .select(year(to_date(col("o_orderdate"))).as("yr"),
+          col("o_orderpriority")),
+      "yr", "o_orderpriority")
 
   /** x315 — top converting paths: the most common within-session
     * event-type SEQUENCES (30-min gap sessionization, ≤ 8 events) that
@@ -3346,6 +3329,42 @@ object Extensions {
     nw.crossJoin(nc).select(col("n_wedges"), col("n_closed"),
       expr("CASE WHEN n_wedges > 0 THEN n_closed * 1000000 DIV n_wedges" +
         " ELSE CAST(0 AS BIGINT) END").as("closure_ppm"))
+  }
+
+  /** x330 — event-type mix drift ([[Analytics.categoricalMixDrift]]):
+    * day-over-day L1 distance of the event-type share vector — the
+    * tracking-schema canary (an instrumentation change shows up here
+    * before any metric moves). Second consumer of the drift operator. */
+  private val x330: Q = (spark, sfDir) =>
+    Analytics.categoricalMixDrift(
+      Tables(spark, sfDir, "events")
+        .filter(col("ts").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("event_type")),
+      "day", "event_type")
+
+  /** x331 — price realization by brand: actual line revenue vs
+    * list-price value (quantity × retail) as exact ppm — the effective-
+    * discount read that catches channel leakage a discount-column mean
+    * (x323) can't (it misses price overrides). Per-row products fit
+    * Long; only the final ratio stages through DECIMAL(38,0). */
+  private val x331: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull && col("p_retailprice").isNotNull)
+      .select(col("p_brand").as("brand"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__act"),
+        (col("l_quantity").cast("long") *
+          expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("__list"))
+      .groupBy("brand")
+      .agg(sum(col("__act")).as("actual_cents"),
+        sum(col("__list")).as("list_cents"))
+      .select(col("brand"), col("actual_cents"), col("list_cents"),
+        expr("CAST(CAST(actual_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV list_cents AS BIGINT)").as("realization_ppm"))
+      .orderBy("brand")
   }
 
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
@@ -4108,7 +4127,9 @@ object Extensions {
     "x326_cross_lang_dups" -> x326,
     "x327_brand_volatility" -> x327,
     "x328_word_length_histogram" -> x328,
-    "x329_dup_transitivity_audit" -> x329)
+    "x329_dup_transitivity_audit" -> x329,
+    "x330_event_mix_drift" -> x330,
+    "x331_price_realization" -> x331)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8257,6 +8278,40 @@ object Extensions {
          |  THEN CAST(n_closed * 1000000 // n_wedges AS BIGINT)
          |  ELSE CAST(0 AS BIGINT) END AS closure_ppm
          |FROM nw, nc""".stripMargin.replace("\n", " ")),
+    "x330_event_mix_drift" ->
+      ("""WITH cell AS (SELECT CAST(ts AS DATE)
+         |   AS day, event_type AS p, COUNT(*) AS n FROM events
+         | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |yt AS (SELECT day, SUM(n) AS t FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.day, p, CAST(n * 1000000 // t AS BIGINT)
+         |   AS s FROM cell JOIN yt ON yt.day = cell.day),
+         |spine AS (SELECT yt.day, pr.p FROM yt
+         |  CROSS JOIN (SELECT DISTINCT p FROM cell) pr),
+         |f AS (SELECT spine.day, spine.p, COALESCE(sh.s, 0) AS s
+         |  FROM spine LEFT JOIN sh
+         |   ON sh.day = spine.day AND sh.p = spine.p),
+         |lg AS (SELECT day, p, s,
+         |  LAG(s) OVER (PARTITION BY p ORDER BY day) AS prev FROM f)
+         |SELECT day, CAST(SUM(ABS(s - prev)) AS BIGINT) AS l1_drift_ppm,
+         | CAST(COUNT(*) AS BIGINT) AS n_categories
+         |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY day"""
+        .stripMargin.replace("\n", " ")),
+    "x331_price_realization" ->
+      ("""WITH r AS (SELECT p_brand AS brand,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS act,
+         |  CAST(l_quantity AS BIGINT) *
+         |   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS list
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND l_quantity IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL AND p_retailprice IS NOT NULL)
+         |SELECT brand, CAST(SUM(act) AS BIGINT) AS actual_cents,
+         | CAST(SUM(list) AS BIGINT) AS list_cents,
+         | CAST(CAST(SUM(act) AS HUGEINT) * 1000000 // SUM(list) AS BIGINT)
+         |  AS realization_ppm
+         |FROM r GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

@@ -1460,4 +1460,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(1800L) == ((3L, 1333L)))
     assert(r(3600L) == ((2L, 2000L)))
   }
+
+  test("categoricalMixDrift: vanished category counts its full share; spine zero-fills") {
+    // p1: a=2/4, b=2/4; p2: a=4/4, b absent -> |1e6-5e5| + |0-5e5| = 1e6
+    // p3: a=1/2, c=1/2 (new cat; c was 0 in p1/p2 via the spine)
+    val df = Seq(
+      (1, "a"), (1, "a"), (1, "b"), (1, "b"),
+      (2, "a"), (2, "a"), (2, "a"), (2, "a"),
+      (3, "a"), (3, "c")
+    ).toDF("p", "cat")
+    val r = Analytics.categoricalMixDrift(df, "p", "cat").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set(2, 3))
+    assert(r(2) == ((1000000L, 3L)))
+    // p2 -> p3: a 1e6->5e5 (5e5), b 0->0 (0), c 0->5e5 (5e5) = 1e6
+    assert(r(3) == ((1000000L, 3L)))
+  }
+
+  test("categoricalMixDrift: single period emits no rows; NULL categories excluded") {
+    val df = Seq((1, "a"), (1, null.asInstanceOf[String])).toDF("p", "cat")
+    assert(Analytics.categoricalMixDrift(df, "p", "cat").count() == 0L)
+  }
 }
