@@ -3367,6 +3367,54 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x332 — trailing-mean backtest: predict each order's value with the
+    * customer's OWN prior-order mean, report MAE in exact cents by
+    * market segment — the baseline every order-value model must beat,
+    * computed with the no-leakage frame (UNBOUNDED PRECEDING .. 1
+    * PRECEDING). Windows are customer-partitioned; the rollup is
+    * |segments|-bounded. */
+  private val x332: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .withColumn("__ps", sum(col("__c")).over(w))
+      .withColumn("__pn", count(lit(1)).over(w))
+      .filter(col("__pn") > 0)
+      .select(col("o_custkey"),
+        abs(col("__c") - expr("__ps DIV __pn")).as("__err"))
+    scored.join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__err")).as("__se"))
+      .select(col("segment"), col("n_orders"),
+        expr("__se DIV n_orders").as("mae_cents"))
+      .orderBy("segment")
+  }
+
+  /** x333 — dead-stock census: parts never ordered, as exact ppm per
+    * brand — the catalog-rot read (x320 asks it of customers; the part
+    * axis decides purge lists). Distinct ordered keys first, then one
+    * anti-ish left join; |brands|-row output. */
+  private val x333: Q = (spark, sfDir) => {
+    val ordered = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_partkey").isNotNull).select("l_partkey").distinct()
+    Tables(spark, sfDir, "part")
+      .join(ordered, col("p_partkey") === col("l_partkey"), "left")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("l_partkey").isNull, 1L).otherwise(0L))
+          .as("n_never_ordered"))
+      .select(col("brand"), col("n_parts"), col("n_never_ordered"),
+        expr("n_never_ordered * 1000000 DIV n_parts").as("dead_ppm"))
+      .orderBy("brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4129,7 +4177,9 @@ object Extensions {
     "x328_word_length_histogram" -> x328,
     "x329_dup_transitivity_audit" -> x329,
     "x330_event_mix_drift" -> x330,
-    "x331_price_realization" -> x331)
+    "x331_price_realization" -> x331,
+    "x332_trailing_mean_backtest" -> x332,
+    "x333_dead_stock_census" -> x333)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8311,6 +8361,37 @@ object Extensions {
          | CAST(CAST(SUM(act) AS HUGEINT) * 1000000 // SUM(list) AS BIGINT)
          |  AS realization_ppm
          |FROM r GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x332_trailing_mean_backtest" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |s AS (SELECT o_custkey, c,
+         |  SUM(c) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+         | FROM o),
+         |e AS (SELECT o_custkey, ABS(c - ps // pn) AS err FROM s
+         |  WHERE pn > 0)
+         |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT)
+         |  AS n_orders,
+         | CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_cents
+         |FROM e JOIN customer ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY segment"""
+        .stripMargin.replace("\n", " ")),
+    "x333_dead_stock_census" ->
+      ("""WITH od AS (SELECT DISTINCT l_partkey FROM lineitem
+         |  WHERE l_partkey IS NOT NULL)
+         |SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(SUM(CASE WHEN od.l_partkey IS NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_never_ordered,
+         | CAST(SUM(CASE WHEN od.l_partkey IS NULL THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS dead_ppm
+         |FROM part LEFT JOIN od ON p_partkey = od.l_partkey
+         |GROUP BY 1 ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

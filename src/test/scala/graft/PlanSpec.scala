@@ -825,4 +825,18 @@ class PlanSpec extends AnyFunSuite {
         s"$name's corpus-sized cumulative must be pid-local:\n${cum.mkString("\n")}")
     }
   }
+
+  test("x319: nation dims broadcast onto the fact flow") {
+    val p = plan("x319_nation_trade_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim joins must broadcast:\n$p")
+  }
+
+  test("x332: backtest windows are customer-partitioned, never global") {
+    val p = plan("x332_trailing_mean_backtest")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_custkey")),
+      s"every window frame must partition by customer:\n${specs.mkString("\n")}")
+  }
 }
