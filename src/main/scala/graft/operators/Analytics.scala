@@ -3655,4 +3655,50 @@ object Analytics {
         count(lit(1)).as("n_categories"))
       .orderBy(periodCol)
   }
+
+  /**
+   * SPEND-DECILE MIGRATION — the year-over-year customer-value
+   * transition matrix: each customer's annual spend decile vs their
+   * decile the NEXT year, counted over every adjacent year pair — the
+   * revenue-planning answer to "do whales stay whales?" that a scalar
+   * retention rate ([[topDecileRetention]]) compresses away.
+   *
+   * Deciles come from the keyed two-phase CDF ([[keyedCumByValue]]):
+   * collapse to (year, value, count), range-partitioned prefix sums,
+   * decile = `(cum−1)·10 DIV n + 1` — max-rank ties share a decile, so
+   * both engines agree and no year ever funnels through a single-task
+   * sort. The matrix itself is ≤ 100 cells.
+   *
+   * Output: (from_decile, to_decile, n_customers, share_ppm) with share
+   * of the from-decile row total; only customers present in both years
+   * of a pair are counted (stated, not hidden).
+   */
+  def decileMigration(orders: DataFrame, custCol: String, tsCol: String,
+      amountCents: Column): DataFrame = {
+    val spend = orders
+      .filter(col(custCol).isNotNull && col(tsCol).isNotNull)
+      .select(year(to_date(col(tsCol))).as("__k"), col(custCol).as("__cust"),
+        amountCents.cast("long").as("__a"))
+      .filter(col("__a").isNotNull)
+      .groupBy("__k", "__cust").agg(sum(col("__a")).as("__v"))
+    val vals = spend.groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
+    val n = vals.groupBy("__k").agg(sum(col("__c")).as("__n"))
+    val dec = keyedCumByValue(vals)
+      .join(broadcast(n), "__k")
+      .select(col("__k"), col("__v"),
+        (expr("(__cum - 1) * 10 DIV __n") + 1).cast("int").as("__d"))
+    val labeled = spend.join(dec, Seq("__k", "__v"))
+      .select(col("__k"), col("__cust"), col("__d"))
+    val next = labeled.select((col("__k") - 1).as("__k"), col("__cust"),
+      col("__d").as("__d2"))
+    val trans = labeled.join(next, Seq("__k", "__cust"))
+      .groupBy(col("__d").as("from_decile"), col("__d2").as("to_decile"))
+      .agg(count(lit(1)).as("n_customers"))
+    val fromTot = trans.groupBy("from_decile")
+      .agg(sum(col("n_customers")).as("__t"))
+    trans.join(fromTot, "from_decile")
+      .select(col("from_decile"), col("to_decile"), col("n_customers"),
+        expr("n_customers * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("from_decile", "to_decile")
+  }
 }

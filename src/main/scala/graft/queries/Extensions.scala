@@ -3415,6 +3415,54 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x334 — hourly load profile: event share ppm per (event_type × hour
+    * of day) — the capacity-planning shape x202's completeness grid and
+    * the dow seasonality profile both miss. One scan, 5×24 cells. */
+  private val x334: Q = (spark, sfDir) => {
+    val c = Tables(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).as("hh"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = c.groupBy("event_type").agg(sum(col("n_events")).as("__t"))
+    c.join(tot, "event_type")
+      .select(col("event_type"), col("hh"), col("n_events"),
+        expr("n_events * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("event_type", "hh")
+  }
+
+  /** x335 — spend-decile migration ([[Analytics.decileMigration]]): the
+    * year-over-year customer value transition matrix over keyed
+    * two-phase CDF deciles. */
+  private val x335: Q = (spark, sfDir) =>
+    Analytics.decileMigration(Tables(spark, sfDir, "orders"),
+      "o_custkey", "o_orderdate",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
+  /** x336 — pre-exit degradation read: error ppm inside each user's
+    * FINAL 3 active days vs all their earlier activity — "was the
+    * experience degrading at the end?" as one 2-row comparison, the
+    * churn post-mortem cut anchored to each user's OWN last-seen (no
+    * calendar constant to go stale). Per-user last-seen rollup joins
+    * back user-bounded; no windows. */
+  private val x336: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+    val per = e.groupBy("user_id").agg(max(col("ts")).as("__last"))
+    e.join(per, "user_id")
+      .withColumn("period",
+        when(col("ts") >= col("__last") - expr("INTERVAL 3 DAYS"),
+          "final3d").otherwise("earlier"))
+      .groupBy("period")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("period"), col("n_users"), col("n_events"), col("n_errors"),
+        expr("n_errors * 1000000 DIV n_events").as("error_ppm"))
+      .orderBy("period")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4179,7 +4227,10 @@ object Extensions {
     "x330_event_mix_drift" -> x330,
     "x331_price_realization" -> x331,
     "x332_trailing_mean_backtest" -> x332,
-    "x333_dead_stock_census" -> x333)
+    "x333_dead_stock_census" -> x333,
+    "x334_hourly_load_profile" -> x334,
+    "x335_decile_migration" -> x335,
+    "x336_pre_exit_degradation" -> x336)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8392,6 +8443,57 @@ object Extensions {
          |   * 1000000 // COUNT(*) AS BIGINT) AS dead_ppm
          |FROM part LEFT JOIN od ON p_partkey = od.l_partkey
          |GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x334_hourly_load_profile" ->
+      ("""WITH c AS (SELECT event_type, date_part('hour', ts) AS hh,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events FROM events
+         | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT event_type, SUM(n_events) AS tt FROM c GROUP BY 1)
+         |SELECT c.event_type, hh, n_events,
+         | CAST(n_events * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM c JOIN t ON t.event_type = c.event_type
+         |ORDER BY c.event_type, hh""".stripMargin.replace("\n", " ")),
+    "x335_decile_migration" ->
+      ("""WITH sp AS (SELECT year(CAST(o_orderdate AS DATE)) AS y,
+         |  o_custkey AS cu,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS v
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL GROUP BY 1, 2),
+         |vl AS (SELECT y, v, COUNT(*) AS c FROM sp GROUP BY 1, 2),
+         |cm AS (SELECT y, v, SUM(c) OVER (PARTITION BY y ORDER BY v)
+         |   AS cum, SUM(c) OVER (PARTITION BY y) AS n FROM vl),
+         |dc AS (SELECT y, v, CAST((cum - 1) * 10 // n + 1 AS INT) AS d
+         |  FROM cm),
+         |lb AS (SELECT sp.y, cu, d FROM sp
+         |  JOIN dc ON dc.y = sp.y AND dc.v = sp.v),
+         |tr AS (SELECT a.d AS from_decile, b.d AS to_decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_customers
+         | FROM lb a JOIN lb b ON a.cu = b.cu AND b.y = a.y + 1
+         | GROUP BY 1, 2),
+         |ft AS (SELECT from_decile, SUM(n_customers) AS t FROM tr
+         |  GROUP BY 1)
+         |SELECT tr.from_decile, to_decile, n_customers,
+         | CAST(n_customers * 1000000 // t AS BIGINT) AS share_ppm
+         |FROM tr JOIN ft ON ft.from_decile = tr.from_decile
+         |ORDER BY tr.from_decile, to_decile"""
+        .stripMargin.replace("\n", " ")),
+    "x336_pre_exit_degradation" ->
+      ("""WITH e AS (SELECT user_id, ts, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_type IS NOT NULL),
+         |per AS (SELECT user_id, MAX(ts) AS last FROM e GROUP BY 1),
+         |j AS (SELECT e.user_id, e.event_type,
+         |  CASE WHEN e.ts >= per.last - INTERVAL 3 DAY
+         |   THEN 'final3d' ELSE 'earlier' END AS period
+         | FROM e JOIN per ON per.user_id = e.user_id)
+         |SELECT period, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         | CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_errors,
+         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |   * 1000000 // COUNT(*) AS BIGINT) AS error_ppm
+         |FROM j GROUP BY 1 ORDER BY period"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

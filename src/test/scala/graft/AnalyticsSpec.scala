@@ -1481,4 +1481,15 @@ class AnalyticsSpec extends AnyFunSuite {
     val df = Seq((1, "a"), (1, null.asInstanceOf[String])).toDF("p", "cat")
     assert(Analytics.categoricalMixDrift(df, "p", "cat").count() == 0L)
   }
+
+  test("decileMigration: reversed values flip deciles; shares are per-from-row") {
+    // 10 customers; year 2 reverses the spend order -> decile d maps to 11-d
+    val df = ((1 to 10).map(i => (i.toLong, "2023-01-15", i * 100L)) ++
+      (1 to 10).map(i => (i.toLong, "2024-01-15", (11 - i) * 100L)))
+      .toDF("cust", "d", "cents")
+    val rows = Analytics.decileMigration(df, "cust", "d", col("cents")).collect()
+    val m = rows.map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(m == (1 to 10).map(i => (i, 11 - i) -> 1L).toMap)
+    assert(rows.forall(_.getLong(3) == 1000000L), "single-cell rows own their from-share")
+  }
 }
