@@ -3463,6 +3463,92 @@ object Extensions {
       .orderBy("period")
   }
 
+  /** x337 — supplier quadrant census ([[Analytics.lowerMedianByValue]]
+    * ×2): suppliers split on the exact global medians of account balance
+    * and shipped-line volume — the 4-cell "cash-rich but idle?" read.
+    * Both medians come from value-collapsed cumulative counts (never a
+    * row-sized sort) and broadcast back as 1-row frames. */
+  private val x337: Q = (spark, sfDir) => {
+    val vol = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey").isNotNull)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("__v0"))
+    val sup = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__bal"))
+      .join(vol, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(col("__bal"), coalesce(col("__v0"), lit(0L)).as("__vol"))
+    val mb = Analytics.lowerMedianByValue(sup, Nil, "__bal")
+      .select(col("__v").as("__mb"))
+    val mv = Analytics.lowerMedianByValue(sup, Nil, "__vol")
+      .select(col("__v").as("__mv"))
+    sup.crossJoin(broadcast(mb)).crossJoin(broadcast(mv))
+      .groupBy(
+        when(col("__bal") > col("__mb"), "hi_bal").otherwise("lo_bal")
+          .as("balance_side"),
+        when(col("__vol") > col("__mv"), "hi_vol").otherwise("lo_vol")
+          .as("volume_side"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("balance_side", "volume_side")
+  }
+
+  /** x338 — cross-language vocabulary overlap: pairwise jaccard (exact
+    * ppm) of the distinct-token sets per language — shared tokens across
+    * langs are code, names, and leaked boilerplate; the matrix says
+    * where language-ID will wobble. All joins are vocab-bounded with
+    * per-word fanout ≤ |langs|. */
+  private val x338: Q = (spark, sfDir) => {
+    val lw = docs(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("__w"))
+      .filter(col("__w") =!= "").distinct()
+    val sz = lw.groupBy("lang").agg(count(lit(1)).as("__n"))
+    lw.as("a").join(lw.as("b"),
+        col("a.__w") === col("b.__w") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_1"), col("b.lang").as("lang_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("lang").as("lang_1"), col("__n").as("n_vocab_1")),
+        "lang_1")
+      .join(sz.select(col("lang").as("lang_2"), col("__n").as("n_vocab_2")),
+        "lang_2")
+      .select(col("lang_1"), col("lang_2"), col("n_vocab_1"),
+        col("n_vocab_2"), col("n_shared"),
+        expr("n_shared * 1000000 DIV (n_vocab_1 + n_vocab_2 - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy("lang_1", "lang_2")
+  }
+
+  /** x339 — nation-brand affinity lift: observed brand share within each
+    * nation vs the brand's global share, as exact ppm lift — x243's
+    * association heatmap re-denominated in REVENUE. Two-step truncated
+    * division (share then lift) keeps every intermediate inside Long on
+    * both engines; cells are |nations × brands|-bounded. */
+  private val x339: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull)
+      .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev_cents"))
+    val nt = cell.groupBy("nation").agg(sum(col("rev_cents")).as("__nt"))
+    val bt = cell.groupBy("brand").agg(sum(col("rev_cents")).as("__bt"))
+    val tot = cell.agg(sum(col("rev_cents")).as("__tot"))
+    cell.join(nt, "nation").join(bt, "brand").crossJoin(broadcast(tot))
+      .select(col("nation"), col("brand"), col("rev_cents"),
+        expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 DIV __nt" +
+          " AS BIGINT)").as("obs_share_ppm"),
+        expr("CAST(CAST(__bt AS DECIMAL(38,0)) * 1000000 DIV __tot" +
+          " AS BIGINT)").as("expected_ppm"))
+      .withColumn("lift_ppm",
+        expr("obs_share_ppm * 1000000 DIV expected_ppm"))
+      .orderBy("nation", "brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4230,7 +4316,10 @@ object Extensions {
     "x333_dead_stock_census" -> x333,
     "x334_hourly_load_profile" -> x334,
     "x335_decile_migration" -> x335,
-    "x336_pre_exit_degradation" -> x336)
+    "x336_pre_exit_degradation" -> x336,
+    "x337_supplier_quadrant_census" -> x337,
+    "x338_cross_lang_vocab_overlap" -> x338,
+    "x339_nation_brand_affinity" -> x339)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8494,6 +8583,70 @@ object Extensions {
          | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
          |   * 1000000 // COUNT(*) AS BIGINT) AS error_ppm
          |FROM j GROUP BY 1 ORDER BY period"""
+        .stripMargin.replace("\n", " ")),
+    "x337_supplier_quadrant_census" ->
+      ("""WITH vol AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+         |sup AS (SELECT
+         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         |  COALESCE(vol.v, 0) AS vo
+         | FROM supplier LEFT JOIN vol ON s_suppkey = vol.l_suppkey),
+         |bv AS (SELECT bal AS v, COUNT(*) AS c FROM sup GROUP BY 1),
+         |bc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+         |  SUM(c) OVER () AS n FROM bv),
+         |mb AS (SELECT MIN(v) AS mb FROM bc WHERE cum * 2 >= n),
+         |vv AS (SELECT vo AS v, COUNT(*) AS c FROM sup GROUP BY 1),
+         |vc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+         |  SUM(c) OVER () AS n FROM vv),
+         |mv AS (SELECT MIN(v) AS mv FROM vc WHERE cum * 2 >= n)
+         |SELECT CASE WHEN bal > mb THEN 'hi_bal' ELSE 'lo_bal' END
+         |  AS balance_side,
+         | CASE WHEN vo > mv THEN 'hi_vol' ELSE 'lo_vol' END
+         |  AS volume_side,
+         | CAST(COUNT(*) AS BIGINT) AS n_suppliers
+         |FROM sup, mb, mv GROUP BY 1, 2
+         |ORDER BY balance_side, volume_side"""
+        .stripMargin.replace("\n", " ")),
+    "x338_cross_lang_vocab_overlap" ->
+      ("""WITH lw AS (SELECT DISTINCT lang, w FROM (SELECT lang,
+         |  unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> ''),
+         |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM lw
+         |  GROUP BY 1),
+         |iv AS (SELECT a.lang AS lang_1, b.lang AS lang_2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         | FROM lw a JOIN lw b ON a.w = b.w AND a.lang < b.lang
+         | GROUP BY 1, 2)
+         |SELECT lang_1, lang_2, s1.n AS n_vocab_1, s2.n AS n_vocab_2,
+         | n_shared,
+         | CAST(n_shared * 1000000 // (s1.n + s2.n - n_shared) AS BIGINT)
+         |  AS jaccard_ppm
+         |FROM iv JOIN sz s1 ON s1.lang = iv.lang_1
+         | JOIN sz s2 ON s2.lang = iv.lang_2
+         |ORDER BY lang_1, lang_2""".stripMargin.replace("\n", " ")),
+    "x339_nation_brand_affinity" ->
+      ("""WITH cell AS (SELECT n_name AS nation, p_brand AS brand,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev_cents
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL GROUP BY 1, 2),
+         |nt AS (SELECT nation, SUM(rev_cents) AS nt FROM cell GROUP BY 1),
+         |bt AS (SELECT brand, SUM(rev_cents) AS bt FROM cell GROUP BY 1),
+         |tt AS (SELECT SUM(rev_cents) AS tot FROM cell),
+         |j AS (SELECT cell.nation, cell.brand, rev_cents,
+         |  CAST(CAST(rev_cents AS HUGEINT) * 1000000 // nt AS BIGINT)
+         |   AS obs_share_ppm,
+         |  CAST(CAST(bt AS HUGEINT) * 1000000 // tot AS BIGINT)
+         |   AS expected_ppm
+         | FROM cell JOIN nt ON nt.nation = cell.nation
+         |  JOIN bt ON bt.brand = cell.brand, tt)
+         |SELECT nation, brand, rev_cents, obs_share_ppm, expected_ppm,
+         | CAST(obs_share_ppm * 1000000 // expected_ppm AS BIGINT)
+         |  AS lift_ppm
+         |FROM j ORDER BY nation, brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
