@@ -3549,6 +3549,70 @@ object Extensions {
       .orderBy("nation", "brand")
   }
 
+  /** x340 — bucket balance census: row load per hash bucket (portable
+    * md5 hash, k = 32) with deviation from the uniform 1e6 — the check
+    * that a bucketed layout (x78) will actually balance BEFORE writing
+    * it. |k|-row output; one exchange. */
+  private val x340: Q = (spark, sfDir) => {
+    val b = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull)
+      .select(pmod(graft.operators.PortableHash.hash60(col("o_custkey")),
+        lit(32L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val tot = b.agg(sum(col("n_rows")).as("__t"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"),
+        expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * 32000000 DIV __t" +
+          " AS BIGINT)").as("load_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** x341 — error–purchase proximity: share of error events landing
+    * within ±1 h of a purchase by the SAME user — the checkout-breakage
+    * signal. Banded time join (hour bucket ±1, then the exact µs
+    * filter — the x21 pattern on the time axis), so no per-user
+    * quadratic pair stream ever forms. */
+  private val x341: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("__t"),
+        expr("unix_micros(ts) DIV 3600000000").as("__m"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("__t"),
+        col("__m").as("__em"))
+    val sh = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__pu"), col("__t").as("__pt"),
+        explode(array(col("__m") - 1, col("__m"), col("__m") + 1))
+          .as("__pm"))
+    val near = err.join(sh,
+        col("user_id") === col("__pu") && col("__em") === col("__pm"))
+      .filter(abs(col("__t") - col("__pt")) <= 3600000000L)
+      .select("event_id").distinct()
+    err.agg(count(lit(1)).as("n_errors"))
+      .crossJoin(near.agg(count(lit(1)).as("n_near")))
+      .select(col("n_errors"), col("n_near"),
+        expr("CASE WHEN n_errors > 0 THEN n_near * 1000000 DIV n_errors" +
+          " ELSE CAST(0 AS BIGINT) END").as("near_ppm"))
+  }
+
+  /** x342 — event-value quantiles by type ([[Analytics.weightedQuantiles]],
+    * unit weights): exact p50/p90/p99 of value cents per event type via
+    * the weighted cumulative rule — the SLO table for the value stream. */
+  private val x342: Q = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__vc"))
+      .withColumn("__w", lit(1L))
+    Analytics.weightedQuantiles(d, "event_type", "__vc", "__w",
+        probsPct = Seq(50, 90, 99))
+      .select(col("event_type"), col("p_pct"),
+        col("q_value").as("value_cents_q"), col("total_weight").as("n_events"))
+      .orderBy("event_type", "p_pct")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4319,7 +4383,10 @@ object Extensions {
     "x336_pre_exit_degradation" -> x336,
     "x337_supplier_quadrant_census" -> x337,
     "x338_cross_lang_vocab_overlap" -> x338,
-    "x339_nation_brand_affinity" -> x339)
+    "x339_nation_brand_affinity" -> x339,
+    "x340_bucket_balance_census" -> x340,
+    "x341_error_purchase_proximity" -> x341,
+    "x342_event_value_quantiles" -> x342)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8647,6 +8714,51 @@ object Extensions {
          | CAST(obs_share_ppm * 1000000 // expected_ppm AS BIGINT)
          |  AS lift_ppm
          |FROM j ORDER BY nation, brand"""
+        .stripMargin.replace("\n", " ")),
+    "x340_bucket_balance_census" ->
+      ("""WITH b AS (SELECT
+         |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+         |   AS BIGINT) % 32 AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |t AS (SELECT SUM(n_rows) AS tt FROM b)
+         |SELECT bucket, n_rows,
+         | CAST(CAST(n_rows AS HUGEINT) * 32000000 // tt AS BIGINT)
+         |  AS load_ppm
+         |FROM b, t ORDER BY bucket""".stripMargin.replace("\n", " ")),
+    "x341_error_purchase_proximity" ->
+      ("""WITH e AS (SELECT event_id, user_id, event_type,
+         |  epoch_us(ts) AS t, epoch_us(ts) // 3600000000 AS m FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |er AS (SELECT event_id, user_id, t, m FROM e
+         |  WHERE event_type = 'error'),
+         |sh AS (SELECT user_id, t AS pt, m + dd.d AS pm FROM e,
+         |  (VALUES (-1), (0), (1)) AS dd(d)
+         |  WHERE event_type = 'purchase'),
+         |nr AS (SELECT DISTINCT er.event_id FROM er JOIN sh
+         |  ON er.user_id = sh.user_id AND er.m = sh.pm
+         |  WHERE ABS(er.t - sh.pt) <= 3600000000),
+         |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_errors FROM er),
+         |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near FROM nr)
+         |SELECT n_errors, n_near,
+         | CASE WHEN n_errors > 0
+         |  THEN CAST(n_near * 1000000 // n_errors AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS near_ppm
+         |FROM n1, n2""".stripMargin.replace("\n", " ")),
+    "x342_event_value_quantiles" ->
+      ("""WITH d AS (SELECT event_type,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+         | FROM events
+         | WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |gv AS (SELECT event_type, vc, COUNT(*) AS w FROM d GROUP BY 1, 2),
+         |cum AS (SELECT event_type, vc, w,
+         |  SUM(w) OVER (PARTITION BY event_type ORDER BY vc) AS cw,
+         |  SUM(w) OVER (PARTITION BY event_type) AS tw FROM gv)
+         |SELECT event_type, p.p_pct, CAST(MIN(vc) AS BIGINT)
+         |  AS value_cents_q, CAST(MAX(tw) AS BIGINT) AS n_events
+         |FROM cum CROSS JOIN (VALUES (50), (90), (99)) p(p_pct)
+         |WHERE cw * 100 >= p.p_pct * tw
+         |GROUP BY 1, 2 ORDER BY event_type, p_pct"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
