@@ -3613,6 +3613,68 @@ object Extensions {
       .orderBy("event_type", "p_pct")
   }
 
+  /** x343 — region quarterly growth: QoQ revenue growth ppm per region
+    * in the positive-ratio spelling (`ratio − 1e6`, so `DIV` and `//`
+    * agree) — the planning matrix under x321's brand momentum. Lag
+    * window partitions by region over the |quarters|-bounded frame. */
+  private val x343: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(col("r_name").as("region"),
+        trunc(to_date(col("o_orderdate")), "quarter").as("quarter"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev_cents"))
+    val w = Window.partitionBy("region").orderBy("quarter")
+    cell.withColumn("__prev", lag(col("rev_cents"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("region"), col("quarter"), col("rev_cents"),
+        expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 DIV __prev" +
+          " AS BIGINT) - 1000000").as("growth_ppm"))
+      .orderBy("region", "quarter")
+  }
+
+  /** x344 — dup-similarity histogram: verified near-dup pairs banded by
+    * jaccard (5-point bands, FLOOR on both engines — cast-to-int would
+    * round in DuckDB) — the threshold-diagnostics view that says whether
+    * 0.7 sits in a valley or cuts a mode in half. Eleventh consumer of
+    * the LSH pair staging. */
+  private val x344: Q = (spark, sfDir) => {
+    val b = lshPairs(spark, sfDir)
+      .select((floor(col("jaccard") * 20) * 5).cast("int").as("band_pct"))
+      .groupBy("band_pct").agg(count(lit(1)).as("n_pairs"))
+    val tot = b.agg(sum(col("n_pairs")).as("__t"))
+    b.crossJoin(broadcast(tot))
+      .select(col("band_pct"), col("n_pairs"),
+        expr("n_pairs * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("band_pct")
+  }
+
+  /** x345 — brand supply concentration: Herfindahl index of each
+    * brand's shipped lines across suppliers, exact ppm (Σ share² over
+    * ppm shares, floored once) — single-supplier brands read 1e6, the
+    * supply-chain-risk companion to x333's dead stock. Supplier cells
+    * are |brand × supplier|-bounded; shares broadcast back. */
+  private val x345: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(col("p_brand").as("brand"), col("l_suppkey"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cell.groupBy("brand").agg(sum(col("__c")).as("__t"))
+    cell.join(broadcast(tot), "brand")
+      .withColumn("__share", expr("__c * 1000000 DIV __t"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("SUM(__share * __share) DIV 1000000").as("hhi_ppm"))
+      .orderBy("brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4386,7 +4448,10 @@ object Extensions {
     "x339_nation_brand_affinity" -> x339,
     "x340_bucket_balance_census" -> x340,
     "x341_error_purchase_proximity" -> x341,
-    "x342_event_value_quantiles" -> x342)
+    "x342_event_value_quantiles" -> x342,
+    "x343_region_quarter_growth" -> x343,
+    "x344_dup_similarity_histogram" -> x344,
+    "x345_brand_supply_concentration" -> x345)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8759,6 +8824,46 @@ object Extensions {
          |FROM cum CROSS JOIN (VALUES (50), (90), (99)) p(p_pct)
          |WHERE cw * 100 >= p.p_pct * tw
          |GROUP BY 1, 2 ORDER BY event_type, p_pct"""
+        .stripMargin.replace("\n", " ")),
+    "x343_region_quarter_growth" ->
+      ("""WITH cell AS (SELECT r_name AS region,
+         |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+         |   AS quarter,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev_cents
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         | WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+         |lg AS (SELECT region, quarter, rev_cents,
+         |  LAG(rev_cents) OVER (PARTITION BY region ORDER BY quarter)
+         |   AS prev FROM cell)
+         |SELECT region, quarter, rev_cents,
+         | CAST(CAST(rev_cents AS HUGEINT) * 1000000 // prev AS BIGINT)
+         |  - 1000000 AS growth_ppm
+         |FROM lg WHERE prev IS NOT NULL ORDER BY region, quarter"""
+        .stripMargin.replace("\n", " ")),
+    "x344_dup_similarity_histogram" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |b AS (SELECT CAST(FLOOR(jaccard * 20) * 5 AS INT) AS band_pct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs FROM jpairs GROUP BY 1),
+         |t AS (SELECT SUM(n_pairs) AS tt FROM b)
+         |SELECT band_pct, n_pairs,
+         | CAST(n_pairs * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t ORDER BY band_pct""".stripMargin.replace("\n", " ")),
+    "x345_brand_supply_concentration" ->
+      ("""WITH cell AS (SELECT p_brand AS brand, l_suppkey,
+         |  CAST(COUNT(*) AS BIGINT) AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND l_suppkey IS NOT NULL
+         | GROUP BY 1, 2),
+         |t AS (SELECT brand, SUM(c) AS tt FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.brand, CAST(c * 1000000 // tt AS BIGINT) AS s
+         |  FROM cell JOIN t ON t.brand = cell.brand)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         | CAST(SUM(s * s) // 1000000 AS BIGINT) AS hhi_ppm
+         |FROM sh GROUP BY 1 ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
