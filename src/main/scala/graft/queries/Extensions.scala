@@ -3675,6 +3675,82 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x346 — ingest-order composition drift: mean doc length and token
+    * count per doc-id decile — "is the corpus we ingested LAST like the
+    * one we started with?", the curation drift read that catches a
+    * source mix change the per-source stats (x312/x317) average away.
+    * One scan + a broadcast max; 10-row output. */
+  private val x346: Q = (spark, sfDir) => {
+    val mx = docs(spark, sfDir).agg(max(col("doc_id")).as("__mx"))
+    docs(spark, sfDir).crossJoin(broadcast(mx))
+      .select(least(expr("doc_id * 10 DIV (__mx + 1)"), lit(9L))
+          .as("decile"),
+        col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(n_chars) DIV COUNT(1)").as("mean_chars"),
+        expr("SUM(__tok) DIV COUNT(1)").as("mean_tokens"))
+      .orderBy("decile")
+  }
+
+  /** x347 — first-session activation: share of users whose FIRST session
+    * (30-min gap rule, x315's sessionizer) contains a purchase — the
+    * onboarding north-star as one row. User-partitioned windows only. */
+  private val x347: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L,
+        1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.filter(col("__sess") === 1)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("__act"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__act")).as("n_activated"))
+      .select(col("n_users"), col("n_activated"),
+        expr("n_activated * 1000000 DIV n_users").as("activation_ppm"))
+  }
+
+  /** x348 — brand regional spread: each brand's share of regional
+    * revenue, zero-filled over the region×brand spine, reduced to
+    * min/max/spread ppm — "is this brand a global constant or a local
+    * phenomenon?" in one |brands|-row table (x339 keeps nation-level
+    * cells; this is the cross-region consistency fold). */
+  private val x348: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull)
+      .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__c"))
+    val rt = cell.groupBy("region").agg(sum(col("__c")).as("__rt"))
+    val share = cell.join(rt, "region")
+      .select(col("region"), col("brand"),
+        expr("CAST(CAST(__c AS DECIMAL(38,0)) * 1000000 DIV __rt" +
+          " AS BIGINT)").as("__s"))
+    val spine = rt.select("region")
+      .crossJoin(broadcast(cell.select("brand").distinct()))
+    spine.join(share, Seq("region", "brand"), "left")
+      .select(col("brand"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_regions"), min(col("__s")).as("min_share_ppm"),
+        max(col("__s")).as("max_share_ppm"))
+      .withColumn("spread_ppm", col("max_share_ppm") - col("min_share_ppm"))
+      .orderBy("brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4451,7 +4527,10 @@ object Extensions {
     "x342_event_value_quantiles" -> x342,
     "x343_region_quarter_growth" -> x343,
     "x344_dup_similarity_histogram" -> x344,
-    "x345_brand_supply_concentration" -> x345)
+    "x345_brand_supply_concentration" -> x345,
+    "x346_ingest_composition_drift" -> x346,
+    "x347_first_session_activation" -> x347,
+    "x348_brand_regional_spread" -> x348)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8864,6 +8943,59 @@ object Extensions {
          |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
          | CAST(SUM(s * s) // 1000000 AS BIGINT) AS hhi_ppm
          |FROM sh GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x346_ingest_composition_drift" ->
+      ("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |d AS (SELECT LEAST(doc_id * 10 // (mx + 1), 9) AS decile,
+         |  n_chars, len(string_split(text, ' ')) AS tok
+         | FROM documents, m)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+         | CAST(SUM(tok) // COUNT(*) AS BIGINT) AS mean_tokens
+         |FROM d GROUP BY 1 ORDER BY decile"""
+        .stripMargin.replace("\n", " ")),
+    "x347_first_session_activation" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_type IS NOT NULL),
+         |l AS (SELECT *, LAG(ts) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+         |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+         |   OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0
+         |   END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS UNBOUNDED PRECEDING) AS sess FROM l),
+         |f AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase'
+         |   THEN 1 ELSE 0 END) AS act
+         | FROM s WHERE sess = 1 GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(SUM(act) AS BIGINT) AS n_activated,
+         | CAST(SUM(act) * 1000000 // COUNT(*) AS BIGINT)
+         |  AS activation_ppm
+         |FROM f""".stripMargin.replace("\n", " ")),
+    "x348_brand_regional_spread" ->
+      ("""WITH cell AS (SELECT r_name AS region, p_brand AS brand,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT region, SUM(c) AS tt FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.region, brand,
+         |  CAST(CAST(c AS HUGEINT) * 1000000 // tt AS BIGINT) AS s
+         | FROM cell JOIN rt ON rt.region = cell.region),
+         |spine AS (SELECT rt.region, b.brand FROM rt
+         |  CROSS JOIN (SELECT DISTINCT brand FROM cell) b),
+         |f AS (SELECT spine.brand, COALESCE(sh.s, 0) AS s FROM spine
+         |  LEFT JOIN sh ON sh.region = spine.region
+         |   AND sh.brand = spine.brand)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_regions,
+         | CAST(MIN(s) AS BIGINT) AS min_share_ppm,
+         | CAST(MAX(s) AS BIGINT) AS max_share_ppm,
+         | CAST(MAX(s) - MIN(s) AS BIGINT) AS spread_ppm
+         |FROM f GROUP BY 1 ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
