@@ -3751,6 +3751,85 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x349 — null co-occurrence audit: do two columns go missing
+    * TOGETHER (pipeline fault) or independently (organic sparsity)?
+    * Actual both-null ppm vs the independence expectation, one scan,
+    * one row. Nulls planted by the x94 moduli (37/53) so the path is
+    * non-vacuous; coprime moduli should read as independent — a
+    * correlated reading here means the plant (or the pipeline) broke. */
+  private val x349: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "events")
+      .withColumn("value",
+        when(col("event_id") % 37 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("props",
+        when(col("event_id") % 53 === 0, lit(null)).otherwise(col("props")))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+        sum(when(col("value").isNull && col("props").isNull, 1L)
+          .otherwise(0L)).as("n_null_both"))
+      .select(col("n_rows"), col("n_null_value"), col("n_null_props"),
+        col("n_null_both"),
+        expr("n_null_both * 1000000 DIV n_rows").as("actual_both_ppm"),
+        expr("CAST(CAST(n_null_value AS DECIMAL(38,0)) * n_null_props" +
+          " * 1000000 DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows)" +
+          " AS BIGINT)").as("expected_both_ppm"))
+  }
+
+  /** x350 — whale dependence by nation: revenue share held by customers
+    * at or above their nation's exact p80 spend
+    * ([[Analytics.weightedQuantiles]], unit weights) — the
+    * concentration-risk read per market (x261 classifies items; this
+    * measures exposure). Cutoffs broadcast back |nations|-bounded. */
+  private val x350: Q = (spark, sfDir) => {
+    val spend = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__v"))
+      .withColumn("__w", lit(1L))
+    val cut = Analytics.weightedQuantiles(spend, "nation", "__v", "__w",
+        probsPct = Seq(80))
+      .select(col("nation"), col("q_value").as("__cut"))
+    spend.join(broadcast(cut), "nation")
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("__v") >= col("__cut"), 1L).otherwise(0L)).as("n_top"),
+        sum(col("__v")).as("rev_cents"),
+        sum(when(col("__v") >= col("__cut"), col("__v")).otherwise(0L))
+          .as("top_rev_cents"))
+      .select(col("nation"), col("n_customers"), col("n_top"),
+        col("rev_cents"), col("top_rev_cents"),
+        expr("CAST(CAST(top_rev_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV rev_cents AS BIGINT)").as("top_share_ppm"))
+      .orderBy("nation")
+  }
+
+  /** x351 — brand attach rate: average count of OTHER distinct brands
+    * in baskets containing each brand (exact milli) — the bundle-
+    * economics number x311's degree census can't give (degree counts
+    * partners EVER; attach averages partners PER BASKET). Basket frame
+    * collapses once; everything after is |orders × brands-per-order|. */
+  private val x351: Q = (spark, sfDir) => {
+    val ob = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_orderkey").isNotNull && col("p_brand").isNotNull)
+      .select(col("l_orderkey").as("__o"), col("p_brand").as("brand"))
+      .distinct()
+    val bc = ob.groupBy("__o").agg(count(lit(1)).as("__bc"))
+    ob.join(bc, "__o")
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("__bc") - 1).as("__others"))
+      .select(col("brand"), col("n_orders"),
+        expr("__others * 1000 DIV n_orders").as("attach_milli"))
+      .orderBy("brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4530,7 +4609,10 @@ object Extensions {
     "x345_brand_supply_concentration" -> x345,
     "x346_ingest_composition_drift" -> x346,
     "x347_first_session_activation" -> x347,
-    "x348_brand_regional_spread" -> x348)
+    "x348_brand_regional_spread" -> x348,
+    "x349_null_cooccurrence_audit" -> x349,
+    "x350_whale_dependence" -> x350,
+    "x351_brand_attach_rate" -> x351)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8996,6 +9078,58 @@ object Extensions {
          | CAST(MAX(s) AS BIGINT) AS max_share_ppm,
          | CAST(MAX(s) - MIN(s) AS BIGINT) AS spread_ppm
          |FROM f GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x349_null_cooccurrence_audit" ->
+      ("""WITH e AS (SELECT
+         |  CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v,
+         |  CASE WHEN event_id % 53 = 0 THEN NULL ELSE props END AS p
+         | FROM events)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_null_value,
+         | CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_null_props,
+         | CAST(SUM(CASE WHEN v IS NULL AND p IS NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_null_both,
+         | CAST(SUM(CASE WHEN v IS NULL AND p IS NULL THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS actual_both_ppm,
+         | CAST(CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+         |   AS HUGEINT) * SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END)
+         |   * 1000000 // (CAST(COUNT(*) AS HUGEINT) * COUNT(*))
+         |  AS BIGINT) AS expected_both_ppm
+         |FROM e""".stripMargin.replace("\n", " ")),
+    "x350_whale_dependence" ->
+      ("""WITH sp AS (SELECT n_name AS nation, c_custkey,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS v
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+         |gv AS (SELECT nation, v, COUNT(*) AS w FROM sp GROUP BY 1, 2),
+         |cum AS (SELECT nation, v, w,
+         |  SUM(w) OVER (PARTITION BY nation ORDER BY v) AS cw,
+         |  SUM(w) OVER (PARTITION BY nation) AS tw FROM gv),
+         |ct AS (SELECT nation, MIN(v) AS cut FROM cum
+         |  WHERE cw * 100 >= 80 * tw GROUP BY 1)
+         |SELECT sp.nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(CASE WHEN v >= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_top,
+         | CAST(SUM(v) AS BIGINT) AS rev_cents,
+         | CAST(SUM(CASE WHEN v >= cut THEN v ELSE 0 END) AS BIGINT)
+         |  AS top_rev_cents,
+         | CAST(CAST(SUM(CASE WHEN v >= cut THEN v ELSE 0 END) AS HUGEINT)
+         |  * 1000000 // SUM(v) AS BIGINT) AS top_share_ppm
+         |FROM sp JOIN ct ON ct.nation = sp.nation
+         |GROUP BY 1 ORDER BY sp.nation"""
+        .stripMargin.replace("\n", " ")),
+    "x351_brand_attach_rate" ->
+      ("""WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+         |bc AS (SELECT o, COUNT(*) AS n FROM ob GROUP BY 1)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(bc.n - 1) * 1000 // COUNT(*) AS BIGINT)
+         |  AS attach_milli
+         |FROM ob JOIN bc ON bc.o = ob.o GROUP BY 1 ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
