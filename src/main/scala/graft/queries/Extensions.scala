@@ -3830,6 +3830,75 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x352 — loyalty streak census: histogram of each customer's LONGEST
+    * run of consecutive active months (gaps-and-islands on the month
+    * index, x292's machinery at the customer grain) — the
+    * habit-formation distribution behind x253's stickiness scalar.
+    * Windows partition by customer; the histogram is |streak-lengths|-
+    * bounded. */
+  private val x352: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cm = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("__mi"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("__mi")
+    cm.withColumn("__grp", col("__mi") - row_number().over(w))
+      .groupBy("o_custkey", "__grp").agg(count(lit(1)).as("__len"))
+      .groupBy("o_custkey").agg(max(col("__len")).as("streak_months"))
+      .groupBy("streak_months").agg(count(lit(1)).as("n_customers"))
+      .orderBy("streak_months")
+  }
+
+  /** x353 — template family census: docs grouped by their first-5-token
+    * prefix; families with ≥ 2 members are templated/boilerplate
+    * content the shingle dedup may keep (tails differ) — the histogram
+    * says how much of the corpus opens from a mold. One scan, prefix
+    * collapse, |family-sizes|-bounded output. */
+  private val x353: Q = (spark, sfDir) => {
+    val fam = docs(spark, sfDir)
+      .select(expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+        .as("__pfx"))
+      .groupBy("__pfx").agg(count(lit(1)).as("fam_size"))
+    fam.groupBy("fam_size")
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("fam_size")).as("n_docs"))
+      .orderBy("fam_size")
+  }
+
+  /** x354 — post-large-order gap: mean days to the NEXT order after a
+    * top-quartile order vs after a regular one — "does a big purchase
+    * satiate?" in two rows. The p75 cutoff is the exact weighted
+    * quantile over value-collapsed counts (one broadcast row); gap
+    * windows partition by customer. */
+  private val x354: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val cut = Analytics.weightedQuantiles(
+        o.withColumn("__grp", lit("all")).withColumn("__w", lit(1L)),
+        "__grp", "__c", "__w", probsPct = Seq(75))
+      .select(col("q_value").as("__cut"))
+    val w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    o.withColumn("__next", lead(col("__d"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .crossJoin(broadcast(cut))
+      .select(
+        when(col("__c") >= col("__cut"), "large").otherwise("regular")
+          .as("order_class"),
+        datediff(col("__next"), col("__d")).cast("long").as("__gap"))
+      .groupBy("order_class")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("SUM(__gap) * 1000 DIV COUNT(1)").as("mean_gap_milli_days"))
+      .orderBy("order_class")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4612,7 +4681,10 @@ object Extensions {
     "x348_brand_regional_spread" -> x348,
     "x349_null_cooccurrence_audit" -> x349,
     "x350_whale_dependence" -> x350,
-    "x351_brand_attach_rate" -> x351)
+    "x351_brand_attach_rate" -> x351,
+    "x352_loyalty_streak_census" -> x352,
+    "x353_template_family_census" -> x353,
+    "x354_post_large_order_gap" -> x354)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9130,6 +9202,50 @@ object Extensions {
          | CAST(SUM(bc.n - 1) * 1000 // COUNT(*) AS BIGINT)
          |  AS attach_milli
          |FROM ob JOIN bc ON bc.o = ob.o GROUP BY 1 ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x352_loyalty_streak_census" ->
+      ("""WITH cm AS (SELECT DISTINCT o_custkey,
+         |  year(CAST(o_orderdate AS DATE)) * 12 +
+         |   month(CAST(o_orderdate AS DATE)) AS mi
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |g AS (SELECT o_custkey, mi - ROW_NUMBER() OVER
+         |  (PARTITION BY o_custkey ORDER BY mi) AS grp FROM cm),
+         |st AS (SELECT o_custkey, grp, COUNT(*) AS len FROM g
+         |  GROUP BY 1, 2),
+         |mx AS (SELECT o_custkey, CAST(MAX(len) AS BIGINT)
+         |   AS streak_months FROM st GROUP BY 1)
+         |SELECT streak_months, CAST(COUNT(*) AS BIGINT) AS n_customers
+         |FROM mx GROUP BY 1 ORDER BY streak_months"""
+        .stripMargin.replace("\n", " ")),
+    "x353_template_family_census" ->
+      ("""WITH fam AS (SELECT
+         |  array_to_string(string_split(text, ' ')[1:5], ' ') AS pfx,
+         |  CAST(COUNT(*) AS BIGINT) AS fam_size
+         | FROM documents GROUP BY 1)
+         |SELECT fam_size, CAST(COUNT(*) AS BIGINT) AS n_families,
+         | CAST(SUM(fam_size) AS BIGINT) AS n_docs
+         |FROM fam GROUP BY 1 ORDER BY fam_size"""
+        .stripMargin.replace("\n", " ")),
+    "x354_post_large_order_gap" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |gv AS (SELECT c AS v, COUNT(*) AS w FROM o GROUP BY 1),
+         |cum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw,
+         |  SUM(w) OVER () AS tw FROM gv),
+         |ct AS (SELECT MIN(v) AS cut FROM cum WHERE cw * 100 >= 75 * tw),
+         |nx AS (SELECT o_custkey, d, c, LEAD(d) OVER
+         |  (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd FROM o),
+         |cl AS (SELECT CASE WHEN c >= cut THEN 'large' ELSE 'regular' END
+         |   AS order_class, CAST(nd - d AS BIGINT) AS gap
+         | FROM nx, ct WHERE nd IS NOT NULL)
+         |SELECT order_class, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(gap) * 1000 // COUNT(*) AS BIGINT)
+         |  AS mean_gap_milli_days
+         |FROM cl GROUP BY 1 ORDER BY order_class"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
