@@ -3899,6 +3899,61 @@ object Extensions {
       .orderBy("order_class")
   }
 
+  /** x355 — corpus sourcing independence ([[Analytics.chiSquareAudit]]
+    * on lang × source): which (language, source) cells are over/under
+    * represented vs independence — the corpus-balance companion to
+    * x243's warehouse-side audit; a training mixture inherits every
+    * residual shown here. */
+  private val x355: Q = (spark, sfDir) =>
+    Analytics.chiSquareAudit(docs(spark, sfDir), "lang", "source")
+
+  /** x356 — ship-delay quantiles by priority
+    * ([[Analytics.weightedQuantiles]], unit weights): exact p50/p90/p99
+    * of order-to-ship days per priority — the distribution behind
+    * x192's mean lag; the p99 is the promise the mean hides. */
+  private val x356: Q = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isNotNull && col("l_shipdate").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__dl"))
+      .withColumn("__w", lit(1L))
+    Analytics.weightedQuantiles(d, "o_orderpriority", "__dl", "__w",
+        probsPct = Seq(50, 90, 99))
+      .select(col("o_orderpriority"), col("p_pct"),
+        col("q_value").as("delay_days_q"), col("total_weight").as("n_lines"))
+      .orderBy("o_orderpriority", "p_pct")
+  }
+
+  /** x357 — event-type audience overlap: pairwise jaccard (exact ppm)
+    * of the distinct-user sets per event type — "is the error audience
+    * the purchase audience?" as a 10-cell matrix; x338's machinery
+    * pointed at behavior instead of vocabulary. User-set joins fan by
+    * ≤ |types| per user. */
+  private val x357: Q = (spark, sfDir) => {
+    val ut = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sz = ut.groupBy("event_type").agg(count(lit(1)).as("__n"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_1"),
+        col("b.event_type").as("type_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("event_type").as("type_1"), col("__n").as("n_users_1")),
+        "type_1")
+      .join(sz.select(col("event_type").as("type_2"), col("__n").as("n_users_2")),
+        "type_2")
+      .select(col("type_1"), col("type_2"), col("n_users_1"),
+        col("n_users_2"), col("n_shared"),
+        expr("n_shared * 1000000 DIV (n_users_1 + n_users_2 - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy("type_1", "type_2")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4684,7 +4739,10 @@ object Extensions {
     "x351_brand_attach_rate" -> x351,
     "x352_loyalty_streak_census" -> x352,
     "x353_template_family_census" -> x353,
-    "x354_post_large_order_gap" -> x354)
+    "x354_post_large_order_gap" -> x354,
+    "x355_corpus_sourcing_chi2" -> x355,
+    "x356_ship_delay_quantiles" -> x356,
+    "x357_event_audience_overlap" -> x357)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9247,6 +9305,60 @@ object Extensions {
          |  AS mean_gap_milli_days
          |FROM cl GROUP BY 1 ORDER BY order_class"""
         .stripMargin.replace("\n", " ")),
+    "x355_corpus_sourcing_chi2" ->
+      ("""WITH cells AS (SELECT lang, source,
+         |  CAST(COUNT(*) AS BIGINT) AS observed FROM documents
+         | WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS rt
+         |  FROM cells GROUP BY 1),
+         |ct AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS ct
+         |  FROM cells GROUP BY 1),
+         |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+         |SELECT cells.lang, cells.source, observed,
+         | CAST(CAST(rt AS HUGEINT) * ct * 1000 // n AS BIGINT)
+         |  AS expected_milli,
+         | CAST((CAST(observed AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+         |   * (CAST(observed AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+         |   * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+         |   AS contrib_micro
+         |FROM cells JOIN rt ON rt.lang = cells.lang
+         | JOIN ct ON ct.source = cells.source, n
+         |ORDER BY cells.lang, cells.source"""
+        .stripMargin.replace("\n", " ")),
+    "x356_ship_delay_quantiles" ->
+      ("""WITH d AS (SELECT o_orderpriority,
+         |  CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+         |   AS BIGINT) AS dl
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_orderpriority IS NOT NULL AND l_shipdate IS NOT NULL
+         |  AND o_orderdate IS NOT NULL),
+         |gv AS (SELECT o_orderpriority, dl, COUNT(*) AS w FROM d
+         |  GROUP BY 1, 2),
+         |cum AS (SELECT o_orderpriority, dl, w,
+         |  SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY dl) AS cw,
+         |  SUM(w) OVER (PARTITION BY o_orderpriority) AS tw FROM gv)
+         |SELECT o_orderpriority, p.p_pct, CAST(MIN(dl) AS BIGINT)
+         |  AS delay_days_q, CAST(MAX(tw) AS BIGINT) AS n_lines
+         |FROM cum CROSS JOIN (VALUES (50), (90), (99)) p(p_pct)
+         |WHERE cw * 100 >= p.p_pct * tw
+         |GROUP BY 1, 2 ORDER BY o_orderpriority, p_pct"""
+        .stripMargin.replace("\n", " ")),
+    "x357_event_audience_overlap" ->
+      ("""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut
+         |  GROUP BY 1),
+         |iv AS (SELECT a.event_type AS type_1, b.event_type AS type_2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         | FROM ut a JOIN ut b ON a.user_id = b.user_id
+         |  AND a.event_type < b.event_type GROUP BY 1, 2)
+         |SELECT type_1, type_2, s1.n AS n_users_1, s2.n AS n_users_2,
+         | n_shared,
+         | CAST(n_shared * 1000000 // (s1.n + s2.n - n_shared) AS BIGINT)
+         |  AS jaccard_ppm
+         |FROM iv JOIN sz s1 ON s1.event_type = iv.type_1
+         | JOIN sz s2 ON s2.event_type = iv.type_2
+         |ORDER BY type_1, type_2""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
