@@ -3954,6 +3954,69 @@ object Extensions {
       .orderBy("type_1", "type_2")
   }
 
+  /** x358 — monthly return-rate trend: returned-line ppm per ship
+    * month — the ops timeline behind x313's supplier census and x299's
+    * brand ranking; a step here is a batch problem, a drift is a
+    * quality problem. One scan, |months|-bounded. */
+  private val x358: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").isNotNull && col("l_returnflag").isNotNull)
+      .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returns"))
+      .select(col("month"), col("n_lines"), col("n_returns"),
+        expr("n_returns * 1000000 DIV n_lines").as("return_ppm"))
+      .orderBy("month")
+  }
+
+  /** x359 — reactivation order value: mean order cents for first orders,
+    * reactivation orders (≥ 180 days since the previous), and regular
+    * reorders — "do returners come back bigger?" in three rows; the
+    * win-back economics behind x260's half-life. Customer-partitioned
+    * lag only. */
+  private val x359: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .select(
+        when(col("__prev").isNull, "1_first")
+          .when(datediff(col("__d"), col("__prev")) >= 180, "2_reactivation")
+          .otherwise("3_regular").as("order_class"),
+        col("__c"))
+      .groupBy("order_class")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("SUM(__c) DIV COUNT(1)").as("mean_cents"))
+      .orderBy("order_class")
+  }
+
+  /** x360 — vector sparsity census: share of near-zero components
+    * (|x| < 0.01) per label — dead dimensions are free compression and
+    * a training-signal warning; threshold counting keeps the float math
+    * in exact comparisons (no FP accumulation to drift cross-engine).
+    * Row-local lambda, |labels|-bounded aggregate. */
+  private val x360: Q = (spark, sfDir) => {
+    emb(spark, sfDir)
+      .filter(col("label").isNotNull && col("embedding").isNotNull)
+      .select(col("label"),
+        size(col("embedding")).cast("long").as("__dim"),
+        expr("size(filter(embedding, x -> abs(x) < 0.01))").cast("long")
+          .as("__nz"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__dim")).as("n_components"),
+        sum(col("__nz")).as("n_near_zero"))
+      .select(col("label"), col("n_vecs"), col("n_components"),
+        col("n_near_zero"),
+        expr("n_near_zero * 1000000 DIV n_components").as("sparsity_ppm"))
+      .orderBy("label")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4742,7 +4805,10 @@ object Extensions {
     "x354_post_large_order_gap" -> x354,
     "x355_corpus_sourcing_chi2" -> x355,
     "x356_ship_delay_quantiles" -> x356,
-    "x357_event_audience_overlap" -> x357)
+    "x357_event_audience_overlap" -> x357,
+    "x358_return_rate_trend" -> x358,
+    "x359_reactivation_value" -> x359,
+    "x360_vector_sparsity_census" -> x360)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9359,6 +9425,46 @@ object Extensions {
          |FROM iv JOIN sz s1 ON s1.event_type = iv.type_1
          | JOIN sz s2 ON s2.event_type = iv.type_2
          |ORDER BY type_1, type_2""".stripMargin.replace("\n", " ")),
+    "x358_return_rate_trend" ->
+      ("""SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+         |  AS DATE) AS month,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_returns,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+         |FROM lineitem
+         |WHERE l_shipdate IS NOT NULL AND l_returnflag IS NOT NULL
+         |GROUP BY 1 ORDER BY month""".stripMargin.replace("\n", " ")),
+    "x359_reactivation_value" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |l AS (SELECT c, LAG(d) OVER
+         |  (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev, d
+         | FROM o),
+         |cl AS (SELECT CASE WHEN prev IS NULL THEN '1_first'
+         |   WHEN d - prev >= 180 THEN '2_reactivation'
+         |   ELSE '3_regular' END AS order_class, c FROM l)
+         |SELECT order_class, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_cents
+         |FROM cl GROUP BY 1 ORDER BY order_class"""
+        .stripMargin.replace("\n", " ")),
+    "x360_vector_sparsity_census" ->
+      ("""WITH v AS (SELECT label,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(len(list_filter(embedding, x -> abs(x) < 0.01))
+         |   AS BIGINT) AS nz
+         | FROM embeddings
+         | WHERE label IS NOT NULL AND embedding IS NOT NULL)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         | CAST(SUM(dim) AS BIGINT) AS n_components,
+         | CAST(SUM(nz) AS BIGINT) AS n_near_zero,
+         | CAST(SUM(nz) * 1000000 // SUM(dim) AS BIGINT) AS sparsity_ppm
+         |FROM v GROUP BY 1 ORDER BY label"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
