@@ -4017,6 +4017,72 @@ object Extensions {
       .orderBy("label")
   }
 
+  /** x361 — dimension sign agreement: ppm of vectors where dimension
+    * pairs (of the first four) share a sign — the integer-safe
+    * correlation proxy (a high-agreement pair is redundant capacity;
+    * FP covariance would drift cross-engine, sign counting cannot).
+    * One scan to a single row, stacked to 6 pair rows. */
+  private val x361: Q = (spark, sfDir) => {
+    val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val e = emb(spark, sfDir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 4)
+      .select((1 to 4).map(i =>
+        (element_at(col("embedding"), i) > 0d).cast("long").as(s"__s$i")): _*)
+    val aggs = count(lit(1)).as("__n") +: pairs.map { case (i, j) =>
+      sum((col(s"__s$i") === col(s"__s$j")).cast("long")).as(s"__a${i}_$j")
+    }
+    val stacked = pairs.map { case (i, j) => s"'${i}_$j', __a${i}_$j" }
+      .mkString(", ")
+    e.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"),
+        expr(s"stack(${pairs.size}, $stacked) AS (dim_pair, n_agree)"))
+      .select(col("dim_pair"), col("n_agree"), col("__n").as("n_vecs"),
+        expr("n_agree * 1000000 DIV __n").as("agree_ppm"))
+      .orderBy("dim_pair")
+  }
+
+  /** x362 — catalog hierarchy rollup: revenue ROLLUP over the
+    * type → brand catalog hierarchy with grand/subtotal rows reading
+    * 'ALL' — the merchandising pivot b09's rollup surface exists for. */
+  private val x362: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("x362_lineitem")
+    Tables(spark, sfDir, "part").createOrReplaceTempView("x362_part")
+    spark.sql(
+      """SELECT COALESCE(t1, 'ALL') AS type_1, COALESCE(t2, 'ALL') AS type_2,
+        |  COUNT(*) AS n_lines, SUM(c) AS rev_cents
+        |FROM (SELECT p_type AS t1, p_brand AS t2,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM x362_lineitem JOIN x362_part ON l_partkey = p_partkey
+        |  WHERE p_type IS NOT NULL AND p_brand IS NOT NULL)
+        |GROUP BY ROLLUP (t1, t2)
+        |ORDER BY type_1, type_2""".stripMargin)
+  }
+
+  /** x363 — brand loyalty depth census: customers banded by the share
+    * of their lines spent on their SINGLE favourite brand (10% ppm
+    * bands) — the loyalty distribution x351's attach rate is the dual
+    * of. Per-customer frames collapse to (customer, brand) counts;
+    * everything after is customer-bounded. */
+  private val x363: Q = (spark, sfDir) => {
+    val cb = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("o_custkey").isNotNull && col("p_brand").isNotNull)
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(count(lit(1)).as("__c"))
+    val per = cb.groupBy("o_custkey")
+      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m"))
+      .select(expr("__m * 1000000 DIV __t").as("__ppm"))
+    val b = per
+      .groupBy(expr("__ppm DIV 100000").cast("int").as("loyalty_band"))
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = b.agg(sum(col("n_customers")).as("__n"))
+    b.crossJoin(broadcast(tot))
+      .select(col("loyalty_band"), col("n_customers"),
+        expr("n_customers * 1000000 DIV __n").as("share_ppm"))
+      .orderBy("loyalty_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4808,7 +4874,10 @@ object Extensions {
     "x357_event_audience_overlap" -> x357,
     "x358_return_rate_trend" -> x358,
     "x359_reactivation_value" -> x359,
-    "x360_vector_sparsity_census" -> x360)
+    "x360_vector_sparsity_census" -> x360,
+    "x361_dim_sign_agreement" -> x361,
+    "x362_catalog_hierarchy_rollup" -> x362,
+    "x363_brand_loyalty_depth" -> x363)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9464,6 +9533,55 @@ object Extensions {
          | CAST(SUM(nz) AS BIGINT) AS n_near_zero,
          | CAST(SUM(nz) * 1000000 // SUM(dim) AS BIGINT) AS sparsity_ppm
          |FROM v GROUP BY 1 ORDER BY label"""
+        .stripMargin.replace("\n", " ")),
+    "x361_dim_sign_agreement" ->
+      ("""WITH s AS (SELECT
+         |  CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS s1,
+         |  CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END AS s2,
+         |  CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS s3,
+         |  CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS s4
+         | FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) >= 4),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS a12,
+         |  CAST(SUM(CASE WHEN s1 = s3 THEN 1 ELSE 0 END) AS BIGINT) AS a13,
+         |  CAST(SUM(CASE WHEN s1 = s4 THEN 1 ELSE 0 END) AS BIGINT) AS a14,
+         |  CAST(SUM(CASE WHEN s2 = s3 THEN 1 ELSE 0 END) AS BIGINT) AS a23,
+         |  CAST(SUM(CASE WHEN s2 = s4 THEN 1 ELSE 0 END) AS BIGINT) AS a24,
+         |  CAST(SUM(CASE WHEN s3 = s4 THEN 1 ELSE 0 END) AS BIGINT) AS a34
+         | FROM s)
+         |SELECT p.dim_pair, p.n_agree, n AS n_vecs,
+         | CAST(p.n_agree * 1000000 // n AS BIGINT) AS agree_ppm
+         |FROM a, LATERAL (VALUES ('1_2', a12), ('1_3', a13), ('1_4', a14),
+         |  ('2_3', a23), ('2_4', a24), ('3_4', a34)) p(dim_pair, n_agree)
+         |ORDER BY dim_pair""".stripMargin.replace("\n", " ")),
+    "x362_catalog_hierarchy_rollup" ->
+      ("""WITH t AS (SELECT p_type AS t1, p_brand AS t2,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_type IS NOT NULL AND p_brand IS NOT NULL)
+         |SELECT COALESCE(t1, 'ALL') AS type_1,
+         | COALESCE(t2, 'ALL') AS type_2,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(c) AS BIGINT) AS rev_cents
+         |FROM t GROUP BY ROLLUP (t1, t2)
+         |ORDER BY type_1, type_2""".stripMargin.replace("\n", " ")),
+    "x363_brand_loyalty_depth" ->
+      ("""WITH cb AS (SELECT o_custkey, p_brand,
+         |  CAST(COUNT(*) AS BIGINT) AS c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL
+         | GROUP BY 1, 2),
+         |per AS (SELECT CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT)
+         |   AS ppm FROM cb GROUP BY o_custkey),
+         |b AS (SELECT CAST(ppm // 100000 AS INT) AS loyalty_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_customers FROM per GROUP BY 1),
+         |t AS (SELECT SUM(n_customers) AS n FROM b)
+         |SELECT loyalty_band, n_customers,
+         | CAST(n_customers * 1000000 // n AS BIGINT) AS share_ppm
+         |FROM b, t ORDER BY loyalty_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
