@@ -4083,6 +4083,61 @@ object Extensions {
       .orderBy("loyalty_band")
   }
 
+  /** x364 — order consolidation census: orders by how many DISTINCT
+    * suppliers fulfil them — the split-fulfilment histogram logistics
+    * pays for (x290 counts split shipments in TIME; this counts them in
+    * SOURCING). Distinct collapse then |orders|-bounded counts. */
+  private val x364: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
+      .select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_suppliers"))
+      .groupBy("n_suppliers").agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_suppliers")
+  }
+
+  /** x365 — order line-concentration census: orders banded by the share
+    * of order value sitting in their single LARGEST line (10% ppm
+    * bands) — near-1e6 means "one real item plus trinkets", the basket
+    * twin of x363's brand loyalty. Order-bounded aggregates only. */
+  private val x365: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy("l_orderkey")
+      .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("__t"),
+        max(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("__m"))
+      .select(expr("CAST(CAST(__m AS DECIMAL(38,0)) * 1000000 DIV __t" +
+        " AS BIGINT)").as("__ppm"))
+      .groupBy(expr("__ppm DIV 100000").cast("int").as("concentration_band"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("concentration_band")
+  }
+
+  /** x366 — dup rate by length band: share of docs with a verified
+    * near-dup, per log2(n_chars) band — "is duplication a long-doc or
+    * short-doc disease?", the decision input for length-stratified
+    * dedup. Bit-length banding (exact, no float log); twelfth consumer
+    * of the LSH pair staging. */
+  private val x366: Q = (spark, sfDir) => {
+    val dup = lshPairs(spark, sfDir)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+      .withColumn("__isdup", lit(1L))
+    docs(spark, sfDir)
+      .filter(col("n_chars") > 0)
+      .join(dup, Seq("doc_id"), "left")
+      .select(expr("CAST(length(bin(n_chars)) - 1 AS INT)").as("len_band"),
+        coalesce(col("__isdup"), lit(0L)).as("__d"))
+      .groupBy("len_band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__d")).as("n_dup"))
+      .select(col("len_band"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"))
+      .orderBy("len_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4877,7 +4932,10 @@ object Extensions {
     "x360_vector_sparsity_census" -> x360,
     "x361_dim_sign_agreement" -> x361,
     "x362_catalog_hierarchy_rollup" -> x362,
-    "x363_brand_loyalty_depth" -> x363)
+    "x363_brand_loyalty_depth" -> x363,
+    "x364_order_consolidation_census" -> x364,
+    "x365_line_concentration_census" -> x365,
+    "x366_dup_rate_by_length" -> x366)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9582,6 +9640,41 @@ object Extensions {
          |SELECT loyalty_band, n_customers,
          | CAST(n_customers * 1000000 // n AS BIGINT) AS share_ppm
          |FROM b, t ORDER BY loyalty_band"""
+        .stripMargin.replace("\n", " ")),
+    "x364_order_consolidation_census" ->
+      ("""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         |oc AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT)
+         |   AS n_suppliers FROM os GROUP BY 1)
+         |SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM oc GROUP BY 1 ORDER BY n_suppliers"""
+        .stripMargin.replace("\n", " ")),
+    "x365_line_concentration_census" ->
+      ("""WITH o AS (SELECT l_orderkey,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS t,
+         |  CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS m
+         | FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         |p AS (SELECT CAST(CAST(m AS HUGEINT) * 1000000 // t AS BIGINT)
+         |   AS ppm FROM o)
+         |SELECT CAST(ppm // 100000 AS INT) AS concentration_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM p GROUP BY 1 ORDER BY concentration_band"""
+        .stripMargin.replace("\n", " ")),
+    "x366_dup_rate_by_length" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |dup AS (SELECT DISTINCT d FROM (SELECT d1 AS d FROM jpairs
+         |  UNION ALL SELECT d2 FROM jpairs)),
+         |b AS (SELECT CAST(length(format('{:b}', n_chars)) - 1 AS INT)
+         |   AS len_band,
+         |  CASE WHEN dup.d IS NULL THEN 0 ELSE 1 END AS isdup
+         | FROM documents LEFT JOIN dup ON documents.doc_id = dup.d
+         | WHERE n_chars > 0)
+         |SELECT len_band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(isdup) AS BIGINT) AS n_dup,
+         | CAST(SUM(isdup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM b GROUP BY 1 ORDER BY len_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
