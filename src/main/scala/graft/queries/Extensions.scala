@@ -4138,6 +4138,69 @@ object Extensions {
       .orderBy("len_band")
   }
 
+  /** x367 — digit-density outliers: the 20 most table-like documents
+    * (highest digit ppm) — the review queue a text-quality gate
+    * produces; x317 profiles sources, this NAMES the offenders.
+    * TakeOrdered top-k, doc-id tie-break. */
+  private val x367: Q = (spark, sfDir) => {
+    docs(spark, sfDir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("__d"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("__d * 1000000 DIV n_chars").as("digit_ppm"))
+      .orderBy(col("digit_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** x368 — shared-supplier exposure: pairwise jaccard of brand supplier
+    * sets (exact ppm) — two brands with high overlap fail TOGETHER when
+    * a supplier does; x345 scores one brand's concentration, this maps
+    * the correlated risk. Supplier-set joins fan by ≤ |brands| per
+    * supplier. */
+  private val x368: Q = (spark, sfDir) => {
+    val bs = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_suppkey").isNotNull)
+      .select(col("p_brand").as("brand"), col("l_suppkey")).distinct()
+    val sz = bs.groupBy("brand").agg(count(lit(1)).as("__n"))
+    bs.as("a").join(bs.as("b"),
+        col("a.l_suppkey") === col("b.l_suppkey") &&
+          col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_1"), col("b.brand").as("brand_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("brand").as("brand_1"), col("__n").as("n_sup_1")),
+        "brand_1")
+      .join(sz.select(col("brand").as("brand_2"), col("__n").as("n_sup_2")),
+        "brand_2")
+      .select(col("brand_1"), col("brand_2"), col("n_sup_1"),
+        col("n_sup_2"), col("n_shared"),
+        expr("n_shared * 1000000 DIV (n_sup_1 + n_sup_2 - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy("brand_1", "brand_2")
+  }
+
+  /** x369 — basket-size mode by segment: the most COMMON order line
+    * count per market segment (x318's portable count-collapse +
+    * max(struct) mode, tie → smallest) — the "typical basket" a mean
+    * would misstate on a skewed distribution. */
+  private val x369: Q = (spark, sfDir) => {
+    val sz = Tables(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("__sz"))
+    val c = sz
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("__sz"))
+      .agg(count(lit(1)).as("__c"))
+    c.groupBy("segment")
+      .agg(max(struct(col("__c"), (-col("__sz")).as("__ns"))).as("__m"),
+        sum(col("__c")).as("n_orders"))
+      .select(col("segment"), (-col("__m.__ns")).as("mode_basket_size"),
+        col("__m.__c").as("n_mode"), col("n_orders"))
+      .orderBy("segment")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -4935,7 +4998,10 @@ object Extensions {
     "x363_brand_loyalty_depth" -> x363,
     "x364_order_consolidation_census" -> x364,
     "x365_line_concentration_census" -> x365,
-    "x366_dup_rate_by_length" -> x366)
+    "x366_dup_rate_by_length" -> x366,
+    "x367_digit_density_outliers" -> x367,
+    "x368_shared_supplier_exposure" -> x368,
+    "x369_basket_size_mode" -> x369)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9675,6 +9741,44 @@ object Extensions {
          | CAST(SUM(isdup) AS BIGINT) AS n_dup,
          | CAST(SUM(isdup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
          |FROM b GROUP BY 1 ORDER BY len_band"""
+        .stripMargin.replace("\n", " ")),
+    "x367_digit_density_outliers" ->
+      ("""WITH d AS (SELECT doc_id, n_chars,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |   * 1000000 // n_chars AS BIGINT) AS digit_ppm
+         | FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, digit_ppm FROM d
+         |ORDER BY digit_ppm DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x368_shared_supplier_exposure" ->
+      ("""WITH bs AS (SELECT DISTINCT p_brand AS brand, l_suppkey
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand IS NOT NULL AND l_suppkey IS NOT NULL),
+         |sz AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM bs
+         |  GROUP BY 1),
+         |iv AS (SELECT a.brand AS brand_1, b.brand AS brand_2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         | FROM bs a JOIN bs b ON a.l_suppkey = b.l_suppkey
+         |  AND a.brand < b.brand GROUP BY 1, 2)
+         |SELECT brand_1, brand_2, s1.n AS n_sup_1, s2.n AS n_sup_2,
+         | n_shared,
+         | CAST(n_shared * 1000000 // (s1.n + s2.n - n_shared) AS BIGINT)
+         |  AS jaccard_ppm
+         |FROM iv JOIN sz s1 ON s1.brand = iv.brand_1
+         | JOIN sz s2 ON s2.brand = iv.brand_2
+         |ORDER BY brand_1, brand_2""".stripMargin.replace("\n", " ")),
+    "x369_basket_size_mode" ->
+      ("""WITH sz AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS s
+         |  FROM lineitem GROUP BY 1),
+         |c AS (SELECT c_mktsegment AS segment, s, COUNT(*) AS n
+         | FROM sz JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         |r AS (SELECT segment, s, n, ROW_NUMBER() OVER
+         |  (PARTITION BY segment ORDER BY n DESC, s) AS rk,
+         |  SUM(n) OVER (PARTITION BY segment) AS t FROM c)
+         |SELECT segment, CAST(s AS BIGINT) AS mode_basket_size,
+         | CAST(n AS BIGINT) AS n_mode, CAST(t AS BIGINT) AS n_orders
+         |FROM r WHERE rk = 1 ORDER BY segment"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
