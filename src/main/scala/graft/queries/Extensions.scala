@@ -4201,6 +4201,66 @@ object Extensions {
       .orderBy("segment")
   }
 
+  /** x370 — basket-size economics: order value and value-per-line by
+    * basket line count — is basket value superlinear (attach-driven) or
+    * dilutive? Order frame collapses once; |sizes|-bounded output. */
+  private val x370: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("__n"),
+        sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("__t"))
+      .groupBy(col("__n").as("basket_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__t")).as("__tc"),
+        sum(col("__n")).as("__tl"))
+      .select(col("basket_lines"), col("n_orders"),
+        expr("__tc DIV n_orders").as("mean_order_cents"),
+        expr("__tc DIV __tl").as("mean_line_cents"))
+      .orderBy("basket_lines")
+  }
+
+  /** x371 — dup quality gap: mean quality score (exact floored milli)
+    * for near-duplicated vs clean docs — "is duplication a low-quality
+    * disease?", the second axis of x366's length cut. FLOOR before the
+    * integer mean (a bare cast would round in DuckDB); thirteenth
+    * consumer of the LSH pair staging. */
+  private val x371: Q = (spark, sfDir) => {
+    val dup = lshPairs(spark, sfDir)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+      .withColumn("__isdup", lit(1L))
+    docs(spark, sfDir)
+      .join(dup, Seq("doc_id"), "left")
+      .select(
+        when(col("__isdup").isNotNull, "dup").otherwise("clean").as("cohort"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000).as("__q"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(__q) DIV COUNT(1)").as("mean_quality_milli"))
+      .orderBy("cohort")
+  }
+
+  /** x372 — conversion by first touch: purchase-conversion ppm keyed by
+    * each user's FIRST-ever event type — the acquisition-quality read
+    * x250's mix and x308's latency bracket from either side. One keyed
+    * min(struct) for the first touch, one flag aggregate. */
+  private val x372: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+    e.groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type").as("et")))
+          .as("__f"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__conv"))
+      .groupBy(col("__f.et").as("first_touch"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__conv")).as("n_converted"))
+      .select(col("first_touch"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 DIV n_users").as("conversion_ppm"))
+      .orderBy("first_touch")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5001,7 +5061,10 @@ object Extensions {
     "x366_dup_rate_by_length" -> x366,
     "x367_digit_density_outliers" -> x367,
     "x368_shared_supplier_exposure" -> x368,
-    "x369_basket_size_mode" -> x369)
+    "x369_basket_size_mode" -> x369,
+    "x370_basket_size_economics" -> x370,
+    "x371_dup_quality_gap" -> x371,
+    "x372_conversion_by_first_touch" -> x372)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9779,6 +9842,45 @@ object Extensions {
          |SELECT segment, CAST(s AS BIGINT) AS mode_basket_size,
          | CAST(n AS BIGINT) AS n_mode, CAST(t AS BIGINT) AS n_orders
          |FROM r WHERE rk = 1 ORDER BY segment"""
+        .stripMargin.replace("\n", " ")),
+    "x370_basket_size_economics" ->
+      ("""WITH o AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS t
+         | FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+         |SELECT n AS basket_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(t) // COUNT(*) AS BIGINT) AS mean_order_cents,
+         | CAST(SUM(t) // SUM(n) AS BIGINT) AS mean_line_cents
+         |FROM o GROUP BY 1 ORDER BY basket_lines"""
+        .stripMargin.replace("\n", " ")),
+    "x371_dup_quality_gap" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |$qualityCtes,
+         |dup AS (SELECT DISTINCT d FROM (SELECT d1 AS d FROM jpairs
+         |  UNION ALL SELECT d2 FROM jpairs)),
+         |c AS (SELECT CASE WHEN dup.d IS NULL THEN 'clean' ELSE 'dup' END
+         |   AS cohort, CAST(FLOOR(score * 1000) AS BIGINT) AS q
+         | FROM qscore LEFT JOIN dup ON qscore.doc_id = dup.d)
+         |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_quality_milli
+         |FROM c GROUP BY 1 ORDER BY cohort"""
+        .stripMargin.replace("\n", " ")),
+    "x372_conversion_by_first_touch" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_type IS NOT NULL),
+         |f AS (SELECT user_id,
+         |  MIN(struct_pack(ts := ts, eid := event_id, et := event_type))
+         |   AS ft,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |   AS conv
+         | FROM e GROUP BY 1)
+         |SELECT ft.et AS first_touch,
+         | CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(SUM(conv) AS BIGINT) AS n_converted,
+         | CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT)
+         |  AS conversion_ppm
+         |FROM f GROUP BY 1 ORDER BY first_touch"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
