@@ -4261,6 +4261,56 @@ object Extensions {
       .orderBy("first_touch")
   }
 
+  /** x373 — token position profile: mean token length (exact milli) by
+    * token POSITION (first 20) — openings are headers/IDs in templated
+    * corpora and ordinary prose in clean ones; the positional read
+    * x353's prefix families aggregate away. One posexplode scan,
+    * 20-row output. */
+  private val x373: Q = (spark, sfDir) => {
+    docs(spark, sfDir)
+      .select(posexplode(split(col("text"), " ")).as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "" && col("__p") < 20)
+      .groupBy((col("__p") + 1).as("position"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("SUM(length(__t)) * 1000 DIV COUNT(1)").as("mean_len_milli"))
+      .orderBy("position")
+  }
+
+  /** x374 — discount calendar: exact mean discount ppm per order month
+    * — the promo-cadence timeline (x323 reads the quantity ladder; this
+    * reads TIME). DECIMAL(8,6) staging as in x323. */
+  private val x374: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_discount").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(CAST(CAST(l_discount AS DECIMAL(8,6)) * 1000000" +
+          " AS BIGINT)) DIV COUNT(1)").as("mean_discount_ppm"))
+      .orderBy("month")
+  }
+
+  /** x375 — purchase value progression: mean purchase value by the
+    * user's k-th purchase (k ≤ 10) — "do users spend MORE as they
+    * mature?", the per-event dual of x335's yearly decile migration.
+    * Row-number window partitions by user. */
+  private val x375: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .withColumn("__k", row_number().over(w))
+      .filter(col("__k") <= 10)
+      .groupBy(col("__k").as("purchase_index"))
+      .agg(count(lit(1)).as("n_purchases"),
+        expr("SUM(__c) DIV COUNT(1)").as("mean_value_cents"))
+      .orderBy("purchase_index")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5064,7 +5114,10 @@ object Extensions {
     "x369_basket_size_mode" -> x369,
     "x370_basket_size_economics" -> x370,
     "x371_dup_quality_gap" -> x371,
-    "x372_conversion_by_first_touch" -> x372)
+    "x372_conversion_by_first_touch" -> x372,
+    "x373_token_position_profile" -> x373,
+    "x374_discount_calendar" -> x374,
+    "x375_purchase_value_progression" -> x375)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9881,6 +9934,38 @@ object Extensions {
          | CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT)
          |  AS conversion_ppm
          |FROM f GROUP BY 1 ORDER BY first_touch"""
+        .stripMargin.replace("\n", " ")),
+    "x373_token_position_profile" ->
+      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |ix AS (SELECT ws, unnest(range(least(len(ws), 20))) AS i FROM w),
+         |t AS (SELECT CAST(i + 1 AS BIGINT) AS position, ws[i + 1] AS tok
+         |  FROM ix)
+         |SELECT position, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         | CAST(SUM(length(tok)) * 1000 // COUNT(*) AS BIGINT)
+         |  AS mean_len_milli
+         |FROM t WHERE tok <> '' GROUP BY 1 ORDER BY position"""
+        .stripMargin.replace("\n", " ")),
+    "x374_discount_calendar" ->
+      ("""SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+         |  AS DATE) AS month,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,6)) * 1000000
+         |  AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_discount_ppm
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_discount IS NOT NULL AND o_orderdate IS NOT NULL
+         |GROUP BY 1 ORDER BY month""".stripMargin.replace("\n", " ")),
+    "x375_purchase_value_progression" ->
+      ("""WITH p AS (SELECT user_id, ts, event_id,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND event_type = 'purchase' AND value IS NOT NULL),
+         |k AS (SELECT c, ROW_NUMBER() OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS ki FROM p)
+         |SELECT CAST(ki AS BIGINT) AS purchase_index,
+         | CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_value_cents
+         |FROM k WHERE ki <= 10 GROUP BY 1 ORDER BY purchase_index"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
