@@ -4311,6 +4311,63 @@ object Extensions {
       .orderBy("purchase_index")
   }
 
+  /** x376 — language misfile queue: the first 20 documents whose
+    * heuristic language ID disagrees with their label — x08 counts the
+    * confusion; this NAMES rows for review (the queue a labeling fix
+    * starts from). Deterministic doc-id order. */
+  private val x376: Q = (spark, sfDir) => {
+    docs(spark, sfDir)
+      .withColumn("predicted", TextAnalysis.langIdHeuristic(col("text")))
+      .filter(col("predicted") =!= col("lang"))
+      .select(col("doc_id"), col("lang"), col("predicted"))
+      .orderBy("doc_id")
+      .limit(20)
+  }
+
+  /** x377 — source language purity: distinct languages per source and
+    * the top-language share (ppm) — a "multilingual" source is often
+    * two feeds glued together; the purity number says whether per-source
+    * language models are safe. Vocabulary-bounded collapses only. */
+  private val x377: Q = (spark, sfDir) => {
+    val ls = docs(spark, sfDir)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+    ls.groupBy("source")
+      .agg(count(lit(1)).as("n_langs"), sum(col("__c")).as("n_docs"),
+        max(col("__c")).as("__m"))
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        expr("__m * 1000000 DIV n_docs").as("top_lang_ppm"))
+      .orderBy("source")
+  }
+
+  /** x378 — customer value maturation: total FIRST-order vs LAST-order
+    * cents across repeat customers, with the lift in the positive-ratio
+    * spelling — "does the book grow its customers?" as one row (x375
+    * reads the per-event curve; this is the orders-side bookend).
+    * Keyed min/max(struct) — no windows at all. */
+  private val x378: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__d"), col("o_orderkey"), col("__c").as("c")))
+          .as("__f"),
+        max(struct(col("__d"), col("o_orderkey"), col("__c").as("c")))
+          .as("__l"))
+      .filter(col("__n") >= 2)
+      .agg(count(lit(1)).as("n_repeat_customers"),
+        sum(col("__f.c")).as("first_cents_total"),
+        sum(col("__l.c")).as("last_cents_total"))
+      .select(col("n_repeat_customers"), col("first_cents_total"),
+        col("last_cents_total"),
+        expr("CAST(CAST(last_cents_total AS DECIMAL(38,0)) * 1000000" +
+          " DIV first_cents_total AS BIGINT) - 1000000").as("lift_ppm"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5117,7 +5174,10 @@ object Extensions {
     "x372_conversion_by_first_touch" -> x372,
     "x373_token_position_profile" -> x373,
     "x374_discount_calendar" -> x374,
-    "x375_purchase_value_progression" -> x375)
+    "x375_purchase_value_progression" -> x375,
+    "x376_lang_misfile_queue" -> x376,
+    "x377_source_language_purity" -> x377,
+    "x378_customer_value_maturation" -> x378)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -9967,6 +10027,44 @@ object Extensions {
          | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_value_cents
          |FROM k WHERE ki <= 10 GROUP BY 1 ORDER BY purchase_index"""
         .stripMargin.replace("\n", " ")),
+    "x376_lang_misfile_queue" ->
+      ("""WITH pr AS (SELECT doc_id, lang,
+         | CASE
+         |  WHEN strpos(' '||text||' ',' der ')>0 OR strpos(' '||text||' ',' die ')>0 OR strpos(' '||text||' ',' das ')>0 OR strpos(' '||text||' ',' und ')>0 THEN 'de'
+         |  WHEN strpos(' '||text||' ',' le ')>0 OR strpos(' '||text||' ',' la ')>0 OR strpos(' '||text||' ',' et ')>0 OR strpos(' '||text||' ',' les ')>0 THEN 'fr'
+         |  WHEN strpos(' '||text||' ',' el ')>0 OR strpos(' '||text||' ',' los ')>0 OR strpos(' '||text||' ',' una ')>0 OR strpos(' '||text||' ',' es ')>0 THEN 'es'
+         |  WHEN strpos(' '||text||' ',' de ')>0 OR strpos(' '||text||' ',' shi ')>0 OR strpos(' '||text||' ',' bu ')>0 THEN 'zh'
+         |  ELSE 'en' END AS predicted
+         | FROM documents)
+         |SELECT doc_id, lang, predicted FROM pr
+         |WHERE predicted <> lang ORDER BY doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x377_source_language_purity" ->
+      ("""WITH ls AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM documents
+         | WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+         | CAST(SUM(c) AS BIGINT) AS n_docs,
+         | CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_lang_ppm
+         |FROM ls GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x378_customer_value_maturation" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |per AS (SELECT o_custkey, COUNT(*) AS n,
+         |  MIN(struct_pack(d := d, k := o_orderkey, c := c)) AS f,
+         |  MAX(struct_pack(d := d, k := o_orderkey, c := c)) AS l
+         | FROM o GROUP BY 1),
+         |r AS (SELECT f.c AS fc, l.c AS lc FROM per WHERE n >= 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+         | CAST(SUM(fc) AS BIGINT) AS first_cents_total,
+         | CAST(SUM(lc) AS BIGINT) AS last_cents_total,
+         | CAST(CAST(SUM(lc) AS HUGEINT) * 1000000 // SUM(fc) AS BIGINT)
+         |  - 1000000 AS lift_ppm
+         |FROM r""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
