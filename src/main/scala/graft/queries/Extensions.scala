@@ -4368,6 +4368,64 @@ object Extensions {
           " DIV first_cents_total AS BIGINT) - 1000000").as("lift_ppm"))
   }
 
+  /** x379 — label × language matrix: embedding cluster labels crossed
+    * with document language over the vec_id↔doc_id bridge (x304's
+    * contract) — label-language correlation means the "semantic"
+    * clusters are really language clusters, the classic embedding-QA
+    * trap. |labels × langs| cells with row shares. */
+  private val x379: Q = (spark, sfDir) => {
+    val cell = emb(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("label").isNotNull && col("lang").isNotNull)
+      .groupBy("lang", "label").agg(count(lit(1)).as("n_docs"))
+    val rt = cell.groupBy("lang").agg(sum(col("n_docs")).as("__t"))
+    cell.join(rt, "lang")
+      .select(col("lang"), col("label"), col("n_docs"),
+        expr("n_docs * 1000000 DIV __t").as("lang_share_ppm"))
+      .orderBy("lang", "label")
+  }
+
+  /** x380 — whale leaderboard: top-5 customers by lifetime revenue with
+    * nation context — the account-review shortlist; plans as TakeOrdered
+    * over the customer rollup, never a global sort. */
+  private val x380: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull)
+      .groupBy("o_custkey")
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev_cents"), count(lit(1)).as("n_orders"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+        col("n_orders"), col("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+      .limit(5)
+  }
+
+  /** x381 — week-over-week volatility: mean |WoW| revenue change in ppm
+    * over the ISO-week series (both engines truncate weeks to Monday) —
+    * the one-number noise floor an anomaly alert must clear (x327 ranges
+    * per brand; this is the global pulse). Lag rides the |weeks| spine. */
+  private val x381: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(trunc(to_date(col("o_orderdate")), "week").as("week"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__c"))
+    wk.withColumn("__prev", lag(col("__c"), 1).over(Window.orderBy("week")))
+      .filter(col("__prev").isNotNull)
+      .select(expr("CAST(CAST(abs(__c - __prev) AS DECIMAL(38,0))" +
+        " * 1000000 DIV __prev AS BIGINT)").as("__chg"))
+      .agg(count(lit(1)).as("n_weeks"),
+        expr("SUM(__chg) DIV COUNT(1)").as("mean_abs_wow_ppm"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5177,7 +5235,10 @@ object Extensions {
     "x375_purchase_value_progression" -> x375,
     "x376_lang_misfile_queue" -> x376,
     "x377_source_language_purity" -> x377,
-    "x378_customer_value_maturation" -> x378)
+    "x378_customer_value_maturation" -> x378,
+    "x379_label_lang_matrix" -> x379,
+    "x380_whale_leaderboard" -> x380,
+    "x381_wow_volatility" -> x381)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10065,6 +10126,40 @@ object Extensions {
          | CAST(CAST(SUM(lc) AS HUGEINT) * 1000000 // SUM(fc) AS BIGINT)
          |  - 1000000 AS lift_ppm
          |FROM r""".stripMargin.replace("\n", " ")),
+    "x379_label_lang_matrix" ->
+      ("""WITH cell AS (SELECT lang, label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         | FROM embeddings JOIN documents ON vec_id = doc_id
+         | WHERE label IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT lang, SUM(n_docs) AS t FROM cell GROUP BY 1)
+         |SELECT cell.lang, label, n_docs,
+         | CAST(n_docs * 1000000 // t AS BIGINT) AS lang_share_ppm
+         |FROM cell JOIN rt ON rt.lang = cell.lang
+         |ORDER BY cell.lang, label""".stripMargin.replace("\n", " ")),
+    "x380_whale_leaderboard" ->
+      ("""WITH r AS (SELECT o_custkey,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev_cents,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders
+         | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name AS nation, n_orders, rev_cents
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY rev_cents DESC, c_custkey LIMIT 5"""
+        .stripMargin.replace("\n", " ")),
+    "x381_wow_volatility" ->
+      ("""WITH wk AS (SELECT
+         |  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+         |   AS week,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS c
+         | FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |l AS (SELECT c, LAG(c) OVER (ORDER BY week) AS prev FROM wk),
+         |d AS (SELECT CAST(CAST(ABS(c - prev) AS HUGEINT) * 1000000
+         |   // prev AS BIGINT) AS chg FROM l WHERE prev IS NOT NULL)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         | CAST(SUM(chg) // COUNT(*) AS BIGINT) AS mean_abs_wow_ppm
+         |FROM d""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
