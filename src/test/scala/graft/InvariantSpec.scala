@@ -602,4 +602,35 @@ class InvariantSpec extends AnyFunSuite {
       s"partitioning changed the answer: $results")
   }
   private type Row2 = (String, Long)
+
+  test("categoricalMixDrift: L1 distance bounded by 2e6; category count constant") {
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 400).map { _ =>
+      (1 + rnd.nextInt(6), s"c${rnd.nextInt(5)}")
+    }.toDF("p", "cat")
+    val rows = Analytics.categoricalMixDrift(df, "p", "cat").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l1 = r.getLong(1)
+      assert(l1 >= 0 && l1 <= 2000000L, s"L1 $l1 out of [0, 2e6]")
+      assert(r.getLong(2) == 5L, "spine must hold every category every period")
+    }
+  }
+
+  test("decileMigration: matrix total = customers present in both years; deciles in [1,10]") {
+    val rnd = new scala.util.Random(31)
+    // 80 customers in year 1, a random ~half also active in year 2
+    val y1 = (0 until 80).map(i => (i.toLong, "2021-03-01", (rnd.nextInt(900) + 100).toLong * 100))
+    val y2 = (0 until 80).filter(_ => rnd.nextBoolean())
+      .map(i => (i.toLong, "2022-03-01", (rnd.nextInt(900) + 100).toLong * 100))
+    val df = (y1 ++ y2).toDF("cust", "d", "cents")
+    val both = y2.map(_._1).toSet.intersect(y1.map(_._1).toSet).size
+    val rows = Analytics.decileMigration(df, "cust", "d", col("cents")).collect()
+    assert(rows.map(_.getLong(2)).sum == both.toLong,
+      "every both-years customer lands in exactly one matrix cell")
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 10)
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 10)
+    }
+  }
 }

@@ -832,6 +832,10 @@ class PlanSpec extends AnyFunSuite {
       s"nation dim joins must broadcast:\n$p")
   }
 
+  test("x380: whale leaderboard plans as TakeOrdered over the rollup, no global sort") {
+    assert(plan("x380_whale_leaderboard").contains("TakeOrderedAndProject"))
+  }
+
   test("x332: backtest windows are customer-partitioned, never global") {
     val p = plan("x332_trailing_mean_backtest")
     val specs = p.linesIterator
