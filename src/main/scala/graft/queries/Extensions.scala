@@ -4426,6 +4426,70 @@ object Extensions {
         expr("SUM(__chg) DIV COUNT(1)").as("mean_abs_wow_ppm"))
   }
 
+  /** x382 — token stutter census: docs by their LONGEST run of the same
+    * consecutive token (gaps-and-islands over token positions) — the
+    * degenerate-repetition detector (x23 measures global repetition;
+    * loops are CONSECUTIVE and need the run view). Windows partition by
+    * document. */
+  private val x382: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("__p")
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "")
+    toks
+      .withColumn("__new", when(lag(col("__t"), 1).over(w).isNull ||
+        lag(col("__t"), 1).over(w) =!= col("__t"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "__run").agg(count(lit(1)).as("__len"))
+      .groupBy("doc_id").agg(max(col("__len")).as("max_run"))
+      .groupBy("max_run").agg(count(lit(1)).as("n_docs"))
+      .orderBy("max_run")
+  }
+
+  /** x383 — weekpart revenue split: weekday vs weekend order count and
+    * revenue with mean order value — the staffing/capacity 2-row read;
+    * ISO dow spelled portably ((dayofweek+5)%7+1 ↔ isodow). */
+  private val x383: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(
+        when(expr("(dayofweek(CAST(o_orderdate AS DATE)) + 5) % 7 + 1") >= 6,
+          "weekend").otherwise("weekday").as("weekpart"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .groupBy("weekpart")
+      .agg(count(lit(1)).as("n_orders"), sum(col("__c")).as("rev_cents"))
+      .select(col("weekpart"), col("n_orders"), col("rev_cents"),
+        expr("rev_cents DIV n_orders").as("mean_order_cents"))
+      .orderBy("weekpart")
+  }
+
+  /** x384 — embedding sign balance by ingest decile: share of positive
+    * components per vec-id decile — a drifting sign balance across
+    * ingest order means the embedding model (or its normalization)
+    * changed mid-corpus; x346's drift read for the vector side.
+    * Integer counting only. */
+  private val x384: Q = (spark, sfDir) => {
+    val mx = emb(spark, sfDir).agg(max(col("vec_id")).as("__mx"))
+    emb(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(mx))
+      .select(least(expr("vec_id * 10 DIV (__mx + 1)"), lit(9L))
+          .as("decile"),
+        size(col("embedding")).cast("long").as("__dim"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("__pos"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__dim")).as("n_components"),
+        sum(col("__pos")).as("n_positive"))
+      .select(col("decile"), col("n_vecs"), col("n_components"),
+        col("n_positive"),
+        expr("n_positive * 1000000 DIV n_components").as("positive_ppm"))
+      .orderBy("decile")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5238,7 +5302,10 @@ object Extensions {
     "x378_customer_value_maturation" -> x378,
     "x379_label_lang_matrix" -> x379,
     "x380_whale_leaderboard" -> x380,
-    "x381_wow_volatility" -> x381)
+    "x381_wow_volatility" -> x381,
+    "x382_token_stutter_census" -> x382,
+    "x383_weekpart_revenue" -> x383,
+    "x384_embedding_sign_balance" -> x384)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10160,6 +10227,45 @@ object Extensions {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
          | CAST(SUM(chg) // COUNT(*) AS BIGINT) AS mean_abs_wow_ppm
          |FROM d""".stripMargin.replace("\n", " ")),
+    "x382_token_stutter_census" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w),
+         |t AS (SELECT doc_id, i AS p, ws[i + 1] AS tok FROM ix
+         |  WHERE ws[i + 1] <> ''),
+         |n AS (SELECT doc_id, p, tok, CASE WHEN LAG(tok) OVER
+         |  (PARTITION BY doc_id ORDER BY p) IS DISTINCT FROM tok
+         |  THEN 1 ELSE 0 END AS nw FROM t),
+         |r AS (SELECT doc_id, SUM(nw) OVER (PARTITION BY doc_id
+         |  ORDER BY p ROWS UNBOUNDED PRECEDING) AS run FROM n),
+         |rl AS (SELECT doc_id, run, COUNT(*) AS len FROM r GROUP BY 1, 2),
+         |mx AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_run
+         |  FROM rl GROUP BY 1)
+         |SELECT max_run, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM mx GROUP BY 1 ORDER BY max_run"""
+        .stripMargin.replace("\n", " ")),
+    "x383_weekpart_revenue" ->
+      ("""WITH o AS (SELECT CASE WHEN isodow(CAST(o_orderdate AS DATE))
+         |   >= 6 THEN 'weekend' ELSE 'weekday' END AS weekpart,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders WHERE o_orderdate IS NOT NULL)
+         |SELECT weekpart, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(c) AS BIGINT) AS rev_cents,
+         | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_order_cents
+         |FROM o GROUP BY 1 ORDER BY weekpart"""
+        .stripMargin.replace("\n", " ")),
+    "x384_embedding_sign_balance" ->
+      ("""WITH m AS (SELECT MAX(vec_id) AS mx FROM embeddings),
+         |v AS (SELECT LEAST(vec_id * 10 // (mx + 1), 9) AS decile,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS pos
+         | FROM embeddings, m WHERE embedding IS NOT NULL)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         | CAST(SUM(dim) AS BIGINT) AS n_components,
+         | CAST(SUM(pos) AS BIGINT) AS n_positive,
+         | CAST(SUM(pos) * 1000000 // SUM(dim) AS BIGINT) AS positive_ppm
+         |FROM v GROUP BY 1 ORDER BY decile"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
