@@ -4490,6 +4490,49 @@ object Extensions {
       .orderBy("decile")
   }
 
+  /** x385 — return rate by price band: returned-line ppm per log2 price
+    * band — "are expensive items returned more?", the price axis of the
+    * x358/x299/x313 return family. Bit-length banding, one scan. */
+  private val x385: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_extendedprice").isNotNull && col("l_returnflag").isNotNull)
+      .select(expr("CAST(length(bin(CAST(CAST(l_extendedprice" +
+          " AS DECIMAL(18,2)) * 100 AS BIGINT))) - 1 AS INT)")
+          .as("price_band"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("__r"))
+      .groupBy("price_band")
+      .agg(count(lit(1)).as("n_lines"), sum(col("__r")).as("n_returns"))
+      .select(col("price_band"), col("n_lines"), col("n_returns"),
+        expr("n_returns * 1000000 DIV n_lines").as("return_ppm"))
+      .orderBy("price_band")
+  }
+
+  /** x386 — attention concentration ([[Analytics.revenueConcentration]]
+    * over per-user event counts): exact-rank deciles and Gini of user
+    * activity — how much of the event stream a few power users own; the
+    * behavioral twin of x173's revenue Gini. */
+  private val x386: Q = (spark, sfDir) =>
+    Analytics.revenueConcentration(
+      Tables(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("__n")),
+      "user_id", col("__n"))
+
+  /** x387 — supplier activity census: suppliers by how many DISTINCT
+    * ship months they were active — the consistency histogram behind
+    * x313's quality bands (a 1-month supplier isn't a partner, it's a
+    * spot buy). Distinct collapse, |suppliers|-bounded counts. */
+  private val x387: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull)
+      .select(col("l_suppkey"),
+        trunc(to_date(col("l_shipdate")), "month").as("__m"))
+      .distinct()
+      .groupBy("l_suppkey").agg(count(lit(1)).as("active_months"))
+      .groupBy("active_months").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("active_months")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5305,7 +5348,10 @@ object Extensions {
     "x381_wow_volatility" -> x381,
     "x382_token_stutter_census" -> x382,
     "x383_weekpart_revenue" -> x383,
-    "x384_embedding_sign_balance" -> x384)
+    "x384_embedding_sign_balance" -> x384,
+    "x385_return_by_price_band" -> x385,
+    "x386_attention_concentration" -> x386,
+    "x387_supplier_activity_census" -> x387)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10265,6 +10311,48 @@ object Extensions {
          | CAST(SUM(pos) AS BIGINT) AS n_positive,
          | CAST(SUM(pos) * 1000000 // SUM(dim) AS BIGINT) AS positive_ppm
          |FROM v GROUP BY 1 ORDER BY decile"""
+        .stripMargin.replace("\n", " ")),
+    "x385_return_by_price_band" ->
+      ("""WITH b AS (SELECT CAST(length(format('{:b}',
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)))
+         |   - 1 AS INT) AS price_band,
+         |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+         | FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |  AND l_returnflag IS NOT NULL)
+         |SELECT price_band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(r) AS BIGINT) AS n_returns,
+         | CAST(SUM(r) * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+         |FROM b GROUP BY 1 ORDER BY price_band"""
+        .stripMargin.replace("\n", " ")),
+    "x386_attention_concentration" ->
+      ("""WITH v AS (SELECT user_id AS i, CAST(COUNT(*) AS BIGINT) AS v
+         | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+         |o AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT)
+         |  AS bef, CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+         |r AS (SELECT v.v, o.bef + ROW_NUMBER() OVER (PARTITION BY v.v
+         |  ORDER BY v.i) AS rk, o.n FROM v JOIN o USING (v)),
+         |gin AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(SUM(v) AS BIGINT) AS sx,
+         |  SUM(CAST(rk AS HUGEINT) * v) AS six FROM r),
+         |gp AS (SELECT CAST(2 * six * 1000000 // (CAST(n AS HUGEINT) * sx)
+         |  - (n + 1) * 1000000 // n AS BIGINT) AS gini_ppm FROM gin),
+         |d AS (SELECT ((rk - 1) * 10 // n) + 1 AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(v) AS BIGINT)
+         |    AS sum_cents FROM r GROUP BY 1),
+         |dt AS (SELECT CAST(SUM(sum_cents) AS BIGINT) AS tot FROM d)
+         |SELECT CAST(d.decile AS BIGINT) AS decile, d.n_rows, d.sum_cents,
+         | d.sum_cents * 1000000 // dt.tot AS share_ppm, gp.gini_ppm
+         |FROM d, dt, gp ORDER BY decile""".stripMargin.replace("\n", " ")),
+    "x387_supplier_activity_census" ->
+      ("""WITH sm AS (SELECT DISTINCT l_suppkey,
+         |  date_trunc('month', CAST(l_shipdate AS DATE)) AS m
+         | FROM lineitem
+         | WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL),
+         |am AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT)
+         |   AS active_months FROM sm GROUP BY 1)
+         |SELECT active_months, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+         |FROM am GROUP BY 1 ORDER BY active_months"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
