@@ -4533,6 +4533,49 @@ object Extensions {
       .orderBy("active_months")
   }
 
+  /** x388 — reliability by hour: error ppm per hour of day — "does the
+    * system degrade under load?" (x334 shapes traffic; this shapes
+    * FAILURE). One scan, 24 cells. */
+  private val x388: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(hour(col("ts")).as("hh"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("hh"), col("n_events"), col("n_errors"),
+        expr("n_errors * 1000000 DIV n_events").as("error_ppm"))
+      .orderBy("hh")
+  }
+
+  /** x389 — size-value curve: catalog count and mean retail cents per
+    * part size — does the price ladder track the size ladder? One scan
+    * of the part dim, |sizes|-bounded. */
+  private val x389: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "part")
+      .filter(col("p_size").isNotNull && col("p_retailprice").isNotNull)
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)) DIV COUNT(1)").as("mean_retail_cents"))
+      .orderBy("p_size")
+  }
+
+  /** x390 — market mix drift ([[Analytics.categoricalMixDrift]], third
+    * consumer): year-over-year L1 distance of the customer-NATION order
+    * mix — is the business quietly changing geography? Nation dim
+    * broadcast before the drift collapse. */
+  private val x390: Q = (spark, sfDir) =>
+    Analytics.categoricalMixDrift(
+      Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate").isNotNull)
+        .select(year(to_date(col("o_orderdate"))).as("yr"), col("n_name")),
+      "yr", "n_name")
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5351,7 +5394,10 @@ object Extensions {
     "x384_embedding_sign_balance" -> x384,
     "x385_return_by_price_band" -> x385,
     "x386_attention_concentration" -> x386,
-    "x387_supplier_activity_census" -> x387)
+    "x387_supplier_activity_census" -> x387,
+    "x388_hourly_error_rate" -> x388,
+    "x389_size_value_curve" -> x389,
+    "x390_market_mix_drift" -> x390)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10353,6 +10399,42 @@ object Extensions {
          |   AS active_months FROM sm GROUP BY 1)
          |SELECT active_months, CAST(COUNT(*) AS BIGINT) AS n_suppliers
          |FROM am GROUP BY 1 ORDER BY active_months"""
+        .stripMargin.replace("\n", " ")),
+    "x388_hourly_error_rate" ->
+      ("""SELECT date_part('hour', ts) AS hh,
+         | CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_errors,
+         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS error_ppm
+         |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |GROUP BY 1 ORDER BY hh""".stripMargin.replace("\n", " ")),
+    "x389_size_value_curve" ->
+      ("""SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_retail_cents
+         |FROM part
+         |WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+         |GROUP BY 1 ORDER BY p_size""".stripMargin.replace("\n", " ")),
+    "x390_market_mix_drift" ->
+      ("""WITH cell AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+         |  n_name AS p, COUNT(*) AS n
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         | WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+         |yt AS (SELECT yr, SUM(n) AS t FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.yr, p, CAST(n * 1000000 // t AS BIGINT) AS s
+         |  FROM cell JOIN yt ON yt.yr = cell.yr),
+         |spine AS (SELECT yt.yr, pr.p FROM yt
+         |  CROSS JOIN (SELECT DISTINCT p FROM cell) pr),
+         |f AS (SELECT spine.yr, spine.p, COALESCE(sh.s, 0) AS s
+         |  FROM spine LEFT JOIN sh ON sh.yr = spine.yr
+         |   AND sh.p = spine.p),
+         |lg AS (SELECT yr, p, s,
+         |  LAG(s) OVER (PARTITION BY p ORDER BY yr) AS prev FROM f)
+         |SELECT yr, CAST(SUM(ABS(s - prev)) AS BIGINT) AS l1_drift_ppm,
+         | CAST(COUNT(*) AS BIGINT) AS n_categories
+         |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY yr"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
