@@ -4576,6 +4576,65 @@ object Extensions {
         .select(year(to_date(col("o_orderdate"))).as("yr"), col("n_name")),
       "yr", "n_name")
 
+  /** x391 — doc-length quantiles by source
+    * ([[Analytics.weightedQuantiles]], unit weights): exact p50/p90 of
+    * n_chars per source — the corpus shape sheet next to x317's
+    * character mix. */
+  private val x391: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"))
+      .withColumn("__w", lit(1L))
+    Analytics.weightedQuantiles(d, "source", "n_chars", "__w",
+        probsPct = Seq(50, 90))
+      .select(col("source"), col("p_pct"),
+        col("q_value").as("n_chars_q"), col("total_weight").as("n_docs"))
+      .orderBy("source", "p_pct")
+  }
+
+  /** x392 — reorder-gap spectrum ([[Analytics.log2Histogram]]): customer
+    * inter-order gaps (days ≥ 1) in exponentially widening buckets — the
+    * nine-orders-of-magnitude view behind x316's per-segment quartiles;
+    * same-day reorders (gap 0) are excluded by the log2 domain, stated
+    * not hidden. */
+  private val x392: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    val gaps = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(datediff(col("__d"), col("__prev")).cast("long").as("gap"))
+    Analytics.log2Histogram(gaps, col("gap"))
+  }
+
+  /** x393 — balance-band repeat rate: does a negative account balance
+    * predict one-and-done customers? Repeat ppm per balance band —
+    * x324's bands re-scored on RETENTION instead of volume. */
+  private val x393: Q = (spark, sfDir) => {
+    val po = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull)
+      .groupBy("o_custkey").agg(count(lit(1)).as("__no"))
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__b"))
+      .join(po, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        when(col("__b") < 0, "1_negative")
+          .when(col("__b") < 500000L, "2_low").otherwise("3_high")
+          .as("bal_band"),
+        coalesce(col("__no"), lit(0L)).as("__no"))
+      .groupBy("bal_band")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("__no") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("bal_band"), col("n_customers"), col("n_repeat"),
+        expr("n_repeat * 1000000 DIV n_customers").as("repeat_ppm"))
+      .orderBy("bal_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5397,7 +5456,10 @@ object Extensions {
     "x387_supplier_activity_census" -> x387,
     "x388_hourly_error_rate" -> x388,
     "x389_size_value_curve" -> x389,
-    "x390_market_mix_drift" -> x390)
+    "x390_market_mix_drift" -> x390,
+    "x391_doc_length_quantiles" -> x391,
+    "x392_reorder_gap_spectrum" -> x392,
+    "x393_balance_band_repeat" -> x393)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10435,6 +10497,51 @@ object Extensions {
          |SELECT yr, CAST(SUM(ABS(s - prev)) AS BIGINT) AS l1_drift_ppm,
          | CAST(COUNT(*) AS BIGINT) AS n_categories
          |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY yr"""
+        .stripMargin.replace("\n", " ")),
+    "x391_doc_length_quantiles" ->
+      ("""WITH gv AS (SELECT source, n_chars, COUNT(*) AS w
+         | FROM documents
+         | WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT source, n_chars, w,
+         |  SUM(w) OVER (PARTITION BY source ORDER BY n_chars) AS cw,
+         |  SUM(w) OVER (PARTITION BY source) AS tw FROM gv)
+         |SELECT source, p.p_pct, CAST(MIN(n_chars) AS BIGINT)
+         |  AS n_chars_q, CAST(MAX(tw) AS BIGINT) AS n_docs
+         |FROM cum CROSS JOIN (VALUES (50), (90)) p(p_pct)
+         |WHERE cw * 100 >= p.p_pct * tw
+         |GROUP BY 1, 2 ORDER BY source, p_pct"""
+        .stripMargin.replace("\n", " ")),
+    "x392_reorder_gap_spectrum" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |g AS (SELECT CAST(d - LAG(d) OVER
+         |  (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS BIGINT)
+         |   AS v FROM o),
+         |b AS (SELECT v, CAST(length(bin(v)) - 1 AS INT) AS bucket
+         |  FROM g WHERE v >= 1)
+         |SELECT bucket, CAST(1 AS BIGINT) << bucket AS bucket_lo,
+         | (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS bucket_hi,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+         |FROM b GROUP BY 1 ORDER BY bucket"""
+        .stripMargin.replace("\n", " ")),
+    "x393_balance_band_repeat" ->
+      ("""WITH po AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no
+         | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |c AS (SELECT CASE
+         |   WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    < 0 THEN '1_negative'
+         |   WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    < 500000 THEN '2_low' ELSE '3_high' END AS bal_band,
+         |  COALESCE(po.no, 0) AS no
+         | FROM customer LEFT JOIN po ON c_custkey = po.o_custkey)
+         |SELECT bal_band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(CASE WHEN no >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_repeat,
+         | CAST(SUM(CASE WHEN no >= 2 THEN 1 ELSE 0 END) * 1000000
+         |  // COUNT(*) AS BIGINT) AS repeat_ppm
+         |FROM c GROUP BY 1 ORDER BY bal_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
