@@ -4635,6 +4635,70 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x394 — region assortment breadth: distinct parts sold per region
+    * and the share of the whole catalog that represents — thin regional
+    * assortments cap cross-sell before marketing ever could. Distinct
+    * collapse, |regions|-row output, catalog total broadcast. */
+  private val x394: Q = (spark, sfDir) => {
+    val rp = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("l_partkey").isNotNull)
+      .select(col("r_name").as("region"), col("l_partkey")).distinct()
+    val cat = Tables(spark, sfDir, "part").agg(count(lit(1)).as("__cat"))
+    rp.groupBy("region").agg(count(lit(1)).as("n_distinct_parts"))
+      .crossJoin(broadcast(cat))
+      .select(col("region"), col("n_distinct_parts"),
+        expr("n_distinct_parts * 1000000 DIV __cat").as("catalog_ppm"))
+      .orderBy("region")
+  }
+
+  /** x395 — weekday discount profile: exact mean discount ppm per ISO
+    * weekday — a visible weekly pricing rhythm means a promo engine is
+    * calendar-driven; flat means it's inventory-driven. Portable ISO dow
+    * spelling; 7-row output. */
+  private val x395: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_discount").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(expr("(dayofweek(CAST(o_orderdate AS DATE)) + 5) % 7 + 1")
+        .as("iso_dow"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(CAST(CAST(l_discount AS DECIMAL(8,6)) * 1000000" +
+          " AS BIGINT)) DIV COUNT(1)").as("mean_discount_ppm"))
+      .orderBy("iso_dow")
+  }
+
+  /** x396 — user engagement quadrants ([[Analytics.lowerMedianByValue]]
+    * ×2): users split on the exact medians of lifespan (days between
+    * first and last event) and event count — tourists, loyalists,
+    * binge-and-churn, and slow-burn in one 4-cell census; x337's
+    * quadrant read pointed at people. */
+  private val x396: Q = (spark, sfDir) => {
+    // NOTE: the count column must NOT be named __n — lowerMedianByValue
+    // uses __n internally for the group total and would shadow the value.
+    val per = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("__cnt"),
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("__span"))
+    val ms = Analytics.lowerMedianByValue(per, Nil, "__span")
+      .select(col("__v").as("__ms"))
+    val mn = Analytics.lowerMedianByValue(per, Nil, "__cnt")
+      .select(col("__v").as("__mn"))
+    per.crossJoin(broadcast(ms)).crossJoin(broadcast(mn))
+      .groupBy(
+        when(col("__span") > col("__ms"), "long_span").otherwise("short_span")
+          .as("span_side"),
+        when(col("__cnt") > col("__mn"), "hi_events").otherwise("lo_events")
+          .as("volume_side"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("span_side", "volume_side")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5459,7 +5523,10 @@ object Extensions {
     "x390_market_mix_drift" -> x390,
     "x391_doc_length_quantiles" -> x391,
     "x392_reorder_gap_spectrum" -> x392,
-    "x393_balance_band_repeat" -> x393)
+    "x393_balance_band_repeat" -> x393,
+    "x394_region_assortment_breadth" -> x394,
+    "x395_weekday_discount_profile" -> x395,
+    "x396_user_engagement_quadrants" -> x396)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10542,6 +10609,49 @@ object Extensions {
          | CAST(SUM(CASE WHEN no >= 2 THEN 1 ELSE 0 END) * 1000000
          |  // COUNT(*) AS BIGINT) AS repeat_ppm
          |FROM c GROUP BY 1 ORDER BY bal_band"""
+        .stripMargin.replace("\n", " ")),
+    "x394_region_assortment_breadth" ->
+      ("""WITH rp AS (SELECT DISTINCT r_name AS region, l_partkey
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         | WHERE l_partkey IS NOT NULL),
+         |cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM part)
+         |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_distinct_parts,
+         | CAST(COUNT(*) * 1000000 // c AS BIGINT) AS catalog_ppm
+         |FROM rp, cat GROUP BY region, c ORDER BY region"""
+        .stripMargin.replace("\n", " ")),
+    "x395_weekday_discount_profile" ->
+      ("""SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT)
+         |  AS iso_dow,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,6)) * 1000000
+         |  AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_discount_ppm
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_discount IS NOT NULL AND o_orderdate IS NOT NULL
+         |GROUP BY 1 ORDER BY iso_dow""".stripMargin.replace("\n", " ")),
+    "x396_user_engagement_quadrants" ->
+      ("""WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+         |   AS span
+         | FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+         |sv AS (SELECT span AS v, COUNT(*) AS c FROM per GROUP BY 1),
+         |sc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+         |  SUM(c) OVER () AS t FROM sv),
+         |ms AS (SELECT MIN(v) AS ms FROM sc WHERE cum * 2 >= t),
+         |nv AS (SELECT n AS v, COUNT(*) AS c FROM per GROUP BY 1),
+         |nc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+         |  SUM(c) OVER () AS t FROM nv),
+         |mn AS (SELECT MIN(v) AS mn FROM nc WHERE cum * 2 >= t)
+         |SELECT CASE WHEN span > ms THEN 'long_span' ELSE 'short_span'
+         |  END AS span_side,
+         | CASE WHEN n > mn THEN 'hi_events' ELSE 'lo_events' END
+         |  AS volume_side,
+         | CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM per, ms, mn GROUP BY 1, 2
+         |ORDER BY span_side, volume_side"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
