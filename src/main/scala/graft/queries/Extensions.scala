@@ -4699,6 +4699,64 @@ object Extensions {
       .orderBy("span_side", "volume_side")
   }
 
+  /** x397 — brand premium index: mean line price per brand vs the
+    * global mean line price, as exact ppm — who actually commands a
+    * premium (x331 measures realization vs list; this positions brands
+    * against each OTHER). Global mean broadcast as one row. */
+  private val x397: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("p_brand").as("brand"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val g = li.agg(expr("SUM(__c) DIV COUNT(1)").as("__gm"))
+    li.groupBy("brand")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(__c) DIV COUNT(1)").as("mean_line_cents"))
+      .crossJoin(broadcast(g))
+      .select(col("brand"), col("n_lines"), col("mean_line_cents"),
+        expr("CAST(CAST(mean_line_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV __gm AS BIGINT)").as("premium_ppm"))
+      .orderBy("brand")
+  }
+
+  /** x398 — dup-degree census: near-duplicated docs by how many distinct
+    * PARTNERS they pair with — degree 1 is a one-off copy, high degree
+    * is a template hub the cluster representative must absorb (x225
+    * sizes clusters; this profiles the nodes). Fourteenth consumer of
+    * the LSH pair staging. */
+  private val x398: Q = (spark, sfDir) => {
+    val p = lshPairs(spark, sfDir)
+    p.select(col("d1").as("doc"), col("d2").as("nb"))
+      .union(p.select(col("d2").as("doc"), col("d1").as("nb")))
+      .distinct()
+      .groupBy("doc").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** x399 — value mass vs traffic share by event type: each type's
+    * share of EVENTS next to its share of VALUE — the mismatch says
+    * which instrumentation carries the business (a type with 20% of
+    * traffic and 2% of value is telemetry, not commerce). One scan. */
+  private val x399: Q = (spark, sfDir) => {
+    val t = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("value_cents"))
+    val tot = t.agg(sum(col("n_events")).as("__te"),
+      sum(col("value_cents")).as("__tv"))
+    t.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"), col("value_cents"),
+        expr("n_events * 1000000 DIV __te").as("event_share_ppm"),
+        expr("CAST(CAST(value_cents AS DECIMAL(38,0)) * 1000000 DIV __tv" +
+          " AS BIGINT)").as("value_share_ppm"))
+      .orderBy("event_type")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5526,7 +5584,10 @@ object Extensions {
     "x393_balance_band_repeat" -> x393,
     "x394_region_assortment_breadth" -> x394,
     "x395_weekday_discount_profile" -> x395,
-    "x396_user_engagement_quadrants" -> x396)
+    "x396_user_engagement_quadrants" -> x396,
+    "x397_brand_premium_index" -> x397,
+    "x398_dup_degree_census" -> x398,
+    "x399_value_mass_vs_traffic" -> x399)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10652,6 +10713,43 @@ object Extensions {
          | CAST(COUNT(*) AS BIGINT) AS n_users
          |FROM per, ms, mn GROUP BY 1, 2
          |ORDER BY span_side, volume_side"""
+        .stripMargin.replace("\n", " ")),
+    "x397_brand_premium_index" ->
+      ("""WITH li AS (SELECT p_brand AS brand,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND l_extendedprice IS NOT NULL),
+         |g AS (SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) AS gm FROM li)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_line_cents,
+         | CAST(CAST(SUM(c) // COUNT(*) AS HUGEINT) * 1000000 // gm
+         |  AS BIGINT) AS premium_ppm
+         |FROM li, g GROUP BY brand, gm ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x398_dup_degree_census" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |adj AS (SELECT DISTINCT doc, nb FROM (
+         |  SELECT d1 AS doc, d2 AS nb FROM jpairs
+         |  UNION ALL SELECT d2, d1 FROM jpairs)),
+         |dg AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS degree FROM adj
+         |  GROUP BY 1)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM dg GROUP BY 1 ORDER BY degree"""
+        .stripMargin.replace("\n", " ")),
+    "x399_value_mass_vs_traffic" ->
+      ("""WITH t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+         |   AS n_events,
+         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |   AS BIGINT) AS value_cents
+         | FROM events
+         | WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+         |tt AS (SELECT SUM(n_events) AS te, SUM(value_cents) AS tv FROM t)
+         |SELECT event_type, n_events, value_cents,
+         | CAST(n_events * 1000000 // te AS BIGINT) AS event_share_ppm,
+         | CAST(CAST(value_cents AS HUGEINT) * 1000000 // tv AS BIGINT)
+         |  AS value_share_ppm
+         |FROM t, tt ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
