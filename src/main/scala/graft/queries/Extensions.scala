@@ -4757,6 +4757,75 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x400 — corpus master report: the one-row health sheet a curation
+    * run signs off on — doc/lang/source counts, token total, mean
+    * quality milli, and near-dup doc ppm — every number defined by an
+    * operator already oracle-checked individually; this row is what a
+    * pipeline dashboard actually reads. Three cheap scans + the shared
+    * pair staging, folded by 1-row broadcasts. */
+  private val x400: Q = (spark, sfDir) => {
+    val base = docs(spark, sfDir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val quality = docs(spark, sfDir)
+      .select(floor(TextAnalysis.qualityScore(col("text")) * 1000).as("__q"))
+      .agg(expr("SUM(__q) DIV COUNT(1)").as("mean_quality_milli"))
+    val dup = lshPairs(spark, sfDir)
+      .select(explode(array(col("d1"), col("d2"))).as("d")).distinct()
+      .agg(count(lit(1)).as("__nd"))
+    base
+      .crossJoin(broadcast(quality)).crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_tokens"), col("mean_quality_milli"),
+        expr("__nd * 1000000 DIV n_docs").as("dup_doc_ppm"))
+  }
+
+  /** x401 — chronic-supplier streaks: suppliers by their LONGEST run of
+    * consecutive bad months (return ppm above the 1/3 line) — chronic
+    * quality issues need a different fix than episodic ones; x352's
+    * islands machinery pointed at vendor quality. */
+  private val x401: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sm = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
+        col("l_returnflag").isNotNull)
+      .groupBy(col("l_suppkey"),
+        (year(to_date(col("l_shipdate"))) * 12 +
+          month(to_date(col("l_shipdate")))).as("__mi"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__r"))
+      .filter(expr("__r * 3 > __n"))
+    val w = Window.partitionBy("l_suppkey").orderBy("__mi")
+    sm.withColumn("__grp", col("__mi") - row_number().over(w))
+      .groupBy("l_suppkey", "__grp").agg(count(lit(1)).as("__len"))
+      .groupBy("l_suppkey").agg(max(col("__len")).as("bad_streak_months"))
+      .groupBy("bad_streak_months").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("bad_streak_months")
+  }
+
+  /** x402 — price-ladder integrity: within each (type, size) shelf cell,
+    * the retail-price spread in ppm (positive-ratio spelling) — wide
+    * spread inside an "identical" cell means mispriced SKUs or a dirty
+    * catalog. Cells are |types × sizes|-bounded. */
+  private val x402: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "part")
+      .filter(col("p_type").isNotNull && col("p_size").isNotNull &&
+        col("p_retailprice").isNotNull)
+      .groupBy(col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)")).as("min_cents"),
+        max(expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)")).as("max_cents"))
+      .select(col("p_type"), col("p_size"), col("n_parts"),
+        col("min_cents"), col("max_cents"),
+        expr("CAST(CAST(max_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV min_cents AS BIGINT) - 1000000").as("spread_ppm"))
+      .orderBy("p_type", "p_size")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5587,7 +5656,10 @@ object Extensions {
     "x396_user_engagement_quadrants" -> x396,
     "x397_brand_premium_index" -> x397,
     "x398_dup_degree_census" -> x398,
-    "x399_value_mass_vs_traffic" -> x399)
+    "x399_value_mass_vs_traffic" -> x399,
+    "x400_corpus_master_report" -> x400,
+    "x401_chronic_supplier_streaks" -> x401,
+    "x402_price_ladder_integrity" -> x402)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10750,6 +10822,58 @@ object Extensions {
          | CAST(CAST(value_cents AS HUGEINT) * 1000000 // tv AS BIGINT)
          |  AS value_share_ppm
          |FROM t, tt ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x400_corpus_master_report" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |$qualityCtes,
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |q AS (SELECT CAST(SUM(CAST(FLOOR(score * 1000) AS BIGINT))
+         |  // COUNT(*) AS BIGINT) AS mean_quality_milli FROM qscore),
+         |dup AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM
+         |  (SELECT DISTINCT d FROM (SELECT d1 AS d FROM jpairs
+         |   UNION ALL SELECT d2 FROM jpairs)))
+         |SELECT n_docs, n_langs, n_sources, n_tokens, mean_quality_milli,
+         | CAST(nd * 1000000 // n_docs AS BIGINT) AS dup_doc_ppm
+         |FROM base, q, dup""".stripMargin.replace("\n", " ")),
+    "x401_chronic_supplier_streaks" ->
+      ("""WITH sm AS (SELECT l_suppkey,
+         |  year(CAST(l_shipdate AS DATE)) * 12 +
+         |   month(CAST(l_shipdate AS DATE)) AS mi,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS r
+         | FROM lineitem WHERE l_suppkey IS NOT NULL
+         |  AND l_shipdate IS NOT NULL AND l_returnflag IS NOT NULL
+         | GROUP BY 1, 2 HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1
+         |  ELSE 0 END) * 3 > COUNT(*)),
+         |g AS (SELECT l_suppkey, mi - ROW_NUMBER() OVER
+         |  (PARTITION BY l_suppkey ORDER BY mi) AS grp FROM sm),
+         |st AS (SELECT l_suppkey, grp, COUNT(*) AS len FROM g
+         |  GROUP BY 1, 2),
+         |mx AS (SELECT l_suppkey, CAST(MAX(len) AS BIGINT)
+         |   AS bad_streak_months FROM st GROUP BY 1)
+         |SELECT bad_streak_months, CAST(COUNT(*) AS BIGINT)
+         |  AS n_suppliers
+         |FROM mx GROUP BY 1 ORDER BY bad_streak_months"""
+        .stripMargin.replace("\n", " ")),
+    "x402_price_ladder_integrity" ->
+      ("""SELECT p_type, p_size, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(MIN(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) AS BIGINT) AS min_cents,
+         | CAST(MAX(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) AS BIGINT) AS max_cents,
+         | CAST(CAST(MAX(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) AS HUGEINT) * 1000000
+         |  // MIN(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) AS BIGINT) - 1000000 AS spread_ppm
+         |FROM part
+         |WHERE p_type IS NOT NULL AND p_size IS NOT NULL
+         | AND p_retailprice IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY p_type, p_size"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
