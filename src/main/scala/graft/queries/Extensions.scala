@@ -4826,6 +4826,56 @@ object Extensions {
       .orderBy("p_type", "p_size")
   }
 
+  /** x403 — nation-segment skew ([[Analytics.chiSquareAudit]], third
+    * consumer): customer market segments crossed with nation vs
+    * independence — a skewed cell means segment-targeted campaigns have
+    * a geography they didn't plan for. */
+  private val x403: Q = (spark, sfDir) =>
+    Analytics.chiSquareAudit(
+      Tables(spark, sfDir, "customer")
+        .join(broadcast(Tables(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey")),
+      "n_name", "c_mktsegment")
+
+  /** x404 — return rate by quantity band: returned-line ppm per
+    * quantity decade — does bulk get returned more? The quantity axis
+    * of the x385/x358 return family. One scan. */
+  private val x404: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_returnflag").isNotNull)
+      .groupBy(expr("CAST(CAST(l_quantity AS BIGINT) DIV 10 AS INT)")
+        .as("qty_band"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returns"))
+      .select(col("qty_band"), col("n_lines"), col("n_returns"),
+        expr("n_returns * 1000000 DIV n_lines").as("return_ppm"))
+      .orderBy("qty_band")
+  }
+
+  /** x405 — vector collision census: embeddings that are bit-identical
+    * to another vector, by family size — exact float-array equality is
+    * deterministic on every engine, and collisions mean a broken
+    * feature pipeline upstream (x01's exact dedup for the vector side).
+    * The clean testdata has no collisions, so ~1% are deterministically
+    * overwritten with a constant vector (vec-id modulus — the x93/x94
+    * plant discipline) to keep the collision path non-vacuous.
+    * Group-by-array collapse; atomic output only. */
+  private val x405: Q = (spark, sfDir) => {
+    emb(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .withColumn("embedding",
+        when(col("vec_id") % 97 === 0,
+          expr("transform(embedding, x -> CAST(0.5 AS FLOAT))"))
+          .otherwise(col("embedding")))
+      .groupBy(col("embedding")).agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size")
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("family_size")).as("n_vectors"))
+      .orderBy("family_size")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5659,7 +5709,10 @@ object Extensions {
     "x399_value_mass_vs_traffic" -> x399,
     "x400_corpus_master_report" -> x400,
     "x401_chronic_supplier_streaks" -> x401,
-    "x402_price_ladder_integrity" -> x402)
+    "x402_price_ladder_integrity" -> x402,
+    "x403_nation_segment_skew" -> x403,
+    "x404_return_by_quantity" -> x404,
+    "x405_vector_collision_census" -> x405)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10874,6 +10927,51 @@ object Extensions {
          |WHERE p_type IS NOT NULL AND p_size IS NOT NULL
          | AND p_retailprice IS NOT NULL
          |GROUP BY 1, 2 ORDER BY p_type, p_size"""
+        .stripMargin.replace("\n", " ")),
+    "x403_nation_segment_skew" ->
+      ("""WITH cells AS (SELECT n_name, c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS observed
+         | FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | WHERE n_name IS NOT NULL AND c_mktsegment IS NOT NULL
+         | GROUP BY 1, 2),
+         |rt AS (SELECT n_name, CAST(SUM(observed) AS BIGINT) AS rt
+         |  FROM cells GROUP BY 1),
+         |ct AS (SELECT c_mktsegment, CAST(SUM(observed) AS BIGINT) AS ct
+         |  FROM cells GROUP BY 1),
+         |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+         |SELECT cells.n_name, cells.c_mktsegment, observed,
+         | CAST(CAST(rt AS HUGEINT) * ct * 1000 // n AS BIGINT)
+         |  AS expected_milli,
+         | CAST((CAST(observed AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+         |   * (CAST(observed AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+         |   * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+         |   AS contrib_micro
+         |FROM cells JOIN rt ON rt.n_name = cells.n_name
+         | JOIN ct ON ct.c_mktsegment = cells.c_mktsegment, n
+         |ORDER BY cells.n_name, cells.c_mktsegment"""
+        .stripMargin.replace("\n", " ")),
+    "x404_return_by_quantity" ->
+      ("""SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS INT)
+         |  AS qty_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_returns,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+         |FROM lineitem
+         |WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+         |GROUP BY 1 ORDER BY qty_band""".stripMargin.replace("\n", " ")),
+    "x405_vector_collision_census" ->
+      ("""WITH e AS (SELECT CASE WHEN vec_id % 97 = 0
+         |   THEN list_transform(embedding, x -> CAST(0.5 AS FLOAT))
+         |   ELSE embedding END AS embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |fam AS (SELECT embedding, CAST(COUNT(*) AS BIGINT)
+         |   AS family_size
+         | FROM e GROUP BY 1)
+         |SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families,
+         | CAST(SUM(family_size) AS BIGINT) AS n_vectors
+         |FROM fam GROUP BY 1 ORDER BY family_size"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
