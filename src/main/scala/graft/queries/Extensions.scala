@@ -4876,6 +4876,71 @@ object Extensions {
       .orderBy("family_size")
   }
 
+  /** x406 — brand assortment span: distinct types and sizes each brand
+    * covers, with catalog-coverage ppm — a brand living in one type
+    * cell is a label, not a line. One scan of the part dim. */
+  private val x406: Q = (spark, sfDir) => {
+    val p = Tables(spark, sfDir, "part")
+      .filter(col("p_brand").isNotNull)
+    val tot = p.agg(countDistinct(col("p_type")).as("__tt"),
+      countDistinct(col("p_size")).as("__ts"))
+    p.groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand"), col("n_parts"), col("n_types"), col("n_sizes"),
+        expr("n_types * 1000000 DIV __tt").as("type_coverage_ppm"),
+        expr("n_sizes * 1000000 DIV __ts").as("size_coverage_ppm"))
+      .orderBy("brand")
+  }
+
+  /** x407 — value by tenure band: mean event value by the user's age in
+    * days at the event (0 / 1–7 / 8–14 / 15+) — x375 indexes by
+    * purchase COUNT; this indexes by TIME, which is what retention
+    * economics discounts on. Per-user first-seen joins back
+    * user-bounded. */
+  private val x407: Q = (spark, sfDir) => {
+    val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+    val first = e.groupBy("user_id").agg(min(col("ts")).as("__f"))
+    e.join(first, "user_id")
+      .select(
+        when(datediff(to_date(col("ts")), to_date(col("__f"))) === 0, "1_day0")
+          .when(datediff(to_date(col("ts")), to_date(col("__f"))) <= 7, "2_week1")
+          .when(datediff(to_date(col("ts")), to_date(col("__f"))) <= 14, "3_week2")
+          .otherwise("4_later").as("tenure_band"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .groupBy("tenure_band")
+      .agg(count(lit(1)).as("n_events"),
+        expr("SUM(__c) DIV COUNT(1)").as("mean_value_cents"))
+      .orderBy("tenure_band")
+  }
+
+  /** x408 — orphan vector audit: embeddings with NO document behind
+    * them, per label — the reverse direction of x304's coverage check;
+    * orphans poison retrieval with undeletable results. The clean
+    * bridge has none, so ~1% of vec ids are deterministically negated
+    * (x93's planted-orphan convention) to keep the path non-vacuous.
+    * Anti join then |labels|-bounded rollup. */
+  private val x408: Q = (spark, sfDir) => {
+    val d = docs(spark, sfDir).select(col("doc_id"))
+    emb(spark, sfDir)
+      .withColumn("vec_id",
+        when(col("vec_id") % 89 === 0, -col("vec_id") - 1)
+          .otherwise(col("vec_id")))
+      .join(d.withColumn("__has", lit(1L)),
+        col("vec_id") === col("doc_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__has").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(col("label"), col("n_vectors"), col("n_orphans"),
+        expr("n_orphans * 1000000 DIV n_vectors").as("orphan_ppm"))
+      .orderBy("label")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5712,7 +5777,10 @@ object Extensions {
     "x402_price_ladder_integrity" -> x402,
     "x403_nation_segment_skew" -> x403,
     "x404_return_by_quantity" -> x404,
-    "x405_vector_collision_census" -> x405)
+    "x405_vector_collision_census" -> x405,
+    "x406_brand_assortment_span" -> x406,
+    "x407_value_by_tenure" -> x407,
+    "x408_orphan_vector_audit" -> x408)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -10973,6 +11041,50 @@ object Extensions {
          | CAST(SUM(family_size) AS BIGINT) AS n_vectors
          |FROM fam GROUP BY 1 ORDER BY family_size"""
         .stripMargin.replace("\n", " ")),
+    "x406_brand_assortment_span" ->
+      ("""WITH t AS (SELECT CAST(COUNT(DISTINCT p_type) AS BIGINT) AS tt,
+         |  CAST(COUNT(DISTINCT p_size) AS BIGINT) AS ts FROM part
+         | WHERE p_brand IS NOT NULL)
+         |SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+         | CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,
+         | CAST(COUNT(DISTINCT p_type) * 1000000 // tt AS BIGINT)
+         |  AS type_coverage_ppm,
+         | CAST(COUNT(DISTINCT p_size) * 1000000 // ts AS BIGINT)
+         |  AS size_coverage_ppm
+         |FROM part, t WHERE p_brand IS NOT NULL
+         |GROUP BY p_brand, tt, ts ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x407_value_by_tenure" ->
+      ("""WITH e AS (SELECT user_id, ts,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND value IS NOT NULL),
+         |f AS (SELECT user_id, MIN(ts) AS ft FROM e GROUP BY 1),
+         |b AS (SELECT CASE
+         |   WHEN CAST(e.ts AS DATE) - CAST(f.ft AS DATE) = 0
+         |    THEN '1_day0'
+         |   WHEN CAST(e.ts AS DATE) - CAST(f.ft AS DATE) <= 7
+         |    THEN '2_week1'
+         |   WHEN CAST(e.ts AS DATE) - CAST(f.ft AS DATE) <= 14
+         |    THEN '3_week2'
+         |   ELSE '4_later' END AS tenure_band, c
+         | FROM e JOIN f ON f.user_id = e.user_id)
+         |SELECT tenure_band, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_value_cents
+         |FROM b GROUP BY 1 ORDER BY tenure_band"""
+        .stripMargin.replace("\n", " ")),
+    "x408_orphan_vector_audit" ->
+      ("""WITH e AS (SELECT label, CASE WHEN vec_id % 89 = 0
+         |   THEN -vec_id - 1 ELSE vec_id END AS vid FROM embeddings)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         | CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_orphans,
+         | CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS orphan_ppm
+         |FROM e LEFT JOIN (SELECT doc_id FROM documents) d
+         | ON vid = d.doc_id
+         |GROUP BY 1 ORDER BY label""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
