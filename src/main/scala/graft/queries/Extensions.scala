@@ -4941,6 +4941,76 @@ object Extensions {
       .orderBy("label")
   }
 
+  /** x409 — cohort LTV triangle (orders side): revenue by (first-order
+    * year cohort × order year) with cohort sizes — the money triangle
+    * x65/x281 build from events, here on the transactional book. First
+    * order via keyed min; matrix is |years|²-bounded. */
+  private val x409: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("__y"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("__y")).as("cohort_year"))
+    val size = cohort.groupBy("cohort_year")
+      .agg(count(lit(1)).as("cohort_customers"))
+    o.join(cohort, "o_custkey")
+      .groupBy(col("cohort_year"), col("__y").as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__c")).as("rev_cents"))
+      .join(broadcast(size), "cohort_year")
+      .select(col("cohort_year"), col("order_year"), col("cohort_customers"),
+        col("n_orders"), col("rev_cents"))
+      .orderBy("cohort_year", "order_year")
+  }
+
+  /** x410 — line-position value curve: mean line value by line number
+    * within the order — "is the first line the anchor purchase?"; the
+    * basket twin of x373's token-position profile. One scan,
+    * |positions|-bounded. */
+  private val x410: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_linenumber").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(col("l_linenumber"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)) DIV COUNT(1)").as("mean_line_cents"))
+      .orderBy("l_linenumber")
+  }
+
+  /** x411 — regional taste table: each nation's top part TYPE by
+    * revenue with its share — the x318 max(struct) argmax, keyed on
+    * revenue sums instead of counts (ties break to the
+    * lexicographically-first type via the negated-rank trick's string
+    * analogue: min on the tie side). */
+  private val x411: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type").isNotNull)
+      .groupBy(col("n_name").as("nation"), col("p_type"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__c"))
+    // argmax by (revenue, then FIRST type name): max struct with the
+    // type string inverted is not well-defined for strings, so rank the
+    // tie by a second aggregate: max(revenue) then min(type) among maxima.
+    val mx = cell.groupBy("nation").agg(max(col("__c")).as("__m"),
+      sum(col("__c")).as("__t"))
+    cell.join(mx, "nation")
+      .filter(col("__c") === col("__m"))
+      .groupBy("nation")
+      .agg(min(col("p_type")).as("top_type"), max(col("__m")).as("top_rev_cents"),
+        max(col("__t")).as("__tt"))
+      .select(col("nation"), col("top_type"), col("top_rev_cents"),
+        expr("CAST(CAST(top_rev_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV __tt AS BIGINT)").as("top_share_ppm"))
+      .orderBy("nation")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5780,7 +5850,10 @@ object Extensions {
     "x405_vector_collision_census" -> x405,
     "x406_brand_assortment_span" -> x406,
     "x407_value_by_tenure" -> x407,
-    "x408_orphan_vector_audit" -> x408)
+    "x408_orphan_vector_audit" -> x408,
+    "x409_cohort_ltv_triangle" -> x409,
+    "x410_line_position_curve" -> x410,
+    "x411_regional_taste_table" -> x411)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11085,6 +11158,51 @@ object Extensions {
          |FROM e LEFT JOIN (SELECT doc_id FROM documents) d
          | ON vid = d.doc_id
          |GROUP BY 1 ORDER BY label""".stripMargin.replace("\n", " ")),
+    "x409_cohort_ltv_triangle" ->
+      ("""WITH o AS (SELECT o_custkey,
+         |  year(CAST(o_orderdate AS DATE)) AS y,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |ch AS (SELECT o_custkey, MIN(y) AS cohort_year FROM o
+         |  GROUP BY 1),
+         |sz AS (SELECT cohort_year, CAST(COUNT(*) AS BIGINT)
+         |   AS cohort_customers FROM ch GROUP BY 1),
+         |m AS (SELECT ch.cohort_year, o.y AS order_year,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(c) AS BIGINT) AS rev_cents
+         | FROM o JOIN ch ON ch.o_custkey = o.o_custkey GROUP BY 1, 2)
+         |SELECT m.cohort_year, order_year, cohort_customers, n_orders,
+         | rev_cents
+         |FROM m JOIN sz ON sz.cohort_year = m.cohort_year
+         |ORDER BY m.cohort_year, order_year"""
+        .stripMargin.replace("\n", " ")),
+    "x410_line_position_curve" ->
+      ("""SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_line_cents
+         |FROM lineitem
+         |WHERE l_linenumber IS NOT NULL AND l_extendedprice IS NOT NULL
+         |GROUP BY 1 ORDER BY l_linenumber"""
+        .stripMargin.replace("\n", " ")),
+    "x411_regional_taste_table" ->
+      ("""WITH cell AS (SELECT n_name AS nation, p_type,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_type IS NOT NULL GROUP BY 1, 2),
+         |mx AS (SELECT nation, MAX(c) AS m, SUM(c) AS t FROM cell
+         |  GROUP BY 1)
+         |SELECT cell.nation, MIN(p_type) AS top_type,
+         | CAST(MAX(m) AS BIGINT) AS top_rev_cents,
+         | CAST(CAST(MAX(m) AS HUGEINT) * 1000000 // MAX(t) AS BIGINT)
+         |  AS top_share_ppm
+         |FROM cell JOIN mx ON mx.nation = cell.nation AND cell.c = mx.m
+         |GROUP BY 1 ORDER BY cell.nation"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
