@@ -5011,6 +5011,53 @@ object Extensions {
       .orderBy("nation")
   }
 
+  /** x412 — discount effectiveness: mean quantity (exact milli) per
+    * discount percent band — x323 read quantity → discount (the pricing
+    * ladder); this reads discount → quantity (did the promo move
+    * units?). One scan, |bands|-bounded. */
+  private val x412: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_discount").isNotNull && col("l_quantity").isNotNull)
+      .groupBy((col("l_discount").cast("decimal(8,6)") * 100).cast("int")
+        .as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(CAST(l_quantity AS BIGINT)) * 1000 DIV COUNT(1)")
+          .as("mean_qty_milli"))
+      .orderBy("discount_pct")
+  }
+
+  /** x413 — feature domain audit: the props.k integer field's coverage
+    * in one row — rows carrying it, distinct values, range, and HOLES
+    * in the range — the payload-contract check (a hole in an enum range
+    * means a writer version is missing). JSON path extraction then one
+    * aggregate. */
+  private val x413: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "events")
+      .select(expr("CAST(get_json_object(props, '$.k') AS INT)").as("__k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_with_k"),
+        countDistinct(col("__k")).as("n_distinct_k"),
+        min(col("__k")).cast("long").as("min_k"),
+        max(col("__k")).cast("long").as("max_k"))
+      .select(col("n_rows"), col("n_with_k"), col("n_distinct_k"),
+        col("min_k"), col("max_k"),
+        expr("max_k - min_k + 1 - n_distinct_k").as("n_holes"))
+  }
+
+  /** x414 — catalog name vocabulary: top-20 tokens across part names —
+    * naming-convention drift shows up as a fragmented vocabulary here
+    * long before search relevance complains. Vocab-bounded aggregate,
+    * TakeOrdered top-k. */
+  private val x414: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "part")
+      .filter(col("p_name").isNotNull)
+      .select(explode(split(col("p_name"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("n_parts").desc, col("token"))
+      .limit(20)
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5853,7 +5900,10 @@ object Extensions {
     "x408_orphan_vector_audit" -> x408,
     "x409_cohort_ltv_triangle" -> x409,
     "x410_line_position_curve" -> x410,
-    "x411_regional_taste_table" -> x411)
+    "x411_regional_taste_table" -> x411,
+    "x412_discount_effectiveness" -> x412,
+    "x413_feature_domain_audit" -> x413,
+    "x414_catalog_name_vocab" -> x414)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11202,6 +11252,35 @@ object Extensions {
          |  AS top_share_ppm
          |FROM cell JOIN mx ON mx.nation = cell.nation AND cell.c = mx.m
          |GROUP BY 1 ORDER BY cell.nation"""
+        .stripMargin.replace("\n", " ")),
+    "x412_discount_effectiveness" ->
+      ("""SELECT CAST(CAST(l_discount AS DECIMAL(8,6)) * 100 AS INT)
+         |  AS discount_pct,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000 // COUNT(*)
+         |  AS BIGINT) AS mean_qty_milli
+         |FROM lineitem
+         |WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+         |GROUP BY 1 ORDER BY discount_pct"""
+        .stripMargin.replace("\n", " ")),
+    "x413_feature_domain_audit" ->
+      ("""WITH e AS (SELECT CAST(REGEXP_EXTRACT(props,
+         |   '"k":\s*(-?\d+)', 1) AS INT) AS k FROM events)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_with_k,
+         | CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+         | CAST(MIN(k) AS BIGINT) AS min_k,
+         | CAST(MAX(k) AS BIGINT) AS max_k,
+         | CAST(MAX(k) - MIN(k) + 1 - COUNT(DISTINCT k) AS BIGINT)
+         |  AS n_holes
+         |FROM e""".stripMargin.replace("\n", " ")),
+    "x414_catalog_name_vocab" ->
+      ("""WITH t AS (SELECT unnest(string_split(p_name, ' ')) AS token
+         | FROM part WHERE p_name IS NOT NULL)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_parts
+         |FROM t WHERE token <> ''
+         |GROUP BY 1 ORDER BY n_parts DESC, token LIMIT 20"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
