@@ -5058,6 +5058,71 @@ object Extensions {
       .limit(20)
   }
 
+  /** x415 — denormalized-name consistency: the id embedded in
+    * `Customer#…`/`Supplier#…` display names audited against the key
+    * column — denormalized fields rot silently, and x93's FK audit
+    * can't see this class (the key itself is fine). try_cast on both
+    * engines so an unparseable name counts, never crashes. */
+  private val x415: Q = (spark, sfDir) => {
+    def audit(df: DataFrame, rel: String, id: String, name: String) = df
+      .select(lit(rel).as("relation"), col(id).as("__id"),
+        expr(s"try_cast(regexp_extract($name, '#([0-9]+)', 1) AS BIGINT)")
+          .as("__pid"))
+      .groupBy("relation")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__pid").isNotNull, 1L).otherwise(0L))
+          .as("n_parseable"),
+        sum(when(col("__pid") === col("__id"), 1L).otherwise(0L))
+          .as("n_match"))
+    audit(Tables(spark, sfDir, "customer"), "customer", "c_custkey", "c_name")
+      .union(audit(Tables(spark, sfDir, "supplier"), "supplier",
+        "s_suppkey", "s_name"))
+      .withColumn("n_mismatch", col("n_parseable") - col("n_match"))
+      .orderBy("relation")
+  }
+
+  /** x416 — domain-constraint audit: one pass over lineitem counting
+    * violations of the column contracts (price > 0, discount ∈ [0, .1],
+    * tax ∈ [0, .08], quantity ∈ [1, 50]) — x94 profiles nulls; this
+    * checks RANGES, the other half of a column contract. Single scan,
+    * stacked to one row per constraint. */
+  private val x416: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem").agg(
+        count(lit(1)).as("__n"),
+        sum(when(col("l_extendedprice") <= 0 ||
+          col("l_extendedprice").isNull, 1L).otherwise(0L)).as("__v1"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1 ||
+          col("l_discount").isNull, 1L).otherwise(0L)).as("__v2"),
+        sum(when(col("l_tax") < 0 || col("l_tax") > 0.08 ||
+          col("l_tax").isNull, 1L).otherwise(0L)).as("__v3"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50 ||
+          col("l_quantity").isNull, 1L).otherwise(0L)).as("__v4"))
+      .select(expr("stack(4, 'price_positive', __v1," +
+        " 'discount_0_to_10pct', __v2, 'tax_0_to_8pct', __v3," +
+        " 'quantity_1_to_50', __v4) AS (check_name, n_violations)"),
+        col("__n").as("n_checked"))
+      .select(col("check_name"), col("n_checked"), col("n_violations"))
+      .orderBy("check_name")
+  }
+
+  /** x417 — brand order penetration: share of orders containing each
+    * brand (exact ppm) — the household-penetration KPI; x351's attach
+    * rate says what joins a basket, this says how many baskets a brand
+    * reaches at all. Basket frame collapses once. */
+  private val x417: Q = (spark, sfDir) => {
+    val ob = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_orderkey").isNotNull && col("p_brand").isNotNull)
+      .select(col("l_orderkey").as("__o"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = ob.select("__o").distinct().agg(count(lit(1)).as("__t"))
+    ob.groupBy("brand").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand"), col("n_orders"),
+        expr("n_orders * 1000000 DIV __t").as("penetration_ppm"))
+      .orderBy("brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5903,7 +5968,10 @@ object Extensions {
     "x411_regional_taste_table" -> x411,
     "x412_discount_effectiveness" -> x412,
     "x413_feature_domain_audit" -> x413,
-    "x414_catalog_name_vocab" -> x414)
+    "x414_catalog_name_vocab" -> x414,
+    "x415_denormalized_name_audit" -> x415,
+    "x416_domain_constraint_audit" -> x416,
+    "x417_brand_penetration" -> x417)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11281,6 +11349,55 @@ object Extensions {
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_parts
          |FROM t WHERE token <> ''
          |GROUP BY 1 ORDER BY n_parts DESC, token LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    "x415_denormalized_name_audit" ->
+      ("""WITH c AS (SELECT 'customer' AS relation,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN TRY_CAST(REGEXP_EXTRACT(c_name,
+         |    '#([0-9]+)', 1) AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_parseable,
+         |  CAST(SUM(CASE WHEN TRY_CAST(REGEXP_EXTRACT(c_name,
+         |    '#([0-9]+)', 1) AS BIGINT) = c_custkey THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_match
+         | FROM customer),
+         |s AS (SELECT 'supplier' AS relation,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN TRY_CAST(REGEXP_EXTRACT(s_name,
+         |    '#([0-9]+)', 1) AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_parseable,
+         |  CAST(SUM(CASE WHEN TRY_CAST(REGEXP_EXTRACT(s_name,
+         |    '#([0-9]+)', 1) AS BIGINT) = s_suppkey THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_match
+         | FROM supplier),
+         |u AS (SELECT * FROM c UNION ALL SELECT * FROM s)
+         |SELECT relation, n_rows, n_parseable, n_match,
+         | n_parseable - n_match AS n_mismatch
+         |FROM u ORDER BY relation""".stripMargin.replace("\n", " ")),
+    "x416_domain_constraint_audit" ->
+      ("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN l_extendedprice <= 0
+         |   OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS v1,
+         |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+         |   OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |  CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+         |   OR l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+         |   OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4
+         | FROM lineitem)
+         |SELECT p.check_name, n AS n_checked, p.n_violations
+         |FROM a, LATERAL (VALUES ('price_positive', v1),
+         |  ('discount_0_to_10pct', v2), ('tax_0_to_8pct', v3),
+         |  ('quantity_1_to_50', v4)) p(check_name, n_violations)
+         |ORDER BY p.check_name""".stripMargin.replace("\n", " ")),
+    "x417_brand_penetration" ->
+      ("""WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+         |t AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS tt FROM ob)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS penetration_ppm
+         |FROM ob, t GROUP BY brand, tt ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
