@@ -5123,6 +5123,78 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x418 — quality by ingest decile: mean quality milli per doc-id
+    * decile — the metric axis x346's length drift leaves out; a falling
+    * tail means the crawler hit the low-quality frontier. FLOOR before
+    * the integer mean. */
+  private val x418: Q = (spark, sfDir) => {
+    val mx = docs(spark, sfDir).agg(max(col("doc_id")).as("__mx"))
+    docs(spark, sfDir).crossJoin(broadcast(mx))
+      .select(least(expr("doc_id * 10 DIV (__mx + 1)"), lit(9L))
+          .as("decile"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000).as("__q"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(__q) DIV COUNT(1)").as("mean_quality_milli"))
+      .orderBy("decile")
+  }
+
+  /** x419 — transition asymmetry: for each unordered event-type pair,
+    * the forward and backward adjacent-transition counts and the NET
+    * flow — x141's matrix folded to direction-of-travel (view→purchase
+    * should dominate purchase→view; if it doesn't, the funnel is a
+    * loop). User-partitioned lead window only. */
+  private val x419: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") =!= col("event_type"))
+      .groupBy(col("event_type").as("__a"), col("__next").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val fwd = tr.filter(col("__a") < col("__b"))
+      .select(col("__a").as("type_1"), col("__b").as("type_2"),
+        col("__n").as("n_forward"))
+    val bwd = tr.filter(col("__a") > col("__b"))
+      .select(col("__b").as("type_1"), col("__a").as("type_2"),
+        col("__n").as("n_backward"))
+    fwd.join(bwd, Seq("type_1", "type_2"), "full")
+      .select(col("type_1"), col("type_2"),
+        coalesce(col("n_forward"), lit(0L)).as("n_forward"),
+        coalesce(col("n_backward"), lit(0L)).as("n_backward"))
+      .withColumn("net_flow", col("n_forward") - col("n_backward"))
+      .orderBy("type_1", "type_2")
+  }
+
+  /** x420 — seasonal peak alignment: do all brands peak in the SAME
+    * month (systemic seasonality) or each in its own (idiosyncratic)?
+    * Per-brand argmax month (max(struct), tie → earliest month), then
+    * the modal peak and alignment share — x325's matrix folded to one
+    * row. */
+  private val x420: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("p_brand").as("brand"),
+        month(to_date(col("o_orderdate"))).as("__mo"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("__c"))
+    val peaks = cell.groupBy("brand")
+      .agg(max(struct(col("__c"), (-col("__mo")).as("__nm"))).as("__m"))
+      .select((-col("__m.__nm")).as("__peak"))
+    val byPeak = peaks.groupBy("__peak").agg(count(lit(1)).as("__cnt"))
+    byPeak.agg(sum(col("__cnt")).as("n_brands"),
+        max(struct(col("__cnt"), (-col("__peak")).as("__np"))).as("__mx"))
+      .select(col("n_brands"), (-col("__mx.__np")).as("modal_peak_month"),
+        col("__mx.__cnt").as("n_at_modal"))
+      .withColumn("alignment_ppm",
+        expr("n_at_modal * 1000000 DIV n_brands"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -5971,7 +6043,10 @@ object Extensions {
     "x414_catalog_name_vocab" -> x414,
     "x415_denormalized_name_audit" -> x415,
     "x416_domain_constraint_audit" -> x416,
-    "x417_brand_penetration" -> x417)
+    "x417_brand_penetration" -> x417,
+    "x418_quality_by_ingest_decile" -> x418,
+    "x419_transition_asymmetry" -> x419,
+    "x420_seasonal_peak_alignment" -> x420)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11399,6 +11474,58 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS penetration_ppm
          |FROM ob, t GROUP BY brand, tt ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
+    "x418_quality_by_ingest_decile" ->
+      (s"""WITH $qualityCtes,
+         |m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |d AS (SELECT LEAST(q.doc_id * 10 // (mx + 1), 9) AS decile,
+         |  CAST(FLOOR(score * 1000) AS BIGINT) AS qm
+         | FROM qscore q, m)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_quality_milli
+         |FROM d GROUP BY 1 ORDER BY decile"""
+        .stripMargin.replace("\n", " ")),
+    "x419_transition_asymmetry" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |   AND event_type IS NOT NULL),
+         |tr0 AS (SELECT event_type AS a, LEAD(event_type) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS b FROM e),
+         |tr AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM tr0
+         | WHERE b IS NOT NULL AND b <> a GROUP BY 1, 2),
+         |fwd AS (SELECT a AS type_1, b AS type_2, n AS n_forward
+         |  FROM tr WHERE a < b),
+         |bwd AS (SELECT b AS type_1, a AS type_2, n AS n_backward
+         |  FROM tr WHERE a > b)
+         |SELECT COALESCE(fwd.type_1, bwd.type_1) AS type_1,
+         | COALESCE(fwd.type_2, bwd.type_2) AS type_2,
+         | COALESCE(n_forward, 0) AS n_forward,
+         | COALESCE(n_backward, 0) AS n_backward,
+         | COALESCE(n_forward, 0) - COALESCE(n_backward, 0) AS net_flow
+         |FROM fwd FULL JOIN bwd ON fwd.type_1 = bwd.type_1
+         | AND fwd.type_2 = bwd.type_2
+         |ORDER BY type_1, type_2""".stripMargin.replace("\n", " ")),
+    "x420_seasonal_peak_alignment" ->
+      ("""WITH cell AS (SELECT p_brand AS brand,
+         |  month(CAST(o_orderdate AS DATE)) AS mo,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND o_orderdate IS NOT NULL
+         | GROUP BY 1, 2),
+         |pk AS (SELECT brand, MIN(mo) AS peak FROM cell
+         |  JOIN (SELECT brand AS b2, MAX(c) AS m FROM cell GROUP BY 1) x
+         |   ON x.b2 = cell.brand AND cell.c = x.m
+         | GROUP BY 1),
+         |bp AS (SELECT peak, CAST(COUNT(*) AS BIGINT) AS cnt FROM pk
+         |  GROUP BY 1),
+         |mx AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_brands FROM bp),
+         |md AS (SELECT peak, cnt FROM bp
+         |  ORDER BY cnt DESC, peak LIMIT 1)
+         |SELECT n_brands, CAST(md.peak AS BIGINT) AS modal_peak_month,
+         | md.cnt AS n_at_modal,
+         | CAST(md.cnt * 1000000 // n_brands AS BIGINT) AS alignment_ppm
+         |FROM mx, md""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
