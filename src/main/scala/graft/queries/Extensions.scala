@@ -5195,6 +5195,77 @@ object Extensions {
         expr("n_at_modal * 1000000 DIV n_brands"))
   }
 
+  /** x421 — corpus A/A audit: split docs by id parity and compare the
+    * metric means — any split-system bias (a sharded crawler writing
+    * different content to even/odd shards) shows here before an A/B
+    * test inherits it. One scan, three stacked metric rows with exact
+    * deltas. */
+  private val x421: Q = (spark, sfDir) => {
+    val m = docs(spark, sfDir).select(
+      (col("doc_id") % 2 === 0).as("__a"),
+      col("n_chars"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),
+      floor(TextAnalysis.qualityScore(col("text")) * 1000).as("__q"))
+    def side(flag: Boolean, c: Column) =
+      sum(when(col("__a") === flag, c).otherwise(0L))
+    val agg = m.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"),
+      side(flag = true, col("n_chars")).as("__ca"),
+      side(flag = false, col("n_chars")).as("__cb"),
+      side(flag = true, col("__tok")).as("__ta"),
+      side(flag = false, col("__tok")).as("__tb"),
+      side(flag = true, col("__q")).as("__qa"),
+      side(flag = false, col("__q")).as("__qb"))
+    agg.select(expr("stack(3," +
+        " 'mean_chars', __ca DIV __na, __cb DIV __nb," +
+        " 'mean_tokens', __ta DIV __na, __tb DIV __nb," +
+        " 'mean_quality_milli', __qa DIV __na, __qb DIV __nb)" +
+        " AS (metric, a_value, b_value)"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+      .withColumn("delta", col("a_value") - col("b_value"))
+      .select(col("metric"), col("n_a"), col("n_b"), col("a_value"),
+        col("b_value"), col("delta"))
+      .orderBy("metric")
+  }
+
+  /** x422 — events domain audit: the x416 stacked-constraint pass on
+    * the event stream (value ≥ 0, ts inside the collection window,
+    * event_type in the known enum) — the payload contract for
+    * telemetry. */
+  private val x422: Q = (spark, sfDir) => {
+    val known = Seq("view", "click", "signup", "purchase", "error")
+    Tables(spark, sfDir, "events").agg(
+        count(lit(1)).as("__n"),
+        sum(when(col("value") < 0 || col("value").isNull, 1L)
+          .otherwise(0L)).as("__v1"),
+        sum(when(col("ts").isNull ||
+          col("ts") < lit("2024-01-01").cast("timestamp") ||
+          col("ts") >= lit("2024-02-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("__v2"),
+        sum(when(!col("event_type").isin(known: _*) ||
+          col("event_type").isNull, 1L).otherwise(0L)).as("__v3"))
+      .select(expr("stack(3, 'value_nonnegative', __v1," +
+        " 'ts_in_window', __v2, 'type_in_enum', __v3)" +
+        " AS (check_name, n_violations)"), col("__n").as("n_checked"))
+      .select(col("check_name"), col("n_checked"), col("n_violations"))
+      .orderBy("check_name")
+  }
+
+  /** x423 — language drift over ingest
+    * ([[Analytics.categoricalMixDrift]], fourth consumer): L1 distance
+    * of the language mix between consecutive doc-id deciles — the
+    * mixture a model trains on is the mixture the LAST deciles carry,
+    * not the average. */
+  private val x423: Q = (spark, sfDir) => {
+    val mx = docs(spark, sfDir).agg(max(col("doc_id")).as("__mx"))
+    Analytics.categoricalMixDrift(
+      docs(spark, sfDir).crossJoin(broadcast(mx))
+        .select(least(expr("doc_id * 10 DIV (__mx + 1)"), lit(9L))
+          .as("decile"), col("lang")),
+      "decile", "lang")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6046,7 +6117,10 @@ object Extensions {
     "x417_brand_penetration" -> x417,
     "x418_quality_by_ingest_decile" -> x418,
     "x419_transition_asymmetry" -> x419,
-    "x420_seasonal_peak_alignment" -> x420)
+    "x420_seasonal_peak_alignment" -> x420,
+    "x421_corpus_aa_audit" -> x421,
+    "x422_events_domain_audit" -> x422,
+    "x423_language_ingest_drift" -> x423)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11526,6 +11600,67 @@ object Extensions {
          | md.cnt AS n_at_modal,
          | CAST(md.cnt * 1000000 // n_brands AS BIGINT) AS alignment_ppm
          |FROM mx, md""".stripMargin.replace("\n", " ")),
+    "x421_corpus_aa_audit" ->
+      (s"""WITH $qualityCtes,
+         |m AS (SELECT d.doc_id % 2 = 0 AS a, d.n_chars,
+         |  len(string_split(d.text, ' ')) AS tok,
+         |  CAST(FLOOR(q.score * 1000) AS BIGINT) AS qm
+         | FROM documents d JOIN qscore q ON q.doc_id = d.doc_id),
+         |agg AS (SELECT
+         |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |  CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         |  CAST(SUM(CASE WHEN a THEN n_chars ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(SUM(CASE WHEN a THEN 0 ELSE n_chars END) AS BIGINT) AS cb,
+         |  CAST(SUM(CASE WHEN a THEN tok ELSE 0 END) AS BIGINT) AS ta,
+         |  CAST(SUM(CASE WHEN a THEN 0 ELSE tok END) AS BIGINT) AS tb,
+         |  CAST(SUM(CASE WHEN a THEN qm ELSE 0 END) AS BIGINT) AS qa,
+         |  CAST(SUM(CASE WHEN a THEN 0 ELSE qm END) AS BIGINT) AS qb
+         | FROM m)
+         |SELECT p.metric, na AS n_a, nb AS n_b,
+         | p.a_value, p.b_value, p.a_value - p.b_value AS delta
+         |FROM agg, LATERAL (VALUES
+         |  ('mean_chars', ca // na, cb // nb),
+         |  ('mean_tokens', ta // na, tb // nb),
+         |  ('mean_quality_milli', qa // na, qb // nb))
+         |  p(metric, a_value, b_value)
+         |ORDER BY p.metric""".stripMargin.replace("\n", " ")),
+    "x422_events_domain_audit" ->
+      ("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0
+         |   END) AS BIGINT) AS v1,
+         |  CAST(SUM(CASE WHEN ts IS NULL
+         |   OR ts < TIMESTAMP '2024-01-01 00:00:00'
+         |   OR ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS v2,
+         |  CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+         |   ('view', 'click', 'signup', 'purchase', 'error')
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS v3
+         | FROM events)
+         |SELECT p.check_name, n AS n_checked, p.n_violations
+         |FROM a, LATERAL (VALUES ('value_nonnegative', v1),
+         |  ('ts_in_window', v2), ('type_in_enum', v3))
+         |  p(check_name, n_violations)
+         |ORDER BY p.check_name""".stripMargin.replace("\n", " ")),
+    "x423_language_ingest_drift" ->
+      ("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |cell AS (SELECT LEAST(doc_id * 10 // (mx + 1), 9) AS decile,
+         |  lang AS p, COUNT(*) AS n FROM documents, m
+         | WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |yt AS (SELECT decile, SUM(n) AS t FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.decile, p, CAST(n * 1000000 // t AS BIGINT)
+         |   AS s FROM cell JOIN yt ON yt.decile = cell.decile),
+         |spine AS (SELECT yt.decile, pr.p FROM yt
+         |  CROSS JOIN (SELECT DISTINCT p FROM cell) pr),
+         |f AS (SELECT spine.decile, spine.p, COALESCE(sh.s, 0) AS s
+         |  FROM spine LEFT JOIN sh ON sh.decile = spine.decile
+         |   AND sh.p = spine.p),
+         |lg AS (SELECT decile, p, s,
+         |  LAG(s) OVER (PARTITION BY p ORDER BY decile) AS prev FROM f)
+         |SELECT decile, CAST(SUM(ABS(s - prev)) AS BIGINT)
+         |  AS l1_drift_ppm,
+         | CAST(COUNT(*) AS BIGINT) AS n_categories
+         |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY decile"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
