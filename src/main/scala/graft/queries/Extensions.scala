@@ -5266,6 +5266,60 @@ object Extensions {
       "decile", "lang")
   }
 
+  /** x424 — token-hash balance: corpus tokens hashed (portable md5)
+    * into 32 buckets with deviation from uniform — a skewed bucket here
+    * means every hash-partitioned text stage (LSH bands, shard
+    * assignment) inherits a hot partition; x340's audit for the TEXT
+    * path. Vocab collapse first so the hash runs once per distinct
+    * token. */
+  private val x424: Q = (spark, sfDir) => {
+    val b = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(pmod(graft.operators.PortableHash.hash60(col("__w")),
+        lit(32L)).as("bucket"), col("__c"))
+      .groupBy("bucket").agg(sum(col("__c")).as("n_tokens"))
+    val tot = b.agg(sum(col("n_tokens")).as("__t"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_tokens"),
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 32000000 DIV __t" +
+          " AS BIGINT)").as("load_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** x425 — order-day coverage: share of calendar days carrying at
+    * least one order, per month — a coverage dip is an outage or a
+    * pipeline gap (x292 finds streaks on events; this is the
+    * transactional continuity sheet). |months|-bounded. */
+  private val x425: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(to_date(col("o_orderdate")).as("__d")).distinct()
+      .groupBy(trunc(col("__d"), "month").as("month"),
+        dayofmonth(last_day(col("__d"))).as("n_days"))
+      .agg(count(lit(1)).as("n_active_days"))
+      .select(col("month"), col("n_days"), col("n_active_days"),
+        expr("n_active_days * 1000000 DIV n_days").as("coverage_ppm"))
+      .orderBy("month")
+  }
+
+  /** x426 — dedup threshold margin: share of verified pairs inside
+    * [0.70, 0.72) — the mass that flips if the threshold moves 2 points;
+    * x344 draws the histogram, this is the one-number sensitivity a
+    * threshold review asks for. Fifteenth consumer of the pair
+    * staging. */
+  private val x426: Q = (spark, sfDir) => {
+    lshPairs(spark, sfDir)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") < 0.72, 1L).otherwise(0L))
+          .as("n_borderline"))
+      .select(col("n_pairs"), col("n_borderline"),
+        expr("CASE WHEN n_pairs > 0 THEN n_borderline * 1000000" +
+          " DIV n_pairs ELSE CAST(0 AS BIGINT) END")
+          .as("borderline_ppm"))
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6120,7 +6174,10 @@ object Extensions {
     "x420_seasonal_peak_alignment" -> x420,
     "x421_corpus_aa_audit" -> x421,
     "x422_events_domain_audit" -> x422,
-    "x423_language_ingest_drift" -> x423)
+    "x423_language_ingest_drift" -> x423,
+    "x424_token_hash_balance" -> x424,
+    "x425_order_day_coverage" -> x425,
+    "x426_dedup_threshold_margin" -> x426)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11661,6 +11718,41 @@ object Extensions {
          | CAST(COUNT(*) AS BIGINT) AS n_categories
          |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY decile"""
         .stripMargin.replace("\n", " ")),
+    "x424_token_hash_balance" ->
+      ("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w
+         |  WHERE w <> '' GROUP BY 1),
+         |b AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+         |   % 32 AS bucket, CAST(SUM(c) AS BIGINT) AS n_tokens
+         | FROM vc GROUP BY 1),
+         |t AS (SELECT SUM(n_tokens) AS tt FROM b)
+         |SELECT bucket, n_tokens,
+         | CAST(CAST(n_tokens AS HUGEINT) * 32000000 // tt AS BIGINT)
+         |  AS load_ppm
+         |FROM b, t ORDER BY bucket""".stripMargin.replace("\n", " ")),
+    "x425_order_day_coverage" ->
+      ("""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+         | FROM orders WHERE o_orderdate IS NOT NULL),
+         |g AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         |  date_part('day', last_day(d)) AS n_days,
+         |  CAST(COUNT(*) AS BIGINT) AS n_active_days
+         | FROM d GROUP BY 1, 2)
+         |SELECT month, n_days, n_active_days,
+         | CAST(n_active_days * 1000000 // n_days AS BIGINT)
+         |  AS coverage_ppm
+         |FROM g ORDER BY month""".stripMargin.replace("\n", " ")),
+    "x426_dedup_threshold_margin" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN jaccard < 0.72 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_borderline
+         | FROM jpairs)
+         |SELECT n_pairs, n_borderline,
+         | CASE WHEN n_pairs > 0
+         |  THEN CAST(n_borderline * 1000000 // n_pairs AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS borderline_ppm
+         |FROM a""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
