@@ -5320,6 +5320,59 @@ object Extensions {
           .as("borderline_ppm"))
   }
 
+  /** x427 — catalog name-collision census: parts sharing an exact
+    * display name, by family size — x405's collision audit for the
+    * catalog dimension (two keys, one name = broken uniqueness
+    * contract upstream). */
+  private val x427: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "part")
+      .filter(col("p_name").isNotNull)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size")
+      .agg(count(lit(1)).as("n_names"), sum(col("family_size")).as("n_parts"))
+      .orderBy("family_size")
+  }
+
+  /** x428 — sessions-per-user census: histogram of 30-min-gap session
+    * counts per user — the visit-frequency distribution under x244's
+    * threshold sweep (sweep picks τ; this shows the shape at the chosen
+    * τ). Session count = 1 + over-threshold gaps, no run
+    * reconstruction needed. */
+  private val x428: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L,
+          1L).otherwise(0L).as("__new"))
+      .groupBy("user_id").agg(sum(col("__new")).as("n_sessions"))
+      .groupBy("n_sessions").agg(count(lit(1)).as("n_users"))
+      .orderBy("n_sessions")
+  }
+
+  /** x429 — brand price architecture: each brand's line mix across
+    * log2 price bands in exact share ppm — a one-band brand is a
+    * price point, a flat profile is a portfolio; x397 gives the mean,
+    * this gives the SHAPE. |brands × bands| cells. */
+  private val x429: Q = (spark, sfDir) => {
+    val cell = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(col("p_brand").as("brand"),
+        expr("CAST(length(bin(CAST(CAST(l_extendedprice" +
+          " AS DECIMAL(18,2)) * 100 AS BIGINT))) - 1 AS INT)")
+          .as("price_band"))
+      .agg(count(lit(1)).as("n_lines"))
+    val bt = cell.groupBy("brand").agg(sum(col("n_lines")).as("__t"))
+    cell.join(bt, "brand")
+      .select(col("brand"), col("price_band"), col("n_lines"),
+        expr("n_lines * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("brand", "price_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6177,7 +6230,10 @@ object Extensions {
     "x423_language_ingest_drift" -> x423,
     "x424_token_hash_balance" -> x424,
     "x425_order_day_coverage" -> x425,
-    "x426_dedup_threshold_margin" -> x426)
+    "x426_dedup_threshold_margin" -> x426,
+    "x427_catalog_name_collisions" -> x427,
+    "x428_sessions_per_user_census" -> x428,
+    "x429_brand_price_architecture" -> x429)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11753,6 +11809,42 @@ object Extensions {
          |  THEN CAST(n_borderline * 1000000 // n_pairs AS BIGINT)
          |  ELSE CAST(0 AS BIGINT) END AS borderline_ppm
          |FROM a""".stripMargin.replace("\n", " ")),
+    "x427_catalog_name_collisions" ->
+      ("""WITH fam AS (SELECT p_name, CAST(COUNT(*) AS BIGINT)
+         |   AS family_size
+         | FROM part WHERE p_name IS NOT NULL GROUP BY 1)
+         |SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_names,
+         | CAST(SUM(family_size) AS BIGINT) AS n_parts
+         |FROM fam GROUP BY 1 ORDER BY family_size"""
+        .stripMargin.replace("\n", " ")),
+    "x428_sessions_per_user_census" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |l AS (SELECT user_id, CASE WHEN LAG(ts) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |  OR epoch_us(ts) - epoch_us(LAG(ts) OVER
+         |   (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         |  THEN 1 ELSE 0 END AS nw FROM e),
+         |s AS (SELECT user_id, CAST(SUM(nw) AS BIGINT) AS n_sessions
+         | FROM l GROUP BY 1)
+         |SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM s GROUP BY 1 ORDER BY n_sessions"""
+        .stripMargin.replace("\n", " ")),
+    "x429_brand_price_architecture" ->
+      ("""WITH cell AS (SELECT p_brand AS brand,
+         |  CAST(length(format('{:b}',
+         |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT))) - 1 AS INT) AS price_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND l_extendedprice IS NOT NULL
+         | GROUP BY 1, 2),
+         |bt AS (SELECT brand, SUM(n_lines) AS t FROM cell GROUP BY 1)
+         |SELECT cell.brand, price_band, n_lines,
+         | CAST(n_lines * 1000000 // t AS BIGINT) AS share_ppm
+         |FROM cell JOIN bt ON bt.brand = cell.brand
+         |ORDER BY cell.brand, price_band"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
