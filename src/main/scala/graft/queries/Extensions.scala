@@ -5373,6 +5373,64 @@ object Extensions {
       .orderBy("brand", "price_band")
   }
 
+  /** x430 — ship-delay trend: mean order-to-ship days (exact milli) per
+    * order month — the fulfilment drift line under x356's per-priority
+    * quantiles; a rising mean with flat p50 means the tail is rotting.
+    * One scan, |months|-bounded. */
+  private val x430: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(CAST(datediff(to_date(l_shipdate)," +
+          " to_date(o_orderdate)) AS BIGINT)) * 1000 DIV COUNT(1)")
+          .as("mean_delay_milli_days"))
+      .orderBy("month")
+  }
+
+  /** x431 — catalog price drift by id decile: mean retail cents per
+    * part-id decile — the x346/x418/x423 ingest-drift family pointed at
+    * the catalog dimension (a price step across deciles means a
+    * repricing batch landed mid-load). */
+  private val x431: Q = (spark, sfDir) => {
+    val mx = Tables(spark, sfDir, "part").agg(max(col("p_partkey")).as("__mx"))
+    Tables(spark, sfDir, "part")
+      .filter(col("p_retailprice").isNotNull)
+      .crossJoin(broadcast(mx))
+      .select(least(expr("p_partkey * 10 DIV (__mx + 1)"), lit(9L))
+          .as("decile"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("SUM(__c) DIV COUNT(1)").as("mean_retail_cents"))
+      .orderBy("decile")
+  }
+
+  /** x432 — value-weighted brand returns: returned REVENUE share per
+    * brand in exact ppm — x299 counts returned lines; money-weighting
+    * reorders the list when returns skew expensive, which is exactly
+    * when it matters. */
+  private val x432: Q = (spark, sfDir) => {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_returnflag").isNotNull &&
+        col("l_extendedprice").isNotNull)
+      .select(col("p_brand").as("brand"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("__r"))
+      .groupBy("brand")
+      .agg(sum(col("__c")).as("rev_cents"),
+        sum(when(col("__r") === 1L, col("__c")).otherwise(0L))
+          .as("returned_cents"))
+      .select(col("brand"), col("rev_cents"), col("returned_cents"),
+        expr("CAST(CAST(returned_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV rev_cents AS BIGINT)").as("returned_value_ppm"))
+      .orderBy("brand")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6233,7 +6291,10 @@ object Extensions {
     "x426_dedup_threshold_margin" -> x426,
     "x427_catalog_name_collisions" -> x427,
     "x428_sessions_per_user_census" -> x428,
-    "x429_brand_price_architecture" -> x429)
+    "x429_brand_price_architecture" -> x429,
+    "x430_ship_delay_trend" -> x430,
+    "x431_catalog_price_drift" -> x431,
+    "x432_value_weighted_returns" -> x432)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11845,6 +11906,42 @@ object Extensions {
          |FROM cell JOIN bt ON bt.brand = cell.brand
          |ORDER BY cell.brand, price_band"""
         .stripMargin.replace("\n", " ")),
+    "x430_ship_delay_trend" ->
+      ("""SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+         |  AS DATE) AS month,
+         | CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(CAST(CAST(l_shipdate AS DATE) -
+         |  CAST(o_orderdate AS DATE) AS BIGINT)) * 1000 // COUNT(*)
+         |  AS BIGINT) AS mean_delay_milli_days
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+         |GROUP BY 1 ORDER BY month""".stripMargin.replace("\n", " ")),
+    "x431_catalog_price_drift" ->
+      ("""WITH m AS (SELECT MAX(p_partkey) AS mx FROM part),
+         |d AS (SELECT LEAST(p_partkey * 10 // (mx + 1), 9) AS decile,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c
+         | FROM part, m WHERE p_retailprice IS NOT NULL)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_retail_cents
+         |FROM d GROUP BY 1 ORDER BY decile"""
+        .stripMargin.replace("\n", " ")),
+    "x432_value_weighted_returns" ->
+      ("""SELECT p_brand AS brand,
+         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) AS BIGINT) AS rev_cents,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |  ELSE 0 END) AS BIGINT) AS returned_cents,
+         | CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |  ELSE 0 END) AS HUGEINT) * 1000000
+         |  // SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT)) AS BIGINT) AS returned_value_ppm
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand IS NOT NULL AND l_returnflag IS NOT NULL
+         | AND l_extendedprice IS NOT NULL
+         |GROUP BY 1 ORDER BY brand""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
