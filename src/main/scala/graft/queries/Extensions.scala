@@ -5431,6 +5431,64 @@ object Extensions {
       .orderBy("brand")
   }
 
+  /** x433 — weekday habit census: repeat customers (≥ 4 orders) banded
+    * by the share of orders on their SINGLE favourite weekday — near-1e6
+    * is a standing order, near-1/7 is impulse; the scheduling signal
+    * behind x238's ETA. Portable ISO dow; customer-bounded collapses. */
+  private val x433: Q = (spark, sfDir) => {
+    val cd = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("o_custkey"),
+        expr("(dayofweek(CAST(o_orderdate AS DATE)) + 5) % 7 + 1")
+          .as("__dow"))
+      .agg(count(lit(1)).as("__c"))
+    cd.groupBy("o_custkey")
+      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m"))
+      .filter(col("__t") >= 4)
+      .select(expr("__m * 1000000 DIV __t").as("__ppm"))
+      .groupBy(expr("__ppm DIV 100000").cast("int").as("habit_band"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("habit_band")
+  }
+
+  /** x434 — quality × length grid: doc counts over (quality band ×
+    * log2-length band) — the 2D map that says whether a length filter
+    * would silently delete the high-quality tail. One scan,
+    * |bands²|-bounded. */
+  private val x434: Q = (spark, sfDir) => {
+    docs(spark, sfDir)
+      .filter(col("n_chars") > 0)
+      .select(
+        when(TextAnalysis.qualityScore(col("text")) >= 0.5, "hi")
+          .otherwise("lo").as("quality_band"),
+        expr("CAST(length(bin(n_chars)) - 1 AS INT)").as("len_band"))
+      .groupBy("quality_band", "len_band")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("quality_band", "len_band")
+  }
+
+  /** x435 — reorder cadence trend ([[Analytics.lowerMedianByValue]]
+    * keyed by year): the exact median inter-order gap per order year —
+    * is the customer base speeding up? x316 slices by segment; this
+    * watches TIME. Gap window customer-partitioned; medians from
+    * value-collapsed counts per year. */
+  private val x435: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    val gaps = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        col("o_orderkey"))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(year(col("__d")).as("yr"),
+        datediff(col("__d"), col("__prev")).cast("long").as("__gap"))
+    Analytics.lowerMedianByValue(gaps, Seq("yr"), "__gap")
+      .select(col("yr"), col("__v").as("median_gap_days"),
+        col("__n").as("n_gaps"))
+      .orderBy("yr")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6294,7 +6352,10 @@ object Extensions {
     "x429_brand_price_architecture" -> x429,
     "x430_ship_delay_trend" -> x430,
     "x431_catalog_price_drift" -> x431,
-    "x432_value_weighted_returns" -> x432)
+    "x432_value_weighted_returns" -> x432,
+    "x433_weekday_habit_census" -> x433,
+    "x434_quality_length_grid" -> x434,
+    "x435_reorder_cadence_trend" -> x435)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -11942,6 +12003,46 @@ object Extensions {
          |WHERE p_brand IS NOT NULL AND l_returnflag IS NOT NULL
          | AND l_extendedprice IS NOT NULL
          |GROUP BY 1 ORDER BY brand""".stripMargin.replace("\n", " ")),
+    "x433_weekday_habit_census" ->
+      ("""WITH cd AS (SELECT o_custkey,
+         |  isodow(CAST(o_orderdate AS DATE)) AS dow,
+         |  CAST(COUNT(*) AS BIGINT) AS c
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         | GROUP BY 1, 2),
+         |per AS (SELECT CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT)
+         |   AS ppm FROM cd GROUP BY o_custkey HAVING SUM(c) >= 4)
+         |SELECT CAST(ppm // 100000 AS INT) AS habit_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_customers
+         |FROM per GROUP BY 1 ORDER BY habit_band"""
+        .stripMargin.replace("\n", " ")),
+    "x434_quality_length_grid" ->
+      (s"""WITH $qualityCtes,
+         |g AS (SELECT CASE WHEN q.score >= 0.5 THEN 'hi' ELSE 'lo' END
+         |   AS quality_band,
+         |  CAST(length(format('{:b}', d.n_chars)) - 1 AS INT)
+         |   AS len_band
+         | FROM documents d JOIN qscore q ON q.doc_id = d.doc_id
+         | WHERE d.n_chars > 0)
+         |SELECT quality_band, len_band, CAST(COUNT(*) AS BIGINT)
+         |  AS n_docs
+         |FROM g GROUP BY 1, 2 ORDER BY quality_band, len_band"""
+        .stripMargin.replace("\n", " ")),
+    "x435_reorder_cadence_trend" ->
+      ("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |  o_orderkey FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |g AS (SELECT year(d) AS yr, CAST(d - LAG(d) OVER
+         |  (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS BIGINT)
+         |   AS gap FROM o),
+         |gv AS (SELECT yr, gap AS v, COUNT(*) AS c FROM g
+         |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT yr, v, SUM(c) OVER (PARTITION BY yr ORDER BY v)
+         |   AS cw, SUM(c) OVER (PARTITION BY yr) AS tw FROM gv)
+         |SELECT yr, CAST(MIN(v) AS BIGINT) AS median_gap_days,
+         | CAST(MAX(tw) AS BIGINT) AS n_gaps
+         |FROM cum WHERE cw * 2 >= tw GROUP BY 1 ORDER BY yr"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
