@@ -5489,6 +5489,55 @@ object Extensions {
       .orderBy("yr")
   }
 
+  /** x436 — customer acquisition curve: NEW customers per quarter
+    * (first-order quarter) with the running total — the top of every
+    * growth model; cumulative rides the |quarters| spine only. */
+  private val x436: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstQ = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy("o_custkey")
+      .agg(min(trunc(to_date(col("o_orderdate")), "quarter")).as("quarter"))
+    firstQ.groupBy("quarter").agg(count(lit(1)).as("n_new_customers"))
+      .withColumn("cumulative_customers",
+        sum(col("n_new_customers")).over(Window.orderBy("quarter")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("quarter")
+  }
+
+  /** x437 — dup-cluster source span ([[Dedup.dupClusters]]): clusters
+    * by how many distinct SOURCES they straddle — single-source
+    * clusters are internal re-posts (safe to collapse per source),
+    * multi-source ones are syndication (collapse globally or leak).
+    * Cluster labels from the shared pair staging. */
+  private val x437: Q = (spark, sfDir) => {
+    Dedup.dupClusters(lshPairs(spark, sfDir))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("cluster"), col("source")).distinct()
+      .groupBy("cluster").agg(count(lit(1)).as("n_sources"))
+      .groupBy("n_sources").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_sources")
+  }
+
+  /** x438 — supplier specialization census: suppliers banded by the
+    * share of their lines on their SINGLE top brand — a specialized
+    * supplier is a different risk than a generalist when that brand
+    * turns (x363's loyalty lens rotated to the supply side). */
+  private val x438: Q = (spark, sfDir) => {
+    val sb = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_suppkey").isNotNull && col("p_brand").isNotNull)
+      .groupBy(col("l_suppkey"), col("p_brand"))
+      .agg(count(lit(1)).as("__c"))
+    sb.groupBy("l_suppkey")
+      .agg(sum(col("__c")).as("__t"), max(col("__c")).as("__m"))
+      .select(expr("__m * 1000000 DIV __t").as("__ppm"))
+      .groupBy(expr("__ppm DIV 100000").cast("int").as("spec_band"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("spec_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6355,7 +6404,10 @@ object Extensions {
     "x432_value_weighted_returns" -> x432,
     "x433_weekday_habit_census" -> x433,
     "x434_quality_length_grid" -> x434,
-    "x435_reorder_cadence_trend" -> x435)
+    "x435_reorder_cadence_trend" -> x435,
+    "x436_acquisition_curve" -> x436,
+    "x437_cluster_source_span" -> x437,
+    "x438_supplier_specialization" -> x438)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12042,6 +12094,40 @@ object Extensions {
          |SELECT yr, CAST(MIN(v) AS BIGINT) AS median_gap_days,
          | CAST(MAX(tw) AS BIGINT) AS n_gaps
          |FROM cum WHERE cw * 2 >= tw GROUP BY 1 ORDER BY yr"""
+        .stripMargin.replace("\n", " ")),
+    "x436_acquisition_curve" ->
+      ("""WITH fq AS (SELECT o_custkey,
+         |  CAST(date_trunc('quarter', MIN(CAST(o_orderdate AS DATE)))
+         |   AS DATE) AS quarter
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         | GROUP BY 1),
+         |q AS (SELECT quarter, CAST(COUNT(*) AS BIGINT)
+         |   AS n_new_customers FROM fq GROUP BY 1)
+         |SELECT quarter, n_new_customers,
+         | CAST(SUM(n_new_customers) OVER (ORDER BY quarter
+         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_customers
+         |FROM q ORDER BY quarter""".stripMargin.replace("\n", " ")),
+    "x437_cluster_source_span" ->
+      (s"""WITH $clusterCtes,
+         |ls AS (SELECT DISTINCT l3.label, d.source FROM l3
+         |  JOIN documents d ON d.doc_id = l3.node),
+         |cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_sources
+         |  FROM ls GROUP BY 1)
+         |SELECT n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY 1 ORDER BY n_sources"""
+        .stripMargin.replace("\n", " ")),
+    "x438_supplier_specialization" ->
+      ("""WITH sb AS (SELECT l_suppkey, p_brand,
+         |  CAST(COUNT(*) AS BIGINT) AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_suppkey IS NOT NULL AND p_brand IS NOT NULL
+         | GROUP BY 1, 2),
+         |per AS (SELECT CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT)
+         |   AS ppm FROM sb GROUP BY l_suppkey)
+         |SELECT CAST(ppm // 100000 AS INT) AS spec_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_suppliers
+         |FROM per GROUP BY 1 ORDER BY spec_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
