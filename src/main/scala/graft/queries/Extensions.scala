@@ -5538,6 +5538,60 @@ object Extensions {
       .orderBy("spec_band")
   }
 
+  /** x439 — brand customer reach: distinct buyers per brand and reach
+    * ppm of the active customer base — with x417's order penetration
+    * this completes the reach × frequency decomposition every brand
+    * review runs. Distinct collapses only. */
+  private val x439: Q = (spark, sfDir) => {
+    val bc = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("o_custkey").isNotNull && col("p_brand").isNotNull)
+      .select(col("p_brand").as("brand"), col("o_custkey")).distinct()
+    val tot = bc.select("o_custkey").distinct().agg(count(lit(1)).as("__t"))
+    bc.groupBy("brand").agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand"), col("n_customers"),
+        expr("n_customers * 1000000 DIV __t").as("reach_ppm"))
+      .orderBy("brand")
+  }
+
+  /** x440 — error concentration ([[Analytics.revenueConcentration]]
+    * over per-user error counts): deciles and Gini of the error burden
+    * — concentrated errors are one user's broken client, diffuse errors
+    * are the platform; the triage decision in one table. */
+  private val x440: Q = (spark, sfDir) =>
+    Analytics.revenueConcentration(
+      Tables(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull && col("event_type") === "error")
+        .groupBy("user_id").agg(count(lit(1)).as("__n")),
+      "user_id", col("__n"))
+
+  /** x441 — supplier health vs throughput: account-balance bands ×
+    * shipped-line volume (x324's credit-risk read on the supply side) —
+    * a negative-balance supplier carrying high volume is the fragility
+    * the quadrant census (x337) flags, quantified per band. */
+  private val x441: Q = (spark, sfDir) => {
+    val vol = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey").isNotNull)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("__v"))
+    Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__b"))
+      .join(vol, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(
+        when(col("__b") < 0, "1_negative")
+          .when(col("__b") < 500000L, "2_low").otherwise("3_high")
+          .as("bal_band"),
+        coalesce(col("__v"), lit(0L)).as("__v"))
+      .groupBy("bal_band")
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("__v")).as("n_lines"))
+      .select(col("bal_band"), col("n_suppliers"), col("n_lines"),
+        expr("n_lines * 1000 DIV n_suppliers").as("lines_per_k_suppliers"))
+      .orderBy("bal_band")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6407,7 +6461,10 @@ object Extensions {
     "x435_reorder_cadence_trend" -> x435,
     "x436_acquisition_curve" -> x436,
     "x437_cluster_source_span" -> x437,
-    "x438_supplier_specialization" -> x438)
+    "x438_supplier_specialization" -> x438,
+    "x439_brand_customer_reach" -> x439,
+    "x440_error_concentration" -> x440,
+    "x441_supplier_health_throughput" -> x441)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12128,6 +12185,54 @@ object Extensions {
          |SELECT CAST(ppm // 100000 AS INT) AS spec_band,
          | CAST(COUNT(*) AS BIGINT) AS n_suppliers
          |FROM per GROUP BY 1 ORDER BY spec_band"""
+        .stripMargin.replace("\n", " ")),
+    "x439_brand_customer_reach" ->
+      ("""WITH bc AS (SELECT DISTINCT p_brand AS brand, o_custkey
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL),
+         |t AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS tt
+         | FROM bc)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS reach_ppm
+         |FROM bc, t GROUP BY brand, tt ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x440_error_concentration" ->
+      ("""WITH v AS (SELECT user_id AS i, CAST(COUNT(*) AS BIGINT) AS v
+         | FROM events WHERE user_id IS NOT NULL
+         |  AND event_type = 'error' GROUP BY 1),
+         |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+         |o AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT)
+         |  AS bef, CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+         |r AS (SELECT v.v, o.bef + ROW_NUMBER() OVER (PARTITION BY v.v
+         |  ORDER BY v.i) AS rk, o.n FROM v JOIN o USING (v)),
+         |gin AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(SUM(v) AS BIGINT) AS sx,
+         |  SUM(CAST(rk AS HUGEINT) * v) AS six FROM r),
+         |gp AS (SELECT CAST(2 * six * 1000000 // (CAST(n AS HUGEINT) * sx)
+         |  - (n + 1) * 1000000 // n AS BIGINT) AS gini_ppm FROM gin),
+         |d AS (SELECT ((rk - 1) * 10 // n) + 1 AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(v) AS BIGINT)
+         |    AS sum_cents FROM r GROUP BY 1),
+         |dt AS (SELECT CAST(SUM(sum_cents) AS BIGINT) AS tot FROM d)
+         |SELECT CAST(d.decile AS BIGINT) AS decile, d.n_rows, d.sum_cents,
+         | d.sum_cents * 1000000 // dt.tot AS share_ppm, gp.gini_ppm
+         |FROM d, dt, gp ORDER BY decile""".stripMargin.replace("\n", " ")),
+    "x441_supplier_health_throughput" ->
+      ("""WITH vol AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS v
+         | FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+         |s AS (SELECT CASE
+         |   WHEN CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    < 0 THEN '1_negative'
+         |   WHEN CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    < 500000 THEN '2_low' ELSE '3_high' END AS bal_band,
+         |  COALESCE(vol.v, 0) AS v
+         | FROM supplier LEFT JOIN vol ON s_suppkey = vol.l_suppkey)
+         |SELECT bal_band, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         | CAST(SUM(v) AS BIGINT) AS n_lines,
+         | CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT)
+         |  AS lines_per_k_suppliers
+         |FROM s GROUP BY 1 ORDER BY bal_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
