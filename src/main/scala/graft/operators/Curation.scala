@@ -127,10 +127,13 @@ object Curation {
   def standardizeByGroup(df: DataFrame, idCol: String, metricCol: String,
       groupCol: String): DataFrame = {
     val x = col(metricCol)
+    // decimal(28,6) keeps 6 fractional digits through the moment sums, so
+    // non-integer metrics are not silently rounded (the z numerator uses
+    // the raw x; rounding only the moments would skew z for fractional x).
     val stats = df.groupBy(groupCol).agg(
       count(lit(1)).as("n"),
-      sum(x.cast("decimal(19,0)")).cast("double").as("s"),
-      sum(x.cast("decimal(19,0)") * x).cast("double").as("sq"))
+      sum(x.cast("decimal(28,6)")).cast("double").as("s"),
+      sum(x.cast("decimal(28,6)") * x).cast("double").as("sq"))
       .select(col(groupCol), (col("s") / col("n")).as("mean"),
         when(col("n") > 1,
           sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)))

@@ -413,22 +413,6 @@ object Dedup {
   }
 
   /**
-   * Connected components with a CONVERGENCE GUARANTEE — the scale path past
-   * [[dupClusters]]'s fixed round count: the same min-label propagation
-   * (one join + one aggregation per round, lineage truncated per round so
-   * plan depth stays constant), iterated until a round changes ZERO labels.
-   * The per-round convergence probe is a single count() over the two
-   * checkpointed label frames — one scalar to the driver, the standard
-   * Pregel-style voting-to-halt check, NOT a collect of the data.
-   *
-   * The fixpoint is the true component labeling (cluster = min doc_id in
-   * the component) for ANY graph shape — long chains included — whereas a
-   * fixed round count silently under-merges past its hop bound.
-   * `maxIterations` is a fail-loud safety bound (label-min propagation
-   * converges in O(diameter) rounds; a dup graph with diameter > 50 means
-   * the threshold upstream is broken).
-   */
-  /**
    * CLUSTER DENSITY audit — per near-dup cluster size: how complete is
    * the direct-evidence graph? `density_ppm = 2·|direct pairs| · 1e6
    * DIV (n·(n−1))`: 1e6 means every member pair was independently
@@ -500,6 +484,22 @@ object Dedup {
       .orderBy("source")
   }
 
+  /**
+   * Connected components with a CONVERGENCE GUARANTEE — the scale path past
+   * [[dupClusters]]'s fixed round count: the same min-label propagation
+   * (one join + one aggregation per round, lineage truncated per round so
+   * plan depth stays constant), iterated until a round changes ZERO labels.
+   * The per-round convergence probe is a single count() over the two
+   * checkpointed label frames — one scalar to the driver, the standard
+   * Pregel-style voting-to-halt check, NOT a collect of the data.
+   *
+   * The fixpoint is the true component labeling (cluster = min doc_id in
+   * the component) for ANY graph shape — long chains included — whereas a
+   * fixed round count silently under-merges past its hop bound.
+   * `maxIterations` is a fail-loud safety bound (label-min propagation
+   * converges in O(diameter) rounds; a dup graph with diameter > 50 means
+   * the threshold upstream is broken).
+   */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
@@ -879,7 +879,9 @@ object Dedup {
    */
   def dedupTokenSavings(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, iterations: Int = 3): DataFrame = {
-    val labels = dupClusters(pairs, iterations)
+    // dupClusters canonicalizes its output to (doc_id, cluster); rename the
+    // id back to the caller's idCol so the join below resolves for any name.
+    val labels = dupClusters(pairs, iterations).withColumnRenamed("doc_id", idCol)
     val reps = labels.groupBy("cluster").agg(min(col(idCol)).as("__rep"))
     val dropped = labels.join(reps, "cluster")
       .filter(col(idCol) =!= col("__rep"))

@@ -538,14 +538,37 @@ object EventStream {
    * Scale: the lake rollup is the x45 shape (decimal-cast sums); state
    * here is the file-source offset log, O(files processed).
    */
+  /** One restart base dir per source dir (same lifecycle discipline as
+    * [[cdcBaseCache]]): repeated invocations clear and reuse the same
+    * watch/lake/ckpt trio instead of leaking a fresh full copy per call. */
+  private val ckptBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def checkpointRestartLakeSink(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val (watchAll, schema) = sliceReplayDir(spark, sfDir)
     val slices = new java.io.File(watchAll).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     require(slices.length >= 2, "need >= 2 replay slices for a restart boundary")
-    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val base = ckptBaseCache.computeIfAbsent(sfDir,
+      _ => java.nio.file.Files.createTempDirectory("graft_ckpt_")).toString
     val watch = s"$base/watch"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    // The exactly-once proof needs a FRESH checkpoint+lake per invocation
+    // (a stale offset log would skip every file); clear all three sides.
+    Seq(watch, lake, ckpt).foreach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) {
+        f.listFiles match {
+          case null => ()
+          case fs => fs.foreach(deleteRecursively)
+        }
+      }
+    }
     new java.io.File(watch).mkdirs()
     def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
       java.nio.file.Files.copy(f.toPath,
