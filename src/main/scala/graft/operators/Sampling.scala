@@ -545,6 +545,7 @@ object Sampling {
   def hashBootstrapDiffCI(df: DataFrame, idCol: String, arm: Column,
       valueCents: Column, nResamples: Int = 32): DataFrame = {
     require(nResamples >= 4, s"nResamples $nResamples too small for order stats")
+    require(nResamples % 2 == 0, s"nResamples $nResamples must be even (paired draws)")
     val multExpr = PoissonThresholds.zipWithIndex.reverse
       .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
         when(col("__h") < t, k.toLong).otherwise(acc)
@@ -555,9 +556,16 @@ object Sampling {
       .filter(col("__v").isNotNull && col("__a").isNotNull)
     val means = base
       .select(col("__id"), col("__a"), col("__v"),
-        explode(expr(s"sequence(0, ${nResamples - 1})")).as("__b"))
-      .withColumn("__h", PortableHash.hash60(
-        concat(col("__id"), lit("|"), col("__b").cast("string"))))
+        explode(expr(s"sequence(0, ${nResamples / 2 - 1})")).as("__g"))
+      .withColumn("__hx", md5(concat(col("__id"), lit("|"), col("__g").cast("string"))))
+      // one md5 feeds TWO 60-bit draws (hex chars 1-15 and 16-30): half the
+      // hash and explode work per resample; md5's bit diffusion makes the
+      // halves independent draws. Resample id b = 2g + half.
+      .select(col("__a"), col("__v"), col("__g"),
+        posexplode(array(
+          conv(substring(col("__hx"), 1, 15), 16, 10).cast("long"),
+          conv(substring(col("__hx"), 16, 15), 16, 10).cast("long"))).as(Seq("__j", "__h")))
+      .withColumn("__b", col("__g") * 2 + col("__j"))
       .withColumn("__m", multExpr)
       .groupBy("__b", "__a")
       .agg(sum(col("__m").cast("decimal(38,0)") * col("__v")).as("__s"),
@@ -591,6 +599,7 @@ object Sampling {
   def hashBootstrapMeanCI(df: DataFrame, idCol: String, valueCents: Column,
       nResamples: Int = 32): DataFrame = {
     require(nResamples >= 4, s"nResamples $nResamples too small for order stats")
+    require(nResamples % 2 == 0, s"nResamples $nResamples must be even (paired draws)")
     // reverse fold so the SMALLEST threshold is checked first:
     // when(h<t0, 0).otherwise(when(h<t1, 1).otherwise(... 8))
     val multExpr = PoissonThresholds.zipWithIndex.reverse
@@ -603,9 +612,15 @@ object Sampling {
       .filter(col("__v").isNotNull)
     val resamples = base
       .select(col("__id"), col("__v"),
-        explode(expr(s"sequence(0, ${nResamples - 1})")).as("__b"))
-      .withColumn("__h", PortableHash.hash60(
-        concat(col("__id"), lit("|"), col("__b").cast("string"))))
+        explode(expr(s"sequence(0, ${nResamples / 2 - 1})")).as("__g"))
+      .withColumn("__hx", md5(concat(col("__id"), lit("|"), col("__g").cast("string"))))
+      // one md5 feeds TWO 60-bit draws (hex chars 1-15 and 16-30) — see
+      // [[hashBootstrapDiffCI]]; halves the per-resample hash cost.
+      .select(col("__v"), col("__g"),
+        posexplode(array(
+          conv(substring(col("__hx"), 1, 15), 16, 10).cast("long"),
+          conv(substring(col("__hx"), 16, 15), 16, 10).cast("long"))).as(Seq("__j", "__h")))
+      .withColumn("__b", col("__g") * 2 + col("__j"))
       .withColumn("__m", multExpr)
       .groupBy("__b")
       .agg(sum(col("__m").cast("decimal(38,0)") * col("__v")).as("__s"),

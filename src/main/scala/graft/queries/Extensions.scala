@@ -9359,9 +9359,13 @@ object Extensions {
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
          | FROM orders WHERE o_orderkey IS NOT NULL
          |  AND o_totalprice IS NOT NULL),
-         |rs AS (SELECT id, v, unnest(range(32)) AS b FROM v),
-         |hh AS (SELECT v, b, CAST(('0x' || substr(md5(id || '|' ||
-         |  CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM rs),
+         |rs AS (SELECT id, v, unnest(range(16)) AS g FROM v),
+         |hx AS (SELECT v, g, md5(id || '|' || CAST(g AS VARCHAR)) AS x
+         |  FROM rs),
+         |hh AS (SELECT v, g * 2 AS b,
+         |  CAST(('0x' || substr(x, 1, 15)) AS BIGINT) AS h FROM hx
+         | UNION ALL SELECT v, g * 2 + 1,
+         |  CAST(('0x' || substr(x, 16, 15)) AS BIGINT) FROM hx),
          |mm AS (SELECT v, b, $poissonCaseSql AS m FROM hh),
          |agg AS (SELECT b, CAST(SUM(CAST(m AS HUGEINT) * v) AS HUGEINT) AS s,
          |  CAST(SUM(m) AS BIGINT) AS n FROM mm GROUP BY 1),
@@ -9381,9 +9385,13 @@ object Extensions {
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
          | FROM orders WHERE o_orderkey IS NOT NULL
          |  AND o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
-         |rs AS (SELECT id, a, v, unnest(range(32)) AS b FROM v),
-         |hh AS (SELECT a, v, b, CAST(('0x' || substr(md5(id || '|' ||
-         |  CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM rs),
+         |rs AS (SELECT id, a, v, unnest(range(16)) AS g FROM v),
+         |hx AS (SELECT a, v, g, md5(id || '|' || CAST(g AS VARCHAR)) AS x
+         |  FROM rs),
+         |hh AS (SELECT a, v, g * 2 AS b,
+         |  CAST(('0x' || substr(x, 1, 15)) AS BIGINT) AS h FROM hx
+         | UNION ALL SELECT a, v, g * 2 + 1,
+         |  CAST(('0x' || substr(x, 16, 15)) AS BIGINT) FROM hx),
          |mm AS (SELECT a, v, b, $poissonCaseSql AS m FROM hh),
          |agg AS (SELECT b, a, CAST(SUM(CAST(m AS HUGEINT) * v) AS HUGEINT)
          |  AS s, CAST(SUM(m) AS BIGINT) AS n FROM mm GROUP BY 1, 2),
