@@ -347,4 +347,48 @@ object Graph {
     }
     out
   }
+
+  /**
+   * DEGREE ASSORTATIVITY — the Pearson correlation between the degrees at
+   * the two ends of every edge (Newman, "Assortative mixing in networks",
+   * 2002): positive = hubs wire to hubs (social-network shape), negative =
+   * hubs serve leaves (the typical commerce/bipartite shape). One scalar
+   * that says whether load concentrates edge-on-edge — the wiring-pattern
+   * complement of [[Analytics.degreeConcentration]]'s per-node view.
+   *
+   * Computed over the SYMMETRIZED edge list (each edge contributes both
+   * orientations — the standard undirected convention, which also makes
+   * Σx = Σy exactly, so the coefficient is symmetric by construction).
+   *
+   * Scale shape: one node-bounded degree collapse, two hash joins of the
+   * edge list against the degree map, one global moment aggregate. Moments
+   * ride exact DECIMAL(38,0) sums and drop to DOUBLE only for the final
+   * ratio (the x115 correlation pattern) — no window, no collect, nothing
+   * quadratic.
+   */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("a").as("__u"), col("d").as("__dx")),
+        col("a") === col("__u"))
+      .join(deg.select(col("a").as("__v"), col("d").as("__dy")),
+        col("b") === col("__v"))
+      .select(col("__dx").cast("decimal(38,0)").as("x"),
+        col("__dy").cast("decimal(38,0)").as("y"))
+    val m = xy.agg(count(lit(1)).as("__n"),
+      sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+      sum(col("x") * col("x")).as("__qx"), sum(col("y") * col("y")).as("__qy"),
+      sum(col("x") * col("y")).as("__pxy"))
+    val n = col("__n").cast("double")
+    val (sx, sy) = (col("__sx").cast("double"), col("__sy").cast("double"))
+    val (qx, qy) = (col("__qx").cast("double"), col("__qy").cast("double"))
+    val vx = n * qx - sx * sx
+    val vy = n * qy - sy * sy
+    val cov = n * col("__pxy").cast("double") - sx * sy
+    m.select(expr("__n DIV 2").as("n_edges"),
+      when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6))
+        .as("assortativity"))
+  }
 }

@@ -978,6 +978,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /**
+   * SENTENCE-LENGTH census per language — segments every document on the
+   * literal '.' boundary, keeps non-blank segments, and reports per
+   * language: document/sentence counts, mean tokens per sentence
+   * (milli-scaled exact integer ratio), the longest sentence seen, and the
+   * share of one-sentence documents (run-on/fragment smell; quality
+   * filters key on it). Complements [[corpusStats]] (doc grain) and the
+   * word-length histogram (token grain) at the SENTENCE grain — the unit
+   * LLM context windows and readability scores actually consume.
+   *
+   * Scale shape: split + explode are row-local map-side work; the per-doc
+   * collapse is doc-keyed, the census |langs|-bounded. Splitting on the
+   * literal dot (not a sentence model) keeps the segmentation engine-
+   * portable — the oracle reproduces it verbatim with string_split.
+   */
+  def sentenceLengthCensus(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val sent = docs
+      .filter(col(textCol).isNotNull && col(langCol).isNotNull)
+      .select(col(idCol).as("__id"), col(langCol).as("lang"),
+        explode(split(col(textCol), "\\.")).as("__seg"))
+      .select(col("__id"), col("lang"), trim(col("__seg")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("__id"), col("lang"),
+        size(split(col("__t"), " ")).cast("long").as("__tok"))
+    val perDoc = sent.groupBy("lang", "__id")
+      .agg(count(lit(1)).as("__ns"), sum(col("__tok")).as("__tk"),
+        max(col("__tok")).as("__mx"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ns")).as("n_sentences"),
+        sum(col("__tk")).as("__tks"), max(col("__mx")).as("max_sentence_tokens"),
+        sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("__single"))
+      .select(col("lang"), col("n_docs"), col("n_sentences"),
+        expr("__tks * 1000 DIV n_sentences").as("mean_tokens_milli"),
+        col("max_sentence_tokens"),
+        expr("__single * 1000000 DIV n_docs").as("single_sentence_ppm"))
+      .orderBy("lang")
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

@@ -5592,6 +5592,47 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x442 — degree assortativity ([[Graph.degreeAssortativity]]) of the
+    * customer↔supplier purchase graph: do high-degree customers
+    * concentrate on high-degree suppliers (positive) or spread across the
+    * long tail (negative)? The wiring-pattern scalar x163's per-node
+    * concentration can't see. Consumes the shared edge staging memo. */
+  private val x442: Q = (spark, sfDir) =>
+    Graph.degreeAssortativity(purchaseEdges(spark, sfDir))
+
+  /** x443 — sentence-length census
+    * ([[TextAnalysis.sentenceLengthCensus]]): per-language sentence
+    * counts, exact mean tokens per sentence, longest sentence, and the
+    * one-sentence-document share — the sentence-grain quality view. */
+  private val x443: Q = (spark, sfDir) =>
+    TextAnalysis.sentenceLengthCensus(docs(spark, sfDir), "doc_id", "text", "lang")
+
+  /** x444 — order-value spread census: per repeat customer, the cents
+    * spread between their largest and smallest order, bucketed by digit
+    * count (exact decade bands via string length — no float log): are
+    * repeat buyers habitual same-size purchasers or volatile? Reports
+    * customers, mean order count, and share per spread band. */
+  private val x444: Q = (spark, sfDir) => {
+    val spread = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__c"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("__n"), min(col("__c")).as("__lo"), max(col("__c")).as("__hi"))
+      .filter(col("__n") >= 2)
+      .select(col("__n"),
+        length((col("__hi") - col("__lo")).cast("string")).cast("long")
+          .as("spread_digits"))
+    val tot = spread.agg(count(lit(1)).as("__t"))
+    spread.groupBy("spread_digits")
+      .agg(count(lit(1)).as("n_customers"), sum(col("__n")).as("__orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("spread_digits"), col("n_customers"),
+        expr("__orders * 1000 DIV n_customers").as("mean_orders_milli"),
+        expr("n_customers * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("spread_digits")
+  }
+
   /** x269 — dedup method eval ([[Dedup.simhashPairs]] vs
     * [[Dedup.ngramJaccard]]): SimHash candidate precision/recall against
     * the exact Jaccard truth — the method-comparison row that decides
@@ -6464,7 +6505,10 @@ object Extensions {
     "x438_supplier_specialization" -> x438,
     "x439_brand_customer_reach" -> x439,
     "x440_error_concentration" -> x440,
-    "x441_supplier_health_throughput" -> x441)
+    "x441_supplier_health_throughput" -> x441,
+    "x442_degree_assortativity" -> x442,
+    "x443_sentence_length_census" -> x443,
+    "x444_value_spread_census" -> x444)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12241,6 +12285,67 @@ object Extensions {
          | CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT)
          |  AS lines_per_k_suppliers
          |FROM s GROUP BY 1 ORDER BY bal_band"""
+        .stripMargin.replace("\n", " ")),
+    "x442_degree_assortativity" ->
+      ("""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |s AS (SELECT src AS a, dst AS b FROM e
+         | UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM s GROUP BY 1),
+         |xy AS (SELECT du.d AS x, dv.d AS y FROM s
+         | JOIN deg du ON s.a = du.a JOIN deg dv ON s.b = dv.a),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |  SUM(CAST(x AS HUGEINT) * x) AS qx,
+         |  SUM(CAST(y AS HUGEINT) * y) AS qy,
+         |  SUM(CAST(x AS HUGEINT) * y) AS pxy FROM xy)
+         |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+         | CASE WHEN (CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |   AND (CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |  THEN ROUND((CAST(n AS DOUBLE) * CAST(pxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / sqrt((CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |   * (CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         | END AS assortativity
+         |FROM m""".stripMargin.replace("\n", " ")),
+    "x443_sentence_length_census" ->
+      ("""WITH s0 AS (SELECT doc_id, lang, unnest(string_split(text, '.'))
+         |  AS seg FROM documents
+         | WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |s1 AS (SELECT doc_id, lang, trim(seg) AS t FROM s0),
+         |s2 AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(t, ' ')) AS BIGINT) AS tok
+         | FROM s1 WHERE len(t) > 0),
+         |pd AS (SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS ns,
+         |  CAST(SUM(tok) AS BIGINT) AS tk, CAST(MAX(tok) AS BIGINT) AS mx
+         | FROM s2 GROUP BY 1, 2)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(ns) AS BIGINT) AS n_sentences,
+         | CAST(SUM(tk) * 1000 // SUM(ns) AS BIGINT) AS mean_tokens_milli,
+         | CAST(MAX(mx) AS BIGINT) AS max_sentence_tokens,
+         | CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000
+         |  // COUNT(*) AS BIGINT) AS single_sentence_ppm
+         |FROM pd GROUP BY lang ORDER BY lang"""
+        .stripMargin.replace("\n", " ")),
+    "x444_value_spread_census" ->
+      ("""WITH c AS (SELECT o_custkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+         |g AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MAX(v) - MIN(v) AS spread FROM c GROUP BY 1 HAVING COUNT(*) >= 2),
+         |b AS (SELECT n, CAST(len(CAST(spread AS VARCHAR)) AS BIGINT)
+         |  AS spread_digits FROM g),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT spread_digits, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS mean_orders_milli,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY spread_digits, tt ORDER BY spread_digits"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
