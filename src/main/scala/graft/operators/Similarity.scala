@@ -423,6 +423,44 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * LABEL-MARGIN census — the silhouette-lite follow-up to
+   * [[labelCentroidConfusion]]: per vector, cosine to its OWN label
+   * centroid minus the best cosine to any OTHER centroid, bucketed into
+   * 0.1-wide margin bands per label. Negative bands are vectors sitting
+   * closer to a foreign centroid (mislabeled or boundary mass); a label
+   * whose mass hugs band 0 separates poorly — the confusion matrix says
+   * WHO it's confused with, this says HOW CONFIDENTLY.
+   *
+   * Scale shape: centroids are one dimension-keyed decimal-exact collapse
+   * (|labels|·dims rows), broadcast; per-vector scoring is map-side over
+   * the |labels|-wide cross; the census is (labels × bands)-bounded.
+   * Margins use only MAX over doubles (order-free), so the band census is
+   * engine-exact — no float summation ever crosses a shuffle.
+   */
+  def labelMarginCensus(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum(col("v").cast(DecimalType(28, 9))).as("s"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        x => x.getField("s").cast("float")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+    embeddings.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        cosine(col("embedding"), col("cvec")).as("score"))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("clabel"), col("score"))).as("__own"),
+        max(when(col("label") =!= col("clabel"), col("score"))).as("__oth"))
+      .select(col("label"),
+        floor((col("__own") - col("__oth")) * 10).cast("long").as("margin_band"))
+      .groupBy("label", "margin_band")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "margin_band")
+  }
+
   /** Wide-recall banding for candidate generation that must capture the
     * exact top-k even at LOW cosine (the kNN-vote regime, where the kth
     * neighbor of a probe can sit near τ ≈ 0.3, p ≈ 0.6): 64 bands × 4

@@ -5592,6 +5592,59 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x445 — OOV rate by source: token share outside the global top-200
+    * vocabulary (count-desc, word-asc deterministic cut) per source — the
+    * procurement-grade "how weird is this feed's vocabulary" scalar; high
+    * OOV flags OCR noise, code, or off-language content x57's per-doc
+    * rarity averages away. Vocabulary collapse + rank-cut + broadcast
+    * membership join; census is |sources|-bounded. */
+  private val x445: Q = (spark, sfDir) => {
+    val words = docs(spark, sfDir)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w")).limit(200)
+      .select(col("w"), lit(1).as("__in"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNotNull, 0L).otherwise(1L)).as("oov_tokens"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        expr("oov_tokens * 1000000 DIV n_tokens").as("oov_ppm"))
+      .orderBy("source")
+  }
+
+  /** x446 — label-margin census ([[Similarity.labelMarginCensus]]):
+    * own-centroid cosine minus best-other-centroid cosine per vector,
+    * banded 0.1-wide per label — x58 says WHO each label is confused
+    * with; this says HOW CONFIDENTLY the mass separates. */
+  private val x446: Q = (spark, sfDir) =>
+    Similarity.labelMarginCensus(emb(spark, sfDir))
+
+  /** x447 — daily revenue max drawdown: the largest peak-to-date drop in
+    * the daily revenue series (classic drawdown over the day spine's
+    * running max), with its trough day and ppm depth — the one-row
+    * severity scalar x186's level-shift scan and x169's anomaly days
+    * don't report. Day-spine-bounded window. */
+  private val x447: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("trough_day"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("long").as("trough_cents"))
+    daily
+      .withColumn("peak_cents",
+        max(col("trough_cents")).over(Window.orderBy("trough_day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("trough_day"), col("peak_cents"), col("trough_cents"),
+        (col("peak_cents") - col("trough_cents")).as("drawdown_cents"))
+      .withColumn("drawdown_ppm",
+        expr("drawdown_cents * 1000000 DIV peak_cents"))
+      .orderBy(col("drawdown_cents").desc, col("trough_day"))
+      .limit(1)
+  }
+
   /** x442 — degree assortativity ([[Graph.degreeAssortativity]]) of the
     * customer↔supplier purchase graph: do high-degree customers
     * concentrate on high-degree suppliers (positive) or spread across the
@@ -6508,7 +6561,10 @@ object Extensions {
     "x441_supplier_health_throughput" -> x441,
     "x442_degree_assortativity" -> x442,
     "x443_sentence_length_census" -> x443,
-    "x444_value_spread_census" -> x444)
+    "x444_value_spread_census" -> x444,
+    "x445_oov_rate_by_source" -> x445,
+    "x446_label_margin_census" -> x446,
+    "x447_revenue_max_drawdown" -> x447)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12346,6 +12402,53 @@ object Extensions {
          | CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS mean_orders_milli,
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM b, t GROUP BY spread_digits, tt ORDER BY spread_digits"""
+        .stripMargin.replace("\n", " ")),
+    "x445_oov_rate_by_source" ->
+      ("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |v AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1
+         | ORDER BY c DESC, w LIMIT 200)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS oov_tokens,
+         | CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+         |  // COUNT(*) AS BIGINT) AS oov_ppm
+         |FROM w LEFT JOIN v ON w.w = v.w
+         |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x446_label_margin_census" ->
+      (s"""WITH dims AS (SELECT e.label, dd.d, e.embedding[dd.d+1] AS v
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         |cent0 AS (SELECT label, d,
+         |  CAST(SUM(CAST(v AS DECIMAL(28,9))) AS FLOAT) AS s
+         | FROM dims GROUP BY label, d),
+         |cent AS (SELECT label AS clabel, list(s ORDER BY d) AS cvec
+         | FROM cent0 GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.label, c.clabel,
+         |  ${cos2Sql("e.embedding", "c.cvec")} AS score
+         | FROM embeddings e CROSS JOIN cent c),
+         |g AS (SELECT vec_id, label,
+         |  MAX(CASE WHEN label = clabel THEN score END) AS own,
+         |  MAX(CASE WHEN label <> clabel THEN score END) AS oth
+         | FROM sc GROUP BY 1, 2),
+         |b AS (SELECT label,
+         |  CAST(FLOOR((own - oth) * 10) AS BIGINT) AS margin_band FROM g)
+         |SELECT label, margin_band, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM b GROUP BY 1, 2 ORDER BY label, margin_band"""
+        .stripMargin.replace("\n", " ")),
+    "x447_revenue_max_drawdown" ->
+      ("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS trough_day,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS v
+         | FROM orders
+         | WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+         | GROUP BY 1),
+         |p AS (SELECT trough_day, v,
+         |  MAX(v) OVER (ORDER BY trough_day) AS pk FROM d)
+         |SELECT trough_day, CAST(pk AS BIGINT) AS peak_cents,
+         | CAST(v AS BIGINT) AS trough_cents,
+         | CAST(pk - v AS BIGINT) AS drawdown_cents,
+         | CAST((pk - v) * 1000000 // pk AS BIGINT) AS drawdown_ppm
+         |FROM p ORDER BY pk - v DESC, trough_day LIMIT 1"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
