@@ -349,6 +349,62 @@ object Graph {
   }
 
   /**
+   * LOCAL CLUSTERING COEFFICIENT census — [[triangleCount]]'s global
+   * closure ratio, distributed per node and banded: for every node of
+   * degree ≥ 2, `ppm = 2·t(v)·1e6 DIV (d·(d−1))` (triangles through v
+   * over wedges at v), bucketed into 0.1-wide bands. Band 10 is perfect
+   * closure (cliques); mass at band 0 is hub-and-spoke structure. The
+   * distribution catches what the global ratio hides — a few dense
+   * cliques plus a sparse core average to a meaningless middle.
+   *
+   * Scale shape: the SAME degree-ordered orientation as [[triangleCount]]
+   * (out-degree bounded by O(√m), so the wedge join never explodes on
+   * hubs); the only additions are keeping the apex id through the closure
+   * semi-join, a 3-corner explode (3 rows per triangle), and a
+   * node-keyed collapse. The census is 11 bands.
+   */
+  def localClusteringCensus(edges: DataFrame,
+      idsBelow: Long = 1000000000000L): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val key = col("d") * lit(idsBelow) + col("node")
+    val keyed = deg.select(col("node"), key.as("k"))
+    val oriented = canon
+      .join(keyed.withColumnRenamed("node", "u").withColumnRenamed("k", "ku"), "u")
+      .join(keyed.withColumnRenamed("node", "v").withColumnRenamed("k", "kv"), "v")
+      .select(when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"))
+      // cached: consumed three times (both wedge sides + the closure
+      // probe). Caller-managed lifecycle — see pageRank's contract.
+      .cache()
+    val triCorners = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+    val perNode = triCorners
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .select(expr("2000000 * t DIV (d * (d - 1))").as("__ppm"))
+      .select(expr("__ppm DIV 100000").as("coeff_band"), col("__ppm"))
+      .groupBy("coeff_band")
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("CAST(SUM(__ppm) DIV COUNT(*) AS BIGINT)").as("mean_coeff_ppm"))
+      .orderBy("coeff_band")
+  }
+
+  /**
    * DEGREE ASSORTATIVITY — the Pearson correlation between the degrees at
    * the two ends of every edge (Newman, "Assortative mixing in networks",
    * 2002): positive = hubs wire to hubs (social-network shape), negative =

@@ -5592,6 +5592,80 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x448 — syndication direction census: for every CROSS-source near-dup
+    * pair, which side carries the longer text? Per unordered source pair:
+    * pairs, longer-on-a, longer-on-b, equal — x237 counts the syndication
+    * volume; this reports its DIRECTION (mirrors truncate, originators
+    * carry the full text). Eleventh consumer of the LSH pair staging. */
+  private val x448: Q = (spark, sfDir) => {
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars"))
+    lshPairs(spark, sfDir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("__s1"),
+        col("n_chars").as("__n1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("__s2"),
+        col("n_chars").as("__n2")), "d2")
+      .filter(col("__s1") =!= col("__s2"))
+      .select(least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"),
+        when(col("__s1") < col("__s2"), col("__n1")).otherwise(col("__n2")).as("__la"),
+        when(col("__s1") < col("__s2"), col("__n2")).otherwise(col("__n1")).as("__lb"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__la") > col("__lb"), 1L).otherwise(0L)).as("a_longer"),
+        sum(when(col("__lb") > col("__la"), 1L).otherwise(0L)).as("b_longer"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)).as("n_equal"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** x449 — supplier reliability census: exact integer mean-absolute-
+    * deviation of ship delay per supplier (`1000·Σ|n·x − Σx| DIV n²`
+    * milli-days — no float moments, no sqrt), banded by whole MAD days.
+    * x356/x430 profile the delay LEVEL; this is its CONSISTENCY — a
+    * supplier late by a steady 30 days is plannable, one swinging ±20
+    * is not. Two supplier-keyed collapses. */
+  private val x449: Q = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("l_suppkey").as("__s"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__x"))
+      .filter(col("__x") >= 0)
+    val st = d.groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sum"))
+      .filter(col("__n") >= 5)
+    d.join(st, "__s")
+      .select(col("__s"), col("__n"), col("__sum"),
+        abs(col("__n") * col("__x") - col("__sum")).as("__a"))
+      .groupBy("__s")
+      .agg(max(col("__n")).as("__n"), max(col("__sum")).as("__sum"),
+        sum(col("__a")).as("__A"))
+      .select(expr("1000 * __A DIV (__n * __n)").as("__mad_milli"),
+        expr("1000 * __sum DIV __n").as("__mean_milli"))
+      .groupBy(expr("__mad_milli DIV 1000").as("mad_band_days"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("CAST(SUM(__mean_milli) DIV COUNT(*) AS BIGINT)").as("mean_delay_milli"))
+      .orderBy("mad_band_days")
+  }
+
+  /** x450 — local clustering coefficient census
+    * ([[Graph.localClusteringCensus]]) of the x188 co-purchase graph:
+    * per-part triangle closure banded 0.1-wide — the distribution the
+    * global clustering_ppm hides (cliques + sparse core average to a
+    * meaningless middle). Same degree-ordered orientation bound. */
+  private val x450: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
+      .distinct()
+    val copurchase = li.as("a")
+      .join(li.as("b"), col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
+      .select(col("a.__p").as("src"), col("b.__p").as("dst"))
+    Graph.localClusteringCensus(copurchase)
+  }
+
   /** x445 — OOV rate by source: token share outside the global top-200
     * vocabulary (count-desc, word-asc deterministic cut) per source — the
     * procurement-grade "how weird is this feed's vocabulary" scalar; high
@@ -6564,7 +6638,10 @@ object Extensions {
     "x444_value_spread_census" -> x444,
     "x445_oov_rate_by_source" -> x445,
     "x446_label_margin_census" -> x446,
-    "x447_revenue_max_drawdown" -> x447)
+    "x447_revenue_max_drawdown" -> x447,
+    "x448_syndication_direction" -> x448,
+    "x449_supplier_reliability" -> x449,
+    "x450_clustering_coeff_census" -> x450)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12449,6 +12526,72 @@ object Extensions {
          | CAST(pk - v AS BIGINT) AS drawdown_cents,
          | CAST((pk - v) * 1000000 // pk AS BIGINT) AS drawdown_ppm
          |FROM p ORDER BY pk - v DESC, trough_day LIMIT 1"""
+        .stripMargin.replace("\n", " ")),
+    "x448_syndication_direction" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |src AS (SELECT doc_id, source, n_chars FROM documents),
+         |sp AS (SELECT LEAST(s1.source, s2.source) AS source_a,
+         |  GREATEST(s1.source, s2.source) AS source_b,
+         |  CASE WHEN s1.source < s2.source THEN s1.n_chars
+         |   ELSE s2.n_chars END AS la,
+         |  CASE WHEN s1.source < s2.source THEN s2.n_chars
+         |   ELSE s1.n_chars END AS lb
+         | FROM jpairs j JOIN src s1 ON j.d1 = s1.doc_id
+         |  JOIN src s2 ON j.d2 = s2.doc_id
+         | WHERE s1.source <> s2.source)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(SUM(CASE WHEN la > lb THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS a_longer,
+         | CAST(SUM(CASE WHEN lb > la THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS b_longer,
+         | CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_equal
+         |FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b"""
+        .stripMargin.replace("\n", " ")),
+    "x449_supplier_reliability" ->
+      ("""WITH d AS (SELECT l_suppkey AS s, date_diff('day',
+         |  CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS x
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+         |  AND o_orderdate IS NOT NULL
+         |  AND date_diff('day', CAST(o_orderdate AS DATE),
+         |   CAST(l_shipdate AS DATE)) >= 0),
+         |st AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sm FROM d GROUP BY 1
+         | HAVING COUNT(*) >= 5),
+         |m AS (SELECT d.s, MAX(st.n) AS n, MAX(st.sm) AS sm,
+         |  CAST(SUM(ABS(st.n * d.x - st.sm)) AS BIGINT) AS a
+         | FROM d JOIN st ON d.s = st.s GROUP BY 1),
+         |r AS (SELECT 1000 * a // (n * n) AS mad_milli,
+         |  1000 * sm // n AS mean_milli FROM m)
+         |SELECT CAST(mad_milli // 1000 AS BIGINT) AS mad_band_days,
+         | CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         | CAST(SUM(mean_milli) // COUNT(*) AS BIGINT) AS mean_delay_milli
+         |FROM r GROUP BY 1 ORDER BY mad_band_days"""
+        .stripMargin.replace("\n", " ")),
+    "x450_clustering_coeff_census" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         | FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1998-01-01'),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         | FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+         | FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         | GROUP BY 1),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         | FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |tn AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+         | UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM tn
+         | GROUP BY 1),
+         |cc AS (SELECT deg.node, deg.d, COALESCE(tc.t, 0) AS t
+         | FROM deg LEFT JOIN tc USING (node) WHERE deg.d >= 2),
+         |pp AS (SELECT 2000000 * t // (d * (d - 1)) AS ppm FROM cc)
+         |SELECT CAST(ppm // 100000 AS BIGINT) AS coeff_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         | CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_coeff_ppm
+         |FROM pp GROUP BY 1 ORDER BY coeff_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
