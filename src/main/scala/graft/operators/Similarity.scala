@@ -424,6 +424,48 @@ object Similarity {
   }
 
   /**
+   * DIMENSION ENERGY SPECTRUM — the PCA-free intrinsic-dimension audit:
+   * per-dimension variance of the embedding space ranked by energy, plus
+   * how many dimensions carry 50/90/99 % of the total (k50/k90/k99). A
+   * 64-dim embedding with k90 = 7 is burning storage and ANN compute on
+   * 57 dead axes — the one-row readout that decides whether a projection
+   * ([[jlProjectionDistortion]]'s machinery) is worth running.
+   *
+   * Determinism: values are micro-scaled to BIGINT first (the shared
+   * `ROUND(v·1e6)` convention), so variance is the EXACT integer
+   * `n·Σm² − (Σm)²` in DECIMAL(38,0) — no float sum ever crosses a
+   * shuffle. Scale shape: one dimension-keyed moment collapse (dims
+   * rows), then rank/cumulate over the dims-bounded frame.
+   */
+  def dimensionEnergySpectrum(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mom = embeddings
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("d"),
+        expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("__m"))
+      .groupBy("d")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__m").cast("decimal(38,0)")).as("__s"),
+        sum(col("__m").cast("decimal(38,0)") * col("__m")).as("__q"))
+      .select(col("d"), (col("__n") * col("__q") - col("__s") * col("__s")).as("__vs"))
+    // dims-bounded frame (|dims| rows): the unpartitioned window is fine
+    val byEnergy = Window.orderBy(col("__vs").desc, col("d"))
+    val ranked = mom
+      .withColumn("__rk", row_number().over(byEnergy).cast("long"))
+      .withColumn("__cum", sum(col("__vs")).over(byEnergy))
+    val tot = mom.agg(sum(col("__vs")).as("__tot"),
+      count(lit(1)).as("n_dims"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n_dims")).as("n_dims"),
+        max(when(col("__rk") === 1, col("d").cast("long"))).as("top_dim"),
+        max(when(col("__rk") === 1,
+          expr("CAST(__vs * 1000000 DIV __tot AS BIGINT)"))).as("top_share_ppm"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("__rk"))).as("k50"),
+        min(when(col("__cum") * 10 >= col("__tot") * 9, col("__rk"))).as("k90"),
+        min(when(col("__cum") * 100 >= col("__tot") * 99, col("__rk"))).as("k99"))
+  }
+
+  /**
    * LABEL-MARGIN census — the silhouette-lite follow-up to
    * [[labelCentroidConfusion]]: per vector, cosine to its OWN label
    * centroid minus the best cosine to any OTHER centroid, bucketed into

@@ -5592,6 +5592,71 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x451 — event co-day lift: for each event-type pair, how often do
+    * they land on the SAME user-day vs what independence predicts
+    * (`lift = n_ab·N DIV (n_a·n_b)`, ppm)? x73 lifts basket items and
+    * x141 orders transitions in time; this is the unordered same-day
+    * behavioural affinity. Per-user-day distinct types bound the pair
+    * fan-out by |types|²; products stage through DECIMAL(38,0). */
+  private val x451: Q = (spark, sfDir) => {
+    val ed = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("__day"),
+        col("event_type").as("__et"))
+      .distinct()
+    val tot = ed.select("user_id", "__day").distinct()
+      .agg(count(lit(1)).as("__N"))
+    val single = ed.groupBy("__et").agg(count(lit(1)).as("__n"))
+    ed.as("a")
+      .join(ed.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.__day") === col("b.__day") && col("a.__et") < col("b.__et"))
+      .groupBy(col("a.__et").as("type_a"), col("b.__et").as("type_b"))
+      .agg(count(lit(1)).as("n_codays"))
+      .join(broadcast(single.select(col("__et").as("type_a"), col("__n").as("__na"))), "type_a")
+      .join(broadcast(single.select(col("__et").as("type_b"), col("__n").as("__nb"))), "type_b")
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_codays"),
+        expr("""CAST(CAST(n_codays AS DECIMAL(38,0)) * __N * 1000000
+              DIV (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** x452 — dimension energy spectrum
+    * ([[Similarity.dimensionEnergySpectrum]]): exact integer per-dim
+    * variance ranked by energy with k50/k90/k99 — the intrinsic-dimension
+    * one-rower that decides whether a JL projection (x96) pays. */
+  private val x452: Q = (spark, sfDir) =>
+    Similarity.dimensionEnergySpectrum(emb(spark, sfDir))
+
+  /** x453 — peak-load headroom: per event type, exact p99 of hourly
+    * event counts over the mean (milli-scaled) — the capacity-planning
+    * ratio x334's hour-of-day profile doesn't give (a flat profile can
+    * still hide 20× burst hours). p99 comes from the distinct-value
+    * cumulative rank (value-collapsed, never a row sort). */
+  private val x453: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hc = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val coll = hc.groupBy("event_type", "__c").agg(count(lit(1)).as("__cnt"))
+    val tot = hc.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("__c")).as("__tot"))
+    val cum = coll.withColumn("__cum",
+      sum(col("__cnt")).over(Window.partitionBy("event_type").orderBy("__c")))
+    cum.join(tot, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_hours")).as("n_hours"),
+        expr("CAST(MAX(1000 * __tot DIV n_hours) AS BIGINT)").as("mean_milli"),
+        min(when(col("__cum") * 100 >= col("n_hours") * 99, col("__c"))).as("p99"))
+      .select(col("event_type"), col("n_hours"), col("mean_milli"), col("p99"),
+        expr("CAST(1000000 * p99 DIV mean_milli AS BIGINT)").as("headroom_milli"))
+      .orderBy("event_type")
+  }
+
   /** x448 — syndication direction census: for every CROSS-source near-dup
     * pair, which side carries the longer text? Per unordered source pair:
     * pairs, longer-on-a, longer-on-b, equal — x237 counts the syndication
@@ -6641,7 +6706,10 @@ object Extensions {
     "x447_revenue_max_drawdown" -> x447,
     "x448_syndication_direction" -> x448,
     "x449_supplier_reliability" -> x449,
-    "x450_clustering_coeff_census" -> x450)
+    "x450_clustering_coeff_census" -> x450,
+    "x451_event_coday_lift" -> x451,
+    "x452_dim_energy_spectrum" -> x452,
+    "x453_peak_load_headroom" -> x453)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12593,6 +12661,65 @@ object Extensions {
          | CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_coeff_ppm
          |FROM pp GROUP BY 1 ORDER BY coeff_band"""
         .stripMargin.replace("\n", " ")),
+    "x451_event_coday_lift" ->
+      ("""WITH ed AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+         |  event_type AS et FROM events
+         | WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |  AND ts IS NOT NULL),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn
+         | FROM (SELECT DISTINCT user_id, day FROM ed)),
+         |s AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM ed GROUP BY 1),
+         |p AS (SELECT a.et AS type_a, b.et AS type_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_codays
+         | FROM ed a JOIN ed b ON a.user_id = b.user_id AND a.day = b.day
+         |  AND a.et < b.et GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_codays,
+         | CAST(CAST(n_codays AS HUGEINT) * t.nn * 1000000
+         |  // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_ppm
+         |FROM p CROSS JOIN t JOIN s sa ON p.type_a = sa.et
+         | JOIN s sb ON p.type_b = sb.et
+         |ORDER BY type_a, type_b""".stripMargin.replace("\n", " ")),
+    "x452_dim_energy_spectrum" ->
+      ("""WITH dims AS (SELECT dd.d, e.embedding[dd.d+1] AS v
+         | FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         |m AS (SELECT d, CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+         |  AS mv FROM dims),
+         |mo AS (SELECT d, CAST(COUNT(*) AS HUGEINT) AS n,
+         |  SUM(CAST(mv AS HUGEINT)) AS s,
+         |  SUM(CAST(mv AS HUGEINT) * mv) AS q FROM m GROUP BY 1),
+         |vv AS (SELECT d, n * q - s * s AS vs FROM mo),
+         |r AS (SELECT d, vs, ROW_NUMBER() OVER (ORDER BY vs DESC, d) AS rk,
+         |  SUM(vs) OVER (ORDER BY vs DESC, d) AS cum FROM vv),
+         |t AS (SELECT SUM(vs) AS tot, CAST(COUNT(*) AS BIGINT) AS n_dims
+         | FROM vv)
+         |SELECT MAX(n_dims) AS n_dims,
+         | CAST(MAX(CASE WHEN rk = 1 THEN d END) AS BIGINT) AS top_dim,
+         | CAST(MAX(CASE WHEN rk = 1 THEN vs * 1000000 // tot END) AS BIGINT)
+         |  AS top_share_ppm,
+         | CAST(MIN(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT) AS k50,
+         | CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN rk END) AS BIGINT)
+         |  AS k90,
+         | CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN rk END) AS BIGINT)
+         |  AS k99
+         |FROM r CROSS JOIN t""".stripMargin.replace("\n", " ")),
+    "x453_peak_load_headroom" ->
+      ("""WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM events
+         | WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+         |coll AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM hc GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         |  CAST(SUM(c) AS BIGINT) AS tot FROM hc GROUP BY 1),
+         |cu AS (SELECT event_type, c, SUM(cnt) OVER (PARTITION BY
+         |  event_type ORDER BY c) AS cum FROM coll),
+         |g AS (SELECT t.event_type, MAX(t.n_hours) AS n_hours,
+         |  CAST(MAX(1000 * t.tot // t.n_hours) AS BIGINT) AS mean_milli,
+         |  CAST(MIN(CASE WHEN cu.cum * 100 >= t.n_hours * 99 THEN cu.c END)
+         |   AS BIGINT) AS p99
+         | FROM cu JOIN t ON cu.event_type = t.event_type GROUP BY 1)
+         |SELECT event_type, n_hours, mean_milli, p99,
+         | CAST(1000000 * p99 // mean_milli AS BIGINT) AS headroom_milli
+         |FROM g ORDER BY event_type""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
