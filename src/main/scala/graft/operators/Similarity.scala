@@ -424,6 +424,40 @@ object Similarity {
   }
 
   /**
+   * SPLIT-HALF CENTROID STABILITY — the embedding-space A/A test: vectors
+   * split by id parity, per-label centroids computed independently on each
+   * half, and the cosine between the two half-centroids reported per
+   * label. A stable, well-populated label scores ≈ 1; a label whose
+   * halves disagree is under-sampled or internally multi-modal — its
+   * centroid (and every centroid-based audit: [[labelCentroidConfusion]],
+   * [[labelMarginCensus]]) is not trustworthy. Same decimal-exact
+   * centroid construction as x58, so the readout is engine-reproducible.
+   *
+   * Scale shape: one (label, half, dim)-keyed decimal collapse, a
+   * label-keyed count, and a |labels|-bounded join — nothing pairwise.
+   */
+  def centroidStabilityAudit(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val parts = embeddings.withColumn("__h", pmod(col("vec_id"), lit(2)))
+    val cent = parts
+      .select(col("label"), col("__h"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "__h", "d")
+      .agg(sum(col("v").cast(DecimalType(28, 9))).as("s"))
+      .groupBy("label", "__h")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        x => x.getField("s").cast("float")).as("cv"))
+    val cnt = parts.groupBy("label", "__h").agg(count(lit(1)).as("n"))
+    val a = cent.filter(col("__h") === 0).select(col("label"), col("cv").as("cva"))
+      .join(cnt.filter(col("__h") === 0).select(col("label"), col("n").as("n_even")), "label")
+    val b = cent.filter(col("__h") === 1).select(col("label"), col("cv").as("cvb"))
+      .join(cnt.filter(col("__h") === 1).select(col("label"), col("n").as("n_odd")), "label")
+    a.join(b, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(cosine(col("cva"), col("cvb")), 6).as("stability_cos"))
+      .orderBy("label")
+  }
+
+  /**
    * DIMENSION ENERGY SPECTRUM — the PCA-free intrinsic-dimension audit:
    * per-dimension variance of the embedding space ranked by energy, plus
    * how many dimensions carry 50/90/99 % of the total (k50/k90/k99). A

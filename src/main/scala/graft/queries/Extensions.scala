@@ -5592,6 +5592,77 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x454 — pack adjacency audit: under x51's per-source 128-token
+    * packing, how often do CONSECUTIVE docs share a context window
+    * (boundary not on a window edge: `cum % 128 ≠ 0`), and how often is
+    * that co-packed neighbour the SAME language? Same-lang adjacency
+    * inflates within-window correlation — the packing-contamination
+    * readout x51's layout table stops short of. Pure integer layout
+    * arithmetic over the same per-source cumulative frame. */
+  private val x454: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source").orderBy("doc_id")
+    val c = docs(spark, sfDir)
+      .filter(col("text").isNotNull && col("source").isNotNull &&
+        col("lang").isNotNull)
+      .select(col("source"), col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+      .withColumn("__cum", sum(col("__tok")).over(bySrc))
+      .withColumn("__plang", lag(col("lang"), 1).over(bySrc))
+      .withColumn("__pcum", lag(col("__cum"), 1).over(bySrc))
+      .filter(col("__pcum").isNotNull)
+    c.select(col("source"),
+        (col("__pcum") % 128 =!= 0).cast("long").as("__cop"),
+        when(col("__pcum") % 128 =!= 0 && col("lang") === col("__plang"), 1L)
+          .otherwise(0L).as("__same"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__cop")).as("n_copacked"),
+        sum(col("__same")).as("__sl"))
+      .select(col("source"), col("n_pairs"), col("n_copacked"),
+        expr("n_copacked * 1000000 DIV n_pairs").as("copacked_ppm"),
+        expr("CASE WHEN n_copacked > 0 THEN __sl * 1000000 DIV n_copacked END")
+          .as("same_lang_ppm"))
+      .orderBy("source")
+  }
+
+  /** x455 — daily-count overdispersion audit: per event type, the exact
+    * integer variance-to-mean ratio of ZERO-FILLED daily counts
+    * (`1000·(n·Σx² − S²) DIV ((n−1)·S)` milli — Poisson traffic scores
+    * ≈ 1000, bursty/campaign-driven traffic far above). x190 detects
+    * weekly PERIODICITY; this scores BURSTINESS, the retry-storm smell.
+    * Spine × types is bounded; moments stage through DECIMAL(38,0). */
+  private val x455: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+    val d = ev.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("__x"))
+    val spine = ev.filter(col("ts").isNotNull)
+      .agg(min(to_date(col("ts"))).as("__d0"), max(to_date(col("ts"))).as("__d1"))
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    d.select("event_type").distinct()
+      .crossJoin(broadcast(spine))
+      .join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("__x"), lit(0L)).as("__x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("n_events"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        expr("""CAST(1000 * (n_days * __q
+              - CAST(n_events AS DECIMAL(38,0)) * n_events)
+              DIV ((n_days - 1) * CAST(n_events AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("vmr_milli"))
+      .orderBy("event_type")
+  }
+
+  /** x456 — split-half centroid stability
+    * ([[Similarity.centroidStabilityAudit]]): per-label cosine between
+    * centroids built from the even and odd vector halves — the A/A test
+    * that decides whether x58/x446's centroid-based audits can be
+    * trusted per label. */
+  private val x456: Q = (spark, sfDir) =>
+    Similarity.centroidStabilityAudit(emb(spark, sfDir))
+
   /** x451 — event co-day lift: for each event-type pair, how often do
     * they land on the SAME user-day vs what independence predicts
     * (`lift = n_ab·N DIV (n_a·n_b)`, ppm)? x73 lifts basket items and
@@ -6709,7 +6780,10 @@ object Extensions {
     "x450_clustering_coeff_census" -> x450,
     "x451_event_coday_lift" -> x451,
     "x452_dim_energy_spectrum" -> x452,
-    "x453_peak_load_headroom" -> x453)
+    "x453_peak_load_headroom" -> x453,
+    "x454_pack_adjacency_audit" -> x454,
+    "x455_overdispersion_audit" -> x455,
+    "x456_centroid_stability" -> x456)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12720,6 +12794,68 @@ object Extensions {
          |SELECT event_type, n_hours, mean_milli, p99,
          | CAST(1000000 * p99 // mean_milli AS BIGINT) AS headroom_milli
          |FROM g ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "x454_pack_adjacency_audit" ->
+      ("""WITH t AS (SELECT source, doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         |  AND lang IS NOT NULL),
+         |c0 AS (SELECT source, doc_id, lang,
+         |  SUM(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         | FROM t WHERE tok > 0),
+         |c AS (SELECT source, lang, cum,
+         |  LAG(lang) OVER (PARTITION BY source ORDER BY doc_id) AS plang,
+         |  LAG(cum) OVER (PARTITION BY source ORDER BY doc_id) AS pcum
+         | FROM c0),
+         |p AS (SELECT source,
+         |  CASE WHEN pcum % 128 <> 0 THEN 1 ELSE 0 END AS cop,
+         |  CASE WHEN pcum % 128 <> 0 AND lang = plang THEN 1 ELSE 0 END
+         |   AS same FROM c WHERE pcum IS NOT NULL)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(SUM(cop) AS BIGINT) AS n_copacked,
+         | CAST(SUM(cop) * 1000000 // COUNT(*) AS BIGINT) AS copacked_ppm,
+         | CASE WHEN SUM(cop) > 0
+         |  THEN CAST(SUM(same) * 1000000 // SUM(cop) AS BIGINT)
+         | END AS same_lang_ppm
+         |FROM p GROUP BY source ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x455_overdispersion_audit" ->
+      ("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS x FROM events
+         | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |bo AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+         |  MAX(CAST(ts AS DATE)) AS d1 FROM events WHERE ts IS NOT NULL),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |ty AS (SELECT DISTINCT event_type FROM d),
+         |f AS (SELECT ty.event_type, s.day, COALESCE(d.x, 0) AS x
+         | FROM ty CROSS JOIN s LEFT JOIN d
+         |  ON d.event_type = ty.event_type AND d.day = s.day),
+         |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(x) AS BIGINT) AS sx,
+         |  SUM(CAST(x AS HUGEINT) * x) AS q FROM f GROUP BY 1)
+         |SELECT event_type, n_days, sx AS n_events,
+         | CAST(1000 * (n_days * q - CAST(sx AS HUGEINT) * sx)
+         |  // ((n_days - 1) * CAST(sx AS HUGEINT)) AS BIGINT) AS vmr_milli
+         |FROM m ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "x456_centroid_stability" ->
+      (s"""WITH dims AS (SELECT e.label, e.vec_id % 2 AS h, dd.d,
+         |  e.embedding[dd.d+1] AS v
+         | FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         |c0 AS (SELECT label, h, d,
+         |  CAST(SUM(CAST(v AS DECIMAL(28,9))) AS FLOAT) AS s
+         | FROM dims GROUP BY 1, 2, 3),
+         |ce AS (SELECT label, h, list(s ORDER BY d) AS cv
+         | FROM c0 GROUP BY 1, 2),
+         |cn AS (SELECT label, vec_id % 2 AS h, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM embeddings GROUP BY 1, 2),
+         |a AS (SELECT ce.label, cv AS cva, n AS n_even FROM ce
+         | JOIN cn ON ce.label = cn.label AND ce.h = cn.h WHERE ce.h = 0),
+         |b AS (SELECT ce.label, cv AS cvb, n AS n_odd FROM ce
+         | JOIN cn ON ce.label = cn.label AND ce.h = cn.h WHERE ce.h = 1)
+         |SELECT a.label, n_even, n_odd,
+         | ROUND(${cos2Sql("cva", "cvb")}, 6) AS stability_cos
+         |FROM a JOIN b ON a.label = b.label ORDER BY a.label"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
