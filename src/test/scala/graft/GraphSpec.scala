@@ -100,4 +100,39 @@ class GraphSpec extends AnyFunSuite {
     // hop 1 reaches b AND c (undirected closure); hop 2 finds nothing new
     assert(r == Map(0 -> 1L, 1 -> 2L, 2 -> 0L))
   }
+
+  test("degreeAssortativity: a star is exactly -1 (hub wires only to leaves)") {
+    // deg a=3, leaves=1; edge-end pairs (3,1)x3 + (1,3)x3:
+    // n=6 sx=sy=12 qx=qy=30 pxy=18 → cov=-36, vx=vy=36 → r = -1
+    val star = Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -1.0)
+  }
+
+  test("degreeAssortativity: a regular graph has zero degree variance (NULL)") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.degreeAssortativity(k4).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.isNullAt(1))
+  }
+
+  test("localClusteringCensus: K4 puts every node in the perfect-closure band") {
+    // every node: d=3, t=3 → ppm = 2e6*3/(3*2) = 1e6 → band 10
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.localClusteringCensus(k4).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+      == ((10L, 4L, 1000000L)))
+  }
+
+  test("localClusteringCensus: open path center has wedges but zero closure; leaves excluded") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.localClusteringCensus(path).collect()
+    assert(r.length == 1) // only node 2 has d >= 2
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+      == ((0L, 1L, 0L)))
+  }
 }

@@ -527,6 +527,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1) == ((2L, 0.0, 1000000.0)))
     assert(r(2) == ((2L, 5000000.0, 0.0)))
   }
+
+  test("labelMarginCensus: orthogonal label clusters land in the full-margin band") {
+    // label 0 on e1, label 1 on e2: own-centroid cos = 1, other = 0 →
+    // margin 1.0 → floor(1.0·10) = band 10, two vectors per label
+    val emb = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 0f)),
+      (3L, 1, Array(0f, 1f)), (4L, 1, Array(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.labelMarginCensus(emb).collect()
+      .map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map((0, 10L) -> 2L, (1, 10L) -> 2L))
+  }
+
+  test("labelMarginCensus: a vector nearer the foreign centroid gets a negative band") {
+    val emb = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 0f)),
+      (3L, 1, Array(0f, 1f)), (4L, 1, Array(0f, 1f)),
+      (5L, 0, Array(0f, 1f)) // labeled 0, sits on label 1's axis
+    ).toDF("vec_id", "label", "embedding")
+    val bands = Similarity.labelMarginCensus(emb).collect()
+      .filter(_.getInt(0) == 0).map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(bands.keys.exists(_ < 0L), s"expected a negative band, got $bands")
+  }
+
+  test("dimensionEnergySpectrum: one live axis carries all the energy (k50=k90=k99=1)") {
+    // dim0: m=±1e6 → vs = 2·2e12 = 4e12; dim1: constant → vs = 0; dim2: 0
+    val emb = Seq(
+      (1L, 0, Array(1f, 0.5f, 0f)),
+      (2L, 0, Array(-1f, 0.5f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.dimensionEnergySpectrum(emb).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 0L, 1000000L, 1L, 1L, 1L)))
+  }
+
+  test("centroidStabilityAudit: identical halves score exactly 1.0") {
+    val emb = Seq(
+      (0L, 7, Array(1f, 2f)), (1L, 7, Array(1f, 2f)),
+      (2L, 7, Array(1f, 2f)), (3L, 7, Array(1f, 2f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.centroidStabilityAudit(emb).collect()
+    assert(r.length == 1)
+    assert((r.head.getInt(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getDouble(3)) == ((7, 2L, 2L, 1.0)))
+  }
+
+  test("centroidStabilityAudit: a label missing one half is dropped, not NULLed") {
+    val emb = Seq(
+      (0L, 1, Array(1f, 0f)), (1L, 1, Array(1f, 0f)),
+      (2L, 2, Array(0f, 1f)) // label 2 only has an even-half vector
+    ).toDF("vec_id", "label", "embedding")
+    val labels = Similarity.centroidStabilityAudit(emb).collect()
+      .map(_.getInt(0)).toSet
+    assert(labels == Set(1))
+  }
 }
 
 
@@ -727,6 +782,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(floored == Set("a")) // b lacks previous-snapshot support
   }
+
+  test("sentenceLengthCensus: dot segmentation, token means, single-sentence share") {
+    val docs = Seq(
+      (1L, "a b. c d e. ", "en"),   // 2 sentences: 2 + 3 tokens
+      (2L, "hello", "en"),          // 1 sentence, 1 token
+      (3L, "uno dos.", "es")        // 1 sentence, 2 tokens
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.sentenceLengthCensus(docs, "doc_id", "text", "lang")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // en: 2 docs, 3 sentences, mean = 6000/3 = 2000 milli, max 3, 1 of 2 single
+    assert(r("en") == ((2L, 3L, 2000L, 3L, 500000L)))
+    assert(r("es") == ((1L, 1L, 2000L, 2L, 1000000L)))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -840,4 +909,5 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.exists(p => p._1 == id && p._2 == id + 1000000000L),
         s"planted pair for doc $id missing")
   }
+
 }
