@@ -5592,6 +5592,83 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x457 — session handoff matrix: last event type of one 30-minute
+    * session → first event type of the user's NEXT session. x141
+    * transitions WITHIN the stream; this is intent carryover ACROSS the
+    * session boundary (what users come back to after how they left).
+    * Per-user windows; session endpoints via deterministic struct
+    * min/max (ts, event_id tiebreak). */
+  private val x457: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ses = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev_ts").isNull ||
+        col("ts") >= expr("__prev_ts + INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+      .groupBy("user_id", "__sid")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("__f"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("__l"))
+      .select(col("user_id"), col("__sid"),
+        col("__f.event_type").as("__ft"), col("__l.event_type").as("__lt"))
+    ses
+      .withColumn("__plast",
+        lag(col("__lt"), 1).over(Window.partitionBy("user_id").orderBy("__sid")))
+      .filter(col("__plast").isNotNull)
+      .groupBy(col("__plast").as("from_type"), col("__ft").as("to_type"))
+      .agg(count(lit(1)).as("n_handoffs"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** x458 — fulfillment span census: per order, days between first and
+    * last line shipment, banded (same-day / 1–3 / 4–7 / 8+). x290 counts
+    * orders that SPLIT; this measures how LONG the split drags — the
+    * warehouse consolidation-vs-latency readout. One order-keyed
+    * collapse + a 4-row census. */
+  private val x458: Q = (spark, sfDir) => {
+    val spans = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_shipdate").isNotNull)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("__lines"),
+        datediff(max(to_date(col("l_shipdate"))), min(to_date(col("l_shipdate"))))
+          .cast("long").as("__span"))
+      .select(col("__lines"),
+        when(col("__span") === 0, "0_same_day")
+          .when(col("__span") <= 3, "1_1_3")
+          .when(col("__span") <= 7, "2_4_7")
+          .otherwise("3_8_plus").as("span_band"))
+    val tot = spans.agg(count(lit(1)).as("__t"))
+    spans.groupBy("span_band")
+      .agg(count(lit(1)).as("n_orders"), sum(col("__lines")).as("__ln"))
+      .crossJoin(broadcast(tot))
+      .select(col("span_band"), col("n_orders"),
+        expr("n_orders * 1000000 DIV __t").as("share_ppm"),
+        expr("__ln * 1000 DIV n_orders").as("mean_lines_milli"))
+      .orderBy("span_band")
+  }
+
+  /** x459 — props payload audit: per event type, presence and domain of
+    * the JSON `k` field (count, min/max, distinct, exact milli mean) —
+    * the payload-contract complement of x422's column-domain audit; b21
+    * only sums k, this audits it. */
+  private val x459: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("__k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count(col("__k")).as("n_with_k"),
+        min(col("__k")).as("k_min"), max(col("__k")).as("k_max"),
+        countDistinct(col("__k")).as("k_distinct"), sum(col("__k")).as("__ks"))
+      .select(col("event_type"), col("n_events"), col("n_with_k"),
+        col("k_min"), col("k_max"), col("k_distinct"),
+        expr("CASE WHEN n_with_k > 0 THEN 1000 * __ks DIV n_with_k END")
+          .as("k_mean_milli"))
+      .orderBy("event_type")
+
   /** x454 — pack adjacency audit: under x51's per-source 128-token
     * packing, how often do CONSECUTIVE docs share a context window
     * (boundary not on a window edge: `cum % 128 ≠ 0`), and how often is
@@ -6783,7 +6860,10 @@ object Extensions {
     "x453_peak_load_headroom" -> x453,
     "x454_pack_adjacency_audit" -> x454,
     "x455_overdispersion_audit" -> x455,
-    "x456_centroid_stability" -> x456)
+    "x456_centroid_stability" -> x456,
+    "x457_session_handoff_matrix" -> x457,
+    "x458_fulfillment_span_census" -> x458,
+    "x459_props_payload_audit" -> x459)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12855,6 +12935,63 @@ object Extensions {
          |SELECT a.label, n_even, n_odd,
          | ROUND(${cos2Sql("cva", "cvb")}, 6) AS stability_cos
          |FROM a JOIN b ON a.label = b.label ORDER BY a.label"""
+        .stripMargin.replace("\n", " ")),
+    "x457_session_handoff_matrix" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND event_type IS NOT NULL),
+         |d AS (SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) IS NULL
+         |   OR ts >= LAG(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+         |  THEN 1 ELSE 0 END AS news FROM e),
+         |s AS (SELECT user_id, ts, event_id, event_type,
+         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |   AS sid FROM d),
+         |fr AS (SELECT user_id, sid, event_type AS ft, ROW_NUMBER() OVER
+         |  (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn FROM s),
+         |la AS (SELECT user_id, sid, event_type AS lt, ROW_NUMBER() OVER
+         |  (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC)
+         |   AS rn FROM s),
+         |ses AS (SELECT f.user_id, f.sid, f.ft, l.lt FROM fr f
+         | JOIN la l ON f.user_id = l.user_id AND f.sid = l.sid
+         |  AND f.rn = 1 AND l.rn = 1),
+         |h AS (SELECT ft, LAG(lt) OVER (PARTITION BY user_id ORDER BY sid)
+         |  AS plast FROM ses)
+         |SELECT plast AS from_type, ft AS to_type,
+         | CAST(COUNT(*) AS BIGINT) AS n_handoffs
+         |FROM h WHERE plast IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY from_type, to_type"""
+        .stripMargin.replace("\n", " ")),
+    "x458_fulfillment_span_census" ->
+      ("""WITH sp AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS lines,
+         |  date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+         |   MAX(CAST(l_shipdate AS DATE))) AS span
+         | FROM lineitem
+         | WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+         | GROUP BY 1),
+         |b AS (SELECT lines, CASE WHEN span = 0 THEN '0_same_day'
+         |  WHEN span <= 3 THEN '1_1_3' WHEN span <= 7 THEN '2_4_7'
+         |  ELSE '3_8_plus' END AS span_band FROM sp),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT span_band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm,
+         | CAST(SUM(lines) * 1000 // COUNT(*) AS BIGINT) AS mean_lines_milli
+         |FROM b, t GROUP BY span_band, tt ORDER BY span_band"""
+        .stripMargin.replace("\n", " ")),
+    "x459_props_payload_audit" ->
+      ("""WITH k AS (SELECT event_type, CAST(NULLIF(REGEXP_EXTRACT(props,
+         |  '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k FROM events
+         | WHERE event_type IS NOT NULL)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(COUNT(k) AS BIGINT) AS n_with_k,
+         | CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max,
+         | CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+         | CASE WHEN COUNT(k) > 0
+         |  THEN CAST(1000 * SUM(k) // COUNT(k) AS BIGINT) END
+         |  AS k_mean_milli
+         |FROM k GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
