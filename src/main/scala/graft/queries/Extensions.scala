@@ -5592,6 +5592,121 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x460 — priority inversion weeks: per order week, the exact median
+    * ship delay of 1-URGENT vs 5-LOW lines and a flag when urgent is
+    * SLOWER — the ops smell x171's attainment rates average away.
+    * Medians via the distinct-value cumulative rank (value-collapsed,
+    * never a row sort), pivoted per week. */
+  private val x460: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate").isNotNull && col("l_shipdate").isNotNull &&
+        col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(date_trunc("week", col("o_orderdate")).cast("date").as("week"),
+        col("o_orderpriority").as("__p"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__x"))
+    val coll = d.groupBy("week", "__p", "__x").agg(count(lit(1)).as("__c"))
+    val tot = d.groupBy("week", "__p").agg(count(lit(1)).as("__t"))
+    coll
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("week", "__p").orderBy("__x")))
+      .join(tot, Seq("week", "__p"))
+      .groupBy("week", "__p")
+      .agg(min(when(col("__cum") * 2 >= col("__t"), col("__x"))).as("__med"))
+      .groupBy("week")
+      .agg(max(when(col("__p") === "1-URGENT", col("__med"))).as("med_urgent_days"),
+        max(when(col("__p") === "5-LOW", col("__med"))).as("med_low_days"))
+      .filter(col("med_urgent_days").isNotNull && col("med_low_days").isNotNull)
+      .select(col("week"), col("med_urgent_days"), col("med_low_days"),
+        (col("med_urgent_days") > col("med_low_days")).cast("int").as("inverted"))
+      .orderBy("week")
+  }
+
+  /** x461 — region demand synchrony: exact Pearson correlation between
+    * every region pair's ZERO-FILLED daily revenue series (x115's
+    * decimal-exact moment pattern; the pair frame is |regions|²·days —
+    * bounded). Synchronized regions share macro drivers; a decorrelated
+    * one has local dynamics worth separate forecasting. */
+  private val x461: Q = (spark, sfDir) => {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val rev = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(col("r_name").as("reg"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents).as("__v"))
+    val spine = Tables(spark, sfDir, "orders").filter(col("o_orderdate").isNotNull)
+      .agg(min(to_date(col("o_orderdate"))).as("__d0"),
+        max(to_date(col("o_orderdate"))).as("__d1"))
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val f = Tables(spark, sfDir, "region").select(col("r_name").as("reg"))
+      .crossJoin(broadcast(spine))
+      .join(rev, Seq("reg", "day"), "left")
+      .select(col("reg"), col("day"), coalesce(col("__v"), lit(0L)).as("__v"))
+    val m = f.as("a").join(f.as("b"),
+        col("a.day") === col("b.day") && col("a.reg") < col("b.reg"))
+      .select(col("a.reg").as("region_a"), col("b.reg").as("region_b"),
+        col("a.__v").cast("decimal(38,0)").as("x"),
+        col("b.__v").cast("decimal(38,0)").as("y"))
+      .groupBy("region_a", "region_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__qx"), sum(col("y") * col("y")).as("__qy"),
+        sum(col("x") * col("y")).as("__pxy"))
+    val n = col("n_days").cast("double")
+    val (sx, sy) = (col("__sx").cast("double"), col("__sy").cast("double"))
+    val (qx, qy) = (col("__qx").cast("double"), col("__qy").cast("double"))
+    val vx = n * qx - sx * sx
+    val vy = n * qy - sy * sy
+    val cov = n * col("__pxy").cast("double") - sx * sy
+    m.select(col("region_a"), col("region_b"), col("n_days"),
+        when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)).as("corr"))
+      .orderBy("region_a", "region_b")
+  }
+
+  /** x462 — pack-length sweep: x51's layout arithmetic swept over
+    * context lengths 64/128/256/512 — total windows, mean docs touching
+    * each window (boundary-crossing pressure), and tail-window fill. The
+    * context-length tuning table, computed without materializing a
+    * single window: pure integer layout math over the per-source
+    * cumulative frame crossed with a 4-row length spine. */
+  private val x462: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val lens = Seq(64L, 128L, 256L, 512L).toDF("ctx_len")
+    val cum = docs(spark, sfDir)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+      .withColumn("__cum",
+        sum(col("__tok")).over(Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("__cumb", col("__cum") - col("__tok"))
+    val perDoc = cum.crossJoin(broadcast(lens))
+      .select(col("ctx_len"), col("source"),
+        (expr("(__cum - 1) DIV ctx_len") - expr("__cumb DIV ctx_len") + 1)
+          .as("__touched"))
+      .groupBy("ctx_len", "source")
+      .agg(sum(col("__touched")).as("__touch"))
+    val perSrc = cum.groupBy("source").agg(max(col("__cum")).as("__tot"))
+      .crossJoin(broadcast(lens))
+      .select(col("ctx_len"), col("source"),
+        expr("(__tot + ctx_len - 1) DIV ctx_len").as("__nwin"),
+        expr("__tot - ((__tot + ctx_len - 1) DIV ctx_len - 1) * ctx_len")
+          .as("__lastfill"))
+    perDoc.join(perSrc, Seq("ctx_len", "source"))
+      .groupBy("ctx_len")
+      .agg(sum(col("__nwin")).as("n_windows"),
+        expr("CAST(1000 * SUM(__touch) DIV SUM(__nwin) AS BIGINT)")
+          .as("docs_per_window_milli"),
+        expr("CAST(SUM(__lastfill) * 1000000 DIV (COUNT(*) * ctx_len) AS BIGINT)")
+          .as("tail_fill_ppm"))
+      .orderBy("ctx_len")
+  }
+
   /** x457 — session handoff matrix: last event type of one 30-minute
     * session → first event type of the user's NEXT session. x141
     * transitions WITHIN the stream; this is intent carryover ACROSS the
@@ -6863,7 +6978,10 @@ object Extensions {
     "x456_centroid_stability" -> x456,
     "x457_session_handoff_matrix" -> x457,
     "x458_fulfillment_span_census" -> x458,
-    "x459_props_payload_audit" -> x459)
+    "x459_props_payload_audit" -> x459,
+    "x460_priority_inversion_weeks" -> x460,
+    "x461_region_demand_synchrony" -> x461,
+    "x462_pack_len_sweep" -> x462)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -12992,6 +13110,100 @@ object Extensions {
          |  THEN CAST(1000 * SUM(k) // COUNT(k) AS BIGINT) END
          |  AS k_mean_milli
          |FROM k GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x460_priority_inversion_weeks" ->
+      ("""WITH d AS (SELECT CAST(date_trunc('week', CAST(o_orderdate AS
+         |  DATE)) AS DATE) AS week, o_orderpriority AS p,
+         |  date_diff('day', CAST(o_orderdate AS DATE),
+         |   CAST(l_shipdate AS DATE)) AS x
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+         |  AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |c AS (SELECT week, p, x, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM d GROUP BY 1, 2, 3),
+         |t AS (SELECT week, p, CAST(COUNT(*) AS BIGINT) AS t
+         | FROM d GROUP BY 1, 2),
+         |cu AS (SELECT week, p, x, SUM(c) OVER (PARTITION BY week, p
+         |  ORDER BY x) AS cum FROM c),
+         |m AS (SELECT cu.week, cu.p,
+         |  CAST(MIN(CASE WHEN cum * 2 >= t.t THEN x END) AS BIGINT) AS med
+         | FROM cu JOIN t ON cu.week = t.week AND cu.p = t.p GROUP BY 1, 2),
+         |w AS (SELECT week,
+         |  MAX(CASE WHEN p = '1-URGENT' THEN med END) AS med_urgent_days,
+         |  MAX(CASE WHEN p = '5-LOW' THEN med END) AS med_low_days
+         | FROM m GROUP BY 1)
+         |SELECT week, med_urgent_days, med_low_days,
+         | CAST(CASE WHEN med_urgent_days > med_low_days THEN 1 ELSE 0 END
+         |  AS INT) AS inverted
+         |FROM w WHERE med_urgent_days IS NOT NULL
+         | AND med_low_days IS NOT NULL ORDER BY week"""
+        .stripMargin.replace("\n", " ")),
+    "x461_region_demand_synchrony" ->
+      ("""WITH rev AS (SELECT r_name AS reg, CAST(o_orderdate AS DATE)
+         |  AS day, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS v
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         | WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+         | GROUP BY 1, 2),
+         |bo AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         |  MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+         | WHERE o_orderdate IS NOT NULL),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT r.r_name AS reg, s.day, COALESCE(rev.v, 0) AS v
+         | FROM region r CROSS JOIN s LEFT JOIN rev
+         |  ON rev.reg = r.r_name AND rev.day = s.day),
+         |m AS (SELECT a.reg AS region_a, b.reg AS region_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  SUM(CAST(a.v AS HUGEINT)) AS sx, SUM(CAST(b.v AS HUGEINT)) AS sy,
+         |  SUM(CAST(a.v AS HUGEINT) * a.v) AS qx,
+         |  SUM(CAST(b.v AS HUGEINT) * b.v) AS qy,
+         |  SUM(CAST(a.v AS HUGEINT) * b.v) AS pxy
+         | FROM f a JOIN f b ON a.day = b.day AND a.reg < b.reg
+         | GROUP BY 1, 2)
+         |SELECT region_a, region_b, n_days,
+         | CASE WHEN (CAST(n_days AS DOUBLE) * CAST(qx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |   AND (CAST(n_days AS DOUBLE) * CAST(qy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |  THEN ROUND((CAST(n_days AS DOUBLE) * CAST(pxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / sqrt((CAST(n_days AS DOUBLE) * CAST(qx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |   * (CAST(n_days AS DOUBLE) * CAST(qy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         | END AS corr
+         |FROM m ORDER BY region_a, region_b"""
+        .stripMargin.replace("\n", " ")),
+    "x462_pack_len_sweep" ->
+      ("""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |c AS (SELECT source, doc_id, tok,
+         |  SUM(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         | FROM t WHERE tok > 0),
+         |ls AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT)
+         |  AS ctx_len),
+         |pd AS (SELECT ls.ctx_len, c.source,
+         |  CAST(SUM((c.cum - 1) // ls.ctx_len
+         |   - (c.cum - c.tok) // ls.ctx_len + 1) AS BIGINT) AS touch
+         | FROM c CROSS JOIN ls GROUP BY 1, 2),
+         |ps AS (SELECT ls.ctx_len, g.source,
+         |  (g.tot + ls.ctx_len - 1) // ls.ctx_len AS nwin,
+         |  g.tot - ((g.tot + ls.ctx_len - 1) // ls.ctx_len - 1) * ls.ctx_len
+         |   AS lastfill
+         | FROM (SELECT source, MAX(cum) AS tot FROM c GROUP BY 1) g
+         |  CROSS JOIN ls)
+         |SELECT pd.ctx_len, CAST(SUM(ps.nwin) AS BIGINT) AS n_windows,
+         | CAST(1000 * SUM(pd.touch) // SUM(ps.nwin) AS BIGINT)
+         |  AS docs_per_window_milli,
+         | CAST(SUM(ps.lastfill) * 1000000 // (COUNT(*) * pd.ctx_len)
+         |  AS BIGINT) AS tail_fill_ppm
+         |FROM pd JOIN ps ON pd.ctx_len = ps.ctx_len
+         | AND pd.source = ps.source
+         |GROUP BY pd.ctx_len ORDER BY pd.ctx_len"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
