@@ -5592,6 +5592,106 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x463 — doc feature correlation matrix: x115's decimal-exact Pearson
+    * pattern over per-document TEXT features (chars, tokens, distinct
+    * tokens, longest token) — which quality signals are redundant and
+    * which carry independent information, the feature-selection table
+    * for the x09 quality score. One scan computes all features. */
+  private val x463: Q = (spark, sfDir) => {
+    val feats = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("n_chars").cast("long").as("chars"),
+        size(split(col("text"), " ")).cast("long").as("tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("uniq"),
+        aggregate(transform(split(col("text"), " "), w => length(w)),
+          lit(0), (a, x) => greatest(a, x)).cast("long").as("longest"))
+    val cols = Seq("chars", "tokens", "uniq", "longest")
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+      sum(col(c).cast("decimal(38,0)") * col(c)).as(s"q_$c"))) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j } yield
+        sum(col(cols(i)).cast("decimal(38,0)") * col(cols(j)))
+          .as(s"p_${cols(i)}_${cols(j)}"))
+    val m = feats.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      val n = col("n").cast("double")
+      val (sa, sb) = (col(s"s_$a").cast("double"), col(s"s_$b").cast("double"))
+      val (qa, qb) = (col(s"q_$a").cast("double"), col(s"q_$b").cast("double"))
+      val va = n * qa - sa * sa
+      val vb = n * qb - sb * sb
+      val cov = n * col(s"p_${a}_$b").cast("double") - sa * sb
+      m.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
+    }).reduce(_.unionAll(_))
+    rows.orderBy("col_x", "col_y")
+  }
+
+  /** x464 — state staleness at purchase: for every purchase event, how
+    * old is the customer's latest prior ORDER ([[AsOf.asofJoin]] — one
+    * key-partitioned window pass, no range explosion)? Year-banded
+    * census ('0_no_prior' / 'yNN'); heavy old-band mass means decisions
+    * fire on stale state — the feature-freshness readout for any online
+    * model. */
+  private val x464: Q = (spark, sfDir) => {
+    val purch = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").as("k"), col("ts"))
+    val ord = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+        col("o_orderdate").as("ots"))
+    val j = graft.operators.AsOf.asofJoin(purch, ord, "k", "ts", Seq("ots"))
+    // year-grain bands: the synthetic order history predates the event
+    // stream by decades, so day bands would collapse to one bucket
+    val banded = j.select(
+      when(col("asof_ots").isNull, "0_no_prior")
+        .otherwise(concat(lit("y"),
+          lpad(expr("CAST(datediff(to_date(ts), to_date(asof_ots)) DIV 365 AS BIGINT)")
+            .cast("string"), 2, "0")))
+        .as("staleness_band"))
+    val tot = banded.agg(count(lit(1)).as("__t"))
+    banded.groupBy("staleness_band")
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(tot))
+      .select(col("staleness_band"), col("n_purchases"),
+        expr("n_purchases * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("staleness_band")
+  }
+
+  /** x465 — transaction/catalog price ratio census: line extended price
+    * over catalog `retail × qty`, ppm-banded — where the transaction
+    * ledger and the catalog disagree and by how much (x331 measures the
+    * DISCOUNT'S effect; this audits against the CATALOG). All-positive
+    * integer ratios, so truncation agrees across engines. */
+  private val x465: Q = (spark, sfDir) => {
+    val r = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_extendedprice").isNotNull && col("p_retailprice").isNotNull &&
+        col("l_quantity").isNotNull && col("l_quantity") > 0)
+      .select(expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)""")
+          .as("__ext"),
+        (expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          col("l_quantity").cast("long")).as("__exp"))
+      .filter(col("__exp") > 0)
+      .select(expr("__ext * 1000000 DIV __exp").as("__ratio"))
+      .select(
+        when(col("__ratio") < 900000L, "0_deep_below")
+          .when(col("__ratio") < 1000000L, "1_below")
+          .when(col("__ratio") === 1000000L, "2_exact")
+          .when(col("__ratio") <= 1100000L, "3_above")
+          .otherwise("4_far_above").as("ratio_band"),
+        col("__ratio"))
+    val tot = r.agg(count(lit(1)).as("__t"))
+    r.groupBy("ratio_band")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("CAST(SUM(__ratio) DIV COUNT(*) AS BIGINT)").as("mean_ratio_ppm"))
+      .crossJoin(broadcast(tot))
+      .select(col("ratio_band"), col("n_lines"),
+        expr("n_lines * 1000000 DIV __t").as("share_ppm"), col("mean_ratio_ppm"))
+      .orderBy("ratio_band")
+  }
+
   /** x460 — priority inversion weeks: per order week, the exact median
     * ship delay of 1-URGENT vs 5-LOW lines and a flag when urgent is
     * SLOWER — the ops smell x171's attainment rates average away.
@@ -6981,7 +7081,10 @@ object Extensions {
     "x459_props_payload_audit" -> x459,
     "x460_priority_inversion_weeks" -> x460,
     "x461_region_demand_synchrony" -> x461,
-    "x462_pack_len_sweep" -> x462)
+    "x462_pack_len_sweep" -> x462,
+    "x463_doc_feature_corr" -> x463,
+    "x464_state_staleness" -> x464,
+    "x465_catalog_ratio_census" -> x465)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7244,6 +7347,35 @@ object Extensions {
     }).mkString(" UNION ALL ")
     s"WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM lineitem " +
       s"WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}) " +
+      s"$branches ORDER BY col_x, col_y"
+  }
+
+  /** x463 oracle: the [[corrMatrixOracle]] construction over per-document
+    * text features computed in DuckDB (same exact integer moments, same
+    * double ratio and rounding). */
+  private val docFeatureCorrOracle: String = {
+    val cols = Seq("chars", "tokens", "uniq", "longest")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val moments = cols.flatMap(c => Seq(
+      s"SUM(CAST($c AS HUGEINT)) AS s_$c",
+      s"SUM(CAST($c AS HUGEINT) * $c) AS q_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j } yield
+        s"SUM(CAST(${cols(i)} AS HUGEINT) * ${cols(j)}) AS p_${cols(i)}_${cols(j)}")
+    val branches = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      val va = s"(${dbl("n")} * ${dbl(s"q_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})"
+      val vb = s"(${dbl("n")} * ${dbl(s"q_$b")} - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})"
+      val cov = s"(${dbl("n")} * ${dbl(s"p_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")})"
+      s"SELECT '$a' AS col_x, '$b' AS col_y, n, " +
+        s"CASE WHEN $va > 0 AND $vb > 0 " +
+        s"THEN ROUND($cov / sqrt($va * $vb), 6) END AS corr FROM m"
+    }).mkString(" UNION ALL ")
+    "WITH f AS (SELECT CAST(n_chars AS BIGINT) AS chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq, " +
+      "CAST(list_max(list_transform(string_split(text, ' '), x -> len(x))) " +
+      "AS BIGINT) AS longest FROM documents WHERE text IS NOT NULL), " +
+      s"m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${moments.mkString(", ")} FROM f) " +
       s"$branches ORDER BY col_x, col_y"
   }
 
@@ -13204,6 +13336,45 @@ object Extensions {
          |FROM pd JOIN ps ON pd.ctx_len = ps.ctx_len
          | AND pd.source = ps.source
          |GROUP BY pd.ctx_len ORDER BY pd.ctx_len"""
+        .stripMargin.replace("\n", " ")),
+    "x463_doc_feature_corr" -> docFeatureCorrOracle,
+    "x464_state_staleness" ->
+      ("""WITH p AS (SELECT user_id AS k, ts FROM events
+         | WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         |  AND ts IS NOT NULL),
+         |o AS (SELECT o_custkey AS k, o_orderdate AS ots FROM orders
+         | WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |j AS (SELECT p.k, p.ts, o.ots FROM p ASOF LEFT JOIN o
+         | ON p.k = o.k AND p.ts >= o.ots),
+         |b AS (SELECT CASE WHEN ots IS NULL THEN '0_no_prior'
+         |  ELSE 'y' || LPAD(CAST(date_diff('day', CAST(ots AS DATE),
+         |   CAST(ts AS DATE)) // 365 AS VARCHAR), 2, '0')
+         |  END AS staleness_band FROM j),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT staleness_band, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY staleness_band, tt ORDER BY staleness_band"""
+        .stripMargin.replace("\n", " ")),
+    "x465_catalog_ratio_census" ->
+      ("""WITH r AS (SELECT
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS ext,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   * CAST(l_quantity AS BIGINT) AS expd
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_extendedprice IS NOT NULL AND p_retailprice IS NOT NULL
+         |  AND l_quantity IS NOT NULL AND l_quantity > 0),
+         |q AS (SELECT ext * 1000000 // expd AS ratio FROM r WHERE expd > 0),
+         |b AS (SELECT CASE WHEN ratio < 900000 THEN '0_deep_below'
+         |  WHEN ratio < 1000000 THEN '1_below'
+         |  WHEN ratio = 1000000 THEN '2_exact'
+         |  WHEN ratio <= 1100000 THEN '3_above'
+         |  ELSE '4_far_above' END AS ratio_band, ratio FROM q),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT ratio_band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm,
+         | CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
+         |FROM b, t GROUP BY ratio_band, tt ORDER BY ratio_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
