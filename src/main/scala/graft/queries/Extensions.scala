@@ -5592,6 +5592,89 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x466 — weekday shift matrix: order weekday × ship weekday line
+    * counts with per-order-weekday shares — does Friday demand ship
+    * Monday (weekend pipeline freeze) or same-week? Weekdays via
+    * epoch-day mod 7 anchored on a Monday BEFORE the data's first date
+    * (1994-12-26 — negative diffs would carry the sign through %), so
+    * the encoding is engine-exact (no locale-dependent dayofweek).
+    * ≤49-row grid. */
+  private val x466: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate").isNotNull && col("l_shipdate").isNotNull)
+      .select(
+        expr("datediff(to_date(o_orderdate), DATE'1994-12-26') % 7")
+          .cast("long").as("order_dow"),
+        expr("datediff(to_date(l_shipdate), DATE'1994-12-26') % 7")
+          .cast("long").as("ship_dow"))
+    d.groupBy("order_dow", "ship_dow").agg(count(lit(1)).as("n_lines"))
+      .withColumn("__rowtot",
+        sum(col("n_lines")).over(Window.partitionBy("order_dow")))
+      .select(col("order_dow"), col("ship_dow"), col("n_lines"),
+        expr("n_lines * 1000000 DIV __rowtot").as("row_share_ppm"))
+      .orderBy("order_dow", "ship_dow")
+  }
+
+  /** x467 — serial returner census: per customer with ≥ 5 lines, the
+    * return-flag share banded (none / <10 % / <30 % / ≥30 %) — x299/x432
+    * profile returns by BRAND; this finds the CUSTOMERS who drive them,
+    * the abuse-detection grain. One customer-keyed collapse + census. */
+  private val x467: Q = (spark, sfDir) => {
+    val pc = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_returnflag").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__r"))
+      .filter(col("__n") >= 5)
+      .select(col("__n"),
+        expr("__r * 1000000 DIV __n").as("__rr"))
+      .select(col("__n"),
+        when(col("__rr") === 0, "0_none")
+          .when(col("__rr") < 100000L, "1_under_10pct")
+          .when(col("__rr") < 300000L, "2_under_30pct")
+          .otherwise("3_heavy").as("return_band"))
+    val tot = pc.agg(count(lit(1)).as("__t"))
+    pc.groupBy("return_band")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("CAST(SUM(__n) * 1000 DIV COUNT(*) AS BIGINT)").as("mean_lines_milli"))
+      .crossJoin(broadcast(tot))
+      .select(col("return_band"), col("n_customers"), col("mean_lines_milli"),
+        expr("n_customers * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("return_band")
+  }
+
+  /** x468 — brand price ANOVA: how much of catalog price variance does
+    * BRAND explain? Exact integer sums-of-squares with per-group
+    * truncated division (`Σ_g S_g² DIV n_g` — truncation is identical
+    * across engines, bias ≪ 1 cent²), eta² in ppm. High eta² means
+    * price IS brand positioning (x397's premium index is real); low
+    * means within-brand spread dominates (x429's architecture view). */
+  private val x468: Q = (spark, sfDir) => {
+    val p = Tables(spark, sfDir, "part")
+      .filter(col("p_brand").isNotNull && col("p_retailprice").isNotNull)
+      .select(col("p_brand"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__c"))
+    val g = p.groupBy("p_brand")
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__c").cast("decimal(38,0)")).as("__sg"))
+      .agg(count(lit(1)).as("n_brands"),
+        sum(expr("CAST(__sg * __sg DIV __ng AS DECIMAL(38,0))")).as("__t1"))
+    val m = p.agg(count(lit(1)).as("n_parts"),
+      sum(col("__c").cast("decimal(38,0)")).as("__s"),
+      sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+    m.crossJoin(g)
+      .select(col("n_parts"), col("n_brands"),
+        expr("CAST(__s * __s DIV n_parts AS DECIMAL(38,0))").as("__t2"),
+        col("__t1"), col("__q"))
+      .select(col("n_parts"), col("n_brands"),
+        expr("""CAST(CASE WHEN __q > __t2
+              THEN (__t1 - __t2) * 1000000 DIV (__q - __t2) END AS BIGINT)""")
+          .as("eta2_ppm"))
+  }
+
   /** x463 — doc feature correlation matrix: x115's decimal-exact Pearson
     * pattern over per-document TEXT features (chars, tokens, distinct
     * tokens, longest token) — which quality signals are redundant and
@@ -7084,7 +7167,10 @@ object Extensions {
     "x462_pack_len_sweep" -> x462,
     "x463_doc_feature_corr" -> x463,
     "x464_state_staleness" -> x464,
-    "x465_catalog_ratio_census" -> x465)
+    "x465_catalog_ratio_census" -> x465,
+    "x466_weekday_shift_matrix" -> x466,
+    "x467_serial_returner_census" -> x467,
+    "x468_brand_price_anova" -> x468)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -13376,6 +13462,58 @@ object Extensions {
          | CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
          |FROM b, t GROUP BY ratio_band, tt ORDER BY ratio_band"""
         .stripMargin.replace("\n", " ")),
+    "x466_weekday_shift_matrix" ->
+      ("""WITH d AS (SELECT
+         |  date_diff('day', DATE '1994-12-26', CAST(o_orderdate AS DATE))
+         |   % 7 AS order_dow,
+         |  date_diff('day', DATE '1994-12-26', CAST(l_shipdate AS DATE))
+         |   % 7 AS ship_dow
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL),
+         |g AS (SELECT CAST(order_dow AS BIGINT) AS order_dow,
+         |  CAST(ship_dow AS BIGINT) AS ship_dow,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines FROM d GROUP BY 1, 2),
+         |r AS (SELECT order_dow, CAST(SUM(n_lines) AS BIGINT) AS rt
+         | FROM g GROUP BY 1)
+         |SELECT g.order_dow, g.ship_dow, g.n_lines,
+         | CAST(g.n_lines * 1000000 // r.rt AS BIGINT) AS row_share_ppm
+         |FROM g JOIN r ON g.order_dow = r.order_dow
+         |ORDER BY g.order_dow, g.ship_dow"""
+        .stripMargin.replace("\n", " ")),
+    "x467_serial_returner_census" ->
+      ("""WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS r
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_custkey IS NOT NULL AND l_returnflag IS NOT NULL
+         | GROUP BY 1 HAVING COUNT(*) >= 5),
+         |b AS (SELECT n, CASE WHEN r * 1000000 // n = 0 THEN '0_none'
+         |  WHEN r * 1000000 // n < 100000 THEN '1_under_10pct'
+         |  WHEN r * 1000000 // n < 300000 THEN '2_under_30pct'
+         |  ELSE '3_heavy' END AS return_band FROM pc),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT return_band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS mean_lines_milli,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY return_band, tt ORDER BY return_band"""
+        .stripMargin.replace("\n", " ")),
+    "x468_brand_price_anova" ->
+      ("""WITH p AS (SELECT p_brand,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM part WHERE p_brand IS NOT NULL
+         |  AND p_retailprice IS NOT NULL),
+         |g AS (SELECT p_brand, CAST(COUNT(*) AS HUGEINT) AS ng,
+         |  SUM(CAST(c AS HUGEINT)) AS sg FROM p GROUP BY 1),
+         |gg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+         |  SUM(sg * sg // ng) AS t1 FROM g),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |  SUM(CAST(c AS HUGEINT)) AS s, SUM(CAST(c AS HUGEINT) * c) AS q
+         | FROM p)
+         |SELECT n_parts, n_brands,
+         | CAST(CASE WHEN q > s * s // n_parts
+         |  THEN (t1 - s * s // n_parts) * 1000000
+         |   // (q - s * s // n_parts) END AS BIGINT) AS eta2_ppm
+         |FROM m CROSS JOIN gg""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
