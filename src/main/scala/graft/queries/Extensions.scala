@@ -5592,6 +5592,96 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x469 — brand rank stability trend: Spearman-footrule distance
+    * (exact integer Σ|rank shift|, ppm of the n²/2 maximum) between each
+    * quarter's brand revenue ranking and the previous quarter's — x193
+    * compares TWO rankings once; this is the stability TIME SERIES that
+    * says whether the assortment order is settling or churning.
+    * Brand-bounded per-quarter rank frames. */
+  private val x469: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("o_orderdate").isNotNull && col("p_brand").isNotNull &&
+        col("l_extendedprice").isNotNull)
+      .groupBy(date_trunc("quarter", col("o_orderdate")).cast("date").as("q"),
+        col("p_brand").as("brand"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("decimal(38,0)").as("__v"))
+    val ranked = rev.withColumn("__rk",
+      row_number().over(Window.partitionBy("q")
+        .orderBy(col("__v").desc, col("brand"))).cast("long"))
+    ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.brand") === col("b.brand") &&
+          add_months(col("a.q"), 3) === col("b.q"))
+      .select(col("b.q").as("quarter"),
+        abs(col("a.__rk") - col("b.__rk")).as("__d"))
+      .groupBy("quarter")
+      .agg(count(lit(1)).as("n_common"), sum(col("__d")).as("__f"))
+      .select(col("quarter"), col("n_common"),
+        expr("CAST(__f * 2000000 DIV (n_common * n_common) AS BIGINT)")
+          .as("footrule_ppm"))
+      .orderBy("quarter")
+  }
+
+  /** x470 — trade homophily: do customers buy from SAME-NATION suppliers
+    * more than independence predicts? Observed same-nation line share vs
+    * `Σ_n L_cn·L_sn / T²`, lift in milli — the one-scalar homophily
+    * readout behind x319's flow matrix. Nation-bounded collapses;
+    * products stage through DECIMAL(38,0). */
+  private val x470: Q = (spark, sfDir) => {
+    val lines = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("__cn"), col("s_nationkey").as("__sn"))
+    val obs = lines.agg(count(lit(1)).as("n_lines"),
+      sum(when(col("__cn") === col("__sn"), 1L).otherwise(0L)).as("__same"))
+    val exp = lines.groupBy("__cn").agg(count(lit(1)).as("__lc"))
+      .join(lines.groupBy("__sn").agg(count(lit(1)).as("__ls")),
+        col("__cn") === col("__sn"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("__lc").cast("decimal(38,0)") * col("__ls")).as("__e"))
+    obs.crossJoin(exp)
+      .select(col("n_lines"), col("n_nations"),
+        expr("__same * 1000000 DIV n_lines").as("same_ppm"),
+        expr("""CAST(__e * 1000000
+              DIV (CAST(n_lines AS DECIMAL(38,0)) * n_lines) AS BIGINT)""")
+          .as("expected_ppm"))
+      .withColumn("lift_milli",
+        expr("CASE WHEN expected_ppm > 0 THEN same_ppm * 1000 DIV expected_ppm END"))
+  }
+
+  /** x471 — size-price slope by brand: exact-moment least-squares slope
+    * (cents per size unit, the x115 decimal→double pattern, round 6) of
+    * catalog price against part size within each brand — is a brand's
+    * price ladder driven by size or flat (x402 audits MONOTONICITY;
+    * this measures the GRADIENT)? One brand-keyed moment collapse. */
+  private val x471: Q = (spark, sfDir) => {
+    val m = Tables(spark, sfDir, "part")
+      .filter(col("p_brand").isNotNull && col("p_size").isNotNull &&
+        col("p_retailprice").isNotNull)
+      .select(col("p_brand").as("brand"),
+        col("p_size").cast("decimal(38,0)").as("x"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .cast("decimal(38,0)").as("y"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__qx"),
+        sum(col("x") * col("y")).as("__pxy"))
+    val n = col("n_parts").cast("double")
+    val (sx, sy) = (col("__sx").cast("double"), col("__sy").cast("double"))
+    val qx = col("__qx").cast("double")
+    val den = n * qx - sx * sx
+    val num = n * col("__pxy").cast("double") - sx * sy
+    m.select(col("brand"), col("n_parts"),
+        when(den > 0, round(num / den, 6)).as("slope_cents_per_size"))
+      .orderBy("brand")
+  }
+
   /** x466 — weekday shift matrix: order weekday × ship weekday line
     * counts with per-order-weekday shares — does Friday demand ship
     * Monday (weekend pipeline freeze) or same-week? Weekdays via
@@ -7170,7 +7260,10 @@ object Extensions {
     "x465_catalog_ratio_census" -> x465,
     "x466_weekday_shift_matrix" -> x466,
     "x467_serial_returner_census" -> x467,
-    "x468_brand_price_anova" -> x468)
+    "x468_brand_price_anova" -> x468,
+    "x469_brand_rank_stability" -> x469,
+    "x470_trade_homophily" -> x470,
+    "x471_size_price_slope" -> x471)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -13514,6 +13607,64 @@ object Extensions {
          |  THEN (t1 - s * s // n_parts) * 1000000
          |   // (q - s * s // n_parts) END AS BIGINT) AS eta2_ppm
          |FROM m CROSS JOIN gg""".stripMargin.replace("\n", " ")),
+    "x469_brand_rank_stability" ->
+      ("""WITH rev AS (SELECT CAST(date_trunc('quarter',
+         |  CAST(o_orderdate AS DATE)) AS DATE) AS q, p_brand AS brand,
+         |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS HUGEINT)) AS v
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE o_orderdate IS NOT NULL AND p_brand IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT q, brand, CAST(ROW_NUMBER() OVER (PARTITION BY q
+         |  ORDER BY v DESC, brand) AS BIGINT) AS rk FROM rev),
+         |pr AS (SELECT b.q AS quarter, ABS(a.rk - b.rk) AS d
+         | FROM r a JOIN r b ON a.brand = b.brand
+         |  AND a.q + INTERVAL 3 MONTH = b.q)
+         |SELECT quarter, CAST(COUNT(*) AS BIGINT) AS n_common,
+         | CAST(SUM(d) * 2000000 // (COUNT(*) * COUNT(*)) AS BIGINT)
+         |  AS footrule_ppm
+         |FROM pr GROUP BY 1 ORDER BY quarter"""
+        .stripMargin.replace("\n", " ")),
+    "x470_trade_homophily" ->
+      ("""WITH li AS (SELECT c_nationkey AS cn, s_nationkey AS sn
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey),
+         |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN cn = sn THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS same FROM li),
+         |lc AS (SELECT cn, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+         |ls AS (SELECT sn, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY 1),
+         |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+         |  SUM(CAST(lc.c AS HUGEINT) * ls.s) AS ee
+         | FROM lc JOIN ls ON lc.cn = ls.sn),
+         |x AS (SELECT o.n_lines, e.n_nations,
+         |  CAST(o.same * 1000000 // o.n_lines AS BIGINT) AS same_ppm,
+         |  CAST(e.ee * 1000000 // (CAST(o.n_lines AS HUGEINT) * o.n_lines)
+         |   AS BIGINT) AS expected_ppm FROM o CROSS JOIN e)
+         |SELECT n_lines, n_nations, same_ppm, expected_ppm,
+         | CASE WHEN expected_ppm > 0
+         |  THEN CAST(same_ppm * 1000 // expected_ppm AS BIGINT)
+         | END AS lift_milli FROM x""".stripMargin.replace("\n", " ")),
+    "x471_size_price_slope" ->
+      ("""WITH p AS (SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS x,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         | FROM part WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+         |  AND p_retailprice IS NOT NULL),
+         |m AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |  SUM(CAST(x AS HUGEINT) * x) AS qx,
+         |  SUM(CAST(x AS HUGEINT) * y) AS pxy FROM p GROUP BY 1)
+         |SELECT brand, n_parts,
+         | CASE WHEN (CAST(n_parts AS DOUBLE) * CAST(qx AS DOUBLE)
+         |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |  THEN ROUND((CAST(n_parts AS DOUBLE) * CAST(pxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / (CAST(n_parts AS DOUBLE) * CAST(qx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         | END AS slope_cents_per_size
+         |FROM m ORDER BY brand""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
