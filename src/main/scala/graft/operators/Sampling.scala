@@ -596,6 +596,68 @@ object Sampling {
         (col("boot_lo_cents") > 0 || col("boot_hi_cents") < 0).cast("int"))
   }
 
+  /**
+   * HASH-BOOTSTRAP confidence interval for the MEDIAN — the same
+   * deterministic Poisson-resample machinery as [[hashBootstrapMeanCI]],
+   * but each resample's statistic is the EXACT lower median computed from
+   * multiplicity-weighted distinct-value cumulative counts (never a row
+   * sort): collapse each resample to (value, Σmultiplicity), rank the
+   * collapsed frame per resample, take the first value crossing half the
+   * weight. Medians need a bootstrap MORE than means do (no CLT plug-in),
+   * and this one is bit-reproducible in the oracle.
+   *
+   * Scale shape: the fan-out collapses to (resample × distinct values)
+   * rows before any window; the per-resample rank frame is value-bounded.
+   */
+  def hashBootstrapMedianCI(df: DataFrame, idCol: String, valueCents: Column,
+      nResamples: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nResamples >= 4, s"nResamples $nResamples too small for order stats")
+    require(nResamples % 2 == 0, s"nResamples $nResamples must be even (paired draws)")
+    val multExpr = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
+        when(col("__h") < t, k.toLong).otherwise(acc)
+      }
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val weighted = base
+      .select(col("__id"), col("__v"),
+        explode(expr(s"sequence(0, ${nResamples / 2 - 1})")).as("__g"))
+      .withColumn("__hx", md5(concat(col("__id"), lit("|"), col("__g").cast("string"))))
+      .select(col("__v"), col("__g"),
+        posexplode(array(
+          conv(substring(col("__hx"), 1, 15), 16, 10).cast("long"),
+          conv(substring(col("__hx"), 16, 15), 16, 10).cast("long"))).as(Seq("__j", "__h")))
+      .withColumn("__b", col("__g") * 2 + col("__j"))
+      .withColumn("__m", multExpr)
+      .groupBy("__b", "__v").agg(sum(col("__m")).as("__w"))
+      .filter(col("__w") > 0)
+    val tot = weighted.groupBy("__b").agg(sum(col("__w")).as("__t"))
+    val medians = weighted
+      .withColumn("__cum", sum(col("__w")).over(
+        Window.partitionBy("__b").orderBy("__v")))
+      .join(tot, "__b")
+      .groupBy("__b")
+      .agg(min(when(col("__cum") * 2 >= col("__t"), col("__v"))).as("__med"))
+    val boot = medians.agg(array_sort(collect_list(col("__med"))).as("__ms"))
+    // the point estimate: exact lower median of the ORIGINAL data
+    val coll = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val n0 = base.agg(count(lit(1)).as("n_rows"))
+    val orig = coll
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy("__v")))
+      .crossJoin(broadcast(n0))
+      .agg(max(col("n_rows")).as("n_rows"),
+        min(when(col("__cum") * 2 >= col("n_rows"), col("__v"))).as("median_cents"))
+    orig.crossJoin(boot)
+      .select(col("n_rows"), col("median_cents"),
+        expr("CAST(element_at(__ms, 2) AS BIGINT)").as("boot_lo_cents"),
+        expr(s"CAST(element_at(__ms, ${nResamples - 1}) AS BIGINT)")
+          .as("boot_hi_cents"),
+        lit(nResamples).as("n_resamples"))
+  }
+
   def hashBootstrapMeanCI(df: DataFrame, idCol: String, valueCents: Column,
       nResamples: Int = 32): DataFrame = {
     require(nResamples >= 4, s"nResamples $nResamples too small for order stats")

@@ -5592,6 +5592,86 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x472 — bootstrap median CI ([[Sampling.hashBootstrapMedianCI]]):
+    * the deterministic Poisson bootstrap applied to the EXACT weighted
+    * median per resample — medians have no CLT plug-in error bar, so
+    * this is the only honest CI for x307/x139-style median readouts.
+    * Resamples collapse to (b, value, weight) before any window. */
+  private val x472: Q = (spark, sfDir) =>
+    Sampling.hashBootstrapMedianCI(Tables(spark, sfDir, "orders"),
+      "o_orderkey", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+
+  /** x473 — cross-supplier price spread: for parts sourced from ≥ 2
+    * suppliers, the ppm spread between the cheapest and dearest
+    * supplier's exact mean line price, banded — the procurement
+    * arbitrage table (x402 audits the brand ladder; this audits the
+    * SUPPLIER quotes for the same part). Two part-keyed collapses. */
+  private val x473: Q = (spark, sfDir) => {
+    val ps = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull &&
+        col("l_extendedprice").isNotNull && col("l_quantity").isNotNull &&
+        col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              DIV CAST(l_quantity AS BIGINT)""").as("__unit"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("__n"), sum(col("__unit")).as("__s"))
+      .select(col("l_partkey"), expr("1000 * __s DIV __n").as("__mean_milli"))
+    val spread = ps.groupBy("l_partkey")
+      .agg(count(lit(1)).as("__nsupp"),
+        min(col("__mean_milli")).as("__lo"), max(col("__mean_milli")).as("__hi"))
+      .filter(col("__nsupp") >= 2 && col("__lo") > 0)
+      .select(col("__nsupp"),
+        expr("(__hi - __lo) * 1000000 DIV __lo").as("__spread_ppm"))
+      .select(col("__nsupp"),
+        when(col("__spread_ppm") < 100000000L, "0_under_100x")
+          .when(col("__spread_ppm") < 250000000L, "1_under_250x")
+          .when(col("__spread_ppm") < 500000000L, "2_under_500x")
+          .otherwise("3_over_500x").as("spread_band"))
+    val tot = spread.agg(count(lit(1)).as("__t"))
+    spread.groupBy("spread_band")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("CAST(SUM(__nsupp) * 1000 DIV COUNT(*) AS BIGINT)")
+          .as("mean_suppliers_milli"))
+      .crossJoin(broadcast(tot))
+      .select(col("spread_band"), col("n_parts"), col("mean_suppliers_milli"),
+        expr("n_parts * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("spread_band")
+  }
+
+  /** x474 — peak-day attribution: on the top-decile traffic days (exact
+    * p90 cut over the daily counts), how concentrated is the load — mean
+    * top-10-user share vs typical days? Concentrated peaks are one
+    * broken client; diffuse ones are real demand. Per-day top-k via
+    * day-partitioned rank; day-spine-bounded everything else. */
+  private val x474: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("__c"))
+    val daily = ud.groupBy("day").agg(sum(col("__c")).as("__n"))
+    val med = daily.groupBy("__n").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(Window.orderBy("__n")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("__days"))))
+      .agg(min(when(col("__cum") * 10 >= col("__days") * 9, col("__n"))).as("__p90"))
+    val top = ud
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("day").orderBy(col("__c").desc, col("user_id"))))
+      .groupBy("day")
+      .agg(sum(when(col("__rk") <= 10, col("__c")).otherwise(0L)).as("__top10"))
+    daily.join(top, "day").crossJoin(broadcast(med))
+      .select(
+        when(col("__n") >= col("__p90"), "1_peak").otherwise("0_typical")
+          .as("day_class"),
+        col("__n"), expr("1000 * __top10 DIV __n").as("__share_milli"))
+      .groupBy("day_class")
+      .agg(count(lit(1)).as("n_days"), sum(col("__n")).as("n_events"),
+        expr("CAST(SUM(__share_milli) DIV COUNT(*) AS BIGINT)")
+          .as("mean_top10_share_milli"))
+      .orderBy("day_class")
+  }
+
   /** x469 — brand rank stability trend: Spearman-footrule distance
     * (exact integer Σ|rank shift|, ppm of the n²/2 maximum) between each
     * quarter's brand revenue ranking and the previous quarter's — x193
@@ -7263,7 +7343,10 @@ object Extensions {
     "x468_brand_price_anova" -> x468,
     "x469_brand_rank_stability" -> x469,
     "x470_trade_homophily" -> x470,
-    "x471_size_price_slope" -> x471)
+    "x471_size_price_slope" -> x471,
+    "x472_bootstrap_median_ci" -> x472,
+    "x473_supplier_price_spread" -> x473,
+    "x474_anomaly_attribution" -> x474)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -13665,6 +13748,88 @@ object Extensions {
          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
          | END AS slope_cents_per_size
          |FROM m ORDER BY brand""".stripMargin.replace("\n", " ")),
+    "x472_bootstrap_median_ci" ->
+      (s"""WITH v AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_orderkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL),
+         |rs AS (SELECT id, v, unnest(range(16)) AS g FROM v),
+         |hx AS (SELECT v, g, md5(id || '|' || CAST(g AS VARCHAR)) AS x
+         | FROM rs),
+         |hh AS (SELECT v, g * 2 AS b,
+         |  CAST(('0x' || substr(x, 1, 15)) AS BIGINT) AS h FROM hx
+         | UNION ALL SELECT v, g * 2 + 1,
+         |  CAST(('0x' || substr(x, 16, 15)) AS BIGINT) FROM hx),
+         |mm AS (SELECT v, b, $poissonCaseSql AS m FROM hh),
+         |w AS (SELECT b, v, CAST(SUM(m) AS BIGINT) AS w FROM mm
+         | GROUP BY 1, 2 HAVING SUM(m) > 0),
+         |t AS (SELECT b, CAST(SUM(w) AS BIGINT) AS t FROM w GROUP BY 1),
+         |cu AS (SELECT b, v, SUM(w) OVER (PARTITION BY b ORDER BY v)
+         |  AS cum FROM w),
+         |md AS (SELECT cu.b,
+         |  CAST(MIN(CASE WHEN cum * 2 >= t.t THEN v END) AS BIGINT) AS med
+         | FROM cu JOIN t ON cu.b = t.b GROUP BY 1),
+         |ms AS (SELECT list_sort(list(med)) AS arr FROM md),
+         |oc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1),
+         |ot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |ocu AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM oc),
+         |om AS (SELECT MAX(ot.n) AS n_rows,
+         |  CAST(MIN(CASE WHEN ocu.cum * 2 >= ot.n THEN ocu.v END)
+         |   AS BIGINT) AS median_cents FROM ocu CROSS JOIN ot)
+         |SELECT n_rows, median_cents,
+         | CAST(arr[2] AS BIGINT) AS boot_lo_cents,
+         | CAST(arr[31] AS BIGINT) AS boot_hi_cents,
+         | CAST(32 AS INT) AS n_resamples
+         |FROM om, ms""".stripMargin.replace("\n", " ")),
+    "x473_supplier_price_spread" ->
+      ("""WITH u AS (SELECT l_partkey, l_suppkey,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   // CAST(l_quantity AS BIGINT) AS unit
+         | FROM lineitem WHERE l_partkey IS NOT NULL
+         |  AND l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL
+         |  AND l_quantity IS NOT NULL AND l_quantity > 0),
+         |ps AS (SELECT l_partkey,
+         |  1000 * SUM(unit) // COUNT(*) AS mean_milli
+         | FROM u GROUP BY l_partkey, l_suppkey),
+         |sp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nsupp,
+         |  MIN(mean_milli) AS lo, MAX(mean_milli) AS hi
+         | FROM ps GROUP BY 1 HAVING COUNT(*) >= 2 AND MIN(mean_milli) > 0),
+         |b AS (SELECT nsupp, CASE
+         |  WHEN (hi - lo) * 1000000 // lo < 100000000 THEN '0_under_100x'
+         |  WHEN (hi - lo) * 1000000 // lo < 250000000 THEN '1_under_250x'
+         |  WHEN (hi - lo) * 1000000 // lo < 500000000 THEN '2_under_500x'
+         |  ELSE '3_over_500x' END AS spread_band FROM sp),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT spread_band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(SUM(nsupp) * 1000 // COUNT(*) AS BIGINT)
+         |  AS mean_suppliers_milli,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY spread_band, tt ORDER BY spread_band"""
+        .stripMargin.replace("\n", " ")),
+    "x474_anomaly_attribution" ->
+      ("""WITH ud AS (SELECT CAST(ts AS DATE) AS day, user_id,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM events
+         | WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+         |d AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM ud GROUP BY 1),
+         |dc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+         |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS days FROM d),
+         |cu AS (SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum FROM dc),
+         |md AS (SELECT CAST(MIN(CASE WHEN cu.cum * 10 >= dd.days * 9
+         |  THEN cu.n END) AS BIGINT) AS p90 FROM cu CROSS JOIN dd),
+         |tp AS (SELECT day, CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END)
+         |  AS BIGINT) AS top10
+         | FROM (SELECT day, c, ROW_NUMBER() OVER (PARTITION BY day
+         |  ORDER BY c DESC, user_id) AS rk FROM ud) GROUP BY 1),
+         |cl AS (SELECT CASE WHEN d.n >= md.p90 THEN '1_peak'
+         |  ELSE '0_typical' END AS day_class, d.n,
+         |  1000 * tp.top10 // d.n AS share_milli
+         | FROM d JOIN tp ON d.day = tp.day CROSS JOIN md)
+         |SELECT day_class, CAST(COUNT(*) AS BIGINT) AS n_days,
+         | CAST(SUM(n) AS BIGINT) AS n_events,
+         | CAST(SUM(share_milli) // COUNT(*) AS BIGINT)
+         |  AS mean_top10_share_milli
+         |FROM cl GROUP BY 1 ORDER BY day_class"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
