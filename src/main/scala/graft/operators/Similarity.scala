@@ -424,6 +424,66 @@ object Similarity {
   }
 
   /**
+   * K-MEANS STEP AUDIT — one exact Lloyd iteration, oracle-checkable:
+   * start from the deterministic [[signBucket]] coarse cells, reassign
+   * every vector to its nearest cell MEAN, and report the sum-of-squared
+   * error before and after. The improvement number is the "is clustering
+   * structure even there?" probe run before any expensive IVF build.
+   *
+   * Exactness: vectors micro-scale to BIGINT (`ROUND(v·1e6)`); SSE uses
+   * the ANOVA identity `Σm² − Σ_g S_g²/n_g` with per-(cell,dim) TRUNCATED
+   * division (identical across engines, bias ≪ 1 micro²); distances
+   * compare as `Σ_d (n·m − S)² DIV n²` — the n²-scaled exact integer form
+   * of ||v − S/n||², truncated deterministically, ties to the lower cell
+   * id. So the reassignment — and therefore both SSE numbers — is
+   * bit-reproducible in DuckDB.
+   *
+   * Scale shape: moment collapses are (cells × dims)-bounded; the
+   * distance stream is rows × cells (cells = 2^bits, a constant); one
+   * vector-partitioned rank picks the argmin. Nothing quadratic.
+   */
+  def kmeansStepAudit(embeddings: DataFrame, bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"),
+        expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("__m"))
+    val a0 = embeddings.select(col("vec_id"),
+      signBucket(col("embedding"), bits).cast("long").as("cell"))
+    def groupStats(assign: DataFrame) = base.join(assign, "vec_id")
+      .groupBy("cell", "d")
+      .agg(sum(col("__m").cast("decimal(38,0)")).as("__S"),
+        count(lit(1)).as("__n"))
+    def ssbOf(g: DataFrame) = g
+      .agg(sum(expr("CAST(__S * __S DIV __n AS DECIMAL(38,0))")).as("__ssb"),
+        countDistinct(col("cell")).as("__nc"))
+    val g0 = groupStats(a0)
+    val a1 = base.join(broadcast(g0), "d")
+      .select(col("vec_id"), col("cell"), col("__n"),
+        (col("__n") * col("__m").cast("decimal(38,0)") - col("__S")).as("__diff"))
+      .groupBy("vec_id", "cell")
+      .agg(max(col("__n")).as("__n"), sum(col("__diff") * col("__diff")).as("__a"))
+      .select(col("vec_id"), col("cell"),
+        expr("CAST(__a DIV (__n * __n) AS DECIMAL(38,0))").as("__d2"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("__d2"), col("cell"))))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val q = base.agg(
+      sum(col("__m").cast("decimal(38,0)") * col("__m")).as("__Q"),
+      countDistinct(col("vec_id")).as("n_vectors"))
+    q.crossJoin(ssbOf(g0).select(col("__ssb").as("__ssb0"), col("__nc").as("n_cells_before")))
+      .crossJoin(ssbOf(groupStats(a1))
+        .select(col("__ssb").as("__ssb1"), col("__nc").as("n_cells_after")))
+      .select(col("n_vectors"), col("n_cells_before"), col("n_cells_after"),
+        expr("CAST((__Q - __ssb0) DIV 1000000 AS BIGINT)").as("sse_before_scaled"),
+        expr("CAST((__Q - __ssb1) DIV 1000000 AS BIGINT)").as("sse_after_scaled"),
+        expr("""CAST(CASE WHEN __ssb1 > __ssb0
+              THEN (__ssb1 - __ssb0) * 1000000 DIV (__Q - __ssb0)
+              ELSE 0 END AS BIGINT)""").as("improvement_ppm"))
+  }
+
+  /**
    * SPLIT-HALF CENTROID STABILITY — the embedding-space A/A test: vectors
    * split by id parity, per-label centroids computed independently on each
    * half, and the cosine between the two half-centroids reported per

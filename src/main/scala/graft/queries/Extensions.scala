@@ -5592,6 +5592,71 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x475 — sample fidelity audit: does the top-10 brand ranking survive
+    * a 10 % deterministic hash sample of lineitem? Overlap@10 plus a
+    * top-1-preserved flag — the QA gate that says whether downstream
+    * dashboards can run on the sample. Hash draws are the portable md5
+    * convention, so the sampled ranking is oracle-exact. */
+  private val x475: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull)
+      .select(col("p_brand").as("brand"), col("l_orderkey"), col("l_linenumber"))
+    def top10(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("brand").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("brand")).limit(10)
+    val full = top10(li)
+    val sampled = top10(li.filter(
+      pmod(graft.operators.PortableHash.hash60(
+        concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))), lit(10L)) === 0L))
+    val f = full.select(col("brand"), row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__n").desc, col("brand")))
+      .as("__rf"))
+    val s = sampled.select(col("brand"), row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__n").desc, col("brand")))
+      .as("__rs"))
+    f.join(s, Seq("brand"), "inner")
+      .agg(count(lit(1)).as("overlap_at_10"),
+        max(when(col("__rf") === 1 && col("__rs") === 1, 1).otherwise(0))
+          .as("top1_preserved"))
+      .select(lit(10L).as("k"), col("overlap_at_10"),
+        expr("overlap_at_10 * 1000000 DIV 10").as("overlap_ppm"),
+        col("top1_preserved"))
+  }
+
+  /** x476 — funnel parity by nation: view→click→purchase user conversion
+    * per customer nation — x64's funnel split by the fairness axis (the
+    * x164 parity lens on BEHAVIOUR instead of spend). Events join the
+    * customer dimension once; everything else is user-keyed collapses. */
+  private val x476: Q = (spark, sfDir) => {
+    val per = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("__v"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("__c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__p"))
+      .filter(col("__v") === 1L)
+    per
+      .join(Tables(spark, sfDir, "customer"), col("user_id") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_viewers"), sum(col("__c")).as("__clicks"),
+        sum(col("__p")).as("__purch"))
+      .select(col("nation"), col("n_viewers"),
+        expr("__clicks * 1000000 DIV n_viewers").as("click_ppm"),
+        expr("__purch * 1000000 DIV n_viewers").as("purchase_ppm"))
+      .orderBy("nation")
+  }
+
+  /** x477 — k-means step audit ([[Similarity.kmeansStepAudit]]): one
+    * EXACT Lloyd iteration from the sign-bucket cells — SSE before/after
+    * and the improvement ppm, every number bit-reproducible in the
+    * oracle. The "is there clustering structure?" probe run before any
+    * IVF build (x30/x183 assume the answer; this measures it). */
+  private val x477: Q = (spark, sfDir) =>
+    Similarity.kmeansStepAudit(emb(spark, sfDir), bits = 4)
+
   /** x472 — bootstrap median CI ([[Sampling.hashBootstrapMedianCI]]):
     * the deterministic Poisson bootstrap applied to the EXACT weighted
     * median per resample — medians have no CLT plug-in error bar, so
@@ -7346,7 +7411,10 @@ object Extensions {
     "x471_size_price_slope" -> x471,
     "x472_bootstrap_median_ci" -> x472,
     "x473_supplier_price_spread" -> x473,
-    "x474_anomaly_attribution" -> x474)
+    "x474_anomaly_attribution" -> x474,
+    "x475_sample_fidelity" -> x475,
+    "x476_funnel_parity_nation" -> x476,
+    "x477_kmeans_step_audit" -> x477)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7610,6 +7678,49 @@ object Extensions {
     s"WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM lineitem " +
       s"WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}) " +
       s"$branches ORDER BY col_x, col_y"
+  }
+
+  /** x477 oracle: one exact Lloyd step in DuckDB — identical micro
+    * scaling, identical truncated-division SSE identity, identical
+    * n²-scaled integer distance and (d2, cell) tie-break, so the
+    * reassignment matches Spark's bit for bit. */
+  private val kmeansStepOracle: String = {
+    val bucket4 = (0 until 4)
+      .map(i => s"(CASE WHEN e.embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH dims AS (SELECT e.vec_id, dd.d, e.embedding[dd.d+1] AS v
+       | FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+       |b AS (SELECT vec_id, d,
+       |  CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS m FROM dims),
+       |a0 AS (SELECT e.vec_id, CAST($bucket4 AS BIGINT) AS cell
+       | FROM embeddings e),
+       |q AS (SELECT SUM(CAST(m AS HUGEINT) * m) AS qq,
+       |  CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors FROM b),
+       |g0 AS (SELECT a0.cell, b.d, SUM(CAST(b.m AS HUGEINT)) AS s,
+       |  CAST(COUNT(*) AS HUGEINT) AS n
+       | FROM b JOIN a0 USING (vec_id) GROUP BY 1, 2),
+       |s0 AS (SELECT SUM(s * s // n) AS ssb,
+       |  CAST(COUNT(DISTINCT cell) AS BIGINT) AS nc FROM g0),
+       |di AS (SELECT b.vec_id, g0.cell, MAX(g0.n) AS n,
+       |  SUM((g0.n * b.m - g0.s) * (g0.n * b.m - g0.s)) AS a
+       | FROM b JOIN g0 ON b.d = g0.d GROUP BY 1, 2),
+       |d2 AS (SELECT vec_id, cell, a // (n * n) AS d2 FROM di),
+       |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+       |  FROM d2) WHERE rk = 1),
+       |g1 AS (SELECT a1.cell, b.d, SUM(CAST(b.m AS HUGEINT)) AS s,
+       |  CAST(COUNT(*) AS HUGEINT) AS n
+       | FROM b JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |s1 AS (SELECT SUM(s * s // n) AS ssb,
+       |  CAST(COUNT(DISTINCT cell) AS BIGINT) AS nc FROM g1)
+       |SELECT q.n_vectors, s0.nc AS n_cells_before, s1.nc AS n_cells_after,
+       | CAST((q.qq - s0.ssb) // 1000000 AS BIGINT) AS sse_before_scaled,
+       | CAST((q.qq - s1.ssb) // 1000000 AS BIGINT) AS sse_after_scaled,
+       | CAST(CASE WHEN s1.ssb > s0.ssb
+       |  THEN (s1.ssb - s0.ssb) * 1000000 // (q.qq - s0.ssb)
+       |  ELSE 0 END AS BIGINT) AS improvement_ppm
+       |FROM q CROSS JOIN s0 CROSS JOIN s1"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** x463 oracle: the [[corrMatrixOracle]] construction over per-document
@@ -13830,6 +13941,43 @@ object Extensions {
          |  AS mean_top10_share_milli
          |FROM cl GROUP BY 1 ORDER BY day_class"""
         .stripMargin.replace("\n", " ")),
+    "x475_sample_fidelity" ->
+      ("""WITH li AS (SELECT p_brand AS brand, l_orderkey, l_linenumber
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL),
+         |f AS (SELECT brand, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+         |  brand) AS rf FROM li GROUP BY brand
+         | ORDER BY COUNT(*) DESC, brand LIMIT 10),
+         |sm AS (SELECT brand FROM li
+         | WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+         |  || '#' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+         |  % 10 = 0),
+         |s AS (SELECT brand, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+         |  brand) AS rs FROM sm GROUP BY brand
+         | ORDER BY COUNT(*) DESC, brand LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         | CAST(COUNT(*) AS BIGINT) AS overlap_at_10,
+         | CAST(COUNT(*) * 1000000 // 10 AS BIGINT) AS overlap_ppm,
+         | MAX(CASE WHEN rf = 1 AND rs = 1 THEN 1 ELSE 0 END)
+         |  AS top1_preserved
+         |FROM f JOIN s USING (brand)"""
+        .stripMargin.replace("\n", " ")),
+    "x476_funnel_parity_nation" ->
+      ("""WITH per AS (SELECT user_id,
+         |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         |  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         | FROM events WHERE user_id IS NOT NULL
+         |  AND event_type IS NOT NULL GROUP BY 1 HAVING
+         |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1)
+         |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_viewers,
+         | CAST(SUM(c) * 1000000 // COUNT(*) AS BIGINT) AS click_ppm,
+         | CAST(SUM(p) * 1000000 // COUNT(*) AS BIGINT) AS purchase_ppm
+         |FROM per JOIN customer ON user_id = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY nation"""
+        .stripMargin.replace("\n", " ")),
+    "x477_kmeans_step_audit" -> kmeansStepOracle,
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
