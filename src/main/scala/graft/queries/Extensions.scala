@@ -5592,6 +5592,168 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x481 — co-purchase weight spectrum: how strong are co-purchase
+    * ties — the log2-band census of pair weights over the 1996–97 part
+    * co-purchase graph (x188/x450 analyze its TOPOLOGY; this is the
+    * EDGE-WEIGHT distribution that says whether "also bought" signals
+    * (x201) ride one-off coincidences or repeated pairs). Pair weights
+    * collapse before banding; bands via exact digit-free log2
+    * (`length(bin(w))`). */
+  private val x481: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
+      .distinct()
+    val w = li.as("a")
+      .join(li.as("b"), col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("u"), col("b.__p").as("v"))
+      .agg(count(lit(1)).as("__w"))
+    val tot = w.agg(count(lit(1)).as("__t"))
+    w.select(length(bin(col("__w"))).cast("long").as("weight_log2_band"),
+        col("__w"))
+      .groupBy("weight_log2_band")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__w")).as("co_occurrences"))
+      .crossJoin(broadcast(tot))
+      .select(col("weight_log2_band"), col("n_pairs"), col("co_occurrences"),
+        expr("n_pairs * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("weight_log2_band")
+  }
+
+  /** x482 — join funnel audit: row retention through the
+    * lineitem→orders→customer→nation→region enrichment chain, one join
+    * at a time — where enrichment silently drops rows (x93 audits FK
+    * conformance pairwise; this is the PIPELINE view, the first thing
+    * checked when a dashboard undercounts). Left joins + null counts in
+    * one pass each. */
+  private val x482: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"))
+    val step0 = li.count()
+    val j1 = li.join(Tables(spark, sfDir, "orders"),
+      col("l_orderkey") === col("o_orderkey"), "left")
+    val step1 = j1.filter(col("o_orderkey").isNotNull).count()
+    val j2 = j1.join(Tables(spark, sfDir, "customer"),
+      col("o_custkey") === col("c_custkey"), "left")
+    val step2 = j2.filter(col("c_custkey").isNotNull).count()
+    val j3 = j2.join(Tables(spark, sfDir, "nation"),
+      col("c_nationkey") === col("n_nationkey"), "left")
+    val step3 = j3.filter(col("n_nationkey").isNotNull).count()
+    val j4 = j3.join(Tables(spark, sfDir, "region"),
+      col("n_regionkey") === col("r_regionkey"), "left")
+    val step4 = j4.filter(col("r_regionkey").isNotNull).count()
+    Seq(("0_lineitem", step0), ("1_orders", step1), ("2_customer", step2),
+      ("3_nation", step3), ("4_region", step4))
+      .toDF("join_step", "rows_surviving")
+      .withColumn("retention_ppm",
+        expr(s"rows_surviving * 1000000 DIV $step0"))
+      .orderBy("join_step")
+  }
+
+  /** x483 — assortment discovery curve: per order month, the share of
+    * orders containing at least one FIRST-EVER-SOLD part and the count
+    * of parts debuting that month — x255's novelty curve at the
+    * commerce grain (is the catalog still being explored or has demand
+    * locked onto known parts?). Part first-sale dates are one
+    * part-keyed collapse. */
+  private val x483: Q = (spark, sfDir) => {
+    val lo = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_partkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"),
+        to_date(col("o_orderdate")).as("__d"))
+    val firstSale = lo.groupBy("__pk").agg(min(col("__d")).as("__fd"))
+    val monthly = lo.join(firstSale, "__pk")
+      .select(date_trunc("month", col("__d")).cast("date").as("month"),
+        col("__ok"), (col("__d") === col("__fd")).cast("long").as("__isnew"))
+      .groupBy("month", "__ok")
+      .agg(max(col("__isnew")).as("__hasnew"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"), sum(col("__hasnew")).as("__novel"))
+    val debuts = firstSale
+      .groupBy(date_trunc("month", col("__fd")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_new_parts"))
+    monthly.join(debuts, Seq("month"), "left")
+      .select(col("month"), col("n_orders"),
+        expr("__novel * 1000000 DIV n_orders").as("novel_order_ppm"),
+        coalesce(col("n_new_parts"), lit(0L)).as("n_new_parts"))
+      .orderBy("month")
+  }
+
+  /** x478 — Horvitz-Thompson estimator audit: take x156's systematic
+    * PPS sample (size-biased by order value) and reconstruct BOTH the
+    * value total (`stride·k`) and the unweighted row count
+    * (`Σ stride DIV w_i`, truncated per row), reporting exact ppm error
+    * against the truth — the calibration certificate that says whether
+    * dashboard estimates from the sample can be trusted. */
+  private val x478: Q = (spark, sfDir) => {
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__w"))
+    val n = 1000L
+    val truth = o.filter(col("__w") > 0)
+      .agg(count(lit(1)).as("true_rows"), sum(col("__w")).as("true_total_cents"))
+    val s = Sampling.systematicPpsSample(o, "o_orderkey", "__w", n)
+    val est = s.crossJoin(broadcast(truth))
+      .select(col("weight"), col("true_rows"), col("true_total_cents"),
+        expr(s"true_total_cents DIV $n").as("__stride"))
+      .agg(max(col("true_rows")).as("true_rows"),
+        max(col("true_total_cents")).as("true_total_cents"),
+        count(lit(1)).as("n_selected"),
+        max(col("__stride")).as("__stride"),
+        sum(expr("__stride DIV weight")).as("est_rows"))
+      .select(col("true_rows"), col("true_total_cents"), col("n_selected"),
+        (col("n_selected") * col("__stride")).as("est_total_cents"),
+        col("est_rows"))
+    est.select(col("true_rows"), col("est_rows"),
+        expr("abs(est_rows - true_rows) * 1000000 DIV true_rows").as("err_rows_ppm"),
+        col("true_total_cents"), col("est_total_cents"),
+        expr("abs(est_total_cents - true_total_cents) * 1000000 DIV true_total_cents")
+          .as("err_total_ppm"),
+        col("n_selected"))
+  }
+
+  /** x479 — retention by first touch: per user, the FIRST event's type
+    * (ts + event_id tiebreak) vs whether they were seen again ≥ 7 days
+    * later — x372 measures first-touch CONVERSION; this measures
+    * first-touch STICKINESS, the channel-quality readout. Two user-keyed
+    * collapses. */
+  private val x479: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+    val first = ev.groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("__f"),
+        max(to_date(col("ts"))).as("__last_day"))
+      .select(col("user_id"), col("__f.event_type").as("first_type"),
+        to_date(col("__f.ts")).as("__first_day"), col("__last_day"))
+    first.groupBy("first_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(datediff(col("__last_day"), col("__first_day")) >= 7, 1L)
+          .otherwise(0L)).as("__ret"))
+      .select(col("first_type"), col("n_users"),
+        expr("__ret * 1000000 DIV n_users").as("retained_ppm"))
+      .orderBy("first_type")
+  }
+
+  /** x480 — approx-distinct calibration: per lineitem key column, the
+    * exact distinct count plus a flag that Spark's HLL++
+    * (`approx_count_distinct`, rsd 5 %) landed within 10 % — the x83
+    * pattern widened to a per-column calibration table (the approx
+    * VALUE is engine-specific and never leaves the flag). */
+  private val x480: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    cols.map { c =>
+      li.agg(countDistinct(col(c)).as("n_distinct"),
+          approx_count_distinct(col(c), 0.05).as("__approx"))
+        .select(lit(c).as("col_name"), col("n_distinct"),
+          (abs(col("__approx") - col("n_distinct")) * 10 <= col("n_distinct"))
+            .as("approx_ok"))
+    }.reduce(_.unionAll(_)).orderBy("col_name")
+  }
+
   /** x475 — sample fidelity audit: does the top-10 brand ranking survive
     * a 10 % deterministic hash sample of lineitem? Overlap@10 plus a
     * top-1-preserved flag — the QA gate that says whether downstream
@@ -5661,10 +5823,15 @@ object Extensions {
     * the deterministic Poisson bootstrap applied to the EXACT weighted
     * median per resample — medians have no CLT plug-in error bar, so
     * this is the only honest CI for x307/x139-style median readouts.
-    * Resamples collapse to (b, value, weight) before any window. */
+    * Resamples collapse to (b, value, weight) before any window.
+    * 16 resamples (≈ 88 % interval from the 2nd/15th order stats): the
+    * median resample costs a per-resample value-collapsed rank, so the
+    * fan-out is half the mean CI's to stay inside the per-query time
+    * budget — the operator takes any even count. */
   private val x472: Q = (spark, sfDir) =>
     Sampling.hashBootstrapMedianCI(Tables(spark, sfDir, "orders"),
-      "o_orderkey", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      "o_orderkey", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      nResamples = 16)
 
   /** x473 — cross-supplier price spread: for parts sourced from ≥ 2
     * suppliers, the ppm spread between the cheapest and dearest
@@ -7414,7 +7581,13 @@ object Extensions {
     "x474_anomaly_attribution" -> x474,
     "x475_sample_fidelity" -> x475,
     "x476_funnel_parity_nation" -> x476,
-    "x477_kmeans_step_audit" -> x477)
+    "x477_kmeans_step_audit" -> x477,
+    "x478_ht_estimator_audit" -> x478,
+    "x479_retention_first_touch" -> x479,
+    "x480_approx_distinct_calibration" -> x480,
+    "x481_copurchase_weight_spectrum" -> x481,
+    "x482_join_funnel_audit" -> x482,
+    "x483_assortment_discovery" -> x483)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -13864,7 +14037,7 @@ object Extensions {
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
          | FROM orders WHERE o_orderkey IS NOT NULL
          |  AND o_totalprice IS NOT NULL),
-         |rs AS (SELECT id, v, unnest(range(16)) AS g FROM v),
+         |rs AS (SELECT id, v, unnest(range(8)) AS g FROM v),
          |hx AS (SELECT v, g, md5(id || '|' || CAST(g AS VARCHAR)) AS x
          | FROM rs),
          |hh AS (SELECT v, g * 2 AS b,
@@ -13889,8 +14062,8 @@ object Extensions {
          |   AS BIGINT) AS median_cents FROM ocu CROSS JOIN ot)
          |SELECT n_rows, median_cents,
          | CAST(arr[2] AS BIGINT) AS boot_lo_cents,
-         | CAST(arr[31] AS BIGINT) AS boot_hi_cents,
-         | CAST(32 AS INT) AS n_resamples
+         | CAST(arr[15] AS BIGINT) AS boot_hi_cents,
+         | CAST(16 AS INT) AS n_resamples
          |FROM om, ms""".stripMargin.replace("\n", " ")),
     "x473_supplier_price_spread" ->
       ("""WITH u AS (SELECT l_partkey, l_suppkey,
@@ -13978,6 +14151,119 @@ object Extensions {
          |GROUP BY n_name ORDER BY nation"""
         .stripMargin.replace("\n", " ")),
     "x477_kmeans_step_audit" -> kmeansStepOracle,
+    "x478_ht_estimator_audit" ->
+      ("""WITH o AS (SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+         | FROM orders WHERE o_orderkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL),
+         |f AS (SELECT o_orderkey, w,
+         |  SUM(w) OVER (ORDER BY o_orderkey) AS cum FROM o WHERE w > 0),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_rows,
+         |  CAST(SUM(w) AS BIGINT) AS true_total FROM o WHERE w > 0),
+         |sel AS (SELECT f.w FROM f CROSS JOIN t
+         | WHERE t.true_total // 1000 > 0
+         |  AND (f.cum - f.w) // (t.true_total // 1000)
+         |    < f.cum // (t.true_total // 1000)),
+         |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+         |  CAST(SUM((SELECT true_total FROM t) // 1000 // w) AS BIGINT)
+         |   AS est_rows FROM sel)
+         |SELECT t.true_rows, e.est_rows,
+         | CAST(ABS(e.est_rows - t.true_rows) * 1000000 // t.true_rows
+         |  AS BIGINT) AS err_rows_ppm,
+         | t.true_total AS true_total_cents,
+         | CAST(e.n_selected * (t.true_total // 1000) AS BIGINT)
+         |  AS est_total_cents,
+         | CAST(ABS(e.n_selected * (t.true_total // 1000) - t.true_total)
+         |  * 1000000 // t.true_total AS BIGINT) AS err_total_ppm,
+         | e.n_selected
+         |FROM t CROSS JOIN e""".stripMargin.replace("\n", " ")),
+    "x479_retention_first_touch" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND event_type IS NOT NULL),
+         |fr AS (SELECT user_id, event_type AS first_type,
+         |  CAST(ts AS DATE) AS fd,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |   AS rn FROM e),
+         |ld AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day
+         | FROM e GROUP BY 1),
+         |u AS (SELECT fr.user_id, fr.first_type, fr.fd, ld.last_day
+         | FROM fr JOIN ld ON fr.user_id = ld.user_id WHERE fr.rn = 1)
+         |SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(SUM(CASE WHEN date_diff('day', fd, last_day) >= 7
+         |  THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         |  AS retained_ppm
+         |FROM u GROUP BY first_type ORDER BY first_type"""
+        .stripMargin.replace("\n", " ")),
+    "x480_approx_distinct_calibration" ->
+      ("""SELECT col_name, n_distinct, TRUE AS approx_ok FROM (
+         | SELECT 'l_orderkey' AS col_name,
+         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+         | FROM lineitem
+         | UNION ALL SELECT 'l_partkey',
+         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+         | UNION ALL SELECT 'l_suppkey',
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+         | UNION ALL SELECT 'l_returnflag',
+         |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem)
+         |ORDER BY col_name""".stripMargin.replace("\n", " ")),
+    "x481_copurchase_weight_spectrum" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         | FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1998-01-01'),
+         |w AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+         | FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM w)
+         |SELECT CAST(length(bin(w)) AS BIGINT) AS weight_log2_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(SUM(w) AS BIGINT) AS co_occurrences,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM w, t GROUP BY weight_log2_band, tt
+         |ORDER BY weight_log2_band""".stripMargin.replace("\n", " ")),
+    "x482_join_funnel_audit" ->
+      ("""WITH s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+         |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey),
+         |s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey),
+         |s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey),
+         |s4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey),
+         |u AS (SELECT '0_lineitem' AS join_step, s0.n FROM s0
+         | UNION ALL SELECT '1_orders', s1.n FROM s1
+         | UNION ALL SELECT '2_customer', s2.n FROM s2
+         | UNION ALL SELECT '3_nation', s3.n FROM s3
+         | UNION ALL SELECT '4_region', s4.n FROM s4)
+         |SELECT join_step, n AS rows_surviving,
+         | CAST(n * 1000000 // (SELECT n FROM s0) AS BIGINT)
+         |  AS retention_ppm
+         |FROM u ORDER BY join_step""".stripMargin.replace("\n", " ")),
+    "x483_assortment_discovery" ->
+      ("""WITH lo AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+         |  CAST(o_orderdate AS DATE) AS d
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_partkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |fs AS (SELECT pk, MIN(d) AS fd FROM lo GROUP BY 1),
+         |po AS (SELECT CAST(date_trunc('month', lo.d) AS DATE) AS month,
+         |  lo.ok, MAX(CASE WHEN lo.d = fs.fd THEN 1 ELSE 0 END) AS hasnew
+         | FROM lo JOIN fs ON lo.pk = fs.pk GROUP BY 1, 2),
+         |mo AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(hasnew) AS BIGINT) AS novel FROM po GROUP BY 1),
+         |de AS (SELECT CAST(date_trunc('month', fd) AS DATE) AS month,
+         |  CAST(COUNT(*) AS BIGINT) AS n_new_parts FROM fs GROUP BY 1)
+         |SELECT mo.month, mo.n_orders,
+         | CAST(mo.novel * 1000000 // mo.n_orders AS BIGINT)
+         |  AS novel_order_ppm,
+         | COALESCE(de.n_new_parts, 0) AS n_new_parts
+         |FROM mo LEFT JOIN de ON mo.month = de.month ORDER BY mo.month"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
