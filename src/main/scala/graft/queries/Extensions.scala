@@ -5592,6 +5592,81 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x484 — representative-policy divergence: for every near-dup
+    * cluster, does the cheap keep-min-id representative (x01/x241's
+    * convention) pick the SAME doc as the keep-best-quality policy
+    * (x24's)? The divergence ppm prices the shortcut — high divergence
+    * means min-id silently keeps short/truncated variants. Twelfth
+    * consumer of the LSH pair staging; cluster-bounded windows. */
+  private val x484: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val j = Dedup.dupClusters(lshPairs(spark, sfDir), 3)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("n_chars")), "doc_id")
+    val best = j.withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc_id").as("__bestrep"))
+    j.groupBy("cluster")
+      .agg(count(lit(1)).as("__sz"), min(col("doc_id")).as("__minrep"))
+      .join(best, "cluster")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("__minrep") === col("__bestrep"), 1L).otherwise(0L))
+          .as("n_same_rep"),
+        sum(when(col("__minrep") =!= col("__bestrep"), 1L).otherwise(0L))
+          .as("__diff"),
+        sum(col("__sz")).as("__szs"))
+      .select(col("n_clusters"), col("n_same_rep"),
+        expr("__diff * 1000000 DIV n_clusters").as("divergence_ppm"),
+        expr("__szs * 1000 DIV n_clusters").as("mean_size_milli"))
+  }
+
+  /** x485 — fingerprint bits sweep: collisions of the 60-bit portable
+    * text fingerprint truncated to 20/24/28/32 bits, observed vs the
+    * birthday-bound expectation (`n(n−1)/2^(b+1)`, milli) — how many
+    * bits the dedup fingerprint actually needs (x11 assumes 60 is
+    * enough; this prices the truncation). Distinct-text collapse, then
+    * four modulus collapses. */
+  private val x485: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val h = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("text")).distinct()
+      .select(graft.operators.PortableHash.hash60(col("text")).as("__h"))
+    val bits = Seq((20, 1L << 20), (24, 1L << 24), (28, 1L << 28),
+      (32, 1L << 32)).toDF("bits", "__m")
+    h.crossJoin(broadcast(bits))
+      .select(col("bits"), col("__m"), pmod(col("__h"), col("__m")).as("__k"))
+      .groupBy("bits", "__m")
+      .agg(count(lit(1)).as("n_texts"), countDistinct(col("__k")).as("__dk"))
+      .select(col("bits").cast("long").as("bits"), col("n_texts"),
+        (col("n_texts") - col("__dk")).as("observed_collisions"),
+        expr("""CAST(CAST(n_texts AS DECIMAL(38,0)) * (n_texts - 1) * 1000
+              DIV (2 * CAST(__m AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("expected_milli"))
+      .orderBy("bits")
+  }
+
+  /** x486 — embedding geometry census: cosine of adjacent-id vector
+    * pairs (2k, 2k+1), banded 0.1-wide — the label-free "what does this
+    * space look like" histogram (isotropy check: random embeddings mass
+    * near 0, collapsed spaces near ±1). One equi-join on id, the x05
+    * index-ordered cosine fold, band census. */
+  private val x486: Q = (spark, sfDir) => {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val a = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("__ia"), col("embedding").as("__ea"))
+    val b = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("__ib"), col("embedding").as("__eb"))
+    val p = a.join(b, col("__ib") === col("__ia") + 1)
+      .select(floor(Similarity.cosine(col("__ea"), col("__eb")) * 10)
+        .cast("long").as("cos_band"))
+    val tot = p.agg(count(lit(1)).as("__t"))
+    p.groupBy("cos_band").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cos_band"), col("n_pairs"),
+        expr("n_pairs * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("cos_band")
+  }
+
   /** x481 — co-purchase weight spectrum: how strong are co-purchase
     * ties — the log2-band census of pair weights over the 1996–97 part
     * co-purchase graph (x188/x450 analyze its TOPOLOGY; this is the
@@ -7587,7 +7662,10 @@ object Extensions {
     "x480_approx_distinct_calibration" -> x480,
     "x481_copurchase_weight_spectrum" -> x481,
     "x482_join_funnel_audit" -> x482,
-    "x483_assortment_discovery" -> x483)
+    "x483_assortment_discovery" -> x483,
+    "x484_rep_policy_divergence" -> x484,
+    "x485_fingerprint_bits_sweep" -> x485,
+    "x486_embedding_geometry_census" -> x486)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -14263,6 +14341,49 @@ object Extensions {
          |  AS novel_order_ppm,
          | COALESCE(de.n_new_parts, 0) AS n_new_parts
          |FROM mo LEFT JOIN de ON mo.month = de.month ORDER BY mo.month"""
+        .stripMargin.replace("\n", " ")),
+    "x484_rep_policy_divergence" ->
+      (s"""WITH $clusterCtes,
+         |j AS (SELECT l3.node, l3.label, d.n_chars FROM l3
+         | JOIN documents d ON l3.node = d.doc_id),
+         |br AS (SELECT label, node AS bestrep FROM (SELECT label, node,
+         |  ROW_NUMBER() OVER (PARTITION BY label
+         |   ORDER BY n_chars DESC, node) AS rn FROM j) WHERE rn = 1),
+         |mr AS (SELECT label, CAST(MIN(node) AS BIGINT) AS minrep,
+         |  CAST(COUNT(*) AS BIGINT) AS sz FROM j GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         | CAST(SUM(CASE WHEN minrep = bestrep THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_same_rep,
+         | CAST(SUM(CASE WHEN minrep <> bestrep THEN 1 ELSE 0 END)
+         |  * 1000000 // COUNT(*) AS BIGINT) AS divergence_ppm,
+         | CAST(SUM(sz) * 1000 // COUNT(*) AS BIGINT) AS mean_size_milli
+         |FROM mr JOIN br USING (label)"""
+        .stripMargin.replace("\n", " ")),
+    "x485_fingerprint_bits_sweep" ->
+      ("""WITH h AS (SELECT CAST(('0x' || substr(md5(text), 1, 15))
+         |  AS BIGINT) AS h
+         | FROM (SELECT DISTINCT text FROM documents
+         |  WHERE text IS NOT NULL)),
+         |bl AS (SELECT CAST(b AS BIGINT) AS bits, CAST(m AS BIGINT) AS m
+         | FROM (VALUES (20, 1048576), (24, 16777216), (28, 268435456),
+         |  (32, 4294967296)) t(b, m)),
+         |g AS (SELECT bl.bits, bl.m, CAST(COUNT(*) AS BIGINT) AS n_texts,
+         |  CAST(COUNT(DISTINCT h.h % bl.m) AS BIGINT) AS dk
+         | FROM h CROSS JOIN bl GROUP BY 1, 2)
+         |SELECT bits, n_texts, n_texts - dk AS observed_collisions,
+         | CAST(CAST(n_texts AS HUGEINT) * (n_texts - 1) * 1000
+         |  // (2 * CAST(m AS HUGEINT)) AS BIGINT) AS expected_milli
+         |FROM g ORDER BY bits""".stripMargin.replace("\n", " ")),
+    "x486_embedding_geometry_census" ->
+      (s"""WITH p AS (SELECT FLOOR((${cos2Sql("a.embedding", "b.embedding")})
+         |  * 10) AS cos_band
+         | FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         | WHERE a.vec_id % 2 = 0),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM p)
+         |SELECT CAST(cos_band AS BIGINT) AS cos_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM p, t GROUP BY cos_band, tt ORDER BY cos_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
