@@ -5592,6 +5592,88 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x487 — supplier demand-trend census: sign AND magnitude of each
+    * supplier's quarterly LINE-VOLUME trend — exact integer
+    * least-squares numerator/denominator (`n·Σxy − ΣxΣy`,
+    * `n·Σx² − (Σx)²`), magnitude as `|num| DIV den` milli-items/quarter
+    * (positive operands, so truncation is engine-exact). x387 censuses
+    * supplier activity LEVELS; this is the direction-of-travel census
+    * that says which side of the book is churning. */
+  private val x487: Q = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_suppkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("l_suppkey").as("__s"),
+        ((year(col("o_orderdate")) - 1995) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("long").as("__x"))
+    val qs = d.groupBy("__s", "__x")
+      .agg((count(lit(1)) * 1000).as("__my"))
+    val m = qs.groupBy("__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__my")).as("__smy"),
+        sum(col("__x") * col("__x")).as("__qx"),
+        sum(col("__x") * col("__my")).as("__pxy"))
+      .filter(col("__n") >= 4)
+      .select((col("__n") * col("__pxy") - col("__sx") * col("__smy")).as("__num"),
+        (col("__n") * col("__qx") - col("__sx") * col("__sx")).as("__den"))
+      // |slope| in milli-days per quarter, truncated on POSITIVE operands
+      // so both engines agree; the sign rides the band label
+      .select(col("__num"), expr("abs(__num) DIV __den").as("__mag"))
+    val tot = m.agg(count(lit(1)).as("__t"))
+    m.select(when(col("__num") < 0 && col("__mag") >= 150L, "0_declining_strong")
+        .when(col("__num") < 0, "1_declining_mild")
+        .when(col("__num") === 0, "2_flat")
+        .when(col("__mag") < 150L, "3_growing_mild")
+        .otherwise("4_growing_strong").as("trend_band"))
+      .groupBy("trend_band").agg(count(lit(1)).as("n_suppliers"))
+      .crossJoin(broadcast(tot))
+      .select(col("trend_band"), col("n_suppliers"),
+        expr("n_suppliers * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("trend_band")
+  }
+
+  /** x488 — quantizer bits sweep: sign-bucket cell occupancy at
+    * bits = 2/4/6/8 — cells used, empty-cell share, and the hottest
+    * cell's load ppm. The IVF tuning table (x183 audits ONE config;
+    * this sweeps the knob): more bits cut cell size until cells go
+    * empty and recall machinery starves. Cell collapses only. */
+  private val x488: Q = (spark, sfDir) => {
+    val e = emb(spark, sfDir)
+    Seq(2, 4, 6, 8).map { bits =>
+      val cells = e.select(Similarity.signBucket(col("embedding"), bits)
+          .cast("long").as("__cell"))
+        .groupBy("__cell").agg(count(lit(1)).as("__n"))
+      cells.agg(count(lit(1)).as("cells_used"), sum(col("__n")).as("__tot"),
+          max(col("__n")).as("__max"))
+        .select(lit(bits.toLong).as("bits"), col("cells_used"),
+          (lit(1L << bits) - col("cells_used")).as("cells_empty"),
+          expr("__max * 1000000 DIV __tot").as("max_cell_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("bits")
+  }
+
+  /** x489 — priority escalation matrix: for successive orders of the
+    * SAME customer, the (previous priority → priority) transition
+    * counts with per-row shares — does dissatisfaction escalate
+    * (x141's transition lens on the ORDER stream instead of events)?
+    * Customer-partitioned lag, priority²-bounded census. */
+  private val x489: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val t = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+      .withColumn("__prev", lag(col("o_orderpriority"), 1).over(byCust))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_priority"),
+        col("o_orderpriority").as("to_priority"))
+      .agg(count(lit(1)).as("n_transitions"))
+    t.withColumn("__rowtot",
+        sum(col("n_transitions")).over(Window.partitionBy("from_priority")))
+      .select(col("from_priority"), col("to_priority"), col("n_transitions"),
+        expr("n_transitions * 1000000 DIV __rowtot").as("row_share_ppm"))
+      .orderBy("from_priority", "to_priority")
+  }
+
   /** x484 — representative-policy divergence: for every near-dup
     * cluster, does the cheap keep-min-id representative (x01/x241's
     * convention) pick the SAME doc as the keep-best-quality policy
@@ -7665,7 +7747,10 @@ object Extensions {
     "x483_assortment_discovery" -> x483,
     "x484_rep_policy_divergence" -> x484,
     "x485_fingerprint_bits_sweep" -> x485,
-    "x486_embedding_geometry_census" -> x486)
+    "x486_embedding_geometry_census" -> x486,
+    "x487_supplier_trend_census" -> x487,
+    "x488_quantizer_bits_sweep" -> x488,
+    "x489_priority_escalation" -> x489)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -7929,6 +8014,24 @@ object Extensions {
     s"WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM lineitem " +
       s"WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}) " +
       s"$branches ORDER BY col_x, col_y"
+  }
+
+  /** x488 oracle: the sign-bucket occupancy sweep, one UNION ALL branch
+    * per bits value with the same sign-bit cell key as
+    * [[graft.operators.Similarity.signBucket]]. */
+  private val quantizerSweepOracle: String = {
+    val branches = Seq(2, 4, 6, 8).map { bits =>
+      val cell = (0 until bits)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT CAST($bits AS BIGINT) AS bits,
+         | CAST(COUNT(*) AS BIGINT) AS cells_used,
+         | CAST(${1L << bits} - COUNT(*) AS BIGINT) AS cells_empty,
+         | CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS max_cell_ppm
+         |FROM (SELECT $cell AS cell, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM embeddings GROUP BY 1)""".stripMargin.replace("\n", " ")
+    }
+    branches.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY bits")
   }
 
   /** x477 oracle: one exact Lloyd step in DuckDB — identical micro
@@ -14384,6 +14487,51 @@ object Extensions {
          | CAST(COUNT(*) AS BIGINT) AS n_pairs,
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM p, t GROUP BY cos_band, tt ORDER BY cos_band"""
+        .stripMargin.replace("\n", " ")),
+    "x487_supplier_trend_census" ->
+      ("""WITH d AS (SELECT l_suppkey AS s,
+         |  CAST((EXTRACT(year FROM o_orderdate) - 1995) * 4
+         |   + EXTRACT(quarter FROM o_orderdate) - 1 AS BIGINT) AS x
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_suppkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |qs AS (SELECT s, x, 1000 * COUNT(*) AS my
+         | FROM d GROUP BY 1, 2),
+         |m AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(my) AS BIGINT) AS smy,
+         |  CAST(SUM(x * x) AS BIGINT) AS qx,
+         |  CAST(SUM(x * my) AS BIGINT) AS pxy
+         | FROM qs GROUP BY 1 HAVING COUNT(*) >= 4),
+         |nd AS (SELECT n * pxy - sx * smy AS num,
+         |  ABS(n * pxy - sx * smy) // (n * qx - sx * sx) AS mag FROM m),
+         |sg AS (SELECT CASE
+         |  WHEN num < 0 AND mag >= 150 THEN '0_declining_strong'
+         |  WHEN num < 0 THEN '1_declining_mild'
+         |  WHEN num = 0 THEN '2_flat'
+         |  WHEN mag < 150 THEN '3_growing_mild'
+         |  ELSE '4_growing_strong' END AS trend_band FROM nd),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM sg)
+         |SELECT trend_band, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM sg, t GROUP BY trend_band, tt ORDER BY trend_band"""
+        .stripMargin.replace("\n", " ")),
+    "x488_quantizer_bits_sweep" -> quantizerSweepOracle,
+    "x489_priority_escalation" ->
+      ("""WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+         |  o_orderpriority,
+         |  LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+         |   ORDER BY o_orderdate, o_orderkey) AS prev
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+         |g AS (SELECT prev AS from_priority, o_orderpriority AS to_priority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_transitions
+         | FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT from_priority,
+         |  CAST(SUM(n_transitions) AS BIGINT) AS rt FROM g GROUP BY 1)
+         |SELECT g.from_priority, g.to_priority, g.n_transitions,
+         | CAST(g.n_transitions * 1000000 // r.rt AS BIGINT)
+         |  AS row_share_ppm
+         |FROM g JOIN r ON g.from_priority = r.from_priority
+         |ORDER BY g.from_priority, g.to_priority"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
