@@ -104,6 +104,48 @@ object Multimodal {
     }
   }
 
+  case class GradientFeatures(doc_id: Long, width: Int, height: Int,
+                              grad_energy: Long)
+
+  /** Total-variation gradient energy of a decoded image: Σ|I(x+1,y)−I(x,y)|
+    * + Σ|I(x,y+1)−I(x,y)| over band 0 — the Sobel-lite edge-mass scalar
+    * (flat fills ≈ 0, texture/noise high) used to triage screenshots vs
+    * photos before any model sees the pixels. */
+  def gradientEnergy(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var e = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = raster.getSample(x, y, 0)
+        if (x + 1 < w) e += math.abs(raster.getSample(x + 1, y, 0) - g)
+        if (y + 1 < h) e += math.abs(raster.getSample(x, y + 1, 0) - g)
+        x += 1
+      }
+      y += 1
+    }
+    e
+  }
+
+  /** Batch gradient-energy extraction: the [[extractFeatures]] shape (one
+    * iterator-to-iterator `mapPartitions`, REAL `javax.imageio` decode per
+    * payload) emitting the total-variation scalar — green means the codec
+    * round-trip AND the neighborhood arithmetic both survived. */
+  def extractGradientFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[GradientFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        GradientFeatures(r.doc_id, img.getWidth, img.getHeight,
+          gradientEnergy(img))
+      }
+    }
+  }
+
   /** Pack PNG frames into a length-prefixed container (the demuxable "video"
     * payload: `[int32 length][png bytes]`*). Container framing is pipeline
     * code; the per-frame codec stays `javax.imageio`. */

@@ -5592,6 +5592,60 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x490 — partition count sweep: hash-partition balance of the order
+    * keys at 8/16/32/64 partitions (portable md5 keys, so the oracle
+    * reproduces the assignment) — max/min partition load vs the ideal,
+    * the shuffle-sizing table read before picking
+    * `spark.sql.shuffle.partitions` for a join on this key. */
+  private val x490: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val keys = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey").isNotNull)
+      .select(graft.operators.PortableHash.hash60(col("o_orderkey")).as("__h"))
+    val parts = Seq(8L, 16L, 32L, 64L).toDF("n_partitions")
+    keys.crossJoin(broadcast(parts))
+      .groupBy(col("n_partitions"), pmod(col("__h"), col("n_partitions")).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("n_partitions")
+      .agg(sum(col("__c")).as("n_rows"), max(col("__c")).as("__max"),
+        min(col("__c")).as("__min"))
+      .select(col("n_partitions"), col("n_rows"),
+        expr("__max * n_partitions * 1000000 DIV n_rows").as("max_load_ppm"),
+        expr("__min * n_partitions * 1000000 DIV n_rows").as("min_load_ppm"))
+      .orderBy("n_partitions")
+  }
+
+  /** x491 — image gradient energy
+    * ([[graft.operators.Multimodal.extractGradientFeatures]]): per-image
+    * total-variation edge mass through the REAL `javax.imageio` decode —
+    * the oracle recomputes the neighborhood arithmetic from the synthetic
+    * pixel formula, so green certifies codec round-trip AND the gradient
+    * math. x12 proves sums survive the decode; this proves PIXEL
+    * ADJACENCY does. */
+  private val x491: Q = (spark, sfDir) => {
+    val media = graft.operators.Multimodal.renderImageTable(spark,
+      docs(spark, sfDir).filter(col("doc_id") % 5 === 0))
+    graft.operators.Multimodal.extractGradientFeatures(spark, media)
+      .toDF().orderBy("doc_id")
+  }
+
+  /** x492 — payload-value interaction: the JSON `k` payload banded by
+    * 25s crossed with event type — count and exact mean value
+    * milli-cents per cell. x459 audits k's DOMAIN; this asks whether k
+    * MEANS anything for value (flat rows = dead payload). */
+  private val x492: Q = (spark, sfDir) =>
+    Tables(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25").as("k_band"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__c"))
+      .filter(col("k_band").isNotNull)
+      .groupBy("event_type", "k_band")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(1000 * SUM(__c) DIV COUNT(*) AS BIGINT)")
+          .as("mean_value_milli_cents"))
+      .orderBy("event_type", "k_band")
+
   /** x487 — supplier demand-trend census: sign AND magnitude of each
     * supplier's quarterly LINE-VOLUME trend — exact integer
     * least-squares numerator/denominator (`n·Σxy − ΣxΣy`,
@@ -7750,7 +7804,10 @@ object Extensions {
     "x486_embedding_geometry_census" -> x486,
     "x487_supplier_trend_census" -> x487,
     "x488_quantizer_bits_sweep" -> x488,
-    "x489_priority_escalation" -> x489)
+    "x489_priority_escalation" -> x489,
+    "x490_partition_count_sweep" -> x490,
+    "x491_image_gradient_energy" -> x491,
+    "x492_payload_value_interaction" -> x492)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -14532,6 +14589,56 @@ object Extensions {
          |  AS row_share_ppm
          |FROM g JOIN r ON g.from_priority = r.from_priority
          |ORDER BY g.from_priority, g.to_priority"""
+        .stripMargin.replace("\n", " ")),
+    "x490_partition_count_sweep" ->
+      ("""WITH k AS (SELECT CAST(('0x' || substr(md5(CAST(o_orderkey
+         |  AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM orders
+         | WHERE o_orderkey IS NOT NULL),
+         |np AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT)
+         |  AS n_partitions),
+         |g AS (SELECT np.n_partitions, k.h % np.n_partitions AS p,
+         |  CAST(COUNT(*) AS BIGINT) AS c
+         | FROM k CROSS JOIN np GROUP BY 1, 2),
+         |m AS (SELECT n_partitions, CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  MAX(c) AS mx, MIN(c) AS mn FROM g GROUP BY 1)
+         |SELECT n_partitions, n_rows,
+         | CAST(mx * n_partitions * 1000000 // n_rows AS BIGINT)
+         |  AS max_load_ppm,
+         | CAST(mn * n_partitions * 1000000 // n_rows AS BIGINT)
+         |  AS min_load_ppm
+         |FROM m ORDER BY n_partitions""".stripMargin.replace("\n", " ")),
+    "x491_image_gradient_energy" ->
+      ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7
+         |  AS h FROM documents WHERE doc_id % 5 = 0),
+         |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p),
+         |v AS (SELECT doc_id, w, h, i % w AS x, i // w AS y,
+         |  (doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256 AS g
+         | FROM px),
+         |hg AS (SELECT a.doc_id, CAST(SUM(ABS(b.g - a.g)) AS BIGINT) AS e
+         | FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.x = a.x + 1
+         |  AND b.y = a.y GROUP BY 1),
+         |vg AS (SELECT a.doc_id, CAST(SUM(ABS(b.g - a.g)) AS BIGINT) AS e
+         | FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.x = a.x
+         |  AND b.y = a.y + 1 GROUP BY 1)
+         |SELECT p.doc_id, CAST(p.w AS INT) AS width,
+         | CAST(p.h AS INT) AS height,
+         | CAST(COALESCE(hg.e, 0) + COALESCE(vg.e, 0) AS BIGINT)
+         |  AS grad_energy
+         |FROM p LEFT JOIN hg ON p.doc_id = hg.doc_id
+         | LEFT JOIN vg ON p.doc_id = vg.doc_id ORDER BY p.doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x492_payload_value_interaction" ->
+      ("""WITH k AS (SELECT event_type,
+         |  CAST(NULLIF(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1), '')
+         |   AS BIGINT) // 25 AS k_band,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         | FROM events WHERE event_type IS NOT NULL
+         |  AND value IS NOT NULL)
+         |SELECT event_type, k_band, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(1000 * SUM(c) // COUNT(*) AS BIGINT)
+         |  AS mean_value_milli_cents
+         |FROM k WHERE k_band IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY event_type, k_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
