@@ -405,6 +405,60 @@ object Graph {
   }
 
   /**
+   * RICH-CLUB profile — do the hubs wire to EACH OTHER? For the degree
+   * thresholds at the p50/p75/p90 cut of the degree distribution (exact
+   * distinct-value cumulative rank, never a row sort), report the club's
+   * size, its internal edge count, and its density in ppm. A rising
+   * density profile is the rich-club effect (hubs form a core — one hot
+   * cluster at scale); flat is hub-and-spoke. Complements
+   * [[degreeAssortativity]] (edge-grain correlation) with the subgraph
+   * view.
+   *
+   * Scale shape: degree collapse → value-collapsed threshold frame
+   * (3 rows) → two membership hash joins of the edge list; club sizes
+   * and edge counts are tier-bounded aggregates.
+   */
+  def richClubProfile(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val tot = deg.agg(count(lit(1)).as("__t"))
+    val pcts = Seq(50L, 75L, 90L).toDF("pct")
+    val th = deg.groupBy("d").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(Window.orderBy("d")))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+      .groupBy("pct")
+      .agg(min(when(col("__cum") * 100 >= col("pct") * col("__t"), col("d")))
+        .as("degree_threshold"))
+    val member = deg.join(broadcast(th), col("d") >= col("degree_threshold"))
+      .select(col("pct"), col("degree_threshold"), col("node"))
+    val sizes = member.groupBy("pct")
+      .agg(max(col("degree_threshold")).as("degree_threshold"),
+        count(lit(1)).as("n_club_nodes"))
+    val within = canon
+      .join(member.select(col("pct").as("__pu"), col("node").as("u")), "u")
+      .join(member.select(col("pct").as("__pv"), col("node").as("v")), "v")
+      .filter(col("__pu") === col("__pv"))
+      .groupBy(col("__pu").as("pct")).agg(count(lit(1)).as("n_club_edges"))
+    sizes.join(within, Seq("pct"), "left")
+      .select(col("pct"), col("degree_threshold"), col("n_club_nodes"),
+        coalesce(col("n_club_edges"), lit(0L)).as("n_club_edges"))
+      .withColumn("density_ppm",
+        expr("""CASE WHEN n_club_nodes >= 2
+              THEN 2000000 * n_club_edges DIV (n_club_nodes * (n_club_nodes - 1))
+              ELSE 0 END"""))
+      .orderBy("pct")
+  }
+
+  /**
    * DEGREE ASSORTATIVITY — the Pearson correlation between the degrees at
    * the two ends of every edge (Newman, "Assortative mixing in networks",
    * 2002): positive = hubs wire to hubs (social-network shape), negative =

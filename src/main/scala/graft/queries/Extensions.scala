@@ -73,12 +73,35 @@ object Extensions {
           .localCheckpoint()
       })
 
+  /** Session-scoped memo of the 1996–97 part co-purchase edge frame —
+    * the staging table the closure analyses (x188 triangles, x450 local
+    * clustering, x481 weight spectrum, x495 rich club) all consume;
+    * built from the date-pruned lineitem scan once per session+SF and
+    * localCheckpoint'd (same contract as [[lshPairs]]). */
+  private val copurchaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    copurchaseMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir",
+      _ => {
+        val li = Tables(spark, sfDir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
+          .distinct()
+        li.as("a")
+          .join(li.as("b"),
+            col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
+          .select(col("a.__p").as("src"), col("b.__p").as("dst"))
+          .localCheckpoint()
+      })
+
   /** Drop the staging memos (checkpointed frames are reclaimed by the
     * ContextCleaner once unreferenced). The bench calls this between timed
     * passes so each pass honestly pays the one-time staging builds —
     * `clearCache()` alone would not drop checkpointed RDD blocks. */
   def clearStagingMemo(): Unit = {
     lshPairsMemo.clear(); edgesMemo.clear(); nodesMemo.clear()
+    copurchaseMemo.clear()
   }
   private def queryVec(spark: SparkSession, sfDir: String) =
     emb(spark, sfDir).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
@@ -1737,17 +1760,8 @@ object Extensions {
     * production runs it per window) and it rides the pushed-down shipdate
     * scan filter; the FULL graph's wedge volume grows with avg-degree²,
     * which is a budget decision, not a correctness one. */
-  private val x188: Q = (spark, sfDir) => {
-    val li = Tables(spark, sfDir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1998-01-01"))
-      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
-      .distinct()
-    val copurchase = li.as("a")
-      .join(li.as("b"), col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
-      .select(col("a.__p").as("src"), col("b.__p").as("dst"))
-    Graph.triangleCount(copurchase)
-  }
+  private val x188: Q = (spark, sfDir) =>
+    Graph.triangleCount(copurchaseEdges(spark, sfDir))
 
   /** x189 — blocked fuzzy name match ([[Dedup.blockedNameMatch]]): part-
     * name variants within 2 Damerau-Levenshtein edits, vocabulary-collapsed
@@ -5592,6 +5606,76 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x493 — nowcast ratio table: per order month, revenue landed in the
+    * first 10 days vs the full month (ppm), the cross-month exact median
+    * ratio, and each month's deviation from it — the table that says
+    * whether a partial month can nowcast its close (tight deviations =
+    * yes). Month-bounded frames throughout. */
+  private val x493: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .cast("long").as("full_cents"),
+        sum(when(dayofmonth(col("o_orderdate")) <= 10,
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(0L)).cast("long").as("first10_cents"))
+      .withColumn("ratio_ppm", expr("first10_cents * 1000000 DIV full_cents"))
+    val med = m.groupBy("ratio_ppm").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy("ratio_ppm")))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("__n"))))
+      .agg(min(when(col("__cum") * 2 >= col("__n"), col("ratio_ppm")))
+        .as("median_ratio_ppm"))
+    m.crossJoin(broadcast(med))
+      .select(col("month"), col("full_cents"), col("first10_cents"),
+        col("ratio_ppm"), col("median_ratio_ppm"),
+        abs(col("ratio_ppm") - col("median_ratio_ppm")).as("abs_dev_ppm"))
+      .orderBy("month")
+  }
+
+  /** x494 — source KS conformance: exact Kolmogorov–Smirnov distance of
+    * each source's doc-length (n_chars) distribution from the corpus
+    * (max |F_s − F| over the corpus value grid, cross-multiplied ppm —
+    * no float CDFs). x284 compares two fixed halves; this is the
+    * per-source conformance TABLE procurement reads. Sources × values
+    * spine is bounded. */
+  private val x494: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").as("__v"))
+    val vals = d.select("__v").distinct()
+    val srcCnt = d.groupBy("source", "__v").agg(count(lit(1)).as("__c"))
+    val srcTot = d.groupBy("source").agg(count(lit(1)).as("__ns"))
+    val allCum = d.groupBy("__v").agg(count(lit(1)).as("__ca"))
+      .withColumn("__cuma", sum(col("__ca")).over(Window.orderBy("__v")))
+    val tot = d.agg(count(lit(1)).as("__na"))
+    srcTot.select("source").crossJoin(vals)
+      .join(srcCnt, Seq("source", "__v"), "left")
+      .select(col("source"), col("__v"), coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__cums",
+        sum(col("__c")).over(Window.partitionBy("source").orderBy("__v")))
+      .join(allCum.select("__v", "__cuma"), "__v")
+      .join(srcTot, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("__ns"),
+        expr("""abs(__cums * __na - __cuma * __ns) * 1000000
+              DIV (CAST(__ns AS DECIMAL(38,0)) * __na)""").as("__d"))
+      .groupBy("source")
+      .agg(max(col("__ns")).as("n_docs"),
+        max(col("__d")).cast("long").as("ks_ppm"))
+      .orderBy("source")
+  }
+
+  /** x495 — rich-club profile ([[Graph.richClubProfile]]) of the
+    * co-purchase graph: club density at the p50/p75/p90 degree cuts —
+    * do popular parts co-sell with each other (a dense core = one hot
+    * partition at scale) or with the long tail? Fourth consumer of the
+    * co-purchase staging memo. */
+  private val x495: Q = (spark, sfDir) =>
+    Graph.richClubProfile(copurchaseEdges(spark, sfDir))
+
   /** x490 — partition count sweep: hash-partition balance of the order
     * keys at 8/16/32/64 partitions (portable md5 keys, so the oracle
     * reproduces the assignment) — max/min partition load vs the ideal,
@@ -5811,14 +5895,8 @@ object Extensions {
     * collapse before banding; bands via exact digit-free log2
     * (`length(bin(w))`). */
   private val x481: Q = (spark, sfDir) => {
-    val li = Tables(spark, sfDir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1998-01-01"))
-      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
-      .distinct()
-    val w = li.as("a")
-      .join(li.as("b"), col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
-      .groupBy(col("a.__p").as("u"), col("b.__p").as("v"))
+    val w = copurchaseEdges(spark, sfDir)
+      .groupBy(col("src").as("u"), col("dst").as("v"))
       .agg(count(lit(1)).as("__w"))
     val tot = w.agg(count(lit(1)).as("__t"))
     w.select(length(bin(col("__w"))).cast("long").as("weight_log2_band"),
@@ -6778,17 +6856,8 @@ object Extensions {
     * per-part triangle closure banded 0.1-wide — the distribution the
     * global clustering_ppm hides (cliques + sparse core average to a
     * meaningless middle). Same degree-ordered orientation bound. */
-  private val x450: Q = (spark, sfDir) => {
-    val li = Tables(spark, sfDir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1998-01-01"))
-      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
-      .distinct()
-    val copurchase = li.as("a")
-      .join(li.as("b"), col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
-      .select(col("a.__p").as("src"), col("b.__p").as("dst"))
-    Graph.localClusteringCensus(copurchase)
-  }
+  private val x450: Q = (spark, sfDir) =>
+    Graph.localClusteringCensus(copurchaseEdges(spark, sfDir))
 
   /** x445 — OOV rate by source: token share outside the global top-200
     * vocabulary (count-desc, word-asc deterministic cut) per source — the
@@ -7807,7 +7876,10 @@ object Extensions {
     "x489_priority_escalation" -> x489,
     "x490_partition_count_sweep" -> x490,
     "x491_image_gradient_energy" -> x491,
-    "x492_payload_value_interaction" -> x492)
+    "x492_payload_value_interaction" -> x492,
+    "x493_nowcast_ratio_table" -> x493,
+    "x494_source_ks_conformance" -> x494,
+    "x495_rich_club_profile" -> x495)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -14639,6 +14711,92 @@ object Extensions {
          |  AS mean_value_milli_cents
          |FROM k WHERE k_band IS NOT NULL
          |GROUP BY 1, 2 ORDER BY event_type, k_band"""
+        .stripMargin.replace("\n", " ")),
+    "x493_nowcast_ratio_table" ->
+      ("""WITH m AS (SELECT CAST(date_trunc('month', CAST(o_orderdate AS
+         |  DATE)) AS DATE) AS month,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS full_cents,
+         |  CAST(SUM(CASE WHEN EXTRACT(day FROM o_orderdate) <= 10
+         |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS first10_cents
+         | FROM orders WHERE o_orderdate IS NOT NULL
+         |  AND o_totalprice IS NOT NULL GROUP BY 1),
+         |r AS (SELECT month, full_cents, first10_cents,
+         |  first10_cents * 1000000 // full_cents AS ratio_ppm FROM m),
+         |c AS (SELECT ratio_ppm, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM r GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+         |cu AS (SELECT ratio_ppm, SUM(c) OVER (ORDER BY ratio_ppm) AS cum
+         | FROM c),
+         |md AS (SELECT CAST(MIN(CASE WHEN cu.cum * 2 >= n.n
+         |  THEN cu.ratio_ppm END) AS BIGINT) AS median_ratio_ppm
+         | FROM cu CROSS JOIN n)
+         |SELECT month, full_cents, first10_cents,
+         | CAST(ratio_ppm AS BIGINT) AS ratio_ppm, md.median_ratio_ppm,
+         | CAST(ABS(ratio_ppm - md.median_ratio_ppm) AS BIGINT)
+         |  AS abs_dev_ppm
+         |FROM r CROSS JOIN md ORDER BY month"""
+        .stripMargin.replace("\n", " ")),
+    "x494_source_ks_conformance" ->
+      ("""WITH d AS (SELECT source, n_chars AS v FROM documents
+         | WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         |vals AS (SELECT DISTINCT v FROM d),
+         |sc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM d GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+         | FROM d GROUP BY 1),
+         |ac AS (SELECT v, SUM(cc) OVER (ORDER BY v) AS cuma
+         | FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS cc FROM d
+         |  GROUP BY 1)),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM d),
+         |g AS (SELECT st.source, vals.v, COALESCE(sc.c, 0) AS c
+         | FROM st CROSS JOIN vals LEFT JOIN sc
+         |  ON sc.source = st.source AND sc.v = vals.v),
+         |cs AS (SELECT source, v, SUM(c) OVER (PARTITION BY source
+         |  ORDER BY v) AS cums FROM g),
+         |k AS (SELECT cs.source, st.ns,
+         |  ABS(cs.cums * na.na - ac.cuma * st.ns) * 1000000
+         |   // (CAST(st.ns AS HUGEINT) * na.na) AS dd
+         | FROM cs JOIN ac ON cs.v = ac.v
+         |  JOIN st ON cs.source = st.source CROSS JOIN na)
+         |SELECT source, MAX(ns) AS n_docs,
+         | CAST(MAX(dd) AS BIGINT) AS ks_ppm
+         |FROM k GROUP BY source ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    "x495_rich_club_profile" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         | FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1998-01-01'),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         | FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+         | FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         | GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM deg),
+         |dc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM deg GROUP BY 1),
+         |cu AS (SELECT d, SUM(cnt) OVER (ORDER BY d) AS cum FROM dc),
+         |pc AS (SELECT CAST(unnest([50, 75, 90]) AS BIGINT) AS pct),
+         |th AS (SELECT pc.pct, CAST(MIN(CASE WHEN cu.cum * 100
+         |  >= pc.pct * t.tt THEN cu.d END) AS BIGINT)
+         |  AS degree_threshold
+         | FROM cu CROSS JOIN t CROSS JOIN pc GROUP BY 1),
+         |mem AS (SELECT th.pct, th.degree_threshold, deg.node
+         | FROM deg JOIN th ON deg.d >= th.degree_threshold),
+         |sz AS (SELECT pct, MAX(degree_threshold) AS degree_threshold,
+         |  CAST(COUNT(*) AS BIGINT) AS n_club_nodes FROM mem GROUP BY 1),
+         |wi AS (SELECT mu.pct, CAST(COUNT(*) AS BIGINT) AS n_club_edges
+         | FROM e JOIN mem mu ON e.u = mu.node
+         |  JOIN mem mv ON e.v = mv.node AND mu.pct = mv.pct
+         | GROUP BY 1)
+         |SELECT sz.pct, sz.degree_threshold, sz.n_club_nodes,
+         | COALESCE(wi.n_club_edges, 0) AS n_club_edges,
+         | CAST(CASE WHEN sz.n_club_nodes >= 2
+         |  THEN 2000000 * COALESCE(wi.n_club_edges, 0)
+         |   // (sz.n_club_nodes * (sz.n_club_nodes - 1))
+         |  ELSE 0 END AS BIGINT) AS density_ppm
+         |FROM sz LEFT JOIN wi ON sz.pct = wi.pct ORDER BY sz.pct"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
