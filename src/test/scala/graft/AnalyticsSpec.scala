@@ -1083,6 +1083,23 @@ class AnalyticsSpec extends AnyFunSuite {
       == ((200L, 700L, 700L, 700L, 32)))
   }
 
+  test("hashBootstrapMedianCI: a constant column collapses the interval onto the median") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).map(i => (i, 900L)).toDF("id", "cents")
+    val r = Sampling.hashBootstrapMedianCI(df, "id", col("cents")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      == ((200L, 900L, 900L, 900L, 32)))
+  }
+
+  test("hashBootstrap: odd resample counts are rejected (paired-draw contract)") {
+    import graft.operators.Sampling
+    val df = (1L to 10L).map(i => (i, 1L)).toDF("id", "cents")
+    intercept[IllegalArgumentException](
+      Sampling.hashBootstrapMedianCI(df, "id", col("cents"), nResamples = 5))
+    intercept[IllegalArgumentException](
+      Sampling.hashBootstrapMeanCI(df, "id", col("cents"), nResamples = 7))
+  }
+
   test("lifetimeSpanHistogram: single-day users band at -1; spans band by bit length") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 18:00:00")), // span 0

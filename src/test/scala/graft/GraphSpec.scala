@@ -135,4 +135,18 @@ class GraphSpec extends AnyFunSuite {
     assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
       == ((0L, 1L, 0L)))
   }
+
+  test("richClubProfile: clique-plus-leaves — the club is the clique, the p90 club is the hub alone") {
+    // clique {a,b,c,d} + leaves e,f on a: degrees a=5, b=c=d=3, e=f=1
+    // p50/p75 threshold = 3 → club {a,b,c,d}: 6 internal edges, density 1e6
+    // p90 threshold = 5 → club {a}: no edges
+    val clique = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "e"), ("a", "f")).toDF("src", "dst")
+    val r = Graph.richClubProfile(clique).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(50L) == ((3L, 4L, 6L, 1000000L)))
+    assert(r(75L) == ((3L, 4L, 6L, 1000000L)))
+    assert(r(90L) == ((5L, 1L, 0L, 0L)))
+  }
 }

@@ -826,6 +826,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.gray_sum == expect)
   }
 
+  test("gradientEnergy: decoded PNG matches the pixel-formula total variation") {
+    // recompute the expected TV directly from the synthetic pattern
+    val id = 5L
+    val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+    def p(x: Int, y: Int): Int = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+    var expected = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      if (x + 1 < w) expected += math.abs(p(x + 1, y) - p(x, y))
+      if (y + 1 < h) expected += math.abs(p(x, y + 1) - p(x, y))
+    }
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.renderPng(id, 0)))
+    assert(Multimodal.gradientEnergy(img) == expected)
+  }
+
   test("decodeImage fails loudly on a non-image payload") {
     val e = intercept[Exception](Multimodal.decodeImage("not a png".getBytes("UTF-8")))
     assert(e.getMessage.contains("decodable"))
