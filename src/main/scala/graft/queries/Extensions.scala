@@ -5606,6 +5606,93 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x496 — delisting blast radius: per brand, the orders it touches,
+    * the orders it EXCLUSIVELY supplies (every line that brand — the
+    * ones a delisting kills outright), their revenue, and the customers
+    * left with no alternative in-order. x439 measures reach; this is
+    * the removal impact table assortment decisions actually need.
+    * Order-keyed collapses; the exclusivity test is `count = brand
+    * count` per order. */
+  private val x496: Q = (spark, sfDir) => {
+    val lb = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull)
+      .select(col("l_orderkey").as("__ok"), col("o_custkey").as("__ck"),
+        col("p_brand").as("brand"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val perOrder = lb.groupBy("__ok")
+      .agg(count(lit(1)).as("__lines"), max(col("__ck")).as("__ck"))
+    lb.groupBy("brand", "__ok")
+      .agg(count(lit(1)).as("__blines"), sum(col("__c")).as("__bcents"))
+      .join(perOrder, "__ok")
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_orders_touching"),
+        sum(when(col("__blines") === col("__lines"), 1L).otherwise(0L))
+          .as("n_orders_exclusive"),
+        sum(when(col("__blines") === col("__lines"), col("__bcents"))
+          .otherwise(0L)).as("revenue_exclusive_cents"),
+        countDistinct(when(col("__blines") === col("__lines"), col("__ck")))
+          .as("customers_exclusive"))
+      .orderBy("brand")
+  }
+
+  /** x497 — quality cutoff curve: corpus survival (docs AND tokens, ppm)
+    * at quality-score cutoffs 0.4–0.8 — x49 caps per source at a FIXED
+    * rule; this is the tuning curve that picks the rule. The score is
+    * x09's exact formula, reproduced verbatim in the oracle, so the
+    * double comparisons agree bit-for-bit. */
+  private val x497: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val scored = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select(TextAnalysis.qualityScore(col("text")).as("__s"),
+        size(split(col("text"), " ")).cast("long").as("__tok"))
+    val cuts = Seq(400L, 500L, 600L, 700L, 800L).toDF("cutoff_milli")
+    scored.crossJoin(broadcast(cuts))
+      .groupBy("cutoff_milli")
+      .agg(count(lit(1)).as("__n"), sum(col("__tok")).as("__tk"),
+        sum(when(col("__s") >= col("cutoff_milli") / 1000.0, 1L).otherwise(0L))
+          .as("__sd"),
+        sum(when(col("__s") >= col("cutoff_milli") / 1000.0, col("__tok"))
+          .otherwise(0L)).as("__st"))
+      .select(col("cutoff_milli"), col("__sd").as("docs_surviving"),
+        expr("__sd * 1000000 DIV __n").as("doc_survival_ppm"),
+        expr("__st * 1000000 DIV __tk").as("token_survival_ppm"))
+      .orderBy("cutoff_milli")
+  }
+
+  /** x498 — rapid-fire census: per user, the share of inter-event gaps
+    * under 10 minutes (same-sitting bursts), banded (none / <10 % /
+    * <50 % / ≥50 %) — burst-heavy accounts are scripts or power users,
+    * and the census feeds the x212 rate-limit policy. User-partitioned
+    * lag, user-keyed collapse. */
+  private val x498: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("__prev"))).as("__gap"))
+    val per = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__gap") < 600L, 1L).otherwise(0L)).as("__fast"))
+      .filter(col("__n") >= 5)
+      .select(expr("__fast * 1000000 DIV __n").as("__fp"))
+      .select(when(col("__fp") === 0, "0_none")
+        .when(col("__fp") < 100000L, "1_under_10pct")
+        .when(col("__fp") < 500000L, "2_under_50pct")
+        .otherwise("3_bot_like").as("fast_band"))
+    val tot = per.agg(count(lit(1)).as("__t"))
+    per.groupBy("fast_band").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("fast_band"), col("n_users"),
+        expr("n_users * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("fast_band")
+  }
+
   /** x493 — nowcast ratio table: per order month, revenue landed in the
     * first 10 days vs the full month (ppm), the cross-month exact median
     * ratio, and each month's deviation from it — the table that says
@@ -7879,7 +7966,10 @@ object Extensions {
     "x492_payload_value_interaction" -> x492,
     "x493_nowcast_ratio_table" -> x493,
     "x494_source_ks_conformance" -> x494,
-    "x495_rich_club_profile" -> x495)
+    "x495_rich_club_profile" -> x495,
+    "x496_delisting_blast_radius" -> x496,
+    "x497_quality_cutoff_curve" -> x497,
+    "x498_rapid_fire_census" -> x498)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -14797,6 +14887,64 @@ object Extensions {
          |   // (sz.n_club_nodes * (sz.n_club_nodes - 1))
          |  ELSE 0 END AS BIGINT) AS density_ppm
          |FROM sz LEFT JOIN wi ON sz.pct = wi.pct ORDER BY sz.pct"""
+        .stripMargin.replace("\n", " ")),
+    "x496_delisting_blast_radius" ->
+      ("""WITH lb AS (SELECT l_orderkey AS ok, o_custkey AS ck,
+         |  p_brand AS brand,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey WHERE p_brand IS NOT NULL),
+         |po AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS lines,
+         |  MAX(ck) AS ck FROM lb GROUP BY 1),
+         |bo AS (SELECT brand, ok, CAST(COUNT(*) AS BIGINT) AS blines,
+         |  CAST(SUM(c) AS BIGINT) AS bcents FROM lb GROUP BY 1, 2)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_orders_touching,
+         | CAST(SUM(CASE WHEN blines = lines THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_orders_exclusive,
+         | CAST(SUM(CASE WHEN blines = lines THEN bcents ELSE 0 END)
+         |  AS BIGINT) AS revenue_exclusive_cents,
+         | CAST(COUNT(DISTINCT CASE WHEN blines = lines THEN po.ck END)
+         |  AS BIGINT) AS customers_exclusive
+         |FROM bo JOIN po ON bo.ok = po.ok
+         |GROUP BY brand ORDER BY brand""".stripMargin.replace("\n", " ")),
+    "x497_quality_cutoff_curve" ->
+      (s"""WITH $qualityCtes,
+         |tk AS (SELECT q.score,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+         | FROM qscore q JOIN documents d ON q.doc_id = d.doc_id
+         | WHERE d.text IS NOT NULL),
+         |cu AS (SELECT CAST(unnest([400, 500, 600, 700, 800]) AS BIGINT)
+         |  AS cutoff_milli),
+         |g AS (SELECT cu.cutoff_milli, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(tok) AS BIGINT) AS tks,
+         |  CAST(SUM(CASE WHEN tk.score >= cu.cutoff_milli / 1000.0
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS sd,
+         |  CAST(SUM(CASE WHEN tk.score >= cu.cutoff_milli / 1000.0
+         |   THEN tok ELSE 0 END) AS BIGINT) AS st
+         | FROM tk CROSS JOIN cu GROUP BY 1)
+         |SELECT cutoff_milli, sd AS docs_surviving,
+         | CAST(sd * 1000000 // n AS BIGINT) AS doc_survival_ppm,
+         | CAST(st * 1000000 // tks AS BIGINT) AS token_survival_ppm
+         |FROM g ORDER BY cutoff_milli""".stripMargin.replace("\n", " ")),
+    "x498_rapid_fire_census" ->
+      ("""WITH g AS (SELECT user_id,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |   - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id))) AS BIGINT) AS gap
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN gap < 600 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS fast
+         | FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 5),
+         |b AS (SELECT CASE WHEN fast * 1000000 // n = 0 THEN '0_none'
+         |  WHEN fast * 1000000 // n < 100000 THEN '1_under_10pct'
+         |  WHEN fast * 1000000 // n < 500000 THEN '2_under_50pct'
+         |  ELSE '3_burst_heavy' END AS fast_band FROM p),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT fast_band, CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY fast_band, tt ORDER BY fast_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
