@@ -5606,6 +5606,109 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x499 — predicate selectivity catalog: one-scan ppm selectivities
+    * for the workload's recurring filter battery (return flag, deep
+    * discount, ship-year, bulk quantity, and their hot conjunctions) —
+    * the statistics table an optimizer (or a z-order key choice, x42)
+    * consumes; x176 estimates JOIN cardinality, this catalogs FILTERS. */
+  private val x499: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    val preds: Seq[(String, Column)] = Seq(
+      ("1_returned", col("l_returnflag") === "R"),
+      ("2_deep_discount", col("l_discount") >= 0.05),
+      ("3_ship_1996", year(col("l_shipdate")) === 1996),
+      ("4_bulk_qty", col("l_quantity") >= 30),
+      ("5_returned_and_bulk",
+        col("l_returnflag") === "R" && col("l_quantity") >= 30),
+      ("6_deep_discount_1996",
+        col("l_discount") >= 0.05 && year(col("l_shipdate")) === 1996))
+    val aggs = preds.map { case (n, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"__$n")
+    }
+    val row = li.agg(count(lit(1)).as("__n"), aggs: _*)
+    preds.map { case (n, _) =>
+      row.select(lit(n).as("predicate"), col(s"__$n").as("n_rows"),
+        expr(s"__$n * 1000000 DIV __n").as("selectivity_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("predicate")
+  }
+
+  /** x500 — majority-vote repair: three replicas of the order ledger
+    * with deterministic hash-seeded corruption (per replica: value
+    * flipped on one key stratum, row dropped on another), reconciled by
+    * 2-of-3 vote — per replica, the rows it was outvoted on, the rows
+    * it lost, and the certified repaired total. x79/x108 diff TWO
+    * replicas; majority vote is the 3-way quorum pattern that repairs
+    * WITHOUT a trusted master. Key-collapsed joins only. */
+  private val x500: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    def replica(i: Int) = base
+      .withColumn("__h", graft.operators.PortableHash.hash60(
+        concat(col("k").cast("string"), lit(s"|r$i"))))
+      .filter(pmod(col("__h"), lit(101L)) =!= 0L) // dropped rows
+      .select(col("k"),
+        when(pmod(col("__h"), lit(97L)) === 0L, col("v") + 1000000L)
+          .otherwise(col("v")).as(s"v$i"))
+    val joined = replica(0)
+      .join(replica(1), Seq("k"), "full")
+      .join(replica(2), Seq("k"), "full")
+      .withColumn("maj",
+        when(col("v0") === col("v1") || col("v0") === col("v2"), col("v0"))
+          .when(col("v1") === col("v2"), col("v1")))
+    val per = Seq(0, 1, 2).map { i =>
+      joined.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col(s"v$i").isNull, 1L).otherwise(0L)).as("rows_missing"),
+        sum(when(col(s"v$i").isNotNull && col("maj").isNotNull &&
+          col(s"v$i") =!= col("maj"), 1L).otherwise(0L)).as("rows_outvoted"),
+        sum(col("maj").cast("decimal(38,0)")).cast("long")
+          .as("repaired_total_cents"))
+        .select(lit(s"replica_$i").as("replica"), col("n_keys"),
+          col("rows_missing"), col("rows_outvoted"),
+          col("repaired_total_cents"))
+    }
+    per.reduce(_.unionAll(_)).orderBy("replica")
+  }
+
+  /** x501 — protocol violation census: purchases and clicks landing in a
+    * 30-minute session that contains NO view — the instrumentation-gap
+    * (or API-traffic) audit every funnel number silently depends on
+    * (x64/x476 assume the protocol holds; this counts where it
+    * doesn't). Reuses the session assignment machinery. */
+  private val x501: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ses = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev_ts").isNull ||
+        col("ts") >= expr("__prev_ts + INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+    val flags = ses.groupBy("user_id", "__sid")
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("__hasview"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__p"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("__c"))
+    flags.agg(count(lit(1)).as("n_sessions"),
+        sum(lit(1L) - col("__hasview")).as("__nv"),
+        sum(col("__p")).as("__tp"),
+        sum(when(col("__hasview") === 0L, col("__p")).otherwise(0L)).as("__vp"),
+        sum(col("__c")).as("__tc"),
+        sum(when(col("__hasview") === 0L, col("__c")).otherwise(0L)).as("__vc"))
+      .select(col("n_sessions"),
+        expr("__nv * 1000000 DIV n_sessions").as("viewless_session_ppm"),
+        col("__tp").as("n_purchases"),
+        expr("CASE WHEN __tp > 0 THEN __vp * 1000000 DIV __tp END")
+          .as("viewless_purchase_ppm"),
+        col("__tc").as("n_clicks"),
+        expr("CASE WHEN __tc > 0 THEN __vc * 1000000 DIV __tc END")
+          .as("viewless_click_ppm"))
+  }
+
   /** x496 — delisting blast radius: per brand, the orders it touches,
     * the orders it EXCLUSIVELY supplies (every line that brand — the
     * ones a delisting kills outright), their revenue, and the customers
@@ -7969,7 +8072,10 @@ object Extensions {
     "x495_rich_club_profile" -> x495,
     "x496_delisting_blast_radius" -> x496,
     "x497_quality_cutoff_curve" -> x497,
-    "x498_rapid_fire_census" -> x498)
+    "x498_rapid_fire_census" -> x498,
+    "x499_predicate_selectivity" -> x499,
+    "x500_majority_vote_repair" -> x500,
+    "x501_protocol_violation_census" -> x501)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -14946,6 +15052,109 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM b, t GROUP BY fast_band, tt ORDER BY fast_band"""
         .stripMargin.replace("\n", " ")),
+    "x499_predicate_selectivity" ->
+      ("""WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS p1,
+         | CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS p2,
+         | CAST(SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+         | CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS p4,
+         | CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity >= 30
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+         | CAST(SUM(CASE WHEN l_discount >= 0.05
+         |  AND EXTRACT(year FROM l_shipdate) = 1996
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS p6
+         | FROM lineitem)
+         |SELECT * FROM (
+         | SELECT '1_returned' AS predicate, p1 AS n_rows,
+         |  CAST(p1 * 1000000 // n AS BIGINT) AS selectivity_ppm FROM m
+         | UNION ALL SELECT '2_deep_discount', p2,
+         |  CAST(p2 * 1000000 // n AS BIGINT) FROM m
+         | UNION ALL SELECT '3_ship_1996', p3,
+         |  CAST(p3 * 1000000 // n AS BIGINT) FROM m
+         | UNION ALL SELECT '4_bulk_qty', p4,
+         |  CAST(p4 * 1000000 // n AS BIGINT) FROM m
+         | UNION ALL SELECT '5_returned_and_bulk', p5,
+         |  CAST(p5 * 1000000 // n AS BIGINT) FROM m
+         | UNION ALL SELECT '6_deep_discount_1996', p6,
+         |  CAST(p6 * 1000000 // n AS BIGINT) FROM m)
+         |ORDER BY predicate""".stripMargin.replace("\n", " ")),
+    "x500_majority_vote_repair" ->
+      ("""WITH base AS (SELECT o_orderkey AS k,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders WHERE o_orderkey IS NOT NULL
+         |  AND o_totalprice IS NOT NULL),
+         |r0 AS (SELECT k, CASE WHEN h % 97 = 0 THEN v + 1000000 ELSE v END
+         |  AS v0 FROM (SELECT k, v, CAST(('0x' || substr(md5(CAST(k AS
+         |  VARCHAR) || '|r0'), 1, 15)) AS BIGINT) AS h FROM base)
+         | WHERE h % 101 <> 0),
+         |r1 AS (SELECT k, CASE WHEN h % 97 = 0 THEN v + 1000000 ELSE v END
+         |  AS v1 FROM (SELECT k, v, CAST(('0x' || substr(md5(CAST(k AS
+         |  VARCHAR) || '|r1'), 1, 15)) AS BIGINT) AS h FROM base)
+         | WHERE h % 101 <> 0),
+         |r2 AS (SELECT k, CASE WHEN h % 97 = 0 THEN v + 1000000 ELSE v END
+         |  AS v2 FROM (SELECT k, v, CAST(('0x' || substr(md5(CAST(k AS
+         |  VARCHAR) || '|r2'), 1, 15)) AS BIGINT) AS h FROM base)
+         | WHERE h % 101 <> 0),
+         |j AS (SELECT k, v0, v1, v2,
+         |  CASE WHEN v0 = v1 OR v0 = v2 THEN v0
+         |   WHEN v1 = v2 THEN v1 END AS maj
+         | FROM r0 FULL JOIN r1 USING (k) FULL JOIN r2 USING (k)),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN v0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS m0,
+         |  CAST(SUM(CASE WHEN v1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS m1,
+         |  CAST(SUM(CASE WHEN v2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS m2,
+         |  CAST(SUM(CASE WHEN v0 IS NOT NULL AND maj IS NOT NULL
+         |   AND v0 <> maj THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+         |  CAST(SUM(CASE WHEN v1 IS NOT NULL AND maj IS NOT NULL
+         |   AND v1 <> maj THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         |  CAST(SUM(CASE WHEN v2 IS NOT NULL AND maj IS NOT NULL
+         |   AND v2 <> maj THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+         |  CAST(SUM(maj) AS BIGINT) AS rt FROM j)
+         |SELECT * FROM (
+         | SELECT 'replica_0' AS replica, n_keys, m0 AS rows_missing,
+         |  o0 AS rows_outvoted, rt AS repaired_total_cents FROM s
+         | UNION ALL SELECT 'replica_1', n_keys, m1, o1, rt FROM s
+         | UNION ALL SELECT 'replica_2', n_keys, m2, o2, rt FROM s)
+         |ORDER BY replica""".stripMargin.replace("\n", " ")),
+    "x501_protocol_violation_census" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND event_type IS NOT NULL),
+         |d AS (SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) IS NULL
+         |   OR ts >= LAG(ts) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+         |  THEN 1 ELSE 0 END AS news FROM e),
+         |s AS (SELECT user_id, event_type,
+         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |   AS sid FROM d),
+         |f AS (SELECT user_id, sid,
+         |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS p,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS c
+         | FROM s GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         | CAST(SUM(1 - hv) * 1000000 // COUNT(*) AS BIGINT)
+         |  AS viewless_session_ppm,
+         | CAST(SUM(p) AS BIGINT) AS n_purchases,
+         | CASE WHEN SUM(p) > 0 THEN CAST(SUM(CASE WHEN hv = 0 THEN p
+         |  ELSE 0 END) * 1000000 // SUM(p) AS BIGINT) END
+         |  AS viewless_purchase_ppm,
+         | CAST(SUM(c) AS BIGINT) AS n_clicks,
+         | CASE WHEN SUM(c) > 0 THEN CAST(SUM(CASE WHEN hv = 0 THEN c
+         |  ELSE 0 END) * 1000000 // SUM(c) AS BIGINT) END
+         |  AS viewless_click_ppm
+         |FROM f""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
