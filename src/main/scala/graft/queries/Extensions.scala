@@ -5606,6 +5606,103 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x502 — source vocabulary influence: for each source, how many of
+    * the corpus top-20 terms survive when that source is REMOVED
+    * (leave-one-out overlap@20) — the single-feed-dominance audit: a
+    * source whose removal reshuffles the head vocabulary owns the
+    * distribution. Term counts collapse once; per-source LOO ranks are
+    * windows over the (terms × sources)-bounded candidate frame. */
+  private val x502: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, sfDir)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val global = words.groupBy("w").agg(count(lit(1)).as("__g"))
+    val top20 = global.orderBy(col("__g").desc, col("w")).limit(20)
+      .select(col("w"), lit(1).as("__top"))
+    // candidates: global top-60 is a superset of every LOO top-20 only if
+    // no source holds > the gap — use the full collapsed vocab instead:
+    // (terms × sources) stays vocabulary-bounded
+    val perSrc = words.groupBy("source", "w").agg(count(lit(1)).as("__c"))
+    val loo = global.join(perSrc, Seq("w"))
+      .select(col("source"), col("w"), (col("__g") - col("__c")).as("__rest"))
+    // terms the source never uses keep their full global count in the LOO
+    // ranking; union them in per source
+    val sources = perSrc.select("source").distinct()
+    val full = sources.crossJoin(global)
+      .join(loo, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        coalesce(col("__rest"), col("__g")).as("__n"))
+    val looTop = full.withColumn("__rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("__n").desc, col("w"))))
+      .filter(col("__rk") <= 20)
+    looTop.join(broadcast(top20), Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum(when(col("__top").isNotNull, 1L).otherwise(0L)).as("overlap_at_20"))
+      .select(col("source"), col("overlap_at_20"),
+        expr("overlap_at_20 * 1000000 DIV 20").as("stability_ppm"))
+      .orderBy("source")
+  }
+
+  /** x503 — weekday ANOVA: how much of the daily event-count variance do
+    * weekday means explain (exact eta² ppm, the x468 truncated-division
+    * identity over the zero-filled day spine)? High eta² = the weekly
+    * rhythm IS the signal (gate x234's weekday adjustment on this);
+    * low = bursts dominate. Day-spine-bounded everything. */
+  private val x503: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events").filter(col("ts").isNotNull)
+    val d = ev.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("__x"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("__d0"),
+        max(to_date(col("ts"))).as("__d1"))
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val f = spine.join(d, Seq("day"), "left")
+      .select(expr("datediff(day, DATE'1994-12-26') % 7").cast("long").as("__dow"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+    val g = f.groupBy("__dow")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__ng"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sg"))
+      .agg(count(lit(1)).as("n_weekdays"),
+        sum(expr("CAST(__sg * __sg DIV __ng AS DECIMAL(38,0))")).as("__t1"))
+    val m = f.agg(count(lit(1)).as("n_days"),
+      sum(col("__x").cast("decimal(38,0)")).as("__s"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
+    m.crossJoin(g)
+      .select(col("n_days"), col("n_weekdays"),
+        expr("CAST(__s * __s DIV n_days AS DECIMAL(38,0))").as("__t2"),
+        col("__t1"), col("__q"))
+      .select(col("n_days"), col("n_weekdays"),
+        expr("""CAST(CASE WHEN __q > __t2
+              THEN (__t1 - __t2) * 1000000 DIV (__q - __t2) END AS BIGINT)""")
+          .as("eta2_ppm"))
+  }
+
+  /** x504 — out-of-order delivery census: per event type, the share of
+    * ARRIVAL-adjacent event pairs (event_id order, per user) whose
+    * event TIMES run backwards, and the worst backstep — the
+    * stream-disorder profile that sizes every watermark upstream (x206
+    * audits lateness against ONE watermark; this measures the disorder
+    * itself). User-partitioned lag over arrival order. */
+  private val x504: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byArrival = Window.partitionBy("user_id").orderBy("event_id")
+    Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byArrival))
+      .filter(col("__prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("__prev_ts")) - unix_timestamp(col("ts")))
+          .as("__back"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__back") > 0, 1L).otherwise(0L)).as("__inv"),
+        max(greatest(col("__back"), lit(0L))).as("max_backstep_sec"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("__inv * 1000000 DIV n_pairs").as("inverted_ppm"),
+        col("max_backstep_sec"))
+      .orderBy("event_type")
+  }
+
   /** x499 — predicate selectivity catalog: one-scan ppm selectivities
     * for the workload's recurring filter battery (return flag, deep
     * discount, ship-year, bulk quantity, and their hot conjunctions) —
@@ -8075,7 +8172,10 @@ object Extensions {
     "x498_rapid_fire_census" -> x498,
     "x499_predicate_selectivity" -> x499,
     "x500_majority_vote_repair" -> x500,
-    "x501_protocol_violation_census" -> x501)
+    "x501_protocol_violation_census" -> x501,
+    "x502_source_influence_vocab" -> x502,
+    "x503_weekday_anova" -> x503,
+    "x504_ooo_delivery_census" -> x504)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -15155,6 +15255,68 @@ object Extensions {
          |  ELSE 0 END) * 1000000 // SUM(c) AS BIGINT) END
          |  AS viewless_click_ppm
          |FROM f""".stripMargin.replace("\n", " ")),
+    "x502_source_influence_vocab" ->
+      ("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         | FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |g AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS gc FROM w GROUP BY 1),
+         |t20 AS (SELECT w FROM g ORDER BY gc DESC, w LIMIT 20),
+         |ps AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM w GROUP BY 1, 2),
+         |src AS (SELECT DISTINCT source FROM ps),
+         |full0 AS (SELECT src.source, g.w,
+         |  g.gc - COALESCE(ps.c, 0) AS n
+         | FROM src CROSS JOIN g LEFT JOIN ps
+         |  ON ps.source = src.source AND ps.w = g.w),
+         |lt AS (SELECT source, w FROM (SELECT source, w,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w)
+         |   AS rk FROM full0) WHERE rk <= 20)
+         |SELECT lt.source,
+         | CAST(SUM(CASE WHEN t20.w IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS overlap_at_20,
+         | CAST(SUM(CASE WHEN t20.w IS NOT NULL THEN 1 ELSE 0 END)
+         |  * 1000000 // 20 AS BIGINT) AS stability_ppm
+         |FROM lt LEFT JOIN t20 ON lt.w = t20.w
+         |GROUP BY lt.source ORDER BY lt.source"""
+        .stripMargin.replace("\n", " ")),
+    "x503_weekday_anova" ->
+      ("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS x FROM events
+         | WHERE ts IS NOT NULL GROUP BY 1),
+         |bo AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+         |  MAX(CAST(ts AS DATE)) AS d1 FROM events WHERE ts IS NOT NULL),
+         |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM bo),
+         |f AS (SELECT date_diff('day', DATE '1994-12-26', s.day) % 7
+         |  AS dow, COALESCE(d.x, 0) AS x
+         | FROM s LEFT JOIN d ON s.day = d.day),
+         |g AS (SELECT dow, CAST(COUNT(*) AS HUGEINT) AS ng,
+         |  SUM(CAST(x AS HUGEINT)) AS sg FROM f GROUP BY 1),
+         |gg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_weekdays,
+         |  SUM(sg * sg // ng) AS t1 FROM g),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  SUM(CAST(x AS HUGEINT)) AS sx,
+         |  SUM(CAST(x AS HUGEINT) * x) AS q FROM f)
+         |SELECT n_days, n_weekdays,
+         | CAST(CASE WHEN q > sx * sx // n_days
+         |  THEN (t1 - sx * sx // n_days) * 1000000
+         |   // (q - sx * sx // n_days) END AS BIGINT) AS eta2_ppm
+         |FROM m CROSS JOIN gg""".stripMargin.replace("\n", " ")),
+    "x504_ooo_delivery_census" ->
+      ("""WITH e AS (SELECT user_id, event_id, event_type,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND event_type IS NOT NULL),
+         |p AS (SELECT event_type,
+         |  LAG(sec) OVER (PARTITION BY user_id ORDER BY event_id) - sec
+         |   AS back FROM e),
+         |q AS (SELECT event_type, back FROM p WHERE back IS NOT NULL)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(SUM(CASE WHEN back > 0 THEN 1 ELSE 0 END) * 1000000
+         |  // COUNT(*) AS BIGINT) AS inverted_ppm,
+         | CAST(MAX(CASE WHEN back > 0 THEN back ELSE 0 END) AS BIGINT)
+         |  AS max_backstep_sec
+         |FROM q GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
