@@ -5606,6 +5606,83 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x505 — LSH config invariance: verified near-dup pair counts at
+    * three high-recall band layouts (96×2, 64×3, 48×4) — because every
+    * candidate passes EXACT verification, the final pair set must be
+    * config-INDEPENDENT (each layout's per-pair miss probability is
+    * ≤ ~1e-5 at τ = 0.7), and this certifies it against the exact
+    * oracle. The table that licenses tuning bands for COST without
+    * re-validating correctness. */
+  private val x505: Q = (spark, sfDir) => {
+    import spark.implicits._
+    Seq((96, 2), (64, 3), (48, 4)).map { case (b, r) =>
+      val n = Dedup.minhashLsh(docs(spark, sfDir), "doc_id", "text",
+        numBands = b, rowsPerBand = r, threshold = 0.7)
+        .agg(count(lit(1)).as("n_pairs"))
+      n.select(lit(b.toLong).as("num_bands"), lit(r.toLong).as("rows_per_band"),
+        col("n_pairs"))
+    }.reduce(_.unionAll(_)).orderBy("num_bands")
+  }
+
+  /** x506 — probe-depth certificate: rank the IVF label-centroid cells
+    * by query cosine and report how deep a probe must go to cover the
+    * ENTIRE brute-force top-10 — the nProbe setting justified by
+    * measurement instead of folklore (x30 assumes a probe count; x217
+    * scores recall after the fact). Centroids are the x58 decimal-exact
+    * construction; everything is |cells|-bounded. */
+  private val x506: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb(spark, sfDir)
+    val q = queryVec(spark, sfDir)
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum(col("v").cast(DecimalType(28, 9))).as("s"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        x => x.getField("s").cast("float")).as("cvec"))
+    val cellRank = cent.crossJoin(broadcast(q))
+      .select(col("label"),
+        Similarity.cosine(col("cvec"), col("qe")).as("__sc"))
+      .withColumn("cell_rank", row_number().over(
+        Window.orderBy(col("__sc").desc, col("label"))).cast("long"))
+    val top10 = Similarity.bruteForceTopK(e, q, 10)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label")).distinct()
+    top10.join(cellRank, "label")
+      .agg(count(lit(1)).as("n_cells_holding_top10"),
+        max(col("cell_rank")).as("probe_depth"),
+        min(col("cell_rank")).as("best_cell_rank"))
+      .crossJoin(broadcast(cellRank.agg(count(lit(1)).as("n_cells"))))
+      .select(lit(10L).as("k"), col("n_cells"), col("n_cells_holding_top10"),
+        col("probe_depth"), col("best_cell_rank"))
+  }
+
+  /** x507 — failover coverage: per brand, the parts a single supplier
+    * carries (no failover path) and the revenue share riding them — the
+    * supply-chain fragility table (x473 prices the alternatives; this
+    * counts where NONE exist). Part-keyed collapses. */
+  private val x507: Q = (spark, sfDir) => {
+    val lp = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isNotNull && col("l_suppkey").isNotNull)
+      .select(col("p_brand").as("brand"), col("l_partkey").as("__pk"),
+        col("l_suppkey").as("__sk"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val perPart = lp.groupBy("brand", "__pk")
+      .agg(countDistinct(col("__sk")).as("__ns"), sum(col("__c")).as("__rev"))
+    perPart.groupBy("brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("single_supplier_parts"),
+        sum(col("__rev")).as("__tot"),
+        sum(when(col("__ns") === 1, col("__rev")).otherwise(0L)).as("__risk"))
+      .select(col("brand"), col("n_parts"), col("single_supplier_parts"),
+        expr("single_supplier_parts * 1000000 DIV n_parts").as("fragile_part_ppm"),
+        expr("__risk * 1000000 DIV __tot").as("revenue_at_risk_ppm"))
+      .orderBy("brand")
+  }
+
   /** x502 — source vocabulary influence: for each source, how many of
     * the corpus top-20 terms survive when that source is REMOVED
     * (leave-one-out overlap@20) — the single-feed-dominance audit: a
@@ -8175,7 +8252,10 @@ object Extensions {
     "x501_protocol_violation_census" -> x501,
     "x502_source_influence_vocab" -> x502,
     "x503_weekday_anova" -> x503,
-    "x504_ooo_delivery_census" -> x504)
+    "x504_ooo_delivery_census" -> x504,
+    "x505_lsh_config_invariance" -> x505,
+    "x506_probe_depth_certificate" -> x506,
+    "x507_failover_coverage" -> x507)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -15316,6 +15396,58 @@ object Extensions {
          | CAST(MAX(CASE WHEN back > 0 THEN back ELSE 0 END) AS BIGINT)
          |  AS max_backstep_sec
          |FROM q GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    "x505_lsh_config_invariance" ->
+      (s"""WITH ${jaccardCtes(0.7)},
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM jpairs)
+         |SELECT * FROM (
+         | SELECT CAST(96 AS BIGINT) AS num_bands,
+         |  CAST(2 AS BIGINT) AS rows_per_band, n AS n_pairs FROM c
+         | UNION ALL SELECT 64, 3, n FROM c
+         | UNION ALL SELECT 48, 4, n FROM c)
+         |ORDER BY num_bands""".stripMargin.replace("\n", " ")),
+    "x506_probe_depth_certificate" ->
+      (s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |  WHERE vec_id = 0),
+         |dims AS (SELECT e.label, dd.d, e.embedding[dd.d+1] AS v
+         | FROM embeddings e CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         |cent0 AS (SELECT label, d,
+         |  CAST(SUM(CAST(v AS DECIMAL(28,9))) AS FLOAT) AS s
+         | FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT label, list(s ORDER BY d) AS cvec
+         | FROM cent0 GROUP BY 1),
+         |cr AS (SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY
+         |  ${cos2Sql("cvec", "qe")} DESC, label) AS BIGINT) AS cell_rank
+         | FROM cent CROSS JOIN q),
+         |t10 AS (SELECT DISTINCT e.label FROM embeddings e CROSS JOIN q
+         | WHERE e.vec_id IN (SELECT vec_id FROM (SELECT vec_id,
+         |  ROUND(${cos2Sql("e2.embedding", "qe")}, 6) AS sim
+         |  FROM embeddings e2 CROSS JOIN q
+         |  ORDER BY sim DESC, vec_id LIMIT 10))),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cr)
+         |SELECT CAST(10 AS BIGINT) AS k, nc.n_cells,
+         | CAST(COUNT(*) AS BIGINT) AS n_cells_holding_top10,
+         | CAST(MAX(cr.cell_rank) AS BIGINT) AS probe_depth,
+         | CAST(MIN(cr.cell_rank) AS BIGINT) AS best_cell_rank
+         |FROM t10 JOIN cr ON t10.label = cr.label CROSS JOIN nc
+         |GROUP BY nc.n_cells""".stripMargin.replace("\n", " ")),
+    "x507_failover_coverage" ->
+      ("""WITH lp AS (SELECT p_brand AS brand, l_partkey AS pk,
+         |  l_suppkey AS sk,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand IS NOT NULL AND l_suppkey IS NOT NULL),
+         |pp AS (SELECT brand, pk, CAST(COUNT(DISTINCT sk) AS BIGINT)
+         |  AS ns, CAST(SUM(c) AS BIGINT) AS rev FROM lp GROUP BY 1, 2)
+         |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS single_supplier_parts,
+         | CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000
+         |  // COUNT(*) AS BIGINT) AS fragile_part_ppm,
+         | CAST(SUM(CASE WHEN ns = 1 THEN rev ELSE 0 END) * 1000000
+         |  // SUM(rev) AS BIGINT) AS revenue_at_risk_ppm
+         |FROM pp GROUP BY brand ORDER BY brand"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
