@@ -5606,6 +5606,88 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x508 — return by delay band: return-flag share by ship-delay band
+    * (0–30 / 31–60 / 61–90 / 90+) — the "late shipments come back"
+    * causal smell x385 (price) and x404 (quantity) don't test. One
+    * scan, band census with exact ppm rates. */
+  private val x508: Q = (spark, sfDir) => {
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull &&
+        col("l_returnflag").isNotNull)
+      .select(
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__d"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("__r"))
+      .filter(col("__d") >= 0)
+      .select(when(col("__d") <= 30, "0_0_30")
+        .when(col("__d") <= 60, "1_31_60")
+        .when(col("__d") <= 90, "2_61_90")
+        .otherwise("3_over_90").as("delay_band"), col("__r"))
+    d.groupBy("delay_band")
+      .agg(count(lit(1)).as("n_lines"), sum(col("__r")).as("__ret"))
+      .select(col("delay_band"), col("n_lines"),
+        expr("__ret * 1000000 DIV n_lines").as("return_ppm"))
+      .orderBy("delay_band")
+  }
+
+  /** x509 — order-total conformance: o_totalprice vs the line-derived
+    * total `Σ ext·(100−disc%)·(100+tax%) DIV 10000` in exact cents,
+    * banded by ppm deviation — the header-vs-detail ledger audit (x264
+    * catches duplicate charges; this catches the arithmetic). Percent
+    * factors round to integer percents so the reconstruction is
+    * engine-exact. */
+  private val x509: Q = (spark, sfDir) => {
+    val lines = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_extendedprice").isNotNull && col("l_discount").isNotNull &&
+        col("l_tax").isNotNull)
+      .select(col("l_orderkey"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) DIV 10000""")
+          .as("__amt"))
+      .groupBy("l_orderkey").agg(sum(col("__amt")).as("__derived"))
+    val j = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__hdr"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("abs(__hdr - __derived) * 1000000 DIV __hdr").as("__dev"))
+    val tot = j.agg(count(lit(1)).as("__t"))
+    j.select(when(col("__dev") === 0, "0_exact")
+        .when(col("__dev") < 10000L, "1_under_1pct")
+        .when(col("__dev") < 50000L, "2_under_5pct")
+        .otherwise("3_material").as("deviation_band"))
+      .groupBy("deviation_band").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("deviation_band"), col("n_orders"),
+        expr("n_orders * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("deviation_band")
+  }
+
+  /** x510 — degree mixing matrix: the log2-banded 2D census of
+    * (customer-side degree × supplier-side degree) over purchase-graph
+    * edges — the full table behind x442's single assortativity scalar
+    * (which cells carry the edge mass: hub-hub, hub-leaf, leaf-leaf?).
+    * Node-bounded degree collapses, edge-keyed joins, bands via exact
+    * `length(bin(d))`. */
+  private val x510: Q = (spark, sfDir) => {
+    val e = purchaseEdges(spark, sfDir)
+    val dc = e.groupBy("src").agg(count(lit(1)).as("__dc"))
+    val ds = e.groupBy("dst").agg(count(lit(1)).as("__ds"))
+    val m = e.join(dc, "src").join(ds, "dst")
+      .select(length(bin(col("__dc"))).cast("long").as("cust_deg_band"),
+        length(bin(col("__ds"))).cast("long").as("supp_deg_band"))
+    val tot = m.agg(count(lit(1)).as("__t"))
+    m.groupBy("cust_deg_band", "supp_deg_band")
+      .agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tot))
+      .select(col("cust_deg_band"), col("supp_deg_band"), col("n_edges"),
+        expr("n_edges * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("cust_deg_band", "supp_deg_band")
+  }
+
   /** x505 — LSH config invariance: verified near-dup pair counts at
     * three high-recall band layouts (96×2, 64×3, 48×4) — because every
     * candidate passes EXACT verification, the final pair set must be
@@ -8255,7 +8337,10 @@ object Extensions {
     "x504_ooo_delivery_census" -> x504,
     "x505_lsh_config_invariance" -> x505,
     "x506_probe_depth_certificate" -> x506,
-    "x507_failover_coverage" -> x507)
+    "x507_failover_coverage" -> x507,
+    "x508_return_by_delay" -> x508,
+    "x509_order_total_conformance" -> x509,
+    "x510_degree_mixing_matrix" -> x510)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -15448,6 +15533,62 @@ object Extensions {
          | CAST(SUM(CASE WHEN ns = 1 THEN rev ELSE 0 END) * 1000000
          |  // SUM(rev) AS BIGINT) AS revenue_at_risk_ppm
          |FROM pp GROUP BY brand ORDER BY brand"""
+        .stripMargin.replace("\n", " ")),
+    "x508_return_by_delay" ->
+      ("""WITH d AS (SELECT date_diff('day', CAST(o_orderdate AS DATE),
+         |  CAST(l_shipdate AS DATE)) AS dd,
+         |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+         |  AND l_returnflag IS NOT NULL),
+         |b AS (SELECT CASE WHEN dd <= 30 THEN '0_0_30'
+         |  WHEN dd <= 60 THEN '1_31_60' WHEN dd <= 90 THEN '2_61_90'
+         |  ELSE '3_over_90' END AS delay_band, r FROM d WHERE dd >= 0)
+         |SELECT delay_band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         | CAST(SUM(r) * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+         |FROM b GROUP BY delay_band ORDER BY delay_band"""
+        .stripMargin.replace("\n", " ")),
+    "x509_order_total_conformance" ->
+      ("""WITH li AS (SELECT l_orderkey,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)
+         |   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+         |   * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) // 10000)
+         |   AS BIGINT) AS derived
+         | FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |  AND l_discount IS NOT NULL AND l_tax IS NOT NULL GROUP BY 1),
+         |j AS (SELECT ABS(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT) - li.derived) * 1000000
+         |  // CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |  AS dev
+         | FROM orders JOIN li ON o_orderkey = l_orderkey
+         | WHERE o_totalprice IS NOT NULL),
+         |b AS (SELECT CASE WHEN dev = 0 THEN '0_exact'
+         |  WHEN dev < 10000 THEN '1_under_1pct'
+         |  WHEN dev < 50000 THEN '2_under_5pct'
+         |  ELSE '3_material' END AS deviation_band FROM j),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT deviation_band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY deviation_band, tt ORDER BY deviation_band"""
+        .stripMargin.replace("\n", " ")),
+    "x510_degree_mixing_matrix" ->
+      ("""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR)
+         |  AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst
+         | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |dc AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+         | FROM e GROUP BY 1),
+         |ds AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d
+         | FROM e GROUP BY 1),
+         |m AS (SELECT CAST(length(bin(dc.d)) AS BIGINT) AS cust_deg_band,
+         |  CAST(length(bin(ds.d)) AS BIGINT) AS supp_deg_band
+         | FROM e JOIN dc ON e.src = dc.src JOIN ds ON e.dst = ds.dst),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM m)
+         |SELECT cust_deg_band, supp_deg_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_edges,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM m, t GROUP BY cust_deg_band, supp_deg_band, tt
+         |ORDER BY cust_deg_band, supp_deg_band"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
