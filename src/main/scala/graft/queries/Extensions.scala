@@ -5606,6 +5606,103 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x511 — domestic vs foreign delay: ship-delay level (exact median +
+    * milli mean) for same-nation vs cross-nation customer–supplier
+    * lines — the logistics-distance readout behind x470's homophily
+    * scalar (if foreign lines aren't slower, nation-locality buys
+    * nothing). Distinct-value medians per 2-row group. */
+  private val x511: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+      .select(
+        when(col("c_nationkey") === col("s_nationkey"), "0_domestic")
+          .otherwise("1_foreign").as("relationship"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__x"))
+      .filter(col("__x") >= 0)
+    val coll = d.groupBy("relationship", "__x").agg(count(lit(1)).as("__c"))
+    val tot = d.groupBy("relationship")
+      .agg(count(lit(1)).as("n_lines"), sum(col("__x")).as("__sx"))
+    coll
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("relationship").orderBy("__x")))
+      .join(tot, "relationship")
+      .groupBy("relationship")
+      .agg(max(col("n_lines")).as("n_lines"),
+        min(when(col("__cum") * 2 >= col("n_lines"), col("__x")))
+          .as("median_delay_days"),
+        expr("CAST(MAX(1000 * __sx DIV n_lines) AS BIGINT)")
+          .as("mean_delay_milli"))
+      .orderBy("relationship")
+  }
+
+  /** x512 — build-side advisor: for the workload's four hot joins, both
+    * sides' row and distinct-key counts plus the recommended build side
+    * and a broadcast-eligibility flag (≤ 100k rows at this SF — the knob
+    * scales with executor memory) — the planner-statistics table x176's
+    * cardinality estimates feed into. One aggregate per side. */
+  private val x512: Q = (spark, sfDir) => {
+    import spark.implicits._
+    def stats(t: String, k: String) = Tables(spark, sfDir, t)
+      .agg(count(lit(1)).as("rows"), countDistinct(col(k)).as("keys"))
+      .select(lit(t).as("t"), col("rows"), col("keys"))
+    val joins = Seq(
+      ("1_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("2_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("3_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("4_lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+    joins.map { case (name, lt, lk, rt, rk) =>
+      stats(lt, lk).crossJoin(
+          stats(rt, rk).select(col("t").as("t2"), col("rows").as("rows2"),
+            col("keys").as("keys2")))
+        .select(lit(name).as("join_name"),
+          col("rows").as("left_rows"), col("keys").as("left_keys"),
+          col("rows2").as("right_rows"), col("keys2").as("right_keys"),
+          when(col("rows2") <= col("rows"), col("t2")).otherwise(col("t"))
+            .as("build_side"),
+          (least(col("rows"), col("rows2")) <= 100000L).cast("int")
+            .as("broadcast_ok"))
+    }.reduce(_.unionAll(_)).orderBy("join_name")
+  }
+
+  /** x513 — cross-system value KS: exact Kolmogorov–Smirnov distance
+    * between the event-stream purchase values and the order-ledger
+    * totals (cents grid, cross-multiplied ppm) — the two systems claim
+    * to describe the same commerce; this measures how far their value
+    * DISTRIBUTIONS actually are (x233 reconciles totals; distributions
+    * drift first). Distinct-value grids only. */
+  private val x513: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__v"))
+    val b = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("__v"))
+    val grid = a.select("__v").union(b.select("__v")).distinct()
+    def cum(df: org.apache.spark.sql.DataFrame) = grid
+      .join(df.groupBy("__v").agg(count(lit(1)).as("__c")), Seq("__v"), "left")
+      .select(col("__v"), coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy("__v")))
+      .select(col("__v"), col("__cum"))
+    val na = a.agg(count(lit(1)).as("__na"))
+    val nb = b.agg(count(lit(1)).as("__nb"))
+    cum(a).withColumnRenamed("__cum", "__ca")
+      .join(cum(b).withColumnRenamed("__cum", "__cb"), "__v")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("__na"), col("__nb"),
+        expr("""abs(__ca * __nb - __cb * __na) * 1000000
+              DIV (CAST(__na AS DECIMAL(38,0)) * __nb)""").as("__d"))
+      .groupBy()
+      .agg(max(col("__na")).as("n_purchases"), max(col("__nb")).as("n_orders"),
+        max(col("__d")).cast("long").as("ks_ppm"))
+  }
+
   /** x508 — return by delay band: return-flag share by ship-delay band
     * (0–30 / 31–60 / 61–90 / 90+) — the "late shipments come back"
     * causal smell x385 (price) and x404 (quantity) don't test. One
@@ -8340,7 +8437,10 @@ object Extensions {
     "x507_failover_coverage" -> x507,
     "x508_return_by_delay" -> x508,
     "x509_order_total_conformance" -> x509,
-    "x510_degree_mixing_matrix" -> x510)
+    "x510_degree_mixing_matrix" -> x510,
+    "x511_domestic_foreign_delay" -> x511,
+    "x512_build_side_advisor" -> x512,
+    "x513_cross_system_value_ks" -> x513)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -15589,6 +15689,87 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM m, t GROUP BY cust_deg_band, supp_deg_band, tt
          |ORDER BY cust_deg_band, supp_deg_band"""
+        .stripMargin.replace("\n", " ")),
+    "x511_domestic_foreign_delay" ->
+      ("""WITH d AS (SELECT CASE WHEN c_nationkey = s_nationkey
+         |  THEN '0_domestic' ELSE '1_foreign' END AS relationship,
+         |  date_diff('day', CAST(o_orderdate AS DATE),
+         |   CAST(l_shipdate AS DATE)) AS x
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         | WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL),
+         |f AS (SELECT relationship, x FROM d WHERE x >= 0),
+         |c AS (SELECT relationship, x, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM f GROUP BY 1, 2),
+         |t AS (SELECT relationship, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sx FROM f GROUP BY 1),
+         |cu AS (SELECT relationship, x,
+         |  SUM(c) OVER (PARTITION BY relationship ORDER BY x) AS cum
+         | FROM c)
+         |SELECT cu.relationship, MAX(t.n) AS n_lines,
+         | CAST(MIN(CASE WHEN cu.cum * 2 >= t.n THEN cu.x END) AS BIGINT)
+         |  AS median_delay_days,
+         | CAST(MAX(1000 * t.sx // t.n) AS BIGINT) AS mean_delay_milli
+         |FROM cu JOIN t ON cu.relationship = t.relationship
+         |GROUP BY cu.relationship ORDER BY cu.relationship"""
+        .stripMargin.replace("\n", " ")),
+    "x512_build_side_advisor" ->
+      ("""WITH li AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ko,
+         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS kp,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ks
+         | FROM lineitem),
+         |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS kk,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS kc FROM orders),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS k FROM customer),
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         |  CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS k FROM part),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+         |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS k FROM supplier)
+         |SELECT * FROM (
+         | SELECT '1_lineitem_orders' AS join_name, li.r AS left_rows,
+         |  li.ko AS left_keys, o.r AS right_rows, o.kk AS right_keys,
+         |  CASE WHEN o.r <= li.r THEN 'orders' ELSE 'lineitem' END
+         |   AS build_side,
+         |  CAST(CASE WHEN LEAST(li.r, o.r) <= 100000 THEN 1 ELSE 0 END
+         |   AS INT) AS broadcast_ok FROM li CROSS JOIN o
+         | UNION ALL SELECT '2_orders_customer', o.r, o.kc, c.r, c.k,
+         |  CASE WHEN c.r <= o.r THEN 'customer' ELSE 'orders' END,
+         |  CAST(CASE WHEN LEAST(o.r, c.r) <= 100000 THEN 1 ELSE 0 END
+         |   AS INT) FROM o CROSS JOIN c
+         | UNION ALL SELECT '3_lineitem_part', li.r, li.kp, p.r, p.k,
+         |  CASE WHEN p.r <= li.r THEN 'part' ELSE 'lineitem' END,
+         |  CAST(CASE WHEN LEAST(li.r, p.r) <= 100000 THEN 1 ELSE 0 END
+         |   AS INT) FROM li CROSS JOIN p
+         | UNION ALL SELECT '4_lineitem_supplier', li.r, li.ks, s.r, s.k,
+         |  CASE WHEN s.r <= li.r THEN 'supplier' ELSE 'lineitem' END,
+         |  CAST(CASE WHEN LEAST(li.r, s.r) <= 100000 THEN 1 ELSE 0 END
+         |   AS INT) FROM li CROSS JOIN s)
+         |ORDER BY join_name""".stripMargin.replace("\n", " ")),
+    "x513_cross_system_value_ks" ->
+      ("""WITH a AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |  AS BIGINT) AS v FROM events
+         | WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |  AS BIGINT) AS v FROM orders WHERE o_totalprice IS NOT NULL),
+         |g AS (SELECT v FROM a UNION SELECT v FROM b),
+         |ca AS (SELECT g.v, SUM(COALESCE(ac.c, 0))
+         |  OVER (ORDER BY g.v) AS cum
+         | FROM g LEFT JOIN (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM a GROUP BY 1) ac ON g.v = ac.v),
+         |cb AS (SELECT g.v, SUM(COALESCE(bc.c, 0))
+         |  OVER (ORDER BY g.v) AS cum
+         | FROM g LEFT JOIN (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM b GROUP BY 1) bc ON g.v = bc.v),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM a),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b)
+         |SELECT MAX(na.na) AS n_purchases, MAX(nb.nb) AS n_orders,
+         | CAST(MAX(ABS(ca.cum * nb.nb - cb.cum * na.na) * 1000000
+         |  // (CAST(na.na AS HUGEINT) * nb.nb)) AS BIGINT) AS ks_ppm
+         |FROM ca JOIN cb ON ca.v = cb.v CROSS JOIN na CROSS JOIN nb"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
