@@ -5606,6 +5606,91 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x514 — product family census: bounded-round label propagation
+    * (x18's 3-round [[Dedup.dupClusters]]) over co-purchase edges with
+    * support ≥ 2 (pairs co-bought in ≥ 2 orders — one-off coincidences
+    * pruned), then a family-size census — the merchandising "product
+    * family" discovery readout. Fifth consumer of the co-purchase
+    * staging memo; 3-round labels are deterministic by construction. */
+  private val x514: Q = (spark, sfDir) => {
+    val strong = copurchaseEdges(spark, sfDir)
+      .groupBy(col("src").as("d1"), col("dst").as("d2"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") >= 2)
+      .select(col("d1"), col("d2"))
+    val sizes = Dedup.dupClusters(strong, 3)
+      .groupBy("cluster").agg(count(lit(1)).as("__sz"))
+    val tot = sizes.agg(count(lit(1)).as("__t"))
+    sizes.groupBy(length(bin(col("__sz"))).cast("long").as("size_log2_band"))
+      .agg(count(lit(1)).as("n_families"), sum(col("__sz")).as("n_parts"))
+      .crossJoin(broadcast(tot))
+      .select(col("size_log2_band"), col("n_families"), col("n_parts"),
+        expr("n_families * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("size_log2_band")
+  }
+
+  /** x515 — relationship stickiness: distinct customer–supplier pairs
+    * by the number of QUARTERS they transact in (1 / 2 / 3–5 / 6+) —
+    * repeat B2B relationships are the moat; one-quarter pairs are spot
+    * purchases. Pair-keyed distinct collapse, quarter-bounded. */
+  private val x515: Q = (spark, sfDir) => {
+    val pq = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("__c"), col("l_suppkey").as("__s"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("__q"))
+      .distinct()
+      .groupBy("__c", "__s").agg(count(lit(1)).as("__nq"))
+    val tot = pq.agg(count(lit(1)).as("__t"))
+    pq.select(when(col("__nq") === 1, "0_one_quarter")
+        .when(col("__nq") === 2, "1_two_quarters")
+        .when(col("__nq") <= 5, "2_three_to_five")
+        .otherwise("3_six_plus").as("stickiness_band"))
+      .groupBy("stickiness_band").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("stickiness_band"), col("n_pairs"),
+        expr("n_pairs * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("stickiness_band")
+  }
+
+  /** x516 — buyer breadth quadrants: customers split at the exact
+    * median order count × median distinct-brand breadth
+    * (loyal-narrow / loyal-broad / casual-narrow / casual-broad) — the
+    * commerce analog of x396's engagement quadrants, on purchase
+    * frequency × assortment breadth instead of event mix. Medians via
+    * distinct-value ranks; census is 4 cells. */
+  private val x516: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("o_custkey").isNotNull && col("p_brand").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderkey")).as("__orders"),
+        countDistinct(col("p_brand")).as("__brands"))
+    def median(c: String) = per.groupBy(col(c).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy("__v")))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n"))))
+      .agg(min(when(col("__cum") * 2 >= col("__n"), col("__v"))).as("med"))
+    val mo = median("__orders").select(col("med").as("__mo"))
+    val mb = median("__brands").select(col("med").as("__mb"))
+    val tot = per.agg(count(lit(1)).as("__t"))
+    per.crossJoin(broadcast(mo)).crossJoin(broadcast(mb))
+      .select(
+        concat(
+          when(col("__orders") >= col("__mo"), lit("frequent")).otherwise(lit("casual")),
+          lit("_"),
+          when(col("__brands") >= col("__mb"), lit("broad")).otherwise(lit("narrow")))
+          .as("quadrant"))
+      .groupBy("quadrant").agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("quadrant"), col("n_customers"),
+        expr("n_customers * 1000000 DIV __t").as("share_ppm"))
+      .orderBy("quadrant")
+  }
+
   /** x511 — domestic vs foreign delay: ship-delay level (exact median +
     * milli mean) for same-nation vs cross-nation customer–supplier
     * lines — the logistics-distance readout behind x470's homophily
@@ -8440,7 +8525,10 @@ object Extensions {
     "x510_degree_mixing_matrix" -> x510,
     "x511_domestic_foreign_delay" -> x511,
     "x512_build_side_advisor" -> x512,
-    "x513_cross_system_value_ks" -> x513)
+    "x513_cross_system_value_ks" -> x513,
+    "x514_product_family_census" -> x514,
+    "x515_relationship_stickiness" -> x515,
+    "x516_buyer_breadth_quadrants" -> x516)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -15770,6 +15858,80 @@ object Extensions {
          | CAST(MAX(ABS(ca.cum * nb.nb - cb.cum * na.na) * 1000000
          |  // (CAST(na.na AS HUGEINT) * nb.nb)) AS BIGINT) AS ks_ppm
          |FROM ca JOIN cb ON ca.v = cb.v CROSS JOIN na CROSS JOIN nb"""
+        .stripMargin.replace("\n", " ")),
+    "x514_product_family_census" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         | FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1998-01-01'),
+         |pw AS (SELECT a.p AS d1, b.p AS d2, CAST(COUNT(*) AS BIGINT)
+         |  AS w FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         | GROUP BY 1, 2),
+         |st AS (SELECT d1, d2 FROM pw WHERE w >= 2),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM st
+         | UNION ALL SELECT d2, d1 FROM st),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+         |l1 AS (SELECT l.node AS node, LEAST(l.label,
+         |  COALESCE(MIN(r.label), l.label)) AS label
+         | FROM l0 l LEFT JOIN edges e ON e.a = l.node
+         |  LEFT JOIN l0 r ON r.node = e.b GROUP BY l.node, l.label),
+         |l2 AS (SELECT l.node AS node, LEAST(l.label,
+         |  COALESCE(MIN(r.label), l.label)) AS label
+         | FROM l1 l LEFT JOIN edges e ON e.a = l.node
+         |  LEFT JOIN l1 r ON r.node = e.b GROUP BY l.node, l.label),
+         |l3 AS (SELECT l.node AS node, LEAST(l.label,
+         |  COALESCE(MIN(r.label), l.label)) AS label
+         | FROM l2 l LEFT JOIN edges e ON e.a = l.node
+         |  LEFT JOIN l2 r ON r.node = e.b GROUP BY l.node, l.label),
+         |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM l3
+         | GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM sz)
+         |SELECT CAST(length(bin(sz)) AS BIGINT) AS size_log2_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_families,
+         | CAST(SUM(sz) AS BIGINT) AS n_parts,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM sz, t GROUP BY size_log2_band, tt
+         |ORDER BY size_log2_band""".stripMargin.replace("\n", " ")),
+    "x515_relationship_stickiness" ->
+      ("""WITH pq AS (SELECT o_custkey AS c, l_suppkey AS s,
+         |  CAST(COUNT(DISTINCT CAST(date_trunc('quarter',
+         |   CAST(o_orderdate AS DATE)) AS DATE)) AS BIGINT) AS nq
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL GROUP BY 1, 2),
+         |b AS (SELECT CASE WHEN nq = 1 THEN '0_one_quarter'
+         |  WHEN nq = 2 THEN '1_two_quarters'
+         |  WHEN nq <= 5 THEN '2_three_to_five'
+         |  ELSE '3_six_plus' END AS stickiness_band FROM pq),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b)
+         |SELECT stickiness_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM b, t GROUP BY stickiness_band, tt
+         |ORDER BY stickiness_band""".stripMargin.replace("\n", " ")),
+    "x516_buyer_breadth_quadrants" ->
+      ("""WITH per AS (SELECT o_custkey,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS orders,
+         |  CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS brands
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         | WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL
+         | GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+         |mo AS (SELECT CAST(MIN(CASE WHEN cum * 2 >= n.n THEN v END)
+         |  AS BIGINT) AS mo FROM (SELECT orders AS v,
+         |   SUM(COUNT(*)) OVER (ORDER BY orders) AS cum
+         |  FROM per GROUP BY orders) CROSS JOIN n),
+         |mb AS (SELECT CAST(MIN(CASE WHEN cum * 2 >= n.n THEN v END)
+         |  AS BIGINT) AS mb FROM (SELECT brands AS v,
+         |   SUM(COUNT(*)) OVER (ORDER BY brands) AS cum
+         |  FROM per GROUP BY brands) CROSS JOIN n),
+         |q AS (SELECT (CASE WHEN orders >= mo.mo THEN 'frequent'
+         |  ELSE 'casual' END) || '_' || (CASE WHEN brands >= mb.mb
+         |  THEN 'broad' ELSE 'narrow' END) AS quadrant
+         | FROM per CROSS JOIN mo CROSS JOIN mb),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM q)
+         |SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM q, t GROUP BY quadrant, tt ORDER BY quadrant"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
