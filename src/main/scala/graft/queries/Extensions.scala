@@ -5606,6 +5606,78 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x517 — ANN recall-k curve: banded-LSH top-k overlap with the exact
+    * brute-force top-k at k = 1/5/10/20 — x217 scores ONE k; retrieval
+    * quality is a CURVE (head recall ≠ tail recall), and this is the
+    * table an ANN rollout signs off on. Both sides reuse the
+    * oracle-gated x05/x22 machinery. */
+  private val x517: Q = (spark, sfDir) => {
+    val e = emb(spark, sfDir)
+    val q = queryVec(spark, sfDir)
+    Seq(1, 5, 10, 20).map { k =>
+      val truth = Similarity.bruteForceTopK(e, q, k).select(col("vec_id"))
+      val approx = Similarity.annBandedTopK(e, q, k).select(col("vec_id"))
+      truth.join(approx, "vec_id")
+        .agg(count(lit(1)).as("overlap"))
+        .select(lit(k.toLong).as("k"), col("overlap"),
+          expr(s"overlap * 1000000 DIV $k").as("recall_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("k")
+  }
+
+  /** x518 — hub removal sweep: the share of co-purchase edges incident
+    * to the top-1/5/10 degree hubs — the attack-surface curve behind
+    * x163's concentration and x495's rich club (if removing one part
+    * kills a third of the graph, the recommendation engine has a single
+    * point of failure). Degree collapse + three semi-join counts. */
+  private val x518: Q = (spark, sfDir) => {
+    val canon = copurchaseEdges(spark, sfDir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val tot = canon.agg(count(lit(1)).as("__t"))
+    Seq(1, 5, 10).map { k =>
+      val hubs = deg.orderBy(col("__d").desc, col("node")).limit(k)
+        .select(col("node"))
+      val lost = canon
+        .join(broadcast(hubs.select(col("node").as("u"))), Seq("u"), "left_semi")
+        .unionAll(canon.join(broadcast(hubs.select(col("node").as("v"))),
+          Seq("v"), "left_semi").select(col("u"), col("v")))
+        .distinct()
+        .agg(count(lit(1)).as("edges_lost"))
+      lost.crossJoin(broadcast(tot))
+        .select(lit(k.toLong).as("n_hubs_removed"), col("edges_lost"),
+          expr("edges_lost * 1000000 DIV __t").as("edge_share_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("n_hubs_removed")
+  }
+
+  /** x519 — length tail ratio: per source, exact p99/p50 of document
+    * length (milli ratio from distinct-value ranks) — tail-heaviness in
+    * one number per feed (x391 gives the global quantiles; a fat tail
+    * in ONE source is a scraping bug, not a corpus property). */
+  private val x519: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").as("__v"))
+    val coll = d.groupBy("source", "__v").agg(count(lit(1)).as("__c"))
+    val tot = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    coll
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("source").orderBy("__v")))
+      .join(tot, "source")
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("__cum") * 2 >= col("n_docs"), col("__v"))).as("p50_chars"),
+        min(when(col("__cum") * 100 >= col("n_docs") * 99, col("__v")))
+          .as("p99_chars"))
+      .select(col("source"), col("n_docs"), col("p50_chars"), col("p99_chars"),
+        expr("1000 * p99_chars DIV p50_chars").as("tail_ratio_milli"))
+      .orderBy("source")
+  }
+
   /** x514 — product family census: bounded-round label propagation
     * (x18's 3-round [[Dedup.dupClusters]]) over co-purchase edges with
     * support ≥ 2 (pairs co-bought in ≥ 2 orders — one-off coincidences
@@ -8528,7 +8600,10 @@ object Extensions {
     "x513_cross_system_value_ks" -> x513,
     "x514_product_family_census" -> x514,
     "x515_relationship_stickiness" -> x515,
-    "x516_buyer_breadth_quadrants" -> x516)
+    "x516_buyer_breadth_quadrants" -> x516,
+    "x517_recall_k_curve" -> x517,
+    "x518_hub_removal_sweep" -> x518,
+    "x519_length_tail_ratio" -> x519)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -8792,6 +8867,36 @@ object Extensions {
     s"WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM lineitem " +
       s"WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}) " +
       s"$branches ORDER BY col_x, col_y"
+  }
+
+  /** x517 oracle: the banded-LSH candidate set from the same hyperplane
+    * mask literals, exact top-k on both sides, one overlap branch per k. */
+  private val recallKCurveOracle: String = {
+    val branches = Seq(1, 5, 10, 20).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         | CAST((SELECT COUNT(*) FROM
+         |  (SELECT vec_id FROM embeddings, qv
+         |   ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT $k) tr
+         |  JOIN (SELECT e.vec_id FROM embeddings e
+         |    JOIN cand ON cand.vec_id = e.vec_id, qv
+         |   ORDER BY ROUND(${cos2Sql("e.embedding", "qe")}, 6) DESC,
+         |    e.vec_id LIMIT $k) ap USING (vec_id)) AS BIGINT) AS overlap,
+         | CAST((SELECT COUNT(*) FROM
+         |  (SELECT vec_id FROM embeddings, qv
+         |   ORDER BY ROUND($cosSql, 6) DESC, vec_id LIMIT $k) tr
+         |  JOIN (SELECT e.vec_id FROM embeddings e
+         |    JOIN cand ON cand.vec_id = e.vec_id, qv
+         |   ORDER BY ROUND(${cos2Sql("e.embedding", "qe")}, 6) DESC,
+         |    e.vec_id LIMIT $k) ap USING (vec_id)) * 1000000 // $k
+         |  AS BIGINT) AS recall_ppm""".stripMargin.replace("\n", " ")
+    }
+    s"""WITH ${hyperplaneCtes()},
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT a.vec_id
+       | FROM hpkeys a JOIN hpkeys q ON a.band = q.band AND a.bkey = q.bkey
+       | WHERE q.vec_id = 0)
+       |SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY k"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** x488 oracle: the sign-bucket occupancy sweep, one UNION ALL branch
@@ -15933,6 +16038,50 @@ object Extensions {
          | CAST(COUNT(*) * 1000000 // tt AS BIGINT) AS share_ppm
          |FROM q, t GROUP BY quadrant, tt ORDER BY quadrant"""
         .stripMargin.replace("\n", " ")),
+    "x517_recall_k_curve" -> recallKCurveOracle,
+    "x518_hub_removal_sweep" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         | FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1998-01-01'),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         | FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+         | FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         | GROUP BY 1),
+         |rk AS (SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node)
+         |  AS r FROM deg),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM e),
+         |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+         |lost AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS edges_lost
+         | FROM ks CROSS JOIN e
+         | WHERE EXISTS (SELECT 1 FROM rk WHERE rk.r <= ks.k
+         |   AND (rk.node = e.u OR rk.node = e.v))
+         | GROUP BY 1)
+         |SELECT ks.k AS n_hubs_removed, COALESCE(lost.edges_lost, 0)
+         |  AS edges_lost,
+         | CAST(COALESCE(lost.edges_lost, 0) * 1000000 // t.tt AS BIGINT)
+         |  AS edge_share_ppm
+         |FROM ks LEFT JOIN lost ON ks.k = lost.k CROSS JOIN t
+         |ORDER BY n_hubs_removed""".stripMargin.replace("\n", " ")),
+    "x519_length_tail_ratio" ->
+      ("""WITH d AS (SELECT source, n_chars AS v FROM documents
+         | WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         |c AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM d GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM d GROUP BY 1),
+         |cu AS (SELECT source, v, SUM(c) OVER (PARTITION BY source
+         |  ORDER BY v) AS cum FROM c),
+         |g AS (SELECT cu.source, MAX(t.n) AS n_docs,
+         |  CAST(MIN(CASE WHEN cum * 2 >= t.n THEN v END) AS BIGINT)
+         |   AS p50_chars,
+         |  CAST(MIN(CASE WHEN cum * 100 >= t.n * 99 THEN v END)
+         |   AS BIGINT) AS p99_chars
+         | FROM cu JOIN t ON cu.source = t.source GROUP BY 1)
+         |SELECT source, n_docs, p50_chars, p99_chars,
+         | CAST(1000 * p99_chars // p50_chars AS BIGINT)
+         |  AS tail_ratio_milli
+         |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
