@@ -146,6 +146,33 @@ object Multimodal {
     }
   }
 
+  case class MotionFeatures(doc_id: Long, n_frames: Int, max_frame_delta: Long)
+
+  /** Motion proxy over a packed video payload: demux the container, run
+    * EVERY frame through the real `javax.imageio` decode, and report the
+    * maximum adjacent-frame brightness-sum delta — the scene-change /
+    * static-clip triage scalar, computed without ever materializing more
+    * than one frame at a time (iterator-to-iterator, constant memory). */
+  def extractMotionFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[MotionFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        var prev = -1L
+        var maxDelta = 0L
+        var n = 0
+        unpackFrames(r.payload).foreach { case (_, png) =>
+          val (_, _, sum) = decodeImage(png)
+          if (prev >= 0 && math.abs(sum - prev) > maxDelta)
+            maxDelta = math.abs(sum - prev)
+          prev = sum
+          n += 1
+        }
+        MotionFeatures(r.doc_id, n, maxDelta)
+      }
+    }
+  }
+
   /** Pack PNG frames into a length-prefixed container (the demuxable "video"
     * payload: `[int32 length][png bytes]`*). Container framing is pipeline
     * code; the per-frame codec stays `javax.imageio`. */

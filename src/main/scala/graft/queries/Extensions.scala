@@ -5606,6 +5606,61 @@ object Extensions {
       .orderBy("bal_band")
   }
 
+  /** x520 — watermark sizing: the exact lateness distribution of the
+    * event stream (per event: how far behind the user's running
+    * event-time MAX it arrived, in arrival order) — p50/p99/p999/max
+    * seconds, i.e. the watermark delay that bounds state while keeping
+    * 99.9 % of events. x504 counts inversions; this SIZES the fix.
+    * Running max over arrival order per user; percentiles from
+    * distinct-value ranks. */
+  private val x520: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byArr = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("__maxprev", max(unix_timestamp(col("ts"))).over(byArr))
+      .filter(col("__maxprev").isNotNull)
+      .select(greatest(col("__maxprev") - unix_timestamp(col("ts")), lit(0L))
+        .as("__late"))
+    val coll = late.groupBy("__late").agg(count(lit(1)).as("__c"))
+    val tot = late.agg(count(lit(1)).as("__n"))
+    coll.withColumn("__cum", sum(col("__c")).over(Window.orderBy("__late")))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n_events"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__late"))).as("p50_late_sec"),
+        min(when(col("__cum") * 100 >= col("__n") * 99, col("__late")))
+          .as("p99_late_sec"),
+        min(when(col("__cum") * 1000 >= col("__n") * 999, col("__late")))
+          .as("p999_late_sec"),
+        max(col("__late")).as("max_late_sec"))
+  }
+
+  /** x521 — part-type mix drift ([[Analytics.categoricalMixDrift]] over
+    * ship years × part type): year-over-year L1 drift of the TYPE
+    * revenue-line mix — the assortment-composition drift x314 measures
+    * for priorities and x330 for event types, at the catalog axis. */
+  private val x521: Q = (spark, sfDir) =>
+    Analytics.categoricalMixDrift(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate").isNotNull)
+        .select(year(to_date(col("l_shipdate"))).as("yr"), col("p_type")),
+      "yr", "p_type")
+
+  /** x522 — video motion proxy
+    * ([[graft.operators.Multimodal.extractMotionFeatures]]): per packed
+    * clip, the max adjacent-frame brightness delta through the REAL
+    * demux + per-frame `javax.imageio` decode — the oracle recomputes
+    * the frame sums from the pixel formula (17·frame term), so green
+    * certifies the whole container round-trip frame by frame. */
+  private val x522: Q = (spark, sfDir) => {
+    val media = graft.operators.Multimodal.renderVideoTable(spark,
+      docs(spark, sfDir).filter(col("doc_id") % 7 === 0))
+    graft.operators.Multimodal.extractMotionFeatures(spark, media)
+      .toDF().orderBy("doc_id")
+  }
+
   /** x517 — ANN recall-k curve: banded-LSH top-k overlap with the exact
     * brute-force top-k at k = 1/5/10/20 — x217 scores ONE k; retrieval
     * quality is a CURVE (head recall ≠ tail recall), and this is the
@@ -8603,7 +8658,10 @@ object Extensions {
     "x516_buyer_breadth_quadrants" -> x516,
     "x517_recall_k_curve" -> x517,
     "x518_hub_removal_sweep" -> x518,
-    "x519_length_tail_ratio" -> x519)
+    "x519_length_tail_ratio" -> x519,
+    "x520_watermark_sizing" -> x520,
+    "x521_type_mix_drift" -> x521,
+    "x522_video_motion_proxy" -> x522)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16082,6 +16140,65 @@ object Extensions {
          | CAST(1000 * p99_chars // p50_chars AS BIGINT)
          |  AS tail_ratio_milli
          |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x520_watermark_sizing" ->
+      ("""WITH e AS (SELECT user_id, event_id,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |l AS (SELECT MAX(sec) OVER (PARTITION BY user_id
+         |   ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |   AND 1 PRECEDING) AS mx, sec FROM e),
+         |f AS (SELECT GREATEST(mx - sec, 0) AS late FROM l
+         | WHERE mx IS NOT NULL),
+         |c AS (SELECT late, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM f GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+         |cu AS (SELECT late, SUM(c) OVER (ORDER BY late) AS cum FROM c)
+         |SELECT MAX(n.n) AS n_events,
+         | CAST(MIN(CASE WHEN cum * 2 >= n.n THEN late END) AS BIGINT)
+         |  AS p50_late_sec,
+         | CAST(MIN(CASE WHEN cum * 100 >= n.n * 99 THEN late END)
+         |  AS BIGINT) AS p99_late_sec,
+         | CAST(MIN(CASE WHEN cum * 1000 >= n.n * 999 THEN late END)
+         |  AS BIGINT) AS p999_late_sec,
+         | CAST(MAX(late) AS BIGINT) AS max_late_sec
+         |FROM cu CROSS JOIN n""".stripMargin.replace("\n", " ")),
+    "x521_type_mix_drift" ->
+      ("""WITH cell AS (SELECT year(CAST(l_shipdate AS DATE)) AS yr,
+         |  p_type AS p, COUNT(*) AS n
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate IS NOT NULL AND p_type IS NOT NULL
+         | GROUP BY 1, 2),
+         |yt AS (SELECT yr, SUM(n) AS t FROM cell GROUP BY 1),
+         |sh AS (SELECT cell.yr, p, CAST(n * 1000000 // t AS BIGINT) AS s
+         | FROM cell JOIN yt ON yt.yr = cell.yr),
+         |spine AS (SELECT yt.yr, pr.p FROM yt
+         | CROSS JOIN (SELECT DISTINCT p FROM cell) pr),
+         |f AS (SELECT spine.yr, spine.p, COALESCE(sh.s, 0) AS s
+         | FROM spine LEFT JOIN sh ON sh.yr = spine.yr AND sh.p = spine.p),
+         |lg AS (SELECT yr, p, s,
+         |  LAG(s) OVER (PARTITION BY p ORDER BY yr) AS prev FROM f)
+         |SELECT yr, CAST(SUM(ABS(s - prev)) AS BIGINT) AS l1_drift_ppm,
+         | CAST(COUNT(*) AS BIGINT) AS n_categories
+         |FROM lg WHERE prev IS NOT NULL GROUP BY 1 ORDER BY yr"""
+        .stripMargin.replace("\n", " ")),
+    "x522_video_motion_proxy" ->
+      ("""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+         |  8 + doc_id % 7 AS h, 1 + doc_id % 6 AS nf FROM documents
+         | WHERE doc_id % 7 = 0),
+         |fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM d),
+         |px AS (SELECT doc_id, f, w, h, unnest(range(w * h)) AS i
+         | FROM fr),
+         |fs AS (SELECT doc_id, f,
+         |  CAST(SUM((doc_id * 31 + f * 17 + 7 * (i % w)
+         |   + 13 * (i // w)) % 256) AS BIGINT) AS fsum
+         | FROM px GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, ABS(fsum - LAG(fsum) OVER
+         |  (PARTITION BY doc_id ORDER BY f)) AS delta FROM fs)
+         |SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames,
+         | CAST(COALESCE(MAX(dl.delta), 0) AS BIGINT) AS max_frame_delta
+         |FROM d LEFT JOIN dl ON d.doc_id = dl.doc_id
+         |GROUP BY d.doc_id, d.nf ORDER BY d.doc_id"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
