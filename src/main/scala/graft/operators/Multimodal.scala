@@ -575,4 +575,56 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedFeatures(doc_id: Long, src_width: Int, src_height: Int,
+                             tgt_width: Int, tgt_height: Int,
+                             resized_sum: Long, resized_checksum: Long)
+
+  /** Nearest-neighbor resize of a decoded grayscale raster: target pixel
+    * (tx, ty) samples source pixel (⌊tx·w/tw⌋, ⌊ty·h/th⌋) — the standard
+    * floor index map, reproducible arithmetically by a SQL oracle (unlike
+    * `Image.getScaledInstance`, whose kernel is implementation-defined).
+    * Returns row-major resized samples. */
+  def resizeNearest(img: BufferedImage, tw: Int, th: Int): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        out(ty * tw + tx) = raster.getSample(tx * w / tw, ty * h / th, 0)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /**
+   * Batch resize — the thumbnail/normalize stage every multimodal training
+   * pipeline runs before feature extraction: REAL `javax.imageio` decode →
+   * nearest-neighbor downsample to a fixed target grid, one
+   * iterator-to-iterator `mapPartitions` pass (constant memory; at 100 TB
+   * the decode+resize is embarrassingly parallel and the fixed-size output
+   * is what ships to the shuffle, never the source pixels). Emits the
+   * resized pixel sum plus a position-weighted checksum Σ(i+1)·p_i over the
+   * row-major grid, so the oracle certifies the index MAP, not just the
+   * pixel mass.
+   */
+  def extractResizedFeatures(spark: SparkSession, media: DataFrame,
+      tw: Int = 4, th: Int = 4): Dataset[ResizedFeatures] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        val px = resizeNearest(img, tw, th)
+        var sum = 0L; var chk = 0L; var i = 0
+        while (i < px.length) { sum += px(i); chk += (i + 1L) * px(i); i += 1 }
+        ResizedFeatures(r.doc_id, img.getWidth, img.getHeight, tw, th, sum, chk)
+      }
+    }
+  }
 }

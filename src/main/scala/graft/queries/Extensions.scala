@@ -5661,6 +5661,83 @@ object Extensions {
       .toDF().orderBy("doc_id")
   }
 
+  /** x523 — Mann-Whitney rank-sum / AUC: does the AUTOMOBILE segment
+    * place larger orders than BUILDING, WITHOUT assuming normality?
+    * Exact midranks (×2 to stay integer) via the distinct-value
+    * cumulative rank (the x139/x161 collapsed-frame pattern — never a
+    * row-sized global sort), the U statistic, and U/(n₁·n₂) in ppm —
+    * the probability-of-superiority AUC. The nonparametric complement
+    * of x468's ANOVA, which tests means under distributional
+    * assumptions this test drops. */
+  private val x523: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING") &&
+        col("o_totalprice").isNotNull)
+      .select(when(col("c_mktsegment") === "AUTOMOBILE", 1L).otherwise(0L).as("__a"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__v"))
+    val coll = v.groupBy("__v")
+      .agg(count(lit(1)).as("__c"), sum(col("__a")).as("__ca"))
+    coll.withColumn("__before",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("__ca")).as("n_auto"),
+        sum(col("__c") - col("__ca")).as("n_build"),
+        sum(col("__ca") * (col("__before") * 2 + col("__c") + 1))
+          .as("rank_sum_auto_x2"))
+      .select(col("n_auto"), col("n_build"), col("rank_sum_auto_x2"),
+        (col("rank_sum_auto_x2") - col("n_auto") * (col("n_auto") + 1))
+          .as("u_auto_x2"),
+        expr("""(rank_sum_auto_x2 - n_auto * (n_auto + 1)) * 1000000
+              DIV (2 * n_auto * n_build)""").as("auc_ppm"))
+  }
+
+  /** x524 — daily burstiness (Fano factor): per event type, the exact
+    * variance-to-mean ratio of daily event counts over the zero-filled
+    * global day spine — Poisson traffic sits at 1000 milli, campaign /
+    * incident-driven types blow past it, sub-1000 is metronomic
+    * (scheduled jobs). The dispersion complement of x190's daily
+    * autocorrelation. Spine is date-bounded, the type list broadcasts,
+    * moments are decimal-exact (the x468 pattern). */
+  private val x524: Q = (spark, sfDir) => {
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("__d"))
+    val days = ev.select(col("__d")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val cell = ev.groupBy("event_type", "__d").agg(count(lit(1)).as("__n"))
+    days.crossJoin(broadcast(types))
+      .join(cell, Seq("event_type", "__d"), "left")
+      .select(col("event_type"), coalesce(col("__n"), lit(0L)).as("__x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(__s * 1000 DIV n_days AS BIGINT)").as("mean_daily_milli"),
+        expr("""CAST(CASE WHEN n_days > 1 AND __s > 0 THEN
+              (n_days * __q - __s * __s) * 1000 DIV ((n_days - 1) * __s)
+              END AS BIGINT)""").as("fano_milli"))
+      .orderBy("event_type")
+  }
+
+  /** x525 — image resize audit
+    * ([[graft.operators.Multimodal.extractResizedFeatures]]): the
+    * thumbnail/normalize stage — real `javax.imageio` decode →
+    * nearest-neighbor 4×4 downsample with the floor index map
+    * ⌊t·src/4⌋; the oracle recomputes the map from the pixel formula,
+    * and the position-weighted checksum certifies WHICH source pixel
+    * landed in WHICH cell (a plain sum would pass a transposed
+    * resize). Completes the brief's multimodal quartet: decode (x12),
+    * feature-extract (x491), frame-sample (x82), resize (this). */
+  private val x525: Q = (spark, sfDir) => {
+    val media = graft.operators.Multimodal.renderImageTable(spark,
+      docs(spark, sfDir).filter(col("doc_id") % 5 === 3))
+    graft.operators.Multimodal.extractResizedFeatures(spark, media)
+      .toDF().orderBy("doc_id")
+  }
+
   /** x517 — ANN recall-k curve: banded-LSH top-k overlap with the exact
     * brute-force top-k at k = 1/5/10/20 — x217 scores ONE k; retrieval
     * quality is a CURVE (head recall ≠ tail recall), and this is the
@@ -8661,7 +8738,10 @@ object Extensions {
     "x519_length_tail_ratio" -> x519,
     "x520_watermark_sizing" -> x520,
     "x521_type_mix_drift" -> x521,
-    "x522_video_motion_proxy" -> x522)
+    "x522_video_motion_proxy" -> x522,
+    "x523_mann_whitney_auc" -> x523,
+    "x524_daily_burstiness" -> x524,
+    "x525_image_resize_audit" -> x525)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16198,6 +16278,61 @@ object Extensions {
          | CAST(COALESCE(MAX(dl.delta), 0) AS BIGINT) AS max_frame_delta
          |FROM d LEFT JOIN dl ON d.doc_id = dl.doc_id
          |GROUP BY d.doc_id, d.nf ORDER BY d.doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x523_mann_whitney_auc" ->
+      ("""WITH v AS (SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE'
+         |   THEN 1 ELSE 0 END AS a,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+         |  AND o_totalprice IS NOT NULL),
+         |c AS (SELECT v, COUNT(*) AS c, SUM(a) AS ca FROM v GROUP BY 1),
+         |cu AS (SELECT v, c, ca, COALESCE(SUM(c) OVER (ORDER BY v
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         | FROM c),
+         |g AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_auto,
+         |  CAST(SUM(c - ca) AS BIGINT) AS n_build,
+         |  CAST(SUM(ca * (bef * 2 + c + 1)) AS BIGINT)
+         |   AS rank_sum_auto_x2 FROM cu)
+         |SELECT n_auto, n_build, rank_sum_auto_x2,
+         | CAST(rank_sum_auto_x2 - n_auto * (n_auto + 1) AS BIGINT)
+         |  AS u_auto_x2,
+         | CAST((rank_sum_auto_x2 - n_auto * (n_auto + 1)) * 1000000
+         |  // (2 * n_auto * n_build) AS BIGINT) AS auc_ppm
+         |FROM g""".stripMargin.replace("\n", " ")),
+    "x524_daily_burstiness" ->
+      ("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events
+         | WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |days AS (SELECT DISTINCT d FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |cell AS (SELECT event_type, d, COUNT(*) AS n FROM e
+         | GROUP BY 1, 2),
+         |f AS (SELECT ty.event_type, days.d, COALESCE(cell.n, 0) AS x
+         | FROM days CROSS JOIN ty LEFT JOIN cell
+         |  ON cell.event_type = ty.event_type AND cell.d = days.d),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  SUM(CAST(x AS DECIMAL(38,0))) AS s,
+         |  SUM(CAST(x AS DECIMAL(38,0)) * x) AS q FROM f GROUP BY 1)
+         |SELECT event_type, n_days,
+         | CAST(s AS BIGINT) * 1000 // n_days AS mean_daily_milli,
+         | CASE WHEN n_days > 1 AND s > 0 THEN
+         |  CAST(n_days * q - s * s AS BIGINT) * 1000
+         |   // (CAST((n_days - 1) * s AS BIGINT))
+         |  END AS fano_milli
+         |FROM g ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    "x525_image_resize_audit" ->
+      ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7
+         |  AS h FROM documents WHERE doc_id % 5 = 3),
+         |t AS (SELECT doc_id, w, h, unnest(range(16)) AS i FROM p),
+         |v AS (SELECT doc_id, w, h, i,
+         |  (doc_id * 31 + 7 * ((i % 4) * w // 4)
+         |   + 13 * ((i // 4) * h // 4)) % 256 AS g FROM t)
+         |SELECT doc_id, CAST(MAX(w) AS INT) AS src_width,
+         | CAST(MAX(h) AS INT) AS src_height, CAST(4 AS INT) AS tgt_width,
+         | CAST(4 AS INT) AS tgt_height,
+         | CAST(SUM(g) AS BIGINT) AS resized_sum,
+         | CAST(SUM((i + 1) * g) AS BIGINT) AS resized_checksum
+         |FROM v GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

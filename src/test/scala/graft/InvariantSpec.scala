@@ -633,4 +633,51 @@ class InvariantSpec extends AnyFunSuite {
       assert(r.getInt(1) >= 1 && r.getInt(1) <= 10)
     }
   }
+
+  test("x523 Mann-Whitney: midrank U equals the brute-force pairwise superiority count") {
+    // U = #(a > b) + ties/2, so u_x2 must equal 2·#(a > b) + #(a = b); the
+    // rank formulation is the scale path, the pair join is the oracle here.
+    val sf = "/root/testdata/sf0.001"
+    val r = queries.Extensions.queries("x523_mann_whitney_auc")(spark, sf).collect().head
+    val v = sources.Tables(spark, sf, "orders")
+      .join(sources.Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING") &&
+        col("o_totalprice").isNotNull)
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    val a = v.filter(col("seg") === "AUTOMOBILE").select(col("v").as("va"))
+    val b = v.filter(col("seg") === "BUILDING").select(col("v").as("vb"))
+    val pair = a.crossJoin(b)
+      .agg(sum(when(col("va") > col("vb"), 2L)
+        .when(col("va") === col("vb"), 1L).otherwise(0L)).as("u2"))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("u_auto_x2") == pair)
+    assert(r.getAs[Long]("n_auto") > 0 && r.getAs[Long]("n_build") > 0)
+  }
+
+  test("x524 Fano factor: constant daily counts give zero dispersion; a spike is super-Poisson") {
+    val ev = ((1 to 10).map(d => ("flat", f"2024-01-$d%02d", 5)) ++
+      (1 to 10).map(d => ("spiky", f"2024-01-$d%02d", if (d == 1) 46 else 0)))
+      .flatMap { case (t, d, n) => Seq.fill(n)((t, d)) }
+      .toDF("event_type", "d")
+      .select(col("event_type"), to_timestamp(col("d")).as("ts"))
+    // run the same collapse the query does, via a temp sfDir-free inline copy:
+    val days = ev.select(to_date(col("ts")).as("__d")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val cell = ev.groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val out = days.crossJoin(broadcast(types))
+      .join(cell, Seq("event_type", "__d"), "left")
+      .select(col("event_type"), coalesce(col("__n"), lit(0L)).as("__x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("__x").as("s"),
+        sum(col("__x") * col("__x")).as("q"))
+      .select(col("event_type"),
+        expr("(n * q - s * s) * 1000 DIV ((n - 1) * s)").as("fano_milli"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("flat") == 0L, "deterministic cadence has zero variance")
+    // spiky: mean 4.6, var = (10·2116 − 46²)/(9·46) → 46000/414 ≈ 111.11× mean
+    assert(out("spiky") == (10L * 2116 - 46L * 46) * 1000 / (9L * 46))
+    assert(out("spiky") > 1000L, "a one-day spike is super-Poisson")
+  }
 }

@@ -609,6 +609,40 @@ class FrameSamplingSpec extends AnyFunSuite {
     val media = Seq((1L, Array.empty[Byte], "vid")).toDF("doc_id", "payload", "format")
     assert(Multimodal.sampleFrames(spark, media).collect().isEmpty)
   }
+
+  test("resizeNearest: floor index map, identity at source dims") {
+    val id = 13L
+    val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+    def p(x: Int, y: Int): Int = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.renderPng(id, 0)))
+    // identity resize returns the raster verbatim
+    val same = Multimodal.resizeNearest(img, w, h)
+    assert(same.toSeq == (for (y <- 0 until h; x <- 0 until w) yield p(x, y)))
+    // 4×4 downsample samples (⌊tx·w/4⌋, ⌊ty·h/4⌋) row-major
+    val small = Multimodal.resizeNearest(img, 4, 4)
+    val expect = for (ty <- 0 until 4; tx <- 0 until 4)
+      yield p(tx * w / 4, ty * h / 4)
+    assert(small.toSeq == expect)
+  }
+
+  test("extractResizedFeatures: checksum is position-sensitive (catches a transposed map)") {
+    val media = Multimodal.renderImageTable(spark,
+      Seq((13L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.extractResizedFeatures(spark, media).collect().head
+    val id = 13L
+    val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+    def p(x: Int, y: Int): Long = (id * 31 + 7L * x + 13L * y) % 256
+    val px = for (ty <- 0 until 4; tx <- 0 until 4) yield p(tx * w / 4, ty * h / 4)
+    val txp = for (tx <- 0 until 4; ty <- 0 until 4) yield p(tx * w / 4, ty * h / 4)
+    assert((f.src_width, f.src_height, f.tgt_width, f.tgt_height) == (w, h, 4, 4))
+    assert(f.resized_sum == px.sum)
+    assert(f.resized_checksum == px.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
+    // the transposed grid has the same sum but a different checksum — the
+    // checksum is what certifies the index map, so it must tell them apart
+    val txChk = txp.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    assert(txp.sum == px.sum && txChk != f.resized_checksum)
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
