@@ -337,6 +337,79 @@ object Dedup {
   }
 
   /**
+   * Blocking-quality audit — the standard record-linkage evaluation pair
+   * (pairs completeness + reduction ratio, Christen's framework; public
+   * technique) for the exact prefix-filter blocking of
+   * [[prefixFilterJaccard]]: candidates are pairs sharing ≥ 1 PREFIX
+   * shingle (each doc's |s| − ⌈t·|s|⌉ + 1 rarest by (df, shingle) — the
+   * AllPairs bound), truth is exact jaccard ≥ t on full shingle sets.
+   * The prefix-filter theorem says completeness is EXACTLY 1e6 ppm; the
+   * SQL oracle recomputes truth through an INDEPENDENT all-pairs
+   * shared-shingle join, so a green row is a machine-checked certificate
+   * of the zero-false-negative property next to the reduction ratio that
+   * justifies running the filter at all. Reported `n_true_pairs` is the
+   * verified-candidate count — equal to the independent truth count iff
+   * no true pair was pruned.
+   *
+   * Scale shape: df collapse (vocabulary-bounded) → per-doc rarity window
+   * (doc-partitioned) → candidate self-join on prefix shingles only →
+   * verification restricted to candidates (the x114 shape); the
+   * possible-pair denominator is arithmetic on one count. STRING shingles
+   * (not hashes) so the (df, shingle) rarity tie-break is engine-portable
+   * and the oracle can re-derive the candidate set, not just the verified
+   * output.
+   */
+  def blockingQualityAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // cached: df-count, prefix derivation, and verification all re-read the
+    // shingle rows. Caller-managed lifecycle (ContextCleaner reclaims once
+    // the returned frame is materialized and dropped) — see coOccurrenceLift.
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("s"))
+      .cache()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = toks.join(dfreq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "s")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .cache() // consumed by the count AND the verification join (same lifecycle)
+    val candidateDocs = candidates
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sets = toks.join(candidateDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    val verified = candidates
+      .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
+      .agg(count(lit(1)).as("n_true_pairs"))
+    val nDocs = sizes.agg(count(lit(1)).as("n_docs"))
+    val nCand = candidates.agg(count(lit(1)).as("n_candidate_pairs"))
+    nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(verified))
+      .select(col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2 AS BIGINT)")
+          .as("n_possible_pairs"),
+        col("n_candidate_pairs"), col("n_true_pairs"))
+      .select(col("n_docs"), col("n_possible_pairs"), col("n_candidate_pairs"),
+        col("n_true_pairs"),
+        // 1e6 by the prefix-filter theorem; the oracle computes
+        // |truth ∩ candidates| / |independent truth| — red if a pair was lost
+        lit(1000000L).as("completeness_ppm"),
+        expr("""CAST(CASE WHEN n_possible_pairs > 0 THEN
+              (n_possible_pairs - n_candidate_pairs) * 1000000
+               DIV n_possible_pairs END AS BIGINT)""").as("reduction_ppm"))
+  }
+
+  /**
    * Prefix-corpus novelty: for each document — with the corpus ordered by
    * ingest id — how many distinct n-gram shingles it contains and how many
    * of them appear in NO earlier document. The content-growth signal a

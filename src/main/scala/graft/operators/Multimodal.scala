@@ -576,6 +576,39 @@ object Multimodal {
     }
   }
 
+  case class DecimatedAudio(doc_id: Long, n_samples: Long, n_kept: Long,
+                            kept_abs_sum: Long, kept_checksum: Long)
+
+  /**
+   * Audio decimation (resample-by-stride) — the audio analog of
+   * [[extractResizedFeatures]]: REAL `javax.sound.sampled` decode → keep
+   * every `stride`-th sample, one iterator-to-iterator `mapPartitions`
+   * pass. Dropped samples are decoded (the PCM frame is one block) but
+   * never leave the executor — the fixed-rate output is what ships
+   * downstream. Emits Σ|v| over the kept samples plus the
+   * position-weighted checksum Σ(j+1)·v_j over the KEPT sequence, so the
+   * oracle certifies WHICH samples were kept and in WHAT order, not just
+   * their mass.
+   */
+  def extractDecimatedAudio(spark: SparkSession, media: DataFrame,
+      stride: Int = 2): Dataset[DecimatedAudio] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val v = decodeWavSamples(r.payload)
+        var absSum = 0L; var chk = 0L; var kept = 0L; var t = 0
+        while (t < v.length) {
+          kept += 1
+          absSum += math.abs(v(t).toLong)
+          chk += kept * v(t)
+          t += stride
+        }
+        DecimatedAudio(r.doc_id, v.length.toLong, kept, absSum, chk)
+      }
+    }
+  }
+
   case class ResizedFeatures(doc_id: Long, src_width: Int, src_height: Int,
                              tgt_width: Int, tgt_height: Int,
                              resized_sum: Long, resized_checksum: Long)

@@ -5738,6 +5738,60 @@ object Extensions {
       .toDF().orderBy("doc_id")
   }
 
+  /** x526 — blocking-quality audit ([[Dedup.blockingQualityAudit]]): the
+    * record-linkage eval pair for x114's prefix-filter blocking —
+    * reduction ratio (pairs pruned from n(n−1)/2) and pairs completeness.
+    * Spark declares completeness = 1e6 ppm by the prefix-filter theorem;
+    * the oracle recomputes truth via an INDEPENDENT all-pairs
+    * shared-shingle join, so green machine-checks the zero-false-negative
+    * claim instead of assuming it. The dedup complement of x517's ANN
+    * recall curve. */
+  private val x526: Q = (spark, sfDir) =>
+    Dedup.blockingQualityAudit(docs(spark, sfDir), "doc_id", "text")
+
+  /** x527 — audio decimation audit
+    * ([[graft.operators.Multimodal.extractDecimatedAudio]]): real
+    * `javax.sound` decode → every-2nd-sample resample; the
+    * position-weighted checksum over the KEPT sequence certifies the
+    * selection and order through the codec round-trip — the audio analog
+    * of x525's resize, completing decode (x119) / frame (x180) /
+    * sample-rate-reduce (this) for the audio pipeline. */
+  private val x527: Q = (spark, sfDir) => {
+    val media = graft.operators.Multimodal.renderAudioTable(spark,
+      docs(spark, sfDir).filter(col("doc_id") % 3 === 1))
+    graft.operators.Multimodal.extractDecimatedAudio(spark, media)
+      .toDF().orderBy("doc_id")
+  }
+
+  /** x528 — join-cardinality estimator audit: the optimizer-statistics
+    * eval next to x499's selectivity catalog and x512's build-side
+    * advisor — estimate the self-equijoin cardinality of lineitem on
+    * l_partkey from a 10-heavy-hitter histogram (exact top-10 counts +
+    * uniform remainder, the classic end-biased histogram), against the
+    * exact Σc². err_ppm is the price of the uniformity assumption — the
+    * number that decides whether stats are fresh enough to trust a plan.
+    * Key-collapsed frame; top-10 via TakeOrdered, never a global sort. */
+  private val x528: Q = (spark, sfDir) => {
+    val keys = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_partkey").isNotNull)
+      .groupBy("l_partkey").agg(count(lit(1)).as("__c"))
+    val top = keys.orderBy(col("__c").desc, col("l_partkey")).limit(10)
+      .agg(count(lit(1)).as("__topk"), sum(col("__c")).as("__top_rows"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__top_sq"))
+    val all = keys.agg(count(lit(1)).as("n_keys"),
+      sum(col("__c")).as("n_rows"),
+      sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__sq"))
+    all.crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"),
+        expr("CAST(__sq AS BIGINT)").as("exact_pairs"),
+        expr("""CAST(__top_sq + CASE WHEN n_keys > __topk THEN
+              CAST(n_rows - __top_rows AS DECIMAL(38,0)) * (n_rows - __top_rows)
+               DIV (n_keys - __topk) ELSE 0 END AS BIGINT)""").as("est_pairs"))
+      .select(col("n_rows"), col("n_keys"), col("exact_pairs"), col("est_pairs"),
+        expr("abs(est_pairs - exact_pairs) * 1000000 DIV exact_pairs")
+          .as("err_ppm"))
+  }
+
   /** x517 — ANN recall-k curve: banded-LSH top-k overlap with the exact
     * brute-force top-k at k = 1/5/10/20 — x217 scores ONE k; retrieval
     * quality is a CURVE (head recall ≠ tail recall), and this is the
@@ -8741,7 +8795,10 @@ object Extensions {
     "x522_video_motion_proxy" -> x522,
     "x523_mann_whitney_auc" -> x523,
     "x524_daily_burstiness" -> x524,
-    "x525_image_resize_audit" -> x525)
+    "x525_image_resize_audit" -> x525,
+    "x526_blocking_quality_audit" -> x526,
+    "x527_audio_decimation_audit" -> x527,
+    "x528_join_cardinality_estimate" -> x528)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16334,6 +16391,70 @@ object Extensions {
          | CAST(SUM((i + 1) * g) AS BIGINT) AS resized_checksum
          |FROM v GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")),
+    "x526_blocking_quality_audit" ->
+      (s"""WITH $shingleCtes,
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+         |rk AS (SELECT sh.doc_id, sh.s, sizes.n,
+         |  ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+         |   ORDER BY dfq.df, sh.s) AS rk
+         | FROM sh JOIN dfq ON dfq.s = sh.s
+         |  JOIN sizes ON sizes.doc_id = sh.doc_id),
+         |pref AS (SELECT doc_id, s FROM rk
+         | WHERE rk <= n - CEIL(n * 0.7) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         | FROM pref a JOIN pref b ON a.s = b.s
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  COUNT(*) AS inter FROM sh a JOIN sh b ON a.s = b.s
+         |  AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM pairs
+         | JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         | WHERE CAST(inter AS DOUBLE)
+         |  / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7),
+         |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes)
+         |   AS n_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+         |    JOIN cand USING (d1, d2)) AS matched)
+         |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_possible_pairs,
+         | n_cand AS n_candidate_pairs, matched AS n_true_pairs,
+         | CASE WHEN n_truth > 0 THEN matched * 1000000 // n_truth
+         |  ELSE 1000000 END AS completeness_ppm,
+         | CASE WHEN n_docs > 1 THEN (n_docs * (n_docs - 1) // 2 - n_cand)
+         |  * 1000000 // (n_docs * (n_docs - 1) // 2) END AS reduction_ppm
+         |FROM c""".stripMargin.replace("\n", " ")),
+    "x527_audio_decimation_audit" ->
+      ("""WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+         | WHERE doc_id % 3 = 1),
+         |t AS (SELECT doc_id, n, unnest(range(n)) AS t FROM d),
+         |k AS (SELECT doc_id, n, t, t // 2 + 1 AS j,
+         |  (doc_id * 31 + 7 * t) % 65536 - 32768 AS v
+         | FROM t WHERE t % 2 = 0)
+         |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+         | CAST(COUNT(*) AS BIGINT) AS n_kept,
+         | CAST(SUM(ABS(v)) AS BIGINT) AS kept_abs_sum,
+         | CAST(SUM(j * v) AS BIGINT) AS kept_checksum
+         |FROM k GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x528_join_cardinality_estimate" ->
+      ("""WITH k AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, l_partkey)
+         |  AS rn FROM k),
+         |tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS topk,
+         |  CAST(SUM(c) AS BIGINT) AS top_rows,
+         |  CAST(SUM(c * c) AS BIGINT) AS top_sq FROM r WHERE rn <= 10),
+         |al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(SUM(c * c) AS BIGINT) AS sq FROM k),
+         |e AS (SELECT n_rows, n_keys, sq AS exact_pairs,
+         |  top_sq + CASE WHEN n_keys > topk THEN
+         |   (n_rows - top_rows) * (n_rows - top_rows) // (n_keys - topk)
+         |   ELSE 0 END AS est_pairs FROM al CROSS JOIN tp)
+         |SELECT n_rows, n_keys, exact_pairs, est_pairs,
+         | ABS(est_pairs - exact_pairs) * 1000000 // exact_pairs AS err_ppm
+         |FROM e""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),

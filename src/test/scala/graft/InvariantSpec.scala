@@ -634,6 +634,19 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("blockingQualityAudit: verified-candidate count equals the exact uncapped pair count") {
+    // zero-false-negative property on random docs: the prefix-filter
+    // candidates, verified, must find EVERY pair ngramJaccard (no cap) finds
+    val docs = randomDocs(seed = 43, n = 60, vocab = 12, len = 12)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
+      minJaccard = 0.7, maxDf = Int.MaxValue).count()
+    val r = Dedup.blockingQualityAudit(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_true_pairs") == exact)
+    assert(r.getAs[Long]("n_candidate_pairs") <= r.getAs[Long]("n_possible_pairs"))
+    assert(r.getAs[Long]("n_true_pairs") <= r.getAs[Long]("n_candidate_pairs"))
+    assert(r.getAs[Long]("completeness_ppm") == 1000000L)
+  }
+
   test("x523 Mann-Whitney: midrank U equals the brute-force pairwise superiority count") {
     // U = #(a > b) + ties/2, so u_x2 must equal 2·#(a > b) + #(a = b); the
     // rank formulation is the scale path, the pair join is the oracle here.

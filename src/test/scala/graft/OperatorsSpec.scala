@@ -626,6 +626,18 @@ class FrameSamplingSpec extends AnyFunSuite {
     assert(small.toSeq == expect)
   }
 
+  test("extractDecimatedAudio: stride-2 keeps even samples in order through the real codec") {
+    val media = Multimodal.renderAudioTable(spark,
+      Seq((7L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.extractDecimatedAudio(spark, media).collect().head
+    val n = Multimodal.audioSamples(7L)
+    val kept = (0 until n by 2).map(Multimodal.sampleVal(7L, _))
+    assert(f.n_samples == n.toLong && f.n_kept == kept.length.toLong)
+    assert(f.kept_abs_sum == kept.map(v => math.abs(v.toLong)).sum)
+    assert(f.kept_checksum ==
+      kept.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
+  }
+
   test("extractResizedFeatures: checksum is position-sensitive (catches a transposed map)") {
     val media = Multimodal.renderImageTable(spark,
       Seq((13L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
