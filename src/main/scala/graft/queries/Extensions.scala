@@ -5763,6 +5763,118 @@ object Extensions {
       .toDF().orderBy("doc_id")
   }
 
+  /** x529 — KMV (k-minimum-values) sketch audit: estimate the cross-
+    * snapshot shingle overlap (docs split by id parity = two crawl
+    * snapshots) from two 128-value bottom-k sketches — Ĵ from the match
+    * rate inside the union sketch, distinct-union from (k−1)·2⁶⁰/h_k —
+    * next to the exact answers, err in ppm. The SET-INTERSECTION sketch
+    * the HLL family (x83) cannot provide: KMV sketches are mergeable AND
+    * intersectable, the 100 TB way to ask "how much does snapshot B
+    * re-crawl of A?" without a corpus-wide join. Portable 60-bit md5
+    * hash ⇒ the oracle rebuilds both sketches verbatim; sketch
+    * construction is a vocabulary-bounded collapse + two TakeOrdered
+    * top-k's — never a global sort. */
+  private val x529: Q = (spark, sfDir) => {
+    val k = 128
+    val pres = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select((col("doc_id") % 2 === 0).as("__a"),
+        explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .groupBy("s")
+      .agg(max(when(col("__a"), 1L).otherwise(0L)).as("__ina"),
+        max(when(!col("__a"), 1L).otherwise(0L)).as("__inb"))
+    val exact = pres.agg(count(lit(1)).as("exact_union"),
+      sum(expr("__ina * __inb")).as("exact_inter"))
+    val hashed = pres.select(col("__ina"), col("__inb"),
+      graft.operators.PortableHash.hash60(col("s")).as("h"))
+    val aK = hashed.filter(col("__ina") === 1).orderBy("h").limit(k)
+      .select(col("h"), lit(1L).as("__fa"))
+    val bK = hashed.filter(col("__inb") === 1).orderBy("h").limit(k)
+      .select(col("h"), lit(1L).as("__fb"))
+    val uK = aK.select("h").unionAll(bK.select("h")).distinct()
+      .orderBy("h").limit(k)
+    val sketch = uK.join(aK, Seq("h"), "left").join(bK, Seq("h"), "left")
+      .agg(count(lit(1)).as("__ku"), max(col("h")).as("__hk"),
+        sum(when(col("__fa").isNotNull && col("__fb").isNotNull, 1L)
+          .otherwise(0L)).as("__m"))
+    sketch.crossJoin(broadcast(exact))
+      .select(lit(k.toLong).as("k"),
+        expr("__m * 1000000 DIV __ku").as("est_jaccard_ppm"),
+        expr("exact_inter * 1000000 DIV exact_union").as("exact_jaccard_ppm"),
+        expr(s"""CAST(CASE WHEN __ku < $k THEN __ku ELSE
+              CAST(__ku - 1 AS DECIMAL(38,0)) * 1152921504606846976 DIV __hk
+              END AS BIGINT)""").as("est_union"),
+        col("exact_union"), col("exact_inter"))
+      .select(col("k"), col("est_jaccard_ppm"), col("exact_jaccard_ppm"),
+        col("est_union"), col("exact_union"), col("exact_inter"),
+        expr("abs(est_union - exact_union) * 1000000 DIV exact_union")
+          .as("union_err_ppm"))
+  }
+
+  /** x530 — revenue drawdown: the worst demand slump — per ship day,
+    * exact revenue cents vs the running all-time peak; reports the max
+    * peak-to-trough gap, its (earliest) trough day, and the slump depth
+    * in ppm of the peak that preceded it. The level-series complement of
+    * x131's trend slope: a positive trend can hide a one-month collapse,
+    * and this is the number an ops review asks for. Day-collapsed frame,
+    * date-bounded running-max window. */
+  private val x530: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(to_date(col("l_shipdate")).as("__d"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)")).as("__rev"))
+    val byDay = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    val dd = daily
+      .withColumn("__peak", max(col("__rev")).over(byDay))
+      .withColumn("__dd", col("__peak") - col("__rev"))
+    val mx = dd.agg(count(lit(1)).as("n_days"),
+      max(col("__rev")).as("max_daily_rev_cents"),
+      max(col("__dd")).as("max_drawdown_cents"))
+    dd.crossJoin(broadcast(mx))
+      .filter(col("__dd") === col("max_drawdown_cents"))
+      .groupBy("n_days", "max_daily_rev_cents", "max_drawdown_cents")
+      .agg(min(col("__d")).as("trough_day"),
+        min_by(col("__peak"), col("__d")).as("__peak_at"))
+      .select(col("n_days"), col("max_daily_rev_cents"),
+        col("max_drawdown_cents"), col("trough_day"),
+        expr("max_drawdown_cents * 1000000 DIV __peak_at")
+          .as("drawdown_ppm_of_peak"))
+  }
+
+  /** x531 — order WIP depth: how many orders are OPEN (placed, not yet
+    * fully shipped) on each day — the queueing view of the fulfillment
+    * pipeline; per month, the max and mean depth. Interval counting via
+    * the difference-array pattern: +1 at open, −1 after the last line
+    * ships, one cumulative sum over the date-bounded day spine — never a
+    * per-order-per-day blowup (the x121 gap-fill discipline applied to
+    * interval overlap). */
+  private val x531: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val closes = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("__close"))
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+      .select(to_date(col("o_orderdate")).as("__open"), col("__close"))
+      .filter(col("__close").isNotNull && col("__close") >= col("__open"))
+    val deltas = o.select(col("__open").as("__d"), lit(1L).as("__delta"))
+      .unionAll(o.select(date_add(col("__close"), 1).as("__d"),
+        lit(-1L).as("__delta")))
+      .groupBy("__d").agg(sum(col("__delta")).as("__dd"))
+    val spine = deltas.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi)")).as("__d"))
+    spine.join(deltas, Seq("__d"), "left")
+      .select(col("__d"), coalesce(col("__dd"), lit(0L)).as("__dd"))
+      .withColumn("__depth", sum(col("__dd")).over(Window.orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(trunc(col("__d"), "month").as("month"))
+      .agg(max(col("__depth")).as("max_open_orders"),
+        expr("SUM(__depth) DIV COUNT(1)").as("mean_open_orders"))
+      .orderBy("month")
+  }
+
   /** x528 — join-cardinality estimator audit: the optimizer-statistics
     * eval next to x499's selectivity catalog and x512's build-side
     * advisor — estimate the self-equijoin cardinality of lineitem on
@@ -8798,7 +8910,10 @@ object Extensions {
     "x525_image_resize_audit" -> x525,
     "x526_blocking_quality_audit" -> x526,
     "x527_audio_decimation_audit" -> x527,
-    "x528_join_cardinality_estimate" -> x528)
+    "x528_join_cardinality_estimate" -> x528,
+    "x529_kmv_sketch_audit" -> x529,
+    "x530_revenue_drawdown" -> x530,
+    "x531_order_wip_depth" -> x531)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16455,6 +16570,82 @@ object Extensions {
          |SELECT n_rows, n_keys, exact_pairs, est_pairs,
          | ABS(est_pairs - exact_pairs) * 1000000 // exact_pairs AS err_ppm
          |FROM e""".stripMargin.replace("\n", " ")),
+    "x529_kmv_sketch_audit" ->
+      (s"""WITH $shingleCtes,
+         |pres AS (SELECT s,
+         |  MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ina,
+         |  MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS inb
+         | FROM sh GROUP BY s),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         |  CAST(SUM(ina * inb) AS BIGINT) AS exact_inter FROM pres),
+         |hh AS (SELECT ina, inb,
+         |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM pres),
+         |ak AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+         |  AS rn FROM hh WHERE ina = 1) WHERE rn <= 128),
+         |bk AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+         |  AS rn FROM hh WHERE inb = 1) WHERE rn <= 128),
+         |uk AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+         |  AS rn FROM (SELECT DISTINCT h FROM (SELECT h FROM ak
+         |   UNION ALL SELECT h FROM bk))) WHERE rn <= 128),
+         |sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS ku,
+         |  CAST(MAX(uk.h) AS BIGINT) AS hk,
+         |  CAST(SUM(CASE WHEN ak.h IS NOT NULL AND bk.h IS NOT NULL
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS m
+         | FROM uk LEFT JOIN ak ON ak.h = uk.h
+         |  LEFT JOIN bk ON bk.h = uk.h),
+         |f AS (SELECT 128 AS k, m * 1000000 // ku AS est_jaccard_ppm,
+         |  exact_inter * 1000000 // exact_union AS exact_jaccard_ppm,
+         |  CASE WHEN ku < 128 THEN ku ELSE CAST((ku - 1)
+         |   * CAST(1152921504606846976 AS HUGEINT) // hk AS BIGINT)
+         |   END AS est_union,
+         |  exact_union, exact_inter FROM sk CROSS JOIN ex)
+         |SELECT CAST(k AS BIGINT) AS k, est_jaccard_ppm,
+         | exact_jaccard_ppm, est_union, exact_union, exact_inter,
+         | ABS(est_union - exact_union) * 1000000 // exact_union
+         |  AS union_err_ppm FROM f""".stripMargin.replace("\n", " ")),
+    "x530_revenue_drawdown" ->
+      ("""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS d,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev
+         | FROM lineitem WHERE l_shipdate IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL GROUP BY 1),
+         |p AS (SELECT d, rev, MAX(rev) OVER (ORDER BY d
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         | FROM d),
+         |dd AS (SELECT d, rev, peak, peak - rev AS gap FROM p),
+         |mx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(MAX(rev) AS BIGINT) AS max_daily_rev_cents,
+         |  CAST(MAX(gap) AS BIGINT) AS max_drawdown_cents FROM dd)
+         |SELECT mx.n_days, mx.max_daily_rev_cents, mx.max_drawdown_cents,
+         | MIN(dd.d) AS trough_day,
+         | mx.max_drawdown_cents * 1000000 // MIN_BY(dd.peak, dd.d)
+         |  AS drawdown_ppm_of_peak
+         |FROM dd CROSS JOIN mx WHERE dd.gap = mx.max_drawdown_cents
+         |GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")),
+    "x531_order_wip_depth" ->
+      ("""WITH cl AS (SELECT l_orderkey,
+         |  MAX(CAST(l_shipdate AS DATE)) AS close FROM lineitem
+         | GROUP BY 1),
+         |o AS (SELECT CAST(o_orderdate AS DATE) AS open, close
+         | FROM orders JOIN cl ON o_orderkey = l_orderkey
+         | WHERE o_orderdate IS NOT NULL AND close IS NOT NULL
+         |  AND close >= CAST(o_orderdate AS DATE)),
+         |dl AS (SELECT open AS d, 1 AS delta FROM o
+         | UNION ALL SELECT close + 1, -1 FROM o),
+         |g AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS dd FROM dl
+         | GROUP BY 1),
+         |span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM g),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |  INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+         |dep AS (SELECT spine.d, SUM(COALESCE(g.dd, 0)) OVER
+         |  (ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |   CURRENT ROW) AS depth
+         | FROM spine LEFT JOIN g ON g.d = spine.d)
+         |SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         | CAST(MAX(depth) AS BIGINT) AS max_open_orders,
+         | CAST(SUM(depth) AS BIGINT) // COUNT(*) AS mean_open_orders
+         |FROM dep GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
