@@ -576,6 +576,45 @@ object Multimodal {
     }
   }
 
+  case class HistogramFeatures(doc_id: Long, width: Int, height: Int,
+                               peak_bin: Int, peak_count: Long,
+                               flatness_ppm: Long)
+
+  /**
+   * Brightness-histogram census — per image, the 16-bin (v ÷ 16) band-0
+   * histogram's peak bin (lowest index on ties — deterministic and
+   * SQL-reproducible) and its count, plus flatness = ideal/actual peak
+   * share in ppm (1e6 = perfectly flat; clipped or synthetic-fill images
+   * concentrate in one bin and score low). One iterator-to-iterator
+   * `mapPartitions` pass over the REAL `javax.imageio` decode; the
+   * histogram folds executor-side, only 4 scalars per image ship.
+   */
+  def extractHistogramFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[HistogramFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bins = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bins(raster.getSample(x, y, 0) / 16) += 1; x += 1 }
+          y += 1
+        }
+        var peak = 0
+        var i = 1
+        while (i < 16) { if (bins(i) > bins(peak)) peak = i; i += 1 }
+        val n = w.toLong * h
+        HistogramFeatures(r.doc_id, w, h, peak, bins(peak),
+          n * 1000000L / (bins(peak) * 16L))
+      }
+    }
+  }
+
   case class DecimatedAudio(doc_id: Long, n_samples: Long, n_kept: Long,
                             kept_abs_sum: Long, kept_checksum: Long)
 

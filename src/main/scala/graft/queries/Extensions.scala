@@ -5875,6 +5875,100 @@ object Extensions {
       .orderBy("month")
   }
 
+  /** x532 — partial-agg effectiveness advisor: for each candidate
+    * group-by key of lineitem, the map-side combine reduction factor
+    * (1 − groups/rows, in ppm) and the verdict — the number that decides
+    * whether partial aggregation pays at 100 TB (high-cardinality keys
+    * make the combine a pure CPU tax; low-cardinality keys collapse the
+    * exchange by orders of magnitude). The aggregation-side sibling of
+    * x512's join build-side advisor and x499's selectivity catalog.
+    * One key-collapsed count per candidate. */
+  private val x532: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem")
+    def eval(label: String, keys: Column*): DataFrame = {
+      val g = li.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+      g.agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_groups"))
+        .select(lit(label).as("key_candidate"), col("n_rows"), col("n_groups"),
+          expr("(n_rows - n_groups) * 1000000 DIV n_rows").as("reduction_ppm"))
+    }
+    Seq(
+      eval("l_returnflag", col("l_returnflag")),
+      eval("l_suppkey", col("l_suppkey")),
+      eval("l_partkey", col("l_partkey")),
+      eval("l_partkey,l_suppkey", col("l_partkey"), col("l_suppkey")),
+      eval("l_orderkey", col("l_orderkey")))
+      .reduce(_.unionAll(_))
+      .select(col("key_candidate"), col("n_rows"), col("n_groups"),
+        col("reduction_ppm"),
+        when(col("reduction_ppm") >= 900000L, "0_combine_wins")
+          .when(col("reduction_ppm") >= 500000L, "1_combine_helps")
+          .otherwise("2_skip_partial").as("verdict"))
+      .orderBy("key_candidate")
+  }
+
+  /** x533 — bitemporal as-of audit: VALID time × TRANSACTION time over a
+    * synthesized part-price history (every part has a 1992 base row;
+    * key%10=0 parts get a 1996-recorded restatement valid from 1995;
+    * key%10=5 parts get a 1997-recorded BACKDATED fix valid from 1994).
+    * Two reads at the same valid date 1995-06-01 — one as-known-at
+    * 1995-12-31, one as-known-now — show how restatements and
+    * late-arriving facts change history: the two-axis generalization of
+    * x123's single-axis snapshot and the audit SCD2 (x38) cannot answer
+    * ("what did we BELIEVE the 1995 price was, before the 1996
+    * restatement landed?"). Per-read: latest valid_from ≤ V among rows
+    * with txn ≤ T, ties to latest txn — one part-partitioned window. */
+  private val x533: Q = (spark, sfDir) => {
+    val base = Tables(spark, sfDir, "part")
+      .filter(col("p_retailprice").isNotNull)
+      .select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+    val versions = base.select(col("p_partkey"), col("__c").as("price_cents"),
+        lit("1992-01-01").cast("date").as("valid_from"),
+        lit("1992-06-01").cast("date").as("txn_at"))
+      .unionAll(base.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"), (col("__c") + 100L).as("price_cents"),
+          lit("1995-01-01").cast("date").as("valid_from"),
+          lit("1996-06-01").cast("date").as("txn_at")))
+      .unionAll(base.filter(col("p_partkey") % 10 === 5)
+        .select(col("p_partkey"), (col("__c") - 50L).as("price_cents"),
+          lit("1994-01-01").cast("date").as("valid_from"),
+          lit("1997-06-01").cast("date").as("txn_at")))
+    def readAsOf(label: String, txnAsOf: String): DataFrame =
+      versions
+        .filter(col("valid_from") <= lit("1995-06-01").cast("date") &&
+          col("txn_at") <= lit(txnAsOf).cast("date"))
+        .groupBy("p_partkey")
+        .agg(max(struct(col("valid_from"), col("txn_at"), col("price_cents")))
+          .as("__v"))
+        .select(col("p_partkey"), col("__v.price_cents").as("__p"),
+          col("__v.txn_at").as("__t"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("__p")).as("sum_price_cents"),
+          sum(when(col("__t") > lit("1993-01-01").cast("date"), 1L)
+            .otherwise(0L)).as("n_restated"))
+        .select(lit(label).as("read_label"), col("n_parts"),
+          col("sum_price_cents"), col("n_restated"))
+    readAsOf("0_as_known_1995", "1995-12-31")
+      .unionAll(readAsOf("1_as_known_now", "2026-01-01"))
+      .orderBy("read_label")
+  }
+
+  /** x534 — image brightness-histogram census
+    * ([[graft.operators.Multimodal.extractHistogramFeatures]]): per image
+    * through the real decode, the 16-bin histogram's peak — bin index
+    * (lowest on ties) and count, plus flatness in ppm of ideal (1e6 =
+    * perfectly flat) — the exposure/banding triage that catches clipped
+    * or synthetic-fill images before training. x12 certifies pixel MASS,
+    * x491 adjacency, x525 the index map; this certifies the VALUE
+    * DISTRIBUTION through the codec. */
+  private val x534: Q = (spark, sfDir) => {
+    val media = graft.operators.Multimodal.renderImageTable(spark,
+      docs(spark, sfDir).filter(col("doc_id") % 4 === 2))
+    graft.operators.Multimodal.extractHistogramFeatures(spark, media)
+      .toDF().orderBy("doc_id")
+  }
+
   /** x528 — join-cardinality estimator audit: the optimizer-statistics
     * eval next to x499's selectivity catalog and x512's build-side
     * advisor — estimate the self-equijoin cardinality of lineitem on
@@ -8913,7 +9007,10 @@ object Extensions {
     "x528_join_cardinality_estimate" -> x528,
     "x529_kmv_sketch_audit" -> x529,
     "x530_revenue_drawdown" -> x530,
-    "x531_order_wip_depth" -> x531)
+    "x531_order_wip_depth" -> x531,
+    "x532_partial_agg_advisor" -> x532,
+    "x533_bitemporal_asof" -> x533,
+    "x534_image_histogram_census" -> x534)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16645,6 +16742,70 @@ object Extensions {
          | CAST(MAX(depth) AS BIGINT) AS max_open_orders,
          | CAST(SUM(depth) AS BIGINT) // COUNT(*) AS mean_open_orders
          |FROM dep GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    "x532_partial_agg_advisor" ->
+      ("""WITH c AS (
+         | SELECT 'l_returnflag' AS key_candidate, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT l_returnflag) AS n_groups FROM lineitem
+         | UNION ALL SELECT 'l_suppkey', COUNT(*),
+         |  COUNT(DISTINCT l_suppkey) FROM lineitem
+         | UNION ALL SELECT 'l_partkey', COUNT(*),
+         |  COUNT(DISTINCT l_partkey) FROM lineitem
+         | UNION ALL SELECT 'l_partkey,l_suppkey', COUNT(*),
+         |  COUNT(DISTINCT (l_partkey, l_suppkey)) FROM lineitem
+         | UNION ALL SELECT 'l_orderkey', COUNT(*),
+         |  COUNT(DISTINCT l_orderkey) FROM lineitem),
+         |r AS (SELECT key_candidate, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_groups AS BIGINT) AS n_groups,
+         |  CAST(n_rows - n_groups AS BIGINT) * 1000000
+         |   // CAST(n_rows AS BIGINT) AS reduction_ppm FROM c)
+         |SELECT key_candidate, n_rows, n_groups, reduction_ppm,
+         | CASE WHEN reduction_ppm >= 900000 THEN '0_combine_wins'
+         |  WHEN reduction_ppm >= 500000 THEN '1_combine_helps'
+         |  ELSE '2_skip_partial' END AS verdict
+         |FROM r ORDER BY key_candidate"""
+        .stripMargin.replace("\n", " ")),
+    "x533_bitemporal_asof" ->
+      ("""WITH b AS (SELECT p_partkey,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS c FROM part WHERE p_retailprice IS NOT NULL),
+         |v AS (SELECT p_partkey, c AS price_cents,
+         |  DATE '1992-01-01' AS valid_from, DATE '1992-06-01' AS txn_at
+         | FROM b
+         | UNION ALL SELECT p_partkey, c + 100, DATE '1995-01-01',
+         |  DATE '1996-06-01' FROM b WHERE p_partkey % 10 = 0
+         | UNION ALL SELECT p_partkey, c - 50, DATE '1994-01-01',
+         |  DATE '1997-06-01' FROM b WHERE p_partkey % 10 = 5),
+         |rd AS (SELECT '0_as_known_1995' AS read_label,
+         |  DATE '1995-12-31' AS t
+         | UNION ALL SELECT '1_as_known_now', DATE '2026-01-01'),
+         |pick AS (SELECT rd.read_label, v.p_partkey, v.price_cents,
+         |  v.txn_at, ROW_NUMBER() OVER (PARTITION BY rd.read_label,
+         |   v.p_partkey ORDER BY v.valid_from DESC, v.txn_at DESC) AS rn
+         | FROM rd JOIN v ON v.valid_from <= DATE '1995-06-01'
+         |  AND v.txn_at <= rd.t)
+         |SELECT read_label, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         | CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+         | CAST(SUM(CASE WHEN txn_at > DATE '1993-01-01' THEN 1 ELSE 0
+         |  END) AS BIGINT) AS n_restated
+         |FROM pick WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    "x534_image_histogram_census" ->
+      ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7
+         |  AS h FROM documents WHERE doc_id % 4 = 2),
+         |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p),
+         |v AS (SELECT doc_id, w, h,
+         |  ((doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256) // 16
+         |   AS bin FROM px),
+         |hist AS (SELECT doc_id, w, h, bin, COUNT(*) AS c FROM v
+         | GROUP BY 1, 2, 3, 4),
+         |pk AS (SELECT doc_id, w, h, bin, c, ROW_NUMBER() OVER
+         |  (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn FROM hist)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         | CAST(bin AS INT) AS peak_bin, CAST(c AS BIGINT) AS peak_count,
+         | CAST(w * h AS BIGINT) * 1000000 // (CAST(c AS BIGINT) * 16)
+         |  AS flatness_ppm
+         |FROM pk WHERE rn = 1 ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
