@@ -817,7 +817,60 @@ object BTier {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** b61 — null-safe equality join (`<=>` in Spark, IS NOT DISTINCT FROM
+    * in the oracle): the dimension carries an explicit unknown row keyed
+    * by NULL; strict equality silently drops every NULL-key fact,
+    * null-safe equality routes them to the unknown bucket. The
+    * three-valued-logic corner that loses rows in naive pipelines —
+    * NULLs planted deterministically (event_id % 211, the x93 pattern)
+    * so the divergence is non-vacuous at every SF. */
+  private val b61: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH ev AS (SELECT CASE WHEN event_id % 211 = 0 THEN NULL
+        |   ELSE user_id % 10 END AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |dim AS (SELECT DISTINCT user_id % 10 AS k FROM events
+        |   WHERE user_id IS NOT NULL
+        |  UNION ALL SELECT NULL),
+        |lab AS (SELECT k, COALESCE(CAST(k AS STRING), 'unknown') AS seg
+        |  FROM dim),
+        |ns AS (SELECT seg, COUNT(*) AS n FROM ev JOIN lab
+        |  ON ev.k <=> lab.k GROUP BY seg),
+        |st AS (SELECT seg, COUNT(*) AS n FROM ev JOIN lab
+        |  ON ev.k = lab.k GROUP BY seg)
+        |SELECT ns.seg AS seg, CAST(ns.n AS BIGINT) AS n_null_safe,
+        |  CAST(COALESCE(st.n, 0) AS BIGINT) AS n_strict
+        |FROM ns LEFT JOIN st ON ns.seg = st.seg
+        |ORDER BY seg""".stripMargin)
+  }
+
+  /** b62 — calendar month-arithmetic clamping: `add_months` lands
+    * month-end dates on the SHORTER month's last day (Jan 31 + 1 →
+    * Feb 28/29) — the end-of-month billing-cycle corner every
+    * subscription pipeline hits. Census by day-of-month of how many
+    * +1-month and +3-month rolls clamp; both engines must agree on the
+    * clamp rule AND the leap-year cells. */
+  private val b62: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |  WHERE o_orderdate IS NOT NULL),
+        |r AS (SELECT day(d) AS dom,
+        |  CASE WHEN day(add_months(d, 1)) < day(d) THEN 1 ELSE 0 END
+        |   AS c1,
+        |  CASE WHEN day(add_months(d, 3)) < day(d) THEN 1 ELSE 0 END
+        |   AS c3 FROM d)
+        |SELECT CAST(dom AS INT) AS day_of_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(c1) AS BIGINT) AS n_clamped_1m,
+        |  CAST(SUM(c3) AS BIGINT) AS n_clamped_3m
+        |FROM r GROUP BY dom ORDER BY day_of_month""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b61_null_safe_join" -> b61,
+    "b62_month_arithmetic_clamp" -> b62,
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
     "b03_join_large_shuffle" -> b03,
@@ -882,6 +935,37 @@ object BTier {
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b61_null_safe_join" ->
+      ("""WITH ev AS (SELECT CASE WHEN event_id % 211 = 0 THEN NULL
+         |   ELSE user_id % 10 END AS k FROM events
+         |  WHERE user_id IS NOT NULL),
+         |dim AS (SELECT DISTINCT user_id % 10 AS k FROM events
+         |   WHERE user_id IS NOT NULL
+         |  UNION ALL SELECT NULL),
+         |lab AS (SELECT k, COALESCE(CAST(k AS VARCHAR), 'unknown') AS seg
+         |  FROM dim),
+         |ns AS (SELECT seg, COUNT(*) AS n FROM ev JOIN lab
+         |  ON ev.k IS NOT DISTINCT FROM lab.k GROUP BY seg),
+         |st AS (SELECT seg, COUNT(*) AS n FROM ev JOIN lab
+         |  ON ev.k = lab.k GROUP BY seg)
+         |SELECT ns.seg AS seg, CAST(ns.n AS BIGINT) AS n_null_safe,
+         | CAST(COALESCE(st.n, 0) AS BIGINT) AS n_strict
+         |FROM ns LEFT JOIN st ON ns.seg = st.seg
+         |ORDER BY seg""".stripMargin.replace("\n", " ")),
+    "b62_month_arithmetic_clamp" ->
+      ("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+         |  WHERE o_orderdate IS NOT NULL),
+         |r AS (SELECT day(d) AS dom,
+         |  CASE WHEN day(d + INTERVAL 1 MONTH) < day(d) THEN 1 ELSE 0
+         |   END AS c1,
+         |  CASE WHEN day(d + INTERVAL 3 MONTH) < day(d) THEN 1 ELSE 0
+         |   END AS c3 FROM d)
+         |SELECT CAST(dom AS INT) AS day_of_month,
+         | CAST(COUNT(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(c1) AS BIGINT) AS n_clamped_1m,
+         | CAST(SUM(c3) AS BIGINT) AS n_clamped_3m
+         |FROM r GROUP BY dom ORDER BY day_of_month"""
+        .stripMargin.replace("\n", " ")),
     "b60_lateral_column_alias" ->
       ("""SELECT o_orderpriority,
          | CAST(COUNT(*) AS BIGINT) AS n,

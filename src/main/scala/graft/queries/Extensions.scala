@@ -5875,6 +5875,37 @@ object Extensions {
       .orderBy("month")
   }
 
+  /** x535 — admission-control census: simulate a per-user rate limiter
+    * (first 3 events per user per DAY admitted, by (ts, event_id) order)
+    * and report what the policy WOULD drop, per
+    * event type — drop share in ppm and how many distinct users get
+    * throttled. The enforcement-simulation complement of x212's quota
+    * audit and x498's burst census: those MEASURE behavior, this scores
+    * a concrete policy before rollout. One (user, window)-partitioned
+    * rank, type-bounded rollup. */
+  private val x535: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("unix_timestamp(ts) DIV 86400").as("__win"))
+    val byArrival = Window.partitionBy("user_id", "__win")
+      .orderBy("ts", "event_id")
+    ev.withColumn("__rk", row_number().over(byArrival))
+      .select(col("event_type"), col("user_id"),
+        when(col("__rk") <= 3, 1L).otherwise(0L).as("__adm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("__adm")).as("n_admitted"),
+        countDistinct(when(col("__adm") === 0L, col("user_id")))
+          .as("n_throttled_users"))
+      .select(col("event_type"), col("n_events"), col("n_admitted"),
+        col("n_throttled_users"),
+        expr("(n_events - n_admitted) * 1000000 DIV n_events")
+          .as("drop_ppm"))
+      .orderBy("event_type")
+  }
+
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
     * (1 − groups/rows, in ppm) and the verdict — the number that decides
@@ -9010,7 +9041,8 @@ object Extensions {
     "x531_order_wip_depth" -> x531,
     "x532_partial_agg_advisor" -> x532,
     "x533_bitemporal_asof" -> x533,
-    "x534_image_histogram_census" -> x534)
+    "x534_image_histogram_census" -> x534,
+    "x535_admission_control_census" -> x535)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16806,6 +16838,23 @@ object Extensions {
          | CAST(w * h AS BIGINT) * 1000000 // (CAST(c AS BIGINT) * 16)
          |  AS flatness_ppm
          |FROM pk WHERE rn = 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    "x535_admission_control_census" ->
+      ("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS win FROM events
+         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND event_type IS NOT NULL),
+         |r AS (SELECT event_type, user_id,
+         |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, win
+         |   ORDER BY ts, event_id) <= 3 THEN 1 ELSE 0 END AS adm
+         | FROM e)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(SUM(adm) AS BIGINT) AS n_admitted,
+         | CAST(COUNT(DISTINCT CASE WHEN adm = 0 THEN user_id END)
+         |  AS BIGINT) AS n_throttled_users,
+         | CAST(COUNT(*) - SUM(adm) AS BIGINT) * 1000000 // COUNT(*)
+         |  AS drop_ppm
+         |FROM r GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
