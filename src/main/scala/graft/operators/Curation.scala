@@ -425,6 +425,40 @@ object Curation {
   }
 
   /**
+   * L-DIVERSITY audit — the sensitive-attribute complement of
+   * [[kAnonymityAudit]] (Machanavajjhala et al., public technique):
+   * k-anonymity bounds how few PEOPLE share a quasi-identifier class, but
+   * a class where everyone shares the same SENSITIVE value still leaks it
+   * ("homogeneity attack"). Per l, the classes whose distinct sensitive
+   * count is below l and the rows exposed in them — the table that
+   * decides whether a release needs further generalization.
+   *
+   * Scale shape: one (quasi..., sensitive) collapse, one class collapse,
+   * then the ≤|classes| frame crosses the broadcast l list — no
+   * per-row work past the first exchange; `countDistinct` rides the
+   * pre-collapsed pairs so it is exact without an expand.
+   */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, ls: Seq[Int]): DataFrame = {
+    require(quasiCols.nonEmpty && ls.nonEmpty && ls.forall(_ >= 1),
+      "need quasi-identifier columns and positive l values")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val classes = pairs.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("__sz"), count(lit(1)).as("__ldiv"))
+    classes.crossJoin(broadcast(ls.toDF("l")))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("__ldiv") < col("l"), 1L).otherwise(0L))
+          .as("n_classes_below_l"),
+        sum(when(col("__ldiv") < col("l"), col("__sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min("__ldiv").as("min_diversity"))
+  }
+
+  /**
    * CONTRIBUTION-BOUNDED aggregate — the user-level clamp every
    * differential-privacy (and abuse-robust analytics) pipeline applies
    * BEFORE aggregating: each user contributes at most `maxPerUser` events

@@ -410,6 +410,73 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood (SNM) blocking audit — the THIRD classic blocking
+   * family next to LSH banding ([[minhashLsh]]) and prefix filtering
+   * ([[blockingQualityAudit]]): sort by a key (here the text's first
+   * `keyPrefixLen` chars), take every pair within `window` positions.
+   * Unlike the prefix filter, SNM has NO completeness theorem — near-dups
+   * whose sort keys diverge (a changed first word) land far apart — so
+   * its pairs-completeness is an empirical number, measured here against
+   * the exact prefix-filter truth. The table that shows WHY the
+   * theorem-backed filter earns its extra df pass.
+   *
+   * Scale shape: the global rank is [[Sampling.globalRankRange]]'s
+   * two-phase range rank (never a single-task sort); neighbor pairs come
+   * from a width-`window` bucket equi-join (same + adjacent buckets — the
+   * pigeonhole band argument, so every ≤`window` pair is found exactly
+   * once and nothing wider joins); verification and the truth total ride
+   * the existing candidate-restricted machinery.
+   */
+  def sortedNeighborhoodAudit(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, keyPrefixLen: Int = 24, shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, keyPrefixLen).as("__k"))
+    val ranked = graft.operators.Sampling
+      .globalRankRange(keyed, "doc_id", "__k")
+      .select(col("doc_id"), col("global_rank").as("__r"))
+      .withColumn("__b", expr(s"(__r - 1) DIV $window"))
+    val same = ranked.as("a").join(ranked.as("b"),
+      col("a.__b") === col("b.__b") && col("a.__r") < col("b.__r"))
+    val adj = ranked.as("a").join(ranked.as("b"),
+      col("a.__b") + 1 === col("b.__b") &&
+        col("b.__r") - col("a.__r") <= window)
+    val candidates = same.unionAll(adj)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .cache() // counted AND verified (caller-managed lifecycle, see above)
+    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN)
+    val candidateDocs = candidates
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sets = candidateShingleSets(shingleRows, candidateDocs)
+    val found = candidates
+      .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
+      .agg(count(lit(1)).as("n_true_found"))
+    val truthTotal = prefixFilterJaccard(docs, idCol, textCol, shingleN, threshold)
+      .agg(count(lit(1)).as("n_true_total"))
+    val nDocs = keyed.agg(count(lit(1)).as("n_docs"))
+    val nCand = candidates.agg(count(lit(1)).as("n_candidate_pairs"))
+    nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(found))
+      .crossJoin(broadcast(truthTotal))
+      .select(col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2 AS BIGINT)")
+          .as("n_possible_pairs"),
+        col("n_candidate_pairs"), col("n_true_found"), col("n_true_total"))
+      .select(col("n_docs"), col("n_possible_pairs"), col("n_candidate_pairs"),
+        col("n_true_found"), col("n_true_total"),
+        expr("""CAST(CASE WHEN n_true_total > 0 THEN
+              n_true_found * 1000000 DIV n_true_total END AS BIGINT)""")
+          .as("completeness_ppm"),
+        expr("""CAST(CASE WHEN n_possible_pairs > 0 THEN
+              (n_possible_pairs - n_candidate_pairs) * 1000000
+               DIV n_possible_pairs END AS BIGINT)""").as("reduction_ppm"))
+  }
+
+  /**
    * Prefix-corpus novelty: for each document — with the corpus ordered by
    * ingest id — how many distinct n-gram shingles it contains and how many
    * of them appear in NO earlier document. The content-growth signal a

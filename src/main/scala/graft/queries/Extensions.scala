@@ -5906,6 +5906,63 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x536 — l-diversity audit ([[Curation.lDiversityAudit]]): the
+    * homogeneity-attack complement of x154's k-anonymity — a (nation,
+    * segment) class where every customer sits in the SAME $1000 balance
+    * band leaks the balance even when the class is k-large. Per
+    * l ∈ {2,3,5}: violating classes and rows exposed. Bands offset by
+    * +$100k before the DIV so negative balances band identically across
+    * engines (truncation-vs-floor trap). */
+  private val x536: Q = (spark, sfDir) =>
+    Curation.lDiversityAudit(
+      Tables(spark, sfDir, "customer")
+        .filter(col("c_acctbal").isNotNull)
+        .withColumn("bal_band",
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 10000000) DIV 100000")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", ls = Seq(2, 3, 5))
+      .orderBy("l")
+
+  /** x537 — join-order cost audit: EXACT intermediate cardinalities for
+    * the two orders of lineitem ⋈ orders ⋈ customer(BUILDING) — fact
+    * first (the naive left-deep order: the full fact join materializes
+    * before the selective dim cuts it) vs dim first (the selective
+    * customer filter shrinks orders BEFORE touching the fact). Both end
+    * at the same final count; the step-1 gap is the shuffle the
+    * optimizer's join reorder saves — the fourth optimizer-stats eval
+    * (x499 selectivity, x512 build side, x532 partial agg). */
+  private val x537: Q = (spark, sfDir) => {
+    val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"))
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cSeg = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val lo = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val oc = o.join(cSeg, col("o_custkey") === col("c_custkey"))
+    def cnt(plan: String, step: Long, inter: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(plan).as("plan"), lit(step).as("step"),
+          lit(inter).as("intermediate"), col("n_rows"))
+    cnt("0_fact_first", 1L, "lineitem*orders", lo)
+      .unionAll(cnt("0_fact_first", 2L, "then*customer_seg",
+        lo.join(cSeg, col("o_custkey") === col("c_custkey"))))
+      .unionAll(cnt("1_dim_first", 1L, "orders*customer_seg", oc))
+      .unionAll(cnt("1_dim_first", 2L, "then*lineitem",
+        li.join(oc, col("l_orderkey") === col("o_orderkey"))))
+      .orderBy("plan", "step")
+  }
+
+  /** x538 — sorted-neighborhood blocking audit
+    * ([[Dedup.sortedNeighborhoodAudit]] over the even-id half-corpus):
+    * the THIRD blocking family scored with the same record-linkage
+    * metrics as x526 — SNM has no completeness theorem, and this
+    * measures what its sort-key locality actually catches against the
+    * exact prefix-filter truth; the reduction/completeness trade-off
+    * table for choosing a blocker at 100 TB. */
+  private val x538: Q = (spark, sfDir) =>
+    Dedup.sortedNeighborhoodAudit(
+      docs(spark, sfDir).filter(col("doc_id") % 2 === 0), "doc_id", "text")
+
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
     * (1 − groups/rows, in ppm) and the verdict — the number that decides
@@ -9042,7 +9099,10 @@ object Extensions {
     "x532_partial_agg_advisor" -> x532,
     "x533_bitemporal_asof" -> x533,
     "x534_image_histogram_census" -> x534,
-    "x535_admission_control_census" -> x535)
+    "x535_admission_control_census" -> x535,
+    "x536_l_diversity_audit" -> x536,
+    "x537_join_order_audit" -> x537,
+    "x538_sorted_neighborhood_audit" -> x538)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -16856,6 +16916,77 @@ object Extensions {
          |  AS drop_ppm
          |FROM r GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
+    "x536_l_diversity_audit" ->
+      ("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+         |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   + 10000000) // 100000 AS bal_band
+         | FROM customer WHERE c_acctbal IS NOT NULL),
+         |cls AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS sz,
+         |  CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS ld
+         | FROM b GROUP BY 1, 2),
+         |lv AS (SELECT l FROM (VALUES (2), (3), (5)) t(l))
+         |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         | CAST(SUM(CASE WHEN ld < l THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_classes_below_l,
+         | CAST(SUM(CASE WHEN ld < l THEN sz ELSE 0 END) AS BIGINT)
+         |  AS n_rows_at_risk,
+         | CAST(MIN(ld) AS BIGINT) AS min_diversity
+         |FROM cls CROSS JOIN lv GROUP BY l ORDER BY l"""
+        .stripMargin.replace("\n", " ")),
+    "x537_join_order_audit" ->
+      ("""WITH c AS (SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'BUILDING')
+         |SELECT '0_fact_first' AS plan, CAST(1 AS BIGINT) AS step,
+         |  'lineitem*orders' AS intermediate, CAST(COUNT(*) AS BIGINT)
+         |   AS n_rows
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |UNION ALL SELECT '0_fact_first', 2, 'then*customer_seg',
+         |  CAST(COUNT(*) AS BIGINT)
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN c ON o_custkey = c_custkey
+         |UNION ALL SELECT '1_dim_first', 1, 'orders*customer_seg',
+         |  CAST(COUNT(*) AS BIGINT)
+         | FROM orders JOIN c ON o_custkey = c_custkey
+         |UNION ALL SELECT '1_dim_first', 2, 'then*lineitem',
+         |  CAST(COUNT(*) AS BIGINT)
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN c ON o_custkey = c_custkey
+         |ORDER BY plan, step""".stripMargin.replace("\n", " ")),
+    "x538_sorted_neighborhood_audit" ->
+      ("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |k AS (SELECT doc_id, substr(text, 1, 24) AS k FROM w),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id)
+         |  AS r FROM k),
+         |cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+         |  GREATEST(a.doc_id, b.doc_id) AS d2
+         | FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= 10),
+         |ix AS (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+         | FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM ix),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*)
+         |  AS inter FROM sh a JOIN sh b ON a.s = b.s
+         |  AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM pairs
+         | JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         | WHERE CAST(inter AS DOUBLE)
+         |  / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7),
+         |f AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+         |    JOIN cand USING (d1, d2)) AS found,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS total)
+         |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_possible_pairs,
+         | n_cand AS n_candidate_pairs, found AS n_true_found,
+         | total AS n_true_total,
+         | CASE WHEN total > 0 THEN found * 1000000 // total END
+         |  AS completeness_ppm,
+         | CASE WHEN n_docs > 1 THEN (n_docs * (n_docs - 1) // 2 - n_cand)
+         |  * 1000000 // (n_docs * (n_docs - 1) // 2) END AS reduction_ppm
+         |FROM f""".stripMargin.replace("\n", " ")),
     "x101_binaryfile_ingest" ->
       ("""WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
          |  FROM documents),
