@@ -354,39 +354,46 @@ object Dedup {
    * Scale shape: df collapse (vocabulary-bounded) → per-doc rarity window
    * (doc-partitioned) → candidate self-join on prefix shingles only →
    * verification restricted to candidates (the x114 shape); the
-   * possible-pair denominator is arithmetic on one count. STRING shingles
-   * (not hashes) so the (df, shingle) rarity tie-break is engine-portable
-   * and the oracle can re-derive the candidate set, not just the verified
-   * output.
+   * possible-pair denominator is arithmetic on one count. Shingles are
+   * hashed with the PORTABLE 60-bit md5 ([[graft.operators.PortableHash]])
+   * rather than xxhash64, so the (df, hash) rarity tie-break is
+   * engine-portable and the oracle re-derives the candidate set, not just
+   * the verified output.
    */
   def blockingQualityAudit(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    // cached: df-count, prefix derivation, and verification all re-read the
-    // shingle rows. Caller-managed lifecycle (ContextCleaner reclaims once
-    // the returned frame is materialized and dropped) — see coOccurrenceLift.
+    // Shingle STRINGS are hashed to the portable 60-bit md5 value right at
+    // generation: the (df, hash) rarity tie-break stays engine-portable
+    // (the oracle recomputes the same md5), while every downstream join,
+    // window, and set rides longs, not strings. Cached: df-count, prefix
+    // derivation, and verification all re-read the rows. Caller-managed
+    // lifecycle (ContextCleaner reclaims once the returned frame is
+    // materialized and dropped) — see coOccurrenceLift.
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col("doc_id"),
+        graft.operators.PortableHash.hash60(col("s")).as("sh"))
+      .distinct() // 60-bit collision inside one doc would skew set sizes
       .cache()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val prefix = toks.join(dfreq, "s")
+    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = toks.join(dfreq, "sh")
       .withColumn("rk", row_number().over(byRarity))
       .join(sizes, "doc_id")
       .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "sh")
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
       .cache() // consumed by the count AND the verification join (same lifecycle)
     val candidateDocs = candidates
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    val sets = toks.join(candidateDocs, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    val sets = candidateShingleSets(toks, candidateDocs)
     val verified = candidates
       .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
@@ -428,7 +435,8 @@ object Dedup {
    * the existing candidate-restricted machinery.
    */
   def sortedNeighborhoodAudit(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 10, keyPrefixLen: Int = 24, shingleN: Int = 3,
+      truthPairs: Option[DataFrame] = None, window: Int = 10,
+      keyPrefixLen: Int = 24, shingleN: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(window >= 1, "window must be positive")
     val keyed = docs.filter(col(textCol).isNotNull)
@@ -456,7 +464,11 @@ object Dedup {
       .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
       .filter(jaccard(col("sh1"), col("sh2")) >= threshold)
       .agg(count(lit(1)).as("n_true_found"))
-    val truthTotal = prefixFilterJaccard(docs, idCol, textCol, shingleN, threshold)
+    // Truth total: caller-supplied exact pair set (e.g. the session's
+    // verified LSH staging frame, restricted to these docs) or, by
+    // default, a fresh theorem-exact prefix-filter pass.
+    val truthTotal = truthPairs
+      .getOrElse(prefixFilterJaccard(docs, idCol, textCol, shingleN, threshold))
       .agg(count(lit(1)).as("n_true_total"))
     val nDocs = keyed.agg(count(lit(1)).as("n_docs"))
     val nCand = candidates.agg(count(lit(1)).as("n_candidate_pairs"))

@@ -5961,7 +5961,12 @@ object Extensions {
     * table for choosing a blocker at 100 TB. */
   private val x538: Q = (spark, sfDir) =>
     Dedup.sortedNeighborhoodAudit(
-      docs(spark, sfDir).filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      docs(spark, sfDir).filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      // truth = the session's verified LSH staging pairs restricted to the
+      // even half — amortized across the dedup family instead of a second
+      // corpus pass (x02's 2e-6 per-pair miss bound applies)
+      truthPairs = Some(lshPairs(spark, sfDir)
+        .filter(col("d1") % 2 === 0 && col("d2") % 2 === 0)))
 
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
@@ -16697,25 +16702,28 @@ object Extensions {
         .stripMargin.replace("\n", " ")),
     "x526_blocking_quality_audit" ->
       (s"""WITH $shingleCtes,
-         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-         |rk AS (SELECT sh.doc_id, sh.s, sizes.n,
-         |  ROW_NUMBER() OVER (PARTITION BY sh.doc_id
-         |   ORDER BY dfq.df, sh.s) AS rk
-         | FROM sh JOIN dfq ON dfq.s = sh.s
-         |  JOIN sizes ON sizes.doc_id = sh.doc_id),
-         |pref AS (SELECT doc_id, s FROM rk
+         |hh AS (SELECT DISTINCT doc_id,
+         |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+         |hsz AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
+         |dfq AS (SELECT h, COUNT(*) AS df FROM hh GROUP BY h),
+         |rk AS (SELECT hh.doc_id, hh.h, hsz.n,
+         |  ROW_NUMBER() OVER (PARTITION BY hh.doc_id
+         |   ORDER BY dfq.df, hh.h) AS rk
+         | FROM hh JOIN dfq ON dfq.h = hh.h
+         |  JOIN hsz ON hsz.doc_id = hh.doc_id),
+         |pref AS (SELECT doc_id, h FROM rk
          | WHERE rk <= n - CEIL(n * 0.7) + 1),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         | FROM pref a JOIN pref b ON a.s = b.s
+         | FROM pref a JOIN pref b ON a.h = b.h
          |  AND a.doc_id < b.doc_id),
          |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |  COUNT(*) AS inter FROM sh a JOIN sh b ON a.s = b.s
+         |  COUNT(*) AS inter FROM hh a JOIN hh b ON a.h = b.h
          |  AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |truth AS (SELECT d1, d2 FROM pairs
-         | JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         | JOIN hsz s1 ON s1.doc_id = d1 JOIN hsz s2 ON s2.doc_id = d2
          | WHERE CAST(inter AS DOUBLE)
          |  / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7),
-         |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes)
+         |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hsz)
          |   AS n_docs,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
