@@ -44,6 +44,62 @@ object Similarity {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
 
+  /**
+   * MMR (maximal marginal relevance) diversity re-ranking — the standard
+   * second stage of retrieval (Carbonell & Goldstein '98, public
+   * technique): from the exact top-`poolK` by query cosine, greedily pick
+   * `selectK` items maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so
+   * the final context is relevant AND non-redundant — near-duplicate
+   * passages burn the budget a RAG prompt can't spare.
+   *
+   * Determinism across engines: relevance and pairwise cosines are
+   * rounded to 6 dp and scaled to INTEGER micro-units, and λ = 0.7 is
+   * applied as (7·rel − 3·maxsim); every argmax compares integers with a
+   * vec_id tie-break, so the selection order is bit-exact in any engine.
+   *
+   * Scale shape: the candidate pool is a constant-k frame (TakeOrdered
+   * feeds it), the 19·20 pairwise-cosine frame and the `selectK`
+   * selection rounds are all bounded by poolK² — corpus size only enters
+   * through the first-stage top-k scan. Selection round 1 scores
+   * 7·rel − 3·0 (empty selected set), so one formula covers every round.
+   */
+  def mmrRerank(embeddings: DataFrame, query: DataFrame,
+      poolK: Int = 20, selectK: Int = 5): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK, "need 1 <= selectK <= poolK")
+    val cands = bruteForceTopK(embeddings, query, poolK)
+      .join(embeddings, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(ROUND(sim * 1000000, 0) AS BIGINT)").as("rel"))
+      .localCheckpoint() // constant-k frame; cuts the 2·selectK-round lineage
+    val pairs = cands.as("a").join(cands.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        // round-to-nearest BEFORE the cast: truncating 6dp·1e6 doubles
+        // flips the last micro-unit on representation boundaries
+        round(round(cosine(col("a.embedding"), col("b.embedding")), 6)
+          * 1000000, 0).cast("long").as("sim_u"))
+      .localCheckpoint()
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .agg(max(struct(col("score"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(lit(rank).as("rank"), (-col("m.nid")).as("vec_id"),
+        col("m.score").as("mmr_score_micro"))
+    var selected = pick(cands.select(col("vec_id"),
+      (col("rel") * 7).as("score")), 1)
+    for (r <- 2 to selectK) {
+      val sel = selected.select(col("vec_id"))
+      val ms = pairs.join(sel.withColumnRenamed("vec_id", "vb"), "vb")
+        .groupBy("va").agg(max(col("sim_u")).as("maxsim"))
+      val scored = cands.join(sel, Seq("vec_id"), "left_anti")
+        .join(ms.withColumnRenamed("va", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (col("rel") * 7 - coalesce(col("maxsim"), lit(0L)) * 3).as("score"))
+      selected = selected.unionAll(pick(scored, r))
+    }
+    selected.join(cands.select(col("vec_id"), col("rel").as("sim_micro")), "vec_id")
+      .select(col("rank"), col("vec_id"), col("sim_micro"),
+        col("mmr_score_micro"))
+  }
+
   /** Deterministic coarse quantizer: sign bits of the first `bits` dims. */
   def signBucket(v: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>

@@ -523,6 +523,61 @@ object EventStream {
   }
 
   /**
+   * STREAM-STREAM FULL OUTER interval join — [[streamStreamLeftOuterPurchases]]
+   * with BOTH unmatched sides emitted from state eviction: purchases that
+   * provably triggered no error in their following hour (NULL err_id) and
+   * errors with provably no purchase in their preceding hour (NULL
+   * pur_id), one feed. This drives the two-sided eviction machinery the
+   * inner (x34) and left-outer (x258) joins never touch.
+   *
+   * Determinism contract (the oracle's WHERE clauses, W = the final
+   * global watermark = least(max pur_ts, max err_ts) at 0s delay):
+   * matched pairs equal the batch interval join; an unmatched purchase
+   * emits iff `pur_ts + 1h < W` (its match window closed — the x258
+   * argument); an unmatched error emits iff `err_ts < W` (any future
+   * purchase has pur_ts ≥ W > err_ts and cannot satisfy pur_ts ≤ err_ts).
+   * Rows still open at end-of-stream correctly DON'T emit, exactly as a
+   * production run would hold them.
+   *
+   * Scale: both sides watermarked ⇒ bounded state; the join is
+   * key-partitioned on user; NULL rows stream from eviction, not rescans.
+   */
+  def streamStreamFullOuterPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .transform(graft.sources.Tables.normalizeEventTs)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
+        col("ts").as("pur_ts"), col("value"))
+      .withWatermark("pur_ts", "0 seconds")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "0 seconds")
+
+    val joined = purchases.join(errors,
+      col("p_user") === col("user_id") &&
+        col("err_ts") >= col("pur_ts") &&
+        col("err_ts") <= col("pur_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+
+    val qname = "graft_ssfoj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+
+    spark.table(qname)
+      .select(col("pur_id"), col("err_id"),
+        coalesce(col("p_user"), col("user_id")).as("user_id"), col("value"))
+      .orderBy("pur_id", "err_id")
+  }
+
+  /**
    * CHECKPOINT-RESTART exactly-once — the fault-tolerance contract the
    * other streaming queries take on faith, exercised end to end: a
    * foreachBatch lake sink processes HALF the replay files, the query

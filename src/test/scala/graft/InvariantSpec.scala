@@ -647,6 +647,24 @@ class InvariantSpec extends AnyFunSuite {
     assert(r.getAs[Long]("completeness_ppm") == 1000000L)
   }
 
+  test("mmrRerank: ranks 1..k over distinct ids; rank 1 is the relevance argmax; scores never rise") {
+    val e = sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val rows = graft.operators.Similarity.mmrRerank(e, q)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    val top1 = graft.operators.Similarity.bruteForceTopK(e, q, 1)
+      .collect().head.getLong(0)
+    assert(rows.head.getAs[Long]("vec_id") == top1,
+      "round 1 must pick the pure-relevance argmax")
+    // greedy scores are non-increasing: each later pick maximized a set
+    // that included everything the earlier pick left behind, minus a
+    // penalty that can only grow as the selected set grows
+    val scores = rows.map(_.getAs[Long]("mmr_score_micro")).toSeq
+    assert(scores == scores.sorted.reverse, s"scores must be non-increasing: $scores")
+  }
+
   test("x523 Mann-Whitney: midrank U equals the brute-force pairwise superiority count") {
     // U = #(a > b) + ties/2, so u_x2 must equal 2·#(a > b) + #(a = b); the
     // rank formulation is the scale path, the pair join is the oracle here.
