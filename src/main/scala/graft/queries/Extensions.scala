@@ -6023,6 +6023,87 @@ object Extensions {
   private val x541: Q = (spark, sfDir) =>
     graft.streaming.EventStream.streamStreamFullOuterPurchases(spark, sfDir)
 
+  /** x542 — changepoint localization: the single split of the daily
+    * revenue series maximizing the between-segment sum of squares
+    * (binary segmentation's first step, exact integer arithmetic via
+    * decimal prefix sums — argmax of U_l²/n_l + U_r²/n_r with a day
+    * tie-break, U in $100 units so the per-split objective stays inside
+    * BIGINT after the division; coarser units can only merge adjacent
+    * ties, which the day tie-break resolves identically in both
+    * engines). x204's CUSUM DETECTS drift; this LOCALIZES the
+    * level shift and sizes it (mean gap in cents). Day-collapsed frame,
+    * one date-bounded cumulative window, TakeOrdered(1) argmax. */
+  private val x542: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(to_date(col("l_shipdate")).as("__d"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)")).as("__rev"))
+    val w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.agg(count(lit(1)).as("__n"), sum(col("__rev")).as("__s"))
+    daily
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .withColumn("__idx", row_number().over(Window.orderBy("__d")).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__idx") < col("__n"))
+      .select(col("__d"), col("__idx"), col("__cum"), col("__n"), col("__s"),
+        expr("""CAST(CAST(__cum DIV 10000 AS DECIMAL(38,0))
+               * (__cum DIV 10000) DIV __idx AS BIGINT)
+              + CAST(CAST((__s - __cum) DIV 10000 AS DECIMAL(38,0))
+               * ((__s - __cum) DIV 10000) DIV (__n - __idx) AS BIGINT)""")
+          .as("__obj"))
+      .orderBy(col("__obj").desc, col("__d"))
+      .limit(1)
+      .select(col("__d").as("split_day"), col("__idx").as("n_left"),
+        (col("__n") - col("__idx")).as("n_right"),
+        expr("__cum DIV __idx").as("mean_left_cents"),
+        expr("(__s - __cum) DIV (__n - __idx)").as("mean_right_cents"),
+        expr("(__s - __cum) DIV (__n - __idx) - __cum DIV __idx")
+          .as("shift_cents"))
+  }
+
+  /** x543 — relationship lifecycle census: per quarter, the
+    * customer–supplier pair cohort flows — active pairs, first-time
+    * pairs, pairs retained from the previous quarter, and pairs whose
+    * LAST activity is this quarter (right-censored at the final
+    * quarter). x515 counts quarters per pair; this tracks the EDGE
+    * cohort transitions a B2B churn model trains on. Pair-keyed
+    * collapses, quarter-bounded rollup, one pair-keyed self-join for
+    * retention. */
+  private val x543: Q = (spark, sfDir) => {
+    val pq = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("__c"), col("l_suppkey").as("__s"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("__q"))
+      .distinct()
+      .localCheckpoint() // four consumers below
+    val fl = pq.groupBy("__c", "__s")
+      .agg(min(col("__q")).as("__first"), max(col("__q")).as("__last"))
+    val active = pq.groupBy(col("__q").as("quarter"))
+      .agg(count(lit(1)).as("n_active"))
+    val fresh = fl.groupBy(col("__first").as("quarter"))
+      .agg(count(lit(1)).as("n_new"))
+    val ending = fl.groupBy(col("__last").as("quarter"))
+      .agg(count(lit(1)).as("n_ending"))
+    val retained = pq.as("a")
+      .join(pq.as("b"), col("a.__c") === col("b.__c") &&
+        col("a.__s") === col("b.__s") &&
+        col("b.__q") === add_months(col("a.__q"), -3))
+      .groupBy(col("a.__q").as("quarter"))
+      .agg(count(lit(1)).as("n_retained"))
+    active.join(fresh, Seq("quarter"), "left")
+      .join(retained, Seq("quarter"), "left")
+      .join(ending, Seq("quarter"), "left")
+      .select(col("quarter"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_ending"), lit(0L)).as("n_ending"))
+      .orderBy("quarter")
+  }
+
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
     * (1 − groups/rows, in ppm) and the verdict — the number that decides
@@ -9165,7 +9246,9 @@ object Extensions {
     "x538_sorted_neighborhood_audit" -> x538,
     "x539_mmr_rerank" -> x539,
     "x540_vector_ingest_guard" -> x540,
-    "x541_stream_full_outer_join" -> x541)
+    "x541_stream_full_outer_join" -> x541,
+    "x542_changepoint_localization" -> x542,
+    "x543_relationship_lifecycle" -> x543)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -17099,6 +17182,58 @@ object Extensions {
          |  * 1000000 // (n_docs * (n_docs - 1) // 2) END AS reduction_ppm
          |FROM f""".stripMargin.replace("\n", " ")),
     "x539_mmr_rerank" -> mmrOracle,
+    "x542_changepoint_localization" ->
+      ("""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS d,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev
+         | FROM lineitem WHERE l_shipdate IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(rev) AS BIGINT) AS s FROM d),
+         |c AS (SELECT d, SUM(rev) OVER (ORDER BY d ROWS BETWEEN
+         |   UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS idx FROM d),
+         |o AS (SELECT c.d, c.idx, CAST(c.cum AS BIGINT) AS cum, t.n, t.s,
+         |  CAST(CAST(CAST(c.cum AS BIGINT) // 10000 AS HUGEINT)
+         |    * (CAST(c.cum AS BIGINT) // 10000) // c.idx AS BIGINT)
+         |   + CAST(CAST((t.s - CAST(c.cum AS BIGINT)) // 10000 AS HUGEINT)
+         |    * ((t.s - CAST(c.cum AS BIGINT)) // 10000)
+         |    // (t.n - c.idx) AS BIGINT) AS obj
+         | FROM c CROSS JOIN t WHERE c.idx < t.n)
+         |SELECT d AS split_day, idx AS n_left,
+         | CAST(n - idx AS BIGINT) AS n_right,
+         | CAST(cum // idx AS BIGINT) AS mean_left_cents,
+         | CAST((s - cum) // (n - idx) AS BIGINT) AS mean_right_cents,
+         | CAST((s - cum) // (n - idx) - cum // idx AS BIGINT)
+         |  AS shift_cents
+         |FROM o ORDER BY obj DESC, d LIMIT 1"""
+        .stripMargin.replace("\n", " ")),
+    "x543_relationship_lifecycle" ->
+      ("""WITH pq AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s,
+         |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL),
+         |fl AS (SELECT c, s, MIN(q) AS fq, MAX(q) AS lq FROM pq
+         | GROUP BY 1, 2),
+         |act AS (SELECT q AS quarter, CAST(COUNT(*) AS BIGINT)
+         |  AS n_active FROM pq GROUP BY 1),
+         |fr AS (SELECT fq AS quarter, CAST(COUNT(*) AS BIGINT) AS n_new
+         | FROM fl GROUP BY 1),
+         |en AS (SELECT lq AS quarter, CAST(COUNT(*) AS BIGINT)
+         |  AS n_ending FROM fl GROUP BY 1),
+         |re AS (SELECT a.q AS quarter, CAST(COUNT(*) AS BIGINT)
+         |  AS n_retained
+         | FROM pq a JOIN pq b ON a.c = b.c AND a.s = b.s
+         |  AND b.q = a.q - INTERVAL 3 MONTH GROUP BY 1)
+         |SELECT act.quarter, act.n_active,
+         | COALESCE(fr.n_new, 0) AS n_new,
+         | COALESCE(re.n_retained, 0) AS n_retained,
+         | COALESCE(en.n_ending, 0) AS n_ending
+         |FROM act LEFT JOIN fr ON fr.quarter = act.quarter
+         | LEFT JOIN re ON re.quarter = act.quarter
+         | LEFT JOIN en ON en.quarter = act.quarter
+         |ORDER BY act.quarter""".stripMargin.replace("\n", " ")),
     "x540_vector_ingest_guard" ->
       ("""WITH e AS (SELECT vec_id,
          |  CASE WHEN vec_id % 97 = 0 THEN embedding[1:32]

@@ -843,4 +843,51 @@ class PlanSpec extends AnyFunSuite {
     assert(specs.nonEmpty && specs.forall(_.contains("o_custkey")),
       s"every window frame must partition by customer:\n${specs.mkString("\n")}")
   }
+
+  test("x526: blocking-audit candidates come from an equi-join on the prefix shingle, never all-pairs") {
+    val p = plan("x526_blocking_quality_audit")
+    // the only nested-loop joins allowed are the final scalar (1-row
+    // aggregate) cross-joins; the corpus-sized candidate join must be a
+    // hash/sort EQUI-join on the shingle hash
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"candidate generation must be an equi-join:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 3, s"only the scalar-rollup cross-joins may nest-loop ($bnlj):\n$p")
+  }
+
+  test("x528: heavy-hitter histogram top-10 plans as TakeOrdered, not a global sort") {
+    val p = plan("x528_join_cardinality_estimate")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("x535: admission rank windows are (user, window)-partitioned, never global") {
+    val p = plan("x535_admission_control_census")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("user_id") && s.contains("__win")),
+      s"rank must partition by (user, window):\n${specs.mkString("\n")}")
+  }
+
+  test("x538: SNM rank is the two-phase range rank (range exchange + pid-local window)") {
+    val p = plan("x538_sorted_neighborhood_audit")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"SNM must range-exchange before local ranking:\n$p")
+    val rn = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number"))
+      .toSeq
+    assert(rn.exists(_.contains("pid")),
+      s"the corpus-sized row_number must be pid-local:\n${rn.mkString("\n")}")
+  }
+
+  test("x539: MMR pool is a checkpointed constant-k frame (scans, not corpus re-reads, feed the rounds)") {
+    val p = plan("x539_mmr_rerank")
+    // the pool and pairwise frames are localCheckpoint'd after the top-k,
+    // so the executed plan reads them as in-memory scans — the embeddings
+    // parquet must appear in NO selection round (zero parquet scans here)
+    assert(!p.contains("FileScan parquet"),
+      s"selection rounds must read the checkpointed pool, not the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected checkpointed-pool scans:\n$p")
+  }
 }
