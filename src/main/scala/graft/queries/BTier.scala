@@ -868,9 +868,41 @@ object BTier {
         |FROM r GROUP BY dom ORDER BY day_of_month""".stripMargin)
   }
 
+  /** b63 — explicit NULL ordering in window sorts: Spark's default is
+    * NULLS FIRST ascending, DuckDB's is NULLS LAST — the silent
+    * cross-engine divergence every ranking query over nullable keys
+    * hits. Explicit `DESC NULLS LAST` / `ASC NULLS FIRST` pins the
+    * semantics in both engines; NULL keys planted (event_id % 211) so
+    * the corner is non-vacuous: the asc_nulls_first block's head rows
+    * ARE the null-key rows. */
+  private val b63: Q = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH e AS (SELECT event_type, event_id,
+        |  CASE WHEN event_id % 211 = 0 THEN NULL
+        |   ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   END AS cents
+        | FROM events WHERE event_type IS NOT NULL),
+        |t AS (SELECT event_type, 'desc_nulls_last' AS ordering, rn, cents
+        | FROM (SELECT event_type, cents, ROW_NUMBER() OVER
+        |   (PARTITION BY event_type
+        |    ORDER BY cents DESC NULLS LAST, event_id) AS rn FROM e)
+        | WHERE rn <= 3),
+        |b AS (SELECT event_type, 'asc_nulls_first' AS ordering, rn, cents
+        | FROM (SELECT event_type, cents, ROW_NUMBER() OVER
+        |   (PARTITION BY event_type
+        |    ORDER BY cents ASC NULLS FIRST, event_id) AS rn FROM e)
+        | WHERE rn <= 3)
+        |SELECT event_type, ordering, CAST(rn AS INT) AS rn, cents FROM t
+        |UNION ALL
+        |SELECT event_type, ordering, CAST(rn AS INT) AS rn, cents FROM b
+        |ORDER BY event_type, ordering, rn""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "b61_null_safe_join" -> b61,
     "b62_month_arithmetic_clamp" -> b62,
+    "b63_explicit_null_ordering" -> b63,
     "b01_agg_tpch_q1" -> b01,
     "b02_join_broadcast_dims" -> b02,
     "b03_join_large_shuffle" -> b03,
@@ -935,6 +967,27 @@ object BTier {
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "b63_explicit_null_ordering" ->
+      ("""WITH e AS (SELECT event_type, event_id,
+         |  CASE WHEN event_id % 211 = 0 THEN NULL
+         |   ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   END AS cents
+         | FROM events WHERE event_type IS NOT NULL),
+         |t AS (SELECT event_type, 'desc_nulls_last' AS ordering, rn, cents
+         | FROM (SELECT event_type, cents, ROW_NUMBER() OVER
+         |   (PARTITION BY event_type
+         |    ORDER BY cents DESC NULLS LAST, event_id) AS rn FROM e)
+         | WHERE rn <= 3),
+         |b AS (SELECT event_type, 'asc_nulls_first' AS ordering, rn, cents
+         | FROM (SELECT event_type, cents, ROW_NUMBER() OVER
+         |   (PARTITION BY event_type
+         |    ORDER BY cents ASC NULLS FIRST, event_id) AS rn FROM e)
+         | WHERE rn <= 3)
+         |SELECT event_type, ordering, CAST(rn AS INT) AS rn, cents FROM t
+         |UNION ALL
+         |SELECT event_type, ordering, CAST(rn AS INT) AS rn, cents FROM b
+         |ORDER BY event_type, ordering, rn"""
+        .stripMargin.replace("\n", " ")),
     "b61_null_safe_join" ->
       ("""WITH ev AS (SELECT CASE WHEN event_id % 211 = 0 THEN NULL
          |   ELSE user_id % 10 END AS k FROM events

@@ -6104,6 +6104,75 @@ object Extensions {
       .orderBy("quarter")
   }
 
+  /** x544 — aggregation-of-aggregates methodology guard: the exact
+    * global median of order totals next to the MEAN of per-nation
+    * medians and the MEDIAN of per-nation medians — the two shortcuts
+    * every dashboard eventually takes, with their bias in ppm. Rollups
+    * of medians are NOT medians; this query puts the size of that error
+    * on the record (the same reason x70 certifies its approx
+    * percentiles). All medians via the x139 distinct-value cumulative
+    * rank; biases via positive-only division then an exact subtraction
+    * (no negative DIV, whose truncation direction differs across
+    * engines). */
+  private val x544: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice").isNotNull && col("c_nationkey").isNotNull)
+      .select(col("c_nationkey").as("__g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__v"))
+    def lowerMedian(df: DataFrame, part: Seq[String]): DataFrame = {
+      val keys = part.map(col)
+      val coll = df.groupBy((keys :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+      val w = if (part.isEmpty) Window.orderBy("__v")
+        else Window.partitionBy(part.map(col): _*).orderBy("__v")
+      val tot = if (part.isEmpty) df.groupBy().agg(count(lit(1)).as("__n"))
+        else df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      val cum = coll.withColumn("__cum", sum(col("__c")).over(w))
+      val joined = if (part.isEmpty) cum.crossJoin(broadcast(tot))
+        else cum.join(tot, part)
+      joined.filter(col("__cum") * 2 >= col("__n"))
+        .groupBy(keys: _*).agg(min(col("__v")).as("__med"))
+    }
+    val globalMed = lowerMedian(v, Nil).select(col("__med").as("g"))
+    val perNation = lowerMedian(v, Seq("__g")).select(col("__med").as("__v"))
+    val meanOf = perNation.agg(count(lit(1)).as("__k"), sum(col("__v")).as("__s"))
+      .select(expr("__s DIV __k").as("m1"))
+    val medOf = lowerMedian(perNation, Nil).select(col("__med").as("m2"))
+    globalMed.crossJoin(broadcast(meanOf)).crossJoin(broadcast(medOf))
+      .select(col("g").as("global_median_cents"),
+        col("m1").as("mean_of_medians_cents"),
+        col("m2").as("median_of_medians_cents"),
+        expr("m1 * 1000000 DIV g - 1000000").as("mean_bias_ppm"),
+        expr("m2 * 1000000 DIV g - 1000000").as("median_bias_ppm"))
+  }
+
+  /** x545 — seasonal index: per calendar month, the mean monthly
+    * revenue across years indexed to the all-months mean (1e6 = no
+    * seasonality) — the multiplicative seasonal profile a demand
+    * forecaster divides out before trend fitting. x521 measures
+    * year-over-year MIX drift; this measures the stable within-year
+    * LEVEL cycle. (year, month)-collapsed cells, 12-row rollup, exact
+    * integer means. */
+  private val x545: Q = (spark, sfDir) => {
+    val cells = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(year(to_date(col("l_shipdate"))).as("__y"),
+        month(to_date(col("l_shipdate"))).as("month"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)")).as("__rev"))
+    val grand = cells.agg(count(lit(1)).as("__nc"), sum(col("__rev")).as("__t"))
+      .select(expr("__t DIV __nc").as("__gm"))
+    cells.groupBy("month")
+      .agg(count(lit(1)).as("n_years"), sum(col("__rev")).as("__s"))
+      .crossJoin(broadcast(grand))
+      .select(col("month"), col("n_years"),
+        expr("__s DIV n_years").as("month_mean_cents"),
+        expr("(__s DIV n_years) * 1000000 DIV __gm").as("index_ppm"))
+      .orderBy("month")
+  }
+
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
     * (1 − groups/rows, in ppm) and the verdict — the number that decides
@@ -9248,7 +9317,9 @@ object Extensions {
     "x540_vector_ingest_guard" -> x540,
     "x541_stream_full_outer_join" -> x541,
     "x542_changepoint_localization" -> x542,
-    "x543_relationship_lifecycle" -> x543)
+    "x543_relationship_lifecycle" -> x543,
+    "x544_median_rollup_guard" -> x544,
+    "x545_seasonal_index" -> x545)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -17234,6 +17305,56 @@ object Extensions {
          | LEFT JOIN re ON re.quarter = act.quarter
          | LEFT JOIN en ON en.quarter = act.quarter
          |ORDER BY act.quarter""".stripMargin.replace("\n", " ")),
+    "x544_median_rollup_guard" ->
+      ("""WITH v AS (SELECT c_nationkey AS g,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   AS val
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | WHERE o_totalprice IS NOT NULL AND c_nationkey IS NOT NULL),
+         |gc AS (SELECT val, COUNT(*) AS c FROM v GROUP BY 1),
+         |gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |gmed AS (SELECT MIN(val) AS g FROM (SELECT val,
+         |  SUM(c) OVER (ORDER BY val) AS cum FROM gc) CROSS JOIN gn
+         | WHERE cum * 2 >= n),
+         |nc AS (SELECT g, val, COUNT(*) AS c FROM v GROUP BY 1, 2),
+         |nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v
+         | GROUP BY 1),
+         |nmed AS (SELECT x.g, MIN(x.val) AS med FROM (SELECT g, val,
+         |  SUM(c) OVER (PARTITION BY g ORDER BY val) AS cum FROM nc) x
+         | JOIN nn ON nn.g = x.g WHERE x.cum * 2 >= nn.n GROUP BY x.g),
+         |m1 AS (SELECT CAST(SUM(med) AS BIGINT)
+         |  // CAST(COUNT(*) AS BIGINT) AS m1 FROM nmed),
+         |mc AS (SELECT med, COUNT(*) AS c FROM nmed GROUP BY 1),
+         |mn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nmed),
+         |m2 AS (SELECT MIN(med) AS m2 FROM (SELECT med,
+         |  SUM(c) OVER (ORDER BY med) AS cum FROM mc) CROSS JOIN mn
+         | WHERE cum * 2 >= n)
+         |SELECT CAST(g AS BIGINT) AS global_median_cents,
+         | CAST(m1 AS BIGINT) AS mean_of_medians_cents,
+         | CAST(m2 AS BIGINT) AS median_of_medians_cents,
+         | CAST(m1 AS BIGINT) * 1000000 // CAST(g AS BIGINT) - 1000000
+         |  AS mean_bias_ppm,
+         | CAST(m2 AS BIGINT) * 1000000 // CAST(g AS BIGINT) - 1000000
+         |  AS median_bias_ppm
+         |FROM gmed CROSS JOIN m1 CROSS JOIN m2"""
+        .stripMargin.replace("\n", " ")),
+    "x545_seasonal_index" ->
+      ("""WITH cells AS (SELECT year(CAST(l_shipdate AS DATE)) AS y,
+         |  month(CAST(l_shipdate AS DATE)) AS month,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |   AS BIGINT)) AS BIGINT) AS rev
+         | FROM lineitem WHERE l_shipdate IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         |g AS (SELECT CAST(SUM(rev) AS BIGINT)
+         |  // CAST(COUNT(*) AS BIGINT) AS gm FROM cells)
+         |SELECT CAST(month AS INT) AS month,
+         | CAST(COUNT(*) AS BIGINT) AS n_years,
+         | CAST(SUM(rev) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |  AS month_mean_cents,
+         | (CAST(SUM(rev) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+         |  * 1000000 // g.gm AS index_ppm
+         |FROM cells CROSS JOIN g GROUP BY month, g.gm ORDER BY month"""
+        .stripMargin.replace("\n", " ")),
     "x540_vector_ingest_guard" ->
       ("""WITH e AS (SELECT vec_id,
          |  CASE WHEN vec_id % 97 = 0 THEN embedding[1:32]
