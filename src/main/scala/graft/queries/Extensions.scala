@@ -6173,6 +6173,90 @@ object Extensions {
       .orderBy("month")
   }
 
+  /** x546 — t-closeness audit: the third privacy lens after k-anonymity
+    * (x154) and l-diversity (x536) — a class can be k-large and
+    * l-diverse yet still leak when its sensitive DISTRIBUTION diverges
+    * from the global one. Per (nation, segment) class: the exact 1-D
+    * earth-mover's distance between the class's balance-band
+    * distribution and the global one (unit band spacing ⇒ EMD =
+    * Σ|CDF_class − CDF_global|, in ppm·bands), rolled into a census by
+    * EMD band plus the max. Distinct-band collapse, class×band spine,
+    * class-partitioned cumulative windows. */
+  private val x546: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables(spark, sfDir, "customer")
+      .filter(col("c_acctbal").isNotNull)
+      .select(col("c_nationkey").as("__n"), col("c_mktsegment").as("__m"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " + 10000000) DIV 100000").as("__v"))
+    val cls = b.groupBy("__n", "__m", "__v").agg(count(lit(1)).as("__c"))
+    val clsTot = b.groupBy("__n", "__m").agg(count(lit(1)).as("__nc"))
+    val glob = b.groupBy("__v").agg(count(lit(1)).as("__gc"))
+    val globTot = b.agg(count(lit(1)).as("__ng"))
+    // spine: every class × every observed band (bands are spend-bounded)
+    val spine = clsTot.crossJoin(glob.select(col("__v")))
+    val wCls = Window.partitionBy("__n", "__m").orderBy("__v")
+    val filled = spine
+      .join(cls, Seq("__n", "__m", "__v"), "left")
+      .join(glob, Seq("__v"))
+      .crossJoin(broadcast(globTot))
+      .select(col("__n"), col("__m"), col("__v"), col("__nc"),
+        coalesce(col("__c"), lit(0L)).as("__c"), col("__gc"), col("__ng"))
+      .withColumn("__cumc", sum(col("__c")).over(wCls))
+      .withColumn("__cumg", sum(col("__gc")).over(wCls))
+    val emd = filled
+      .select(col("__n"), col("__m"),
+        abs(expr("__cumc * 1000000 DIV __nc - __cumg * 1000000 DIV __ng"))
+          .as("__gap"))
+      .groupBy("__n", "__m").agg(sum(col("__gap")).as("__emd"))
+    emd.select(when(col("__emd") < 100000L, "0_lt_0.1")
+        .when(col("__emd") < 300000L, "1_lt_0.3")
+        .when(col("__emd") < 1000000L, "2_lt_1.0")
+        .otherwise("3_ge_1.0").as("emd_band"))
+      .groupBy("emd_band").agg(count(lit(1)).as("n_classes"))
+      .crossJoin(broadcast(emd.agg(max(col("__emd")).as("max_emd_ppm_bands"))))
+      .orderBy("emd_band")
+  }
+
+  /** x547 — delta-varint layout advisor: how many bytes would
+    * delta+varint encoding save on the SORTED o_orderkey column vs raw
+    * 8-byte longs — the storage-engineering number behind "sort your
+    * files before writing" (x47/x132's layout family). The first value
+    * encodes as a varint of itself, each later one as a varint of its
+    * gap. Adjacent gaps via the TWO-PHASE range-partitioned lag
+    * (pid-local windows + a partition-count-bounded boundary frame —
+    * never a single-task corpus sort); varint width via the 7-bit band
+    * CASE both engines compute identically. */
+  private val x547: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("__k")).distinct()
+      .repartitionByRange(col("__k"))
+      .withColumn("__pid", spark_partition_id())
+    val inner = keys
+      .withColumn("__prev",
+        lag(col("__k"), 1).over(Window.partitionBy("__pid").orderBy("__k")))
+      .filter(col("__prev").isNotNull)
+      .select((col("__k") - col("__prev")).as("__g"))
+    // boundary gaps: one row per range partition (partition-count-bounded)
+    val bounds = keys.groupBy("__pid")
+      .agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+      .withColumn("__pmx", lag(col("__mx"), 1).over(Window.orderBy("__pid")))
+      .select(coalesce(col("__mn") - col("__pmx"), col("__mn")).as("__g"))
+    val gaps = inner.unionAll(bounds)
+    def varintBytes(g: Column): Column =
+      when(g < (1L << 7), 1L).when(g < (1L << 14), 2L)
+        .when(g < (1L << 21), 3L).when(g < (1L << 28), 4L)
+        .when(g < (1L << 35), 5L).when(g < (1L << 42), 6L)
+        .when(g < (1L << 49), 7L).when(g < (1L << 56), 8L).otherwise(9L)
+    gaps.agg(count(lit(1)).as("n_values"),
+        sum(varintBytes(col("__g"))).as("delta_varint_bytes"))
+      .select(col("n_values"), (col("n_values") * 8L).as("raw_bytes"),
+        col("delta_varint_bytes"),
+        expr("""(n_values * 8 - delta_varint_bytes) * 1000000
+              DIV (n_values * 8)""").as("savings_ppm"))
+  }
+
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
     * (1 − groups/rows, in ppm) and the verdict — the number that decides
@@ -9319,7 +9403,9 @@ object Extensions {
     "x542_changepoint_localization" -> x542,
     "x543_relationship_lifecycle" -> x543,
     "x544_median_rollup_guard" -> x544,
-    "x545_seasonal_index" -> x545)
+    "x545_seasonal_index" -> x545,
+    "x546_t_closeness_audit" -> x546,
+    "x547_delta_varint_advisor" -> x547)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -17305,6 +17391,57 @@ object Extensions {
          | LEFT JOIN re ON re.quarter = act.quarter
          | LEFT JOIN en ON en.quarter = act.quarter
          |ORDER BY act.quarter""".stripMargin.replace("\n", " ")),
+    "x546_t_closeness_audit" ->
+      ("""WITH b AS (SELECT c_nationkey AS n, c_mktsegment AS m,
+         |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |   + 10000000) // 100000 AS v
+         | FROM customer WHERE c_acctbal IS NOT NULL),
+         |cls AS (SELECT n, m, v, CAST(COUNT(*) AS BIGINT) AS c FROM b
+         | GROUP BY 1, 2, 3),
+         |ct AS (SELECT n, m, CAST(COUNT(*) AS BIGINT) AS nc FROM b
+         | GROUP BY 1, 2),
+         |gl AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS gc FROM b
+         | GROUP BY 1),
+         |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM b),
+         |sp AS (SELECT ct.n, ct.m, ct.nc, gl.v, gl.gc
+         | FROM ct CROSS JOIN gl),
+         |f AS (SELECT sp.n, sp.m, sp.v, sp.nc, sp.gc,
+         |  COALESCE(cls.c, 0) AS c
+         | FROM sp LEFT JOIN cls ON cls.n = sp.n AND cls.m = sp.m
+         |  AND cls.v = sp.v),
+         |cum AS (SELECT n, m, nc,
+         |  SUM(c) OVER (PARTITION BY n, m ORDER BY v) AS cumc,
+         |  SUM(gc) OVER (PARTITION BY n, m ORDER BY v) AS cumg
+         | FROM f),
+         |emd AS (SELECT n, m, CAST(SUM(ABS(CAST(cumc AS BIGINT)
+         |   * 1000000 // nc - CAST(cumg AS BIGINT) * 1000000
+         |   // (SELECT ng FROM gt))) AS BIGINT) AS e
+         | FROM cum GROUP BY 1, 2, nc),
+         |mx AS (SELECT CAST(MAX(e) AS BIGINT) AS max_emd_ppm_bands
+         | FROM emd)
+         |SELECT CASE WHEN e < 100000 THEN '0_lt_0.1'
+         |  WHEN e < 300000 THEN '1_lt_0.3'
+         |  WHEN e < 1000000 THEN '2_lt_1.0'
+         |  ELSE '3_ge_1.0' END AS emd_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_classes, mx.max_emd_ppm_bands
+         |FROM emd CROSS JOIN mx GROUP BY 1, 3 ORDER BY emd_band"""
+        .stripMargin.replace("\n", " ")),
+    "x547_delta_varint_advisor" ->
+      ("""WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+         |g AS (SELECT COALESCE(k - LAG(k) OVER (ORDER BY k), k) AS g
+         | FROM k),
+         |vb AS (SELECT CASE WHEN g < 128 THEN 1
+         |  WHEN g < 16384 THEN 2 WHEN g < 2097152 THEN 3
+         |  WHEN g < 268435456 THEN 4 WHEN g < 34359738368 THEN 5
+         |  WHEN g < 4398046511104 THEN 6
+         |  WHEN g < 562949953421312 THEN 7
+         |  WHEN g < 72057594037927936 THEN 8 ELSE 9 END AS b FROM g)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+         | CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+         | CAST(SUM(b) AS BIGINT) AS delta_varint_bytes,
+         | CAST(COUNT(*) * 8 - SUM(b) AS BIGINT) * 1000000
+         |  // CAST(COUNT(*) * 8 AS BIGINT) AS savings_ppm
+         |FROM vb""".stripMargin.replace("\n", " ")),
     "x544_median_rollup_guard" ->
       ("""WITH v AS (SELECT c_nationkey AS g,
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
