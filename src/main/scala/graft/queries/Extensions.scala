@@ -6257,6 +6257,68 @@ object Extensions {
               DIV (n_values * 8)""").as("savings_ppm"))
   }
 
+  /** x548 — layout skipping comparison: the layout-decision number.
+    * Assign orders to 64 simulated files under two layouts — (a) sorted
+    * by month only, (b) clustered by the Morton cell of (custkey bucket
+    * × month bucket) — build each file's (month, custkey) min/max
+    * manifest, and count the files a BOTH-DIMS-SELECTIVE range probe
+    * (one year × one custkey octile) must read. Single-axis sort cannot
+    * skip on the second dim, so it reads every file of the probe year;
+    * the z-layout bounds both dims per file and reads a fraction of
+    * that. Flip the probe to a single wide dim and the verdict flips
+    * too — which is exactly the decision this advisor quantifies (x42
+    * proves the pruned read is CORRECT; this measures when it is
+    * CHEAPER). File ranks via the two-phase range rank; manifests are
+    * file-count-bounded. */
+  private val x548: Q = (spark, sfDir) => {
+    import graft.operators.{Sampling, ZOrder}
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_orderkey").as("__k"), col("o_custkey").as("__c"),
+        ((year(col("o_orderdate")) - 1992) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("__md"))
+    val mx = o.agg(max(col("__c")).as("__mc"), count(lit(1)).as("__n"))
+    val base = o.crossJoin(broadcast(mx))
+      // month ids run 36..115 in this data; offset+width keeps the month
+      // bucket inside the 3-bit cell domain (aliasing past 2^bits would
+      // silently fold distant months into one cell)
+      .withColumn("__zc", ZOrder.zcell(
+        expr("CAST(__c DIV (__mc DIV 8 + 1) AS INT)"),
+        expr("CAST(least(greatest(__md - 36, 0) DIV 10, 7) AS INT)"), 3)
+        .cast("long"))
+      .localCheckpoint() // consumed by both layout rankings
+    def layout(label: String, valueCol: String): DataFrame = {
+      val ranked = Sampling.globalRankRange(
+        base.select(col("__k"), col(valueCol)), "__k", valueCol)
+        .select(col("__k"), col("global_rank"))
+      ranked.join(base.select("__k", "__c", "__md", "__mc", "__n"), "__k")
+        .withColumn("__f", expr("(global_rank - 1) DIV ((__n + 63) DIV 64)"))
+        .groupBy("__f")
+        .agg(count(lit(1)).as("__rows"),
+          min(col("__md")).as("__dlo"), max(col("__md")).as("__dhi"),
+          min(col("__c")).as("__clo"), max(col("__c")).as("__chi"),
+          max(col("__mc")).as("__mc"))
+        .select(lit(label).as("layout"), col("__rows"),
+          // probe box: months 48–59 (one year) × custkey [max/8, max/4]
+          (col("__dlo") <= lit(59L) && col("__dhi") >= lit(48L) &&
+            col("__clo") <= expr("__mc DIV 4") &&
+            col("__chi") >= expr("__mc DIV 8")).as("__read"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("__read"), 1L).otherwise(0L)).as("n_files_read"),
+          sum(when(col("__read"), col("__rows")).otherwise(0L))
+            .as("rows_read"),
+          sum(col("__rows")).as("__tot"))
+        .select(col("layout"), col("n_files"), col("n_files_read"),
+          expr("n_files_read * 1000000 DIV n_files").as("files_read_ppm"),
+          col("rows_read"),
+          expr("rows_read * 1000000 DIV __tot").as("rows_read_ppm"))
+    }
+    layout("0_sort_by_month", "__md")
+      .unionAll(layout("1_zorder_cell", "__zc"))
+      .orderBy("layout")
+  }
+
   /** x532 — partial-agg effectiveness advisor: for each candidate
     * group-by key of lineitem, the map-side combine reduction factor
     * (1 − groups/rows, in ppm) and the verdict — the number that decides
@@ -9405,7 +9467,8 @@ object Extensions {
     "x544_median_rollup_guard" -> x544,
     "x545_seasonal_index" -> x545,
     "x546_t_closeness_audit" -> x546,
-    "x547_delta_varint_advisor" -> x547)
+    "x547_delta_varint_advisor" -> x547,
+    "x548_layout_skipping_compare" -> x548)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -17391,6 +17454,43 @@ object Extensions {
          | LEFT JOIN re ON re.quarter = act.quarter
          | LEFT JOIN en ON en.quarter = act.quarter
          |ORDER BY act.quarter""".stripMargin.replace("\n", " ")),
+    "x548_layout_skipping_compare" ->
+      ("""WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+         |  (year(CAST(o_orderdate AS DATE)) - 1992) * 12
+         |   + month(CAST(o_orderdate AS DATE)) - 1 AS md
+         | FROM orders WHERE o_orderdate IS NOT NULL
+         |  AND o_custkey IS NOT NULL),
+         |mx AS (SELECT MAX(c) AS mc, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM o),
+         |bb AS (SELECT o.k, o.c, o.md, mx.mc, mx.n,
+         |  c // (mc // 8 + 1) AS cb,
+         |  LEAST(GREATEST(md - 36, 0) // 10, 7) AS db
+         | FROM o CROSS JOIN mx),
+         |z AS (SELECT *, (((cb & 1) << 1) | (db & 1))
+         |  | ((((cb >> 1) & 1) << 3) | (((db >> 1) & 1) << 2))
+         |  | ((((cb >> 2) & 1) << 5) | (((db >> 2) & 1) << 4)) AS zc
+         | FROM bb),
+         |r AS (SELECT '0_sort_by_month' AS layout, k, c, md, mc, n,
+         |   ROW_NUMBER() OVER (ORDER BY md, k) AS rk FROM z
+         | UNION ALL SELECT '1_zorder_cell', k, c, md, mc, n,
+         |   ROW_NUMBER() OVER (ORDER BY zc, k) FROM z),
+         |f AS (SELECT layout, (rk - 1) // ((n + 63) // 64) AS fl,
+         |  CAST(COUNT(*) AS BIGINT) AS rws, MIN(md) AS dlo,
+         |  MAX(md) AS dhi, MIN(c) AS clo, MAX(c) AS chi, MAX(mc) AS mc
+         | FROM r GROUP BY 1, 2),
+         |rd AS (SELECT layout, rws, (dlo <= 59 AND dhi >= 48
+         |  AND clo <= mc // 4 AND chi >= mc // 8) AS rd FROM f)
+         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         | CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_files_read,
+         | CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |  // CAST(COUNT(*) AS BIGINT) AS files_read_ppm,
+         | CAST(SUM(CASE WHEN rd THEN rws ELSE 0 END) AS BIGINT)
+         |  AS rows_read,
+         | CAST(SUM(CASE WHEN rd THEN rws ELSE 0 END) AS BIGINT)
+         |  * 1000000 // CAST(SUM(rws) AS BIGINT) AS rows_read_ppm
+         |FROM rd GROUP BY layout ORDER BY layout"""
+        .stripMargin.replace("\n", " ")),
     "x546_t_closeness_audit" ->
       ("""WITH b AS (SELECT c_nationkey AS n, c_mktsegment AS m,
          |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
