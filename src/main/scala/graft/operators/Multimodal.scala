@@ -615,6 +615,38 @@ object Multimodal {
     }
   }
 
+  case class SilenceRuns(doc_id: Long, n_samples: Long, n_runs: Long,
+                         longest_run: Long, silence_ppm: Long)
+
+  /**
+   * Silence-run census — per decoded clip, the run-length structure of
+   * |amplitude| < `threshold` samples: run count, longest run, and the
+   * silent share in ppm. One iterator-to-iterator `mapPartitions` pass
+   * with an O(1)-state run fold; at corpus scale only four scalars per
+   * clip leave the executor.
+   */
+  def extractSilenceRuns(spark: SparkSession, media: DataFrame,
+      threshold: Int = 4096): Dataset[SilenceRuns] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val v = decodeWavSamples(r.payload)
+        var runs = 0L; var longest = 0L; var cur = 0L; var silent = 0L
+        var t = 0
+        while (t < v.length) {
+          if (math.abs(v(t)) < threshold) {
+            if (cur == 0) runs += 1
+            cur += 1; silent += 1
+            if (cur > longest) longest = cur
+          } else cur = 0
+          t += 1
+        }
+        val ppm = if (v.length == 0) 0L else silent * 1000000L / v.length
+        SilenceRuns(r.doc_id, v.length.toLong, runs, longest, ppm)
+      }
+    }
+  }
+
   case class DecimatedAudio(doc_id: Long, n_samples: Long, n_kept: Long,
                             kept_abs_sum: Long, kept_checksum: Long)
 
