@@ -638,6 +638,23 @@ class FrameSamplingSpec extends AnyFunSuite {
       kept.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
   }
 
+  test("extractSilenceRuns: run fold matches a hand-computed run structure") {
+    val media = Multimodal.renderAudioTable(spark,
+      Seq((11L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.extractSilenceRuns(spark, media).collect().head
+    val n = Multimodal.audioSamples(11L)
+    val sil = (0 until n).map(t => math.abs(Multimodal.sampleVal(11L, t)) < 4096)
+    val runs = sil.foldLeft(List.empty[Int]) {
+      case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+      case (acc, true) => 1 :: acc
+      case (acc, false) => 0 :: acc
+    }.filter(_ > 0)
+    assert(f.n_samples == n.toLong)
+    assert(f.n_runs == runs.length.toLong)
+    assert(f.longest_run == (if (runs.isEmpty) 0L else runs.max.toLong))
+    assert(f.silence_ppm == sil.count(identity).toLong * 1000000L / n)
+  }
+
   test("extractResizedFeatures: checksum is position-sensitive (catches a transposed map)") {
     val media = Multimodal.renderImageTable(spark,
       Seq((13L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
