@@ -12,21 +12,24 @@ object Debug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val streaming = Seq("x13_streaming_window_counts", "x15_streaming_sessions",
-      "x26_streaming_append_watermark", "x27_streaming_closed_sessions",
-      "x28_streaming_dedup", "x29_stream_static_join",
-      "x34_stream_stream_join", "x45_foreachbatch_sink")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("x13_streaming_window_counts", "x15_streaming_sessions",
+        "x26_streaming_append_watermark", "x27_streaming_closed_sessions",
+        "x28_streaming_dedup", "x29_stream_static_join",
+        "x34_stream_stream_join", "x45_foreachbatch_sink")
     // two passes: pass 2 approximates the bench's warm timed passes
     for (pass <- 1 to 2) {
+      spark.catalog.clearCache()
+      queries.Extensions.clearStagingMemo()
       var total = 0.0
-      for (name <- streaming) {
+      for (name <- names) {
         val t0 = System.nanoTime()
         val n = queries.Extensions.queries(name)(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         total += sec
         println(f"[debug] pass$pass $name%-34s $sec%6.2f s  ($n rows)")
       }
-      println(f"[debug] pass$pass streaming subtotal: $total%6.2f s")
+      println(f"[debug] pass$pass subtotal: $total%6.2f s")
     }
     spark.stop()
   }

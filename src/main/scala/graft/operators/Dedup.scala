@@ -60,19 +60,27 @@ object Dedup {
   }
 
 
-  /** (doc_id, band_j, band_h) LSH band keys from shingle-hash rows.
-    * Signatures via the native MinHashSignature aggregate (one Array[Long]
-    * buffer, tight loop) — numHashes separate min() aggregates overflow
-    * codegen limits and fall back to interpreted evaluation, and
+  /** (doc_id, sig) MinHash signature frame — `numHashes` affine-permutation
+    * minima per doc via the native MinHashSignature aggregate (one
+    * Array[Long] buffer, tight loop) — numHashes separate min() aggregates
+    * overflow codegen limits and fall back to interpreted evaluation, and
     * higher-order-function folds are CodegenFallback too. Partial
-    * aggregation collapses to ONE buffer per doc before the exchange; the
-    * band key is one codegen'd multi-arg xxhash64 per band. */
-  private def bandKeys(shingleRows: DataFrame, numBands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val sigs = shingleRows
+    * aggregation collapses to ONE buffer per doc before the exchange.
+    * Public because the signature depends only on (numHashes, seeds): every
+    * band layout with the same numBands×rowsPerBand product re-bands THIS
+    * frame instead of re-running the aggregate ([[minhashLshMultiConfig]]). */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame =
+    shingleRows
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSignature(
-        col("sh"), numBands * rowsPerBand, 0x5eed5eedL, 0xb17b17b1L).as("sig"))
+        col("sh"), numHashes, 0x5eed5eedL, 0xb17b17b1L).as("sig"))
+
+  /** (doc_id, band_j, band_h) LSH band keys derived from a precomputed
+    * signature frame — banding is a pure REGROUPING of signature elements
+    * (rows j·rowsPerBand..j·rowsPerBand+rowsPerBand-1 feed band j), so it
+    * costs one codegen'd multi-arg xxhash64 per band and no aggregate. */
+  def bandKeysFromSignatures(sigs: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until numBands).map { j =>
       val rowCols = (0 until rowsPerBand).map(r => element_at(col("sig"), j * rowsPerBand + r + 1))
       struct(lit(j).as("j"), xxhash64(lit(j) +: rowCols: _*).as("h"))
@@ -80,6 +88,42 @@ object Dedup {
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.j").as("band_j"), col("band.h").as("band_h"))
+  }
+
+  /** Signature aggregate + banding in one call (the single-layout path). */
+  private def bandKeys(shingleRows: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame =
+    bandKeysFromSignatures(
+      minhashSignatures(shingleRows, numBands * rowsPerBand), numBands, rowsPerBand)
+
+  /** Distinct unordered candidate pairs (d1 < d2) from a band-key frame:
+    * buckets → pairs via a codegen'd self-equi-join on the band key (AQE
+    * handles skewed buckets); a collect_set + lambda expansion would run
+    * interpreted and concentrate giant buckets on single tasks. */
+  def lshCandidatePairs(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_j") === col("b.band_j") && col("a.band_h") === col("b.band_h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+  /** Exact-jaccard verification of a candidate pair frame (d1, d2) against
+    * shingle-hash rows: shingle sets are built ONLY for docs appearing in a
+    * candidate pair (semi join), so the pass over the shingle rows collects
+    * a tiny fraction of the corpus at scale. Returns (d1, d2, jaccard)
+    * restricted to jaccard ≥ threshold — precision 1.0 by construction. */
+  def verifiedJaccardPairs(shingleRows: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val candidateDocs = candidates
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sets = candidateShingleSets(shingleRows, candidateDocs)
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
   }
 
   /** Per-doc shingle-hash sets restricted (semi join) to candidate `ids` —
@@ -119,35 +163,76 @@ object Dedup {
     // exchange would be pure overhead.
     val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN, distinct = false).cache()
 
-    val banded = bandKeys(shingleRows, numBands, rowsPerBand)
+    // candidates are ≪ n by LSH design; cached because both the verify
+    // join and the candidate-doc semi-join inside verification consume them
+    val candidates = lshCandidatePairs(bandKeys(shingleRows, numBands, rowsPerBand)).cache()
 
-    // Buckets → unique candidate pairs via a codegen'd self-equi-join on the
-    // band key (AQE handles skewed buckets); a collect_set + lambda expansion
-    // would run interpreted and concentrate giant buckets on single tasks.
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    verifiedJaccardPairs(shingleRows, candidates, threshold)
+  }
+
+  /**
+   * Verified near-dup pair COUNTS for several band layouts sharing one
+   * hash budget — the config-invariance audit ([[graft.queries]] x505)
+   * without re-running the expensive stages per layout. All layouts must
+   * satisfy numBands × rowsPerBand == the shared budget, so the
+   * `MinHashSignature` aggregate (the dominant cost: one pass over every
+   * shingle occurrence per doc) runs ONCE and each layout merely re-bands
+   * the cached signature frame (a per-row regrouping + xxhash64). The
+   * exact-jaccard verify stage is also shared: candidates are unioned
+   * across layouts, verified once, and each layout's count is a semi join
+   * of its own candidate set against the verified pairs. Returns one row
+   * per layout: (num_bands, rows_per_band, n_pairs).
+   *
+   * At high-recall layouts the counts must COINCIDE (per-pair miss
+   * probability ≤ ~1e-5 at τ=0.7 for 96×2 / 64×3 / 48×4) — which is what
+   * licenses tuning bands for cost without re-validating correctness.
+   */
+  def minhashLshMultiConfig(docs: DataFrame, idCol: String, textCol: String,
+      layouts: Seq[(Int, Int)], shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(layouts.nonEmpty, "at least one band layout")
+    val budget = layouts.head._1 * layouts.head._2
+    require(layouts.forall { case (b, r) => b * r == budget },
+      s"all layouts must share the hash budget $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val shingleRows = shingleHashRows(docs, idCol, textCol, shingleN, distinct = false).cache()
+    val sigs = minhashSignatures(shingleRows, budget).cache()
+
+    // ONE self-join finds every layout's bucket collisions: each layout's
+    // band indices are offset into a disjoint range, and the join key
+    // includes band_j, so pairs can only form within one layout's bands.
+    // (The band hash itself uses the layout-LOCAL index — identical to the
+    // single-layout path, which the invariance spec relies on.)
+    val offsets = layouts.scanLeft(0) { case (acc, (b, _)) => acc + b }
+    val tagged = layouts.zip(offsets).zipWithIndex.map { case (((b, r), off), i) =>
+      bandKeysFromSignatures(sigs, b, r)
+        .select(col("doc_id"), lit(i).as("lay"),
+          (col("band_j") + lit(off)).as("band_j"), col("band_h"))
+    }.reduce(_ unionAll _)
+    val taggedCands = tagged.as("a")
+      .join(tagged.as("b"),
         col("a.band_j") === col("b.band_j") && col("a.band_h") === col("b.band_h") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.lay").as("lay"), col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      // candidates are ≪ n by LSH design; cached because both the verify
-      // join and the candidate-doc semi-join below consume them
       .cache()
 
-    // Exact verification on candidates only (precision 1.0 by construction):
-    // shingle-hash sets per doc, array intersect/union on longs. The semi
-    // join restricts set construction to docs that actually appear in a
-    // candidate pair — at scale candidates ≪ n, so the second pass over the
-    // shingle rows collects a tiny fraction of the corpus.
-    val candidateDocs = candidates
-      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    val sets = candidateShingleSets(shingleRows, candidateDocs)
-    candidates
-      .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("sh", "sh1"), "d1")
-      .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("sh", "sh2"), "d2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "jaccard")
+    // Verify each distinct pair ONCE regardless of how many layouts
+    // surfaced it; layout counts are an inner join back to the tags.
+    val allCands = taggedCands.select("d1", "d2").distinct()
+    val verified = verifiedJaccardPairs(shingleRows, allCands, threshold)
+    val counts = taggedCands
+      .join(verified.select("d1", "d2"), Seq("d1", "d2"))
+      .groupBy("lay").agg(count(lit(1)).as("n_pairs"))
+    val layoutDf = layouts.zipWithIndex
+      .map { case ((b, r), i) => (i, b.toLong, r.toLong) }
+      .toDF("lay", "num_bands", "rows_per_band")
+    broadcast(layoutDf).join(counts, Seq("lay"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .select("num_bands", "rows_per_band", "n_pairs")
+      .orderBy("num_bands")
   }
 
   /**

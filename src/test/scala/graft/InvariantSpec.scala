@@ -187,6 +187,29 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashLshMultiConfig re-banding equals three independent minhashLsh runs") {
+    // x505's contract: the shared 192-hash signature frame re-banded per
+    // layout must produce EXACTLY the pair counts of full per-layout runs —
+    // banding is a pure regrouping of signature elements, so any divergence
+    // is a re-banding indexing bug, not sampling noise.
+    val layouts = Seq((96, 2), (64, 3), (48, 4))
+    for (seed <- Seq(11L, 17L)) {
+      val docs = randomDocs(seed, n = 40, vocab = 12, len = 30)
+        .union(randomDocs(seed, n = 10, vocab = 12, len = 30)
+          .withColumn("doc_id", col("doc_id") + 100)) // planted exact dups of 0-9
+      val multi = Dedup.minhashLshMultiConfig(docs, "doc_id", "text", layouts,
+          threshold = 0.7)
+        .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+      layouts.foreach { case (b, r) =>
+        val single = Dedup.minhashLsh(docs, "doc_id", "text",
+          numBands = b, rowsPerBand = r, threshold = 0.7).count()
+        assert(multi((b, r)) == single,
+          s"seed $seed layout ${b}x$r: re-banded count ${multi((b, r))} != full-run $single")
+        assert(single > 0, s"seed $seed layout ${b}x$r: planted dups must appear")
+      }
+    }
+  }
+
   test("prefixFilterJaccard equals the uncapped exact join (zero false negatives)") {
     for (seed <- Seq(7L, 19L)) {
       val docs = randomDocs(seed, n = 40, vocab = 8, len = 25)
