@@ -1328,4 +1328,63 @@ object Dedup {
         expr("reorder_only_docs * 1000000 DIV n_docs").as("reorder_only_ppm"))
       .orderBy("source")
   }
+
+  /**
+   * Cross-document EXACT substring duplication census — the classic
+   * long-repeated-run dedup rung (the k-token-window convention of the
+   * public dataset-dedup literature, e.g. the suffix-array "exact substring"
+   * family): find every maximal run of ≥ `k` consecutive tokens that occurs
+   * verbatim in at least TWO distinct documents, at ANY offset. Line-hash
+   * dedup only catches line-aligned repeats and head/tail splice checks only
+   * catch boundary repeats; this catches a paragraph pasted mid-document.
+   *
+   * Algorithm (linear, no suffix array needed for the census form):
+   *   1. every k-token window hash per doc with its offset — one MAP-SIDE
+   *      codegen'd [[graft.functions.ShingleHashes]] pass + posexplode
+   *      (multiplicities and order kept);
+   *   2. a window hash is SHARED iff it occurs in ≥ 2 distinct docs —
+   *      min(doc) ≠ max(doc) over one partial-agged exchange on the 8-byte
+   *      hash (cheaper than count-distinct, same predicate);
+   *   3. per doc, maximal runs of consecutive shared offsets via
+   *      gaps-and-islands (offset − row_number over a PER-DOC window — the
+   *      frame is doc-bounded, never global); an island of c consecutive
+   *      shared windows certifies a duplicated run of c + k − 1 tokens.
+   *
+   * Returns the census: (run_tokens, n_runs, n_docs) per duplicated-run
+   * length, ordered — the table that sizes "how much of the corpus is long
+   * verbatim repetition" before committing to cut it. Hash equality stands
+   * in for string equality with miss probability ~|windows|²/2⁶⁴ (the same
+   * convention every shingle operator here uses).
+   *
+   * Scale shape: shuffles carry (hash, doc, offset) triples — never text;
+   * the only window is per-doc; the shared-hash semi join is
+   * AQE-broadcastable when repetition is rare. At 100 TB the postings
+   * exchange is the bound, exactly as in the published suffix-array
+   * pipelines' sharded counterpart.
+   */
+  def crossDocSubstringRuns(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "run window must cover at least 2 tokens")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleHashes(col(textCol), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("off"), col("sh"))
+      .cache()
+    val shared = grams.groupBy("sh")
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("sh")
+    val sharedOffsets = grams.join(shared, Seq("sh"), "left_semi")
+      .select("doc_id", "off")
+    val islands = sharedOffsets
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("off")).cast("long"))
+      .withColumn("__isl", col("off") - col("__rn"))
+    islands.groupBy("doc_id", "__isl")
+      .agg((count(lit(1)) + lit(k - 1).cast("long")).as("run_tokens"))
+      .groupBy("run_tokens")
+      .agg(count(lit(1)).as("n_runs"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("run_tokens")
+  }
 }

@@ -210,6 +210,30 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("crossDocSubstringRuns finds a planted 60-token cross-doc duplication exactly") {
+    // All tokens distinct across regions, so the ONLY shared k-windows are
+    // the 41 fully inside the planted 60-token run — each doc reports one
+    // maximal run of exactly 41 + k - 1 = 60 tokens, at DIFFERENT offsets
+    // (10 vs 7), which line-aligned chunk hashing cannot line up.
+    val shared = (1 to 60).map(i => s"s$i")
+    val docA = ((1 to 10).map(i => s"a$i") ++ shared ++ (1 to 15).map(i => s"e$i")).mkString(" ")
+    val docB = ((1 to 7).map(i => s"b$i") ++ shared ++ (1 to 3).map(i => s"c$i")).mkString(" ")
+    val docC = (1 to 80).map(i => s"z$i").mkString(" ") // no overlap
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val census = Dedup.crossDocSubstringRuns(docs, "doc_id", "text", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(census.toSeq == Seq((60L, 2L, 2L)),
+      s"expected one 60-token run in each of 2 docs, got ${census.toSeq}")
+
+    // a run shorter than k stays invisible: 19 shared tokens -> no window
+    val short = (1 to 19).map(i => s"s$i")
+    val d2 = Seq(
+      (1L, ((1 to 30).map(i => s"a$i") ++ short).mkString(" ")),
+      (2L, (short ++ (1 to 30).map(i => s"c$i")).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.crossDocSubstringRuns(d2, "doc_id", "text", k = 20).count() == 0,
+      "sub-k shared runs must not appear")
+  }
+
   test("prefixFilterJaccard equals the uncapped exact join (zero false negatives)") {
     for (seed <- Seq(7L, 19L)) {
       val docs = randomDocs(seed, n = 40, vocab = 8, len = 25)
