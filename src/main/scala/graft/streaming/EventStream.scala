@@ -665,10 +665,21 @@ object EventStream {
    * appends once, so the landed lake content equals the source table — the
    * batch aggregation over the landed files is plain SQL for the oracle.
    */
+  private val fbLakeBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def foreachBatchLakeSink(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val (watch, schema) = sliceReplayDir(spark, sfDir)
-    val lake = java.nio.file.Files.createTempDirectory("graft_fb_lake_").toString
+    // Memoized per sfDir like the ckpt/cdc/hist sinks: repeated invocations
+    // (bench warm-up + 2 timed passes) clear and reuse ONE base dir instead
+    // of accumulating a fresh temp dir each run. The append-mode lake must
+    // start empty every invocation or the landed content would double.
+    val base = fbLakeBaseCache.computeIfAbsent(sfDir,
+      _ => java.nio.file.Files.createTempDirectory("graft_fb_lake_"))
+    val lake = base.resolve("lake").toString
+    val lakeFile = new java.io.File(lake)
+    if (lakeFile.exists()) deleteRecursively(lakeFile)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(watch)
       .transform(graft.sources.Tables.normalizeEventTs)

@@ -40,6 +40,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.keySet.subsetOf(totals.keySet))
   }
 
+  test("foreachBatch lake sink: repeat invocations reuse one base dir and give identical results") {
+    // the r6/r7 scratch-dir drift guard: the bench runs every sink 3x
+    // (warm-up + 2 timed passes); a per-invocation temp dir accumulates a
+    // full lake copy per pass, and an append-mode lake that ISN'T cleared
+    // doubles its content. Zero new base dirs + bit-equal results.
+    def lakeBaseDirs() = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles((_, n) => n.startsWith("graft_fb_lake_")).length
+    val r1 = streaming.EventStream.foreachBatchLakeSink(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val after1 = lakeBaseDirs()
+    val r2 = streaming.EventStream.foreachBatchLakeSink(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lakeBaseDirs() == after1, "second invocation must create zero new base dirs")
+    assert(r1 == r2, "cleared-and-reused lake must reproduce the first run exactly")
+    assert(r1.nonEmpty)
+  }
+
   test("streaming incremental histogram == the batch single-pass sketch") {
     import org.apache.spark.sql.functions.expr
     val streamed = streaming.EventStream
