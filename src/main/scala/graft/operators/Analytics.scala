@@ -94,7 +94,7 @@ object Analytics {
   def levelShiftScan(events: DataFrame, tsCol: String): DataFrame = {
     val days = events.filter(col(tsCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__n"))
-    val byDay = Window.orderBy("day")
+    val byDay = BoundedGlobalWindow.orderBy("day")
     val cum = days
       .withColumn("__ck", sum(col("__n")).over(byDay))
       .withColumn("__rk", row_number().over(byDay).cast("long"))
@@ -559,7 +559,7 @@ object Analytics {
   def paretoFrontier2D(df: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {
     val gx = df.groupBy(xCol).agg(max(col(yCol)).as("ymax"))
-    val strictGreater = Window.orderBy(col(xCol).desc)
+    val strictGreater = BoundedGlobalWindow.orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val frontierGroups = gx
       .withColumn("gmax", max(col("ymax")).over(strictGreater))
@@ -596,7 +596,7 @@ object Analytics {
     val spark = stats.sparkSession
     import spark.implicits._
     val cum = counts
-      .withColumn("crank", sum(col("cnt")).over(Window.orderBy("b")))
+      .withColumn("crank", sum(col("cnt")).over(BoundedGlobalWindow.orderBy("b")))
     val targets = probsPct.toDF("p_pct").crossJoin(broadcast(stats))
       .withColumn("target_rank", expr("(p_pct * n + 99) DIV 100"))
     targets.join(cum, col("crank") >= col("target_rank"))
@@ -696,7 +696,7 @@ object Analytics {
     val days = events.select(to_date(col(tsCol)).as("day"))
       .filter(col("day").isNotNull).distinct()
     val cutoff = days
-      .withColumn("__rk", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("__rk", row_number().over(BoundedGlobalWindow.orderBy("day")).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
       .filter(col("__rk") === expr(s"($cutoffPct * __n + 99) DIV 100"))
       .select(col("day").as("__cut"))
@@ -1017,7 +1017,7 @@ object Analytics {
     val daily = events.select(to_date(col(tsCol)).as("day"))
       .filter(col("day").isNotNull)
       .groupBy("day").agg(count(lit(1)).as("n_events"))
-    val trail = Window.orderBy("day").rowsBetween(-windowDays, -1)
+    val trail = BoundedGlobalWindow.orderBy("day").rowsBetween(-windowDays, -1)
     val band = thresholdPct * 10000L // symmetric ±thresholdPct% around 1e6
     daily
       .withColumn("__tsum", sum("n_events").over(trail))
@@ -1110,7 +1110,7 @@ object Analytics {
     val counts = vals.groupBy("__v").agg(count(lit(1)).as("__cnt"))
     val offsets = counts
       .withColumn("__before",
-        sum(col("__cnt")).over(Window.orderBy("__v")) - col("__cnt"))
+        sum(col("__cnt")).over(BoundedGlobalWindow.orderBy("__v")) - col("__cnt"))
       .withColumn("__n", sum(col("__cnt")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__v").as("__ov"), col("__before"), col("__n"))
@@ -1257,7 +1257,7 @@ object Analytics {
     val gv = d.groupBy((gcols :+ col(valueCol)): _*).agg(count(lit(1)).as("__c"))
     val (w, cnt) =
       if (parts.isEmpty)
-        (Window.orderBy(valueCol), Window.partitionBy(lit(1)))
+        (BoundedGlobalWindow.orderBy(valueCol), Window.partitionBy(lit(1)))
       else
         (Window.partitionBy(gcols: _*).orderBy(valueCol),
           Window.partitionBy(gcols: _*))
@@ -1395,7 +1395,7 @@ object Analytics {
     perLag
       .withColumn("n_at_risk",
         sum(col("n_converted") + col("n_censored")).over(
-          Window.orderBy(col("lag_days").desc)
+          BoundedGlobalWindow.orderBy(col("lag_days").desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("lag_days"), col("n_at_risk"), col("n_converted"),
         col("n_censored"))
@@ -1675,7 +1675,7 @@ object Analytics {
       // weekday(): 0=Mon..6=Sun; the cumulative index is a window over the
       // CALENDAR spine — |days|-bounded by construction
       .withColumn("__bd", sum(when(expr("weekday(day)") < 5, 1L).otherwise(0L))
-        .over(Window.orderBy("day")))
+        .over(BoundedGlobalWindow.orderBy("day")))
     clean
       .join(broadcast(dim.select(col("day").as("__s"), col("__bd").as("__bs"))), "__s")
       .join(broadcast(dim.select(col("day").as("__e"), col("__bd").as("__be"))), "__e")
@@ -1712,7 +1712,7 @@ object Analytics {
     def ranked(df: DataFrame, rk: String) = df
       .select(col(itemCol).as("item"), col(scoreCol).as("__s"))
       .withColumn(rk,
-        row_number().over(Window.orderBy(col("__s").desc, col("item"))).cast("long"))
+        row_number().over(BoundedGlobalWindow.orderBy(col("__s").desc, col("item"))).cast("long"))
       .select(col("item"), col(rk))
     val j = ranked(left, "ra").join(ranked(right, "rb"), "item")
       // cached: consumed by both pair sides and the overlap aggregate.
@@ -1803,7 +1803,7 @@ object Analytics {
     val daily = events.filter(col(tsCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("__x"))
     val tot = daily.agg(sum(col("__x")).as("__tot"), count(lit(1)).as("__days"))
-    val byDay = Window.orderBy("day")
+    val byDay = BoundedGlobalWindow.orderBy("day")
     daily.crossJoin(broadcast(tot))
       .withColumn("__mean", expr("__tot * 1000000 DIV __days"))
       .withColumn("__y",
@@ -1999,7 +1999,7 @@ object Analytics {
       .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
       .join(deltas, Seq("day"), "left")
       .withColumn("backlog",
-        sum(coalesce(col("__net"), lit(0L))).over(Window.orderBy("day")))
+        sum(coalesce(col("__net"), lit(0L))).over(BoundedGlobalWindow.orderBy("day")))
       .select(col("day"), col("backlog"))
       .orderBy("day")
   }
@@ -2035,7 +2035,7 @@ object Analytics {
       .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
       .join(observed, Seq("day"), "left")
       .select(col("day"), coalesce(col("__n"), lit(0L)).as("n"))
-    val trailing = Window.orderBy("day").rowsBetween(-7, -1)
+    val trailing = BoundedGlobalWindow.orderBy("day").rowsBetween(-7, -1)
     daily
       .withColumn("__hist", array_sort(collect_list(col("n")).over(trailing)))
       .withColumn("trailing_median",
@@ -2094,7 +2094,7 @@ object Analytics {
     def topRanks(df: DataFrame, rk: String) = df
       .select(col(itemCol).as("item"), col(scoreCol).as("__s"))
       .withColumn(rk,
-        row_number().over(Window.orderBy(col("__s").desc, col("item"))).cast("long"))
+        row_number().over(BoundedGlobalWindow.orderBy(col("__s").desc, col("item"))).cast("long"))
       .filter(col(rk) <= k)
       .select(col("item"), col(rk))
     topRanks(prev, "prev_rank")
@@ -2471,7 +2471,7 @@ object Analytics {
       max(col("__s")).over(byArrival.rowsBetween(Window.unboundedPreceding, -1)))
     val offsets = local.groupBy("pid").agg(max(col("__s")).as("pmax"))
       .withColumn("omax",
-        max(col("pmax")).over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
+        max(col("pmax")).over(BoundedGlobalWindow.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("pid").as("_off_pid"), col("omax"))
     local.join(broadcast(offsets), col("pid") === col("_off_pid"))
       // unknown hwm (first arrival) coalesces to the row's own ts — a
@@ -2566,7 +2566,7 @@ object Analytics {
     val local = parted.withColumn("lcum",
       sum(col("delta")).over(Window.partitionBy("pid").orderBy(keys: _*)))
     val offsets = local.groupBy("pid").agg(sum(col("delta")).as("ptot"))
-      .withColumn("offset", sum(col("ptot")).over(Window.orderBy("pid")) - col("ptot"))
+      .withColumn("offset", sum(col("ptot")).over(BoundedGlobalWindow.orderBy("pid")) - col("ptot"))
       .select(col("pid").as("_off_pid"), col("offset"))
     local.join(broadcast(offsets), col("pid") === col("_off_pid"))
       .filter(col("delta") === 1)
@@ -2967,7 +2967,7 @@ object Analytics {
     val local = parted.withColumn("__l", sum(col("__c")).over(w))
     val offsets = local.groupBy("__pid").agg(sum(col("__c")).as("__p"))
       .withColumn("__off",
-        sum(col("__p")).over(Window.orderBy("__pid")) - col("__p"))
+        sum(col("__p")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__p"))
       .select(col("__pid").as("_o_pid"), col("__off"))
     local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
       .select(col("__v"), col("__c"), (col("__off") + col("__l")).as("__cum"))
@@ -3041,9 +3041,9 @@ object Analytics {
     val offsets = local.groupBy("__pid")
       .agg(sum(col("__ca")).as("__pa"), sum(col("__cb")).as("__pb"))
       .withColumn("__offa",
-        sum(col("__pa")).over(Window.orderBy("__pid")) - col("__pa"))
+        sum(col("__pa")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__pa"))
       .withColumn("__offb",
-        sum(col("__pb")).over(Window.orderBy("__pid")) - col("__pb"))
+        sum(col("__pb")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__pb"))
       .select(col("__pid").as("_o_pid"), col("__offa"), col("__offb"))
     val gaps = local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
       .withColumn("__cuma", col("__offa") + col("__la"))
@@ -3296,7 +3296,7 @@ object Analytics {
       sum(col("__rev")).over(Window.partitionBy("__pid").orderBy(keys: _*)))
     val offsets = local.groupBy("__pid").agg(sum(col("__rev")).as("__ptot"))
       .withColumn("__off",
-        sum(col("__ptot")).over(Window.orderBy("__pid")) - col("__ptot"))
+        sum(col("__ptot")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__ptot"))
       .select(col("__pid").as("_o_pid"), col("__off"))
     val tot = per.agg(sum(col("__rev")).as("__tot"))
     local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
@@ -3524,7 +3524,7 @@ object Analytics {
       .groupBy(col(custCol)).agg(count(lit(1)).as("__n"))
     val dist = perCust.groupBy(col("__n").as("n_orders"))
       .agg(count(lit(1)).as("n_customers"))
-    val cum = Window.orderBy(col("n_orders").desc)
+    val cum = BoundedGlobalWindow.orderBy(col("n_orders").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = dist.agg(sum(col("n_customers")).as("__tot"))
     dist.withColumn("n_at_least", sum(col("n_customers")).over(cum))

@@ -198,7 +198,7 @@ object Curation {
     require(budget >= 0, s"budget $budget must be non-negative")
     val supply = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(col(tokenCol)).as("n_tokens"))
-    val byAsc = Window.orderBy(col("n_tokens"), col("source"))
+    val byAsc = BoundedGlobalWindow.orderBy(col("n_tokens"), col("source"))
     val all = Window.partitionBy(lit(1))
     // At row i (ascending): sources 1..i−1 saturate, the n−i+1 others sit at
     // the cap; the regime's max cap is C_i = (budget − prefix_{i−1}) div
@@ -272,7 +272,7 @@ object Curation {
     require(trainPct >= 1 && trainPct <= 99, s"trainPct $trainPct not in [1,99]")
     val days = events.select(to_date(col(tsCol)).as("day"))
       .filter(col("day").isNotNull).distinct()
-    val byDay = Window.orderBy("day")
+    val byDay = BoundedGlobalWindow.orderBy("day")
     // |days|-row frame: the global window is bounded and the pick is 1 row
     val cutoff = days
       .withColumn("__rk", row_number().over(byDay).cast("long"))

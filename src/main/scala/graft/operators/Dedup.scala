@@ -1387,4 +1387,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_runs"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("run_tokens")
   }
+
+  /**
+   * Exact-substring DECONTAMINATION — the cross-corpus form of
+   * [[crossDocSubstringRuns]] and the long-run upgrade of [[decontaminate]]
+   * (whose any-shared-n-gram criterion flags topical overlap as readily as
+   * true leakage): for every EVAL document, find the training documents
+   * sharing a verbatim run of ≥ `k` consecutive tokens at any offset pair,
+   * and report how bad the worst leak is. This is the k-token-window
+   * contamination criterion of the public dataset-dedup literature — a
+   * single shared window already certifies a k-token verbatim run.
+   *
+   * Returns one row per CONTAMINATED eval doc:
+   * (doc_id, n_train_docs, max_shared_run_tokens), ordered by doc_id —
+   * the table a training run's holdout audit signs off on.
+   *
+   * Scale shape: one equi-join on the 8-byte window hash (eval side is the
+   * benchmark — tiny, broadcastable; the train side streams), then
+   * gaps-and-islands per (eval, train) PAIR — every window is pair-bounded
+   * by doc length, never global. At 100 TB the join cost is the train-side
+   * postings scan, the theoretical floor for this audit.
+   */
+  def substringDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "run window must cover at least 2 tokens")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), isEval.as("__ev"),
+        posexplode(graft.functions.ShingleHashes(col(textCol), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("__ev"), (col("pos") + 1).cast("long").as("off"), col("sh"))
+    val ev = grams.filter(col("__ev")).select(col("doc_id").as("ed"), col("off"), col("sh"))
+    val tr = grams.filter(!col("__ev")).select(col("doc_id").as("td"), col("sh"))
+    // distinct: one eval offset may match several occurrences inside the
+    // same train doc — islands must count each eval offset once per pair
+    val hits = ev.join(tr, "sh").select("ed", "td", "off").distinct()
+    val runs = hits
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("ed", "td").orderBy("off")).cast("long"))
+      .withColumn("__isl", col("off") - col("__rn"))
+      .groupBy("ed", "td", "__isl")
+      .agg((count(lit(1)) + lit(k - 1).cast("long")).as("run_tokens"))
+    runs.groupBy("ed", "td").agg(max(col("run_tokens")).as("__mr"))
+      .groupBy(col("ed").as("doc_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(col("__mr")).as("max_shared_run_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -208,7 +208,7 @@ object Graph {
       // offsets: one row per range partition — cumulative window over a
       // #partitions-sized frame, plus the grand total carried alongside
       val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-        .withColumn("__off", sum(col("__cnt")).over(Window.orderBy("__pid")) - col("__cnt"))
+        .withColumn("__off", sum(col("__cnt")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__cnt"))
         .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(lit(1))))
         .select(col("__pid").as("__opid"), col("__off"), col("__n"))
       local.join(broadcast(offsets), col("__pid") === col("__opid"))
@@ -433,7 +433,7 @@ object Graph {
     val tot = deg.agg(count(lit(1)).as("__t"))
     val pcts = Seq(50L, 75L, 90L).toDF("pct")
     val th = deg.groupBy("d").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__cum", sum(col("__cnt")).over(Window.orderBy("d")))
+      .withColumn("__cum", sum(col("__cnt")).over(BoundedGlobalWindow.orderBy("d")))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
       .groupBy("pct")
       .agg(min(when(col("__cum") * 100 >= col("pct") * col("__t"), col("d")))

@@ -63,7 +63,7 @@ object LayoutAdvisor {
     // |partitions|-row frame: the unpartitioned rank is bounded by the
     // shuffle partition count, not the data
     val ranked = bounds.withColumn("__rk",
-      row_number().over(Window.orderBy("__pid")))
+      row_number().over(BoundedGlobalWindow.orderBy("__pid")))
     val boundaryRow = ranked.as("a")
       .join(ranked.as("b"), col("b.__rk") === col("a.__rk") + 1)
       .select(measureCols.map(c =>

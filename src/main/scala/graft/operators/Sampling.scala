@@ -103,7 +103,7 @@ object Sampling {
     val counts = df.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
     val offsets = counts
       .withColumn("cum_before",
-        sum(col("cnt")).over(Window.orderBy(valueCol)) - col("cnt"))
+        sum(col("cnt")).over(BoundedGlobalWindow.orderBy(valueCol)) - col("cnt"))
       .select(col(valueCol).as("_rank_value"), col("cum_before"))
     val intra = Window.partitionBy(valueCol).orderBy(idCol)
     df.select(col(idCol), col(valueCol))
@@ -138,7 +138,7 @@ object Sampling {
     val local = parted.withColumn("lr",
       row_number().over(Window.partitionBy("pid").orderBy(keys: _*)).cast("long"))
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", sum(col("cnt")).over(Window.orderBy("pid")) - col("cnt"))
+      .withColumn("offset", sum(col("cnt")).over(BoundedGlobalWindow.orderBy("pid")) - col("cnt"))
       .select(col("pid").as("_off_pid"), col("offset"))
     local.join(broadcast(offsets), col("pid") === col("_off_pid"))
       .select(col(idCol), col(valueCol), (col("offset") + col("lr")).as("global_rank"))
@@ -168,7 +168,7 @@ object Sampling {
     val local = parted.withColumn("lcum",
       sum(col(tokenCol)).over(Window.partitionBy("pid").orderBy(keys: _*)))
     val offsets = local.groupBy("pid").agg(sum(col(tokenCol)).as("ptot"))
-      .withColumn("offset", sum(col("ptot")).over(Window.orderBy("pid")) - col("ptot"))
+      .withColumn("offset", sum(col("ptot")).over(BoundedGlobalWindow.orderBy("pid")) - col("ptot"))
       .select(col("pid").as("_off_pid"), col("offset"))
     local.join(broadcast(offsets), col("pid") === col("_off_pid"))
       .withColumn("cum_tokens", col("offset") + col("lcum"))
@@ -241,7 +241,7 @@ object Sampling {
     // pattern — the unpartitioned window runs over S rows, never data)
     val srcIdx = df.select(col(sourceCol)).distinct()
       .withColumn("src_idx",
-        row_number().over(Window.orderBy(sourceCol)).cast("long") - 1L)
+        row_number().over(BoundedGlobalWindow.orderBy(sourceCol)).cast("long") - 1L)
       .withColumn("ns", count(lit(1)).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val bySource = Window.partitionBy(sourceCol).orderBy(idCol)
@@ -298,7 +298,7 @@ object Sampling {
       sum(col("__w")).over(Window.partitionBy("pid").orderBy(keys: _*)))
     val offsets = local.groupBy("pid").agg(sum(col("__w")).as("ptot"))
       .withColumn("offset",
-        sum(col("ptot")).over(Window.orderBy("pid")) - col("ptot"))
+        sum(col("ptot")).over(BoundedGlobalWindow.orderBy("pid")) - col("ptot"))
       .withColumn("total", sum(col("ptot")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("pid").as("_off_pid"), col("offset"), col("total"))
@@ -336,7 +336,7 @@ object Sampling {
       .withColumn("__base",
         expr(s"CAST(CAST(n_rows AS DECIMAL(38,0)) * $k DIV __N AS BIGINT)"))
       .withColumn("__slots", lit(k) - sum("__base").over(all))
-      .withColumn("__pri", row_number().over(Window.orderBy(
+      .withColumn("__pri", row_number().over(BoundedGlobalWindow.orderBy(
         expr(s"CAST(n_rows AS DECIMAL(38,0)) * $k % __N").desc,
         col(stratumCol))).cast("long"))
       .select(col(stratumCol), col("n_rows"),
@@ -486,7 +486,7 @@ object Sampling {
       .withColumn("__base",
         expr(s"CAST(CAST(weight AS DECIMAL(38,0)) * $budget DIV __W AS BIGINT)"))
       .withColumn("__slots", lit(budget) - sum(col("__base")).over(all))
-      .withColumn("__pri", row_number().over(Window.orderBy(
+      .withColumn("__pri", row_number().over(BoundedGlobalWindow.orderBy(
         expr(s"CAST(weight AS DECIMAL(38,0)) * $budget % __W").desc,
         col(stratumCol))).cast("long"))
       .select(col(stratumCol), col("n_rows"), col("weight"),
@@ -646,7 +646,7 @@ object Sampling {
     val coll = base.groupBy("__v").agg(count(lit(1)).as("__c"))
     val n0 = base.agg(count(lit(1)).as("n_rows"))
     val orig = coll
-      .withColumn("__cum", sum(col("__c")).over(Window.orderBy("__v")))
+      .withColumn("__cum", sum(col("__c")).over(BoundedGlobalWindow.orderBy("__v")))
       .crossJoin(broadcast(n0))
       .agg(max(col("n_rows")).as("n_rows"),
         min(when(col("__cum") * 2 >= col("n_rows"), col("__v"))).as("median_cents"))

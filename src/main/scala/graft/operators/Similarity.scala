@@ -393,7 +393,7 @@ object Similarity {
       .cache()
     val topQ = scored.orderBy(desc("qscore"), col("vec_id")).limit(k)
       .withColumn("rnk",
-        row_number().over(Window.orderBy(desc("qscore"), col("vec_id"))))
+        row_number().over(BoundedGlobalWindow.orderBy(desc("qscore"), col("vec_id"))))
     val exactTop = scored
       .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
       .orderBy(desc("sim"), col("vec_id")).limit(k)
@@ -599,7 +599,7 @@ object Similarity {
         sum(col("__m").cast("decimal(38,0)") * col("__m")).as("__q"))
       .select(col("d"), (col("__n") * col("__q") - col("__s") * col("__s")).as("__vs"))
     // dims-bounded frame (|dims| rows): the unpartitioned window is fine
-    val byEnergy = Window.orderBy(col("__vs").desc, col("d"))
+    val byEnergy = BoundedGlobalWindow.orderBy(col("__vs").desc, col("d"))
     val ranked = mom
       .withColumn("__rk", row_number().over(byEnergy).cast("long"))
       .withColumn("__cum", sum(col("__vs")).over(byEnergy))
@@ -869,7 +869,7 @@ object Similarity {
     val contributions = lists.map { df =>
       df.select(col(idCol), col(scoreCol).as("__s"))
         .withColumn("__rk",
-          row_number().over(Window.orderBy(col("__s").desc, col(idCol))).cast("long"))
+          row_number().over(BoundedGlobalWindow.orderBy(col("__s").desc, col(idCol))).cast("long"))
         .select(col(idCol), expr(s"1000000000 DIV ($rrfK + __rk)").as("__c"))
     }.reduce(_ unionAll _)
     contributions.groupBy(idCol)

@@ -115,7 +115,7 @@ object Skew {
     val local = parted.withColumn("__lr",
       row_number().over(Window.partitionBy("__pid").orderBy(keys: _*)).cast("long"))
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", sum(col("__cnt")).over(Window.orderBy("__pid")) - col("__cnt"))
+      .withColumn("__off", sum(col("__cnt")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__cnt"))
       .select(col("__pid").as("__opid"), col("__off"))
     val planned = local.join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn("__rk", col("__off") + col("__lr") - 1L)

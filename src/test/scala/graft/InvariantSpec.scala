@@ -234,6 +234,27 @@ class InvariantSpec extends AnyFunSuite {
       "sub-k shared runs must not appear")
   }
 
+  test("substringDecontaminate reports the planted eval->train leak and nothing else") {
+    val leak = (1 to 30).map(i => s"s$i") // 30-token verbatim run
+    val evalDoc = ((1 to 5).map(i => s"a$i") ++ leak ++ (1 to 8).map(i => s"e$i")).mkString(" ")
+    val trainHit = ((1 to 12).map(i => s"b$i") ++ leak ++ (1 to 4).map(i => s"c$i")).mkString(" ")
+    val trainClean = (1 to 60).map(i => s"z$i").mkString(" ")
+    val evalClean = (1 to 40).map(i => s"y$i").mkString(" ")
+    // eval docs: 0 (leaky) and 7 (clean); train docs: 1 (hit), 2 (clean)
+    val docs = Seq((0L, evalDoc), (7L, evalClean), (1L, trainHit), (2L, trainClean))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDecontaminate(docs, "doc_id", "text",
+        isEval = pmod(col("doc_id"), lit(7)) === 0, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 30L)),
+      s"expected doc 0 leaking a 30-token run to exactly 1 train doc, got ${out.toSeq}")
+    // two train docs sharing text with each OTHER is not eval contamination
+    val trainOnly = Seq((1L, trainHit), (2L, trainHit), (7L, evalClean))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDecontaminate(trainOnly, "doc_id", "text",
+      isEval = pmod(col("doc_id"), lit(7)) === 0, k = 20).count() == 0)
+  }
+
   test("prefixFilterJaccard equals the uncapped exact join (zero false negatives)") {
     for (seed <- Seq(7L, 19L)) {
       val docs = randomDocs(seed, n = 40, vocab = 8, len = 25)
