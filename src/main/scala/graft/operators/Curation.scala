@@ -769,4 +769,78 @@ object Curation {
       .select(col("anchor"), col("anchor_baskets"), col("rank"), col("rec"),
         col("support"))
   }
+
+  /**
+   * TEMPERATURE-SCALED mixture weights — the standard multilingual /
+   * multi-source sampling correction (public: the p^α upweighting of
+   * low-resource groups used since multilingual BERT's exponential
+   * smoothing): sampling weight ∝ count^τ at τ = 1/2, computed as the
+   * EXACT integer square root (largest s with s² ≤ count — floor(IEEE
+   * sqrt) post-corrected by ±1, so no correctly-rounded-sqrt assumption
+   * crosses engines; counts < 2⁵² keep the double representation exact).
+   * Reports, per group: the natural share (ppm), the τ-tempered share
+   * (ppm), and the sampling boost ratio (milli) — >1000 means the
+   * group is oversampled relative to its natural frequency.
+   *
+   * Scale shape: one corpus-sized groupBy; everything after rides the
+   * |groups|-bounded frame with a broadcast total.
+   */
+  def temperatureMixtureWeights(docs: DataFrame, groupCol: String,
+      weightCol: Column): DataFrame = {
+    val g = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sum(weightCol.cast("long")).as("n_tokens"))
+      // exact isqrt: floor(sqrt(x)) from IEEE sqrt, corrected so
+      // s*s <= x < (s+1)*(s+1) holds exactly in integers
+      .withColumn("__s0", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("__sq",
+        when((col("__s0") + 1) * (col("__s0") + 1) <= col("n_tokens"), col("__s0") + 1)
+          .when(col("__s0") * col("__s0") > col("n_tokens"), col("__s0") - 1)
+          .otherwise(col("__s0")))
+    val tot = g.agg(sum(col("n_tokens")).as("__tn"), sum(col("__sq")).as("__ts"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_tokens"),
+        expr("n_tokens * 1000000 DIV __tn").as("natural_ppm"),
+        expr("__sq * 1000000 DIV __ts").as("tempered_ppm"))
+      .withColumn("boost_milli",
+        expr("tempered_ppm * 1000 DIV natural_ppm"))
+      .orderBy("grp")
+  }
+
+  /**
+   * PADDING-WASTE census by power-of-two length bucket — the batching
+   * efficiency table a training pipeline reads before fixing its bucket
+   * boundaries: sequences padded to the next power of two ≥ their token
+   * length (floored at `minBucket`), and per bucket the fraction of the
+   * padded capacity that is padding. Waste above ~30% in a bucket says
+   * split it; a near-empty bucket says merge it. The power-of-two ceiling
+   * is exact integer doubling (no float log anywhere), so the oracle
+   * reproduces the bucketing bit-for-bit.
+   *
+   * Scale shape: the bucket is a map-side expression (a ≤ 16-arm CASE
+   * over doublings); one |buckets|-bounded aggregate ends the plan.
+   */
+  def paddingWasteByBucket(docs: DataFrame, tokenLen: Column,
+      minBucket: Int = 16, maxBucket: Int = 65536): DataFrame = {
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1,
+      "minBucket must be a power of two")
+    require(maxBucket >= minBucket && Integer.bitCount(maxBucket) == 1,
+      "maxBucket must be a power of two above minBucket")
+    val caps = Iterator.iterate(minBucket.toLong)(_ * 2)
+      .takeWhile(_ <= maxBucket.toLong).toSeq
+    val bucket = caps.init.foldRight(lit(caps.last): Column) { (c, acc) =>
+      when(col("__len") <= c, c).otherwise(acc)
+    }
+    docs.select(tokenLen.cast("long").as("__len"))
+      .filter(col("__len").isNotNull && col("__len") > 0L
+        && col("__len") <= maxBucket.toLong)
+      .withColumn("__b", bucket)
+      .groupBy(col("__b").as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("sum_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        (col("bucket_cap") * col("n_docs")).as("padded_tokens"),
+        expr("(bucket_cap * n_docs - sum_tokens) * 1000000" +
+          " DIV (bucket_cap * n_docs)").as("waste_ppm"))
+      .orderBy("bucket_cap")
+  }
 }

@@ -1433,4 +1433,41 @@ object Dedup {
         max(col("__mr")).as("max_shared_run_tokens"))
       .orderBy("doc_id")
   }
+
+  /**
+   * INTRA-document repeated-run census — the third member of the
+   * repeated-run family: [[crossDocSubstringRuns]] finds runs shared
+   * ACROSS documents, [[substringDecontaminate]] finds them across
+   * corpus splits, and THIS finds the k-token windows a document repeats
+   * within ITSELF — the verbatim-boilerplate / copy-paste-loop smell
+   * (navigation chrome, templated headers, degenerate generation loops)
+   * that per-line stats (x23) miss when the repeat is not line-aligned.
+   * Per source: documents scanned, documents with any internal k-token
+   * repeat, window totals, and the repeated-window mass in ppm.
+   *
+   * Scale shape: windows collapse map-side to (doc, hash) counts — the
+   * exchange is per-doc-vocabulary-bounded, never offset-level; no
+   * window function at all (the census needs multiplicities, not run
+   * merging); output |sources| rows.
+   */
+  def intraDocRepeatCensus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int): DataFrame = {
+    require(k >= 2, "run window must cover at least 2 tokens")
+    val winCounts = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        explode(graft.functions.ShingleHashes(col(textCol), k)).as("sh"))
+      .groupBy("source", "doc_id", "sh").agg(count(lit(1)).as("__c"))
+    winCounts.groupBy("source", "doc_id")
+      .agg(sum(col("__c")).as("__w"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__rw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rw") > 0, 1L).otherwise(0L)).as("docs_with_repeat"),
+        sum(col("__w")).as("total_windows"),
+        sum(col("__rw")).as("repeated_windows"))
+      .select(col("source"), col("n_docs"), col("docs_with_repeat"),
+        col("total_windows"), col("repeated_windows"),
+        expr("repeated_windows * 1000000 DIV total_windows").as("repeat_ppm"))
+      .orderBy("source")
+  }
 }

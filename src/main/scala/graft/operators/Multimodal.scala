@@ -731,4 +731,125 @@ object Multimodal {
       }
     }
   }
+
+  case class ClippingRuns(doc_id: Long, n_samples: Long, n_clipped: Long,
+                          n_runs: Long, longest_run: Long, clipped_ppm: Long)
+
+  /**
+   * Clipping census — the loudness-side twin of [[extractSilenceRuns]]:
+   * per decoded clip, the run-length structure of |amplitude| ≥
+   * `threshold` samples (near-full-scale = the clipping-distortion smell
+   * an audio QA gate screens before transcription/training). Same REAL
+   * `javax.sound.sampled` decode, same O(1)-state run fold inside one
+   * iterator-to-iterator `mapPartitions` pass; five scalars per clip
+   * leave the executor.
+   */
+  def extractClippingRuns(spark: SparkSession, media: DataFrame,
+      threshold: Int = 30000): Dataset[ClippingRuns] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val v = decodeWavSamples(r.payload)
+        var runs = 0L; var longest = 0L; var cur = 0L; var clipped = 0L
+        var t = 0
+        while (t < v.length) {
+          if (math.abs(v(t)) >= threshold) {
+            if (cur == 0) runs += 1
+            cur += 1; clipped += 1
+            if (cur > longest) longest = cur
+          } else cur = 0
+          t += 1
+        }
+        val ppm = if (v.length == 0) 0L else clipped * 1000000L / v.length
+        ClippingRuns(r.doc_id, v.length.toLong, clipped, runs, longest, ppm)
+      }
+    }
+  }
+
+  /** Planted letterbox geometry — pure functions of the doc id (the SQL
+    * oracle reproduces them arithmetically): `top = doc mod 3` uniform
+    * zero rows at the top, `bottom = doc mod 4` at the bottom; the
+    * interior keeps the standard gradient pattern, whose rows/columns
+    * are never uniform at these dimensions (adjacent samples differ by
+    * 7 resp. 13 mod 256, and w, h ≤ 16 keep them distinct). */
+  def letterboxTop(docId: Long): Int = (docId % 3).toInt
+  def letterboxBottom(docId: Long): Int = (docId % 4).toInt
+
+  /** Render the letterboxed variant of the pattern image. */
+  def renderLetterboxPng(docId: Long): Array[Byte] = {
+    val (w, h) = (imgWidth(docId), imgHeight(docId))
+    val (top, bot) = (letterboxTop(docId), letterboxBottom(docId))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (y < top || y >= h - bot) 0 else pixel(docId, 0, x, y)
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image ingest of the letterboxed pattern variant (executor-side
+    * encode, same contract as [[renderImageTable]]). */
+  def renderLetterboxTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, renderLetterboxPng(id), "png")))
+      .toDF()
+  }
+
+  case class BorderFeatures(doc_id: Long, width: Int, height: Int,
+                            top_border: Int, bottom_border: Int,
+                            left_border: Int, right_border: Int)
+
+  /**
+   * Letterbox/pillarbox border detection — per decoded image, the count
+   * of consecutive UNIFORM rows from the top and bottom and uniform
+   * columns from the left and right (a row/column is uniform when every
+   * sample in it is equal — the crop detector a vision-data pipeline
+   * runs before training, since letterbox bars are dead pixels that
+   * shift every downstream statistic). Scans are independent per edge
+   * and capped at the full dimension; REAL `javax.imageio` decode, one
+   * `mapPartitions` pass, six scalars per image leave the executor.
+   */
+  def extractBorderFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[BorderFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions {
+      _.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        def rowUniform(y: Int): Boolean = {
+          val v0 = raster.getSample(0, y, 0)
+          var x = 1
+          while (x < w && raster.getSample(x, y, 0) == v0) x += 1
+          x == w
+        }
+        def colUniform(x: Int): Boolean = {
+          val v0 = raster.getSample(x, 0, 0)
+          var y = 1
+          while (y < h && raster.getSample(x, y, 0) == v0) y += 1
+          y == h
+        }
+        var top = 0
+        while (top < h && rowUniform(top)) top += 1
+        var bot = 0
+        while (bot < h && rowUniform(h - 1 - bot)) bot += 1
+        var left = 0
+        while (left < w && colUniform(left)) left += 1
+        var right = 0
+        while (right < w && colUniform(w - 1 - right)) right += 1
+        BorderFeatures(r.doc_id, w, h, top, bot, left, right)
+      }
+    }
+  }
 }

@@ -701,4 +701,67 @@ object Sampling {
           .as("boot_hi_cents"),
         lit(nResamples).as("n_resamples"))
   }
+
+  /**
+   * HASH PERMUTATION TEST for a two-arm mean difference — the exact-style
+   * randomization inference the bootstrap CIs ([[hashBootstrapDiffCI]])
+   * approximate from the other side: re-randomize every unit's arm
+   * `nPerms` times and ask how often the permuted difference is at least
+   * as extreme as the observed one. Deterministic spelling: permutation r
+   * assigns unit u to the arm in BIT r of the unit's portable 60-bit md5
+   * hash — one hash per unit feeds all ≤ 60 permutations (the Bernoulli
+   * re-randomization form of the permutation test: arm sizes vary
+   * binomially around n/2, the standard massive-data variant since exact
+   * n/2 partitions cannot be coordinated shuffle-free). p is the
+   * add-one-smoothed (1 + #extreme) / (nPerms + 1) in ppm.
+   *
+   * Value contract: `valueCents` must be non-negative (arm SUMS stay
+   * positive so every DIV has positive operands — the x268 discipline);
+   * only the never-divided DIFFERENCES go negative.
+   *
+   * Scale shape: one corpus-sized select computes the hash, a constant
+   * `nPerms`× map-side fan-out collapses immediately to (perm, arm)
+   * partials — the shuffle carries 2·nPerms rows; the extreme count and
+   * p-value ride a 1-row frame.
+   */
+  def hashPermutationTest(df: DataFrame, idCol: String, arm: Column,
+      valueCents: Column, nPerms: Int = 60): DataFrame = {
+    require(nPerms >= 1 && nPerms <= 60, s"nPerms $nPerms outside 1..60")
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"), arm.cast("int").as("__a"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__a").isNotNull)
+    val obs = base.groupBy("__a")
+      .agg(count(lit(1)).as("__n"), sum(col("__v").cast("decimal(38,0)")).as("__s"))
+      .groupBy()
+      .agg(max(when(col("__a") === 0, col("__n"))).as("n_control"),
+        max(when(col("__a") === 1, col("__n"))).as("n_treatment"),
+        max(when(col("__a") === 0, expr("CAST(__s DIV __n AS BIGINT)"))).as("__m0"),
+        max(when(col("__a") === 1, expr("CAST(__s DIV __n AS BIGINT)"))).as("__m1"))
+      .select(col("n_control"), col("n_treatment"),
+        (col("__m1") - col("__m0")).as("obs_diff_cents"))
+    val perms = base
+      .withColumn("__h", PortableHash.hash60(col("__id")))
+      .select(col("__v"), explode(expr(s"sequence(0, ${nPerms - 1})")).as("__r"),
+        col("__h"))
+      .select(col("__r"), expr("CAST((__h >> __r) & 1 AS INT)").as("__pa"),
+        col("__v"))
+      .groupBy("__r", "__pa")
+      .agg(count(lit(1)).as("__n"), sum(col("__v").cast("decimal(38,0)")).as("__s"))
+      .groupBy("__r")
+      .agg(max(when(col("__pa") === 0, expr("CAST(__s DIV __n AS BIGINT)"))).as("__p0"),
+        max(when(col("__pa") === 1, expr("CAST(__s DIV __n AS BIGINT)"))).as("__p1"))
+      .filter(col("__p0").isNotNull && col("__p1").isNotNull)
+      .select((col("__p1") - col("__p0")).as("__d"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max(col("n_control")).as("n_control"),
+        max(col("n_treatment")).as("n_treatment"),
+        max(col("obs_diff_cents")).as("obs_diff_cents"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("__d")) >= abs(col("obs_diff_cents")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n_control"), col("n_treatment"), col("obs_diff_cents"),
+        col("n_perms"), col("n_extreme"),
+        expr("(1 + n_extreme) * 1000000 DIV (n_perms + 1)").as("p_value_ppm"))
+  }
 }

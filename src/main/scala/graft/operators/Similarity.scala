@@ -1229,6 +1229,113 @@ object Similarity {
    * (label, dim) partial sums — |labels|·dim rows — then to dim rows;
    * nothing vector-count-sized survives the first exchange.
    */
+  /** Micro-scaled NDCG discount table: disc(r) = ⌊10⁶ / log₂(r+1)⌋ for
+    * ranks 1..k — irrational logs frozen into ONE literal table at
+    * plan-build time (the PoissonThresholds discipline), interpolated
+    * verbatim into both the Spark expression and the DuckDB oracle so
+    * the graded-relevance arithmetic cannot drift between engines. */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /**
+   * RETRIEVAL RANKING-QUALITY metrics — recall@k ([[recallEval]]) is a
+   * set metric; serving quality is a RANK metric. For every query in an
+   * eval batch this scores an approximate retriever (sign-bucket ANN,
+   * the x06 index) against exact brute-force truth with the two
+   * standard ranking measures (public IR methodology): MRR (reciprocal
+   * rank of the TRUE nearest neighbour in the system list) and NDCG@k
+   * with graded relevance (truth rank r ⇒ gain k+1−r, discount
+   * 1/log₂(rank+1) via [[ndcgDiscountsMicro]]'s frozen integer table).
+   * The readout is the mean over queries of each, plus set recall for
+   * continuity with x217 — the three numbers an ANN rollout gate reads.
+   *
+   * Engine-exact: cosines round to 6 dp, relevance/discount arithmetic
+   * is all integer micro-units, per-query NDCG floors to ppm of the
+   * constant ideal DCG, and means floor-divide by the query count.
+   *
+   * Scale shape: one corpus pass scores all queries for truth and one
+   * bucket-pruned pass for the system (both broadcast the bounded query
+   * batch); per-query ranking windows partition BY QUERY; the metric
+   * join carries ≤ 2·k rows per query.
+   */
+  def rankingMetricsEval(embeddings: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val discArr = ndcgDiscountsMicro(k).mkString("array(", "L, ", "L)")
+    val idcg = ndcgDiscountsMicro(k).zipWithIndex
+      .map { case (d, i) => (k - i).toLong * d }.sum
+    val truth = batchTopK(embeddings, queries, k)
+      .select(col("qid"), col("vec_id"), col("rn").as("trank"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    val bucketed = embeddings.withColumn("bucket", signBucket(col("embedding")))
+    val qb = queries.withColumn("bucket", signBucket(col("qe")))
+    val system = bucketed.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 6).as("sim"))
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= k)
+      .select("qid", "vec_id", "srank")
+    val joined = system.join(truth, Seq("qid", "vec_id"))
+      .select(col("qid"),
+        expr(s"CAST(${k + 1} - trank AS BIGINT) * element_at($discArr, srank)")
+          .as("__gain"),
+        when(col("trank") === 1, expr("1000000 DIV srank")).otherwise(0L)
+          .as("__rr"))
+    val perQuery = queries.select(col("qid"))
+      .join(joined.groupBy("qid")
+          .agg(sum(col("__gain")).as("__dcg"), count(lit(1)).as("__hits"),
+            max(col("__rr")).as("__rrm")),
+        Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(expr(s"__dcg * 1000000 DIV ${idcg}L"), lit(0L)).as("__ndcg"),
+        coalesce(col("__hits"), lit(0L)).as("__h"),
+        coalesce(col("__rrm"), lit(0L)).as("__rr"))
+    perQuery.agg(count(lit(1)).as("n_queries"),
+        sum(col("__ndcg")).as("__sn"), sum(col("__rr")).as("__sr"),
+        sum(col("__h")).as("__sh"))
+      .select(col("n_queries"), lit(k).as("k"),
+        expr("__sr DIV n_queries").as("mean_mrr_micro"),
+        expr("__sn DIV n_queries").as("mean_ndcg_ppm"),
+        expr(s"__sh * 1000000 DIV (n_queries * $k)").as("recall_at_k_ppm"))
+  }
+
+  /**
+   * MATRYOSHKA / truncation recall sweep — the modern embedding-
+   * compression eval (public: matryoshka representation learning, where
+   * serving truncates vectors to a dim prefix): for each prefix width d,
+   * the top-k by prefix-d cosine against the full-width truth top-k,
+   * reported as recall. The third compression axis next to x91 (fewer
+   * bits) and x96 (JL fewer dims by projection) — truncation is the
+   * zero-compute variant serving actually deploys, and this table says
+   * which width is safe.
+   *
+   * Engine-exact: prefix cosine is the same ascending-index double fold
+   * over the SLICED array both engines perform, rounded once to 6 dp;
+   * ties break by vec_id. Scale shape: one corpus pass per width (the
+   * widths list is a constant), each a broadcast-query TakeOrdered —
+   * never a pairwise join.
+   */
+  def matryoshkaRecall(embeddings: DataFrame, query: DataFrame, k: Int = 10,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(k >= 1 && dims.nonEmpty, "need k >= 1 and at least one width")
+    def topK(d: Option[Int]): DataFrame = {
+      val (e, q) = d.map(w => (slice(col("embedding"), 1, w),
+        slice(col("qe"), 1, w))).getOrElse((col("embedding"), col("qe")))
+      embeddings.crossJoin(broadcast(query))
+        .select(col("vec_id"), round(cosine(e, q), 6).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(k).select("vec_id")
+    }
+    val truth = topK(None)
+    dims.map { d =>
+      topK(Some(d)).join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dims"), col("n_hits"),
+          expr(s"n_hits * 1000000 DIV $k").as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("dims")
+  }
+
   def dimensionDriftAudit(embeddings: DataFrame, labelCol: String): DataFrame = {
     val comps = embeddings
       .filter(col(labelCol).isNotNull && col("embedding").isNotNull)

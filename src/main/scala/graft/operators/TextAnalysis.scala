@@ -1017,6 +1017,54 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /**
+   * COUNT-MIN sketch audit (Cormode & Muthukrishnan '05, public
+   * technique) — the mergeable frequency sketch the Misra-Gries pass
+   * ([[heavyHitters]]) complements: where MG certifies membership of
+   * heavy terms, CM answers point queries for ANY term with a one-sided
+   * error (estimate ≥ truth, always). The d×w counter matrix is exactly
+   * a groupBy: row j of the sketch counts token occurrences by
+   * `hash_j(term) mod w`, so the whole build is one explode + one
+   * d-way posexplode + one (j, cell) aggregate — the matrix is d·w rows
+   * regardless of corpus size, elementwise-addable across shards (the
+   * mergeability that makes it the 100 TB distributed-counting sketch).
+   * The audit queries the top-`k` EXACT terms back through the sketch
+   * and reports estimate vs truth: the overestimate column is the
+   * collision mass, non-negative by construction — a violated sign
+   * would falsify the implementation, which is what the oracle checks.
+   *
+   * Determinism: hash_j(term) is the portable 60-bit md5 of "j|term"
+   * ([[PortableHash]] construction), so the oracle rebuilds the matrix
+   * verbatim. Scale shape: tokens never shuffle raw — the sketch
+   * aggregate carries d·w cells, the exact-side top-k is a
+   * vocabulary-collapsed TakeOrdered, and the probe joins broadcast
+   * k·d rows against the d·w matrix.
+   */
+  def countMinAudit(docs: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 256, k: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth $depth out of range")
+    require(width >= 2, s"width $width too small")
+    val tokens = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+    def cells(termCol: Column): Column = posexplode(array(
+      (0 until depth).map { j =>
+        pmod(PortableHash.hash60(concat(lit(s"$j|"), termCol)), lit(width.toLong))
+      }: _*))
+    // the sketch matrix: d·w rows, mergeable by cell-wise addition
+    val matrix = tokens.select(cells(col("term")).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cm"))
+    val exact = tokens.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), col("term")).limit(k)
+    val probes = exact.select(col("term"), col("exact_count"),
+      cells(col("term")).as(Seq("j", "cell")))
+    probes.join(matrix, Seq("j", "cell"))
+      .groupBy("term", "exact_count")
+      .agg(min(col("cm")).as("cm_estimate"))
+      .select(col("term"), col("exact_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+      .orderBy(desc("exact_count"), col("term"))
+  }
+
   /** Per-language corpus statistics in one pass. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")
@@ -1025,4 +1073,139 @@ object TextAnalysis {
         sum(tokenCount(col("text"))).as("total_tokens"),
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         countDistinct(col("source")).as("n_sources"))
+
+  /**
+   * AMS / TUG-OF-WAR F2 sketch audit (Alon, Matias & Szegedy '96, public
+   * technique) — the second-frequency-moment sketch that completes the
+   * mergeable-sketch shelf (HLL=F0, CM/MG=point queries, THIS=F2, the
+   * self-join size / skew functional): estimator row j sums a ±1 sign per
+   * token occurrence (sign = bit j of the term's portable 60-bit md5
+   * hash), and E[S_j²] = F2 exactly. The audit squares each of `depth`
+   * independent rows, takes their lower MEDIAN (the AMS median trick —
+   * robust where the mean is hijacked by one bad row), and reports it
+   * against the exact F2 = Σ c_t² with the relative error in ppm — the
+   * measured-not-assumed discipline every sketch in this inventory obeys.
+   *
+   * Scale shape: the sketch is `depth` counters — each row's S_j is one
+   * map-side partial-agged sum (the token explode collapses to `depth`
+   * rows before the exchange, and shards merge by plain addition, which
+   * is what makes it THE distributed F2 sketch); the exact side is the
+   * vocabulary-collapsed Σc², computed once for the audit and absent at
+   * production scale.
+   */
+  def amsF2Audit(docs: DataFrame, textCol: String, depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 60, s"depth $depth outside 1..60")
+    val tokens = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .withColumn("__h", PortableHash.hash60(col("term")))
+    val rows = tokens
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("__j"), col("__h"))
+      .select(col("__j"),
+        expr("CAST(CASE WHEN (__h >> __j) & 1 = 1 THEN 1 ELSE -1 END AS BIGINT)")
+          .as("__s"))
+      .groupBy("__j").agg(sum(col("__s")).as("__sj"))
+      .select((col("__sj") * col("__sj")).as("__est"))
+    val med = rows.agg(sort_array(collect_list(col("__est"))).as("__es"),
+        count(lit(1)).as("__d"))
+      .select(expr("element_at(__es, CAST((__d + 1) DIV 2 AS INT))").as("ams_f2"))
+    val exact = tokens.groupBy("term").agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__c")).as("exact_f2"))
+    exact.crossJoin(broadcast(med))
+      .select(col("n_tokens"), col("n_terms"), col("exact_f2"), col("ams_f2"),
+        expr("""CAST(CASE WHEN ams_f2 >= exact_f2
+             THEN (ams_f2 - exact_f2) * 1000000 DIV exact_f2
+             ELSE (exact_f2 - ams_f2) * 1000000 DIV exact_f2
+             END AS BIGINT)""").as("abs_rel_error_ppm"))
+  }
+
+  /**
+   * UNSEEN-MASS / SPECIES-RICHNESS estimate — the two classical
+   * frequency-of-frequencies estimators every corpus-growth decision
+   * reads (public statistics): Good–Turing's missing mass P(unseen) ≈
+   * N₁/N (Good '53) and Chao1's vocabulary-size floor D + N₁²/(2N₂)
+   * (Chao '84; the N₂=0 degenerate case uses the standard
+   * N₁(N₁−1)/2 correction). Per source: "how much of the next shard's
+   * token stream will be words this source has never shown us, and how
+   * big is its true vocabulary" — the quantified version of x255's
+   * novelty curve, one number per source instead of a trajectory.
+   *
+   * Scale shape: one (source, term) aggregate (vocabulary-bounded
+   * exchange), one frequency-of-frequencies collapse (≤ |counts| rows),
+   * then per-source arithmetic on a |sources| frame.
+   */
+  def unseenMassEstimate(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val counts = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("__c"))
+    counts.groupBy("source")
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"), col("n_doubletons"),
+        expr("n_hapax * 1000000 DIV n_tokens").as("unseen_mass_ppm"),
+        expr("""n_distinct + CASE WHEN n_doubletons > 0
+             THEN n_hapax * n_hapax DIV (2 * n_doubletons)
+             ELSE n_hapax * (n_hapax - 1) DIV 2 END""").as("chao1_vocab_est"))
+      .orderBy("source")
+  }
+
+  /**
+   * QUALITY RULE-GATE census — the per-rule diagnosis table behind a
+   * composite gate like [[qualityScore]] (which collapses everything to
+   * one number): for each source, how many docs FAIL each of five
+   * deterministic surface rules (the public Gopher/C4-style repertoire,
+   * instantiated with integer thresholds): token count in [`minTokens`,
+   * `maxTokens`]; mean word length in [3000, 6000] milli-chars;
+   * top-word share ≤ 200 milli (the repetition smell); distinct-token
+   * ratio ≥ 300 milli; ≥ 2 distinct stopwords present. A source whose
+   * failures concentrate in ONE rule has a systematic defect; a composite
+   * score can't say which.
+   *
+   * Scale shape: rules 1-2-5 are map-side expressions; rules 3-4 ride one
+   * (doc, term) aggregate (the x240 vocabulary-collapse shape) joined
+   * back by doc id; output is |sources| rows.
+   */
+  def ruleGateCensus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minTokens: Int = 30, maxTokens: Int = 80): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sourceCol).as("source"),
+        col(textCol).as("__t"))
+      .withColumn("__nTok", tokenCount(col("__t")).cast("long"))
+      .withColumn("__nChr", length(col("__t")).cast("long"))
+    val perTerm = base
+      .select(col("__id"), explode(split(col("__t"), " ")).as("__w"))
+      .groupBy("__id", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("__id")
+      .agg(max(col("__c")).as("__topC"), count(lit(1)).as("__distinct"),
+        sum(when(col("__w").isin("the", "a", "and", "of"), 1L).otherwise(0L))
+          .as("__stops"))
+    base.join(perTerm, "__id")
+      .withColumn("__f1", (col("__nTok") < minTokens ||
+        col("__nTok") > maxTokens).cast("long"))
+      // mean word length: chars minus the nTok-1 separators, in milli
+      .withColumn("__mwl",
+        expr("(__nChr - __nTok + 1) * 1000 DIV __nTok"))
+      .withColumn("__f2", (col("__mwl") < 3000L || col("__mwl") > 6000L).cast("long"))
+      .withColumn("__f3", (expr("__topC * 1000 DIV __nTok") > 200L).cast("long"))
+      .withColumn("__f4", (expr("__distinct * 1000 DIV __nTok") < 300L).cast("long"))
+      .withColumn("__f5", (col("__stops") < 2L).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__f1")).as("fail_token_count"),
+        sum(col("__f2")).as("fail_word_length"),
+        sum(col("__f3")).as("fail_top_word_share"),
+        sum(col("__f4")).as("fail_distinct_ratio"),
+        sum(col("__f5")).as("fail_stopwords"),
+        sum(when(col("__f1") + col("__f2") + col("__f3") + col("__f4")
+          + col("__f5") === 0L, 1L).otherwise(0L)).as("pass_all"))
+      .select(col("source"), col("n_docs"), col("fail_token_count"),
+        col("fail_word_length"), col("fail_top_word_share"),
+        col("fail_distinct_ratio"), col("fail_stopwords"), col("pass_all"),
+        expr("pass_all * 1000000 DIV n_docs").as("pass_ppm"))
+      .orderBy("source")
+  }
 }

@@ -523,6 +523,58 @@ object EventStream {
   }
 
   /**
+   * STREAM-STREAM LEFT SEMI interval join — the existence form of the
+   * x34/x258/x541 family: emit each purchase ONCE as soon as any error
+   * lands in its following hour, and never emit the payload of the
+   * matching side. Semi is the cheapest stream-stream shape (no right
+   * rows buffered past the match, no NULL eviction machinery) and the
+   * one a filter-by-correlated-stream pipeline actually wants; it also
+   * exercises the semi-specific state branch none of the other three
+   * joins touch.
+   *
+   * Determinism contract: a left row emits iff a match EXISTS in the
+   * batch interval join — matched-set equality is watermark-independent
+   * (the x34 argument: ts-ordered replay slices keep the purchase in
+   * state until its window provably closes), so the oracle is a plain
+   * EXISTS.
+   *
+   * Scale: both sides watermarked ⇒ bounded state, keyed on user.
+   */
+  def streamStreamSemiPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val (watch, schema) = sliceReplayDir(spark, sfDir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .transform(graft.sources.Tables.normalizeEventTs)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
+        col("ts").as("pur_ts"), col("value"))
+      .withWatermark("pur_ts", "0 seconds")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "0 seconds")
+
+    val joined = purchases.join(errors,
+      col("p_user") === col("user_id") &&
+        col("err_ts") >= col("pur_ts") &&
+        col("err_ts") <= col("pur_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+
+    val qname = "graft_sssemi_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+
+    spark.table(qname)
+      .select(col("pur_id"), col("p_user").as("user_id"), col("value"))
+      .orderBy("pur_id")
+  }
+
+  /**
    * STREAM-STREAM FULL OUTER interval join — [[streamStreamLeftOuterPurchases]]
    * with BOTH unmatched sides emitted from state eviction: purchases that
    * provably triggered no error in their following hour (NULL err_id) and

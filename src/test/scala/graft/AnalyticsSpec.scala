@@ -1509,4 +1509,154 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(m == (1 to 10).map(i => (i, 11 - i) -> 1L).toMap)
     assert(rows.forall(_.getLong(3) == 1000000L), "single-cell rows own their from-share")
   }
+
+  test("isotonicRateFit: pools the adjacent violator, leaves the monotone tail") {
+    // raw rates 750000, 250000, 500000, 1000000 -> PAV pools bands 1-2
+    // to (3+1)/(4+4) = 500000; band 3 already level; band 4 stands alone.
+    val bands = Seq((1L, 3L, 4L), (2L, 1L, 4L), (3L, 2L, 4L), (4L, 4L, 4L))
+      .toDF("band", "succ", "trials")
+    val r = Analytics.isotonicRateFit(bands, "band", "succ", "trials")
+      .collect().map(x => (x.getLong(0), x.getLong(4)))
+    assert(r.toSeq == Seq((1L, 500000L), (2L, 500000L), (3L, 500000L),
+      (4L, 1000000L)))
+    val fits = r.map(_._2)
+    assert(fits.sliding(2).forall(p => p.head <= p.last), "fit must be non-decreasing")
+  }
+
+  test("mannKendallTrend: tie-corrected S and variance match the hand computation") {
+    // values 1,2,2,3,4: S = 9; tie group of 2 -> tieSum = 18;
+    // var18 = 5*4*15 - 18 = 282; (9-1)^2*180000 = 11_520_000 > 38416*282
+    val df = (Seq(("k", 1, 1L), ("k", 2, 2L), ("k", 3, 2L), ("k", 4, 3L),
+      ("k", 5, 4L)) ++ Seq(("f", 1, 7L), ("f", 2, 7L), ("f", 3, 7L)))
+      .toDF("key", "t", "v")
+    val rows = Analytics.mannKendallTrend(df, "key", "t", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(rows("k") == ((5L, 9L, 282L, "increasing")))
+    // constant series: S = 0, all values tied -> verdict "none"
+    assert(rows("f")._2 == 0L && rows("f")._4 == "none")
+  }
+
+  test("theilSenSlope: pair-slope median resists the outlier OLS chases") {
+    val d0 = java.sql.Date.valueOf("1992-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    val df = Seq((day(0), 0L), (day(1), 10L), (day(2), 20L), (day(3), 1000L))
+      .toDF("d", "y")
+    val r = Analytics.theilSenSlope(df, "d", "y").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 10000000L, "median slope ignores the outlier")
+    assert(r.getLong(3) == 301000000L, "OLS slope is dragged by it")
+  }
+
+  test("theilSenSlope: negative slope floors toward -inf like the oracle's //") {
+    val d0 = java.sql.Date.valueOf("1992-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    // one pair: dy = -1000e6 over dt = 3 -> floor = -333333334 (not -333333333)
+    val df = Seq((day(0), 1000L), (day(3), 0L)).toDF("d", "y")
+    val r = Analytics.theilSenSlope(df, "d", "y").collect().head
+    assert(r.getLong(2) == -333333334L)
+  }
+
+  test("rollingMedianByDay: calendar window, not row window — gaps shrink it") {
+    def day(i: Int) = java.sql.Date.valueOf(s"2024-01-0$i")
+    // days 1,2,3,6: day 6's trailing 3-day window covers days 4-6 -> itself only
+    val df = Seq((day(1), 10L), (day(2), 50L), (day(3), 20L), (day(6), 40L))
+      .toDF("d", "v")
+    val r = Analytics.rollingMedianByDay(df, "d", "v", windowDays = 3)
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 1L, 10L), ("2024-01-02", 2L, 10L),
+      ("2024-01-03", 3L, 20L), ("2024-01-06", 1L, 40L)))
+  }
+
+  test("kaplanMeier: ppm-floored product over the lag-ordered life table") {
+    val lt = Seq((0L, 4L, 1L), (1L, 3L, 1L), (2L, 2L, 0L))
+      .toDF("lag_days", "n_at_risk", "n_converted")
+    val r = Analytics.kaplanMeier(lt, "lag_days", "n_at_risk", "n_converted")
+      .collect().map(x => (x.getLong(0), x.getLong(3)))
+    // S(0)=1e6*3/4=750000; S(1)=750000*2/3=500000; S(2) unchanged (d=0)
+    assert(r.toSeq == Seq((0L, 750000L), (1L, 500000L), (2L, 500000L)))
+  }
+
+  test("spearmanRho: +-1e6 at the monotone extremes; ties use doubled avg ranks") {
+    val a = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("k", "v")
+    val up = Seq(("x", 10L), ("y", 20L), ("z", 30L)).toDF("k", "v")
+    val dn = Seq(("x", 30L), ("y", 20L), ("z", 10L)).toDF("k", "v")
+    assert(Analytics.spearmanRho(a, up, "k", "v").collect().head.getLong(1)
+      == 1000000L)
+    assert(Analytics.spearmanRho(a, dn, "k", "v").collect().head.getLong(1)
+      == -1000000L)
+    // tie in a: ranks2 a = [3,3,6], b = [2,4,6] -> cov 18, vp 432,
+    // isqrt 20 -> 900000
+    val tied = Seq(("x", 1L), ("y", 1L), ("z", 2L)).toDF("k", "v")
+    val r = Analytics.spearmanRho(tied, up, "k", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 900000L)
+  }
+
+  test("markovStationary: 4 floor-per-round power iterations, hand-traced") {
+    // a -> b always; b -> a / b -> b half each
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "b"),
+      (2L, ts("2024-01-02 10:00:00"), 4L, "b"),
+      (2L, ts("2024-01-02 11:00:00"), 5L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Analytics.markovStationary(events, "user_id", "ts", "event_id",
+      "event_type", rounds = 4).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // v0=(5e5,5e5); r1=(25e4,75e4); r2=(375e3,625e3); r3=(3125e2,6875e2);
+    // r4=(343750,656250)
+    assert(r == Map("a" -> 343750L, "b" -> 656250L))
+  }
+
+  test("markovRemovalAttribution: hand-traced absorption and removal effects") {
+    // u1: click->CONV; u2: view->NULL; u3: click->view->CONV; u4: view->NULL
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "purchase"),
+      (2L, ts("2024-01-02 10:00:00"), 3L, "view"),
+      (3L, ts("2024-01-03 10:00:00"), 4L, "click"),
+      (3L, ts("2024-01-03 11:00:00"), 5L, "view"),
+      (3L, ts("2024-01-03 12:00:00"), 6L, "purchase"),
+      (4L, ts("2024-01-04 10:00:00"), 7L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Analytics.markovRemovalAttribution(events, "user_id", "ts",
+      "event_id", "event_type", "purchase", rounds = 6).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // base absorption from START converges to 499999 ppm (floors);
+    // removing click leaves only START->view (166666), removing view
+    // leaves START->click->CONV (250000)
+    val (reClick, reView) = (499999L - 166666L, 499999L - 250000L)
+    val tot = reClick + reView
+    assert(r("click") == ((499999L, reClick, reClick * 1000000L / tot)))
+    assert(r("view") == ((499999L, reView, reView * 1000000L / tot)))
+  }
+
+  test("cohensKappa: hand 2x2 table and the exact negative-branch floor") {
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("truth", "pred")
+    val r = Analytics.cohensKappa(df, col("truth"), col("pred")).collect().head
+    // n=4, agree=3, pe_num = r(a)k(a)+r(b)k(b) = 3*2+1*2 = 8
+    // kappa = (12-8)e6/(16-8) = 500000
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)))
+    assert(r.getLong(2) == 750000L && r.getLong(3) == 500000L)
+    assert(r.getLong(4) == 500000L)
+    val neg = Analytics.cohensKappa(
+      Seq(("a", "b"), ("b", "a")).toDF("t", "p"), col("t"), col("p"))
+      .collect().head
+    assert(neg.getLong(4) == -1000000L, "perfect disagreement is kappa -1")
+  }
+
+  test("cupedAdjustment: y = x removes all variance and the adjusted diff is 0") {
+    val df = Seq((0, 1L, 1L), (0, 3L, 3L), (1, 2L, 2L), (1, 4L, 4L))
+      .toDF("arm", "x", "y")
+    val r = Analytics.cupedAdjustment(df, col("arm"), col("x"), col("y"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 1000000L, "theta = cov/var = 1")
+    assert(r.getLong(3) == 0L, "adjusted difference vanishes when y = x")
+    assert(r.getLong(4) == 1000000L, "covariate removes 100% of the variance")
+  }
 }

@@ -329,4 +329,39 @@ class CurationSpec extends AnyFunSuite {
     assert(r == Map("A" -> 12L, "(suppressed)" -> 7L))
     assert(r.values.sum == 19L) // conservation: nothing deleted
   }
+
+  test("temperatureMixtureWeights: exact isqrt at the perfect-square boundary") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    // counts 15/16/17 straddle the square 16: isqrt = 3/4/4 — an off-by-one
+    // in the IEEE-sqrt correction would flip one of the edge groups
+    val df = Seq(("a", 16L), ("b", 15L), ("c", 17L)).toDF("grp", "w")
+    val out = graft.operators.Curation
+      .temperatureMixtureWeights(df, "grp", col("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // totals: 48 tokens, 11 sqrt units
+    assert(out("a") == ((16L, 333333L, 4000000L / 11, 4000000L / 11 * 1000 / 333333)))
+    assert(out("b") == ((15L, 312500L, 3000000L / 11, 3000000L / 11 * 1000 / 312500)))
+    assert(out("c") == ((17L, 354166L, 4000000L / 11, 4000000L / 11 * 1000 / 354166)))
+    // the isqrt step function is visible at this granularity: b (15 tokens,
+    // isqrt 3) lands below the 16/17 groups' shared sqrt unit of 4
+    assert(out("b")._4 < 1000L && out("a")._4 > 1000L)
+  }
+
+  test("paddingWasteByBucket: doubling boundaries are inclusive; out-of-range drops") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    // 16 stays in the 16-bucket (inclusive), 17 spills to 32; 0 and 200 drop
+    val df = Seq(10L, 16L, 17L, 33L, 100L, 0L, 200L).toDF("len")
+    val out = graft.operators.Curation
+      .paddingWasteByBucket(df, col("len"), minBucket = 16, maxBucket = 128)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      16L -> ((2L, 26L, 32L, 187500L)),
+      32L -> ((1L, 17L, 32L, 468750L)),
+      64L -> ((1L, 33L, 64L, 484375L)),
+      128L -> ((1L, 100L, 128L, 218750L))))
+  }
 }

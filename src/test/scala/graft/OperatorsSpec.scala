@@ -212,6 +212,20 @@ class DedupSpec extends AnyFunSuite {
       ("old gear", "red gear", 2, 1L)))
     // "blue widget" is alone in its block → never compared
   }
+
+  test("intraDocRepeatCensus: repeated 3-token window counted, clean doc not") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // d1: windows [abc, bca, cab, abc, bcd] -> "a b c" twice -> rw = 2 of 5
+    val df = Seq((1L, "a b c a b c d", "s"), (2L, "x y z w", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.intraDocRepeatCensus(df, "doc_id", "text", "source", k = 3)
+      .collect().head
+    assert(r.getString(0) == "s")
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 1L)))
+    assert((r.getLong(3), r.getLong(4)) == ((7L, 2L)))
+    assert(r.getLong(5) == 2L * 1000000L / 7L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -582,6 +596,56 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.getInt(0)).toSet
     assert(labels == Set(1))
   }
+
+  test("matryoshkaRecall: a sign flip past the prefix misleads the truncated rank") {
+    // b agrees with q on dims 1-2 but opposes on dim 3: prefix-2 cosine 1.0,
+    // full cosine 0 — it steals a top-2 slot from c at width 2
+    val emb = Seq(
+      (1L, Array(1f, 0f, 1f, 0f)),
+      (2L, Array(1f, 0f, -1f, 0f)),
+      (3L, Array(0.5f, 0f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1f, 0f, 1f, 0f))).toDF("qe")
+    val r = Similarity.matryoshkaRecall(emb, q, k = 2, dims = Seq(2, 4))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((2, 1L, 500000L), (4, 2L, 1000000L)))
+  }
+
+  test("rankingMetricsEval: perfect retrieval scores 1e6 on all three metrics") {
+    // all vectors share the sign bucket (positive first 8 dims), so the
+    // system list equals brute-force truth rank-for-rank
+    val emb = (0L to 5L).map { i =>
+      (i, Array.tabulate(8)(d => 1f + 0.1f * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val r = Similarity.rankingMetricsEval(emb, q, k = 5).collect().head
+    assert(r.getLong(0) == 1L && r.getInt(1) == 5)
+    assert(r.getLong(2) == 1000000L, "MRR: true NN at system rank 1")
+    assert(r.getLong(3) == 1000000L, "NDCG: system ranks == truth ranks")
+    assert(r.getLong(4) == 1000000L, "recall: all 5 truth items retrieved")
+  }
+
+  test("rankingMetricsEval: a bucket miss costs recall and NDCG but not MRR") {
+    // b is the 2nd-nearest by cosine but sits in another sign bucket
+    // (negative first dim), so the system never sees it
+    val emb = Seq(
+      (0L, Array.fill(8)(1f)),                         // the query itself
+      (1L, Array.fill(8)(1f)),                         // cos 1.0, same bucket
+      (2L, Array(-0.1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),  // cos .92, other bucket
+      (3L, Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f))      // cos .70, same bucket
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val r = Similarity.rankingMetricsEval(emb, q, k = 2).collect().head
+    val disc = Similarity.ndcgDiscountsMicro(2)
+    val idcg = 2L * disc.head + 1L * disc(1)
+    // system = [1 (srank 1), 3 (srank 2)]; truth = [1 (trank 1), 2 (trank 2)]
+    // only vec 1 joins: gain = 2*disc(1), rr = 1e6
+    assert(r.getLong(2) == 1000000L)
+    assert(r.getLong(3) == 2L * disc.head * 1000000L / idcg)
+    assert(r.getLong(4) == 500000L, "1 of 2 truth items retrieved")
+  }
 }
 
 
@@ -859,6 +923,87 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r("en") == ((2L, 3L, 2000L, 3L, 500000L)))
     assert(r("es") == ((1L, 1L, 2000L, 2L, 1000000L)))
   }
+
+  test("countMinAudit: estimate is one-sided (>= exact) and exact counts are right") {
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "alpha beta beta delta"),
+      (2L, "alpha epsilon")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.countMinAudit(docs, "text", depth = 4, width = 64,
+      k = 5).collect()
+    val byTerm = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byTerm("alpha")._1 == 4L && byTerm("beta")._1 == 3L)
+    assert(rows.forall(r => r.getLong(3) >= 0L),
+      "CM estimates are never below the exact count")
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) + r.getLong(3)))
+    // ranked by exact count desc, then term
+    assert(rows.map(_.getString(0)).take(2).toSeq == Seq("alpha", "beta"))
+  }
+
+  test("countMinAudit: a single-term corpus has zero collision mass by construction") {
+    val docs = Seq((0L, "solo solo solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.countMinAudit(docs, "text", depth = 2, width = 8,
+      k = 1).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 0L)))
+  }
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("amsF2Audit: single-term corpus is exact; multi-term matches the sign replay") {
+    val solo = TextAnalysis.amsF2Audit(
+      Seq((0L, "x x x")).toDF("doc_id", "text"), "text", depth = 4)
+      .collect().head
+    // every row sums to ±3 -> sj² = 9 = exact F2
+    assert((solo.getLong(2), solo.getLong(3), solo.getLong(4)) == ((9L, 9L, 0L)))
+    val docs = Seq((0L, "a b c a"), (1L, "b b d")).toDF("doc_id", "text")
+    val r = TextAnalysis.amsF2Audit(docs, "text", depth = 4).collect().head
+    val terms = Seq("a", "b", "c", "a", "b", "b", "d")
+    val ests = (0 until 4).map { j =>
+      val sj = terms.map(t => if (((h60(t) >> j) & 1L) == 1L) 1L else -1L).sum
+      sj * sj
+    }.sorted
+    val counts = terms.groupBy(identity).map(_._2.size.toLong)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == counts.map(c => c * c).sum)
+    assert(r.getLong(3) == ests((4 + 1) / 2 - 1), "lower median of the 4 rows")
+  }
+
+  test("unseenMassEstimate: Good-Turing and Chao1 with and without doubletons") {
+    val docs = Seq(
+      (0L, "a a b c", "s1"),   // N=4 D=3 N1=2 N2=1 -> GT 500000, chao1 3+4/2=5
+      (1L, "a b", "s2")        // N=2 D=2 N1=2 N2=0 -> chao1 2 + 2*1/2 = 3
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.unseenMassEstimate(docs, "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5), x.getLong(6)))).toMap
+    assert(r("s1") == ((4L, 3L, 2L, 1L, 500000L, 5L)))
+    assert(r("s2") == ((2L, 2L, 2L, 0L, 1000000L, 3L)))
+  }
+
+  test("ruleGateCensus: each rule fires alone where planted, pass-all is exact") {
+    val docs = Seq(
+      // all five rules pass: 5 distinct tokens, mwl 3800, top share 200,
+      // stopwords {the, a}
+      (0L, "maple acorn birch the a", "s1"),
+      // only the stopword floor fails (one stopword)
+      (1L, "maple acorn birch cedar the", "s2"),
+      // word length (2333), top-word share (666) fail; distinct 333 passes
+      (2L, "the the the the a a", "s3")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.ruleGateCensus(docs, "doc_id", "text", "source",
+      minTokens = 3, maxTokens = 10)
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    assert(r("s1") == Seq(1L, 0L, 0L, 0L, 0L, 0L, 1L, 1000000L))
+    assert(r("s2") == Seq(1L, 0L, 0L, 0L, 0L, 1L, 0L, 0L))
+    assert(r("s3") == Seq(1L, 0L, 1L, 1L, 0L, 0L, 0L, 0L))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -986,6 +1131,42 @@ class MultimodalSpec extends AnyFunSuite {
     for (id <- 0L until 250L by 50L)
       assert(got.exists(p => p._1 == id && p._2 == id + 1000000000L),
         s"planted pair for doc $id missing")
+  }
+
+  test("extractClippingRuns: run fold matches the hand-computed loud structure") {
+    val media = Multimodal.renderAudioTable(spark,
+      Seq((11L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.extractClippingRuns(spark, media).collect().head
+    val n = Multimodal.audioSamples(11L)
+    val loud = (0 until n).map(t => math.abs(Multimodal.sampleVal(11L, t)) >= 30000)
+    val runs = loud.foldLeft(List.empty[Int]) {
+      case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+      case (acc, true) => 1 :: acc
+      case (acc, false) => 0 :: acc
+    }.filter(_ > 0)
+    assert(f.n_samples == n.toLong)
+    assert(f.n_clipped == loud.count(identity).toLong)
+    assert(f.n_runs == runs.length.toLong)
+    assert(f.longest_run == (if (runs.isEmpty) 0L else runs.max.toLong))
+    assert(f.clipped_ppm == loud.count(identity).toLong * 1000000L / n)
+  }
+
+  test("extractBorderFeatures: detected bars equal the planted letterbox geometry") {
+    val docs = Seq(1L, 5L, 7L).map(id => (id, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.renderLetterboxTable(spark, docs)
+    val got = Multimodal.extractBorderFeatures(spark, media).collect()
+      .map(b => b.doc_id -> b).toMap
+    for (id <- Seq(1L, 5L, 7L)) {
+      val b = got(id)
+      assert(b.width == Multimodal.imgWidth(id) && b.height == Multimodal.imgHeight(id))
+      assert(b.top_border == Multimodal.letterboxTop(id),
+        s"doc $id top: ${b.top_border}")
+      assert(b.bottom_border == Multimodal.letterboxBottom(id),
+        s"doc $id bottom: ${b.bottom_border}")
+      // the interior gradient (7x step) keeps columns non-uniform
+      assert(b.left_border == 0 && b.right_border == 0)
+    }
   }
 
 }

@@ -1001,4 +1001,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 2L, 5L)))  // b(2), c(3)
     assert(r(2) == ((4L, 1L, 4L)))  // d
   }
+
+  test("bloomFprAudit: false positives equal an independent Scala bloom replay") {
+    val members = (0L until 40L).toDF("k")
+    val probes = (1000L until 1200L).toDF("k") // disjoint from members
+    val numBits = 512
+    val numHashes = 3
+    val r = BloomJoin.bloomFprAudit(members, col("k"), probes, col("k"),
+      numBits, numHashes).collect().head
+    // replay the identical portable construction host-side
+    def pos(j: Int, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j|$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % numBits
+    }
+    val bits = (for (k <- 0L until 40L; j <- 0 until numHashes) yield pos(j, k)).toSet
+    val fps = (1000L until 1200L).count(k =>
+      (0 until numHashes).forall(j => bits.contains(pos(j, k))))
+    assert(r.getAs[Long]("n_members") == 40L)
+    assert(r.getAs[Long]("n_bits_set") == bits.size.toLong)
+    assert(r.getAs[Long]("n_probes") == 200L)
+    assert(r.getAs[Long]("n_false_positives") == fps.toLong)
+    assert(r.getAs[Long]("fill_ppm") == bits.size.toLong * 1000000L / numBits)
+    assert(r.getAs[Long]("fpr_ppm") == fps.toLong * 1000000L / 200L)
+  }
+
+  test("bloomFprAudit: a member probed back always passes all k hashes") {
+    val members = (0L until 25L).toDF("k")
+    val r = BloomJoin.bloomFprAudit(members, col("k"), members, col("k"),
+      numBits = 4096, numHashes = 3).collect().head
+    // probing the member set itself: every probe's bits are set (the bloom
+    // no-false-negative guarantee), so the "false positive" count is total
+    assert(r.getAs[Long]("n_false_positives") == 25L)
+    assert(r.getAs[Long]("fpr_ppm") == 1000000L)
+  }
+
+  test("hashPermutationTest: every field matches an independent bit replay") {
+    val df = (1L to 12L).map(i => (i, (i % 2).toInt, i * 100L))
+      .toDF("id", "arm", "v")
+    val r = Sampling.hashPermutationTest(df, "id", col("arm"), col("v"),
+      nPerms = 8).collect().head
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val units = (1L to 12L).map(i => (i, (i % 2).toInt, i * 100L))
+    val obs = {
+      val g = units.groupBy(_._2)
+      g(1).map(_._3).sum / g(1).size - g(0).map(_._3).sum / g(0).size
+    }
+    val diffs = (0 until 8).flatMap { rI =>
+      val g = units.groupBy(u => (h60(u._1.toString) >> rI) & 1L)
+      for (a <- g.get(0L); b <- g.get(1L))
+        yield b.map(_._3).sum / b.size - a.map(_._3).sum / a.size
+    }
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 6L)))
+    assert(r.getLong(2) == obs)
+    assert(r.getLong(3) == diffs.length.toLong)
+    assert(r.getLong(4) == diffs.count(d => math.abs(d) >= math.abs(obs)).toLong)
+    assert(r.getLong(5) ==
+      (1L + diffs.count(d => math.abs(d) >= math.abs(obs))) * 1000000L /
+        (diffs.length + 1L))
+  }
 }

@@ -86,6 +86,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(nulls.intersect(matched.map(_._1)).isEmpty)
   }
 
+  test("semi stream-stream join: emitted set equals the distinct-left of the inner join") {
+    val semi = streaming.EventStream.streamStreamSemiPurchases(spark, sf)
+      .collect().map(_.getLong(0))
+    // exactly once per matched purchase, no duplicates
+    assert(semi.toSet.size == semi.length, "semi must emit each purchase once")
+    val innerLeft = streaming.EventStream.streamStreamErrorPurchases(spark, sf)
+      .collect().map(_.getLong(1)).toSet
+    assert(semi.toSet == innerLeft,
+      "semi set must equal the inner join's distinct purchase side")
+  }
+
   test("checkpoint restart: the resumed query lands each event exactly once") {
     val out = streaming.EventStream.checkpointRestartLakeSink(spark, sf).collect()
     assert(out.nonEmpty)
