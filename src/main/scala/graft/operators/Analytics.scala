@@ -4062,6 +4062,156 @@ object Analytics {
   }
 
   /**
+   * COCHRAN–MANTEL–HAENSZEL stratified risk ratio — the
+   * confounding-proof comparison (public epidemiology methodology) the
+   * crude rate ratio silently gets wrong when exposure and outcome both
+   * correlate with a stratum (Simpson's paradox): RR_MH =
+   * Σᵢ aᵢ·n0ᵢ/nᵢ over Σᵢ bᵢ·n1ᵢ/nᵢ. Per-stratum terms floor ONCE to
+   * micro units through DECIMAL(38,0) staging (the three-count-product
+   * overflow rule), and the crude ratio is reported next to it so the
+   * confounding gap is a measured number. Strata missing either
+   * exposure arm are excluded (standard — they carry no comparison).
+   *
+   * Scale shape: one corpus exchange on the stratum key; everything
+   * after is |strata|-bounded arithmetic on one row.
+   */
+  def cmhStratifiedRatio(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val base = df.select(stratum.as("__st"), exposed.cast("int").as("__e"),
+        outcome.cast("int").as("__y"))
+      .filter(col("__st").isNotNull && col("__e").isNotNull
+        && col("__y").isNotNull)
+    val s = base.groupBy("__st").agg(
+        sum(when(col("__e") === 1 && col("__y") === 1, 1L).otherwise(0L))
+          .as("__a"),
+        sum(when(col("__e") === 0 && col("__y") === 1, 1L).otherwise(0L))
+          .as("__b"),
+        sum(when(col("__e") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__e") === 0, 1L).otherwise(0L)).as("__n0"))
+      .withColumn("__n", col("__n1") + col("__n0"))
+      .filter(col("__n1") > 0 && col("__n0") > 0)
+    s.agg(count(lit(1)).as("n_strata"),
+        sum(col("__a")).as("__A"), sum(col("__b")).as("__B"),
+        sum(col("__n1")).as("__N1"), sum(col("__n0")).as("__N0"),
+        sum(expr("CAST(__a AS DECIMAL(38,0)) * __n0 * 1000000 DIV __n"))
+          .as("__num"),
+        sum(expr("CAST(__b AS DECIMAL(38,0)) * __n1 * 1000000 DIV __n"))
+          .as("__den"))
+      .select(col("n_strata"),
+        expr("__A * 1000000 DIV __N1").as("exposed_rate_ppm"),
+        expr("__B * 1000000 DIV __N0").as("unexposed_rate_ppm"),
+        expr("""CAST(CASE WHEN __B = 0 THEN 0
+             ELSE CAST(__A AS DECIMAL(38,0)) * __N0 * 1000000
+              DIV (CAST(__B AS DECIMAL(38,0)) * __N1) END AS BIGINT)""")
+          .as("crude_rr_ppm"),
+        expr("""CAST(CASE WHEN __den = 0 THEN 0
+             ELSE __num * 1000000 DIV __den END AS BIGINT)""")
+          .as("mh_rr_ppm"))
+  }
+
+  /**
+   * QUANTILE TREATMENT EFFECT — the distributional A/B readout the mean
+   * difference (x147/x268) flattens: at each requested percentile, the
+   * exact lower quantile of each arm (value-collapsed cumulative rank,
+   * the x161 convention: the first value whose cumulative count covers
+   * ⌈p·n/100⌉) and their difference. A treatment that helps the median
+   * but hurts the tail shows here and nowhere else.
+   *
+   * Scale shape: one exchange collapses each arm to (value, count); the
+   * rank window partitions BY ARM over the collapsed frame; the
+   * percentile probe is a broadcast of |pcts| constants.
+   */
+  def quantileTreatmentEffect(df: DataFrame, arm: Column, valueCents: Column,
+      pcts: Seq[Int] = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    val base = df.select(arm.cast("int").as("__a"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("__a").isNotNull && col("__v").isNotNull)
+    val coll = base.groupBy("__a", "__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("__a").orderBy("__v")))
+    val tot = base.groupBy("__a").agg(count(lit(1)).as("__n"))
+    val q = coll.join(broadcast(tot), "__a")
+      .select(col("__a"), col("__v"), col("__cum"), col("__n"),
+        explode(expr(s"array(${pcts.mkString(",")})")).as("__p"))
+      .groupBy("__a", "__p")
+      .agg(min(when(col("__cum") * 100 >= col("__p") * col("__n"), col("__v")))
+        .as("__q"))
+    q.groupBy(col("__p").as("p_pct"))
+      .agg(max(when(col("__a") === 0, col("__q"))).as("q_control_cents"),
+        max(when(col("__a") === 1, col("__q"))).as("q_treatment_cents"))
+      .select(col("p_pct"), col("q_control_cents"), col("q_treatment_cents"),
+        (col("q_treatment_cents") - col("q_control_cents")).as("qte_cents"))
+      .orderBy("p_pct")
+  }
+
+  /**
+   * LOG-RANK numerators for a two-arm survival comparison — the
+   * hypothesis-test layer over [[kaplanMeier]]'s curves (public: the
+   * Mantel–Cox test): at every event lag, observed arm-1 conversions O₁
+   * against the expectation E₁ = n₁·d/n under the no-difference null,
+   * plus the hypergeometric variance numerator. All terms are exact
+   * integers in milli/micro units through DECIMAL(38,0) staging; the
+   * caller compares (O₁−E₁)²/V to a χ² cut — the engine's job is the
+   * three sums, bit-exact.
+   *
+   * Scale shape: one corpus exchange collapses users to (arm, lag)
+   * rows; the lag spine is calendar-bounded, at-risk counts are prefix
+   * sums over it (bounded global window), and the output is one row.
+   */
+  def logrankNumerators(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, startType: String, convType: String,
+      arm: Column): DataFrame = {
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === startType, to_date(col(tsCol))))
+          .as("__start"),
+        min(when(col(typeCol) === convType, to_date(col(tsCol))))
+          .as("__convd"),
+        first(arm.cast("int"), ignoreNulls = true).as("__arm"))
+      .filter(col("__start").isNotNull && col("__arm").isNotNull)
+    val horizon = events.agg(max(to_date(col(tsCol))).as("__end"))
+    val lagged = perUser.crossJoin(broadcast(horizon))
+      .withColumn("__convLag",
+        when(col("__convd") >= col("__start"),
+          datediff(col("__convd"), col("__start")).cast("long")))
+      .withColumn("__censLag",
+        datediff(col("__end"), col("__start")).cast("long"))
+      .select(col("__arm"),
+        coalesce(col("__convLag"), col("__censLag")).as("__lag"),
+        when(col("__convLag").isNotNull, 1L).otherwise(0L).as("__d"))
+    val perLag = lagged.groupBy("__lag")
+      .agg(sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__arm") === 1, col("__d")).otherwise(0L)).as("__d1"),
+        sum(when(col("__arm") === 0, col("__d")).otherwise(0L)).as("__d0"))
+      .withColumn("__n1", sum(col("__c1")).over(
+        BoundedGlobalWindow.orderBy(col("__lag").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n0", sum(col("__c0")).over(
+        BoundedGlobalWindow.orderBy(col("__lag").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__d", col("__d1") + col("__d0"))
+      .withColumn("__n", col("__n1") + col("__n0"))
+      .filter(col("__d") > 0)
+    perLag.agg(count(lit(1)).as("n_event_lags"),
+        sum(col("__d1")).as("observed_1"),
+        sum(expr("CAST(__n1 AS DECIMAL(38,0)) * __d * 1000 DIV __n"))
+          .as("__e1"),
+        sum(expr("""CASE WHEN __n > 1
+             THEN CAST(__n1 AS DECIMAL(38,0)) * __n0 * __d * (__n - __d)
+              * 1000000 DIV (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1))
+             ELSE CAST(0 AS DECIMAL(38,0)) END""")).as("__v"))
+      .select(col("n_event_lags"), col("observed_1"),
+        expr("CAST(__e1 AS BIGINT)").as("expected_1_milli"),
+        expr("CAST(observed_1 * 1000 - __e1 AS BIGINT)")
+          .as("logrank_diff_milli"),
+        expr("CAST(__v AS BIGINT)").as("variance_micro"))
+  }
+
+  /**
    * MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2014, public
    * methodology) — the data-driven alternative to the positional rules
    * (x92 last-touch, x134 linear, x178 position, x207 time-decay): model

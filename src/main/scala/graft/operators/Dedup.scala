@@ -1435,6 +1435,41 @@ object Dedup {
   }
 
   /**
+   * CAPTURE–RECAPTURE duplicate-population estimate (Lincoln–Petersen /
+   * Chapman, public ecology statistics): two independent dedup methods
+   * are two "catches" of the same unknown duplicate-pair population —
+   * from catch sizes and their overlap, the Chapman estimator
+   * (n₁+1)(n₂+1)/(m+1) − 1 bounds how many true duplicate pairs exist,
+   * INCLUDING the ones neither method saw. This turns x269's
+   * head-to-head method comparison into the number a curation plan
+   * actually needs: estimated total duplication and each method's
+   * coverage of it. Exact integer arithmetic; m = 0 degrades gracefully
+   * (Chapman's +1 smoothing is the reason it beats raw Lincoln–Petersen
+   * here).
+   *
+   * Scale shape: both inputs are already candidate-restricted pair
+   * frames (banded LSH / banded SimHash — never all-pairs); the overlap
+   * is one equi-join on the pair key and the rest is one-row frames.
+   */
+  def captureRecapture(catch1: DataFrame, catch2: DataFrame): DataFrame = {
+    val p1 = catch1.select(col("d1"), col("d2")).distinct()
+    val p2 = catch2.select(col("d1"), col("d2")).distinct()
+    val n1 = p1.agg(count(lit(1)).as("n_catch1"))
+    val n2 = p2.agg(count(lit(1)).as("n_catch2"))
+    val m = p1.join(p2, Seq("d1", "d2")).agg(count(lit(1)).as("n_both"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .select(col("n_catch1"), col("n_catch2"), col("n_both"),
+        expr("(n_catch1 + 1) * (n_catch2 + 1) DIV (n_both + 1) - 1")
+          .as("chapman_estimate"))
+      .withColumn("catch1_coverage_ppm",
+        expr("""CASE WHEN chapman_estimate > 0
+             THEN n_catch1 * 1000000 DIV chapman_estimate ELSE 0 END"""))
+      .withColumn("catch2_coverage_ppm",
+        expr("""CASE WHEN chapman_estimate > 0
+             THEN n_catch2 * 1000000 DIV chapman_estimate ELSE 0 END"""))
+  }
+
+  /**
    * INTRA-document repeated-run census — the third member of the
    * repeated-run family: [[crossDocSubstringRuns]] finds runs shared
    * ACROSS documents, [[substringDecontaminate]] finds them across

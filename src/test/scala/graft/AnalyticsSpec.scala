@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Analytics
 
@@ -1608,6 +1608,54 @@ class AnalyticsSpec extends AnyFunSuite {
     // v0=(5e5,5e5); r1=(25e4,75e4); r2=(375e3,625e3); r3=(3125e2,6875e2);
     // r4=(343750,656250)
     assert(r == Map("a" -> 343750L, "b" -> 656250L))
+  }
+
+  test("cmhStratifiedRatio: MH ratio recovers the common RR where crude inflates") {
+    // both strata have RR = 2; exposure concentrates in the high-rate
+    // stratum, so the crude ratio balloons to 7.625
+    def rows(st: Int, e: Int, y: Int, n: Int) = Seq.fill(n)((st, e, y))
+    val df = (rows(1, 1, 1, 1) ++ rows(1, 1, 0, 9) ++
+      rows(1, 0, 1, 5) ++ rows(1, 0, 0, 95) ++
+      rows(2, 1, 1, 60) ++ rows(2, 1, 0, 40) ++
+      rows(2, 0, 1, 3) ++ rows(2, 0, 0, 7)).toDF("st", "e", "y")
+    val r = Analytics.cmhStratifiedRatio(df, col("st"), col("e"), col("y"))
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert((r.getLong(1), r.getLong(2)) == ((554545L, 72727L)))
+    assert(r.getLong(3) == 7625000L, "crude ratio is confounded")
+    assert(r.getLong(4) == 2000000L, "MH recovers the within-stratum RR of 2")
+  }
+
+  test("quantileTreatmentEffect: exact per-arm rank quantiles and their shift") {
+    val df = ((1 to 10).map(i => (0, i * 1L)) ++ (1 to 10).map(i => (1, i + 5L)))
+      .toDF("arm", "v")
+    val r = Analytics.quantileTreatmentEffect(df, col("arm"), col("v"),
+      pcts = Seq(10, 50, 90)).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(10) == ((1L, 6L, 5L)))
+    assert(r(50) == ((5L, 10L, 5L)))
+    assert(r(90) == ((9L, 14L, 5L)))
+  }
+
+  test("logrankNumerators: O, E, and variance match the hand hypergeometrics") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),   // arm1, conv lag 0
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 10:00:00"), "purchase"),   // arm0, conv lag 1
+      (3L, ts("2024-01-01 10:00:00"), "signup"),     // arm1, censored lag 2
+      (3L, ts("2024-01-03 10:00:00"), "view")        // sets the horizon
+    ).toDF("user_id", "ts", "event_type")
+    val r = Analytics.logrankNumerators(events, "user_id", "ts",
+      "event_type", "signup", "purchase", pmod(col("user_id"), lit(2)))
+      .collect().head
+    // lag0: n1=2 n0=1 d=1 -> E1 += 666, V += 222222
+    // lag1: n1=1 n0=1 d=1 -> E1 += 500, V += 250000
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 1L)))
+    assert(r.getLong(2) == 1166L)
+    assert(r.getLong(3) == -166L)
+    assert(r.getLong(4) == 472222L)
   }
 
   test("markovRemovalAttribution: hand-traced absorption and removal effects") {

@@ -779,4 +779,46 @@ class InvariantSpec extends AnyFunSuite {
     assert(out("spiky") == (10L * 2116 - 46L * 46) * 1000 / (9L * 46))
     assert(out("spiky") > 1000L, "a one-day spike is super-Poisson")
   }
+
+  test("kaplanMeier: survival is non-increasing, in [0, 1e6], for random life tables") {
+    val rnd = new scala.util.Random(17)
+    var remaining = 500L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var lag = 0L
+    while (remaining > 0 && lag < 40) {
+      val d = math.min(remaining, rnd.nextInt(30).toLong)
+      rows += ((lag, remaining, d))
+      remaining -= d + math.min(remaining - d, rnd.nextInt(10).toLong)
+      lag += 1 + rnd.nextInt(3)
+    }
+    val lt = rows.toSeq.toDF("lag_days", "n_at_risk", "n_converted")
+    val s = Analytics.kaplanMeier(lt, "lag_days", "n_at_risk", "n_converted")
+      .collect().map(_.getLong(3))
+    assert(s.forall(v => v >= 0L && v <= 1000000L))
+    assert(s.sliding(2).forall(p => p.length < 2 || p.head >= p.last),
+      "survival must be non-increasing in lag order")
+  }
+
+  test("spearmanRho: bounded by ±1e6 and symmetric under argument swap (random frames)") {
+    val rnd = new scala.util.Random(23)
+    val a = (0 until 40).map(i => (s"k$i", rnd.nextInt(20).toLong)).toDF("k", "v")
+    val b = (0 until 40).map(i => (s"k$i", rnd.nextInt(20).toLong)).toDF("k", "v")
+    val r1 = Analytics.spearmanRho(a, b, "k", "v").collect().head.getLong(1)
+    val r2 = Analytics.spearmanRho(b, a, "k", "v").collect().head.getLong(1)
+    assert(math.abs(r1) <= 1000000L, s"rho $r1 out of range")
+    // the floor-divided magnitudes agree; only intermediate rounding could
+    // differ, and both sides use the same isqrt and sign-split, so exact
+    assert(r1 == r2, s"rho must be symmetric: $r1 vs $r2")
+  }
+
+  test("quantileTreatmentEffect: per-arm quantiles are non-decreasing in p") {
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 400).map(i => (i % 2, rnd.nextInt(100000).toLong))
+      .toDF("arm", "v")
+    val rows = Analytics.quantileTreatmentEffect(df, col("arm"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p.head <= p.last))
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p.head <= p.last))
+  }
 }

@@ -213,6 +213,18 @@ class DedupSpec extends AnyFunSuite {
     // "blue widget" is alone in its block → never compared
   }
 
+  test("captureRecapture: Chapman estimate and coverages from two pair catches") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val c1 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val c2 = Seq((1L, 2L), (7L, 8L)).toDF("d1", "d2")
+    val r = Dedup.captureRecapture(c1, c2).collect().head
+    // n1=3 n2=2 m=1 -> Chapman (4*3)/2 - 1 = 5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+    assert(r.getLong(3) == 5L)
+    assert((r.getLong(4), r.getLong(5)) == ((600000L, 400000L)))
+  }
+
   test("intraDocRepeatCensus: repeated 3-token window counted, clean doc not") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._

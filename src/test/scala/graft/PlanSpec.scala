@@ -890,4 +890,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"expected checkpointed-pool scans:\n$p")
   }
+
+  test("x583: every truncation width is a TakeOrdered top-k, query broadcast, no cartesian") {
+    val p = plan("x583_matryoshka_recall")
+    val topk = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(topk >= 5, s"expected 5 top-k scans (truth + 4 widths), got $topk:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("x587: QTE rank windows partition by arm, never global") {
+    val p = plan("x587_quantile_treatment_effect")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__a")),
+      s"cumulative ranks must partition by arm:\n${specs.mkString("\n")}")
+  }
+
+  test("x574: rolling median self-joins the DAY-collapsed frame — no window function at all") {
+    val p = plan("x574_rolling_median_7d")
+    assert(!p.contains("windowspecdefinition"),
+      s"the rolling median must use the range self-join, not a row window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("x585: CMH is pure aggregation — no window, no cartesian, one stratum exchange") {
+    val p = plan("x585_cmh_stratified_ratio")
+    assert(!p.contains("windowspecdefinition"), s"no window expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.contains("HashAggregate"), s"hash aggregation expected:\n$p")
+  }
+
+  test("x582: attribution scenarios iterate the checkpointed matrix, not the corpus") {
+    val p = plan("x582_markov_attribution")
+    // the transition matrix is localCheckpoint'd once; the 5 absorption
+    // scenarios (base + 4 removals) must read it as in-memory scans —
+    // the events parquet appears in NO scenario plan
+    assert(!p.contains("FileScan parquet"),
+      s"absorption rounds must read the checkpointed matrix:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected checkpointed-matrix scans:\n$p")
+  }
 }
