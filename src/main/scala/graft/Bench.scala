@@ -1,5 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main — the driver's per-round throughput artifact.
+ *
+ * Timeout-proofing (round-9): BENCH_r08 was rc=124 with nothing parseable
+ * because the old flow printed NO JSON until after a full second timed
+ * pass over all queries (~75 min wall for warm-up + 2×659 at sf0.1).
+ * Three changes, all honest measurement:
+ *   (a) a PROVISIONAL JSON line (same format, pass-1 times,
+ *       `"provisional":1`) prints to stdout immediately after pass 1 —
+ *       if the process is killed mid-pass-2 the pass-1 line survives in
+ *       the log tail and parses; on a completed run the final min line
+ *       prints LAST and wins.
+ *   (b) pass 2 is SELECTIVE: only queries whose pass-1 time ≥ 2 s (the
+ *       noise-sensitive tail, ~10% of the fleet but most of the pass
+ *       cost) are re-timed; sub-2 s queries report their pass-1 time
+ *       (recorded in the JSON as `"retime_sec"`). Failures in pass 1 are
+ *       retried too. This cuts a full pass (~25 min) to minutes.
+ *   (c) `[bench-pass]` stderr markers with timestamps bracket each pass
+ *       so any future timeout is attributable from the log tail.
+ * Log level is ERROR during the run: benign WARN spam (e.g. WindowExec
+ * on bounded global windows) otherwise floods the 2000-char log tail and
+ * can bury the provisional line.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,96 +33,113 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass (untimed): JIT-compiles the generated code paths and warms
-    // the parquet footer/OS page caches so the timed pass measures
+    spark.sparkContext.setLogLevel("ERROR")
+    def mark(msg: String): Unit =
+      System.err.println(s"[bench-pass] $msg ${java.time.Instant.now()}")
+    def clearBetweenPasses(): Unit = {
+      // Drop DataFrames cached during the previous pass (operators cache
+      // small reused intermediates): Spark keys cached plans by
+      // canonicalized form, so the next pass would otherwise read the
+      // previous pass's InMemoryRelations and skip the work being
+      // measured. The staging memo (localCheckpoint'd frames, NOT covered
+      // by clearCache) is dropped too, so every timed pass pays the
+      // shared staging build exactly once.
+      spark.catalog.clearCache()
+      graft.queries.Extensions.clearStagingMemo()
+    }
+    // Warm-up pass (untimed): JIT-compiles the generated code paths and
+    // warms the parquet footer/OS page caches so the timed passes measure
     // steady-state query throughput rather than first-call JVM compilation.
+    mark("warmup start")
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // Drop DataFrames cached during warm-up (operators cache small reused
-    // intermediates): Spark keys cached plans by canonicalized form, so the
-    // timed pass would otherwise read warm-up's InMemoryRelations and skip
-    // the work being measured. The staging memo (localCheckpoint'd frames,
-    // NOT covered by clearCache) is dropped too, so every timed pass pays
-    // the shared staging build exactly once.
-    spark.catalog.clearCache()
-    graft.queries.Extensions.clearStagingMemo()
-    // Two timed passes, report the per-query MIN: single runs on this shared
-    // VM jitter by 2-4x under noisy neighbors (measured: the same query
-    // 2.1s-8.0s across back-to-back runs); min-of-2 after a warm-up is the
+    mark("warmup done")
+    clearBetweenPasses()
+    // Timed passes report the per-query MIN: single runs on this shared VM
+    // jitter by 2-4x under noisy neighbors (measured: the same query
+    // 2.1s-8.0s across back-to-back runs); min-after-warm-up is the
     // standard noise-resistant throughput estimate and stays honest — the
-    // cache is cleared between passes, every pass does the full work.
-    // A failed pass must not contribute a (fast) time-to-failure to the min:
-    // it scores +Inf, and a query that failed BOTH passes reports -1.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // cache is cleared between passes, every timed run does the full work.
+    // A failed run must not contribute a (fast) time-to-failure to the
+    // min: it scores +Inf, and a query that failed every run reports -1.
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
     }
-    val pass1 = timedPass()
-    spark.catalog.clearCache()
-    graft.queries.Extensions.clearStagingMemo()
-    val pass2 = timedPass()
-    val results = pass1.map { case (k, v) =>
-      val m = math.min(v, pass2(k))
-      k -> (if (m.isInfinite) -1.0 else m)
-    }
-    // Per-query time-budget guard: creep is caught locally before the
-    // driver sees it. Budget applies at the full bench SF (sf0.1); at
-    // smaller SFs the same ceiling is just slack. Violations go to
-    // stderr BEFORE the JSON line (stdout tail must stay clean) and into
-    // bench_out.json; they never fail the run — the driver still needs
-    // the bench line — but the local workflow treats any [bench-budget]
-    // line as a stop-and-fix.
     val budgetSec = sys.env.get("SPARK_GRAFT_MAX_QUERY_SEC").map(_.toDouble).getOrElse(8.0)
-    val over = results.filter { case (_, v) => v > budgetSec || v < 0 }.toSeq.sortBy(-_._2)
-    over.foreach { case (k, v) =>
-      System.err.println(f"[bench-budget] VIOLATION $k ${v}%.2f s > $budgetSec%.1f s budget")
-    }
-    // The harness keeps only the last 2000 chars of the log (measured from
-    // BENCH_r01/r02: "tail" is exactly 2000 chars and sbt's trailing
-    // "[success] Total time..." line eats ~75 of them), so a full-name
-    // per-query map (~3.4 KB) can never survive intact -> "parsed": null in
-    // both prior rounds. stdout therefore gets the query-ID prefix as key
-    // ("a01_csv_roundtrip_agg" -> "a01"; IDs are unique), keeping the line
-    // under ~1 KB with headroom to grow, while bench_out.json mirrors the
-    // full-name map at full precision. Printed AFTER spark.stop() so no
-    // shutdown logging can follow it.
+    val retimeSec = sys.env.get("SPARK_GRAFT_RETIME_SEC").map(_.toDouble).getOrElse(2.0)
+
     def fmtAt(scale: Int)(v: Double): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def jsonLine(entries: Iterable[(String, Double)], keyOf: String => String,
-                 scale: Int): String = {
-      val fmt = fmtAt(scale) _
-      val qs = entries.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emit one artifact snapshot: bench_out.json gets the full-name map at
+    // full precision; stdout gets the short line sized to survive the
+    // harness's 2000-char log tail WHOLE — a front-truncated JSON parses
+    // as null (r01/r02; r05 lost the total when 238 short-keyed entries
+    // outgrew the precision ladder). Degrading precision is unbounded in
+    // the query count, so the guaranteed-fit path is: total + only the N
+    // SLOWEST queries, shrinking N until the line is ≤1900 chars. The
+    // total (the driver's graded number) always leads the line.
+    def emit(results: Map[String, Double], provisional: Boolean): Unit = {
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val provTag = if (provisional) ""","provisional":1""" else ""
+      def jsonLine(entries: Iterable[(String, Double)], keyOf: String => String,
+                   scale: Int): String = {
+        val fmt = fmtAt(scale) _
+        val qs = entries.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec"$provTag,"queries":$qs,"sf":"$sfDir"}"""
+      }
+      // Per-query time-budget guard: creep is caught locally before the
+      // driver sees it. Budget applies at the full bench SF (sf0.1); at
+      // smaller SFs the same ceiling is just slack. Violations go to
+      // stderr (stdout tail must stay clean) and into bench_out.json;
+      // they never fail the run — the driver still needs the bench line —
+      // but the local workflow treats any [bench-budget] line as a
+      // stop-and-fix.
+      val over = results.filter { case (_, v) => v > budgetSec || v < 0 }.toSeq.sortBy(-_._2)
+      over.foreach { case (k, v) =>
+        System.err.println(f"[bench-budget] VIOLATION $k ${v}%.2f s > $budgetSec%.1f s budget" +
+          (if (provisional) " (provisional pass-1)" else ""))
+      }
+      val fullLine = {
+        val base = jsonLine(results, identity, 3)
+        val viol = over.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+        base.dropRight(1) +
+          s""","budget_sec":$budgetSec,"retime_sec":$retimeSec,"budget_violations":$viol}"""
+      }
+      val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
+      val shortLine = Iterator
+        .iterate(results.size)(n => math.max(0, (n * 3) / 4 - 1))
+        .map(n => jsonLine(byTimeDesc.take(n), _.takeWhile(_ != '_'), 2))
+        .find(_.length <= 1900)
+        .getOrElse(jsonLine(Nil, identity, 2))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
+      println(shortLine)
     }
-    val fullLine = {
-      val base = jsonLine(results, identity, 3)
-      val viol = over.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
-      base.dropRight(1) + s""","budget_sec":$budgetSec,"budget_violations":$viol}"""
+
+    mark(s"pass1 start (${SparkEntry.queries.size} queries)")
+    val pass1: Map[String, Double] =
+      SparkEntry.queries.keys.map(n => n -> timeOne(n)).toMap
+    mark("pass1 done")
+    emit(pass1.map { case (k, v) => k -> (if (v.isInfinite) -1.0 else v) },
+      provisional = true)
+    clearBetweenPasses()
+    val retime = pass1.filter { case (_, v) => v >= retimeSec }.keys.toSeq.sorted
+    mark(s"pass2 start (${retime.size} queries >= $retimeSec s)")
+    val pass2: Map[String, Double] = retime.map(n => n -> timeOne(n)).toMap
+    mark("pass2 done")
+    val results = pass1.map { case (k, v) =>
+      val m = math.min(v, pass2.getOrElse(k, Double.PositiveInfinity))
+      k -> (if (m.isInfinite) -1.0 else m)
     }
-    // the line must survive the harness's 2000-char log tail WHOLE — a
-    // front-truncated JSON parses as null (r01/r02; r05 lost the total when
-    // 238 short-keyed entries outgrew the precision ladder). Degrading
-    // precision is unbounded in the query count, so the guaranteed-fit path
-    // is: total + only the N SLOWEST queries, shrinking N until the line is
-    // ≤1900 chars. The total (the driver's graded number) always leads the
-    // line; the slowest queries are the informative subset; bench_out.json
-    // keeps full names + full precision for every query.
-    val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
-    val shortLine = Iterator
-      .iterate(results.size)(n => math.max(0, (n * 3) / 4 - 1))
-      .map(n => jsonLine(byTimeDesc.take(n), _.takeWhile(_ != '_'), 2))
-      .find(_.length <= 1900)
-      .getOrElse(jsonLine(Nil, identity, 2))
+    // Printed AFTER spark.stop() so no shutdown logging can follow it.
     spark.stop()
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
-    println(shortLine)
+    emit(results, provisional = false)
   }
 }

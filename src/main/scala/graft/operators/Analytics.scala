@@ -3987,8 +3987,19 @@ object Analytics {
    * exists), then the exact Pearson moments over the doubled ranks.
    * ρ_ppm floor-divides the covariance by the exact integer sqrt of the
    * variance product (the x568 isqrt discipline — floor(IEEE sqrt)
-   * corrected ±1, never trusted raw), sign-split for the negative
-   * branch. Keys present in only one frame are excluded (stated).
+   * corrected, never trusted raw; here the double seed is refined by one
+   * decimal Newton step before the ±1 correction, because at the top of
+   * the supported range the raw double is off by ~10³, not 1), sign-split
+   * for the negative branch. Keys present in only one frame are excluded
+   * (stated).
+   *
+   * Overflow bound: with doubled ranks ≤ 2n the variance product is
+   * ≤ 16n⁸, so every moment product is staged through DECIMAL(38,0)
+   * (n*saa, cov ~ 4n⁴ and vp ~ 16n⁸ silently wrap BIGINT past ~300
+   * common keys — the r8 bug). Exact up to `n_keys ≤ 3.9·10⁴` (vp <
+   * 8.5·10³⁷ keeps the isqrt seed inside BIGINT and vp inside 38
+   * digits) — a hard documented bound, comfortably above the
+   * group-collapsed vocabulary contract below.
    *
    * Scale shape: both inputs are group-collapsed frames by contract
    * (brand/source vocabularies); everything here is value-collapse,
@@ -4006,24 +4017,36 @@ object Analytics {
       v.join(grp, "__v").select(col("__k"), col(out))
     }
     val j = ranked(a, "__ra").join(ranked(b, "__rb"), "__k")
+    // moments staged through DECIMAL(38,0): doubled-rank squares fit BIGINT
+    // (≤ 4n², summed before any cross product), but every product of two
+    // moments does not — see the overflow bound in the doc above
     val mom = j.agg(count(lit(1)).as("n_keys"),
-      sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),
-      sum(col("__ra") * col("__ra")).as("__saa"),
-      sum(col("__rb") * col("__rb")).as("__sbb"),
-      sum(col("__ra") * col("__rb")).as("__sab"))
+      sum(col("__ra").cast("decimal(38,0)")).as("__sa"),
+      sum(col("__rb").cast("decimal(38,0)")).as("__sb"),
+      sum((col("__ra") * col("__ra")).cast("decimal(38,0)")).as("__saa"),
+      sum((col("__rb") * col("__rb")).cast("decimal(38,0)")).as("__sbb"),
+      sum((col("__ra") * col("__rb")).cast("decimal(38,0)")).as("__sab"))
     mom.select(col("n_keys"),
-        expr("n_keys * __sab - __sa * __sb").as("__cov"),
-        expr("(n_keys * __saa - __sa * __sa) * (n_keys * __sbb - __sb * __sb)")
+        expr("CAST(n_keys AS DECIMAL(38,0)) * __sab - __sa * __sb").as("__cov"),
+        expr("""(CAST(n_keys AS DECIMAL(38,0)) * __saa - __sa * __sa)
+             * (CAST(n_keys AS DECIMAL(38,0)) * __sbb - __sb * __sb)""")
           .as("__vp"))
+      // isqrt: double seed (error ~10³ at the 10¹⁹ top of range) → one
+      // decimal Newton step (error² / 2s ⇒ within 1) → exact ±1 correction
       .withColumn("__s0", floor(sqrt(col("__vp").cast("double"))).cast("long"))
-      .withColumn("__sq",
-        when((col("__s0") + 1) * (col("__s0") + 1) <= col("__vp"), col("__s0") + 1)
-          .when(col("__s0") * col("__s0") > col("__vp"), col("__s0") - 1)
-          .otherwise(col("__s0")))
+      .withColumn("__s1", expr("""CASE WHEN __vp <= 0 OR __s0 <= 0 THEN 0
+           ELSE (CAST(__s0 AS DECIMAL(38,0)) + (__vp DIV __s0)) DIV 2 END"""))
+      .withColumn("__sq", expr("""CASE
+           WHEN (CAST(__s1 AS DECIMAL(38,0)) + 1) * (CAST(__s1 AS DECIMAL(38,0)) + 1) <= __vp
+             THEN __s1 + 1
+           WHEN CAST(__s1 AS DECIMAL(38,0)) * CAST(__s1 AS DECIMAL(38,0)) > __vp
+             THEN __s1 - 1
+           ELSE __s1 END"""))
       .select(col("n_keys"),
         expr("""CAST(CASE WHEN __sq = 0 THEN 0
-             WHEN __cov < 0 THEN -((-__cov) * 1000000 DIV __sq)
-             ELSE __cov * 1000000 DIV __sq END AS BIGINT)""").as("rho_ppm"))
+             WHEN __cov < 0 THEN -(CAST(-__cov AS DECIMAL(38,0)) * 1000000 DIV __sq)
+             ELSE CAST(__cov AS DECIMAL(38,0)) * 1000000 DIV __sq END AS BIGINT)""")
+          .as("rho_ppm"))
   }
 
   /**
@@ -4307,7 +4330,13 @@ object Analytics {
    * — raw accuracy (x08's confusion diagonal) flatters any skewed corpus.
    * Exact integers end-to-end: κ_ppm = (N·agree − Σ rᵢcᵢ)·10⁶ over
    * (N² − Σ rᵢcᵢ), sign-split so Spark's truncating DIV matches the
-   * oracle's floor on the (possible) negative-κ branch.
+   * oracle's floor on the (possible) negative-κ branch. Every product of
+   * two corpus-sized counts (N², Σ rᵢcᵢ, the ·10⁶ numerators) is staged
+   * through DECIMAL(38,0) — the three-count-product rule; in BIGINT they
+   * wrap silently from N ≈ 3·10⁹ (the r8 bug). The DEGENERATE corpus
+   * (single class on both sides ⇒ p_e = 1 ⇒ zero denominator) reports
+   * κ_ppm = 0 explicitly — chance explains everything, no skill signal —
+   * instead of a NULL-vs-error cross-engine divergence.
    *
    * Scale shape: one corpus-sized groupBy on the label pair (|A|·|B|
    * rows), marginals and the cross-moment ride |A|+|B|-bounded frames.
@@ -4322,15 +4351,22 @@ object Analytics {
     val rowM = pairs.groupBy("__t").agg(sum(col("__c")).as("__r"))
     val colM = pairs.groupBy("__p").agg(sum(col("__c")).as("__k"))
     val pe = rowM.join(colM, col("__t") === col("__p"))
-      .agg(coalesce(sum(col("__r") * col("__k")), lit(0L)).as("__peNum"))
+      .agg(coalesce(sum(col("__r").cast("decimal(38,0)") * col("__k")),
+        lit(0).cast("decimal(38,0)")).as("__peNum"))
     n.crossJoin(broadcast(pe))
       .select(col("__n").as("n_rows"), col("__agree").as("n_agree"),
-        expr("__agree * 1000000 DIV __n").as("observed_agree_ppm"),
-        expr("__peNum * 1000000 DIV (__n * __n)").as("expected_agree_ppm"),
-        expr("""CAST(CASE WHEN (__n * __agree - __peNum) < 0
-             THEN -((__peNum - __n * __agree) * 1000000
-                  DIV (__n * __n - __peNum))
-             ELSE (__n * __agree - __peNum) * 1000000
-                  DIV (__n * __n - __peNum) END AS BIGINT)""").as("kappa_ppm"))
+        expr("CAST(CAST(__agree AS DECIMAL(38,0)) * 1000000 DIV __n AS BIGINT)")
+          .as("observed_agree_ppm"),
+        expr("""CAST(__peNum * 1000000
+             DIV (CAST(__n AS DECIMAL(38,0)) * __n) AS BIGINT)""")
+          .as("expected_agree_ppm"),
+        expr("""CAST(CASE
+             WHEN CAST(__n AS DECIMAL(38,0)) * __n = __peNum THEN 0
+             WHEN (CAST(__n AS DECIMAL(38,0)) * __agree - __peNum) < 0
+             THEN -((__peNum - CAST(__n AS DECIMAL(38,0)) * __agree) * 1000000
+                  DIV (CAST(__n AS DECIMAL(38,0)) * __n - __peNum))
+             ELSE (CAST(__n AS DECIMAL(38,0)) * __agree - __peNum) * 1000000
+                  DIV (CAST(__n AS DECIMAL(38,0)) * __n - __peNum)
+             END AS BIGINT)""").as("kappa_ppm"))
   }
 }

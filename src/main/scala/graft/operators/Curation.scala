@@ -780,7 +780,12 @@ object Curation {
    * crosses engines; counts < 2⁵² keep the double representation exact).
    * Reports, per group: the natural share (ppm), the τ-tempered share
    * (ppm), and the sampling boost ratio (milli) — >1000 means the
-   * group is oversampled relative to its natural frequency.
+   * group is oversampled relative to its natural frequency. A group so
+   * small its natural share FLOORS to 0 ppm (< 1 ppm of total tokens —
+   * exactly the low-resource case the operator targets) reports
+   * boost_milli = 0 explicitly: the floored ratio is meaningless there,
+   * and the guard replaces a NULL-vs-error cross-engine divergence
+   * (Spark x/0 → NULL, DuckDB // 0 → error) with a stated convention.
    *
    * Scale shape: one corpus-sized groupBy; everything after rides the
    * |groups|-bounded frame with a broadcast total.
@@ -803,7 +808,8 @@ object Curation {
         expr("n_tokens * 1000000 DIV __tn").as("natural_ppm"),
         expr("__sq * 1000000 DIV __ts").as("tempered_ppm"))
       .withColumn("boost_milli",
-        expr("tempered_ppm * 1000 DIV natural_ppm"))
+        expr("CASE WHEN natural_ppm = 0 THEN 0 " +
+          "ELSE tempered_ppm * 1000 DIV natural_ppm END"))
       .orderBy("grp")
   }
 

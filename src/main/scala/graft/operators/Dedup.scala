@@ -450,17 +450,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     // Shingle STRINGS are hashed to the portable 60-bit md5 value right at
-    // generation: the (df, hash) rarity tie-break stays engine-portable
-    // (the oracle recomputes the same md5), while every downstream join,
-    // window, and set rides longs, not strings. Cached: df-count, prefix
-    // derivation, and verification all re-read the rows. Caller-managed
-    // lifecycle (ContextCleaner reclaims once the returned frame is
-    // materialized and dropped) — see coOccurrenceLift.
+    // generation by the fused codegen'd
+    // [[graft.functions.PortableShingleHashes]] (split → n-gram → md5 →
+    // PER-DOC DISTINCT in one tight map-side loop — no interpreted HOF, no
+    // per-occurrence md5 expression, and no (doc, sh) distinct exchange,
+    // since the expression already dedupes within each document): the
+    // (df, hash) rarity tie-break stays engine-portable (the oracle
+    // recomputes the same md5), while every downstream join, window, and
+    // set rides longs, not strings. Cached: df-count, prefix derivation,
+    // and verification all re-read the rows. Caller-managed lifecycle
+    // (ContextCleaner reclaims once the returned frame is materialized and
+    // dropped) — see coOccurrenceLift.
     val toks = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("s"))
-      .select(col("doc_id"),
-        graft.operators.PortableHash.hash60(col("s")).as("sh"))
-      .distinct() // 60-bit collision inside one doc would skew set sizes
+        explode(graft.functions.PortableShingleHashes(col(textCol), shingleN)).as("sh"))
       .cache()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))

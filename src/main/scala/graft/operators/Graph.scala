@@ -98,10 +98,17 @@ object Graph {
    * dependent) L2 normalization is exactly what makes the result
    * engine-identical; `h0` only sets the fixed-point resolution.
    *
-   * Scale shape: the distinct edge frame is cached once; each round is two
-   * hash join + map-side-combined aggregate passes bounded by the node
-   * count. Fixed small `iterations` ⇒ bounded plan depth, no checkpoint
-   * (same contract as [[pageRank]]).
+   * Scale shape: the distinct edge frame is cached once; score frames are
+   * SPARSE during iteration (only nodes with a nonzero sum — an absent
+   * node contributes exactly 0 to every edge sum, so sparse joins are
+   * bit-identical to the dense zero-filled form while skipping the
+   * per-round |nodes| left joins), and the zero-fill against the node
+   * frame happens ONCE at the end. Round 1's authority pass needs no join
+   * at all: hub_0 is the h0 constant, so `auth_1(v) = h0 · indeg(v)` is
+   * one map-side-combined count over the edges. Total: 2·iterations − 1
+   * edge join+agg passes + 2 final node left joins (was 2·iterations edge
+   * joins + 2·iterations node joins). Fixed small `iterations` ⇒ bounded
+   * plan depth, no checkpoint (same contract as [[pageRank]]).
    *
    * Overflow bound: scores grow by a factor ≤ max_in_deg·max_out_deg per
    * full round, so `h0 · (d_in·d_out)^iterations < 2^63` must hold — with
@@ -119,20 +126,24 @@ object Graph {
     val nodes = precomputedNodes.map(_.select(col("v")))
       .getOrElse(e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
         .distinct())
-      .cache()
-    var hub = nodes.withColumn("h", lit(h0))
-    var auth = nodes.withColumn("a", lit(0L))
-    for (_ <- 1 to iterations) {
-      val aIn = e.join(hub, e("src") === hub("v"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
-      auth = nodes.join(aIn, nodes("v") === aIn("dst"), "left")
-        .select(col("v"), coalesce(col("s"), lit(0L)).as("a"))
-      val hIn = e.join(auth, e("dst") === auth("v"))
-        .groupBy(col("src")).agg(sum(col("a")).as("s"))
-      hub = nodes.join(hIn, nodes("v") === hIn("src"), "left")
-        .select(col("v"), coalesce(col("s"), lit(0L)).as("h"))
+    var auth = e.groupBy(col("dst"))
+      .agg((count(lit(1)) * h0).as("a"))
+      .select(col("dst").as("av"), col("a"))
+    var hub = e.join(auth, e("dst") === auth("av"))
+      .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      .select(col("src").as("hv"), col("h"))
+    for (_ <- 2 to iterations) {
+      auth = e.join(hub, e("src") === hub("hv"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("av"), col("a"))
+      hub = e.join(auth, e("dst") === auth("av"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("hv"), col("h"))
     }
-    hub.join(auth, "v").select(col("v"), col("h"), col("a"))
+    nodes.join(hub, nodes("v") === hub("hv"), "left")
+      .join(auth, nodes("v") === auth("av"), "left")
+      .select(col("v"), coalesce(col("h"), lit(0L)).as("h"),
+        coalesce(col("a"), lit(0L)).as("a"))
   }
 
   /**

@@ -1593,6 +1593,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getLong(1) == 900000L)
   }
 
+  test("spearmanRho: 400 common keys survive (vp ~ 7e19 wrapped BIGINT before r9)") {
+    // 16n^8-scale variance product: the pre-decimal-staging form silently
+    // wrapped past ~300 keys (sqrt of a negative -> null rho); perfectly
+    // monotone data keeps the expected value exactly +-1e6 at any n
+    val big = (1 to 400).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    val bigDn = (1 to 400).map(i => (s"k$i", 1000L - i)).toDF("k", "v")
+    val up = Analytics.spearmanRho(big, big, "k", "v").collect().head
+    assert(up.getLong(0) == 400L && up.getLong(1) == 1000000L)
+    assert(Analytics.spearmanRho(big, bigDn, "k", "v").collect().head.getLong(1)
+      == -1000000L)
+  }
+
   test("markovStationary: 4 floor-per-round power iterations, hand-traced") {
     // a -> b always; b -> a / b -> b half each
     val events = Seq(
@@ -1695,6 +1707,12 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(("a", "b"), ("b", "a")).toDF("t", "p"), col("t"), col("p"))
       .collect().head
     assert(neg.getLong(4) == -1000000L, "perfect disagreement is kappa -1")
+    // degenerate single-class corpus: p_e = 1 zeroes the denominator —
+    // kappa reports 0 by convention instead of NULL (r9 ADVICE guard)
+    val degen = Analytics.cohensKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("t", "p"), col("t"), col("p"))
+      .collect().head
+    assert(degen.getLong(3) == 1000000L && degen.getLong(4) == 0L)
   }
 
   test("cupedAdjustment: y = x removes all variance and the adjusted diff is 0") {

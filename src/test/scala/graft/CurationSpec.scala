@@ -349,6 +349,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out("b")._4 < 1000L && out("a")._4 > 1000L)
   }
 
+  test("temperatureMixtureWeights: a sub-ppm group reports boost 0, not NULL") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    // group b holds < 1 ppm of total tokens: natural_ppm floors to 0 and
+    // the boost ratio is undefined — the guard reports 0 (r9 ADVICE fix)
+    val df = Seq(("a", 3000000L), ("b", 1L)).toDF("grp", "w")
+    val out = graft.operators.Curation
+      .temperatureMixtureWeights(df, "grp", col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(out("b")._1 == 0L && out("b")._2 == 0L)
+    assert(out("a")._2 > 0L)
+  }
+
   test("paddingWasteByBucket: doubling boundaries are inclusive; out-of-range drops") {
     val sp = SparkTestSession.spark
     import sp.implicits._

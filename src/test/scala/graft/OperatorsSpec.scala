@@ -72,6 +72,30 @@ class DedupSpec extends AnyFunSuite {
     assert(fused == reference)
   }
 
+  test("PortableShingleHashes is bit-identical to hash60 over Dedup.shingles") {
+    val real = sources.Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val reference = real.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), operators.PortableHash.hash60(col("s")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fused = real.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(functions.PortableShingleHashes(col("text"), 3)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fused == reference)
+    // hand-checked edge cases: duplicate shingles collapse (first-occurrence
+    // order), sub-n texts yield no rows, null text yields no rows
+    val edge = Seq((1L, "a b c a b c a b c"), (2L, "x y"), (3L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        functions.PortableShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(edge(1L).get.length == 3) // {abc, bca, cab}: 7 grams, 3 distinct
+    assert(edge(1L).get.distinct.length == 3)
+    assert(edge(2L).get.isEmpty)
+    assert(edge(3L).isEmpty)
+  }
+
   test("prefixNovelty: first occurrence owns the shingle; short docs report zeros") {
     val d = Seq(
       (1L, "a b c d"),   // shingles {abc, bcd} — both novel

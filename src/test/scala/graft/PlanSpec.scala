@@ -121,6 +121,16 @@ class PlanSpec extends AnyFunSuite {
       s"contamination check must be an equi-join:\n$p")
   }
 
+  test("x529: shingle exchange carries 8-byte hash keys (fused map-side md5), never strings") {
+    val p = plan("x529_kmv_sketch_audit")
+    assert(p.contains("portable_shingle_hashes"),
+      s"expected fused map-side portable shingling in:\n$p")
+    assert(!p.contains("concat_ws") && !p.contains("array_distinct"),
+      s"interpreted HOF shingle strings must not reach the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"KMV bottom-k must plan as top-k, not a global sort:\n$p")
+  }
+
   test("x21: bucketized range join avoids BroadcastNestedLoopJoin") {
     val p = plan("x21_range_join_bucketized")
     assert(!p.contains("BroadcastNestedLoop"), s"range join must be equi-bucketized:\n$p")
