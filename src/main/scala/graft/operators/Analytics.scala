@@ -4369,4 +4369,142 @@ object Analytics {
                   DIV (CAST(__n AS DECIMAL(38,0)) * __n - __peNum)
              END AS BIGINT)""").as("kappa_ppm"))
   }
+
+  /**
+   * McNEMAR's paired test (McNemar '47, public) — do two classifiers have
+   * DIFFERENT error rates on the SAME examples? The unpaired accuracy gap
+   * ignores that both see identical inputs; McNemar reads only the
+   * discordant cells b01 (A right, B wrong) and b10 (A wrong, B right):
+   * χ² = (b01−b10)²/(b01+b10). Exact integers end-to-end — the statistic
+   * in milli, the 5% verdict via the integer inequality
+   * (b01−b10)²·10⁴ > 38415·(b01+b10) (χ²₍₁,.05₎ = 3.8415, ·10⁴ kept
+   * integral) — and every count product staged through DECIMAL(38,0)
+   * (the three-count-product rule: (b01−b10)² wraps BIGINT past ~3·10⁹
+   * discordant rows). A discordance-free corpus (b01+b10 = 0) reports
+   * χ² = 0 / 'same' explicitly, not a NULL.
+   *
+   * Scale shape: one corpus scan, map-side CASE flags, one 1-row
+   * aggregate — nothing keyed, nothing joined.
+   */
+  def mcnemarPaired(df: DataFrame, truth: Column, predA: Column,
+      predB: Column): DataFrame = {
+    val flags = df.filter(truth.isNotNull)
+      .select(when(predA === truth, 1L).otherwise(0L).as("__a"),
+        when(predB === truth, 1L).otherwise(0L).as("__b"))
+    flags.agg(count(lit(1)).as("n_rows"),
+        sum(col("__a")).as("a_correct"),
+        sum(col("__b")).as("b_correct"),
+        sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L))
+          .as("a_only_correct"),
+        sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L))
+          .as("b_only_correct"))
+      .select(col("n_rows"), col("a_correct"), col("b_correct"),
+        col("a_only_correct"), col("b_only_correct"),
+        expr("""CAST(CASE WHEN a_only_correct + b_only_correct = 0 THEN 0
+             ELSE CAST(a_only_correct - b_only_correct AS DECIMAL(38,0))
+                  * (a_only_correct - b_only_correct) * 1000
+                  DIV (a_only_correct + b_only_correct)
+             END AS BIGINT)""").as("chi2_milli"),
+        expr("""CASE WHEN CAST(a_only_correct - b_only_correct AS DECIMAL(38,0))
+                  * (a_only_correct - b_only_correct) * 10000
+                  > CAST(38415 AS DECIMAL(38,0))
+                    * (a_only_correct + b_only_correct)
+             THEN 'different' ELSE 'same' END""").as("verdict"))
+  }
+
+  /**
+   * FLEISS' kappa (Fleiss '71, public) — chance-corrected agreement for
+   * n ≥ 2 raters per item, the multi-rater generalization of
+   * [[cohensKappa]]. The per-item agreement Σⱼn_ij² − n equals
+   * n + 2·(agreeing unordered rater pairs) − n, so P̄'s numerator is a
+   * MAP-SIDE pair count — no per-(item, category) frame ever exists; the
+   * category marginals Cⱼ ride one |categories|-bounded aggregate.
+   * κ = (2·pairs·n·N − (n−1)·ΣCⱼ²) / ((n−1)·(n²N² − ΣCⱼ²)), reported
+   * sign-split in ppm with P̄ and P̄ₑ beside it; every product of two
+   * corpus-scale counts is staged through DECIMAL(38,0). The degenerate
+   * single-category corpus (ΣCⱼ² = n²N² ⇒ P̄ₑ = 1) reports κ = 0 by the
+   * [[cohensKappa]] convention.
+   *
+   * Scale shape: one corpus scan for (N, agree-pairs) + one explode into
+   * the |categories|-bounded marginal aggregate; the report is one row.
+   */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    val n = raters.size
+    require(n >= 2 && n <= 16, s"rater count $n outside 2..16")
+    val rated = df.select(raters.zipWithIndex.map { case (c, i) =>
+      c.cast("string").as(s"__r$i") }: _*)
+      .filter((0 until n).map(i => col(s"__r$i").isNotNull).reduce(_ && _))
+    val agreePairs = (for (i <- 0 until n; j <- (i + 1) until n)
+      yield when(col(s"__r$i") === col(s"__r$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withP = rated.withColumn("__ap", agreePairs)
+    val base = withP.agg(count(lit(1)).as("__N"), sum(col("__ap")).as("__pairs"))
+    val cats = withP
+      .select(explode(array((0 until n).map(i => col(s"__r$i")): _*)).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("__cnt").cast("decimal(38,0)") * col("__cnt")),
+          lit(0).cast("decimal(38,0)")).as("__sumC2"))
+    base.crossJoin(broadcast(cats))
+      .select(col("__N").as("n_items"), lit(n.toLong).as("n_raters"),
+        col("n_categories"),
+        expr(s"""CAST(CASE WHEN __N = 0 THEN 0
+             ELSE CAST(__pairs AS DECIMAL(38,0)) * 2000000
+                  DIV (CAST(__N AS DECIMAL(38,0)) * ${n * (n - 1)})
+             END AS BIGINT)""").as("p_bar_ppm"),
+        expr(s"""CAST(CASE WHEN __N = 0 THEN 0
+             ELSE __sumC2 * 1000000
+                  DIV (CAST(__N AS DECIMAL(38,0)) * __N * ${n * n})
+             END AS BIGINT)""").as("p_e_ppm"),
+        expr(s"""CAST(CASE
+             WHEN __N = 0 THEN 0
+             WHEN CAST(__N AS DECIMAL(38,0)) * __N * ${n * n} = __sumC2 THEN 0
+             WHEN CAST(__pairs AS DECIMAL(38,0)) * __N * ${2 * n}
+                  - ${n - 1} * __sumC2 < 0
+             THEN -((${n - 1} * __sumC2
+                     - CAST(__pairs AS DECIMAL(38,0)) * __N * ${2 * n}) * 1000000
+                  DIV (${n - 1} * (CAST(__N AS DECIMAL(38,0)) * __N * ${n * n}
+                       - __sumC2)))
+             ELSE (CAST(__pairs AS DECIMAL(38,0)) * __N * ${2 * n}
+                   - ${n - 1} * __sumC2) * 1000000
+                  DIV (${n - 1} * (CAST(__N AS DECIMAL(38,0)) * __N * ${n * n}
+                       - __sumC2))
+             END AS BIGINT)""").as("fleiss_kappa_ppm"))
+  }
+
+  /**
+   * BENJAMINI–HOCHBERG step-up FDR control (BH '95, public) — the
+   * multiple-testing gate a pipeline needs the moment it screens MANY
+   * metrics at once (per-brand trends, per-segment gaps): sort the m
+   * p-values ascending, find the largest rank k with p₍ᵢ₎ ≤ i·α/m, and
+   * reject ranks 1..k (the step-up: EVERY smaller rank rejects, even
+   * where its own inequality fails). The comparison is the exact integer
+   * cross-multiplication p_ppm·m ≤ i·α_ppm — no division, no float.
+   * Reports per test: p, rank, the rank's own BH bar (i·α/m, floored
+   * ppm), and the reject flag.
+   *
+   * Scale shape: the input is a TEST-FAMILY frame (one row per screened
+   * metric — a vocabulary, never row-scale), so the rank window rides
+   * [[BoundedGlobalWindow]] and k* is a 1-row broadcast.
+   */
+  def benjaminiHochberg(tests: DataFrame, keyCol: String, pPpmCol: String,
+      alphaPpm: Long = 50000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L, s"alphaPpm $alphaPpm outside (0, 1e6)")
+    val t = tests.select(col(keyCol).cast("string").as("__k"),
+        col(pPpmCol).cast("long").as("__p"))
+      .filter(col("__k").isNotNull && col("__p").isNotNull)
+    val ranked = t.withColumn("__i",
+        row_number().over(BoundedGlobalWindow.orderBy(col("__p"), col("__k")))
+          .cast("long"))
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("__m"))))
+    val kstar = ranked
+      .agg(coalesce(max(when(col("__p") * col("__m") <= col("__i") * alphaPpm,
+        col("__i"))), lit(0L)).as("__kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("__k").as(keyCol), col("__p").as("p_ppm"),
+        col("__i").as("p_rank"), col("__m").as("n_tests"),
+        expr(s"__i * $alphaPpm DIV __m").as("bh_bar_ppm"),
+        (col("__i") <= col("__kstar")).cast("int").as("rejected"))
+      .orderBy("p_rank", keyCol)
+  }
 }

@@ -56,6 +56,25 @@ object TextAnalysis {
   }
 
   /**
+   * A second, deliberately DIFFERENT lang-id heuristic — fewer markers per
+   * language and a different precedence order (es before fr, no bare-'de'
+   * zh trap) — used as the paired competitor in the classifier-comparison
+   * audits ([[graft.operators.Analytics.mcnemarPaired]] x589,
+   * [[graft.operators.Analytics.fleissKappa]] x590): its errors differ
+   * from [[langIdHeuristic]]'s on the SAME documents, which is exactly the
+   * discordance a paired test measures. Same whole-word-marker scheme so
+   * the oracle reproduces it verbatim.
+   */
+  def langIdHeuristicAlt(text: Column): Column = {
+    def hasWord(w: String): Column = instr(concat(lit(" "), text, lit(" ")), s" $w ") > 0
+    when(hasWord("und") || hasWord("nicht") || hasWord("das"), "de")
+      .when(hasWord("los") || hasWord("una"), "es")
+      .when(hasWord("les") || hasWord("vous") || hasWord("et"), "fr")
+      .when(hasWord("shi") || hasWord("bu"), "zh")
+      .otherwise("en")
+  }
+
+  /**
    * Quality score in [0,1]-ish from cheap surface statistics: token count
    * band, mean word length band, alnum ratio, stopword presence. The exact
    * formula matters less than its properties: deterministic, one scan,

@@ -1715,6 +1715,68 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(degen.getLong(3) == 1000000L && degen.getLong(4) == 0L)
   }
 
+  test("mcnemarPaired: discordant cells only; exact chi2 and the 5% verdict") {
+    // truth all 't'; A right on 5 of 10, B right on 2 — discordants a_only=4, b_only=1
+    val rows = Seq(
+      ("t", "t", "t"), ("t", "t", "x"), ("t", "t", "x"), ("t", "t", "x"),
+      ("t", "t", "x"), ("t", "x", "t"), ("t", "x", "x"), ("t", "x", "x"),
+      ("t", "x", "x"), ("t", "x", "x")).toDF("truth", "pa", "pb")
+    val r = Analytics.mcnemarPaired(rows, col("truth"), col("pa"), col("pb"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 5L, 2L)))
+    assert((r.getLong(3), r.getLong(4)) == ((4L, 1L)))
+    // chi2 = (4-1)^2 * 1000 / 5 = 1800 milli; 9e4 < 38415*5 -> same
+    assert(r.getLong(5) == 1800L && r.getString(6) == "same")
+    // 10 vs 0 discordants: (10)^2*1e4 = 1e6 > 38415*10 -> different
+    val strong = (1 to 10).map(_ => ("t", "t", "x")).toDF("truth", "pa", "pb")
+    val s = Analytics.mcnemarPaired(strong, col("truth"), col("pa"), col("pb"))
+      .collect().head
+    assert(s.getString(6) == "different")
+    // no discordance: chi2 0 / same, not NULL
+    val none = Seq(("t", "t", "t"), ("t", "x", "x")).toDF("truth", "pa", "pb")
+    val z = Analytics.mcnemarPaired(none, col("truth"), col("pa"), col("pb"))
+      .collect().head
+    assert(z.getLong(5) == 0L && z.getString(6) == "same")
+  }
+
+  test("fleissKappa: hand-computed 3-rater cases including both degenerate edges") {
+    // perfect within-item agreement across two categories: kappa = 1e6
+    val perfect = Seq(("x", "x", "x"), ("y", "y", "y")).toDF("r1", "r2", "r3")
+    val p = Analytics.fleissKappa(perfect, Seq(col("r1"), col("r2"), col("r3")))
+      .collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((2L, 3L, 2L)))
+    assert(p.getLong(3) == 1000000L && p.getLong(4) == 500000L
+      && p.getLong(5) == 1000000L)
+    // agreement exactly at chance: P_bar = P_e = 0.5 -> kappa 0
+    val chance = Seq(("x", "x", "x"), ("x", "y", "z")).toDF("r1", "r2", "r3")
+    val c = Analytics.fleissKappa(chance, Seq(col("r1"), col("r2"), col("r3")))
+      .collect().head
+    assert(c.getLong(3) == 500000L && c.getLong(4) == 500000L
+      && c.getLong(5) == 0L)
+    // single-category corpus: P_e = 1 denominator zero -> kappa 0 convention
+    val degen = Seq(("x", "x", "x"), ("x", "x", "x")).toDF("r1", "r2", "r3")
+    val d = Analytics.fleissKappa(degen, Seq(col("r1"), col("r2"), col("r3")))
+      .collect().head
+    assert(d.getLong(4) == 1000000L && d.getLong(5) == 0L)
+  }
+
+  test("benjaminiHochberg: step-up rejects every rank below k*, not just passing ones") {
+    // rank 1 fails its own bar (80000 > 50000) but rank 3 passes; the
+    // step-up rescues ranks 1..3, rejects rank 4
+    val t = Seq(("a", 20000L), ("b", 24000L), ("c", 26000L), ("d", 900000L))
+      .toDF("k", "p")
+    val r = Analytics.benjaminiHochberg(t, "k", "p", alphaPpm = 50000L)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getInt(5))).toMap
+    assert(r == Map("a" -> (1L, 1), "b" -> (2L, 1), "c" -> (3L, 1),
+      "d" -> (4L, 0)))
+    // only the smallest p passes anywhere: k* = 1
+    val t2 = Seq(("a", 10000L), ("b", 30000L), ("c", 200000L), ("d", 900000L))
+      .toDF("k", "p")
+    val r2 = Analytics.benjaminiHochberg(t2, "k", "p", alphaPpm = 50000L)
+      .collect().map(x => x.getString(0) -> x.getInt(5)).toMap
+    assert(r2 == Map("a" -> 1, "b" -> 0, "c" -> 0, "d" -> 0))
+  }
+
   test("cupedAdjustment: y = x removes all variance and the adjusted diff is 0") {
     val df = Seq((0, 1L, 1L), (0, 3L, 3L), (1, 2L, 2L), (1, 4L, 4L))
       .toDF("arm", "x", "y")
