@@ -1024,7 +1024,10 @@ object Analytics {
       .withColumn("__tn", count(lit(1)).over(trail))
       .withColumn("ratio_ppm",
         when(col("__tn") === windowDays,
-          expr("n_events * __tn * 1000000 DIV __tsum")))
+          // staged: daily count × window × 1e6 wraps BIGINT from ~1.3e12
+          // events/day — inside the 100 TB envelope's order of magnitude
+          expr("CAST(CAST(n_events AS DECIMAL(38,0)) * __tn * 1000000" +
+            " DIV __tsum AS BIGINT)")))
       .select(col("day"), col("n_events"),
         coalesce(col("__tsum"), lit(0L)).as("trail_sum"), col("ratio_ppm"),
         when(col("ratio_ppm") > 1000000L + band, "spike")

@@ -309,7 +309,11 @@ object Graph {
         coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
         col("n_triangles"),
         when(coalesce(col("n_wedges"), lit(0L)) > 0,
-          expr("3 * n_triangles * 1000000 DIV n_wedges"))
+          // staged: triangle counts grow superlinearly with the graph, and
+          // 3·triangles·1e6 wraps BIGINT from ~3·10^12 triangles (the
+          // oracle's BIGINT errors loudly there; Spark would wrap silently)
+          expr("CAST(CAST(3 AS DECIMAL(38,0)) * n_triangles * 1000000" +
+            " DIV n_wedges AS BIGINT)"))
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 

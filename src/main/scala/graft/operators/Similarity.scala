@@ -130,10 +130,21 @@ object Similarity {
 
   /** Per-vector (band, key) rows from the banded hyperplane sketch
     * ([[graft.functions.HyperplaneBandKeys]], one fused codegen'd loop). */
-  private def bandKeyRows(embeddings: DataFrame, masks: Seq[Long], rowsPerBand: Int): DataFrame =
-    embeddings.select(col("vec_id"),
+  private def bandKeyRows(embeddings: DataFrame, masks: Seq[Long], rowsPerBand: Int): DataFrame = {
+    // The band self-join is a BROADCAST probe, so it — and every stage
+    // above it — inherits THIS frame's partitioning. A narrow input (the
+    // test rig's one-split parquet) would otherwise run the whole
+    // candidate pipeline on ONE core (r9 probe: x167's 8M-row band join
+    // single-threaded at ~4 s). The n-row exchange is negligible next to
+    // the n×bands explode it spreads, and is skipped when the input
+    // already carries enough splits (any real at-scale scan does).
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val spread = if (embeddings.rdd.getNumPartitions < par)
+      embeddings.repartition(par) else embeddings
+    spread.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBandKeys(col("embedding"), masks, rowsPerBand))
         .as(Seq("band", "bkey")))
+  }
 
   /**
    * Embedding near-duplicate pairs via banded random-hyperplane LSH
@@ -713,11 +724,19 @@ object Similarity {
     val scored = cand.join(e1, Seq("v1")).join(e2, Seq("v2"))
       .select(col("v1"), col("l1"), col("v2"), col("l2"),
         cosine(col("em1"), col("em2")).as("sim"))
+    // mirror each undirected scored pair into both probe directions with
+    // ONE map-side explode — a self-union here would evaluate the whole
+    // candidate+cosine lineage twice (the r9 probe measured that second
+    // evaluation at ~3 s of the query's 8 s; exchange reuse does not
+    // cover union branches)
     val directed = scored
-      .select(col("v1").as("vec_id"), col("l1").as("label"),
-        col("v2").as("vb"), col("l2").as("lb"), col("sim"))
-      .unionByName(scored.select(col("v2").as("vec_id"), col("l2").as("label"),
-        col("v1").as("vb"), col("l1").as("lb"), col("sim")))
+      .select(explode(array(
+        struct(col("v1").as("vec_id"), col("l1").as("label"),
+          col("v2").as("vb"), col("l2").as("lb"), col("sim")),
+        struct(col("v2").as("vec_id"), col("l2").as("label"),
+          col("v1").as("vb"), col("l1").as("lb"), col("sim")))).as("__d"))
+      .select(col("__d.vec_id"), col("__d.label"), col("__d.vb"),
+        col("__d.lb"), col("__d.sim"))
     val byVec = Window.partitionBy("vec_id").orderBy(desc("sim"), col("vb"))
     directed
       .withColumn("__rk", row_number().over(byVec))
