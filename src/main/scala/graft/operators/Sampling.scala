@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Spread a narrower-than-parallelism input across the cluster before a
+    * per-row FAN-OUT (resample/permutation explode + md5): the fan-out is
+    * map-side, so with a one-split input (the test rig's single parquet
+    * file) every hash of the nResamples× blow-up would otherwise be
+    * computed on ONE core before the first exchange (the r9 x167 lesson
+    * applied to the bootstrap family). One n-row exchange of the already
+    * column-pruned frame, content-identical; skipped when the input
+    * carries enough splits (any at-scale scan does). */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /**
    * Exact stratified sampling: from every `stratumCol` group keep the same
    * fraction `num/den` of rows (ceiling), chosen by a deterministic
@@ -550,10 +563,10 @@ object Sampling {
       .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
         when(col("__h") < t, k.toLong).otherwise(acc)
       }
-    val base = df.filter(col(idCol).isNotNull)
+    val base = spread(df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"), arm.cast("int").as("__a"),
         valueCents.cast("long").as("__v"))
-      .filter(col("__v").isNotNull && col("__a").isNotNull)
+      .filter(col("__v").isNotNull && col("__a").isNotNull))
     val means = base
       .select(col("__id"), col("__a"), col("__v"),
         explode(expr(s"sequence(0, ${nResamples / 2 - 1})")).as("__g"))
@@ -618,10 +631,10 @@ object Sampling {
       .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
         when(col("__h") < t, k.toLong).otherwise(acc)
       }
-    val base = df.filter(col(idCol).isNotNull)
+    val base = spread(df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         valueCents.cast("long").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull))
     val weighted = base
       .select(col("__id"), col("__v"),
         explode(expr(s"sequence(0, ${nResamples / 2 - 1})")).as("__g"))
@@ -668,10 +681,10 @@ object Sampling {
       .foldLeft(lit(8L): Column) { case (acc, (t, k)) =>
         when(col("__h") < t, k.toLong).otherwise(acc)
       }
-    val base = df.filter(col(idCol).isNotNull)
+    val base = spread(df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         valueCents.cast("long").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull))
     val resamples = base
       .select(col("__id"), col("__v"),
         explode(expr(s"sequence(0, ${nResamples / 2 - 1})")).as("__g"))
@@ -727,10 +740,10 @@ object Sampling {
   def hashPermutationTest(df: DataFrame, idCol: String, arm: Column,
       valueCents: Column, nPerms: Int = 60): DataFrame = {
     require(nPerms >= 1 && nPerms <= 60, s"nPerms $nPerms outside 1..60")
-    val base = df.filter(col(idCol).isNotNull)
+    val base = spread(df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"), arm.cast("int").as("__a"),
         valueCents.cast("long").as("__v"))
-      .filter(col("__v").isNotNull && col("__a").isNotNull)
+      .filter(col("__v").isNotNull && col("__a").isNotNull))
     val obs = base.groupBy("__a")
       .agg(count(lit(1)).as("__n"), sum(col("__v").cast("decimal(38,0)")).as("__s"))
       .groupBy()
