@@ -4476,6 +4476,54 @@ object Analytics {
   }
 
   /**
+   * COCHRAN's Q (Cochran '50, public) — do k ≥ 3 classifiers have
+   * different error rates on the SAME examples? The k-way generalization
+   * of [[mcnemarPaired]] (Q reduces to McNemar's χ² at k = 2): with
+   * x_ij = classifier j correct on item i, column totals C_j and row
+   * totals R_i, `Q = (k−1)·(k·ΣC_j² − S²) / (k·S − ΣR_i²)` where
+   * S = ΣC = ΣR, distributed χ²_{k−1} under "no difference". Exact
+   * integers: Q in milli with every count product staged through
+   * DECIMAL(38,0), the 5% verdict via the cross-multiplied inequality
+   * (k−1)·num·10³ > χ²crit_milli·den (the caller passes the critical
+   * value for df = k−1 — no CDF anywhere). The degenerate corpus where
+   * every item is all-correct or all-wrong (den = 0: classifiers are
+   * indistinguishable item-wise) reports Q = 0 / 'same' explicitly.
+   *
+   * Scale shape: one corpus scan — R_i is a map-side sum of the k
+   * correctness flags, the k column totals and the three moments ride
+   * ONE 1-row aggregate. Nothing keyed, nothing joined.
+   */
+  def cochranQ(df: DataFrame, outcomes: Seq[Column],
+      chi2CritMilli: Long): DataFrame = {
+    val k = outcomes.size
+    require(k >= 2 && k <= 16, s"classifier count $k outside 2..16")
+    require(chi2CritMilli > 0, s"chi2CritMilli $chi2CritMilli must be positive")
+    val flagged = df.select(outcomes.zipWithIndex.map { case (c, j) =>
+      when(c, 1L).otherwise(0L).as(s"__x$j") }: _*)
+      .withColumn("__r", (0 until k).map(j => col(s"__x$j")).reduce(_ + _))
+    val aggCols = (0 until k).map(j => sum(col(s"__x$j")).as(s"__c$j")) ++
+      Seq(sum(col("__r")).as("__s"),
+        sum((col("__r") * col("__r")).cast("decimal(38,0)")).as("__rr"))
+    val agg = flagged.agg(count(lit(1)).as("n_items"), aggCols: _*)
+    val sumC2 = (0 until k).map(j =>
+      expr(s"CAST(__c$j AS DECIMAL(38,0)) * __c$j"): Column).reduce(_ + _)
+    agg
+      .withColumn("__num",
+        sumC2 * k - expr("CAST(__s AS DECIMAL(38,0)) * __s"))
+      .withColumn("__den",
+        expr(s"CAST($k AS DECIMAL(38,0)) * __s - __rr"))
+      .select((col("n_items") +:
+        (0 until k).map(j => col(s"__c$j").as(s"n_correct_${('a' + j).toChar}")) ++:
+        Seq(
+          expr(s"""CAST(CASE WHEN __den = 0 THEN 0
+               ELSE ${k - 1} * __num * 1000 DIV __den END AS BIGINT)""")
+            .as("q_milli"),
+          expr(s"""CASE WHEN __den > 0
+                AND ${k - 1} * __num * 1000 > $chi2CritMilli * __den
+               THEN 'different' ELSE 'same' END""").as("verdict"))): _*)
+  }
+
+  /**
    * BENJAMINI–HOCHBERG step-up FDR control (BH '95, public) — the
    * multiple-testing gate a pipeline needs the moment it screens MANY
    * metrics at once (per-brand trends, per-segment gaps): sort the m

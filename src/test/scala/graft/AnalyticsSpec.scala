@@ -1760,6 +1760,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(d.getLong(4) == 1000000L && d.getLong(5) == 0L)
   }
 
+  test("cochranQ: hand-computed k=3 table, strong difference, degenerate denominator") {
+    // C = (3,2,1), S = 6, sumC2 = 14 -> num = 3*14-36 = 6; R = (3,1,2,0),
+    // sumR2 = 14 -> den = 18-14 = 4; Q = 2*6/4 = 3.0 < 5.991 -> same
+    val t = Seq((true, true, true), (true, false, false),
+      (true, true, false), (false, false, false)).toDF("a", "b", "c")
+    val r = Analytics.cochranQ(t, Seq(col("a"), col("b"), col("c")), 5991L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 3L, 2L, 1L)))
+    assert(r.getLong(4) == 3000L && r.getString(5) == "same")
+    // A always right, B/C always wrong: Q = 20 > 5.991 -> different
+    val strong = (1 to 10).map(_ => (true, false, false)).toDF("a", "b", "c")
+    val s = Analytics.cochranQ(strong, Seq(col("a"), col("b"), col("c")), 5991L)
+      .collect().head
+    assert(s.getLong(4) == 20000L && s.getString(5) == "different")
+    // every item all-correct: den = 0 -> Q = 0 / same, not NULL
+    val degen = (1 to 3).map(_ => (true, true, true)).toDF("a", "b", "c")
+    val d = Analytics.cochranQ(degen, Seq(col("a"), col("b"), col("c")), 5991L)
+      .collect().head
+    assert(d.getLong(4) == 0L && d.getString(5) == "same")
+  }
+
   test("benjaminiHochberg: step-up rejects every rank below k*, not just passing ones") {
     // rank 1 fails its own bar (80000 > 50000) but rank 3 passes; the
     // step-up rescues ranks 1..3, rejects rank 4
