@@ -4558,4 +4558,282 @@ object Analytics {
         (col("__i") <= col("__kstar")).cast("int").as("rejected"))
       .orderBy("p_rank", keyCol)
   }
+
+  /**
+   * Frozen 5% upper-tail χ² critical values in milli (public table,
+   * truncated), df 1..24 — shared by every chi-square-family verdict so
+   * the Spark operator and its DuckDB oracle compare against the SAME
+   * constants. df 1 (3841) and df 2 (5991) match the values already
+   * frozen into [[mcnemarPaired]] / [[cochranQ]].
+   */
+  val chi2Crit05Milli: Vector[Long] = Vector(
+    3841L, 5991L, 7814L, 9487L, 11070L, 12591L, 14067L, 15507L,
+    16919L, 18307L, 19675L, 21026L, 22362L, 23684L, 24995L, 26296L,
+    27587L, 28869L, 30143L, 31410L, 32670L, 33924L, 35172L, 36415L)
+
+  /** SQL CASE string mapping a df column to [[chi2Crit05Milli]]; built
+    * once here so operator and oracle embed IDENTICAL constants. df
+    * outside 1..24 gets critical value −1 (verdict 'untested'). */
+  def chi2CritCaseSql(dfCol: String): String =
+    chi2Crit05Milli.zipWithIndex
+      .map { case (c, i) => s"WHEN $dfCol = ${i + 1} THEN $c" }
+      .mkString("CASE ", " ", " ELSE -1 END")
+
+  /**
+   * Two-phase prefix count over a VALUE-COLLAPSED frame: given per-value
+   * tie counts `__t` keyed by `__v`, append `__cb` = number of rows with
+   * a strictly smaller value (the midrank base: the doubled midrank of a
+   * value's tie block is `2·__cb + __t + 1`). Range-repartition by value
+   * + per-partition running sum + a partition-count-bounded offset
+   * window — [[ksDistance]]'s shape, never a single global sort task.
+   */
+  private def withCumBefore(vals: DataFrame): DataFrame = {
+    val parted = vals.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy("__v")
+    val local = parted.withColumn("__lt", sum(col("__t")).over(w))
+    val offsets = local.groupBy("__pid")
+      .agg(sum(col("__t")).as("__pt"))
+      .withColumn("__off",
+        sum(col("__pt")).over(BoundedGlobalWindow.orderBy("__pid")) - col("__pt"))
+      .select(col("__pid").as("_o_pid"), col("__off"))
+    local.join(broadcast(offsets), col("__pid") === col("_o_pid"))
+      .withColumn("__cb", col("__off") + col("__lt") - col("__t"))
+      .drop("__pid", "__lt", "_o_pid", "__off")
+  }
+
+  /**
+   * MANN–WHITNEY U (Wilcoxon rank-sum, public '47) — does arm B's value
+   * distribution sit to the right of arm A's? The LOCATION complement of
+   * [[ksDistance]]'s shape test, and the nonparametric replacement for a
+   * t-test when the distribution is unknown. Midranks over the
+   * value-collapsed pooled sample keep everything integral when DOUBLED:
+   * `2R_A = Σ_v c_Av·(2·below_v + t_v + 1)`, `2U_A = 2R_A − n_A(n_A+1)`.
+   * Reported: `auc_ppm = U_A/(n_A·n_B)` — the probability a random A
+   * value exceeds a random B value (the U↔AUC identity), and the
+   * tie-corrected normal-approximation z² in milli with the 5% verdict
+   * via the EXACT integer inequality `30000·D² > 38415·n_A·n_B·vpart`
+   * (D = 2U_A − n_A·n_B; vpart = ((n³−n) − Σ(t³−t)) DIV (n(n−1)), the
+   * staged tie-corrected variance factor — truncated identically by both
+   * engines). Products ride DECIMAL(38,0); D² terms bound validity at
+   * ~10⁸ rows per test (documented; past that z² saturates anyway).
+   *
+   * Scale shape: one value-collapse exchange, the two-phase prefix sum,
+   * one 1-row aggregate. No global sort, no join.
+   */
+  def mannWhitneyU(df: DataFrame, armB: Column, value: Column): DataFrame = {
+    val vals = df
+      .select(armB.cast("boolean").as("__b"), value.cast("long").as("__v"))
+      .filter(col("__b").isNotNull && col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb0"))
+      .withColumn("__t", col("__ca") + col("__cb0"))
+    withCumBefore(vals)
+      .agg(coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+        coalesce(sum(col("__cb0")), lit(0L)).as("__nb"),
+        coalesce(sum(expr("CAST(__ca AS DECIMAL(38,0)) * (2 * __cb + __t + 1)")),
+          lit(0).cast("decimal(38,0)")).as("__r2a"),
+        coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t + 1)")),
+          lit(0).cast("decimal(38,0)")).as("__ties"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        expr("CAST(__r2a - CAST(__na AS DECIMAL(38,0)) * (__na + 1) AS BIGINT)")
+          .as("u2_a"),
+        expr("""CAST(CASE WHEN __na = 0 OR __nb = 0 THEN 0
+             ELSE (__r2a - CAST(__na AS DECIMAL(38,0)) * (__na + 1)) * 1000000
+                  DIV (2 * CAST(__na AS DECIMAL(38,0)) * __nb)
+             END AS BIGINT)""").as("auc_ppm"),
+        expr("""CAST(CASE WHEN __na = 0 OR __nb = 0 THEN 0 ELSE
+             CAST((CAST(__na + __nb AS DECIMAL(38,0)) * (__na + __nb) * (__na + __nb)
+                   - (__na + __nb) - __ties)
+                  DIV (CAST(__na + __nb AS DECIMAL(38,0)) * (__na + __nb - 1))
+                  AS BIGINT) END AS BIGINT)""").as("__vpart"),
+        expr("""CAST(__r2a - CAST(__na AS DECIMAL(38,0)) * (__na + 1)
+             - CAST(__na AS DECIMAL(38,0)) * __nb AS DECIMAL(38,0))""").as("__d"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("auc_ppm"),
+        expr("""CAST(CASE WHEN n_a = 0 OR n_b = 0 OR __vpart <= 0 THEN 0
+             ELSE __d * __d * 3000
+                  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * __vpart)
+             END AS BIGINT)""").as("z2_milli"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 AND __vpart > 0
+               AND __d * __d * 30000
+                   > CAST(38415 AS DECIMAL(38,0)) * n_a * n_b * __vpart
+             THEN 'different' ELSE 'same' END""").as("verdict"))
+  }
+
+  /**
+   * KRUSKAL–WALLIS H (public '52) — the k-group generalization of
+   * [[mannWhitneyU]]: do the groups' value distributions share a
+   * location? Doubled midranks keep rank sums integral
+   * (`R2_g = Σ_v c_gv·(2·below_v + t_v + 1)`); each group's `R2_g² DIV n_g`
+   * truncates ≤1 identically in both engines (k-bounded total error on a
+   * ~n³ quantity). Tie-corrected H folds the correction into ONE staged
+   * division: `H_c = (3·Σterm − 3n(n+1)²)·(n−1) / ((n³−n) − Σ(t³−t))`,
+   * reported in milli with the 5% verdict against the FROZEN
+   * [[chi2Crit05Milli]] table at df = k−1. All-tied corpora
+   * (denominator 0) report 0/'same'; df > 24 reports 'untested'.
+   * DECIMAL(38,0) staging bounds validity at ~10⁸ rows (documented).
+   *
+   * Scale shape: one (group, value) collapse, one value collapse + the
+   * two-phase prefix sum, one value-keyed equi-join of the two bounded
+   * frames, one k-bounded group aggregate, 1-row report.
+   */
+  def kruskalWallisH(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val gv = df
+      .select(group.cast("string").as("__g"), value.cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val vals = gv.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val ranked = withCumBefore(vals)
+    val perGroup = gv.join(ranked, "__v")
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * (2 * __cb + __t + 1)"))
+          .as("__r2g"))
+    val ties = ranked.agg(
+      coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t + 1)")),
+        lit(0).cast("decimal(38,0)")).as("__ties"))
+    perGroup
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__ng")), lit(0L)).as("n_rows"),
+        // per-group truncated term re-staged through DECIMAL before the
+        // sum: the BIGINT sum of k terms each ~4n²·n_g wraps past ~10⁶
+        // rows, decimal holds to the operator's 10⁸ bound.
+        coalesce(sum(expr(
+          "CAST(__r2g * __r2g DIV CAST(__ng AS DECIMAL(38,0)) AS DECIMAL(38,0))")),
+          lit(0).cast("decimal(38,0)")).as("__term"))
+      .crossJoin(broadcast(ties))
+      .select(col("n_rows"), col("n_groups"),
+        // truncation in Σterm can push the numerator a hair NEGATIVE when
+        // H ≈ 0; clamp BEFORE dividing — Spark DIV truncates toward zero
+        // while DuckDB // floors, so a negative numerator would diverge.
+        expr("""CAST(CASE WHEN CAST(n_rows AS DECIMAL(38,0)) * n_rows * n_rows
+                  - n_rows - __ties <= 0 THEN 0
+             WHEN 3000 * __term
+                  <= CAST(3000 AS DECIMAL(38,0)) * n_rows * (n_rows + 1) * (n_rows + 1)
+             THEN 0
+             ELSE (3000 * __term
+                   - CAST(3000 AS DECIMAL(38,0)) * n_rows * (n_rows + 1) * (n_rows + 1))
+                  * (n_rows - 1)
+                  DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows * n_rows
+                       - n_rows - __ties)
+             END AS BIGINT)""").as("h_milli"),
+        expr(Analytics.chi2CritCaseSql("(n_groups - 1)")).as("__crit"))
+      .select(col("n_rows"), col("n_groups"), col("h_milli"),
+        expr("""CASE WHEN __crit < 0 THEN 'untested'
+             WHEN h_milli > __crit THEN 'different' ELSE 'same' END""")
+          .as("verdict"))
+  }
+
+  /**
+   * WILCOXON SIGNED-RANK (public '45) — the PAIRED location test: over
+   * per-unit differences d, are positives systematically larger-ranked
+   * than negatives? Zero differences drop (the standard reduced-sample
+   * convention, documented); midranks over the value-collapsed |d| keep
+   * the positive rank sum integral when doubled
+   * (`W2⁺ = Σ_v cpos_v·(2·below_v + t_v + 1)`). The tie-corrected
+   * normal-approximation z² = 3·D²/Var48 with D = 2·W2⁺ − n(n+1) and
+   * Var48 = 2n(n+1)(2n+1) − Σ(t³−t), reported in milli, 5% verdict via
+   * the exact inequality `30000·D² > 38415·Var48`. DECIMAL(38,0)
+   * staging; ~10⁸-pair validity bound (documented).
+   *
+   * Scale shape: one |d| collapse, the two-phase prefix sum, one 1-row
+   * aggregate.
+   */
+  def wilcoxonSignedRank(df: DataFrame, left: Column, right: Column): DataFrame = {
+    val vals = df
+      .select((left.cast("long") - right.cast("long")).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+      .select(abs(col("__d")).as("__v"), (col("__d") > 0L).as("__pos"))
+      .groupBy("__v")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+      .withColumn("__t", col("__cp") + col("__cn"))
+    withCumBefore(vals)
+      .agg(coalesce(sum(col("__cp")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__cn")), lit(0L)).as("n_neg"),
+        sum(expr("CAST(__cp AS DECIMAL(38,0)) * (2 * __cb + __t + 1)"))
+          .as("__w2p"),
+        sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t + 1)"))
+          .as("__ties"))
+      .select((col("n_pos") + col("n_neg")).as("n_nonzero"),
+        col("n_pos"), col("n_neg"),
+        expr("CAST(coalesce(__w2p, CAST(0 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("w2_pos"),
+        expr("""CAST(2 * coalesce(__w2p, CAST(0 AS DECIMAL(38,0)))
+             - CAST(n_pos + n_neg AS DECIMAL(38,0)) * (n_pos + n_neg + 1)
+             AS DECIMAL(38,0))""").as("__dd"),
+        expr("""CAST(2 * CAST(n_pos + n_neg AS DECIMAL(38,0))
+               * (n_pos + n_neg + 1) * (2 * (n_pos + n_neg) + 1)
+             - coalesce(__ties, CAST(0 AS DECIMAL(38,0)))
+             AS DECIMAL(38,0))""").as("__var48"))
+      .select(col("n_nonzero"), col("n_pos"), col("n_neg"), col("w2_pos"),
+        expr("""CAST(CASE WHEN n_nonzero = 0 OR __var48 <= 0 THEN 0
+             ELSE __dd * __dd * 3000 DIV __var48 END AS BIGINT)""")
+          .as("z2_milli"),
+        expr("""CASE WHEN n_nonzero > 0 AND __var48 > 0
+               AND __dd * __dd * 30000 > 38415 * __var48
+             THEN 'different' ELSE 'same' END""").as("verdict"))
+  }
+
+  /**
+   * CRAMÉR's V effect size (public '46) — the 1-row companion of
+   * [[chiSquareAudit]]: HOW STRONG is the association the per-cell audit
+   * localizes? `φ² = χ²/N`, `V² = φ²/min(r−1, c−1)` — reported SQUARED in
+   * ppm (monotone in V; avoids a cross-engine sqrt), with χ² in milli
+   * and the 5% independence verdict against [[chi2Crit05Milli]] at
+   * df = (r−1)(c−1) (df > 24 → 'untested'). Observed cells contribute
+   * the audit's exact floored terms; cells ABSENT from the contingency
+   * frame (O = 0, which a groupBy never materializes) contribute their
+   * full expected mass via the closed form Σ_absent E = (N² − Σ_obs
+   * RT·CT)/N — so χ² is exact for SPARSE tables too, where the audit
+   * alone would understate it.
+   *
+   * Scale shape: one contingency collapse, broadcast marginals, a
+   * cell-bounded 1-row aggregate.
+   */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val aTot = cells.groupBy(aCol).agg(sum(col("observed")).as("__rt"))
+    val bTot = cells.groupBy(bCol).agg(sum(col("observed")).as("__ct"))
+    val nTot = cells.agg(coalesce(sum(col("observed")), lit(0L)).as("__n"))
+    cells
+      .join(broadcast(aTot), aCol).join(broadcast(bTot), bCol)
+      .crossJoin(broadcast(nTot))
+      .agg(countDistinct(col(aCol)).as("n_a_levels"),
+        countDistinct(col(bCol)).as("n_b_levels"),
+        max(col("__n")).as("n_rows"),
+        coalesce(sum(expr("""CAST(
+            (CAST(observed AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+          * (CAST(observed AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+          * 1000000
+          DIV (CAST(__n AS DECIMAL(38,0)) * __rt * __ct) AS DECIMAL(38,0))""")),
+          lit(0).cast("decimal(38,0)")).as("__chiobs"),
+        coalesce(sum(expr("CAST(__rt AS DECIMAL(38,0)) * __ct")),
+          lit(0).cast("decimal(38,0)")).as("__sume"))
+      .select(coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_a_levels"), col("n_b_levels"),
+        expr("""__chiobs + CASE WHEN n_rows IS NULL OR n_rows = 0
+             THEN CAST(0 AS DECIMAL(38,0))
+             ELSE (CAST(n_rows AS DECIMAL(38,0)) * n_rows - __sume) * 1000000
+                  DIV n_rows END""").as("__chi2micro"))
+      .select(col("n_rows"), col("n_a_levels"), col("n_b_levels"),
+        expr("__chi2micro DIV 1000").as("chi2_milli"),
+        expr("""CAST(CASE WHEN n_rows = 0 THEN 0
+             ELSE __chi2micro DIV n_rows END AS BIGINT)""").as("phi2_ppm"),
+        expr("""CAST(CASE WHEN n_rows = 0
+                  OR least(n_a_levels, n_b_levels) <= 1 THEN 0
+             ELSE __chi2micro DIV n_rows
+                  DIV least(n_a_levels - 1, n_b_levels - 1)
+             END AS BIGINT)""").as("v2_ppm"),
+        expr(Analytics.chi2CritCaseSql(
+          "((n_a_levels - 1) * (n_b_levels - 1))")).as("__crit"))
+      .select(col("n_rows"), col("n_a_levels"), col("n_b_levels"),
+        col("chi2_milli"), col("phi2_ppm"), col("v2_ppm"),
+        expr("""CASE WHEN __crit < 0 THEN 'untested'
+             WHEN chi2_milli > __crit THEN 'associated' ELSE 'independent' END""")
+          .as("verdict"))
+  }
 }

@@ -98,6 +98,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(text)
 
   /**
+   * Integer-milli "P(English)" score: 50 + 150 per 'the'/'a' TOKEN
+   * occurrence, capped at 950 — a deliberately imperfect probabilistic
+   * classifier (both markers bleed into every language of this corpus)
+   * whose miscalibration is exactly what the x597 reliability table and
+   * x598 ROC-AUC exist to measure. Integer-exact, token-equality-based
+   * (never substring — 'the' inside a longer word must not count), and
+   * SQL-expressible for the oracle. Row-local; runs map-side at any
+   * scale.
+   */
+  def enScoreMilli(text: Column): Column =
+    least(lit(950L), lit(50L) + lit(150L) *
+      size(filter(split(text, " ", -1),
+        x => x === "the" || x === "a")).cast("long"))
+
+  /**
    * Sliding-window document chunking — the training-data prep step that
    * splits long documents into fixed-token windows with overlap
    * (window − stride tokens shared between consecutive chunks). Pure

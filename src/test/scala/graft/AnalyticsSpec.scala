@@ -1809,4 +1809,92 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L, "adjusted difference vanishes when y = x")
     assert(r.getLong(4) == 1000000L, "covariate removes 100% of the variance")
   }
+
+  test("mannWhitneyU: hand-computed midranks with a tie, separated samples, all-tied") {
+    // A={1,2,3}, B={2,4,5}: midranks 1,2.5,4 -> R_A=7.5, 2U_A=3, U=1.5
+    val t = Seq((false, 1L), (false, 2L), (false, 3L),
+      (true, 2L), (true, 4L), (true, 5L)).toDF("b", "v")
+    val r = Analytics.mannWhitneyU(t, col("b"), col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 3L)))
+    assert(r.getLong(3) == 166666L, "auc = 2U*1e6/(2*9)")
+    // T=6, vpart=(216-6-6) DIV 30 = 6; D=-6; z2 = 3000*36/(9*6) = 2000
+    assert(r.getLong(4) == 2000L && r.getString(5) == "same")
+    // fully separated: A=1..10 < B=11..20 -> U_A=0, AUC=0, different
+    val sep = ((1 to 10).map(v => (false, v.toLong))
+      ++ (11 to 20).map(v => (true, v.toLong))).toDF("b", "v")
+    val s = Analytics.mannWhitneyU(sep, col("b"), col("v")).collect().head
+    assert(s.getLong(2) == 0L && s.getLong(3) == 0L)
+    assert(s.getLong(4) == 14285L && s.getString(5) == "different")
+    // every value tied: vpart = 0 -> z2 = 0 / same, U = n1*n2/2
+    val tied = Seq((false, 5L), (false, 5L), (true, 5L), (true, 5L))
+      .toDF("b", "v")
+    val z = Analytics.mannWhitneyU(tied, col("b"), col("v")).collect().head
+    assert(z.getLong(2) == 4L, "2U = n1*n2 at full tie")
+    assert(z.getLong(3) == 500000L && z.getLong(4) == 0L
+      && z.getString(5) == "same")
+  }
+
+  test("kruskalWallisH: hand-computed 3-group H, strong separation, tie-degenerate, df>24") {
+    // a={1,2} b={3,4} c={5,6}: H = 4.571...; df=2 crit 5991 -> same
+    val t = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L),
+      ("c", 6L)).toDF("g", "v")
+    val r = Analytics.kruskalWallisH(t, col("g"), col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 3L)))
+    assert(r.getLong(2) == 4571L && r.getString(3) == "same")
+    // 5 per group, fully separated: H = 12.5 > 5.991 -> different
+    val sep = ((1 to 5).map(v => ("a", v.toLong))
+      ++ (101 to 105).map(v => ("b", v.toLong))
+      ++ (201 to 205).map(v => ("c", v.toLong))).toDF("g", "v")
+    val s = Analytics.kruskalWallisH(sep, col("g"), col("v")).collect().head
+    assert(s.getLong(2) == 12500L && s.getString(3) == "different")
+    // all values identical: tie term swallows the variance -> 0 / same
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L)).toDF("g", "v")
+    val z = Analytics.kruskalWallisH(tied, col("g"), col("v")).collect().head
+    assert(z.getLong(2) == 0L && z.getString(3) == "same")
+    // 26 groups: df 25 outside the frozen table -> 'untested'
+    val many = (0 until 26).map(i => (s"g$i", i.toLong)).toDF("g", "v")
+    val m = Analytics.kruskalWallisH(many, col("g"), col("v")).collect().head
+    assert(m.getLong(1) == 26L && m.getString(3) == "untested")
+  }
+
+  test("wilcoxonSignedRank: hand-computed signed midranks, strong positive run, zero-only") {
+    // d = {+2,-1,+3,-1,+2}: |d| midranks (1.5,1.5),(3.5,3.5),(5);
+    // W+ = 12 -> W2+=24, D=18, Var48=648, z2 = 3000*324/648 = 1500
+    val t = Seq((3L, 1L), (1L, 2L), (4L, 1L), (2L, 3L), (5L, 3L))
+      .toDF("l", "r")
+    val r = Analytics.wilcoxonSignedRank(t, col("l"), col("r")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 2L)))
+    assert(r.getLong(3) == 24L)
+    assert(r.getLong(4) == 1500L && r.getString(5) == "same")
+    // 12 strictly positive distinct d: z2 = 9360 -> different
+    val pos = (1 to 12).map(i => (100L + i, 100L)).toDF("l", "r")
+    val p = Analytics.wilcoxonSignedRank(pos, col("l"), col("r"))
+      .collect().head
+    assert((p.getLong(1), p.getLong(2)) == ((12L, 0L)))
+    assert(p.getLong(4) == 9360L && p.getString(5) == "different")
+    // all-zero differences drop: explicit 0 / same, not NULL
+    val zero = Seq((5L, 5L), (7L, 7L)).toDF("l", "r")
+    val z = Analytics.wilcoxonSignedRank(zero, col("l"), col("r"))
+      .collect().head
+    assert(z.getLong(0) == 0L && z.getLong(4) == 0L
+      && z.getString(5) == "same")
+  }
+
+  test("cramersV: perfect sparse 2x2 includes absent-cell mass; independent table reads 0") {
+    // (a,x)*5, (b,y)*5: observed cells give chi2=5, the two ABSENT cells
+    // carry (0-2.5)^2/2.5 = 2.5 each -> chi2 = N = 10, V^2 = 1
+    val t = ((1 to 5).map(_ => ("a", "x")) ++ (1 to 5).map(_ => ("b", "y")))
+      .toDF("u", "w")
+    val r = Analytics.cramersV(t, "u", "w").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 2L, 2L)))
+    assert(r.getLong(3) == 10000L, "chi2 = N for a perfect 2x2")
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L)
+    assert(r.getString(6) == "associated", "10 > 3.841 at df 1")
+    // perfectly independent dense 2x2 (equal cells): chi2 = 0
+    val ind = (for { u <- Seq("a", "b"); w <- Seq("x", "y"); _ <- 1 to 3 }
+      yield (u, w)).toDF("u", "w")
+    val i = Analytics.cramersV(ind, "u", "w").collect().head
+    assert(i.getLong(3) == 0L && i.getLong(5) == 0L)
+    assert(i.getString(6) == "independent")
+  }
 }

@@ -884,6 +884,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores(0) > scores(1)) // real sentence beats one char
   }
 
+  test("enScoreMilli: token-equality marker count, 150-milli steps, 950 cap") {
+    val df = Seq(
+      "no markers here",            // 0 hits -> 50
+      "the table",                  // 1 -> 200
+      "a the theme attack",         // 2 ('theme'/'attack' must NOT count) -> 350
+      "the a the a the a the a")    // 8 hits -> capped 950
+      .toDF("text")
+    val out = df.select(graft.operators.TextAnalysis.enScoreMilli(col("text")))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(50L, 200L, 350L, 950L))
+  }
+
   test("lang id marker precedence") {
     val df = Seq("das ist der hammer", "le chat et la table", "nothing special")
       .toDF("text")
