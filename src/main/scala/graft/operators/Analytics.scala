@@ -4539,10 +4539,13 @@ object Analytics {
    * [[BoundedGlobalWindow]] and k* is a 1-row broadcast.
    */
   def benjaminiHochberg(tests: DataFrame, keyCol: String, pPpmCol: String,
-      alphaPpm: Long = 50000L): DataFrame = {
+      alphaPpm: Long = 50000L, carryCols: Seq[String] = Nil): DataFrame = {
     require(alphaPpm > 0 && alphaPpm < 1000000L, s"alphaPpm $alphaPpm outside (0, 1e6)")
-    val t = tests.select(col(keyCol).cast("string").as("__k"),
-        col(pPpmCol).cast("long").as("__p"))
+    // carryCols ride through untouched (e.g. Dunn's z²), so a caller
+    // never needs a second pass over `tests` to re-attach context.
+    val t = tests.select(col(keyCol).cast("string").as("__k") +:
+        col(pPpmCol).cast("long").as("__p") +:
+        carryCols.map(col): _*)
       .filter(col("__k").isNotNull && col("__p").isNotNull)
     val ranked = t.withColumn("__i",
         row_number().over(BoundedGlobalWindow.orderBy(col("__p"), col("__k")))
@@ -4552,10 +4555,11 @@ object Analytics {
       .agg(coalesce(max(when(col("__p") * col("__m") <= col("__i") * alphaPpm,
         col("__i"))), lit(0L)).as("__kstar"))
     ranked.crossJoin(broadcast(kstar))
-      .select(col("__k").as(keyCol), col("__p").as("p_ppm"),
-        col("__i").as("p_rank"), col("__m").as("n_tests"),
-        expr(s"__i * $alphaPpm DIV __m").as("bh_bar_ppm"),
-        (col("__i") <= col("__kstar")).cast("int").as("rejected"))
+      .select(col("__k").as(keyCol) +: carryCols.map(col) :+
+        col("__p").as("p_ppm") :+
+        col("__i").as("p_rank") :+ col("__m").as("n_tests") :+
+        expr(s"__i * $alphaPpm DIV __m").as("bh_bar_ppm") :+
+        (col("__i") <= col("__kstar")).cast("int").as("rejected"): _*)
       .orderBy("p_rank", keyCol)
   }
 
@@ -4662,6 +4666,36 @@ object Analytics {
   }
 
   /**
+   * Shared pooled-midrank staging for the k-group rank tests
+   * ([[kruskalWallisH]], [[dunnPosthoc]]): value-collapse per (group,
+   * value), pool per value, two-phase prefix sum, then per-group doubled
+   * rank sums `R2_g = Σ_v c_gv·(2·below_v + t_v + 1)` and the pooled tie
+   * term `Σ(t³−t)` as a 1-row frame to broadcast.
+   */
+  private def pooledGroupRankSums(df: DataFrame, group: Column,
+      value: Column): (DataFrame, DataFrame) = {
+    // NOTE on reuse: the bounded frames here feed several downstream
+    // branches; Spark's ReusedExchange dedupes the corpus collapse
+    // across them, and measured at sf0.1 adding .cache() barriers COST
+    // ~1.4 s (broken codegen pipelines) — so no caching here.
+    val gv = df
+      .select(group.cast("string").as("__g"), value.cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val vals = gv.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val ranked = withCumBefore(vals)
+    val perGroup = gv.join(ranked, "__v")
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * (2 * __cb + __t + 1)"))
+          .as("__r2g"))
+    val ties = ranked.agg(
+      coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t + 1)")),
+        lit(0).cast("decimal(38,0)")).as("__ties"))
+    (perGroup, ties)
+  }
+
+  /**
    * KRUSKAL–WALLIS H (public '52) — the k-group generalization of
    * [[mannWhitneyU]]: do the groups' value distributions share a
    * location? Doubled midranks keep rank sums integral
@@ -4679,20 +4713,7 @@ object Analytics {
    * frames, one k-bounded group aggregate, 1-row report.
    */
   def kruskalWallisH(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val gv = df
-      .select(group.cast("string").as("__g"), value.cast("long").as("__v"))
-      .filter(col("__g").isNotNull && col("__v").isNotNull)
-      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
-    val vals = gv.groupBy("__v").agg(sum(col("__c")).as("__t"))
-    val ranked = withCumBefore(vals)
-    val perGroup = gv.join(ranked, "__v")
-      .groupBy("__g")
-      .agg(sum(col("__c")).as("__ng"),
-        sum(expr("CAST(__c AS DECIMAL(38,0)) * (2 * __cb + __t + 1)"))
-          .as("__r2g"))
-    val ties = ranked.agg(
-      coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t + 1)")),
-        lit(0).cast("decimal(38,0)")).as("__ties"))
+    val (perGroup, ties) = pooledGroupRankSums(df, group, value)
     perGroup
       .agg(count(lit(1)).as("n_groups"),
         coalesce(sum(col("__ng")), lit(0L)).as("n_rows"),
@@ -4835,5 +4856,132 @@ object Analytics {
         expr("""CASE WHEN __crit < 0 THEN 'untested'
              WHEN chi2_milli > __crit THEN 'associated' ELSE 'independent' END""")
           .as("verdict"))
+  }
+
+  /**
+   * FRIEDMAN test (public '37) + Kendall's W — do k treatments rank
+   * consistently across b blocks? The within-block design removes the
+   * block effect the pooled [[kruskalWallisH]] would confound. Input is
+   * one CELL per (block, treatment); incomplete blocks (any treatment
+   * missing or duplicated) drop — the standard complete-block
+   * requirement, enforced exactly. Within-block doubled midranks come
+   * from two k-BOUNDED windows (`2r = 2·min_rank + ties − 1`); the
+   * tie-corrected statistic is all-integer by the doubled-rank identity
+   * `χ²_F = (k−1)·Σ_j(R2_j − b(k+1))² / (A4 − C4)` with
+   * `A4 = Σ(2r)²`, `C4 = b·k·(k+1)²` (at full within-block ties
+   * A4 = C4 → 0/'same'); Kendall's concordance W = χ²_F/(b(k−1)) =
+   * Σd²/((A4−C4)·b), reported in ppm. 5% verdict against the frozen
+   * [[chi2Crit05Milli]] table at df = k−1.
+   *
+   * Scale shape: one (block, treatment) cell frame, two per-block
+   * bounded windows, one k-bounded treatment aggregate, 1-row report.
+   * Moments ride DECIMAL(38,0).
+   */
+  def friedmanTest(cells: DataFrame, blockCol: String, treatCol: String,
+      value: Column): DataFrame = {
+    val base = cells.select(col(blockCol).cast("string").as("__b"),
+        col(treatCol).cast("string").as("__t"), value.cast("long").as("__v"))
+      .filter(col("__b").isNotNull && col("__t").isNotNull
+        && col("__v").isNotNull)
+    val kTot = base.agg(countDistinct(col("__t")).as("__k"))
+    val blockSize = base.groupBy("__b")
+      .agg(count(lit(1)).as("__bn"), countDistinct(col("__t")).as("__bk"))
+    val complete = base
+      .join(blockSize, "__b")
+      .crossJoin(broadcast(kTot))
+      .filter(col("__bn") === col("__k") && col("__bk") === col("__k"))
+    val wB = Window.partitionBy("__b").orderBy("__v")
+    val ranked = complete
+      .withColumn("__minrk", rank().over(wB).cast("long"))
+      .withColumn("__tie",
+        count(lit(1)).over(Window.partitionBy("__b", "__v")).cast("long"))
+      .withColumn("__r2", lit(2L) * col("__minrk") + col("__tie") - 1L)
+    val a4 = ranked.agg(
+      coalesce(sum(expr("CAST(__r2 AS DECIMAL(38,0)) * __r2")),
+        lit(0).cast("decimal(38,0)")).as("__a4"))
+    ranked.groupBy("__t")
+      .agg(sum(col("__r2")).as("__r2j"), count(lit(1)).as("__bj"))
+      .agg(count(lit(1)).as("n_treatments"),
+        coalesce(max(col("__bj")), lit(0L)).as("n_blocks"),
+        coalesce(sum(expr("CAST(__r2j AS DECIMAL(38,0)) * __r2j")),
+          lit(0).cast("decimal(38,0)")).as("__s2"))
+      .crossJoin(broadcast(a4))
+      .select(col("n_blocks"), col("n_treatments"),
+        // Σd² = ΣR2j² − k·(b(k+1))² since ΣR2j = b·k·(k+1) exactly on
+        // complete blocks; den = A4 − C4
+        expr("""CAST(__s2 - CAST(n_treatments AS DECIMAL(38,0))
+             * (CAST(n_blocks AS DECIMAL(38,0)) * (n_treatments + 1))
+             * (CAST(n_blocks AS DECIMAL(38,0)) * (n_treatments + 1))
+             AS DECIMAL(38,0))""").as("__sumd2"),
+        expr("""CAST(__a4 - CAST(n_blocks AS DECIMAL(38,0)) * n_treatments
+             * (n_treatments + 1) * (n_treatments + 1)
+             AS DECIMAL(38,0))""").as("__den"))
+      .select(col("n_blocks"), col("n_treatments"),
+        expr("""CAST(CASE WHEN __den <= 0 OR __sumd2 <= 0 THEN 0
+             ELSE 1000 * (n_treatments - 1) * __sumd2 DIV __den
+             END AS BIGINT)""").as("chi2_milli"),
+        expr("""CAST(CASE WHEN __den <= 0 OR __sumd2 <= 0 OR n_blocks = 0
+             THEN 0
+             ELSE 1000000 * __sumd2 DIV (__den * n_blocks)
+             END AS BIGINT)""").as("kendall_w_ppm"),
+        expr(Analytics.chi2CritCaseSql("(n_treatments - 1)")).as("__crit"))
+      .select(col("n_blocks"), col("n_treatments"), col("chi2_milli"),
+        col("kendall_w_ppm"),
+        expr("""CASE WHEN n_treatments <= 1 OR __crit < 0 THEN 'untested'
+             WHEN chi2_milli > __crit THEN 'different' ELSE 'same' END""")
+          .as("verdict"))
+  }
+
+  /**
+   * DUNN's post-hoc pairwise test (public '64) with a Benjamini–Hochberg
+   * gate — [[kruskalWallisH]] says the groups differ; this says WHICH
+   * pairs, from the SAME pooled midranks (never re-ranking per pair, the
+   * textbook requirement). Per pair: truncated doubled mean ranks
+   * `m2_g = R2_g DIV n_g` (≤½-rank deterministic truncation, identical
+   * in both engines), the tie-corrected
+   * `z²_ij = 3(n−1)·(m2_i−m2_j)²·n_i·n_j / ((n_i+n_j)·((n³−n)−Σ(t³−t)))`
+   * in milli, the distribution-free Chebyshev bound p ≤ 1/z² (ppm,
+   * capped — conservative by construction, so a rejection is a
+   * certificate), then [[benjaminiHochberg]] across all k(k−1)/2 pairs.
+   * DECIMAL(38,0) staging; ~10⁶-row validity bound per the z² numerator
+   * (documented — past it the Chebyshev p floors at 0 anyway).
+   *
+   * Scale shape: the pooled-rank staging (one corpus collapse), a
+   * broadcast k²-bounded pair join, a |pairs|-bounded BH window.
+   */
+  def dunnPosthoc(df: DataFrame, group: Column, value: Column,
+      alphaPpm: Long = 50000L): DataFrame = {
+    // the k-ROW aggregated frame is consumed by three branches (means,
+    // broadcast pair side, totals); caching it keeps the corpus-scale
+    // pooled-rank staging to one pass while costing one tiny
+    // materialization (KW's single-consumer path stays uncached).
+    val (perGroup0, ties) = pooledGroupRankSums(df, group, value)
+    val perGroup = perGroup0.cache()
+    val means = perGroup.select(col("__g"), col("__ng"),
+      expr("__r2g DIV CAST(__ng AS DECIMAL(38,0))").as("__m2"))
+    val tot = perGroup.agg(coalesce(sum(col("__ng")), lit(0L)).as("__n"))
+      .crossJoin(broadcast(ties))
+    val pairs = means
+      .join(broadcast(means.select(col("__g").as("__g2"),
+        col("__ng").as("__ng2"), col("__m2").as("__m22"))),
+        col("__g") < col("__g2"))
+      .crossJoin(broadcast(tot))
+      .select(concat(col("__g"), lit("|"), col("__g2")).as("pair"),
+        expr("""CAST(CASE WHEN __n < 2
+               OR CAST(__n AS DECIMAL(38,0)) * __n * __n - __n - __ties <= 0
+             THEN 0
+             ELSE 3000 * (__n - 1)
+               * (CAST(__m2 - __m22 AS DECIMAL(38,0)) * (__m2 - __m22))
+               * __ng * __ng2
+               DIV (CAST(__ng + __ng2 AS DECIMAL(38,0))
+                    * (CAST(__n AS DECIMAL(38,0)) * __n * __n - __n - __ties))
+             END AS BIGINT)""").as("z2_milli"))
+      .select(col("pair"), col("z2_milli"),
+        expr("""CASE WHEN z2_milli <= 0 THEN 1000000
+             ELSE LEAST(1000000, 1000000000 DIV z2_milli) END""")
+          .as("p_ppm"))
+    benjaminiHochberg(pairs, "pair", "p_ppm", alphaPpm,
+        carryCols = Seq("z2_milli"))
+      .orderBy("p_rank", "pair")
   }
 }

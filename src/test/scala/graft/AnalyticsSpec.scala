@@ -1897,4 +1897,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(i.getLong(3) == 0L && i.getLong(5) == 0L)
     assert(i.getString(6) == "independent")
   }
+
+  test("friedmanTest: perfect concordance, a reversal, within-block ties, incomplete blocks drop") {
+    // 3 blocks all ranking t1<t2<t3: chi2 = b(k-1) = 6 (> 5.991), W = 1
+    val perfect = (for { b <- 1 to 3; (t, v) <- Seq(("t1", 1L), ("t2", 2L),
+      ("t3", 3L)) } yield (s"b$b", t, v)).toDF("b", "t", "v")
+    val p = Analytics.friedmanTest(perfect, "b", "t", col("v")).collect().head
+    assert((p.getLong(0), p.getLong(1)) == ((3L, 3L)))
+    assert(p.getLong(2) == 6000L && p.getLong(3) == 1000000L)
+    assert(p.getString(4) == "different")
+    // one block reverses: sumd2 = 8, den = 24 -> chi2 0.666, W = 8/72
+    val mixed = (Seq(("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 3L), ("b2", "t2", 2L), ("b2", "t3", 1L),
+      ("b3", "t1", 1L), ("b3", "t2", 2L), ("b3", "t3", 3L)))
+      .toDF("b", "t", "v")
+    val m = Analytics.friedmanTest(mixed, "b", "t", col("v")).collect().head
+    assert(m.getLong(2) == 666L && m.getLong(3) == 111111L)
+    assert(m.getString(4) == "same")
+    // an incomplete block (missing t3) must drop, leaving `perfect`
+    val extra = perfect.union(Seq(("b4", "t1", 9L), ("b4", "t2", 1L))
+      .toDF("b", "t", "v"))
+    val e = Analytics.friedmanTest(extra, "b", "t", col("v")).collect().head
+    assert(e.getLong(0) == 3L && e.getLong(2) == 6000L)
+    // fully tied within every block: den = 0 -> explicit 0 / same
+    val tied = (for { b <- 1 to 2; t <- Seq("t1", "t2", "t3") }
+      yield (s"b$b", t, 5L)).toDF("b", "t", "v")
+    val z = Analytics.friedmanTest(tied, "b", "t", col("v")).collect().head
+    assert(z.getLong(2) == 0L && z.getLong(3) == 0L && z.getString(4) == "same")
+  }
+
+  test("dunnPosthoc: pooled-midrank pairwise z2, Chebyshev p, BH ordering") {
+    // a={1,2}, b={3,4}: m2 = 3 vs 7, vd = 60 -> z2 = 2400 milli,
+    // p = 1e9 DIV 2400 = 416666 > alpha -> not rejected
+    val two = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Analytics.dunnPosthoc(two, col("g"), col("v")).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "a|b" && r.head.getLong(1) == 2400L)
+    assert(r.head.getLong(2) == 416666L && r.head.getInt(6) == 0)
+    // three groups: widest rank gap (a|c) ranks first; the tied pair
+    // p-values order alphabetically (a|b before b|c)
+    val three = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 100L), ("c", 200L)).toDF("g", "v")
+    val r3 = Analytics.dunnPosthoc(three, col("g"), col("v")).collect()
+    assert(r3.map(_.getString(0)).toSeq == Seq("a|c", "a|b", "b|c"))
+    assert(r3.head.getLong(1) == 4571L)
+    assert(r3.map(_.getLong(4)).toSet == Set(3L), "n_tests = 3 pairs")
+  }
 }
