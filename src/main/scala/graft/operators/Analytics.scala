@@ -4886,8 +4886,10 @@ object Analytics {
     val kTot = base.agg(countDistinct(col("__t")).as("__k"))
     val blockSize = base.groupBy("__b")
       .agg(count(lit(1)).as("__bn"), countDistinct(col("__t")).as("__bk"))
+    // blockSize is |blocks|-bounded but post-aggregation (no size stats),
+    // so Spark would fall back to a sort-merge join — broadcast it.
     val complete = base
-      .join(blockSize, "__b")
+      .join(broadcast(blockSize), "__b")
       .crossJoin(broadcast(kTot))
       .filter(col("__bn") === col("__k") && col("__bk") === col("__k"))
     val wB = Window.partitionBy("__b").orderBy("__v")

@@ -821,4 +821,72 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p.head <= p.last))
     assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p.head <= p.last))
   }
+
+  test("mannWhitneyU: arm-flip identity 2U_A + 2U_B = 2*nA*nB; z2/verdict flip-invariant; split-invariant") {
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 500).map(_ =>
+      (rnd.nextBoolean(), rnd.nextInt(40).toLong)).toDF("b", "v")
+    def run(d: org.apache.spark.sql.DataFrame, flip: Boolean) =
+      Analytics.mannWhitneyU(d, if (flip) !col("b") else col("b"), col("v"))
+        .collect().head
+    val a = run(df, flip = false)
+    val b = run(df, flip = true)
+    // U_A + U_B = n_A*n_B exactly (midranks partition the rank mass)
+    assert(a.getLong(2) + b.getLong(2) == 2L * a.getLong(0) * a.getLong(1),
+      s"rank-mass identity broke: $a vs $b")
+    // D only flips sign: z2 and the verdict must match exactly
+    assert(a.getLong(4) == b.getLong(4) && a.getString(5) == b.getString(5))
+    // the two-phase prefix sum must not depend on physical splits
+    val c = run(df.repartition(7), flip = false)
+    assert(a.toSeq == c.toSeq, s"partitioning changed the answer: $a vs $c")
+  }
+
+  test("kruskalWallisH and friedmanTest: invariant under strictly increasing affine value maps") {
+    val rnd = new scala.util.Random(37)
+    val kw = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(30).toLong)).toDF("g", "v")
+    val k1 = Analytics.kruskalWallisH(kw, col("g"), col("v")).collect().head
+    val k2 = Analytics.kruskalWallisH(kw, col("g"), col("v") * 7L + 3L)
+      .collect().head
+    assert(k1.toSeq == k2.toSeq, "ranks ignore monotone rescaling")
+    val fr = (for { b <- 0 until 8; t <- 0 until 4 }
+      yield (s"b$b", s"t$t", rnd.nextInt(20).toLong)).toDF("b", "t", "v")
+    val f1 = Analytics.friedmanTest(fr, "b", "t", col("v")).collect().head
+    val f2 = Analytics.friedmanTest(fr, "b", "t", col("v") * 5L + 11L)
+      .collect().head
+    assert(f1.toSeq == f2.toSeq, "within-block ranks ignore monotone rescaling")
+  }
+
+  test("wilcoxonSignedRank: swap antisymmetry W2+(l,r) + W2+(r,l) = n(n+1); z2 swap-invariant") {
+    val rnd = new scala.util.Random(41)
+    val df = (0 until 300).map(_ =>
+      (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)).toDF("l", "r")
+    val a = Analytics.wilcoxonSignedRank(df, col("l"), col("r")).collect().head
+    val b = Analytics.wilcoxonSignedRank(df, col("r"), col("l")).collect().head
+    val n = a.getLong(0)
+    assert(b.getLong(0) == n && a.getLong(1) == b.getLong(2)
+      && a.getLong(2) == b.getLong(1), "swap exchanges the sign counts")
+    assert(a.getLong(3) + b.getLong(3) == n * (n + 1),
+      "doubled midranks partition the |d| rank mass")
+    assert(a.getLong(4) == b.getLong(4) && a.getString(5) == b.getString(5))
+  }
+
+  test("dunnPosthoc: k(k-1)/2 pairs, every group in k-1 of them, BH rejection downward-closed") {
+    val rnd = new scala.util.Random(43)
+    val k = 6
+    val df = (0 until 600).map(_ => {
+      val g = rnd.nextInt(k)
+      (s"g$g", (rnd.nextInt(25) + 10 * g).toLong) // shifted -> some rejections
+    }).toDF("g", "v")
+    val rows = Analytics.dunnPosthoc(df, col("g"), col("v")).collect()
+    assert(rows.length == k * (k - 1) / 2)
+    val appearances = rows.flatMap(r => r.getString(0).split('|'))
+      .groupBy(identity).map(_._2.length)
+    assert(appearances.forall(_ == k - 1), "each group pairs with all others")
+    // BH step-up: the rejected set is exactly ranks 1..k*
+    val byRank = rows.sortBy(_.getLong(3)).map(_.getInt(6))
+    assert(byRank.sameElements(byRank.sorted.reverse),
+      "rejections must be a prefix of the p-rank order")
+    assert(byRank.sum > 0, "shifted groups must produce at least one rejection")
+  }
 }

@@ -939,4 +939,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"expected checkpointed-matrix scans:\n$p")
   }
+
+  test("x593: rank machinery is two-phase — range repartition, bounded single-partition work only") {
+    val p = plan("x593_mann_whitney_u")
+    assert(p.contains("rangepartitioning"),
+      s"two-phase prefix sum needs the range repartition:\n$p")
+    // exactly two SinglePartition exchanges: the partition-count-bounded
+    // offsets window and the final 1-row aggregate — never the corpus
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 2,
+      s"only the bounded offsets + 1-row agg may single-partition:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offsets join must broadcast:\n$p")
+  }
+
+  test("x599: friedman joins broadcast; ranks ride block-partitioned windows") {
+    val p = plan("x599_friedman_kendall_w")
+    assert(!p.contains("SortMergeJoin"),
+      s"block-size and fact joins must broadcast at this SF:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    // both rank windows are partitioned by block (never a bare global)
+    assert(p.contains("windowspecdefinition(__b"),
+      s"windows must partition by block:\n$p")
+  }
+
+  test("x600: dunn pair join is a broadcast NLJ over k rows; staging never sort-merges") {
+    val p = plan("x600_dunn_posthoc_bh")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the g<g2 pair join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge anywhere:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"pooled ranks come from the two-phase prefix sum:\n$p")
+  }
 }
