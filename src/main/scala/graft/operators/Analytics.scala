@@ -4935,6 +4935,60 @@ object Analytics {
   }
 
   /**
+   * COCHRAN–ARMITAGE trend test (public '54/'55) — do the positive-class
+   * proportions RISE (or fall) monotonically with an ordered integer
+   * score? The dose–response complement of [[chiSquareAudit]]'s
+   * any-association view: a chi-square can fire on a zig-zag, this fires
+   * only on a trend, with the trend DIRECTION in the sign of the
+   * statistic. All map-side integer moments — n, R = Σy, W₁ = Σw,
+   * W₂ = Σw², T = Σw·y — then the classic
+   * `z² = (n·T − R·W₁)²·(n−1) / (R·(n−R)·(n·W₂ − W₁²))` in milli with
+   * the 5% χ²₁ verdict by exact cross-multiplied inequality. Degenerate
+   * inputs (all/no positives, single score level) report 0/'none'
+   * explicitly. DECIMAL(38,0) staging; numerator ~w²·n⁵ bounds validity
+   * at ~10⁶ rows per test for w ≤ ~10 (documented; beyond, the verdict
+   * saturates).
+   *
+   * Scale shape: one corpus scan collapsing to a 1-row moment aggregate
+   * — nothing keyed, nothing joined.
+   */
+  def cochranArmitageTrend(df: DataFrame, weight: Column,
+      positive: Column): DataFrame = {
+    val flags = df
+      .select(weight.cast("long").as("__w"),
+        positive.cast("boolean").cast("long").as("__y"))
+      .filter(col("__w").isNotNull && col("__y").isNotNull)
+    flags
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
+        countDistinct(col("__w")).as("n_levels"),
+        sum(col("__w")).as("__w1"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __w")).as("__w2"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __y")).as("__t"))
+      .select(col("n_rows"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        col("n_levels"),
+        expr("""CAST(CAST(n_rows AS DECIMAL(38,0)) * __t
+             - CAST(n_pos AS DECIMAL(38,0)) * __w1 AS DECIMAL(38,0))""")
+          .as("__num"),
+        expr("""CAST(CAST(n_pos AS DECIMAL(38,0)) * (n_rows - n_pos)
+             * (CAST(n_rows AS DECIMAL(38,0)) * __w2
+                - CAST(__w1 AS DECIMAL(38,0)) * __w1)
+             AS DECIMAL(38,0))""").as("__den"))
+      .select(col("n_rows"), col("n_pos"), col("n_levels"),
+        expr("CAST(coalesce(__num, CAST(0 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("trend_num"),
+        expr("""CAST(CASE WHEN __den IS NULL OR __den <= 0 OR n_rows < 2
+             THEN 0
+             ELSE __num * __num * 1000 * (n_rows - 1) DIV __den
+             END AS BIGINT)""").as("z2_milli"),
+        expr("""CASE
+             WHEN __den IS NULL OR __den <= 0 OR n_rows < 2 THEN 'none'
+             WHEN __num * __num * 10000 * (n_rows - 1)
+                  > CAST(38415 AS DECIMAL(38,0)) * __den
+             THEN CASE WHEN __num > 0 THEN 'rising' ELSE 'falling' END
+             ELSE 'none' END""").as("verdict"))
+  }
+
+  /**
    * DUNN's post-hoc pairwise test (public '64) with a Benjamini–Hochberg
    * gate — [[kruskalWallisH]] says the groups differ; this says WHICH
    * pairs, from the SAME pooled midranks (never re-ranking per pair, the

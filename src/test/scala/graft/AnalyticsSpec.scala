@@ -1943,4 +1943,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r3.head.getLong(1) == 4571L)
     assert(r3.map(_.getLong(4)).toSet == Set(3L), "n_tests = 3 pairs")
   }
+
+  test("cochranArmitageTrend: rising/falling/flat hand cases and degenerate single level") {
+    // rates 1/10, 5/10, 9/10 over w = 0,1,2: num = 240, den = 135000,
+    // z2 = 240^2*1000*29/135000 = 12373 -> rising
+    def bin(w: Long, pos: Int, neg: Int) =
+      Seq.fill(pos)((w, true)) ++ Seq.fill(neg)((w, false))
+    val rising = (bin(0L, 1, 9) ++ bin(1L, 5, 5) ++ bin(2L, 9, 1))
+      .toDF("w", "y")
+    val r = Analytics.cochranArmitageTrend(rising, col("w"), col("y"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((30L, 15L, 3L)))
+    assert(r.getLong(3) == 240L && r.getLong(4) == 12373L)
+    assert(r.getString(5) == "rising")
+    val falling = (bin(0L, 9, 1) ++ bin(1L, 5, 5) ++ bin(2L, 1, 9))
+      .toDF("w", "y")
+    val f = Analytics.cochranArmitageTrend(falling, col("w"), col("y"))
+      .collect().head
+    assert(f.getLong(3) == -240L && f.getString(5) == "falling")
+    // flat rates: numerator exactly 0 -> 'none'
+    val flat = (bin(0L, 5, 5) ++ bin(1L, 5, 5) ++ bin(2L, 5, 5)).toDF("w", "y")
+    val z = Analytics.cochranArmitageTrend(flat, col("w"), col("y"))
+      .collect().head
+    assert(z.getLong(3) == 0L && z.getLong(4) == 0L && z.getString(5) == "none")
+    // one score level: den = 0 -> explicit 'none', not NULL
+    val one = bin(3L, 4, 4).toDF("w", "y")
+    val o = Analytics.cochranArmitageTrend(one, col("w"), col("y"))
+      .collect().head
+    assert(o.getLong(4) == 0L && o.getString(5) == "none")
+  }
 }
