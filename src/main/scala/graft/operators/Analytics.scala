@@ -4717,11 +4717,16 @@ object Analytics {
     perGroup
       .agg(count(lit(1)).as("n_groups"),
         coalesce(sum(col("__ng")), lit(0L)).as("n_rows"),
-        // per-group truncated term re-staged through DECIMAL before the
-        // sum: the BIGINT sum of k terms each ~4n²·n_g wraps past ~10⁶
-        // rows, decimal holds to the operator's 10⁸ bound.
+        // per-group truncated term, floored ENTIRELY in decimal: Spark's
+        // DIV returns BIGINT even on DECIMAL operands, so a quotient
+        // ~4n²·n_g would silently wrap past ~10⁶ pooled rows. Subtracting
+        // pmod first makes the decimal `/` exact (no remainder → no
+        // rounding at the result scale), holding to the operator's 10⁸
+        // bound; __r2g ≥ 0 so floor == truncate, matching DuckDB's `//`.
         coalesce(sum(expr(
-          "CAST(__r2g * __r2g DIV CAST(__ng AS DECIMAL(38,0)) AS DECIMAL(38,0))")),
+          """CAST((__r2g * __r2g - pmod(__r2g * __r2g,
+                 CAST(__ng AS DECIMAL(38,0))))
+               / CAST(__ng AS DECIMAL(38,0)) AS DECIMAL(38,0))""")),
           lit(0).cast("decimal(38,0)")).as("__term"))
       .crossJoin(broadcast(ties))
       .select(col("n_rows"), col("n_groups"),

@@ -51,6 +51,15 @@ object Dedup {
    * injective on shingle triples (words cannot contain the split character),
    * so set arithmetic on hashes equals set arithmetic on shingle strings up
    * to 64-bit collisions (~|shingles|²/2^64).
+   *
+   * PRECONDITION (`distinct = true`): `docs` must carry ONE ROW PER
+   * `idCol`. The dedup is row-local (per-doc `array_distinct` before the
+   * explode — zero exchanges, vs the corpus-wide (doc, shingle) DISTINCT
+   * shuffle it replaced), so a frame with duplicate ids emits each
+   * duplicate row's shingles AGAIN: per-doc set sizes, jaccard and
+   * containment counts downstream all double-count. Collapse duplicate
+   * ids first (e.g. [[exact]] or a groupBy-first) — the divergence is
+   * pinned in `OperatorsSpec` ("shingleHashRows duplicate-id rows").
    */
   def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
                       distinct: Boolean = true): DataFrame = {

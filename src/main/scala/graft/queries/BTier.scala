@@ -85,11 +85,16 @@ object BTier {
       .select("c_custkey").orderBy("c_custkey")
   }
 
-  /** Anti join (NOT EXISTS). */
+  /** Anti join (NOT EXISTS) — against a FILTERED right side (customers
+    * with no 1-URGENT order, the complement of b05's semi) so the result
+    * is non-empty at every SF: every generated customer has *some* order,
+    * so the unfiltered form returned 0 rows and a broken anti-join that
+    * always returned empty would have passed. */
   private val b06: Q = (spark, sfDir) => {
     val c = Tables(spark, sfDir, "customer")
-    val o = Tables(spark, sfDir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    val urgent = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
       .select("c_custkey").orderBy("c_custkey")
   }
 
@@ -1158,7 +1163,8 @@ object BTier {
          |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
     "b06_anti_join" ->
       ("""SELECT c_custkey FROM customer WHERE NOT EXISTS (
-         |SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"""
+         |SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         | AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"""
         .stripMargin.replace("\n", " ")),
     "b07_window_topn" ->
       ("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

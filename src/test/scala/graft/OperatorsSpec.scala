@@ -32,6 +32,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("shingleHashRows duplicate-id rows: per-row dedup double-counts (documented precondition)") {
+    // the distinct=true fast path dedups PER ROW (array_distinct before the
+    // explode, zero exchanges) — equivalent to a global (doc, sh) DISTINCT
+    // only when the input has one row per id. This pins the divergence the
+    // scaladoc documents: a duplicate-id frame emits each duplicate row's
+    // shingles again, and collapsing ids first restores the global form.
+    val dup = Seq((1L, base), (1L, base), (2L, base.replace("today", "tomorrow")))
+      .toDF("doc_id", "text")
+    val perRow = Dedup.shingleHashRows(dup, "doc_id", "text", 3)
+    val global = Dedup.shingleHashRows(dup, "doc_id", "text", 3,
+      distinct = false).distinct()
+    val doc1PerRow = perRow.filter(col("doc_id") === 1L).count()
+    val doc1Global = global.filter(col("doc_id") === 1L).count()
+    assert(doc1PerRow == 2 * doc1Global,
+      s"duplicate id must double-count per-doc shingles ($doc1PerRow vs $doc1Global)")
+    // one-row-per-id input (the precondition) ⇒ exact equality with the
+    // global distinct, row for row
+    val collapsed = dup.groupBy("doc_id").agg(first(col("text")).as("text"))
+    val fixedRows = Dedup.shingleHashRows(collapsed, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val globalRows = global
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fixedRows == globalRows)
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
   test("b05/b06: EXISTS/NOT EXISTS plan as semi/anti joins") {
     assert(plan("b05_semi_join").contains("LeftSemi"))
     assert(plan("b06_anti_join").contains("LeftAnti"))
+    // non-vacuity: the anti-join must EXCLUDE something and KEEP something
+    // (every customer has an order, so the unfiltered form was always empty
+    // and a broken anti-join would have passed)
+    val nCustomers = sources.Tables(spark, sf, "customer").count()
+    val nAnti = SparkEntry.queries("b06_anti_join")(spark, sf).count()
+    assert(nAnti > 0, "anti-join result is vacuously empty")
+    assert(nAnti < nCustomers, "anti-join excluded nothing")
   }
 
   test("a03: projection prunes the parquet scan to selected columns") {
