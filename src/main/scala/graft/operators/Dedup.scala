@@ -396,10 +396,21 @@ object Dedup {
    * candidate join's per-key fan-out is minimal by construction — the
    * stopword-grade keys that explode a naive shingle join never enter it.
    *
+   * On top of the prefix bound, candidates pass PPJoin's LENGTH and
+   * POSITIONAL filters before any shingle set is fetched — both still
+   * exact-by-theorem: jaccard ≥ t forces min(|x|,|y|) ≥ t·max(|x|,|y|),
+   * and with r = the EARLIEST rarity rank (1-based) a shared prefix
+   * shingle holds in a doc, every rank before r is unshared, so
+   * overlap ≤ 1 + min(|x|−r_x, |y|−r_y); jaccard ≥ t needs
+   * overlap·(1+t) ≥ t·(|x|+|y|). Both inequalities are evaluated with a
+   * 1e-12 RELATIVE slack on the threshold side — float rounding can only
+   * ADMIT a boundary pair (removed by exact verification), never drop one.
+   *
    * Scale shape: one vocabulary-bounded df aggregate, one per-doc window
    * for the prefix cut, a self-join over ~(1−t) of the shingle volume
-   * (the rare tail of it), and set verification restricted to candidate
-   * docs. All exchanges hash-partitioned; nothing quadratic in the corpus.
+   * (the rare tail of it), the length+positional candidate cut, and set
+   * verification restricted to surviving candidate docs. All exchanges
+   * hash-partitioned; nothing quadratic in the corpus.
    */
   def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
@@ -416,12 +427,22 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .join(sizes, "doc_id")
       .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "sh")
+      .select("doc_id", "sh", "rk", "n")
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      // same (d1, d2) exchange the old distinct() paid; the aggregate also
+      // carries the earliest shared prefix ranks + sizes for the cut below
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(min(col("a.rk")).as("__r1"), min(col("b.rk")).as("__r2"),
+        first(col("a.n")).as("__n1"), first(col("b.n")).as("__n2"))
+      .filter(
+        least(col("__n1"), col("__n2")).cast("double")
+          >= greatest(col("__n1"), col("__n2")) * threshold * (1 - 1e-12) &&
+        (lit(1) + least(col("__n1") - col("__r1"), col("__n2") - col("__r2")))
+          .cast("double") * (1 + threshold)
+          >= (col("__n1") + col("__n2")) * threshold * (1 - 1e-12))
+      .select("d1", "d2")
       // cached: consumed by the candidate-doc collapse AND the final
       // verification join. Same caller-managed lifecycle as tokens above.
       .cache()

@@ -329,10 +329,17 @@ object Graph {
    * Scale shape: per hop, ONE hash join (symmetrized edges × current
    * frontier on the node key) + distinct + an anti join against the
    * visited set — all exchanges keyed on node ids, nothing ever
-   * quadratic; per-round `localCheckpoint` truncates lineage so the
-   * visited set's plan does not nest `hops` deep (the
-   * [[Dedup.connectedComponents]] contract; `hops` is small and fixed,
-   * but visited grows data-dependently). Frontier SIZES leave each round
+   * quadratic. The symmetrized edge cache is REPARTITIONED ON `src`
+   * (the probe key) before caching: the cached partitioning satisfies
+   * the join's distribution requirement, so each hop exchanges only the
+   * frontier side — the r10 fusion that removed a full edge-list
+   * exchange per hop (the distinct's (src, dst) partitioning never
+   * matches the probe key). Frontiers are `localCheckpoint`ed (each is
+   * consumed by three branches); the visited set is a UNION of those
+   * checkpointed frontiers, so its lineage is `hops` shallow unions of
+   * materialized RDDs — no per-hop visited materialization needed (the
+   * [[Dedup.connectedComponents]] contract applies to unbounded
+   * iteration; `hops` ≤ 10 is fixed). Frontier SIZES leave each round
    * as 1-row aggregates; the node frames themselves never reach the
    * driver.
    *
@@ -344,8 +351,9 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      // cached: probed once per hop. Caller-managed lifecycle — see
-      // pageRank's contract.
+      .repartition(col("src"))
+      // cached: probed once per hop, pre-partitioned on the probe key.
+      // Caller-managed lifecycle — see pageRank's contract.
       .cache()
     var frontier = seed.select(col("v")).distinct().localCheckpoint()
     var visited = frontier
@@ -356,7 +364,7 @@ object Graph {
         .select(col("dst").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      visited = visited.unionAll(frontier)
       out = out.unionAll(frontier.agg(count(lit(1)).as("frontier_size"))
         .select(lit(h).as("hop"), col("frontier_size")))
     }
