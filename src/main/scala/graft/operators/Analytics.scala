@@ -4963,12 +4963,43 @@ object Analytics {
       .select(weight.cast("long").as("__w"),
         positive.cast("boolean").cast("long").as("__y"))
       .filter(col("__w").isNotNull && col("__y").isNotNull)
-    flags
+    trendFromMoments(flags
       .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
         countDistinct(col("__w")).as("n_levels"),
         sum(col("__w")).as("__w1"),
         sum(expr("CAST(__w AS DECIMAL(38,0)) * __w")).as("__w2"),
-        sum(expr("CAST(__w AS DECIMAL(38,0)) * __y")).as("__t"))
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __y")).as("__t")))
+  }
+
+  /**
+   * Value-collapsed form of [[cochranArmitageTrend]]: when a per-bin
+   * table (distinct weight, row count, positive count — one row per
+   * weight level, the [[Curation.qualityGatedCuration]]-style staging) already
+   * exists, the trend moments are IDENTICAL by exact integer arithmetic
+   * (Σ over rows of wᵏ·y = Σ over bins of wᵏ·count), so the corpus scan
+   * the row form would spend is saved. Same output schema and verdict.
+   */
+  def cochranArmitageTrendFromBins(bins: DataFrame, weight: Column,
+      n: Column, nPos: Column): DataFrame = {
+    val b = bins
+      .select(weight.cast("long").as("__w"), n.cast("long").as("__nb"),
+        nPos.cast("long").as("__eb"))
+      .filter(col("__w").isNotNull && col("__nb").isNotNull
+        && col("__eb").isNotNull)
+    trendFromMoments(b
+      .agg(coalesce(sum(col("__nb")), lit(0L)).as("n_rows"),
+        sum(col("__eb")).as("n_pos"),
+        count(lit(1)).as("n_levels"),
+        sum(col("__w") * col("__nb")).as("__w1"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __w * __nb")).as("__w2"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __eb")).as("__t")))
+  }
+
+  /** Shared verdict tail of the two [[cochranArmitageTrend]] forms: the
+    * 1-row moment frame (n_rows, n_pos, n_levels, __w1, __w2, __t) →
+    * z²_milli + the exact cross-multiplied 5% verdict. */
+  private def trendFromMoments(moments: DataFrame): DataFrame =
+    moments
       .select(col("n_rows"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         col("n_levels"),
         expr("""CAST(CAST(n_rows AS DECIMAL(38,0)) * __t
@@ -4991,7 +5022,6 @@ object Analytics {
                   > CAST(38415 AS DECIMAL(38,0)) * __den
              THEN CASE WHEN __num > 0 THEN 'rising' ELSE 'falling' END
              ELSE 'none' END""").as("verdict"))
-  }
 
   /**
    * DUNN's post-hoc pairwise test (public '64) with a Benjamini–Hochberg

@@ -849,4 +849,108 @@ object Curation {
           " DIV (bucket_cap * n_docs)").as("waste_ppm"))
       .orderBy("bucket_cap")
   }
+
+  /**
+   * QUALITY-GATED curation run — the "is my classifier good enough to
+   * gate on" loop a training-data pipeline runs BEFORE trusting its own
+   * quality score as a filter, composed from the statistical gates:
+   * (1) [[Analytics.cochranArmitageTrend]] over the score bins asks
+   * whether the true-positive rate actually RISES with the score (a
+   * calibration table shows per-bin gaps; this is the one-number
+   * dose–response verdict); (2) per bin, a 2×2 χ² enrichment test
+   * against the rest of the corpus, converted to the distribution-free
+   * Chebyshev bound p ≤ 1/z² (the [[Analytics.dunnPosthoc]] convention —
+   * conservative, so a rejection is a certificate); (3)
+   * [[Analytics.benjaminiHochberg]] controls FDR across the bins; (4)
+   * the filter threshold is DECIDED from the gated table — τ* = the
+   * smallest bin from which EVERY bin upward is BH-rejected AND
+   * enriched — and applied as the score-gate stage of a
+   * [[filterFunnel]]-style report. When the trend verdict is not
+   * 'rising' or no bin qualifies, the gate is DISABLED (τ* = −1, the
+   * stage passes everything): a pipeline must not filter on a
+   * classifier that failed its own validation.
+   *
+   * Returns 3 funnel rows (`stage`, `n_in`, `n_out`), each carrying the
+   * decision (`tau_bin`, `trend_verdict`): s1_labeled (non-null score
+   * bin + label), s2_score_gate (bin ≥ τ*), s3_final (`finalKeep`).
+   *
+   * Scale shape: ONE corpus scan builds the bin table
+   * (vocabulary-bounded) and the trend verdict rides its moments
+   * (the value-collapsed [[Analytics.cochranArmitageTrendFromBins]] —
+   * exactly equal to the row form, no second scan); the BH rank and the
+   * suffix-AND decision windows ride the ≤|bins| test-family frame
+   * ([[BoundedGlobalWindow]]); ONE final corpus scan computes every
+   * funnel count with the 1-row decision broadcast — never a per-stage
+   * pass. DECIMAL(38,0) staging of the χ² (numerator 1000·N·diff²,
+   * diff ≤ N²) bounds validity at ~10⁶ labeled rows — documented; at
+   * 100 TB the calibration set is a labeled SAMPLE, not the corpus.
+   */
+  def qualityGatedCuration(df: DataFrame, scoreBin: Column, positive: Column,
+      finalKeep: Column, alphaPpm: Long = 50000L): DataFrame = {
+    val base = df.select(scoreBin.cast("long").as("__w"),
+      positive.cast("boolean").as("__y"), finalKeep.cast("boolean").as("__f"))
+    val labeled = base.filter(col("__w").isNotNull && col("__y").isNotNull)
+    val bins = labeled.groupBy("__w")
+      .agg(count(lit(1)).as("__nb"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__eb"))
+    // the trend moments are exactly derivable from the bin table, so the
+    // row-form's second corpus scan is saved ([[Analytics.cochranArmitageTrendFromBins]])
+    val trend = Analytics
+      .cochranArmitageTrendFromBins(bins, col("__w"), col("__nb"), col("__eb"))
+      .select(col("verdict").as("__tv"))
+    val tot = bins.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tn"),
+      coalesce(sum(col("__eb")), lit(0L)).as("__te"))
+    // per-bin 2×2 vs the rest: diff = e_b·N − n_b·E carries the sign of
+    // ad−bc, χ²_milli = 1000·N·diff² DIV (n_b·(N−n_b)·E·(N−E)); quotient
+    // ≤ 1000·N so the BIGINT result of DIV cannot wrap under the bound
+    val tests = bins.crossJoin(broadcast(tot))
+      .withColumn("__diff", expr(
+        "CAST(__eb AS DECIMAL(38,0)) * __tn - CAST(__nb AS DECIMAL(38,0)) * __te"))
+      .withColumn("__den2", expr(
+        """CAST(__nb AS DECIMAL(38,0)) * (__tn - __nb)
+           * (CAST(__te AS DECIMAL(38,0)) * (__tn - __te))"""))
+      .select(col("__w"), col("__w").cast("string").as("bin"),
+        (col("__diff") > 0).cast("int").as("__enr"),
+        expr("""CAST(CASE WHEN __den2 <= 0 THEN 0
+             ELSE 1000 * CAST(__tn AS DECIMAL(38,0)) * __diff * __diff
+                  DIV __den2 END AS BIGINT)""").as("__z2"))
+      .withColumn("p_ppm", expr(
+        """CASE WHEN __z2 <= 0 THEN 1000000
+           ELSE LEAST(1000000, 1000000000 DIV __z2) END"""))
+    val suffix = BoundedGlobalWindow.orderBy(col("__w"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gated = Analytics
+      .benjaminiHochberg(tests, "bin", "p_ppm", alphaPpm,
+        carryCols = Seq("__w", "__enr"))
+      .withColumn("__q", min(when(col("rejected") === 1 && col("__enr") === 1,
+        lit(1)).otherwise(lit(0))).over(suffix))
+    val tau = gated.agg(min(when(col("__q") === 1, col("__w"))).as("__tau"))
+    val decision = tau.crossJoin(broadcast(trend))
+      .select(when(col("__tv") === "rising" && col("__tau").isNotNull,
+          col("__tau")).otherwise(lit(-1L)).as("tau_bin"),
+        col("__tv").as("trend_verdict"))
+    val counts = base.crossJoin(broadcast(decision))
+      .agg(count(lit(1)).as("__n0"),
+        sum(when(col("__w").isNotNull && col("__y").isNotNull, 1L)
+          .otherwise(0L)).as("__n1"),
+        sum(when(col("__w").isNotNull && col("__y").isNotNull
+          && (col("tau_bin") < 0 || col("__w") >= col("tau_bin")), 1L)
+          .otherwise(0L)).as("__n2"),
+        sum(when(col("__w").isNotNull && col("__y").isNotNull
+          && (col("tau_bin") < 0 || col("__w") >= col("tau_bin"))
+          && col("__f"), 1L).otherwise(0L)).as("__n3"),
+        first(col("tau_bin")).as("tau_bin"),
+        first(col("trend_verdict")).as("trend_verdict"))
+    counts.select(explode(array(
+        struct(lit("s1_labeled").as("stage"),
+          col("__n0").as("n_in"), col("__n1").as("n_out")),
+        struct(lit("s2_score_gate").as("stage"),
+          col("__n1").as("n_in"), col("__n2").as("n_out")),
+        struct(lit("s3_final").as("stage"),
+          col("__n2").as("n_in"), col("__n3").as("n_out")))).as("s"),
+        col("tau_bin"), col("trend_verdict"))
+      .select(col("s.stage").as("stage"), col("s.n_in").as("n_in"),
+        col("s.n_out").as("n_out"), col("tau_bin"), col("trend_verdict"))
+      .orderBy("stage")
+  }
 }

@@ -377,4 +377,54 @@ class CurationSpec extends AnyFunSuite {
       64L -> ((1L, 33L, 64L, 484375L)),
       128L -> ((1L, 100L, 128L, 218750L))))
   }
+
+  test("qualityGatedCuration: a monotone classifier decides τ* and the funnel chains") {
+    // bins 0..3, positive rate rising 0% → 0% → 100% → 100% with 50 rows
+    // per bin: bins 2,3 are enriched and BH-rejected, bins 0,1 depleted →
+    // τ* = 2; the trend is unambiguous ('rising')
+    val df = spark.range(200).select(col("id"),
+      (col("id") % 4).as("w"),
+      (col("id") % 4 >= 2).as("y"),
+      (col("id") % 5 =!= 0).as("f"))
+    val r = Curation.qualityGatedCuration(df, col("w"), col("y"), col("f"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(4)))
+    assert(r.forall(_._5 == "rising"))
+    assert(r.forall(_._4 == 2L), s"tau should be 2, got ${r.head._4}")
+    assert(r(0) == (("s1_labeled", 200L, 200L, 2L, "rising")))
+    assert(r(1) == (("s2_score_gate", 200L, 100L, 2L, "rising")))
+    // stage 3: of the 100 gated rows (w ∈ {2,3}), those with id % 5 == 0
+    // drop — ids ≡ 2,3 mod 4 and ≡ 0 mod 5: 10 of each residue class per
+    // lcm(4,5)=20 block → 200/20 = 10 blocks × 2 drops = 20
+    assert(r(2) == (("s3_final", 100L, 80L, 2L, "rising")))
+    // funnel chains: n_out(i) == n_in(i+1)
+    assert(r(0)._3 == r(1)._2 && r(1)._3 == r(2)._2)
+  }
+
+  test("qualityGatedCuration: a classifier that fails its trend gate is NOT applied") {
+    // positive independent of the bin (flat 50%) → trend 'none' → gate
+    // disabled: tau_bin = −1 and the score-gate stage passes everything
+    val df = spark.range(400).select(col("id"),
+      (col("id") % 4).as("w"),
+      (col("id") % 2 === 0).as("y"),
+      lit(true).as("f"))
+    val r = Curation.qualityGatedCuration(df, col("w"), col("y"), col("f"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(4)))
+    assert(r.forall(_._4 == -1L), s"gate must disable, got tau ${r.head._4}")
+    assert(r(1) == (("s2_score_gate", 400L, 400L, -1L, r(1)._5)))
+    assert(r(1)._5 != "rising")
+  }
+
+  test("qualityGatedCuration: null score bins and labels are excluded at s1 only") {
+    val df = spark.range(100).select(col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 4).as("w"),
+      when(col("id") % 10 === 1, lit(null))
+        .otherwise(col("id") % 4 >= 2).as("y"),
+      lit(true).as("f"))
+    val r = Curation.qualityGatedCuration(df, col("w"), col("y"), col("f"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r(0)._2 == 100L, "stage 1 sees every input row")
+    assert(r(0)._3 == 80L, "20 rows lack a bin or a label")
+  }
 }
