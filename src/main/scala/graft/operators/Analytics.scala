@@ -4666,6 +4666,70 @@ object Analytics {
   }
 
   /**
+   * ANSARI–BRADLEY scale test (public '60) — the DISPERSION complement
+   * of [[mannWhitneyU]]'s location test: do two groups' values have the
+   * same SPREAD around the common median? Scores rise toward the middle
+   * of the pooled ordering (`a = min(rank, N+1−rank)`), so a group whose
+   * mass sits in the tails under-collects score. Doubled midrank scores
+   * stay integral under ties (`s2_v = min(m2_v, 2(N+1) − m2_v)` with
+   * `m2_v = 2·below_v + t_v + 1`; the tied convention scores the tie
+   * block's MIDRANK — documented choice, identical in both engines).
+   * The verdict uses the exact PERMUTATION moments of a linear rank
+   * statistic under simple random sampling: with S1 = Σ t_v·s2_v,
+   * S2 = Σ t_v·s2_v², A2 = Σ ca_v·s2_v,
+   * `z² = (N−1)·(N·A2 − n_a·S1)² / (n_a·n_b·(N·S2 − S1²))`, reported in
+   * milli with the 5% χ²₁ verdict by exact cross-multiplication.
+   * DECIMAL(38,0) staging of the ~N⁷ numerator bounds validity at ~10⁴
+   * pooled rows (documented — scale tests at corpus size run on a
+   * sample; beyond, the decimal stage nulls and the verdict guards to
+   * 'same'/0). All-tied corpora (zero score variance) report 0/'same'.
+   *
+   * Scale shape: one value collapse, the [[withCumBefore]] two-phase
+   * prefix sum, a broadcast 1-row totals join, one 1-row aggregate.
+   */
+  def ansariBradleyScale(df: DataFrame, armB: Column, value: Column): DataFrame = {
+    val vals = df
+      .select(armB.cast("boolean").as("__b"), value.cast("long").as("__v"))
+      .filter(col("__b").isNotNull && col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb0"))
+      .withColumn("__t", col("__ca") + col("__cb0"))
+    val ranked = withCumBefore(vals)
+    val tot = ranked.agg(coalesce(sum(col("__ca")), lit(0L)).as("__tna"),
+      coalesce(sum(col("__cb0")), lit(0L)).as("__tnb"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__s2", expr(
+        "least(2 * __cb + __t + 1, 2 * (__tna + __tnb + 1) - (2 * __cb + __t + 1))"))
+      .agg(max(col("__tna")).as("n_a"), max(col("__tnb")).as("n_b"),
+        coalesce(sum(expr("CAST(__ca AS DECIMAL(38,0)) * __s2")),
+          lit(0).cast("decimal(38,0)")).as("__a2"),
+        coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * __s2")),
+          lit(0).cast("decimal(38,0)")).as("__s1"),
+        coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * __s2 * __s2")),
+          lit(0).cast("decimal(38,0)")).as("__ss"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("CAST(__a2 AS BIGINT)").as("ab2_a"),
+        expr("""CAST((CAST(n_a AS DECIMAL(38,0)) + n_b) * __a2
+             - CAST(n_a AS DECIMAL(38,0)) * __s1 AS DECIMAL(38,0))""")
+          .as("__num"),
+        expr("""CAST(CAST(n_a AS DECIMAL(38,0)) * n_b
+             * ((CAST(n_a AS DECIMAL(38,0)) + n_b) * __ss - __s1 * __s1)
+             AS DECIMAL(38,0))""").as("__den"))
+      .select(col("n_a"), col("n_b"), col("ab2_a"),
+        expr("""CAST(CASE WHEN __den IS NULL OR __den <= 0
+               OR n_a + n_b < 2 THEN 0
+             ELSE __num * __num * 1000 * (n_a + n_b - 1) DIV __den
+             END AS BIGINT)""").as("z2_milli"),
+        expr("""CASE WHEN __den IS NULL OR __den <= 0 OR n_a + n_b < 2
+             THEN 'same'
+             WHEN __num * __num * 10000 * (n_a + n_b - 1)
+                  > CAST(38415 AS DECIMAL(38,0)) * __den
+             THEN 'different' ELSE 'same' END""").as("verdict"))
+  }
+
+  /**
    * Shared pooled-midrank staging for the k-group rank tests
    * ([[kruskalWallisH]], [[dunnPosthoc]]): value-collapse per (group,
    * value), pool per value, two-phase prefix sum, then per-group doubled

@@ -459,6 +459,75 @@ object Curation {
   }
 
   /**
+   * T-CLOSENESS audit — the DISTRIBUTION-level member of the release
+   * triad ([[kAnonymityAudit]] bounds class size, [[lDiversityAudit]]
+   * bounds distinct sensitive values; Li et al.'s t-closeness, public
+   * technique, bounds how far a class's sensitive DISTRIBUTION may sit
+   * from the global one): even a large, diverse class leaks when its
+   * distribution is skewed ("skewness attack" — everyone in the class is
+   * *probably* high-income). Distance is the ordered-attribute Earth
+   * Mover's Distance of the paper, `EMD = Σ_j |P_j/sz − G_j/N| / (m−1)`
+   * over cumulative counts at each of the m ordered sensitive values —
+   * computed EXACTLY as `1e6·Σ_j |N·P_j − sz·G_j| DIV ((m−1)·sz·N)` ppm
+   * (one integer division per class, decimal-staged). Per threshold t
+   * (ppm): classes whose EMD exceeds t and the rows exposed in them,
+   * plus the corpus-wide max EMD.
+   *
+   * Scale shape: one (quasi, sensitive) collapse and one sensitive
+   * collapse; the dense (class × value) grid is |classes|·m rows of
+   * ALREADY-COLLAPSED data (the broadcast value spine joined under each
+   * class), cumulated by a class-partitioned window; the ≤|classes| EMD
+   * frame crosses the broadcast t list. m = 1 (a constant sensitive
+   * column) reports EMD 0 for every class — there is nothing to leak.
+   */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tsPpm: Seq[Long]): DataFrame = {
+    require(quasiCols.nonEmpty && tsPpm.nonEmpty
+      && tsPpm.forall(t => t >= 0 && t <= 1000000L),
+      "need quasi-identifier columns and thresholds in [0, 1e6] ppm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(quasiCols.map(col) :+ col(sensitiveCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val pairs = base.groupBy((quasiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vals = pairs.groupBy("__v").agg(sum(col("__c")).as("__g"))
+      .withColumn("__gc", sum(col("__g")).over(BoundedGlobalWindow
+        .orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(pairs.agg(sum(col("__c")).as("__N"),
+        countDistinct(col("__v")).as("__m"))))
+    val classes = pairs.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__sz"))
+    val byClass = Window.partitionBy(quasiCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = classes
+      .crossJoin(broadcast(vals.select("__v", "__gc", "__N", "__m")))
+      .join(pairs, quasiCols :+ "__v", "left")
+      .withColumn("__pc", sum(coalesce(col("__c"), lit(0L))).over(byClass))
+      .groupBy((quasiCols.map(col) :+ col("__sz") :+ col("__N")
+        :+ col("__m")): _*)
+      .agg(sum(expr("""CAST(abs(CAST(__N AS DECIMAL(38,0)) * __pc
+        - CAST(__sz AS DECIMAL(38,0)) * __gc) AS DECIMAL(38,0))"""))
+        .as("__num"))
+      .select(col("__sz"),
+        expr("""CAST(CASE WHEN __m <= 1 THEN 0
+             ELSE __num * 1000000
+                  DIV (CAST(__m - 1 AS DECIMAL(38,0)) * __sz * __N)
+             END AS BIGINT)""").as("__emd"))
+    emd.crossJoin(broadcast(tsPpm.toDF("t_ppm")))
+      .groupBy("t_ppm")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("__emd") > col("t_ppm"), 1L).otherwise(0L))
+          .as("n_classes_above_t"),
+        sum(when(col("__emd") > col("t_ppm"), col("__sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        max(col("__emd")).as("max_emd_ppm"))
+      .orderBy("t_ppm")
+  }
+
+  /**
    * CONTRIBUTION-BOUNDED aggregate — the user-level clamp every
    * differential-privacy (and abuse-robust analytics) pipeline applies
    * BEFORE aggregating: each user contributes at most `maxPerUser` events

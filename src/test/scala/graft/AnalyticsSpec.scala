@@ -1834,6 +1834,31 @@ class AnalyticsSpec extends AnyFunSuite {
       && z.getString(5) == "same")
   }
 
+  test("ansariBradleyScale: hand-computed tails-vs-middle, identical groups, all-tied") {
+    // A={5,5,6,6} (middle), B={1,1,10,10} (tails): pooled N=8, doubled
+    // midranks 3,7,11,15 → doubled AB scores min(m2, 18−m2) = 3,7,7,3.
+    // A2=28, S1=40, SS=232 → num = 8·28−4·40 = 64, den = 16·(8·232−1600)
+    // = 4096, z² = 7·64²/4096 = 7 → 7000 milli > 3841.5 → different
+    val t = Seq(("a", 5L), ("a", 5L), ("a", 6L), ("a", 6L),
+      ("b", 1L), ("b", 1L), ("b", 10L), ("b", 10L)).toDF("g", "v")
+    val r = Analytics.ansariBradleyScale(t, col("g") === "b", col("v"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 28L)))
+    assert(r.getLong(3) == 7000L && r.getString(4) == "different")
+    // identical samples: statistic sits exactly at its null mean → 0/same
+    val eq = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val e = Analytics.ansariBradleyScale(eq, col("g") === "b", col("v"))
+      .collect().head
+    assert(e.getLong(2) == 13L, "A2 = 3+7+3 over doubled scores 3,7,3")
+    assert(e.getLong(3) == 0L && e.getString(4) == "same")
+    // every value tied: score variance 0 → guarded 0/same
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val z = Analytics.ansariBradleyScale(tied, col("g") === "b", col("v"))
+      .collect().head
+    assert(z.getLong(3) == 0L && z.getString(4) == "same")
+  }
+
   test("kruskalWallisH: hand-computed 3-group H, strong separation, tie-degenerate, df>24") {
     // a={1,2} b={3,4} c={5,6}: H = 4.571...; df=2 crit 5991 -> same
     val t = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L),

@@ -378,6 +378,34 @@ class CurationSpec extends AnyFunSuite {
       128L -> ((1L, 100L, 128L, 218750L))))
   }
 
+  test("tClosenessAudit: exact EMD — matching class 0, degenerate class known value") {
+    // global sensitive distribution: values 0 and 1 at 50/50 (8 rows).
+    // class 'a' mirrors it exactly → EMD 0; class 'b' is all-zeros →
+    // cumulative gaps |P−Q| at the two values are 1/2 and 0, so
+    // EMD = (1/2 + 0)/(m−1) = 1/2 → 500000 ppm
+    val df = Seq(
+      ("a", 0L), ("a", 0L), ("a", 1L), ("a", 1L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("b", 0L),
+      ("c", 1L), ("c", 1L), ("c", 1L), ("c", 1L))
+      .toDF("q", "s")
+    val r = Curation.tClosenessAudit(df, Seq("q"), "s",
+        tsPpm = Seq(400000L, 600000L))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    // global: 6 zeros, 6 ones. class a matches (EMD 0); classes b and c
+    // are degenerate single-value → EMD 500000 each
+    assert(r == Seq(
+      (400000L, 3L, 2L, 8L, 500000L),
+      (600000L, 3L, 0L, 0L, 500000L)))
+  }
+
+  test("tClosenessAudit: single sensitive value reports zero EMD everywhere") {
+    val df = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("q", "s")
+    val r = Curation.tClosenessAudit(df, Seq("q"), "s", tsPpm = Seq(0L))
+      .collect().map(x => (x.getLong(2), x.getLong(4))).toSeq
+    assert(r == Seq((0L, 0L)), "m = 1 ⇒ nothing to leak, EMD 0")
+  }
+
   test("qualityGatedCuration: a monotone classifier decides τ* and the funnel chains") {
     // bins 0..3, positive rate rising 0% → 0% → 100% → 100% with 50 rows
     // per bin: bins 2,3 are enriched and BH-rejected, bins 0,1 depleted →
