@@ -5004,6 +5004,88 @@ object Analytics {
   }
 
   /**
+   * PAGE's trend test (public '63, generalized to arbitrary integer dose
+   * spacings) — the ORDERED-alternative complement of [[friedmanTest]]:
+   * Friedman fires on ANY rank disagreement across treatments; this
+   * fires only when within-block ranks rise (or fall) WITH a given
+   * treatment order, with the direction in the sign. Same complete-block
+   * staging and doubled within-block midranks as Friedman; the statistic
+   * is the dose–rank cross product `L2 = Σ_b Σ_j j·r2_bj`, and the
+   * verdict uses the EXACT permutation moments of a linear rank
+   * statistic under within-block rank permutation (blocks independent):
+   * with J1 = Σj, J2 = Σj² over the k ordered treatments,
+   * Jpart = k·J2 − J1², per-block tie term q_b = k·Σ_j r2² − k²(k+1)²
+   * (Σ_j r2 = k(k+1) exactly on a complete block), Q = Σ_b q_b,
+   * E[L2] = b·(k+1)·J1 and `z² = (L2−E)²·k²·(k−1) / (Jpart·Q)` — milli,
+   * 5% χ²₁ verdict by exact cross-multiplication, 'rising'/'falling' by
+   * sign(L2−E). Dose shifts cancel exactly (L2 and E shift together), so
+   * `j = year` and `j = year − 1991` verdict identically. All-tied
+   * blocks (Q = 0) or k < 2 report 0/'none'.
+   *
+   * Scale shape: identical to [[friedmanTest]] — block-partitioned rank
+   * windows (never global), per-block collapse, 1-row moments; the
+   * treatment-list moments ride the k-row distinct frame.
+   */
+  def pageTrendTest(cells: DataFrame, blockCol: String, treatOrder: Column,
+      value: Column): DataFrame = {
+    val base = cells.select(col(blockCol).cast("string").as("__b"),
+        treatOrder.cast("long").as("__j"), value.cast("long").as("__v"))
+      .filter(col("__b").isNotNull && col("__j").isNotNull
+        && col("__v").isNotNull)
+    val kTot = base.agg(countDistinct(col("__j")).as("__k"))
+    val blockSize = base.groupBy("__b")
+      .agg(count(lit(1)).as("__bn"), countDistinct(col("__j")).as("__bk"))
+    // complete blocks only (the Friedman rule): a block with every one of
+    // the k global treatments exactly once. Post-aggregation frames carry
+    // no size stats — broadcast explicitly.
+    val complete = base
+      .join(broadcast(blockSize), "__b")
+      .crossJoin(broadcast(kTot))
+      .filter(col("__bn") === col("__k") && col("__bk") === col("__k"))
+    val wB = Window.partitionBy("__b").orderBy("__v")
+    val ranked = complete
+      .withColumn("__minrk", rank().over(wB).cast("long"))
+      .withColumn("__tie",
+        count(lit(1)).over(Window.partitionBy("__b", "__v")).cast("long"))
+      .withColumn("__r2", lit(2L) * col("__minrk") + col("__tie") - 1L)
+    val jm = complete.select("__j").distinct()
+      .agg(coalesce(sum(col("__j")), lit(0L)).as("__j1"),
+        coalesce(sum(expr("CAST(__j AS DECIMAL(38,0)) * __j")),
+          lit(0).cast("decimal(38,0)")).as("__j2"))
+    val perBlock = ranked.groupBy("__b")
+      .agg(sum(expr("CAST(__j AS DECIMAL(38,0)) * __r2")).as("__l2b"),
+        sum(expr("CAST(__r2 AS DECIMAL(38,0)) * __r2")).as("__s2b"))
+    perBlock
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(col("__l2b")), lit(0).cast("decimal(38,0)")).as("__l2"),
+        coalesce(sum(col("__s2b")), lit(0).cast("decimal(38,0)")).as("__ss"))
+      .crossJoin(broadcast(jm))
+      .crossJoin(broadcast(kTot))
+      .select(col("n_blocks"), col("__k").as("n_treatments"),
+        expr("CAST(__l2 AS BIGINT)").as("l2_stat"),
+        expr("""CAST(__l2 - CAST(n_blocks AS DECIMAL(38,0)) * (__k + 1) * __j1
+             AS DECIMAL(38,0))""").as("__num"),
+        expr("""CAST((CAST(__k AS DECIMAL(38,0)) * __j2
+               - CAST(__j1 AS DECIMAL(38,0)) * __j1)
+             * (CAST(__k AS DECIMAL(38,0)) * __ss
+               - CAST(n_blocks AS DECIMAL(38,0)) * __k * __k
+                 * (__k + 1) * (__k + 1))
+             AS DECIMAL(38,0))""").as("__den"))
+      .select(col("n_blocks"), col("n_treatments"), col("l2_stat"),
+        expr("""CAST(CASE WHEN __den IS NULL OR __den <= 0
+               OR n_treatments < 2 THEN 0
+             ELSE __num * __num * 1000 * n_treatments * n_treatments
+                  * (n_treatments - 1) DIV __den
+             END AS BIGINT)""").as("z2_milli"),
+        expr("""CASE WHEN __den IS NULL OR __den <= 0 OR n_treatments < 2
+             THEN 'none'
+             WHEN __num * __num * 10000 * n_treatments * n_treatments
+                  * (n_treatments - 1) > CAST(38415 AS DECIMAL(38,0)) * __den
+             THEN CASE WHEN __num > 0 THEN 'rising' ELSE 'falling' END
+             ELSE 'none' END""").as("verdict"))
+  }
+
+  /**
    * COCHRAN–ARMITAGE trend test (public '54/'55) — do the positive-class
    * proportions RISE (or fall) monotonically with an ordered integer
    * score? The dose–response complement of [[chiSquareAudit]]'s

@@ -1376,4 +1376,57 @@ object Similarity {
         max(col("__dev")).as("max_label_dev_micro"))
       .orderBy("dim")
   }
+
+  /**
+   * PER-DIMENSION CLASS SEPARABILITY (correlation ratio η², public) — the
+   * feature-selection table for an embedding-based classifier: per
+   * component, what fraction of the component's variance does the label
+   * explain? `η²_d = SSB/SST` from the one-way ANOVA decomposition.
+   * [[dimensionDriftAudit]] reports how far label MEANS drift; η²
+   * normalizes by the total variance, so a dimension with huge spread and
+   * small mean gaps correctly reads as noise. Components quantize to
+   * integer micro-units (the [[dimensionDriftAudit]] convention); the
+   * per-class term `s_g² / n_g` and the grand term `S² / N` floor through
+   * DECIMAL pmod subtraction (s² ≥ 0, so floor == truncate and Spark
+   * matches DuckDB's `//`; a plain DIV would silently wrap the ~n·10¹²
+   * quotient past ~10⁶ vectors — the x594 lesson). Truncation can push
+   * SSB a hair negative; both engines clamp identically before the one
+   * ppm division.
+   *
+   * Scale shape: one posexplode pass (64·n rows, map-side), a
+   * (dim, label) collapse, a |dims·labels|-bounded dim collapse — no
+   * joins, no windows, nothing driver-side.
+   */
+  def classSeparability(embeddings: DataFrame, labelCol: String): DataFrame = {
+    val q = embeddings
+      .filter(col(labelCol).isNotNull && col("embedding").isNotNull)
+      .select(col(labelCol).cast("long").as("__g"),
+        posexplode(col("embedding")).as(Seq("dim", "__x")))
+      .select(col("__g"), (col("dim") + 1).as("dim"),
+        expr("CAST(ROUND(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)").as("__q"))
+    val pg = q.groupBy("dim", "__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"),
+        sum(expr("CAST(__q AS DECIMAL(38,0)) * __q")).as("__ss"))
+    pg.groupBy("dim")
+      .agg(count(lit(1)).as("n_labels"),
+        sum(col("__n")).as("n_vectors"),
+        sum(col("__s")).as("__gs"),
+        sum(col("__ss")).as("__gss"),
+        sum(expr("""(CAST(__s AS DECIMAL(38,0)) * __s
+            - pmod(CAST(__s AS DECIMAL(38,0)) * __s,
+                   CAST(__n AS DECIMAL(38,0))))
+          / CAST(__n AS DECIMAL(38,0))""").cast("decimal(38,0)")).as("__b"))
+      .select(col("dim"), col("n_labels"), col("n_vectors"),
+        col("__gss"), col("__b"),
+        expr("""CAST((CAST(__gs AS DECIMAL(38,0)) * __gs
+            - pmod(CAST(__gs AS DECIMAL(38,0)) * __gs,
+                   CAST(n_vectors AS DECIMAL(38,0))))
+          / CAST(n_vectors AS DECIMAL(38,0)) AS DECIMAL(38,0))""").as("__c"))
+      .select(col("dim"), col("n_labels"), col("n_vectors"),
+        expr("""CAST(CASE WHEN __gss - __c <= 0 THEN 0
+             WHEN __b <= __c THEN 0
+             ELSE (__b - __c) * 1000000 DIV (__gss - __c)
+             END AS BIGINT)""").as("eta2_ppm"))
+      .orderBy("dim")
+  }
 }

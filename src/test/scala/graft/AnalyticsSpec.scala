@@ -1859,6 +1859,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(z.getLong(3) == 0L && z.getString(4) == "same")
   }
 
+  test("pageTrendTest: hand-computed perfect trend, cancelling blocks, dose-shift invariance") {
+    // two blocks, k=3, both perfectly rising: r2 = 2,4,6 per block;
+    // L2 = 2·(1·2+2·4+3·6) = 56, E = 2·4·6 = 48, Jpart = 3·14−36 = 6,
+    // Q = 3·112 − 2·9·16 = 48 → z² = 8²·9·2/(6·48) = 4 → 4000 > 3841.5
+    val up = Seq(("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 5L), ("b2", 2L, 6L), ("b2", 3L, 7L)).toDF("b", "j", "v")
+    val r = Analytics.pageTrendTest(up, "b", col("j"), col("v"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 56L)))
+    assert(r.getLong(3) == 4000L && r.getString(4) == "rising")
+    // dose-shift invariance: j → j + 1991 leaves num/den exactly alone
+    val shifted = Analytics.pageTrendTest(
+      up.withColumn("j", col("j") + 1991L), "b", col("j"), col("v"))
+      .collect().head
+    assert(shifted.getLong(3) == 4000L && shifted.getString(4) == "rising")
+    // one rising + one falling block cancel: L2 = E → 0/'none'
+    val mixed = Seq(("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 30L), ("b2", 2L, 20L), ("b2", 3L, 10L)).toDF("b", "j", "v")
+    val m = Analytics.pageTrendTest(mixed, "b", col("j"), col("v"))
+      .collect().head
+    assert(m.getLong(3) == 0L && m.getString(4) == "none")
+    // descending blocks flip the sign → 'falling'
+    val down = Seq(("b1", 1L, 30L), ("b1", 2L, 20L), ("b1", 3L, 10L),
+      ("b2", 1L, 7L), ("b2", 2L, 6L), ("b2", 3L, 5L)).toDF("b", "j", "v")
+    val d = Analytics.pageTrendTest(down, "b", col("j"), col("v"))
+      .collect().head
+    assert(d.getLong(3) == 4000L && d.getString(4) == "falling")
+    // incomplete block dropped: b2 missing j=3 → only b1 contributes,
+    // and a single 3-treatment block cannot reach the 5% bar
+    val inc = Seq(("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 5L), ("b2", 2L, 6L)).toDF("b", "j", "v")
+    val i = Analytics.pageTrendTest(inc, "b", col("j"), col("v"))
+      .collect().head
+    assert(i.getLong(0) == 1L && i.getString(4) == "none")
+    // all values tied within every block: Q = 0 → guarded 'none'
+    val tied = Seq(("b1", 1L, 5L), ("b1", 2L, 5L), ("b1", 3L, 5L))
+      .toDF("b", "j", "v")
+    val z = Analytics.pageTrendTest(tied, "b", col("j"), col("v"))
+      .collect().head
+    assert(z.getLong(3) == 0L && z.getString(4) == "none")
+  }
+
   test("kruskalWallisH: hand-computed 3-group H, strong separation, tie-degenerate, df>24") {
     // a={1,2} b={3,4} c={5,6}: H = 4.571...; df=2 crit 5991 -> same
     val t = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L),

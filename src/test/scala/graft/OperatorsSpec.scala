@@ -301,6 +301,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("classSeparability: perfect dimension 1e6, constant 0, label-independent 0") {
+    // dim 1 IS the label (perfect separation → η² = 1), dim 2 is constant
+    // (no variance → guarded 0), dim 3 varies within but not between
+    // classes (SSB = 0 → η² = 0)
+    val emb = Seq(
+      (1L, Array(0f, 0.5f, 0f), 0),
+      (2L, Array(0f, 0.5f, 1f), 0),
+      (3L, Array(1f, 0.5f, 0f), 1),
+      (4L, Array(1f, 0.5f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.classSeparability(emb, "label")
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3))).toMap
+    assert(r(1) == ((2L, 4L, 1000000L)), "label dimension explains everything")
+    assert(r(2) == ((2L, 4L, 0L)), "constant dimension has nothing to explain")
+    assert(r(3) == ((2L, 4L, 0L)), "within-class-only variation explains nothing")
+  }
+
   test("labelNoiseAudit: a mislabeled vector inside a cluster is flagged") {
     // three near-identical "A" vectors + one vector labeled "B" sitting in
     // the same cluster + two far-away genuine "B"s. With k=3 the planted
