@@ -104,6 +104,50 @@ object Multimodal {
     }
   }
 
+  case class PatchRow(doc_id: Long, patch_y: Int, patch_x: Int,
+                      n_pixels: Long, sum_intensity: Long)
+
+  /** ViT-style PATCHIFICATION — the "image → patch sequence" step every
+    * vision-transformer ingest runs before embedding: pixel (x, y) joins
+    * patch `(y DIV p, x DIV p)`, and the manifest reports each patch's
+    * true pixel count and band-0 intensity sum. Edge patches are SMALLER
+    * when `p` does not divide the image — kept as-is (padding is the
+    * trainer's policy; the manifest must report what the pixels actually
+    * are, and the count column is what makes the downstream mean exact).
+    * REAL `javax.imageio` decode per payload inside one
+    * iterator-to-iterator `mapPartitions` (the [[extractFeatures]]
+    * codec-seam contract); everything after the seam is plain rows. */
+  def patchGrid(spark: SparkSession, media: DataFrame,
+      p: Int = 4): Dataset[PatchRow] = {
+    import spark.implicits._
+    require(p >= 1, "patch size must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val px = (w + p - 1) / p
+        val py = (h + p - 1) / p
+        val sums = Array.ofDim[Long](py * px)
+        val cnts = Array.ofDim[Long](py * px)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (y / p) * px + (x / p)
+            sums(cell) += raster.getSample(x, y, 0)
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (0 until py * px).iterator.map(c =>
+          PatchRow(r.doc_id, c / px, c % px, cnts(c), sums(c)))
+      }
+    }
+  }
+
   case class GradientFeatures(doc_id: Long, width: Int, height: Int,
                               grad_energy: Long)
 

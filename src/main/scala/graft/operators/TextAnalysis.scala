@@ -1242,4 +1242,66 @@ object TextAnalysis {
         expr("pass_all * 1000000 DIV n_docs").as("pass_ppm"))
       .orderBy("source")
   }
+
+  /**
+   * VOCABULARY GROWTH curve (the Heaps-law table, public observation) —
+   * distinct terms seen after the first m documents, at the given
+   * checkpoints: the "is the corpus still teaching the tokenizer new
+   * words" readout that decides whether to keep scaling a source, WITHOUT
+   * fitting logs (the exact count table IS the evidence; a float Heaps
+   * exponent would be engine-fragile and adds nothing a reader can't see
+   * here). Document order is the deterministic ascending-id order
+   * ([[Sampling.globalRankRange]]'s two-phase rank — never a single
+   * global sort task); each term contributes at its FIRST-occurrence
+   * rank only. Checkpoints past the corpus size simply saturate —
+   * constant output shape at every SF.
+   *
+   * Per checkpoint: cumulative vocabulary, NEW terms since the previous
+   * checkpoint, and new-terms-per-document ppm over the interval.
+   *
+   * Scale shape: one explode pass collapses to (term, first_rank) —
+   * vocabulary-bounded from there; checkpoint banding is a map-side CASE
+   * ladder over the constant list, the cumulative rides a
+   * ≤|checkpoints| window ([[BoundedGlobalWindow]]).
+   */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1)
+      && checkpoints == checkpoints.sorted
+      && checkpoints.distinct.size == checkpoints.size,
+      "checkpoints must be distinct positive ascending")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val ranked = Sampling.globalRankRange(
+        base.select(col("__id"), col("__id").as("__v")), "__id", "__v")
+      .select(col("__id"), col("global_rank"))
+      .join(base, "__id")
+    val firstOcc = ranked
+      .select(col("global_rank").as("__r"),
+        explode(split(col("__text"), " ")).as("__term"))
+      .groupBy("__term").agg(min(col("__r")).as("__fr"))
+    // map-side band: the first checkpoint ≥ the term's first rank; terms
+    // past the last checkpoint fall outside the curve
+    val band = checkpoints.init.foldRight(
+        when(col("__fr") <= checkpoints.last, checkpoints.last): Column) {
+      (c, acc) => when(col("__fr") <= c, c).otherwise(acc)
+    }
+    val spine = docs.sparkSession.createDataFrame(
+      checkpoints.map(Tuple1(_))).toDF("m_docs")
+    val perBand = firstOcc.select(band.as("m_docs"))
+      .filter(col("m_docs").isNotNull)
+      .groupBy("m_docs").agg(count(lit(1)).as("__new"))
+    spine.join(perBand, Seq("m_docs"), "left")
+      .select(col("m_docs"), coalesce(col("__new"), lit(0L)).as("new_terms"))
+      .withColumn("vocab_size", sum(col("new_terms")).over(
+        BoundedGlobalWindow.orderBy("m_docs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", coalesce(lag(col("m_docs"), 1).over(
+        BoundedGlobalWindow.orderBy("m_docs")), lit(0L)))
+      .select(col("m_docs"), col("vocab_size"), col("new_terms"),
+        expr("new_terms * 1000000 DIV (m_docs - __prev)")
+          .as("new_per_doc_ppm"))
+      .orderBy("m_docs")
+  }
 }

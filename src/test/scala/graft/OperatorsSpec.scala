@@ -821,6 +821,22 @@ class TextAnalysisSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("vocabGrowthCurve: first occurrences only, saturation past corpus, interval ppm") {
+    // doc order by id: doc 1 introduces {a,b}, doc 2 repeats a + adds c,
+    // doc 3 adds nothing new, doc 4 adds d
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "b c"), (4L, "d a"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabGrowthCurve(d, "doc_id", "text",
+        checkpoints = Seq(1L, 2L, 4L, 8L))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(r == Seq(
+      (1L, 2L, 2L, 2000000L),  // {a,b}: 2 new over 1 doc
+      (2L, 3L, 1L, 1000000L),  // +c over 1 doc
+      (4L, 4L, 1L, 500000L),   // +d over docs 3..4
+      (8L, 4L, 0L, 0L)))       // past the corpus: saturated
+  }
+
   test("maskSchedule: draw matches an independent md5 computation; -1 when unmasked") {
     // cross-check the hash path against java.security MessageDigest directly
     def draw(docId: Long, pos: Int): Long = {
@@ -1100,6 +1116,27 @@ class TextAnalysisSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
+
+  test("patchGrid: partitions every pixel exactly once; hand-computed corner and edge patches") {
+    // doc 1: w = 8+1%9 = 9, h = 8+1%7 = 9 → 3×3 patch grid with 1-wide
+    // edge cells; pixel = (31 + 7x + 13y) mod 256, all < 256 in patch (0,0)
+    val media = operators.Multimodal.renderImageTable(spark,
+      Seq(Tuple1(1L)).toDF("doc_id"))
+    val r = operators.Multimodal.patchGrid(spark, media, p = 4).collect()
+      .map(x => (x.patch_y, x.patch_x) -> ((x.n_pixels, x.sum_intensity)))
+      .toMap
+    assert(r.size == 9, "9×9 image under p=4 → 3×3 patches")
+    // full interior patch: Σ_{x,y∈0..3}(31+7x+13y) = 496+168+312 = 976
+    assert(r((0, 0)) == ((16L, 976L)))
+    // bottom-right corner: single pixel (8,8) = 31+56+104 = 191
+    assert(r((2, 2)) == ((1L, 191L)))
+    // partition property: pixel counts sum to w·h and intensity sums to
+    // the independently-decoded whole-image gray_sum
+    assert(r.values.map(_._1).sum == 81L)
+    val total = operators.Multimodal.extractFeatures(spark, media)
+      .collect().head.gray_sum
+    assert(r.values.map(_._2).sum == total)
+  }
 
   test("bigramAssociation: integer PMI-order scores, hand-computed") {
     // docs: "a b a b" → (a,b),(b,a),(a,b); "a b c" → (a,b),(b,c)

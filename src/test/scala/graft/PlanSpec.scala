@@ -958,6 +958,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"offsets join must broadcast:\n$p")
   }
 
+  test("x602/x605: gate decisions ride bounded frames; page windows partition by block") {
+    val p = plan("x602_quality_gated_curation")
+    assert(!p.contains("SortMergeJoin"),
+      s"every decision frame is <= |bins| rows and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    val q = plan("x605_page_trend_test")
+    assert(!q.contains("SortMergeJoin"),
+      s"complete-block and moment joins must broadcast:\n$q")
+    assert(q.contains("windowspecdefinition(__b"),
+      s"rank windows must partition by block:\n$q")
+  }
+
+  test("x606: class separability is pure aggregation — no join, no window, no shuffle beyond the collapses") {
+    val p = plan("x606_class_separability")
+    assert(!p.contains("Join"), s"eta2 needs no join at any scale:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
+  }
+
   test("x599: friedman joins broadcast; ranks ride block-partitioned windows") {
     val p = plan("x599_friedman_kendall_w")
     assert(!p.contains("SortMergeJoin"),
