@@ -5004,6 +5004,84 @@ object Analytics {
   }
 
   /**
+   * MURPHY DECOMPOSITION of the Brier score (public '73) — the
+   * calibration table's one-row summary: BS = RELIABILITY − RESOLUTION +
+   * UNCERTAINTY over the prediction bins. Reliability is the
+   * calibration error a temperature rescale could remove; resolution is
+   * the discrimination the score actually carries (how far bin outcome
+   * rates sit from the base rate); uncertainty is the data's intrinsic
+   * E(N−E)/N² floor no model can beat. A low Brier score alone cannot
+   * distinguish "well calibrated" from "predicting the base rate
+   * everywhere" — this table can.
+   *
+   * Exact integer arithmetic in micro (1e-6 of probability²):
+   * predictions are milli-probabilities in [0, 1000] (rows outside drop,
+   * counted nowhere), per-bin terms floor once per bin with the floor
+   * MIRRORED in the oracle; the resolution term `(e_k·N − n_k·E)² / n_k`
+   * floors through DECIMAL pmod subtraction (quotient ≤ N³ silently
+   * wraps a plain DIV past ~10⁶ rows — the x594 lesson). The exact
+   * identity holds only pre-floor, so the residual `identity_gap_micro`
+   * (|gap| ≤ a few micro, bin-count bounded) is REPORTED rather than
+   * hidden.
+   *
+   * Scale shape: one corpus collapse to the ≤1001-bin table, one 1-row
+   * aggregate. Nothing joined, nothing windowed.
+   */
+  def brierDecomposition(df: DataFrame, pMilli: Column,
+      positive: Column): DataFrame = {
+    val bins = df
+      .select(pMilli.cast("long").as("__p"),
+        positive.cast("boolean").cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull
+        && col("__p") >= 0L && col("__p") <= 1000L)
+      .groupBy("__p")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__e"))
+    val tot = bins.agg(coalesce(sum(col("__n")), lit(0L)).as("__tn"),
+      coalesce(sum(col("__e")), lit(0L)).as("__te"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("__tn")).as("n_docs"), max(col("__te")).as("__E"),
+        coalesce(sum(expr(
+          """CAST(__n AS DECIMAL(38,0)) * __p * __p
+             - 2000 * CAST(__p AS DECIMAL(38,0)) * __e
+             + 1000000 * CAST(__e AS DECIMAL(38,0))""")),
+          lit(0).cast("decimal(38,0)")).as("__bs"),
+        coalesce(sum(expr(
+          """(CAST(__n AS DECIMAL(38,0)) * __p - 1000 * __e)
+             * (CAST(__n AS DECIMAL(38,0)) * __p - 1000 * __e)
+             DIV __n""")), lit(0).cast("decimal(38,0)")).as("__rel"),
+        coalesce(sum(expr(
+          """CAST(((CAST(__e AS DECIMAL(38,0)) * __tn
+                 - CAST(__n AS DECIMAL(38,0)) * __te)
+               * (CAST(__e AS DECIMAL(38,0)) * __tn
+                 - CAST(__n AS DECIMAL(38,0)) * __te)
+             - pmod((CAST(__e AS DECIMAL(38,0)) * __tn
+                 - CAST(__n AS DECIMAL(38,0)) * __te)
+               * (CAST(__e AS DECIMAL(38,0)) * __tn
+                 - CAST(__n AS DECIMAL(38,0)) * __te),
+               CAST(__n AS DECIMAL(38,0))))
+             / CAST(__n AS DECIMAL(38,0)) AS DECIMAL(38,0))""")),
+          lit(0).cast("decimal(38,0)")).as("__res"))
+      .select(coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+             ELSE __bs DIV CAST(n_docs AS DECIMAL(38,0)) END AS BIGINT)""")
+          .as("brier_micro"),
+        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+             ELSE __rel DIV CAST(n_docs AS DECIMAL(38,0)) END AS BIGINT)""")
+          .as("reliability_micro"),
+        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+             ELSE __res * 1000000
+                  DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs)
+             END AS BIGINT)""").as("resolution_micro"),
+        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+             ELSE CAST(__E AS DECIMAL(38,0)) * (n_docs - __E) * 1000000
+                  DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs)
+             END AS BIGINT)""").as("uncertainty_micro"))
+      .withColumn("identity_gap_micro",
+        expr("""brier_micro
+             - (reliability_micro - resolution_micro + uncertainty_micro)"""))
+  }
+
+  /**
    * PAGE's trend test (public '63, generalized to arbitrary integer dose
    * spacings) — the ORDERED-alternative complement of [[friedmanTest]]:
    * Friedman fires on ANY rank disagreement across treatments; this

@@ -94,6 +94,38 @@ object Curation {
   }
 
   /**
+   * GROUP k-FOLD manifest — the cross-validation complement of
+   * [[leakageSafeSplit]]: every provenance group lands WHOLLY in one of
+   * the k folds (fold = portable 60-bit md5 of the group, mod k), so no
+   * near-dup pair can straddle a train/holdout boundary under ANY fold
+   * rotation. Reports per fold: groups, docs, total size, and the exact
+   * doc share in ppm — the balance table a CV design reads before
+   * trusting per-fold metric variance (a fold holding one giant group is
+   * not an independent draw). Same NULL-group policy as
+   * [[leakageSafeSplit]]: unknown provenance coalesces to ONE
+   * deterministic pseudo-group that travels together.
+   *
+   * Scale shape: the fold is a map-side hash expression; one
+   * k-bounded aggregate (countDistinct rides the same exchange), one
+   * broadcast total. Folds with no groups simply do not appear — the
+   * share column is why an absent fold is visible anyway.
+   */
+  def groupKFold(df: DataFrame, groupCol: String, docSizeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"fold count $k not in [2, 1000]")
+    val fold = PortableHash.hash60(coalesce(col(groupCol), lit(""))) % k
+    val per = df.withColumn("fold", fold.cast("int"))
+      .groupBy("fold")
+      .agg(countDistinct(coalesce(col(groupCol), lit(""))).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col(docSizeCol)).as("total_size"))
+    per.crossJoin(broadcast(per.agg(sum(col("n_docs")).as("__tot"))))
+      .select(col("fold"), col("n_groups"), col("n_docs"), col("total_size"),
+        expr("n_docs * 1000000 DIV __tot").as("share_ppm"))
+      .orderBy("fold")
+  }
+
+  /**
    * Wide single-pass column profile: per column, null count and EXACT
    * distinct count — the post-load data-quality summary for every column
    * of a table in ONE scan (the per-upload profiler's warehouse-scale

@@ -1859,6 +1859,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(z.getLong(3) == 0L && z.getString(4) == "same")
   }
 
+  test("brierDecomposition: perfect calibration, base-rate predictor, out-of-range drop") {
+    // bins 250 (1 of 4 positive) and 750 (3 of 4 positive): perfectly
+    // calibrated → reliability 0; BS = resolution-adjusted:
+    // bs per row: bin 250 → 3·250² + 750² = 750000 over 4 → avg 187500
+    //             bin 750 → 250² + 3·... symmetric → BS = 187500
+    // base rate 4/8 → uncertainty 250000; resolution = Σ(e·N−n·E)²/(n·N³)
+    // = 2·(2·8−4·4)²... e=1,n=4,N=8,E=4: (8−16)²/4 = 16; e=3: (24−16)²/4
+    // = 16 → 32·1e6/512 = 62500; identity 187500 = 0 − 62500 + 250000 ✓
+    val cal = Seq((250L, false), (250L, false), (250L, false), (250L, true),
+      (750L, true), (750L, true), (750L, true), (750L, false))
+      .toDF("p", "y")
+    val r = Analytics.brierDecomposition(cal, col("p"), col("y"))
+      .collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getLong(1) == 187500L, s"brier ${r.getLong(1)}")
+    assert(r.getLong(2) == 0L, "perfect calibration → zero reliability")
+    assert(r.getLong(3) == 62500L && r.getLong(4) == 250000L)
+    assert(r.getLong(5) == 0L, "identity holds exactly on divisible bins")
+    // base-rate predictor (everyone 500, half positive): resolution 0,
+    // reliability 0, BS = uncertainty = 250000
+    val flat = Seq((500L, true), (500L, false)).toDF("p", "y")
+    val f = Analytics.brierDecomposition(flat, col("p"), col("y"))
+      .collect().head
+    assert((f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4)) ==
+      ((250000L, 0L, 0L, 250000L)))
+    // out-of-range predictions drop entirely (counted nowhere)
+    val oor = Seq((1500L, true), (500L, true), (500L, false), (-5L, false))
+      .toDF("p", "y")
+    assert(Analytics.brierDecomposition(oor, col("p"), col("y"))
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("pageTrendTest: hand-computed perfect trend, cancelling blocks, dose-shift invariance") {
     // two blocks, k=3, both perfectly rising: r2 = 2,4,6 per block;
     // L2 = 2·(1·2+2·4+3·6) = 56, E = 2·4·6 = 48, Jpart = 3·14−36 = 6,

@@ -378,6 +378,26 @@ class CurationSpec extends AnyFunSuite {
       128L -> ((1L, 100L, 128L, 218750L))))
   }
 
+  test("groupKFold: groups are atomic across folds; shares sum to ~1e6; nulls travel together") {
+    val df = (1 to 100).map(i => (s"g${i % 10}", i.toLong)).toDF("g", "sz")
+    val r = Curation.groupKFold(df, "g", "sz", k = 3).collect()
+    assert(r.map(_.getLong(2)).sum == 100L, "every doc lands in exactly one fold")
+    assert(r.map(_.getLong(1)).sum == 10L, "every group lands in exactly one fold")
+    // atomicity: re-deriving the fold per group gives one fold per group
+    val folds = df.withColumn("f",
+        graft.operators.PortableHash.hash60(col("g")) % 3)
+      .groupBy("g").agg(countDistinct(col("f")).as("nf"))
+      .collect().map(_.getLong(1))
+    assert(folds.forall(_ == 1L))
+    val shares = r.map(_.getLong(4)).sum
+    assert(shares >= 999998L && shares <= 1000000L, s"ppm shares sum $shares")
+    // null groups coalesce into ONE pseudo-group
+    val withNull = df.union(Seq((null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 2L)).toDF("g", "sz"))
+    val rn = Curation.groupKFold(withNull, "g", "sz", k = 3).collect()
+    assert(rn.map(_.getLong(1)).sum == 11L, "nulls form exactly one extra group")
+  }
+
   test("tClosenessAudit: exact EMD — matching class 0, degenerate class known value") {
     // global sensitive distribution: values 0 and 1 at 50/50 (8 rows).
     // class 'a' mirrors it exactly → EMD 0; class 'b' is all-zeros →
