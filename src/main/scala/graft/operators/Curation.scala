@@ -94,6 +94,64 @@ object Curation {
   }
 
   /**
+   * IMPORTANCE-WEIGHT effective-sample-size audit (Kish's ESS, public) —
+   * the feasibility check BEFORE reweighting one corpus slice to match a
+   * target distribution over a discrete feature: per stratum s the
+   * weight is `w_s = (t_s/N_tgt)/(n_s/N_src)`, and Kish's
+   * `ESS = (Σw)²/Σw² = N_tgt² / Σ_s t_s²/n_s` says how much effective
+   * data the reweighted source actually carries — reweighting a slice
+   * that lacks the target's mass concentrates weight on a few rows and
+   * the ESS collapses, which this reports BEFORE a training run finds
+   * out. Exact integers: per-stratum `t_s² DIV n_s` floors identically
+   * in both engines (quotient ≤ N²_tgt, safely inside BIGINT at the
+   * ~10⁸ documented bound); the final ratio stages through
+   * DECIMAL(38,0). Target strata the source does not cover CANNOT be
+   * reweighted into existence — they are excluded from the ESS and
+   * reported as `uncovered_target_ppm` (the honest headline when it is
+   * non-zero).
+   *
+   * Output (1 row): source/target row counts, covered stratum count,
+   * uncovered target mass (ppm), and `ess_ppm` — the effective fraction
+   * of the source that survives reweighting (1e6 = perfectly matched
+   * already).
+   *
+   * Scale shape: two stratum collapses (vocabulary-bounded), one outer
+   * join of the two bounded tables, one 1-row aggregate.
+   */
+  def importanceWeightEss(df: DataFrame, stratum: Column,
+      inSource: Column): DataFrame = {
+    val base = df.select(stratum.cast("long").as("__s"),
+        inSource.cast("boolean").as("__src"))
+      .filter(col("__s").isNotNull && col("__src").isNotNull)
+      .groupBy("__s")
+      .agg(sum(when(col("__src"), 1L).otherwise(0L)).as("__n"),
+        count(lit(1)).as("__t"))
+    val tot = base.agg(coalesce(sum(col("__n")), lit(0L)).as("__nsrc"),
+      coalesce(sum(col("__t")), lit(0L)).as("__ntgt"))
+    base.crossJoin(broadcast(tot))
+      .agg(max(col("__nsrc")).as("n_source"), max(col("__ntgt")).as("n_target"),
+        sum(when(col("__n") > 0L, 1L).otherwise(0L)).as("n_covered_strata"),
+        sum(when(col("__n") === 0L, col("__t")).otherwise(0L)).as("__unc"),
+        coalesce(sum(when(col("__n") > 0L,
+          expr("CAST(__t AS DECIMAL(38,0)) * __t DIV __n").cast("decimal(38,0)"))),
+          lit(0).cast("decimal(38,0)")).as("__term"),
+        coalesce(sum(when(col("__n") > 0L, col("__t")).otherwise(0L)), lit(0L))
+          .as("__covt"))
+      .select(coalesce(col("n_source"), lit(0L)).as("n_source"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        coalesce(col("n_covered_strata"), lit(0L)).as("n_covered_strata"),
+        expr("""CAST(CASE WHEN n_target = 0 THEN 0
+             ELSE coalesce(__unc, 0) * 1000000 DIV n_target END AS BIGINT)""")
+          .as("uncovered_target_ppm"),
+        // ESS over the COVERED target mass: N_cov² / Σ t²/n, as a ppm
+        // fraction of the source size
+        expr("""CAST(CASE WHEN n_source = 0 OR __term <= 0 THEN 0
+             ELSE CAST(__covt AS DECIMAL(38,0)) * __covt * 1000000
+                  DIV (CAST(n_source AS DECIMAL(38,0)) * __term)
+             END AS BIGINT)""").as("ess_ppm"))
+  }
+
+  /**
    * GROUP k-FOLD manifest — the cross-validation complement of
    * [[leakageSafeSplit]]: every provenance group lands WHOLLY in one of
    * the k folds (fold = portable 60-bit md5 of the group, mod k), so no
@@ -912,6 +970,54 @@ object Curation {
         expr("CASE WHEN natural_ppm = 0 THEN 0 " +
           "ELSE tempered_ppm * 1000 DIV natural_ppm END"))
       .orderBy("grp")
+  }
+
+  /**
+   * BATCH-PADDING strategy comparison — the measured answer to "is
+   * length-sorted batching worth it on THIS corpus": fixed-count batches
+   * of `batchSize` docs, each padded to its own max token length (the
+   * trailing partial batch at its actual size), under two deterministic
+   * orders — `hash` (the shuffled-dataloader baseline, portable md5
+   * order) and `sorted` (ascending token length, the bucketed-batching
+   * ideal). Per strategy: batches, real tokens, padded capacity, waste
+   * ppm. [[paddingWasteByBucket]] reports waste against FIXED bucket
+   * boundaries; this reports it against the batching policy itself.
+   *
+   * Scale shape: two [[Sampling.globalRankRange]] two-phase ranks (never
+   * a single global sort task), two batch collapses, a 2-row report.
+   * Ties in either order break by id, so both engines batch
+   * identically.
+   */
+  def batchPaddingStrategies(df: DataFrame, idCol: String, tokenLen: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val base = df
+      .select(col(idCol).as("__id"), tokenLen.cast("long").as("__len"))
+      .filter(col("__id").isNotNull && col("__len").isNotNull
+        && col("__len") > 0L)
+    def wasteFor(name: String, ordered: DataFrame): DataFrame =
+      ordered
+        .withColumn("__b", expr(s"(global_rank - 1) DIV $batchSize"))
+        .groupBy("__b")
+        .agg(count(lit(1)).as("__n"), sum(col("__len")).as("__sum"),
+          max(col("__len")).as("__max"))
+        .agg(count(lit(1)).as("n_batches"),
+          coalesce(sum(col("__sum")), lit(0L)).as("sum_tokens"),
+          coalesce(sum(col("__n") * col("__max")), lit(0L)).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("sum_tokens"), col("padded_tokens"),
+          expr("""CAST(CASE WHEN padded_tokens = 0 THEN 0
+               ELSE (padded_tokens - sum_tokens) * 1000000
+                    DIV padded_tokens END AS BIGINT)""").as("waste_ppm"))
+    val hashOrder = Sampling.globalRankRange(
+        base.select(col("__id"), PortableHash.hash60(col("__id")).as("__o")),
+        "__id", "__o")
+      .select(col("__id"), col("global_rank")).join(base, "__id")
+    val sortedOrder = Sampling.globalRankRange(
+        base.select(col("__id"), col("__len").as("__o")), "__id", "__o")
+      .select(col("__id"), col("global_rank")).join(base, "__id")
+    wasteFor("hash", hashOrder).unionAll(wasteFor("sorted", sortedOrder))
+      .orderBy("strategy")
   }
 
   /**

@@ -777,4 +777,80 @@ object Sampling {
         col("n_perms"), col("n_extreme"),
         expr("(1 + n_extreme) * 1000000 DIV (n_perms + 1)").as("p_value_ppm"))
   }
+
+  /** Ring position of shard node j: the portable 60-bit md5 of the
+    * literal `shard:j` — computed driver-side with `java.security`
+    * MessageDigest, BIT-IDENTICAL to [[PortableHash.hash60]] (same
+    * md5-hex → first 15 nibbles → long construction), so the oracle
+    * recomputes the identical positions from `md5('shard:' || j)`. */
+  private def ringNodePos(j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"shard:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Circular-successor POSITION of hash `h` among the first `k` ring
+    * nodes: the smallest node position ≥ h, wrapping to the globally
+    * smallest. A constant when-ladder over the k sorted positions —
+    * map-side, no join. Comparing successor POSITIONS between two node
+    * sets equals comparing assigned nodes (positions are distinct). */
+  private def ringSuccessorPos(h: Column, k: Int): Column = {
+    val ps = (0 until k).map(ringNodePos).sorted
+    ps.reverse.foldLeft(lit(ps.head): Column)((acc, p) =>
+      when(h <= p, lit(p)).otherwise(acc))
+  }
+
+  /**
+   * SHARD-REBALANCE audit (consistent hashing's raison d'être, public) —
+   * when a k-shard layout grows to k+1, how much data MOVES under each
+   * assignment strategy? `mod` (shard = h mod k) remaps ~k/(k+1) of all
+   * keys — nearly everything; `range` (shard = ⌊h·k / 2⁶⁰⌋, static
+   * range-partitioning of the hash space) still moves ~half, because
+   * EVERY range boundary shifts when k changes; `ring` (true consistent
+   * hashing — each key goes to the circular successor among k md5-placed
+   * node points) moves ONLY the keys the new node captures, ~1/(k+1) in
+   * expectation. The three-row table is the measured certificate of that
+   * hierarchy on the actual corpus — the one-look justification for ring
+   * sharding before a 100 TB re-layout. The portable 60-bit md5 draw
+   * keeps both engines bit-identical; node positions derive from
+   * `md5('shard:' || j)` so the oracle re-places the ring itself; the
+   * range product stages through DECIMAL (h·(k+1) overflows BIGINT from
+   * k ≥ 8).
+   *
+   * Scale shape: one map-side hash + six shard expressions (the ring
+   * ladders are k-constant CASE chains), one 1-row aggregate, a 3-row
+   * report.
+   */
+  def shardRebalanceAudit(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"shard count $k not in [1, 64]")
+    val two60 = 1152921504606846976L // 2^60, the hash60 range
+    val agg = df.filter(col(idCol).isNotNull)
+      .select(PortableHash.hash60(col(idCol)).as("__h"))
+      .select((col("__h") % k).as("__m0"), (col("__h") % (k + 1)).as("__m1"),
+        expr(s"CAST(CAST(__h AS DECIMAL(38,0)) * $k DIV $two60 AS BIGINT)")
+          .as("__r0"),
+        expr(s"CAST(CAST(__h AS DECIMAL(38,0)) * ${k + 1} DIV $two60 AS BIGINT)")
+          .as("__r1"),
+        ringSuccessorPos(col("__h"), k).as("__c0"),
+        ringSuccessorPos(col("__h"), k + 1).as("__c1"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__m0") =!= col("__m1"), 1L).otherwise(0L)).as("__mm"),
+        sum(when(col("__r0") =!= col("__r1"), 1L).otherwise(0L)).as("__rm"),
+        sum(when(col("__c0") =!= col("__c1"), 1L).otherwise(0L)).as("__cm"))
+    agg.select(explode(array(
+        struct(lit("mod").as("strategy"), col("n_docs").as("n_docs"),
+          col("__mm").as("n_moved")),
+        struct(lit("range").as("strategy"), col("n_docs").as("n_docs"),
+          col("__rm").as("n_moved")),
+        struct(lit("ring").as("strategy"), col("n_docs").as("n_docs"),
+          col("__cm").as("n_moved")))).as("s"))
+      .select(col("s.strategy").as("strategy"), col("s.n_docs").as("n_docs"),
+        col("s.n_moved").as("n_moved"))
+      .select(col("strategy"), col("n_docs"), col("n_moved"),
+        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+             ELSE n_moved * 1000000 DIV n_docs END AS BIGINT)""")
+          .as("moved_ppm"))
+      .orderBy("strategy")
+  }
 }

@@ -378,6 +378,61 @@ class CurationSpec extends AnyFunSuite {
       128L -> ((1L, 100L, 128L, 218750L))))
   }
 
+  test("importanceWeightEss: matched source 1e6, concentrated source collapses, uncovered mass reported") {
+    // source mirrors the target distribution exactly → ESS = source size
+    val matched = Seq((0L, true), (1L, true), (0L, false), (1L, false))
+      .toDF("s", "src")
+    val m = Curation.importanceWeightEss(matched, col("s"), col("src"))
+      .collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(3), m.getLong(4)) ==
+      ((2L, 4L, 0L, 1000000L)))
+    // source covers stratum 0 only while the target is 50/50: half the
+    // target mass is unreachable; over the covered half the source IS the
+    // target → ESS = 1e6·covt²/(n_src·Σt²/n) = 1e6·4/(2·(4/2)) = 1e6
+    val conc = Seq((0L, true), (0L, true), (0L, false), (0L, false),
+      (1L, false), (1L, false), (1L, false), (1L, false))
+      .toDF("s", "src")
+    val c = Curation.importanceWeightEss(conc, col("s"), col("src"))
+      .collect().head
+    assert(c.getLong(2) == 1L && c.getLong(3) == 500000L)
+    assert(c.getLong(4) == 1000000L, "covered-mass ESS is perfect here")
+    // skewed coverage: source 3:1 where target is 1:1 → weights 2/3 and 2
+    // per row... ESS = covt²·1e6/(nsrc·(t0²/n0 + t1²/n1))
+    //             = 64e6/(4·(16/3 + 16)) = 64e6/(4·21) = 761904 (floored
+    //             per stratum: 16/3 → 5, so 64e6/(4·21) with term 5+16=21)
+    val skew = Seq.fill(3)((0L, true)) ++ Seq((1L, true)) ++
+      Seq.fill(5)((0L, false)) ++ Seq.fill(7)((1L, false))
+    val k = Curation.importanceWeightEss(skew.toDF("s", "src"),
+      col("s"), col("src")).collect().head
+    // strata: s0 n=3 t=8, s1 n=1 t=8; term = 64/3→21 + 64/1=64 → 85;
+    // ess = 16²·1e6/(4·85) = 752941
+    assert((k.getLong(0), k.getLong(1), k.getLong(4)) ==
+      ((4L, 16L, 752941L)))
+  }
+
+  test("batchPaddingStrategies: sorted batching eliminates mixed-length padding") {
+    // lengths 1,100,1,100 at B=2: sorted batches {1,1},{100,100} → zero
+    // waste; any order mixing the lengths pads a 1 up to 100
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "x")
+      .withColumn("len", when(col("doc_id") % 2 === 0, 100L).otherwise(1L))
+    val r = Curation.batchPaddingStrategies(df, "doc_id", col("len"), 2)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))).toMap
+    assert(r("sorted") == ((2L, 202L, 202L, 0L)))
+    assert(r("hash")._1 == 2L && r("hash")._2 == 202L)
+    assert(r("hash")._3 >= r("sorted")._3,
+      "sorted batching never pads more than the shuffled order")
+    // trailing partial batch pads at its ACTUAL size (5 docs, B=2 → the
+    // last batch holds 1 doc and contributes exactly its own length)
+    val odd = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L))
+      .toDF("doc_id", "len")
+    val o = Curation.batchPaddingStrategies(odd, "doc_id", col("len"), 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(3)))
+    assert(o.forall(t => t._2 == 3L && t._3 == 50L),
+      "equal lengths → zero waste and 3 batches under both orders")
+  }
+
   test("groupKFold: groups are atomic across folds; shares sum to ~1e6; nulls travel together") {
     val df = (1 to 100).map(i => (s"g${i % 10}", i.toLong)).toDF("g", "sz")
     val r = Curation.groupKFold(df, "g", "sz", k = 3).collect()

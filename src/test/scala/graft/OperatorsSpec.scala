@@ -732,6 +732,34 @@ class FrameSamplingSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("shardRebalanceAudit: ring matches an independent md5 successor computation") {
+    import graft.operators.Sampling
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val nodes = (0 until 9).map(j => h60(s"shard:$j"))
+    def succ(h: Long, k: Int): Long = {
+      val ps = nodes.take(k).sorted
+      ps.find(_ >= h).getOrElse(ps.head)
+    }
+    val ids = (1L to 1000L)
+    val expectedRing = ids.count(i =>
+      succ(h60(i.toString), 8) != succ(h60(i.toString), 9))
+    val expectedMod = ids.count(i =>
+      h60(i.toString) % 8 != h60(i.toString) % 9)
+    val df = ids.toDF("doc_id")
+    val r = Sampling.shardRebalanceAudit(df, "doc_id", k = 8)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r("ring") == ((1000L, expectedRing.toLong)))
+    assert(r("mod") == ((1000L, expectedMod.toLong)))
+    // the consistent-hashing hierarchy on real draws
+    assert(r("ring")._2 < r("range")._2 && r("range")._2 < r("mod")._2)
+  }
+
   test("sampleFrames: stride demuxes every k-th frame and decodes it exactly") {
     // doc 10 → 5 frames (1 + 10%6), stride 2 keeps frames 0, 2, 4
     val media = Seq((10L,
