@@ -5004,6 +5004,106 @@ object Analytics {
   }
 
   /**
+   * JONCKHEERE–TERPSTRA ordered trend test (public '54) — completes the
+   * rank-trend 2×2: {independent, blocked} × {any-alternative, ordered}
+   * = {[[kruskalWallisH]], [[friedmanTest]], this, [[pageTrendTest]]}.
+   * For k INDEPENDENT groups carrying an a-priori order, do values rise
+   * (or fall) with the order? KW fires on any location disagreement;
+   * JT pools the Σ_{g<h} pairwise Mann–Whitney counts so only a
+   * consistent ordering accumulates signal. Doubled pair counts stay
+   * integral under ties (`JT2 = Σ_{g<h} (2·#{a<b} + #{a=b})`), assembled
+   * WITHOUT any pairwise join: a dense (group × value) grid of collapsed
+   * counts, one per-group prefix window over values (pairs with smaller
+   * values), one per-value prefix window over the group order (pairs
+   * from earlier groups), one aggregate. Mean `E2 = (N² − Σn_g²)/2`; the
+   * exact tie-corrected permutation variance is the classic three-term
+   * form over the common denominator `D = 72·N(N−1)(N−2)`:
+   * `VarNum = A·N(N−1)(N−2) + 2·B + 9·C·(N−2)` with
+   * A = N(N−1)(2N+5) − Σ_g n(n−1)(2n+5) − Σ_v t(t−1)(2t+5),
+   * B = Σ_g n(n−1)(n−2) · Σ_v t(t−1)(t−2), C = Σ_g n(n−1) · Σ_v t(t−1)
+   * (all-tied corpora cancel to VarNum = 0 exactly → 'none').
+   * `z² = (JT2−E2)²·D / (4·VarNum)`, milli, 5% χ²₁ verdict by exact
+   * cross-multiplication, direction in sign(JT2−E2). DECIMAL(38,0)
+   * staging of the ~72·N⁷ product bounds validity at ~10⁴–10⁵ pooled
+   * rows (documented — ordered-trend screens at corpus scale run on
+   * samples; beyond, the decimal stage nulls and the verdict guards).
+   *
+   * Scale shape: one (group, value) collapse; the grid is k·|values|
+   * rows of already-collapsed data (k-row spine broadcast under the
+   * value list); two partitioned prefix windows (group-, then
+   * value-keyed — never global); 1-row moments.
+   */
+  def jonckheereTerpstra(df: DataFrame, groupOrder: Column,
+      value: Column): DataFrame = {
+    val gv = df
+      .select(groupOrder.cast("long").as("__j"), value.cast("long").as("__v"))
+      .filter(col("__j").isNotNull && col("__v").isNotNull)
+      .groupBy("__j", "__v").agg(count(lit(1)).as("__c"))
+    val js = gv.select("__j").distinct()
+    val vs = gv.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val grid = broadcast(js).crossJoin(vs.select("__v"))
+      .join(gv.select("__j", "__v", "__c"), Seq("__j", "__v"), "left")
+      .withColumn("__c0", coalesce(col("__c"), lit(0L)))
+    val wJ = Window.partitionBy("__j").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wV = Window.partitionBy("__v").orderBy("__j")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val jt = grid
+      .withColumn("__cb", coalesce(sum(col("__c0")).over(wJ), lit(0L)))
+      .withColumn("__less2", coalesce(sum(col("__cb")).over(wV), lit(0L)))
+      .withColumn("__tie", coalesce(sum(col("__c0")).over(wV), lit(0L)))
+      .agg(coalesce(sum(expr(
+        "CAST(__c0 AS DECIMAL(38,0)) * (2 * __less2 + __tie)")),
+        lit(0).cast("decimal(38,0)")).as("__jt2"))
+    val gm = gv.groupBy("__j").agg(sum(col("__c")).as("__ng"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__ng")), lit(0L)).as("n_rows"),
+        coalesce(sum(expr("CAST(__ng AS DECIMAL(38,0)) * __ng")),
+          lit(0).cast("decimal(38,0)")).as("__sn2"),
+        coalesce(sum(expr(
+          "CAST(__ng AS DECIMAL(38,0)) * (__ng - 1) * (2 * __ng + 5)")),
+          lit(0).cast("decimal(38,0)")).as("__ga"),
+        coalesce(sum(expr(
+          "CAST(__ng AS DECIMAL(38,0)) * (__ng - 1) * (__ng - 2)")),
+          lit(0).cast("decimal(38,0)")).as("__gb"),
+        coalesce(sum(expr("CAST(__ng AS DECIMAL(38,0)) * (__ng - 1)")),
+          lit(0).cast("decimal(38,0)")).as("__gc2"))
+    val tm = vs.agg(
+      coalesce(sum(expr(
+        "CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (2 * __t + 5)")),
+        lit(0).cast("decimal(38,0)")).as("__ta"),
+      coalesce(sum(expr(
+        "CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t - 2)")),
+        lit(0).cast("decimal(38,0)")).as("__tb"),
+      coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")),
+        lit(0).cast("decimal(38,0)")).as("__tc2"))
+    gm.crossJoin(broadcast(jt)).crossJoin(broadcast(tm))
+      .select(col("n_rows"), col("n_groups"),
+        expr("CAST(__jt2 AS BIGINT)").as("jt2_stat"),
+        expr("""CAST(__jt2 - (CAST(n_rows AS DECIMAL(38,0)) * n_rows - __sn2)
+             / 2 AS DECIMAL(38,0))""").as("__num"),
+        expr("""CAST((CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)
+               * (2 * n_rows + 5) - __ga - __ta)
+             * (CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1) * (n_rows - 2))
+             + 2 * __gb * __tb
+             + 9 * __gc2 * __tc2 * (n_rows - 2)
+             AS DECIMAL(38,0))""").as("__varnum"),
+        expr("""CAST(72 * CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)
+             * (n_rows - 2) AS DECIMAL(38,0))""").as("__dd"))
+      .select(col("n_rows"), col("n_groups"), col("jt2_stat"),
+        expr("""CAST(CASE WHEN n_rows < 3 OR __varnum IS NULL
+               OR __varnum <= 0 THEN 0
+             ELSE __num * __num * 250 * __dd DIV __varnum
+             END AS BIGINT)""").as("z2_milli"),
+        expr("""CASE WHEN n_rows < 3 OR __varnum IS NULL OR __varnum <= 0
+             THEN 'none'
+             WHEN __num * __num * 2500 * __dd
+                  > CAST(38415 AS DECIMAL(38,0)) * __varnum
+             THEN CASE WHEN __num > 0 THEN 'rising' ELSE 'falling' END
+             ELSE 'none' END""").as("verdict"))
+  }
+
+  /**
    * MURPHY DECOMPOSITION of the Brier score (public '73) — the
    * calibration table's one-row summary: BS = RELIABILITY − RESOLUTION +
    * UNCERTAINTY over the prediction bins. Reliability is the

@@ -1859,6 +1859,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(z.getLong(3) == 0L && z.getString(4) == "same")
   }
 
+  test("jonckheereTerpstra: hand-computed separated groups, ties, direction, degeneracy") {
+    // three separated rising groups {1,2},{3,4},{5,6}: JT2 = 2·12 = 24,
+    // E2 = (36−12)/2 = 12, A = 510−54 = 456, Var·D: VarNum = 456·120 =
+    // 54720, D = 8640 → z² = 144·8640/(4·54720) = 5.684 → 'rising'
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (3L, 6L))
+      .toDF("j", "v")
+    val r = Analytics.jonckheereTerpstra(up, col("j"), col("v"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 24L)))
+    assert(r.getLong(3) == 5684L && r.getString(4) == "rising")
+    // reversed order flips the sign, same magnitude
+    val down = Analytics.jonckheereTerpstra(up, -col("j"), col("v"))
+      .collect().head
+    assert(down.getLong(3) == 5684L && down.getString(4) == "falling")
+    // two tiny separated groups: z² = 2.4 — perfectly ordered but NOT
+    // significant (the classic small-sample honesty check)
+    val tiny = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)).toDF("j", "v")
+    val t = Analytics.jonckheereTerpstra(tiny, col("j"), col("v"))
+      .collect().head
+    assert(t.getLong(3) == 2400L && t.getString(4) == "none")
+    // tie handling: g1={1,1}, g2={1,2} → JT2 = 2·2+2 = 6, Var = 1 → z² = 1
+    val tied = Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)).toDF("j", "v")
+    val z = Analytics.jonckheereTerpstra(tied, col("j"), col("v"))
+      .collect().head
+    assert(z.getLong(2) == 6L && z.getLong(3) == 1000L && z.getString(4) == "none")
+    // all values tied: the three-term variance cancels to exactly 0
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("j", "v")
+    val c = Analytics.jonckheereTerpstra(const, col("j"), col("v"))
+      .collect().head
+    assert(c.getLong(3) == 0L && c.getString(4) == "none")
+  }
+
   test("brierDecomposition: perfect calibration, base-rate predictor, out-of-range drop") {
     // bins 250 (1 of 4 positive) and 750 (3 of 4 positive): perfectly
     // calibrated → reliability 0; BS = resolution-adjusted:
