@@ -889,4 +889,63 @@ class InvariantSpec extends AnyFunSuite {
       "rejections must be a prefix of the p-rank order")
     assert(byRank.sum > 0, "shifted groups must produce at least one rejection")
   }
+
+  test("r10 rank family: partitioning- and monotone-map invariance (AB, Page, JT)") {
+    val rnd = new scala.util.Random(53)
+    // Ansari–Bradley: scale test ranks ignore physical splits and strictly
+    // increasing affine maps (they preserve the pooled order)
+    val ab = (0 until 300).map(_ =>
+      (rnd.nextBoolean(), rnd.nextInt(40).toLong)).toDF("b", "v")
+    val a1 = Analytics.ansariBradleyScale(ab, col("b"), col("v")).collect().head
+    val a2 = Analytics.ansariBradleyScale(ab.repartition(11), col("b"), col("v"))
+      .collect().head
+    val a3 = Analytics.ansariBradleyScale(ab, col("b"), col("v") * 3L + 7L)
+      .collect().head
+    assert(a1.toSeq == a2.toSeq, "AB: partitioning changed the answer")
+    assert(a1.toSeq == a3.toSeq, "AB: monotone affine map changed the ranks")
+    // Page: within-block ranks ignore splits and affine maps; dose shifts
+    // cancel exactly (pinned in AnalyticsSpec)
+    val pg = (for { b <- 0 until 10; j <- 1 to 4 }
+      yield (s"b$b", j.toLong, (j * 10 + rnd.nextInt(15)).toLong))
+      .toDF("b", "j", "v")
+    val p1 = Analytics.pageTrendTest(pg, "b", col("j"), col("v")).collect().head
+    val p2 = Analytics.pageTrendTest(pg.repartition(9), "b", col("j"), col("v"))
+      .collect().head
+    val p3 = Analytics.pageTrendTest(pg, "b", col("j"), col("v") * 9L + 1L)
+      .collect().head
+    assert(p1.toSeq == p2.toSeq && p1.toSeq == p3.toSeq)
+    // Jonckheere–Terpstra: the grid + two prefix windows must not depend
+    // on splits; pair counts ignore affine value maps
+    val jt = (0 until 300).map(_ => {
+      val j = rnd.nextInt(4).toLong
+      (j, j * 5 + rnd.nextInt(25).toLong)
+    }).toDF("j", "v")
+    val j1 = Analytics.jonckheereTerpstra(jt, col("j"), col("v")).collect().head
+    val j2 = Analytics.jonckheereTerpstra(jt.repartition(13), col("j"), col("v"))
+      .collect().head
+    val j3 = Analytics.jonckheereTerpstra(jt, col("j"), col("v") * 2L + 5L)
+      .collect().head
+    assert(j1.toSeq == j2.toSeq && j1.toSeq == j3.toSeq)
+    assert(j1.getString(4) == "rising", "the planted trend must be detected")
+  }
+
+  test("r10 audits: t-closeness and batch padding are partitioning-invariant") {
+    import graft.operators.Curation
+    val rnd = new scala.util.Random(71)
+    val df = (0 until 400).map(_ =>
+      (s"q${rnd.nextInt(6)}", rnd.nextInt(8).toLong)).toDF("q", "s")
+    val t1 = Curation.tClosenessAudit(df, Seq("q"), "s", Seq(100000L, 300000L))
+      .collect().map(_.toSeq)
+    val t2 = Curation.tClosenessAudit(df.repartition(17), Seq("q"), "s",
+      Seq(100000L, 300000L)).collect().map(_.toSeq)
+    assert(t1.toSeq == t2.toSeq, "EMD depends only on the distributions")
+    val docs = (1 to 300).map(i => (i.toLong, (i * 37) % 90 + 1L))
+      .toDF("doc_id", "len")
+    val b1 = Curation.batchPaddingStrategies(docs, "doc_id", col("len"), 16)
+      .collect().map(_.toSeq)
+    val b2 = Curation.batchPaddingStrategies(docs.repartition(13), "doc_id",
+      col("len"), 16).collect().map(_.toSeq)
+    assert(b1.toSeq == b2.toSeq,
+      "batch membership depends only on the total order, never on splits")
+  }
 }

@@ -976,6 +976,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
   }
 
+  test("x612: shard rebalance is join-free — hash ladders are map-side, one 1-row aggregate") {
+    val p = plan("x612_shard_rebalance_audit")
+    assert(!p.contains("Join"), s"mod/range/ring are all expressions:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
+  }
+
+  test("x613/x614: two-phase ranks and grid windows — never a sort-merge or cartesian") {
+    val p = plan("x613_batch_padding_strategies")
+    assert(p.linesIterator.count(_.contains("rangepartitioning")) >= 2,
+      s"each batching order needs its two-phase global rank:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rank-offset joins broadcast:\n$p")
+    val q = plan("x614_jonckheere_terpstra")
+    assert(!q.contains("SortMergeJoin") && !q.contains("CartesianProduct"),
+      s"the k-row spine broadcasts; nothing sort-merges:\n$q")
+    assert(q.contains("windowspecdefinition(__j")
+      && q.contains("windowspecdefinition(__v"),
+      s"both prefix windows must be partitioned:\n$q")
+  }
+
+  test("x603/x604/x611: privacy grid, rank staging, and stratum joins all broadcast") {
+    for (name <- Seq("x603_t_closeness_audit", "x604_ansari_bradley_scale",
+        "x611_importance_weight_ess")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: bounded frames must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n$p")
+    }
+  }
+
   test("x599: friedman joins broadcast; ranks ride block-partitioned windows") {
     val p = plan("x599_friedman_kendall_w")
     assert(!p.contains("SortMergeJoin"),
