@@ -529,6 +529,39 @@ object Multimodal {
     }
   }
 
+  case class EnergyWindow(doc_id: Long, window_idx: Int, n_samples: Long,
+                          sum_abs: Long, sum_sq: Long, peak: Int)
+
+  /** WINDOWED ENERGY CONTOUR — the framing step every speech pipeline
+    * (VAD, diarization, loudness normalization) runs before a model sees
+    * audio: fixed `windowSize`-sample frames over the REAL-codec decode,
+    * each reporting its exact |amplitude| sum, energy (Σ amplitude² —
+    * kept as the integer sum of squares; an RMS sqrt would trade
+    * exactness for nothing the threshold consumer needs), and peak. The
+    * trailing partial frame reports its true sample count. One
+    * iterator-to-iterator `mapPartitions` at the codec seam (the
+    * [[extractAudioFeatures]] contract); everything after is plain rows. */
+  def audioEnergyWindows(spark: SparkSession, media: DataFrame,
+      windowSize: Int = 16): Dataset[EnergyWindow] = {
+    import spark.implicits._
+    require(windowSize >= 1, "window size must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val samples = decodeWavSamples(r.payload)
+        samples.grouped(windowSize).zipWithIndex.map { case (w, i) =>
+          var sa = 0L; var sq = 0L; var pk = 0
+          var j = 0
+          while (j < w.length) {
+            val a = math.abs(w(j))
+            sa += a; sq += a.toLong * a; if (a > pk) pk = a
+            j += 1
+          }
+          EnergyWindow(r.doc_id, i, w.length.toLong, sa, sq, pk)
+        }
+      }
+    }
+  }
+
   /** Raw signed 16-bit samples from a WAV payload (same decode + checks
     * as [[decodeWav]], materializing the sample stream instead of its
     * aggregates — the framing features need positions, not just sums). */

@@ -760,6 +760,23 @@ class FrameSamplingSpec extends AnyFunSuite {
     assert(r("ring")._2 < r("range")._2 && r("range")._2 < r("mod")._2)
   }
 
+  test("audioEnergyWindows: frames match the PCM formula; trailing partial frame true-sized") {
+    // doc 10 → 74 samples → 4 full 16-sample windows + a 10-sample tail
+    val media = Seq((10L, Multimodal.renderWav(10L), "wav"))
+      .toDF("doc_id", "payload", "format")
+    val out = Multimodal.audioEnergyWindows(spark, media, windowSize = 16)
+      .collect().sortBy(_.window_idx)
+    assert(out.length == 5)
+    assert(out.map(_.n_samples).toSeq == Seq(16L, 16L, 16L, 16L, 10L))
+    val expect = (0 until 74).map(t => math.abs(((10L * 31 + 7L * t) % 65536 - 32768).toInt))
+      .grouped(16).zipWithIndex.map { case (w, i) =>
+        (i, w.length.toLong, w.map(_.toLong).sum,
+          w.map(a => a.toLong * a).sum, w.max)
+      }.toSeq
+    assert(out.map(e => (e.window_idx, e.n_samples, e.sum_abs, e.sum_sq,
+      e.peak)).toSeq == expect)
+  }
+
   test("sampleFrames: stride demuxes every k-th frame and decodes it exactly") {
     // doc 10 → 5 frames (1 + 10%6), stride 2 keeps frames 0, 2, 4
     val media = Seq((10L,
