@@ -5027,6 +5027,12 @@ object Analytics {
    * staging of the ~72·N⁷ product bounds validity at ~10⁴–10⁵ pooled
    * rows (documented — ordered-trend screens at corpus scale run on
    * samples; beyond, the decimal stage nulls and the verdict guards).
+   * NOTE the guard is Spark-side only: a DuckDB oracle staging the same
+   * product in HUGEINT RAISES on overflow rather than returning NULL, so
+   * past the bound the oracle errors where this operator degrades to
+   * 'none' — the bound is where engine/oracle agreement is certified,
+   * not merely where the verdict loses power. The same asymmetry applies
+   * to every DECIMAL(38,0)-staged verdict in this file.
    *
    * Scale shape: one (group, value) collapse; the grid is k·|values|
    * rows of already-collapsed data (k-row spine broadcast under the
@@ -5161,18 +5167,22 @@ object Analytics {
                CAST(__n AS DECIMAL(38,0))))
              / CAST(__n AS DECIMAL(38,0)) AS DECIMAL(38,0))""")),
           lit(0).cast("decimal(38,0)")).as("__res"))
+      // The CASE guards resolve against the PRE-coalesce aggregate column
+      // (max(__tn) = NULL on an empty frame), so each needs the explicit
+      // IS NULL arm — without it the ELSE branch divides by NULL and the
+      // whole report comes back NULL where the oracle reports 0s.
       .select(coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+        expr("""CAST(CASE WHEN n_docs IS NULL OR n_docs = 0 THEN 0
              ELSE __bs DIV CAST(n_docs AS DECIMAL(38,0)) END AS BIGINT)""")
           .as("brier_micro"),
-        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+        expr("""CAST(CASE WHEN n_docs IS NULL OR n_docs = 0 THEN 0
              ELSE __rel DIV CAST(n_docs AS DECIMAL(38,0)) END AS BIGINT)""")
           .as("reliability_micro"),
-        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+        expr("""CAST(CASE WHEN n_docs IS NULL OR n_docs = 0 THEN 0
              ELSE __res * 1000000
                   DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs)
              END AS BIGINT)""").as("resolution_micro"),
-        expr("""CAST(CASE WHEN n_docs = 0 THEN 0
+        expr("""CAST(CASE WHEN n_docs IS NULL OR n_docs = 0 THEN 0
              ELSE CAST(__E AS DECIMAL(38,0)) * (n_docs - __E) * 1000000
                   DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs)
              END AS BIGINT)""").as("uncertainty_micro"))

@@ -140,12 +140,16 @@ object Curation {
       .select(coalesce(col("n_source"), lit(0L)).as("n_source"),
         coalesce(col("n_target"), lit(0L)).as("n_target"),
         coalesce(col("n_covered_strata"), lit(0L)).as("n_covered_strata"),
-        expr("""CAST(CASE WHEN n_target = 0 THEN 0
+        // n_target here is the PRE-coalesce max(__ntgt) — NULL on an empty
+        // frame — so the guard needs the IS NULL arm to mirror the oracle's
+        // `ntgt IS NULL OR ntgt = 0` and report 0 instead of NULL.
+        expr("""CAST(CASE WHEN n_target IS NULL OR n_target = 0 THEN 0
              ELSE coalesce(__unc, 0) * 1000000 DIV n_target END AS BIGINT)""")
           .as("uncovered_target_ppm"),
         // ESS over the COVERED target mass: N_cov² / Σ t²/n, as a ppm
         // fraction of the source size
-        expr("""CAST(CASE WHEN n_source = 0 OR __term <= 0 THEN 0
+        expr("""CAST(CASE WHEN n_source IS NULL OR n_source = 0
+                  OR __term <= 0 THEN 0
              ELSE CAST(__covt AS DECIMAL(38,0)) * __covt * 1000000
                   DIV (CAST(n_source AS DECIMAL(38,0)) * __term)
              END AS BIGINT)""").as("ess_ppm"))

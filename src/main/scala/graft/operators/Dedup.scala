@@ -1090,8 +1090,14 @@ object Dedup {
    * count) → size histogram (bounded by the largest family); all
    * exchanges on collapsed frames, the corpus never reappears.
    */
-  def clusterSizeCensus(pairs: DataFrame, iterations: Int = 3): DataFrame = {
-    val sizes = dupClusters(pairs, iterations)
+  def clusterSizeCensus(pairs: DataFrame, iterations: Int = 3): DataFrame =
+    clusterSizeCensusFromLabels(dupClusters(pairs, iterations))
+
+  /** [[clusterSizeCensus]] over a PRECOMPUTED (doc_id, cluster) label frame
+    * — the seam that lets a session-memoized cluster build feed the census
+    * without re-running label propagation. */
+  def clusterSizeCensusFromLabels(labels: DataFrame): DataFrame = {
+    val sizes = labels
       .groupBy("cluster").agg(count(lit(1)).as("__sz"))
     sizes.groupBy(col("__sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -1153,10 +1159,17 @@ object Dedup {
    * `size(split(...))`.
    */
   def dedupTokenSavings(docs: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, sourceCol: String, iterations: Int = 3): DataFrame = {
+      textCol: String, sourceCol: String, iterations: Int = 3): DataFrame =
+    dedupTokenSavingsFromLabels(docs, dupClusters(pairs, iterations),
+      idCol, textCol, sourceCol)
+
+  /** [[dedupTokenSavings]] over a PRECOMPUTED (doc_id, cluster) label frame
+    * — the memoized-staging seam, like [[clusterSizeCensusFromLabels]]. */
+  def dedupTokenSavingsFromLabels(docs: DataFrame, clusterLabels: DataFrame,
+      idCol: String, textCol: String, sourceCol: String): DataFrame = {
     // dupClusters canonicalizes its output to (doc_id, cluster); rename the
     // id back to the caller's idCol so the join below resolves for any name.
-    val labels = dupClusters(pairs, iterations).withColumnRenamed("doc_id", idCol)
+    val labels = clusterLabels.withColumnRenamed("doc_id", idCol)
     val reps = labels.groupBy("cluster").agg(min(col(idCol)).as("__rep"))
     val dropped = labels.join(reps, "cluster")
       .filter(col(idCol) =!= col("__rep"))
