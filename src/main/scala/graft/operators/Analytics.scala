@@ -4476,6 +4476,73 @@ object Analytics {
   }
 
   /**
+   * KRIPPENDORFF's alpha, INTERVAL metric (Krippendorff '70/'04, public)
+   * — the agreement coefficient for the annotation tables [[fleissKappa]]
+   * cannot handle: MISSING ratings (raters skip units) and ORDINAL/
+   * interval distance (a 2-vs-3 disagreement is smaller than 1-vs-5).
+   * α = 1 − D_o/D_e over the squared-difference metric δ(c,k) = (c−k)².
+   * The within-unit pair sum COLLAPSES algebraically —
+   * Σ_{c,k} n_c·n_k·(c−k)² = 2(m·Q − P²) with P = Σn_c·c, Q = Σn_c·c² —
+   * so the whole operator is aggregation: no within-unit join, no
+   * coincidence-matrix frame. Rater identity never enters the interval-α
+   * math (only WHICH ratings exist per unit), so the input is the
+   * (unit, value) rating list; one rating per (unit, rater) is the
+   * CALLER's precondition, exactly as in the published formulation.
+   *
+   * Exact arithmetic: α = 1 − (n−1)·Σ_u S_u/(m_u−1) / E with
+   * S_u = 2(m_u·Q_u − P_u²), E = 2(n·Q − P²), n = Σ m_u over PAIRABLE
+   * units (m_u ≥ 2). The per-unit rational 1/(m_u−1) is cleared by the
+   * constant 720720 = lcm(1..16): `720720 DIV (m_u−1)` is EXACT for
+   * units with ≤ 17 ratings (documented precondition — an annotation
+   * panel, not a crowd; beyond 17 the weight floors and α carries a
+   * sub-ppm bias). α_ppm is sign-split before the floor division
+   * ([[fleissKappa]]'s convention) because Spark DIV truncates toward
+   * zero while the oracle's `//` floors — on the shared non-negative
+   * operands they agree. Degenerates report 0: n ≤ 1, or E = 0 (all
+   * pairable ratings share one value — agreement is vacuous). DECIMAL
+   * (38,0) staging bounds validity at ~10⁷ ratings for |value| ≤ 10³
+   * (ordinal scales); the oracle errors (HUGEINT) rather than guards
+   * beyond it, per the [[jonckheereTerpstra]] note.
+   *
+   * Scale shape: one (unit, value) collapse, one unit-bounded aggregate,
+   * one 1-row report. No join anywhere.
+   */
+  def krippendorffAlphaInterval(df: DataFrame, unit: Column,
+      value: Column): DataFrame = {
+    val uv = df
+      .select(unit.cast("long").as("__u"), value.cast("long").as("__v"))
+      .filter(col("__u").isNotNull && col("__v").isNotNull)
+      .groupBy("__u", "__v").agg(count(lit(1)).as("__c"))
+    val perUnit = uv.groupBy("__u")
+      .agg(sum(col("__c")).as("__m"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __v")).as("__p"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __v * __v")).as("__q"))
+      .filter(col("__m") >= 2L)
+    perUnit
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("__m")), lit(0L)).as("n_ratings"),
+        coalesce(sum(col("__p")), lit(0).cast("decimal(38,0)")).as("__gp"),
+        coalesce(sum(col("__q")), lit(0).cast("decimal(38,0)")).as("__gq"),
+        coalesce(sum(expr(
+          """2 * (CAST(__m AS DECIMAL(38,0)) * __q - __p * __p)
+             * (720720 DIV (__m - 1))""")),
+          lit(0).cast("decimal(38,0)")).as("__t"))
+      .select(col("n_units"), col("n_ratings"),
+        expr("""CAST(2 * (CAST(n_ratings AS DECIMAL(38,0)) * __gq
+             - __gp * __gp) AS DECIMAL(38,0))""").as("__e"),
+        col("__t"))
+      .select(col("n_units"), col("n_ratings"),
+        expr("""CAST(CASE
+             WHEN n_ratings <= 1 OR __e = 0 THEN 0
+             WHEN 720720 * __e - (n_ratings - 1) * __t < 0
+             THEN -(((n_ratings - 1) * __t - 720720 * __e) * 1000000
+                  DIV (720720 * __e))
+             ELSE (720720 * __e - (n_ratings - 1) * __t) * 1000000
+                  DIV (720720 * __e)
+             END AS BIGINT)""").as("alpha_ppm"))
+  }
+
+  /**
    * COCHRAN's Q (Cochran '50, public) — do k ≥ 3 classifiers have
    * different error rates on the SAME examples? The k-way generalization
    * of [[mcnemarPaired]] (Q reduces to McNemar's χ² at k = 2): with

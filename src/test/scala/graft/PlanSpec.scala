@@ -995,6 +995,21 @@ class PlanSpec extends AnyFunSuite {
       s"both prefix windows must be partitioned:\n$q")
   }
 
+  test("x619: Krippendorff alpha is aggregation only — no join, no window") {
+    val p = plan("x619_krippendorff_alpha")
+    assert(!p.contains("Join"), s"the pair sum collapses algebraically — no join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
+  }
+
+  test("x616/x617/x618: preference fits ride item-bounded frames — nothing sort-merges, nothing cartesians") {
+    for (name <- Seq("x616_bradley_terry_strength",
+        "x617_preference_transitivity", "x618_annotator_position_bias")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name: every join is on a ≤|items|² frame and must broadcast:\n$p")
+    }
+  }
+
   test("x603/x604/x611: privacy grid, rank staging, and stratum joins all broadcast") {
     for (name <- Seq("x603_t_closeness_audit", "x604_ansari_bradley_scale",
         "x611_importance_weight_ess")) {

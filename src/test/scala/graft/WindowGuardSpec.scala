@@ -52,4 +52,85 @@ class WindowGuardSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(2)))
     assert(viaHelper.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
   }
+
+  // ---- runtime enforcement of the BoundedGlobalWindow contract ------------
+  // The source ban above makes call sites greppable but cannot see the frame
+  // a call site actually routes through the helper. This walks the OPTIMIZED
+  // plan of every declared query: an unpartitioned Window is legal only if
+  // every path from it to a leaf passes a row-collapsing node (Aggregate —
+  // value collapses, per-partition offset rows, calendar-spine seeds — or a
+  // GlobalLimit / literal relation). A corpus-sized frame routed through the
+  // helper reaches a file scan with no collapse in between and fails here.
+
+  private def ridesCollapsedFrame(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalRelation => true // bounded literal spine
+      case _: OneRowRelation => true
+      case r: Range => r.numElements.isValidInt // a literal-bounded spine
+      // a cached frame substituted by plan-match hides its collapse behind
+      // a leaf — look through to the cached PHYSICAL plan for one (this is
+      // what flags x204/x506/x600 spuriously when an earlier query in the
+      // walk has warmed the shared staging cache)
+      case imr: InMemoryRelation =>
+        val cp = imr.cachedPlan.toString
+        cp.contains("Aggregate") || cp.contains("Limit") ||
+          cp.contains("TakeOrdered")
+      case l if l.children.isEmpty => false // file scan / checkpointed RDD
+      case other => other.children.forall(ridesCollapsedFrame)
+    }
+  }
+
+  /** Queries whose global-window input IS collapsed but not provably so
+    * from the plan — each with the reason the bound holds anyway. */
+  private val exemptQueries: Map[String, String] = Map(
+    "x128_streaming_histogram" ->
+      ("re-reads its own foreachBatch sink parquet, which holds one row " +
+        "per histogram BUCKET (|buckets|-bounded by construction)"))
+
+  private def rowSizedGlobalWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty
+          && !ridesCollapsedFrame(w.child) =>
+        w.simpleString(2)
+    }
+  }
+
+  test("the checker itself flags a row-sized frame routed through BoundedGlobalWindow") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    // a raw parquet scan through the helper = exactly the misuse the
+    // convention exists to prevent — the walker must refuse it
+    val bad = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("rn", row_number().over(
+        graft.operators.BoundedGlobalWindow.orderBy("doc_id")))
+    assert(rowSizedGlobalWindows(bad).nonEmpty,
+      "the negative control must be detected, or this guard is vacuous")
+    // and a post-aggregation frame through the helper must pass
+    val ok = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        graft.operators.BoundedGlobalWindow.orderBy("source")))
+    assert(rowSizedGlobalWindows(ok).isEmpty)
+  }
+
+  test("every unpartitioned window in every declared query rides a collapsed frame") {
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => exemptQueries.contains(name) }
+      .flatMap { case (name, q) =>
+        rowSizedGlobalWindows(q(spark, sf)).map(w => s"$name: $w")
+      }
+    assert(offenders.isEmpty,
+      "global windows over frames not provably collapsed (add the missing " +
+        "aggregate/limit, or partition the window):\n  " +
+        offenders.mkString("\n  "))
+  }
 }
