@@ -1721,7 +1721,12 @@ object Analytics {
       // cached: consumed by both pair sides and the overlap aggregate.
       // Caller-managed lifecycle — see pageRank's contract.
       .cache()
-    val pairs = j.as("x").join(j.as("y"), col("x.item") < col("y.item"))
+    // the inequality-only condition gives the planner no equi-key, and the
+    // cached frame's pre-materialization size estimate is unknown — without
+    // the explicit hint Spark degrades this to CartesianProduct (caught by
+    // the fleet-wide WindowGuardSpec rule). The frame is the bounded item
+    // vocabulary (the operator's stated precondition), so broadcast it.
+    val pairs = j.as("x").join(broadcast(j.as("y")), col("x.item") < col("y.item"))
       .select(((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))).as("__p"))
       .agg(sum(when(col("__p") > 0, 1L).otherwise(0L)).as("concordant"),
         sum(when(col("__p") < 0, 1L).otherwise(0L)).as("discordant"))

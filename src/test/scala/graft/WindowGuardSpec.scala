@@ -102,6 +102,46 @@ class WindowGuardSpec extends AnyFunSuite {
     }
   }
 
+  // ---- driver-materialization guard ----------------------------------------
+  // The library's standing claim (README "Scale design") is that the only
+  // driver materializations are bounded, documented sites. This pins the
+  // census: a NEW `.collect()` fails here until its bound is documented at
+  // the call site and the allowlist below names it with the reason.
+
+  private val collectAllowlist: Map[String, (Int, String)] = Map(
+    "Profiler.scala" -> (1, "limit(5) head sample — reference semantics"),
+    "Preference.scala" -> (1,
+      "Bradley-Terry win matrix — |items|² catalogue-bounded, guarded at 2e6"),
+    "Analytics.scala" -> (1,
+      "channel vocabulary (distinct event types) — bounded domain, never rows"),
+    "SkippingIndex.scala" -> (1,
+      "file manifest paths — bounded by file count, the operator's output"))
+
+  test("every .collect() in src/main is an allowlisted documented bounded site") {
+    val counts = mainSources.flatMap { p =>
+      val n = Files.readAllLines(p).asScala.count { line =>
+        val t = line.trim
+        t.contains(".collect()") && !t.startsWith("*") && !t.startsWith("//")
+      }
+      if (n > 0) Some(p.getFileName.toString -> n) else None
+    }.toMap
+    val offenders = counts.collect {
+      case (f, n) if collectAllowlist.get(f).forall(_._1 != n) =>
+        s"$f has $n .collect() call(s), allowlist says ${collectAllowlist.get(f).map(_._1).getOrElse(0)}"
+    }
+    assert(offenders.isEmpty,
+      "undocumented driver materialization — document the bound at the call " +
+        "site and extend the allowlist:\n  " + offenders.mkString("\n  "))
+    // the corpus-risk spellings with no bounded variant are banned outright
+    val banned = mainSources.flatMap { p =>
+      Files.readAllLines(p).asScala.zipWithIndex.collect {
+        case (line, i) if line.contains("collectAsList")
+            || line.contains("toLocalIterator") => s"$p:${i + 1}"
+      }
+    }
+    assert(banned.isEmpty, s"banned driver-materialization spellings: $banned")
+  }
+
   test("the checker itself flags a row-sized frame routed through BoundedGlobalWindow") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
@@ -120,17 +160,28 @@ class WindowGuardSpec extends AnyFunSuite {
     assert(rowSizedGlobalWindows(ok).isEmpty)
   }
 
-  test("every unpartitioned window in every declared query rides a collapsed frame") {
+  test("every unpartitioned window rides a collapsed frame; no query plans a CartesianProduct") {
     val spark = SparkTestSession.spark
     val sf = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => exemptQueries.contains(name) }
-      .flatMap { case (name, q) =>
-        rowSizedGlobalWindows(q(spark, sf)).map(w => s"$name: $w")
-      }
-    assert(offenders.isEmpty,
+    val windowOffenders = collection.mutable.ArrayBuffer.empty[String]
+    val cartesianOffenders = collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val df = q(spark, sf)
+      if (!exemptQueries.contains(name))
+        windowOffenders ++= rowSizedGlobalWindows(df).map(w => s"$name: $w")
+      // A CartesianProduct exec is an UNBROADCAST all-pairs join — the one
+      // join shape with no scale story. Every intentional small-frame cross
+      // in this library broadcasts (BroadcastNestedLoopJoin), which this
+      // rule permits; a size misestimate or a lost broadcast hint that
+      // degrades a cross to CartesianProduct fails the fleet here.
+      if (df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+        cartesianOffenders += name
+    }
+    assert(windowOffenders.isEmpty,
       "global windows over frames not provably collapsed (add the missing " +
         "aggregate/limit, or partition the window):\n  " +
-        offenders.mkString("\n  "))
+        windowOffenders.mkString("\n  "))
+    assert(cartesianOffenders.isEmpty,
+      s"queries planning a CartesianProduct: $cartesianOffenders")
   }
 }
