@@ -175,6 +175,43 @@ object Preference {
   }
 
   /**
+   * UNDECIDED-PAIR detector — the ACTIVE-LABELING audit that closes the
+   * preference-prep loop: which item pairs have the data already DECIDED
+   * (the majority is statistically real) and which still need judgments?
+   * Per canonical pair, the two-sided binomial test of p = 1/2 at the 5%
+   * normal approximation, in exact cross-multiplied integers:
+   * decided ⇔ 10000·(2w − n)² > 38416·n  (z² > 1.96², no float, no CDF —
+   * the [[Analytics.mannWhitneyU]] 38415-convention, here with 1.96² =
+   * 3.8416 exactly). Labeling budget goes to the 'undecided' rows; a
+   * fleet-wide high undecided share says the items are too close for
+   * pairwise preference to rank at this budget.
+   *
+   * Scale shape: ONE corpus collapse to the |items|²-bounded canonical
+   * pair frame; the verdict is a map-side expression over it. Nothing
+   * else — the judgment corpus is touched once.
+   */
+  def undecidedPairs(comps: DataFrame, itemA: org.apache.spark.sql.Column,
+      itemB: org.apache.spark.sql.Column,
+      winner: org.apache.spark.sql.Column): DataFrame =
+    comps
+      .select(least(itemA.cast("long"), itemB.cast("long")).as("item_a"),
+        greatest(itemA.cast("long"), itemB.cast("long")).as("item_b"),
+        winner.cast("long").as("__w"))
+      .filter(col("item_a").isNotNull && col("item_b").isNotNull
+        && col("__w").isNotNull && col("item_a") =!= col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_judgments"),
+        sum(when(col("__w") === col("item_a"), 1L).otherwise(0L)).as("wins_a"))
+      .select(col("item_a"), col("item_b"), col("n_judgments"), col("wins_a"),
+        // (2w−n)² reaches n², which overflows BIGINT near 10^10 judgments
+        // per pair — stage the square through DECIMAL(38,0)
+        expr("""CASE WHEN CAST(2 * wins_a - n_judgments AS DECIMAL(38,0))
+               * (2 * wins_a - n_judgments) * 10000
+               > CAST(38416 AS DECIMAL(38,0)) * n_judgments
+             THEN 'decided' ELSE 'undecided' END""").as("verdict"))
+      .orderBy("item_a", "item_b")
+
+  /**
    * ANNOTATOR POSITION-BIAS report — the per-rater audit a preference
    * dataset runs before trusting its labels: how often does each
    * annotator pick the item SHOWN FIRST, versus the pool? Human raters

@@ -96,6 +96,32 @@ class PreferenceSpec extends AnyFunSuite {
       == ((3L, 2L, 0L, 0L)))
   }
 
+  // ---- undecided pairs -----------------------------------------------------
+
+  test("undecidedPairs: the exact 5% decision boundary at n=100 sits between |2w−n| = 18 and 20") {
+    // decided ⇔ 10000·(2w−n)² > 38416·n. At n=100 the right side is 3841600;
+    // |2w−n|=20 → 10000·400 = 4000000 > 3841600 → decided;
+    // |2w−n|=18 → 10000·324 = 3240000 ≤ 3841600 → undecided.
+    val comps = (
+      (0 until 60).map(_ => (0L, 1L, 0L)) ++ (0 until 40).map(_ => (0L, 1L, 1L)) ++ // w=60, d=20
+      (0 until 59).map(_ => (2L, 3L, 2L)) ++ (0 until 41).map(_ => (2L, 3L, 3L))    // w=59, d=18
+    ).toDF("a", "b", "w")
+    val r = Preference.undecidedPairs(comps, col("a"), col("b"), col("w"))
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq((0L, 100L, 60L, "decided"), (2L, 100L, 59L, "undecided")))
+  }
+
+  test("undecidedPairs: both verdict classes are non-vacuous on the staged corpus") {
+    // the staging's near-equal-strength pairs (adjacent items) must stay
+    // undecided at sf0.001 volumes while far pairs decide — if either
+    // class vanishes the query certifies nothing
+    val out = graft.queries.Extensions.queries("x620_undecided_pref_pairs")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(4))
+    assert(out.contains("decided") && out.contains("undecided"),
+      s"expected both verdict classes, got ${out.distinct.toSeq}")
+  }
+
   // ---- position bias -------------------------------------------------------
 
   test("positionBias: per-annotator first-position rates and pool gap, by hand") {
