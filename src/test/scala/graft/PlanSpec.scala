@@ -1038,4 +1038,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"),
       s"pooled ranks come from the two-phase prefix sum:\n$p")
   }
+
+  test("x558: covariance product stream is row-local — no join and one exchange below the cell aggregate") {
+    // rebuilds the x558 covariance staging verbatim (the query's own frame
+    // is behind an eager localCheckpoint, whose executed plan is just an
+    // RDD scan): the r11 version reassembled row-local data through a
+    // corpus×64 vec_id self-join; the product stream must now reach the
+    // dim²-keyed aggregate through generators only.
+    import org.apache.spark.sql.functions._
+    val sums = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(expr("""transform(embedding, e ->
+          CAST(ROUND(CAST(e AS DOUBLE) * 1000000, 0) AS BIGINT) + 1000000)""")
+        .as("__xs"))
+      .select(col("__xs"), posexplode(col("__xs")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "xi")
+      .select(col("i"), col("xi"),
+        posexplode(expr("slice(__xs, i + 1, size(__xs) - i)")))
+      .select(col("i").as("__i"), (col("i") + col("pos")).as("__j"),
+        (col("xi") * col("col")).as("__p"))
+      .groupBy("__i", "__j")
+      .agg(sum(col("__p").cast("decimal(38,0)")).as("__s"))
+    val p = sums.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"no join below the cell aggregate:\n$p")
+    assert(!p.contains("vec_id"), s"the vec_id self-join staging is gone:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly the dim²-key exchange, nothing corpus-sized:\n$p")
+    assert("Generate posexplode".r.findAllIn(p).size == 2,
+      s"both explodes are codegen generators:\n$p")
+  }
 }
