@@ -99,6 +99,7 @@ object Profiler {
    * everything else reads `df.schema` — no distributed work beyond the sample.
    */
   def profile(df: DataFrame): Seq[ColumnInfo] = {
+    // bounded-collect: profiler-head-sample
     val head = df.limit(5).collect()
     df.schema.fields.zipWithIndex.map { case (f, i) =>
       val sample: Seq[Any] = head.toSeq.map(_.get(i))

@@ -4288,7 +4288,7 @@ object Analytics {
       .withColumn("__tot", sum(col("__n")).over(Window.partitionBy("__f")))
       .select(col("__f"), col("__t"), expr("__n * 1000000 DIV __tot").as("__p"))
       .localCheckpoint()
-    // bounded-domain collect: the channel vocabulary (event types), never rows
+    // bounded-collect: event-type-vocab (the channel vocabulary, never rows)
     val channels = tm.select(col("__f")).filter(col("__f") =!= "START")
       .distinct().collect().map(_.getString(0)).sorted
     def absorption(removed: Option[String]): DataFrame = {

@@ -37,17 +37,19 @@ object Preference {
    *
    * The comparison frame may carry (i,j) and (j,i) rows separately — the
    * MM update is linear in pair rows, so no canonicalization is needed.
-   * Precondition: `winner` equals one of the two items on every row
-   * (rows where it equals neither count as losses for both — garbage in,
-   * documented).
+   * Precondition: `winner` equals one of the two items on every row. A
+   * row whose winner matches NEITHER item is credited as a win for
+   * `itemB` (the aggregation counts every non-itemA winner toward B; the
+   * SQL oracle shares the convention) — garbage in, documented.
    *
    * Scale shape: ONE distributed corpus collapse to the |items|²-bounded
    * pair-count frame, then a DOCUMENTED BOUNDED COLLECT — items are
    * CATALOGUE-scale (models in an arena, policies in a sweep: tens to
    * thousands), so the win matrix is at most ~10⁶ tiny rows no matter how
    * many billions of judgments produced it, and the MM rounds run on the
-   * driver in exact BigInt arithmetic (guarded: the collect refuses past
-   * 2·10⁶ pairs). Iterating distributedly here would spend 2 broadcast
+   * driver in exact BigInt arithmetic (guarded: a LIMIT planned below the
+   * collect caps what can ever reach the driver at 2·10⁶ pairs + 1, and
+   * the fit refuses past 2·10⁶). Iterating distributedly here would spend 2 broadcast
    * exchanges + 3 shuffle stages per round moving 13-row frames —
    * measured 4 s/fit at sf0.1 vs ~0.4 s for collapse + collect; the
    * corpus-scale work (the collapse) is the only distributed part either
@@ -55,6 +57,22 @@ object Preference {
    * matter — the result is partitioning-invariant and bit-identical to
    * the unrolled SQL oracle.
    */
+  /** The distributed half of [[bradleyTerry]]: the ONE corpus collapse to
+    * the |items|²-bounded directed pair frame (__a, __b, __n judgments,
+    * __wa wins for __a). Exposed so plan tests can assert the collapse's
+    * physical shape — the LocalRelation bradleyTerry returns after its
+    * driver-side MM rounds has no plan left to inspect. */
+  def pairWinCounts(comps: DataFrame, itemA: org.apache.spark.sql.Column,
+      itemB: org.apache.spark.sql.Column,
+      winner: org.apache.spark.sql.Column): DataFrame = comps
+    .select(itemA.cast("long").as("__a"), itemB.cast("long").as("__b"),
+      winner.cast("long").as("__w"))
+    .filter(col("__a").isNotNull && col("__b").isNotNull
+      && col("__w").isNotNull && col("__a") =!= col("__b"))
+    .groupBy("__a", "__b")
+    .agg(count(lit(1)).as("__n"),
+      sum(when(col("__w") === col("__a"), 1L).otherwise(0L)).as("__wa"))
+
   def bradleyTerry(comps: DataFrame, itemA: org.apache.spark.sql.Column,
       itemB: org.apache.spark.sql.Column, winner: org.apache.spark.sql.Column,
       iterations: Int = 5, s0: Long = 1000000L): DataFrame = {
@@ -62,18 +80,16 @@ object Preference {
       s"iterations $iterations not in [1,12]")
     require(s0 >= 1000L, s"fixed-point unit $s0 too coarse")
     val spark = comps.sparkSession
-    val pairs = comps
-      .select(itemA.cast("long").as("__a"), itemB.cast("long").as("__b"),
-        winner.cast("long").as("__w"))
-      .filter(col("__a").isNotNull && col("__b").isNotNull
-        && col("__w").isNotNull && col("__a") =!= col("__b"))
-      .groupBy("__a", "__b")
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col("__w") === col("__a"), 1L).otherwise(0L)).as("__wa"))
+    // LIMIT 2e6+1 is planned ABOVE the collect, so a corpus-scale misuse
+    // materializes at most one row past the catalogue bound on the driver
+    // (and then fails the require below) instead of OOMing it first
+    // bounded-collect: bt-win-matrix
+    val pairs = pairWinCounts(comps, itemA, itemB, winner)
+      .limit(2000001)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     require(pairs.length <= 2000000,
-      s"${pairs.length} item pairs exceed the catalogue bound (2e6) — " +
+      s"item pairs exceed the catalogue bound (2e6) — " +
         "Bradley-Terry items must be catalogue-scale, not corpus-scale")
     val nComp = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     val wins = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
@@ -123,6 +139,11 @@ object Preference {
   def circularTriads(comps: DataFrame, itemA: org.apache.spark.sql.Column,
       itemB: org.apache.spark.sql.Column,
       winner: org.apache.spark.sql.Column): DataFrame = {
+    // Cache lifecycle: pc/dom are internal to the returned lazy frame, so
+    // no caller can unpersist them — like the [[Dedup]] label rounds, the
+    // ≤|items|² cached blocks are reclaimed by Spark's ContextCleaner once
+    // the result frame is unreferenced (catalogue-sized by contract, so
+    // the interim footprint is a few thousand tiny rows, not corpus data).
     val pc = comps
       .select(least(itemA.cast("long"), itemB.cast("long")).as("__u"),
         greatest(itemA.cast("long"), itemB.cast("long")).as("__v"),

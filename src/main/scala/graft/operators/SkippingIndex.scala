@@ -37,6 +37,7 @@ object SkippingIndex {
     val t = manifest.schema("min_v").dataType
     manifest
       .filter(col("max_v") >= lit(lo).cast(t) && col("min_v") <= lit(hi).cast(t))
+      // bounded-collect: skipping-file-manifest
       .select("file").collect().map(_.getString(0))
   }
 

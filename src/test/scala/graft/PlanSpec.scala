@@ -1001,13 +1001,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
   }
 
-  test("x616/x617/x618: preference fits ride item-bounded frames — nothing sort-merges, nothing cartesians") {
-    for (name <- Seq("x616_bradley_terry_strength",
-        "x617_preference_transitivity", "x618_annotator_position_bias")) {
+  test("x617/x618: preference audits ride item-bounded frames — nothing sort-merges, nothing cartesians") {
+    for (name <- Seq("x617_preference_transitivity",
+        "x618_annotator_position_bias")) {
       val p = plan(name)
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"$name: every join is on a ≤|items|² frame and must broadcast:\n$p")
     }
+  }
+
+  test("x616: the Bradley-Terry corpus collapse is one aggregation — no join, no window") {
+    // x616's declared query returns a driver-built LocalRelation (the MM
+    // rounds run on the driver after the guarded collect), so its executed
+    // plan can never contain a join — asserting on it is vacuous. The
+    // distributed part IS Preference.pairWinCounts: pin ITS shape on a
+    // prefComparisons-shaped corpus staging.
+    import org.apache.spark.sql.functions._
+    val comps = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .select(pmod(col("event_id"), lit(13L)).as("fi"),
+        pmod(expr("event_id DIV 13"), lit(13L)).as("si"))
+      .filter(col("fi") =!= col("si"))
+      .select(least(col("fi"), col("si")).as("item_a"),
+        greatest(col("fi"), col("si")).as("item_b"))
+      .withColumn("winner", col("item_a"))
+    val p = graft.operators.Preference
+      .pairWinCounts(comps, col("item_a"), col("item_b"), col("winner"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the collapse is join-free:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
+    assert(p.contains("HashAggregate"), s"partial+final hash agg expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly the |items|²-key exchange, nothing else:\n$p")
   }
 
   test("x603/x604/x611: privacy grid, rank staging, and stratum joins all broadcast") {

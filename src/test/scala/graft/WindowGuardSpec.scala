@@ -73,15 +73,39 @@ class WindowGuardSpec extends AnyFunSuite {
       case _: OneRowRelation => true
       case r: Range => r.numElements.isValidInt // a literal-bounded spine
       // a cached frame substituted by plan-match hides its collapse behind
-      // a leaf — look through to the cached PHYSICAL plan for one (this is
-      // what flags x204/x506/x600 spuriously when an earlier query in the
-      // walk has warmed the shared staging cache)
-      case imr: InMemoryRelation =>
-        val cp = imr.cachedPlan.toString
-        cp.contains("Aggregate") || cp.contains("Limit") ||
-          cp.contains("TakeOrdered")
+      // a leaf — walk the cached PHYSICAL plan's nodes for one (this is
+      // what clears x204/x506/x600 when an earlier query in the walk has
+      // warmed the shared staging cache). Node-walk, not string-match: a
+      // cached plan whose TEXT contains "Aggregate" on one branch (e.g. a
+      // union of a raw scan with an aggregated frame) must still fail.
+      case imr: InMemoryRelation => physicallyCollapsed(imr.cachedPlan)
       case l if l.children.isEmpty => false // file scan / checkpointed RDD
       case other => other.children.forall(ridesCollapsedFrame)
+    }
+  }
+
+  /** Physical-plan analog of [[ridesCollapsedFrame]] for cached fragments:
+    * every path from the root to a leaf must pass a row-collapsing exec. */
+  private def physicallyCollapsed(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec => true
+      case _: CollectLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: LocalTableScanExec => true
+      case r: RangeExec => r.range.numElements.isValidInt
+      // leaf wrappers that hide a real plan behind them — look through
+      case a: AdaptiveSparkPlanExec => physicallyCollapsed(a.inputPlan)
+      case s: InMemoryTableScanExec => physicallyCollapsed(s.relation.cachedPlan)
+      case r: ReusedExchangeExec => physicallyCollapsed(r.child)
+      case l if l.children.isEmpty => false // file scan / RDD scan
+      case other => other.children.forall(physicallyCollapsed)
     }
   }
 
@@ -104,31 +128,63 @@ class WindowGuardSpec extends AnyFunSuite {
 
   // ---- driver-materialization guard ----------------------------------------
   // The library's standing claim (README "Scale design") is that the only
-  // driver materializations are bounded, documented sites. This pins the
-  // census: a NEW `.collect()` fails here until its bound is documented at
-  // the call site and the allowlist below names it with the reason.
+  // driver materializations are bounded, documented sites. Each site is
+  // ANCHORED: the `.collect()` call line (or one of the 3 lines above it)
+  // must carry a `bounded-collect: <key>` marker comment, and the allowlist
+  // maps each key to its file and its bound. A new collect fails (no
+  // marker); REPLACING a documented collect with a different one in the
+  // same file fails too (the marker travels with the call site, and each
+  // key is single-use) — a per-file COUNT could not see that swap.
 
-  private val collectAllowlist: Map[String, (Int, String)] = Map(
-    "Profiler.scala" -> (1, "limit(5) head sample — reference semantics"),
-    "Preference.scala" -> (1,
-      "Bradley-Terry win matrix — |items|² catalogue-bounded, guarded at 2e6"),
-    "Analytics.scala" -> (1,
+  private val collectAllowlist: Map[String, (String, String)] = Map(
+    "profiler-head-sample" -> ("Profiler.scala",
+      "limit(5) head sample — reference semantics"),
+    "bt-win-matrix" -> ("Preference.scala",
+      "Bradley-Terry win matrix — |items|² catalogue-bounded, LIMIT-guarded at 2e6"),
+    "event-type-vocab" -> ("Analytics.scala",
       "channel vocabulary (distinct event types) — bounded domain, never rows"),
-    "SkippingIndex.scala" -> (1,
+    "skipping-file-manifest" -> ("SkippingIndex.scala",
       "file manifest paths — bounded by file count, the operator's output"))
 
-  test("every .collect() in src/main is an allowlisted documented bounded site") {
-    val counts = mainSources.flatMap { p =>
-      val n = Files.readAllLines(p).asScala.count { line =>
-        val t = line.trim
-        t.contains(".collect()") && !t.startsWith("*") && !t.startsWith("//")
+  private val markerRe = """bounded-collect:\s*([A-Za-z0-9-]+)""".r.unanchored
+
+  /** Pure scan (unit-testable): every collect site in `files` (name →
+    * lines) must carry a line-adjacent single-use allowlisted marker. */
+  private[graft] def collectOffenders(
+      files: Seq[(String, IndexedSeq[String])]): Seq[String] = {
+    val sites = files.flatMap { case (name, lines) =>
+      lines.zipWithIndex.collect {
+        case (line, i) if {
+          val t = line.trim
+          t.contains(".collect()") && !t.startsWith("*") && !t.startsWith("//")
+        } =>
+          val window = lines.slice(math.max(0, i - 3), i + 1).reverse
+          val key = window.collectFirst {
+            case markerRe(k) => k
+          }
+          (s"$name:${i + 1}", name, key)
       }
-      if (n > 0) Some(p.getFileName.toString -> n) else None
-    }.toMap
-    val offenders = counts.collect {
-      case (f, n) if collectAllowlist.get(f).forall(_._1 != n) =>
-        s"$f has $n .collect() call(s), allowlist says ${collectAllowlist.get(f).map(_._1).getOrElse(0)}"
     }
+    val unmarked = sites.collect { case (site, _, None) =>
+      s"$site: .collect() with no line-adjacent 'bounded-collect: <key>' marker"
+    }
+    val badKey = sites.collect {
+      case (site, file, Some(k)) if !collectAllowlist.get(k).exists(_._1 == file) =>
+        s"$site: marker key '$k' not allowlisted for $file"
+    }
+    val dupKey = sites.flatMap { case (site, _, k) => k.map(_ -> site) }
+      .groupBy(_._1).collect { case (k, ss) if ss.size > 1 =>
+        s"marker key '$k' used at ${ss.size} sites (${ss.map(_._2).mkString(", ")}) — keys are single-use"
+      }
+    val stale = collectAllowlist.keys.filterNot(k =>
+      sites.exists(_._3.contains(k))).map(k =>
+      s"allowlist key '$k' has no live call site — remove the stale entry")
+    unmarked ++ badKey ++ dupKey ++ stale
+  }
+
+  test("every .collect() in src/main is an allowlisted documented bounded site") {
+    val offenders = collectOffenders(mainSources.map(p =>
+      p.getFileName.toString -> Files.readAllLines(p).asScala.toIndexedSeq))
     assert(offenders.isEmpty,
       "undocumented driver materialization — document the bound at the call " +
         "site and extend the allowlist:\n  " + offenders.mkString("\n  "))
@@ -140,6 +196,54 @@ class WindowGuardSpec extends AnyFunSuite {
       }
     }
     assert(banned.isEmpty, s"banned driver-materialization spellings: $banned")
+  }
+
+  test("the collect guard flags a swapped or unmarked collect, not just a new one") {
+    // per-file counts could not see a documented bounded collect REPLACED
+    // by a different, unbounded one — the marker scan must
+    def lines(s: String*): IndexedSeq[String] = s.toIndexedSeq
+    // (a) a brand-new collect with no marker
+    assert(collectOffenders(Seq("Rogue.scala" ->
+      lines("val all = corpus.collect()"))).exists(_.contains("no line-adjacent")))
+    // (b) a collect whose marker key is not allowlisted for that file
+    assert(collectOffenders(Seq("Rogue.scala" ->
+      lines("// bounded-collect: bt-win-matrix", "val all = corpus.collect()")))
+      .exists(_.contains("not allowlisted")))
+    // (c) the swap: the documented site keeps its marker, a second collect
+    // rides the same file — single-use keys catch the reuse, the missing
+    // marker catches the bare addition
+    assert(collectOffenders(Seq("Preference.scala" -> lines(
+      "// bounded-collect: bt-win-matrix", "val ok = pairs.collect()",
+      "val smuggled = corpus.collect()"))).nonEmpty)
+    // (d) the real tree, as scanned by the main test, is clean
+    assert(collectOffenders(mainSources.map(p =>
+      p.getFileName.toString -> Files.readAllLines(p).asScala.toIndexedSeq)).isEmpty)
+  }
+
+  test("the cached-plan probe walks nodes, not strings: an aggregate on ONE union branch does not excuse a raw-scan branch") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // corpus-sized branch unioned with a collapsed branch: the cached plan's
+    // STRING contains "Aggregate" (the old probe false-passed), but one
+    // root-to-leaf path reaches the file scan uncollapsed
+    val cached = docs.select(col("doc_id"))
+      .unionAll(docs.groupBy("source").agg(count(lit(1)).as("doc_id"))
+        .select(col("doc_id")))
+      .cache()
+    try {
+      val bad = cached.withColumn("rn", row_number().over(
+        graft.operators.BoundedGlobalWindow.orderBy("doc_id")))
+      assert(rowSizedGlobalWindows(bad).nonEmpty,
+        "a cached union with a raw-scan branch must be flagged")
+      // and a genuinely collapsed cached frame still passes through the walk
+      val okCached = docs.groupBy("source").agg(count(lit(1)).as("n")).cache()
+      try {
+        val ok = okCached.withColumn("rn", row_number().over(
+          graft.operators.BoundedGlobalWindow.orderBy("source")))
+        assert(rowSizedGlobalWindows(ok).isEmpty)
+      } finally okCached.unpersist()
+    } finally cached.unpersist()
   }
 
   test("the checker itself flags a row-sized frame routed through BoundedGlobalWindow") {
