@@ -265,4 +265,57 @@ object Preference {
              AS BIGINT)""").as("bias_vs_pool_ppm"))
       .orderBy("annotator")
   }
+
+  /**
+   * ANNOTATOR-vs-MAJORITY agreement — the per-rater QUALITY split that
+   * [[positionBias]] cannot see alone: a rater can be position-unbiased
+   * yet pure noise, or biased yet informative. Each rater's judgments on
+   * DECIDED pairs (pairs whose pooled majority is strict — exact ties
+   * carry no verdict to agree with) are scored against the per-pair
+   * majority winner; reported as agreement ppm plus the signed gap to the
+   * pool rate. A rater far BELOW pool is noise (or adversarial); a rater
+   * pinned at ~1e6 on a noisy pool is rubber-stamping the consensus item.
+   * Note the rater's own votes are inside the majority they are scored
+   * against — the standard leaderboard convention; at catalogue scale one
+   * rater cannot move a pair's majority unless the pair is near-tied.
+   *
+   * Scale shape: the [[undecidedPairs]] collapse reused as staging — ONE
+   * corpus collapse to the |items|²-bounded canonical pair frame, whose
+   * strict-majority verdicts broadcast back onto the judgment stream for
+   * one |annotators|-bounded aggregate. The corpus is scanned twice
+   * (collapse + score) and never joined to itself; the majority frame is
+   * catalogue-sized by contract.
+   */
+  def majorityAgreement(comps: DataFrame, itemA: org.apache.spark.sql.Column,
+      itemB: org.apache.spark.sql.Column, winner: org.apache.spark.sql.Column,
+      annotator: org.apache.spark.sql.Column): DataFrame = {
+    val c = comps
+      .select(least(itemA.cast("long"), itemB.cast("long")).as("__u"),
+        greatest(itemA.cast("long"), itemB.cast("long")).as("__v"),
+        winner.cast("long").as("__w"),
+        annotator.cast("long").as("annotator"))
+      .filter(col("__u").isNotNull && col("__v").isNotNull
+        && col("__w").isNotNull && col("annotator").isNotNull
+        && col("__u") =!= col("__v"))
+    val maj = c.groupBy("__u", "__v")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__w") === col("__u"), 1L).otherwise(0L)).as("__wu"))
+      .filter(col("__wu") * 2 =!= col("__n")) // strict majorities only
+      .select(col("__u"), col("__v"),
+        when(col("__wu") * 2 > col("__n"), col("__u"))
+          .otherwise(col("__v")).as("__maj"))
+    val per = c.join(broadcast(maj), Seq("__u", "__v"))
+      .groupBy("annotator")
+      .agg(count(lit(1)).as("n_on_decided"),
+        sum(when(col("__w") === col("__maj"), 1L).otherwise(0L)).as("__agr"))
+    val tot = per.agg(coalesce(sum("n_on_decided"), lit(0L)).as("__tn"),
+      coalesce(sum("__agr"), lit(0L)).as("__ta"))
+    per.crossJoin(broadcast(tot))
+      .select(col("annotator"), col("n_on_decided"),
+        expr("__agr * 1000000 DIV n_on_decided").as("agree_ppm"),
+        expr("""CAST(__agr * 1000000 DIV n_on_decided
+             - CASE WHEN __tn = 0 THEN 0 ELSE __ta * 1000000 DIV __tn END
+             AS BIGINT)""").as("gap_vs_pool_ppm"))
+      .orderBy("annotator")
+  }
 }

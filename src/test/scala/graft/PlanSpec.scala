@@ -1001,9 +1001,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), s"no window function:\n$p")
   }
 
-  test("x617/x618: preference audits ride item-bounded frames — nothing sort-merges, nothing cartesians") {
+  test("x617/x618/x621: preference audits ride item-bounded frames — nothing sort-merges, nothing cartesians") {
     for (name <- Seq("x617_preference_transitivity",
-        "x618_annotator_position_bias")) {
+        "x618_annotator_position_bias", "x621_annotator_majority_agreement")) {
       val p = plan(name)
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"$name: every join is on a ≤|items|² frame and must broadcast:\n$p")

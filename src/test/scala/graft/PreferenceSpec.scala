@@ -135,6 +135,33 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 2L, 500000L, -166666L), (2L, 1L, 1000000L, 333334L)))
   }
 
+  test("majorityAgreement: per-annotator agreement vs strict pair majorities, by hand") {
+    // pair {1,2}: votes 1,1,2 → majority 1 (strict)
+    // pair {1,3}: votes 3,1   → exact tie, excluded
+    // pair {2,3}: votes 2,2,3,2 → majority 2
+    // decided judgments: 7 total, 5 agree → pool 5e6 DIV 7 = 714285 ppm
+    //   ann 10: (1,2)→1 ✓, (2,3)→2 ✓          → 2/2 = 1000000, gap +285715
+    //   ann 11: (2,1)→1 ✓ (canonicalized), (3,2)→3 ✗ → 1/2 = 500000, gap −214285
+    //   ann 12: (1,2)→2 ✗, (2,3)→2 ✓, (2,3)→2 ✓ → 2/3 = 666666, gap −47619
+    val comps = Seq(
+      (1L, 2L, 1L, 10L), (2L, 1L, 1L, 11L), (1L, 2L, 2L, 12L),
+      (1L, 3L, 3L, 10L), (3L, 1L, 1L, 11L),
+      (2L, 3L, 2L, 10L), (2L, 3L, 2L, 12L), (3L, 2L, 3L, 11L),
+      (2L, 3L, 2L, 12L)).toDF("a", "b", "w", "ann")
+    val r = Preference.majorityAgreement(comps, col("a"), col("b"), col("w"),
+        col("ann"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((10L, 2L, 1000000L, 285715L),
+      (11L, 2L, 500000L, -214285L), (12L, 3L, 666666L, -47619L)))
+  }
+
+  test("majorityAgreement: an all-tied corpus has no decided pairs and yields no rows") {
+    val comps = Seq((1L, 2L, 1L, 10L), (2L, 1L, 2L, 11L),
+      (1L, 3L, 1L, 10L), (1L, 3L, 3L, 11L)).toDF("a", "b", "w", "ann")
+    assert(Preference.majorityAgreement(comps, col("a"), col("b"), col("w"),
+      col("ann")).count() == 0L)
+  }
+
   // ---- Krippendorff's alpha ------------------------------------------------
 
   test("krippendorffAlphaInterval: three-unit fixture by hand (singleton unit excluded)") {
