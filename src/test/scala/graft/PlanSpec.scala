@@ -1064,6 +1064,24 @@ class PlanSpec extends AnyFunSuite {
       s"pooled ranks come from the two-phase prefix sum:\n$p")
   }
 
+  test("x622: structure report shares ONE conversation exchange between the lag window and the collapse — no join") {
+    val p = plan("x622_conversation_structure")
+    assert(!p.contains("Join"), s"the report is window + aggregation only:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the per-conversation collapse must reuse the window's exchange:\n$p")
+    assert(p.contains("windowspecdefinition(__c"),
+      s"the alternation lag must be conversation-partitioned:\n$p")
+  }
+
+  test("x623: turn packing is fold-after-group — no join, no window, two keyed exchanges") {
+    val p = plan("x623_pack_turns_census")
+    assert(!p.contains("Join"), s"packing never joins:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the greedy fold replaces any running-sum window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"exactly the conversation exchange and the census exchange:\n$p")
+  }
+
   test("x558: covariance product stream is row-local — no join and one exchange below the cell aggregate") {
     // rebuilds the x558 covariance staging verbatim (the query's own frame
     // is behind an eager localCheckpoint, whose executed plan is just an
