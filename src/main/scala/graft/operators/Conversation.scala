@@ -93,6 +93,127 @@ object Conversation {
    * the capacity product staged through DECIMAL(38,0) (BIGINT overflows
    * at corpus scale × 10⁶ ppm).
    */
+  /**
+   * DIALOG-LEVEL exact dedup + REGENERATION-SIBLING census — dedup at the
+   * granularity dialog datasets actually duplicate at: whole conversations.
+   * Document-level dedup ([[Dedup.exactDedup]]) treats each turn as an
+   * independent row and cannot see that two conversations are the same
+   * dialog, nor the shape RLHF/SFT branching produces constantly: the SAME
+   * user prefix re-answered by different assistant completions
+   * (regeneration siblings — candidate preference pairs, not duplicates,
+   * and a dedup pass that drops them destroys signal). Two fingerprints
+   * per conversation, both rendered as explicit delimited strings (not
+   * hashes — collisions impossible, oracles trivially reproducible):
+   * the FULL fingerprint over ordered `role:text` items and the PREFIX
+   * fingerprint over the `prefixRole` turns' text only. One row out:
+   * `n_conversations, n_prefix_groups, n_unique_dialogs,
+   * n_exact_dup_copies` (rows an exact dialog dedup would drop),
+   * `n_sibling_groups, n_sibling_conversations` (prefix groups holding
+   * ≥ 2 DISTINCT full dialogs, and the conversations in them).
+   *
+   * Scale shape: one corpus scan → per-conversation collapse (the only
+   * corpus-sized exchange; fingerprints are an `array_sort` fold over the
+   * ≤ session-length collected turn list — per-GROUP state, the
+   * [[packTurns]] contract) → prefix-group collapse of the
+   * |conversations|-bounded frame → one-row census. The full fingerprint
+   * determines the prefix fingerprint, so distinct-full counts within
+   * prefix groups sum to the global distinct-dialog count — no second
+   * global distinct pass.
+   */
+  def dialogDedup(turns: DataFrame, conv: Column, order: Column,
+      role: Column, text: Column, prefixRole: String = "user"): DataFrame = {
+    val per = turns
+      .select(conv.as("__c"), order.as("__o"), role.as("__r"),
+        text.cast("string").as("__t"))
+      .filter(col("__c").isNotNull && col("__o").isNotNull
+        && col("__r").isNotNull && col("__t").isNotNull)
+      .groupBy("__c")
+      .agg(
+        expr("""concat('f|', array_join(
+            transform(array_sort(collect_list(struct(__o, __r, __t))),
+              x -> concat(x.__r, ':', x.__t)), '|'))""").as("__full"),
+        // collect_list skips the NULL the CASE leaves on non-prefix turns;
+        // an all-assistant conversation renders 'u|' on both engines
+        expr(s"""concat('u|', array_join(
+            transform(array_sort(collect_list(
+              CASE WHEN __r = '$prefixRole' THEN struct(__o, __t) END)),
+              x -> x.__t), '|'))""").as("__prefix"))
+    val grp = per.groupBy("__prefix").agg(
+      count(lit(1)).as("__nc"),
+      countDistinct(col("__full")).as("__nf"))
+    grp.agg(
+      coalesce(sum(col("__nc")), lit(0L)).as("n_conversations"),
+      count(lit(1)).as("n_prefix_groups"),
+      coalesce(sum(col("__nf")), lit(0L)).as("n_unique_dialogs"),
+      coalesce(sum(col("__nc") - col("__nf")), lit(0L))
+        .as("n_exact_dup_copies"),
+      coalesce(sum(when(col("__nf") >= 2L, 1L).otherwise(0L)), lit(0L))
+        .as("n_sibling_groups"),
+      coalesce(sum(when(col("__nf") >= 2L, col("__nc")).otherwise(0L)),
+        lit(0L)).as("n_sibling_conversations"))
+  }
+
+  /**
+   * CONTEXT-BUDGET suffix-truncation audit — the keep-the-most-recent-turns
+   * rule every chat-serving and SFT-assembly layer applies when a dialog
+   * outgrows the context window: a turn is KEPT iff the token sum from it
+   * through the final turn fits `budget`; whole turns only (the
+   * [[packTurns]] never-split rule), and dropping is always from the FRONT
+   * (the stalest turns). A turn whose own suffix already overflows —
+   * including an oversized final turn — is dropped; in-turn trimming is a
+   * tokenizer-stage concern outside this operator. One row out:
+   * `n_conversations, n_fit` (nothing dropped), `n_truncated,
+   * dropped_turns, dropped_tokens, dropped_ppm` (DECIMAL(38,0)-staged —
+   * corpus token counts × 10⁶ overflow BIGINT), and
+   * `n_truncated_opening_assistant` — truncated conversations whose kept
+   * suffix OPENS with an assistant turn, the coherence break (a reply with
+   * no visible question) a turn-count-only audit cannot see.
+   *
+   * Scale shape: one corpus scan; the suffix sum is a descending-order
+   * running window partitioned by conversation, and the per-conversation
+   * collapse reuses that exchange (one corpus-sized exchange total, the
+   * [[structureReport]] shape); the census aggregates the
+   * |conversations|-bounded frame to one row. Zero/negative-token turns
+   * are excluded up front (the [[packTurns]] filter). `order` must be
+   * unique within a conversation — the caller contract shared by the whole
+   * family.
+   */
+  def truncationAudit(turns: DataFrame, conv: Column, order: Column,
+      role: Column, tok: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget $budget must be positive")
+    val w = Window.partitionBy("__c").orderBy(col("__o").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = turns
+      .select(conv.as("__c"), order.as("__o"), role.as("__r"),
+        tok.cast("long").as("__t"))
+      .filter(col("__c").isNotNull && col("__o").isNotNull
+        && col("__r").isNotNull && col("__t").isNotNull && col("__t") > 0L)
+      .withColumn("__keep", sum(col("__t")).over(w) <= budget)
+      .groupBy("__c")
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__t")).as("__tok"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("__kept"),
+        sum(when(col("__keep"), col("__t")).otherwise(0L)).as("__ktok"),
+        expr("min_by(__r, __o) FILTER (WHERE __keep)").as("__opener"))
+    per.agg(
+      count(lit(1)).as("n_conversations"),
+      coalesce(sum(when(col("__kept") === col("__n"), 1L).otherwise(0L)),
+        lit(0L)).as("n_fit"),
+      coalesce(sum(when(col("__kept") < col("__n"), 1L).otherwise(0L)),
+        lit(0L)).as("n_truncated"),
+      coalesce(sum(col("__n") - col("__kept")), lit(0L)).as("dropped_turns"),
+      coalesce(sum(col("__tok") - col("__ktok")), lit(0L))
+        .as("dropped_tokens"),
+      expr("""CAST(CASE WHEN COALESCE(SUM(__tok), 0) = 0 THEN 0
+          ELSE CAST(COALESCE(SUM(__tok - __ktok), 0) AS DECIMAL(38,0))
+            * 1000000 DIV CAST(SUM(__tok) AS DECIMAL(38,0))
+          END AS BIGINT)""").as("dropped_ppm"),
+      coalesce(sum(when(col("__kept") < col("__n")
+          && col("__opener") === "assistant", 1L).otherwise(0L)), lit(0L))
+        .as("n_truncated_opening_assistant"))
+  }
+
   def packTurns(turns: DataFrame, conv: Column, order: Column, tok: Column,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget $budget must be positive")

@@ -75,6 +75,109 @@ class ConversationSpec extends AnyFunSuite {
     assert(fwd == rev)
   }
 
+  // ---- dialog dedup / regeneration siblings ---------------------------------
+
+  test("dialogDedup: exact copies, a regeneration sibling, and an all-assistant dialog, by hand") {
+    // conv 1: user:5, assistant:7    full = f|user:5|assistant:7, prefix = u|5
+    // conv 2: user:5, assistant:7    exact copy of conv 1
+    // conv 3: user:5, assistant:9    sibling (same user prefix, new answer)
+    // conv 4: user:6, assistant:7    unique
+    // conv 5: assistant:7            no user turn → prefix renders 'u|'
+    // prefix groups: u|5 → (nc=3, nf=2)  u|6 → (1,1)  u| → (1,1)
+    // census: 5 convs, 3 prefix groups, 4 unique dialogs, 1 dup copy,
+    //         1 sibling group holding 3 conversations
+    val turns = Seq(
+      (1L, 1L, "user", "5"), (1L, 2L, "assistant", "7"),
+      (2L, 1L, "user", "5"), (2L, 2L, "assistant", "7"),
+      (3L, 1L, "user", "5"), (3L, 2L, "assistant", "9"),
+      (4L, 1L, "user", "6"), (4L, 2L, "assistant", "7"),
+      (5L, 1L, "assistant", "7")).toDF("conv", "o", "role", "txt")
+    val r = Conversation.dialogDedup(turns, col("conv"), col("o"),
+      col("role"), col("txt")).collect()(0)
+    assert((0 to 5).map(r.getLong) == Seq(5L, 3L, 4L, 1L, 1L, 3L),
+      "(n_conversations, n_prefix_groups, n_unique_dialogs, " +
+        "n_exact_dup_copies, n_sibling_groups, n_sibling_conversations)")
+  }
+
+  test("dialogDedup: turn ORDER distinguishes dialogs — same multiset, different sequence") {
+    // conv 1: user:a, user:b   conv 2: user:b, user:a — same turns, not dups
+    val turns = Seq(
+      (1L, 1L, "user", "a"), (1L, 2L, "user", "b"),
+      (2L, 1L, "user", "b"), (2L, 2L, "user", "a"))
+      .toDF("conv", "o", "role", "txt")
+    val r = Conversation.dialogDedup(turns, col("conv"), col("o"),
+      col("role"), col("txt")).collect()(0)
+    assert(r.getLong(2) == 2L, "both dialogs unique")
+    assert(r.getLong(3) == 0L, "no exact-dup copies")
+    assert(r.getLong(1) == 2L, "two prefix groups — prefix is ordered too")
+  }
+
+  test("dialogDedup: invariant to input row order and partitioning") {
+    val base = Seq(
+      (1L, 1L, "user", "5"), (1L, 2L, "assistant", "7"),
+      (2L, 1L, "user", "5"), (2L, 2L, "assistant", "7"),
+      (3L, 1L, "user", "5"), (3L, 2L, "assistant", "9"))
+    val fwd = Conversation.dialogDedup(base.toDF("conv", "o", "role", "txt"),
+      col("conv"), col("o"), col("role"), col("txt")).collect().toSeq
+    val rev = Conversation.dialogDedup(
+      base.reverse.toDF("conv", "o", "role", "txt").repartition(5),
+      col("conv"), col("o"), col("role"), col("txt")).collect().toSeq
+    assert(fwd == rev)
+  }
+
+  test("dialogDedup: empty corpus reports one row of zeros, never NULLs") {
+    val empty = Seq.empty[(Long, Long, String, String)]
+      .toDF("conv", "o", "role", "txt")
+    val r = Conversation.dialogDedup(empty, col("conv"), col("o"),
+      col("role"), col("txt")).collect()(0)
+    assert((0 to 5).map(r.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  // ---- suffix truncation ------------------------------------------------------
+
+  test("truncationAudit: keep-last-whole-turns at budget 10, by hand") {
+    // conv A [u:3, a:4, u:2, a:5] suffix sums 14,11,7,5 → keep turns 3,4
+    //        (opener = user), dropped 2 turns / 7 tok
+    // conv B [u:4, a:5]  suffix 9,5 → fits whole
+    // conv C [u:8, a:6]  suffix 14,6 → keep turn 2 only (opener assistant)
+    // conv D [u:12]      suffix 12 > 10 → nothing kept, opener NULL
+    // census: 4 convs, 1 fit, 3 truncated, dropped 4 turns / 27 tok of 49
+    //         → ppm = 27e6 DIV 49 = 551020; opener-assistant count = 1 (C)
+    val turns = Seq(
+      ("A", 1L, "user", 3L), ("A", 2L, "assistant", 4L),
+      ("A", 3L, "user", 2L), ("A", 4L, "assistant", 5L),
+      ("B", 1L, "user", 4L), ("B", 2L, "assistant", 5L),
+      ("C", 1L, "user", 8L), ("C", 2L, "assistant", 6L),
+      ("D", 1L, "user", 12L)).toDF("conv", "o", "role", "tok")
+    val r = Conversation.truncationAudit(turns, col("conv"), col("o"),
+      col("role"), col("tok"), budget = 10L).collect()(0)
+    assert((0 to 6).map(r.getLong) ==
+      Seq(4L, 1L, 3L, 4L, 27L, 551020L, 1L),
+      "(n_conversations, n_fit, n_truncated, dropped_turns, " +
+        "dropped_tokens, dropped_ppm, n_truncated_opening_assistant)")
+  }
+
+  test("truncationAudit: empty corpus reports one row of zeros, never NULLs") {
+    val empty = Seq.empty[(String, Long, String, Long)]
+      .toDF("conv", "o", "role", "tok")
+    val r = Conversation.truncationAudit(empty, col("conv"), col("o"),
+      col("role"), col("tok"), budget = 10L).collect()(0)
+    assert((0 to 6).map(r.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("truncationAudit: invariant to input row order and partitioning") {
+    val base = Seq(("A", 1L, "user", 3L), ("A", 2L, "assistant", 4L),
+      ("A", 3L, "user", 2L), ("A", 4L, "assistant", 5L),
+      ("B", 1L, "user", 4L), ("B", 2L, "assistant", 5L))
+    val fwd = Conversation.truncationAudit(base.toDF("conv", "o", "role",
+        "tok"), col("conv"), col("o"), col("role"), col("tok"), 10L)
+      .collect().toSeq
+    val rev = Conversation.truncationAudit(
+      base.reverse.toDF("conv", "o", "role", "tok").repartition(7),
+      col("conv"), col("o"), col("role"), col("tok"), 10L).collect().toSeq
+    assert(fwd == rev)
+  }
+
   test("packTurns: a budget larger than every conversation packs each into one context") {
     val turns = Seq(("A", 1L, 4L), ("A", 2L, 5L), ("B", 1L, 7L))
       .toDF("conv", "o", "tok")

@@ -1082,6 +1082,31 @@ class PlanSpec extends AnyFunSuite {
       s"exactly the conversation exchange and the census exchange:\n$p")
   }
 
+  test("x624: dialog dedup is three shrinking collapses — no join, no window, conv exchange first") {
+    val p = plan("x624_dialog_dedup_siblings")
+    assert(!p.contains("Join"), s"fingerprint dedup never joins:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"fingerprints fold inside the conversation collapse, no window:\n$p")
+    // conv collapse (the only corpus-sized one), the countDistinct's
+    // (prefix, full) dedup, and the prefix-group collapse — each frame
+    // |conversations|-bounded after the first
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      s"exactly the conv / (prefix,full) / prefix exchanges:\n$p")
+    assert("Exchange hashpartitioning\\(__c".r.findAllIn(p).nonEmpty,
+      s"the corpus collapse keys on the conversation:\n$p")
+  }
+
+  test("x625: truncation audit shares ONE conversation exchange between the suffix window and the collapse — no join") {
+    val p = plan("x625_truncation_audit")
+    assert(!p.contains("Join"), s"the audit is window + aggregation only:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the per-conversation collapse must reuse the window's exchange:\n$p")
+    assert(p.contains("windowspecdefinition(__c"),
+      s"the suffix sum must be conversation-partitioned:\n$p")
+    assert(p.contains("DESC"),
+      s"the running sum walks the suffix (descending turn order):\n$p")
+  }
+
   test("x558: covariance product stream is row-local — no join and one exchange below the cell aggregate") {
     // rebuilds the x558 covariance staging verbatim (the query's own frame
     // is behind an eager localCheckpoint, whose executed plan is just an
