@@ -102,10 +102,13 @@ object Conversation {
    * user prefix re-answered by different assistant completions
    * (regeneration siblings — candidate preference pairs, not duplicates,
    * and a dedup pass that drops them destroys signal). Two fingerprints
-   * per conversation, both rendered as explicit delimited strings (not
-   * hashes — collisions impossible, oracles trivially reproducible):
-   * the FULL fingerprint over ordered `role:text` items and the PREFIX
-   * fingerprint over the `prefixRole` turns' text only. One row out:
+   * per conversation, both rendered as explicit strings (not hashes) with
+   * every field LENGTH-PREFIXED netstring-style (`len:value`) — so
+   * collisions are impossible even for text containing the join
+   * delimiters (no escaping pass on either engine, and oracles reproduce
+   * the rendering verbatim): the FULL fingerprint over ordered
+   * (role, text) turns and the PREFIX fingerprint over the `prefixRole`
+   * turns' text only. One row out:
    * `n_conversations, n_prefix_groups, n_unique_dialogs,
    * n_exact_dup_copies` (rows an exact dialog dedup would drop),
    * `n_sibling_groups, n_sibling_conversations` (prefix groups holding
@@ -122,6 +125,9 @@ object Conversation {
    */
   def dialogDedup(turns: DataFrame, conv: Column, order: Column,
       role: Column, text: Column, prefixRole: String = "user"): DataFrame = {
+    // interpolated into a SQL CASE literal below — keep it literal-safe
+    require(prefixRole.matches("[A-Za-z0-9_-]+"),
+      s"prefixRole '$prefixRole' must be a plain role token")
     val per = turns
       .select(conv.as("__c"), order.as("__o"), role.as("__r"),
         text.cast("string").as("__t"))
@@ -131,13 +137,14 @@ object Conversation {
       .agg(
         expr("""concat('f|', array_join(
             transform(array_sort(collect_list(struct(__o, __r, __t))),
-              x -> concat(x.__r, ':', x.__t)), '|'))""").as("__full"),
+              x -> concat(length(x.__r), ':', x.__r, '#',
+                          length(x.__t), ':', x.__t)), '|'))""").as("__full"),
         // collect_list skips the NULL the CASE leaves on non-prefix turns;
         // an all-assistant conversation renders 'u|' on both engines
         expr(s"""concat('u|', array_join(
             transform(array_sort(collect_list(
               CASE WHEN __r = '$prefixRole' THEN struct(__o, __t) END)),
-              x -> x.__t), '|'))""").as("__prefix"))
+              x -> concat(length(x.__t), ':', x.__t)), '|'))""").as("__prefix"))
     val grp = per.groupBy("__prefix").agg(
       count(lit(1)).as("__nc"),
       countDistinct(col("__full")).as("__nf"))

@@ -112,6 +112,30 @@ class ConversationSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L, "two prefix groups — prefix is ordered too")
   }
 
+  test("dialogDedup: length-prefixed fingerprints — delimiter-bearing text cannot collide") {
+    // conv 1: one user turn "a|b"; conv 2: two user turns "a","b" — a
+    // naive '|'-joined rendering would merge them; netstring framing
+    // (len:value) keeps them distinct: u|3:a|b vs u|1:a|1:b
+    val turns = Seq(
+      (1L, 1L, "user", "a|b"),
+      (2L, 1L, "user", "a"), (2L, 2L, "user", "b"))
+      .toDF("conv", "o", "role", "txt")
+    val r = Conversation.dialogDedup(turns, col("conv"), col("o"),
+      col("role"), col("txt")).collect()(0)
+    assert(r.getLong(2) == 2L, "both dialogs must stay unique")
+    assert(r.getLong(1) == 2L, "two distinct prefix groups")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L,
+      "no dup copies, no sibling groups")
+  }
+
+  test("dialogDedup: a non-token prefixRole is refused (it is spliced into SQL)") {
+    val turns = Seq((1L, 1L, "user", "x")).toDF("conv", "o", "role", "txt")
+    intercept[IllegalArgumentException] {
+      Conversation.dialogDedup(turns, col("conv"), col("o"), col("role"),
+        col("txt"), prefixRole = "user' THEN struct(__o, __t) END --")
+    }
+  }
+
   test("dialogDedup: invariant to input row order and partitioning") {
     val base = Seq(
       (1L, 1L, "user", "5"), (1L, 2L, "assistant", "7"),
