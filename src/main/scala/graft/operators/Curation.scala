@@ -200,7 +200,10 @@ object Curation {
   def profileWide(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // coalesce: SUM over an empty table is NULL; the profile convention
+      // is zeros (COUNT-based oracles emit 0 on empty input)
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct")))
     val row = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map(c => struct(lit(c).as("col_name"),

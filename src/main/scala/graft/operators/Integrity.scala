@@ -74,8 +74,10 @@ object Integrity {
       val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
       childKeys.join(parent, keyCols, "left_outer")
         .agg(count(lit(1)).as("n_child"),
-          sum(when(col("_parent_present").isNull && keyNotNull, 1L)
-            .otherwise(0L)).as("n_orphans"))
+          // coalesce: SUM over an empty child is NULL, and the report
+          // convention is zeros on an empty corpus (oracle emits 0)
+          coalesce(sum(when(col("_parent_present").isNull && keyNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
     }.reduce(_ unionByName _)
   }

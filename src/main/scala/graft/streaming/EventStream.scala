@@ -136,9 +136,25 @@ object EventStream {
     // One tiny driver action at setup time (harness plumbing, not the
     // measured query). Slice key = µs since epoch; values (~1.7e15) are below
     // 2^53, so the percentile's double is exact.
-    val bounds = raw
+    val pctRow = raw
       .select(expr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))"))
-      .head().getSeq[Double](0).map(_.toLong).distinct.sorted
+      .head()
+    if (pctRow.isNullAt(0)) {
+      // EMPTY corpus (percentile over zero rows is NULL): there is nothing
+      // to replay, which is not the degenerate-distribution case the >= 2
+      // slice check guards against — write one zero-row slice so the file
+      // source sees a schema'd file and every consumer drains to an empty
+      // frame instead of the harness throwing.
+      val staging = base.resolve("staging_empty")
+      raw.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = watch.resolve("slice00.parquet").toFile
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(60000L)
+      return (watch.toString, raw.schema)
+    }
+    val bounds = pctRow.getSeq[Double](0).map(_.toLong).distinct.sorted
     val edges = (Long.MinValue +: bounds) :+ Long.MaxValue
     val ranges = edges.sliding(2).toSeq.collect {
       case Seq(lo, hi) => unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi
@@ -661,7 +677,13 @@ object EventStream {
     val (watchAll, schema) = sliceReplayDir(spark, sfDir)
     val slices = new java.io.File(watchAll).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    require(slices.length >= 2, "need >= 2 replay slices for a restart boundary")
+    // An EMPTY corpus replays as one zero-row slice (sliceReplayDir's empty
+    // contract): no restart boundary is observable, so run the two-phase
+    // protocol degenerately (splitAt(0)) and return the empty aggregate
+    // instead of throwing. Non-empty data still demands a real boundary.
+    require(slices.length >= 2
+        || spark.read.schema(schema).parquet(watchAll).isEmpty,
+      "need >= 2 replay slices for a restart boundary")
     val base = ckptBaseCache.computeIfAbsent(sfDir,
       _ => java.nio.file.Files.createTempDirectory("graft_ckpt_")).toString
     val watch = s"$base/watch"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
