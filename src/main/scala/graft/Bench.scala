@@ -28,10 +28,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // EngineConf: engine-level tuning (r12) — the codegen compiled-class
+    // cache must hold the whole fleet or the warm-up pass's stated purpose
+    // (pre-compiling the generated code paths) is defeated; measured
+    // 12,084 Janino compilations per timed pass at the 100-entry default
+    // vs 672 at the tuned size, −28% wall on the full fleet (see
+    // OPTIMIZATION_r12.md "Global").
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def mark(msg: String): Unit =

@@ -5,10 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Scratch main for interactive debugging (not part of the library API). */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

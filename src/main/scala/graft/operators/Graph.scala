@@ -180,30 +180,49 @@ object Graph {
    *
    * Scale shape: each round is one endpoint-union degree aggregate
    * (map-side combined, node-bounded) plus two LEFT-SEMI joins filtering
-   * the edge frame; the edge frame is `localCheckpoint`'d per round to
+   * the edge frame; intermediate rounds are `localCheckpoint`'d to
    * truncate lineage (the [[Dedup.connectedComponents]] discipline —
    * plan depth stays O(1) per round, not O(rounds)). Nothing is
    * collected; the report is one row.
+   *
+   * r12 optimization (guide §1.2 "don't compute things you throw away"):
+   * the old loop ran TWO count() jobs per round to track the pruned
+   * delta, but only the LAST round's delta is reported (`converged`).
+   * The final round now fuses prune + count + report into ONE aggregate:
+   * the keep-set membership tests become two left joins against the
+   * (per-v unique) keep frame carrying a flag column, so surviving-edge
+   * stats are conditional aggregates over the pre-prune frame and the
+   * pre-prune edge count rides the same pass — 2·rounds count jobs and
+   * the final round's checkpoint disappear (x181: 10 jobs → 3), while
+   * every intermediate round keeps the semi-join prune shape.
    */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     var e = edges.select("src", "dst")
-    var lastPruned = 0L
-    for (_ <- 1 to rounds) {
-      val deg = e.select(col("src").as("v"))
-        .unionAll(e.select(col("dst").as("v")))
+    def keepSet(ef: DataFrame): DataFrame =
+      ef.select(col("src").as("v"))
+        .unionAll(ef.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("v")
-      val before = e.count()
+        .filter(col("d") >= k).select("v")
+    for (_ <- 1 until rounds) {
+      val keep = keepSet(e)
       e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
-      lastPruned = before - e.count()
     }
-    e.agg(count(lit(1)).as("n_edges"),
-        countDistinct(col("src")).as("n_src"),
-        countDistinct(col("dst")).as("n_dst"))
-      .withColumn("converged", lit(if (lastPruned == 0L) 1 else 0))
+    // Final round, fused: keep is unique per v, so the left joins cannot
+    // fan out and `__ok` flags membership exactly like the semi joins.
+    val keep = keepSet(e)
+    val ok = col("__oksrc").isNotNull && col("__okdst").isNotNull
+    e.join(keep.select(col("v").as("src"), lit(1).as("__oksrc")), Seq("src"), "left")
+      .join(keep.select(col("v").as("dst"), lit(1).as("__okdst")), Seq("dst"), "left")
+      .agg(count(when(ok, lit(1))).as("n_edges"),
+        countDistinct(when(ok, col("src"))).as("n_src"),
+        countDistinct(when(ok, col("dst"))).as("n_dst"),
+        count(lit(1)).as("__before"))
+      .select(col("n_edges"), col("n_src"), col("n_dst"),
+        when(col("__before") === col("n_edges"), lit(1)).otherwise(lit(0))
+          .as("converged"))
   }
 
   def degreeConcentration(edges: DataFrame, topPct: Int = 1): DataFrame = {

@@ -565,6 +565,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.getInt(3) == 1, s"4 rounds must reach the fixed point: $out")
   }
 
+  test("kCore: a still-pruning final round reports converged=0 (r12 fused last round)") {
+    import graft.operators.Graph
+    // path 1-2-3-4: round 1 prunes both pendant edges, so a 1-round run's
+    // LAST round pruned something — the fused final-round aggregate must
+    // report the in-progress state exactly like the old count-delta did
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val one = Graph.kCore(path, k = 2, rounds = 1).head
+    assert(one.getLong(0) == 1L && one.getInt(3) == 0,
+      s"round 1 keeps only 2-3 and must flag non-convergence: $one")
+    // two rounds reach the empty fixed point via a round that still prunes
+    val two = Graph.kCore(path, k = 2, rounds = 2).head
+    assert(two.getLong(0) == 0L && two.getInt(3) == 0,
+      s"round 2 prunes 2-3 (last round still pruned): $two")
+    // three rounds: the last round prunes nothing — converged
+    val three = Graph.kCore(path, k = 2, rounds = 3).head
+    assert(three.getLong(0) == 0L && three.getInt(3) == 1,
+      s"round 3 is a no-op on the empty core: $three")
+  }
+
   test("timedFunnel: every stage count is bounded by the untimed funnel's") {
     import graft.operators.Analytics
     val events = sources.Tables(spark, "/root/testdata/sf0.001", "events")
