@@ -83,19 +83,29 @@ object Similarity {
       .agg(max(struct(col("score"), (-col("vec_id")).as("nid"))).as("m"))
       .select(lit(rank).as("rank"), (-col("m.nid")).as("vec_id"),
         col("m.score").as("mmr_score_micro"))
+    // r12 (guide §1.2/§3): each greedy round references the running
+    // `selected` frame twice (max-sim lookup + anti join), so an
+    // un-truncated chain DOUBLES per round — 2^selectK plan copies and
+    // ~31 scheduled jobs for selectK=5. Each round's 1-row pick is
+    // `localCheckpoint`'d (eager, one tiny job) so `selected` is a flat
+    // union of materialized rows, and every per-round join BROADCASTS its
+    // ≤poolK-row side explicitly — checkpointed frames lose size stats
+    // (LogicalRDD defaults to "huge"), so without the hint the planner
+    // shuffled both sides of every 20-row join.
     var selected = pick(cands.select(col("vec_id"),
-      (col("rel") * 7).as("score")), 1)
+      (col("rel") * 7).as("score")), 1).localCheckpoint()
     for (r <- 2 to selectK) {
       val sel = selected.select(col("vec_id"))
-      val ms = pairs.join(sel.withColumnRenamed("vec_id", "vb"), "vb")
+      val ms = pairs.join(broadcast(sel.withColumnRenamed("vec_id", "vb")), "vb")
         .groupBy("va").agg(max(col("sim_u")).as("maxsim"))
-      val scored = cands.join(sel, Seq("vec_id"), "left_anti")
-        .join(ms.withColumnRenamed("va", "vec_id"), Seq("vec_id"), "left")
+      val scored = cands.join(broadcast(sel), Seq("vec_id"), "left_anti")
+        .join(broadcast(ms.withColumnRenamed("va", "vec_id")), Seq("vec_id"), "left")
         .select(col("vec_id"),
           (col("rel") * 7 - coalesce(col("maxsim"), lit(0L)) * 3).as("score"))
-      selected = selected.unionAll(pick(scored, r))
+      selected = selected.unionAll(pick(scored, r).localCheckpoint())
     }
-    selected.join(cands.select(col("vec_id"), col("rel").as("sim_micro")), "vec_id")
+    selected.join(broadcast(cands.select(col("vec_id"), col("rel").as("sim_micro"))),
+        "vec_id")
       .select(col("rank"), col("vec_id"), col("sim_micro"),
         col("mmr_score_micro"))
   }
