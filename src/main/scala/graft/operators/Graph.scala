@@ -365,11 +365,18 @@ object Graph {
    * Semantics: hop 0 = the seed set (deduplicated); a node is counted at
    * its FIRST reachable hop only (BFS level = shortest-path distance).
    */
-  def khopFrontier(edges: DataFrame, seed: DataFrame, hops: Int): DataFrame = {
+  def khopFrontier(edges: DataFrame, seed: DataFrame, hops: Int,
+      symmetrizedDistinct: Boolean = false): DataFrame = {
     require(hops >= 1 && hops <= 10, s"hops $hops not in [1,10]")
     val e = edges.select(col("src"), col("dst"))
-    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // r12 (guide §2.4 "a distinct on data that is already unique"): when
+    // the caller guarantees the symmetrized closure is duplicate-free —
+    // e.g. a DISTINCT BIPARTITE edge set, where src/dst live in disjoint
+    // id spaces so an edge and its mirror can never collide — the dedup
+    // exchange of the full 2·|edges| frame is pure overhead. Semantics
+    // are the caller's contract, like pageRank's `assumeDistinct`.
+    val und = (if (symmetrizedDistinct) sym else sym.distinct())
       .repartition(col("src"))
       // cached: probed once per hop, pre-partitioned on the probe key.
       // Caller-managed lifecycle — see pageRank's contract.

@@ -52,18 +52,36 @@ object LayoutAdvisor {
         when(col("__rn") > 1 && !(col(c) <=> lag(col(c), 1).over(w)), 1L)
           .otherwise(0L))
     }
-    val withinRow = flagged.agg(
-      count(lit(1)).as("__n"),
-      measureCols.map(c => sum(col(s"__chg_$c")).as(s"__w_$c")): _*)
     val boundStruct = (cs: Seq[String]) =>
       struct(col("__rn") +: cs.map(col): _*)
-    val bounds = flagged.groupBy("__pid")
-      .agg(min(boundStruct(measureCols)).as("__f"),
-        max(boundStruct(measureCols)).as("__l"))
+    // r12 (guide §1.2 "remove unnecessary passes"): the within-partition
+    // change sums and the per-partition first/last boundary rows used to
+    // be TWO consumers of `flagged`, so the range exchange + window +
+    // lag pipeline over the full corpus executed twice (ReusedExchange
+    // shares only the exchange, not the window above it). ONE
+    // pid-grained aggregate now carries both — counts, per-measure
+    // change sums, and the min/max boundary structs — and is
+    // localCheckpoint'd at |partitions| rows, so the corpus pipeline
+    // runs exactly once and every downstream branch reads the tiny
+    // frame. Totals are re-derived by summing the per-pid rows
+    // (coalesce(…, 0) keeps the documented empty-input behavior: 0 rows
+    // → 0 runs → 0 ppm).
+    val perPid = flagged.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"),
+        (measureCols.map(c => sum(col(s"__chg_$c")).as(s"__w_$c")) ++
+          Seq(min(boundStruct(measureCols)).as("__f"),
+            max(boundStruct(measureCols)).as("__l"))): _*)
     // |partitions|-row frame: the unpartitioned rank is bounded by the
-    // shuffle partition count, not the data
-    val ranked = bounds.withColumn("__rk",
-      row_number().over(BoundedGlobalWindow.orderBy("__pid")))
+    // shuffle partition count, not the data. Checkpointed AFTER the rank
+    // (the window provably rides the Aggregate) at |partitions| rows, so
+    // the corpus pipeline above runs exactly once for the THREE readers
+    // (totals + both sides of the boundary self-join).
+    val ranked = perPid.withColumn("__rk",
+        row_number().over(BoundedGlobalWindow.orderBy("__pid")))
+      .localCheckpoint()
+    val withinRow = ranked.agg(
+      coalesce(sum(col("__cnt")), lit(0L)).as("__n"),
+      measureCols.map(c => sum(col(s"__w_$c")).as(s"__w_$c")): _*)
     val boundaryRow = ranked.as("a")
       .join(ranked.as("b"), col("b.__rk") === col("a.__rk") + 1)
       .select(measureCols.map(c =>
