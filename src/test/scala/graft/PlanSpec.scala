@@ -777,23 +777,39 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus must collapse to (name, count) with map-side partials BEFORE pairing:\n$p")
   }
 
-  test("x252: the corpus-sized adjacency windows ride the range exchange, partitioned by pid") {
+  test("x252: the corpus pipeline runs once — windows ride the range exchange, pid-partitioned, then leave the plan") {
+    // r12: runCounts collapses to ONE pid-grained aggregate, checkpointed
+    // at |partitions| rows, so the returned plan must read the tiny
+    // checkpointed frame and contain NO corpus scan at all. The corpus
+    // adjacency pipeline itself (range exchange + pid-local windows) is
+    // rebuilt verbatim here — the x558 staging-assert pattern, since the
+    // executed query hides it behind the eager localCheckpoint.
     val p = plan("x252_layout_run_advisor")
-    assert(p.contains("Exchange rangepartitioning"),
-      s"runCounts must range-exchange on the candidate sort key:\n$p")
-    // every lag/row_number over the full frame is pid-local; the only
-    // unpartitioned window ranks the |partitions|-row boundary frame
-    val big = p.linesIterator
+    assert(!p.contains("FileScan parquet"),
+      s"the boundary/total readers must consume the checkpointed per-pid " +
+        s"frame, not re-scan the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"expected checkpointed scans:\n$p")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = sources.Tables(spark, sf, "lineitem")
+    val keys = Seq("l_shipdate", "l_orderkey", "l_linenumber").map(col)
+    val parted = li.select("l_shipdate", "l_orderkey", "l_linenumber", "l_returnflag")
+      .repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+    val staged = parted.withColumn("__rn", row_number().over(w))
+      .withColumn("__chg",
+        when(col("__rn") > 1 && !(col("l_returnflag") <=> lag(col("l_returnflag"), 1).over(w)), 1L)
+          .otherwise(0L))
+      .groupBy("__pid").agg(count(lit(1)).as("__cnt"), sum(col("__chg")).as("__w"))
+    val sp = staged.queryExecution.executedPlan.toString
+    assert(sp.contains("Exchange rangepartitioning"),
+      s"runCounts' staging must range-exchange on the candidate sort key:\n$sp")
+    val wins = sp.linesIterator
       .filter(l => l.contains("windowspecdefinition") &&
-        (l.contains("lag(") || l.contains("row_number()")))
-      .toSeq
-    assert(big.nonEmpty, s"expected window nodes in:\n$p")
-    val unpartitioned = big.filterNot(l =>
-      l.contains("windowspecdefinition(__pid") ||
-        l.contains("windowspecdefinition(__rk"))
-    assert(unpartitioned.forall(_.contains("windowspecdefinition(__pid")) ||
-      unpartitioned.forall(!_.contains("lag(")),
-      s"corpus-sized lag must be pid-partitioned:\n${unpartitioned.mkString("\n")}")
+        (l.contains("lag(") || l.contains("row_number()"))).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("windowspecdefinition(__pid")),
+      s"corpus-sized lag/row_number must be pid-partitioned:\n${wins.mkString("\n")}")
   }
 
   test("x250: first-touch mix resolves the first event with ZERO window operators") {
